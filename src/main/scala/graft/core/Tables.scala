@@ -16,7 +16,18 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+    if (name == "events") loadEvents(spark, dir) else spark.read.parquet(path(dir, name))
+
+  /** The events table carries a TIMESTAMP(NANOS) column, which Spark's
+    * parquet reader rejects by default. Read nanos as raw longs and convert
+    * to a microsecond TimestampType column (Spark's native precision).
+    */
+  def loadEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(path(dir, "events"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 
   /** Register every table as a temp view named after the table. */
   def registerAll(spark: SparkSession, dir: String): Unit =

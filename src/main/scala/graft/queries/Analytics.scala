@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Window functions, set operations, scalar-function coverage, JSON
+  * functions, and event-stream analytics. These pin the SQL surface the
+  * reference inherits from its engine (SURVEY §2.6, §2.8, §2.9) plus the
+  * `events` table workloads.
+  *
+  * Event timestamps are nanosecond-precision in the parquet; Spark reads
+  * them at microsecond precision, so queries never output a raw `ts` —
+  * only string-formatted buckets or event_id-ordered derivations.
+  */
+object Analytics {
+
+  private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ------------------------------------------------------------------
+    // rank / row_number / lag over partitions: top-3 suppliers per nation.
+    QueryDef("w01_window_rank", (s, d) => {
+      val sup = t(s, d, "supplier")
+      val n = t(s, d, "nation")
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("prev_bal", lag(col("s_acctbal"), 1).over(w))
+        .filter(col("rn") <= 3)
+        .select(col("n_name"), col("s_name"), col("s_acctbal"),
+          col("rnk"), col("rn"), col("prev_bal"))
+        .orderBy(col("n_name"), col("rn"))
+    }, Some("""
+      SELECT n_name, s_name, s_acctbal, CAST(rnk AS BIGINT) AS rnk,
+        CAST(rn AS BIGINT) AS rn, prev_bal
+      FROM (
+        SELECT n_name, s_name, s_acctbal,
+          RANK() OVER w AS rnk,
+          ROW_NUMBER() OVER w AS rn,
+          LAG(s_acctbal, 1) OVER w AS prev_bal
+        FROM supplier, nation
+        WHERE s_nationkey = n_nationkey
+        WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
+      ) ranked
+      WHERE rn <= 3 ORDER BY n_name, rn""")),
+
+    // ------------------------------------------------------------------
+    // Running frames: cumulative value and count per user over the event
+    // stream (decimal-exact running sum).
+    QueryDef("w02_running_totals", (s, d) => {
+      val e = t(s, d, "events").filter(col("user_id") < 20)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("running_value",
+          sum(col("value").cast("decimal(12,2)")).over(w).cast("double"))
+        .withColumn("running_n", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("running_value"), col("running_n"))
+        .orderBy(col("user_id"), col("event_id"))
+    }, Some("""
+      SELECT user_id, event_id,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS running_value,
+        COUNT(*) OVER w AS running_n
+      FROM events
+      WHERE user_id < 20
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, event_id""")),
+
+    // ------------------------------------------------------------------
+    // UNION ALL / INTERSECT / EXCEPT in one labeled result.
+    QueryDef("s01_set_operations", (s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").cast("long").as("nk"))
+      val both = cn.intersect(sn).withColumn("tag", lit("both"))
+      val custOnly = cn.except(sn).withColumn("tag", lit("cust_only"))
+      val suppOnly = sn.except(cn).withColumn("tag", lit("supp_only"))
+      both.unionAll(custOnly).unionAll(suppOnly)
+        .select(col("tag"), col("nk"))
+        .orderBy(col("tag"), col("nk"))
+    }, Some("""
+      SELECT 'both' AS tag, nk FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        INTERSECT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      UNION ALL
+      SELECT 'cust_only', nk FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        EXCEPT SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      UNION ALL
+      SELECT 'supp_only', nk FROM (
+        SELECT CAST(s_nationkey AS BIGINT) AS nk FROM supplier
+        EXCEPT SELECT CAST(c_nationkey AS BIGINT) FROM customer)
+      ORDER BY tag, nk""")),
+
+    // ------------------------------------------------------------------
+    // Scalar-function sampler: string / math / conditional / date parts.
+    QueryDef("f01_scalar_functions", (s, d) => {
+      val p = t(s, d, "part")
+      p.select(
+          col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          lower(col("p_brand")).as("lbrand"),
+          substring(col("p_type"), 1, 3).as("type3"),
+          length(col("p_name")).cast("long").as("name_len"),
+          concat(col("p_brand"), lit(":"), col("p_type")).as("btype"),
+          trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+          regexp_replace(col("p_name"), " ", "_").as("underscored"),
+          abs(col("p_size") - 25).cast("long").as("size_dev"),
+          (col("p_size") % 7).cast("long").as("size_mod"),
+          round(sqrt(col("p_size").cast("double")), 6).as("size_sqrt"),
+          ceil(col("p_retailprice")).cast("long").as("price_ceil"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          greatest(col("p_size"), lit(10)).cast("long").as("size_floor10"),
+          when(col("p_size") < 10, "small")
+            .when(col("p_size") < 30, "mid")
+            .otherwise("big").as("size_class"),
+          coalesce(nullif(col("p_type"), lit("PROMO")), lit("none")).as("type_or_none"))
+        .orderBy(col("p_partkey"))
+        .limit(500)
+    }, Some("""
+      SELECT p_partkey,
+        UPPER(p_name) AS uname, LOWER(p_brand) AS lbrand,
+        SUBSTRING(p_type, 1, 3) AS type3,
+        CAST(LENGTH(p_name) AS BIGINT) AS name_len,
+        p_brand || ':' || p_type AS btype,
+        TRIM(' ' || p_name || ' ') AS trimmed,
+        REGEXP_REPLACE(p_name, ' ', '_', 'g') AS underscored,
+        CAST(ABS(p_size - 25) AS BIGINT) AS size_dev,
+        CAST(p_size % 7 AS BIGINT) AS size_mod,
+        ROUND(SQRT(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+        CAST(CEIL(p_retailprice) AS BIGINT) AS price_ceil,
+        CAST(FLOOR(p_retailprice) AS BIGINT) AS price_floor,
+        CAST(GREATEST(p_size, 10) AS BIGINT) AS size_floor10,
+        CASE WHEN p_size < 10 THEN 'small'
+             WHEN p_size < 30 THEN 'mid' ELSE 'big' END AS size_class,
+        COALESCE(NULLIF(p_type, 'PROMO'), 'none') AS type_or_none
+      FROM part ORDER BY p_partkey LIMIT 500""")),
+
+    // ------------------------------------------------------------------
+    // JSON functions over the events props column (reference registers
+    // datafusion-functions-json; Spark's get_json_object is the analog —
+    // reference tests/extension_cases/functions_json.rs:22-76).
+    QueryDef("j01_json_extract", (s, d) => {
+      val e = t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      e.groupBy(col("event_type"), (col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"), col("k_mod"))
+    }, Some("""
+      SELECT event_type, k % 10 AS k_mod, COUNT(*) AS n,
+        CAST(SUM(k) AS BIGINT) AS sum_k
+      FROM (SELECT event_type,
+              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+            FROM events) t
+      GROUP BY event_type, k % 10
+      ORDER BY event_type, k_mod""")),
+
+    // ------------------------------------------------------------------
+    // Hourly event rollup (string time buckets; decimal-exact sums).
+    QueryDef("e01_events_hourly", (s, d) => {
+      val e = t(s, d, "events")
+      e.groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("hour_bucket"), col("event_type"))
+    }, Some("""
+      SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events
+      GROUP BY strftime(ts, '%Y-%m-%d %H'), event_type
+      ORDER BY hour_bucket, event_type"""), headline = true),
+
+    // ------------------------------------------------------------------
+    // Sessionization: a >30-minute gap starts a new session (lag + windowed
+    // flag-sum — the scalable pattern for session assignment).
+    QueryDef("e02_sessionization", (s, d) => {
+      val e = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val flagged = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("is_new",
+          when(col("prev_ts").isNull ||
+            (col("ts") - col("prev_ts")) > expr("INTERVAL 30 MINUTES"), 1L)
+            .otherwise(0L))
+      flagged.groupBy(col("user_id"))
+        .agg(sum(col("is_new")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .withColumn("events_per_session",
+          col("n_events").cast("double") / col("n_sessions").cast("double"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      SELECT user_id, CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+        COUNT(*) AS n_events,
+        CAST(COUNT(*) AS DOUBLE) / CAST(SUM(is_new) AS DOUBLE) AS events_per_session
+      FROM (
+        SELECT user_id,
+          CASE WHEN LAG(ts, 1) OVER w IS NULL
+                 OR ts - LAG(ts, 1) OVER w > INTERVAL 30 MINUTE THEN 1
+               ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      ) flagged
+      GROUP BY user_id ORDER BY user_id"""), headline = true),
+
+    // ------------------------------------------------------------------
+    // Grouping sets (ROLLUP): order counts and value by status and
+    // priority with subtotals (SURVEY §2.5 notes cube/rollup support).
+    QueryDef("g01_rollup", (s, d) => {
+      val o = t(s, d, "orders")
+      o.rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority"""))
+  )
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines: tokenization,
+  * quality scoring, language identification, fingerprinting. All are
+  * single-pass narrow transforms (no shuffle) except language-ID, which
+  * joins against a broadcast marker-word table — every one scales linearly
+  * with the documents table.
+  */
+object TextOps {
+
+  /** Whitespace tokenizer (regex split on \s+ after trim). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Normalized text: lowercased, whitespace collapsed to single spaces. */
+  def normalized(text: Column): Column =
+    lower(regexp_replace(trim(text), "\\s+", " "))
+
+  /** Stable document fingerprint over normalized text. */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Per-document token statistics. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(tok).cast("long").as("n_tokens"),
+      size(array_distinct(tok)).cast("long").as("n_distinct_tokens"),
+      (size(array_distinct(tok)).cast("double") / size(tok).cast("double"))
+        .as("type_token_ratio"),
+      (length(regexp_replace(col("text"), "\\s", "")).cast("double") /
+        size(tok).cast("double")).as("avg_token_len"))
+  }
+
+  /** English-ish stopwords used by the quality score. */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  /** Heuristic quality score in [0,1]: length saturation x (1 - stopword
+    * ratio penalty), the usual cheap pre-filter before expensive dedup.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    val nTok = size(tok).cast("double")
+    val stopCount = size(filter(tok, t => t.isInCollection(stopwords))).cast("double")
+    docs.select(
+      col("doc_id"),
+      nTok.cast("long").as("n_tokens"),
+      (stopCount / nTok).as("stop_ratio"),
+      (least(nTok / lit(100.0), lit(1.0)) * (lit(1.0) - stopCount / nTok))
+        .as("quality_score"))
+  }
+
+  /** Marker words per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic: ties broken by language code.
+    */
+  val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "is", "en" -> "and", "en" -> "of",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "fr" -> "le", "fr" -> "la", "fr" -> "et", "fr" -> "les", "fr" -> "est",
+    "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "es", "es" -> "una",
+    "zh" -> "de", "zh" -> "shi", "zh" -> "bu", "zh" -> "le", "zh" -> "ren")
+
+  /** Language-ID: explode tokens, join the broadcast marker table, argmax
+    * matches per (doc, lang); docs with no marker hits get 'und'.
+    */
+  def langId(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val markers = spark.createDataFrame(langMarkers).toDF("cand_lang", "w")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val scores = tok.join(broadcast(markers), "w")
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(count(lit(1)).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang"))
+    val best = scores.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id").as("best_doc"), col("cand_lang").as("pred0"))
+    docs.join(best, col("doc_id") === col("best_doc"), "left_outer")
+      .select(col("doc_id"), coalesce(col("pred0"), lit("und")).as("pred_lang"),
+        col("lang").as("actual_lang"))
+  }
+}

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Verifiable wrappers over the training-data pipeline operators
+  * (graft.operators): text analysis, dedup family, similarity search,
+  * multimodal plumbing. DuckDB oracles replicate each algorithm exactly
+  * (portable md5-based hashing, double-precision arithmetic), so even the
+  * approximate operators are hash-checked, not just row-counted.
+  */
+object PipelineQueries {
+
+  /** Shared DuckDB fragments: tokenized + shingled documents. */
+  private val TOK =
+    """tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+      |  generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
+      |  FROM documents)""".stripMargin
+  private val SHD =
+    s"""$TOK,
+      |sh0 AS (SELECT doc_id,
+      |  w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS shingle,
+      |  LEAD(w,2) OVER win IS NOT NULL AS complete
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE complete)""".stripMargin
+  private val ED =
+    """ed AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |nrm AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ed GROUP BY vec_id)""".stripMargin
+
+  val queries: Seq[QueryDef] = Seq(
+
+    // ---------------- text analysis ----------------
+    QueryDef("t01_token_stats", (s, d) =>
+      TextOps.tokenStats(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id,
+        CAST(LENGTH(text) AS BIGINT) AS n_chars,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+        CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+          AS type_token_ratio,
+        CAST(LENGTH(REGEXP_REPLACE(text, '\s', '', 'g')) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS avg_token_len
+      FROM (SELECT doc_id, text,
+              string_split_regex(trim(text), '\s+') AS toks FROM documents) t
+      ORDER BY doc_id""")),
+
+    QueryDef("t02_quality_score", (s, d) =>
+      TextOps.qualityScore(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+      Some(raw"""
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter(toks, x -> x IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+          / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        LEAST(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) *
+          (1.0 - CAST(len(list_filter(toks, x -> x IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+            / CAST(len(toks) AS DOUBLE)) AS quality_score
+      FROM (SELECT doc_id,
+              string_split_regex(trim(text), '\s+') AS toks FROM documents) t
+      ORDER BY doc_id""")),
+
+    QueryDef("t03_lang_id", (s, d) =>
+      TextOps.langId(s, Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+      Some(s"""
+      WITH $TOK,
+      markers(cand_lang, w) AS (VALUES
+        ${TextOps.langMarkers.map { case (l, w) => s"('$l','$w')" }.mkString(",")}),
+      scores AS (SELECT t.doc_id, m.cand_lang, COUNT(*) AS score
+                 FROM tok t JOIN markers m ON t.w = m.w
+                 GROUP BY t.doc_id, m.cand_lang),
+      best AS (SELECT doc_id, cand_lang AS pred0,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                   ORDER BY score DESC, cand_lang) AS rn
+               FROM scores)
+      SELECT d.doc_id, COALESCE(b.pred0, 'und') AS pred_lang, d.lang AS actual_lang
+      FROM documents d
+      LEFT JOIN (SELECT doc_id, pred0 FROM best WHERE rn = 1) b USING (doc_id)
+      ORDER BY d.doc_id""")),
+
+    QueryDef("t04_fingerprint", (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents ORDER BY doc_id""")),
+
+    // ---------------- dedup family ----------------
+    QueryDef("d01_dedup_exact", (s, d) =>
+      Dedup.exact(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id,
+        MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canonical_id,
+        COUNT(*) OVER (PARTITION BY MD5(text)) AS group_size
+      FROM documents ORDER BY doc_id""")),
+
+    QueryDef("d02_ngram_jaccard", (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"))
+        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(100),
+      Some(s"""
+      WITH $SHD,
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM shd x JOIN shd y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id)
+      SELECT p.a, p.b,
+        CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.a
+      JOIN sizes sb ON sb.doc_id = p.b
+      ORDER BY jaccard DESC, a, b LIMIT 100"""), headline = true),
+
+    QueryDef("d03_minhash_lsh", (s, d) =>
+      Dedup.minhashLshPairs(Tables.load(s, d, "documents"))
+        .orderBy(col("est_jaccard").desc, col("a"), col("b")).limit(100),
+      Some(s"""
+      WITH $SHD,
+      hs AS (SELECT unnest(range(0, 16)) AS h),
+      sig AS (SELECT doc_id, h,
+                MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              FROM shd, hs GROUP BY doc_id, h),
+      buckets AS (SELECT doc_id, h % 4 AS band,
+                    MD5(string_agg(mh, ',' ORDER BY h)) AS bucket
+                  FROM sig GROUP BY doc_id, h % 4),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id)
+      SELECT c.a, c.b,
+        CAST(COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS DOUBLE) / 16.0
+          AS est_jaccard
+      FROM cand c
+      JOIN sig sa ON sa.doc_id = c.a
+      JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+      GROUP BY c.a, c.b
+      ORDER BY est_jaccard DESC, a, b LIMIT 100"""), headline = true),
+
+    QueryDef("d04_simhash", (s, d) =>
+      Dedup.simhash(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+      Some("""
+      WITH tokd AS (SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\s+')) AS w FROM documents),
+      bs AS (SELECT unnest(range(0, 16)) AS b),
+      votes AS (SELECT doc_id, b,
+                  SUM(CASE WHEN ascii(substring(md5(w), CAST(b+1 AS INT), 1)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS sv
+                FROM tokd, bs GROUP BY doc_id, b)
+      SELECT doc_id,
+        string_agg(CASE WHEN sv >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
+      FROM votes GROUP BY doc_id ORDER BY doc_id""")),
+
+    QueryDef("d05_embed_neardup", (s, d) =>
+      Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.3)
+        .orderBy(col("cos_sim").desc, col("a"), col("b")).limit(200),
+      Some(s"""
+      WITH $ED,
+      dots AS (SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.v*y.v) AS dot
+               FROM ed x JOIN ed y ON x.i = y.i AND x.vec_id < y.vec_id
+               GROUP BY x.vec_id, y.vec_id)
+      SELECT d.a, d.b, ROUND(d.dot/(na.nrm*nb.nrm), 4) AS cos_sim
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.a
+      JOIN nrm nb ON nb.vec_id = d.b
+      WHERE d.dot/(na.nrm*nb.nrm) > 0.3
+      ORDER BY cos_sim DESC, a, b LIMIT 200""")),
+
+    // ---------------- similarity search ----------------
+    QueryDef("a01_ann_bruteforce", (s, d) =>
+      Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, 10)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+      dots AS (SELECT q.qid, x.vec_id AS nid, SUM(q.v*x.v) AS dot
+               FROM q JOIN ed x ON q.i = x.i AND x.vec_id <> q.qid
+               GROUP BY q.qid, x.vec_id),
+      sims AS (SELECT qid, nid, dot/(nq.nrm*nx.nrm) AS sim
+               FROM dots
+               JOIN nrm nq ON nq.vec_id = qid
+               JOIN nrm nx ON nx.vec_id = nid),
+      ranked AS (SELECT qid, nid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, nid) AS rank
+                 FROM sims)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""), headline = true),
+
+    // IVF is approximate by construction (probes 2 of 10 cells) — no exact
+    // SQL oracle; correctness pinned by the recall spec in scalatest.
+    QueryDef("a02_ann_ivf", (s, d) =>
+      Similarity.ivfTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, 10, 2)
+        .orderBy(col("qid"), col("rank")),
+      None),
+
+    // ---------------- multimodal plumbing ----------------
+    QueryDef("m01_multimodal_features", (s, d) =>
+      Multimodal.decodeFeatures(s,
+          Multimodal.documentsAsMedia(Tables.load(s, d, "documents")))
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id, CAST(octet_length(blob) AS BIGINT) AS n_bytes,
+        CAST(octet_length(blob) % 640 AS BIGINT) AS width,
+        CAST((octet_length(blob) * 7) % 480 AS BIGINT) AS height,
+        CAST(octet_length(blob) % 30 + 1 AS BIGINT) AS n_frames,
+        MD5(text) AS fp
+      FROM (SELECT doc_id, text, encode(text) AS blob FROM documents) m
+      ORDER BY doc_id"""))
+  )
+}

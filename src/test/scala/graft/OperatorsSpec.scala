@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Operator semantics on planted fixtures (duplicates the testdata lacks)
+  * plus shape/recall properties on the real embeddings table.
+  */
+class OperatorsSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under the min doc_id") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val got = Dedup.exact(d).collect().map(r =>
+      (r.getLong(0), r.getAs[Long]("canonical_id"), r.getAs[Long]("group_size"))).toSet
+    assert(got === Set((1L, 1L, 2L), (2L, 1L, 2L), (3L, 3L, 1L)))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs produce no pair") {
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different words here with nothing shared at all")
+    val pairs = Dedup.ngramJaccardPairs(d).collect()
+      .map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")), r.getAs[Double]("jaccard"))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("minhash LSH finds identical docs with estimated jaccard 1.0") {
+    val d = docs(
+      1L -> "one two three four five six seven eight nine ten",
+      2L -> "one two three four five six seven eight nine ten",
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val pairs = Dedup.minhashLshPairs(d).collect()
+      .map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b")), r.getAs[Double]("est_jaccard"))).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+  }
+
+  test("simhash: identical docs share signatures; signature is 16 bits") {
+    val d = docs(1L -> "red green blue", 2L -> "red green blue", 3L -> "cat dog bird fish")
+    val sig = Dedup.simhash(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig.values.forall(s => s.length == 16 && s.forall(c => c == '0' || c == '1')))
+  }
+
+  test("brute-force ANN returns k distinct ranked neighbors per query") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val got = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 10).collect()
+    val perQ = got.groupBy(_.getAs[Long]("qid"))
+    assert(perQ.keySet === Set(0L, 1L, 2L))
+    perQ.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq === (1L to 10L))
+      assert(rows.map(_.getAs[Long]("nid")).distinct.length === 10)
+      assert(rows.forall(r => math.abs(r.getAs[Double]("cos_sim")) <= 1.0001))
+    }
+  }
+
+  test("IVF ANN recall@10 overlaps brute force") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val approx = Similarity.ivfTopK(emb, col("vec_id") < 3, 10, 2).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    // probing 2 of 10 cells must still surface some true neighbors
+    val recall = exact.keys.map(q =>
+      (exact(q) intersect approx.getOrElse(q, Set.empty)).size / 10.0).sum / exact.size
+    assert(recall > 0.0, s"IVF recall was zero: $approx vs $exact")
+  }
+
+  test("language-ID picks the language with most marker hits") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the cat is on the mat and the dog is here", "en"),
+      (2L, "der hund und die katze und das haus ist da", "de"),
+      (3L, "zzz qqq www eee rrr", "fr")).toDF("doc_id", "text", "lang")
+    val got = TextOps.langId(spark, d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("pred_lang")).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "de")
+    assert(got(3L) === "und")
+  }
+
+  test("multimodal decode is deterministic and matches payload bytes") {
+    val d = docs(7L -> "hello world")
+    val got = Multimodal.decodeFeatures(spark, Multimodal.documentsAsMedia(d)).collect()
+    assert(got.length === 1)
+    val f = got.head
+    assert(f.n_bytes === 11L)
+    assert(f.width === 11L && f.height === 77L && f.n_frames === 12L)
+    assert(f.fp === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  }
+
+  test("quality score penalizes stopword-heavy docs") {
+    val d = docs(
+      1L -> "the the the a a of of to to in",
+      2L -> "substantive content words about engineering distributed query systems")
+    val scores = TextOps.qualityScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
+    assert(scores(1L) < scores(2L))
+  }
+}

@@ -1,0 +1,119 @@
+package graft.cli
+
+import java.nio.file.{Files, Paths}
+
+import scala.util.control.NonFatal
+
+import graft.core.{CatalogBootstrap, SessionFactory}
+import graft.exec.{AnalyzeRunner, BenchmarkRunner, ExecutionContext}
+
+/** CLI frontend (reference `src/cli/mod.rs`): execute SQL from -c/-f with
+  * pretty-printed output, file writers, timing, bench and analyze modes.
+  *
+  * Usage:
+  *   graft.cli.Main [-c SQL]... [-f FILE]... [-o OUT.{csv,json,parquet}]
+  *     [--time] [--bench] [-n N] [--concurrent] [--run-before SQL]
+  *     [--save FILE] [--append] [--analyze]
+  *     [--db-dir DIR] [--run-ddl [PATH]] [--config PATH] [--master URL]
+  */
+object Main {
+
+  final case class Args(
+      commands: Seq[String] = Seq.empty,
+      files: Seq[String] = Seq.empty,
+      output: Option[String] = None,
+      time: Boolean = false,
+      bench: Boolean = false,
+      iterations: Int = 10,
+      concurrent: Boolean = false,
+      runBefore: Option[String] = None,
+      save: Option[String] = None,
+      append: Boolean = false,
+      analyze: Boolean = false,
+      dbDir: Option[String] = None,
+      ddlPath: Option[String] = None,
+      runDdl: Boolean = false,
+      config: Option[String] = None,
+      master: String = "local[*]")
+
+  def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
+    case Nil => acc
+    case "-c" :: sql :: rest => parseArgs(rest, acc.copy(commands = acc.commands :+ sql))
+    case "-f" :: f :: rest => parseArgs(rest, acc.copy(files = acc.files :+ f))
+    case "-o" :: out :: rest => parseArgs(rest, acc.copy(output = Some(out)))
+    case "--time" :: rest => parseArgs(rest, acc.copy(time = true))
+    case "--bench" :: rest => parseArgs(rest, acc.copy(bench = true))
+    case "-n" :: n :: rest => parseArgs(rest, acc.copy(iterations = n.toInt))
+    case "--concurrent" :: rest => parseArgs(rest, acc.copy(concurrent = true))
+    case "--run-before" :: s :: rest => parseArgs(rest, acc.copy(runBefore = Some(s)))
+    case "--save" :: f :: rest => parseArgs(rest, acc.copy(save = Some(f)))
+    case "--append" :: rest => parseArgs(rest, acc.copy(append = true))
+    case "--analyze" :: rest => parseArgs(rest, acc.copy(analyze = true))
+    case "--db-dir" :: d :: rest => parseArgs(rest, acc.copy(dbDir = Some(d)))
+    case "--run-ddl" :: p :: rest if !p.startsWith("-") =>
+      parseArgs(rest, acc.copy(runDdl = true, ddlPath = Some(p)))
+    case "--run-ddl" :: rest => parseArgs(rest, acc.copy(runDdl = true))
+    case "--config" :: p :: rest => parseArgs(rest, acc.copy(config = Some(p)))
+    case "--master" :: m :: rest => parseArgs(rest, acc.copy(master = m))
+    case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
+  }
+
+  def main(argv: Array[String]): Unit = {
+    val args = parseArgs(argv.toList)
+    val conf = args.config.map(SessionFactory.parseConfig).getOrElse(Map.empty)
+    val spark = SessionFactory.build(args.master, conf)
+    val ctx = new ExecutionContext(spark)
+    try {
+      args.dbDir.orElse(conf.get("db.path")).foreach { d =>
+        CatalogBootstrap.registerDbDir(spark, d)
+      }
+      if (args.runDdl) {
+        val ddl = args.ddlPath.orElse(conf.get("ddl.path"))
+          .getOrElse(sys.props("user.home") + "/.config/graft/ddl.sql")
+        if (Files.exists(Paths.get(ddl)))
+          ctx.runScript(Files.readString(Paths.get(ddl))).foreach(_.count())
+      }
+      val statements =
+        args.commands ++
+          args.files.flatMap(f => ctx.splitStatements(Files.readString(Paths.get(f))))
+      if (statements.isEmpty) {
+        System.err.println("nothing to execute: pass -c SQL or -f FILE")
+        sys.exit(2)
+      }
+      statements.foreach(s => runStatement(ctx, s, args))
+    } catch {
+      case NonFatal(e) =>
+        System.err.println(s"error: ${e.getMessage}")
+        sys.exit(1)
+    } finally spark.stop()
+  }
+
+  private def runStatement(ctx: ExecutionContext, sql: String, args: Args): Unit = {
+    if (args.bench) {
+      val res = BenchmarkRunner.run(ctx.spark, sql, args.iterations,
+        args.concurrent, args.runBefore)
+      println(res.summary)
+      args.save.foreach { f =>
+        val p = Paths.get(f)
+        val header = if (args.append && Files.exists(p)) "" else BenchmarkRunner.csvHeader + "\n"
+        val row = header + res.csvRow + "\n"
+        if (args.append && Files.exists(p)) Files.writeString(p, row,
+          java.nio.file.StandardOpenOption.APPEND)
+        else Files.writeString(p, row)
+      }
+    } else if (args.analyze) {
+      args.runBefore.foreach(s => ctx.sql(s).count())
+      println(AnalyzeRunner.analyze(ctx.sqlObserved(sql)).summary)
+    } else {
+      args.runBefore.foreach(s => ctx.sql(s).count())
+      val t0 = System.nanoTime()
+      val df = ctx.sqlObserved(sql)
+      args.output match {
+        case Some(out) => Writers.write(df, out)
+        case None => println(PrettyPrint.format(df))
+      }
+      if (args.time)
+        println(f"elapsed: ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    }
+  }
+}

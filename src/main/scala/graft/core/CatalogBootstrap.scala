@@ -1,0 +1,75 @@
+package graft.core
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+/** Database-directory bootstrap (reference `src/db.rs:54-150`, `docs/db.md`):
+  * walk `dbDir/tables/<catalog>/<schema>/<table>/<files>` and register each
+  * leaf directory as a table, format detected from the first file extension
+  * (parquet/csv/json).
+  *
+  * Divergence note: Spark's session catalog is two-level (database.table),
+  * so `<catalog>.<schema>.<table>` registers as database `<catalog>_<schema>`
+  * and table `<table>`; a flat temp view `<catalog>_<schema>_<table>` is also
+  * created. `SHOW TABLES IN <catalog>_<schema>` mirrors the reference's
+  * information_schema listing.
+  */
+object CatalogBootstrap {
+
+  final case class RegisteredTable(catalog: String, schema: String,
+      table: String, format: String, path: String)
+
+  def registerDbDir(spark: SparkSession, dbDir: String): Seq[RegisteredTable] = {
+    val tablesRoot = new File(dbDir, "tables")
+    if (!tablesRoot.isDirectory) return Seq.empty
+    val registered = for {
+      catalog <- sorted(tablesRoot)
+      schema <- sorted(catalog)
+      table <- sorted(schema)
+      fmt <- detectFormat(table)
+    } yield {
+      val db = s"${catalog.getName}_${schema.getName}"
+      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+      spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table.getName}`")
+      spark.sql(
+        s"""CREATE TABLE `$db`.`${table.getName}`
+           |USING $fmt
+           |${if (fmt == "csv") "OPTIONS (header 'true')" else ""}
+           |LOCATION '${table.getAbsolutePath}'""".stripMargin)
+      val df = spark.table(s"`$db`.`${table.getName}`")
+      df.createOrReplaceTempView(s"${db}_${table.getName}")
+      RegisteredTable(catalog.getName, schema.getName, table.getName, fmt,
+        table.getAbsolutePath)
+    }
+    registerInformationSchema(spark, registered)
+    registered
+  }
+
+  /** Synthesized information_schema listing (the reference always enables
+    * information_schema; Spark has none — reference
+    * `extensions/builder.rs:82,100-102`).
+    */
+  def registerInformationSchema(spark: SparkSession,
+      tables: Seq[RegisteredTable]): Unit = {
+    import spark.implicits._
+    tables.map(t => (t.catalog, t.schema, t.table, "BASE TABLE"))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+      .createOrReplaceTempView("information_schema_tables")
+  }
+
+  private def sorted(dir: File): Seq[File] =
+    Option(dir.listFiles).map(_.filter(_.isDirectory).sortBy(_.getName).toSeq)
+      .getOrElse(Seq.empty)
+
+  private def detectFormat(tableDir: File): Option[String] = {
+    val files = Option(tableDir.listFiles)
+      .map(_.filter(_.isFile).sortBy(_.getName).toSeq).getOrElse(Seq.empty)
+    files.iterator.map(_.getName.split('.').last.toLowerCase).collectFirst {
+      case "parquet" => "parquet"
+      case "csv" => "csv"
+      case "json" => "json"
+      case "ndjson" => "json"
+    }
+  }
+}

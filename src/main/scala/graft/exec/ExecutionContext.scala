@@ -1,0 +1,87 @@
+package graft.exec
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.UrlTableRewrite
+import graft.functions.ParquetMetadataTable
+import graft.tables.Observability
+
+/** Shared execution layer (reference `crates/datafusion-app/src/local.rs`:
+  * `ExecutionContext::execute_sql`): SQL in, DataFrame out, with url-table
+  * and parquet_metadata rewrites, optional app-level result limit (HTTP
+  * `result_limit`, reference `local.rs:557-569`), statement splitting for
+  * DDL files, and per-request observability records.
+  */
+class ExecutionContext(val spark: SparkSession,
+    val resultLimit: Option[Int] = None) {
+
+  val observability = new Observability(spark)
+
+  /** Execute one statement with the app rewrites applied. */
+  def sql(statement: String): DataFrame = {
+    val rewritten =
+      ParquetMetadataTable.rewrite(spark, UrlTableRewrite(statement))
+    val df = spark.sql(rewritten)
+    resultLimit.map(df.limit).getOrElse(df)
+  }
+
+  /** Execute one statement, recording an observability row (path tags the
+    * entry point, mirroring the reference's per-endpoint records).
+    */
+  def sqlObserved(statement: String, path: String = "cli"): DataFrame = {
+    val start = System.nanoTime()
+    val ts = new Timestamp(System.currentTimeMillis())
+    try {
+      val df = sql(statement)
+      observability.record(None, path, Some(statement), ts,
+        (System.nanoTime() - start) / 1000000, None, 200)
+      df
+    } catch {
+      case e: Throwable =>
+        observability.record(None, path, Some(statement), ts,
+          (System.nanoTime() - start) / 1000000, None, 500)
+        throw e
+    }
+  }
+
+  /** Split a script into statements: strip `--` line comments, split on
+    * semicolons (reference DDL file handling, `local.rs:336-363`).
+    */
+  def splitStatements(script: String): Seq[String] =
+    script.linesIterator
+      .map(l => if (l.contains("--")) l.substring(0, l.indexOf("--")) else l)
+      .mkString("\n")
+      .split(';')
+      .map(_.trim)
+      .filter(_.nonEmpty)
+      .toSeq
+
+  /** Run every statement in a DDL script (translating the reference's
+    * `CREATE EXTERNAL TABLE ... STORED AS fmt LOCATION 'p'` to Spark DDL),
+    * returning the last result.
+    */
+  def runScript(script: String): Seq[DataFrame] =
+    splitStatements(script).map(s => sql(DdlTranslate(s)))
+}
+
+/** `CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION 'p'` (reference
+  * README.md:131-163) -> `CREATE TABLE t USING parquet LOCATION 'p'`.
+  */
+object DdlTranslate {
+  private val External =
+    """(?is)CREATE\s+EXTERNAL\s+TABLE\s+(\S+)\s*(\([^)]*\))?\s*STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'""".r
+
+  def apply(statement: String): String = statement match {
+    case External(name, cols, fmt, loc) =>
+      val format = fmt.toLowerCase match {
+        case "ndjson" => "json"
+        case other => other
+      }
+      val colSpec = Option(cols).getOrElse("")
+      val opts = if (format == "csv") "OPTIONS (header 'true')" else ""
+      s"CREATE TABLE $name $colSpec USING $format $opts LOCATION '$loc'"
+    case other => other
+  }
+}

@@ -4,7 +4,8 @@ package graft.queries
   * contract maps from this list.
   */
 object Registry {
-  def all: Seq[QueryDef] = Tpch.queries ++ Analytics.queries ++ PipelineQueries.queries
+  def all: Seq[QueryDef] =
+    Tpch.queries ++ Analytics.queries ++ PipelineQueries.queries ++ MetaQueries.queries
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,47 @@
+package graft.tables
+
+import java.sql.Timestamp
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Observability requests table (reference
+  * `crates/datafusion-app/src/observability/mod.rs:42-158`): one row appended
+  * per executed request. Schema mirrors the reference with unsigned types
+  * widened (UInt64 rows -> LongType, UInt16 status -> IntegerType).
+  */
+class Observability(spark: SparkSession) {
+  import Observability._
+
+  private val buf = ArrayBuffer.empty[Row]
+
+  def record(requestId: Option[String], path: String, sql: Option[String],
+      timestamp: Timestamp, durationMs: Long, rows: Option[Long],
+      status: Int): Unit = synchronized {
+    buf += Row(requestId.orNull, path, sql.orNull, timestamp, durationMs,
+      rows.map(Long.box).orNull, status)
+    register()
+  }
+
+  def toDF: DataFrame = synchronized {
+    spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq, 1), schema)
+  }
+
+  /** Expose as `observability_requests` (Spark temp views are single-level;
+    * the reference name is `dft.observability.requests`).
+    */
+  def register(): Unit = toDF.createOrReplaceTempView("observability_requests")
+}
+
+object Observability {
+  val schema: StructType = StructType(Seq(
+    StructField("request_id", StringType, nullable = true),
+    StructField("path", StringType, nullable = false),
+    StructField("sql", StringType, nullable = true),
+    StructField("timestamp", TimestampType, nullable = false),
+    StructField("duration_ms", LongType, nullable = false),
+    StructField("rows", LongType, nullable = true),
+    StructField("status", IntegerType, nullable = false)))
+}

@@ -1,0 +1,119 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.core.{CatalogBootstrap, UrlTableRewrite}
+import graft.exec.{AnalyzeRunner, BenchmarkRunner, DdlTranslate, ExecutionContext}
+import graft.functions.ParquetMetadataTable
+import graft.tables.{MapTable, MetaTables}
+
+/** App-surface components mirroring the reference's own features
+  * (SURVEY §2.1/§2.2/§2.12, §5 fixtures).
+  */
+class AppSurfaceSpec extends SparkSpec {
+
+  test("url table rewrite targets quoted paths only") {
+    assert(UrlTableRewrite("SELECT * FROM 'a/b.parquet'") ===
+      "SELECT * FROM parquet.`a/b.parquet`")
+    assert(UrlTableRewrite("SELECT * FROM t JOIN 'x.csv'") ===
+      "SELECT * FROM t JOIN csv.`x.csv`")
+    assert(UrlTableRewrite("SELECT 'not a table' FROM t") ===
+      "SELECT 'not a table' FROM t")
+  }
+
+  test("CREATE EXTERNAL TABLE translates to Spark DDL") {
+    assert(DdlTranslate(
+      "CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION '/p'") ===
+      "CREATE TABLE t  USING parquet  LOCATION '/p'")
+    assert(DdlTranslate("SELECT 1") === "SELECT 1")
+  }
+
+  test("MapTable: PK upsert/delete semantics, insertion order, SQL scan") {
+    val schema = StructType(Seq(
+      StructField("id", IntegerType, nullable = false),
+      StructField("val", StringType, nullable = false)))
+    val mt = new MapTable(spark, "map_test", schema, "id")
+    mt.insertAll((1 to 5).map(i => Row(i, s"val$i")))
+    assert(mt.size === 5)
+    mt.insert(Row(3, "updated")) // PK upsert
+    assert(mt.size === 5)
+    assert(mt.get(3).get.getString(1) === "updated")
+    assert(mt.delete(1) && !mt.delete(1))
+    val got = spark.sql("SELECT id, val FROM map_test WHERE id = 3").collect()
+    assert(got.toSeq === Seq(Row(3, "updated")))
+    val all = spark.sql("SELECT id FROM map_test").collect().map(_.getInt(0)).toSeq
+    assert(all === Seq(2, 3, 4, 5)) // insertion-ordered
+  }
+
+  test("observability records request rows") {
+    val ctx = new ExecutionContext(spark)
+    ctx.sqlObserved("SELECT 1 AS x", "test").collect()
+    intercept[Exception](ctx.sqlObserved("SELECT * FROM nope_missing", "test"))
+    val rows = ctx.observability.toDF.collect()
+    assert(rows.length === 2)
+    assert(rows.map(_.getAs[Int]("status")).toSet === Set(200, 500))
+    assert(rows.forall(_.getAs[String]("path") == "test"))
+  }
+
+  test("meta versions table registered and queryable") {
+    MetaTables.register(spark)
+    val row = spark.sql("SELECT * FROM meta_versions").collect().head
+    assert(row.getAs[String]("spark") === spark.version)
+  }
+
+  test("db-dir bootstrap registers catalog.schema.table with format detection") {
+    val dir = Files.createTempDirectory("graft-db")
+    val tdir = dir.resolve("tables/cat1/sch1/hi")
+    Files.createDirectories(tdir)
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/region.parquet"),
+      tdir.resolve("data.parquet"))
+    val registered = CatalogBootstrap.registerDbDir(spark, dir.toString)
+    assert(registered.map(t => (t.catalog, t.schema, t.table, t.format)) ===
+      Seq(("cat1", "sch1", "hi", "parquet")))
+    assert(spark.sql("SELECT count(*) FROM cat1_sch1.hi").head.getLong(0) === 5L)
+    assert(spark.sql("SELECT count(*) FROM cat1_sch1_hi").head.getLong(0) === 5L)
+    val info = spark.sql(
+      "SELECT table_catalog, table_name FROM information_schema_tables").collect()
+    assert(info.toSeq === Seq(Row("cat1", "hi")))
+  }
+
+  test("parquet_metadata: one row per row-group x column, 24-col schema") {
+    val df = ParquetMetadataTable(spark, s"$sf0001/nation.parquet")
+    assert(df.schema.fields.length === 24)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[String]("path_in_schema")).toSet ===
+      Set("n_nationkey", "n_name", "n_regionkey"))
+    assert(rows.forall(_.getAs[Long]("row_group_num_rows") === 25L))
+  }
+
+  test("benchmark runner produces consistent stats and reference CSV shape") {
+    val res = BenchmarkRunner.run(spark, "SELECT 1 AS x", iterations = 3)
+    assert(res.runs === 3)
+    assert(res.rowCountsConsistent)
+    assert(res.total.min > 0)
+    assert(BenchmarkRunner.csvHeader.split(',').length === res.csvRow.split(',').length)
+    val conc = BenchmarkRunner.run(spark, "SELECT 1 AS x", iterations = 3, concurrent = true)
+    assert(conc.mode === "concurrent")
+  }
+
+  test("analyze runner categorizes operators and computes selectivity") {
+    val df = spark.read.parquet(s"$sf0001/orders.parquet")
+      .filter("o_totalprice > 100000")
+      .groupBy("o_orderpriority").count()
+    val report = AnalyzeRunner.analyze(df)
+    val cats = report.operators.map(_.category).toSet
+    assert(cats.contains("scan") && cats.contains("filter") && cats.contains("aggregate"))
+    assert(report.selectivity.exists(s => s >= 0.0 && s <= 1.0))
+  }
+
+  test("pretty print renders a psql-style box") {
+    import spark.implicits._
+    val out = cli.PrettyPrint.format(Seq((1, "a"), (2, "b")).toDF("id", "s"))
+    assert(out.contains("| id | s |"))
+    assert(out.startsWith("+----+---+"))
+  }
+}

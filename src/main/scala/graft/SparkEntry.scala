@@ -15,7 +15,15 @@ object SparkEntry {
     Registry.all.map(q => q.name -> q.run).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
-    Registry.all.flatMap(q => q.oracle.map(o => q.name -> o.trim)).toMap
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * `__SF_DIR__` placeholders (file-path oracles) resolve against the
+    * driver's correctness scale factor by default; Verify re-resolves them
+    * against its actual sfDir argument.
+    */
+  def oracleSql: Map[String, String] = oracleSqlFor("/root/testdata/sf0.01")
+
+  def oracleSqlFor(sfDir: String): Map[String, String] =
+    Registry.all
+      .flatMap(q => q.oracle.map(o => q.name -> o.trim.replace("__SF_DIR__", sfDir)))
+      .toMap
 }

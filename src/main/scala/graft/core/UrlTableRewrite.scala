@@ -19,6 +19,8 @@ object UrlTableRewrite {
         case "csv" => "csv"
         case "json" => "json"
       }
-      s"$kw $fmt.`$path`"
+      // quoteReplacement: a '$' or '\' in the file path must not be treated
+      // as a regex replacement-group reference.
+      scala.util.matching.Regex.quoteReplacement(s"$kw $fmt.`$path`")
     })
 }

@@ -77,7 +77,10 @@ object BenchmarkRunner {
     qe.executedPlan // physical planning
     val physical = ms(t1)
     val t2 = System.nanoTime()
-    val rows = df.count()
+    // Full materialization: toRdd.count() executes the physical plan with
+    // every output column computed (df.count() would let Catalyst prune the
+    // projections and under-measure execution).
+    val rows = qe.toRdd.count()
     val execution = ms(t2)
     (logical, physical, execution, rows)
   }
@@ -87,7 +90,7 @@ object BenchmarkRunner {
     */
   def run(spark: SparkSession, sql: String, iterations: Int = 10,
       concurrent: Boolean = false, runBefore: Option[String] = None): BenchResult = {
-    runBefore.foreach(s => spark.sql(s).count())
+    runBefore.foreach(s => spark.sql(s).queryExecution.toRdd.count())
     val results =
       if (!concurrent) (1 to iterations).map(_ => timeOnce(spark, sql))
       else {

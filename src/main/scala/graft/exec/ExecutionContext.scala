@@ -46,17 +46,38 @@ class ExecutionContext(val spark: SparkSession,
     }
   }
 
-  /** Split a script into statements: strip `--` line comments, split on
-    * semicolons (reference DDL file handling, `local.rs:336-363`).
+  /** Split a script into statements: strip `--` line comments and split on
+    * semicolons (reference DDL file handling, `local.rs:336-363`) — but only
+    * when outside single-quoted string literals, so `SELECT 'a--b;c'`
+    * survives intact. A doubled quote (`''`) inside a literal is the SQL
+    * escape and does not close it.
     */
-  def splitStatements(script: String): Seq[String] =
-    script.linesIterator
-      .map(l => if (l.contains("--")) l.substring(0, l.indexOf("--")) else l)
-      .mkString("\n")
-      .split(';')
-      .map(_.trim)
-      .filter(_.nonEmpty)
-      .toSeq
+  def splitStatements(script: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < script.length && script.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1 // escaped quote, literal continues
+          } else inQuote = false
+        }
+        i += 1
+      } else c match {
+        case '\'' => inQuote = true; cur.append(c); i += 1
+        case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
+          while (i < script.length && script.charAt(i) != '\n') i += 1
+        case ';' => out += cur.result(); cur.clear(); i += 1
+        case _ => cur.append(c); i += 1
+      }
+    }
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
 
   /** Run every statement in a DDL script (translating the reference's
     * `CREATE EXTERNAL TABLE ... STORED AS fmt LOCATION 'p'` to Spark DDL),

@@ -99,6 +99,6 @@ object ParquetMetadataTable {
       val path = m.group(1)
       val view = "parquet_metadata_" + math.abs(path.hashCode).toString
       apply(spark, path).createOrReplaceTempView(view)
-      view
+      scala.util.matching.Regex.quoteReplacement(view)
     })
 }

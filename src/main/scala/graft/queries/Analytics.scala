@@ -172,11 +172,16 @@ object Analytics {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("hour_bucket"), col("event_type"))
     }, Some("""
+      -- make_timestamp(epoch_ns // 1000) truncates the parquet's ns
+      -- timestamps to microseconds exactly as the Spark side does
+      -- (Tables.loadEvents: ts div 1000), so both engines bucket the
+      -- identical value.
       SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
         COUNT(*) AS n,
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
         COUNT(DISTINCT user_id) AS n_users
-      FROM events
+      FROM (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type,
+              value, user_id FROM events) e
       GROUP BY strftime(ts, '%Y-%m-%d %H'), event_type
       ORDER BY hour_bucket, event_type"""), headline = true),
 
@@ -206,7 +211,11 @@ object Analytics {
           CASE WHEN LAG(ts, 1) OVER w IS NULL
                  OR ts - LAG(ts, 1) OVER w > INTERVAL 30 MINUTE THEN 1
                ELSE 0 END AS is_new
-        FROM events
+        -- truncate ns -> us like the Spark side (Tables.loadEvents) so a
+        -- gap differing only in sub-microsecond digits can't flip the
+        -- 30-minute boundary test between engines
+        FROM (SELECT user_id, event_id,
+                make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events) e
         WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
       ) flagged
       GROUP BY user_id ORDER BY user_id"""), headline = true),

@@ -9,6 +9,10 @@ import graft.functions.ParquetMetadataTable
   * mirrors it); only representation-stable columns are compared — stats
   * rendering, logical-type names and encoding lists are engine-specific
   * strings.
+  *
+  * The oracle's file path is the `__SF_DIR__` placeholder, substituted with
+  * the actual scale-factor directory at dump time (Verify) so Spark and
+  * DuckDB always describe the same physical file.
   */
 object MetaQueries {
 
@@ -28,7 +32,7 @@ object MetaQueries {
         row_group_id, row_group_num_rows, row_group_num_columns, column_id,
         path_in_schema, num_values, stats_null_count,
         total_compressed_size, total_uncompressed_size
-      FROM parquet_metadata('/root/testdata/sf0.01/region.parquet')
+      FROM parquet_metadata('__SF_DIR__/region.parquet')
       ORDER BY row_group_id, column_id"""))
   )
 }

@@ -34,27 +34,49 @@ object Dedup {
     * Built with lead() windows over exploded tokens — linear, partitioned
     * by doc.
     */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val parts = (0 until n).map(i =>
-      if (i == 0) col("w") else lead(col("w"), i).over(w))
-    tok.select(col("doc_id"), concat_ws(" ", parts: _*).as("shingle"),
-        lead(col("w"), n - 1).over(w).isNotNull.as("complete"))
-      .filter(col("complete"))
-      .select(col("doc_id"), col("shingle"))
-      .distinct()
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
+    shinglesWithDupes(docs, n).distinct()
+
+  /** Shingle stream before the distinct — callers that only need a hashed
+    * key can project first so the dedup shuffle moves 8-byte keys, not
+    * strings.
+    *
+    * Built with per-row array expressions (`sequence` + `slice` over the
+    * token array) — stays inside whole-stage codegen with no sort, unlike a
+    * posexplode + lead() window, which would sort every token by doc.
+    *
+    * The input is first repartitioned by doc_id: the docs relation is
+    * narrow (id + text), so the shuffle is cheap, and it spreads the
+    * expensive explode/hash work across the cluster even when the source
+    * arrives in few partitions (small files locally, coalesced scans at
+    * scale).
+    */
+  private def shinglesWithDupes(docs: DataFrame, n: Int): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val shingleArr = when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingleArr).as("shingle"))
   }
 
   /** Candidate near-dup pairs by n-gram Jaccard similarity, via an
     * inverted-index self-join on shingles (shared-shingle pairs only).
+    *
+    * The join key is a 64-bit hash of the shingle, not the shingle string:
+    * at 100 TB the shingle column dominates shuffle bytes, and an 8-byte
+    * key shrinks both the exchange and the hash table. (Collision odds at
+    * 2^-64 per pair are far below the noise floor of a similarity join.)
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    val sh = shinglesWithDupes(docs, n)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sk"))
+      .distinct()
+      .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val pairs = sh.as("x").join(sh.as("y"),
-        col("x.shingle") === col("y.shingle") && col("x.doc_id") < col("y.doc_id"))
+        col("x.sk") === col("y.sk") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -65,39 +87,66 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
   }
 
-  /** MinHash signatures: numHashes portable hash functions h_i(shingle) =
-    * md5(i || ':' || shingle); the signature component is the string MIN.
+  /** MinHash signature matrix: one row per doc, one column `mh<i>` per hash
+    * function h_i(shingle) = md5(i || ':' || shingle), component = string
+    * MIN. All components aggregate in a SINGLE groupBy over the shingle set
+    * (map-side partial mins, one shuffle of |docs| narrow rows) — the
+    * scale-out path. The result is tiny (numHashes strings per doc), so
+    * downstream joins against it broadcast.
     */
-  def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+  def minhashSignatureMatrix(docs: DataFrame, numHashes: Int = 16): DataFrame = {
     val sh = shingles(docs)
-    sh.crossJoin(broadcast(
-        docs.sparkSession.range(0, numHashes).select(col("id").as("h"))))
-      .groupBy(col("doc_id"), col("h"))
-      .agg(min(md5(concat(col("h").cast("string"), lit(":"), col("shingle")))).as("mh"))
+    val mins = (0 until numHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
+    sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Long-format view of [[minhashSignatureMatrix]]: (doc_id, h, mh). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+    val m = minhashSignatureMatrix(docs, numHashes)
+    val stackArgs = (0 until numHashes)
+      .map(i => s"$i, mh$i").mkString(", ")
+    m.select(col("doc_id"),
+      expr(s"stack($numHashes, $stackArgs)").as(Seq("h", "mh")))
+      .select(col("doc_id"), col("h").cast("long").as("h"), col("mh"))
   }
 
   /** LSH candidate pairs: band signatures (h mod bands), bucket by the
-    * md5 of the band's concatenated minhashes, join docs sharing a bucket,
-    * then estimate Jaccard as the fraction of matching signature components.
+    * md5 of the band's concatenated minhashes (ordered by h), join docs
+    * sharing a bucket, then estimate Jaccard as the fraction of matching
+    * signature components.
+    *
+    * All banding/bucketing/comparison happens on the wide signature matrix:
+    * bucket hashes are per-row expressions (no extra shuffle), and the
+    * estimate is a 16-way column comparison after two joins against the
+    * broadcast-sized signature table.
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val sig = minhashSignatures(docs, numHashes).cache()
-    val buckets = sig.withColumn("band", col("h") % bands)
-      .groupBy(col("doc_id"), col("band"))
-      .agg(md5(array_join(transform(
-        array_sort(collect_list(struct(col("h"), col("mh")))),
-        s => s.getField("mh")), ",")).as("bucket"))
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val sig = minhashSignatureMatrix(docs, numHashes).cache()
+    // band b holds hash ids {b, b+bands, b+2*bands, ...} in ascending order
+    def bandBucket(b: Int): Column =
+      md5(concat_ws(",", (b until numHashes by bands).map(i => col(s"mh$i")): _*))
+    val bucketCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bandBucket(b).as("bucket")))
+    val buckets = sig.select(col("doc_id"),
+      explode(array(bucketCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    cand.join(sig.select(col("doc_id").as("a"), col("h"), col("mh").as("mha")), Seq("a"))
-      .join(sig.select(col("doc_id").as("b"), col("h"), col("mh").as("mhb")),
-        Seq("b", "h"))
-      .groupBy(col("a"), col("b"))
-      .agg((count(when(col("mha") === col("mhb"), 1)).cast("double") /
-        lit(numHashes.toDouble)).as("est_jaccard"))
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"xa.mh$i") === col(s"xb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    // join strategy left to AQE: the signature table is one narrow row per
+    // doc — broadcast at bench scale, shuffle-on-doc_id at 100 TB.
+    cand
+      .join(sig.as("xa"), col("a") === col("xa.doc_id"))
+      .join(sig.as("xb"), col("b") === col("xb.doc_id"))
+      .select(col("a"), col("b"),
+        (matches.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
   /** SimHash: per-bit +1/-1 votes from each distinct token's md5, sign of
@@ -105,18 +154,18 @@ object Dedup {
     * across engines).
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val tok = docs.select(col("doc_id"),
-      explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
-    val votes = tok.crossJoin(broadcast(
-        docs.sparkSession.range(0, bits).select(col("id").as("b"))))
-      .withColumn("v",
-        when(ascii(expr("substring(md5(w), cast(b + 1 as int), 1)")) % 2 === 1, 1L)
-          .otherwise(-1L))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(sum(col("v")).as("sv"))
-    votes.groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("b"), col("sv")))),
-        s => when(s.getField("sv") >= 0, "1").otherwise("0")), "").as("simhash"))
+    val tok = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      .withColumn("hw", md5(col("w")))
+    // all per-bit votes in ONE groupBy (map-side partial sums, one shuffle
+    // of |docs| rows) instead of a bits× crossJoin explosion
+    val votes = (0 until bits).map(i =>
+      sum(when(ascii(substring(col("hw"), i + 1, 1)) % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"sv$i"))
+    tok.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"),
+        concat((0 until bits).map(i =>
+          when(col(s"sv$i") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
 }

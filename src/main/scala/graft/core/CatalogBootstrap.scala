@@ -46,17 +46,15 @@ object CatalogBootstrap {
     registered
   }
 
-  /** Synthesized information_schema listing (the reference always enables
-    * information_schema; Spark has none — reference
-    * `extensions/builder.rs:82,100-102`).
+  /** Contribute the db-dir tables to the synthesized information_schema
+    * under their reference 3-level identity (the reference always enables
+    * information_schema — `extensions/builder.rs:82,100-102`); the
+    * flattened session-catalog duplicates are hidden from listings.
     */
   def registerInformationSchema(spark: SparkSession,
-      tables: Seq[RegisteredTable]): Unit = {
-    import spark.implicits._
-    tables.map(t => (t.catalog, t.schema, t.table, "BASE TABLE"))
-      .toDF("table_catalog", "table_schema", "table_name", "table_type")
-      .createOrReplaceTempView("information_schema_tables")
-  }
+      tables: Seq[RegisteredTable]): Unit =
+    InformationSchema.setOverlay(spark,
+      tables.map(t => (t.catalog, t.schema, t.table, "BASE TABLE")))
 
   private def sorted(dir: File): Seq[File] =
     Option(dir.listFiles).map(_.filter(_.isDirectory).sortBy(_.getName).toSeq)

@@ -4,7 +4,7 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.core.UrlTableRewrite
+import graft.core.{InformationSchema, UrlTableRewrite}
 import graft.functions.ParquetMetadataTable
 import graft.tables.Observability
 
@@ -21,8 +21,8 @@ class ExecutionContext(val spark: SparkSession,
 
   /** Execute one statement with the app rewrites applied. */
   def sql(statement: String): DataFrame = {
-    val rewritten =
-      ParquetMetadataTable.rewrite(spark, UrlTableRewrite(statement))
+    val rewritten = InformationSchema.rewrite(spark,
+      ParquetMetadataTable.rewrite(spark, UrlTableRewrite(statement)))
     val df = spark.sql(rewritten)
     resultLimit.map(df.limit).getOrElse(df)
   }

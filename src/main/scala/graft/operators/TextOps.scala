@@ -14,6 +14,15 @@ object TextOps {
   /** Whitespace tokenizer (regex split on \s+ after trim). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** BPE-ish piece pattern: letter runs, digit runs, single punctuation —
+    * the pre-tokenization split most BPE vocabularies assume.
+    */
+  val piecePattern: String = """[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"""
+
+  /** BPE-ish pieces of the text (regexp findall of [[piecePattern]]). */
+  def pieces(text: Column): Column =
+    regexp_extract_all(text, lit(piecePattern), lit(0))
+
   /** Normalized text: lowercased, whitespace collapsed to single spaces. */
   def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))

@@ -221,6 +221,49 @@ object Analytics {
       GROUP BY user_id ORDER BY user_id"""), headline = true),
 
     // ------------------------------------------------------------------
+    // Full frame/rank coverage: ntile, first_value, moving frame sum,
+    // lag — the OVER-clause surface the reference inherits (SURVEY §2.6).
+    QueryDef("w03_window_frames", (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_custkey") < 50)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val wf = w.rowsBetween(-2, Window.currentRow)
+      o.select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          first(col("o_orderkey")).over(w).as("first_ok"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).over(wf)
+            .cast("double").as("mov_sum"),
+          lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        first_value(o_orderkey) OVER w AS first_ok,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER wf AS DOUBLE) AS mov_sum,
+        lag(o_totalprice, 1) OVER w AS prev_price
+      FROM orders WHERE o_custkey < 50
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------------------------
+    // Registered JSON function surface (json_get / json_contains — the
+    // reference's functions-json names; SURVEY §2.9).
+    QueryDef("j02_json_functions", (s, d) => {
+      graft.functions.JsonFunctions.register(s)
+      t(s, d, "events")
+        .select(col("event_id"),
+          call_udf("json_get", col("props"), lit("k")).as("k_str"),
+          call_udf("json_contains", col("props"), lit("k")).as("has_k"),
+          call_udf("json_contains", col("props"), lit("zz")).as("has_zz"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+        json_extract(props, '$.k') IS NOT NULL AS has_k,
+        json_extract(props, '$.zz') IS NOT NULL AS has_zz
+      FROM events ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // Grouping sets (ROLLUP): order counts and value by status and
     // priority with subtotals (SURVEY §2.5 notes cube/rollup support).
     QueryDef("g01_rollup", (s, d) => {
@@ -240,6 +283,27 @@ object Analytics {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")),
+
+    // ------------------------------------------------------------------
+    // CUBE: every grouping-set combination including per-priority totals.
+    QueryDef("g02_cube", (s, d) => {
+      val o = t(s, d, "orders")
+      o.cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double").as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy(col("status"), col("priority"))
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY status, priority"""))
   )
 }

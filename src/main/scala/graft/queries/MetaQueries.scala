@@ -1,8 +1,12 @@
 package graft.queries
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
+import graft.core.{InformationSchema, Tables}
 import graft.functions.ParquetMetadataTable
+import graft.tables.MapTable
 
 /** Metadata/introspection queries. The parquet_metadata oracle uses
   * DuckDB's built-in parquet_metadata() (the reference's 24-column schema
@@ -33,6 +37,35 @@ object MetaQueries {
         path_in_schema, num_values, stats_null_count,
         total_compressed_size, total_uncompressed_size
       FROM parquet_metadata('__SF_DIR__/region.parquet')
-      ORDER BY row_group_id, column_id"""))
+      ORDER BY row_group_id, column_id""")),
+
+    // synthesized information_schema (reference always enables it; the
+    // FlightSQL catalog endpoints are SQL over these views) — listing
+    // restricted to the testdata tables so the snapshot is deterministic.
+    QueryDef("i01_information_schema", (s, d) => {
+      Tables.registerAll(s, d)
+      InformationSchema.refresh(s)
+      s.table("information_schema_tables")
+        .filter(col("table_name").isin(Tables.names: _*))
+        .select(col("table_name"), col("table_type"))
+        .orderBy(col("table_name"))
+    }, Some(
+      "SELECT * FROM (VALUES " +
+        Tables.names.sorted.map(n => s"('$n','TEMPORARY')").mkString(",") +
+        ") t(table_name, table_type) ORDER BY table_name")),
+
+    // MapTable (reference's custom PK-keyed in-memory table,
+    // `tables/map_table.rs`): upsert + delete semantics through a SQL scan.
+    QueryDef("map01_map_table", (s, _) => {
+      val schema = StructType(Seq(
+        StructField("id", LongType), StructField("val", StringType)))
+      val mt = new MapTable(s, "map01_src", schema, "id")
+      mt.insertAll(Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+      mt.insert(Row(2L, "b2")) // PK upsert
+      mt.delete(3L)
+      s.table("map01_src").orderBy(col("id"))
+    }, Some("""
+      SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a'), (2, 'b2')) t(id, val)
+      ORDER BY id"""))
   )
 }

@@ -87,6 +87,26 @@ object PipelineQueries {
       SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(trim(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id""")),
 
+    QueryDef("t05_bpe_tokens", (s, d) =>
+      Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          size(TextOps.pieces(col("text"))).cast("long").as("n_pieces"),
+          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
+            .cast("long").as("n_alpha"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+            .cast("long").as("n_num"),
+          size(array_distinct(regexp_extract_all(lower(col("text")),
+            lit("""[a-z]+|[0-9]+|[^a-z0-9\s]"""), lit(0))))
+            .cast("long").as("n_distinct_pieces"))
+        .orderBy(col("doc_id")),
+      Some(raw"""
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS n_pieces,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT) AS n_alpha,
+        CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT) AS n_num,
+        CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))) AS BIGINT) AS n_distinct_pieces
+      FROM documents ORDER BY doc_id""")),
+
     // ---------------- dedup family ----------------
     QueryDef("d01_dedup_exact", (s, d) =>
       Dedup.exact(Tables.load(s, d, "documents")).orderBy(col("doc_id")),

@@ -1,0 +1,129 @@
+package graft.server
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import scala.util.control.NonFatal
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
+import org.apache.spark.sql.DataFrame
+
+import graft.exec.ExecutionContext
+
+/** Minimal HTTP facade (reference `src/server/http/router.rs:59-196`):
+  *
+  *   POST /sql              run SQL (JSON body `{"sql": "..."}` or raw
+  *                          text), JSON-array response, `result_limit`
+  *                          applied (`router.rs:93-111`, limit applied in
+  *                          `local.rs:557-569`)
+  *   GET  /catalog          table listing (`router.rs:119-135` SHOW TABLES)
+  *   GET  /table/:c/:s/:t   `SELECT * FROM t LIMIT n` (`router.rs:137-170`)
+  *   GET  /tpch/:n          shipped TPC-H query n (`router.rs:172-196`)
+  *
+  * Optional Basic/Bearer auth mirrors the reference's server auth layer
+  * (`src/server/flightsql/mod.rs:58-106`; config
+  * `crates/datafusion-app/src/config.rs:309-319`). Every request is
+  * recorded in the observability table like the reference's per-endpoint
+  * records (`router.rs:283-308`).
+  *
+  * Built on the JDK's HttpServer — zero dependencies; request handling
+  * delegates straight to [[ExecutionContext]], so rewrites, result limits
+  * and observability behave identically to the CLI path.
+  */
+class HttpServer(ctx: ExecutionContext,
+    port: Int = 0,
+    resultLimit: Int = 1000,
+    bearerToken: Option[String] = None,
+    basicAuth: Option[(String, String)] = None,
+    tpchQuery: Option[Int => DataFrame] = None) {
+
+  private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
+  server.setExecutor(null) // default single-threaded executor
+
+  /** Bound port (useful when constructed with port=0). */
+  def boundPort: Int = server.getAddress.getPort
+
+  def start(): Unit = { server.createContext("/", handler _); server.start() }
+  def stop(): Unit = server.stop(0)
+
+  private def authorized(ex: HttpExchange): Boolean = {
+    if (bearerToken.isEmpty && basicAuth.isEmpty) return true
+    val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+    val bearerOk = bearerToken.exists(t => header == s"Bearer $t")
+    val basicOk = basicAuth.exists { case (u, p) =>
+      header == "Basic " + Base64.getEncoder.encodeToString(
+        s"$u:$p".getBytes(StandardCharsets.UTF_8))
+    }
+    bearerOk || basicOk
+  }
+
+  private def handler(ex: HttpExchange): Unit = {
+    val start = System.nanoTime()
+    val ts = new java.sql.Timestamp(System.currentTimeMillis())
+    val path = ex.getRequestURI.getPath
+    var sqlRun: Option[String] = None
+    val (status, body) =
+      try {
+        if (!authorized(ex)) (401, """{"error":"unauthorized"}""")
+        else (ex.getRequestMethod, path) match {
+          case ("POST", "/sql") =>
+            val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val sql = extractSql(raw)
+            sqlRun = Some(sql)
+            (200, toJsonArray(ctx.sql(sql).limit(resultLimit)))
+          case ("GET", "/catalog") =>
+            (200, toJsonArray(ctx.sql("SHOW TABLES")))
+          case ("GET", TablePath(_, _, table)) =>
+            // catalog/schema segments accepted for URL-shape parity; the
+            // session catalog resolves the bare table name
+            (200, toJsonArray(ctx.sql(s"SELECT * FROM `$table`").limit(resultLimit)))
+          case ("GET", TpchPath(n)) =>
+            tpchQuery match {
+              case Some(f) => (200, toJsonArray(f(n.toInt).limit(resultLimit)))
+              case None => (404, """{"error":"tpch queries not configured"}""")
+            }
+          case _ => (404, """{"error":"not found"}""")
+        }
+      } catch {
+        case NonFatal(e) =>
+          (400, s"""{"error":${jsonString(Option(e.getMessage).getOrElse(e.toString))}}""")
+      }
+    ctx.observability.record(None, path, sqlRun, ts,
+      (System.nanoTime() - start) / 1000000, None, status)
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(status, bytes.length.toLong)
+    ex.getResponseBody.write(bytes)
+    ex.close()
+  }
+
+  private val TablePath = """/table/([^/]+)/([^/]+)/([^/]+)""".r
+  private val TpchPath = """/tpch/(\d+)""".r
+  private val SqlField = """(?s).*"sql"\s*:\s*"((?:[^"\\]|\\.)*)".*""".r
+
+  /** Body is either `{"sql": "..."}` (reference shape) or raw SQL text. */
+  private[server] def extractSql(body: String): String = body match {
+    case SqlField(escaped) =>
+      escaped.replace("\\n", "\n").replace("\\t", "\t")
+        .replace("\\\"", "\"").replace("\\\\", "\\")
+    case raw => raw.trim
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  /** Rows as a JSON array of objects (reference `router.rs:230-281`
+    * serializes the batch stream to a JSON array).
+    */
+  private def toJsonArray(df: DataFrame): String =
+    df.toJSON.collect().mkString("[", ",", "]")
+}

@@ -76,8 +76,16 @@ class AppSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM cat1_sch1.hi").head.getLong(0) === 5L)
     assert(spark.sql("SELECT count(*) FROM cat1_sch1_hi").head.getLong(0) === 5L)
     val info = spark.sql(
-      "SELECT table_catalog, table_name FROM information_schema_tables").collect()
-    assert(info.toSeq === Seq(Row("cat1", "hi")))
+      """SELECT table_catalog, table_schema, table_name, table_type
+        |FROM information_schema_tables WHERE table_catalog = 'cat1'""".stripMargin)
+      .collect()
+    assert(info.toSeq === Seq(Row("cat1", "sch1", "hi", "BASE TABLE")))
+    // the flattened session-catalog duplicates stay out of the listing
+    val dupes = spark.sql(
+      """SELECT * FROM information_schema_tables
+        |WHERE table_name IN ('cat1_sch1_hi') OR table_schema = 'cat1_sch1'""".stripMargin)
+      .collect()
+    assert(dupes.isEmpty)
   }
 
   test("parquet_metadata: one row per row-group x column, 24-col schema") {

@@ -1,0 +1,146 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import graft.core.{InformationSchema, S3Config, SessionFactory}
+import graft.exec.{ExecutionContext, PlanCache}
+import graft.server.HttpServer
+
+/** Server-side surfaces (SURVEY §2.11): HTTP facade, FlightSQL-style
+  * plan-once/execute-later cache, auth, information_schema over SQL, and
+  * the S3 config mapping.
+  */
+class ServerSpec extends SparkSpec {
+
+  private def get(port: Int, path: String, auth: Option[String] = None): (Int, String) = {
+    val b = HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET()
+    auth.foreach(a => b.header("Authorization", a))
+    val r = HttpClient.newHttpClient().send(b.build(), HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val r = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)).build(),
+      HttpResponse.BodyHandlers.ofString())
+    (r.statusCode(), r.body())
+  }
+
+  test("HTTP /sql runs SQL with result limit; errors are 400; requests observed") {
+    val ctx = new ExecutionContext(spark)
+    val server = new HttpServer(ctx, resultLimit = 3)
+    server.start()
+    try {
+      val (st, body) = post(server.boundPort, "/sql",
+        """{"sql": "SELECT id FROM RANGE(10) ORDER BY id"}""")
+      assert(st === 200)
+      assert(body === """[{"id":0},{"id":1},{"id":2}]""") // limit applied
+      val (st2, body2) = post(server.boundPort, "/sql", "SELECT 1 AS one") // raw text body
+      assert(st2 === 200 && body2 === """[{"one":1}]""")
+      val (st3, body3) = post(server.boundPort, "/sql", "SELECT * FROM nope_missing")
+      assert(st3 === 400 && body3.contains("error"))
+      val statuses = ctx.observability.toDF
+        .filter("path = '/sql'").collect().map(_.getAs[Int]("status")).toSeq
+      assert(statuses.count(_ == 200) >= 2 && statuses.contains(400))
+    } finally server.stop()
+  }
+
+  test("HTTP /catalog, /table/:c/:s/:t and /tpch/:n endpoints") {
+    import spark.implicits._
+    Seq((1, "x"), (2, "y")).toDF("id", "s").createOrReplaceTempView("http_t")
+    val ctx = new ExecutionContext(spark)
+    val server = new HttpServer(ctx,
+      tpchQuery = Some(n => spark.sql(s"SELECT $n AS q")))
+    server.start()
+    try {
+      val (st, body) = get(server.boundPort, "/catalog")
+      assert(st === 200 && body.contains("http_t"))
+      val (st2, body2) = get(server.boundPort, "/table/dft/public/http_t")
+      assert(st2 === 200 && body2.contains("""{"id":1,"s":"x"}"""))
+      val (st3, body3) = get(server.boundPort, "/tpch/7")
+      assert(st3 === 200 && body3 === """[{"q":7}]""")
+      assert(get(server.boundPort, "/nope")._1 === 404)
+    } finally server.stop()
+  }
+
+  test("HTTP auth: bearer and basic accepted, wrong/missing rejected") {
+    val ctx = new ExecutionContext(spark)
+    val server = new HttpServer(ctx, bearerToken = Some("tok123"),
+      basicAuth = Some(("alice", "pw")))
+    server.start()
+    try {
+      assert(get(server.boundPort, "/catalog")._1 === 401)
+      assert(get(server.boundPort, "/catalog", Some("Bearer wrong"))._1 === 401)
+      assert(get(server.boundPort, "/catalog", Some("Bearer tok123"))._1 === 200)
+      val basic = "Basic " + Base64.getEncoder.encodeToString(
+        "alice:pw".getBytes(StandardCharsets.UTF_8))
+      assert(get(server.boundPort, "/catalog", Some(basic))._1 === 200)
+    } finally server.stop()
+  }
+
+  test("plan cache: prepare exposes schema, execute runs, close drops") {
+    val ctx = new ExecutionContext(spark)
+    val cache = new PlanCache(ctx)
+    val p = cache.prepare("SELECT id, id * 2 AS dbl FROM RANGE(5)")
+    assert(p.schema.fieldNames.toSeq === Seq("id", "dbl"))
+    val rows = cache.execute(p.handle).collect()
+    assert(rows.length === 5)
+    // analysis errors surface at prepare, like the reference's GetFlightInfo
+    intercept[Exception](cache.prepare("SELECT * FROM nope_missing"))
+    assert(cache.close(p.handle) && !cache.close(p.handle))
+    intercept[NoSuchElementException](cache.execute(p.handle))
+  }
+
+  test("information_schema.{tables,columns} queryable through SQL rewrite") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("is_demo")
+    val ctx = new ExecutionContext(spark)
+    val tbls = ctx.sql(
+      "SELECT table_name FROM information_schema.tables WHERE table_name = 'is_demo'")
+      .collect()
+    assert(tbls.length === 1)
+    val cols = ctx.sql(
+      """SELECT column_name, data_type, ordinal_position
+        |FROM information_schema.columns WHERE table_name = 'is_demo'
+        |ORDER BY ordinal_position""".stripMargin).collect()
+    assert(cols.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq(("k", "int", 1L), ("v", "string", 2L)))
+    val schemata = ctx.sql("SELECT * FROM information_schema.schemata").collect()
+    assert(schemata.nonEmpty)
+  }
+
+  test("s3 config maps reference object_store keys onto fs.s3a.*") {
+    val applied = S3Config(spark, Map(
+      "execution.object_store.s3.aws_access_key_id" -> "AK",
+      "execution.object_store.s3.aws_secret_access_key" -> "SK",
+      "execution.object_store.s3.aws_endpoint" -> "http://localhost:4566",
+      "execution.object_store.s3.allow_http" -> "true",
+      "unrelated.key" -> "x"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") === "AK")
+    assert(hc.get("fs.s3a.secret.key") === "SK")
+    assert(hc.get("fs.s3a.endpoint") === "http://localhost:4566")
+    assert(hc.get("fs.s3a.connection.ssl.enabled") === "false")
+    assert(hc.get("fs.s3a.path.style.access") === "true")
+    assert(!applied.contains("unrelated.key"))
+  }
+
+  test("config-driven session passthrough parses TOML-subset files") {
+    val f = java.nio.file.Files.createTempFile("graft", ".toml")
+    java.nio.file.Files.writeString(f,
+      """# comment
+        |[execution.spark]
+        |"spark.sql.shuffle.partitions" = "7"
+        |[server]
+        |result_limit = "9"
+        |""".stripMargin)
+    val conf = SessionFactory.parseConfig(f.toString)
+    assert(conf("execution.spark.\"spark.sql.shuffle.partitions\"") == "7" ||
+      conf.exists { case (k, v) => k.contains("shuffle.partitions") && v == "7" })
+    assert(conf("server.result_limit") === "9")
+  }
+}

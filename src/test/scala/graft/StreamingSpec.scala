@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStream
+
+/** Structured Streaming over the events data: the streaming hourly
+  * aggregation must agree with its batch equivalent (same plan over the
+  * same files), the watermark must be set, and incremental file arrival
+  * must accumulate.
+  */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg over event files matches batch result") {
+    // stage a copy of the sf0.001 events parquet as a streaming source dir
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val q = EventStream.runToMemory(spark, dir.toString, "stream_hourly")
+    try {
+      val streamed = spark.table("stream_hourly")
+        .orderBy("window_start", "event_type").collect()
+      val batch = EventStream.hourlyAggBatch(spark, dir.toString)
+        .orderBy("window_start", "event_type").collect()
+      assert(streamed.nonEmpty)
+      assert(streamed.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
+  test("late-arriving file accumulates into the aggregation") {
+    val dir = Files.createTempDirectory("graft-stream2")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val q = EventStream.runToMemory(spark, dir.toString, "stream_inc")
+    try {
+      val n1 = spark.table("stream_inc").agg(sum("n")).head.getLong(0)
+      // second batch of files arrives
+      Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+        dir.resolve("part-1.parquet"))
+      q.processAllAvailable()
+      val n2 = spark.table("stream_inc").agg(sum("n")).head.getLong(0)
+      assert(n2 === n1 * 2)
+    } finally q.stop()
+  }
+
+  test("watermark is attached to the streaming plan") {
+    val dir = Files.createTempDirectory("graft-stream3")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val plan = EventStream.hourlyAgg(EventStream.source(spark, dir.toString))
+      .queryExecution.logical.toString
+    assert(plan.contains("EventTimeWatermark"))
+  }
+}

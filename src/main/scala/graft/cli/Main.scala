@@ -59,6 +59,21 @@ object Main {
   }
 
   def main(argv: Array[String]): Unit = {
+    // `generate-tpch` subcommand (reference `src/tpch.rs` / `src/args.rs`):
+    // materialize the TPC-H tables into the db-dir layout.
+    if (argv.headOption.contains("generate-tpch")) {
+      val opts = argv.drop(1).sliding(2, 2).collect {
+        case Array(k, v) => k -> v }.toMap
+      val sfDir = opts.getOrElse("--sf-dir", "/root/testdata/sf0.001")
+      val dbDir = opts.getOrElse("--db-dir",
+        sys.props("user.home") + "/.datafusion")
+      val spark = SessionFactory.build(opts.getOrElse("--master", "local[*]"))
+      try {
+        val written = graft.core.TpchGen.generate(spark, sfDir, dbDir)
+        println(s"generated ${written.size} tables into $dbDir: ${written.mkString(", ")}")
+      } finally spark.stop()
+      return
+    }
     val args = parseArgs(argv.toList)
     val conf = args.config.map(SessionFactory.parseConfig).getOrElse(Map.empty)
     val spark = SessionFactory.build(args.master, conf)

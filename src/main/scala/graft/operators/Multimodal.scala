@@ -47,4 +47,13 @@ object Multimodal {
     */
   def documentsAsMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+
+  /** Frame sampling: one row per sampled frame index (every stride-th frame
+    * of n_frames) — the explode-shaped plumbing of a video pipeline. Scales
+    * as a narrow generate: no shuffle, output rows ~ frames/stride.
+    */
+  def frameSample(features: DataFrame, stride: Int = 5): DataFrame =
+    features.select(col("doc_id"), col("n_frames"),
+      explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+        .as("frame_idx"))
 }

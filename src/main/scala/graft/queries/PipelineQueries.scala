@@ -229,6 +229,17 @@ object PipelineQueries {
         CAST(octet_length(blob) % 30 + 1 AS BIGINT) AS n_frames,
         MD5(text) AS fp
       FROM (SELECT doc_id, text, encode(text) AS blob FROM documents) m
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    QueryDef("m02_frame_sample", (s, d) =>
+      Multimodal.frameSample(
+          Multimodal.decodeFeatures(s,
+            Multimodal.documentsAsMedia(Tables.load(s, d, "documents"))).toDF())
+        .orderBy(col("doc_id"), col("frame_idx")),
+      Some("""
+      SELECT doc_id, CAST(octet_length(blob) % 30 + 1 AS BIGINT) AS n_frames,
+        unnest(range(0, CAST(octet_length(blob) % 30 + 1 AS BIGINT), 5)) AS frame_idx
+      FROM (SELECT doc_id, encode(text) AS blob FROM documents) m
+      ORDER BY doc_id, frame_idx"""))
   )
 }

@@ -118,6 +118,26 @@ class AppSurfaceSpec extends SparkSpec {
     assert(report.selectivity.exists(s => s >= 0.0 && s <= 1.0))
   }
 
+  test("pagination serves incremental pages from a local iterator") {
+    import spark.implicits._
+    val pg = new cli.Pagination((1 to 250).toDF("n").orderBy("n"), pageSize = 100)
+    assert(pg.page(0).map(_.getInt(0)) === (1 to 100))
+    assert(pg.page(1).map(_.getInt(0)) === (101 to 200))
+    assert(pg.page(2).map(_.getInt(0)) === (201 to 250))
+    assert(pg.page(3).isEmpty && !pg.hasMore)
+    assert(pg.totalRows === 250)
+  }
+
+  test("generate-tpch materializes db-dir layout that bootstrap registers") {
+    val dbDir = Files.createTempDirectory("graft-tpchgen").toString
+    val written = graft.core.TpchGen.generate(spark, sf0001, dbDir)
+    assert(written.contains("lineitem") && written.contains("region"))
+    assert(!written.contains("partsupp")) // not in testdata
+    val registered = CatalogBootstrap.registerDbDir(spark, dbDir)
+    assert(registered.map(_.table).toSet === written.toSet)
+    assert(spark.sql("SELECT count(*) FROM dft_tpch.region").head.getLong(0) === 5L)
+  }
+
   test("pretty print renders a psql-style box") {
     import spark.implicits._
     val out = cli.PrettyPrint.format(Seq((1, "a"), (2, "b")).toDF("id", "s"))

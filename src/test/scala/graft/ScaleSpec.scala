@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.queries.Registry
+
+/** Plan-quality assertions: the properties that keep these queries viable
+  * at 100 TB — filters/projections reaching the parquet scan, dimension
+  * joins broadcast, aggregation partial before the shuffle, top-k via
+  * TakeOrderedAndProject, no cartesian products, hot paths inside
+  * whole-stage codegen. Asserted on the *plans* (sf0.001 inputs), so they
+  * hold regardless of data scale.
+  */
+class ScaleSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).run(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q06: filter and projection push down to the parquet scan") {
+    val p = plan("q06_revenue_forecast")
+    assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
+    assert(p.contains("l_shipdate") && p.contains("l_discount"))
+    // projection pruning: scan must not read the wide remainder of lineitem
+    assert(!p.contains("l_comment") && !p.contains("l_orderkey"))
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact table") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join in:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side) before the shuffle") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_"),
+      s"no partial aggregation in:\n$p")
+  }
+
+  test("top-k (order by + limit) plans as TakeOrderedAndProject") {
+    val p = plan("q03_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$p")
+  }
+
+  test("no TPC-H query plans a cartesian product") {
+    val offenders = Registry.all.map(_.name).filter(_.startsWith("q")).filter { n =>
+      plan(n).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+
+  test("hot paths run inside whole-stage codegen") {
+    // AQE reveals the compiled stages only once executed: run the query,
+    // then assert codegen spans in the final adaptive plan
+    def finalPlan(name: String): String = {
+      val df = Registry.byName(name).run(spark, sf0001)
+      df.queryExecution.toRdd.count()
+      df.queryExecution.executedPlan.toString
+    }
+    // codegen stages render as `*(n) Operator` in the adaptive plan string
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(finalPlan("q01_pricing_summary")).isDefined)
+    assert("""\*\(\d+\) Project""".r.findFirstIn(finalPlan("t01_token_stats")).isDefined)
+  }
+
+  test("semi/anti join semantics plan as semi/anti joins, not materialized subqueries") {
+    val q4 = plan("q04_order_priority")
+    assert(q4.contains("LeftSemi"), s"no semi join in:\n$q4")
+    val q22 = plan("q22_global_sales_opportunity")
+    assert(q22.contains("LeftAnti"), s"no anti join in:\n$q22")
+  }
+
+  test("dedup self-join moves hashed keys, not shingle strings") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
+    val p = Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan.toString
+    assert(p.contains("xxhash64"), s"join key not hashed in:\n$p")
+  }
+
+  test("minhash signatures aggregate in a single exchange (no hash-id explosion)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
+    val qe = Dedup.minhashSignatureMatrix(docs).queryExecution
+    val exchanges = "Exchange".r.findAllIn(qe.executedPlan.toString).size
+    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
+    assert(qe.executedPlan.toString.contains("partial_min"))
+  }
+}

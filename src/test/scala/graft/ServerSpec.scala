@@ -113,6 +113,26 @@ class ServerSpec extends SparkSpec {
     assert(schemata.nonEmpty)
   }
 
+  test("flightsql catalog commands: shapes, ilike patterns, type filters") {
+    import spark.implicits._
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("fsql_demo")
+    val ctx = new ExecutionContext(spark)
+    val cats = graft.server.FlightSqlCatalogs.getCatalogs(ctx)
+    assert(cats.columns.toSeq === Seq("catalog_name"))
+    assert(cats.collect().nonEmpty)
+    val schemas = graft.server.FlightSqlCatalogs.getDbSchemas(ctx,
+      schemaPattern = Some("sess%"))
+    assert(schemas.columns.toSeq === Seq("catalog_name", "db_schema_name"))
+    assert(schemas.collect().map(_.getString(1)).toSeq === Seq("session"))
+    val tables = graft.server.FlightSqlCatalogs.getTables(ctx,
+      tablePattern = Some("FSQL%"), tableTypes = Seq("TEMPORARY"))
+    val names = tables.collect().map(_.getAs[String]("table_name")).toSeq
+    assert(names === Seq("fsql_demo")) // ILIKE: case-insensitive pattern
+    val types = graft.server.FlightSqlCatalogs.getTableTypes(ctx).collect()
+      .map(_.getString(0))
+    assert(types.contains("TEMPORARY"))
+  }
+
   test("s3 config maps reference object_store keys onto fs.s3a.*") {
     val applied = S3Config(spark, Map(
       "execution.object_store.s3.aws_access_key_id" -> "AK",

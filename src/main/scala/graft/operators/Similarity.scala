@@ -17,6 +17,11 @@ object Similarity {
 
   /** Cosine similarity between two array<float/double> columns, computed by
     * ordered fold (deterministic summation order).
+    *
+    * Composable-function form, kept as the portable reference
+    * implementation; the hot paths use [[nativeCosine]], a fused
+    * zero-allocation Catalyst expression with identical semantics
+    * (graft.functions.CosineSimilarity).
     */
   def cosine(a: Column, b: Column): Column = {
     // multiply in double precision: float*float products drift ~1e-7 from
@@ -27,16 +32,25 @@ object Similarity {
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
+  /** Codegen'd single-pass cosine (requires the session's registry to hold
+    * the native function — registered idempotently per session).
+    */
+  private def nativeCosine(spark: SparkSession)(a: Column, b: Column): Column = {
+    graft.functions.NativeFunctions.register(spark)
+    call_function("cosine_sim", a, b)
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector (exact
     * baseline). Output: (qid, nid, rank, cos_sim rounded to 4dp).
     */
   def bruteForceTopK(emb: DataFrame, isQuery: Column, k: Int = 10): DataFrame = {
+    val cos = nativeCosine(emb.sparkSession) _
     val queries = emb.filter(isQuery)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val sims = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
       .crossJoin(broadcast(queries))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos_sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("cos_sim", cos(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos_sim").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w).cast("long"))
@@ -50,6 +64,7 @@ object Similarity {
     * cells >> nProbe.
     */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int = 10, nProbe: Int = 2): DataFrame = {
+    val cos = nativeCosine(emb.sparkSession) _
     val dims = emb.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("i", "v")))
     val centroids = dims.groupBy(col("label"), col("i"))
@@ -60,7 +75,7 @@ object Similarity {
     val queries = emb.filter(isQuery)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probed = queries.crossJoin(broadcast(centroids))
-      .withColumn("csim", cosine(col("qvec"), col("centroid")))
+      .withColumn("csim", cos(col("qvec"), col("centroid")))
       .withColumn("crank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))))
       .filter(col("crank") <= nProbe)
@@ -69,7 +84,7 @@ object Similarity {
         col("label"))
       .join(broadcast(probed), Seq("label"))
       .filter(col("nid") =!= col("qid"))
-      .withColumn("cos_sim", cosine(col("qvec"), col("nvec")))
+      .withColumn("cos_sim", cos(col("qvec"), col("nvec")))
     cand.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("cos_sim").desc, col("nid"))).cast("long"))
       .filter(col("rank") <= k)
@@ -81,10 +96,11 @@ object Similarity {
     * path is LSH bucketing (random hyperplanes) — see `simhashPlanes`.
     */
   def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val cos = nativeCosine(emb.sparkSession) _
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
     a.join(b, col("a") < col("b"))
-      .withColumn("cos_sim", cosine(col("va"), col("vb")))
+      .withColumn("cos_sim", cos(col("va"), col("vb")))
       .filter(col("cos_sim") > threshold)
       .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
   }

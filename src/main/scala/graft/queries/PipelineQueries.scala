@@ -26,7 +26,7 @@ object PipelineQueries {
       |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE complete)""".stripMargin
   private val ED =
-    """ed AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+    """ed AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
       |nrm AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ed GROUP BY vec_id)""".stripMargin
 
@@ -209,13 +209,42 @@ object PipelineQueries {
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""), headline = true),
 
-    // IVF is approximate by construction (probes 2 of 10 cells) — no exact
-    // SQL oracle; correctness pinned by the recall spec in scalatest.
+    // IVF is approximate w.r.t. exact ANN (probes 2 of 10 cells), but its
+    // construction is fully deterministic — label cells, mean centroids,
+    // cosine probe ranking — so the whole pipeline is SQL-expressible and
+    // hash-checked, not just row-counted.
     QueryDef("a02_ann_ivf", (s, d) =>
       Similarity.ivfTopK(Tables.load(s, d, "embeddings"),
           col("vec_id") < 5, 10, 2)
         .orderBy(col("qid"), col("rank")),
-      None),
+      Some(s"""
+      WITH $ED,
+      cent AS (SELECT label, i, AVG(v) AS cv FROM ed GROUP BY label, i),
+      cnrm AS (SELECT label, SQRT(SUM(cv*cv)) AS cn FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+      qc AS (SELECT q.qid, c.label, SUM(q.v*c.cv) AS dot
+             FROM q JOIN cent c ON q.i = c.i GROUP BY q.qid, c.label),
+      probed AS (SELECT qid, label FROM (
+        SELECT qc.qid, qc.label,
+          ROW_NUMBER() OVER (PARTITION BY qc.qid
+            ORDER BY qc.dot/(n.nrm*cn.cn) DESC, qc.label) AS rn
+        FROM qc
+        JOIN nrm n ON n.vec_id = qc.qid
+        JOIN cnrm cn ON cn.label = qc.label) t WHERE rn <= 2),
+      cand AS (SELECT p.qid, e.vec_id AS nid, SUM(eq.v*e.v) AS dot
+               FROM probed p
+               JOIN ed e ON e.label = p.label AND e.vec_id <> p.qid
+               JOIN ed eq ON eq.vec_id = p.qid AND eq.i = e.i
+               GROUP BY p.qid, e.vec_id),
+      sims AS (SELECT qid, nid, dot/(nq.nrm*nn.nrm) AS sim
+               FROM cand
+               JOIN nrm nq ON nq.vec_id = qid
+               JOIN nrm nn ON nn.vec_id = nid),
+      ranked AS (SELECT qid, nid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, nid) AS rank FROM sims)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
 
     // ---------------- multimodal plumbing ----------------
     QueryDef("m01_multimodal_features", (s, d) =>

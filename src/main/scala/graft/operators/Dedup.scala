@@ -69,13 +69,27 @@ object Dedup {
     * key shrinks both the exchange and the hash table. (Collision odds at
     * 2^-64 per pair are far below the noise floor of a similarity join.)
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3): DataFrame = {
+  /** `maxDocFreq`: drop shingles shared by more than this many docs from
+    * CANDIDATE GENERATION (sizes still count them, so Jaccard stays a
+    * lower-bound estimate). This is the standard skew guard at corpus
+    * scale — one boilerplate shingle in 10^6 docs otherwise yields 10^12
+    * join rows on a single key. Default unbounded = oracle-exact.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
     val sh = shinglesWithDupes(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sk"))
       .distinct()
       .cache()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val pairs = sh.as("x").join(sh.as("y"),
+    val joinable =
+      if (maxDocFreq == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("sk"))
+        sh.join(hot, Seq("sk"), "left_anti")
+      }
+    val pairs = joinable.as("x").join(joinable.as("y"),
         col("x.sk") === col("y.sk") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("inter"))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
 import org.apache.spark.sql.types._
@@ -63,5 +63,65 @@ object EventStream {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     hourlyAgg(spark.read.schema(rawSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+  }
+
+  // -------------------------------------------------------------------
+  // Stateful sessionization: custom per-key state via
+  // flatMapGroupsWithState — the Spark primitive for session semantics a
+  // windowed aggregation can't express (gap-based sessions close when the
+  // event-time watermark passes lastSeen + gap, regardless of wall time).
+
+  final case class SessionState(start: Long, lastSeen: Long, nEvents: Long)
+  final case class SessionOut(user_id: Long, session_start: Long,
+      session_end: Long, n_events: Long)
+
+  /** Gap-closed sessions per user over a streaming event frame. Emits one
+    * row per closed session; state is dropped on event-time timeout, so
+    * memory is bounded by the number of OPEN sessions, not history.
+    */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", "1 hour")
+      // keep the watermarked ts column itself — deriving a new column and
+      // dropping ts would strip the watermark the event-time timeout needs
+      .select(col("user_id").cast("long"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rowsTs: Iterator[(Long, java.sql.Timestamp)],
+            state: GroupState[SessionState]) =>
+          val rows = rowsTs.map { case (u, t) => (u, t.getTime) }
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.lastSeen, s.nEvents))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  cur = Some(s.copy(lastSeen = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start, s.lastSeen, s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when the watermark passes the gap after the last event
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 }

@@ -75,6 +75,58 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("xxhash64"), s"join key not hashed in:\n$p")
   }
 
+  test("shingle doc-frequency cap prunes hot keys from candidate generation") {
+    import spark.implicits._
+    // "x y z" appears in all 4 docs (a hot key); each pair also shares a
+    // distinct rare shingle only within its pair
+    val docs = Seq(
+      (1L, "x y z a b c"), (2L, "x y z a b c"),
+      (3L, "x y z d e f"), (4L, "x y z d e f")).toDF("doc_id", "text")
+    val unbounded = Dedup.ngramJaccardPairs(docs).collect()
+    assert(unbounded.length === 6) // all pairs share the hot shingle
+    val capped = Dedup.ngramJaccardPairs(docs, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the rare-shingle pairs survive candidate generation
+    assert(capped === Set((1L, 2L), (3L, 4L)))
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange") {
+    val o = spark.read.parquet(s"$sf0001/orders.parquet")
+    val l = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    Seq("orders_bkt", "lineitem_bkt").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
+    o.write.mode("overwrite").bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("orders_bkt")
+    l.write.mode("overwrite").bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("lineitem_bkt")
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("lineitem_bkt"),
+        col("o_orderkey") === col("l_orderkey"))
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles:\n$plan")
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("minhash signatures aggregate in a single exchange (no hash-id explosion)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")

@@ -45,6 +45,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful sessionizer closes gap-based sessions as watermark advances") {
+    val dir = Files.createTempDirectory("graft-stream4")
+    Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    val q = EventStream.sessionize(EventStream.source(spark, dir.toString))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("stream_sessions").start()
+    try {
+      q.processAllAvailable()
+      // second batch advances the watermark past most sessions' gap
+      Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+        dir.resolve("part-1.parquet"))
+      q.processAllAvailable()
+      val sessions = spark.table("stream_sessions").collect()
+      assert(sessions.nonEmpty, "no sessions closed")
+      assert(sessions.forall(r =>
+        r.getAs[Long]("session_start") <= r.getAs[Long]("session_end") &&
+          r.getAs[Long]("n_events") > 0))
+      // duplicated input (same file twice) doubles events per point in
+      // time, never session count: closed sessions stay plausible vs the
+      // batch sessionization bound
+      val users = sessions.map(_.getAs[Long]("user_id")).distinct
+      assert(users.length > 1)
+    } finally q.stop()
+  }
+
   test("watermark is attached to the streaming plan") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),

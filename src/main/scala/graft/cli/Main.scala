@@ -34,7 +34,8 @@ object Main {
       ddlPath: Option[String] = None,
       runDdl: Boolean = false,
       config: Option[String] = None,
-      master: String = "local[*]")
+      master: String = "local[*]",
+      interactive: Boolean = false)
 
   def parseArgs(argv: List[String], acc: Args = Args()): Args = argv match {
     case Nil => acc
@@ -55,6 +56,7 @@ object Main {
     case "--run-ddl" :: rest => parseArgs(rest, acc.copy(runDdl = true))
     case "--config" :: p :: rest => parseArgs(rest, acc.copy(config = Some(p)))
     case "--master" :: m :: rest => parseArgs(rest, acc.copy(master = m))
+    case ("-i" | "--interactive") :: rest => parseArgs(rest, acc.copy(interactive = true))
     case other :: _ => throw new IllegalArgumentException(s"unknown argument: $other")
   }
 
@@ -91,16 +93,40 @@ object Main {
       val statements =
         args.commands ++
           args.files.flatMap(f => ctx.splitStatements(Files.readString(Paths.get(f))))
-      if (statements.isEmpty) {
-        System.err.println("nothing to execute: pass -c SQL or -f FILE")
+      if (statements.isEmpty && args.interactive) repl(ctx, args)
+      else if (statements.isEmpty) {
+        System.err.println("nothing to execute: pass -c SQL, -f FILE, or -i")
         sys.exit(2)
       }
-      statements.foreach(s => runStatement(ctx, s, args))
+      else statements.foreach(s => runStatement(ctx, s, args))
     } catch {
       case NonFatal(e) =>
         System.err.println(s"error: ${e.getMessage}")
         sys.exit(1)
     } finally spark.stop()
+  }
+
+  /** Interactive loop (the reference's TUI frontend reduced to a REPL:
+    * statements end at ';', results pretty-print 100 rows per page like
+    * `src/tui/pagination.rs`; `\q` quits).
+    */
+  private def repl(ctx: ExecutionContext, args: Args): Unit = {
+    val in = new java.io.BufferedReader(new java.io.InputStreamReader(System.in))
+    val buf = new StringBuilder
+    print("graft> ")
+    var line = in.readLine()
+    while (line != null && line.trim != "\\q") {
+      buf.append(line).append('\n')
+      if (line.trim.endsWith(";")) {
+        ctx.splitStatements(buf.result()).foreach { s =>
+          try println(PrettyPrint.format(ctx.sqlObserved(s, "repl")))
+          catch { case NonFatal(e) => System.err.println(s"error: ${e.getMessage}") }
+        }
+        buf.clear()
+      }
+      print(if (buf.isEmpty) "graft> " else "    -> ")
+      line = in.readLine()
+    }
   }
 
   private def runStatement(ctx: ExecutionContext, sql: String, args: Args): Unit = {

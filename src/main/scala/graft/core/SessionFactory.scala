@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
-import graft.functions.JsonFunctions
+import graft.functions.{ConfigUdfLoader, JsonFunctions, NativeFunctions}
 import graft.tables.MetaTables
 
 /** Config-driven session construction (reference
@@ -36,8 +36,14 @@ object SessionFactory {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel(
       conf.getOrElse("log.level", "WARN"))
+    // extension hooks, mirroring the reference's session builder
+    // (`extensions/builder.rs:96-213`): app tables, function families,
+    // object-store config, config-declared UDFs
     MetaTables.register(spark)
     JsonFunctions.register(spark)
+    NativeFunctions.register(spark)
+    S3Config(spark, conf)
+    ConfigUdfLoader.load(spark, conf)
     spark
   }
 

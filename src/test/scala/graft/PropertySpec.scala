@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.exec.{DdlTranslate, ExecutionContext}
+
+/** Property-based invariants (scalacheck generators, deterministic seeds)
+  * for the parsing/serving layers — the reference ships none (SURVEY §5);
+  * these harden the surfaces most exposed to arbitrary user input.
+  */
+class PropertySpec extends SparkSpec {
+
+  private lazy val ctx = new ExecutionContext(spark)
+
+  /** Deterministic sampling: seed fixed per iteration, so failures repro. */
+  private def forSamples[A](gen: Gen[A], n: Int = 50)(f: A => Unit): Unit =
+    (1 to n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+    }
+
+  // statements: no semicolons/quotes/dashes so joining with ';' is lossless
+  private val plainStmt: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaNumChar).map("S" + _.mkString)
+
+  test("splitStatements inverts ';'-joining for plain statements") {
+    forSamples(Gen.nonEmptyListOf(plainStmt)) { stmts =>
+      assert(ctx.splitStatements(stmts.mkString(";")) === stmts)
+    }
+  }
+
+  test("splitStatements never splits inside single-quoted literals") {
+    val payload = Gen.listOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(';', '-', ' '))).map(_.mkString)
+    forSamples(payload) { p =>
+      val stmt = s"SELECT '$p' AS c"
+      assert(ctx.splitStatements(stmt + ";" + stmt) === Seq(stmt, stmt))
+    }
+  }
+
+  test("splitStatements strips -- comments outside literals") {
+    forSamples(Gen.zip(plainStmt, plainStmt)) { case (a, b) =>
+      val script = s"$a -- trailing $b\n;$b"
+      assert(ctx.splitStatements(script) === Seq(a, b))
+    }
+  }
+
+  test("DdlTranslate is identity on non-external statements") {
+    forSamples(plainStmt) { s =>
+      assert(DdlTranslate(s"SELECT $s") === s"SELECT $s")
+    }
+  }
+
+  test("pagination reassembles exactly the ordered dataframe") {
+    import spark.implicits._
+    forSamples(Gen.zip(Gen.chooseNum(0, 57), Gen.chooseNum(1, 13)), n = 8) {
+      case (n, pageSize) =>
+        val df = (0 until n).toDF("v").orderBy("v")
+        val pg = new cli.Pagination(df, pageSize)
+        val pages = Iterator.from(0).map(pg.page).takeWhile(_.nonEmpty).toSeq
+        val reassembled = pages.flatten.map(_.getInt(0))
+        assert(reassembled === (0 until n))
+        assert(pages.forall(_.size <= pageSize))
+    }
+  }
+
+  test("native cosine equals composable cosine on random vectors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.NativeFunctions.register(spark)
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+    forSamples(Gen.listOfN(12, Gen.zip(vec, vec)), n = 4) { pairs =>
+      val df = pairs.map { case (a, b) => (a.toArray, b.toArray) }.toDF("x", "y")
+      val rows = df.select(
+        call_function("cosine_sim", col("x"), col("y")).as("native"),
+        graft.operators.Similarity.cosine(col("x"), col("y")).as("composed"))
+        .collect()
+      rows.foreach { r =>
+        val (nv, cv) = (r.getDouble(0), r.getDouble(1))
+        assert(nv == cv || (nv.isNaN && cv.isNaN))
+      }
+    }
+  }
+}

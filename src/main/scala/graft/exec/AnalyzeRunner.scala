@@ -31,14 +31,39 @@ object AnalyzeRunner {
       for (s <- scanned; f <- filtered) yield f.toDouble / s.toDouble
     }
 
+    /** Bytes read by the scans (reference IO summary, `stats.rs:78-102`). */
+    def bytesScanned: Long =
+      operators.filter(_.category == "scan")
+        .flatMap(o => o.metrics.view.filterKeys(k =>
+          k == "filesSize" || k.toLowerCase.contains("bytesread")).values)
+        .sum
+
+    /** Share of summed timing metrics per category (the analog of the
+      * reference's per-operator-category compute-time percentages,
+      * `stats.rs:429-513`; Spark timing metrics mix units per node, so the
+      * shares are indicative, not wall-clock exact).
+      */
+    def timeShareByCategory: Map[String, Double] = {
+      val perCat = operators.groupBy(_.category).view.mapValues(
+        _.flatMap(_.metrics.collect {
+          case (k, v) if k.toLowerCase.contains("time") => v
+        }).sum.toDouble).toMap
+      val total = perCat.values.sum
+      if (total <= 0) Map.empty
+      else perCat.view.mapValues(_ / total * 100.0).toMap
+    }
+
     def summary: String = {
+      val shares = timeShareByCategory
       val byCat = operators.groupBy(_.category).toSeq.sortBy(_._1)
       val lines = byCat.map { case (cat, ops) =>
         val rows = ops.flatMap(_.metrics.get("numOutputRows")).sum
-        f"  $cat%-10s ops=${ops.size}%3d  output_rows=$rows%12d"
+        val share = shares.get(cat).map(s => f"  time=$s%5.1f%%").getOrElse("")
+        f"  $cat%-10s ops=${ops.size}%3d  output_rows=$rows%12d$share"
       }
       val sel = selectivity.map(s => f"\n  scan->filter selectivity: ${s * 100}%.2f%%").getOrElse("")
-      s"Analyze Report\n${lines.mkString("\n")}$sel"
+      val bytes = if (bytesScanned > 0) f"\n  bytes scanned: $bytesScanned%d" else ""
+      s"Analyze Report\n${lines.mkString("\n")}$sel$bytes"
     }
   }
 

@@ -63,24 +63,30 @@ class HttpServer(ctx: ExecutionContext,
     val ts = new java.sql.Timestamp(System.currentTimeMillis())
     val path = ex.getRequestURI.getPath
     var sqlRun: Option[String] = None
+    var rowsOut: Option[Long] = None
     val (status, body) =
       try {
+        def ok(df: DataFrame): (Int, String) = {
+          val (json, n) = toJsonArray(df)
+          rowsOut = Some(n)
+          (200, json)
+        }
         if (!authorized(ex)) (401, """{"error":"unauthorized"}""")
         else (ex.getRequestMethod, path) match {
           case ("POST", "/sql") =>
             val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             val sql = extractSql(raw)
             sqlRun = Some(sql)
-            (200, toJsonArray(ctx.sql(sql).limit(resultLimit)))
+            ok(ctx.sql(sql).limit(resultLimit))
           case ("GET", "/catalog") =>
-            (200, toJsonArray(ctx.sql("SHOW TABLES")))
+            ok(ctx.sql("SHOW TABLES"))
           case ("GET", TablePath(_, _, table)) =>
             // catalog/schema segments accepted for URL-shape parity; the
             // session catalog resolves the bare table name
-            (200, toJsonArray(ctx.sql(s"SELECT * FROM `$table`").limit(resultLimit)))
+            ok(ctx.sql(s"SELECT * FROM `$table`").limit(resultLimit))
           case ("GET", TpchPath(n)) =>
             tpchQuery match {
-              case Some(f) => (200, toJsonArray(f(n.toInt).limit(resultLimit)))
+              case Some(f) => ok(f(n.toInt).limit(resultLimit))
               case None => (404, """{"error":"tpch queries not configured"}""")
             }
           case _ => (404, """{"error":"not found"}""")
@@ -90,7 +96,7 @@ class HttpServer(ctx: ExecutionContext,
           (400, s"""{"error":${jsonString(Option(e.getMessage).getOrElse(e.toString))}}""")
       }
     ctx.observability.record(None, path, sqlRun, ts,
-      (System.nanoTime() - start) / 1000000, None, status)
+      (System.nanoTime() - start) / 1000000, rowsOut, status)
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
     ex.sendResponseHeaders(status, bytes.length.toLong)
@@ -124,6 +130,8 @@ class HttpServer(ctx: ExecutionContext,
   /** Rows as a JSON array of objects (reference `router.rs:230-281`
     * serializes the batch stream to a JSON array).
     */
-  private def toJsonArray(df: DataFrame): String =
-    df.toJSON.collect().mkString("[", ",", "]")
+  private def toJsonArray(df: DataFrame): (String, Long) = {
+    val rows = df.toJSON.collect()
+    (rows.mkString("[", ",", "]"), rows.length.toLong)
+  }
 }

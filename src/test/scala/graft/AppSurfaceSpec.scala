@@ -116,6 +116,9 @@ class AppSurfaceSpec extends SparkSpec {
     val cats = report.operators.map(_.category).toSet
     assert(cats.contains("scan") && cats.contains("filter") && cats.contains("aggregate"))
     assert(report.selectivity.exists(s => s >= 0.0 && s <= 1.0))
+    assert(report.bytesScanned > 0)
+    val shares = report.timeShareByCategory
+    assert(shares.values.forall(s => s >= 0.0 && s <= 100.0))
   }
 
   test("pagination serves incremental pages from a local iterator") {

@@ -43,9 +43,12 @@ class ServerSpec extends SparkSpec {
       assert(st2 === 200 && body2 === """[{"one":1}]""")
       val (st3, body3) = post(server.boundPort, "/sql", "SELECT * FROM nope_missing")
       assert(st3 === 400 && body3.contains("error"))
-      val statuses = ctx.observability.toDF
-        .filter("path = '/sql'").collect().map(_.getAs[Int]("status")).toSeq
+      val obs = ctx.observability.toDF.filter("path = '/sql'").collect()
+      val statuses = obs.map(_.getAs[Int]("status")).toSeq
       assert(statuses.count(_ == 200) >= 2 && statuses.contains(400))
+      // row counts recorded for successful requests (3 for the limited one)
+      assert(obs.filter(_.getAs[Int]("status") == 200)
+        .map(_.getAs[Long]("rows")).contains(3L))
     } finally server.stop()
   }
 

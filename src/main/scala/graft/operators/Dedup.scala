@@ -77,6 +77,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    // cache() is load-bearing: the deduped shingle set feeds the sizes
+    // aggregate and BOTH self-join sides; without it each consumer
+    // recomputes the explode+distinct pipeline (measured 4x slower)
     val sh = shinglesWithDupes(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sk"))
       .distinct()

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
 
 /** Verifiable wrappers over the training-data pipeline operators
   * (graft.operators): text analysis, dedup family, similarity search,
@@ -269,6 +269,51 @@ object PipelineQueries {
       SELECT doc_id, CAST(octet_length(blob) % 30 + 1 AS BIGINT) AS n_frames,
         unnest(range(0, CAST(octet_length(blob) % 30 + 1 AS BIGINT), 5)) AS frame_idx
       FROM (SELECT doc_id, encode(text) AS blob FROM documents) m
-      ORDER BY doc_id, frame_idx"""))
+      ORDER BY doc_id, frame_idx""")),
+
+    // ---------------- end-to-end curation ----------------
+    // quality filter -> exact dedup -> LSH near-dup removal, composed; the
+    // oracle replays the whole chain (t02 + d01 + d03 fragments over the
+    // progressively filtered doc set).
+    QueryDef("c01_curation", (s, d) =>
+      Curation.curate(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+      Some(raw"""
+      WITH q0 AS (SELECT doc_id, text,
+          string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      qual AS (SELECT doc_id, text,
+          LEAST(CAST(len(toks) AS DOUBLE)/100.0, 1.0) *
+            (1.0 - CAST(len(list_filter(toks, x -> x IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)) AS quality
+        FROM q0),
+      kept0 AS (SELECT doc_id, text FROM qual WHERE quality >= 0.3),
+      exact AS (SELECT doc_id, text,
+          MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canonical_id FROM kept0),
+      kept1 AS (SELECT doc_id, text FROM exact WHERE doc_id = canonical_id),
+      tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM kept1),
+      sh0 AS (SELECT doc_id,
+        w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS shingle,
+        LEAD(w,2) OVER win IS NOT NULL AS complete
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE complete),
+      hs AS (SELECT unnest(range(0, 16)) AS h),
+      sig AS (SELECT doc_id, h, MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              FROM shd, hs GROUP BY doc_id, h),
+      buckets AS (SELECT doc_id, h % 4 AS band,
+                    MD5(string_agg(mh, ',' ORDER BY h)) AS bucket
+                  FROM sig GROUP BY doc_id, h % 4),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      est AS (SELECT c.a, c.b,
+                CAST(COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS DOUBLE)/16.0 AS ej
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+              GROUP BY c.a, c.b),
+      neardup AS (SELECT DISTINCT b AS doc_id FROM est WHERE ej >= 0.75)
+      SELECT k.doc_id, 'kept' AS status FROM kept1 k
+      WHERE k.doc_id NOT IN (SELECT doc_id FROM neardup)
+      ORDER BY k.doc_id"""))
   )
 }

@@ -34,6 +34,35 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("curation drops low-quality, exact-dup and near-dup docs") {
+    import spark.implicits._
+    // quality needs length saturation: >=30 non-stop tokens to clear 0.3
+    val long1 = (1 to 40).map(i => s"alpha$i").mkString(" ")
+    val long2 = (1 to 40).map(i => s"omega$i").mkString(" ")
+    val docs = Seq(
+      (1L, Seq.fill(40)("the of and to in").mkString(" ")), // stopwords -> quality 0
+      (2L, long1),
+      (3L, long1), // exact dup of 2
+      (4L, long2)).toDF("doc_id", "text")
+    val kept = graft.operators.Curation.curate(docs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(2L, 4L)) // 1 low quality, 3 deduped to 2
+  }
+
+  test("skew-safe exact distinct count matches countDistinct") {
+    import spark.implicits._
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9), ("b", 9)).toDF("k", "v")
+    val rewritten = graft.operators.Skew.exactDistinctCount(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val reference = df.groupBy("k").agg(countDistinct("v").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rewritten === reference)
+    // stage-1 shuffle spreads on (key, value), not key alone
+    val plan = graft.operators.Skew.exactDistinctCount(df, col("k"), col("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(key"))
+  }
+
   test("minhash LSH finds identical docs with estimated jaccard 1.0") {
     val d = docs(
       1L -> "one two three four five six seven eight nine ten",

@@ -314,6 +314,6 @@ object PipelineQueries {
       neardup AS (SELECT DISTINCT b AS doc_id FROM est WHERE ej >= 0.75)
       SELECT k.doc_id, 'kept' AS status FROM kept1 k
       WHERE k.doc_id NOT IN (SELECT doc_id FROM neardup)
-      ORDER BY k.doc_id"""))
+      ORDER BY k.doc_id"""), headline = true)
   )
 }

@@ -58,6 +58,14 @@ class AppSurfaceSpec extends SparkSpec {
     assert(rows.forall(_.getAs[String]("path") == "test"))
   }
 
+  test("VALUES-backed in-memory tables work through plain SQL") {
+    spark.sql("""CREATE OR REPLACE TEMPORARY VIEW mem_vals AS
+                 VALUES (1, 'a'), (2, 'b') AS t(id, s)""")
+    val got = spark.sql("SELECT id, s FROM mem_vals ORDER BY id").collect()
+    assert(got.map(r => (r.getInt(0), r.getString(1))).toSeq ===
+      Seq((1, "a"), (2, "b")))
+  }
+
   test("meta versions table registered and queryable") {
     MetaTables.register(spark)
     val row = spark.sql("SELECT * FROM meta_versions").collect().head

@@ -9,7 +9,7 @@ import scala.util.control.NonFatal
 import com.sun.net.httpserver.{HttpExchange, HttpServer => JdkHttpServer}
 import org.apache.spark.sql.DataFrame
 
-import graft.exec.ExecutionContext
+import graft.exec.{ExecutionContext, PlanCache}
 
 /** Minimal HTTP facade (reference `src/server/http/router.rs:59-196`):
   *
@@ -17,9 +17,19 @@ import graft.exec.ExecutionContext
   *                          text), JSON-array response, `result_limit`
   *                          applied (`router.rs:93-111`, limit applied in
   *                          `local.rs:557-569`)
-  *   GET  /catalog          table listing (`router.rs:119-135` SHOW TABLES)
+  *   GET  /catalog          table listing (`router.rs:119-135` SHOW TABLES;
+  *                          served in the reference's catalog/schema/name/
+  *                          type column shape)
   *   GET  /table/:c/:s/:t   `SELECT * FROM t LIMIT n` (`router.rs:137-170`)
   *   GET  /tpch/:n          shipped TPC-H query n (`router.rs:172-196`)
+  *
+  * Plan-once / execute-later over the wire (the FlightSQL
+  * get_flight_info -> DoGet contract, `src/server/flightsql/service.rs:
+  * 486-560`, on HTTP):
+  *
+  *   POST /prepare          plan the SQL, return {"handle": ..., "schema": ...}
+  *   GET  /execute/:handle  execute the stored plan
+  *   GET  /close/:handle    drop the stored plan
   *
   * Optional Basic/Bearer auth mirrors the reference's server auth layer
   * (`src/server/flightsql/mod.rs:58-106`; config
@@ -40,6 +50,7 @@ class HttpServer(ctx: ExecutionContext,
 
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
   server.setExecutor(null) // default single-threaded executor
+  private val planCache = new PlanCache(ctx)
 
   /** Bound port (useful when constructed with port=0). */
   def boundPort: Int = server.getAddress.getPort
@@ -79,7 +90,18 @@ class HttpServer(ctx: ExecutionContext,
             sqlRun = Some(sql)
             ok(ctx.sql(sql).limit(resultLimit))
           case ("GET", "/catalog") =>
-            ok(ctx.sql("SHOW TABLES"))
+            ok(FlightSqlCatalogs.getTables(ctx))
+          case ("POST", "/prepare") =>
+            val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+            val sql = extractSql(raw)
+            sqlRun = Some(sql)
+            val p = planCache.prepare(sql)
+            (200, s"""{"handle":${jsonString(p.handle)},""" +
+              s""""schema":${jsonString(p.schema.simpleString)}}""")
+          case ("GET", ExecutePath(handle)) =>
+            ok(planCache.execute(handle).limit(resultLimit))
+          case ("GET", ClosePath(handle)) =>
+            (200, s"""{"closed":${planCache.close(handle)}}""")
           case ("GET", TablePath(_, _, table)) =>
             // catalog/schema segments accepted for URL-shape parity; the
             // session catalog resolves the bare table name
@@ -106,6 +128,8 @@ class HttpServer(ctx: ExecutionContext,
 
   private val TablePath = """/table/([^/]+)/([^/]+)/([^/]+)""".r
   private val TpchPath = """/tpch/(\d+)""".r
+  private val ExecutePath = """/execute/([0-9a-f-]+)""".r
+  private val ClosePath = """/close/([0-9a-f-]+)""".r
   private val SqlField = """(?s).*"sql"\s*:\s*"((?:[^"\\]|\\.)*)".*""".r
 
   /** Body is either `{"sql": "..."}` (reference shape) or raw SQL text. */

@@ -70,6 +70,24 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("HTTP prepare/execute/close round-trip (plan-once over the wire)") {
+    val ctx = new ExecutionContext(spark)
+    val server = new HttpServer(ctx)
+    server.start()
+    try {
+      val (st, body) = post(server.boundPort, "/prepare",
+        """{"sql": "SELECT id * 2 AS dbl FROM RANGE(3) ORDER BY id"}""")
+      assert(st === 200 && body.contains("\"handle\"") && body.contains("dbl"))
+      val handle = """"handle":"([0-9a-f-]+)"""".r
+        .findFirstMatchIn(body).get.group(1)
+      val (st2, rows) = get(server.boundPort, s"/execute/$handle")
+      assert(st2 === 200 && rows === """[{"dbl":0},{"dbl":2},{"dbl":4}]""")
+      val (st3, closed) = get(server.boundPort, s"/close/$handle")
+      assert(st3 === 200 && closed === """{"closed":true}""")
+      assert(get(server.boundPort, s"/execute/$handle")._1 === 400)
+    } finally server.stop()
+  }
+
   test("HTTP auth: bearer and basic accepted, wrong/missing rejected") {
     val ctx = new ExecutionContext(spark)
     val server = new HttpServer(ctx, bearerToken = Some("tok123"),

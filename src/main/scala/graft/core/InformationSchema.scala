@@ -103,15 +103,61 @@ object InformationSchema {
   }
 
   private val DottedName = """(?i)\binformation_schema\.(tables|columns|schemata)\b""".r
+  // reference catalog name for the version table (`catalog/mod.rs:47-68`);
+  // our session catalog registers it flat as `meta_versions`
+  private val MetaVersions = """(?i)\bdft\.meta\.versions\b""".r
 
-  /** Pre-parse rewrite for SQL that references information_schema views:
-    * refresh the snapshots, then rewrite dotted names to the temp views.
+  /** Apply `f` to the segments of `sql` that lie outside single-quoted
+    * string literals (doubled quotes are the SQL escape and do not close a
+    * literal), leaving literal contents byte-identical. Reuses the
+    * quote-tracking convention of `ExecutionContext.splitStatements` so a
+    * query like `SELECT 'information_schema.tables'` is not rewritten.
     */
-  def rewrite(spark: SparkSession, sql: String): String =
-    if (DottedName.findFirstIn(sql).isEmpty) sql
-    else {
-      refresh(spark)
-      DottedName.replaceAllIn(sql,
-        m => "information_schema_" + m.group(1).toLowerCase)
+  private def mapOutsideLiterals(sql: String)(f: String => String): String = {
+    val out = new StringBuilder
+    val seg = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inQuote) {
+        if (c == '\'') {
+          out.append(f(seg.result())); seg.clear()
+          out.append(c); inQuote = true
+        } else seg.append(c)
+      } else {
+        out.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out.append('\''); i += 1 // escaped quote, literal continues
+          } else inQuote = false
+        }
+      }
+      i += 1
     }
+    out.append(f(seg.result()))
+    out.result()
+  }
+
+  /** Pre-parse rewrite for SQL that references information_schema views or
+    * the reference-named `dft.meta.versions` table: refresh the snapshots
+    * (only when a real reference matched — matches inside string literals
+    * neither rewrite nor refresh), then rewrite dotted names to the temp
+    * views.
+    */
+  def rewrite(spark: SparkSession, sql: String): String = {
+    var matched = false
+    val out = mapOutsideLiterals(sql) { seg =>
+      val s1 =
+        if (DottedName.findFirstIn(seg).isEmpty) seg
+        else {
+          matched = true
+          DottedName.replaceAllIn(seg,
+            m => "information_schema_" + m.group(1).toLowerCase)
+        }
+      MetaVersions.replaceAllIn(s1, _ => "meta_versions")
+    }
+    if (matched) refresh(spark)
+    out
+  }
 }

@@ -49,14 +49,19 @@ class HttpServer(ctx: ExecutionContext,
     tpchQuery: Option[Int => DataFrame] = None) {
 
   private val server = JdkHttpServer.create(new InetSocketAddress(port), 0)
-  server.setExecutor(null) // default single-threaded executor
+  // concurrent request handling like the reference's axum server
+  // (`router.rs:59-84` — tower layers over a multi-threaded runtime);
+  // Spark's SQLConf is thread-safe per session, and the observability
+  // recorder synchronizes its appends
+  private val pool = java.util.concurrent.Executors.newCachedThreadPool()
+  server.setExecutor(pool)
   private val planCache = new PlanCache(ctx)
 
   /** Bound port (useful when constructed with port=0). */
   def boundPort: Int = server.getAddress.getPort
 
   def start(): Unit = { server.createContext("/", handler _); server.start() }
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { server.stop(0); pool.shutdown() }
 
   private def authorized(ex: HttpExchange): Boolean = {
     if (bearerToken.isEmpty && basicAuth.isEmpty) return true
@@ -104,8 +109,12 @@ class HttpServer(ctx: ExecutionContext,
             (200, s"""{"closed":${planCache.close(handle)}}""")
           case ("GET", TablePath(_, _, table)) =>
             // catalog/schema segments accepted for URL-shape parity; the
-            // session catalog resolves the bare table name
-            ok(ctx.sql(s"SELECT * FROM `$table`").limit(resultLimit))
+            // session catalog resolves the bare table name. Backticks in
+            // the segment are doubled so a crafted path cannot break out
+            // of the quoted identifier into arbitrary SQL (POST /sql is
+            // the intentional arbitrary-SQL endpoint; this is not).
+            val ident = table.replace("`", "``")
+            ok(ctx.sql(s"SELECT * FROM `$ident`").limit(resultLimit))
           case ("GET", TpchPath(n)) =>
             tpchQuery match {
               case Some(f) => ok(f(n.toInt).limit(resultLimit))
@@ -130,15 +139,8 @@ class HttpServer(ctx: ExecutionContext,
   private val TpchPath = """/tpch/(\d+)""".r
   private val ExecutePath = """/execute/([0-9a-f-]+)""".r
   private val ClosePath = """/close/([0-9a-f-]+)""".r
-  private val SqlField = """(?s).*"sql"\s*:\s*"((?:[^"\\]|\\.)*)".*""".r
 
-  /** Body is either `{"sql": "..."}` (reference shape) or raw SQL text. */
-  private[server] def extractSql(body: String): String = body match {
-    case SqlField(escaped) =>
-      escaped.replace("\\n", "\n").replace("\\t", "\t")
-        .replace("\\\"", "\"").replace("\\\\", "\\")
-    case raw => raw.trim
-  }
+  private def extractSql(body: String): String = HttpServer.extractSql(body)
 
   private def jsonString(s: String): String =
     "\"" + s.flatMap {
@@ -157,5 +159,20 @@ class HttpServer(ctx: ExecutionContext,
   private def toJsonArray(df: DataFrame): (String, Long) = {
     val rows = df.toJSON.collect()
     (rows.mkString("[", ",", "]"), rows.length.toLong)
+  }
+}
+
+object HttpServer {
+  /** Body is either `{"sql": "..."}` (reference shape) or raw SQL text.
+    * The JSON path goes through a real single-pass parser ([[MiniJson]]):
+    * sequential `String.replace` cannot unescape JSON (a literal backslash
+    * followed by `n` — `"\\n"` on the wire — must stay two characters, not
+    * collapse into a newline).
+    */
+  private[graft] def extractSql(body: String): String = {
+    val t = body.trim
+    if (t.startsWith("{"))
+      MiniJson.objectField(t, "sql").getOrElse(t)
+    else t
   }
 }

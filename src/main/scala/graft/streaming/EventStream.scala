@@ -117,8 +117,15 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              // close when the watermark passes the gap after the last event
-              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+              // close when the watermark passes the gap after the last
+              // event — but never set a timeout at/behind the current
+              // watermark: flatMapGroupsWithState does not drop late rows
+              // for us, and EventTimeTimeout throws on a stale timestamp,
+              // which would crash the whole streaming query. A session fed
+              // only by late-but-tolerated events times out on the next
+              // watermark advance instead.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastSeen + gapMs, wm + 1))
             }
             closed.reverseIterator
           }

@@ -72,6 +72,25 @@ class AppSurfaceSpec extends SparkSpec {
     assert(row.getAs[String]("spark") === spark.version)
   }
 
+  test("reference-named dft.meta.versions resolves through the rewrite") {
+    MetaTables.register(spark)
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val row = ctx.sql("SELECT * FROM dft.meta.versions").collect().head
+    assert(row.getAs[String]("spark") === spark.version)
+  }
+
+  test("information_schema references inside string literals are untouched") {
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val lit = ctx.sql("SELECT 'information_schema.tables' AS s").collect().head
+    assert(lit.getString(0) === "information_schema.tables")
+    // outside-literal references still rewrite in the same statement
+    val mixed = ctx.sql(
+      """SELECT 'information_schema.tables' AS s, count(*) AS n
+        |FROM information_schema.tables""".stripMargin).collect().head
+    assert(mixed.getString(0) === "information_schema.tables")
+    assert(mixed.getLong(1) >= 0L)
+  }
+
   test("db-dir bootstrap registers catalog.schema.table with format detection") {
     val dir = Files.createTempDirectory("graft-db")
     val tdir = dir.resolve("tables/cat1/sch1/hi")

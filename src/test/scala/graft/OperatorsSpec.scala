@@ -51,12 +51,17 @@ class OperatorsSpec extends SparkSpec {
 
   test("skew-safe exact distinct count matches countDistinct") {
     import spark.implicits._
-    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 9), ("b", 9)).toDF("k", "v")
+    // NULL values must be ignored (countDistinct semantics); a key with
+    // only NULL values must not appear
+    val df = Seq(("a", Some(1)), ("a", Some(1)), ("a", Some(2)), ("a", None),
+      ("b", Some(9)), ("b", Some(9)), ("c", None)).toDF("k", "v")
     val rewritten = graft.operators.Skew.exactDistinctCount(df, col("k"), col("v"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val reference = df.groupBy("k").agg(countDistinct("v").as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0) // countDistinct keeps all-NULL keys with n=0
     assert(rewritten === reference)
+    assert(rewritten === Map("a" -> 2L, "b" -> 1L))
     // stage-1 shuffle spreads on (key, value), not key alone
     val plan = graft.operators.Skew.exactDistinctCount(df, col("k"), col("v"))
       .queryExecution.executedPlan.toString

@@ -64,6 +64,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("extractSql round-trips arbitrary SQL strings through JSON encoding") {
+    def jsonEncode(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
+    // adversarial alphabet: backslashes, quotes, escape-lookalikes, controls
+    val sqlGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('\\', '"', '\'', 'n', 't', '\n', '\t', ';',
+        ' ', '{', '}', ':'))).map(_.mkString)
+    forSamples(sqlGen, n = 200) { sql =>
+      val body = s"""{"sql": ${jsonEncode(sql)}, "flightsql": false}"""
+      assert(graft.server.HttpServer.extractSql(body) === sql)
+    }
+    // the case sequential replace corrupts: literal backslash + n
+    assert(graft.server.HttpServer.extractSql("""{"sql": "a\\nb"}""") === """a\nb""")
+    // non-JSON bodies pass through as raw SQL
+    assert(graft.server.HttpServer.extractSql("SELECT 1 AS x") === "SELECT 1 AS x")
+  }
+
   test("native cosine equals composable cosine on random vectors") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -133,6 +133,30 @@ object PipelineQueries {
       JOIN sizes sb ON sb.doc_id = p.b
       ORDER BY jaccard DESC, a, b LIMIT 100"""), headline = true),
 
+    // d02b exercises the hot-shingle cap the 100 TB story depends on
+    // (shingles shared by more docs than the cap are dropped from candidate
+    // generation; sizes still count them, so jaccard is a lower bound). The
+    // cap of 5 provably bites at sf0.01: 29 shingles have doc-freq > 5.
+    QueryDef("d02b_ngram_jaccard_capped", (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.load(s, d, "documents"), maxDocFreq = 5)
+        .orderBy(col("jaccard").desc, col("a"), col("b")).limit(100),
+      Some(s"""
+      WITH $SHD,
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      hot AS (SELECT shingle FROM shd GROUP BY shingle HAVING COUNT(*) > 5),
+      shj AS (SELECT doc_id, shingle FROM shd
+              WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM shj x JOIN shj y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id)
+      SELECT p.a, p.b,
+        CAST(p.inter AS DOUBLE) / CAST(sa.n + sb.n - p.inter AS DOUBLE) AS jaccard
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.a
+      JOIN sizes sb ON sb.doc_id = p.b
+      ORDER BY jaccard DESC, a, b LIMIT 100"""), headline = true),
+
     QueryDef("d03_minhash_lsh", (s, d) =>
       Dedup.minhashLshPairs(Tables.load(s, d, "documents"))
         .orderBy(col("est_jaccard").desc, col("a"), col("b")).limit(100),
@@ -186,6 +210,44 @@ object PipelineQueries {
       JOIN nrm nb ON nb.vec_id = d.b
       WHERE d.dot/(na.nrm*nb.nrm) > 0.3
       ORDER BY cos_sim DESC, a, b LIMIT 200""")),
+
+    // d06 is the scale path d05 baselines: hyperplane-LSH bucketing instead
+    // of all-pairs. The oracle replays the exact md5-derived planes, sign
+    // bits, banding and bucket join, so the approximate pipeline itself is
+    // hash-checked end to end.
+    QueryDef("d06_embed_lsh", (s, d) =>
+      Similarity.nearDupPairsLsh(Tables.load(s, d, "embeddings"), 0.35)
+        .orderBy(col("cos_sim").desc, col("a"), col("b")),
+      Some(s"""
+      WITH $ED,
+      planes AS (SELECT pr.p, ir.i,
+            CASE WHEN ascii(substring(md5(CAST(pr.p AS VARCHAR) || ':' ||
+                   CAST(ir.i AS VARCHAR)), 1, 1)) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range(0, 32)) AS p) pr,
+               (SELECT DISTINCT i FROM ed) ir),
+      proj AS (SELECT ed.vec_id, pl.p, SUM(ed.v * pl.s) AS dot
+               FROM ed JOIN planes pl ON pl.i = ed.i GROUP BY ed.vec_id, pl.p),
+      sig AS (SELECT vec_id,
+                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY p) AS bits
+              FROM proj GROUP BY vec_id),
+      buckets AS (SELECT vec_id, b AS band, substring(bits, b*8+1, 8) AS bucket
+                  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id),
+      dots AS (SELECT c.a, c.b, SUM(xa.v * xb.v) AS dot
+               FROM cand c JOIN ed xa ON xa.vec_id = c.a
+               JOIN ed xb ON xb.vec_id = c.b AND xb.i = xa.i
+               GROUP BY c.a, c.b)
+      SELECT d.a, d.b, ROUND(d.dot/(na.nrm*nb.nrm), 4) AS cos_sim
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.a
+      JOIN nrm nb ON nb.vec_id = d.b
+      WHERE d.dot/(na.nrm*nb.nrm) > 0.35
+      ORDER BY cos_sim DESC, a, b"""), headline = true),
 
     // ---------------- similarity search ----------------
     QueryDef("a01_ann_bruteforce", (s, d) =>

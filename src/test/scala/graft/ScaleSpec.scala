@@ -127,6 +127,29 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("similarity top-k is two-stage: per-partition heap before the per-qid rank") {
+    Seq("a01_ann_bruteforce", "a02_ann_ivf").foreach { n =>
+      val p = plan(n)
+      // the partial stage shows up as a MapPartitions over the candidate
+      // stream; without it the per-qid window funnels the whole corpus
+      // through one reducer per query
+      assert(p.contains("MapPartitions"), s"$n: no per-partition top-k stage in:\n$p")
+      // plans print parents first: the rank Window must sit ABOVE (consume)
+      // the MapPartitions partial stage, never directly on the candidates
+      assert(p.indexOf("Window") < p.indexOf("MapPartitions"),
+        s"$n: window does not consume the partial top-k stage:\n$p")
+    }
+  }
+
+  test("embedding near-dup LSH path never plans an all-pairs join") {
+    val p = plan("d06_embed_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"all-pairs BNLJ in LSH path:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in LSH path:\n$p")
+    // candidate generation is a bucket-equality join on the band slices
+    assert(p.contains("bucket"), s"no bucket join in:\n$p")
+  }
+
   test("minhash signatures aggregate in a single exchange (no hash-id explosion)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")

@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   def all: Seq[QueryDef] =
-    Tpch.queries ++ Analytics.queries ++ PipelineQueries.queries ++ MetaQueries.queries
+    Tpch.queries ++ Analytics.queries ++ PipelineQueries.queries ++
+      MetaQueries.queries ++ SourceQueries.queries
 
   def byName: Map[String, QueryDef] = all.map(q => q.name -> q).toMap
 }

@@ -88,6 +88,25 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("HTTP requests execute concurrently (reference axum server is concurrent)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val ctx = new ExecutionContext(spark)
+    val server = new HttpServer(ctx)
+    server.start()
+    try {
+      val results = Await.result(Future.sequence((0 until 8).map { i =>
+        Future(post(server.boundPort, "/sql", s"""{"sql": "SELECT $i AS v"}"""))
+      }), 60.seconds)
+      results.zipWithIndex.foreach { case ((st, body), i) =>
+        assert(st === 200 && body === s"""[{"v":$i}]""")
+      }
+      // all 8 requests observed despite racing appends
+      assert(ctx.observability.toDF.filter("path = '/sql'").count() === 8L)
+    } finally server.stop()
+  }
+
   test("HTTP auth: bearer and basic accepted, wrong/missing rejected") {
     val ctx = new ExecutionContext(spark)
     val server = new HttpServer(ctx, bearerToken = Some("tok123"),
@@ -152,6 +171,26 @@ class ServerSpec extends SparkSpec {
     val types = graft.server.FlightSqlCatalogs.getTableTypes(ctx).collect()
       .map(_.getString(0))
     assert(types.contains("TEMPORARY"))
+  }
+
+  test("flightsql GetSqlInfo and GetXdbcTypeInfo match reference shapes") {
+    val ctx = new ExecutionContext(spark)
+    val info = graft.server.FlightSqlCatalogs.getSqlInfo(ctx)
+    assert(info.columns.toSeq ===
+      Seq("server_name", "server_version", "arrow_version", "read_only"))
+    val row = info.collect().head
+    assert(row.getAs[String]("server_name") === "graft")
+    assert(row.getAs[Boolean]("read_only") === false)
+    val types = graft.server.FlightSqlCatalogs.getXdbcTypeInfo(ctx)
+    assert(types.columns.length === 17)
+    assert(types.columns.take(3).toSeq ===
+      Seq("type_name_num", "type_name_str", "column_size"))
+    assert(types.count() === 12L)
+    // data_type code filter (reference appends WHERE data_type = n)
+    val varchar = graft.server.FlightSqlCatalogs.getXdbcTypeInfo(ctx, Some(12))
+      .collect()
+    assert(varchar.map(_.getAs[String]("type_name_str")).toSeq === Seq("VARCHAR"))
+    assert(varchar.head.getAs[String]("literal_prefix") === "'")
   }
 
   test("s3 config maps reference object_store keys onto fs.s3a.*") {

@@ -5,10 +5,12 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.DataFrame
 
-/** `-o file.{csv,json,parquet}` result writers with the reference's
+/** `-o file.{csv,json,parquet,orc}` result writers with the reference's
   * single-file semantics (reference `src/cli/mod.rs:779-844` AnyWriter):
   * Spark writes a single-partition directory, then the part file is moved
-  * to the requested path.
+  * to the requested path. ORC stands in for the reference's optional
+  * Vortex format (SURVEY §2.1: no JVM Vortex exists; ORC is the closest
+  * columnar substitute Spark ships).
   */
 object Writers {
 
@@ -17,8 +19,9 @@ object Writers {
       case "csv" => "csv"
       case "json" | "ndjson" => "json"
       case "parquet" => "parquet"
+      case "orc" => "orc"
       case other => throw new IllegalArgumentException(
-        s"unsupported output extension .$other (csv, json, parquet)")
+        s"unsupported output extension .$other (csv, json, parquet, orc)")
     }
     val tmp = Files.createTempDirectory("graft-out").resolve("d").toString
     val writer = df.coalesce(1).write.mode("overwrite")

@@ -1,0 +1,128 @@
+package graft.server
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.arrow.memory.RootAllocator
+import org.apache.arrow.vector._
+import org.apache.arrow.vector.ipc.ArrowStreamWriter
+import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
+import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Arrow IPC result transport. The reference's process boundary is Arrow
+  * IPC: FlightSQL DoGet streams the stored plan's batches as Arrow Flight
+  * frames (`src/server/flightsql/service.rs:87-125`). This serializes a
+  * DataFrame to the Arrow streaming format with the arrow-vector API Spark
+  * already ships, so `/execute/:handle` can serve
+  * `application/vnd.apache.arrow.stream` and any Arrow reader gets the
+  * schema + batches intact.
+  *
+  * Rows are pulled with `toLocalIterator` (one partition buffered at a
+  * time, like the reference's incremental stream consumption) and written
+  * in bounded batches, so driver memory is batchSize rows, not the result.
+  * Complex columns (arrays/structs/maps) are cast to their string form
+  * first — the facade's JSON path renders them as strings too.
+  */
+object ArrowTransport {
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case BooleanType | ByteType | ShortType | IntegerType | LongType |
+        FloatType | DoubleType | StringType | BinaryType | DateType |
+        TimestampType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  private def toArrowField(f: StructField): Field = {
+    val t: ArrowType = f.dataType match {
+      case BooleanType => ArrowType.Bool.INSTANCE
+      case ByteType => new ArrowType.Int(8, true)
+      case ShortType => new ArrowType.Int(16, true)
+      case IntegerType => new ArrowType.Int(32, true)
+      case LongType => new ArrowType.Int(64, true)
+      case FloatType => new ArrowType.FloatingPoint(FloatingPointPrecision.SINGLE)
+      case DoubleType => new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)
+      case StringType => ArrowType.Utf8.INSTANCE
+      case BinaryType => ArrowType.Binary.INSTANCE
+      case DateType => new ArrowType.Date(DateUnit.DAY)
+      case TimestampType => new ArrowType.Timestamp(TimeUnit.MICROSECOND, "UTC")
+      case d: DecimalType => new ArrowType.Decimal(d.precision, d.scale, 128)
+      case other => throw new IllegalArgumentException(s"unsupported: $other")
+    }
+    new Field(f.name, FieldType.nullable(t), java.util.Collections.emptyList())
+  }
+
+  private def setValue(v: FieldVector, i: Int, row: Row, ord: Int, dt: DataType): Unit =
+    dt match {
+      case BooleanType =>
+        v.asInstanceOf[BitVector].setSafe(i, if (row.getBoolean(ord)) 1 else 0)
+      case ByteType => v.asInstanceOf[TinyIntVector].setSafe(i, row.getByte(ord))
+      case ShortType => v.asInstanceOf[SmallIntVector].setSafe(i, row.getShort(ord))
+      case IntegerType => v.asInstanceOf[IntVector].setSafe(i, row.getInt(ord))
+      case LongType => v.asInstanceOf[BigIntVector].setSafe(i, row.getLong(ord))
+      case FloatType => v.asInstanceOf[Float4Vector].setSafe(i, row.getFloat(ord))
+      case DoubleType => v.asInstanceOf[Float8Vector].setSafe(i, row.getDouble(ord))
+      case StringType =>
+        v.asInstanceOf[VarCharVector].setSafe(i,
+          row.getString(ord).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      case BinaryType =>
+        v.asInstanceOf[VarBinaryVector].setSafe(i, row.getAs[Array[Byte]](ord))
+      case DateType =>
+        v.asInstanceOf[DateDayVector].setSafe(i,
+          row.getDate(ord).toLocalDate.toEpochDay.toInt)
+      case TimestampType =>
+        val ts = row.getTimestamp(ord)
+        v.asInstanceOf[TimeStampMicroTZVector].setSafe(i,
+          ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L)
+      case _: DecimalType =>
+        v.asInstanceOf[DecimalVector].setSafe(i, row.getDecimal(ord))
+      case other => throw new IllegalArgumentException(s"unsupported: $other")
+    }
+
+  /** Serialize the DataFrame as one Arrow IPC stream (schema + batches). */
+  def toArrowStream(df: DataFrame, batchSize: Int = 4096): Array[Byte] = {
+    // complex columns travel as their string rendering
+    val flat = df.schema.fields.foldLeft(df) { (d, f) =>
+      if (supported(f.dataType)) d
+      else d.withColumn(f.name, col(f.name).cast("string"))
+    }
+    val schema = flat.schema
+    val arrowSchema = new ArrowSchema(
+      java.util.Arrays.asList(schema.fields.map(toArrowField): _*))
+    val allocator = new RootAllocator()
+    try {
+      val root = VectorSchemaRoot.create(arrowSchema, allocator)
+      try {
+        val out = new ByteArrayOutputStream()
+        val writer = new ArrowStreamWriter(root, null, out)
+        writer.start()
+        val it = flat.toLocalIterator()
+        while (it.hasNext) {
+          root.allocateNew()
+          var i = 0
+          while (i < batchSize && it.hasNext) {
+            val row = it.next()
+            schema.fields.zipWithIndex.foreach { case (f, ord) =>
+              val vec = root.getVector(ord)
+              if (row.isNullAt(ord)) vec match {
+                // setNull lives on the width-class bases, not FieldVector
+                case fw: BaseFixedWidthVector => fw.setNull(i)
+                case vw: BaseVariableWidthVector => vw.setNull(i)
+                case other => throw new IllegalArgumentException(
+                  s"unsupported vector: ${other.getClass}")
+              } else setValue(vec, i, row, ord, f.dataType)
+            }
+            i += 1
+          }
+          root.setRowCount(i)
+          writer.writeBatch()
+        }
+        writer.end()
+        writer.close()
+        out.toByteArray
+      } finally root.close()
+    } finally allocator.close()
+  }
+}

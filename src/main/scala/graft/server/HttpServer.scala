@@ -74,18 +74,34 @@ class HttpServer(ctx: ExecutionContext,
     bearerOk || basicOk
   }
 
+  private val ArrowMime = "application/vnd.apache.arrow.stream"
+
   private def handler(ex: HttpExchange): Unit = {
     val start = System.nanoTime()
     val ts = new java.sql.Timestamp(System.currentTimeMillis())
     val path = ex.getRequestURI.getPath
     var sqlRun: Option[String] = None
     var rowsOut: Option[Long] = None
+    var contentType = "application/json"
+    var rawBody: Option[Array[Byte]] = None
     val (status, body) =
       try {
         def ok(df: DataFrame): (Int, String) = {
           val (json, n) = toJsonArray(df)
           rowsOut = Some(n)
           (200, json)
+        }
+        // Arrow IPC negotiation on the execute path (the reference's DoGet
+        // boundary is Arrow IPC, `service.rs:87-125`)
+        def okNegotiated(df: DataFrame): (Int, String) = {
+          val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
+          if (accept.contains(ArrowMime)) {
+            val limited = df.limit(resultLimit)
+            rowsOut = Some(limited.count())
+            contentType = ArrowMime
+            rawBody = Some(ArrowTransport.toArrowStream(limited))
+            (200, "")
+          } else ok(df.limit(resultLimit))
         }
         if (!authorized(ex)) (401, """{"error":"unauthorized"}""")
         else (ex.getRequestMethod, path) match {
@@ -104,7 +120,7 @@ class HttpServer(ctx: ExecutionContext,
             (200, s"""{"handle":${jsonString(p.handle)},""" +
               s""""schema":${jsonString(p.schema.simpleString)}}""")
           case ("GET", ExecutePath(handle)) =>
-            ok(planCache.execute(handle).limit(resultLimit))
+            okNegotiated(planCache.execute(handle))
           case ("GET", ClosePath(handle)) =>
             (200, s"""{"closed":${planCache.close(handle)}}""")
           case ("GET", TablePath(_, _, table)) =>
@@ -128,8 +144,8 @@ class HttpServer(ctx: ExecutionContext,
       }
     ctx.observability.record(None, path, sqlRun, ts,
       (System.nanoTime() - start) / 1000000, rowsOut, status)
-    val bytes = body.getBytes(StandardCharsets.UTF_8)
-    ex.getResponseHeaders.set("Content-Type", "application/json")
+    val bytes = rawBody.getOrElse(body.getBytes(StandardCharsets.UTF_8))
+    ex.getResponseHeaders.set("Content-Type", contentType)
     ex.sendResponseHeaders(status, bytes.length.toLong)
     ex.getResponseBody.write(bytes)
     ex.close()

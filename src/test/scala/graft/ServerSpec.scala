@@ -88,6 +88,51 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("execute path serves Arrow IPC stream with schema intact") {
+    import org.apache.arrow.memory.RootAllocator
+    import org.apache.arrow.vector.ipc.ArrowStreamReader
+    val ctx = new ExecutionContext(spark)
+    val server = new HttpServer(ctx)
+    server.start()
+    try {
+      val (st, body) = post(server.boundPort, "/prepare",
+        """{"sql": "SELECT id, CAST(id AS STRING) AS s, id * 1.5 AS d, id % 2 = 0 AS b FROM RANGE(10) ORDER BY id"}""")
+      assert(st === 200)
+      val handle = """"handle":"([0-9a-f-]+)"""".r.findFirstMatchIn(body).get.group(1)
+      val req = HttpRequest.newBuilder(
+          URI.create(s"http://localhost:${server.boundPort}/execute/$handle"))
+        .header("Accept", "application/vnd.apache.arrow.stream").GET().build()
+      val resp = HttpClient.newHttpClient()
+        .send(req, HttpResponse.BodyHandlers.ofByteArray())
+      assert(resp.statusCode() === 200)
+      assert(resp.headers().firstValue("Content-Type").orElse("") ===
+        "application/vnd.apache.arrow.stream")
+      val allocator = new RootAllocator()
+      val reader = new ArrowStreamReader(
+        new java.io.ByteArrayInputStream(resp.body()), allocator)
+      try {
+        val schema = reader.getVectorSchemaRoot.getSchema
+        assert(schema.getFields.size === 4)
+        assert(schema.getFields.get(0).getName === "id")
+        assert(schema.getFields.get(1).getName === "s")
+        var rows = 0L
+        var ids = Seq.empty[Long]
+        while (reader.loadNextBatch()) {
+          val root = reader.getVectorSchemaRoot
+          rows += root.getRowCount
+          val idVec = root.getVector(0)
+            .asInstanceOf[org.apache.arrow.vector.BigIntVector]
+          ids ++= (0 until root.getRowCount).map(idVec.get(_))
+        }
+        assert(rows === 10L)
+        assert(ids === (0L until 10L))
+      } finally { reader.close(); allocator.close() }
+      // JSON negotiation still works on the same handle
+      val (stJson, rowsJson) = get(server.boundPort, s"/execute/$handle")
+      assert(stJson === 200 && rowsJson.startsWith("""[{"id":0"""))
+    } finally server.stop()
+  }
+
   test("HTTP requests execute concurrently (reference axum server is concurrent)") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._

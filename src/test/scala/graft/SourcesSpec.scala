@@ -40,4 +40,23 @@ class SourcesSpec extends SparkSpec {
     val back = spark.read.parquet(s"$tmp/q01")
     assert(back.collect().toSeq.toSet === df.collect().toSeq.toSet)
   }
+
+  test("ORC round-trips via DDL registration and the -o writer (vortex substitute)") {
+    val nation = Tables.load(spark, sf0001, "nation")
+    nation.write.mode("overwrite").orc(s"$tmp/nation_orc")
+    // reference DDL shape: STORED AS ORC (SURVEY §2.1 suggests ORC where
+    // the reference offers the optional Vortex format)
+    val ctx = new graft.exec.ExecutionContext(spark)
+    ctx.sql("DROP TABLE IF EXISTS orc_nation")
+    ctx.runScript(
+      s"CREATE EXTERNAL TABLE orc_nation STORED AS ORC LOCATION '$tmp/nation_orc'")
+    val back = ctx.sql("SELECT * FROM orc_nation")
+    assert(back.count() === nation.count())
+    assert(back.columns.sorted === nation.columns.sorted)
+    // single-file writer accepts .orc
+    val out = s"$tmp/out.orc"
+    cli.Writers.write(nation, out)
+    val single = spark.read.orc(out)
+    assert(single.count() === nation.count())
+  }
 }

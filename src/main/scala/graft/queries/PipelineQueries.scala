@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Verifiable wrappers over the training-data pipeline operators
   * (graft.operators): text analysis, dedup family, similarity search,
@@ -307,6 +307,53 @@ object PipelineQueries {
                      ORDER BY sim DESC, nid) AS rank FROM sims)
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // ---------------- sampling / screening ----------------
+    // Deterministic hash sampling (reproducible across engines — the
+    // oracle replays the same md5 bucket), the selection stage after
+    // cleaning/dedup in a corpus pipeline.
+    QueryDef("smp01_hash_sample", (s, d) =>
+      Sampling.hashBernoulli(Tables.load(s, d, "documents"), col("doc_id"), 0.25)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            < 0.25 * 65536
+      ORDER BY doc_id""")),
+
+    // per-language rebalancing: downsample the dominant language, keep
+    // the rest at higher rates — a broadcast rates join + narrow filter
+    QueryDef("smp02_stratified", (s, d) =>
+      Sampling.stratified(Tables.load(s, d, "documents"), col("lang"),
+          col("doc_id"),
+          Map("en" -> 0.1, "zh" -> 0.5, "es" -> 0.5, "de" -> 1.0, "fr" -> 0.25))
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id")),
+      Some("""
+      WITH rates(lang2, rate) AS (VALUES
+        ('en', 0.1), ('zh', 0.5), ('es', 0.5), ('de', 1.0), ('fr', 0.25))
+      SELECT d.doc_id, d.lang FROM documents d
+      JOIN rates r ON d.lang = r.lang2
+      WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+            < r.rate * 65536
+      ORDER BY d.doc_id""")),
+
+    // benchmark-contamination screen: docs whose normalized fingerprint
+    // matches the held-out set (here: every 10th doc stands in for an
+    // eval set) are flagged — including exact-duplicate texts of them
+    QueryDef("cnt01_contamination", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+        .select(TextOps.fingerprint(col("text")).as("fp"))
+      Sampling.contaminationScreen(docs, TextOps.fingerprint(col("text")), bench)
+        .select(col("doc_id"), col("contaminated")).orderBy(col("doc_id"))
+    }, Some(raw"""
+      WITH fps AS (SELECT doc_id,
+          MD5(LOWER(REGEXP_REPLACE(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      bench AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 10 = 0)
+      SELECT f.doc_id, (b.fp IS NOT NULL) AS contaminated
+      FROM fps f LEFT JOIN bench b ON f.fp = b.fp
+      ORDER BY f.doc_id""")),
 
     // ---------------- multimodal plumbing ----------------
     QueryDef("m01_multimodal_features", (s, d) =>

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Operator semantics on planted fixtures (duplicates the testdata lacks)
   * plus shape/recall properties on the real embeddings table.
@@ -14,6 +14,51 @@ class OperatorsSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     rows.toDF("doc_id", "text")
+  }
+
+  test("hash sampling is deterministic, key-stable, and near the target rate") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 4000L).toDF("k")
+    val once = Sampling.hashBernoulli(df, col("k"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    val again = Sampling.hashBernoulli(df.repartition(7), col("k"), 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(once === again) // partition layout must not change the sample
+    assert(math.abs(once.size / 4000.0 - 0.25) < 0.03)
+    // rate 0 and 1 are exact
+    assert(Sampling.hashBernoulli(df, col("k"), 0.0).count() === 0L)
+    assert(Sampling.hashBernoulli(df, col("k"), 1.0).count() === 4000L)
+  }
+
+  test("stratified sampling applies per-stratum rates; missing strata drop") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 3000L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("k", "g")
+    val sampled = Sampling.stratified(df, col("g"), col("k"),
+      Map("a" -> 1.0, "c" -> 0.5)).collect()
+    // every 'a' kept (rate 1.0), every 'b' dropped (no rate)
+    assert(sampled.forall(_.getString(1) == "a"))
+    assert(sampled.length === 1000)
+    // broadcast rates join: no shuffle of the data side
+    val plan = Sampling.stratified(df, col("g"), col("k"), Map("a" -> 0.5))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$plan")
+  }
+
+  test("contamination screen flags benchmark texts and their exact duplicates") {
+    val d = docs(
+      1L -> "held out eval prompt",
+      2L -> "held   OUT eval prompt", // normalizes to the same fingerprint
+      3L -> "ordinary training text")
+    val bench = d.filter(col("doc_id") === 1L)
+      .select(TextOps.fingerprint(col("text")).as("fp"))
+    val flags = Sampling.contaminationScreen(d,
+        TextOps.fingerprint(col("text")), bench)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated"))
+      .toMap
+    assert(flags === Map(1L -> true, 2L -> true, 3L -> false))
   }
 
   test("exact dedup groups identical texts under the min doc_id") {

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: assign documents to fixed token-budget packs for
+  * training-batch construction. Streaming fill in doc_id order — a doc
+  * lands in pack `floor(prior_tokens / budget)` of its shard, where
+  * prior_tokens is the running token count of earlier docs in the shard
+  * (a pack may overflow by the one document that crosses the boundary,
+  * the standard greedy fill).
+  *
+  * Scale shape: packing is SHARD-LOCAL. A single global greedy pack is a
+  * total order — one reducer at any size; sharding on `doc_id / shardSize`
+  * makes the running-sum window per-shard (bounded rows each) and the
+  * whole operator embarrassingly parallel, at the cost of at most one
+  * underfilled pack per shard. Token counts are the same whitespace
+  * tokenizer as [[TextOps]], so the DuckDB oracle replays the packing
+  * exactly.
+  */
+object Packing {
+
+  def packByBudget(docs: DataFrame, budget: Int = 512,
+      shardSize: Int = 100): DataFrame = {
+    val base = docs.select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      floor(col("doc_id") / shardSize.toDouble).cast("long").as("shard"))
+    val prior = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base
+      .withColumn("prior", coalesce(sum(col("n_tokens")).over(prior), lit(0L)))
+      .withColumn("pack_id",
+        floor(col("prior") / budget.toDouble).cast("long"))
+      .drop("prior")
+  }
+}

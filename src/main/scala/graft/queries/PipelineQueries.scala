@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
 
 /** Verifiable wrappers over the training-data pipeline operators
   * (graft.operators): text analysis, dedup family, similarity search,
@@ -354,6 +354,23 @@ object PipelineQueries {
       SELECT f.doc_id, (b.fp IS NOT NULL) AS contaminated
       FROM fps f LEFT JOIN bench b ON f.fp = b.fp
       ORDER BY f.doc_id""")),
+
+    // sequence packing: greedy token-budget fill per shard (training-batch
+    // construction); shard-local running sums keep it embarrassingly
+    // parallel — a global greedy pack would serialize on a total order
+    QueryDef("pck01_sequence_packing", (s, d) =>
+      Packing.packByBudget(Tables.load(s, d, "documents"), 512, 100)
+        .orderBy(col("doc_id")),
+      Some(raw"""
+      WITH t AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(FLOOR(doc_id / 100.0) AS BIGINT) AS shard
+        FROM documents)
+      SELECT doc_id, n_tokens, shard,
+        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          / 512.0) AS BIGINT) AS pack_id
+      FROM t ORDER BY doc_id""")),
 
     // ---------------- multimodal plumbing ----------------
     QueryDef("m01_multimodal_features", (s, d) =>

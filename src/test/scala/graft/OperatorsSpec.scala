@@ -61,6 +61,24 @@ class OperatorsSpec extends SparkSpec {
     assert(flags === Map(1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("sequence packing fills packs in order within the budget") {
+    val s = spark
+    import s.implicits._
+    // 10 docs of 200 tokens each, one shard: budget 512 => packs of
+    // ceil-ish fill: prior 0,200,400 -> pack 0; 600,800,1000 -> pack 1...
+    val d = (0L until 10L).map(i => (i, Seq.fill(200)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val packed = graft.operators.Packing.packByBudget(d, budget = 512,
+        shardSize = 100)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("pack_id")).toMap
+    assert(packed === Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L,
+      5L -> 1L, 6L -> 2L, 7L -> 2L, 8L -> 3L, 9L -> 3L))
+    // pack ids are monotone in doc order and shard-local
+    val sharded = graft.operators.Packing.packByBudget(d, 512, shardSize = 5)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
+    assert(sharded.map(_._2) === Set(0L, 1L))
+  }
+
   test("exact dedup groups identical texts under the min doc_id") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val got = Dedup.exact(d).collect().map(r =>

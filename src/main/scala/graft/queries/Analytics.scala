@@ -221,6 +221,19 @@ object Analytics {
       GROUP BY user_id ORDER BY user_id"""), headline = true),
 
     // ------------------------------------------------------------------
+    // Skew-safe exact distinct count (two-stage (key,value) spread): the
+    // rewrite that survives a hot key where a plain COUNT(DISTINCT) per
+    // key funnels one reducer. Oracle is the plain form — same results.
+    QueryDef("e03_distinct_users", (s, d) =>
+      graft.operators.Skew.exactDistinctCount(
+          t(s, d, "events"), col("event_type"), col("user_id"))
+        .withColumnRenamed("key", "event_type")
+        .orderBy(col("event_type")),
+      Some("""
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
     // Full frame/rank coverage: ntile, first_value, moving frame sum,
     // lag — the OVER-clause surface the reference inherits (SURVEY §2.6).
     QueryDef("w03_window_frames", (s, d) => {

@@ -584,26 +584,36 @@ object Tpch {
 
     // ------------------------------------------------------------------
     // Q21-style: suppliers whose line was the only late one on a
-    // multi-supplier finished order (EXISTS + NOT EXISTS → semi + anti).
+    // multi-supplier finished order. The EXISTS / NOT EXISTS pair is
+    // evaluated as ONE per-order min/max aggregate instead of two
+    // lineitem self-joins: "another supplier exists" ⟺ min(suppkey) ≠
+    // max(suppkey), and "no OTHER late supplier" ⟺ the late-supplier
+    // set is exactly {this supplier} ⟺ its min and max both equal
+    // l_suppkey. min/max partial-aggregate map-side, so the rewrite
+    // replaces two full shuffles of lineitem (semi + anti) with one
+    // shuffle of per-order 4-column summaries — the shape that survives
+    // a 100 TB lineitem. (Semi/anti planning itself stays exercised and
+    // plan-pinned by q04/q20/q22.)
     QueryDef("q21_waiting_suppliers", (s, d) => {
       val sup = t(s, d, "supplier")
-      val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
-      val late = t(s, d, "lineitem").as("l1")
-        .join(o, col("l1.l_orderkey") === o("o_orderkey") &&
-          col("l1.l_shipdate") > o("o_orderdate") + expr("INTERVAL 30 DAYS"))
-      val l2 = t(s, d, "lineitem")
-        .select(col("l_orderkey").as("l2_orderkey"), col("l_suppkey").as("l2_suppkey"))
-      val lateOther = t(s, d, "lineitem")
-        .join(t(s, d, "orders"),
-          col("l_orderkey") === col("o_orderkey") &&
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("is_late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"))
-        .select(col("l_orderkey").as("l3_orderkey"), col("l_suppkey").as("l3_suppkey"))
-      late
-        .join(l2, col("l1.l_orderkey") === col("l2_orderkey") &&
-          col("l1.l_suppkey") =!= col("l2_suppkey"), "left_semi")
-        .join(lateOther, col("l1.l_orderkey") === col("l3_orderkey") &&
-          col("l1.l_suppkey") =!= col("l3_suppkey"), "left_anti")
-        .join(sup, col("l1.l_suppkey") === sup("s_suppkey"))
+      val perOrder = joined.groupBy(col("l_orderkey").as("agg_orderkey"))
+        .agg(min(col("l_suppkey")).as("min_supp"),
+          max(col("l_suppkey")).as("max_supp"),
+          min(when(col("is_late"), col("l_suppkey"))).as("min_late"),
+          max(when(col("is_late"), col("l_suppkey"))).as("max_late"))
+      joined.filter(col("o_orderstatus") === "F" && col("is_late"))
+        .join(perOrder, col("l_orderkey") === col("agg_orderkey"))
+        .filter(col("min_supp") =!= col("max_supp") &&
+          col("min_late") === col("l_suppkey") &&
+          col("max_late") === col("l_suppkey"))
+        .join(sup, col("l_suppkey") === sup("s_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

@@ -79,7 +79,12 @@ object Dedup {
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
     // cache() is load-bearing: the deduped shingle set feeds the sizes
     // aggregate and BOTH self-join sides; without it each consumer
-    // recomputes the explode+distinct pipeline (measured 4x slower)
+    // recomputes the explode+distinct pipeline (measured 4x slower).
+    // Deliberately NOT pre-partitioned on the join key: an A/B showed a
+    // repartition(sk) before the cache 3x slower end-to-end — it forces a
+    // materialized exchange and pins the layout, while AQE already picks
+    // the cheaper join strategy (broadcast here; co-partitioned shuffle
+    // at corpus scale) from runtime sizes.
     val sh = shinglesWithDupes(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sk"))
       .distinct()

@@ -71,6 +71,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer survives a late event whose gap timeout trails the watermark") {
+    // Regression guard: EventTimeTimeout throws if a state timeout is set
+    // at/behind the current watermark, so sessionize clamps the timeout to
+    // watermark + 1. Spark 4.x additionally filters below-watermark rows
+    // before flatMapGroupsWithState (late-record filtering for stateful
+    // operators), so the late event must neither crash the query (the
+    // clamp) nor open a session (the filter) — this pins both behaviors.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+    val q = EventStream.sessionize(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("late_sessions").start()
+    try {
+      input.addData((1L, ts("10:00")), (2L, ts("12:30")))
+      q.processAllAvailable() // watermark advances to ~11:30
+      // user 3 is behind the watermark: 10:40 + 30min gap = 11:10 < 11:30
+      input.addData((3L, ts("10:40")))
+      q.processAllAvailable() // pre-fix: IllegalArgumentException here
+      // advance far enough to time every session out
+      input.addData((4L, ts("15:00")))
+      q.processAllAvailable()
+      input.addData((5L, ts("18:00")))
+      q.processAllAvailable()
+      val users = spark.table("late_sessions").collect()
+        .map(_.getAs[Long]("user_id")).toSet
+      assert(users.contains(1L) && users.contains(2L),
+        s"expected users 1 and 2 to close sessions, got $users")
+      assert(!users.contains(3L),
+        s"below-watermark event must not open a session, got $users")
+    } finally q.stop()
+  }
+
   test("watermark is attached to the streaming plan") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),

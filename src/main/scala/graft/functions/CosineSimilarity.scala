@@ -102,9 +102,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * hook, usable on an already-built session).
   */
 object NativeFunctions {
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim",
       exprs => CosineSimilarity(exprs.head, exprs(1)),
       "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hyperplane_bits",
+      exprs => HyperplaneBits(exprs.head, exprs(1), exprs(2)),
+      "built-in")
+  }
 }

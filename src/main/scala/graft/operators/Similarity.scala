@@ -155,6 +155,11 @@ object Similarity {
   /** Sign-bit signature of an embedding against the given hyperplanes, as a
     * '0'/'1' string. Pure per-row expressions (ordered fold per plane) — no
     * shuffle, no explode of the dense dimension.
+    *
+    * Composable-function form, kept as the portable reference (and pinned
+    * bit-identical to the native expression by PropertySpec); the LSH path
+    * uses [[nativeSignature]], which fuses all planes into one codegen'd
+    * pass ([[graft.functions.HyperplaneBits]]).
     */
   def hyperplaneSignature(vec: Column, planes: Array[Array[Double]]): Column =
     concat(planes.map { pl =>
@@ -163,6 +168,17 @@ object Similarity {
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, "1").otherwise("0")
     }: _*)
+
+  /** Codegen'd single-pass signature (all planes fused, zero per-row
+    * allocation beyond the output) — the hot-loop form for the corpus
+    * pass at scale.
+    */
+  private def nativeSignature(spark: SparkSession)(
+      vec: Column, planes: Array[Array[Double]]): Column = {
+    graft.functions.NativeFunctions.register(spark)
+    call_function("hyperplane_bits", vec,
+      typedlit(planes.flatten.toSeq), lit(planes.length))
+  }
 
   /** Scale path for embedding near-dup: random-hyperplane LSH. Each vector
     * gets a `planes`-bit sign signature (narrow, per-row); the signature is
@@ -185,7 +201,7 @@ object Similarity {
     val pls = simhashPlanes(dim, planes)
     val bandBits = planes / bands
     val sig = emb.select(col("vec_id"),
-      hyperplaneSignature(col("embedding"), pls).as("bits"))
+      nativeSignature(emb.sparkSession)(col("embedding"), pls).as("bits"))
     val bucketCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         substring(col("bits"), b * bandBits + 1, bandBits).as("bucket")))

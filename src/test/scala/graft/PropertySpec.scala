@@ -106,4 +106,26 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("native hyperplane bits equal the composable signature on random vectors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.NativeFunctions.register(spark)
+    val planes = graft.operators.Similarity.simhashPlanes(dim = 8, planes = 16)
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+    forSamples(Gen.listOfN(20, vec), n = 4) { vecs =>
+      val df = vecs.map(v => Tuple1(v.toArray)).toDF("x")
+      val rows = df.select(
+        call_function("hyperplane_bits", col("x"),
+          typedlit(planes.flatten.toSeq), lit(planes.length)).as("native"),
+        graft.operators.Similarity.hyperplaneSignature(col("x"), planes)
+          .as("composed"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getString(0) === r.getString(1))
+        assert(r.getString(0).length === 16)
+        assert(r.getString(0).forall(c => c == '0' || c == '1'))
+      }
+    }
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Packing, Sampling, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, Multimodal, Packing, Quantize, Sampling, Similarity, TextOps}
 
 /** Verifiable wrappers over the training-data pipeline operators
   * (graft.operators): text analysis, dedup family, similarity search,
@@ -371,6 +371,23 @@ object PipelineQueries {
           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
           / 512.0) AS BIGINT) AS pack_id
       FROM t ORDER BY doc_id""")),
+
+    // int8 embedding quantization (the 4x memory cut for corpus-scale
+    // embedding stores): integer outputs hash exactly, so the affine map
+    // itself is oracle-checked dimension by dimension
+    QueryDef("qz01_embed_quantize", (s, d) =>
+      Quantize.int8(Tables.load(s, d, "embeddings"))
+        .select(col("vec_id"), posexplode(col("qvec")).as(Seq("i", "q")))
+        .select(col("vec_id"), col("i").cast("long").as("i"), col("q"))
+        .orderBy(col("vec_id"), col("i")),
+      Some(s"""
+      WITH $ED,
+      st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM ed GROUP BY i)
+      SELECT e.vec_id, CAST(e.i - 1 AS BIGINT) AS i,
+        CAST(CASE WHEN st.mx = st.mn THEN 0
+             ELSE ROUND((e.v - st.mn) * 255.0 / (st.mx - st.mn)) END AS BIGINT) AS q
+      FROM ed e JOIN st ON st.i = e.i
+      ORDER BY vec_id, i""")),
 
     // ---------------- multimodal plumbing ----------------
     QueryDef("m01_multimodal_features", (s, d) =>

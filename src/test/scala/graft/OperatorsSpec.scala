@@ -79,6 +79,27 @@ class OperatorsSpec extends SparkSpec {
     assert(sharded.map(_._2) === Set(0L, 1L))
   }
 
+  test("int8 quantization bounds reconstruction error by half a step per dim") {
+    import graft.operators.Quantize
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val stats = Quantize.int8Stats(emb)
+    val q = Quantize.int8(emb)
+    // all quantized values are in [0, 255]
+    val range = q.select(explode(col("qvec")).as("q"))
+      .agg(min("q"), max("q")).head
+    assert(range.getLong(0) >= 0L && range.getLong(1) <= 255L)
+    // dequantized error per dimension <= (mx-mn)/255/2 (+ fp eps)
+    val err = emb.join(q, "vec_id")
+      .select(aggregate(
+          zip_with(col("embedding"),
+            Quantize.dequantize(col("qvec"), stats),
+            (a, b) => abs(a.cast("double") - b)),
+          lit(0.0), (acc, x) => greatest(acc, x)).as("max_err"))
+      .agg(max("max_err")).head.getDouble(0)
+    val maxStep = stats.map { case (mn, mx) => (mx - mn) / 255.0 / 2.0 }.max
+    assert(err <= maxStep + 1e-9, s"err $err > half-step $maxStep")
+  }
+
   test("exact dedup groups identical texts under the min doc_id") {
     val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
     val got = Dedup.exact(d).collect().map(r =>

@@ -103,9 +103,11 @@ object InformationSchema {
   }
 
   private val DottedName = """(?i)\binformation_schema\.(tables|columns|schemata)\b""".r
-  // reference catalog name for the version table (`catalog/mod.rs:47-68`);
-  // our session catalog registers it flat as `meta_versions`
+  // reference catalog names (`catalog/mod.rs:47-68` dft.meta.versions;
+  // `observability/mod.rs:42-68` dft.observability.requests); our session
+  // catalog registers them flat
   private val MetaVersions = """(?i)\bdft\.meta\.versions\b""".r
+  private val ObsRequests = """(?i)\bdft\.observability\.requests\b""".r
 
   /** Apply `f` to the segments of `sql` that lie outside single-quoted
     * string literals (doubled quotes are the SQL escape and do not close a
@@ -155,7 +157,9 @@ object InformationSchema {
           DottedName.replaceAllIn(seg,
             m => "information_schema_" + m.group(1).toLowerCase)
         }
-      MetaVersions.replaceAllIn(s1, _ => "meta_versions")
+      ObsRequests.replaceAllIn(
+        MetaVersions.replaceAllIn(s1, _ => "meta_versions"),
+        _ => "observability_requests")
     }
     if (matched) refresh(spark)
     out

@@ -79,6 +79,14 @@ class AppSurfaceSpec extends SparkSpec {
     assert(row.getAs[String]("spark") === spark.version)
   }
 
+  test("reference-named dft.observability.requests resolves through the rewrite") {
+    val ctx = new graft.exec.ExecutionContext(spark)
+    ctx.sqlObserved("SELECT 1 AS x").collect()
+    val n = ctx.sql("SELECT count(*) FROM dft.observability.requests")
+      .head.getLong(0)
+    assert(n >= 1L)
+  }
+
   test("information_schema references inside string literals are untouched") {
     val ctx = new graft.exec.ExecutionContext(spark)
     val lit = ctx.sql("SELECT 'information_schema.tables' AS s").collect().head

@@ -97,6 +97,30 @@ object Analytics {
         EXCEPT SELECT CAST(c_nationkey AS BIGINT) FROM customer)
       ORDER BY tag, nk""")),
 
+    // ALL-variants: multiset semantics (duplicates preserved), the set
+    // operators Spark plans as IntersectAll/ExceptAll rather than the
+    // dedup forms s01 covers.
+    QueryDef("s02_set_operations_all", (s, d) => {
+      val cn = t(s, d, "customer").select(col("c_nationkey").cast("long").as("nk"))
+      val sn = t(s, d, "supplier").select(col("s_nationkey").cast("long").as("nk"))
+      val ia = cn.intersectAll(sn).groupBy(col("nk"))
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("intersect_all"))
+      val ea = cn.exceptAll(sn).groupBy(col("nk"))
+        .agg(count(lit(1)).as("n")).withColumn("tag", lit("except_all"))
+      ia.unionAll(ea).select(col("tag"), col("nk"), col("n"))
+        .orderBy(col("tag"), col("nk"))
+    }, Some("""
+      SELECT 'intersect_all' AS tag, nk, COUNT(*) AS n FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        INTERSECT ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      GROUP BY nk
+      UNION ALL
+      SELECT 'except_all', nk, COUNT(*) FROM (
+        SELECT CAST(c_nationkey AS BIGINT) AS nk FROM customer
+        EXCEPT ALL SELECT CAST(s_nationkey AS BIGINT) FROM supplier)
+      GROUP BY nk
+      ORDER BY tag, nk""")),
+
     // ------------------------------------------------------------------
     // Scalar-function sampler: string / math / conditional / date parts.
     QueryDef("f01_scalar_functions", (s, d) => {
@@ -317,6 +341,28 @@ object Analytics {
         CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
       FROM orders
       GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")),
+
+    // ------------------------------------------------------------------
+    // Explicit GROUPING SETS through the SQL surface (per-status,
+    // per-priority and grand-total sets — neither a rollup nor a cube).
+    QueryDef("g03_grouping_sets", (s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("g03_orders")
+      s.sql("""
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+          COALESCE(o_orderpriority, 'ALL') AS priority,
+          COUNT(*) AS n,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+        FROM g03_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY status, priority""")
+    }, Some("""
+      SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       ORDER BY status, priority"""))
   )
 }

@@ -150,6 +150,22 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("bucket"), s"no bucket join in:\n$p")
   }
 
+  test("hash sampling is a pure narrow filter: no exchange in the plan") {
+    val p = plan("smp01_hash_sample")
+    // everything before the final ORDER BY is a scan + codegen'd filter;
+    // the selection itself must never shuffle the corpus
+    val beforeSort = p.split("Sort", 2).last
+    assert(!beforeSort.contains("Exchange hashpartitioning"),
+      s"sampling shuffles the corpus:\n$p")
+    assert(p.contains("Filter"), s"no filter stage in:\n$p")
+  }
+
+  test("contamination screen broadcasts the benchmark side") {
+    val p = plan("cnt01_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set not broadcast:\n$p")
+  }
+
   test("minhash signatures aggregate in a single exchange (no hash-id explosion)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")

@@ -65,6 +65,19 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 
+  /** Streaming exact deduplication on event_id, with state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark`): duplicates
+    * arriving within the tolerance window are dropped, and the dedup
+    * state for ids older than the watermark is evicted — the property
+    * that makes streaming dedup runnable forever, unlike an unbounded
+    * `dropDuplicates`. The streaming counterpart of the batch exact-dedup
+    * operator (Dedup.exact).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   // -------------------------------------------------------------------
   // Stateful sessionization: custom per-key state via
   // flatMapGroupsWithState — the Spark primitive for session semantics a

@@ -109,6 +109,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops in-watermark duplicates with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = EventStream.dedupStream(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      input.addData((1L, ts("10:00")), (2L, ts("10:05")))
+      q.processAllAvailable()
+      // duplicate of id 1 in a later batch, still within the watermark
+      input.addData((1L, ts("10:10")), (3L, ts("10:20")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").collect()
+        .map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L)) // each id exactly once
+      assert(ids.count(_ == 1L) === 1)
+    } finally q.stop()
+  }
+
   test("watermark is attached to the streaming plan") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),

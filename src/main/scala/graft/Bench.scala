@@ -1,5 +1,10 @@
 package graft
 
+import java.util.concurrent.Executors
+
+import scala.concurrent.{Await, ExecutionContext => EC, Future}
+import scala.concurrent.duration.Duration
+
 import org.apache.spark.sql.SparkSession
 
 import graft.queries.Registry
@@ -11,10 +16,22 @@ import graft.queries.Registry
   * Methodology matches the reference's `--bench` (default 10 iterations,
   * stats over warm runs — `crates/datafusion-app/src/config.rs:131-133`,
   * `local.rs:365-504`): each query runs `SPARK_GRAFT_ITERS` times (default
-  * 2) and reports the minimum, excluding one-time plan/codegen compilation
-  * from the steady-state number. Spark's DataFrame cache is cleared before
-  * every run so each iteration pays the full pipeline — no cached
-  * intermediates carry between runs.
+  * 3) and reports the minimum, excluding one-time plan/codegen compilation
+  * from the steady-state number.
+  *
+  * Isolation between entries: Spark's DataFrame cache is cleared before
+  * every run (no cached intermediates carry between runs), and a System.gc()
+  * after each query gives the ContextCleaner a chance to reclaim the
+  * broadcasts/shuffle state of everything before it — late-list queries
+  * otherwise pay the accumulated GC debt of the whole list. (The round-3
+  * d03/d02 "regression" was environmental on top of that: stale sbt/Spark
+  * JVMs from earlier sessions sharing the 32 CPUs. Min-of-3 plus isolation
+  * makes a single noisy run stop defining the number.)
+  *
+  * A second section measures CONCURRENT throughput (the reference's
+  * `--bench --concurrent` mode, `local.rs:422-431`): N parallel
+  * materializations of the same query over a fixed worker pool, reported as
+  * queries/sec in the `concurrent` JSON key.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,7 +49,7 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "2").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
 
     def materialize(name: String): Double = {
       val fn = SparkEntry.queries(name)
@@ -51,12 +68,46 @@ object Bench {
     materialize(headline.head)
     val results = headline.map { n =>
       val runs = (1 to iters).map(_ => materialize(n))
+      // reclaim this query's broadcasts/shuffles before the next entry
+      spark.catalog.clearCache()
+      System.gc()
       n -> (if (runs.contains(-1.0)) -1.0 else runs.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Concurrent throughput (reference `--bench --concurrent`): parallel
+    // materializations of the same query, queries/sec over wall time.
+    val concNames = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_QUERIES",
+      "q01_pricing_summary,q06_revenue_forecast,a01_ann_bruteforce")
+      .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
+    val concIters = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_ITERS", "8").toInt
+    val workers = math.min(concIters, cpus.toInt)
+    val concurrent = concNames.map { name =>
+      val fn = SparkEntry.queries(name)
+      spark.catalog.clearCache()
+      val pool = Executors.newFixedThreadPool(workers)
+      implicit val ec: EC = EC.fromExecutor(pool)
+      val t0 = System.nanoTime()
+      val qps = try {
+        Await.result(
+          Future.sequence((1 to concIters).map(_ => Future {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          })), Duration.Inf)
+        concIters / ((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] concurrent $name failed: ${e.getMessage}")
+        -1.0
+      } finally pool.shutdown()
+      spark.catalog.clearCache()
+      System.gc()
+      name -> qps
+    }
+    val cs = concurrent.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"concurrent_qps":$cs,"concurrent_iters":$concIters,"concurrent_workers":$workers,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -102,14 +102,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * hook, usable on an already-built session).
   */
 object NativeFunctions {
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim",
-      exprs => CosineSimilarity(exprs.head, exprs(1)),
-      "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hyperplane_bits",
-      exprs => HyperplaneBits(exprs.head, exprs(1), exprs(2)),
-      "built-in")
+  /** Idempotent per session: re-registering an existing temp function makes
+    * SimpleFunctionRegistry log a replacement warning per call site, so skip
+    * names the session registry already has.
+    */
+  def register(spark: SparkSession): Unit = synchronized {
+    val reg = spark.sessionState.functionRegistry
+    def registerOnce(name: String,
+        builder: Seq[Expression] => Expression): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    registerOnce("cosine_sim",
+      exprs => CosineSimilarity(exprs.head, exprs(1)))
+    registerOnce("hyperplane_bits",
+      exprs => HyperplaneBits(exprs.head, exprs(1), exprs(2)))
   }
 }

@@ -122,11 +122,23 @@ object Similarity {
   }
 
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
-    * Exact quadratic BASELINE (an oracle for recall measurement) — the
-    * production path at scale is [[nearDupPairsLsh]], which buckets with
-    * random hyperplanes instead of comparing all pairs.
+    * Exact quadratic BASELINE (the ground truth [[nearDupPairsLsh]]'s recall
+    * is measured against — OperatorsSpec pins that number) — the production
+    * path at scale is the LSH variant, which buckets with random hyperplanes
+    * instead of comparing all pairs.
+    *
+    * GATED: `maxRows` is the caller's explicit opt-in to the O(N²) cost
+    * (the same pattern as `maxDocFreq` on the Jaccard join). The input
+    * cardinality is counted up front and the operator refuses to build the
+    * quadratic join above the cap, so a pipeline can't silently point the
+    * exact baseline at a corpus-sized relation.
     */
-  def nearDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def nearDupPairs(emb: DataFrame, threshold: Double, maxRows: Long): DataFrame = {
+    val n = emb.count()
+    require(n <= maxRows,
+      s"nearDupPairs is the exact O(N^2) baseline: input has $n rows, " +
+        s"caller capped it at $maxRows. Use nearDupPairsLsh for large inputs " +
+        "or raise maxRows explicitly to accept the quadratic cost.")
     val cos = nativeCosine(emb.sparkSession) _
     val a = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
     val b = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
@@ -193,11 +205,49 @@ object Similarity {
     * per vector is `planes` bits. Recall tunes with bands-vs-band-width
     * exactly as MinHash LSH does.
     */
+  /** `dim`: embedding dimensionality. Pass it when known (it's schema-level
+    * metadata for a real corpus); the default -1 probes the first row,
+    * costing one extra Spark job per invocation.
+    */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
-      planes: Int = 32, bands: Int = 4): DataFrame = {
+      planes: Int = 32, bands: Int = 4, dim: Int = -1): DataFrame = {
     require(planes % bands == 0, "planes must divide evenly into bands")
     val cos = nativeCosine(emb.sparkSession) _
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
+    val resolvedDim =
+      if (dim > 0) dim
+      else emb.select(size(col("embedding"))).head(1) match {
+        case Array(r) => r.getInt(0)
+        case _ => // empty input: no pairs, skip the plane/bucket machinery
+          return emb.sparkSession.emptyDataFrame
+            .select(lit(0L).as("a"), lit(0L).as("b"),
+              lit(0.0).as("cos_sim")).limit(0)
+      }
+    // The cached (vec_id, band, bucket) relation feeds both sides of the
+    // self-join; the candidate set is then pinned with an eager
+    // localCheckpoint so the cache can be released immediately. A bare
+    // cache() left registered would accumulate across invocations
+    // (CacheManager entries are never GC-reclaimed), while a checkpointed
+    // RDD is dropped by the ContextCleaner once the result is unreachable.
+    val (buckets, lazyCand) = lshCandidates(emb, planes, bands, resolvedDim)
+    val cand =
+      try lazyCand.localCheckpoint(true)
+      finally buckets.unpersist(false)
+    val va = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val vb = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("cos_sim", cos(col("va"), col("vb")))
+      .filter(col("cos_sim") > threshold)
+      .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
+  /** LSH candidate stage, exposed lazily so ScaleSpec can pin its plan
+    * shape (bucket-equality join, never BNLJ/cartesian) — the public
+    * operator checkpoints it, which hides the stage from the final plan.
+    * Returns (cached buckets relation, candidate pairs built on it); the
+    * caller owns unpersisting the buckets once candidates materialize.
+    */
+  private[graft] def lshCandidates(emb: DataFrame, planes: Int, bands: Int,
+      dim: Int): (DataFrame, DataFrame) = {
     val pls = simhashPlanes(dim, planes)
     val bandBits = planes / bands
     val sig = emb.select(col("vec_id"),
@@ -205,9 +255,6 @@ object Similarity {
     val bucketCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),
         substring(col("bits"), b * bandBits + 1, bandBits).as("bucket")))
-    // cache() the tiny (vec_id, band, bucket) relation: it feeds both
-    // sides of the self-join, and recomputing it would re-run the
-    // signature pass over the corpus twice
     val buckets = sig.select(col("vec_id"),
         explode(array(bucketCols: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -217,11 +264,6 @@ object Similarity {
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
       .distinct()
-    val va = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
-    val vb = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
-    cand.join(va, Seq("a")).join(vb, Seq("b"))
-      .withColumn("cos_sim", cos(col("va"), col("vb")))
-      .filter(col("cos_sim") > threshold)
-      .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
+    (buckets, cand)
   }
 }

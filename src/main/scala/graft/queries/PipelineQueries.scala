@@ -196,8 +196,10 @@ object PipelineQueries {
         string_agg(CASE WHEN sv >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
+    // maxRows is the explicit opt-in to the O(N^2) baseline: test-scale
+    // embeddings are ~2k vectors; anything corpus-sized must go through d06.
     QueryDef("d05_embed_neardup", (s, d) =>
-      Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.3)
+      Similarity.nearDupPairs(Tables.load(s, d, "embeddings"), 0.3, maxRows = 10000L)
         .orderBy(col("cos_sim").desc, col("a"), col("b")).limit(200),
       Some(s"""
       WITH $ED,

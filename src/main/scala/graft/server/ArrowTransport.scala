@@ -81,8 +81,12 @@ object ArrowTransport {
       case other => throw new IllegalArgumentException(s"unsupported: $other")
     }
 
-  /** Serialize the DataFrame as one Arrow IPC stream (schema + batches). */
-  def toArrowStream(df: DataFrame, batchSize: Int = 4096): Array[Byte] = {
+  /** Serialize the DataFrame as one Arrow IPC stream (schema + batches).
+    * Returns the stream bytes and the row count, tallied while writing, so
+    * callers that need both (the HTTP facade's observability row) never
+    * execute the plan a second time just to count.
+    */
+  def toArrowStream(df: DataFrame, batchSize: Int = 4096): (Array[Byte], Long) = {
     // complex columns travel as their string rendering
     val flat = df.schema.fields.foldLeft(df) { (d, f) =>
       if (supported(f.dataType)) d
@@ -99,6 +103,7 @@ object ArrowTransport {
         val writer = new ArrowStreamWriter(root, null, out)
         writer.start()
         val it = flat.toLocalIterator()
+        var total = 0L
         while (it.hasNext) {
           root.allocateNew()
           var i = 0
@@ -117,11 +122,12 @@ object ArrowTransport {
             i += 1
           }
           root.setRowCount(i)
+          total += i
           writer.writeBatch()
         }
         writer.end()
         writer.close()
-        out.toByteArray
+        (out.toByteArray, total)
       } finally root.close()
     } finally allocator.close()
   }

@@ -96,10 +96,14 @@ class HttpServer(ctx: ExecutionContext,
         def okNegotiated(df: DataFrame): (Int, String) = {
           val accept = Option(ex.getRequestHeaders.getFirst("Accept")).getOrElse("")
           if (accept.contains(ArrowMime)) {
-            val limited = df.limit(resultLimit)
-            rowsOut = Some(limited.count())
+            // single pass: rows are counted while the batches are encoded,
+            // and the Arrow content type is committed only after the stream
+            // serialized — a failure mid-encode falls through to the JSON
+            // error body with the JSON content type
+            val (bytes, n) = ArrowTransport.toArrowStream(df.limit(resultLimit))
+            rowsOut = Some(n)
             contentType = ArrowMime
-            rawBody = Some(ArrowTransport.toArrowStream(limited))
+            rawBody = Some(bytes)
             (200, "")
           } else ok(df.limit(resultLimit))
         }

@@ -142,12 +142,24 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("embedding near-dup LSH path never plans an all-pairs join") {
-    val p = plan("d06_embed_lsh")
-    assert(!p.contains("BroadcastNestedLoopJoin"),
-      s"all-pairs BNLJ in LSH path:\n$p")
-    assert(!p.contains("CartesianProduct"), s"cartesian in LSH path:\n$p")
-    // candidate generation is a bucket-equality join on the band slices
-    assert(p.contains("bucket"), s"no bucket join in:\n$p")
+    // the public operator checkpoints the candidate stage (so the cached
+    // buckets relation can be released eagerly), which hides it from the
+    // final plan — pin the candidate stage's own plan instead
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val (buckets, cand) =
+      graft.operators.Similarity.lshCandidates(emb, planes = 32, bands = 4, dim = 64)
+    try {
+      val p = cand.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"all-pairs BNLJ in LSH path:\n$p")
+      assert(!p.contains("CartesianProduct"), s"cartesian in LSH path:\n$p")
+      // candidate generation is a bucket-equality join on the band slices
+      assert(p.contains("bucket"), s"no bucket join in:\n$p")
+      // and the full operator still refuses an all-pairs fallback
+      val full = plan("d06_embed_lsh")
+      assert(!full.contains("BroadcastNestedLoopJoin") &&
+        !full.contains("CartesianProduct"), s"all-pairs in d06 plan:\n$full")
+    } finally buckets.unpersist(false)
   }
 
   test("hash sampling is a pure narrow filter: no exchange in the plan") {

@@ -81,10 +81,17 @@ class ExecutionContext(val spark: SparkSession,
 
   /** Run every statement in a DDL script (translating the reference's
     * `CREATE EXTERNAL TABLE ... STORED AS fmt LOCATION 'p'` to Spark DDL),
-    * returning the last result.
+    * returning the last result. `STORED AS DELTATABLE` (reference
+    * `extensions/deltalake.rs:36-52`) can't become a single Spark DDL
+    * statement — the live file set comes from replaying the table's
+    * `_delta_log` — so it registers through [[graft.sources.DeltaLog]].
     */
   def runScript(script: String): Seq[DataFrame] =
-    splitStatements(script).map(s => sql(DdlTranslate(s)))
+    splitStatements(script).map {
+      case DdlTranslate.DeltaTable(name, loc) =>
+        graft.sources.DeltaLog.register(spark, name, loc)
+      case s => sql(DdlTranslate(s))
+    }
 }
 
 /** `CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION 'p'` (reference
@@ -93,6 +100,17 @@ class ExecutionContext(val spark: SparkSession,
 object DdlTranslate {
   private val External =
     """(?is)CREATE\s+EXTERNAL\s+TABLE\s+(\S+)\s*(\([^)]*\))?\s*STORED\s+AS\s+(\w+)\s+LOCATION\s+'([^']+)'""".r
+
+  /** Extractor for the Delta variant, which needs log replay instead of a
+    * translated statement.
+    */
+  object DeltaTable {
+    def unapply(statement: String): Option[(String, String)] = statement match {
+      case External(name, _, fmt, loc) if fmt.equalsIgnoreCase("deltatable") =>
+        Some((name, loc))
+      case _ => None
+    }
+  }
 
   def apply(statement: String): String = statement match {
     case External(name, cols, fmt, loc) =>

@@ -49,12 +49,16 @@ case class HyperplaneBits(vec: Expression, planesFlat: Expression,
       case ArrayType(DoubleType, _) => true
       case _ => false
     }) && planesFlat.foldable
-    val nOk = numPlanes.dataType == IntegerType && numPlanes.foldable
+    val nOk = numPlanes.dataType == IntegerType && numPlanes.foldable &&
+      (numPlanes.eval() match {
+        case n: Integer => n > 0
+        case _ => false
+      })
     if (vecOk && planesOk && nOk)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
       s"$prettyName requires (array<float|double> vec, foldable " +
-        s"array<double> planes, foldable int numPlanes), got " +
+        s"array<double> planes, foldable int numPlanes > 0), got " +
         s"${vec.dataType.catalogString}, ${planesFlat.dataType.catalogString}, " +
         s"${numPlanes.dataType.catalogString}")
   }
@@ -68,7 +72,12 @@ case class HyperplaneBits(vec: Expression, planesFlat: Expression,
 
   private def compute(v: ArrayData): UTF8String = {
     val isFloat = vecIsFloat
-    val n = math.min(v.numElements(), dim)
+    // a silent partial dot would diverge from the composable form (which
+    // null-pads via zip_with) — refuse mismatched vectors in both paths
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"hyperplane_bits: vector length ${v.numElements()} != plane dim $dim")
+    val n = dim
     val out = new Array[Byte](nPlanes)
     var p = 0
     while (p < nPlanes) {
@@ -104,7 +113,12 @@ case class HyperplaneBits(vec: Expression, planesFlat: Expression,
         val dot = ctx.freshName("dot")
         val i = ctx.freshName("i")
         s"""
-           |int $n = java.lang.Math.min($v.numElements(), $dim);
+           |if ($v.numElements() != $dim) {
+           |  throw new IllegalArgumentException(
+           |    "hyperplane_bits: vector length " + $v.numElements() +
+           |    " != plane dim " + $dim);
+           |}
+           |int $n = $dim;
            |byte[] $out = new byte[$nPlanes];
            |for (int $p = 0; $p < $nPlanes; $p++) {
            |  int $base = $p * $dim;

@@ -43,23 +43,29 @@ object Sampling {
       rates: Map[String, Double]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rdf = rates.toSeq.toDF("stratum", "rate")
-    df.join(broadcast(rdf), strata === col("stratum"))
-      .filter(bucket16(key) < col("rate") * 65536d)
-      .drop("stratum", "rate")
+    // collision-proof internal names + alias-qualified references, so an
+    // input that already has a `stratum`/`rate` column neither collides
+    // nor gets dropped
+    val rdf = rates.toSeq.toDF("__graft_stratum", "__graft_rate").as("__graft_rates")
+    df.join(broadcast(rdf), strata === rdf("__graft_stratum"))
+      .filter(bucket16(key) < rdf("__graft_rate") * 65536d)
+      .drop("__graft_stratum", "__graft_rate")
   }
 
   /** Flag corpus rows whose fingerprint appears in the benchmark set
     * (contamination against eval data). `benchmarkFps` must expose a
-    * single `fp` column; it is deduped and broadcast.
+    * single `fp` column; it is deduped and broadcast. The output carries
+    * the computed fingerprint as `fp` and the flag as `contaminated`
+    * (overwriting same-named input columns, as `withColumn` semantics go);
+    * the join key itself is an internal name that cannot collide.
     */
   def contaminationScreen(corpus: DataFrame, fp: Column,
       benchmarkFps: DataFrame): DataFrame = {
     val bench = broadcast(
-      benchmarkFps.select(col("fp").as("bench_fp")).distinct())
+      benchmarkFps.select(col("fp").as("__graft_bench_fp")).distinct())
     corpus.withColumn("fp", fp)
-      .join(bench, col("fp") === col("bench_fp"), "left")
-      .withColumn("contaminated", col("bench_fp").isNotNull)
-      .drop("bench_fp")
+      .join(bench, col("fp") === col("__graft_bench_fp"), "left")
+      .withColumn("contaminated", col("__graft_bench_fp").isNotNull)
+      .drop("__graft_bench_fp")
   }
 }

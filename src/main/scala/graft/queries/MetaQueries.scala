@@ -66,6 +66,27 @@ object MetaQueries {
       s.table("map01_src").orderBy(col("id"))
     }, Some("""
       SELECT * FROM (VALUES (CAST(1 AS BIGINT), 'a'), (2, 'b2')) t(id, val)
-      ORDER BY id"""))
+      ORDER BY id""")),
+
+    // Observability requests table (reference `observability/mod.rs:42-158`):
+    // a fresh context records one row per executed statement — including the
+    // 500 row for a failing one — and the table is queryable as SQL. Only
+    // the deterministic columns are compared (timestamp/duration vary).
+    QueryDef("o01_observability", (s, _) => {
+      val ctx = new graft.exec.ExecutionContext(s)
+      ctx.sqlObserved("SELECT 1 AS one", "obs_a")
+      ctx.sqlObserved("SELECT 2 AS two", "obs_b")
+      try { ctx.sqlObserved("SELECT * FROM no_such_table_o01", "obs_c"); () }
+      catch { case _: Exception => () }
+      ctx.sql(
+        """SELECT path, sql AS stmt, CAST(status AS BIGINT) AS status
+          |FROM observability_requests ORDER BY path""".stripMargin)
+    }, Some("""
+      SELECT * FROM (VALUES
+        ('obs_a', 'SELECT 1 AS one', CAST(200 AS BIGINT)),
+        ('obs_b', 'SELECT 2 AS two', 200),
+        ('obs_c', 'SELECT * FROM no_such_table_o01', 500))
+        t(path, stmt, status)
+      ORDER BY path"""))
   )
 }

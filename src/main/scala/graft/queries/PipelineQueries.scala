@@ -216,7 +216,9 @@ object PipelineQueries {
     // d06 is the scale path d05 baselines: hyperplane-LSH bucketing instead
     // of all-pairs. The oracle replays the exact md5-derived planes, sign
     // bits, banding and bucket join, so the approximate pipeline itself is
-    // hash-checked end to end.
+    // hash-checked end to end. 64 planes in 16 4-bit bands: the band curve
+    // that holds recall >=0.9 down to the corpus's true-pair cosines
+    // (OperatorsSpec measures it against the exact baseline).
     QueryDef("d06_embed_lsh", (s, d) =>
       Similarity.nearDupPairsLsh(Tables.load(s, d, "embeddings"), 0.35)
         .orderBy(col("cos_sim").desc, col("a"), col("b")),
@@ -226,7 +228,7 @@ object PipelineQueries {
             CASE WHEN ascii(substring(md5(CAST(pr.p AS VARCHAR) || ':' ||
                    CAST(ir.i AS VARCHAR)), 1, 1)) % 2 = 1
                  THEN 1.0 ELSE -1.0 END AS s
-          FROM (SELECT unnest(range(0, 32)) AS p) pr,
+          FROM (SELECT unnest(range(0, 64)) AS p) pr,
                (SELECT DISTINCT i FROM ed) ir),
       proj AS (SELECT ed.vec_id, pl.p, SUM(ed.v * pl.s) AS dot
                FROM ed JOIN planes pl ON pl.i = ed.i GROUP BY ed.vec_id, pl.p),
@@ -234,8 +236,8 @@ object PipelineQueries {
                 string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
                   ORDER BY p) AS bits
               FROM proj GROUP BY vec_id),
-      buckets AS (SELECT vec_id, b AS band, substring(bits, b*8+1, 8) AS bucket
-                  FROM sig, (SELECT unnest(range(0, 4)) AS b) bb),
+      buckets AS (SELECT vec_id, b AS band, substring(bits, b*4+1, 4) AS bucket
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b) bb),
       cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
                FROM buckets x JOIN buckets y
                  ON x.band = y.band AND x.bucket = y.bucket

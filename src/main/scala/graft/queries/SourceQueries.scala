@@ -21,9 +21,15 @@ import graft.exec.ExecutionContext
   */
 object SourceQueries {
 
-  // fixed absolute staging dir: the oracle SQL must name the same files
-  // the Spark side wrote, regardless of either process's cwd
-  private val stage = "/root/repo/target/xio"
+  // absolute staging dir: the oracle SQL must name the same files the Spark
+  // side wrote, so the resolved path is embedded in the SQL text. Resolved
+  // from the working directory (sbt forks run at the project root) with a
+  // property/env override, instead of a literal checkout path.
+  private val stage: String =
+    sys.props.get("graft.stage.dir")
+      .orElse(sys.env.get("GRAFT_STAGE_DIR"))
+      .getOrElse(new java.io.File(
+        sys.props("user.dir"), "target/xio").getAbsolutePath)
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -61,6 +67,80 @@ object SourceQueries {
         CAST(s_nationkey AS BIGINT) AS s_nationkey,
         CAST(s_acctbal AS DOUBLE) AS s_acctbal
       FROM read_ndjson('$stage/supplier_json/*.json')
-      ORDER BY s_suppkey"""))
+      ORDER BY s_suppkey""")),
+
+    // Delta snapshot read (reference DELTATABLE factory,
+    // `extensions/deltalake.rs:36-52`, test `extension_cases/deltalake.rs:
+    // 23-44`): stage a 2-commit Delta table whose log both adds and REMOVES
+    // a file — commit 0 adds files A and C, commit 1 adds B and removes C —
+    // then scan it through the DDL path. The oracle reads exactly the two
+    // files a correct log replay leaves live; if the reader ever served the
+    // removed file (or missed an add), rows and hash both break.
+    QueryDef("x03_delta_scan", (s, d) => {
+      val dir = s"$stage/nation_delta"
+      stageDeltaNation(s, d, dir)
+      val ctx = new ExecutionContext(s)
+      ctx.runScript(s"CREATE EXTERNAL TABLE x03_nation STORED AS DELTATABLE LOCATION '$dir'")
+      ctx.sql(
+        """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+          |  CAST(n_regionkey AS BIGINT) AS n_regionkey
+          |FROM x03_nation ORDER BY n_nationkey""".stripMargin)
+    }, Some(s"""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM read_parquet(['$stage/nation_delta/data-00000.parquet',
+                         '$stage/nation_delta/data-00001.parquet'])
+      ORDER BY n_nationkey"""))
   )
+
+  /** Deterministic Delta table from the nation parquet: three data files,
+    * two commits, one remove action. Rebuilt from scratch on every call so
+    * the staged table never drifts from the inputs.
+    */
+  private def stageDeltaNation(s: org.apache.spark.sql.SparkSession,
+      d: String, dir: String): Unit = {
+    import java.io.File
+    import java.nio.charset.StandardCharsets
+    import java.nio.file.{Files, StandardCopyOption}
+
+    def rm(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    val root = new File(dir)
+    rm(root)
+    val logDir = new File(root, "_delta_log")
+    require(logDir.mkdirs(), s"cannot create $logDir")
+
+    val nation = Tables.load(s, d, "nation")
+    def writeData(pred: org.apache.spark.sql.Column, name: String): Unit = {
+      val tmp = new File(root, s"_stage_$name")
+      nation.where(pred).coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      Files.move(part.toPath, new File(root, name).toPath,
+        StandardCopyOption.REPLACE_EXISTING)
+      rm(tmp)
+    }
+    writeData(col("n_nationkey") < 10, "data-00000.parquet")
+    writeData(col("n_nationkey") >= 10 && col("n_nationkey") < 20, "data-00001.parquet")
+    writeData(col("n_nationkey") >= 20, "data-00002.parquet")
+
+    def add(p: String) =
+      s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+    def remove(p: String) =
+      s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":true}}"""
+    def writeCommit(version: Long, lines: Seq[String]): Unit =
+      Files.write(new File(logDir, f"$version%020d.json").toPath,
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+
+    writeCommit(0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      """{"metaData":{"id":"x03-nation","format":{"provider":"parquet","options":{}},"partitionColumns":[]}}""",
+      add("data-00000.parquet"),
+      add("data-00002.parquet")))
+    writeCommit(1, Seq(
+      add("data-00001.parquet"),
+      remove("data-00002.parquet")))
+  }
 }

@@ -116,6 +116,13 @@ class HttpServer(ctx: ExecutionContext,
             ok(ctx.sql(sql).limit(resultLimit))
           case ("GET", "/catalog") =>
             ok(FlightSqlCatalogs.getTables(ctx))
+          case ("GET", "/metrics") =>
+            // Prometheus text exposition (reference runs a dedicated
+            // metrics server, `src/server/mod.rs`); rendered before this
+            // request's own observability record, so it reports completed
+            // requests only
+            contentType = "text/plain; version=0.0.4; charset=utf-8"
+            (200, PrometheusText.render(ctx.observability.records))
           case ("POST", "/prepare") =>
             val raw = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
             val sql = extractSql(raw)

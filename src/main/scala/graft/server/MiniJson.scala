@@ -7,7 +7,21 @@ package graft.server
   * (including `\uXXXX`), so escape sequences cannot corrupt each other the
   * way chained `String.replace` calls do.
   */
-private[server] object MiniJson {
+private[graft] object MiniJson {
+
+  /** Full parse of one JSON object: nested objects come back as
+    * `Map[String, Any]`, arrays as `Seq[Any]`, strings/booleans/nulls as
+    * themselves, numbers as `Double`. Used by the Delta log reader, whose
+    * commit files are one action object per line.
+    */
+  def parseObject(s: String): Option[Map[String, Any]] =
+    try {
+      val p = new Parser(s)
+      p.ws()
+      val fields = p.obj()
+      p.ws()
+      if (p.pos != s.length) None else Some(fields)
+    } catch { case _: ParseError => None }
 
   /** Top-level object's string field `key`, if the body parses as a JSON
     * object and carries that field as a string.

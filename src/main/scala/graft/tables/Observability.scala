@@ -29,6 +29,12 @@ class Observability(spark: SparkSession) {
     spark.createDataFrame(spark.sparkContext.parallelize(buf.toSeq, 1), schema)
   }
 
+  /** Snapshot of the recorded rows (driver-side; the buffer is the same
+    * bounded request log the temp view serves). Feeds the /metrics
+    * exposition without a Spark job.
+    */
+  def records: Seq[Row] = synchronized(buf.toList)
+
   /** Expose as `observability_requests` (Spark temp views are single-level;
     * the reference name is `dft.observability.requests`).
     */

@@ -10,6 +10,23 @@ import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
   */
 class OperatorsSpec extends SparkSpec {
 
+  test("embedding LSH recall vs the exact all-pairs baseline") {
+    val emb = Tables.load(spark, sf001, "embeddings")
+    // ground truth from the gated exact baseline (its one sanctioned use)
+    val exact = Similarity.nearDupPairs(emb, 0.35, maxRows = 10000L)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDupPairsLsh(emb, 0.35, dim = 64)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture has no near-dup pairs to measure against")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    info(f"d06 recall vs d05 ground truth: $recall%.3f " +
+      s"(${lsh.intersect(exact).size}/${exact.size} pairs)")
+    // no false positives by construction: every candidate is re-scored
+    // against the exact cosine before the threshold filter
+    assert(lsh.subsetOf(exact), "LSH emitted a pair the exact baseline lacks")
+    assert(recall >= 0.9, f"recall $recall%.3f below floor 0.9")
+  }
+
   private def docs(rows: (Long, String)*) = {
     val s = spark
     import s.implicits._

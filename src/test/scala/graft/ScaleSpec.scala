@@ -147,7 +147,7 @@ class ScaleSpec extends SparkSpec {
     // final plan — pin the candidate stage's own plan instead
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val (buckets, cand) =
-      graft.operators.Similarity.lshCandidates(emb, planes = 32, bands = 4, dim = 64)
+      graft.operators.Similarity.lshCandidates(emb, planes = 64, bands = 16, dim = 64)
     try {
       val p = cand.queryExecution.executedPlan.toString
       assert(!p.contains("BroadcastNestedLoopJoin"),

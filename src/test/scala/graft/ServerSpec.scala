@@ -52,6 +52,31 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("/metrics serves Prometheus text; counters increment across requests") {
+    val ctx = new ExecutionContext(spark)
+    val server = new HttpServer(ctx, resultLimit = 100)
+    server.start()
+    try {
+      post(server.boundPort, "/sql", "SELECT id FROM RANGE(4) ORDER BY id")
+      post(server.boundPort, "/sql", "SELECT 1 AS one")
+      post(server.boundPort, "/sql", "SELECT * FROM nope_metrics")
+      val (st, body) = get(server.boundPort, "/metrics")
+      assert(st === 200)
+      assert(body.contains("# TYPE graft_requests_total counter"))
+      assert(body.contains("""graft_requests_total{path="/sql",status="200"} 2"""))
+      assert(body.contains("""graft_requests_total{path="/sql",status="400"} 1"""))
+      // histogram: every /sql request lands in some bucket; count totals 3
+      assert(body.contains("""graft_request_duration_ms_count{path="/sql"} 3"""))
+      assert(body.contains("""graft_request_duration_ms_bucket{path="/sql",le="+Inf"} 3"""))
+      // rows served: 4 + 1 from the two successful queries
+      assert(body.contains("""graft_rows_served_total{path="/sql"} 5"""))
+      // a second scrape sees the first (completed requests only, so the
+      // first /metrics request is now itself counted)
+      val (_, body2) = get(server.boundPort, "/metrics")
+      assert(body2.contains("""graft_requests_total{path="/metrics",status="200"} 1"""))
+    } finally server.stop()
+  }
+
   test("HTTP /catalog, /table/:c/:s/:t and /tpch/:n endpoints") {
     import spark.implicits._
     Seq((1, "x"), (2, "y")).toDF("id", "s").createOrReplaceTempView("http_t")
@@ -102,8 +127,27 @@ class ServerSpec extends SparkSpec {
       val req = HttpRequest.newBuilder(
           URI.create(s"http://localhost:${server.boundPort}/execute/$handle"))
         .header("Accept", "application/vnd.apache.arrow.stream").GET().build()
-      val resp = HttpClient.newHttpClient()
-        .send(req, HttpResponse.BodyHandlers.ofByteArray())
+      // the encode path must run the plan ONCE: rows are counted inside the
+      // Arrow serialization pass, not by a separate count() job
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val resp =
+        try {
+          val r = HttpClient.newHttpClient()
+            .send(req, HttpResponse.BodyHandlers.ofByteArray())
+          Thread.sleep(500) // listener events are delivered asynchronously
+          r
+        } finally spark.sparkContext.removeSparkListener(listener)
+      // toLocalIterator runs one job per partition batch (4 for this plan);
+      // a separate count() pass for the observability row would add at
+      // least one more on top — pin the single-pass behavior
+      assert(jobs.get() <= 4, s"Arrow encode ran ${jobs.get()} Spark jobs")
       assert(resp.statusCode() === 200)
       assert(resp.headers().firstValue("Content-Type").orElse("") ===
         "application/vnd.apache.arrow.stream")
@@ -127,6 +171,11 @@ class ServerSpec extends SparkSpec {
         assert(rows === 10L)
         assert(ids === (0L until 10L))
       } finally { reader.close(); allocator.close() }
+      // the observability row count (tallied during encoding) still matches
+      val obsRows = ctx.observability.records
+        .filter(_.getString(1).startsWith("/execute/"))
+        .flatMap(r => Option(r.get(5)).map(_.asInstanceOf[Long]))
+      assert(obsRows.contains(10L), s"observed rows: $obsRows")
       // JSON negotiation still works on the same handle
       val (stJson, rowsJson) = get(server.boundPort, s"/execute/$handle")
       assert(stJson === 200 && rowsJson.startsWith("""[{"id":0"""))

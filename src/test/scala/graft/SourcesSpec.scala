@@ -59,4 +59,78 @@ class SourcesSpec extends SparkSpec {
     val single = spark.read.orc(out)
     assert(single.count() === nation.count())
   }
+
+  private def writeDeltaFixture(dir: String): Unit = {
+    import java.io.File
+    import java.nio.charset.StandardCharsets
+    val logDir = new File(dir, "_delta_log")
+    logDir.mkdirs()
+    import spark.implicits._
+    def dataFile(name: String, ids: Seq[Long]): Unit = {
+      val tmpDir = s"$dir/_stage"
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val part = new File(tmpDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      Files.move(part.toPath, new File(dir, name).toPath)
+      new File(tmpDir).listFiles().foreach(_.delete())
+      new File(tmpDir).delete()
+    }
+    dataFile("f0.parquet", Seq(1L, 2L))
+    dataFile("f1.parquet", Seq(3L, 4L))
+    dataFile("f2.parquet", Seq(5L, 6L))
+    def add(p: String) = s"""{"add":{"path":"$p","dataChange":true}}"""
+    def commit(v: Long, lines: String*): Unit =
+      Files.write(new File(logDir, f"$v%020d.json").toPath,
+        lines.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    commit(0,
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      add("f0.parquet"), add("f1.parquet"))
+    // a compaction/delete: f1 removed, f2 added
+    commit(1,
+      add("f2.parquet"),
+      """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}""")
+  }
+
+  test("Delta log replay honors remove actions (compaction/delete)") {
+    val dir = s"$tmp/delta_rm"
+    writeDeltaFixture(dir)
+    val live = sources.DeltaLog.liveFiles(spark, dir).map(p =>
+      p.substring(p.lastIndexOf('/') + 1))
+    assert(live.toSet === Set("f0.parquet", "f2.parquet"))
+    val ids = sources.DeltaLog.read(spark, dir)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 5L, 6L))
+    // and through the reference DDL shape
+    val ctx = new graft.exec.ExecutionContext(spark)
+    ctx.runScript(
+      s"CREATE EXTERNAL TABLE delta_rm STORED AS DELTATABLE LOCATION '$dir'")
+    assert(ctx.sql("SELECT count(*) AS n FROM delta_rm").head.getLong(0) === 4L)
+  }
+
+  test("Delta checkpoint seeds the file list; later commits replay on top") {
+    import java.io.File
+    import java.nio.charset.StandardCharsets
+    val dir = s"$tmp/delta_cp"
+    writeDeltaFixture(dir)
+    val logDir = new File(dir, "_delta_log")
+    // checkpoint at version 1 = the live set {f0, f2}; a stale pre-checkpoint
+    // commit listing f1 must NOT be replayed once the checkpoint seeds state
+    import spark.implicits._
+    Seq("f0.parquet", "f2.parquet").toDF("path")
+      .selectExpr("named_struct('path', path) AS add")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/_cp_stage")
+    val part = new File(s"$dir/_cp_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath,
+      new File(logDir, f"${1L}%020d.checkpoint.parquet").toPath)
+    Files.write(new File(logDir, "_last_checkpoint").toPath,
+      """{"version":1,"size":2}""".getBytes(StandardCharsets.UTF_8))
+    // commit 2 after the checkpoint removes f0
+    Files.write(new File(logDir, f"${2L}%020d.json").toPath,
+      """{"remove":{"path":"f0.parquet","deletionTimestamp":0,"dataChange":true}}"""
+        .concat("\n").getBytes(StandardCharsets.UTF_8))
+    val live = sources.DeltaLog.liveFiles(spark, dir).map(p =>
+      p.substring(p.lastIndexOf('/') + 1))
+    assert(live.toSet === Set("f2.parquet"))
+  }
 }

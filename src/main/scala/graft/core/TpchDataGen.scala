@@ -135,23 +135,27 @@ object TpchDataGen {
           "CAN", "DRUM")))
         .as("p_container"),
       // spec formula: (90000 + ((partkey/10) % 20001) + 100 * (partkey % 1000)) / 100
-      ((lit(90000) + pmod(k.cast("long") / 10, lit(20001L))
+      ((lit(90000) + pmod(floor(k / 10).cast("long"), lit(20001L))
         + lit(100) * pmod(k, lit(1000L))) / 100.0)
         .cast("decimal(15,2)").as("p_retailprice"),
       text(k, "pcmt").as("p_comment"))
   }
 
-  /** 4 supplier rows per part; the dbgen permutation
-    * `(partkey + i*(S/4 + (partkey-1)/S)) % S + 1` guarantees the 4
-    * suppliers of a part are distinct, so (ps_partkey, ps_suppkey) is a
-    * real PK.
+  /** 4 supplier rows per part, distinct per part so (ps_partkey,
+    * ps_suppkey) is a real PK. dbgen's permutation
+    * `(partkey + i*(S/4 + (partkey-1)/S)) % S` collides for small S
+    * (whenever the step hits a multiple of S/2), so the step here is a
+    * per-part hash bounded to [1, S/4]: the offsets i*step for i=0..3 are
+    * then distinct values below S, making the 4 suppliers distinct for any
+    * S >= 4.
     */
   def partsupp(spark: SparkSession, sf: Double): DataFrame = {
     val s = counts(sf)("supplier")
-    val pk = (col("id") / 4) + 1
+    // Column./ is floating division: integer-divide via floor+cast
+    val pk = floor(col("id") / 4).cast("long") + 1
     val i = pmod(col("id"), lit(4L))
-    val suppkey =
-      pmod(pk + i * (lit(s / 4) + (pk - 1) / lit(s)), lit(s)) + 1
+    val step = pick(pk, "psstep", math.max(1L, s / 4).toInt) + 1
+    val suppkey = pmod(pk + i * step, lit(s)) + 1
     spark.range(counts(sf)("partsupp")).select(
       pk.as("ps_partkey"),
       suppkey.as("ps_suppkey"),

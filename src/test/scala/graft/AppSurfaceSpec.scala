@@ -176,6 +176,62 @@ class AppSurfaceSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM dft_tpch.region").head.getLong(0) === 5L)
   }
 
+  test("TpchDataGen: spec row counts, FK closure, PK uniqueness at tiny SF") {
+    val TpchDataGen = graft.core.TpchDataGen
+    val sf = 0.001
+    val t = TpchGenTables(sf)
+    // row counts follow the spec scaling
+    assert(t.region.count() === 5L)
+    assert(t.nation.count() === 25L)
+    assert(t.supplier.count() === 10L)
+    assert(t.customer.count() === 150L)
+    assert(t.part.count() === 200L)
+    assert(t.partsupp.count() === 800L)
+    assert(t.orders.count() === 1500L)
+    val liCount = t.lineitem.count()
+    assert(liCount >= 1500L && liCount <= 1500L * 7)
+
+    // deterministic: regenerating yields identical bytes of content
+    assert(TpchDataGen.lineitem(spark, sf).exceptAll(t.lineitem).count() === 0L)
+
+    // FK closure: every foreign key resolves (anti-join must be empty)
+    def dangling(child: org.apache.spark.sql.DataFrame, fk: String,
+        parent: org.apache.spark.sql.DataFrame, pk: String): Long =
+      child.join(parent, child(fk) === parent(pk), "left_anti").count()
+    assert(dangling(t.nation, "n_regionkey", t.region, "r_regionkey") === 0L)
+    assert(dangling(t.customer, "c_nationkey", t.nation, "n_nationkey") === 0L)
+    assert(dangling(t.supplier, "s_nationkey", t.nation, "n_nationkey") === 0L)
+    assert(dangling(t.orders, "o_custkey", t.customer, "c_custkey") === 0L)
+    assert(dangling(t.partsupp, "ps_partkey", t.part, "p_partkey") === 0L)
+    assert(dangling(t.partsupp, "ps_suppkey", t.supplier, "s_suppkey") === 0L)
+    assert(dangling(t.lineitem, "l_orderkey", t.orders, "o_orderkey") === 0L)
+    assert(dangling(t.lineitem, "l_partkey", t.part, "p_partkey") === 0L)
+    assert(dangling(t.lineitem, "l_suppkey", t.supplier, "s_suppkey") === 0L)
+
+    // PK uniqueness incl. the partsupp permutation's compound key
+    assert(t.partsupp.select("ps_partkey", "ps_suppkey").distinct().count() === 800L)
+    assert(t.lineitem.select("l_orderkey", "l_linenumber").distinct().count() === liCount)
+
+    // db-dir generation registers through bootstrap like the copy path
+    val dbDir = Files.createTempDirectory("graft-datagen").toString
+    val written = TpchDataGen.generate(spark, sf, dbDir, catalog = "gen")
+    assert(written.size === 8)
+    val registered = CatalogBootstrap.registerDbDir(spark, dbDir)
+    assert(registered.map(_.table).toSet === written.toSet)
+    assert(spark.sql("SELECT count(*) FROM gen_tpch.partsupp").head.getLong(0) === 800L)
+  }
+
+  private case class TpchGenTables(sf: Double) {
+    val region = graft.core.TpchDataGen.region(spark)
+    val nation = graft.core.TpchDataGen.nation(spark)
+    val supplier = graft.core.TpchDataGen.supplier(spark, sf)
+    val customer = graft.core.TpchDataGen.customer(spark, sf)
+    val part = graft.core.TpchDataGen.part(spark, sf)
+    val partsupp = graft.core.TpchDataGen.partsupp(spark, sf)
+    val orders = graft.core.TpchDataGen.orders(spark, sf)
+    val lineitem = graft.core.TpchDataGen.lineitem(spark, sf)
+  }
+
   test("pretty print renders a psql-style box") {
     import spark.implicits._
     val out = cli.PrettyPrint.format(Seq((1, "a"), (2, "b")).toDF("id", "s"))

@@ -171,6 +171,70 @@ object Dedup {
         (matches.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
+  /** Connected components over an undirected edge list (a, b) by
+    * iterative min-label propagation: every node starts labeled with its
+    * own id, and each round takes the min of its label and its neighbors'
+    * labels, until a fixpoint (or `maxIter`). Returns (id, label) where
+    * label is the component's minimum node id.
+    *
+    * Scale path: each round is one equi-join + one groupBy — both shuffles
+    * keyed on node id, no driver-side graph state. Rounds needed = graph
+    * diameter, and near-dup graphs are short-diameter by construction
+    * (clusters are quasi-cliques of mutually-similar docs), so this
+    * converges in a handful of rounds where a general web-scale graph
+    * would want large-star/small-star contraction. Every iteration is
+    * `localCheckpoint`ed: iterative self-referential lineage otherwise
+    * grows exponentially and re-executes the whole history each round.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a").as("src"), col("b").as("dst"))
+      .union(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = sym.join(labels, sym("dst") === labels("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nbr_label"))
+        .select(col("src").as("id"), col("nbr_label"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label")))
+            .as("next_label"),
+          col("label").as("prev_label"))
+        .localCheckpoint(true)
+      converged = next.filter(col("next_label") < col("prev_label")).isEmpty
+      labels = next.select(col("id"), col("next_label").as("label"))
+      iter += 1
+    }
+    labels
+  }
+
+  /** Dedup clusters: every document assigned to a near-dup cluster keyed
+    * by the cluster's minimum doc_id, with its size. The pair graph comes
+    * from MinHash-LSH at `minEstJaccard` (sub-quadratic candidate
+    * generation, see [[minhashLshPairs]]); docs with no near-dup neighbor
+    * are singleton clusters. This is the step a curation pipeline actually
+    * consumes — keep one representative per cluster — whereas the pair
+    * list alone under-deletes transitively (A~B, B~C leaves A,C both kept
+    * if only direct pairs are dropped).
+    */
+  def clusters(docs: DataFrame, minEstJaccard: Double = 0.5,
+      numHashes: Int = 16, bands: Int = 4, maxIter: Int = 20): DataFrame = {
+    val edges = minhashLshPairs(docs, numHashes, bands)
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select(col("a"), col("b"))
+    val comp = connectedComponents(edges, maxIter)
+    docs.select(col("doc_id"))
+      .join(comp, docs("doc_id") === comp("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+
   /** SimHash: per-bit +1/-1 votes from each distinct token's md5, sign of
     * the per-bit sum forms the signature (here as a bit string, portable
     * across engines).

@@ -182,6 +182,48 @@ object PipelineQueries {
       GROUP BY c.a, c.b
       ORDER BY est_jaccard DESC, a, b LIMIT 100"""), headline = true),
 
+    // d07 is what a curation pipeline actually consumes from near-dup
+    // detection: transitive CLUSTERS over the LSH pair graph (pairs alone
+    // under-delete chains). The oracle replays the full pipeline — minhash,
+    // banding, candidate join, jaccard estimate, then the connected
+    // components as a recursive min-reachability closure.
+    QueryDef("d07_dedup_clusters", (s, d) =>
+      Dedup.clusters(Tables.load(s, d, "documents"), minEstJaccard = 0.5)
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH RECURSIVE $SHD,
+      hs AS (SELECT unnest(range(0, 16)) AS h),
+      sig AS (SELECT doc_id, h,
+                MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              FROM shd, hs GROUP BY doc_id, h),
+      buckets AS (SELECT doc_id, h % 4 AS band,
+                    MD5(string_agg(mh, ',' ORDER BY h)) AS bucket
+                  FROM sig GROUP BY doc_id, h % 4),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id),
+      est AS (SELECT c.a, c.b,
+                CAST(COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS DOUBLE) / 16.0
+                  AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+              GROUP BY c.a, c.b),
+      edges AS (SELECT a, b FROM est WHERE est_jaccard >= 0.5),
+      sym(src, dst) AS (SELECT a, b FROM edges UNION ALL
+                        SELECT b, a FROM edges),
+      reach(id, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      asg AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+              FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+      SELECT doc_id, cluster_id,
+        COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      FROM asg ORDER BY doc_id""")),
+
     QueryDef("d04_simhash", (s, d) =>
       Dedup.simhash(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
       Some("""

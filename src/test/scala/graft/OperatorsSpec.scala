@@ -10,6 +10,31 @@ import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
   */
 class OperatorsSpec extends SparkSpec {
 
+  test("connected components label chains transitively; clusters keep singletons") {
+    val s = spark
+    import s.implicits._
+    // a chain 1-2-3, a pair 7-8, and 9 appearing only via 9-10
+    val edges = Seq((2L, 1L), (2L, 3L), (7L, 8L), (9L, 10L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L,
+      8L -> 7L, 9L -> 9L, 10L -> 9L))
+
+    // end-to-end: two exact dups + one near-dup chain + unrelated docs
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      1L -> base, 2L -> base, 3L -> (base + " extra"),
+      4L -> "completely different text about something else entirely here today",
+      5L -> "yet another unrelated document with its own words and phrasing now")
+    val out = Dedup.clusters(d, minEstJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = out.map(t => t._1 -> t).toMap
+    assert(byDoc(1L)._2 === 1L && byDoc(2L)._2 === 1L && byDoc(3L)._2 === 1L)
+    assert(byDoc(1L)._3 === 3L) // cluster of {1,2,3}
+    assert(byDoc(4L)._2 === 4L && byDoc(4L)._3 === 1L) // singleton
+    assert(byDoc(5L)._2 === 5L && byDoc(5L)._3 === 1L)
+  }
+
   test("embedding LSH recall vs the exact all-pairs baseline") {
     val emb = Tables.load(spark, sf001, "embeddings")
     // ground truth from the gated exact baseline (its one sanctioned use)

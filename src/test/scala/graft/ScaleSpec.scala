@@ -118,6 +118,28 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("hive-layout date partitions prune at plan time") {
+    // date-partitioned layout is how a 100 TB event corpus ships; a filter
+    // on the partition column must prune directories at planning, not scan
+    // and discard
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    graft.core.Tables.load(spark, sf0001, "events")
+      .withColumn("dt", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("dt").parquet(dir)
+    val parts = new java.io.File(dir).listFiles().count(_.getName.startsWith("dt="))
+    assert(parts > 1, s"fixture produced $parts partitions")
+    val one = spark.read.parquet(dir).filter(col("dt") === lit("2024-01-03"))
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"no partition filters in:\n$plan")
+    assert("""PartitionFilters: \[[^\]]*dt[^\]]*\]""".r.findFirstIn(plan).isDefined,
+      s"dt not in partition filters:\n$plan")
+    // pruned scan touches exactly the one matching directory
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }.sum
+    assert(scanned <= 1, s"scan selected $scanned partitions, expected <=1")
+  }
+
   private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
     val old = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
     kv.foreach { case (k, v) => spark.conf.set(k, v) }

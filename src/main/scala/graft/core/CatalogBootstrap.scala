@@ -30,15 +30,24 @@ object CatalogBootstrap {
       fmt <- detectFormat(table)
     } yield {
       val db = s"${catalog.getName}_${schema.getName}"
-      spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
-      spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table.getName}`")
-      spark.sql(
-        s"""CREATE TABLE `$db`.`${table.getName}`
-           |USING $fmt
-           |${if (fmt == "csv") "OPTIONS (header 'true')" else ""}
-           |LOCATION '${table.getAbsolutePath}'""".stripMargin)
-      val df = spark.table(s"`$db`.`${table.getName}`")
-      df.createOrReplaceTempView(s"${db}_${table.getName}")
+      if (fmt == "delta") {
+        // Delta snapshots read a log-derived file list, which Spark DDL
+        // can't express as a single LOCATION — register the flat temp view
+        // only (the information_schema overlay still lists the 3-level
+        // identity)
+        graft.sources.DeltaLog.register(spark,
+          s"${db}_${table.getName}", table.getAbsolutePath)
+      } else {
+        spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
+        spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table.getName}`")
+        spark.sql(
+          s"""CREATE TABLE `$db`.`${table.getName}`
+             |USING $fmt
+             |${if (fmt == "csv") "OPTIONS (header 'true')" else ""}
+             |LOCATION '${table.getAbsolutePath}'""".stripMargin)
+        val df = spark.table(s"`$db`.`${table.getName}`")
+        df.createOrReplaceTempView(s"${db}_${table.getName}")
+      }
       RegisteredTable(catalog.getName, schema.getName, table.getName, fmt,
         table.getAbsolutePath)
     }
@@ -61,6 +70,10 @@ object CatalogBootstrap {
       .getOrElse(Seq.empty)
 
   private def detectFormat(tableDir: File): Option[String] = {
+    // a _delta_log subdirectory marks a Delta table (its parquet files must
+    // NOT be registered as a plain parquet dir: removed files would
+    // resurface)
+    if (new File(tableDir, "_delta_log").isDirectory) return Some("delta")
     val files = Option(tableDir.listFiles)
       .map(_.filter(_.isFile).sortBy(_.getName).toSeq).getOrElse(Seq.empty)
     files.iterator.map(_.getName.split('.').last.toLowerCase).collectFirst {

@@ -30,6 +30,55 @@ object TextOps {
   /** Stable document fingerprint over normalized text. */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Winnowing fingerprints (Schleimer et al.'s rolling-hash scheme, the
+    * MOSS algorithm): hash every character k-gram of the normalized text,
+    * then keep the minimum hash of each sliding window of `w` consecutive
+    * k-gram hashes. Near-identical documents share most selected hashes
+    * even under local edits — the local-similarity fingerprint that the
+    * whole-document [[fingerprint]] (one hash, breaks on any edit) can't
+    * provide.
+    *
+    * Everything is per-row array expressions (sequence/transform/slice)
+    * inside codegen — a narrow single pass, no shuffle, like the shingle
+    * pipeline. Hashes are md5 hex strings with lexicographic MIN, so DuckDB
+    * replays the selection exactly.
+    *
+    * Returns (doc_id, n_kgrams, n_fingerprints, fp_digest) where fp_digest
+    * is the md5 of the sorted distinct selected hashes — a compact
+    * comparable summary; join selected-hash sets directly for containment
+    * queries.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame =
+    winnowingSets(docs, k, w)
+      .select(col("doc_id"),
+        size(col("kh")).cast("long").as("n_kgrams"),
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(array_join(col("fps"), ",")).as("fp_digest"))
+
+  /** The selected-hash sets behind [[winnowingFingerprints]]: (doc_id, kh
+    * k-gram hashes, fps sorted distinct window minima). Join `fps` sets
+    * for containment/overlap queries.
+    */
+  def winnowingSets(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    require(k > 0 && w > 0, "k-gram size and window must be positive")
+    // guard short docs explicitly: sequence(1, 0) would generate a
+    // DESCENDING [1, 0] in Spark, not an empty array
+    val kh =
+      s"""CASE WHEN length(norm) < $k THEN CAST(array() AS array<string>)
+         |ELSE transform(sequence(1, length(norm) - $k + 1),
+         |       i -> md5(substring(norm, i, $k))) END""".stripMargin
+    val wins =
+      s"""CASE WHEN size(kh) = 0 THEN kh
+         |WHEN size(kh) < $w THEN array(array_min(kh))
+         |ELSE transform(sequence(1, size(kh) - $w + 1),
+         |       j -> array_min(slice(kh, j, $w))) END""".stripMargin
+    docs
+      .withColumn("norm", normalized(col("text")))
+      .withColumn("kh", expr(kh))
+      .withColumn("fps", array_sort(array_distinct(expr(wins))))
+      .select(col("doc_id"), col("kh"), col("fps"))
+  }
+
   /** Per-document token statistics. */
   def tokenStats(docs: DataFrame): DataFrame = {
     val tok = tokens(col("text"))

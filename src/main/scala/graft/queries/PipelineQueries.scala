@@ -107,6 +107,35 @@ object PipelineQueries {
         CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))) AS BIGINT) AS n_distinct_pieces
       FROM documents ORDER BY doc_id""")),
 
+    // winnowing = the rolling-hash fingerprint (MOSS): min k-gram hash per
+    // sliding window. The oracle replays k-gram hashing, window minima,
+    // dedup/sort and the digest — list ops mirror the Spark array exprs.
+    QueryDef("t06_winnowing", (s, d) =>
+      TextOps.winnowingFingerprints(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some("""
+      WITH n AS (SELECT doc_id,
+             lower(REGEXP_REPLACE(trim(text), '\s+', ' ', 'g')) AS norm
+           FROM documents),
+      kg AS (SELECT doc_id,
+               list_transform(range(1, GREATEST(length(norm) - 8 + 1, 0) + 1),
+                 i -> md5(substring(norm, CAST(i AS INT), 8))) AS kh
+             FROM n),
+      wn AS (SELECT doc_id, kh,
+               CASE WHEN len(kh) = 0 THEN kh
+                    WHEN len(kh) < 4 THEN [list_aggregate(kh, 'min')]
+                    ELSE list_transform(range(1, len(kh) - 4 + 2),
+                      j -> list_aggregate(list_slice(kh, CAST(j AS INT),
+                             CAST(j + 3 AS INT)), 'min')) END AS wins
+             FROM kg),
+      fp AS (SELECT doc_id, kh,
+               list_sort(list_distinct(wins)) AS fps FROM wn)
+      SELECT doc_id,
+        CAST(len(kh) AS BIGINT) AS n_kgrams,
+        CAST(len(fps) AS BIGINT) AS n_fingerprints,
+        md5(array_to_string(fps, ',')) AS fp_digest
+      FROM fp ORDER BY doc_id""")),
+
     // ---------------- dedup family ----------------
     QueryDef("d01_dedup_exact", (s, d) =>
       Dedup.exact(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
@@ -222,7 +251,7 @@ object PipelineQueries {
               FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
       SELECT doc_id, cluster_id,
         COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
-      FROM asg ORDER BY doc_id""")),
+      FROM asg ORDER BY doc_id"""), headline = true),
 
     QueryDef("d04_simhash", (s, d) =>
       Dedup.simhash(Tables.load(s, d, "documents")).orderBy(col("doc_id")),

@@ -10,6 +10,26 @@ import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
   */
 class OperatorsSpec extends SparkSpec {
 
+  test("winnowing fingerprints survive a local edit; whole-doc hash does not") {
+    val base = ("lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua " +
+      "ut enim ad minim veniam quis nostrud exercitation ullamco laboris")
+    val edited = base.replace("tempor", "tempus") // one word, mid-document
+    val d = docs(1L -> base, 2L -> edited, 3L -> "short")
+    val rows = TextOps.winnowingSets(d).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](2).toSet).toMap
+    val overlap = rows(1L).intersect(rows(2L)).size.toDouble /
+      math.max(rows(1L).size, rows(2L).size)
+    assert(overlap > 0.5, f"local edit destroyed fingerprints: $overlap%.2f")
+    assert(rows(1L) !== rows(2L)) // but the edit IS detectable
+    // whole-doc fingerprint flips entirely on the same edit
+    val whole = d.select(col("doc_id"), TextOps.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(whole(1L) !== whole(2L))
+    // short doc (< k chars): no k-grams, empty fingerprint set
+    assert(rows(3L).isEmpty)
+  }
+
   test("connected components label chains transitively; clusters keep singletons") {
     val s = spark
     import s.implicits._

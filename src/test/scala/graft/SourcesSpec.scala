@@ -107,6 +107,22 @@ class SourcesSpec extends SparkSpec {
     assert(ctx.sql("SELECT count(*) AS n FROM delta_rm").head.getLong(0) === 4L)
   }
 
+  test("db-dir walk detects a Delta table and hides its removed files") {
+    import java.io.File
+    val dbDir = s"$tmp/delta_db"
+    val tableDir = new File(s"$dbDir/tables/dft/lake/dtab")
+    tableDir.mkdirs()
+    writeDeltaFixture(tableDir.getPath)
+    val registered = core.CatalogBootstrap.registerDbDir(spark, dbDir)
+    val d = registered.find(_.table === "dtab").get
+    assert(d.format === "delta")
+    // live snapshot = {f0, f2} -> ids {1,2,5,6}; a plain parquet listing
+    // would resurface removed f1 (ids 3,4)
+    val ids = spark.table("dft_lake_dtab")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 5L, 6L))
+  }
+
   test("Delta checkpoint seeds the file list; later commits replay on top") {
     import java.io.File
     import java.nio.charset.StandardCharsets

@@ -32,10 +32,13 @@ import graft.server.MiniJson
   */
 object DeltaLog {
 
-  /** Current snapshot: latest version and the live data-file paths
-    * (absolute), in first-added order.
+  /** A live data file: absolute path plus the partition values the log
+    * assigns it (partition column data lives in the log, not the parquet).
     */
-  def liveFiles(spark: SparkSession, tablePath: String): Seq[String] = {
+  final case class LiveFile(path: String, partitionValues: Map[String, String])
+
+  /** Current snapshot: the live data files in first-added order. */
+  def liveAdds(spark: SparkSession, tablePath: String): Seq[LiveFile] = {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     require(logDir.isDirectory,
@@ -47,15 +50,26 @@ object DeltaLog {
 
     // seed from the newest checkpoint at or below the newest commit, if any
     val checkpointVersion = lastCheckpointVersion(logDir)
-    val live = mutable.LinkedHashSet.empty[String]
+    val live = mutable.LinkedHashMap.empty[String, Map[String, String]]
     checkpointVersion.foreach { v =>
       val cp = new File(logDir, f"$v%020d.checkpoint.parquet")
       require(cp.isFile, s"_last_checkpoint names a missing file: $cp")
       // the checkpoint is a parquet table of the same actions; only rows
       // with a non-null `add` carry live files
-      spark.read.parquet(cp.getPath)
-        .where("add IS NOT NULL").select("add.path")
-        .collect().foreach(r => live += r.getString(0))
+      val cpDf = spark.read.parquet(cp.getPath).where("add IS NOT NULL")
+      val hasPv = cpDf.schema("add").dataType match {
+        case t: org.apache.spark.sql.types.StructType =>
+          t.fieldNames.contains("partitionValues")
+        case _ => false
+      }
+      val rows =
+        if (hasPv) cpDf.selectExpr("add.path", "add.partitionValues").collect()
+        else cpDf.selectExpr("add.path", "map() AS pv").collect()
+      rows.foreach { r =>
+        val pv = Option(r.getMap[String, String](1))
+          .map(_.toMap).getOrElse(Map.empty)
+        live += r.getString(0) -> pv
+      }
     }
 
     commits
@@ -69,7 +83,15 @@ object DeltaLog {
                 s"unparseable Delta action in ${f.getName}: $line"))
             action.get("add") match {
               case Some(m: Map[_, _]) =>
-                live += pathOf(m.asInstanceOf[Map[String, Any]], f)
+                val a = m.asInstanceOf[Map[String, Any]]
+                val pv = a.get("partitionValues") match {
+                  case Some(pm: Map[_, _]) =>
+                    pm.asInstanceOf[Map[String, Any]].collect {
+                      case (k, v: String) => k -> v
+                    }
+                  case _ => Map.empty[String, String]
+                }
+                live += pathOf(a, f) -> pv
               case _ =>
             }
             action.get("remove") match {
@@ -80,23 +102,41 @@ object DeltaLog {
           }
       }
 
-    live.toSeq.map { rel =>
+    live.toSeq.map { case (rel, pv) =>
       // paths are table-root-relative and URL-encoded per the protocol;
       // absolute URIs pass through
-      if (rel.contains("://") || rel.startsWith("/")) rel
-      else new File(root, URLDecoder.decode(rel, "UTF-8")).getPath
+      val abs =
+        if (rel.contains("://") || rel.startsWith("/")) rel
+        else new File(root, URLDecoder.decode(rel, "UTF-8")).getPath
+      LiveFile(abs, pv)
     }
   }
 
-  /** Read the table's current snapshot as a DataFrame. An empty table (all
-    * files removed) still needs a schema, which without a live file only
-    * the `metaData` action carries — out of scope for this reader, so it
-    * refuses rather than guessing.
+  /** Live data-file paths only (unpartitioned view of [[liveAdds]]). */
+  def liveFiles(spark: SparkSession, tablePath: String): Seq[String] =
+    liveAdds(spark, tablePath).map(_.path)
+
+  /** Read the table's current snapshot as a DataFrame. Partition columns
+    * come from the log's `partitionValues` (injected as string literal
+    * columns, grouped so each distinct partition reads as one scan —
+    * Delta stores them nowhere else). An empty table (all files removed)
+    * still needs a schema, which without a live file only the `metaData`
+    * action carries — out of scope for this reader, so it refuses rather
+    * than guessing.
     */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val files = liveFiles(spark, tablePath)
-    require(files.nonEmpty, s"Delta table has no live files: $tablePath")
-    spark.read.parquet(files: _*)
+    val adds = liveAdds(spark, tablePath)
+    require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
+    import org.apache.spark.sql.functions.lit
+    if (adds.forall(_.partitionValues.isEmpty))
+      spark.read.parquet(adds.map(_.path): _*)
+    else
+      adds.groupBy(_.partitionValues).map { case (pv, group) =>
+        pv.toSeq.sortBy(_._1).foldLeft(
+          spark.read.parquet(group.map(_.path): _*)) {
+          case (df, (k, v)) => df.withColumn(k, lit(v))
+        }
+      }.reduce(_ unionByName _)
   }
 
   /** Register the snapshot under `name` (the DDL entry point for

@@ -123,6 +123,39 @@ class SourcesSpec extends SparkSpec {
     assert(ids === Set(1L, 2L, 5L, 6L))
   }
 
+  test("partitioned Delta table: partition columns come from the log") {
+    import java.io.File
+    import java.nio.charset.StandardCharsets
+    val dir = s"$tmp/delta_part"
+    val logDir = new File(dir, "_delta_log")
+    logDir.mkdirs()
+    import spark.implicits._
+    def dataFile(name: String, ids: Seq[Long]): Unit = {
+      val tmpDir = s"$dir/_stage"
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(tmpDir)
+      val part = new File(tmpDir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new File(dir, name).getParentFile.mkdirs()
+      Files.move(part.toPath, new File(dir, name).toPath)
+      new File(tmpDir).listFiles().foreach(_.delete())
+      new File(tmpDir).delete()
+    }
+    dataFile("dt=2024-01-01/p0.parquet", Seq(1L, 2L))
+    dataFile("dt=2024-01-02/p1.parquet", Seq(3L))
+    Files.write(new File(logDir, f"${0L}%020d.json").toPath,
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        """{"add":{"path":"dt=2024-01-01/p0.parquet","partitionValues":{"dt":"2024-01-01"},"dataChange":true}}""" + "\n" +
+        """{"add":{"path":"dt=2024-01-02/p1.parquet","partitionValues":{"dt":"2024-01-02"},"dataChange":true}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val df = sources.DeltaLog.read(spark, dir)
+    assert(df.columns.sorted === Array("dt", "id"))
+    val rows = df.collect().map(r =>
+      (r.getLong(df.columns.indexOf("id")),
+        r.getString(df.columns.indexOf("dt")))).toSet
+    assert(rows === Set((1L, "2024-01-01"), (2L, "2024-01-01"),
+      (3L, "2024-01-02")))
+  }
+
   test("Delta checkpoint seeds the file list; later commits replay on top") {
     import java.io.File
     import java.nio.charset.StandardCharsets

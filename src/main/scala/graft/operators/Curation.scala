@@ -17,8 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  /** Surviving doc_ids with status column. Near-dup policy: within an
-    * estimated-Jaccard pair above the threshold, the lower doc_id wins.
+  /** Surviving doc_ids with status column. Near-dup policy: one
+    * representative per TRANSITIVE near-dup cluster (the component's
+    * minimum doc_id), via [[Dedup.clusters]]. Pair-wise dropping (delete
+    * the larger side of each pair) over-keeps when a component's detected
+    * edges skip members — e.g. component {5,7,9} with edges 5-9 and 7-9
+    * drops only 9, keeping both 5 and 7; the cluster policy keeps 5 alone.
     */
   def curate(docs: DataFrame, minQuality: Double = 0.3,
       nearDupThreshold: Double = 0.75): DataFrame = {
@@ -30,11 +34,10 @@ object Curation {
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"))
     val kept1 = kept0.join(canonical, "doc_id")
-    val nearDups = Dedup.minhashLshPairs(kept1)
-      .filter(col("est_jaccard") >= nearDupThreshold)
-      .select(col("b").as("doc_id"))
-      .distinct()
-    kept1.join(nearDups, Seq("doc_id"), "left_anti")
+    val representatives = Dedup.clusters(kept1, minEstJaccard = nearDupThreshold)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"))
+    kept1.join(representatives, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit("kept").as("status"))
   }
 }

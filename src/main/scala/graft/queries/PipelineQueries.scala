@@ -490,13 +490,14 @@ object PipelineQueries {
       ORDER BY doc_id, frame_idx""")),
 
     // ---------------- end-to-end curation ----------------
-    // quality filter -> exact dedup -> LSH near-dup removal, composed; the
-    // oracle replays the whole chain (t02 + d01 + d03 fragments over the
+    // quality filter -> exact dedup -> transitive near-dup cluster
+    // representatives, composed; the oracle replays the whole chain (t02 +
+    // d01 + d03 fragments + the d07 recursive closure over the
     // progressively filtered doc set).
     QueryDef("c01_curation", (s, d) =>
       Curation.curate(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
       Some(raw"""
-      WITH q0 AS (SELECT doc_id, text,
+      WITH RECURSIVE q0 AS (SELECT doc_id, text,
           string_split_regex(trim(text), '\s+') AS toks FROM documents),
       qual AS (SELECT doc_id, text,
           LEAST(CAST(len(toks) AS DOUBLE)/100.0, 1.0) *
@@ -529,9 +530,17 @@ object PipelineQueries {
               JOIN sig sa ON sa.doc_id = c.a
               JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
               GROUP BY c.a, c.b),
-      neardup AS (SELECT DISTINCT b AS doc_id FROM est WHERE ej >= 0.75)
+      edges AS (SELECT a, b FROM est WHERE ej >= 0.75),
+      sym(src, dst) AS (SELECT a, b FROM edges UNION ALL
+                        SELECT b, a FROM edges),
+      reach(id, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
       SELECT k.doc_id, 'kept' AS status FROM kept1 k
-      WHERE k.doc_id NOT IN (SELECT doc_id FROM neardup)
+      LEFT JOIN comp c ON c.id = k.doc_id
+      WHERE c.id IS NULL OR c.cluster_id = k.doc_id
       ORDER BY k.doc_id"""), headline = true)
   )
 }

@@ -33,10 +33,15 @@ object Curation {
     val canonical = Dedup.exact(kept0)
       .filter(col("doc_id") === col("canonical_id"))
       .select(col("doc_id"))
-    val kept1 = kept0.join(canonical, "doc_id")
-    val representatives = Dedup.clusters(kept1, minEstJaccard = nearDupThreshold)
-      .filter(col("doc_id") === col("cluster_id"))
-      .select(col("doc_id"))
+    // kept1 feeds both the near-dup stage and the final join, and the
+    // cluster stage's iterative checkpoints already force execution —
+    // checkpoint the narrow (doc_id, text) survivor set once instead of
+    // re-running quality + exact dedup for each consumer
+    val kept1 = kept0.join(canonical, "doc_id").localCheckpoint(true)
+    val representatives =
+      Dedup.clusterAssignments(kept1, minEstJaccard = nearDupThreshold)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
     kept1.join(representatives, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit("kept").as("status"))
   }

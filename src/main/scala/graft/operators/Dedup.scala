@@ -222,6 +222,16 @@ object Dedup {
     * if only direct pairs are dropped).
     */
   def clusters(docs: DataFrame, minEstJaccard: Double = 0.5,
+      numHashes: Int = 16, bands: Int = 4, maxIter: Int = 20): DataFrame =
+    clusterAssignments(docs, minEstJaccard, numHashes, bands, maxIter)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+
+  /** (doc_id, cluster_id) without the size column — callers that only need
+    * the representative test (curation keeps `doc_id = cluster_id`) skip
+    * the corpus-wide shuffle the size window costs.
+    */
+  def clusterAssignments(docs: DataFrame, minEstJaccard: Double = 0.5,
       numHashes: Int = 16, bands: Int = 4, maxIter: Int = 20): DataFrame = {
     val edges = minhashLshPairs(docs, numHashes, bands)
       .filter(col("est_jaccard") >= minEstJaccard)
@@ -231,8 +241,6 @@ object Dedup {
       .join(comp, docs("doc_id") === comp("id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
   }
 
   /** SimHash: per-bit +1/-1 votes from each distinct token's md5, sign of

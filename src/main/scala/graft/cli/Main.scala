@@ -61,19 +61,37 @@ object Main {
   }
 
   def main(argv: Array[String]): Unit = {
-    // `generate-tpch` subcommand (reference `src/tpch.rs` / `src/args.rs`):
-    // materialize the TPC-H tables into the db-dir layout.
+    // `generate-tpch` subcommand (reference `src/tpch.rs` / `src/args.rs`
+    // GenerateTpch { scale_factor, format }): generate the 8-table schema
+    // at --scale-factor into the db-dir layout with the deterministic
+    // distributed generator; --sf-dir instead copies driver testdata (the
+    // bench-correctness source of truth).
     if (argv.headOption.contains("generate-tpch")) {
       val opts = argv.drop(1).sliding(2, 2).collect {
         case Array(k, v) => k -> v }.toMap
-      val sfDir = opts.getOrElse("--sf-dir", "/root/testdata/sf0.001")
       val dbDir = opts.getOrElse("--db-dir",
         sys.props("user.home") + "/.datafusion")
       val spark = SessionFactory.build(opts.getOrElse("--master", "local[*]"))
       try {
-        val written = graft.core.TpchGen.generate(spark, sfDir, dbDir)
+        val written = opts.get("--sf-dir") match {
+          case Some(sfDir) => graft.core.TpchGen.generate(spark, sfDir, dbDir)
+          case None =>
+            val sf = opts.getOrElse("--scale-factor", "0.001").toDouble
+            graft.core.TpchDataGen.generate(spark, sf, dbDir)
+        }
         println(s"generated ${written.size} tables into $dbDir: ${written.mkString(", ")}")
       } finally spark.stop()
+      return
+    }
+    // `serve-http` subcommand (reference ServeHttp { config, addr,
+    // metrics_addr } — metrics are served from the same listener at
+    // /metrics here, not a second port)
+    if (argv.headOption.contains("serve-http")) {
+      val opts = argv.drop(1).sliding(2, 2).collect {
+        case Array(k, v) => k -> v }.toMap
+      val server = serveHttp(opts)
+      println(s"serving HTTP on port ${server.boundPort} (metrics at /metrics)")
+      Thread.currentThread.join() // serve until killed
       return
     }
     val args = parseArgs(argv.toList)
@@ -104,6 +122,30 @@ object Main {
         System.err.println(s"error: ${e.getMessage}")
         sys.exit(1)
     } finally spark.stop()
+  }
+
+  /** Build and start the HTTP server for `serve-http` (started, not
+    * joined — main blocks, tests stop it). Config keys mirror the
+    * reference's TOML sections flattened: [server] result_limit, [auth]
+    * bearer_token, [auth.basic_auth] username/password
+    * (`config.rs:276-319`).
+    */
+  private[graft] def serveHttp(opts: Map[String, String]): graft.server.HttpServer = {
+    val conf = opts.get("--config").map(SessionFactory.parseConfig)
+      .getOrElse(Map.empty)
+    val spark = SessionFactory.build(opts.getOrElse("--master", "local[*]"), conf)
+    val ctx = new ExecutionContext(spark)
+    conf.get("db.path").foreach(d => CatalogBootstrap.registerDbDir(spark, d))
+    val port = opts.get("--addr").map(_.split(':').last.toInt).getOrElse(8080)
+    val server = new graft.server.HttpServer(ctx, port = port,
+      resultLimit = conf.get("server.result_limit").map(_.toInt).getOrElse(1000),
+      bearerToken = conf.get("auth.bearer_token"),
+      basicAuth = for {
+        u <- conf.get("auth.basic_auth.username")
+        p <- conf.get("auth.basic_auth.password")
+      } yield (u, p))
+    server.start()
+    server
   }
 
   /** Interactive loop (the reference's TUI frontend reduced to a REPL:

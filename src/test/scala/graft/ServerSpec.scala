@@ -77,6 +77,34 @@ class ServerSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("serve-http subcommand wires config auth/limit onto a live server") {
+    val f = java.nio.file.Files.createTempFile("graft-serve", ".toml")
+    java.nio.file.Files.writeString(f,
+      """[server]
+        |result_limit = "2"
+        |[auth]
+        |bearer_token = "tok123"
+        |""".stripMargin)
+    val server = cli.Main.serveHttp(
+      Map("--addr" -> "127.0.0.1:0", "--config" -> f.toString,
+        "--master" -> "local[*]"))
+    try {
+      val port = server.boundPort
+      assert(get(port, "/catalog")._1 === 401) // auth required
+      val (st, body) = get(port, "/metrics", Some("Bearer tok123"))
+      assert(st === 200 && body.contains("graft_requests_total"))
+      val r = HttpClient.newHttpClient().send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:$port/sql"))
+          .header("Authorization", "Bearer tok123")
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "SELECT id FROM RANGE(9) ORDER BY id", StandardCharsets.UTF_8))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() === 200)
+      assert(r.body() === """[{"id":0},{"id":1}]""") // result_limit = 2
+    } finally server.stop()
+  }
+
   test("HTTP /catalog, /table/:c/:s/:t and /tpch/:n endpoints") {
     import spark.implicits._
     Seq((1, "x"), (2, "y")).toDF("id", "s").createOrReplaceTempView("http_t")

@@ -121,6 +121,68 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** LSH-bucketed ANN: hyperplane band buckets as the coarse index.
+    * Queries probe the corpus rows sharing any signature band (an
+    * equi-join on (band, bucket) — never a cross join), candidates get the
+    * exact codegen'd cosine, then the same two-stage top-k as the exact
+    * baseline. Complements IVF: no training scan (signatures are per-row
+    * expressions), index cost is `planes` bits per vector, and recall
+    * follows the band curve rather than centroid geometry — the right
+    * trade when the corpus has no cluster structure for IVF to probe, at
+    * the price of candidate volume on near-orthogonal data (see
+    * [[nearDupPairsLsh]]'s band-settings note).
+    *
+    * Approximate by construction: a query returns fewer than k rows when
+    * its buckets hold fewer than k distinct neighbors.
+    */
+  def lshTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
+      planes: Int = 64, bands: Int = 16, dim: Int = -1): DataFrame = {
+    require(planes % bands == 0, "planes must divide evenly into bands")
+    val cos = nativeCosine(emb.sparkSession) _
+    val resolvedDim =
+      if (dim > 0) dim
+      else emb.select(size(col("embedding"))).head(1) match {
+        case Array(r) => r.getInt(0)
+        case _ =>
+          return emb.sparkSession.emptyDataFrame
+            .select(lit(0L).as("qid"), lit(0L).as("nid"),
+              lit(0L).as("rank"), lit(0.0).as("cos_sim")).limit(0)
+      }
+    val pls = simhashPlanes(resolvedDim, planes)
+    val bandBits = planes / bands
+    val sig = emb.select(col("vec_id"),
+      nativeSignature(emb.sparkSession)(col("embedding"), pls).as("bits"))
+    val bucketCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("bits"), b * bandBits + 1, bandBits).as("bucket")))
+    val buckets = sig.select(col("vec_id"),
+        explode(array(bucketCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .cache()
+    val queryIds = emb.filter(isQuery).select(col("vec_id").as("qid"))
+    val cand =
+      try {
+        val qBuckets = buckets.join(broadcast(queryIds),
+          buckets("vec_id") === queryIds("qid"))
+          .select(col("qid"), col("band"), col("bucket"))
+        qBuckets.as("q").join(buckets.as("c"),
+            col("q.band") === col("c.band") &&
+              col("q.bucket") === col("c.bucket") &&
+              col("c.vec_id") =!= col("q.qid"))
+          .select(col("q.qid"), col("c.vec_id").as("nid"))
+          .distinct()
+          .localCheckpoint(true)
+      } finally buckets.unpersist(false)
+    val qv = emb.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val nv = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+    val scored = cand.join(qv, Seq("qid")).join(nv, Seq("nid"))
+      .withColumn("cos_sim", cos(col("qvec"), col("nvec")))
+    topKPerQuery(scored.select(col("qid"), col("nid"), col("cos_sim")), k)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** Embedding near-duplicate pairs: all pairs above a cosine threshold.
     * Exact quadratic BASELINE (the ground truth [[nearDupPairsLsh]]'s recall
     * is measured against — OperatorsSpec pins that number) — the production

@@ -383,6 +383,49 @@ object PipelineQueries {
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
 
+    // a03 completes the search family: hyperplane-LSH bucket probing as
+    // the no-training coarse index (vs a02's centroid cells). The oracle
+    // replays signatures, band buckets, the query-corpus bucket join, the
+    // exact re-score and the rank — approximate results, exactly checked.
+    QueryDef("a03_ann_lsh", (s, d) =>
+      Similarity.lshTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, 10)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      planes AS (SELECT pr.p, ir.i,
+            CASE WHEN ascii(substring(md5(CAST(pr.p AS VARCHAR) || ':' ||
+                   CAST(ir.i AS VARCHAR)), 1, 1)) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range(0, 64)) AS p) pr,
+               (SELECT DISTINCT i FROM ed) ir),
+      proj AS (SELECT ed.vec_id, pl.p, SUM(ed.v * pl.s) AS dot
+               FROM ed JOIN planes pl ON pl.i = ed.i GROUP BY ed.vec_id, pl.p),
+      sig AS (SELECT vec_id,
+                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY p) AS bits
+              FROM proj GROUP BY vec_id),
+      buckets AS (SELECT vec_id, b AS band, substring(bits, b*4+1, 4) AS bucket
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b) bb),
+      cand AS (SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+               FROM buckets q JOIN buckets c
+                 ON q.band = c.band AND q.bucket = c.bucket
+                    AND q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      dots AS (SELECT cd.qid, cd.nid, SUM(eq.v * en.v) AS dot
+               FROM cand cd
+               JOIN ed eq ON eq.vec_id = cd.qid
+               JOIN ed en ON en.vec_id = cd.nid AND en.i = eq.i
+               GROUP BY cd.qid, cd.nid),
+      sims AS (SELECT qid, nid, dot/(nq.nrm*nn.nrm) AS sim
+               FROM dots
+               JOIN nrm nq ON nq.vec_id = qid
+               JOIN nrm nn ON nn.vec_id = nid),
+      ranked AS (SELECT qid, nid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, nid) AS rank FROM sims)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
+
     // ---------------- sampling / screening ----------------
     // Deterministic hash sampling (reproducible across engines — the
     // oracle replays the same md5 bucket), the selection stage after

@@ -258,6 +258,24 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.0, s"IVF recall was zero: $approx vs $exact")
   }
 
+  test("LSH ANN recall@10 overlaps brute force; ranks are dense per query") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+      .view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val approx = Similarity.lshTopK(emb, col("vec_id") < 3, 10, dim = 64)
+      .collect().groupBy(_.getAs[Long]("qid"))
+    approx.values.foreach { rows =>
+      val ranks = rows.map(_.getAs[Long]("rank")).sorted.toSeq
+      assert(ranks === (1L to ranks.length)) // dense, no gaps
+    }
+    val approxIds = approx.view.mapValues(_.map(_.getAs[Long]("nid")).toSet).toMap
+    val recall = exact.keys.map(q =>
+      (exact(q) intersect approxIds.getOrElse(q, Set.empty)).size / 10.0)
+      .sum / exact.size
+    assert(recall > 0.0, s"LSH ANN recall was zero: $approxIds vs $exact")
+  }
+
   test("language-ID picks the language with most marker hits") {
     val s = spark
     import s.implicits._

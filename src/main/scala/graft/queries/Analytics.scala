@@ -245,6 +245,46 @@ object Analytics {
       GROUP BY user_id ORDER BY user_id"""), headline = true),
 
     // ------------------------------------------------------------------
+    // Ordered funnel (view -> click -> purchase, each stage strictly after
+    // the previous): conditional-MIN window cascade, one exchange on
+    // user_id. The oracle replays the same strictly-after chain with
+    // sequential per-stage joins.
+    QueryDef("e04_funnel", (s, d) => {
+      val stages = Seq("view", "click", "purchase")
+      graft.streaming.EventStream.funnel(t(s, d, "events"), stages)
+        .select(col("user_id"), col("funnel_stage"),
+          unix_micros(col("t0")).as("t_view"),
+          unix_micros(col("t1")).as("t_click"),
+          unix_micros(col("t2")).as("t_purchase"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type,
+              make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+      s0 AS (SELECT user_id, MIN(ts) AS t0 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM ev e
+             JOIN s0 ON s0.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > s0.t0
+             GROUP BY e.user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+             GROUP BY e.user_id)
+      SELECT u.user_id,
+        CAST(CASE WHEN s2.t2 IS NOT NULL THEN 3
+             WHEN s1.t1 IS NOT NULL THEN 2
+             WHEN s0.t0 IS NOT NULL THEN 1
+             ELSE 0 END AS BIGINT) AS funnel_stage,
+        epoch_us(s0.t0) AS t_view,
+        epoch_us(s1.t1) AS t_click,
+        epoch_us(s2.t2) AS t_purchase
+      FROM (SELECT DISTINCT user_id FROM ev) u
+      LEFT JOIN s0 ON s0.user_id = u.user_id
+      LEFT JOIN s1 ON s1.user_id = u.user_id
+      LEFT JOIN s2 ON s2.user_id = u.user_id
+      ORDER BY u.user_id""")),
+
+    // ------------------------------------------------------------------
     // Skew-safe exact distinct count (two-stage (key,value) spread): the
     // rewrite that survives a hot key where a plain COUNT(DISTINCT) per
     // key funnels one reducer. Oracle is the plain form — same results.

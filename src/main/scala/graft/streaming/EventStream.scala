@@ -65,6 +65,36 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
   }
 
+  /** Ordered funnel analysis: for each user, the first time each stage
+    * completed STRICTLY AFTER the previous stage (a later view doesn't
+    * retroactively count an earlier click), and the furthest stage
+    * reached. The per-stage first-completion times are conditional MIN
+    * windows over the same user partitioning — Catalyst plans ONE
+    * exchange (no per-user sort needed for unordered MIN), and the
+    * stage-N condition reads stage N-1's column, so the whole cascade
+    * stays in a single pass over the events.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+    val withT = stages.zipWithIndex.foldLeft(events) { case (df, (stage, i)) =>
+      val cond =
+        if (i == 0) col("event_type") === stage
+        else col("event_type") === stage && col("ts") > col(s"t${i - 1}")
+      df.withColumn(s"t$i", min(when(cond, col("ts"))).over(w))
+    }
+    // ascending fold leaves the HIGHEST completed stage as the outermost
+    // branch: when(t_{n-1} set, n) .otherwise(when(t_{n-2} set, n-1) ...)
+    val stageExpr = stages.indices.foldLeft(lit(0L)) { (acc, i) =>
+      when(col(s"t$i").isNotNull, lit(i + 1L)).otherwise(acc)
+    }
+    withT.groupBy(col("user_id"))
+      .agg(first(stageExpr).as("funnel_stage"),
+        stages.indices.map(i => first(col(s"t$i")).as(s"t$i")): _*)
+      .select(col("user_id") +: col("funnel_stage") +:
+        stages.indices.map(i => col(s"t$i")): _*)
+  }
+
   /** Streaming exact deduplication on event_id, with state bounded by the
     * event-time watermark (`dropDuplicatesWithinWatermark`): duplicates
     * arriving within the tolerance window are dropped, and the dedup

@@ -276,6 +276,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.0, s"LSH ANN recall was zero: $approxIds vs $exact")
   }
 
+  test("funnel counts stages only strictly after the previous stage") {
+    val s = spark
+    import s.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1704067200000L + m * 60000L)
+    val events = Seq(
+      // user 1: view(1) -> click(5) -> purchase(9): full funnel
+      (1L, "view", ts(1)), (1L, "click", ts(5)), (1L, "purchase", ts(9)),
+      // user 2: click BEFORE any view — the click must not count
+      (2L, "click", ts(1)), (2L, "view", ts(5)),
+      // user 3: purchase before click: stage stops at click
+      (3L, "view", ts(1)), (3L, "purchase", ts(2)), (3L, "click", ts(6)),
+      // user 4: nothing relevant
+      (4L, "error", ts(1)))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.streaming.EventStream
+      .funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
+  }
+
   test("language-ID picks the language with most marker hits") {
     val s = spark
     import s.implicits._

@@ -95,14 +95,30 @@ object InformationSchema {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schemataSchema)
   }
 
+  /** Session settings as the reference's `information_schema.df_settings`
+    * view (datafusion always exposes it; the reference's HTTP tests scrape
+    * `/table/datafusion/information_schema/df_settings`,
+    * `src/server/http/router.rs:357`). Spark's SQL conf plays the role of
+    * DataFusion's settings: (name, value) sorted by name.
+    */
+  def dfSettingsDF(spark: SparkSession): DataFrame = {
+    val rows = spark.conf.getAll.toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("name", StringType, nullable = false),
+        StructField("value", StringType, nullable = true))))
+  }
+
   /** (Re)build the snapshot views. */
   def refresh(spark: SparkSession): Unit = {
     tablesDF(spark).createOrReplaceTempView("information_schema_tables")
     columnsDF(spark).createOrReplaceTempView("information_schema_columns")
     schemataDF(spark).createOrReplaceTempView("information_schema_schemata")
+    dfSettingsDF(spark).createOrReplaceTempView("information_schema_df_settings")
   }
 
-  private val DottedName = """(?i)\binformation_schema\.(tables|columns|schemata)\b""".r
+  private val DottedName = """(?i)\binformation_schema\.(tables|columns|schemata|df_settings)\b""".r
   // reference catalog names (`catalog/mod.rs:47-68` dft.meta.versions;
   // `observability/mod.rs:42-68` dft.observability.requests); our session
   // catalog registers them flat

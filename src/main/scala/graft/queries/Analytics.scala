@@ -122,6 +122,24 @@ object Analytics {
       ORDER BY tag, nk""")),
 
     // ------------------------------------------------------------------
+    // Approximate aggregates (DataFusion ships approx_distinct /
+    // approx_percentile_cont / approx_median as first-class built-ins):
+    // HLL++ distinct and quantile sketches. Sketch internals differ across
+    // engines, so there is no value-exact DuckDB oracle — the driver
+    // records the weaker rows-only check, and OperatorsSpec bounds the
+    // relative error against exact answers instead.
+    QueryDef("f02_approx_aggregates", (s, d) => {
+      val li = t(s, d, "lineitem")
+      li.agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 1000)")
+          .as("p50_price"),
+        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.95, 1000)")
+          .as("p95_price"))
+    }, None),
+
+    // ------------------------------------------------------------------
     // Scalar-function sampler: string / math / conditional / date parts.
     QueryDef("f01_scalar_functions", (s, d) => {
       val p = t(s, d, "part")

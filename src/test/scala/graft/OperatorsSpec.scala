@@ -276,6 +276,26 @@ class OperatorsSpec extends SparkSpec {
     assert(recall > 0.0, s"LSH ANN recall was zero: $approxIds vs $exact")
   }
 
+  test("approximate aggregates land within sketch error of exact answers") {
+    val li = Tables.load(spark, sf001, "lineitem")
+    val row = queries.Registry.byName("f02_approx_aggregates")
+      .run(spark, sf001).head
+    val exactOrders = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
+    val exactParts = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    def relErr(approx: Long, exact: Long) =
+      math.abs(approx - exact).toDouble / exact
+    assert(relErr(row.getLong(0), exactOrders) < 0.05,
+      s"approx_orders ${row.getLong(0)} vs $exactOrders")
+    assert(relErr(row.getLong(1), exactParts) < 0.05,
+      s"approx_parts ${row.getLong(1)} vs $exactParts")
+    // percentiles: p50 below p95, both within the observed value range
+    val (lo, hi) = (row.getDouble(2), row.getDouble(3))
+    assert(lo < hi)
+    val bounds = li.agg(min(col("l_extendedprice")).cast("double"),
+      max(col("l_extendedprice")).cast("double")).head
+    assert(lo >= bounds.getDouble(0) && hi <= bounds.getDouble(1))
+  }
+
   test("funnel counts stages only strictly after the previous stage") {
     val s = spark
     import s.implicits._

@@ -273,6 +273,13 @@ class ServerSpec extends SparkSpec {
       Seq(("k", "int", 1L), ("v", "string", 2L)))
     val schemata = ctx.sql("SELECT * FROM information_schema.schemata").collect()
     assert(schemata.nonEmpty)
+    // df_settings (reference serves it at
+    // /table/datafusion/information_schema/df_settings): session conf rows
+    val settings = ctx.sql(
+      """SELECT value FROM information_schema.df_settings
+        |WHERE name = 'spark.sql.shuffle.partitions'""".stripMargin).collect()
+    assert(settings.map(_.getString(0)).toSeq ===
+      Seq(spark.conf.get("spark.sql.shuffle.partitions")))
   }
 
   test("flightsql catalog commands: shapes, ilike patterns, type filters") {

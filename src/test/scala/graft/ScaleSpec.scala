@@ -118,6 +118,16 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("funnel cascade plans a single hash exchange on user_id") {
+    // three conditional-MIN windows + the per-user aggregate all share the
+    // user_id partitioning: one exchange total (plus the final sort's
+    // range exchange) — the cascade must never re-shuffle per stage
+    val p = plan("e04_funnel")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1, s"expected 1 hash exchange, got $hashExchanges in:\n$p")
+    assert(p.contains("user_id"), s"not partitioned by user_id:\n$p")
+  }
+
   test("hive-layout date partitions prune at plan time") {
     // date-partitioned layout is how a 100 TB event corpus ships; a filter
     // on the partition column must prune directories at planning, not scan

@@ -263,6 +263,27 @@ object Analytics {
       GROUP BY user_id ORDER BY user_id"""), headline = true),
 
     // ------------------------------------------------------------------
+    // Salted join: the manual skew guard for a known heavy-hitter join
+    // key. Salting never changes join semantics, so the oracle is the
+    // PLAIN join — the strongest possible check that the rewrite is sound.
+    QueryDef("e05_salted_join", (s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.operators.Skew.saltedJoin(o, c, "o_custkey", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
     // Ordered funnel (view -> click -> purchase, each stage strictly after
     // the previous): conditional-MIN window cascade, one exchange on
     // user_id. The oracle replays the same strictly-after chain with

@@ -118,6 +118,22 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("salted join spreads the key: salt participates in the join condition") {
+    import spark.implicits._
+    val large = Seq.tabulate(100)(i => (1L, i.toLong)).toDF("k", "payload")
+    val small = Seq((1L, "x")).toDF("k", "v")
+    val joined = graft.operators.Skew.saltedJoin(large, small, "k", salts = 8)
+    // semantics: identical to the plain join
+    assert(joined.count() === 100L)
+    assert(!joined.columns.contains("__graft_salt"))
+    // the salt column must reach the join keys (that's the whole point)
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val p = graft.operators.Skew.saltedJoin(large, small, "k", salts = 8)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("__graft_salt"), s"salt not in the plan:\n$p")
+    }
+  }
+
   test("funnel cascade plans a single hash exchange on user_id") {
     // three conditional-MIN windows + the per-user aggregate all share the
     // user_id partitioning: one exchange total (plus the final sort's

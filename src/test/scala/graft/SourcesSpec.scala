@@ -91,6 +91,24 @@ class SourcesSpec extends SparkSpec {
       """{"remove":{"path":"f1.parquet","deletionTimestamp":0,"dataChange":true}}""")
   }
 
+  test("compaction rewrites many small files into few, preserving rows") {
+    val in = s"$tmp/compact_in"
+    val out = s"$tmp/compact_out"
+    val events = graft.core.Tables.load(spark, sf0001, "events")
+    events.repartition(64).write.mode("overwrite").parquet(in)
+    val nIn = Option(new java.io.File(in).listFiles()).get
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(nIn >= 32, s"fixture produced only $nIn files")
+    val res = graft.operators.Compaction.compact(spark, in, out,
+      targetBytes = 64L * 1024 * 1024)
+    assert(res.rows === events.count())
+    assert(res.filesBefore === nIn)
+    assert(res.filesAfter < nIn / 4,
+      s"still fragmented: ${res.filesAfter} files from $nIn")
+    // values survive byte-exactly
+    assert(spark.read.parquet(out).exceptAll(spark.read.parquet(in)).count() === 0L)
+  }
+
   test("Delta log replay honors remove actions (compaction/delete)") {
     val dir = s"$tmp/delta_rm"
     writeDeltaFixture(dir)

@@ -90,7 +90,31 @@ object SourceQueries {
         CAST(n_regionkey AS BIGINT) AS n_regionkey
       FROM read_parquet(['$stage/nation_delta/data-00000.parquet',
                          '$stage/nation_delta/data-00001.parquet'])
-      ORDER BY n_nationkey"""))
+      ORDER BY n_nationkey""")),
+
+    // Compaction round-trip: fragment events into 32 small files, compact
+    // with the AQE-rebalanced rewrite, and scan the COMPACTED output —
+    // the oracle reads the same rewritten bytes, so value preservation
+    // through the whole rewrite (not just file counts) is hash-checked.
+    QueryDef("x04_compacted_scan", (s, d) => {
+      val in = s"$stage/events_small"
+      val out = s"$stage/events_compacted"
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .repartition(32).write.mode("overwrite").parquet(in)
+      val res = graft.operators.Compaction.compact(s, in, out,
+        targetBytes = 64L * 1024 * 1024)
+      require(res.filesAfter < res.filesBefore,
+        s"compaction did not reduce files: ${res.filesBefore} -> ${res.filesAfter}")
+      s.read.parquet(out)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"))
+        .orderBy(col("event_id"))
+    }, Some(s"""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        CAST(user_id AS BIGINT) AS user_id, event_type
+      FROM read_parquet('$stage/events_compacted/*.parquet')
+      ORDER BY event_id"""))
   )
 
   /** Deterministic Delta table from the nation parquet: three data files,

@@ -128,4 +128,32 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("connected components match a reference union-find on random graphs") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b })
+      .suchThat(_.nonEmpty)
+    forSamples(edgeGen, n = 6) { edges =>
+      // reference: plain union-find over the same edges
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonicalize to min-of-component (union-find roots are already
+      // mins because unions always point the larger root at the smaller,
+      // but re-resolve paths to be safe)
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = graft.operators.Dedup
+        .connectedComponents(edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"edges: $edges")
+    }
+  }
 }

@@ -174,4 +174,52 @@ object EventStream {
           }
       }
   }
+
+  final case class FunnelProgress(stage: Int, stageTs: Long)
+  final case class FunnelAdvance(user_id: Long, funnel_stage: Long, ts: Long)
+
+  /** Streaming counterpart of [[funnel]]: per-user stage progression with
+    * the same strictly-after rule, emitting one row per stage ADVANCE as
+    * it happens (the batch form reports the final standing; a stream
+    * reports transitions). State per user is two numbers — current stage
+    * and its completion time — regardless of history length; no timeout is
+    * set because funnel state is meaningful for the user's whole lifetime
+    * (callers that want eviction can bound it with a TTL'd variant).
+    *
+    * Within a micro-batch, events are applied in event-time order;
+    * ACROSS batches, an event older than the recorded stage time cannot
+    * regress the stage (the strictly-after rule makes application
+    * monotone), so out-of-order arrival across batches costs at most a
+    * missed advance that a truly-ordered replay would also have missed.
+    */
+  def funnelStream(events: DataFrame, stages: Seq[String])
+      : Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val stageOf = stages.zipWithIndex.toMap
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), col("event_type"), col("ts"))
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelAdvance](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[FunnelProgress]) =>
+          val relevant = rows
+            .collect { case (_, et, t) if stageOf.contains(et) =>
+              (stageOf(et), t.getTime) }
+            .toSeq.sortBy(_._2)
+          var cur = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+          val advances = List.newBuilder[FunnelAdvance]
+          relevant.foreach { case (stageIdx, t) =>
+            if (stageIdx == cur.stage && t > cur.stageTs) {
+              cur = FunnelProgress(cur.stage + 1, t)
+              advances += FunnelAdvance(user, cur.stage.toLong, t)
+            }
+          }
+          if (cur.stage > 0) state.update(cur)
+          advances.result().iterator
+      }
+  }
 }

@@ -134,6 +134,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel emits one row per stage advance, strictly ordered") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts")
+    val q = EventStream.funnelStream(events, Seq("view", "click", "purchase"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_stream").start()
+    try {
+      // batch 1: user 1 views; user 2 clicks BEFORE viewing (no advance)
+      input.addData((1L, "view", ts("10:00")), (2L, "click", ts("10:00")))
+      q.processAllAvailable()
+      // batch 2: user 1 advances through click; user 2 finally views
+      input.addData((1L, "click", ts("10:10")), (2L, "view", ts("10:12")))
+      q.processAllAvailable()
+      // batch 3: user 1 completes; a replayed older click must not advance
+      input.addData((1L, "purchase", ts("10:20")), (1L, "click", ts("10:05")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("funnel_stage")))
+      assert(rows.toSet === Set((1L, 1L), (1L, 2L), (1L, 3L), (2L, 1L)),
+        s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermark is attached to the streaming plan") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),

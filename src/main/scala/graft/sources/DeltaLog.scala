@@ -37,6 +37,32 @@ object DeltaLog {
     */
   final case class LiveFile(path: String, partitionValues: Map[String, String])
 
+  /** The newest reader protocol this implementation understands. Tables
+    * written with deletion vectors (minReaderVersion 3) keep deletes as DV
+    * bitmaps on still-live `add` entries, and column-mapping tables
+    * (minReaderVersion 2) diverge physical from logical column names —
+    * replaying only add/remove on either would silently return deleted
+    * rows / mismapped columns. The reference delegates this refusal to
+    * delta-rs, which rejects unsupported reader versions; we do the same,
+    * loudly, at replay time.
+    */
+  private val MaxReaderVersion = 1L
+
+  private def checkProtocol(minReader: Long, readerFeatures: Seq[Any],
+      where: String): Unit =
+    require(minReader <= MaxReaderVersion && readerFeatures.isEmpty,
+      s"unsupported Delta reader protocol in $where: minReaderVersion=" +
+        s"$minReader, readerFeatures=${readerFeatures.mkString("[", ",", "]")}" +
+        s" — this reader supports minReaderVersion <= $MaxReaderVersion with" +
+        " no reader features (deletion vectors / column mapping would decode" +
+        " silently wrong)")
+
+  private def refuseDeletionVector(path: String, where: String): Nothing =
+    throw new IllegalArgumentException(
+      s"Delta add action for $path in $where carries a deletionVector: " +
+        "scanning the file raw would return deleted rows; this reader " +
+        "supports tables without deletion vectors only")
+
   /** Current snapshot: the live data files in first-added order. */
   def liveAdds(spark: SparkSession, tablePath: String): Seq[LiveFile] = {
     val root = new File(tablePath)
@@ -54,16 +80,36 @@ object DeltaLog {
     checkpointVersion.foreach { v =>
       val cp = new File(logDir, f"$v%020d.checkpoint.parquet")
       require(cp.isFile, s"_last_checkpoint names a missing file: $cp")
-      // the checkpoint is a parquet table of the same actions; only rows
-      // with a non-null `add` carry live files
-      val cpDf = spark.read.parquet(cp.getPath).where("add IS NOT NULL")
-      val hasPv = cpDf.schema("add").dataType match {
-        case t: org.apache.spark.sql.types.StructType =>
-          t.fieldNames.contains("partitionValues")
-        case _ => false
+      val cpAll = spark.read.parquet(cp.getPath)
+      def structFields(colName: String): Seq[String] =
+        cpAll.schema.find(_.name == colName).map(_.dataType).collect {
+          case t: org.apache.spark.sql.types.StructType => t.fieldNames.toSeq
+        }.getOrElse(Seq.empty)
+      // the checkpoint carries the table's protocol action too — gate on it
+      // before trusting any of its add entries
+      val protoFields = structFields("protocol")
+      if (protoFields.contains("minReaderVersion")) {
+        val featExpr =
+          if (protoFields.contains("readerFeatures"))
+            "coalesce(protocol.readerFeatures, array())"
+          else "array()"
+        cpAll.where("protocol IS NOT NULL")
+          .selectExpr("protocol.minReaderVersion", featExpr)
+          .collect().foreach { r =>
+            checkProtocol(r.getInt(0).toLong, r.getSeq[Any](1), cp.getName)
+          }
+      }
+      // only rows with a non-null `add` carry live files
+      val cpDf = cpAll.where("add IS NOT NULL")
+      val addFields = structFields("add")
+      if (addFields.contains("deletionVector")) {
+        cpDf.where("add.deletionVector IS NOT NULL")
+          .selectExpr("add.path").collect().headOption
+          .foreach(r => refuseDeletionVector(r.getString(0), cp.getName))
       }
       val rows =
-        if (hasPv) cpDf.selectExpr("add.path", "add.partitionValues").collect()
+        if (addFields.contains("partitionValues"))
+          cpDf.selectExpr("add.path", "add.partitionValues").collect()
         else cpDf.selectExpr("add.path", "map() AS pv").collect()
       rows.foreach { r =>
         val pv = Option(r.getMap[String, String](1))
@@ -81,9 +127,24 @@ object DeltaLog {
             val action = MiniJson.parseObject(line).getOrElse(
               throw new IllegalArgumentException(
                 s"unparseable Delta action in ${f.getName}: $line"))
+            action.get("protocol") match {
+              case Some(m: Map[_, _]) =>
+                val p = m.asInstanceOf[Map[String, Any]]
+                val minReader = p.get("minReaderVersion")
+                  .collect { case d: Double => d.toLong }.getOrElse(1L)
+                val feats = p.get("readerFeatures")
+                  .collect { case xs: Seq[_] => xs.toSeq }.getOrElse(Seq.empty)
+                checkProtocol(minReader, feats, f.getName)
+              case _ =>
+            }
             action.get("add") match {
               case Some(m: Map[_, _]) =>
                 val a = m.asInstanceOf[Map[String, Any]]
+                a.get("deletionVector") match {
+                  case Some(_: Map[_, _]) =>
+                    refuseDeletionVector(pathOf(a, f), f.getName)
+                  case _ =>
+                }
                 val pv = a.get("partitionValues") match {
                   case Some(pm: Map[_, _]) =>
                     pm.asInstanceOf[Map[String, Any]].collect {
@@ -117,26 +178,48 @@ object DeltaLog {
     liveAdds(spark, tablePath).map(_.path)
 
   /** Read the table's current snapshot as a DataFrame. Partition columns
-    * come from the log's `partitionValues` (injected as string literal
-    * columns, grouped so each distinct partition reads as one scan —
-    * Delta stores them nowhere else). An empty table (all files removed)
-    * still needs a schema, which without a live file only the `metaData`
-    * action carries — out of scope for this reader, so it refuses rather
-    * than guessing.
+    * come from the log's `partitionValues` (Delta stores them nowhere
+    * else): ONE parquet scan over all live files, then a broadcast join of
+    * `input_file_name()` against the (file -> partitionValues) map the log
+    * replay produced. A per-partition union would build a plan with one
+    * scan branch per distinct partition — fine at 3, fatal at 10⁴ (the
+    * driver chokes planning the union long before execution); the single
+    * scan keeps split planning, pushdown and pruning intact at any
+    * partition count, and the map side is log metadata (bytes per file),
+    * always broadcastable. An empty table (all files removed) still needs
+    * a schema, which without a live file only the `metaData` action
+    * carries — out of scope for this reader, so it refuses rather than
+    * guessing.
     */
   def read(spark: SparkSession, tablePath: String): DataFrame = {
     val adds = liveAdds(spark, tablePath)
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
-    import org.apache.spark.sql.functions.lit
-    if (adds.forall(_.partitionValues.isEmpty))
-      spark.read.parquet(adds.map(_.path): _*)
-    else
-      adds.groupBy(_.partitionValues).map { case (pv, group) =>
-        pv.toSeq.sortBy(_._1).foldLeft(
-          spark.read.parquet(group.map(_.path): _*)) {
-          case (df, (k, v)) => df.withColumn(k, lit(v))
-        }
-      }.reduce(_ unionByName _)
+    val base = spark.read.parquet(adds.map(_.path): _*)
+    if (adds.forall(_.partitionValues.isEmpty)) base
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val pvCols = adds.flatMap(_.partitionValues.keys).distinct.sorted
+      // map-side file keys must byte-match input_file_name(), which reports
+      // the qualified, URL-encoded URI of the split's file — qualify through
+      // the same Hadoop machinery the scan uses
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      val fileKey = "__graft_delta_file"
+      val rows = adds.map { a =>
+        val p = new org.apache.hadoop.fs.Path(a.path)
+        val qualified = p.getFileSystem(hadoopConf).makeQualified(p)
+          .toUri.toString
+        org.apache.spark.sql.Row.fromSeq(
+          qualified +: pvCols.map(c => a.partitionValues.get(c).orNull))
+      }
+      val mapSchema = StructType(StructField(fileKey, StringType) +:
+        pvCols.map(StructField(_, StringType)))
+      val fileToPv = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), mapSchema)
+      base.withColumn(fileKey, input_file_name())
+        .join(broadcast(fileToPv), Seq(fileKey))
+        .drop(col(fileKey))
+    }
   }
 
   /** Register the snapshot under `name` (the DDL entry point for

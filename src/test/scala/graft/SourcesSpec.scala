@@ -174,6 +174,113 @@ class SourcesSpec extends SparkSpec {
       (3L, "2024-01-02")))
   }
 
+  test("Delta reader refuses an unsupported reader protocol (v3 / reader features)") {
+    import java.io.File
+    import java.nio.charset.StandardCharsets
+    val dir = s"$tmp/delta_v3"
+    writeDeltaFixture(dir)
+    // a later commit upgrades the table to reader v3 with deletion vectors:
+    // replaying add/remove alone would now return deleted rows — refuse
+    Files.write(new File(s"$dir/_delta_log", f"${2L}%020d.json").toPath,
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"]}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.liveFiles(spark, dir)
+    }
+    assert(e.getMessage.contains("minReaderVersion"))
+    assert(e.getMessage.contains("deletionVectors"))
+  }
+
+  test("Delta reader refuses add actions carrying a deletion vector") {
+    import java.io.File
+    import java.nio.charset.StandardCharsets
+    val dir = s"$tmp/delta_dv"
+    writeDeltaFixture(dir)
+    // DV on a protocol-v1-claiming log is malformed, but the defense must
+    // not depend on the writer being honest about its protocol
+    Files.write(new File(s"$dir/_delta_log", f"${2L}%020d.json").toPath,
+      ("""{"add":{"path":"f0.parquet","dataChange":true,""" +
+        """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":36,"cardinality":2}}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val e = intercept[IllegalArgumentException] {
+      sources.DeltaLog.liveFiles(spark, dir)
+    }
+    assert(e.getMessage.contains("deletionVector"))
+  }
+
+  test("partitioned Delta read is one scan + broadcast map join at 100 partitions") {
+    import java.io.File
+    import java.nio.charset.StandardCharsets
+    val dir = s"$tmp/delta_many"
+    // one Spark job writes all 100 hive-style partition dirs
+    spark.range(100).selectExpr("id", "CAST(id AS STRING) AS dt")
+      .write.partitionBy("dt").mode("overwrite").parquet(dir)
+    val logDir = new File(dir, "_delta_log")
+    logDir.mkdirs()
+    val adds = new File(dir).listFiles().filter(_.getName.startsWith("dt="))
+      .sortBy(_.getName).flatMap { d =>
+        val v = d.getName.stripPrefix("dt=")
+        d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          s"""{"add":{"path":"${d.getName}/${f.getName}","partitionValues":{"dt":"$v"},"dataChange":true}}"""
+        }
+      }
+    assert(adds.length === 100)
+    Files.write(new File(logDir, f"${0L}%020d.json").toPath,
+      ("""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" +: adds)
+        .mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    val df = sources.DeltaLog.read(spark, dir)
+    // ONE parquet scan node — not a 100-branch union (which would blow up
+    // driver planning at real partition counts)
+    val scans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.length === 1, s"expected 1 parquet scan, got ${scans.length}")
+    assert(df.queryExecution.sparkPlan.toString.contains("BroadcastHashJoin"),
+      "partition-values map should join via broadcast")
+    val rows = df.collect().map(r =>
+      (r.getLong(df.columns.indexOf("id")),
+        r.getString(df.columns.indexOf("dt"))))
+    assert(rows.length === 100)
+    assert(rows.forall { case (id, dt) => id.toString == dt },
+      "partition values must line up with each file's rows")
+  }
+
+  test("compaction verifies row counts from footers, not a data re-scan") {
+    val in = s"$tmp/compact_probe_in"
+    val out = s"$tmp/compact_probe_out"
+    graft.core.Tables.load(spark, sf0001, "events")
+      .repartition(48).write.mode("overwrite").parquet(in)
+    val inputBytes = Option(new java.io.File(in).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null)
+          bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val res =
+      try {
+        val r = graft.operators.Compaction.compact(spark, in, out,
+          targetBytes = 64L * 1024 * 1024)
+        // drain the listener bus: poll until the byte counter stabilizes
+        var last = -1L
+        var spins = 0
+        while (bytesRead.get != last && spins < 40) {
+          last = bytesRead.get; spins += 1; Thread.sleep(100)
+        }
+        r
+      } finally spark.sparkContext.removeSparkListener(listener)
+    assert(res.rows > 0 && res.filesAfter < res.filesBefore)
+    // the rewrite reads the input ONCE; verification adds footer reads only
+    // (driver-side, no task input metrics). The old count()-based check
+    // read input + output again (~2x). Allow codec/metrics slack.
+    assert(bytesRead.get < (inputBytes * 1.5).toLong,
+      s"compaction re-scanned data: read ${bytesRead.get} of $inputBytes input bytes")
+  }
+
   test("Delta checkpoint seeds the file list; later commits replay on top") {
     import java.io.File
     import java.nio.charset.StandardCharsets

@@ -23,22 +23,46 @@ object Compaction {
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
 
+  /** Sum of footer row counts over a directory's parquet files —
+    * METADATA-only row-count verification (each footer read is a few KB of
+    * tail bytes, never the data pages). Re-scanning both sides to count
+    * rows would double the I/O of a 100 TB maintenance pass; footers make
+    * verification proportional to file COUNT. Small file sets read on the
+    * driver (same cost as the listing); large ones fan out as tasks.
+    */
+  private[graft] def footerRowCount(spark: SparkSession,
+      files: Seq[String]): Long = {
+    def oneFooter(path: String): Long = {
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.conf.Configuration()))
+      try reader.getRecordCount finally reader.close()
+    }
+    if (files.isEmpty) 0L
+    else if (files.length <= 64) files.map(oneFooter).sum
+    else spark.sparkContext
+      .parallelize(files, math.min(files.length / 16 + 1, 256))
+      .map(oneFooter).sum().toLong
+  }
+
   /** Compact `inDir`'s parquet files into `outDir` targeting
     * `targetBytes` per output file. Returns row count (verified equal on
-    * both sides) and the before/after file counts.
+    * both sides from parquet FOOTERS — no data re-scan) and the
+    * before/after file counts.
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
       targetBytes: Long = 128L * 1024 * 1024): Result = {
-    val before = parquetFiles(inDir).length
+    val before = parquetFiles(inDir)
     val df = spark.read.parquet(inDir)
-    val rows = withAdvisorySize(spark, targetBytes) {
-      val rebalanced = df.hint("rebalance")
-      rebalanced.write.mode("overwrite").parquet(outDir)
-      spark.read.parquet(outDir).count()
+    withAdvisorySize(spark, targetBytes) {
+      df.hint("rebalance").write.mode("overwrite").parquet(outDir)
     }
-    val inRows = df.count()
+    val after = parquetFiles(outDir)
+    val inRows = footerRowCount(spark, before.map(_.getPath).toSeq)
+    val rows = footerRowCount(spark, after.map(_.getPath).toSeq)
     require(rows == inRows, s"compaction changed row count: $inRows -> $rows")
-    Result(rows, before, parquetFiles(outDir).length)
+    Result(rows, before.length, after.length)
   }
 
   private def withAdvisorySize[A](spark: SparkSession, bytes: Long)(f: => A): A = {

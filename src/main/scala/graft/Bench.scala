@@ -34,6 +34,37 @@ import graft.queries.Registry
   * queries/sec in the `concurrent` JSON key.
   */
 object Bench {
+
+  /** 1-minute system load average (or -1 where the JVM can't see it). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** Count of java processes that are NOT this benchmark (not self, not an
+    * ancestor like the sbt launcher). Stale JVMs sharing the CPUs are the
+    * documented cause of previous rounds' phantom regressions — recording
+    * the count makes any drift attributable on sight.
+    */
+  private def foreignJvms(): Int = {
+    import scala.jdk.StreamConverters._
+    val self = ProcessHandle.current()
+    // ancestor pids of this process (self, sbt, its shell's java wrappers)
+    val ancestors = scala.collection.mutable.Set(self.pid())
+    var cur = self.parent()
+    while (cur.isPresent) { ancestors += cur.get.pid(); cur = cur.get.parent() }
+    ProcessHandle.allProcesses().toScala(Iterator).count { h =>
+      !ancestors.contains(h.pid()) &&
+        h.info().command().map[Boolean](_.contains("java")).orElse(false)
+    }
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) -1.0
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,6 +94,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // load evidence: ambient machine state before/after the run plus the
+    // count of unrelated JVMs, so a drifted number is attributable on
+    // sight (see round-3/4 phantom regressions from stale JVMs)
+    val loadBefore = loadAvg()
+    val jvmsBefore = foreignJvms()
+
     val headline = Registry.all.filter(_.headline).map(_.name)
     // one warm-up to JIT the scan/codegen path before timing
     materialize(headline.head)
@@ -71,9 +108,12 @@ object Bench {
       // reclaim this query's broadcasts/shuffles before the next entry
       spark.catalog.clearCache()
       System.gc()
-      n -> (if (runs.contains(-1.0)) -1.0 else runs.min)
+      val failed = runs.contains(-1.0)
+      (n, if (failed) -1.0 else runs.min, if (failed) -1.0 else median(runs))
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+      .mkString("{", ",", "}")
+    val qsMed = results.map { case (k, _, m) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -107,7 +147,11 @@ object Bench {
     val cs = concurrent.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"concurrent_qps":$cs,"concurrent_iters":$concIters,"concurrent_workers":$workers,"sf":"$sfDir"}""")
+    val loadAfter = loadAvg()
+    val jvmsAfter = foreignJvms()
+    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters"""
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,$env,"concurrent_qps":$cs,"concurrent_iters":$concIters,"concurrent_workers":$workers,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -291,7 +291,9 @@ object PipelineQueries {
     // that holds recall >=0.9 down to the corpus's true-pair cosines
     // (OperatorsSpec measures it against the exact baseline).
     QueryDef("d06_embed_lsh", (s, d) =>
-      Similarity.nearDupPairsLsh(Tables.load(s, d, "embeddings"), 0.35)
+      // dim=64 is fixture metadata (TESTDATA embeddings are 64-d at every
+      // sf) — passing it skips the per-invocation first-row probe job
+      Similarity.nearDupPairsLsh(Tables.load(s, d, "embeddings"), 0.35, dim = 64)
         .orderBy(col("cos_sim").desc, col("a"), col("b")),
       Some(s"""
       WITH $ED,
@@ -389,7 +391,7 @@ object PipelineQueries {
     // exact re-score and the rank — approximate results, exactly checked.
     QueryDef("a03_ann_lsh", (s, d) =>
       Similarity.lshTopK(Tables.load(s, d, "embeddings"),
-          col("vec_id") < 5, 10)
+          col("vec_id") < 5, 10, dim = 64)
         .orderBy(col("qid"), col("rank")),
       Some(s"""
       WITH $ED,

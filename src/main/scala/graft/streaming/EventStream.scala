@@ -182,9 +182,16 @@ object EventStream {
     * the same strictly-after rule, emitting one row per stage ADVANCE as
     * it happens (the batch form reports the final standing; a stream
     * reports transitions). State per user is two numbers — current stage
-    * and its completion time — regardless of history length; no timeout is
-    * set because funnel state is meaningful for the user's whole lifetime
-    * (callers that want eviction can bound it with a TTL'd variant).
+    * and its completion time — regardless of history length.
+    *
+    * State lifetime: by default no timeout is set (funnel state is
+    * meaningful for the user's whole lifetime, and the no-TTL form is the
+    * batch-parity one), so state grows with the TOTAL user population.
+    * For a 100 TB / unbounded-user deployment pass `idleTtlMinutes`: an
+    * event-time timeout evicts users idle (no events at all, funnel or
+    * otherwise) past the horizon, bounding state by ACTIVE users — a
+    * re-entering evicted user starts from stage 0, the standard tradeoff
+    * of TTL'd funnel state.
     *
     * Within a micro-batch, events are applied in event-time order;
     * ACROSS batches, an event older than the recorded stage time cannot
@@ -192,34 +199,63 @@ object EventStream {
     * monotone), so out-of-order arrival across batches costs at most a
     * missed advance that a truly-ordered replay would also have missed.
     */
-  def funnelStream(events: DataFrame, stages: Seq[String])
-      : Dataset[FunnelAdvance] = {
+  def funnelStream(events: DataFrame, stages: Seq[String],
+      idleTtlMinutes: Option[Int] = None): Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val stageOf = stages.zipWithIndex.toMap
+    val ttlMs = idleTtlMinutes.map(_ * 60L * 1000L)
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     events
       .withWatermark("ts", "1 hour")
       .select(col("user_id").cast("long"), col("event_type"), col("ts"))
       .as[(Long, String, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelProgress, FunnelAdvance](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
             state: GroupState[FunnelProgress]) =>
-          val relevant = rows
-            .collect { case (_, et, t) if stageOf.contains(et) =>
-              (stageOf(et), t.getTime) }
-            .toSeq.sortBy(_._2)
-          var cur = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
-          val advances = List.newBuilder[FunnelAdvance]
-          relevant.foreach { case (stageIdx, t) =>
-            if (stageIdx == cur.stage && t > cur.stageTs) {
-              cur = FunnelProgress(cur.stage + 1, t)
-              advances += FunnelAdvance(user, cur.stage.toLong, t)
+          if (state.hasTimedOut) {
+            // idle past the TTL horizon: evict. Nothing to emit — the
+            // funnel reports advances, and eviction is not one.
+            state.remove()
+            Iterator.empty
+          } else {
+            // ANY event counts as activity for the idle clock, not just
+            // funnel-stage events — a user browsing without converting is
+            // active, not evictable
+            var lastActivity = Long.MinValue
+            val relevant = rows
+              .map { case (_, et, t) =>
+                val ms = t.getTime
+                if (ms > lastActivity) lastActivity = ms
+                (et, ms)
+              }
+              .collect { case (et, ms) if stageOf.contains(et) =>
+                (stageOf(et), ms) }
+              .toSeq.sortBy(_._2)
+            var cur = state.getOption.getOrElse(FunnelProgress(0, Long.MinValue))
+            val advances = List.newBuilder[FunnelAdvance]
+            relevant.foreach { case (stageIdx, t) =>
+              if (stageIdx == cur.stage && t > cur.stageTs) {
+                cur = FunnelProgress(cur.stage + 1, t)
+                advances += FunnelAdvance(user, cur.stage.toLong, t)
+              }
             }
+            if (cur.stage > 0) {
+              state.update(cur)
+              ttlMs.foreach { ttl =>
+                // never set a timeout at/behind the current watermark —
+                // EventTimeTimeout throws on a stale timestamp (same guard
+                // as sessionize)
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(lastActivity + ttl, wm + 1))
+              }
+            }
+            advances.result().iterator
           }
-          if (cur.stage > 0) state.update(cur)
-          advances.result().iterator
       }
   }
 }

@@ -273,7 +273,47 @@ class OperatorsSpec extends SparkSpec {
     val recall = exact.keys.map(q =>
       (exact(q) intersect approxIds.getOrElse(q, Set.empty)).size / 10.0)
       .sum / exact.size
-    assert(recall > 0.0, s"LSH ANN recall was zero: $approxIds vs $exact")
+    info(f"a03 LSH ANN recall@10 vs brute force: $recall%.3f")
+    // A real measured floor (deterministic md5 planes + fixed fixture ->
+    // the same number every run: 0.533), not the former recall > 0 smoke
+    // check. Why it can't be ~0.9 like d06's: d06 measures recall of PAIRS
+    // ABOVE a cosine threshold (0.35+, where the 64/16 band curve is near
+    // 1); top-10 ANN must also surface a query's more-distant true
+    // neighbors, which on this near-orthogonal fixture sit at cos ~ 0
+    // where band-collision probability drops to ~0.6 — the standard LSH
+    // ANN trade, bought back in production by multi-probe or more bands.
+    assert(recall >= 0.5, f"LSH ANN recall $recall%.3f below measured floor 0.5")
+  }
+
+  test("explicit dim skips the per-invocation first-row probe job") {
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    def countJobs(f: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          n.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        var last = -1
+        var spins = 0
+        while (n.get != last && spins < 40) {
+          last = n.get; spins += 1; Thread.sleep(100)
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      n.get
+    }
+    val without = countJobs {
+      Similarity.nearDupPairsLsh(emb, 0.35).count(); ()
+    }
+    val withDim = countJobs {
+      Similarity.nearDupPairsLsh(emb, 0.35, dim = 64).count(); ()
+    }
+    info(s"jobs with probe: $without, with explicit dim: $withDim")
+    assert(withDim < without,
+      s"explicit dim should save the probe job: $withDim vs $without")
   }
 
   test("approximate aggregates land within sketch error of exact answers") {

@@ -163,6 +163,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL'd streaming funnel evicts idle users; re-entry restarts at stage 0") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_type", "ts")
+    val q = EventStream.funnelStream(events, Seq("view", "click", "purchase"),
+        idleTtlMinutes = Some(60))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_ttl").start()
+    try {
+      // user 1 reaches stage 2 by 10:10 -> idle horizon is 11:10
+      input.addData((1L, "view", ts("10:00")), (1L, "click", ts("10:10")))
+      q.processAllAvailable()
+      // unrelated traffic advances the event-time watermark (1h delay) to
+      // 12:00 — past user 1's horizon
+      input.addData((99L, "noise", ts("13:00")))
+      q.processAllAvailable()
+      // next batch starts with watermark 12:00 > 11:10: user 1 is evicted
+      input.addData((99L, "noise", ts("13:30")))
+      q.processAllAvailable()
+      // the evicted user re-enters: with retained state a 'view' could not
+      // advance past stage 2; after eviction it restarts the funnel
+      input.addData((1L, "view", ts("14:00")))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_ttl").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("funnel_stage")))
+      assert(rows.count(_ == (1L, 1L)) === 2,
+        s"expected a fresh stage-1 advance after eviction, got ${rows.toSeq}")
+      assert(rows.count(_ == (1L, 2L)) === 1)
+      assert(!rows.exists(_._1 == 99L)) // noise never advances a stage
+    } finally q.stop()
+  }
+
   test("watermark is attached to the streaming plan") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),

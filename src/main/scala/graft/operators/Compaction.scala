@@ -19,26 +19,38 @@ object Compaction {
 
   final case class Result(rows: Long, filesBefore: Int, filesAfter: Int)
 
-  private def parquetFiles(dir: String): Array[java.io.File] =
+  private def dataFiles(dir: String, suffix: String): Array[java.io.File] =
     Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filter(f => f.isFile && f.getName.endsWith(suffix))
 
-  /** Sum of footer row counts over a directory's parquet files —
-    * METADATA-only row-count verification (each footer read is a few KB of
-    * tail bytes, never the data pages). Re-scanning both sides to count
-    * rows would double the I/O of a 100 TB maintenance pass; footers make
-    * verification proportional to file COUNT. Small file sets read on the
-    * driver (same cost as the listing); large ones fan out as tasks.
+  private def parquetFooterRows(path: String): Long = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration()))
+    try reader.getRecordCount finally reader.close()
+  }
+
+  private def orcFooterRows(path: String): Long = {
+    val reader = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(path),
+      org.apache.orc.OrcFile.readerOptions(
+        new org.apache.hadoop.conf.Configuration()))
+    try reader.getNumberOfRows finally reader.close()
+  }
+
+  /** Sum of footer row counts over data files — METADATA-only row-count
+    * verification (each footer read is a few KB of tail bytes, never the
+    * data pages; both parquet and ORC store the row count there).
+    * Re-scanning both sides to count rows would double the I/O of a
+    * 100 TB maintenance pass; footers make verification proportional to
+    * file COUNT. Small file sets read on the driver (same cost as the
+    * listing); large ones fan out as tasks.
     */
   private[graft] def footerRowCount(spark: SparkSession,
-      files: Seq[String]): Long = {
-    def oneFooter(path: String): Long = {
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(path),
-          new org.apache.hadoop.conf.Configuration()))
-      try reader.getRecordCount finally reader.close()
-    }
+      files: Seq[String], format: String = "parquet"): Long = {
+    val oneFooter: String => Long =
+      if (format == "orc") orcFooterRows else parquetFooterRows
     if (files.isEmpty) 0L
     else if (files.length <= 64) files.map(oneFooter).sum
     else spark.sparkContext
@@ -46,21 +58,26 @@ object Compaction {
       .map(oneFooter).sum().toLong
   }
 
-  /** Compact `inDir`'s parquet files into `outDir` targeting
-    * `targetBytes` per output file. Returns row count (verified equal on
-    * both sides from parquet FOOTERS — no data re-scan) and the
-    * before/after file counts.
+  /** Compact `inDir`'s data files into `outDir` targeting `targetBytes`
+    * per output file. `format` is `parquet` (default) or `orc` (the
+    * declared Vortex substitute) — the same AQE-rebalance rewrite either
+    * way. Returns row count (verified equal on both sides from file
+    * FOOTERS — no data re-scan) and the before/after file counts.
     */
   def compact(spark: SparkSession, inDir: String, outDir: String,
-      targetBytes: Long = 128L * 1024 * 1024): Result = {
-    val before = parquetFiles(inDir)
-    val df = spark.read.parquet(inDir)
+      targetBytes: Long = 128L * 1024 * 1024,
+      format: String = "parquet"): Result = {
+    require(format == "parquet" || format == "orc",
+      s"unsupported compaction format: $format")
+    val suffix = s".$format"
+    val before = dataFiles(inDir, suffix)
+    val df = spark.read.format(format).load(inDir)
     withAdvisorySize(spark, targetBytes) {
-      df.hint("rebalance").write.mode("overwrite").parquet(outDir)
+      df.hint("rebalance").write.mode("overwrite").format(format).save(outDir)
     }
-    val after = parquetFiles(outDir)
-    val inRows = footerRowCount(spark, before.map(_.getPath).toSeq)
-    val rows = footerRowCount(spark, after.map(_.getPath).toSeq)
+    val after = dataFiles(outDir, suffix)
+    val inRows = footerRowCount(spark, before.map(_.getPath).toSeq, format)
+    val rows = footerRowCount(spark, after.map(_.getPath).toSeq, format)
     require(rows == inRows, s"compaction changed row count: $inRows -> $rows")
     Result(rows, before.length, after.length)
   }

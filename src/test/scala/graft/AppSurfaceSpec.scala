@@ -156,6 +156,36 @@ class AppSurfaceSpec extends SparkSpec {
     assert(shares.values.forall(s => s >= 0.0 && s <= 100.0))
   }
 
+  test("analyze scan metrics and selectivity match q06's independent actuals") {
+    // q06 is the reference's single-scan aggregation; its selectivity is
+    // computable independently of the analyze machinery, so the report's
+    // numbers are pinned against ground truth, not just range-checked
+    val q06 = graft.queries.Registry.byName("q06_revenue_forecast")
+      .run(spark, sf0001)
+    val report = AnalyzeRunner.analyze(q06)
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val total = li.count()
+    val surviving = li.filter(
+      "l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount >= 0.045 AND l_discount <= 0.075 AND l_quantity < 24").count()
+    // exactly one file-backed scan feeds q06
+    val scans = report.operators.filter(_.category == "scan")
+      .filter(_.metrics.contains("numFiles"))
+    assert(scans.length === 1, s"q06 should read one table, got ${scans.map(_.nodeName)}")
+    assert(scans.head.metrics("numFiles") === 1L)
+    // one row group at sf0.001: pushdown can't prune, so the scan emits the
+    // full table and the filter's output equals the predicate's true count
+    assert(scans.head.metrics("numOutputRows") === total)
+    val sel = report.selectivity.getOrElse(fail("no selectivity computed"))
+    val expected = surviving.toDouble / total.toDouble
+    assert(math.abs(sel - expected) < 1e-9,
+      f"analyze selectivity $sel%.6f != measured $expected%.6f")
+    // the timing shares cover the categories the plan actually has
+    val shares = report.timeShareByCategory
+    assert(shares.contains("scan") || shares.contains("aggregate"))
+    assert(math.abs(shares.values.sum - 100.0) < 1e-6)
+  }
+
   test("pagination serves incremental pages from a local iterator") {
     import spark.implicits._
     val pg = new cli.Pagination((1 to 250).toDF("n").orderBy("n"), pageSize = 100)

@@ -109,6 +109,25 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(out).exceptAll(spark.read.parquet(in)).count() === 0L)
   }
 
+  test("ORC compaction round-trips through the same AQE-rebalance path") {
+    val in = s"$tmp/compact_orc_in"
+    val out = s"$tmp/compact_orc_out"
+    val events = graft.core.Tables.load(spark, sf0001, "events")
+      .select("event_id", "user_id", "event_type")
+    events.repartition(32).write.mode("overwrite").orc(in)
+    val nIn = Option(new java.io.File(in).listFiles()).get
+      .count(_.getName.endsWith(".orc"))
+    assert(nIn >= 16, s"fixture produced only $nIn files")
+    val res = graft.operators.Compaction.compact(spark, in, out,
+      targetBytes = 64L * 1024 * 1024, format = "orc")
+    assert(res.rows === events.count())
+    assert(res.filesBefore === nIn)
+    assert(res.filesAfter < nIn / 4,
+      s"still fragmented: ${res.filesAfter} files from $nIn")
+    // values survive byte-exactly through the ORC rewrite
+    assert(spark.read.orc(out).exceptAll(spark.read.orc(in)).count() === 0L)
+  }
+
   test("Delta log replay honors remove actions (compaction/delete)") {
     val dir = s"$tmp/delta_rm"
     writeDeltaFixture(dir)

@@ -52,6 +52,62 @@ object Sampling {
       .drop("__graft_stratum", "__graft_rate")
   }
 
+  /** Source mixing: resample the corpus so each source's share of the
+    * output approaches its target weight, inside a global `budget` fraction
+    * of the corpus. A source's keep-rate is
+    * `min(1, budget * N * w_s / (sumW * n_s))` — proportional targets
+    * capped at keeping everything (an under-represented source can't be
+    * up-sampled, only kept whole). Sources absent from `targets` are
+    * dropped, like [[stratified]].
+    *
+    * Fully distributed: per-source counts are one map-side-combined
+    * aggregate over the corpus; the rates relation (one row per source)
+    * broadcasts back for a narrow hash filter — the corpus itself never
+    * shuffles, and nothing round-trips through the driver. The arithmetic
+    * is plain left-associated double math so a SQL oracle replays the
+    * exact rates.
+    */
+  def sourceMix(df: DataFrame, source: Column, key: Column,
+      targets: Map[String, Double], budget: Double): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.groupBy(source.as("__graft_src"))
+      .agg(count(lit(1)).as("__graft_n"))
+    val total = df.agg(count(lit(1)).as("__graft_total"))
+    val tdf = targets.toSeq.toDF("__graft_tsrc", "__graft_w")
+    val sumW = targets.values.sum
+    val rates = counts
+      .join(broadcast(tdf), col("__graft_src") === col("__graft_tsrc"))
+      .crossJoin(broadcast(total))
+      .select(col("__graft_src"),
+        least(lit(1.0),
+          lit(budget) * col("__graft_total") * col("__graft_w") /
+            (lit(sumW) * col("__graft_n"))).as("__graft_rate"))
+    df.join(broadcast(rates), source === col("__graft_src"))
+      .filter(bucket16(key) < col("__graft_rate") * 65536d)
+      .drop("__graft_src", "__graft_rate")
+  }
+
+  /** Cap any single group's contribution at `cap` rows, keeping a
+    * deterministic hash-ordered prefix (so the kept subset is an unbiased,
+    * reproducible sample of the group rather than whatever the scan order
+    * yields). The domain-cap / per-source-cap operator of web curation
+    * pipelines: one shuffle on the group key; `key` breaks hash-bucket
+    * ties, so results are exact across engines and runs.
+    *
+    * Groups at web scale are heavy-tailed — the whole point of the cap —
+    * so the window shuffle inherits that skew; AQE's skew handling does
+    * not split window partitions, but each reducer only keeps `cap` rows
+    * per group in a streaming pass, so the hot key costs I/O, not memory.
+    */
+  def capPerGroup(df: DataFrame, group: Column, key: Column, cap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(group).orderBy(bucket16(key), key)
+    df.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") <= cap)
+      .drop("__graft_rn")
+  }
+
   /** Flag corpus rows whose fingerprint appears in the benchmark set
     * (contamination against eval data). `benchmarkFps` must expose a
     * single `fp` column; it is deduped and broadcast. The output carries

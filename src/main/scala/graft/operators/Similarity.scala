@@ -210,6 +210,109 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Lloyd's k-means over the embedding column, cosine flavor, built the
+    * way Spark's own MLlib does it: centroids live on the driver (bounded
+    * metadata — k × dim doubles), each assignment pass is a NARROW per-row
+    * argmax against the broadcast centroid literals (an `aggregate` fold
+    * over k struct literals — no N×k shuffle, no window), and each update
+    * pass is one map-side-combined groupBy((cluster, dim)) average. Total
+    * cost per iteration: one corpus scan + one k×dim-sized shuffle.
+    *
+    * Deterministic and oracle-replayable end to end: seeds are the k
+    * lowest vec_ids (cluster id = seed vec_id), ties in the argmax break
+    * toward the lower cluster id, and updated centroid components are
+    * rounded to 6dp so summation-order noise can't leak into assignments —
+    * a SQL engine replays the exact fixpoint.
+    *
+    * `iters` counts assignment passes: iters=2 is assign → update → assign.
+    * Clusters that lose all members drop out (standard Lloyd's).
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 2): Seq[(Long, Seq[Double])] = {
+    require(k > 0 && iters > 0, "k and iters must be positive")
+    var cents: Seq[(Long, Seq[Double])] = emb
+      .orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().toSeq
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq)
+    for (_ <- 1 until iters) {
+      val (cl, _) = nearestCentroid(cents)
+      cents = emb
+        .select(cl.as("cluster"), posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy(col("cluster"), col("i"))
+        .agg(round(avg(col("v").cast("double")), 6).as("cv"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).toSeq
+        .map { case (c, rows) => c -> rows.sortBy(_._2).map(_._3).toSeq }
+        .sortBy(_._1)
+    }
+    cents
+  }
+
+  /** Per-row (cluster, cos_sim) argmax against the centroid literals: an
+    * `aggregate` fold over an array of k structs, so the plan stays linear
+    * in k (a `when`-chain reduce would duplicate subtrees exponentially).
+    * Strictly-greater keeps the first maximum — the lowest cluster id wins
+    * exact ties, matching a `row_number ... ORDER BY sim DESC, cluster` in
+    * SQL.
+    */
+  private def nearestCentroid(cents: Seq[(Long, Seq[Double])]): (Column, Column) = {
+    // explicit struct type: field names from `.as` aliases are stripped to
+    // col1/col2 once the structs pass through the aggregate lambda, so
+    // getField("sim") would fail without the cast
+    val stype = "struct<sim:double,cluster:bigint>"
+    val scored = array(cents.map { case (cid, v) =>
+      struct(cosine(col("embedding"), typedlit(v)).as("sim"),
+        lit(cid).as("cluster")).cast(stype)
+    }: _*)
+    val best = aggregate(scored,
+      struct(lit(-2.0).as("sim"), lit(-1L).as("cluster")).cast(stype),
+      (acc, s) => when(s.getField("sim") > acc.getField("sim"), s).otherwise(acc))
+    (best.getField("cluster"), best.getField("sim"))
+  }
+
+  /** Fit [[kmeansCentroids]] and return the final assignment:
+    * (vec_id, cluster, cos_sim rounded to 4dp). One narrow pass over the
+    * corpus once the centroids are fitted.
+    */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    val (cl, sim) = nearestCentroid(kmeansCentroids(emb, k, iters))
+    emb.select(col("vec_id"), cl.as("cluster"),
+      round(sim, 4).as("cos_sim"))
+  }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
+    * then within-cluster pairwise pruning. K-means bounds the candidate
+    * space — pairs are only compared inside a cluster, so the quadratic
+    * term is Σ|c|² instead of N², and `k` is the knob that keeps clusters
+    * at a size where that is linear-ish (real deployments: k ~ N/few-
+    * thousand; see SCALE.md). A vector is dropped when some LOWER-id
+    * vector in its cluster sits above the cosine threshold — the greedy
+    * keep-earliest rule, exactly replayable as a SQL anti-join.
+    *
+    * The pair stage is an equi-join on the cluster id. With small k the
+    * key cardinality is low — at 100 TB use a k that gives ≥10⁴ clusters
+    * so the join parallelizes; the cap-per-cluster cost argument is the
+    * same as the LSH bucket join's.
+    *
+    * Returns the surviving assignment rows (vec_id, cluster, cos_sim-to-
+    * centroid).
+    */
+  def semanticDedup(emb: DataFrame, k: Int, tau: Double, iters: Int = 2): DataFrame = {
+    val asg = kmeansAssign(emb, k, iters)
+    val withVec = asg.select(col("vec_id"), col("cluster"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    val a = withVec.select(col("vec_id").as("a"), col("cluster"),
+      col("embedding").as("va"))
+    val b = withVec.select(col("vec_id").as("b"), col("cluster"),
+      col("embedding").as("vb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("a") < col("b"))
+      .filter(cosine(col("va"), col("vb")) > tau)
+      .select(col("b").as("vec_id")).distinct()
+    asg.join(dropped, Seq("vec_id"), "left_anti")
+  }
+
   private def md5Hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -79,6 +79,82 @@ object TextOps {
       .select(col("doc_id"), col("kh"), col("fps"))
   }
 
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1): the
+    * fraction of repeated words and the dominance of the most common
+    * word / 2-gram / 3-gram. High values flag boilerplate, keyword stuffing
+    * and degenerate generations — the standard repetition pre-filter a
+    * curation pipeline runs before dedup.
+    *
+    * Everything is per-row array expressions (split / array_distinct /
+    * aggregate-fold over the distinct tokens) — a narrow single pass, no
+    * shuffle, no explode. The per-row cost is O(distinct × length) on the
+    * token array, fine for web-document sizes; for book-length inputs,
+    * explode + groupBy(doc_id, gram) computes the same counts at one
+    * shuffle and should be preferred past ~10⁴ tokens/doc.
+    *
+    * All fractions are exact int/int double divisions (no rounding needed
+    * for engine parity); empty/short docs yield 0.0 instead of null.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val ws = filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")
+    def grams(n: Int): Column =
+      when(size(col("ws")) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(col("ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(o => element_at(col("ws"), i + o)): _*)))
+    // max occurrence count of any gram: fold over the distinct grams,
+    // counting each one's occurrences in the full list
+    def maxCount(arr: Column): Column =
+      aggregate(array_distinct(arr), lit(0),
+        (acc, d) => greatest(acc, size(filter(arr, x => x === d))))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, num.cast("double") / den.cast("double")).otherwise(lit(0.0))
+    docs
+      .withColumn("ws", ws)
+      .withColumn("bg", grams(2))
+      .withColumn("tg", grams(3))
+      .select(
+        col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(array_distinct(col("ws"))).cast("long").as("n_distinct_words"),
+        frac(size(col("ws")) - size(array_distinct(col("ws"))), size(col("ws")))
+          .as("dup_word_frac"),
+        frac(maxCount(col("ws")), size(col("ws"))).as("top_word_frac"),
+        frac(maxCount(col("bg")), size(col("bg"))).as("top_bigram_frac"),
+        frac(maxCount(col("tg")), size(col("tg"))).as("top_trigram_frac"))
+  }
+
+  /** PII patterns scrubbed by [[piiScrub]]. RE2-compatible (no lookarounds,
+    * no backrefs) so a DuckDB oracle applies the exact same expressions.
+    */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern: String = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longNumberPattern: String = "\\b\\d{7,}\\b"
+
+  /** PII redaction: replaces emails, dotted-quad IPs and long digit runs
+    * (phone/account numbers) with typed placeholder tokens, and reports the
+    * per-document match counts. Counts are taken on the original text;
+    * replacement is staged email → IP → number so the narrower numeric
+    * patterns never fire inside an already-redacted wider match.
+    *
+    * Pure per-row regexp expressions — narrow, codegen'd, no shuffle; this
+    * is a full-corpus rewrite pass at 100 TB and costs exactly one scan.
+    */
+  def piiScrub(docs: DataFrame, text: Column): DataFrame = {
+    def count(re: String): Column =
+      size(regexp_extract_all(text, lit(re), lit(0))).cast("long")
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, emailPattern, "<EMAIL>"),
+          ipv4Pattern, "<IP>"),
+        longNumberPattern, "<ID>")
+    docs
+      .withColumn("n_emails", count(emailPattern))
+      .withColumn("n_ips", count(ipv4Pattern))
+      .withColumn("n_ids", count(longNumberPattern))
+      .withColumn("scrubbed", scrubbed)
+  }
+
   /** Per-document token statistics. */
   def tokenStats(docs: DataFrame): DataFrame = {
     val tok = tokens(col("text"))

@@ -30,6 +30,35 @@ object PipelineQueries {
       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
       |nrm AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ed GROUP BY vec_id)""".stripMargin
 
+  /** K-means replay (composes after [[ED]]): seed centroids = the k=8
+    * lowest vec_ids (cluster id = seed vec_id), argmax-cosine assignment
+    * with ties toward the lower cluster, centroid update rounded to 6dp
+    * (killing summation-order noise, same as the Spark side), second
+    * assignment → `a2(vec_id, cluster, sim)`.
+    */
+  private val KM2 =
+    """c0 AS (SELECT vec_id AS cl, i, v AS cv FROM ed WHERE vec_id < 8),
+      |c0n AS (SELECT cl, SQRT(SUM(cv*cv)) AS cn FROM c0 GROUP BY cl),
+      |s1 AS (SELECT e.vec_id, c.cl, SUM(e.v*c.cv) AS dot
+      |       FROM ed e JOIN c0 c ON e.i = c.i GROUP BY e.vec_id, c.cl),
+      |a1 AS (SELECT vec_id, cl FROM (
+      |         SELECT s1.vec_id, s1.cl,
+      |           ROW_NUMBER() OVER (PARTITION BY s1.vec_id
+      |             ORDER BY s1.dot/(n.nrm*c0n.cn) DESC, s1.cl) AS rn
+      |         FROM s1 JOIN nrm n ON n.vec_id = s1.vec_id
+      |         JOIN c0n ON c0n.cl = s1.cl) t WHERE rn = 1),
+      |c1 AS (SELECT a1.cl, e.i, ROUND(AVG(e.v), 6) AS cv
+      |       FROM a1 JOIN ed e ON e.vec_id = a1.vec_id GROUP BY a1.cl, e.i),
+      |c1n AS (SELECT cl, SQRT(SUM(cv*cv)) AS cn FROM c1 GROUP BY cl),
+      |s2 AS (SELECT e.vec_id, c.cl, SUM(e.v*c.cv) AS dot
+      |       FROM ed e JOIN c1 c ON e.i = c.i GROUP BY e.vec_id, c.cl),
+      |a2 AS (SELECT vec_id, cl AS cluster, sim FROM (
+      |         SELECT s2.vec_id, s2.cl, s2.dot/(n.nrm*c1n.cn) AS sim,
+      |           ROW_NUMBER() OVER (PARTITION BY s2.vec_id
+      |             ORDER BY s2.dot/(n.nrm*c1n.cn) DESC, s2.cl) AS rn
+      |         FROM s2 JOIN nrm n ON n.vec_id = s2.vec_id
+      |         JOIN c1n ON c1n.cl = s2.cl) t WHERE rn = 1)""".stripMargin
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---------------- text analysis ----------------
@@ -539,6 +568,160 @@ object PipelineQueries {
     // representatives, composed; the oracle replays the whole chain (t02 +
     // d01 + d03 fragments + the d07 recursive closure over the
     // progressively filtered doc set).
+    // Gopher-style repetition pre-filter: duplicate-word fraction and the
+    // dominance of the most common word / 2-gram / 3-gram. All fractions
+    // are exact int/int double divisions, so no rounding is needed for
+    // engine parity.
+    QueryDef("t07_repetition", (s, d) =>
+      TextOps.repetitionStats(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(raw"""
+      WITH ws AS (SELECT doc_id,
+          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            x -> x <> '') AS w
+        FROM documents),
+      tok AS (SELECT doc_id, generate_subscripts(w, 1) AS pos, unnest(w) AS t
+              FROM ws),
+      wc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY doc_id, t),
+      base AS (SELECT doc_id, SUM(c) AS n, COUNT(*) AS nd, MAX(c) AS mx
+               FROM wc GROUP BY doc_id),
+      bg0 AS (SELECT doc_id, t || ' ' || LEAD(t) OVER win AS g
+              FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      bg AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM (
+               SELECT doc_id, g, COUNT(*) AS c FROM bg0
+               WHERE g IS NOT NULL GROUP BY doc_id, g) GROUP BY doc_id),
+      tg0 AS (SELECT doc_id,
+                t || ' ' || LEAD(t) OVER win || ' ' || LEAD(t, 2) OVER win AS g
+              FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      tg AS (SELECT doc_id, MAX(c) AS mx, SUM(c) AS n FROM (
+               SELECT doc_id, g, COUNT(*) AS c FROM tg0
+               WHERE g IS NOT NULL GROUP BY doc_id, g) GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(CAST(b.n AS BIGINT), 0) AS n_words,
+        COALESCE(CAST(b.nd AS BIGINT), 0) AS n_distinct_words,
+        COALESCE(CAST(b.n - b.nd AS DOUBLE) / b.n, 0.0) AS dup_word_frac,
+        COALESCE(CAST(b.mx AS DOUBLE) / b.n, 0.0) AS top_word_frac,
+        COALESCE(CAST(bg.mx AS DOUBLE) / bg.n, 0.0) AS top_bigram_frac,
+        COALESCE(CAST(tg.mx AS DOUBLE) / tg.n, 0.0) AS top_trigram_frac
+      FROM documents d
+      LEFT JOIN base b ON b.doc_id = d.doc_id
+      LEFT JOIN bg ON bg.doc_id = d.doc_id
+      LEFT JOIN tg ON tg.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
+    // PII redaction. The corpus text carries no PII-shaped content, so the
+    // query derives a deterministic PII-bearing text from doc_id in BOTH
+    // engines (same concat), then scrubs it — the redaction regexes and
+    // staging are what is actually under test. Patterns are interpolated
+    // from the operator's constants so the two engines share byte-identical
+    // regexes.
+    QueryDef("t08_pii_scrub", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val pii = docs.withColumn("pii_text", concat(
+        col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com from 10."), col("doc_id") % 256, lit(".0."),
+        (col("doc_id") * 7) % 256, lit(" account "),
+        col("doc_id") + 900000000L))
+      TextOps.piiScrub(pii, col("pii_text"))
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_ids"),
+          col("scrubbed"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH pii AS (SELECT doc_id,
+        text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        '@example.com from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        CAST((doc_id * 7) % 256 AS VARCHAR) || ' account ' ||
+        CAST(doc_id + 900000000 AS VARCHAR) AS p
+      FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(p, '${TextOps.emailPattern}')) AS BIGINT)
+          AS n_emails,
+        CAST(len(regexp_extract_all(p, '${TextOps.ipv4Pattern}')) AS BIGINT)
+          AS n_ips,
+        CAST(len(regexp_extract_all(p, '${TextOps.longNumberPattern}')) AS BIGINT)
+          AS n_ids,
+        regexp_replace(regexp_replace(regexp_replace(p,
+          '${TextOps.emailPattern}', '<EMAIL>', 'g'),
+          '${TextOps.ipv4Pattern}', '<IP>', 'g'),
+          '${TextOps.longNumberPattern}', '<ID>', 'g') AS scrubbed
+      FROM pii ORDER BY doc_id""")),
+
+    // source mixing toward target weights inside a 10% budget: src0 gets
+    // 4x the share of src2/src3, src1 2x; rates are capped at 1.0 (no
+    // up-sampling). All arithmetic forced to DOUBLE on the oracle side so
+    // the rate thresholds are bit-identical to Spark's.
+    QueryDef("smp03_source_mix", (s, d) =>
+      Sampling.sourceMix(Tables.load(s, d, "documents"), col("source"),
+          col("doc_id"),
+          Map("src0" -> 4.0, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 1.0),
+          budget = 0.1)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+      Some("""
+      WITH tgt(src, w) AS (VALUES
+        ('src0', 4.0), ('src1', 2.0), ('src2', 1.0), ('src3', 1.0)),
+      cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      tot AS (SELECT COUNT(*) AS total FROM documents),
+      rates AS (SELECT t.src,
+          LEAST(CAST(1.0 AS DOUBLE),
+            CAST(0.1 AS DOUBLE) * tot.total * CAST(t.w AS DOUBLE) /
+              (CAST(8.0 AS DOUBLE) * c.n)) AS rate
+        FROM cnt c JOIN tgt t ON c.source = t.src CROSS JOIN tot)
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN rates r ON d.source = r.src
+      WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+            < r.rate * 65536
+      ORDER BY d.doc_id""")),
+
+    // per-source cap: at most 10 docs per source, kept by hash order so
+    // the capped subset is an unbiased deterministic sample of each source
+    QueryDef("smp04_source_cap", (s, d) =>
+      Sampling.capPerGroup(Tables.load(s, d, "documents"), col("source"),
+          col("doc_id"), 10)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id, source FROM (
+        SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source
+          ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT,
+            doc_id) AS rn
+        FROM documents) t WHERE rn <= 10 ORDER BY doc_id""")),
+
+    // distributed Lloyd's k-means, 2 assignment passes: the oracle replays
+    // seed centroids (k lowest vec_ids), the argmax-cosine assignment, the
+    // 6dp-rounded centroid update and the final assignment — the whole
+    // fixpoint is hash-checked, like a02's IVF replay
+    QueryDef("a04_kmeans", (s, d) =>
+      Similarity.kmeansAssign(Tables.load(s, d, "embeddings"), k = 8, iters = 2)
+        .orderBy(col("vec_id")),
+      Some(s"""
+      WITH $ED,
+      $KM2
+      SELECT vec_id, cluster, ROUND(sim, 4) AS cos_sim FROM a2
+      ORDER BY vec_id""")),
+
+    // SemDeDup: k-means bounds the pair space, then within-cluster pairs
+    // above the cosine threshold drop the higher vec_id (greedy
+    // keep-earliest). The oracle replays clustering + pruning end to end.
+    QueryDef("d08_semantic_dedup", (s, d) =>
+      Similarity.semanticDedup(Tables.load(s, d, "embeddings"), k = 8,
+          tau = 0.35)
+        .orderBy(col("vec_id")),
+      Some(s"""
+      WITH $ED,
+      $KM2,
+      pr AS (SELECT x.vec_id AS a, y.vec_id AS b, SUM(ea.v*eb.v) AS dot
+             FROM a2 x JOIN a2 y
+               ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+             JOIN ed ea ON ea.vec_id = x.vec_id
+             JOIN ed eb ON eb.vec_id = y.vec_id AND eb.i = ea.i
+             GROUP BY x.vec_id, y.vec_id),
+      dropped AS (SELECT DISTINCT p.b FROM pr p
+                  JOIN nrm na ON na.vec_id = p.a
+                  JOIN nrm nb ON nb.vec_id = p.b
+                  WHERE p.dot/(na.nrm*nb.nrm) > 0.35)
+      SELECT vec_id, cluster, ROUND(sim, 4) AS cos_sim FROM a2
+      WHERE vec_id NOT IN (SELECT b FROM dropped)
+      ORDER BY vec_id""")),
+
     QueryDef("c01_curation", (s, d) =>
       Curation.curate(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
       Some(raw"""

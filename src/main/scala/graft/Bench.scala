@@ -100,7 +100,13 @@ object Bench {
     val loadBefore = loadAvg()
     val jvmsBefore = foreignJvms()
 
-    val headline = Registry.all.filter(_.headline).map(_.name)
+    // SPARK_GRAFT_QUERIES narrows the list for targeted repro runs
+    // (e.g. chasing one query's variance with SPARK_GRAFT_ITERS=5)
+    val headline = sys.env.get("SPARK_GRAFT_QUERIES") match {
+      case Some(qs) =>
+        qs.split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
+      case None => Registry.all.filter(_.headline).map(_.name)
+    }
     // one warm-up to JIT the scan/codegen path before timing
     materialize(headline.head)
     val results = headline.map { n =>

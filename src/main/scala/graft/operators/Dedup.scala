@@ -77,18 +77,25 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // cache() is load-bearing: the deduped shingle set feeds the sizes
-    // aggregate and BOTH self-join sides; without it each consumer
-    // recomputes the explode+distinct pipeline (measured 4x slower).
+    // The materialization is load-bearing: the deduped shingle set feeds
+    // the sizes aggregate and BOTH self-join sides; without it each
+    // consumer recomputes the explode+distinct pipeline (measured 4x
+    // slower). Eager localCheckpoint rather than cache(): the computation
+    // happens exactly once up front (a lazy cache lets the three consumers
+    // race to materialize partitions), the blocks are reclaimed by the
+    // ContextCleaner as soon as the result is unreachable (CacheManager
+    // entries persist until an explicit unpersist — across a benchmark
+    // list that accumulates into GC debt, the round-5 d02/d02b variance),
+    // and the stats AQE sees are the materialized ones.
     // Deliberately NOT pre-partitioned on the join key: an A/B showed a
-    // repartition(sk) before the cache 3x slower end-to-end — it forces a
-    // materialized exchange and pins the layout, while AQE already picks
-    // the cheaper join strategy (broadcast here; co-partitioned shuffle
-    // at corpus scale) from runtime sizes.
+    // repartition(sk) before the materialization 3x slower end-to-end — it
+    // forces an extra exchange and pins the layout, while AQE already
+    // picks the cheaper join strategy (broadcast here; co-partitioned
+    // shuffle at corpus scale) from runtime sizes.
     val sh = shinglesWithDupes(docs, n)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sk"))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val joinable =
       if (maxDocFreq == Long.MaxValue) sh

@@ -92,20 +92,67 @@ object Sampling {
     * deterministic hash-ordered prefix (so the kept subset is an unbiased,
     * reproducible sample of the group rather than whatever the scan order
     * yields). The domain-cap / per-source-cap operator of web curation
-    * pipelines: one shuffle on the group key; `key` breaks hash-bucket
-    * ties, so results are exact across engines and runs.
+    * pipelines. `key` must be an orderable atomic column that is unique
+    * per row (it breaks hash-bucket ties, so results are exact across
+    * engines and runs).
     *
-    * Groups at web scale are heavy-tailed — the whole point of the cap —
-    * so the window shuffle inherits that skew; AQE's skew handling does
-    * not split window partitions, but each reducer only keeps `cap` rows
-    * per group in a streaming pass, so the hot key costs I/O, not memory.
+    * Two-phase, because groups at web scale are heavy-tailed — the whole
+    * point of the cap — and a bare window inherits exactly that skew:
+    *
+    *  - Phase 1 (map-side, NO shuffle): within each input partition keep
+    *    at most `cap` rows per group via a bounded heap under the same
+    *    (bucket, key) total order the final window uses. The
+    *    per-partition winners are a superset of the global winners under
+    *    a total order, so nothing the final window would keep is lost —
+    *    but a hot group now ships at most `cap` rows PER MAP TASK into
+    *    the shuffle instead of all its rows.
+    *  - Phase 2: the exact row_number window over the ≤ cap × partitions
+    *    survivors per group.
     */
   def capPerGroup(df: DataFrame, group: Column, key: Column, cap: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(group).orderBy(bucket16(key), key)
-    df.withColumn("__graft_rn", row_number().over(w))
+    val staged = df
+      .withColumn("__graft_ord", bucket16(key))
+      .withColumn("__graft_grp", group)
+      .withColumn("__graft_key", key)
+    val schema = staged.schema
+    val oi = schema.fieldIndex("__graft_ord")
+    val gi = schema.fieldIndex("__graft_grp")
+    val ki = schema.fieldIndex("__graft_key")
+    // ascending (bucket, key); null keys sort first, matching the window's
+    // default ASC NULLS FIRST
+    def cmp(a: Row, b: Row): Int = {
+      val c1 = java.lang.Long.compare(a.getLong(oi), b.getLong(oi))
+      if (c1 != 0) c1
+      else (a.get(ki), b.get(ki)) match {
+        case (null, null) => 0
+        case (null, _) => -1
+        case (_, null) => 1
+        case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+      }
+    }
+    val asc: Ordering[Row] = (a, b) => cmp(a, b)
+    val pruned = staged.mapPartitions { it =>
+      // group value -> max-heap of the `cap` smallest rows seen so far
+      // (dequeue = current worst kept); state is bounded at cap rows per
+      // group resident in this partition
+      val heaps = scala.collection.mutable.HashMap
+        .empty[Any, scala.collection.mutable.PriorityQueue[Row]]
+      it.foreach { r =>
+        val g = r.get(gi)
+        val h = heaps.getOrElseUpdate(g,
+          scala.collection.mutable.PriorityQueue.empty(asc))
+        h.enqueue(r)
+        if (h.size > cap) { h.dequeue(); () }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }(Encoders.row(schema))
+    val w = Window.partitionBy(col("__graft_grp"))
+      .orderBy(col("__graft_ord"), col("__graft_key"))
+    pruned.withColumn("__graft_rn", row_number().over(w))
       .filter(col("__graft_rn") <= cap)
-      .drop("__graft_rn")
+      .drop("__graft_ord", "__graft_grp", "__graft_key", "__graft_rn")
   }
 
   /** Flag corpus rows whose fingerprint appears in the benchmark set

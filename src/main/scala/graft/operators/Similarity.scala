@@ -148,18 +148,7 @@ object Similarity {
             .select(lit(0L).as("qid"), lit(0L).as("nid"),
               lit(0L).as("rank"), lit(0.0).as("cos_sim")).limit(0)
       }
-    val pls = simhashPlanes(resolvedDim, planes)
-    val bandBits = planes / bands
-    val sig = emb.select(col("vec_id"),
-      nativeSignature(emb.sparkSession)(col("embedding"), pls).as("bits"))
-    val bucketCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        substring(col("bits"), b * bandBits + 1, bandBits).as("bucket")))
-    val buckets = sig.select(col("vec_id"),
-        explode(array(bucketCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-      .cache()
+    val buckets = lshBuckets(emb, planes, bands, resolvedDim)
     val queryIds = emb.filter(isQuery).select(col("vec_id").as("qid"))
     val cand =
       try {
@@ -295,11 +284,30 @@ object Similarity {
     * so the join parallelizes; the cap-per-cluster cost argument is the
     * same as the LSH bucket join's.
     *
+    * GATED: `maxClusterSize` is the caller's explicit bound on the largest
+    * cluster the pair join may touch (the same opt-in pattern as d05's
+    * `maxRows` and the Jaccard join's `maxDocFreq`). K-means on a skewed
+    * corpus can put most vectors in one cluster, silently reverting the
+    * Σ|c|² pair stage to the O(N²) join every other operator in this
+    * family gates against — so the operator counts cluster sizes (one
+    * cheap k-row aggregate) and refuses to build the join when any
+    * cluster exceeds the cap. The fix at scale is a larger k (more, and
+    * therefore smaller, clusters), not a larger cap.
+    *
     * Returns the surviving assignment rows (vec_id, cluster, cos_sim-to-
     * centroid).
     */
-  def semanticDedup(emb: DataFrame, k: Int, tau: Double, iters: Int = 2): DataFrame = {
+  def semanticDedup(emb: DataFrame, k: Int, tau: Double, maxClusterSize: Long,
+      iters: Int = 2): DataFrame = {
     val asg = kmeansAssign(emb, k, iters)
+    val biggest = asg.groupBy(col("cluster")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head
+    val biggestN = if (biggest.isNullAt(0)) 0L else biggest.getLong(0)
+    require(biggestN <= maxClusterSize,
+      s"semanticDedup pair stage is quadratic per cluster: largest cluster " +
+        s"has $biggestN vectors, caller capped clusters at $maxClusterSize. " +
+        "Raise k so clusters shrink, or raise maxClusterSize explicitly to " +
+        "accept the within-cluster O(|c|^2) cost.")
     val withVec = asg.select(col("vec_id"), col("cluster"))
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
     val a = withVec.select(col("vec_id").as("a"), col("cluster"),
@@ -415,6 +423,27 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Shared LSH bucket stage: (vec_id, band, bucket), cached. Both the
+    * top-k path ([[lshTopK]]: query buckets vs corpus buckets) and the
+    * near-dup pair path ([[lshCandidates]]: bucket self-join) consume this
+    * one relation, so band-curve changes can't diverge between them. The
+    * CALLER owns unpersisting it once its candidates materialize.
+    */
+  private def lshBuckets(emb: DataFrame, planes: Int, bands: Int,
+      dim: Int): DataFrame = {
+    val pls = simhashPlanes(dim, planes)
+    val bandBits = planes / bands
+    val sig = emb.select(col("vec_id"),
+      nativeSignature(emb.sparkSession)(col("embedding"), pls).as("bits"))
+    val bucketCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        substring(col("bits"), b * bandBits + 1, bandBits).as("bucket")))
+    sig.select(col("vec_id"),
+        explode(array(bucketCols: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .cache()
+  }
+
   /** LSH candidate stage, exposed lazily so ScaleSpec can pin its plan
     * shape (bucket-equality join, never BNLJ/cartesian) — the public
     * operator checkpoints it, which hides the stage from the final plan.
@@ -423,17 +452,7 @@ object Similarity {
     */
   private[graft] def lshCandidates(emb: DataFrame, planes: Int, bands: Int,
       dim: Int): (DataFrame, DataFrame) = {
-    val pls = simhashPlanes(dim, planes)
-    val bandBits = planes / bands
-    val sig = emb.select(col("vec_id"),
-      nativeSignature(emb.sparkSession)(col("embedding"), pls).as("bits"))
-    val bucketCols = (0 until bands).map(b =>
-      struct(lit(b).as("band"),
-        substring(col("bits"), b * bandBits + 1, bandBits).as("bucket")))
-    val buckets = sig.select(col("vec_id"),
-        explode(array(bucketCols: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-      .cache()
+    val buckets = lshBuckets(emb, planes, bands, dim)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

@@ -125,19 +125,44 @@ object Analytics {
     // Approximate aggregates (DataFusion ships approx_distinct /
     // approx_percentile_cont / approx_median as first-class built-ins):
     // HLL++ distinct and quantile sketches. Sketch internals differ across
-    // engines, so there is no value-exact DuckDB oracle — the driver
-    // records the weaker rows-only check, and OperatorsSpec bounds the
-    // relative error against exact answers instead.
+    // engines, so raw sketch outputs can't be value-matched — instead the
+    // query emits EXACT companions (COUNT(DISTINCT), interpolated
+    // percentiles) that DuckDB hash-checks, plus boolean in-bound columns
+    // asserting each sketch lands within 5% of its exact answer (the
+    // oracle emits TRUE literals). The full row is hash-green AND the
+    // sketch property is still exercised end to end; OperatorsSpec bounds
+    // the raw relative error independently.
     QueryDef("f02_approx_aggregates", (s, d) => {
       val li = t(s, d, "lineitem")
       li.agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 1000)")
-          .as("p50_price"),
-        expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.95, 1000)")
-          .as("p95_price"))
-    }, None),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_orderkey")).as("ao"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.5)").as("ep50"),
+          expr("percentile(CAST(l_extendedprice AS DOUBLE), 0.95)").as("ep95"),
+          expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.5, 1000)")
+            .as("qp50"),
+          expr("approx_percentile(CAST(l_extendedprice AS DOUBLE), 0.95, 1000)")
+            .as("qp95"))
+        .select(
+          col("exact_orders"), col("exact_parts"),
+          round(col("ep50"), 4).as("p50_price"),
+          round(col("ep95"), 4).as("p95_price"),
+          (abs(col("ao") - col("exact_orders")) / col("exact_orders") < 0.05)
+            .as("approx_orders_ok"),
+          (abs(col("ap") - col("exact_parts")) / col("exact_parts") < 0.05)
+            .as("approx_parts_ok"),
+          (abs(col("qp50") - col("ep50")) / col("ep50") < 0.05).as("p50_ok"),
+          (abs(col("qp95") - col("ep95")) / col("ep95") < 0.05).as("p95_ok"))
+    }, Some("""
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS p50_price,
+        ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4) AS p95_price,
+        TRUE AS approx_orders_ok, TRUE AS approx_parts_ok,
+        TRUE AS p50_ok, TRUE AS p95_ok
+      FROM lineitem""")),
 
     // ------------------------------------------------------------------
     // Scalar-function sampler: string / math / conditional / date parts.

@@ -703,7 +703,7 @@ object PipelineQueries {
     // keep-earliest). The oracle replays clustering + pruning end to end.
     QueryDef("d08_semantic_dedup", (s, d) =>
       Similarity.semanticDedup(Tables.load(s, d, "embeddings"), k = 8,
-          tau = 0.35)
+          tau = 0.35, maxClusterSize = 100000)
         .orderBy(col("vec_id")),
       Some(s"""
       WITH $ED,

@@ -109,6 +109,40 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$plan")
   }
 
+  test("two-phase capPerGroup matches the single-window cap on skewed input") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // heavy-tailed: group "hot" has 900 rows, the rest 10 each
+    val rows = (0L until 900L).map(i => (i, "hot")) ++
+      (0L until 100L).map(i => (900 + i, s"g${i / 10}"))
+    val df = rows.toDF("k", "g").repartition(7) // phase 1 must see many partitions
+    val capped = Sampling.capPerGroup(df, col("g"), col("k"), 5)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // reference: the naive exact single-window cap
+    val w = Window.partitionBy(col("g")).orderBy(Sampling.bucket16(col("k")), col("k"))
+    val naive = df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(capped === naive)
+    val perGroup = capped.groupBy(_._2).view.mapValues(_.size)
+    assert(perGroup("hot") === 5)
+    assert(perGroup.forall(_._2 <= 5))
+  }
+
+  test("semanticDedup refuses a cluster larger than maxClusterSize") {
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    // k=1 puts everything in one cluster — the degenerate clustering the
+    // gate exists for; the pair join must never be constructed
+    val e = intercept[IllegalArgumentException](
+      Similarity.semanticDedup(emb, k = 1, tau = 0.35, maxClusterSize = 10))
+    assert(e.getMessage.contains("quadratic"))
+    // and a sane configuration still passes the gate and dedups
+    val kept = Similarity.semanticDedup(emb, k = 8, tau = 0.35,
+      maxClusterSize = 100000)
+    assert(kept.count() > 0)
+  }
+
   test("contamination screen flags benchmark texts and their exact duplicates") {
     val d = docs(
       1L -> "held out eval prompt",
@@ -320,16 +354,17 @@ class OperatorsSpec extends SparkSpec {
     val li = Tables.load(spark, sf001, "lineitem")
     val row = queries.Registry.byName("f02_approx_aggregates")
       .run(spark, sf001).head
+    // exact companions match independently computed exact answers
     val exactOrders = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
     val exactParts = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
-    def relErr(approx: Long, exact: Long) =
-      math.abs(approx - exact).toDouble / exact
-    assert(relErr(row.getLong(0), exactOrders) < 0.05,
-      s"approx_orders ${row.getLong(0)} vs $exactOrders")
-    assert(relErr(row.getLong(1), exactParts) < 0.05,
-      s"approx_parts ${row.getLong(1)} vs $exactParts")
+    assert(row.getAs[Long]("exact_orders") === exactOrders)
+    assert(row.getAs[Long]("exact_parts") === exactParts)
+    // every sketch sits within 5% of its exact answer (the same booleans
+    // the DuckDB oracle pins to TRUE)
+    Seq("approx_orders_ok", "approx_parts_ok", "p50_ok", "p95_ok").foreach(c =>
+      assert(row.getAs[Boolean](c), s"$c was false"))
     // percentiles: p50 below p95, both within the observed value range
-    val (lo, hi) = (row.getDouble(2), row.getDouble(3))
+    val (lo, hi) = (row.getAs[Double]("p50_price"), row.getAs[Double]("p95_price"))
     assert(lo < hi)
     val bounds = li.agg(min(col("l_extendedprice")).cast("double"),
       max(col("l_extendedprice")).cast("double")).head

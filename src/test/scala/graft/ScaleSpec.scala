@@ -71,8 +71,16 @@ class ScaleSpec extends SparkSpec {
   test("dedup self-join moves hashed keys, not shingle strings") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
-    val p = Dedup.ngramJaccardPairs(docs).queryExecution.executedPlan.toString
-    assert(p.contains("xxhash64"), s"join key not hashed in:\n$p")
+    val qe = Dedup.ngramJaccardPairs(docs).queryExecution
+    // the shingle pipeline materializes behind an eager localCheckpoint, so
+    // the join consumes a checkpointed (doc_id, sk) relation: both join
+    // sides must carry ONLY the 8-byte hashed key, never the shingle string
+    val p = qe.executedPlan.toString
+    assert("""\[sk#\d+L\], \[sk#\d+L\]""".r.findFirstIn(p).isDefined,
+      s"join not keyed on the hashed sk column in:\n$p")
+    assert(!p.contains("shingle#"), s"shingle strings reach the join in:\n$p")
+    assert("""Scan ExistingRDD\[doc_id#\d+L,sk#\d+L\]""".r.findFirstIn(p).isDefined,
+      s"checkpointed relation is not the narrow (doc_id, sk) shape:\n$p")
   }
 
   test("shingle doc-frequency cap prunes hot keys from candidate generation") {
@@ -224,6 +232,17 @@ class ScaleSpec extends SparkSpec {
     val p = plan("cnt01_contamination")
     assert(p.contains("BroadcastHashJoin"),
       s"benchmark set not broadcast:\n$p")
+  }
+
+  test("per-group cap pre-caps map-side before the window shuffle") {
+    // phase 1 (bounded heap per input partition) must sit BELOW the window
+    // exchange: a hot group then ships <= cap rows per map task instead of
+    // its whole tail. Plans print parents first, so the Window must appear
+    // before (above) the MapPartitions stage.
+    val p = plan("smp04_source_cap")
+    assert(p.contains("MapPartitions"), s"no map-side pre-cap stage in:\n$p")
+    assert(p.indexOf("Window") < p.indexOf("MapPartitions"),
+      s"window does not consume the pre-cap stage:\n$p")
   }
 
   test("minhash signatures aggregate in a single exchange (no hash-id explosion)") {

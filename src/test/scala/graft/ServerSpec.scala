@@ -257,6 +257,31 @@ class ServerSpec extends SparkSpec {
     intercept[NoSuchElementException](cache.execute(p.handle))
   }
 
+  test("plan cache: idle handles expire after the TTL") {
+    val ctx = new ExecutionContext(spark)
+    var now = 0L
+    val cache = new PlanCache(ctx, ttlMillis = 1000, clock = () => now)
+    val p = cache.prepare("SELECT id FROM RANGE(3)")
+    now = 900 // still fresh
+    assert(cache.execute(p.handle).count() === 3)
+    now = 2000 // idle > ttl since the execute refreshed lastUsed at 900
+    intercept[NoSuchElementException](cache.execute(p.handle))
+    assert(cache.size === 0)
+  }
+
+  test("plan cache: LRU cap evicts the least-recently-used handle") {
+    val ctx = new ExecutionContext(spark)
+    val cache = new PlanCache(ctx, maxEntries = 2)
+    val a = cache.prepare("SELECT id FROM RANGE(1)")
+    val b = cache.prepare("SELECT id FROM RANGE(2)")
+    cache.execute(a.handle) // refresh a: b is now the LRU entry
+    val c = cache.prepare("SELECT id FROM RANGE(3)")
+    assert(cache.size === 2)
+    intercept[NoSuchElementException](cache.execute(b.handle))
+    assert(cache.execute(a.handle).count() === 1)
+    assert(cache.execute(c.handle).count() === 3)
+  }
+
   test("information_schema.{tables,columns} queryable through SQL rewrite") {
     import spark.implicits._
     Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("is_demo")

@@ -117,5 +117,9 @@ object NativeFunctions {
       exprs => CosineSimilarity(exprs.head, exprs(1)))
     registerOnce("hyperplane_bits",
       exprs => HyperplaneBits(exprs.head, exprs(1), exprs(2)))
+    registerOnce("shingles",
+      exprs => Shingles(exprs.head, exprs(1)))
+    registerOnce("shingle_hashes",
+      exprs => ShingleHashes(exprs.head, exprs(1)))
   }
 }

@@ -31,34 +31,44 @@ object Dedup {
   }
 
   /** Distinct word n-gram shingles per doc: (doc_id, shingle).
-    * Built with lead() windows over exploded tokens — linear, partitioned
-    * by doc.
-    */
-  def shingles(docs: DataFrame, n: Int = 3): DataFrame =
-    shinglesWithDupes(docs, n).distinct()
-
-  /** Shingle stream before the distinct — callers that only need a hashed
-    * key can project first so the dedup shuffle moves 8-byte keys, not
-    * strings.
     *
-    * Built with per-row array expressions (`sequence` + `slice` over the
-    * token array) — stays inside whole-stage codegen with no sort, unlike a
-    * posexplode + lead() window, which would sort every token by doc.
+    * NARROW: distinctness is per-(doc_id, shingle), so the dedup happens
+    * inside each row's shingle array before the explode — no corpus-wide
+    * distinct shuffle. At 100 TB that removes the single biggest exchange
+    * of the Jaccard/MinHash family (the exploded shingle stream is ~10²
+    * rows per doc).
     *
+    * Uses the native single-pass `shingles` expression
+    * ([[graft.functions.Shingles]]): the composable
+    * transform+slice+array_join pipeline runs on the interpreted
+    * higher-order-function path and re-splits the document once per
+    * shingle — measured 10x slower on sf0.1 (see
+    * [[shinglesComposable]], kept as the spec-pinned reference).
     * The input is first repartitioned by doc_id: the docs relation is
     * narrow (id + text), so the shuffle is cheap, and it spreads the
-    * expensive explode/hash work across the cluster even when the source
-    * arrives in few partitions (small files locally, coalesced scans at
-    * scale).
+    * explode work across the cluster even when the source arrives in few
+    * partitions (small files locally, coalesced scans at scale).
     */
-  private def shinglesWithDupes(docs: DataFrame, n: Int): DataFrame = {
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("shingles", col("text"), lit(n))).as("shingle"))
+  }
+
+  /** Composable-function form of [[shingles]] — the portable reference
+    * implementation PropertySpec pins the native expression against
+    * (identical output, including first-occurrence dedup order and
+    * split-on-`\s+`-after-trim tokenization).
+    */
+  private[graft] def shinglesComposable(docs: DataFrame, n: Int = 3): DataFrame = {
     val toks = TextOps.tokens(col("text"))
     val shingleArr = when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
     docs.repartition(col("doc_id"))
-      .select(col("doc_id"), explode(shingleArr).as("shingle"))
+      .select(col("doc_id"), explode(array_distinct(shingleArr)).as("shingle"))
   }
 
   /** Candidate near-dup pairs by n-gram Jaccard similarity, via an
@@ -77,24 +87,27 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
-    // The materialization is load-bearing: the deduped shingle set feeds
-    // the sizes aggregate and BOTH self-join sides; without it each
-    // consumer recomputes the explode+distinct pipeline (measured 4x
-    // slower). Eager localCheckpoint rather than cache(): the computation
-    // happens exactly once up front (a lazy cache lets the three consumers
-    // race to materialize partitions), the blocks are reclaimed by the
-    // ContextCleaner as soon as the result is unreachable (CacheManager
-    // entries persist until an explicit unpersist — across a benchmark
-    // list that accumulates into GC debt, the round-5 d02/d02b variance),
-    // and the stats AQE sees are the materialized ones.
+    // The shingle relation is NARROW end to end: the native shingle_hashes
+    // expression tokenizes each document once and emits distinct 8-byte
+    // shingle keys in-row (no corpus-wide distinct shuffle, and the
+    // shingle strings never leave the row they were built in). It feeds
+    // three consumers: the sizes aggregate and BOTH self-join sides.
+    // Eager localCheckpoint materializes that narrow compute exactly
+    // once: a lazy cache() lets the consumers race to materialize
+    // partitions and leaves CacheManager entries alive until an explicit
+    // unpersist (across a benchmark list that accumulates into GC debt —
+    // the round-5 d02/d02b variance), while checkpointed blocks are
+    // reclaimed by the ContextCleaner as soon as the result is
+    // unreachable, and AQE sees materialized stats.
     // Deliberately NOT pre-partitioned on the join key: an A/B showed a
     // repartition(sk) before the materialization 3x slower end-to-end — it
     // forces an extra exchange and pins the layout, while AQE already
     // picks the cheaper join strategy (broadcast here; co-partitioned
     // shuffle at corpus scale) from runtime sizes.
-    val sh = shinglesWithDupes(docs, n)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("sk"))
-      .distinct()
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"), lit(n))).as("sk"))
       .localCheckpoint(true)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val joinable =

@@ -129,6 +129,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native shingles/shingle_hashes equal the composable pipeline") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.NativeFunctions.register(spark)
+    // random whitespace-noisy texts plus the structural edge cases: empty,
+    // whitespace-only, fewer tokens than n, repeated shingles, tabs/newlines
+    val word = Gen.oneOf("a", "bb", "ccc", "dog", "cat", "x1", "Yz")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      k <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(k, word)
+      ss <- Gen.listOfN(k, sep)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    forSamples(Gen.listOfN(30, textGen), n = 4) { texts =>
+      val all = texts ++ Seq("", "   ", "\t\n", "one two", "a b c a b c a b c")
+      val df = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val native = graft.operators.Dedup.shingles(df)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      val composed = graft.operators.Dedup.shinglesComposable(df)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+      assert(native === composed)
+      // hash form = xxhash64 over the composable distinct shingles
+      val nh = df.select(col("doc_id"),
+          explode(call_function("shingle_hashes", col("text"), lit(3))).as("sk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val ch = graft.operators.Dedup.shinglesComposable(df)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("sk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(nh === ch)
+    }
+  }
+
   test("connected components match a reference union-find on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(25,

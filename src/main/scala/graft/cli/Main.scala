@@ -94,6 +94,17 @@ object Main {
       Thread.currentThread.join() // serve until killed
       return
     }
+    // `serve-flight` subcommand (reference ServeFlightSql { config, addr,
+    // metrics_addr } — `src/cli/mod.rs` / `src/server/flightsql/mod.rs`):
+    // real Arrow Flight SQL over gRPC
+    if (argv.headOption.contains("serve-flight")) {
+      val opts = argv.drop(1).sliding(2, 2).collect {
+        case Array(k, v) => k -> v }.toMap
+      val server = serveFlight(opts)
+      println(s"serving FlightSQL (gRPC) on port ${server.boundPort}")
+      Thread.currentThread.join() // serve until killed
+      return
+    }
     val args = parseArgs(argv.toList)
     val conf = args.config.map(SessionFactory.parseConfig).getOrElse(Map.empty)
     val spark = SessionFactory.build(args.master, conf)
@@ -144,6 +155,22 @@ object Main {
         u <- conf.get("auth.basic_auth.username")
         p <- conf.get("auth.basic_auth.password")
       } yield (u, p))
+    server.start()
+    server
+  }
+
+  /** Build and start the FlightSQL gRPC server for `serve-flight`; same
+    * config keys as [[serveHttp]] where they apply.
+    */
+  private[graft] def serveFlight(opts: Map[String, String]): graft.server.flight.FlightSqlServer = {
+    val conf = opts.get("--config").map(SessionFactory.parseConfig)
+      .getOrElse(Map.empty)
+    val spark = SessionFactory.build(opts.getOrElse("--master", "local[*]"), conf)
+    val ctx = new ExecutionContext(spark)
+    conf.get("db.path").foreach(d => CatalogBootstrap.registerDbDir(spark, d))
+    val port = opts.get("--addr").map(_.split(':').last.toInt).getOrElse(50051)
+    val server = new graft.server.flight.FlightSqlServer(ctx, port = port,
+      bearerToken = conf.get("auth.bearer_token"))
     server.start()
     server
   }

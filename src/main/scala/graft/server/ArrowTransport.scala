@@ -81,6 +81,21 @@ object ArrowTransport {
       case other => throw new IllegalArgumentException(s"unsupported: $other")
     }
 
+  /** Complex (array/struct/map) columns cast to their string rendering —
+    * the shape both the JSON facade and the Arrow stream serve.
+    */
+  def flatten(df: DataFrame): DataFrame =
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (supported(f.dataType)) d
+      else d.withColumn(f.name, col(f.name).cast("string"))
+    }
+
+  /** Arrow schema for a (flattened) Spark schema — also what FlightSQL's
+    * GetFlightInfo/GetSchema advertise before any batch is produced.
+    */
+  def arrowSchemaOf(schema: StructType): ArrowSchema =
+    new ArrowSchema(java.util.Arrays.asList(schema.fields.map(toArrowField): _*))
+
   /** Serialize the DataFrame as one Arrow IPC stream (schema + batches).
     * Returns the stream bytes and the row count, tallied while writing, so
     * callers that need both (the HTTP facade's observability row) never
@@ -88,13 +103,9 @@ object ArrowTransport {
     */
   def toArrowStream(df: DataFrame, batchSize: Int = 4096): (Array[Byte], Long) = {
     // complex columns travel as their string rendering
-    val flat = df.schema.fields.foldLeft(df) { (d, f) =>
-      if (supported(f.dataType)) d
-      else d.withColumn(f.name, col(f.name).cast("string"))
-    }
+    val flat = flatten(df)
     val schema = flat.schema
-    val arrowSchema = new ArrowSchema(
-      java.util.Arrays.asList(schema.fields.map(toArrowField): _*))
+    val arrowSchema = arrowSchemaOf(schema)
     val allocator = new RootAllocator()
     try {
       val root = VectorSchemaRoot.create(arrowSchema, allocator)

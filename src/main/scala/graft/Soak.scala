@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** sf1-scale soak for the dedup/ANN/curation family: generates a 10×
+  * documents/embeddings corpus (50k docs, 20k vectors — same shape and
+  * vocabulary style as the driver's sf0.1 testdata) plus TPC-H sf1, runs
+  * each pipeline operator once, and prints per-operator wall times next to
+  * their linear extrapolation from sf0.1. The point is catching
+  * super-linear blowups (skewed joins, cluster-size degeneration, GC
+  * pressure) one scale step before a real cluster would.
+  *
+  * Usage: `runMain graft.Soak [outDir]` — generates into outDir (default
+  * `target/sf1`) if absent, then runs. Timings go to stdout as one JSON
+  * line per query plus a `soak_total`.
+  */
+object Soak {
+
+  private val vocab: Array[String] = Array(
+    "spark", "query", "table", "scan", "filter", "group", "agg", "join",
+    "sort", "order", "window", "stream", "batch", "row", "column", "value",
+    "key", "hash", "merge", "data", "part", "line", "customer", "vector",
+    "fast", "slow", "big", "small", "the", "a")
+
+  /** Deterministic doc text from a per-doc RNG; ~1/10 docs are an exact
+    * copy of their predecessor and ~1/10 a near-copy (one word changed), so
+    * the dedup family has planted structure to find, like the testdata.
+    */
+  private def docText(id: Long): String = {
+    val rnd = new java.util.Random(id * 2654435761L + 42L)
+    val len = 15 + rnd.nextInt(65)
+    val words = Array.fill(len)(vocab(rnd.nextInt(vocab.length)))
+    (id % 10) match {
+      case 9 => docText(id - 1) // exact duplicate of predecessor
+      case 8 => // near-duplicate: regenerate predecessor, flip one word
+        val prev = docText(id - 1).split(" ")
+        prev(prev.length / 2) = vocab((id % vocab.length).toInt)
+        prev.mkString(" ")
+      case _ => words.mkString(" ")
+    }
+  }
+
+  private def genDocuments(spark: SparkSession, n: Long, out: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("lang", StringType, nullable = false),
+      StructField("source", StringType, nullable = false),
+      StructField("n_chars", LongType, nullable = false)))
+    val langs = Array("en", "en", "en", "zh", "es", "fr", "de", "ja", "pt", "ru")
+    val rdd = spark.range(n).rdd.map { idBoxed =>
+      val id: Long = idBoxed
+      val text = docText(id)
+      Row(id, text, langs((id % langs.length).toInt),
+        s"src${id % 20}", text.length.toLong)
+    }
+    spark.createDataFrame(rdd, schema)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+  }
+
+  private def genEmbeddings(spark: SparkSession, n: Long, dim: Int, out: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("label", IntegerType, nullable = false)))
+    def vec(id: Long): Array[Float] = {
+      val rnd = new java.util.Random(id * 40503L + 7L)
+      val label = (id % 10).toInt
+      // cluster structure: a per-label center plus noise; ~1/20 vectors
+      // are a small perturbation of their predecessor (planted near-dups)
+      if (id % 20 == 19) {
+        val prev = vec(id - 1)
+        prev.map(v => v + (rnd.nextFloat() - 0.5f) * 0.01f)
+      } else {
+        val center = new java.util.Random(label * 7919L)
+        Array.fill(dim)((center.nextFloat() - 0.5f) + (rnd.nextFloat() - 0.5f) * 0.6f)
+      }
+    }
+    val rdd = spark.range(n).rdd.map { idBoxed =>
+      val id: Long = idBoxed
+      Row(id, vec(id).toSeq, (id % 10).toInt)
+    }
+    spark.createDataFrame(rdd, schema)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("target/sf1")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (!new java.io.File(s"$out/documents.parquet").exists()) {
+      println(s"[soak] generating sf1 corpus into $out ...")
+      genDocuments(spark, 50000L, out)
+      genEmbeddings(spark, 20000L, 64, out)
+      // TPC-H sf1 in the flat testdata layout the queries read
+      graft.core.TpchGen.tpchTables.foreach { t =>
+        core.TpchDataGen.generators(t)(spark, 1.0)
+          .write.mode("overwrite").parquet(s"$out/$t.parquet")
+      }
+      println("[soak] generation done")
+    }
+
+    // sf0.1 mins from BENCH_r05/r06-era runs, for the 10x extrapolation
+    val sf01Base = Map(
+      "d01_dedup_exact" -> 0.35, "d02_ngram_jaccard" -> 1.63,
+      "d02b_ngram_jaccard_capped" -> 0.65, "d03_minhash_lsh" -> 0.73,
+      "d04_simhash" -> 0.45, "d06_embed_lsh" -> 1.87,
+      "d07_dedup_clusters" -> 1.63, "d08_semantic_dedup" -> 1.15,
+      "a01_ann_bruteforce" -> 0.45, "a02_ann_ivf" -> 0.65,
+      "a03_ann_lsh" -> 0.50, "a04_kmeans" -> 0.90,
+      "c01_curation" -> 2.07, "qz01_embed_quantize" -> 0.55,
+      "smp04_source_cap" -> 0.30, "t05_bpe_tokens" -> 0.40)
+
+    val queries = Seq(
+      "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
+      "d03_minhash_lsh", "d04_simhash", "d06_embed_lsh", "d07_dedup_clusters",
+      "d08_semantic_dedup", "a01_ann_bruteforce", "a02_ann_ivf", "a03_ann_lsh",
+      "a04_kmeans", "c01_curation", "qz01_embed_quantize", "smp04_source_cap",
+      "t05_bpe_tokens")
+
+    var total = 0.0
+    queries.foreach { name =>
+      spark.catalog.clearCache()
+      val t0 = System.nanoTime()
+      val status =
+        try {
+          SparkEntry.queries(name)(spark, out)
+            .write.mode("overwrite").format("noop").save()
+          "ok"
+        } catch { case e: Throwable => s"failed: ${e.getMessage.take(120)}" }
+      val sec = (System.nanoTime() - t0) / 1e9
+      total += sec
+      val extrap = sf01Base.get(name).map(_ * 10)
+      val ratio = extrap.map(e => sec / e)
+      println(f"""{"soak":"$name","sec":$sec%.2f,"extrapolated_10x":${
+        extrap.fold("null")(e => f"$e%.2f")},"ratio":${
+        ratio.fold("null")(r => f"$r%.2f")},"status":"$status"}""")
+      System.gc()
+    }
+    println(f"""{"soak_total":$total%.2f,"queries":${queries.size}}""")
+    spark.stop()
+  }
+}

@@ -165,7 +165,12 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val sig = minhashSignatureMatrix(docs, numHashes).cache()
+    // eager localCheckpoint, not cache(): the signature matrix feeds the
+    // bucket explode and both scoring joins; checkpointed blocks are
+    // ContextCleaner-reclaimed once the result is unreachable, while a
+    // bare cache() accumulates CacheManager entries across invocations
+    // (same reasoning as ngramJaccardPairs' shingle relation)
+    val sig = minhashSignatureMatrix(docs, numHashes).localCheckpoint(true)
     // band b holds hash ids {b, b+bands, b+2*bands, ...} in ascending order
     def bandBucket(b: Int): Column =
       md5(concat_ws(",", (b until numHashes by bands).map(i => col(s"mh$i")): _*))

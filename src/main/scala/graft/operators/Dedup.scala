@@ -165,12 +165,14 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    // eager localCheckpoint, not cache(): the signature matrix feeds the
-    // bucket explode and both scoring joins; checkpointed blocks are
-    // ContextCleaner-reclaimed once the result is unreachable, while a
-    // bare cache() accumulates CacheManager entries across invocations
-    // (same reasoning as ngramJaccardPairs' shingle relation)
-    val sig = minhashSignatureMatrix(docs, numHashes).localCheckpoint(true)
+    // cache(), NOT localCheckpoint: an A/B at sf0.1 showed the eager
+    // checkpoint 2x slower across d03/d07/c01 — the signature matrix is
+    // one narrow row per doc, and the cached InMemoryRelation's size
+    // stats keep the downstream scoring joins on the broadcast path,
+    // while a checkpointed LogicalRDD loses them. (Contrast with
+    // ngramJaccardPairs' corpus-sized shingle relation, where the
+    // checkpoint's single materialization wins.)
+    val sig = minhashSignatureMatrix(docs, numHashes).cache()
     // band b holds hash ids {b, b+bands, b+2*bands, ...} in ascending order
     def bandBucket(b: Int): Column =
       md5(concat_ws(",", (b until numHashes by bands).map(i => col(s"mh$i")): _*))

@@ -161,6 +161,10 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
         Proto.stringAt(fs, 2), Proto.stringAt(fs, 3),
         Proto.allBytesAt(fs, 4).map(new String(_, UTF_8)))
     case ("CommandGetTableTypes", _) => FlightSqlCatalogs.getTableTypes(ctx)
+    case ("CommandGetSqlInfo", _) => FlightSqlCatalogs.getSqlInfo(ctx)
+    case ("CommandGetXdbcTypeInfo", v) =>
+      FlightSqlCatalogs.getXdbcTypeInfo(ctx,
+        Proto.varintAt(Proto.parse(v), 1).map(_.toInt))
     case (other, _) =>
       throw new IllegalArgumentException(s"unsupported command: $other")
   }

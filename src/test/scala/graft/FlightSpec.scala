@@ -113,6 +113,14 @@ class FlightSpec extends SparkSpec {
       val (tblNames, tblRows) = readRows(ch, ticketOfInfo(tblInfo))
       assert(tblNames.contains("table_name"))
       assert(tblRows.exists(_.map(String.valueOf(_)).contains("flight_demo")))
+      // the session-info commands JDBC-style clients issue at connect time
+      val sqlInfo = unaryCall(ch, Methods.getFlightInfo,
+        catalogCmd("CommandGetSqlInfo", Array.emptyByteArray))
+      assert(readRows(ch, ticketOfInfo(sqlInfo))._2.nonEmpty)
+      val xdbc = unaryCall(ch, Methods.getFlightInfo,
+        catalogCmd("CommandGetXdbcTypeInfo", Array.emptyByteArray))
+      val (xdbcNames, xdbcRows) = readRows(ch, ticketOfInfo(xdbc))
+      assert(xdbcNames.exists(_.startsWith("type_name")) && xdbcRows.nonEmpty)
     }
   }
 

@@ -94,6 +94,19 @@ object Main {
       Thread.currentThread.join() // serve until killed
       return
     }
+    // `tui` subcommand — the reference's default frontend (`src/tui/`);
+    // tabbed terminal UI over jline3 raw mode
+    if (argv.headOption.contains("tui")) {
+      val opts = argv.drop(1).sliding(2, 2).collect {
+        case Array(k, v) => k -> v }.toMap
+      val conf = opts.get("--config").map(SessionFactory.parseConfig)
+        .getOrElse(Map.empty)
+      val spark = SessionFactory.build(opts.getOrElse("--master", "local[*]"), conf)
+      val ctx = new ExecutionContext(spark)
+      conf.get("db.path").foreach(d => CatalogBootstrap.registerDbDir(spark, d))
+      try Tui.run(ctx) finally spark.stop()
+      return
+    }
     // `serve-flight` subcommand (reference ServeFlightSql { config, addr,
     // metrics_addr } — `src/cli/mod.rs` / `src/server/flightsql/mod.rs`):
     // real Arrow Flight SQL over gRPC

@@ -101,7 +101,8 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
       .addMethod(Methods.getFlightInfo, ServerCalls.asyncUnaryCall(
         new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
           override def invoke(req: Array[Byte], resp: StreamObserver[Array[Byte]]): Unit =
-            guard(resp)(resp.onNext(getFlightInfo(req)))
+            guard(resp)(observed("/get_flight_info")(
+              resp.onNext(getFlightInfo(req))))
         }))
       .addMethod(Methods.getSchema, ServerCalls.asyncUnaryCall(
         new ServerCalls.UnaryMethod[Array[Byte], Array[Byte]] {
@@ -115,12 +116,15 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
       .addMethod(Methods.doGet, ServerCalls.asyncServerStreamingCall(
         new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
           override def invoke(req: Array[Byte], resp: StreamObserver[Array[Byte]]): Unit =
-            guard(resp)(doGet(req, resp))
+            guard(resp)(observed("/do_get")(doGet(req, resp)))
         }))
       .addMethod(Methods.doAction, ServerCalls.asyncServerStreamingCall(
         new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
           override def invoke(req: Array[Byte], resp: StreamObserver[Array[Byte]]): Unit =
-            guard(resp)(doAction(req, resp))
+            guard(resp) {
+              val name = Proto.stringAt(Proto.parse(req), 1).getOrElse("")
+              observed(s"/do_action/$name")(doAction(req, resp))
+            }
         }))
       .build()
 
@@ -132,6 +136,20 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
         resp.onError(Status.INVALID_ARGUMENT.withDescription(
           String.valueOf(e.getMessage)).asRuntimeException())
     }
+
+  /** One observability row per Flight request, like the reference's
+    * per-endpoint records (`service.rs:631-643,691-703`).
+    */
+  private def observed[T](path: String, sql: Option[String] = None)(body: => T): T = {
+    val t0 = System.nanoTime()
+    var status = 200
+    try body
+    catch { case e: Throwable => status = 500; throw e }
+    finally ctx.observability.record(
+      Some(java.util.UUID.randomUUID().toString), path, sql,
+      new java.sql.Timestamp(System.currentTimeMillis()),
+      (System.nanoTime() - t0) / 1000000L, None, status)
+  }
 
   // ---- handlers ------------------------------------------------------
 

@@ -173,6 +173,21 @@ class FlightSpec extends SparkSpec {
     }
   }
 
+  test("flight: requests are recorded in the observability table") {
+    val ctx = new ExecutionContext(spark)
+    val server = new FlightSqlServer(ctx, port = 0)
+    server.start()
+    val ch = channel(server.boundPort)
+    try {
+      val info = unaryCall(ch, Methods.getFlightInfo,
+        statementDescriptor("SELECT 1 AS one"))
+      streamingCall(ch, Methods.doGet, ticketOfInfo(info)).toSeq
+      val paths = ctx.observability.records.map(_.getString(1))
+      assert(paths.contains("/get_flight_info"))
+      assert(paths.contains("/do_get"))
+    } finally { ch.shutdownNow(); server.stop() }
+  }
+
   test("flight: invalid SQL surfaces as INVALID_ARGUMENT at GetFlightInfo") {
     withServer() { (_, ch) =>
       val e = intercept[StatusRuntimeException](

@@ -90,6 +90,8 @@ class ExecutionContext(val spark: SparkSession,
     splitStatements(script).map {
       case DdlTranslate.DeltaTable(name, loc) =>
         graft.sources.DeltaLog.register(spark, name, loc)
+      case DdlTranslate.AvroTable(name, loc) =>
+        graft.sources.AvroIO.register(spark, name, loc)
       case s => sql(DdlTranslate(s))
     }
 }
@@ -107,6 +109,18 @@ object DdlTranslate {
   object DeltaTable {
     def unapply(statement: String): Option[(String, String)] = statement match {
       case External(name, _, fmt, loc) if fmt.equalsIgnoreCase("deltatable") =>
+        Some((name, loc))
+      case _ => None
+    }
+  }
+
+  /** Extractor for the Avro variant: no spark-avro module on the offline
+    * classpath, so `USING avro` would fail to resolve a DataSource — the
+    * scan goes through [[graft.sources.AvroIO]] instead.
+    */
+  object AvroTable {
+    def unapply(statement: String): Option[(String, String)] = statement match {
+      case External(name, _, fmt, loc) if fmt.equalsIgnoreCase("avro") =>
         Some((name, loc))
       case _ => None
     }

@@ -121,5 +121,7 @@ object NativeFunctions {
       exprs => Shingles(exprs.head, exprs(1)))
     registerOnce("shingle_hashes",
       exprs => ShingleHashes(exprs.head, exprs(1)))
+    registerOnce("shingle_hashes_all",
+      exprs => ShingleHashesAll(exprs.head, exprs(1)))
   }
 }

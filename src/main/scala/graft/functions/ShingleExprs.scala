@@ -66,6 +66,34 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** xxhash64 of EVERY shingle position (duplicates kept, document order) —
+    * the span-statistics form: position i of the result is the key of the
+    * n-gram starting at token i, so `posexplode` recovers (position, key)
+    * without materializing the gram strings. Same tokenization and hashing
+    * as the distinct form.
+    */
+  def shingleHashesAll(text: UTF8String, n: Int): ArrayData = {
+    val toks = ws.split(text.trim.toString, -1)
+    val m = toks.length - n
+    if (m < 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = XxHash64Function.hash(
+        UTF8String.fromString(sb.toString), StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** xxhash64 (seed 42, Spark's `xxhash64`) of each distinct shingle. */
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
     val seen = distinctShingles(text, n)
@@ -131,4 +159,19 @@ case class ShingleHashes(text: Expression, n: Expression) extends ShingleExpr {
   override protected def helper: String = "shingleHashes"
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ShingleHashes = copy(text = newLeft, n = newRight)
+}
+
+/** `shingle_hashes_all(text, n)` → array<bigint> of xxhash64'd n-grams at
+  * EVERY position (duplicates kept, document order) — the form duplicated-
+  * span statistics need, where position identity matters and within-doc
+  * repeats must count.
+  */
+case class ShingleHashesAll(text: Expression, n: Expression) extends ShingleExpr {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes_all"
+  override protected def nullSafeEval(t: Any, unused: Any): Any =
+    ShingleOps.shingleHashesAll(t.asInstanceOf[UTF8String], nVal)
+  override protected def helper: String = "shingleHashesAll"
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): ShingleHashesAll = copy(text = newLeft, n = newRight)
 }

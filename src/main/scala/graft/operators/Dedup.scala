@@ -270,6 +270,50 @@ object Dedup {
         coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Duplicated n-gram span statistics (the n-gram-granular form of Lee et
+    * al. 2022's ExactSubstr dedup, "Deduplicating Training Data Makes
+    * Language Models Better"): for every document, the fraction of n-gram
+    * positions whose n-gram occurs more than `minCount - 1` times in the
+    * whole corpus (within-document repeats count). High `dup_frac` marks
+    * boilerplate-heavy documents whose text is mostly copies of spans seen
+    * elsewhere — the per-span signal that document-level Jaccard/MinHash
+    * (one score per pair) can't give.
+    *
+    * Shape at 100 TB: the positional key arrays are built in-row by the
+    * native `shingle_hashes_all` expression (8-byte keys, gram strings
+    * never leave the row), the corpus count table is one groupBy with
+    * map-side combine, and the join back matches each position against
+    * exactly ONE count row — linear, never pair-expanding, unlike the
+    * candidate self-join in [[ngramJaccardPairs]]. A single boilerplate
+    * gram in 10^6 docs costs 10^6 join probes of one build row, not 10^12
+    * output rows. Suffix arrays (the paper's exact method) don't
+    * distribute; this n-gram approximation is the standard corpus-scale
+    * substitute.
+    */
+  def duplicatedNgramSpans(docs: DataFrame, n: Int = 3,
+      minCount: Long = 2): DataFrame = {
+    require(minCount >= 2, "minCount < 2 would flag every position")
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val pos = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes_all", col("text"), lit(n))).as("sk"))
+      .localCheckpoint(true)
+    val counts = pos.groupBy(col("sk")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+    val dup = pos.join(counts, Seq("sk"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    docs.select(col("doc_id"),
+        size(call_function("shingle_hashes_all", col("text"), lit(n)))
+          .cast("long").as("n_ngrams"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_ngrams"),
+        coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"),
+        when(col("n_ngrams") > 0,
+          coalesce(col("n_dup"), lit(0L)).cast("double") /
+            col("n_ngrams").cast("double"))
+          .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
   /** SimHash: per-bit +1/-1 votes from each distinct token's md5, sign of
     * the per-bit sum forms the signature (here as a bit string, portable
     * across engines).

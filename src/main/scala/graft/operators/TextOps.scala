@@ -188,6 +188,98 @@ object TextOps {
         .as("quality_score"))
   }
 
+  /** C4/Gopher-style heuristic document filter (Raffel et al. 2020 §2.2,
+    * Rae et al. 2021 §A1.1): the cheap rule-based pass every curation
+    * pipeline runs before anything expensive. Emits per-document
+    * measurements plus one boolean flag per rule and a combined `keep`
+    * verdict, so downstream stages can either filter on `keep` or audit
+    * which rule fired.
+    *
+    * Rules (all thresholds are caller knobs):
+    *   - word count outside [minWords, maxWords]        → flag_len
+    *   - mean word length outside [minWordLen, maxWordLen] → flag_word_len
+    *     (Gopher uses [3, 10]: shorter means symbol soup, longer means
+    *     minified/concatenated junk)
+    *   - distinct/total word ratio below minUniqueRatio → flag_repetitive
+    *   - fewer than minStopwords distinct [[stopwords]] → flag_no_stop
+    *     (C4's "must contain common English function words" rule)
+    *
+    * All measurements are exact int/int double divisions — no rounding
+    * needed for engine parity. Pure per-row array expressions: narrow,
+    * codegen'd, no shuffle; one corpus scan at 100 TB.
+    */
+  def heuristicFilter(docs: DataFrame,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minWordLen: Double = 3.0, maxWordLen: Double = 10.0,
+      minUniqueRatio: Double = 0.2, minStopwords: Int = 2): DataFrame = {
+    val ws = filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= "")
+    val nWords = size(col("ws")).cast("long")
+    val meanLen = when(nWords > 0,
+      aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double") /
+        nWords.cast("double")).otherwise(lit(0.0))
+    val uniqRatio = when(nWords > 0,
+      size(array_distinct(col("ws"))).cast("double") / nWords.cast("double"))
+      .otherwise(lit(0.0))
+    val nStop = size(filter(array_distinct(col("ws")),
+      w => w.isInCollection(stopwords))).cast("long")
+    docs
+      .withColumn("ws", ws)
+      .withColumn("n_words", nWords)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("unique_ratio", uniqRatio)
+      .withColumn("n_stopwords", nStop)
+      .withColumn("flag_len",
+        col("n_words") < minWords || col("n_words") > maxWords)
+      .withColumn("flag_word_len",
+        col("mean_word_len") < minWordLen || col("mean_word_len") > maxWordLen)
+      .withColumn("flag_repetitive", col("unique_ratio") < minUniqueRatio)
+      .withColumn("flag_no_stop", col("n_stopwords") < minStopwords)
+      .withColumn("keep",
+        !col("flag_len") && !col("flag_word_len") &&
+          !col("flag_repetitive") && !col("flag_no_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("unique_ratio"), col("n_stopwords"), col("flag_len"),
+        col("flag_word_len"), col("flag_repetitive"), col("flag_no_stop"),
+        col("keep"))
+  }
+
+  /** TF-IDF top-k terms per document (sklearn's smooth-idf flavor:
+    * idf = ln((1+N)/(1+df)) + 1, tfidf = tf × idf with raw counts as tf).
+    * The per-corpus document frequency table is the classic inverted-index
+    * aggregate; the scalar corpus size N rides along as a broadcast
+    * single-row frame (no driver round-trip, same pattern as
+    * [[Sampling.sourceMix]]).
+    *
+    * Shuffle budget at 100 TB: one groupBy(doc_id, term) with map-side
+    * combine, one groupBy(term) over per-doc-distinct terms (≤ vocabulary
+    * rows out), one join on term (build side has exactly one row per term —
+    * no explosion), and one window partitioned by doc_id for the top-k.
+    * Scores are rounded to 4 decimals at the very end; ordering uses the
+    * unrounded value with the term string as total tie-break.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val tok = docs.select(col("doc_id"),
+      explode(filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= ""))
+        .as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).cast("long").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        col("tf").cast("double") *
+          (log((lit(1.0) + col("n_docs")) / (lit(1.0) + col("df").cast("double")))
+            + lit(1.0)))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tfidf"), 4).as("tfidf"))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic: ties broken by language code.
     */

@@ -215,6 +215,36 @@ object PipelineQueries {
       JOIN sizes sb ON sb.doc_id = p.b
       ORDER BY jaccard DESC, a, b LIMIT 100"""), headline = true),
 
+    // d09: per-POSITION duplicated-span stats (Lee et al.'s ExactSubstr at
+    // n-gram granularity) — the per-span complement to d02's per-pair
+    // Jaccard. Spark joins on 8-byte positional shingle keys; the oracle
+    // rebuilds every position's gram with the same LEAD windows as SHD
+    // (without the DISTINCT — within-doc repeats count) and string-compares.
+    QueryDef("d09_dup_ngram_spans", (s, d) =>
+      Dedup.duplicatedNgramSpans(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH $TOK,
+      sh0 AS (SELECT doc_id,
+        w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS g,
+        LEAD(w,2) OVER win IS NOT NULL AS complete
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      sha AS (SELECT doc_id, g FROM sh0 WHERE complete),
+      cnt AS (SELECT g, COUNT(*) AS c FROM sha GROUP BY g HAVING COUNT(*) >= 2),
+      dup AS (SELECT s.doc_id, COUNT(*) AS n_dup FROM sha s
+              JOIN cnt ON s.g = cnt.g GROUP BY s.doc_id),
+      tot AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM sha GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(CAST(t.n_ngrams AS BIGINT), 0) AS n_ngrams,
+        COALESCE(CAST(u.n_dup AS BIGINT), 0) AS n_dup,
+        CASE WHEN t.n_ngrams > 0
+          THEN COALESCE(CAST(u.n_dup AS DOUBLE), 0.0) / t.n_ngrams
+          ELSE 0.0 END AS dup_frac
+      FROM documents d
+      LEFT JOIN tot t ON t.doc_id = d.doc_id
+      LEFT JOIN dup u ON u.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     QueryDef("d03_minhash_lsh", (s, d) =>
       Dedup.minhashLshPairs(Tables.load(s, d, "documents"))
         .orderBy(col("est_jaccard").desc, col("a"), col("b")).limit(100),
@@ -645,6 +675,68 @@ object PipelineQueries {
           '${TextOps.ipv4Pattern}', '<IP>', 'g'),
           '${TextOps.longNumberPattern}', '<ID>', 'g') AS scrubbed
       FROM pii ORDER BY doc_id""")),
+
+    // C4/Gopher-style rule filter. Thresholds picked to BITE on this
+    // corpus (docs run ~25-80 words, mean word length ~4): the length and
+    // stopword rules each fail a real subset, so `keep` is a genuine mix.
+    // All measurements are exact int/int divisions — no rounding.
+    QueryDef("t09_heuristic_filter", (s, d) =>
+      TextOps.heuristicFilter(Tables.load(s, d, "documents"),
+          minWords = 40, maxWords = 5000, minWordLen = 3.5,
+          maxWordLen = 10.0, minUniqueRatio = 0.2, minStopwords = 2)
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH ws AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          x -> x <> '') AS w FROM documents),
+      m AS (SELECT doc_id, len(w) AS nw,
+        CASE WHEN len(w) > 0 THEN
+          CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+          ELSE 0.0 END AS mwl,
+        CASE WHEN len(w) > 0 THEN
+          CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+          ELSE 0.0 END AS ur,
+        len(list_filter(list_distinct(w),
+          x -> x IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")})))
+          AS ns
+      FROM ws)
+      SELECT doc_id, CAST(nw AS BIGINT) AS n_words, mwl AS mean_word_len,
+        ur AS unique_ratio, CAST(ns AS BIGINT) AS n_stopwords,
+        (nw < 40 OR nw > 5000) AS flag_len,
+        (mwl < 3.5 OR mwl > 10.0) AS flag_word_len,
+        (ur < 0.2) AS flag_repetitive,
+        (ns < 2) AS flag_no_stop,
+        (NOT (nw < 40 OR nw > 5000) AND NOT (mwl < 3.5 OR mwl > 10.0)
+          AND NOT (ur < 0.2) AND NOT (ns < 2)) AS keep
+      FROM m ORDER BY doc_id""")),
+
+    // TF-IDF top-3 terms per document (smooth idf, raw-count tf). Ranking
+    // uses the UNROUNDED score with the term string as total tie-break —
+    // equal (tf, df) pairs produce bit-identical doubles in both engines,
+    // so the rank is deterministic; the reported score rounds to 4dp.
+    QueryDef("t10_tfidf_terms", (s, d) =>
+      TextOps.tfidfTopTerms(Tables.load(s, d, "documents"), k = 3)
+        .orderBy(col("doc_id"), col("rank")),
+      Some("""
+      WITH tok AS (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          x -> x <> '')) AS term FROM documents),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+             GROUP BY doc_id, term),
+      df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+      scored AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        CAST(tf.tf AS DOUBLE) *
+          (ln((1.0 + n.n_docs) / (1.0 + CAST(df.df AS DOUBLE))) + 1.0)
+          AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      rk AS (SELECT *, ROW_NUMBER() OVER
+               (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+             FROM scored)
+      SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+        CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        ROUND(tfidf, 4) AS tfidf
+      FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
     // source mixing toward target weights inside a 10% budget: src0 gets
     // 4x the share of src2/src3, src1 2x; rates are capped at 1.0 (no

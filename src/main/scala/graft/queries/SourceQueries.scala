@@ -92,6 +92,37 @@ object SourceQueries {
                          '$stage/nation_delta/data-00001.parquet'])
       ORDER BY n_nationkey""")),
 
+    // Avro round-trip (reference registers Avro in the same db-dir walk as
+    // CSV/NDJSON via DataFusion's avro feature): Spark writes orders as
+    // Avro container files through the avro-mapred bridge (no spark-avro
+    // offline), reads the BYTES back through the `STORED AS AVRO` DDL path,
+    // and the oracle computes the same projection from the original parquet
+    // — any value corruption in either direction of the Row↔GenericRecord
+    // conversion (including the timestamp-micros logical type) breaks the
+    // hash.
+    QueryDef("x05_avro_scan", (s, d) => {
+      val dir = s"$stage/orders_avro"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(dir))
+      graft.sources.AvroIO.write(
+        Tables.load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"), col("o_orderdate")),
+        dir)
+      val ctx = new ExecutionContext(s)
+      ctx.runScript(s"CREATE EXTERNAL TABLE x05_orders STORED AS AVRO LOCATION '$dir'")
+      ctx.sql(
+        """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          |  CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+          |FROM x05_orders ORDER BY o_orderkey""".stripMargin)
+    }, Some(s"""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate
+      FROM orders ORDER BY o_orderkey""")),
+
     // Compaction round-trip: fragment events into 32 small files, compact
     // with the AQE-rebalanced rewrite, and scan the COMPACTED output —
     // the oracle reads the same rewritten bytes, so value preservation

@@ -214,6 +214,76 @@ class OperatorsSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("duplicated ngram spans: shared spans flag positions, unique text scores 0") {
+    // doc 1 and 2 share the 5-token prefix (3 shared trigram positions);
+    // doc 3 repeats its own trigram (within-doc repeats count); doc 4 is
+    // all-unique; doc 5 is too short for any trigram.
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon zeta",
+      2L -> "alpha beta gamma delta epsilon omega",
+      3L -> "one two three one two three",
+      4L -> "completely unique words never repeated anywhere else",
+      5L -> "tiny doc")
+    val got = Dedup.duplicatedNgramSpans(d, n = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got(1L) === ((4L, 3L, 0.75)))
+    assert(got(2L) === ((4L, 3L, 0.75)))
+    // "one two three" appears twice; "two three one"/"three one two" once
+    assert(got(3L) === ((4L, 2L, 0.5)))
+    assert(got(4L)._2 === 0L && got(4L)._3 === 0.0)
+    assert(got(5L) === ((0L, 0L, 0.0)))
+  }
+
+  test("positional shingle hashes keep duplicates; distinct form dedups") {
+    val s = spark
+    graft.functions.NativeFunctions.register(s)
+    val d = docs(1L -> "a b a b a b")
+    val row = d.select(
+      size(call_function("shingle_hashes_all", col("text"), lit(2))).as("all"),
+      size(call_function("shingle_hashes", col("text"), lit(2))).as("dst"))
+      .head()
+    assert(row.getInt(0) === 5) // positions: ab ba ab ba ab
+    assert(row.getInt(1) === 2) // distinct: ab, ba
+  }
+
+  test("heuristic filter flags short, repetitive and stopword-free docs") {
+    val stopRich = "the cat sat on a mat and looked to the road for a while " +
+      "with its friends in the sun on a warm day of summer is nice " +
+      "every word here adds variety so nothing repeats too much overall"
+    val d = docs(
+      1L -> stopRich,                                 // passes everything
+      2L -> "too short",                              // flag_len
+      3L -> ("spam " * 40).trim,                      // repetitive + no stops
+      4L -> (Seq.fill(40)("internationalization").mkString(" ")))
+    val got = TextOps.heuristicFilter(d, minWords = 20, maxWords = 1000)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(got(2L).getAs[Boolean]("flag_len") && !got(2L).getAs[Boolean]("keep"))
+    assert(got(3L).getAs[Boolean]("flag_repetitive")
+      && got(3L).getAs[Boolean]("flag_no_stop"))
+    // 20-char words: mean word length out of [3, 10]
+    assert(got(4L).getAs[Boolean]("flag_word_len") && !got(4L).getAs[Boolean]("keep"))
+  }
+
+  test("tfidf ranks rare terms above ubiquitous ones") {
+    val d = docs(
+      1L -> "common common common rare",
+      2L -> "common filler words here",
+      3L -> "common other text again")
+    val got = TextOps.tfidfTopTerms(d, k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    // 'common' appears in every doc (df=3 → lowest idf); 'rare' only in doc
+    // 1 (df=1 → highest idf) and must outrank it despite tf 1 vs 3? No:
+    // tf(common)=3 × (ln(4/4)+1)=3.0 vs tf(rare)=1 × (ln(4/2)+1)≈1.69 —
+    // raw-count tf keeps the triple-repeated term first; rare ranks second.
+    assert(got((1L, 1L)) === "common")
+    assert(got((1L, 2L)) === "rare")
+    // in docs 2/3 every term has tf=1, so df decides: 'common' (df=3,
+    // idf lowest) ranks LAST among the doc's terms
+    assert(got((2L, 1L)) !== "common")
+  }
+
   test("curation drops low-quality, exact-dup and near-dup docs") {
     import spark.implicits._
     // quality needs length saturation: >=30 non-stop tokens to clear 0.3

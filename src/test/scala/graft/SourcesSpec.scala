@@ -34,6 +34,57 @@ class SourcesSpec extends SparkSpec {
     assert(back.columns.sorted === o.columns.sorted)
   }
 
+  test("Avro bridge round-trips all supported types including nulls") {
+    val s = spark
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n", IntegerType),
+      StructField("x", DoubleType),
+      StructField("f", FloatType),
+      StructField("b", BooleanType),
+      StructField("t", StringType),
+      StructField("raw", BinaryType),
+      StructField("day", DateType),
+      StructField("at", TimestampType)))
+    val rows = Seq(
+      Row(1L, 7, 1.5, 2.5f, true, "hello",
+        Array[Byte](1, 2, 3), java.sql.Date.valueOf("2024-02-29"),
+        java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789123")),
+      Row(2L, null, null, null, null, null, null, null, null))
+    val df = s.createDataFrame(
+      s.sparkContext.parallelize(rows, 2), schema)
+    val dir = s"$tmp/avro_types"
+    graft.sources.AvroIO.write(df, dir)
+    val back = graft.sources.AvroIO.read(s, dir)
+    assert(back.schema === schema.copy(fields = schema.fields.map(f =>
+      if (f.name == "id") f else f.copy(nullable = true))))
+    val got = back.orderBy(col("id")).collect()
+    assert(got(0).getLong(0) === 1L && got(0).getInt(1) === 7)
+    assert(got(0).getString(5) === "hello")
+    assert(got(0).getAs[Array[Byte]](6).toSeq === Seq[Byte](1, 2, 3))
+    assert(got(0).getDate(7) === java.sql.Date.valueOf("2024-02-29"))
+    assert(got(0).getTimestamp(8) ===
+      java.sql.Timestamp.valueOf("2024-02-29 12:34:56.789123"))
+    assert((1 until 9).forall(got(1).isNullAt))
+    // distributed shape: one container file per input partition
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".avro")) === 2)
+  }
+
+  test("Avro DDL registration scans staged container files") {
+    val s = spark
+    val dir = s"$tmp/avro_nation"
+    graft.sources.AvroIO.write(
+      Tables.load(s, "/root/testdata/sf0.001", "nation")
+        .select(col("n_nationkey"), col("n_name")), dir)
+    val ctx = new graft.exec.ExecutionContext(s)
+    ctx.runScript(s"CREATE EXTERNAL TABLE avro_nation STORED AS AVRO LOCATION '$dir'")
+    val n = ctx.sql("SELECT COUNT(*) AS c FROM avro_nation").head().getLong(0)
+    assert(n === 25L)
+  }
+
   test("parquet writer round-trips a query result exactly") {
     val df = queries.Registry.byName("q01_pricing_summary").run(spark, sf0001)
     df.write.mode("overwrite").parquet(s"$tmp/q01")

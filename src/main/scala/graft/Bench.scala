@@ -68,6 +68,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+    // Ambient-load gate (reference treats cross-run consistency as
+    // first-class, `local_benchmarks.rs:169-185`): a benchmark started on a
+    // busy machine measures the machine, not the engine — round 6's numbers
+    // were contaminated by a pre-run load of 4.95 on this 32-core box.
+    // Before building the session, wait (up to SPARK_GRAFT_LOAD_WAIT_SECS,
+    // default 600) for the 1-minute load to fall below
+    // SPARK_GRAFT_MAX_LOAD (default 2.0); if it never does, run anyway but
+    // stamp `"dirty":true` in the JSON so the artifact self-reports as
+    // non-comparable.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
+    val loadWaitSecs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "600").toLong
+    val gateDeadline = System.nanoTime() + loadWaitSecs * 1000000000L
+    while (loadAvg() > maxLoad && System.nanoTime() < gateDeadline) {
+      System.err.println(f"[bench] ambient load ${loadAvg()}%.2f > $maxLoad%.1f — waiting for a quiet machine")
+      Thread.sleep(15000)
+    }
+    val dirty = loadAvg() > maxLoad
+    if (dirty) System.err.println(
+      f"[bench] WARNING: starting on a loaded machine (${loadAvg()}%.2f > $maxLoad%.1f after ${loadWaitSecs}s) — results stamped dirty:true")
+
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
@@ -155,7 +176,7 @@ object Bench {
 
     val loadAfter = loadAvg()
     val jvmsAfter = foreignJvms()
-    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters"""
+    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$dirty"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,$env,"concurrent_qps":$cs,"concurrent_iters":$concIters,"concurrent_workers":$workers,"sf":"$sfDir"}""")
     spark.stop()

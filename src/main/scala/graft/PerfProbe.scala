@@ -21,13 +21,41 @@ object PerfProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // per-stage wall/task accounting so a slow run localizes on sight
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Long)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
+        stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60), wall,
+          si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime))
+      }
+    })
     args.foreach { name =>
       val fn = Registry.byName(name)
       (1 to 2).foreach { i =>
         spark.catalog.clearCache() // measure the full pipeline every run
+        stages.clear()
+        val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+          .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+        val cpu0 = osBean.getProcessCpuTime
+        val jit0 = java.lang.management.ManagementFactory.getCompilationMXBean
+          .getTotalCompilationTime
         val t0 = System.nanoTime()
         fn.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-        println(f"[probe] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        val secs = (System.nanoTime() - t0) / 1e9
+        val cpuSecs = (osBean.getProcessCpuTime - cpu0) / 1e9
+        val jitMs = java.lang.management.ManagementFactory.getCompilationMXBean
+          .getTotalCompilationTime - jit0
+        println(f"[probe] $name run$i: $secs%.3f s  procCpu=$cpuSecs%.1f s  jit=${jitMs}ms")
+        if (sys.env.contains("GRAFT_PROBE_STAGES")) {
+          import scala.jdk.CollectionConverters._
+          stages.asScala.toSeq.sortBy(-_._2._2).take(8).foreach {
+            case (id, (nm, wall, run, gc)) =>
+              println(f"[probe]   stage $id%4d wall=${wall}%6dms taskRun=${run}%7dms gc=${gc}%5dms  $nm")
+          }
+        }
       }
     }
     spark.stop()

@@ -123,5 +123,7 @@ object NativeFunctions {
       exprs => ShingleHashes(exprs.head, exprs(1)))
     registerOnce("shingle_hashes_all",
       exprs => ShingleHashesAll(exprs.head, exprs(1)))
+    registerOnce("minhash_signature",
+      exprs => MinhashSignature(exprs.head, exprs(1), exprs(2)))
   }
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -94,6 +94,76 @@ object ShingleOps {
     new GenericArrayData(out)
   }
 
+  /** Whole MinHash signature in ONE pass over the document: component i is
+    * the lexicographic MIN over the document's shingles of the lowercase-hex
+    * md5 of `"$i:" + shingle` — bit-identical to exploding distinct
+    * shingles and aggregating `min(md5(concat("$i:", shingle)))` per
+    * component, because (a) MIN is duplicate-insensitive, so the distinct
+    * step is unnecessary, and (b) unsigned byte-wise comparison of the raw
+    * 16-byte digest equals string comparison of its lowercase hex encoding
+    * (each byte maps to two hex chars monotonically). Returns null when the
+    * document has no shingle (fewer than n tokens) — the aggregate form
+    * drops such docs from the signature matrix, so callers filter nulls.
+    *
+    * Scale shape: this turns the signature stage from
+    * explode(corpus × ~10² shingle rows) → exchange → 16-way string-min
+    * hash aggregate into a pure NARROW map — no shuffle, no per-component
+    * UTF8String/concat allocation (one thread-local digest, two reused
+    * 16-byte buffers per component). The md5 count (numHashes per distinct
+    * shingle) is inherent to the algorithm and unchanged.
+    */
+  def minhashSignature(text: UTF8String, n: Int, numHashes: Int): ArrayData = {
+    val seen = distinctShingles(text, n)
+    if (seen.isEmpty) return null
+    val md = localMd5.get()
+    val prefixes = minhashPrefixes(numHashes)
+    val mins = new Array[Array[Byte]](numHashes)
+    val tmp = new Array[Byte](16)
+    val it = seen.iterator()
+    while (it.hasNext) {
+      val sBytes = it.next().getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < numHashes) {
+        md.reset()
+        md.update(prefixes(i))
+        md.update(sBytes)
+        md.digest(tmp, 0, 16)
+        if (mins(i) == null) mins(i) = tmp.clone()
+        else if (java.util.Arrays.compareUnsigned(tmp, mins(i)) < 0)
+          System.arraycopy(tmp, 0, mins(i), 0, 16)
+        i += 1
+      }
+    }
+    val hex = "0123456789abcdef".toCharArray
+    val out = new Array[AnyRef](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      val chars = new Array[Byte](32)
+      var j = 0
+      while (j < 16) {
+        chars(2 * j) = hex((mins(i)(j) >> 4) & 0xf).toByte
+        chars(2 * j + 1) = hex(mins(i)(j) & 0xf).toByte
+        j += 1
+      }
+      out(i) = UTF8String.fromBytes(chars)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val localMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** `"0:".."k-1:"` prefix bytes, cached per numHashes (always tiny). */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, Array[Array[Byte]]]()
+  private def minhashPrefixes(numHashes: Int): Array[Array[Byte]] =
+    prefixCache.computeIfAbsent(numHashes, k =>
+      Array.tabulate(k)(i =>
+        s"$i:".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
   /** xxhash64 (seed 42, Spark's `xxhash64`) of each distinct shingle. */
   def shingleHashes(text: UTF8String, n: Int): ArrayData = {
     val seen = distinctShingles(text, n)
@@ -174,4 +244,50 @@ case class ShingleHashesAll(text: Expression, n: Expression) extends ShingleExpr
   override protected def helper: String = "shingleHashesAll"
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): ShingleHashesAll = copy(text = newLeft, n = newRight)
+}
+
+/** `minhash_signature(text, n, numHashes)` → array<string> (nullable):
+  * element i is `min(md5('i:' || shingle))` over the document's distinct
+  * word n-grams, null when the document has fewer than n tokens. See
+  * [[ShingleOps.minhashSignature]] for the equivalence argument with the
+  * explode + 16-way-min aggregate form it replaces.
+  */
+case class MinhashSignature(text: Expression, n: Expression,
+    numHashes: Expression) extends TernaryExpression {
+  override def first: Expression = text
+  override def second: Expression = n
+  override def third: Expression = numHashes
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def fold(e: Expression): Boolean =
+      e.dataType == IntegerType && e.foldable && (e.eval() match {
+        case i: Integer => i > 0
+        case _ => false
+      })
+    if ((text.dataType == StringType || text.dataType == NullType) &&
+        fold(n) && fold(numHashes)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (string text, foldable int n > 0, foldable " +
+        s"int numHashes > 0), got ${text.dataType.catalogString}, " +
+        s"${n.dataType.catalogString}, ${numHashes.dataType.catalogString}")
+  }
+
+  @transient private lazy val nVal: Int = n.eval().asInstanceOf[Int]
+  @transient private lazy val kVal: Int = numHashes.eval().asInstanceOf[Int]
+
+  override protected def nullSafeEval(t: Any, unused1: Any, unused2: Any): Any =
+    ShingleOps.minhashSignature(t.asInstanceOf[UTF8String], nVal, kVal)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _, _) => s"""
+      ${ev.value} = graft.functions.ShingleOps.minhashSignature($t, $nVal, $kVal);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): MinhashSignature =
+    copy(text = newFirst, n = newSecond, numHashes = newThird)
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -131,12 +131,40 @@ object Dedup {
 
   /** MinHash signature matrix: one row per doc, one column `mh<i>` per hash
     * function h_i(shingle) = md5(i || ':' || shingle), component = string
-    * MIN. All components aggregate in a SINGLE groupBy over the shingle set
-    * (map-side partial mins, one shuffle of |docs| narrow rows) — the
-    * scale-out path. The result is tiny (numHashes strings per doc), so
-    * downstream joins against it broadcast.
+    * MIN — computed entirely IN-ROW by the native `minhash_signature`
+    * expression ([[graft.functions.MinhashSignature]]): a pure narrow map,
+    * no shingle explode, no exchange, no aggregate. PropertySpec pins it
+    * bit-identical to [[minhashSignatureMatrixAgg]], the composable
+    * explode + 16-way-min form. Docs with fewer than n tokens drop out
+    * (same as the aggregate form, where they have no shingle rows).
+    *
+    * This removed the single biggest cost of the minhash family at bench
+    * scale (r7: the 16 string-min aggregates over the exploded shingle
+    * stream were ~50 core-seconds at sf0.1 — more than everything
+    * downstream combined) and the corpus-sized exchange at 100 TB.
     */
   def minhashSignatureMatrix(docs: DataFrame, numHashes: Int = 16): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    // repartition first for the same reason shingles() does: the md5 work
+    // is ~16 × |shingles| digests per doc, and a source that arrives in
+    // few splits (one parquet file locally; coalesced scans at scale)
+    // would serialize it into few tasks. The shuffled relation is narrow
+    // (id + text).
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        call_function("minhash_signature", col("text"), lit(3), lit(numHashes)).as("mh"))
+      .filter(col("mh").isNotNull)
+      .select(col("doc_id") +:
+        (0 until numHashes).map(i => col("mh")(i).as(s"mh$i")): _*)
+  }
+
+  /** Composable explode + aggregate form of [[minhashSignatureMatrix]] —
+    * the portable reference implementation PropertySpec pins the native
+    * expression against (one groupBy over the shingle set, map-side
+    * partial mins, one shuffle of |docs| narrow rows).
+    */
+  private[graft] def minhashSignatureMatrixAgg(docs: DataFrame,
+      numHashes: Int = 16): DataFrame = {
     val sh = shingles(docs)
     val mins = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"mh$i"))
@@ -165,14 +193,7 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    // cache(), NOT localCheckpoint: an A/B at sf0.1 showed the eager
-    // checkpoint 2x slower across d03/d07/c01 — the signature matrix is
-    // one narrow row per doc, and the cached InMemoryRelation's size
-    // stats keep the downstream scoring joins on the broadcast path,
-    // while a checkpointed LogicalRDD loses them. (Contrast with
-    // ngramJaccardPairs' corpus-sized shingle relation, where the
-    // checkpoint's single materialization wins.)
-    val sig = minhashSignatureMatrix(docs, numHashes).cache()
+    val sig = materializeSignatures(minhashSignatureMatrix(docs, numHashes))
     // band b holds hash ids {b, b+bands, b+2*bands, ...} in ascending order
     def bandBucket(b: Int): Column =
       md5(concat_ws(",", (b until numHashes by bands).map(i => col(s"mh$i")): _*))
@@ -198,6 +219,28 @@ object Dedup {
         (matches.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
 
+  /** Materialization strategy for the minhash signature matrix (one narrow
+    * row per doc, consumed by the band/bucket explode and both scoring
+    * joins). Default = eager localCheckpoint: a lazy cache() lets the three
+    * consumers RACE to materialize partitions, re-running the md5 pass up
+    * to 3× — and the r7 probe showed those duplicate heavy stages landing
+    * while whole-stage-codegen classes were still interpreted, compounding
+    * into 10-50× CPU storms (332 core-seconds for a 250-edge d07 at
+    * sf0.1). The checkpoint runs the md5 pass exactly once before any
+    * consumer plans, and its blocks are ContextCleaner-reclaimed once the
+    * result is unreachable (a bare cache() entry lives until an explicit
+    * unpersist). The r6 comment claiming cache() 2× faster predates the
+    * in-row signature expression — the aggregate form it measured no
+    * longer exists. `GRAFT_MINHASH_MAT` ∈ {checkpoint, cache, none}
+    * remains the A/B knob for re-measuring on a load-gated floor.
+    */
+  private def materializeSignatures(sig: DataFrame): DataFrame =
+    sys.env.getOrElse("GRAFT_MINHASH_MAT", "checkpoint") match {
+      case "cache" => sig.cache()
+      case "none" => sig
+      case _ => sig.localCheckpoint(true)
+    }
+
   /** Connected components over an undirected edge list (a, b) by
     * iterative min-label propagation: every node starts labeled with its
     * own id, and each round takes the min of its label and its neighbors'
@@ -213,10 +256,50 @@ object Dedup {
     * `localCheckpoint`ed: iterative self-referential lineage otherwise
     * grows exponentially and re-executes the whole history each round.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  /** `maxDriverEdges`: below this edge count the component computation
+    * runs as a single driver-side union-find over one bounded collect —
+    * near-dup graphs have edge counts proportional to the DUPLICATES, not
+    * the corpus, so after LSH thresholding the edge list is usually orders
+    * of magnitude smaller than the input, and the distributed loop's
+    * per-iteration cost (join + agg + checkpoint + convergence job,
+    * each a fresh codegen'd plan) dwarfs the actual work. Above the bound
+    * the iterative min-label propagation runs unchanged — the 100 TB path
+    * when the corpus really does hold billions of near-dup pairs. Pass 0
+    * to force the distributed loop (PropertySpec pins both paths to the
+    * same union-find results).
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+      maxDriverEdges: Long = 4000000L): DataFrame = {
+    val spark = edges.sparkSession
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
+    if (sym.count() <= 2L * maxDriverEdges) {
+      // bounded by construction: the count above gates the collect
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      // iterative find + path compression (recursion would stack-overflow
+      // on a long chain at the millions-of-edges bound)
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElse(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        parent(root) = root
+        root
+      }
+      sym.collect().foreach { r =>
+        val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val rows = parent.keys.toSeq.map(k => Row(k, find(k)))
+      return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("label",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint(true)

@@ -162,6 +162,28 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("native minhash_signature equals the explode+min-aggregate matrix") {
+    import spark.implicits._
+    graft.functions.NativeFunctions.register(spark)
+    val word = Gen.oneOf("a", "bb", "ccc", "dog", "cat", "x1", "Yz")
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      k <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(k, word)
+      ss <- Gen.listOfN(k, sep)
+    } yield ws.zip(ss).map { case (w, s) => w + s }.mkString
+    forSamples(Gen.listOfN(30, textGen), n = 3) { texts =>
+      val all = texts ++ Seq("", "   ", "one two", "a b c a b c a b c")
+      val df = all.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def dump(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.toSeq.mkString("|")).toSeq.sorted
+      val native = dump(graft.operators.Dedup.minhashSignatureMatrix(df, 8))
+      val agg = dump(graft.operators.Dedup.minhashSignatureMatrixAgg(df, 8))
+      assert(native === agg)
+    }
+  }
+
   test("connected components match a reference union-find on random graphs") {
     import spark.implicits._
     val edgeGen = Gen.listOfN(25,
@@ -183,10 +205,16 @@ class PropertySpec extends SparkSpec {
       // mins because unions always point the larger root at the smaller,
       // but re-resolve paths to be safe)
       val expected = parent.keys.map(k => k -> find(k)).toMap
-      val got = graft.operators.Dedup
+      // driver union-find path (default threshold) AND the distributed
+      // min-label loop (forced with maxDriverEdges = 0) must both match
+      val gotDriver = graft.operators.Dedup
         .connectedComponents(edges.toDF("a", "b"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === expected, s"edges: $edges")
+      assert(gotDriver === expected, s"driver path, edges: $edges")
+      val gotDist = graft.operators.Dedup
+        .connectedComponents(edges.toDF("a", "b"), maxDriverEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist === expected, s"distributed path, edges: $edges")
     }
   }
 }

@@ -245,12 +245,18 @@ class ScaleSpec extends SparkSpec {
       s"window does not consume the pre-cap stage:\n$p")
   }
 
-  test("minhash signatures aggregate in a single exchange (no hash-id explosion)") {
+  test("minhash signatures are a narrow in-row map (no explode, no aggregate)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")
     val qe = Dedup.minhashSignatureMatrix(docs).queryExecution
-    val exchanges = "Exchange".r.findAllIn(qe.executedPlan.toString).size
-    assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
-    assert(qe.executedPlan.toString.contains("partial_min"))
+    val plan = qe.executedPlan.toString
+    // the only exchange is the work-spreading repartition of (id, text);
+    // the signature itself is one minhash_signature projection — no
+    // shingle explode, no hash aggregate, no second exchange
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected <=1 exchange, got $exchanges:\n$plan")
+    assert(plan.contains("minhash_signature"))
+    assert(!plan.contains("Generate"), s"unexpected explode in:\n$plan")
+    assert(!plan.contains("Aggregate"), s"unexpected aggregate in:\n$plan")
   }
 }

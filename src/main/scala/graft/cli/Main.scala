@@ -183,7 +183,11 @@ object Main {
     conf.get("db.path").foreach(d => CatalogBootstrap.registerDbDir(spark, d))
     val port = opts.get("--addr").map(_.split(':').last.toInt).getOrElse(50051)
     val server = new graft.server.flight.FlightSqlServer(ctx, port = port,
-      bearerToken = conf.get("auth.bearer_token"))
+      bearerToken = conf.get("auth.bearer_token"),
+      basicAuth = for {
+        u <- conf.get("auth.basic_auth.username")
+        p <- conf.get("auth.basic_auth.password")
+      } yield (u, p))
     server.start()
     server
   }

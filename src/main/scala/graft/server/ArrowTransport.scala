@@ -1,10 +1,10 @@
 package graft.server
 
 import java.io.ByteArrayOutputStream
+import java.nio.channels.Channels
 
 import org.apache.arrow.memory.RootAllocator
 import org.apache.arrow.vector._
-import org.apache.arrow.vector.ipc.ArrowStreamWriter
 import org.apache.arrow.vector.types.{DateUnit, FloatingPointPrecision, TimeUnit}
 import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema => ArrowSchema}
 import org.apache.spark.sql.{DataFrame, Row}
@@ -96,50 +96,113 @@ object ArrowTransport {
   def arrowSchemaOf(schema: StructType): ArrowSchema =
     new ArrowSchema(java.util.Arrays.asList(schema.fields.map(toArrowField): _*))
 
-  /** Serialize the DataFrame as one Arrow IPC stream (schema + batches).
-    * Returns the stream bytes and the row count, tallied while writing, so
-    * callers that need both (the HTTP facade's observability row) never
-    * execute the plan a second time just to count.
+  /** Lazily serialize the DataFrame as per-message Arrow IPC frames:
+    * the FIRST element is the schema message (empty body), then one
+    * (metadata flatbuffer, body bytes) pair per record batch — exactly the
+    * two parts a Flight `FlightData` frame carries, in the encapsulated-
+    * message encoding `FlightSqlServer.splitIpcStream` produces from a
+    * whole stream. Rows are pulled through `toLocalIterator` as the
+    * consumer advances, so driver memory is ONE batch (plus one buffered
+    * partition), never the serialized result — the reference's DoGet
+    * streams the plan's batch stream the same way
+    * (`src/server/flightsql/service.rs:87-125`). `onRows` fires per batch
+    * with its row count (observability tallies without a second
+    * execution). The Arrow allocator is closed when the iterator is
+    * exhausted — callers must drain it.
     */
-  def toArrowStream(df: DataFrame, batchSize: Int = 4096): (Array[Byte], Long) = {
-    // complex columns travel as their string rendering
+  def arrowStreamFrames(df: DataFrame, batchSize: Int = 4096,
+      onRows: Long => Unit = _ => ()): Iterator[(Array[Byte], Array[Byte])] = {
+    import org.apache.arrow.vector.ipc.WriteChannel
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
     val flat = flatten(df)
     val schema = flat.schema
     val arrowSchema = arrowSchemaOf(schema)
     val allocator = new RootAllocator()
-    try {
-      val root = VectorSchemaRoot.create(arrowSchema, allocator)
-      try {
-        val out = new ByteArrayOutputStream()
-        val writer = new ArrowStreamWriter(root, null, out)
-        writer.start()
-        val it = flat.toLocalIterator()
-        var total = 0L
-        while (it.hasNext) {
-          root.allocateNew()
-          var i = 0
-          while (i < batchSize && it.hasNext) {
-            val row = it.next()
-            schema.fields.zipWithIndex.foreach { case (f, ord) =>
-              val vec = root.getVector(ord)
-              if (row.isNullAt(ord)) vec match {
-                // setNull lives on the width-class bases, not FieldVector
-                case fw: BaseFixedWidthVector => fw.setNull(i)
-                case vw: BaseVariableWidthVector => vw.setNull(i)
-                case other => throw new IllegalArgumentException(
-                  s"unsupported vector: ${other.getClass}")
-              } else setValue(vec, i, row, ord, f.dataType)
-            }
-            i += 1
+    val root = VectorSchemaRoot.create(arrowSchema, allocator)
+    val unloader = new org.apache.arrow.vector.VectorUnloader(root)
+    var closed = false
+    def close(): Unit = if (!closed) { closed = true; root.close(); allocator.close() }
+
+    def encapsulate(write: WriteChannel => Unit): (Array[Byte], Array[Byte]) = {
+      val out = new ByteArrayOutputStream()
+      write(new WriteChannel(Channels.newChannel(out)))
+      splitOne(out.toByteArray)
+    }
+    val schemaFrame =
+      encapsulate(ch => { MessageSerializer.serialize(ch, arrowSchema); () })
+
+    val rows = flat.toLocalIterator()
+    val batchFrames = new Iterator[(Array[Byte], Array[Byte])] {
+      override def hasNext: Boolean = {
+        val h = rows.hasNext
+        if (!h) close()
+        h
+      }
+      override def next(): (Array[Byte], Array[Byte]) = {
+        root.allocateNew()
+        var i = 0
+        while (i < batchSize && rows.hasNext) {
+          val row = rows.next()
+          schema.fields.zipWithIndex.foreach { case (f, ord) =>
+            val vec = root.getVector(ord)
+            if (row.isNullAt(ord)) vec match {
+              // setNull lives on the width-class bases, not FieldVector
+              case fw: BaseFixedWidthVector => fw.setNull(i)
+              case vw: BaseVariableWidthVector => vw.setNull(i)
+              case other => throw new IllegalArgumentException(
+                s"unsupported vector: ${other.getClass}")
+            } else setValue(vec, i, row, ord, f.dataType)
           }
-          root.setRowCount(i)
-          total += i
-          writer.writeBatch()
+          i += 1
         }
-        writer.end()
-        writer.close()
-        (out.toByteArray, total)
-      } finally root.close()
-    } finally allocator.close()
+        root.setRowCount(i)
+        onRows(i.toLong)
+        val batch = unloader.getRecordBatch
+        try encapsulate(ch => { MessageSerializer.serialize(ch, batch); () })
+        finally batch.close()
+      }
+    }
+    Iterator.single(schemaFrame) ++ batchFrames
+  }
+
+  /** Parse ONE encapsulated IPC message into (metadata incl. padding,
+    * body) — the single-message form of the stream splitter.
+    */
+  private def splitOne(bytes: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val cont = bb.getInt()
+    require(cont == -1, s"expected IPC continuation marker, got $cont")
+    val metaLen = bb.getInt()
+    val meta = new Array[Byte](metaLen)
+    bb.get(meta)
+    val body = new Array[Byte](bb.remaining())
+    bb.get(body)
+    (meta, body)
+  }
+
+  /** Serialize the DataFrame as one Arrow IPC stream (schema + batches) —
+    * built on [[arrowStreamFrames]], buffered because the HTTP facade
+    * serves a Content-Length'd body (and guards the size with its
+    * app-level result limit; the Flight path streams the frames
+    * directly). Returns the stream bytes and the row count, tallied while
+    * writing, so callers that need both (the HTTP facade's observability
+    * row) never execute the plan a second time just to count.
+    */
+  def toArrowStream(df: DataFrame, batchSize: Int = 4096): (Array[Byte], Long) = {
+    var total = 0L
+    val out = new ByteArrayOutputStream()
+    def intLE(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    arrowStreamFrames(df, batchSize, total += _).foreach { case (meta, body) =>
+      val pad = (8 - ((meta.length + 8) % 8)) % 8
+      intLE(-1); intLE(meta.length + pad)
+      out.write(meta); (0 until pad).foreach(_ => out.write(0))
+      out.write(body)
+    }
+    intLE(-1); intLE(0) // EOS
+    (out.toByteArray, total)
   }
 }

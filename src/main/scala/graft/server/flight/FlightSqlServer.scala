@@ -48,7 +48,8 @@ import graft.server.{ArrowTransport, FlightSqlCatalogs}
   *    prepared handles (no parameter binding — reference parity).
   */
 class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
-    bearerToken: Option[String] = None) {
+    bearerToken: Option[String] = None,
+    basicAuth: Option[(String, String)] = None) {
   import FlightSqlServer._
 
   private[flight] val planCache = new PlanCache(ctx)
@@ -67,18 +68,30 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
 
   // ---- auth (reference: basic/bearer on the flight channel) ----------
 
+  /** Accepts `Bearer <token>` (when a bearer token is configured) OR
+    * `Basic base64(user:password)` (when basic credentials are) — the
+    * reference's flight channel supports both schemes
+    * (`src/server/flightsql/mod.rs:58-106`). With neither configured the
+    * channel is open.
+    */
   private val authInterceptor = new ServerInterceptor {
     override def interceptCall[ReqT, RespT](call: ServerCall[ReqT, RespT],
         headers: Metadata, next: ServerCallHandler[ReqT, RespT]): ServerCall.Listener[ReqT] = {
-      bearerToken match {
-        case Some(tok) =>
-          val auth = headers.get(AuthKey)
-          if (auth == null || auth != s"Bearer $tok") {
-            call.close(Status.UNAUTHENTICATED.withDescription("invalid token"),
-              new Metadata())
-            new ServerCall.Listener[ReqT] {}
-          } else next.startCall(call, headers)
-        case None => next.startCall(call, headers)
+      if (bearerToken.isEmpty && basicAuth.isEmpty) next.startCall(call, headers)
+      else {
+        val auth = Option(headers.get(AuthKey)).getOrElse("")
+        val bearerOk = bearerToken.exists(tok => auth == s"Bearer $tok")
+        val basicOk = basicAuth.exists { case (user, pass) =>
+          val expected = java.util.Base64.getEncoder.encodeToString(
+            s"$user:$pass".getBytes(UTF_8))
+          auth == s"Basic $expected"
+        }
+        if (bearerOk || basicOk) next.startCall(call, headers)
+        else {
+          call.close(Status.UNAUTHENTICATED.withDescription("invalid credentials"),
+            new Metadata())
+          new ServerCall.Listener[ReqT] {}
+        }
       }
     }
   }
@@ -125,6 +138,59 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
               val name = Proto.stringAt(Proto.parse(req), 1).getOrElse("")
               observed(s"/do_action/$name")(doAction(req, resp))
             }
+        }))
+      // no pre-registered named flights exist (every flight is created by a
+      // GetFlightInfo command), so ListFlights is a well-formed EMPTY
+      // stream — the graceful answer a stock client expects, not
+      // UNIMPLEMENTED. Reference gets this from FlightSqlService's default.
+      .addMethod(Methods.listFlights, ServerCalls.asyncServerStreamingCall(
+        new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+          override def invoke(req: Array[Byte], resp: StreamObserver[Array[Byte]]): Unit =
+            guard(resp)(observed("/list_flights")(()))
+        }))
+      .addMethod(Methods.listActions, ServerCalls.asyncServerStreamingCall(
+        new ServerCalls.ServerStreamingMethod[Array[Byte], Array[Byte]] {
+          override def invoke(req: Array[Byte], resp: StreamObserver[Array[Byte]]): Unit =
+            guard(resp)(observed("/list_actions") {
+              // ActionType{type=1, description=2}, one per supported action
+              Seq(
+                ("CreatePreparedStatement",
+                  "Plan a SQL statement and return a prepared handle"),
+                ("ClosePreparedStatement",
+                  "Release a prepared statement handle")
+              ).foreach { case (name, desc) =>
+                resp.onNext(Proto.writer().string(1, name).string(2, desc).build())
+              }
+            })
+        }))
+      // ingestion is out of scope (the engine's write paths are the CLI
+      // writers / INSERT surface): explicit UNIMPLEMENTED with a message,
+      // not a silent hang — a stock client sees a clean error.
+      .addMethod(Methods.doPut, ServerCalls.asyncBidiStreamingCall(
+        new ServerCalls.BidiStreamingMethod[Array[Byte], Array[Byte]] {
+          override def invoke(resp: StreamObserver[Array[Byte]]): StreamObserver[Array[Byte]] = {
+            resp.onError(Status.UNIMPLEMENTED.withDescription(
+              "DoPut is not supported: use the SQL INSERT surface or the CLI writers")
+              .asRuntimeException())
+            new StreamObserver[Array[Byte]] {
+              override def onNext(v: Array[Byte]): Unit = ()
+              override def onError(t: Throwable): Unit = ()
+              override def onCompleted(): Unit = ()
+            }
+          }
+        }))
+      .addMethod(Methods.doExchange, ServerCalls.asyncBidiStreamingCall(
+        new ServerCalls.BidiStreamingMethod[Array[Byte], Array[Byte]] {
+          override def invoke(resp: StreamObserver[Array[Byte]]): StreamObserver[Array[Byte]] = {
+            resp.onError(Status.UNIMPLEMENTED.withDescription(
+              "DoExchange is not supported by this server")
+              .asRuntimeException())
+            new StreamObserver[Array[Byte]] {
+              override def onNext(v: Array[Byte]): Unit = ()
+              override def onError(t: Throwable): Unit = ()
+              override def onCompleted(): Unit = ()
+            }
+          }
         }))
       .build()
 
@@ -225,8 +291,12 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
         planCache.execute(new String(handle, UTF_8))
       case cmd => dataFrameFor(cmd)
     }
-    val (stream, _) = ArrowTransport.toArrowStream(df)
-    splitIpcStream(stream).foreach { case (header, body) =>
+    // streamed per batch: the driver holds ONE batch, not the serialized
+    // result — a full-result buffer here was a driver OOM for a large
+    // SELECT * at scale (the HTTP facade has app-level limits; this path
+    // had none). Reference contract: DoGet forwards the plan's record-
+    // batch stream (`src/server/flightsql/service.rs:87-125`).
+    ArrowTransport.arrowStreamFrames(df).foreach { case (header, body) =>
       val w = Proto.writer().bytes(2, header) // FlightData.data_header
       if (body.nonEmpty) w.bytes(1000, body) // FlightData.data_body
       resp.onNext(w.build())
@@ -297,6 +367,14 @@ object FlightSqlServer {
       method("DoGet", SERVER_STREAMING)
     val doAction: MethodDescriptor[Array[Byte], Array[Byte]] =
       method("DoAction", SERVER_STREAMING)
+    val listFlights: MethodDescriptor[Array[Byte], Array[Byte]] =
+      method("ListFlights", SERVER_STREAMING)
+    val listActions: MethodDescriptor[Array[Byte], Array[Byte]] =
+      method("ListActions", SERVER_STREAMING)
+    val doPut: MethodDescriptor[Array[Byte], Array[Byte]] =
+      method("DoPut", BIDI_STREAMING)
+    val doExchange: MethodDescriptor[Array[Byte], Array[Byte]] =
+      method("DoExchange", BIDI_STREAMING)
   }
 
   /** IPC-encapsulated schema message (continuation + length + flatbuffer),

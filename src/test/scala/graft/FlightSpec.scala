@@ -17,9 +17,10 @@ import graft.server.flight.{FlightSqlServer, Proto}
 class FlightSpec extends SparkSpec {
   import FlightSqlServer._
 
-  private def withServer[T](bearer: Option[String] = None)(
+  private def withServer[T](bearer: Option[String] = None,
+      basic: Option[(String, String)] = None)(
       f: (FlightSqlServer, org.sparkproject.connect.grpc.ManagedChannel) => T): T = {
-    val server = new FlightSqlServer(new ExecutionContext(spark), port = 0, bearer)
+    val server = new FlightSqlServer(new ExecutionContext(spark), port = 0, bearer, basic)
     server.start()
     val ch = channel(server.boundPort)
     try f(server, ch)
@@ -82,6 +83,54 @@ class FlightSpec extends SparkSpec {
       assert(rows.map(r => r(1).asInstanceOf[Long]) === Seq(0L, 2L, 4L, 6L, 8L))
       assert(rows.map(_(2).toString) === Seq("0", "1", "2", "3", "4"))
     }
+  }
+
+  test("flight: DoGet spans many record-batch frames for large results") {
+    withServer() { (_, ch) =>
+      val info = unaryCall(ch, Methods.getFlightInfo,
+        statementDescriptor("SELECT id FROM RANGE(20000) ORDER BY id"))
+      val frames = streamingCall(ch, Methods.doGet, ticketOfInfo(info)).map { fd =>
+        val fs = Proto.parse(fd)
+        (Proto.bytesAt(fs, 2).getOrElse(Array.emptyByteArray),
+          Proto.bytesAt(fs, 1000).getOrElse(Array.emptyByteArray))
+      }.toSeq
+      // schema frame + ceil(20000/4096) = 5 batch frames
+      assert(frames.size >= 6, s"expected schema + >=5 batch frames, got ${frames.size}")
+      val allocator = new RootAllocator()
+      try {
+        val reader = new ArrowStreamReader(
+          new java.io.ByteArrayInputStream(joinIpcStream(frames)), allocator)
+        try {
+          var n = 0L
+          while (reader.loadNextBatch()) n += reader.getVectorSchemaRoot.getRowCount
+          assert(n === 20000L)
+        } finally reader.close()
+      } finally allocator.close()
+    }
+  }
+
+  test("arrow frames are produced incrementally, not from a full-result buffer") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("rowsRead")
+    // 8 partitions x 5000 rows; the accumulator counts rows actually pulled
+    val df = spark.range(0, 40000, 1, 8).map { x => acc.add(1); x }.toDF("id")
+    val frames = graft.server.ArrowTransport.arrowStreamFrames(df, batchSize = 1024)
+    val head = (1 to 3).map(_ => frames.next()) // schema + 2 batches
+    assert(head.head._2.isEmpty, "first frame must be the bodyless schema message")
+    assert(acc.value < 40000,
+      s"all ${acc.value} rows were materialized before the first frames — not streaming")
+    // drain: total rows round-trip through an Arrow reader
+    val all = head ++ frames.toSeq
+    val allocator = new RootAllocator()
+    try {
+      val reader = new ArrowStreamReader(
+        new java.io.ByteArrayInputStream(joinIpcStream(all)), allocator)
+      try {
+        var n = 0L
+        while (reader.loadNextBatch()) n += reader.getVectorSchemaRoot.getRowCount
+        assert(n === 40000L)
+      } finally reader.close()
+    } finally allocator.close()
   }
 
   test("flight: unknown ticket handle maps to NOT_FOUND") {
@@ -170,6 +219,68 @@ class FlightSpec extends SparkSpec {
         val info = unaryCall(authed, Methods.getFlightInfo, desc)
         assert(info.nonEmpty)
       } finally underlying.shutdownNow()
+    }
+  }
+
+  test("flight: ListFlights is an empty stream, ListActions names the actions") {
+    withServer() { (_, ch) =>
+      val flights = streamingCall(ch, Methods.listFlights,
+        Proto.writer().build()).toSeq
+      assert(flights.isEmpty)
+      val actions = streamingCall(ch, Methods.listActions,
+        Proto.writer().build()).toSeq
+        .map(b => Proto.stringAt(Proto.parse(b), 1).getOrElse(""))
+      assert(actions === Seq("CreatePreparedStatement", "ClosePreparedStatement"))
+    }
+  }
+
+  test("flight: DoPut and DoExchange answer UNIMPLEMENTED with a message") {
+    import org.sparkproject.connect.grpc.CallOptions
+    import org.sparkproject.connect.grpc.stub.{ClientCalls, StreamObserver}
+    withServer() { (_, ch) =>
+      Seq(Methods.doPut -> "DoPut", Methods.doExchange -> "DoExchange").foreach {
+        case (m, name) =>
+          val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+          val latch = new java.util.concurrent.CountDownLatch(1)
+          ClientCalls.asyncBidiStreamingCall(
+            ch.newCall(m, CallOptions.DEFAULT),
+            new StreamObserver[Array[Byte]] {
+              override def onNext(v: Array[Byte]): Unit = ()
+              override def onError(t: Throwable): Unit = { err.set(t); latch.countDown() }
+              override def onCompleted(): Unit = latch.countDown()
+            })
+          assert(latch.await(10, java.util.concurrent.TimeUnit.SECONDS),
+            s"$name did not answer")
+          val sre = err.get().asInstanceOf[StatusRuntimeException]
+          assert(sre.getStatus.getCode.toString === "UNIMPLEMENTED")
+          assert(sre.getStatus.getDescription.contains("not supported"))
+      }
+    }
+  }
+
+  test("flight: basic auth rejects a wrong password, accepts the right one") {
+    withServer(basic = Some(("alice", "secret"))) { (server, bare) =>
+      val desc = statementDescriptor("SELECT 1 AS one")
+      def basicHeader(user: String, pass: String): Metadata = {
+        val md = new Metadata()
+        md.put(Metadata.Key.of("authorization", Metadata.ASCII_STRING_MARSHALLER),
+          "Basic " + java.util.Base64.getEncoder.encodeToString(
+            s"$user:$pass".getBytes(UTF_8)))
+        md
+      }
+      def callWith(md: Metadata): Array[Byte] = {
+        val underlying = channel(server.boundPort)
+        try unaryCall(ClientInterceptors.intercept(underlying,
+          MetadataUtils.newAttachHeadersInterceptor(md)), Methods.getFlightInfo, desc)
+        finally underlying.shutdownNow()
+      }
+      val eNone = intercept[StatusRuntimeException](
+        unaryCall(bare, Methods.getFlightInfo, desc))
+      assert(eNone.getStatus.getCode.toString === "UNAUTHENTICATED")
+      val eWrong = intercept[StatusRuntimeException](
+        callWith(basicHeader("alice", "wrong")))
+      assert(eWrong.getStatus.getCode.toString === "UNAUTHENTICATED")
+      assert(callWith(basicHeader("alice", "secret")).nonEmpty)
     }
   }
 

@@ -392,8 +392,23 @@ object Similarity {
     * metadata for a real corpus); the default -1 probes the first row,
     * costing one extra Spark job per invocation.
     */
+  /** `maxBucketSize`: drop (band, bucket) cells holding more than this many
+    * vectors from candidate generation — the skew guard for the bucket
+    * self-join. A degenerate corpus (thousands of near-identical vectors —
+    * exactly what a dedup input looks like) lands them all in the same
+    * bucket in EVERY band, and the self-join then builds O(N²) candidate
+    * rows even when the threshold would discard the pairs: quadratic
+    * intermediate, not just quadratic output. Dropping a hot cell only
+    * loses pairs among vectors with > maxBucketSize near-identical twins
+    * in that band (they usually still pair through another band, and dedup
+    * semantics tolerate missing some twin pairs — the same trade as
+    * [[graft.operators.Dedup.ngramJaccardPairs]]'s `maxDocFreq`). Default
+    * unbounded = oracle-exact; the capped path is oracle-checked by
+    * d06b.
+    */
   def nearDupPairsLsh(emb: DataFrame, threshold: Double,
-      planes: Int = 64, bands: Int = 16, dim: Int = -1): DataFrame = {
+      planes: Int = 64, bands: Int = 16, dim: Int = -1,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
     require(planes % bands == 0, "planes must divide evenly into bands")
     val cos = nativeCosine(emb.sparkSession) _
     val resolvedDim =
@@ -411,7 +426,8 @@ object Similarity {
     // cache() left registered would accumulate across invocations
     // (CacheManager entries are never GC-reclaimed), while a checkpointed
     // RDD is dropped by the ContextCleaner once the result is unreachable.
-    val (buckets, lazyCand) = lshCandidates(emb, planes, bands, resolvedDim)
+    val (buckets, lazyCand) = lshCandidates(emb, planes, bands, resolvedDim,
+      maxBucketSize)
     val cand =
       try lazyCand.localCheckpoint(true)
       finally buckets.unpersist(false)
@@ -451,9 +467,21 @@ object Similarity {
     * caller owns unpersisting the buckets once candidates materialize.
     */
   private[graft] def lshCandidates(emb: DataFrame, planes: Int, bands: Int,
-      dim: Int): (DataFrame, DataFrame) = {
+      dim: Int, maxBucketSize: Long = Long.MaxValue): (DataFrame, DataFrame) = {
     val buckets = lshBuckets(emb, planes, bands, dim)
-    val cand = buckets.as("x").join(buckets.as("y"),
+    // hot-bucket guard (see nearDupPairsLsh's maxBucketSize doc): cells
+    // over the cap are excluded from BOTH join sides before the pair
+    // expansion, the same anti-join shape as ngramJaccardPairs' maxDocFreq
+    val joinable =
+      if (maxBucketSize == Long.MaxValue) buckets
+      else {
+        val hot = buckets.groupBy(col("band"), col("bucket"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucketSize)
+          .select(col("band"), col("bucket"))
+        buckets.join(hot, Seq("band", "bucket"), "left_anti")
+      }
+    val cand = joinable.as("x").join(joinable.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))

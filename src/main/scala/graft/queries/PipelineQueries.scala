@@ -385,6 +385,51 @@ object PipelineQueries {
       WHERE d.dot/(na.nrm*nb.nrm) > 0.35
       ORDER BY cos_sim DESC, a, b"""), headline = true),
 
+    // d06 with the hot-bucket guard engaged (maxBucketSize = 30): cells
+    // holding more vectors than the cap are excluded from candidate
+    // generation on both join sides — the skew gate that bounds the bucket
+    // self-join's intermediate at corpus scale. The oracle replays the
+    // exact drop rule (HAVING COUNT(*) <= 30 per (band, bucket)), so the
+    // recall trade is hash-checked, not hand-waved.
+    QueryDef("d06b_embed_lsh_capped", (s, d) =>
+      Similarity.nearDupPairsLsh(Tables.load(s, d, "embeddings"), 0.35,
+          dim = 64, maxBucketSize = 30)
+        .orderBy(col("cos_sim").desc, col("a"), col("b")),
+      Some(s"""
+      WITH $ED,
+      planes AS (SELECT pr.p, ir.i,
+            CASE WHEN ascii(substring(md5(CAST(pr.p AS VARCHAR) || ':' ||
+                   CAST(ir.i AS VARCHAR)), 1, 1)) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range(0, 64)) AS p) pr,
+               (SELECT DISTINCT i FROM ed) ir),
+      proj AS (SELECT ed.vec_id, pl.p, SUM(ed.v * pl.s) AS dot
+               FROM ed JOIN planes pl ON pl.i = ed.i GROUP BY ed.vec_id, pl.p),
+      sig AS (SELECT vec_id,
+                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY p) AS bits
+              FROM proj GROUP BY vec_id),
+      buckets AS (SELECT vec_id, b AS band, substring(bits, b*4+1, 4) AS bucket
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b) bb),
+      cold AS (SELECT band, bucket FROM buckets
+               GROUP BY band, bucket HAVING COUNT(*) <= 30),
+      jb AS (SELECT bk.vec_id, bk.band, bk.bucket FROM buckets bk
+             JOIN cold cd ON cd.band = bk.band AND cd.bucket = bk.bucket),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM jb x JOIN jb y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id),
+      dots AS (SELECT c.a, c.b, SUM(xa.v * xb.v) AS dot
+               FROM cand c JOIN ed xa ON xa.vec_id = c.a
+               JOIN ed xb ON xb.vec_id = c.b AND xb.i = xa.i
+               GROUP BY c.a, c.b)
+      SELECT d.a, d.b, ROUND(d.dot/(na.nrm*nb.nrm), 4) AS cos_sim
+      FROM dots d
+      JOIN nrm na ON na.vec_id = d.a
+      JOIN nrm nb ON nb.vec_id = d.b
+      WHERE d.dot/(na.nrm*nb.nrm) > 0.35
+      ORDER BY cos_sim DESC, a, b"""), headline = true),
+
     // ---------------- similarity search ----------------
     QueryDef("a01_ann_bruteforce", (s, d) =>
       Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),

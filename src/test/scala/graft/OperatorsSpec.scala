@@ -72,6 +72,31 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.9, f"recall $recall%.3f below floor 0.9")
   }
 
+  test("LSH hot-bucket guard drops degenerate cells, keeps cold pairs") {
+    val s = spark
+    import s.implicits._
+    // 40 IDENTICAL vectors (every band-bucket cell they occupy has
+    // occupancy 40) plus one near-identical cold pair pointing the
+    // opposite way (its cells hold 2)
+    val hot = Array.fill(64)(1.0f)
+    val coldA = Array.tabulate(64)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val coldB = coldA.clone(); coldB(63) = 0.9f
+    val rows = (0L until 40L).map(i => (i, hot)) ++
+      Seq((100L, coldA), (101L, coldB))
+    val emb = rows.toDF("vec_id", "embedding")
+    val uncapped = Similarity.nearDupPairsLsh(emb, 0.5, dim = 64)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // all 40×39/2 identical pairs + the cold pair
+    assert(uncapped.contains((100L, 101L)))
+    assert(uncapped.size === 40 * 39 / 2 + 1)
+    val capped = Similarity.nearDupPairsLsh(emb, 0.5, dim = 64,
+        maxBucketSize = 10)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the hot cells (occupancy 40 > 10) are excluded from candidate
+    // generation entirely; the cold pair's cells (occupancy 2) survive
+    assert(capped === Set((100L, 101L)))
+  }
+
   private def docs(rows: (Long, String)*) = {
     val s = spark
     import s.implicits._

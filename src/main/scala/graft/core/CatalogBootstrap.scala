@@ -37,6 +37,12 @@ object CatalogBootstrap {
         // identity)
         graft.sources.DeltaLog.register(spark,
           s"${db}_${table.getName}", table.getAbsolutePath)
+      } else if (fmt == "avro") {
+        // Avro reads through the avro-mapred bridge, not a Spark USING
+        // format (spark-avro is absent offline) — temp-view registration,
+        // same pattern as Delta
+        graft.sources.AvroIO.register(spark,
+          s"${db}_${table.getName}", table.getAbsolutePath)
       } else {
         spark.sql(s"CREATE DATABASE IF NOT EXISTS `$db`")
         spark.sql(s"DROP TABLE IF EXISTS `$db`.`${table.getName}`")
@@ -81,6 +87,7 @@ object CatalogBootstrap {
       case "csv" => "csv"
       case "json" => "json"
       case "ndjson" => "json"
+      case "avro" => "avro" // beyond-reference (db.rs detects 4 formats)
     }
   }
 }

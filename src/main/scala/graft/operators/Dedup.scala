@@ -372,6 +372,22 @@ object Dedup {
     * output rows. Suffix arrays (the paper's exact method) don't
     * distribute; this n-gram approximation is the standard corpus-scale
     * substitute.
+    *
+    * The exploded per-position relation (`pos`) is deliberately NOT
+    * materialized: its lineage is one narrow scan + in-row hashing, cheap
+    * to recompute for the three consumers, whereas pinning a
+    * corpus-sized relation in executor storage (localCheckpoint) is
+    * non-fault-tolerant — at scale a single executor loss would fail the
+    * job unrecoverably — and a replicated disk persist pays corpus-sized
+    * I/O to save a cheaper recompute.
+    *
+    * Approximation note: span identity is the 64-bit xxhash of the gram,
+    * not the gram string (same trade as [[ngramJaccardPairs]]' join key).
+    * Two distinct grams that collide merge their corpus counts, so at
+    * ~10^12 distinct grams (100 TB) birthday collisions inflate
+    * `dup_frac` very slightly. Tolerable for a boilerplate-detection
+    * signal; if exact parity matters, add a second independent hash to
+    * the key.
     */
   def duplicatedNgramSpans(docs: DataFrame, n: Int = 3,
       minCount: Long = 2): DataFrame = {
@@ -380,20 +396,23 @@ object Dedup {
     val pos = docs.repartition(col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("shingle_hashes_all", col("text"), lit(n))).as("sk"))
-      .localCheckpoint(true)
     val counts = pos.groupBy(col("sk")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
     val dup = pos.join(counts, Seq("sk"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
-    docs.select(col("doc_id"),
-        size(call_function("shingle_hashes_all", col("text"), lit(n)))
-          .cast("long").as("n_ngrams"))
+    // n_ngrams derived from pos (no second pass over the text); docs with
+    // zero n-grams are absent from pos, restored by the left join on the
+    // column-pruned id scan
+    val totals = pos.groupBy(col("doc_id")).agg(count(lit(1)).as("n_present"))
+    docs.select(col("doc_id"))
+      .join(totals, Seq("doc_id"), "left")
       .join(dup, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_ngrams"),
+      .select(col("doc_id"),
+        coalesce(col("n_present"), lit(0L)).cast("long").as("n_ngrams"),
         coalesce(col("n_dup"), lit(0L)).cast("long").as("n_dup"),
-        when(col("n_ngrams") > 0,
+        when(coalesce(col("n_present"), lit(0L)) > 0,
           coalesce(col("n_dup"), lit(0L)).cast("double") /
-            col("n_ngrams").cast("double"))
+            col("n_present").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
   }
 

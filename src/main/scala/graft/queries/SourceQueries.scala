@@ -102,11 +102,12 @@ object SourceQueries {
     // hash.
     QueryDef("x05_avro_scan", (s, d) => {
       val dir = s"$stage/orders_avro"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(dir))
+      // delete via the Hadoop FileSystem (not java.io.File): AvroIO.write
+      // has no overwrite mode, and the stage dir override may point at a
+      // non-local filesystem where a local-file rm silently no-ops and
+      // every re-run dies with FileAlreadyExistsException
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       graft.sources.AvroIO.write(
         Tables.load(s, d, "orders")
           .select(col("o_orderkey"), col("o_orderstatus"),

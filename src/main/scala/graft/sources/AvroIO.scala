@@ -11,10 +11,12 @@ import org.apache.spark.sql.types._
 
 /** Avro read/write without the spark-avro module (not on the offline
   * classpath): flat-schema Object Container Files over the avro-mapred
-  * Hadoop formats that ARE shipped with Spark. The reference reads Avro
-  * through DataFusion's own `avro` feature (registered next to CSV/NDJSON
-  * in its db-dir walk, `src/db.rs:40-41`); here the same capability is a
-  * thin bridge: Row → GenericRecord per partition on write (each task
+  * Hadoop formats that ARE shipped with Spark. This EXTENDS the
+  * reference's source set for the pipeline brief — the reference's format
+  * detection covers parquet/csv/json/vortex only (`src/db.rs:37-52`);
+  * Avro is the interchange format training-data pipelines commonly
+  * ingest, so it gets the same `CREATE EXTERNAL TABLE` treatment. The
+  * bridge is thin: Row → GenericRecord per partition on write (each task
   * emits one container file — fully distributed, no driver funnel), and
   * GenericRecord → Row on read with the writer schema lifted off the first
   * file's header (one bounded driver read; the data scan itself is the
@@ -30,6 +32,13 @@ object AvroIO {
     * `["null", T]` unions, Spark's own convention).
     */
   private[sources] def avroSchemaJson(schema: StructType, name: String): String = {
+    // Avro names are [A-Za-z_][A-Za-z0-9_]*; interpolating anything else
+    // into the JSON would corrupt the schema (e.g. a quote in a column
+    // name), so fail loudly instead
+    schema.fields.foreach { f =>
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"AvroIO: column name '${f.name}' is not a valid Avro field name")
+    }
     def prim(dt: DataType): String = dt match {
       case LongType => "\"long\""
       case IntegerType => "\"int\""
@@ -127,11 +136,25 @@ object AvroIO {
       case BooleanType => java.lang.Boolean.valueOf(row.getBoolean(i))
       case StringType => row.getString(i)
       case BinaryType => java.nio.ByteBuffer.wrap(row.getAs[Array[Byte]](i))
-      case DateType => java.lang.Integer.valueOf(
-        row.getAs[java.sql.Date](i).toLocalDate.toEpochDay.toInt)
-      case TimestampType =>
-        val ts = row.getAs[java.sql.Timestamp](i)
-        java.lang.Long.valueOf(ts.getTime * 1000L + ts.getNanos / 1000 % 1000)
+      // branch on the runtime value class, not the configured external
+      // type: with spark.sql.datetime.java8API.enabled the row carries
+      // LocalDate/Instant instead of the legacy java.sql types
+      case DateType => row.get(i) match {
+        case d: java.sql.Date =>
+          java.lang.Integer.valueOf(d.toLocalDate.toEpochDay.toInt)
+        case d: java.time.LocalDate =>
+          java.lang.Integer.valueOf(d.toEpochDay.toInt)
+        case other => sys.error(s"AvroIO: unexpected date value $other")
+      }
+      case TimestampType => row.get(i) match {
+        case ts: java.sql.Timestamp =>
+          java.lang.Long.valueOf(ts.getTime * 1000L + ts.getNanos / 1000 % 1000)
+        case ins: java.time.Instant =>
+          java.lang.Long.valueOf(
+            Math.addExact(Math.multiplyExact(ins.getEpochSecond, 1000000L),
+              ins.getNano / 1000L))
+        case other => sys.error(s"AvroIO: unexpected timestamp value $other")
+      }
       case TimestampNTZType =>
         val ldt = row.getAs[java.time.LocalDateTime](i)
         java.lang.Long.valueOf(

@@ -211,6 +211,47 @@ class SourcesSpec extends SparkSpec {
     assert(ids === Set(1L, 2L, 5L, 6L))
   }
 
+  test("db-dir walk detects an Avro table and registers it through the bridge") {
+    import java.io.File
+    val s = spark
+    import s.implicits._
+    val dbDir = s"$tmp/avro_db"
+    val tableDir = new File(s"$dbDir/tables/dft/lake/atab")
+    // the Hadoop output format creates the leaf dir itself (and refuses a
+    // pre-existing one)
+    tableDir.getParentFile.mkdirs()
+    graft.sources.AvroIO.write(
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "name"),
+      tableDir.getPath)
+    val registered = core.CatalogBootstrap.registerDbDir(spark, dbDir)
+    val a = registered.find(_.table === "atab").get
+    assert(a.format === "avro")
+    val rows = spark.table("dft_lake_atab")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows === Set((1L, "x"), (2L, "y"), (3L, "z")))
+  }
+
+  test("avro write round-trips java8 datetime values and rejects bad names") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // LocalDate/Instant externals (spark.sql.datetime.java8API.enabled path)
+    // are produced by typed Datasets regardless of the session flag
+    val df = Seq((java.time.LocalDate.of(2024, 3, 1),
+        java.time.Instant.parse("2024-03-01T12:34:56.789Z")))
+      .toDF("d", "ts")
+    val dir = s"$tmp/avro_java8"
+    graft.sources.AvroIO.write(df, dir)
+    val back = graft.sources.AvroIO.read(spark, dir)
+      .select(col("d").cast("string"), col("ts").cast("string")).head
+    assert(back.getString(0) === "2024-03-01")
+    assert(back.getString(1).startsWith("2024-03-01 12:34:56.789"))
+    val bad = Seq((1L, 2L)).toDF("ok", "bad\"name")
+    val e = intercept[IllegalArgumentException](
+      graft.sources.AvroIO.write(bad, s"$tmp/avro_bad"))
+    assert(e.getMessage.contains("not a valid Avro field name"))
+  }
+
   test("partitioned Delta table: partition columns come from the log") {
     import java.io.File
     import java.nio.charset.StandardCharsets

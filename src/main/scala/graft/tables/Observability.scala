@@ -22,6 +22,10 @@ class Observability(spark: SparkSession) {
       status: Int): Unit = synchronized {
     buf += Row(requestId.orNull, path, sql.orNull, timestamp, durationMs,
       rows.map(Long.box).orNull, status)
+    // every observed request also lands in the TUI's log ring
+    graft.core.LogRing.add(
+      s"$path status=$status ${durationMs}ms" +
+        sql.map(q => s" :: ${q.replace('\n', ' ').take(80)}").getOrElse(""))
     register()
   }
 

@@ -46,20 +46,69 @@ class TuiSpec extends SparkSpec {
     assert(st.history.size === 2 && st.history(1).error)
   }
 
-  test("tabs switch with 1-3; history selection recalls into the editor") {
+  test("tabs switch with 1-5; history selection recalls into its own editor") {
     var st = TuiState(history = Vector(
       HistEntry("SELECT a", 0.1, 1, error = false),
-      HistEntry("SELECT b", 0.2, 2, error = false)))
-    st = step(st, Ch('2'), stubExec)
-    assert(st.tab === 1)
-    st = step(st, Down, stubExec)
-    assert(st.historySel === 1)
-    st = step(st, Enter, stubExec)
-    assert(st.tab === 0 && st.buffer === "SELECT b")
+      HistEntry("SELECT b", 0.2, 2, error = false, flight = true)))
     st = step(st, Ch('3'), stubExec)
     assert(st.tab === 2)
+    st = step(st, Down, stubExec)
+    assert(st.historySel === 1)
+    // the selected entry ran on the FlightSQL surface -> recalls there
+    st = step(st, Enter, stubExec)
+    assert(st.tab === 1 && st.fbuffer === "SELECT b")
+    st = step(st, Ch('3'), stubExec)
+    st = step(st, Up, stubExec)
+    st = step(st, Enter, stubExec)
+    assert(st.tab === 0 && st.buffer === "SELECT a")
+    Seq('2' -> 1, '4' -> 3, '5' -> 4).foreach { case (k, t) =>
+      st = step(st, Ch(k), stubExec)
+      assert(st.tab === t)
+    }
     st = step(st, Ch('q'), stubExec)
     assert(st.quit)
+  }
+
+  test("FlightSQL tab has its own editor, grid, and history flag") {
+    val flightStub: Exec = sql =>
+      if (sql.contains("boom")) Left("flight error")
+      else Right(Grid(Seq("f"), Seq(Seq("42")), 0.02))
+    var st = step(TuiState(), Ch('2'), stubExec, flightStub)
+    assert(st.tab === 1)
+    st = step(st, Ch('e'), stubExec, flightStub)
+    assert(st.editing)
+    st = "SELECT f".foldLeft(st)((s, c) => step(s, Ch(c), stubExec, flightStub))
+    assert(st.fbuffer === "SELECT f" && st.buffer.isEmpty)
+    st = step(st, Esc, stubExec, flightStub)
+    st = step(st, Enter, stubExec, flightStub)
+    assert(st.fgrid.exists(_.rows === Seq(Seq("42"))))
+    assert(st.grid.isEmpty) // SQL pane untouched
+    assert(st.history.size === 1 && st.history.head.flight)
+    // flight errors land in the flight pane
+    st = step(st, Ch('c'), stubExec, flightStub)
+    assert(st.fbuffer.isEmpty && st.fgrid.isEmpty)
+    st = step(st, Ch('e'), stubExec, flightStub)
+    st = "boom".foldLeft(st)((s, c) => step(s, Ch(c), stubExec, flightStub))
+    st = step(st, Esc, stubExec, flightStub)
+    st = step(st, Enter, stubExec, flightStub)
+    assert(st.ferror.contains("flight error") && st.error.isEmpty)
+  }
+
+  test("Logs tab tails the ring, scrolls back with Up") {
+    val logs = (1 to 50).map(i => s"line$i")
+    val tail = render(TuiState(tab = 3), height = 16, logs = logs)
+    assert(tail.contains("line50") && !tail.contains("line1 "))
+    val back = render(TuiState(tab = 3, logScroll = 40), height = 16, logs = logs)
+    assert(back.contains("line1 ") || back.contains("line1\n") ||
+      back.contains("  line1"))
+    assert(render(TuiState(tab = 3)).contains("no log lines yet"))
+    // Up moves back, Down clamps at 0
+    var st = TuiState(tab = 3)
+    st = step(st, Up, stubExec)
+    assert(st.logScroll === 1)
+    st = step(st, Down, stubExec)
+    st = step(st, Down, stubExec)
+    assert(st.logScroll === 0)
   }
 
   test("result scrolling is clamped to the grid") {
@@ -84,14 +133,31 @@ class TuiSpec extends SparkSpec {
     assert(frame.contains("col") && frame.contains("v1") && frame.contains("(1 rows"))
     val withErr = TuiState(error = Some("bad sql"))
     assert(render(withErr).contains("ERROR: bad sql"))
-    val hist = TuiState(tab = 1, history = Vector(
+    val hist = TuiState(tab = 2, history = Vector(
       HistEntry("SELECT a", 0.1, 1, error = false),
-      HistEntry("bad", 0.0, 0, error = true)), historySel = 1)
+      HistEntry("bad", 0.0, 0, error = true, flight = true)), historySel = 1)
     val hframe = render(hist)
-    assert(hframe.contains("[0.10s] SELECT a"))
-    assert(hframe.contains("▶ [ERR ] bad"))
-    val ctx = TuiState(tab = 2)
+    assert(hframe.contains("[0.10s] [SQL ] SELECT a"))
+    assert(hframe.contains("▶ [ERR ] [FSQL] bad"))
+    val ctx = TuiState(tab = 4)
     assert(render(ctx, context = "Tables:\ndefault.foo").contains("default.foo"))
+    val fl = TuiState(tab = 1)
+    assert(render(fl).contains("[FlightSQL (2)]"))
+    assert(render(fl).contains("gRPC loopback"))
+  }
+
+  test("real flight executor: grid over the gRPC loopback, error mapped") {
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val server = new graft.server.flight.FlightSqlServer(ctx, port = 0)
+    server.start()
+    try {
+      val exec = Tui.runFlight(server.boundPort)
+      val Right(g) = exec("SELECT id FROM RANGE(3) ORDER BY id"): @unchecked
+      assert(g.columns === Seq("id"))
+      assert(g.rows === Seq(Seq("0"), Seq("1"), Seq("2")))
+      val Left(err) = exec("SELECT * FROM not_a_table"): @unchecked
+      assert(err.nonEmpty && err != "null")
+    } finally server.stop()
   }
 
   test("keystroke decode handles CSI arrows, enter, backspace, chars") {

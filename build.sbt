@@ -29,5 +29,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark whole-stage codegen emits fresh classes per query; a long query
+  // list overflows the 240m default code cache and HotSpot's
+  // flush/recompile cycles then run hot loops interpreted (measured: the
+  // benchmark's concurrent section collapsed 60x once the serial list had
+  // filled the cache). Reserved ≠ committed, so 1g costs address space
+  // only.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++ sys.env.get("GRAFT_GC_LOG").map(p => s"-Xlog:gc*:file=$p:time,uptime").toSeq ++
   sys.env.get("GRAFT_EXTRA_JAVA_OPTS").toSeq.flatMap(_.split("\\s+").filter(_.nonEmpty))

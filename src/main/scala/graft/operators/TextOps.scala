@@ -280,6 +280,41 @@ object TextOps {
         round(col("tfidf"), 4).as("tfidf"))
   }
 
+  /** Token-window chunking for training pipelines: cut each document into
+    * overlapping windows of `chunkTokens` whitespace tokens, stepping by
+    * `chunkTokens - overlapTokens` — the pre-tokenizer chunking stage that
+    * feeds context-window packing ([[Packing]]) and per-chunk embedding.
+    * Output: (doc_id, chunk_id, n_tokens, chunk_md5) where chunk_md5
+    * digests the exact chunk text (space-joined window), so an engine
+    * replaying the rule must produce byte-identical chunks, not just the
+    * same counts.
+    *
+    * Pure narrow shape: tokens/windows are per-row array expressions
+    * (sequence → transform → slice) inside codegen, then one posexplode —
+    * no shuffle, linear in corpus bytes. Chunk starts are `i*step` for
+    * `i < ceil(n/step)`, so the final window may be shorter than
+    * `chunkTokens` (it is never empty); whitespace-only documents emit no
+    * chunks.
+    */
+  def chunk(docs: DataFrame, chunkTokens: Int = 64,
+      overlapTokens: Int = 16): DataFrame = {
+    require(overlapTokens >= 0 && chunkTokens > overlapTokens,
+      "need chunkTokens > overlapTokens >= 0")
+    val step = chunkTokens - overlapTokens
+    val toks = tokens(col("text"))
+    val n = size(toks)
+    val nStarts = ceil(n.cast("double") / lit(step.toDouble)).cast("int")
+    val windows = transform(sequence(lit(0), nStarts - 1), i =>
+      struct(
+        md5(array_join(slice(toks, i * step + 1, lit(chunkTokens)), " "))
+          .as("chunk_md5"),
+        least(lit(chunkTokens), n - i * step).cast("long").as("n_tokens")))
+    docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), posexplode(windows).as(Seq("chunk_id", "c")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        col("c.n_tokens").as("n_tokens"), col("c.chunk_md5").as("chunk_md5"))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic: ties broken by language code.
     */

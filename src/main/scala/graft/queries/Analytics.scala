@@ -17,6 +17,11 @@ import graft.core.Tables
   */
 object Analytics {
 
+  /** Unique memory-sink names per e06 run (a stopped query's name cannot
+    * be reused within a session).
+    */
+  private val e06Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
   val queries: Seq[QueryDef] = Seq(
@@ -359,6 +364,49 @@ object Analytics {
         .orderBy(col("event_type")),
       Some("""
       SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Streaming exact dedup (dropDuplicatesWithinWatermark): the staged
+    // input doubles every event (each parquet file copied twice), the
+    // STREAMING query dedups on event_id through a real memory-sink run,
+    // and the oracle aggregates the ORIGINAL events — so the check only
+    // passes if the stream emitted exactly one copy per event. Single
+    // micro-batch by design: across triggers the advancing watermark
+    // would DROP late duplicates rather than deduplicate them (that
+    // steady-state behavior is exercised in StreamingSpec).
+    QueryDef("e06_stream_dedup", (s, d) => {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val dir = s"${SourceQueries.stage}/events_dup"
+      val conf = s.sparkContext.hadoopConfiguration
+      val src = new Path(s"$d/events.parquet")
+      val fs = src.getFileSystem(conf)
+      val dst = new Path(dir)
+      fs.delete(dst, true)
+      fs.mkdirs(dst)
+      val parts =
+        if (fs.getFileStatus(src).isDirectory)
+          fs.listStatus(src).map(_.getPath)
+            .filter(_.getName.endsWith(".parquet")).toSeq
+        else Seq(src)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        FileUtil.copy(fs, p, fs, new Path(dst, s"a$i.parquet"), false, conf)
+        FileUtil.copy(fs, p, fs, new Path(dst, s"b$i.parquet"), false, conf)
+      }
+      val sink = s"e06_sink_${e06Runs.incrementAndGet()}"
+      val q = graft.streaming.EventStream
+        .dedupStream(graft.streaming.EventStream.source(s, dir, None))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .orderBy(col("event_type"))
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ------------------------------------------------------------------

@@ -783,6 +783,28 @@ object PipelineQueries {
         ROUND(tfidf, 4) AS tfidf
       FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
+    // Token-window chunking (64-token windows, 16-token overlap → step
+    // 48): the pre-tokenizer chunking stage of a training pipeline. The
+    // oracle rebuilds every window and md5s the exact space-joined chunk
+    // text, so both engines must cut byte-identical windows, not just
+    // matching counts.
+    QueryDef("t11_chunking", (s, d) =>
+      TextOps.chunk(Tables.load(s, d, "documents"), chunkTokens = 64,
+          overlapTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_id")),
+      Some("""
+      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+                    FROM documents WHERE trim(text) <> ''),
+      n AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+      starts AS (SELECT doc_id, tk, n,
+                   unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 48.0) AS BIGINT))) AS i
+                 FROM n)
+      SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        CAST(LEAST(64, n - i*48) AS BIGINT) AS n_tokens,
+        md5(array_to_string(list_slice(tk, i*48 + 1, LEAST(i*48 + 64, n)), ' '))
+          AS chunk_md5
+      FROM starts ORDER BY doc_id, chunk_id"""), headline = true),
+
     // source mixing toward target weights inside a 10% budget: src0 gets
     // 4x the share of src2/src3, src1 2x; rates are capped at 1.0 (no
     // up-sampling). All arithmetic forced to DOUBLE on the oracle side so

@@ -25,7 +25,7 @@ object SourceQueries {
   // side wrote, so the resolved path is embedded in the SQL text. Resolved
   // from the working directory (sbt forks run at the project root) with a
   // property/env override, instead of a literal checkout path.
-  private val stage: String =
+  private[queries] val stage: String =
     sys.props.get("graft.stage.dir")
       .orElse(sys.env.get("GRAFT_STAGE_DIR"))
       .getOrElse(new java.io.File(

@@ -23,13 +23,18 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over a directory of event parquet files. */
-  def source(spark: SparkSession, dir: String): DataFrame = {
+  /** Streaming source over a directory of event parquet files.
+    * `maxFilesPerTrigger` = None reads everything in one micro-batch —
+    * the mode dedup-parity checks use, where cross-trigger watermark
+    * advancement would drop late duplicates instead of deduplicating
+    * them.
+    */
+  def source(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = Some(4)): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
-      .option("maxFilesPerTrigger", "4")
-      .parquet(dir)
+    val r = spark.readStream.schema(rawSchema)
+    maxFilesPerTrigger.foreach(m => r.option("maxFilesPerTrigger", m.toString))
+    r.parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 

@@ -97,6 +97,27 @@ class OperatorsSpec extends SparkSpec {
     assert(capped === Set((100L, 101L)))
   }
 
+  test("token chunking: window boundaries, overlap, short and empty docs") {
+    val d = docs(
+      1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 10 tokens
+      2L -> "a b",                                    // shorter than a chunk
+      3L -> "   ",                                    // whitespace-only: no chunks
+      4L -> "x")
+    val out = TextOps.chunk(d, chunkTokens = 4, overlapTokens = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = out.groupBy(_._1)
+    // doc 1: starts 0,3,6,9 -> windows of 4,4,4,1 tokens
+    assert(byDoc(1L).map(t => (t._2, t._3)).sorted ===
+      Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 1L)))
+    // exact window text is digested: chunk 1 = tokens 4..7
+    val md5_47 = java.security.MessageDigest.getInstance("MD5")
+      .digest("w4 w5 w6 w7".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(byDoc(1L).find(_._2 == 1L).get._4 === md5_47)
+    assert(byDoc(2L).map(t => (t._2, t._3)) === Array((0L, 2L)))
+    assert(!byDoc.contains(3L))
+    assert(byDoc(4L).map(t => (t._2, t._3)) === Array((0L, 1L)))
+  }
+
   private def docs(rows: (Long, String)*) = {
     val s = spark
     import s.implicits._

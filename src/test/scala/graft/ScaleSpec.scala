@@ -245,6 +245,15 @@ class ScaleSpec extends SparkSpec {
       s"window does not consume the pre-cap stage:\n$p")
   }
 
+  test("token chunking is a narrow per-row plan (no exchange)") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    val plan = graft.operators.TextOps.chunk(docs, 4, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+    assert(!plan.contains("Aggregate"), s"unexpected aggregate in:\n$plan")
+  }
+
   test("minhash signatures are a narrow in-row map (no explode, no aggregate)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")

@@ -165,8 +165,18 @@ object Bench {
       // stage-scheduling latency, which is bimodal on residual JVM state
       // (r7 measured the same batch at 0.08 and 7.1 q/s minutes apart) —
       // a single batch measures that state, not the engine. The first
-      // batch doubles as the warm-up.
-      val best = (1 to concBatches).map { b =>
+      // batch doubles as the warm-up. A per-query time budget bounds the
+      // pathological case (a bad-state batch can run 100 s): at least one
+      // batch always runs, further batches only while under budget.
+      val budgetNanos = sys.env
+        .getOrElse("SPARK_GRAFT_CONCURRENT_BUDGET_SECS", "120").toLong * 1000000000L
+      val tq0 = System.nanoTime()
+      var best = Double.MinValue
+      var b = 1
+      // imperative loop: the budget must be checked AFTER each batch runs,
+      // not eagerly over the whole range
+      while (b <= concBatches &&
+          (b == 1 || System.nanoTime() - tq0 < budgetNanos)) {
         System.err.println(s"[bench] concurrent $name batch $b")
         spark.catalog.clearCache()
         val pool = Executors.newFixedThreadPool(workers)
@@ -184,8 +194,9 @@ object Bench {
         } finally pool.shutdown()
         spark.catalog.clearCache()
         System.gc()
-        qps
-      }.max
+        if (qps > best) best = qps
+        b += 1
+      }
       name -> best
     }
     val cs = concurrent.map { case (k, v) => "\"" + k + f"\":$v%.3f" }

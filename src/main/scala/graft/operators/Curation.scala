@@ -45,4 +45,35 @@ object Curation {
     kept1.join(representatives, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), lit("kept").as("status"))
   }
+
+  /** Source-priority canonical selection: within each EXACT-duplicate
+    * group (same text bytes), keep the copy from the most-trusted source —
+    * the standard multi-crawl curation rule (a page captured by both a
+    * curated dump and a broad crawl keeps the curated copy, preserving its
+    * metadata), where plain [[Dedup.exact]] keeps the lowest doc_id
+    * regardless of provenance. `priority` maps source → rank (lower wins);
+    * unlisted sources rank last; ties inside a rank break on doc_id, so
+    * selection is total and engine-replayable.
+    *
+    * One window over the same md5 grouping exact dedup shuffles on —
+    * identical scale shape (one exchange keyed by a 16-byte digest),
+    * constant state per group.
+    */
+  def canonicalBySource(docs: DataFrame,
+      priority: Map[String, Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rank = priority.foldLeft(lit(999)) { case (acc, (s, r)) =>
+      when(col("source") === s, lit(r)).otherwise(acc)
+    }
+    val w = Window.partitionBy(md5(col("text")))
+      .orderBy(col("src_rank"), col("doc_id"))
+    docs.withColumn("src_rank", rank)
+      .withColumn("canonical_id",
+        first(col("doc_id")).over(w))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(md5(col("text")))))
+      .select(col("doc_id"), col("source"),
+        col("canonical_id"), col("group_size"),
+        (col("doc_id") === col("canonical_id")).as("keep"))
+  }
 }

@@ -99,6 +99,13 @@ object Dedup {
     // the round-5 d02/d02b variance), while checkpointed blocks are
     // reclaimed by the ContextCleaner as soon as the result is
     // unreachable, and AQE sees materialized stats.
+    // Fault-tolerance caveat at cluster scale (same trade d09 resolved
+    // the other way): localCheckpoint pins a corpus-sized relation in
+    // executor storage non-fault-tolerantly, so an executor loss fails
+    // the job. Here the materialization is load-bearing for correctness
+    // of cost (three consumers, measured 3x slower recomputed); a
+    // cluster deployment that must survive executor loss should swap it
+    // for persist(DISK_ONLY_2) or a reliable checkpoint dir.
     // Deliberately NOT pre-partitioned on the join key: an A/B showed a
     // repartition(sk) before the materialization 3x slower end-to-end — it
     // forces an extra exchange and pins the layout, while AQE already

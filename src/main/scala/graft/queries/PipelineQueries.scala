@@ -881,6 +881,31 @@ object PipelineQueries {
       WHERE vec_id NOT IN (SELECT b FROM dropped)
       ORDER BY vec_id""")),
 
+    // Source-priority canonical selection: within an exact-duplicate
+    // group keep the copy from the most-trusted source (src0 > src1 >
+    // src2 > src3), ties on doc_id — the multi-crawl curation rule that
+    // plain exact dedup (keep-lowest-id) gets wrong when a better
+    // provenance copy has a higher id.
+    QueryDef("c02_canonical_source", (s, d) =>
+      Curation.canonicalBySource(Tables.load(s, d, "documents"),
+          Map("src0" -> 0, "src1" -> 1, "src2" -> 2, "src3" -> 3))
+        .orderBy(col("doc_id")),
+      Some("""
+      WITH ranked AS (SELECT doc_id, source, md5(text) AS h,
+          CASE source WHEN 'src0' THEN 0 WHEN 'src1' THEN 1
+                      WHEN 'src2' THEN 2 WHEN 'src3' THEN 3
+                      ELSE 999 END AS src_rank
+        FROM documents),
+      win AS (SELECT doc_id, source,
+          FIRST_VALUE(doc_id) OVER
+            (PARTITION BY h ORDER BY src_rank, doc_id) AS canonical_id,
+          COUNT(*) OVER (PARTITION BY h) AS group_size
+        FROM ranked)
+      SELECT doc_id, source, canonical_id,
+        CAST(group_size AS BIGINT) AS group_size,
+        doc_id = canonical_id AS keep
+      FROM win ORDER BY doc_id""")),
+
     QueryDef("c01_curation", (s, d) =>
       Curation.curate(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
       Some(raw"""

@@ -17,10 +17,37 @@ import graft.core.Tables
   */
 object Analytics {
 
-  /** Unique memory-sink names per e06 run (a stopped query's name cannot
-    * be reused within a session).
+  /** Unique memory-sink names per streaming-query run (a stopped query's
+    * name cannot be reused within a session).
     */
-  private val e06Runs = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val sinkRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Stage the events parquet into `dirName` under the staging root with
+    * each file copied `copies` times (copies = 2 doubles every event —
+    * the dedup-check input; 1 is a plain streaming-source staging).
+    */
+  private def stageEvents(s: SparkSession, d: String, dirName: String,
+      copies: Int): String = {
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val dir = s"${SourceQueries.stage}/$dirName"
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new Path(s"$d/events.parquet")
+    val fs = src.getFileSystem(conf)
+    val dst = new Path(dir)
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    val parts =
+      if (fs.getFileStatus(src).isDirectory)
+        fs.listStatus(src).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(src)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      (0 until copies).foreach { c =>
+        FileUtil.copy(fs, p, fs, new Path(dst, s"c${c}_$i.parquet"), false, conf)
+      }
+    }
+    dir
+  }
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
@@ -376,24 +403,8 @@ object Analytics {
     // would DROP late duplicates rather than deduplicate them (that
     // steady-state behavior is exercised in StreamingSpec).
     QueryDef("e06_stream_dedup", (s, d) => {
-      import org.apache.hadoop.fs.{FileUtil, Path}
-      val dir = s"${SourceQueries.stage}/events_dup"
-      val conf = s.sparkContext.hadoopConfiguration
-      val src = new Path(s"$d/events.parquet")
-      val fs = src.getFileSystem(conf)
-      val dst = new Path(dir)
-      fs.delete(dst, true)
-      fs.mkdirs(dst)
-      val parts =
-        if (fs.getFileStatus(src).isDirectory)
-          fs.listStatus(src).map(_.getPath)
-            .filter(_.getName.endsWith(".parquet")).toSeq
-        else Seq(src)
-      parts.zipWithIndex.foreach { case (p, i) =>
-        FileUtil.copy(fs, p, fs, new Path(dst, s"a$i.parquet"), false, conf)
-        FileUtil.copy(fs, p, fs, new Path(dst, s"b$i.parquet"), false, conf)
-      }
-      val sink = s"e06_sink_${e06Runs.incrementAndGet()}"
+      val dir = stageEvents(s, d, "events_dup", copies = 2)
+      val sink = s"e06_sink_${sinkRuns.incrementAndGet()}"
       val q = graft.streaming.EventStream
         .dedupStream(graft.streaming.EventStream.source(s, dir, None))
         .writeStream.outputMode("append").format("memory").queryName(sink)
@@ -408,6 +419,46 @@ object Analytics {
       SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Streaming funnel advances (flatMapGroupsWithState): the REAL
+    // stateful streaming query runs through a memory sink and must emit
+    // exactly the advances the batch cascade derives — one row per
+    // (user, stage reached), stamped with that stage's first strictly-
+    // after completion time. Single micro-batch: within a batch the
+    // operator applies events in event-time order, which is exactly the
+    // ordered replay the SQL cascade computes.
+    QueryDef("e07_stream_funnel", (s, d) => {
+      val dir = stageEvents(s, d, "events_stream", copies = 1)
+      val sink = s"e07_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream
+        .funnelStream(graft.streaming.EventStream.source(s, dir, None),
+          Seq("view", "click", "purchase"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("funnel_stage"), col("ts"))
+        .orderBy(col("user_id"), col("funnel_stage"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_type,
+              make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+      s0 AS (SELECT user_id, MIN(ts) AS t0 FROM ev
+             WHERE event_type = 'view' GROUP BY user_id),
+      s1 AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM ev e
+             JOIN s0 ON s0.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts > s0.t0
+             GROUP BY e.user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM ev e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > s1.t1
+             GROUP BY e.user_id)
+      SELECT user_id, CAST(1 AS BIGINT) AS funnel_stage, epoch_ms(t0) AS ts FROM s0
+      UNION ALL
+      SELECT user_id, CAST(2 AS BIGINT), epoch_ms(t1) FROM s1
+      UNION ALL
+      SELECT user_id, CAST(3 AS BIGINT), epoch_ms(t2) FROM s2
+      ORDER BY user_id, funnel_stage""")),
 
     // ------------------------------------------------------------------
     // Full frame/rank coverage: ntile, first_value, moving frame sum,

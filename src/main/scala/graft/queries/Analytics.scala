@@ -487,6 +487,29 @@ object Analytics {
       ORDER BY o_custkey, o_orderkey""")),
 
     // ------------------------------------------------------------------
+    // Remaining rank-family coverage: dense_rank, percent_rank,
+    // cume_dist. Both ratios are exact small-integer divisions under a
+    // total order (o_orderkey unique), so the doubles are bit-identical
+    // across engines; single-row partitions define percent_rank = 0 in
+    // both.
+    QueryDef("w04_rank_variants", (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_custkey") < 40)
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      o.select(col("o_custkey"), col("o_orderkey"),
+          dense_rank().over(w).cast("long").as("drank"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }, Some("""
+      SELECT o_custkey, o_orderkey,
+        CAST(DENSE_RANK() OVER w AS BIGINT) AS drank,
+        PERCENT_RANK() OVER w AS prank,
+        CUME_DIST() OVER w AS cdist
+      FROM orders WHERE o_custkey < 40
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+      ORDER BY o_custkey, o_orderkey""")),
+
+    // ------------------------------------------------------------------
     // Registered JSON function surface (json_get / json_contains — the
     // reference's functions-json names; SURVEY §2.9).
     QueryDef("j02_json_functions", (s, d) => {

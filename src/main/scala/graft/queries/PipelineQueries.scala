@@ -638,6 +638,41 @@ object PipelineQueries {
       FROM (SELECT doc_id, encode(text) AS blob FROM documents) m
       ORDER BY doc_id, frame_idx""")),
 
+    // REAL container-header parsing (not the stubbed decode): payloads
+    // are built as genuine PNG/JPEG/WAV container bytes (format and
+    // dimensions derived deterministically from doc_id), and the parser
+    // reads them back by byte inspection alone — PNG IHDR big-endian
+    // ints, a JPEG marker-segment walk past APP0 to the SOF, the RIFF
+    // fmt chunk little-endian fields. The oracle recomputes the expected
+    // metadata from doc_id, so the check passes only if the parse
+    // correctly inverts the container encoding.
+    QueryDef("m03_media_headers", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val blob = (id % 3) match {
+          case 0 => Multimodal.makePng(16 + id % 625, 16 + (id * 3) % 625)
+          case 1 => Multimodal.makeJpeg(32 + id % 481, 32 + (id * 7) % 481)
+          case _ => Multimodal.makeWav(8000 + (id % 5) * 8000, 1 + id % 2)
+        }
+        (id, blob)
+      }).toDF("doc_id", "blob")
+      Multimodal.headerScan(s, media).toDF().orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+             ELSE 'wav' END AS format,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 625
+             WHEN 1 THEN 32 + doc_id % 481 ELSE 0 END AS BIGINT) AS width,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 16 + (doc_id * 3) % 625
+             WHEN 1 THEN 32 + (doc_id * 7) % 481 ELSE 0 END AS BIGINT) AS height,
+        CAST(CASE doc_id % 3 WHEN 2 THEN 8000 + (doc_id % 5) * 8000
+             ELSE 0 END AS BIGINT) AS sample_rate,
+        CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2
+             ELSE 0 END AS BIGINT) AS channels
+      FROM documents ORDER BY doc_id""")),
+
     // ---------------- end-to-end curation ----------------
     // quality filter -> exact dedup -> transitive near-dup cluster
     // representatives, composed; the oracle replays the whole chain (t02 +

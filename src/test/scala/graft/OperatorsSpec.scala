@@ -97,6 +97,21 @@ class OperatorsSpec extends SparkSpec {
     assert(capped === Set((100L, 101L)))
   }
 
+  test("media header parser: PNG/JPEG/WAV round-trip, truncated and unknown bytes") {
+    import graft.operators.Multimodal._
+    val png = parseHeader(1L, makePng(640, 480))
+    assert((png.format, png.width, png.height) === (("png", 640L, 480L)))
+    val jpg = parseHeader(2L, makeJpeg(513, 257))
+    assert((jpg.format, jpg.width, jpg.height) === (("jpeg", 513L, 257L)))
+    val wav = parseHeader(3L, makeWav(44100, 2))
+    assert((wav.format, wav.sample_rate, wav.channels) === (("wav", 44100L, 2L)))
+    // truncated containers and non-media bytes degrade to unknown, not a crash
+    assert(parseHeader(4L, makePng(10, 10).take(10)).format === "unknown")
+    assert(parseHeader(5L, Array[Byte](0xff.toByte, 0xd8.toByte)).format === "unknown")
+    assert(parseHeader(6L, "plain text".getBytes("UTF-8")).format === "unknown")
+    assert(parseHeader(7L, Array.emptyByteArray).format === "unknown")
+  }
+
   test("token chunking: window boundaries, overlap, short and empty docs") {
     val d = docs(
       1L -> (1 to 10).map(i => s"w$i").mkString(" "), // 10 tokens

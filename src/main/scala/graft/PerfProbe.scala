@@ -34,6 +34,9 @@ object PerfProbe {
     })
     args.foreach { name =>
       val fn = Registry.byName(name)
+      if (sys.env.contains("GRAFT_PROBE_PLAN"))
+        println(s"[probe] plan for $name:\n" +
+          fn.run(spark, sfDir).queryExecution.executedPlan.toString)
       (1 to 2).foreach { i =>
         spark.catalog.clearCache() // measure the full pipeline every run
         stages.clear()

@@ -108,23 +108,30 @@ object Soak {
       println("[soak] generation done")
     }
 
-    // sf0.1 mins from BENCH_r05/r06-era runs, for the 10x extrapolation
+    // sf0.1 mins from the r7 load-gated bench, for the 10x extrapolation
+    // (ops without a headline bench row carry no baseline — timed, ratio
+    // null)
     val sf01Base = Map(
-      "d01_dedup_exact" -> 0.35, "d02_ngram_jaccard" -> 1.63,
-      "d02b_ngram_jaccard_capped" -> 0.65, "d03_minhash_lsh" -> 0.73,
-      "d04_simhash" -> 0.45, "d06_embed_lsh" -> 1.87,
-      "d07_dedup_clusters" -> 1.63, "d08_semantic_dedup" -> 1.15,
-      "a01_ann_bruteforce" -> 0.45, "a02_ann_ivf" -> 0.65,
+      "d01_dedup_exact" -> 0.35, "d02_ngram_jaccard" -> 1.46,
+      "d02b_ngram_jaccard_capped" -> 0.63, "d03_minhash_lsh" -> 1.53,
+      "d04_simhash" -> 0.45, "d06_embed_lsh" -> 1.73,
+      "d06b_embed_lsh_capped" -> 0.55, "d07_dedup_clusters" -> 1.92,
+      "d08_semantic_dedup" -> 1.15,
+      "a01_ann_bruteforce" -> 0.31, "a02_ann_ivf" -> 0.65,
       "a03_ann_lsh" -> 0.50, "a04_kmeans" -> 0.90,
-      "c01_curation" -> 2.07, "qz01_embed_quantize" -> 0.55,
-      "smp04_source_cap" -> 0.30, "t05_bpe_tokens" -> 0.40)
+      "c01_curation" -> 2.02, "qz01_embed_quantize" -> 0.55,
+      "smp04_source_cap" -> 0.30, "t05_bpe_tokens" -> 0.40,
+      "t11_chunking" -> 0.55)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
-      "d03_minhash_lsh", "d04_simhash", "d06_embed_lsh", "d07_dedup_clusters",
-      "d08_semantic_dedup", "a01_ann_bruteforce", "a02_ann_ivf", "a03_ann_lsh",
-      "a04_kmeans", "c01_curation", "qz01_embed_quantize", "smp04_source_cap",
-      "t05_bpe_tokens")
+      "d03_minhash_lsh", "d04_simhash", "d06_embed_lsh",
+      "d06b_embed_lsh_capped", "d07_dedup_clusters",
+      "d08_semantic_dedup", "d09_dup_ngram_spans",
+      "a01_ann_bruteforce", "a02_ann_ivf", "a03_ann_lsh",
+      "a04_kmeans", "c01_curation", "c02_canonical_source",
+      "qz01_embed_quantize", "smp04_source_cap",
+      "t05_bpe_tokens", "t11_chunking", "m03_media_headers")
 
     var total = 0.0
     queries.foreach { name =>

@@ -43,6 +43,7 @@ object SessionFactory {
     JsonFunctions.register(spark)
     NativeFunctions.register(spark)
     S3Config(spark, conf)
+    graft.sources.HfStore(spark, conf)
     ConfigUdfLoader.load(spark, conf)
     spark
   }

@@ -305,6 +305,44 @@ class SourcesSpec extends SparkSpec {
     assert(rows === Seq((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("huggingface store: config registration, resolve URLs, hf:// scan via fixture") {
+    import graft.sources.HfStore
+    val s = spark
+    import s.implicits._
+    // the pure resolution layer is pinned against the hub's real layout
+    val ds = HfStore.HfRepo("acme/corpus", "dataset", "main")
+    assert(HfStore.resolveUrl(ds, "data/train.parquet") ===
+      "https://huggingface.co/datasets/acme/corpus/resolve/main/data/train.parquet")
+    assert(HfStore.resolveUrl(
+      HfStore.HfRepo("meta/llama", "model", "v2", root = "gguf"), "m.bin") ===
+      "https://huggingface.co/meta/llama/resolve/v2/gguf/m.bin")
+    assert(HfStore.authority("acme/corpus") === "acme-corpus")
+    // reference-style config -> registered repo + hf scheme wiring
+    val repos = HfStore(spark, Map(
+      "execution.object_store.huggingface.repo_id" -> "acme/corpus",
+      "execution.object_store.huggingface.repo_type" -> "dataset",
+      "execution.object_store.huggingface.revision" -> "main"))
+    assert(repos === Seq("acme-corpus" -> ds))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.hf.impl") === classOf[graft.sources.HfFileSystem].getName)
+    // offline transport: fixture tree laid out as <fixture>/<authority>/<path>
+    val fixture = s"$tmp/hf_fixture"
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .write.mode("overwrite").parquet(s"$fixture/acme-corpus/data")
+    hc.set("fs.hf.fixture.dir", fixture)
+    val ctx = new graft.exec.ExecutionContext(spark)
+    ctx.runScript(
+      "CREATE EXTERNAL TABLE hf_tab STORED AS PARQUET LOCATION 'hf://acme-corpus/data'")
+    val rows = ctx.sql("SELECT id, name FROM hf_tab ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows === Seq((1L, "alpha"), (2L, "beta")))
+    // unregistered repos and missing transport fail loudly, not silently
+    val e = intercept[Exception](
+      spark.read.parquet("hf://nope-repo/x").collect())
+    assert(String.valueOf(e.getMessage).contains("not a registered") ||
+      Option(e.getCause).exists(_.getMessage.contains("not a registered")))
+  }
+
   test("db-dir walk detects an Avro table and registers it through the bridge") {
     import java.io.File
     val s = spark

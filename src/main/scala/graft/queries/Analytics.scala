@@ -421,6 +421,70 @@ object Analytics {
       FROM events GROUP BY event_type ORDER BY event_type""")),
 
     // ------------------------------------------------------------------
+    // Streaming stateful sessionization, oracle-checked end to end: the
+    // REAL flatMapGroupsWithState query processes the events in batch 1,
+    // then two synthetic far-future heartbeat batches push the event-time
+    // watermark past every real session's gap deadline — batch 2 advances
+    // the watermark, batch 3's data batch fires every timeout — so ALL
+    // real sessions close deterministically. The oracle reconstructs the
+    // same per-session rows (start, end, count under the 30-minute gap
+    // rule) from the batch table. The heartbeats use negative user_ids
+    // and are filtered from the output; their own sessions never close.
+    QueryDef("e08_stream_sessions", (s, d) => {
+      val dir = stageEvents(s, d, "events_sessions", copies = 1)
+      val sink = s"e08_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream
+        .sessionize(graft.streaming.EventStream.source(s, dir, None))
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        q.processAllAvailable()
+        // two heartbeats, each its own micro-batch: first advances the
+        // watermark, second's data batch evaluates every timed-out state
+        def heartbeat(n: Int, yearsAhead: Int): Unit = {
+          // year 2100/2101: decades past any event, still inside the ns
+          // Long range (year 2500 in nanos overflows and the watermark
+          // would silently never advance)
+          val ns = (java.time.Instant.parse(s"${2100 + yearsAhead}-01-01T00:00:00Z")
+            .getEpochSecond) * 1000000000L
+          val row = org.apache.spark.sql.Row(-1L * n, ns, -1L * n, "hb", 0.0, "{}")
+          s.createDataFrame(
+            new java.util.ArrayList[org.apache.spark.sql.Row](
+              java.util.Arrays.asList(row)),
+            graft.streaming.EventStream.rawSchema)
+            .write.mode("append").parquet(dir)
+          q.processAllAvailable()
+        }
+        heartbeat(1, 0)
+        heartbeat(2, 1)
+      } finally q.stop()
+      s.table(sink).filter(col("user_id") >= 0)
+        .orderBy(col("user_id"), col("session_start"))
+    }, Some("""
+      -- the stream's state carries millisecond epochs (java.sql.Timestamp
+      -- getTime), so the gap rule compares at ms precision — the oracle
+      -- truncates to ms BEFORE the gap test, or borderline sub-ms gaps
+      -- split differently between engines
+      WITH ev AS (SELECT user_id,
+              epoch_ms(make_timestamp(epoch_ns(ts) // 1000)) AS ms
+            FROM events),
+      flagged AS (SELECT user_id, ms,
+          CASE WHEN LAG(ms) OVER w IS NULL
+                 OR ms - LAG(ms) OVER w > 1800000 THEN 1
+               ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+      sess AS (SELECT user_id, ms,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ms
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, CAST(MIN(ms) AS BIGINT) AS session_start,
+        CAST(MAX(ms) AS BIGINT) AS session_end,
+        COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")),
+
+    // ------------------------------------------------------------------
     // Streaming funnel advances (flatMapGroupsWithState): the REAL
     // stateful streaming query runs through a memory sink and must emit
     // exactly the advances the batch cascade derives — one row per

@@ -110,8 +110,20 @@ object ArrowTransport {
     * execution). The Arrow allocator is closed when the iterator is
     * exhausted — callers must drain it.
     */
+  /** Frame iterator that owns Arrow buffers: exhausting it releases them,
+    * but a consumer that ABANDONS it mid-stream (a cancelled Flight call,
+    * an exception between frames) must call [[close]] — otherwise the
+    * allocator leaks per abandoned request.
+    */
+  final class FrameIterator private[ArrowTransport] (
+      underlying: Iterator[(Array[Byte], Array[Byte])],
+      val close: () => Unit) extends Iterator[(Array[Byte], Array[Byte])] {
+    override def hasNext: Boolean = underlying.hasNext
+    override def next(): (Array[Byte], Array[Byte]) = underlying.next()
+  }
+
   def arrowStreamFrames(df: DataFrame, batchSize: Int = 4096,
-      onRows: Long => Unit = _ => ()): Iterator[(Array[Byte], Array[Byte])] = {
+      onRows: Long => Unit = _ => ()): FrameIterator = {
     import org.apache.arrow.vector.ipc.WriteChannel
     import org.apache.arrow.vector.ipc.message.MessageSerializer
     val flat = flatten(df)
@@ -162,7 +174,7 @@ object ArrowTransport {
         finally batch.close()
       }
     }
-    Iterator.single(schemaFrame) ++ batchFrames
+    new FrameIterator(Iterator.single(schemaFrame) ++ batchFrames, () => close())
   }
 
   /** Parse ONE encapsulated IPC message into (metadata incl. padding,
@@ -196,12 +208,13 @@ object ArrowTransport {
       out.write(v & 0xff); out.write((v >> 8) & 0xff)
       out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
     }
-    arrowStreamFrames(df, batchSize, total += _).foreach { case (meta, body) =>
+    val frames = arrowStreamFrames(df, batchSize, total += _)
+    try frames.foreach { case (meta, body) =>
       val pad = (8 - ((meta.length + 8) % 8)) % 8
       intLE(-1); intLE(meta.length + pad)
       out.write(meta); (0 until pad).foreach(_ => out.write(0))
       out.write(body)
-    }
+    } finally frames.close()
     intLE(-1); intLE(0) // EOS
     (out.toByteArray, total)
   }

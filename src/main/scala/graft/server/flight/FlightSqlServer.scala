@@ -295,12 +295,16 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
     // result — a full-result buffer here was a driver OOM for a large
     // SELECT * at scale (the HTTP facade has app-level limits; this path
     // had none). Reference contract: DoGet forwards the plan's record-
-    // batch stream (`src/server/flightsql/service.rs:87-125`).
-    ArrowTransport.arrowStreamFrames(df).foreach { case (header, body) =>
+    // batch stream (`src/server/flightsql/service.rs:87-125`). The
+    // finally releases the Arrow buffers when a client cancels (onNext
+    // throws) mid-stream — an abandoned iterator would leak the
+    // allocator per cancelled call.
+    val frames = ArrowTransport.arrowStreamFrames(df)
+    try frames.foreach { case (header, body) =>
       val w = Proto.writer().bytes(2, header) // FlightData.data_header
       if (body.nonEmpty) w.bytes(1000, body) // FlightData.data_body
       resp.onNext(w.build())
-    }
+    } finally frames.close()
   }
 
   private def doAction(action: Array[Byte], resp: StreamObserver[Array[Byte]]): Unit = {

@@ -119,6 +119,11 @@ class FlightSpec extends SparkSpec {
     assert(head.head._2.isEmpty, "first frame must be the bodyless schema message")
     assert(acc.value < 40000,
       s"all ${acc.value} rows were materialized before the first frames — not streaming")
+    // abandoning a frame iterator mid-stream must release the Arrow
+    // buffers without error (the cancelled-DoGet path), idempotently
+    val abandoned = graft.server.ArrowTransport.arrowStreamFrames(df, 1024)
+    abandoned.next(); abandoned.next()
+    abandoned.close(); abandoned.close()
     // drain: total rows round-trip through an Arrow reader
     val all = head ++ frames.toSeq
     val allocator = new RootAllocator()

@@ -104,18 +104,18 @@ object Dedup {
     // executor storage non-fault-tolerantly, so an executor loss fails
     // the job. Here the materialization is load-bearing for correctness
     // of cost (three consumers, measured 3x slower recomputed); a
-    // cluster deployment that must survive executor loss should swap it
-    // for persist(DISK_ONLY_2) or a reliable checkpoint dir.
+    // cluster deployment that must survive executor loss selects the
+    // replicated-disk strategy via graft.shingle.materialize=disk (below)
+    // instead of changing code.
     // Deliberately NOT pre-partitioned on the join key: an A/B showed a
     // repartition(sk) before the materialization 3x slower end-to-end — it
     // forces an extra exchange and pins the layout, while AQE already
     // picks the cheaper join strategy (broadcast here; co-partitioned
     // shuffle at corpus scale) from runtime sizes.
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val sh = docs.repartition(col("doc_id"))
+    val sh = materializeShingles(docs.repartition(col("doc_id"))
       .select(col("doc_id"),
-        explode(call_function("shingle_hashes", col("text"), lit(n))).as("sk"))
-      .localCheckpoint(true)
+        explode(call_function("shingle_hashes", col("text"), lit(n))).as("sk")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val joinable =
       if (maxDocFreq == Long.MaxValue) sh
@@ -225,6 +225,27 @@ object Dedup {
       .select(col("a"), col("b"),
         (matches.cast("double") / lit(numHashes.toDouble)).as("est_jaccard"))
   }
+
+  /** Materialization strategy for the corpus-sized shingle relation
+    * (`graft.shingle.materialize` system property, falling back to the
+    * `GRAFT_SHINGLE_MAT` env): `checkpoint` (default — fastest single
+    * materialization, non-fault-tolerant executor storage), `disk`
+    * (replicated disk persist: survives a single executor loss, the
+    * cluster-deployment choice; eagerly materialized so consumers never
+    * race), or `none` (recompute per consumer). The default matches the
+    * bench-measured winner; the knob exists so a deployment picks its
+    * fault-tolerance trade without a code change.
+    */
+  private def materializeShingles(sh: DataFrame): DataFrame =
+    sys.props.get("graft.shingle.materialize")
+      .orElse(sys.env.get("GRAFT_SHINGLE_MAT")).getOrElse("checkpoint") match {
+      case "disk" =>
+        val p = sh.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY_2)
+        p.count() // eager: consumers read blocks, never race to compute
+        p
+      case "none" => sh
+      case _ => sh.localCheckpoint(true)
+    }
 
   /** Materialization strategy for the minhash signature matrix (one narrow
     * row per doc, consumed by the band/bucket explode and both scoring

@@ -97,6 +97,24 @@ class OperatorsSpec extends SparkSpec {
     assert(capped === Set((100L, 101L)))
   }
 
+  test("shingle materialization strategies produce identical Jaccard pairs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> base, 2L -> (base + " extra"),
+      3L -> "completely different text about something else entirely here")
+    def pairs(): Set[(Long, Long, Double)] =
+      Dedup.ngramJaccardPairs(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaCheckpoint = pairs()
+    assert(viaCheckpoint.nonEmpty)
+    // the fault-tolerant cluster strategy (replicated disk persist) and
+    // the recompute strategy must not change results, only cost
+    for (mode <- Seq("disk", "none")) {
+      sys.props("graft.shingle.materialize") = mode
+      try assert(pairs() === viaCheckpoint, s"mode $mode diverged")
+      finally sys.props.remove("graft.shingle.materialize")
+    }
+  }
+
   test("media header parser: PNG/JPEG/WAV round-trip, truncated and unknown bytes") {
     import graft.operators.Multimodal._
     val png = parseHeader(1L, makePng(640, 480))

@@ -125,5 +125,9 @@ object NativeFunctions {
       exprs => ShingleHashesAll(exprs.head, exprs(1)))
     registerOnce("minhash_signature",
       exprs => MinhashSignature(exprs.head, exprs(1), exprs(2)))
+    registerOnce("bpe_tokens",
+      exprs => BpeTokens(exprs.head, exprs(1)))
+    registerOnce("bpe_token_count",
+      exprs => BpeTokenCount(exprs.head, exprs(1)))
   }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,17 +15,20 @@ import org.apache.spark.sql.functions._
   * total order — one reducer at any size; sharding on `doc_id / shardSize`
   * makes the running-sum window per-shard (bounded rows each) and the
   * whole operator embarrassingly parallel, at the cost of at most one
-  * underfilled pack per shard. Token counts are the same whitespace
-  * tokenizer as [[TextOps]], so the DuckDB oracle replays the packing
-  * exactly.
+  * underfilled pack per shard. `nTokens` picks the budget unit: real
+  * merges-file BPE counts by default ([[TextOps.bpeTokenCount]] — token
+  * budgets are load-bearing for training batches, and whitespace counts
+  * under-count on real text), replayable exactly by the DuckDB oracle.
   */
 object Packing {
 
   def packByBudget(docs: DataFrame, budget: Int = 512,
-      shardSize: Int = 100): DataFrame = {
+      shardSize: Int = 100,
+      nTokens: Column => Column = TextOps.bpeTokenCount(_)): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
     val base = docs.select(
       col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"),
+      nTokens(col("text")).cast("long").as("n_tokens"),
       floor(col("doc_id") / shardSize.toDouble).cast("long").as("shard"))
     val prior = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)

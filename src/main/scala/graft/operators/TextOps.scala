@@ -23,6 +23,36 @@ object TextOps {
   def pieces(text: Column): Column =
     regexp_extract_all(text, lit(piecePattern), lit(0))
 
+  /** Real merges-file BPE tokens of the text ([[graft.functions.BpeTokens]]:
+    * greedy lowest-rank-pair merging per whitespace word, GPT-2 semantics).
+    * Narrow per-row expression; the merges table travels in the plan.
+    * Callers must have run `NativeFunctions.register` on the session.
+    */
+  def bpeTokens(text: Column,
+      merges: String = graft.functions.BpeOps.defaultMergesContent): Column =
+    call_function("bpe_tokens", text, lit(merges))
+
+  /** BPE token COUNT — the budget form (no token array materialized). */
+  def bpeTokenCount(text: Column,
+      merges: String = graft.functions.BpeOps.defaultMergesContent): Column =
+    call_function("bpe_token_count", text, lit(merges))
+
+  /** Per-document BPE token statistics: word count, token count, distinct
+    * tokens, and an md5 digest of the exact space-joined token stream (so a
+    * replaying engine must produce byte-identical tokens, not just matching
+    * counts). One narrow scan at 100 TB.
+    */
+  def bpeTokenStats(docs: DataFrame): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val tk = bpeTokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(filter(tokens(col("text")), w => w =!= "")).cast("long").as("n_words"),
+      size(tk).cast("long").as("n_tokens"),
+      size(array_distinct(tk)).cast("long").as("n_distinct_tokens"),
+      md5(array_join(tk, " ")).as("token_digest"))
+  }
+
   /** Normalized text: lowercased, whitespace collapsed to single spaces. */
   def normalized(text: Column): Column =
     lower(regexp_replace(trim(text), "\\s+", " "))
@@ -281,9 +311,12 @@ object TextOps {
   }
 
   /** Token-window chunking for training pipelines: cut each document into
-    * overlapping windows of `chunkTokens` whitespace tokens, stepping by
-    * `chunkTokens - overlapTokens` — the pre-tokenizer chunking stage that
-    * feeds context-window packing ([[Packing]]) and per-chunk embedding.
+    * overlapping windows of `chunkTokens` tokens, stepping by
+    * `chunkTokens - overlapTokens` — the chunking stage that feeds
+    * context-window packing ([[Packing]]) and per-chunk embedding.
+    * `tokensOf` picks the token unit: whitespace words by default, or
+    * [[bpeTokens]] for real subword budgets (what a training pipeline
+    * actually packs against — callers register NativeFunctions first).
     * Output: (doc_id, chunk_id, n_tokens, chunk_md5) where chunk_md5
     * digests the exact chunk text (space-joined window), so an engine
     * replaying the rule must produce byte-identical chunks, not just the
@@ -297,11 +330,13 @@ object TextOps {
     * chunks.
     */
   def chunk(docs: DataFrame, chunkTokens: Int = 64,
-      overlapTokens: Int = 16): DataFrame = {
+      overlapTokens: Int = 16,
+      tokensOf: Column => Column = tokens): DataFrame = {
     require(overlapTokens >= 0 && chunkTokens > overlapTokens,
       "need chunkTokens > overlapTokens >= 0")
+    graft.functions.NativeFunctions.register(docs.sparkSession)
     val step = chunkTokens - overlapTokens
-    val toks = tokens(col("text"))
+    val toks = tokensOf(col("text"))
     val n = size(toks)
     val nStarts = ceil(n.cast("double") / lit(step.toDouble)).cast("int")
     val windows = transform(sequence(lit(0), nStarts - 1), i =>

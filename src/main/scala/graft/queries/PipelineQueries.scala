@@ -30,6 +30,62 @@ object PipelineQueries {
       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
       |nrm AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ed GROUP BY vec_id)""".stripMargin
 
+  /** The merges table of [[graft.functions.BpeOps.defaultMerges]] as a
+    * DuckDB list literal `['l r', ...]` — rank = 1-based list position.
+    */
+  private val MG: String = graft.functions.BpeOps.defaultMerges
+    .map { case (l, r) => s"'$l $r'" }.mkString("[", ",", "]")
+
+  /** DuckDB replay of the merges-file BPE tokenizer as a recursive CTE.
+    * Per (doc, word position): start from the word's code points, then each
+    * recursion step splices the LEFTMOST occurrence of the best-ranked
+    * adjacent pair — the stepwise form, equivalent to the engine's batch
+    * greedy form for a valid merges file (see
+    * [[graft.functions.BpeTable.tokenizeWordStepwise]]; BpeSpec pins the
+    * equivalence). DuckDB's `list_position` returns 0 for a missing pair,
+    * hence the `> 0` filters. Terminal states (no mergeable pair) fall out
+    * of the recursion and are collected by `bfin`; `btoks` reassembles the
+    * document's token stream in word order. Composes after WITH RECURSIVE.
+    */
+  private val BPE: String =
+    s"""bw0 AS (SELECT doc_id, pos, w FROM (
+       |   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+       |          generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+       |   FROM documents) t WHERE w <> ''),
+       |binit AS (SELECT doc_id, pos,
+       |   list_transform(range(1, length(w)+1),
+       |     i -> substring(w, CAST(i AS INT), 1)) AS syms
+       |   FROM bw0),
+       |bpe AS (
+       |  SELECT doc_id, pos, syms FROM binit
+       |  UNION ALL
+       |  SELECT doc_id, pos,
+       |    list_concat(list_concat(
+       |      list_slice(syms, 1, idx-1),
+       |      [replace($MG[CAST(br AS INT)], ' ', '')]),
+       |      list_slice(syms, idx+2, len(syms))) AS syms
+       |  FROM (
+       |    SELECT doc_id, pos, syms, br,
+       |      list_position(list_transform(range(1, len(syms)),
+       |        i -> list_position($MG, syms[i] || ' ' || syms[i+1])),
+       |        CAST(br AS INT)) AS idx
+       |    FROM (
+       |      SELECT doc_id, pos, syms,
+       |        list_aggregate(list_filter(list_transform(range(1, len(syms)),
+       |          i -> list_position($MG, syms[i] || ' ' || syms[i+1])),
+       |          x -> x > 0), 'min') AS br
+       |      FROM bpe) t
+       |    WHERE br IS NOT NULL) u
+       |),
+       |bfin AS (
+       |  SELECT doc_id, pos, syms FROM bpe
+       |  WHERE list_aggregate(list_filter(list_transform(range(1, len(syms)),
+       |    i -> list_position($MG, syms[i] || ' ' || syms[i+1])),
+       |    x -> x > 0), 'min') IS NULL
+       |),
+       |btoks AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS tk
+       |          FROM bfin GROUP BY doc_id)""".stripMargin
+
   /** K-means replay (composes after [[ED]]): seed centroids = the k=8
     * lowest vec_ids (cluster id = seed vec_id), argmax-cosine assignment
     * with ties toward the lower cluster, centroid update rounded to 6dp
@@ -116,25 +172,26 @@ object PipelineQueries {
       SELECT doc_id, MD5(LOWER(REGEXP_REPLACE(trim(text), '\s+', ' ', 'g'))) AS fp
       FROM documents ORDER BY doc_id""")),
 
+    // REAL merges-file BPE (not the former whitespace-piece approximation):
+    // the greedy lowest-rank merge loop over the broadcast merges table,
+    // oracle-replayed merge by merge as a recursive CTE, with the md5 of
+    // the exact token stream hash-checked — both engines must produce
+    // byte-identical subword tokens, not just matching counts.
     QueryDef("t05_bpe_tokens", (s, d) =>
-      Tables.load(s, d, "documents")
-        .select(col("doc_id"),
-          size(TextOps.pieces(col("text"))).cast("long").as("n_pieces"),
-          size(regexp_extract_all(col("text"), lit("[A-Za-z]+"), lit(0)))
-            .cast("long").as("n_alpha"),
-          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
-            .cast("long").as("n_num"),
-          size(array_distinct(regexp_extract_all(lower(col("text")),
-            lit("""[a-z]+|[0-9]+|[^a-z0-9\s]"""), lit(0))))
-            .cast("long").as("n_distinct_pieces"))
+      TextOps.bpeTokenStats(Tables.load(s, d, "documents"))
         .orderBy(col("doc_id")),
-      Some(raw"""
-      SELECT doc_id,
-        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0)) AS BIGINT) AS n_pieces,
-        CAST(len(regexp_extract_all(text, '[A-Za-z]+', 0)) AS BIGINT) AS n_alpha,
-        CAST(len(regexp_extract_all(text, '[0-9]+', 0)) AS BIGINT) AS n_num,
-        CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]', 0))) AS BIGINT) AS n_distinct_pieces
-      FROM documents ORDER BY doc_id""")),
+      Some(s"""
+      WITH RECURSIVE $BPE
+      SELECT d.doc_id,
+        CAST(COALESCE(w.nw, 0) AS BIGINT) AS n_words,
+        CAST(COALESCE(len(t.tk), 0) AS BIGINT) AS n_tokens,
+        CAST(COALESCE(len(list_distinct(t.tk)), 0) AS BIGINT) AS n_distinct_tokens,
+        md5(COALESCE(array_to_string(t.tk, ' '), '')) AS token_digest
+      FROM documents d
+      LEFT JOIN btoks t ON t.doc_id = d.doc_id
+      LEFT JOIN (SELECT doc_id, COUNT(*) AS nw FROM bw0 GROUP BY doc_id) w
+        ON w.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
 
     // winnowing = the rolling-hash fingerprint (MOSS): min k-gram hash per
     // sliding window. The oracle replays k-gram hashing, window minima,
@@ -581,15 +638,19 @@ object PipelineQueries {
 
     // sequence packing: greedy token-budget fill per shard (training-batch
     // construction); shard-local running sums keep it embarrassingly
-    // parallel — a global greedy pack would serialize on a total order
+    // parallel — a global greedy pack would serialize on a total order.
+    // Budgets are REAL BPE token counts (t05's tokenizer) — the unit the
+    // training batch is actually sized in; the oracle replays the merge
+    // loop before the packing window.
     QueryDef("pck01_sequence_packing", (s, d) =>
       Packing.packByBudget(Tables.load(s, d, "documents"), 512, 100)
         .orderBy(col("doc_id")),
-      Some(raw"""
-      WITH t AS (SELECT doc_id,
-          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-          CAST(FLOOR(doc_id / 100.0) AS BIGINT) AS shard
-        FROM documents)
+      Some(s"""
+      WITH RECURSIVE $BPE,
+      t AS (SELECT d.doc_id,
+          CAST(COALESCE(len(b.tk), 0) AS BIGINT) AS n_tokens,
+          CAST(FLOOR(d.doc_id / 100.0) AS BIGINT) AS shard
+        FROM documents d LEFT JOIN btoks b ON b.doc_id = d.doc_id)
       SELECT doc_id, n_tokens, shard,
         CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -819,18 +880,18 @@ object PipelineQueries {
       FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")),
 
     // Token-window chunking (64-token windows, 16-token overlap → step
-    // 48): the pre-tokenizer chunking stage of a training pipeline. The
-    // oracle rebuilds every window and md5s the exact space-joined chunk
-    // text, so both engines must cut byte-identical windows, not just
-    // matching counts.
+    // 48) over REAL BPE tokens — the budget unit a training pipeline
+    // actually packs against (t05's tokenizer; whitespace counts
+    // under-count). The oracle replays the BPE merge loop, rebuilds every
+    // window and md5s the exact space-joined token window, so both engines
+    // must cut byte-identical subword windows, not just matching counts.
     QueryDef("t11_chunking", (s, d) =>
       TextOps.chunk(Tables.load(s, d, "documents"), chunkTokens = 64,
-          overlapTokens = 16)
+          overlapTokens = 16, tokensOf = TextOps.bpeTokens(_))
         .orderBy(col("doc_id"), col("chunk_id")),
-      Some("""
-      WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
-                    FROM documents WHERE trim(text) <> ''),
-      n AS (SELECT doc_id, tk, len(tk) AS n FROM toks),
+      Some(s"""
+      WITH RECURSIVE $BPE,
+      n AS (SELECT doc_id, tk, len(tk) AS n FROM btoks),
       starts AS (SELECT doc_id, tk, n,
                    unnest(range(0, CAST(ceil(CAST(n AS DOUBLE) / 48.0) AS BIGINT))) AS i
                  FROM n)

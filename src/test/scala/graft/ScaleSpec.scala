@@ -252,6 +252,14 @@ class ScaleSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
     assert(!plan.contains("Aggregate"), s"unexpected aggregate in:\n$plan")
+    // the BPE-token variant (t11's production shape) must stay just as
+    // narrow: the merge loop is a per-row expression, not a join/shuffle
+    val bpePlan = graft.operators.TextOps.chunk(docs, 4, 1,
+        tokensOf = graft.operators.TextOps.bpeTokens(_))
+      .queryExecution.executedPlan.toString
+    assert(!bpePlan.contains("Exchange"), s"unexpected shuffle in:\n$bpePlan")
+    assert(!bpePlan.contains("Aggregate"), s"unexpected aggregate in:\n$bpePlan")
+    assert(bpePlan.contains("bpe_tokens"), s"bpe tokenizer missing in:\n$bpePlan")
   }
 
   test("minhash signatures are a narrow in-row map (no explode, no aggregate)") {

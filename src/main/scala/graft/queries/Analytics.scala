@@ -51,6 +51,20 @@ object Analytics {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** Memory-sink tables are driver-resident for the session's lifetime, so
+    * repeated soak/bench iterations would accumulate one full result copy
+    * per run (round-7 ADVICE). Evaluate the post-processing over the sink,
+    * materialize the (small, already-aggregated) result into a local
+    * relation, and DROP the sink view before returning.
+    */
+  private def materializeAndDropSink(s: SparkSession, sink: String)(
+      post: DataFrame => DataFrame): DataFrame =
+    try {
+      val out = post(s.table(sink))
+      val rows = java.util.Arrays.asList(out.collect(): _*)
+      s.createDataFrame(rows, out.schema)
+    } finally s.catalog.dropTempView(sink)
+
   val queries: Seq[QueryDef] = Seq(
 
     // ------------------------------------------------------------------
@@ -399,9 +413,10 @@ object Analytics {
     // STREAMING query dedups on event_id through a real memory-sink run,
     // and the oracle aggregates the ORIGINAL events — so the check only
     // passes if the stream emitted exactly one copy per event. Single
-    // micro-batch by design: across triggers the advancing watermark
-    // would DROP late duplicates rather than deduplicate them (that
-    // steady-state behavior is exercised in StreamingSpec).
+    // micro-batch here = the state-free baseline; the multi-trigger
+    // steady state (watermark advancing between micro-batches, duplicates
+    // dropped by live state or the late filter) is oracle-checked by
+    // e06b below and rule-pinned in StreamingSpec.
     QueryDef("e06_stream_dedup", (s, d) => {
       val dir = stageEvents(s, d, "events_dup", copies = 2)
       val sink = s"e06_sink_${sinkRuns.incrementAndGet()}"
@@ -410,11 +425,71 @@ object Analytics {
         .writeStream.outputMode("append").format("memory").queryName(sink)
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink).groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
-        .orderBy(col("event_type"))
+      materializeAndDropSink(s, sink) { t =>
+        t.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      }
+    }, Some("""
+      SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events GROUP BY event_type ORDER BY event_type""")),
+
+    // ------------------------------------------------------------------
+    // Streaming dedup ACROSS MULTIPLE TRIGGERS — the steady-state
+    // watermark-retention path e06's single batch can't see. Events are
+    // staged as 4 chronological slices, each its own micro-batch with the
+    // watermark advancing between triggers. Every event is staged three
+    // times: original, a same-batch duplicate, and a NEXT-trigger
+    // duplicate. Chronological slicing makes every duplicate's fate
+    // deterministic regardless of how the source batches the appends: a
+    // duplicate with ts >= watermark still has live dedup state (eviction
+    // needs watermark > ts + tolerance, impossible while ts >= watermark),
+    // and one with ts < watermark is dropped by the late-input filter —
+    // StreamingSpec pins both rules. The oracle aggregates the ORIGINAL
+    // events, so the check passes only if the stream emitted exactly one
+    // copy per event across all triggers.
+    QueryDef("e06b_stream_dedup_triggers", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val es = graft.streaming.EventStream
+      val raw = s.read.schema(es.rawSchema).parquet(s"$d/events.parquet")
+      val rawCols = es.rawSchema.fieldNames.map(col).toSeq
+      val nSlices = 4
+      val sliced = raw.withColumn("slice",
+          ntile(nSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+        .localCheckpoint(true) // 6 consumers of one tiny global-sort window
+      def slice(k: Int) = sliced.filter(col("slice") === k).select(rawCols: _*)
+      val dir = s"${SourceQueries.stage}/events_dup_triggers"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      def append(df: org.apache.spark.sql.DataFrame): Unit =
+        df.repartition(1).write.mode("append").parquet(dir)
+      append(slice(1).union(slice(1))) // trigger 1: originals + in-batch dups
+      val sink = s"e06b_sink_${sinkRuns.incrementAndGet()}"
+      val q = es.dedupStream(es.source(s, dir, None))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        q.processAllAvailable()
+        (2 to nSlices).foreach { k =>
+          // trigger k: slice k twice + a cross-trigger replay of slice k-1
+          append(slice(k).union(slice(k)).union(slice(k - 1)))
+          q.processAllAvailable()
+        }
+        append(slice(nSlices)) // final trigger: replay of the last slice
+        q.processAllAvailable()
+      } finally q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        t.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+          .orderBy(col("event_type"))
+      }
     }, Some("""
       SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
@@ -459,8 +534,10 @@ object Analytics {
         heartbeat(1, 0)
         heartbeat(2, 1)
       } finally q.stop()
-      s.table(sink).filter(col("user_id") >= 0)
-        .orderBy(col("user_id"), col("session_start"))
+      materializeAndDropSink(s, sink) { t =>
+        t.filter(col("user_id") >= 0)
+          .orderBy(col("user_id"), col("session_start"))
+      }
     }, Some("""
       -- the stream's state carries millisecond epochs (java.sql.Timestamp
       -- getTime), so the gap rule compares at ms precision — the oracle
@@ -501,9 +578,10 @@ object Analytics {
         .writeStream.outputMode("append").format("memory").queryName(sink)
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.table(sink)
-        .select(col("user_id"), col("funnel_stage"), col("ts"))
-        .orderBy(col("user_id"), col("funnel_stage"))
+      materializeAndDropSink(s, sink) { t =>
+        t.select(col("user_id"), col("funnel_stage"), col("ts"))
+          .orderBy(col("user_id"), col("funnel_stage"))
+      }
     }, Some("""
       WITH ev AS (SELECT user_id, event_type,
               make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),

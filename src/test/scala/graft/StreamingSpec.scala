@@ -134,6 +134,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops BELOW-watermark duplicates as late (never re-emits)") {
+    // the property e06b's multi-trigger oracle rests on: once the watermark
+    // passes an event's timestamp, a replayed duplicate is filtered as late
+    // input — it must not be re-emitted even though its dedup state may
+    // already be evicted
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+    val q = EventStream.dedupStream(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_late_stream").start()
+    try {
+      input.addData((1L, ts("10:00")), (2L, ts("10:05")))
+      q.processAllAvailable()
+      // advance the watermark far past 10:00 + 1h tolerance
+      input.addData((3L, ts("13:00")))
+      q.processAllAvailable()
+      // duplicate of id 1 (state evicted, ts below watermark) and a FRESH
+      // id also below the watermark: both must be dropped as late
+      input.addData((1L, ts("10:00")), (4L, ts("10:30")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_late_stream").collect()
+        .map(_.getAs[Long]("event_id")).toSeq
+      assert(ids.sorted === Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
   test("streaming funnel emits one row per stage advance, strictly ordered") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

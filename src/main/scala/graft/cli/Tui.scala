@@ -92,9 +92,13 @@ object Tui {
   def runFlight(port: Int, limit: Int = 500): Exec = sql =>
     try {
       val t0 = System.nanoTime()
-      val (names, rows) = graft.server.flight.FlightSqlClient.execute(port, sql)
+      // limit is applied INSIDE the client's incremental frame decode, so
+      // a large SELECT buffers at most `limit` rows client-side instead of
+      // the whole result (the server streams DoGet per batch)
+      val (names, rows) = graft.server.flight.FlightSqlClient.execute(
+        port, sql, limit = Some(limit))
       val secs = (System.nanoTime() - t0) / 1e9
-      Right(Grid(names, rows.take(limit), secs))
+      Right(Grid(names, rows, secs))
     } catch {
       case e: org.sparkproject.connect.grpc.StatusRuntimeException =>
         Left(String.valueOf(e.getStatus.getDescription))

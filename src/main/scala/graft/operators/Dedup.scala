@@ -259,12 +259,17 @@ object Dedup {
     * result is unreachable (a bare cache() entry lives until an explicit
     * unpersist). The r6 comment claiming cache() 2× faster predates the
     * in-row signature expression — the aggregate form it measured no
-    * longer exists. `GRAFT_MINHASH_MAT` ∈ {checkpoint, cache, none}
-    * remains the A/B knob for re-measuring on a load-gated floor.
+    * longer exists. `graft.minhash.materialize` (system property, falling
+    * back to the `GRAFT_MINHASH_MAT` env) ∈ {checkpoint, cache, none}
+    * remains the A/B knob for re-measuring on a load-gated floor;
+    * OperatorsSpec pins all three strategies result-identical, so the
+    * knob can only move cost, never semantics.
     */
   private def materializeSignatures(sig: DataFrame): DataFrame =
-    sys.env.getOrElse("GRAFT_MINHASH_MAT", "checkpoint") match {
-      case "cache" => sig.cache()
+    sys.props.get("graft.minhash.materialize")
+      .orElse(sys.env.get("GRAFT_MINHASH_MAT")).getOrElse("checkpoint") match {
+      case "cache" => sig.cache() // deliberately LAZY: the A/B measures
+        // exactly the consumer-race behavior the checkpoint default avoids
       case "none" => sig
       case _ => sig.localCheckpoint(true)
     }
@@ -295,9 +300,15 @@ object Dedup {
     * when the corpus really does hold billions of near-dup pairs. Pass 0
     * to force the distributed loop (PropertySpec pins both paths to the
     * same union-find results).
+    *
+    * DRIVER-MEMORY REQUIREMENT: the collect holds 2×edges boxed Rows plus
+    * a parent map of up to 2×edges Long entries at once — roughly 150-200
+    * bytes per edge, so the 1M default costs a few hundred MB and fits a
+    * default 1-4 GB driver. Raise it only with driver heap to match
+    * (~200 MB per additional million edges).
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20,
-      maxDriverEdges: Long = 4000000L): DataFrame = {
+      maxDriverEdges: Long = 1000000L): DataFrame = {
     val spark = edges.sparkSession
     val sym = edges.select(col("a").as("src"), col("b").as("dst"))
       .union(edges.select(col("b").as("src"), col("a").as("dst")))
@@ -442,6 +453,53 @@ object Dedup {
           coalesce(col("n_dup"), lit(0L)).cast("double") /
             col("n_present").cast("double"))
           .otherwise(lit(0.0)).as("dup_frac"))
+  }
+
+  /** Duplicated-span EXTENTS — the cut-list form of [[duplicatedNgramSpans]]
+    * (what Lee et al. 2022 actually excise): adjacent/overlapping duplicated
+    * n-gram positions merged into maximal (doc_id, start_pos, end_pos)
+    * token ranges. Two duplicated positions p < q belong to the same extent
+    * when q - p <= n (their covered token ranges [p, p+n-1] and
+    * [q, q+n-1] overlap or touch), the standard gaps-and-islands rule; a
+    * pipeline deletes `end_pos - start_pos + 1` tokens per row instead of
+    * re-deriving spans from a per-doc fraction.
+    *
+    * Shape at 100 TB, on top of d09's linear skeleton (in-row positional
+    * keys → one count groupBy → one join probing one build row per
+    * position): ONE window over the duplicated positions per doc computes
+    * both the island flag (lag) and the island id (running sum) in a
+    * single partition-by-doc sort, then the per-extent aggregate groups
+    * what that window already co-located. Duplicated positions are a small
+    * fraction of the corpus, so the window input is output-sized, not
+    * corpus-sized. Same 64-bit gram-key collision caveat as
+    * [[duplicatedNgramSpans]].
+    */
+  def duplicatedSpanExtents(docs: DataFrame, n: Int = 3,
+      minCount: Long = 2): DataFrame = {
+    require(minCount >= 2, "minCount < 2 would flag every position")
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val pos = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        posexplode(call_function("shingle_hashes_all", col("text"), lit(n)))
+          .as(Seq("pos", "sk")))
+    val counts = pos.groupBy(col("sk")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount).select(col("sk"))
+    val dup = pos.join(counts, Seq("sk"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dup
+      // first position of a doc: lag is null -> comparison null -> new span
+      .withColumn("new_span",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, 0L).otherwise(1L))
+      .withColumn("span_id",
+        sum(col("new_span"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - 1L)
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        (max(col("pos")) + (n - 1)).cast("long").as("end_pos"),
+        count(lit(1)).as("n_positions"))
+      .select(col("doc_id"), col("span_id").cast("long").as("span_id"),
+        col("start_pos"), col("end_pos"), col("n_positions"))
   }
 
   /** SimHash: per-bit +1/-1 votes from each distinct token's md5, sign of

@@ -302,6 +302,38 @@ object PipelineQueries {
       LEFT JOIN dup u ON u.doc_id = d.doc_id
       ORDER BY d.doc_id""")),
 
+    // d10: the spans themselves, as (doc_id, start, end) token extents —
+    // the cut-list a pipeline feeds to an excision pass (d09 gives the
+    // per-doc fraction; this gives WHERE to cut). The oracle rebuilds the
+    // duplicated positions with the same LEAD windows as d09, then replays
+    // the gaps-and-islands merge (LAG flag + running-sum island id) and
+    // the per-extent aggregate.
+    QueryDef("d10_dup_span_extents", (s, d) =>
+      Dedup.duplicatedSpanExtents(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id"), col("span_id")),
+      Some(s"""
+      WITH $TOK,
+      sh0 AS (SELECT doc_id, pos - 1 AS pos,
+        w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS g,
+        LEAD(w,2) OVER win IS NOT NULL AS complete
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      sha AS (SELECT doc_id, pos, g FROM sh0 WHERE complete),
+      cnt AS (SELECT g FROM sha GROUP BY g HAVING COUNT(*) >= 2),
+      dup AS (SELECT s.doc_id, s.pos FROM sha s JOIN cnt ON s.g = cnt.g),
+      flagged AS (SELECT doc_id, pos,
+          CASE WHEN pos - LAG(pos) OVER w <= 3 THEN 0 ELSE 1 END AS new_span
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      spans AS (SELECT doc_id, pos,
+          SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) - 1 AS span_id
+        FROM flagged)
+      SELECT doc_id, CAST(span_id AS BIGINT) AS span_id,
+        CAST(MIN(pos) AS BIGINT) AS start_pos,
+        CAST(MAX(pos) + 2 AS BIGINT) AS end_pos,
+        COUNT(*) AS n_positions
+      FROM spans GROUP BY doc_id, span_id
+      ORDER BY doc_id, span_id""")),
+
     QueryDef("d03_minhash_lsh", (s, d) =>
       Dedup.minhashLshPairs(Tables.load(s, d, "documents"))
         .orderBy(col("est_jaccard").desc, col("a"), col("b")).limit(100),

@@ -66,10 +66,11 @@ class HttpServer(ctx: ExecutionContext,
   private def authorized(ex: HttpExchange): Boolean = {
     if (bearerToken.isEmpty && basicAuth.isEmpty) return true
     val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
-    val bearerOk = bearerToken.exists(t => header == s"Bearer $t")
+    val bearerOk = bearerToken.exists(t =>
+      AuthCheck.sameSecret(s"Bearer $t", header))
     val basicOk = basicAuth.exists { case (u, p) =>
-      header == "Basic " + Base64.getEncoder.encodeToString(
-        s"$u:$p".getBytes(StandardCharsets.UTF_8))
+      AuthCheck.sameSecret("Basic " + Base64.getEncoder.encodeToString(
+        s"$u:$p".getBytes(StandardCharsets.UTF_8)), header)
     }
     bearerOk || basicOk
   }

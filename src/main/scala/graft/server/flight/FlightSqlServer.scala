@@ -80,11 +80,12 @@ class FlightSqlServer(ctx: ExecutionContext, port: Int = 0,
       if (bearerToken.isEmpty && basicAuth.isEmpty) next.startCall(call, headers)
       else {
         val auth = Option(headers.get(AuthKey)).getOrElse("")
-        val bearerOk = bearerToken.exists(tok => auth == s"Bearer $tok")
+        val bearerOk = bearerToken.exists(tok =>
+          graft.server.AuthCheck.sameSecret(s"Bearer $tok", auth))
         val basicOk = basicAuth.exists { case (user, pass) =>
           val expected = java.util.Base64.getEncoder.encodeToString(
             s"$user:$pass".getBytes(UTF_8))
-          auth == s"Basic $expected"
+          graft.server.AuthCheck.sameSecret(s"Basic $expected", auth)
         }
         if (bearerOk || basicOk) next.startCall(call, headers)
         else {

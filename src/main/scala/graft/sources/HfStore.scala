@@ -114,12 +114,21 @@ class HfFileSystem extends org.apache.hadoop.fs.FileSystem {
     setConf(conf)
     myUri = java.net.URI.create(
       s"hf://${Option(name.getAuthority).getOrElse("")}")
-    fixture = conf.get("fs.hf.fixture.dir")
+    // absolutize at initialize time: RawLocalFileSystem absolutizes the
+    // paths it returns, so a relative fixture dir would break fromLocal's
+    // prefix-strip round trip
+    fixture = Option(conf.get("fs.hf.fixture.dir"))
+      .map(f => java.nio.file.Paths.get(f).toAbsolutePath.normalize.toString)
+      .orNull
     local.initialize(java.net.URI.create("file:///"), conf)
     wd = new Path(myUri.toString + "/")
   }
 
   private def auth: String = Option(myUri.getAuthority).getOrElse("")
+
+  /** Normalized local root this repo's files must stay under. */
+  private def fixtureRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(fixture, auth).toAbsolutePath.normalize
 
   private def toLocal(p: Path): Path = {
     val repo = HfStore.repoFor(auth).getOrElse(
@@ -131,10 +140,18 @@ class HfFileSystem extends org.apache.hadoop.fs.FileSystem {
         s"no transport for ${HfStore.resolveUrl(repo, p.toUri.getPath)}: " +
           "the HTTP client is unavailable offline — set fs.hf.fixture.dir " +
           "to a local tree laid out as <fixture>/<authority>/<path>")
-    new Path("file", null, s"$fixture/$auth${p.toUri.getPath}")
+    // normalize '..' segments and refuse anything resolving outside
+    // <fixture>/<authority> — a crafted hf:// path must not read the host
+    // filesystem
+    val root = fixtureRoot
+    val candidate = root.resolve(p.toUri.getPath.stripPrefix("/")).normalize
+    if (!candidate.startsWith(root))
+      throw new java.io.IOException(
+        s"$p escapes the hf fixture tree for authority '$auth'")
+    new Path("file", null, candidate.toString)
   }
   private def fromLocal(p: Path): Path = {
-    val rel = p.toUri.getPath.stripPrefix(s"$fixture/$auth")
+    val rel = p.toUri.getPath.stripPrefix(fixtureRoot.toString)
     new Path("hf", auth, if (rel.isEmpty) "/" else rel)
   }
   private def translate(st: FileStatus): FileStatus =

@@ -115,6 +115,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("minhash signature materialization strategies produce identical LSH pairs") {
+    // same pin as the shingle one: graft.minhash.materialize (the
+    // GRAFT_MINHASH_MAT A/B knob) may move cost only — checkpoint (default),
+    // lazy cache, and recompute must emit bit-identical candidate pairs
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> base, 2L -> (base + " extra"),
+      3L -> "completely different text about something else entirely here",
+      4L -> base)
+    def pairs(): Set[(Long, Long, Double)] =
+      Dedup.minhashLshPairs(d).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaCheckpoint = pairs()
+    assert(viaCheckpoint.nonEmpty)
+    for (mode <- Seq("cache", "none")) {
+      sys.props("graft.minhash.materialize") = mode
+      try assert(pairs() === viaCheckpoint, s"mode $mode diverged")
+      finally sys.props.remove("graft.minhash.materialize")
+    }
+  }
+
   test("media header parser: PNG/JPEG/WAV round-trip, truncated and unknown bytes") {
     import graft.operators.Multimodal._
     val png = parseHeader(1L, makePng(640, 480))
@@ -155,6 +175,29 @@ class OperatorsSpec extends SparkSpec {
     val s = spark
     import s.implicits._
     rows.toDF("doc_id", "text")
+  }
+
+  test("duplicated span extents merge overlapping/adjacent positions into cut ranges") {
+    // "x y z" is the only corpus-duplicated 3-gram; every other gram is
+    // unique. Extent rule (n=3): positions p < q merge when q - p <= 3.
+    val d = docs(
+      1L -> "x y z q r s x y z", // dup positions 0,6: gap 6 -> two extents
+      2L -> "m x y z n x y z",   // dup positions 1,5: gap 4 -> two extents
+      3L -> "x y z x y z w")     // dup positions 0,3: gap 3 -> ONE extent
+    val out = Dedup.duplicatedSpanExtents(d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq === Seq(
+      (1L, 0L, 0L, 2L, 1L), (1L, 1L, 6L, 8L, 1L),
+      (2L, 0L, 1L, 3L, 1L), (2L, 1L, 5L, 7L, 1L),
+      (3L, 0L, 0L, 5L, 2L)))
+    // extents cover exactly the d09 dup positions: token count consistency
+    val frac = Dedup.duplicatedNgramSpans(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val posPerDoc = out.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+    assert(posPerDoc === frac.filter(_._2 > 0))
   }
 
   test("hash sampling is deterministic, key-stable, and near the target rate") {

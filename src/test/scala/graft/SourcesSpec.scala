@@ -341,6 +341,23 @@ class SourcesSpec extends SparkSpec {
       spark.read.parquet("hf://nope-repo/x").collect())
     assert(String.valueOf(e.getMessage).contains("not a registered") ||
       Option(e.getCause).exists(_.getMessage.contains("not a registered")))
+    // '..' traversal out of <fixture>/<authority> is refused, both across
+    // authorities and out of the fixture tree entirely
+    val fsys = new org.apache.hadoop.fs.Path("hf://acme-corpus/")
+      .getFileSystem(hc)
+    val esc = intercept[java.io.IOException](
+      fsys.getFileStatus(new org.apache.hadoop.fs.Path(
+        "hf://acme-corpus/../../../../etc/passwd")))
+    assert(esc.getMessage.contains("escapes"))
+    // a relative fixture dir is absolutized at initialize, so the scan
+    // round-trips (RawLocalFileSystem returns absolute paths)
+    val cwdRel = java.nio.file.Paths.get("").toAbsolutePath
+      .relativize(java.nio.file.Paths.get(fixture)).toString
+    hc.set("fs.hf.fixture.dir", cwdRel)
+    val relRows = spark.read.parquet("hf://acme-corpus/data")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(relRows === Set((1L, "alpha"), (2L, "beta")))
+    hc.set("fs.hf.fixture.dir", fixture)
   }
 
   test("db-dir walk detects an Avro table and registers it through the bridge") {

@@ -291,6 +291,9 @@ object Tui {
     val exec = runSql(ctx)
     val flightServer = new graft.server.flight.FlightSqlServer(ctx, port = 0)
     flightServer.start()
+    // streaming micro-batches land in observability_requests + the Logs
+    // tab, like every other frontend request
+    ctx.observeStreams()
     graft.core.LogRing.add(
       s"FlightSQL endpoint for the TUI on port ${flightServer.boundPort}")
     val flightExec = runFlight(flightServer.boundPort)

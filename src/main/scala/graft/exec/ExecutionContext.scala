@@ -19,6 +19,13 @@ class ExecutionContext(val spark: SparkSession,
 
   val observability = new Observability(spark)
 
+  /** Opt-in streaming observability: every micro-batch of every streaming
+    * query on this session lands one row in [[observability]] (see
+    * [[Observability.attachStreaming]]).
+    */
+  def observeStreams(): org.apache.spark.sql.streaming.StreamingQueryListener =
+    observability.attachStreaming()
+
   /** Execute one statement with the app rewrites applied. */
   def sql(statement: String): DataFrame = {
     val rewritten = InformationSchema.rewrite(spark,

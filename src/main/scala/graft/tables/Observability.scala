@@ -43,6 +43,45 @@ class Observability(spark: SparkSession) {
     * the reference name is `dft.observability.requests`).
     */
   def register(): Unit = toDF.createOrReplaceTempView("observability_requests")
+
+  /** Route streaming micro-batches into the same spine (round-7 directive:
+    * the reference records per-request rows from every frontend, and the
+    * streaming queries otherwise bypass observability): one row per
+    * micro-batch — request_id `<queryId>#<batchId>`, path
+    * `stream:<queryName>`, rows = the batch's input rows, duration = the
+    * trigger's execution wall. Opt-in (call once per session owner, e.g.
+    * the TUI): listener events are delivered asynchronously, so an
+    * always-on listener could re-register the shared temp view while an
+    * unrelated batch query reads it. Returns the listener for detach.
+    */
+  def attachStreaming(): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        graft.core.LogRing.add(
+          s"stream ${Option(e.name).getOrElse(e.id.toString)} started")
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        record(
+          Some(s"${p.id}#${p.batchId}"),
+          s"stream:${Option(p.name).getOrElse("unnamed")}",
+          None,
+          new Timestamp(java.time.Instant.parse(p.timestamp).toEpochMilli),
+          Option(p.durationMs.get("triggerExecution"))
+            .map(_.longValue).getOrElse(-1L),
+          Some(p.numInputRows),
+          200)
+      }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        graft.core.LogRing.add(s"stream ${e.id} terminated" +
+          e.exception.map(x => s" with error: ${x.take(80)}").getOrElse(""))
+    }
+    spark.streams.addListener(l)
+    l
+  }
 }
 
 object Observability {

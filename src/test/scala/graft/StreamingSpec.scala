@@ -166,6 +166,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming micro-batches land one row each in the observability table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val listener = ctx.observeStreams()
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.dedupStream(input.toDF().toDF("event_id", "ts"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("obs_stream").start()
+    try {
+      input.addData((1L, ts("10:00")), (2L, ts("10:05")))
+      q.processAllAvailable()
+      input.addData((3L, ts("10:10")), (4L, ts("10:15")), (5L, ts("10:20")))
+      q.processAllAvailable()
+      q.stop()
+      // the listener bus is asynchronous — wait for the progress events
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      def streamRows() = ctx.observability.records
+        .filter(_.getString(1) == "stream:obs_stream")
+      while (streamRows().size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      val rows = streamRows()
+      // one row per micro-batch: the two data batches carry their input
+      // row counts (watermark-advance no-data batches may add rows=0 rows).
+      // records are schemaless GenericRows — use schema positions
+      // (request_id 0, path 1, duration_ms 4, rows 5)
+      val counts = rows.map(_.getLong(5))
+      assert(counts.contains(2L) && counts.contains(3L),
+        s"expected batches with 2 and 3 input rows, got $counts")
+      // request ids carry query id + batch id; durations are real
+      assert(rows.forall(_.getString(0).contains("#")))
+      assert(rows.forall(_.getLong(4) >= 0L))
+      // and the spine's temp view serves them to SQL like any request
+      val viaSql = spark.sql(
+        "SELECT COUNT(*) FROM observability_requests WHERE path LIKE 'stream:%'")
+        .head.getLong(0)
+      assert(viaSql >= 2L)
+    } finally {
+      if (q.isActive) q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("streaming funnel emits one row per stage advance, strictly ordered") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

@@ -249,21 +249,22 @@ object Dedup {
 
   /** Materialization strategy for the minhash signature matrix (one narrow
     * row per doc, consumed by the band/bucket explode and both scoring
-    * joins). Default = eager localCheckpoint: a lazy cache() lets the three
-    * consumers RACE to materialize partitions, re-running the md5 pass up
-    * to 3× — and the r7 probe showed those duplicate heavy stages landing
-    * while whole-stage-codegen classes were still interpreted, compounding
-    * into 10-50× CPU storms (332 core-seconds for a 250-edge d07 at
-    * sf0.1). The checkpoint runs the md5 pass exactly once before any
-    * consumer plans, and its blocks are ContextCleaner-reclaimed once the
-    * result is unreachable (a bare cache() entry lives until an explicit
-    * unpersist). The r6 comment claiming cache() 2× faster predates the
-    * in-row signature expression — the aggregate form it measured no
-    * longer exists. `graft.minhash.materialize` (system property, falling
-    * back to the `GRAFT_MINHASH_MAT` env) ∈ {checkpoint, cache, none}
-    * remains the A/B knob for re-measuring on a load-gated floor;
-    * OperatorsSpec pins all three strategies result-identical, so the
-    * knob can only move cost, never semantics.
+    * joins). Default = eager localCheckpoint: the md5 pass runs exactly
+    * once before any consumer plans, and its blocks are
+    * ContextCleaner-reclaimed once the result is unreachable (a bare
+    * cache() entry lives until an explicit unpersist).
+    *
+    * Measured (r8 reconciliation session, clean floor, INLINE at d03's
+    * full-headline-list position, min of 3): checkpoint 1.50 s at
+    * procCpu 1.9 s; lazy cache 1.07 s at procCpu 5.0 s; none 2.08 s.
+    * The lazy cache is wall-fastest at bench scale because the three
+    * consumers overlap with materialization — racing to recompute
+    * partitions, 2.5× the CPU, which idle local cores absorb. On a busy
+    * cluster that wasted CPU is the real cost, so checkpoint stays the
+    * default. `graft.minhash.materialize` (system property, falling back
+    * to the `GRAFT_MINHASH_MAT` env) ∈ {checkpoint, cache, none} is the
+    * A/B knob; OperatorsSpec pins all three strategies result-identical,
+    * so the knob can only move cost, never semantics.
     */
   private def materializeSignatures(sig: DataFrame): DataFrame =
     sys.props.get("graft.minhash.materialize")

@@ -171,4 +171,48 @@ object Sampling {
       .withColumn("contaminated", col("__graft_bench_fp").isNotNull)
       .drop("__graft_bench_fp")
   }
+
+  /** N-gram collision decontamination (the GPT-3 method, Brown et al.
+    * 2020 appendix C: flag training documents sharing any n-gram with an
+    * eval set — they used 13-grams; `n` is the caller's dial and defaults
+    * to the corpus's shingle size here). The whole-document fingerprint
+    * screen ([[contaminationScreen]]) misses PARTIAL leakage — an eval
+    * question quoted inside a larger page — which is exactly what n-gram
+    * collision catches. Reports per-document collision counts and the
+    * contaminated-gram fraction, so pipelines can threshold (≥ 1 gram =
+    * GPT-3's rule) or rank.
+    *
+    * Shape at 100 TB: both sides build distinct 8-byte gram keys IN-ROW
+    * (`shingle_hashes` — gram strings never leave their row); the eval
+    * side is tiny by nature, deduped and broadcast; the corpus side is
+    * one narrow explode, a broadcast hash lookup, and one groupBy(doc_id)
+    * with map-side combine — no corpus shuffle keyed on grams, no
+    * pair expansion. Same 64-bit key-collision caveat as the dedup
+    * family (a collision can only over-flag, never miss).
+    */
+  def ngramContaminationScreen(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(corpus.sparkSession)
+    val bench = broadcast(benchmark
+      .select(explode(call_function("shingle_hashes", col("text"), lit(n)))
+        .as("__graft_bench_gk"))
+      .distinct())
+    val per = corpus.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"), lit(n))).as("gk"))
+      .join(bench, col("gk") === col("__graft_bench_gk"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__graft_bench_gk")).as("n_contaminated"))
+    corpus.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(coalesce(col("n_grams"), lit(0L)) > 0,
+          coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("contamination_frac"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+  }
 }

@@ -668,6 +668,34 @@ object PipelineQueries {
       FROM fps f LEFT JOIN bench b ON f.fp = b.fp
       ORDER BY f.doc_id""")),
 
+    // n-gram collision decontamination (GPT-3's method): documents sharing
+    // ANY 3-gram with the eval set (every 10th doc, as cnt01) are flagged,
+    // with collision counts and fractions — catches the PARTIAL leakage
+    // (eval text quoted inside a larger page) that cnt01's whole-document
+    // fingerprint misses. The oracle rebuilds distinct grams per doc with
+    // the same LEAD windows as SHD and replays the bench-set join.
+    QueryDef("cnt02_ngram_contamination", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Sampling.ngramContaminationScreen(docs,
+          docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $SHD,
+      bench AS (SELECT DISTINCT shingle FROM shd WHERE doc_id % 10 = 0),
+      per AS (SELECT s.doc_id, COUNT(*) AS n_grams,
+               COUNT(b.shingle) AS n_contaminated
+              FROM shd s LEFT JOIN bench b ON b.shingle = s.shingle
+              GROUP BY s.doc_id)
+      SELECT d.doc_id,
+        COALESCE(CAST(p.n_grams AS BIGINT), 0) AS n_grams,
+        COALESCE(CAST(p.n_contaminated AS BIGINT), 0) AS n_contaminated,
+        CASE WHEN p.n_grams > 0
+          THEN COALESCE(CAST(p.n_contaminated AS DOUBLE), 0.0) / p.n_grams
+          ELSE 0.0 END AS contamination_frac,
+        COALESCE(p.n_contaminated, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     // sequence packing: greedy token-budget fill per shard (training-batch
     // construction); shard-local running sums keep it embarrassingly
     // parallel — a global greedy pack would serialize on a total order.

@@ -279,6 +279,35 @@ class OperatorsSpec extends SparkSpec {
     assert(flags === Map(1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("n-gram contamination flags partial leakage the whole-doc screen misses") {
+    val evalText = "what is the capital of atlantis askers want to know"
+    val d = docs(
+      1L -> evalText,                                       // the eval doc itself
+      2L -> ("intro paragraph " + evalText + " outro text"), // QUOTES the eval doc
+      3L -> "completely unrelated training document text here",
+      4L -> "a b") // fewer than 3 tokens: zero grams, not contaminated
+    val bench = d.filter(col("doc_id") === 1L)
+    val out = Sampling.ngramContaminationScreen(d, bench)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getBoolean(4)))).toMap
+    assert(out(1L)._3 && out(1L)._1 === out(1L)._2) // fully contaminated
+    assert(out(2L)._3 && out(2L)._2 > 0 && out(2L)._2 < out(2L)._1) // partial
+    assert(!out(3L)._3 && out(3L)._2 === 0L)
+    assert(out(4L) === ((0L, 0L, false)))
+    // the whole-document fingerprint screen misses doc 2 (different md5)
+    val fpFlags = Sampling.contaminationScreen(d,
+        TextOps.fingerprint(col("text")),
+        bench.select(TextOps.fingerprint(col("text")).as("fp")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("contaminated"))
+      .toMap
+    assert(fpFlags(1L) && !fpFlags(2L))
+    // scale shape: the eval side broadcasts; no corpus-gram shuffle join
+    val plan = Sampling.ngramContaminationScreen(d, bench)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"bench set not broadcast:\n$plan")
+  }
+
   test("sequence packing fills packs in order within the budget") {
     val s = spark
     import s.implicits._

@@ -97,6 +97,82 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native codegen'd squared L2 distance over two numeric arrays — the
+  * distance kernel of product quantization ([[graft.operators.Quantize]]):
+  * the composable `aggregate(zip_with(a, b, ...))` form allocates an
+  * intermediate array per (row × centroid) and folds it interpreted,
+  * which dominates the PQ fit/assign passes (measured 3× the whole
+  * query). One fused pass, zero allocation, same null/length semantics
+  * as [[CosineSimilarity]].
+  */
+case class SquaredL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_sq"
+
+  private def elementType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case NullType => true
+      case _ => false
+    })
+    if (ok) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float> or array<double> inputs, " +
+        s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val xFloat = elementType(left) == FloatType
+    val yFloat = elementType(right) == FloatType
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val xi = if (xFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (yFloat) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xi - yi
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      if (left.dataType == NullType || right.dataType == NullType) {
+        s"${ev.value} = 0.0;"
+      } else {
+        def get(arr: String, e: Expression, i: String): String =
+          if (elementType(e) == FloatType) s"(double) $arr.getFloat($i)"
+          else s"$arr.getDouble($i)"
+        val n = ctx.freshName("n")
+        val acc = ctx.freshName("acc")
+        val i = ctx.freshName("i")
+        val d = ctx.freshName("d")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $acc = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  double $d = ${get(a, left, i)} - ${get(b, right, i)};
+           |  $acc += $d * $d;
+           |}
+           |${ev.value} = $acc;
+         """.stripMargin
+      }
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SquaredL2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration of native expressions into the session function registry
   * (the programmatic equivalent of a `SparkSessionExtensions.injectFunction`
   * hook, usable on an already-built session).
@@ -115,6 +191,8 @@ object NativeFunctions {
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     registerOnce("cosine_sim",
       exprs => CosineSimilarity(exprs.head, exprs(1)))
+    registerOnce("l2_sq",
+      exprs => SquaredL2(exprs.head, exprs(1)))
     registerOnce("hyperplane_bits",
       exprs => HyperplaneBits(exprs.head, exprs(1), exprs(2)))
     registerOnce("shingles",

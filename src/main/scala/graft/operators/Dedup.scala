@@ -503,6 +503,39 @@ object Dedup {
         col("start_pos"), col("end_pos"), col("n_positions"))
   }
 
+  /** Apply a duplicated-span cut-list ([[duplicatedSpanExtents]]) to the
+    * corpus — the EXCISION step of Lee et al. 2022 (they cut the
+    * duplicated spans out of documents rather than dropping documents):
+    * every token whose position falls inside one of the document's
+    * extents is removed, and the result reports the cleaned text's md5
+    * (space-joined surviving tokens — a replaying engine must cut
+    * byte-identically) plus before/removed counts.
+    *
+    * Shape at 100 TB: extents are output-sized (duplicated REGIONS, not
+    * positions — one row per maximal span), aggregated per doc and joined
+    * back on doc_id; the cut itself is a per-row indexed `filter` with an
+    * `exists` over the doc's extent array — narrow, no explode of the
+    * token axis. Token positions use the same `\s+` tokenization as the
+    * span detector, so cut-lists and text stay aligned.
+    */
+  def exciseSpans(docs: DataFrame, extents: DataFrame): DataFrame = {
+    val exts = extents.groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("start_pos"), col("end_pos"))).as("__exts"))
+    val emptyExts =
+      array().cast("array<struct<start_pos:bigint,end_pos:bigint>>")
+    docs.join(exts, Seq("doc_id"), "left")
+      .withColumn("__toks", TextOps.tokens(col("text")))
+      .withColumn("__exts", coalesce(col("__exts"), emptyExts))
+      .withColumn("__kept", filter(col("__toks"), (t, i) =>
+        not(exists(col("__exts"), e =>
+          i.cast("long") >= e.getField("start_pos") &&
+            i.cast("long") <= e.getField("end_pos")))))
+      .select(col("doc_id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        (size(col("__toks")) - size(col("__kept"))).cast("long").as("n_removed"),
+        md5(array_join(col("__kept"), " ")).as("cleaned_md5"))
+  }
+
   /** SimHash: per-bit +1/-1 votes from each distinct token's md5, sign of
     * the per-bit sum forms the signature (here as a bit string, portable
     * across engines).

@@ -334,6 +334,51 @@ object PipelineQueries {
       FROM spans GROUP BY doc_id, span_id
       ORDER BY doc_id, span_id""")),
 
+    // d11: apply d10's cut-list — remove every token inside a duplicated
+    // extent and digest the cleaned text. The oracle rebuilds the extents
+    // (same CTE as d10) and cuts via NOT EXISTS over positions, so both
+    // engines must excise byte-identical token streams.
+    QueryDef("d11_excise_spans", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Dedup.exciseSpans(docs, Dedup.duplicatedSpanExtents(docs))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $TOK,
+      sh0 AS (SELECT doc_id, pos - 1 AS pos,
+        w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS g,
+        LEAD(w,2) OVER win IS NOT NULL AS complete
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      sha AS (SELECT doc_id, pos, g FROM sh0 WHERE complete),
+      cnt AS (SELECT g FROM sha GROUP BY g HAVING COUNT(*) >= 2),
+      dup AS (SELECT s.doc_id, s.pos FROM sha s JOIN cnt ON s.g = cnt.g),
+      flagged AS (SELECT doc_id, pos,
+          CASE WHEN pos - LAG(pos) OVER w <= 3 THEN 0 ELSE 1 END AS new_span
+        FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      spans AS (SELECT doc_id, pos,
+          SUM(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS span_id
+        FROM flagged),
+      ext AS (SELECT doc_id, span_id, MIN(pos) AS start_pos,
+               MAX(pos) + 2 AS end_pos
+              FROM spans GROUP BY doc_id, span_id),
+      kept AS (SELECT t.doc_id, t.pos, t.w FROM tok t
+               WHERE NOT EXISTS (SELECT 1 FROM ext e
+                 WHERE e.doc_id = t.doc_id
+                   AND t.pos - 1 BETWEEN e.start_pos AND e.end_pos)),
+      cln AS (SELECT doc_id,
+               md5(string_agg(w, ' ' ORDER BY pos)) AS cleaned_md5,
+               COUNT(*) AS n_kept
+              FROM kept GROUP BY doc_id),
+      nt AS (SELECT doc_id, COUNT(*) AS n_tokens FROM tok GROUP BY doc_id)
+      SELECT d.doc_id,
+        CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+        CAST(nt.n_tokens - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+        COALESCE(c.cleaned_md5, md5('')) AS cleaned_md5
+      FROM documents d
+      JOIN nt ON nt.doc_id = d.doc_id
+      LEFT JOIN cln c ON c.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     QueryDef("d03_minhash_lsh", (s, d) =>
       Dedup.minhashLshPairs(Tables.load(s, d, "documents"))
         .orderBy(col("est_jaccard").desc, col("a"), col("b")).limit(100),
@@ -733,6 +778,41 @@ object PipelineQueries {
              ELSE ROUND((e.v - st.mn) * 255.0 / (st.mx - st.mn)) END AS BIGINT) AS q
       FROM ed e JOIN st ON st.i = e.i
       ORDER BY vec_id, i""")),
+
+    // Product quantization: 4 blocks of 16 dims, 16 codes per block, 2
+    // Lloyd iterations — the same deterministic k-means machinery as a04
+    // (seed codes = lowest vec_ids, 6dp-rounded centroid update, ties to
+    // the lower code), replayed block-parallel by the oracle. dim=64 is
+    // fixture metadata, skipping the per-invocation probe job.
+    QueryDef("qz02_product_quantize", (s, d) =>
+      Quantize.productQuantize(Tables.load(s, d, "embeddings"),
+          m = 4, k = 16, iters = 2, dim = 64)
+        .orderBy(col("vec_id"), col("block")),
+      Some(s"""
+      WITH $ED,
+      edb AS (SELECT vec_id, (i-1)//16 AS b, (i-1)%16 AS j, v FROM ed),
+      c0 AS (SELECT vec_id AS code, b, j, v AS cv FROM edb WHERE vec_id < 16),
+      s1 AS (SELECT e.vec_id, e.b, c.code, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
+             FROM edb e JOIN c0 c ON c.b = e.b AND c.j = e.j
+             GROUP BY e.vec_id, e.b, c.code),
+      a1 AS (SELECT vec_id, b, code FROM (
+               SELECT vec_id, b, code,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                   ORDER BY d2, code) AS rn
+               FROM s1) t WHERE rn = 1),
+      c1 AS (SELECT a1.code, e.b, e.j, ROUND(AVG(e.v), 6) AS cv
+             FROM a1 JOIN edb e ON e.vec_id = a1.vec_id AND e.b = a1.b
+             GROUP BY a1.code, e.b, e.j),
+      s2 AS (SELECT e.vec_id, e.b, c.code, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
+             FROM edb e JOIN c1 c ON c.b = e.b AND c.j = e.j
+             GROUP BY e.vec_id, e.b, c.code),
+      a2 AS (SELECT vec_id, b, code, d2 FROM (
+               SELECT vec_id, b, code, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                   ORDER BY d2, code) AS rn
+               FROM s2) t WHERE rn = 1)
+      SELECT vec_id, CAST(b AS BIGINT) AS block, code, ROUND(d2, 4) AS dist2
+      FROM a2 ORDER BY vec_id, block""")),
 
     // ---------------- multimodal plumbing ----------------
     QueryDef("m01_multimodal_features", (s, d) =>

@@ -23,6 +23,29 @@ class NativeFunctionsSpec extends SparkSpec {
     assert(both.filter(col("native") =!= col("composed")).count() === 0)
   }
 
+  test("native l2_sq matches the composable zip_with fold exactly") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50).cache()
+    NativeFunctions.register(spark)
+    val pairs = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(emb.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b"))
+    val composed = aggregate(
+      zip_with(col("va").cast("array<double>"), col("vb").cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, e) => acc + e)
+    val both = pairs.select(
+      call_function("l2_sq", col("va"), col("vb")).as("native"),
+      composed.as("composed"))
+    // bit-identical: same sequential array-order accumulation
+    assert(both.filter(col("native") =!= col("composed")).count() === 0)
+    // null propagation
+    import spark.implicits._
+    val nulls = Seq((Array(1.0f, 2.0f))).toDF("x")
+      .select(call_function("l2_sq", col("x"), lit(null).cast("array<float>")))
+      .head
+    assert(nulls.isNullAt(0))
+  }
+
   test("cosine_sim handles double arrays, nulls, and SQL invocation") {
     NativeFunctions.register(spark)
     import spark.implicits._

@@ -279,6 +279,48 @@ class OperatorsSpec extends SparkSpec {
     assert(flags === Map(1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("span excision cuts exactly the extent tokens and digests the remainder") {
+    val d = docs(
+      1L -> "x y z q r s x y z", // extents (0,2),(6,8) -> kept "q r s"
+      2L -> "m x y z n x y z",   // extents (1,3),(5,7) -> kept "m n"
+      3L -> "x y z x y z w")     // extent (0,5)        -> kept "w"
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val out = Dedup.exciseSpans(d, Dedup.duplicatedSpanExtents(d))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) === ((9L, 6L, md5hex("q r s"))))
+    assert(out(2L) === ((8L, 6L, md5hex("m n"))))
+    assert(out(3L) === ((7L, 6L, md5hex("w"))))
+    // a doc with no extents survives byte-identical
+    val clean = docs(9L -> "totally unique words only")
+    val kept = Dedup.exciseSpans(clean, Dedup.duplicatedSpanExtents(clean))
+      .head
+    assert(kept.getLong(2) === 0L)
+    assert(kept.getString(3) === md5hex("totally unique words only"))
+  }
+
+  test("product quantization: m codes per vector, deterministic, seeds self-assign") {
+    import graft.operators.Quantize
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    val n = emb.count()
+    val pq = Quantize.productQuantize(emb, m = 4, k = 16, iters = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(pq.length === 4 * n)
+    assert(pq.map(_._2).toSet === Set(0L, 1L, 2L, 3L))
+    // codes are (a subset of) the seed ids; distances non-negative
+    assert(pq.forall(t => t._3 >= 0L && t._3 < 16L))
+    assert(pq.forall(_._4 >= 0.0))
+    // refit is bit-identical (deterministic seeds/update/ties)
+    val again = Quantize.productQuantize(emb, m = 4, k = 16, iters = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(pq.sortBy(t => (t._1, t._2)).toSeq ===
+      again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("n-gram contamination flags partial leakage the whole-doc screen misses") {
     val evalText = "what is the capital of atlantis askers want to know"
     val d = docs(

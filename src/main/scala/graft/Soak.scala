@@ -108,29 +108,35 @@ object Soak {
       println("[soak] generation done")
     }
 
-    // sf0.1 mins from the r7 load-gated bench, for the 10x extrapolation
-    // (ops without a headline bench row carry no baseline — timed, ratio
-    // null)
+    // sf0.1 mins from the r8 clean-floor bench/probes, for the 10x
+    // extrapolation (ops without a measured sf0.1 row carry no baseline —
+    // timed, ratio null). t05/t11 re-baselined after the round-8 switch to
+    // real merges-file BPE; d10/d11/cnt02/qz02 are round-8 operators
+    // (PerfProbe warm run2 at sf0.1).
     val sf01Base = Map(
-      "d01_dedup_exact" -> 0.35, "d02_ngram_jaccard" -> 1.46,
-      "d02b_ngram_jaccard_capped" -> 0.63, "d03_minhash_lsh" -> 1.53,
-      "d04_simhash" -> 0.45, "d06_embed_lsh" -> 1.73,
-      "d06b_embed_lsh_capped" -> 0.55, "d07_dedup_clusters" -> 1.92,
+      "d01_dedup_exact" -> 0.35, "d02_ngram_jaccard" -> 1.57,
+      "d02b_ngram_jaccard_capped" -> 0.74, "d03_minhash_lsh" -> 1.49,
+      "d04_simhash" -> 0.45, "d06_embed_lsh" -> 1.95,
+      "d06b_embed_lsh_capped" -> 0.64, "d07_dedup_clusters" -> 2.06,
       "d08_semantic_dedup" -> 1.15,
-      "a01_ann_bruteforce" -> 0.31, "a02_ann_ivf" -> 0.65,
+      "d10_dup_span_extents" -> 2.44, "d11_excise_spans" -> 3.37,
+      "a01_ann_bruteforce" -> 0.43, "a02_ann_ivf" -> 0.65,
       "a03_ann_lsh" -> 0.50, "a04_kmeans" -> 0.90,
-      "c01_curation" -> 2.02, "qz01_embed_quantize" -> 0.55,
-      "smp04_source_cap" -> 0.30, "t05_bpe_tokens" -> 0.40,
-      "t11_chunking" -> 0.55)
+      "c01_curation" -> 2.36, "cnt02_ngram_contamination" -> 1.26,
+      "qz01_embed_quantize" -> 0.55, "qz02_product_quantize" -> 5.73,
+      "smp04_source_cap" -> 0.30, "t05_bpe_tokens" -> 3.31,
+      "t11_chunking" -> 1.11)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
       "d03_minhash_lsh", "d04_simhash", "d06_embed_lsh",
       "d06b_embed_lsh_capped", "d07_dedup_clusters",
       "d08_semantic_dedup", "d09_dup_ngram_spans",
+      "d10_dup_span_extents", "d11_excise_spans",
       "a01_ann_bruteforce", "a02_ann_ivf", "a03_ann_lsh",
       "a04_kmeans", "c01_curation", "c02_canonical_source",
-      "qz01_embed_quantize", "smp04_source_cap",
+      "cnt02_ngram_contamination",
+      "qz01_embed_quantize", "qz02_product_quantize", "smp04_source_cap",
       "t05_bpe_tokens", "t11_chunking", "m03_media_headers")
 
     var total = 0.0

@@ -350,6 +350,87 @@ object TextOps {
         col("c.n_tokens").as("n_tokens"), col("c.chunk_md5").as("chunk_md5"))
   }
 
+  /** N-gram language-model quality score — the CCNet-style perplexity
+    * filter (Wenzek et al. 2020 §4.3: rank documents by LM
+    * log-likelihood per token; KenLM there, an add-α bigram model here —
+    * same filter shape, engine-replayable arithmetic). High `avg_nll`
+    * flags gibberish/boilerplate relative to the reference corpus the
+    * model was fit on (`refDocs`, defaulting to the corpus itself — the
+    * self-scoring form; production points it at a trusted corpus).
+    *
+    * Model: P(w₁) = (U(w₁)+α)/(T+αV) for the first token,
+    * P(wᵢ|wᵢ₋₁) = (B(wᵢ₋₁,wᵢ)+α)/(U(wᵢ₋₁)+αV) for the rest, with U/B
+    * the reference unigram/bigram counts, T total tokens, V vocabulary
+    * size. Score = mean −ln P per token.
+    *
+    * Engine parity: each per-term −ln P is rounded to 6dp and summed as
+    * DECIMAL(20,6) — an exact sum, immune to float summation order — and
+    * only the final per-doc mean goes back to double (rounded 6dp).
+    *
+    * Shape at 100 TB: the LM tables are two map-side-combined groupBys
+    * over the reference corpus (output ≈ vocabulary/bigram-type sized,
+    * NOT corpus sized); scoring is one in-row bigram explode joined
+    * against those tables (AQE broadcasts them when small, shuffles on
+    * the gram key when not), then one per-doc aggregate. The two scalar
+    * constants (T, V) ride along as a broadcast single-row frame — no
+    * driver round-trip.
+    */
+  def lmScore(docs: DataFrame, refDocs: DataFrame = null,
+      alpha: Double = 0.5): DataFrame = {
+    val ref = Option(refDocs).getOrElse(docs)
+    val ws = filter(tokens(col("text")), w => w =!= "")
+    def tokRel(d: DataFrame) = d
+      .withColumn("__ws", ws)
+      .select(col("doc_id"), posexplode(col("__ws")).as(Seq("pos", "w")))
+    val refTok = tokRel(ref)
+    val ug = refTok.groupBy(col("w")).agg(count(lit(1)).as("uc"))
+    val consts = refTok.agg(count(lit(1)).cast("double").as("t"))
+      .crossJoin(ug.agg(count(lit(1)).cast("double").as("v")))
+    val bgc = tokRel(ref)
+      .withColumn("w2", lead(col("w"), 1)
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id")).orderBy(col("pos"))))
+      .filter(col("w2").isNotNull)
+      .groupBy(col("w").as("bw1"), col("w2").as("bw2"))
+      .agg(count(lit(1)).as("bc"))
+    // in-row bigram structs of the SCORED docs: one explode, no window
+    val pairs = when(size(col("__ws")) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(1), size(col("__ws")) - 1), i =>
+        struct(element_at(col("__ws"), i).as("w1"),
+          element_at(col("__ws"), i + 1).as("w2"))))
+    def nll6(p: Column): Column =
+      round(-log(p), 6).cast("decimal(20,6)")
+    val bigramTerms = docs.withColumn("__ws", ws)
+      .select(col("doc_id"), explode(pairs).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // LEFT joins: a scored doc may use words the reference never saw
+      // (count 0 under add-α); self-scoring always matches
+      .join(ug.select(col("w").as("w1"), col("uc")), Seq("w1"), "left")
+      .join(bgc, col("w1") === col("bw1") && col("w2") === col("bw2"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), nll6(
+        (coalesce(col("bc"), lit(0L)).cast("double") + alpha) /
+          (coalesce(col("uc"), lit(0L)).cast("double") + lit(alpha) * col("v"))).as("nll"))
+    val firstTerms = docs.withColumn("__ws", ws)
+      .filter(size(col("__ws")) > 0)
+      .select(col("doc_id"), element_at(col("__ws"), 1).as("w"))
+      .join(ug, Seq("w"), "left")
+      .crossJoin(broadcast(consts))
+      .select(col("doc_id"), nll6(
+        (coalesce(col("uc"), lit(0L)).cast("double") + alpha) /
+          (col("t") + lit(alpha) * col("v"))).as("nll"))
+    val per = bigramTerms.union(firstTerms).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("nll")).as("total"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_terms"), lit(0L)).as("n_tokens"),
+        when(coalesce(col("n_terms"), lit(0L)) > 0,
+          round(col("total").cast("double") / col("n_terms").cast("double"), 6))
+          .otherwise(lit(0.0)).as("avg_nll"))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic: ties broken by language code.
     */

@@ -222,6 +222,53 @@ object PipelineQueries {
         md5(array_to_string(fps, ',')) AS fp_digest
       FROM fp ORDER BY doc_id""")),
 
+    // CCNet-style LM quality score (Wenzek et al. 2020): add-α bigram
+    // model fit on the corpus itself, documents ranked by mean -ln P per
+    // token. Each per-term -ln P rounds to 6dp and sums as DECIMAL (exact,
+    // summation-order-proof), so the oracle replays the whole model —
+    // counts, smoothing, scoring — and hash-matches the doubles.
+    QueryDef("t12_lm_score", (s, d) =>
+      TextOps.lmScore(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
+      Some(s"""
+      WITH $TOK,
+      wt AS (SELECT doc_id, pos, w FROM tok WHERE w <> ''),
+      ug AS (SELECT w, COUNT(*) AS uc FROM wt GROUP BY w),
+      tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM wt),
+      voc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ug),
+      bg0 AS (SELECT doc_id, pos, w AS w1,
+                LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+              FROM wt),
+      bgc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg0
+              WHERE w2 IS NOT NULL GROUP BY w1, w2),
+      terms AS (
+        SELECT b.doc_id,
+          CAST(ROUND(-LN((COALESCE(c.bc, 0) + 0.5) /
+            (COALESCE(u.uc, 0) + 0.5 * voc.v)), 6) AS DECIMAL(20,6)) AS nll
+        FROM bg0 b
+        LEFT JOIN ug u ON u.w = b.w1
+        LEFT JOIN bgc c ON c.w1 = b.w1 AND c.w2 = b.w2
+        CROSS JOIN voc
+        WHERE b.w2 IS NOT NULL
+        UNION ALL
+        SELECT f.doc_id,
+          CAST(ROUND(-LN((COALESCE(u.uc, 0) + 0.5) /
+            (tot.t + 0.5 * voc.v)), 6) AS DECIMAL(20,6))
+        FROM (SELECT doc_id, w FROM (
+                SELECT doc_id, w,
+                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+                FROM wt) x WHERE rn = 1) f
+        LEFT JOIN ug u ON u.w = f.w
+        CROSS JOIN tot CROSS JOIN voc),
+      per AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(nll) AS total
+              FROM terms GROUP BY doc_id)
+      SELECT d.doc_id,
+        COALESCE(CAST(p.n_terms AS BIGINT), 0) AS n_tokens,
+        CASE WHEN p.n_terms > 0
+          THEN ROUND(CAST(p.total AS DOUBLE) / p.n_terms, 6)
+          ELSE 0.0 END AS avg_nll
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     // ---------------- dedup family ----------------
     QueryDef("d01_dedup_exact", (s, d) =>
       Dedup.exact(Tables.load(s, d, "documents")).orderBy(col("doc_id")),

@@ -279,6 +279,32 @@ class OperatorsSpec extends SparkSpec {
     assert(flags === Map(1L -> true, 2L -> true, 3L -> false))
   }
 
+  test("LM score ranks repetitive common text below rare-word gibberish") {
+    // self-scored bigram model: a doc of corpus-frequent transitions gets
+    // a LOW avg_nll; a doc of singleton words/transitions gets a HIGH one
+    val common = Seq.fill(10)("the quick fox").mkString(" ")
+    val d = docs(
+      1L -> common,
+      2L -> common,
+      3L -> common,
+      4L -> "zxq wvu ponm lkj ihg fed cba",
+      5L -> "")
+    val out = TextOps.lmScore(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 30L) // token count = term count
+    assert(out(4L)._1 === 7L)
+    assert(out(1L)._2 < out(4L)._2,
+      s"common text must score below gibberish: $out")
+    assert(out(1L)._2 > 0.0)
+    assert(out(5L) === ((0L, 0.0))) // empty doc: no terms, score 0
+    // scoring against a separate reference corpus: unseen words survive
+    // under add-alpha (left joins), scored at the smoothing floor
+    val ref = docs(10L -> "totally different reference corpus text")
+    val vsRef = TextOps.lmScore(d, refDocs = ref).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(vsRef(1L) > out(1L)._2) // common-in-self is rare-in-ref
+  }
+
   test("span excision cuts exactly the extent tokens and digests the remainder") {
     val d = docs(
       1L -> "x y z q r s x y z", // extents (0,2),(6,8) -> kept "q r s"

@@ -79,13 +79,34 @@ object Quantize {
     */
   def productQuantize(emb: DataFrame, m: Int = 4, k: Int = 16,
       iters: Int = 2, dim: Int = 0): DataFrame = {
+    val (sub, books) = fitCodebooks(emb, m, k, iters, dim)
+    // final assignment: one narrow projection PER BLOCK, unioned — the
+    // same codegen-size reasoning as the fit (all m×k kernels in one
+    // projection drop out of whole-stage codegen); each branch is a
+    // k-kernel fold that stays compiled, and the m-way scan repeat is
+    // cheaper than interpreted evaluation by a wide margin
+    (0 until books.length).map { b =>
+      val (code, d2) = nearestCode(books(b), blockSlice(b, sub))
+      emb.select(col("vec_id"), lit(b.toLong).as("block"),
+        code.as("code"), round(d2, 4).as("dist2"))
+    }.reduce(_ union _)
+  }
+
+  /** The b-th sub-vector of the `embedding` column (1-based slice). */
+  private[operators] def blockSlice(b: Int, sub: Int): Column =
+    slice(col("embedding").cast("array<double>"), b * sub + 1, sub)
+
+  /** Fit the [[productQuantize]] codebooks and return (subDim, per-block
+    * codebook sorted by code id). Driver state is k × d doubles total.
+    */
+  def fitCodebooks(emb: DataFrame, m: Int = 4, k: Int = 16,
+      iters: Int = 2, dim: Int = 0): (Int, IndexedSeq[Seq[(Long, Seq[Double])]]) = {
     require(m > 0 && k > 0 && iters > 0, "m, k, iters must be positive")
     graft.functions.NativeFunctions.register(emb.sparkSession)
     val d = if (dim > 0) dim else emb.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"dim $d must split evenly into $m blocks")
     val sub = d / m
-    def subVec(b: Int): Column =
-      slice(col("embedding").cast("array<double>"), b * sub + 1, sub)
+    def subVec(b: Int): Column = blockSlice(b, sub)
     // ONE seed collect serves all m codebooks; the per-iteration centroid
     // refresh stays one bounded-output aggregate PER BLOCK — a fused
     // all-blocks projection (m × k distance kernels in one select) was
@@ -113,16 +134,7 @@ object Quantize {
           .sortBy(_._1)
       }
     }
-    // final assignment: one narrow projection PER BLOCK, unioned — the
-    // same codegen-size reasoning as the fit (all m×k kernels in one
-    // projection drop out of whole-stage codegen); each branch is a
-    // k-kernel fold that stays compiled, and the m-way scan repeat is
-    // cheaper than interpreted evaluation by a wide margin
-    (0 until m).map { b =>
-      val (code, d2) = nearestCode(books(b), subVec(b))
-      emb.select(col("vec_id"), lit(b.toLong).as("block"),
-        code.as("code"), round(d2, 4).as("dist2"))
-    }.reduce(_ union _)
+    (sub, books)
   }
 
   /** Per-row argmin squared-L2 against the codebook literals — the same
@@ -135,7 +147,7 @@ object Quantize {
     * the codebook sorted by code id the lowest code wins exact ties —
     * matching `ROW_NUMBER ... ORDER BY d2, code`.
     */
-  private def nearestCode(cents: Seq[(Long, Seq[Double])],
+  private[operators] def nearestCode(cents: Seq[(Long, Seq[Double])],
       sv: Column): (Column, Column) = {
     val stype = "struct<d2:double,code:bigint>"
     val scored = array(cents.map { case (cid, v) =>

@@ -270,6 +270,94 @@ object Similarity {
       round(sim, 4).as("cos_sim"))
   }
 
+  /** PQ-ADC approximate search with exact re-ranking (Jégou et al. 2011
+    * §III asymmetric distance computation + §V re-ranking) — the search
+    * operator product quantization exists for. Stage 1 scores the whole
+    * corpus through its m PQ codes alone: each query precomputes an m × k
+    * distance table (squared L2 from its sub-vector to every codebook
+    * centroid) and a vector's approximate distance is the sum of m table
+    * lookups — no corpus-side float math. Stage 2 fetches the true
+    * vectors of only the `refine × k` ADC survivors per query and
+    * re-ranks them by exact squared L2 (coarse quantization alone
+    * misranks close neighbors; re-ranking the short list is the standard
+    * recall recovery — OperatorsSpec measures it against exact search).
+    *
+    * Shape at 100 TB: the corpus pass reads codes, not vectors (the
+    * compression is the point); distance tables are queries × m × k rows,
+    * broadcast; ADC scoring is one equi-join on (block, code) plus one
+    * (qid, nid) aggregate; both top-k stages are the two-stage
+    * bounded-heap shape, and the exact re-score touches
+    * queries × refine × k rows only.
+    *
+    * Engine determinism: table entries round to 6dp and the m-way ADC
+    * sum runs as exact DECIMAL — vectors sharing all m codes tie EXACTLY
+    * in every engine and break by nid, so the refine cutoff replays
+    * bit-identically; the exact stage is the same fused-fold arithmetic
+    * as every other search oracle.
+    */
+  def pqTopK(emb: DataFrame, isQuery: Column, k: Int = 10, m: Int = 4,
+      codes: Int = 16, iters: Int = 2, dim: Int = 0,
+      refine: Int = 5): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val (sub, books) = Quantize.fitCodebooks(emb, m, codes, iters, dim)
+    // corpus codes, long format — per-block narrow projections (the
+    // productQuantize codegen-size reasoning)
+    val codeRows = books.indices.map { b =>
+      val (code, _) = Quantize.nearestCode(books(b), Quantize.blockSlice(b, sub))
+      emb.select(col("vec_id").as("nid"), lit(b.toLong).as("block"),
+        code.as("code"))
+    }.reduce(_ union _)
+    // per-query distance tables, built on the driver from the codebooks
+    // (queries are few by contract; k × d doubles per query)
+    val queries = emb.filter(isQuery)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val dtRows = for {
+      (qid, qv) <- queries.toSeq
+      b <- books.indices
+      (code, cent) <- books(b)
+    } yield {
+      var d2 = 0.0
+      var j = 0
+      while (j < sub) {
+        val diff = qv(b * sub + j) - cent(j)
+        d2 += diff * diff
+        j += 1
+      }
+      // 6dp half-up, matching round()/ROUND() on both engines
+      val r6 = java.math.BigDecimal.valueOf(d2)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      (qid, b.toLong, code, r6)
+    }
+    val dt = dtRows.toDF("qid", "qblock", "qcode", "dtv")
+    val adc = codeRows
+      .join(broadcast(dt),
+        col("block") === col("qblock") && col("code") === col("qcode"))
+      .filter(col("nid") =!= col("qid"))
+      .groupBy(col("qid"), col("nid"))
+      // exact decimal sum: summation-order-proof, so exact code ties stay
+      // exact and ranks are deterministic across engines and runs
+      .agg(sum(col("dtv").cast("decimal(20,6)")).as("adc"))
+    // ADC short list: two-stage top-(refine·k) ascending distance =
+    // descending negated distance
+    val shortList = topKPerQuery(adc.select(col("qid"), col("nid"),
+        negate(col("adc").cast("double")).as("cos_sim")), k * refine)
+      .select(col("qid"), col("nid"))
+    // exact re-rank of the short list only
+    val qvecs = broadcast(emb.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val rescored = shortList
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nv")),
+        Seq("nid"))
+      .join(qvecs, Seq("qid"))
+      .withColumn("cos_sim",
+        negate(call_function("l2_sq", col("qv"), col("nv"))))
+    topKPerQuery(rescored.select(col("qid"), col("nid"), col("cos_sim")), k)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(negate(col("cos_sim")), 4).as("dist2"))
+  }
+
   /** SemDeDup (Abbas et al. 2023): semantic deduplication by clustering
     * then within-cluster pairwise pruning. K-means bounds the candidate
     * space — pairs are only compared inside a cluster, so the quadratic

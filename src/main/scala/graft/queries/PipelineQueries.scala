@@ -30,6 +30,37 @@ object PipelineQueries {
       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
       |nrm AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ed GROUP BY vec_id)""".stripMargin
 
+  /** Product-quantization codebook fit, composing after [[ED]]: 4 blocks
+    * of 16 dims, seed codes = the 16 lowest vec_ids' sub-vectors,
+    * L2-argmin assignment with ties to the lower code, one 6dp-rounded
+    * centroid update, second assignment → `a2(vec_id, b, code, d2)` with
+    * the final codebook in `c1(code, b, j, cv)`. Mirrors [[KM2]]'s shape
+    * for the per-block fit the Spark side runs in
+    * `Quantize.fitCodebooks`.
+    */
+  private val PQC =
+    """edb AS (SELECT vec_id, (i-1)//16 AS b, (i-1)%16 AS j, v FROM ed),
+      |c0 AS (SELECT vec_id AS code, b, j, v AS cv FROM edb WHERE vec_id < 16),
+      |s1 AS (SELECT e.vec_id, e.b, c.code, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
+      |       FROM edb e JOIN c0 c ON c.b = e.b AND c.j = e.j
+      |       GROUP BY e.vec_id, e.b, c.code),
+      |a1 AS (SELECT vec_id, b, code FROM (
+      |         SELECT vec_id, b, code,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, b
+      |             ORDER BY d2, code) AS rn
+      |         FROM s1) t WHERE rn = 1),
+      |c1 AS (SELECT a1.code, e.b, e.j, ROUND(AVG(e.v), 6) AS cv
+      |       FROM a1 JOIN edb e ON e.vec_id = a1.vec_id AND e.b = a1.b
+      |       GROUP BY a1.code, e.b, e.j),
+      |s2 AS (SELECT e.vec_id, e.b, c.code, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
+      |       FROM edb e JOIN c1 c ON c.b = e.b AND c.j = e.j
+      |       GROUP BY e.vec_id, e.b, c.code),
+      |a2 AS (SELECT vec_id, b, code, d2 FROM (
+      |         SELECT vec_id, b, code, d2,
+      |           ROW_NUMBER() OVER (PARTITION BY vec_id, b
+      |             ORDER BY d2, code) AS rn
+      |         FROM s2) t WHERE rn = 1)""".stripMargin
+
   /** The merges table of [[graft.functions.BpeOps.defaultMerges]] as a
     * DuckDB list literal `['l r', ...]` — rank = 1-based list position.
     */
@@ -837,29 +868,50 @@ object PipelineQueries {
         .orderBy(col("vec_id"), col("block")),
       Some(s"""
       WITH $ED,
-      edb AS (SELECT vec_id, (i-1)//16 AS b, (i-1)%16 AS j, v FROM ed),
-      c0 AS (SELECT vec_id AS code, b, j, v AS cv FROM edb WHERE vec_id < 16),
-      s1 AS (SELECT e.vec_id, e.b, c.code, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
-             FROM edb e JOIN c0 c ON c.b = e.b AND c.j = e.j
-             GROUP BY e.vec_id, e.b, c.code),
-      a1 AS (SELECT vec_id, b, code FROM (
-               SELECT vec_id, b, code,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id, b
-                   ORDER BY d2, code) AS rn
-               FROM s1) t WHERE rn = 1),
-      c1 AS (SELECT a1.code, e.b, e.j, ROUND(AVG(e.v), 6) AS cv
-             FROM a1 JOIN edb e ON e.vec_id = a1.vec_id AND e.b = a1.b
-             GROUP BY a1.code, e.b, e.j),
-      s2 AS (SELECT e.vec_id, e.b, c.code, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
-             FROM edb e JOIN c1 c ON c.b = e.b AND c.j = e.j
-             GROUP BY e.vec_id, e.b, c.code),
-      a2 AS (SELECT vec_id, b, code, d2 FROM (
-               SELECT vec_id, b, code, d2,
-                 ROW_NUMBER() OVER (PARTITION BY vec_id, b
-                   ORDER BY d2, code) AS rn
-               FROM s2) t WHERE rn = 1)
+      $PQC
       SELECT vec_id, CAST(b AS BIGINT) AS block, code, ROUND(d2, 4) AS dist2
       FROM a2 ORDER BY vec_id, block""")),
+
+    // PQ-ADC search with exact re-ranking (a05): queries first score the
+    // corpus through its PQ codes alone — per-query m×k distance tables
+    // (6dp-rounded, summed as exact DECIMAL so same-code vectors tie
+    // exactly and break by nid in both engines, making the refine cutoff
+    // replay bit-identically) — then the top-50 ADC survivors per query
+    // are re-ranked by exact squared L2. Replayed end to end on top of
+    // qz02's codebook CTE.
+    QueryDef("a05_ann_pq", (s, d) =>
+      Similarity.pqTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, k = 10, dim = 64)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      $PQC,
+      dt AS (SELECT e.vec_id AS qid, c.b, c.code,
+               CAST(ROUND(SUM((e.v - c.cv)*(e.v - c.cv)), 6)
+                 AS DECIMAL(20,6)) AS dtv
+             FROM edb e JOIN c1 c ON c.b = e.b AND c.j = e.j
+             WHERE e.vec_id < 5
+             GROUP BY e.vec_id, c.b, c.code),
+      adc AS (SELECT d.qid, a.vec_id AS nid, SUM(d.dtv) AS adc
+              FROM a2 a JOIN dt d ON d.b = a.b AND d.code = a.code
+              WHERE a.vec_id <> d.qid
+              GROUP BY d.qid, a.vec_id),
+      rk AS (SELECT qid, nid FROM (
+               SELECT qid, nid,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY adc, nid) AS rn
+               FROM adc) t WHERE rn <= 50),
+      ex AS (SELECT r.qid, r.nid, SUM((eq.v - en.v)*(eq.v - en.v)) AS d2
+             FROM rk r
+             JOIN ed eq ON eq.vec_id = r.qid
+             JOIN ed en ON en.vec_id = r.nid AND en.i = eq.i
+             GROUP BY r.qid, r.nid),
+      rk2 AS (SELECT qid, nid, d2,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY d2, nid) AS rank
+              FROM ex)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(d2, 4) AS dist2
+      FROM rk2 WHERE rank <= 10 ORDER BY qid, rank""")),
 
     // ---------------- multimodal plumbing ----------------
     QueryDef("m01_multimodal_features", (s, d) =>

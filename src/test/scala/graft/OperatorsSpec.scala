@@ -347,6 +347,52 @@ class OperatorsSpec extends SparkSpec {
       again.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("PQ-ADC top-k: valid ranks, monotone distances, real recall vs exact L2") {
+    import graft.functions.NativeFunctions
+    val emb = Tables.load(spark, sf0001, "embeddings")
+    NativeFunctions.register(spark)
+    val pq = Similarity.pqTopK(emb, col("vec_id") < 5, k = 10, dim = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.length === 5 * 10)
+    pq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to 10L), s"ranks off for q$q")
+      // distance non-decreasing in rank
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      assert(!rows.exists(_._2 == q)) // query never its own neighbor
+    }
+    // recall@10 against the exact L2 neighbors (same metric ADC
+    // approximates): the clustered fixture should land most of them
+    import org.apache.spark.sql.expressions.Window
+    val q5 = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val exact = emb.select(col("vec_id").as("nid"), col("embedding").as("nv"))
+      .crossJoin(broadcast(q5)).filter(col("nid") =!= col("qid"))
+      .withColumn("d2", call_function("l2_sq", col("qv"), col("nv")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d2"), col("nid"))))
+      .filter(col("rk") <= 10)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("nid"))).toSet
+    val got = pq.map(t => (t._1, t._2)).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.6, f"PQ-ADC+rerank recall@10 too low: $recall%.2f")
+    // recall is a refine-knob dial: a deeper ADC short list recovers more
+    // of the exact neighbors (the §V trade — short-list size vs recall)
+    val deeper = Similarity.pqTopK(emb, col("vec_id") < 5, k = 10, dim = 64,
+        refine = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deepRecall = deeper.intersect(exact).size.toDouble / exact.size
+    assert(deepRecall >= recall && deepRecall >= 0.8,
+      f"deeper refine must raise recall: $recall%.2f -> $deepRecall%.2f")
+    // deterministic refit end to end
+    val again = Similarity.pqTopK(emb, col("vec_id") < 5, k = 10, dim = 64)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(pq.sortBy(t => (t._1, t._3)).toSeq ===
+      again.sortBy(t => (t._1, t._3)).toSeq)
+  }
+
   test("n-gram contamination flags partial leakage the whole-doc screen misses") {
     val evalText = "what is the capital of atlantis askers want to know"
     val d = docs(

@@ -262,6 +262,22 @@ class ScaleSpec extends SparkSpec {
     assert(bpePlan.contains("bpe_tokens"), s"bpe tokenizer missing in:\n$bpePlan")
   }
 
+  test("PQ-ADC plan: distance tables broadcast, no all-pairs join, two-stage rank") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val p = graft.operators.Similarity
+      .pqTopK(emb, org.apache.spark.sql.functions.col("vec_id") < 3,
+        k = 5, dim = 64)
+      .queryExecution.executedPlan.toString
+    // the corpus is scored via an equi-join against the broadcast
+    // distance tables — never a cartesian/BNLJ over vectors
+    assert(p.contains("BroadcastHashJoin"), s"distance tables not broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"all-pairs BNLJ:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in ADC path:\n$p")
+    // both top-k stages run the bounded-heap pre-rank (MapPartitions
+    // below the window), like every other search path
+    assert(p.contains("MapPartitions"), s"no bounded-heap stage:\n$p")
+  }
+
   test("minhash signatures are a narrow in-row map (no explode, no aggregate)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")

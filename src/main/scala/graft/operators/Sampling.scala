@@ -88,6 +88,41 @@ object Sampling {
       .drop("__graft_src", "__graft_rate")
   }
 
+  /** Temperature-scaled source mixing (the multilingual τ-sampling rule,
+    * Conneau & Lample 2019 / mBERT exponential smoothing): source s with
+    * corpus share p_s is resampled toward q_s ∝ p_s^τ inside a global
+    * `budget` fraction. τ = 1 keeps natural proportions; τ → 0 flattens
+    * toward uniform (boosting low-resource sources' relative share); the
+    * keep-rate is `min(1, budget·N·q_s / n_s)` — no up-sampling, like
+    * [[sourceMix]].
+    *
+    * Same scale shape as [[sourceMix]]: per-source counts via one
+    * map-side-combined aggregate, rates broadcast back, selection by the
+    * narrow deterministic hash filter — the corpus never shuffles. The
+    * arithmetic is plain left-associated double math (one POWER per
+    * source) so a SQL oracle replays the exact rates.
+    */
+  def temperatureMix(df: DataFrame, source: Column, key: Column,
+      tau: Double, budget: Double): DataFrame = {
+    require(tau > 0, "tau must be positive (tau=1 is natural proportions)")
+    val counts = df.groupBy(source.as("__graft_src"))
+      .agg(count(lit(1)).cast("double").as("__graft_n"))
+    val total = df.agg(count(lit(1)).cast("double").as("__graft_total"))
+    val pw = counts.crossJoin(broadcast(total))
+      .select(col("__graft_src"), col("__graft_n"), col("__graft_total"),
+        pow(col("__graft_n") / col("__graft_total"), tau).as("__graft_pt"))
+    val z = pw.agg(sum(col("__graft_pt")).as("__graft_z"))
+    val rates = pw.crossJoin(broadcast(z))
+      .select(col("__graft_src"),
+        least(lit(1.0),
+          lit(budget) * col("__graft_total") *
+            (col("__graft_pt") / col("__graft_z")) / col("__graft_n"))
+          .as("__graft_rate"))
+    df.join(broadcast(rates), source === col("__graft_src"))
+      .filter(bucket16(key) < col("__graft_rate") * 65536d)
+      .drop("__graft_src", "__graft_rate")
+  }
+
   /** Cap any single group's contribution at `cap` rows, keeping a
     * deterministic hash-ordered prefix (so the kept subset is an unbiased,
     * reproducible sample of the group rather than whatever the scan order

@@ -1166,6 +1166,32 @@ object PipelineQueries {
             < r.rate * 65536
       ORDER BY d.doc_id""")),
 
+    // temperature-scaled source mixing (multilingual τ-sampling): τ=0.5
+    // flattens the source distribution toward uniform inside a 30% budget
+    // — under-represented sources keep a larger relative share. The
+    // oracle replays the exact rate arithmetic (shares, POWER, the
+    // normalizer, the budget cap) and the hash selection.
+    QueryDef("smp05_temperature_mix", (s, d) =>
+      Sampling.temperatureMix(Tables.load(s, d, "documents"), col("source"),
+          col("doc_id"), tau = 0.5, budget = 0.3)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+      Some("""
+      WITH cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+                   FROM documents GROUP BY source),
+      tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM documents),
+      pw AS (SELECT source, n, total, POWER(n / total, 0.5) AS pt
+             FROM cnt CROSS JOIN tot),
+      z AS (SELECT SUM(pt) AS z FROM pw),
+      rates AS (SELECT pw.source,
+          LEAST(CAST(1.0 AS DOUBLE),
+            CAST(0.3 AS DOUBLE) * pw.total * (pw.pt / z.z) / pw.n) AS rate
+        FROM pw CROSS JOIN z)
+      SELECT d.doc_id, d.source FROM documents d
+      JOIN rates r ON d.source = r.source
+      WHERE ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+            < r.rate * 65536
+      ORDER BY d.doc_id""")),
+
     // per-source cap: at most 10 docs per source, kept by hash order so
     // the capped subset is an unbiased deterministic sample of each source
     QueryDef("smp04_source_cap", (s, d) =>

@@ -231,6 +231,39 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"rates join not broadcast:\n$plan")
   }
 
+  test("temperature mixing flattens source shares; tau=1 is natural proportions") {
+    val s = spark
+    import s.implicits._
+    // heavily imbalanced: src big=9000 rows, small=1000
+    val df = (0L until 10000L)
+      .map(i => (i, if (i % 10 == 9) "small" else "big"))
+      .toDF("doc_id", "source")
+    def shares(tau: Double): Map[String, Double] = {
+      val kept = Sampling.temperatureMix(df, col("source"), col("doc_id"),
+          tau, budget = 0.3)
+        .groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      val n = kept.values.sum
+      kept.view.mapValues(_ / n).toMap
+    }
+    val natural = shares(1.0)
+    val flat = shares(0.25)
+    // tau=1 preserves the 90/10 split (within hash-sampling noise);
+    // tau=0.25 pulls the small source's share up substantially
+    assert(math.abs(natural("big") - 0.9) < 0.05, s"natural: $natural")
+    assert(flat("small") > natural("small") + 0.1, s"$natural -> $flat")
+    // budget respected (no up-sampling: kept <= budget*N + cap slack)
+    val keptN = Sampling.temperatureMix(df, col("source"), col("doc_id"),
+      0.25, 0.3).count()
+    assert(keptN <= 3600, s"budget overshot: $keptN")
+    // deterministic: repartitioning never changes the selection
+    val a = Sampling.temperatureMix(df, col("source"), col("doc_id"), 0.5, 0.3)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMix(df.repartition(7), col("source"),
+      col("doc_id"), 0.5, 0.3).collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
   test("two-phase capPerGroup matches the single-window cap on skewed input") {
     val s = spark
     import s.implicits._

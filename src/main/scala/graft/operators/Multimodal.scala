@@ -4,49 +4,205 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads travel as opaque binary
-  * columns with typed metadata alongside. The decode step is a STUB (no
-  * image/audio codecs in this environment) — `fakeDecode` derives
-  * deterministic pseudo-metadata from the bytes — but the Spark-side
-  * plumbing is real: binary column in, per-partition batched iteration,
-  * typed Dataset out. Swap `fakeDecode` for a real codec (JNI / Pandas UDF)
-  * without touching the surrounding plan.
+  * columns with typed metadata alongside. Image decode is REAL — JDK
+  * `javax.imageio` (PNG/BMP/GIF/JPEG readers ship in `java.desktop`)
+  * decompresses the actual pixel data, so width/height/channels/frame
+  * counts and per-channel pixel means come from the codec, not from byte
+  * arithmetic. WAV PCM sample decode is also real (raw little-endian
+  * samples, no codec needed). Only compressed AUDIO/VIDEO codecs (mp3,
+  * h264, …) remain a documented stub — those libraries genuinely do not
+  * ship in the JDK — behind the same per-partition batching seam, so a
+  * JNI/Pandas-UDF codec drops in without touching the surrounding plan.
   */
 object Multimodal {
 
-  /** Typed metadata produced by the (stubbed) decoder. */
-  final case class MediaFeatures(
-      doc_id: Long, n_bytes: Long, width: Long, height: Long,
-      n_frames: Long, fp: String)
-
-  /** STUB decoder: deterministic fake metadata derived from payload bytes.
-    * A real implementation would parse the container header here.
+  /** Typed metadata produced by the REAL image decoder: dimensions,
+    * channel count and frame count from the ImageIO reader, per-channel
+    * pixel means from the decoded raster.
     */
-  def fakeDecode(docId: Long, bytes: Array[Byte]): MediaFeatures = {
-    val n = bytes.length.toLong
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
-    val fp = digest.map("%02x".format(_)).mkString
-    MediaFeatures(docId, n, n % 640, (n * 7) % 480, n % 30 + 1, fp)
+  final case class ImageFeatures(
+      doc_id: Long, format: String, width: Long, height: Long,
+      channels: Long, n_frames: Long,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL image decode via JDK ImageIO: picks the reader by the byte
+    * signature, decompresses frame 0, and computes pixel statistics from
+    * the raster. `n_frames` is the container's true frame count (animated
+    * GIFs > 1). Unknown/undecodable bytes degrade to format "unknown".
+    */
+  def decodeImage(docId: Long, bytes: Array[Byte]): ImageFeatures = {
+    val unknown = ImageFeatures(docId, "unknown", 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0)
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) unknown
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val nFrames = reader.getNumImages(true).toLong
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          val ch = img.getColorModel.getNumComponents.toLong
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toDouble
+          ImageFeatures(docId, reader.getFormatName.toLowerCase, w.toLong,
+            h.toLong, ch, nFrames, sr / n, sg / n, sb / n)
+        } finally reader.dispose()
+      }
+    } catch { case _: java.io.IOException => unknown }
+    finally if (iis != null) iis.close()
   }
 
-  /** Decode features from a (doc_id, blob binary) frame via per-partition
-    * iteration — the pattern for batching expensive decoders (one codec
-    * init per partition, streaming rows through it).
+  /** Decode image features from a (doc_id, blob binary) frame via
+    * per-partition iteration — the pattern for batching expensive
+    * decoders (one codec init per partition, streaming rows through it).
+    * Narrow end to end: no shuffle, one decoded row per blob.
     */
-  def decodeFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def decodeImageFeatures(spark: SparkSession, media: DataFrame): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.select(col("doc_id").cast("long"), col("blob").cast("binary"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // codec initialization would happen once per partition here
-        rows.map { case (id, bytes) => fakeDecode(id, bytes) }
+        // ImageIO plugin registry is JVM-global; per-partition init seam
+        // kept for codecs that need per-thread state.
+        rows.map { case (id, bytes) => decodeImage(id, bytes) }
       }
   }
 
-  /** Documents-as-media: treat the UTF-8 text payload as the binary blob
-    * (the testdata ships no real media; the column shape is what matters).
+  /** Typed stats from REAL 16-bit PCM WAV sample decode. */
+  final case class WavStats(doc_id: Long, sample_rate: Long, channels: Long,
+      n_samples: Long, mean_abs: Double)
+
+  /** REAL WAV PCM decode: walks RIFF chunks to `data`, reads the raw
+    * 16-bit little-endian samples (PCM is uncompressed — the "decode" is
+    * genuine byte-level sample extraction, no codec required) and
+    * computes sample statistics. Non-PCM or malformed input → zeros.
     */
-  def documentsAsMedia(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("blob"))
+  def decodeWav(docId: Long, b: Array[Byte]): WavStats = {
+    val zero = WavStats(docId, 0L, 0L, 0L, 0.0)
+    val hdr = parseHeader(docId, b)
+    if (hdr.format != "wav") return zero
+    // walk chunks from offset 12 to find fmt (for bits) and data
+    var (i, bits, dataOff, dataLen) = (12, 16, -1, 0)
+    while (i + 8 <= b.length && dataOff < 0) {
+      val id = new String(b.slice(i, i + 4), "US-ASCII")
+      val len = le32(b, i + 4).toInt
+      if (id == "fmt " && i + 24 <= b.length) bits = le16(b, i + 22)
+      if (id == "data") { dataOff = i + 8; dataLen = math.min(len, b.length - dataOff) }
+      i += 8 + len + (len & 1)
+    }
+    if (dataOff < 0 || bits != 16) return zero
+    val n = dataLen / 2
+    var (j, sumAbs) = (0, 0L)
+    while (j < n) {
+      val s = (le16(b, dataOff + 2 * j).toShort).toInt
+      sumAbs += math.abs(s)
+      j += 1
+    }
+    WavStats(docId, hdr.sample_rate, hdr.channels, n.toLong,
+      if (n == 0) 0.0 else sumAbs.toDouble / n)
+  }
+
+  /** DOCUMENTED STUB — compressed audio/video codecs (mp3/aac/h264/vp9)
+    * do not ship in this environment. A real deployment plugs a JNI or
+    * Pandas-UDF codec into this seam; the surrounding plan (binary column
+    * in, per-partition batched decode, typed rows out) is identical to
+    * the real image path above. Returns container-header metadata (real,
+    * byte-parsed) with pixel/sample stats zeroed.
+    */
+  def stubAvDecode(docId: Long, bytes: Array[Byte]): MediaHeader =
+    parseHeader(docId, bytes) // header metadata real; sample decode needs a codec
+
+  // ---- deterministic image fixtures (builder side; the decoder above
+  // never sees these formulas — it reads pixels the codec decompresses) --
+
+  /** Deterministic test image for an id: horizontal gradient in R
+    * (base+x), constant G/B — every value recomputable from the id, so an
+    * oracle can verify the decoder really read the pixels.
+    */
+  def makeImage(id: Long): java.awt.image.BufferedImage = {
+    val w = (8 + id % 24).toInt
+    val h = (8 + (id * 3) % 24).toInt
+    val base = (id % 200).toInt
+    val g = ((id * 7) % 256).toInt
+    val bl = ((id * 13) % 256).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, ((base + x) << 16) | (g << 8) | bl); x += 1 }
+      y += 1
+    }
+    img
+  }
+
+  def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, baos)
+    baos.toByteArray
+  }
+
+  /** Animated GIF with `nFrames` solid frames — the real multi-frame
+    * container, so `decodeImage.n_frames` is exercised against a true
+    * frame count, not metadata arithmetic.
+    */
+  def makeAnimatedGif(nFrames: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var i = 0
+    while (i < nFrames) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color((i * 37) % 256, (i * 59) % 256, (i * 83) % 256))
+      g2.fillRect(0, 0, w, h)
+      g2.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      i += 1
+    }
+    writer.endWriteSequence()
+    writer.dispose()
+    ios.close()
+    baos.toByteArray
+  }
+
+  /** Documents-as-images: one deterministic PNG (even ids) / BMP (odd
+    * ids) per doc — genuine compressed containers, so the downstream
+    * decode is a real codec round-trip. Built per-partition, narrow.
+    */
+  def documentsAsImages(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        (id, encodeImage(makeImage(id), fmt))
+      }).toDF("doc_id", "blob")
+  }
+
+  /** Documents-as-animated-GIFs with 1 + id%8 true frames each. */
+  def documentsAsGifs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        (id, makeAnimatedGif((1 + id % 8).toInt))
+      }).toDF("doc_id", "blob")
+  }
 
   /** Frame sampling: one row per sampled frame index (every stride-th frame
     * of n_frames) — the explode-shaped plumbing of a video pipeline. Scales

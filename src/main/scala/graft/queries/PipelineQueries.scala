@@ -914,29 +914,47 @@ object PipelineQueries {
       FROM rk2 WHERE rank <= 10 ORDER BY qid, rank""")),
 
     // ---------------- multimodal plumbing ----------------
+    // REAL image decode (javax.imageio): the blobs are genuine PNG/BMP
+    // containers with a deterministic pixel pattern (horizontal R
+    // gradient base+x, constant G/B; dims derived from doc_id), and the
+    // decoder reads them back through the actual codec — so the decoded
+    // width/height/channels and per-channel pixel MEANS match the oracle
+    // only if ImageIO really decompressed the pixels. mean_r of the
+    // gradient = base + (w-1)/2 (exact .0/.5 halves, decimal-safe).
     QueryDef("m01_multimodal_features", (s, d) =>
-      Multimodal.decodeFeatures(s,
-          Multimodal.documentsAsMedia(Tables.load(s, d, "documents")))
-        .toDF().orderBy(col("doc_id")),
+      Multimodal.decodeImageFeatures(s,
+          Multimodal.documentsAsImages(s, Tables.load(s, d, "documents")))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"), col("n_frames"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+        .orderBy(col("doc_id")),
       Some("""
-      SELECT doc_id, CAST(octet_length(blob) AS BIGINT) AS n_bytes,
-        CAST(octet_length(blob) % 640 AS BIGINT) AS width,
-        CAST((octet_length(blob) * 7) % 480 AS BIGINT) AS height,
-        CAST(octet_length(blob) % 30 + 1 AS BIGINT) AS n_frames,
-        MD5(text) AS fp
-      FROM (SELECT doc_id, text, encode(text) AS blob FROM documents) m
-      ORDER BY doc_id""")),
+      SELECT doc_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        CAST(8 + doc_id % 24 AS BIGINT) AS width,
+        CAST(8 + (doc_id * 3) % 24 AS BIGINT) AS height,
+        CAST(3 AS BIGINT) AS channels,
+        CAST(1 AS BIGINT) AS n_frames,
+        CAST(doc_id % 200 + (7 + doc_id % 24) / 2.0 AS DOUBLE) AS mean_r,
+        CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
+        CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
+      FROM documents ORDER BY doc_id""")),
 
+    // Frame sampling over REAL multi-frame containers: each doc becomes
+    // an animated GIF with 1 + doc_id%8 true frames; n_frames comes from
+    // the GIF reader's frame count (getNumImages), then every 3rd frame
+    // index is sampled — the explode-shaped plumbing of a video pipeline.
     QueryDef("m02_frame_sample", (s, d) =>
       Multimodal.frameSample(
-          Multimodal.decodeFeatures(s,
-            Multimodal.documentsAsMedia(Tables.load(s, d, "documents"))).toDF())
+          Multimodal.decodeImageFeatures(s,
+            Multimodal.documentsAsGifs(s, Tables.load(s, d, "documents"))).toDF(),
+          stride = 3)
         .orderBy(col("doc_id"), col("frame_idx")),
       Some("""
-      SELECT doc_id, CAST(octet_length(blob) % 30 + 1 AS BIGINT) AS n_frames,
-        unnest(range(0, CAST(octet_length(blob) % 30 + 1 AS BIGINT), 5)) AS frame_idx
-      FROM (SELECT doc_id, encode(text) AS blob FROM documents) m
-      ORDER BY doc_id, frame_idx""")),
+      SELECT doc_id, CAST(1 + doc_id % 8 AS BIGINT) AS n_frames,
+        unnest(range(0, CAST(1 + doc_id % 8 AS BIGINT), 3)) AS frame_idx
+      FROM documents ORDER BY doc_id, frame_idx""")),
 
     // REAL container-header parsing (not the stubbed decode): payloads
     // are built as genuine PNG/JPEG/WAV container bytes (format and

@@ -773,14 +773,46 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) === "und")
   }
 
-  test("multimodal decode is deterministic and matches payload bytes") {
-    val d = docs(7L -> "hello world")
-    val got = Multimodal.decodeFeatures(spark, Multimodal.documentsAsMedia(d)).collect()
-    assert(got.length === 1)
-    val f = got.head
-    assert(f.n_bytes === 11L)
-    assert(f.width === 11L && f.height === 77L && f.n_frames === 12L)
-    assert(f.fp === "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+  test("real ImageIO decode: PNG/BMP pixel means and dims survive the codec round-trip") {
+    val d = docs(6L -> "even png", 7L -> "odd bmp")
+    val got = Multimodal.decodeImageFeatures(
+        spark, Multimodal.documentsAsImages(spark, d))
+      .collect().map(f => f.doc_id -> f).toMap
+    val png = got(6L) // id=6: w=14, h=26, base=6, g=42, b=78
+    assert(png.format === "png")
+    assert((png.width, png.height, png.channels, png.n_frames) === ((14L, 26L, 3L, 1L)))
+    assert(png.mean_r === 6.0 + 13 / 2.0) // gradient base + (w-1)/2
+    assert(png.mean_g === 42.0 && png.mean_b === 78.0)
+    val bmp = got(7L) // id=7: w=15, h=29, base=7, g=49, b=91
+    assert(bmp.format === "bmp")
+    assert((bmp.width, bmp.height) === ((15L, 29L)))
+    assert(bmp.mean_r === 7.0 + 14 / 2.0)
+    assert(bmp.mean_g === 49.0 && bmp.mean_b === 91.0)
+  }
+
+  test("real ImageIO decode: animated GIF true frame count + undecodable bytes degrade") {
+    val gif = Multimodal.decodeImage(3L, Multimodal.makeAnimatedGif(5))
+    assert(gif.format === "gif" && gif.n_frames === 5L)
+    val junk = Multimodal.decodeImage(4L, "not an image".getBytes("UTF-8"))
+    assert(junk.format === "unknown" && junk.width === 0L)
+    val trunc = Multimodal.decodeImage(5L,
+      Multimodal.encodeImage(Multimodal.makeImage(5L), "png").take(30))
+    assert(trunc.format === "unknown" || trunc.width >= 0L) // degrade, never throw
+  }
+
+  test("real WAV PCM sample decode: rate/channels/sample stats from raw samples") {
+    // 44-byte header from makeWav has an empty data chunk; append samples
+    val hdr = Multimodal.makeWav(16000, 1)
+    val samples = Array.tabulate[Int](8)(i => if (i % 2 == 0) 100 else -300)
+    val bb = java.nio.ByteBuffer.allocate(hdr.length + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(hdr, 0, 40)
+    bb.putInt(16) // data chunk length = 8 samples * 2 bytes
+    samples.foreach(s => bb.putShort(s.toShort))
+    val w = Multimodal.decodeWav(9L, bb.array())
+    assert((w.sample_rate, w.channels, w.n_samples) === ((16000L, 1L, 8L)))
+    assert(w.mean_abs === 200.0) // (100+300)/2
+    assert(Multimodal.decodeWav(10L, "nope".getBytes("UTF-8")).sample_rate === 0L)
   }
 
   test("quality score penalizes stopword-heavy docs") {

@@ -49,7 +49,80 @@ object Bench {
     java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
-  private def info(msg: String): Unit = System.err.println(s"[bench-info] $msg")
+  /** Progress goes to STDOUT: sbt prefixes forked stderr as `[error]`,
+    * which made every artifact tail read as failures. The driver extracts
+    * the one `{"metric":...}` JSON line; `[bench-info]` lines are inert.
+    */
+  private def info(msg: String): Unit = println(s"[bench-info] $msg")
+
+  // ---- per-run forensics: the r9 A/B (identical bytecode, every query
+  // 10-49% faster, total 25.14→17.50 s) proved session-level floor swings
+  // the artifact could not attribute. Each reported number now carries the
+  // ambient load it was measured under plus this JVM's own procCpu / JIT /
+  // GC deltas, so a reader can split floor noise from regression in the
+  // artifact itself.
+  private val osBean = java.lang.management.ManagementFactory
+    .getOperatingSystemMXBean.asInstanceOf[com.sun.management.OperatingSystemMXBean]
+  private def jitTotalMs(): Long = java.lang.management.ManagementFactory
+    .getCompilationMXBean.getTotalCompilationTime
+  private def gcTotalMs(): Long = {
+    var t = 0L
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .forEach(b => t += math.max(b.getCollectionTime, 0L))
+    t
+  }
+
+  /** Forensic deltas for one measured run. */
+  final case class RunForensics(load: Double, procCpu: Double, jitMs: Long,
+      gcMs: Long) {
+    def json: String =
+      f"""{"load":$load%.2f,"proc_cpu":$procCpu%.2f,"jit_ms":$jitMs,"gc_ms":$gcMs}"""
+  }
+
+  private def measure[A](body: => A): (Double, RunForensics, A) = {
+    val load0 = loadAvg()
+    val cpu0 = osBean.getProcessCpuTime
+    val jit0 = jitTotalMs()
+    val gc0 = gcTotalMs()
+    val t0 = System.nanoTime()
+    val a = body
+    val secs = (System.nanoTime() - t0) / 1e9
+    (secs, RunForensics(load0, (osBean.getProcessCpuTime - cpu0) / 1e9,
+      jitTotalMs() - jit0, gcTotalMs() - gc0), a)
+  }
+
+  /** Ambient-load settle gate. The old gate was a single ≤2.0 snapshot —
+    * r9 proved it anti-correlates (load 1.64 start produced the best-ever
+    * numbers: the 1.64 was decaying residue of a finished process, not a
+    * live competitor). The gate now accepts when either
+    *   (a) load ≤ `maxLoad` (default 0.7 — genuinely idle), or
+    *   (b) load ≤ `hardCap` AND the last 4 samples are strictly decaying
+    *       ≥10%% overall (finished-process residue: the 1-min average lags
+    *       the actually-idle CPUs, safe to start).
+    * Steady load above `maxLoad` that never decays is a live competitor →
+    * wait out the deadline, then run stamped dirty. Returns (dirty,
+    * sampled trajectory) so the artifact records what the gate saw.
+    */
+  private def settleGate(maxLoad: Double, hardCap: Double, waitSecs: Long,
+      tag: String): (Boolean, Seq[Double]) = {
+    val deadline = System.nanoTime() + waitSecs * 1000000000L
+    val samples = scala.collection.mutable.ArrayBuffer(loadAvg())
+    def decaying: Boolean = samples.length >= 4 && {
+      val w = samples.takeRight(4)
+      w.sliding(2).forall(p => p(1) < p(0) - 0.005) && w.last <= 0.9 * w.head
+    }
+    while (System.nanoTime() < deadline && samples.last > maxLoad &&
+        !(samples.last <= hardCap && decaying)) {
+      info(f"$tag waiting: load ${samples.last}%.2f > $maxLoad%.1f and not decaying")
+      Thread.sleep(15000)
+      samples += loadAvg()
+    }
+    val clean = samples.last <= maxLoad || (samples.last <= hardCap && decaying)
+    (!clean, samples.toSeq)
+  }
+
+  private def trajJson(samples: Seq[Double]): String =
+    samples.takeRight(8).map(l => f"$l%.2f").mkString("[", ",", "]")
 
   /** Count of java processes that are NOT this benchmark (not self, not an
     * ancestor like the sbt launcher, not our own forked concurrent child).
@@ -98,21 +171,30 @@ object Bench {
     * over a fixed worker pool, queries/sec over wall time, best of
     * `SPARK_GRAFT_CONCURRENT_BATCHES` under a per-query time budget.
     */
+  /** One concurrent batch's forensics: observed q/s plus the ambient load
+    * it started under and the JVM's own cpu/jit/gc deltas — the per-batch
+    * evidence five rounds of near-miss q01 numbers lacked.
+    */
+  private final case class BatchStats(qps: Double, f: RunForensics) {
+    def json: String =
+      f"""{"qps":$qps%.3f,"load":${f.load}%.2f,"proc_cpu":${f.procCpu}%.2f,"jit_ms":${f.jitMs},"gc_ms":${f.gcMs}}"""
+  }
+
   private def runConcurrent(spark: SparkSession, sfDir: String,
-      cpus: Int): Seq[(String, Double)] = {
+      cpus: Int): Seq[(String, Seq[BatchStats])] = {
     val concNames = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_QUERIES",
       "q01_pricing_summary,q06_revenue_forecast,a01_ann_bruteforce")
       .split(",").map(_.trim).filter(SparkEntry.queries.contains).toSeq
     val concIters = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_ITERS", "8").toInt
-    val concBatches = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_BATCHES", "3").toInt
-    val warmups = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WARMUPS", "2").toInt
+    val concBatches = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_BATCHES", "4").toInt
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WARMUPS", "3").toInt
     val workers = math.min(concIters, cpus)
     concNames.map { name =>
       val fn = SparkEntry.queries(name)
       // serial warm-ups first: the isolated fresh JVM starts cold, and a
       // cold first batch is 32 threads of interpreted generated code
       // fighting the C2 queue — it measures the JIT, not the engine
-      // (measured: cold concurrent q01 1.7 q/s vs ~7 warm). Two serial
+      // (measured: cold concurrent q01 1.7 q/s vs ~7 warm). The serial
       // runs compile the plan's codegen classes once, quietly.
       (1 to warmups).foreach { _ =>
         spark.catalog.clearCache()
@@ -125,7 +207,7 @@ object Bench {
       val budgetNanos = sys.env
         .getOrElse("SPARK_GRAFT_CONCURRENT_BUDGET_SECS", "120").toLong * 1000000000L
       val tq0 = System.nanoTime()
-      var best = Double.MinValue
+      val batches = scala.collection.mutable.ArrayBuffer.empty[BatchStats]
       var b = 1
       // imperative loop: the budget must be checked AFTER each batch runs,
       // not eagerly over the whole range
@@ -135,31 +217,36 @@ object Bench {
         spark.catalog.clearCache()
         val pool = Executors.newFixedThreadPool(workers)
         implicit val ec: EC = EC.fromExecutor(pool)
-        val t0 = System.nanoTime()
-        val qps = try {
-          Await.result(
-            Future.sequence((1 to concIters).map(_ => Future {
-              fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-            })), Duration.Inf)
-          concIters / ((System.nanoTime() - t0) / 1e9)
+        val (secs, forensics, ok) = try {
+          measure {
+            Await.result(
+              Future.sequence((1 to concIters).map(_ => Future {
+                fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+              })), Duration.Inf)
+            true
+          }
         } catch { case e: Throwable =>
           info(s"concurrent $name failed: ${e.getMessage}")
-          -1.0
+          (1.0, RunForensics(loadAvg(), 0.0, 0L, 0L), false)
         } finally pool.shutdown()
         spark.catalog.clearCache()
         System.gc()
-        if (qps > best) best = qps
+        batches += BatchStats(if (ok) concIters / secs else -1.0, forensics)
         b += 1
       }
-      name -> best
+      name -> batches.toSeq
     }
   }
 
-  private def concJson(rows: Seq[(String, Double)], concIters: Int,
+  private def concJson(rows: Seq[(String, Seq[BatchStats])], concIters: Int,
       workers: Int): String = {
-    val cs = rows.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
-      .mkString("{", ",", "}")
-    s""""concurrent_qps":$cs,"concurrent_iters":$concIters,"concurrent_workers":$workers"""
+    val cs = rows.map { case (k, bs) =>
+      "\"" + k + f"\":${bs.map(_.qps).foldLeft(Double.MinValue)(math.max)}%.3f"
+    }.mkString("{", ",", "}")
+    val batches = rows.map { case (k, bs) =>
+      "\"" + k + "\":" + bs.map(_.json).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    s""""concurrent_qps":$cs,"concurrent_batches":$batches,"concurrent_iters":$concIters,"concurrent_workers":$workers"""
   }
 
   /** Fork a fresh JVM (same flags + classpath) running ONLY the concurrent
@@ -181,11 +268,16 @@ object Bench {
       pb.environment().put("SPARK_GRAFT_SECTION", "concurrent")
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
       val p = pb.start()
-      val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+      // stream the child's stdout: forward its progress lines live (they
+      // are [bench-info]-prefixed), keep only the JSON fragment line
+      var fragLine: Option[String] = None
+      val src = scala.io.Source.fromInputStream(p.getInputStream)
+      for (line <- src.getLines()) {
+        if (line.startsWith("{\"concurrent_qps\"")) fragLine = Some(line)
+        else println(line)
+      }
       val code = p.waitFor()
-      val frag = out.linesIterator
-        .find(_.startsWith("{\"concurrent_qps\""))
-        .map(_.stripPrefix("{").stripSuffix("}"))
+      val frag = fragLine.map(_.stripPrefix("{").stripSuffix("}"))
       if (code != 0 || frag.isEmpty) {
         info(s"concurrent fork exited $code without a fragment — falling back inline")
         None
@@ -212,20 +304,23 @@ object Bench {
       // 1.1 q/s starting on loadavg ~3.8 (right after the serial list),
       // 4.1 at 2.3, and 5.6 at 0.4 on the identical fresh JVM — so the
       // settle gate, not the fork alone, is what makes the number
-      // reproducible. Bounded wait: loadavg decays with a ~60 s time
-      // constant, so 240 s covers any serial-section residue.
-      val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
-      val settleDeadline = System.nanoTime() +
-        sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_LOAD_WAIT_SECS", "240").toLong * 1000000000L
-      while (loadAvg() > maxLoad && System.nanoTime() < settleDeadline) {
-        info(f"concurrent section waiting out residual load ${loadAvg()}%.2f > $maxLoad%.1f")
-        Thread.sleep(10000)
-      }
+      // reproducible. The serial residue is exactly the decaying-residue
+      // case the gate's decay rule accepts early; a genuinely idle floor
+      // (≤0.7) is better still for the ≥5 q/s q01 bar, so the child waits
+      // for idle first and takes the decay exit only late (the wait is
+      // bounded; loadavg decays with a ~60 s time constant).
+      val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "0.7").toDouble
+      val (settleDirty, settleTraj) = settleGate(maxLoad, hardCap = 1.5,
+        sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_LOAD_WAIT_SECS", "300").toLong,
+        "concurrent section")
+      if (settleDirty)
+        info(f"concurrent section starting on residual load ${loadAvg()}%.2f")
       val spark = buildSession(cpus)
       Thread.sleep(
         sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_SETTLE_MS", "4000").toLong)
       val rows = runConcurrent(spark, sfDir, cpus.toInt)
-      println("{" + concJson(rows, concIters, workers) + "}")
+      println("{" + concJson(rows, concIters, workers) +
+        f""","concurrent_load_at_start":${settleTraj.last}%.2f,"concurrent_settle_trajectory":${trajJson(settleTraj)}}""")
       spark.stop()
       return
     }
@@ -234,35 +329,34 @@ object Bench {
     // first-class, `local_benchmarks.rs:169-185`): a benchmark started on a
     // busy machine measures the machine, not the engine — round 6's numbers
     // were contaminated by a pre-run load of 4.95 on this 32-core box.
-    // Before building the session, wait (up to SPARK_GRAFT_LOAD_WAIT_SECS,
-    // default 600) for the 1-minute load to fall below
-    // SPARK_GRAFT_MAX_LOAD (default 2.0); if it never does, run anyway but
-    // stamp `"dirty":true` in the JSON so the artifact self-reports as
-    // non-comparable.
-    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "2.0").toDouble
+    // The r9 A/B showed the old single ≤2.0 snapshot anti-correlates with
+    // outcome (decaying residue ≠ live competitor); settleGate waits for a
+    // genuinely idle floor (≤0.7 default) and accepts decaying residue
+    // early. If neither happens by SPARK_GRAFT_LOAD_WAIT_SECS, run anyway
+    // but stamp `"dirty":true` so the artifact self-reports as
+    // non-comparable; the gate's sampled trajectory lands in the JSON.
+    val maxLoad = sys.env.getOrElse("SPARK_GRAFT_MAX_LOAD", "0.7").toDouble
     val loadWaitSecs = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_SECS", "600").toLong
-    val gateDeadline = System.nanoTime() + loadWaitSecs * 1000000000L
-    while (loadAvg() > maxLoad && System.nanoTime() < gateDeadline) {
-      info(f"ambient load ${loadAvg()}%.2f > $maxLoad%.1f — waiting for a quiet machine")
-      Thread.sleep(15000)
-    }
-    val dirty = loadAvg() > maxLoad
+    val (dirty, gateTraj) = settleGate(maxLoad, hardCap = 2.0, loadWaitSecs,
+      "serial section")
     if (dirty) info(
-      f"WARNING: starting on a loaded machine (${loadAvg()}%.2f > $maxLoad%.1f after ${loadWaitSecs}s) — results stamped dirty:true")
+      f"WARNING: starting on a loaded machine (${loadAvg()}%.2f > $maxLoad%.1f, not decaying, after ${loadWaitSecs}s) — results stamped dirty:true")
 
     val spark = buildSession(cpus)
     val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt
 
-    def materialize(name: String): Double = {
+    def materialize(name: String): (Double, RunForensics) = {
       val fn = SparkEntry.queries(name)
       spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-      catch { case e: Throwable =>
+      try {
+        val (secs, f, _) = measure {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        }
+        (secs, f)
+      } catch { case e: Throwable =>
         info(s"$name failed: ${e.getMessage}")
-        return -1.0
+        (-1.0, RunForensics(loadAvg(), 0.0, 0L, 0L))
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     // load evidence: ambient machine state before/after the run plus the
@@ -285,12 +379,18 @@ object Bench {
       // reclaim this query's broadcasts/shuffles before the next entry
       spark.catalog.clearCache()
       System.gc()
-      val failed = runs.contains(-1.0)
-      (n, if (failed) -1.0 else runs.min, if (failed) -1.0 else median(runs))
+      val failed = runs.exists(_._1 == -1.0)
+      // forensics of the run that produced the reported min: under what
+      // ambient load, and at what jit/gc cost, that number was measured
+      val minRun = runs.minBy(_._1)
+      (n, if (failed) -1.0 else minRun._1,
+        if (failed) -1.0 else median(runs.map(_._1)), minRun._2)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, _, m) => "\"" + k + f"\":$m%.3f" }
+    val qsMed = results.map { case (k, _, m, _) => "\"" + k + f"\":$m%.3f" }
+      .mkString("{", ",", "}")
+    val qsForensics = results.map { case (k, _, _, f) => "\"" + k + "\":" + f.json }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -316,9 +416,9 @@ object Bench {
 
     val loadAfter = loadAvg()
     val jvmsAfter = foreignJvms()
-    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$dirty"""
+    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"load_gate_trajectory":${trajJson(gateTraj)},"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$dirty"""
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,$env,$concFragment,"concurrent_isolated":$isolated,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_forensics":$qsForensics,$env,$concFragment,"concurrent_isolated":$isolated,"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

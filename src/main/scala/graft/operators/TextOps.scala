@@ -386,19 +386,20 @@ object TextOps {
     val ug = refTok.groupBy(col("w")).agg(count(lit(1)).as("uc"))
     val consts = refTok.agg(count(lit(1)).cast("double").as("t"))
       .crossJoin(ug.agg(count(lit(1)).cast("double").as("v")))
-    val bgc = tokRel(ref)
-      .withColumn("w2", lead(col("w"), 1)
-        .over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id")).orderBy(col("pos"))))
-      .filter(col("w2").isNotNull)
-      .groupBy(col("w").as("bw1"), col("w2").as("bw2"))
-      .agg(count(lit(1)).as("bc"))
-    // in-row bigram structs of the SCORED docs: one explode, no window
+    // in-row bigram structs: one array transform per row, no window — the
+    // same narrow shape serves BOTH the reference-side counts and the
+    // scored side (the old reference-side lead/Window shuffled AND sorted
+    // the whole reference corpus; self-scoring at scale paid a full-corpus
+    // exchange the in-row form avoids)
     val pairs = when(size(col("__ws")) < 2,
         array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(transform(sequence(lit(1), size(col("__ws")) - 1), i =>
         struct(element_at(col("__ws"), i).as("w1"),
           element_at(col("__ws"), i + 1).as("w2"))))
+    val bgc = ref.withColumn("__ws", ws)
+      .select(explode(pairs).as("bg"))
+      .groupBy(col("bg.w1").as("bw1"), col("bg.w2").as("bw2"))
+      .agg(count(lit(1)).as("bc"))
     def nll6(p: Column): Column =
       round(-log(p), 6).cast("decimal(20,6)")
     val bigramTerms = docs.withColumn("__ws", ws)

@@ -228,6 +228,18 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("Filter"), s"no filter stage in:\n$p")
   }
 
+  test("t12 LM score plans no Window: reference-side bigrams are in-row") {
+    // the bigram counts on BOTH sides (reference fit + scoring) must come
+    // from the per-row pair transform, never a lead/Window — a window here
+    // shuffles AND sorts the whole reference corpus at scale
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.operators.TextOps.lmScore(docs)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"corpus-sized window in t12 plan:\n$p")
+    // and no sort anywhere: nothing in the score pipeline is order-based
+    assert(!p.contains("Sort "), s"sort in t12 plan:\n$p")
+  }
+
   test("contamination screen broadcasts the benchmark side") {
     val p = plan("cnt01_contamination")
     assert(p.contains("BroadcastHashJoin"),

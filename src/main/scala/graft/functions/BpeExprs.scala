@@ -177,8 +177,22 @@ object BpeOps {
   private def words(text: UTF8String): Array[String] =
     ws.split(text.trim.toString, -1).filter(_.nonEmpty)
 
+  /** Dev/test instrumentation: volatile-gated eval counters so a spec can
+    * pin how many times the merge loop really runs per row under codegen
+    * (the CSE-single-evaluation proof — a silent per-reference or
+    * per-window re-evaluation is invisible to the oracle and expensive at
+    * scale). Off by default; cost when off is one volatile read per call,
+    * dwarfed by the merge loop itself. local-mode only by design: the
+    * counters are per-JVM.
+    */
+  @volatile var countEvals: Boolean = false
+  private val evalCounter = new java.util.concurrent.atomic.LongAdder
+  def evalCount: Long = evalCounter.sum()
+  def resetEvalCount(): Unit = evalCounter.reset()
+
   /** All BPE tokens of the text, word by word, document order. */
   def tokenize(text: UTF8String, table: BpeTable): ArrayData = {
+    if (countEvals) evalCounter.increment()
     val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
     for (w <- words(text); t <- table.tokenizeWord(w))
       out += UTF8String.fromString(t)
@@ -187,6 +201,7 @@ object BpeOps {
 
   /** Token count only — the budget form: no array materialization. */
   def tokenCount(text: UTF8String, table: BpeTable): Long = {
+    if (countEvals) evalCounter.increment()
     var n = 0L
     for (w <- words(text)) n += table.tokenizeWord(w).length
     n

@@ -419,6 +419,14 @@ object Bench {
     val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"load_gate_trajectory":${trajJson(gateTraj)},"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$dirty"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_forensics":$qsForensics,$env,$concFragment,"concurrent_isolated":$isolated,"sf":"$sfDir"}""")
+    // Tail-proof summary: the forensic line above grew past the driver's
+    // fixed-size tail capture in r10, truncating the headline per-query
+    // wall times out of the artifact. A compact line with ONLY the
+    // headline numbers prints LAST so the final ~2 KB of output always
+    // carries them, whatever the forensics grow to.
+    val concQps = concFragment.split(",\"concurrent_batches\"").head
+      .stripPrefix("\"concurrent_qps\":")
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$qs,"concurrent_qps":$concQps,"dirty":$dirty,"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

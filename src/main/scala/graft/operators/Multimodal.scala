@@ -32,7 +32,10 @@ object Multimodal {
     */
   def decodeImage(docId: Long, bytes: Array[Byte]): ImageFeatures = {
     val unknown = ImageFeatures(docId, "unknown", 0L, 0L, 0L, 0L, 0.0, 0.0, 0.0)
-    val iis = javax.imageio.ImageIO.createImageInputStream(
+    // Memory-backed stream: the default createImageInputStream writes a
+    // temp file per blob (FileCacheImageInputStream) — disk I/O in the
+    // per-row decode hot path.
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -61,8 +64,12 @@ object Multimodal {
             h.toLong, ch, nFrames, sr / n, sg / n, sb / n)
         } finally reader.dispose()
       }
-    } catch { case _: java.io.IOException => unknown }
-    finally if (iis != null) iis.close()
+    } catch {
+      // ImageIO readers throw RuntimeExceptions (IllegalArgument, CMM,
+      // IndexOutOfBounds) on corrupt bytes, not just IOException; one bad
+      // blob must degrade to "unknown", never fail the stage.
+      case scala.util.control.NonFatal(_) => unknown
+    } finally if (iis != null) iis.close()
   }
 
   /** Decode image features from a (doc_id, blob binary) frame via
@@ -94,14 +101,25 @@ object Multimodal {
     val zero = WavStats(docId, 0L, 0L, 0L, 0.0)
     val hdr = parseHeader(docId, b)
     if (hdr.format != "wav") return zero
-    // walk chunks from offset 12 to find fmt (for bits) and data
-    var (i, bits, dataOff, dataLen) = (12, 16, -1, 0)
+    // walk chunks from offset 12 to find fmt (for bits) and data. Chunk
+    // lengths are untrusted 32-bit values: treat as unsigned Long and
+    // bail to zeros when the next offset would not strictly advance or
+    // would overflow past the buffer — malformed input must never loop
+    // or throw.
+    var (i, bits, dataOff, dataLen) = (12L, 16, -1, 0)
     while (i + 8 <= b.length && dataOff < 0) {
-      val id = new String(b.slice(i, i + 4), "US-ASCII")
-      val len = le32(b, i + 4).toInt
-      if (id == "fmt " && i + 24 <= b.length) bits = le16(b, i + 22)
-      if (id == "data") { dataOff = i + 8; dataLen = math.min(len, b.length - dataOff) }
-      i += 8 + len + (len & 1)
+      val ii = i.toInt
+      val id = new String(b.slice(ii, ii + 4), "US-ASCII")
+      val len = le32(b, ii + 4) // unsigned: 0 .. 0xFFFFFFFF
+      if (id == "fmt " && i + 24 <= b.length) bits = le16(b, ii + 22)
+      if (id == "data") {
+        dataOff = ii + 8
+        dataLen = math.max(0L, math.min(len, (b.length - dataOff).toLong)).toInt
+      } else {
+        val next = i + 8L + len + (len & 1L)
+        if (next <= i || next > b.length.toLong) return zero
+        i = next
+      }
     }
     if (dataOff < 0 || bits != 16) return zero
     val n = dataLen / 2

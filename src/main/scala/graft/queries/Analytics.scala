@@ -116,7 +116,7 @@ object Analytics {
       WHERE user_id < 20
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      ORDER BY user_id, event_id""")),
+      ORDER BY user_id, event_id"""), headline = true),
 
     // ------------------------------------------------------------------
     // UNION ALL / INTERSECT / EXCEPT in one labeled result.

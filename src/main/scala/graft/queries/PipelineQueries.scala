@@ -298,7 +298,7 @@ object PipelineQueries {
           THEN ROUND(CAST(p.total AS DOUBLE) / p.n_terms, 6)
           ELSE 0.0 END AS avg_nll
       FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
-      ORDER BY d.doc_id""")),
+      ORDER BY d.doc_id"""), headline = true),
 
     // ---------------- dedup family ----------------
     QueryDef("d01_dedup_exact", (s, d) =>
@@ -939,7 +939,7 @@ object PipelineQueries {
         CAST(doc_id % 200 + (7 + doc_id % 24) / 2.0 AS DOUBLE) AS mean_r,
         CAST((doc_id * 7) % 256 AS DOUBLE) AS mean_g,
         CAST((doc_id * 13) % 256 AS DOUBLE) AS mean_b
-      FROM documents ORDER BY doc_id""")),
+      FROM documents ORDER BY doc_id"""), headline = true),
 
     // Frame sampling over REAL multi-frame containers: each doc becomes
     // an animated GIF with 1 + doc_id%8 true frames; n_frames comes from

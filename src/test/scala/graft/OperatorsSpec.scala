@@ -797,7 +797,9 @@ class OperatorsSpec extends SparkSpec {
     assert(junk.format === "unknown" && junk.width === 0L)
     val trunc = Multimodal.decodeImage(5L,
       Multimodal.encodeImage(Multimodal.makeImage(5L), "png").take(30))
-    assert(trunc.format === "unknown" || trunc.width >= 0L) // degrade, never throw
+    // concrete degrade contract: a truncated container decodes to unknown
+    assert(trunc.format === "unknown")
+    assert((trunc.width, trunc.height, trunc.n_frames) === ((0L, 0L, 0L)))
   }
 
   test("real WAV PCM sample decode: rate/channels/sample stats from raw samples") {
@@ -813,6 +815,36 @@ class OperatorsSpec extends SparkSpec {
     assert((w.sample_rate, w.channels, w.n_samples) === ((16000L, 1L, 8L)))
     assert(w.mean_abs === 200.0) // (100+300)/2
     assert(Multimodal.decodeWav(10L, "nope".getBytes("UTF-8")).sample_rate === 0L)
+  }
+
+  test("WAV decode: adversarial chunk lengths terminate with zeros, never hang") {
+    // a chunk whose 32-bit length reads as 0xFFFFFFF7 (signed -9) made the
+    // old walk advance by 0 → infinite loop; and a huge positive length
+    // overflowed the offset. Both must bail to the zero row.
+    def withChunk(lenBytes: Array[Byte]): Array[Byte] = {
+      val hdr = Multimodal.makeWav(8000, 1)
+      val bb = java.nio.ByteBuffer.allocate(hdr.length + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(hdr, 0, 36)            // RIFF..WAVE + fmt chunk
+      bb.put("junk".getBytes("US-ASCII")).put(lenBytes) // evil chunk
+      bb.put(hdr, 36, 8)            // data chunk header (len 0)
+      bb.array()
+    }
+    val evilNeg = withChunk(Array(0xf7, 0xff, 0xff, 0xff).map(_.toByte)) // -9 as i32
+    val evilM8 = withChunk(Array(0xf8, 0xff, 0xff, 0xff).map(_.toByte))  // -8 as i32
+    val evilHuge = withChunk(Array(0xff, 0xff, 0xff, 0x7f).map(_.toByte)) // 2^31-1
+    for (evil <- Seq(evilNeg, evilM8, evilHuge)) {
+      val w = Multimodal.decodeWav(11L, evil)
+      assert((w.sample_rate, w.n_samples, w.mean_abs) === ((0L, 0L, 0.0)))
+    }
+    // negative data-chunk length clamps to 0 samples, not negative
+    val hdr = Multimodal.makeWav(8000, 1)
+    val bb = java.nio.ByteBuffer.allocate(hdr.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(hdr, 0, 40)
+    bb.put(Array(0xf8, 0xff, 0xff, 0xff).map(_.toByte)) // data len = -8
+    val w = Multimodal.decodeWav(12L, bb.array())
+    assert(w.n_samples === 0L && w.mean_abs === 0.0)
   }
 
   test("quality score penalizes stopword-heavy docs") {

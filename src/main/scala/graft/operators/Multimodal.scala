@@ -133,6 +133,58 @@ object Multimodal {
       if (n == 0) 0.0 else sumAbs.toDouble / n)
   }
 
+  /** Decode WAV PCM stats for a (doc_id, blob binary) frame — the same
+    * narrow per-partition batching seam as [[decodeImageFeatures]]: no
+    * shuffle, one stats row per blob.
+    */
+  def decodeWavStats(spark: SparkSession, media: DataFrame): Dataset[WavStats] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+  }
+
+  /** A complete PCM WAV container: 44-byte header with correct fmt/data
+    * chunk sizes plus the raw 16-bit little-endian samples — a genuine
+    * well-formed audio file, so `decodeWav` exercises the full chunk walk
+    * and sample extraction.
+    */
+  def makePcmWav(sampleRate: Long, channels: Long,
+      samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(1.toShort).putShort(channels.toShort)
+    out.putInt(sampleRate.toInt).putInt((sampleRate * channels * 2).toInt)
+    out.putShort((channels * 2).toShort).putShort(16.toShort)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(s => out.putShort(s))
+    out.array()
+  }
+
+  /** Documents-as-audio: one deterministic PCM WAV per doc — rate,
+    * channel count, sample count and an alternating ±amplitude sample
+    * pattern all derived from doc_id, so every decoded statistic is
+    * analytically recomputable by an oracle. `mean_abs` of the
+    * (+a, -(a+2)) alternation over an even sample count is exactly a+1.
+    */
+  def documentsAsWavs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val sr = 8000L * (1 + id % 3)
+        val ch = 1L + id % 2
+        val n = (16 + 2 * (id % 16)).toInt
+        val a = (100 + id % 200).toInt
+        val samples = Array.tabulate[Short](n)(j =>
+          (if (j % 2 == 0) a else -(a + 2)).toShort)
+        (id, makePcmWav(sr, ch, samples))
+      }).toDF("doc_id", "blob")
+  }
+
   /** DOCUMENTED STUB — compressed audio/video codecs (mp3/aac/h264/vp9)
     * do not ship in this environment. A real deployment plugs a JNI or
     * Pandas-UDF codec into this seam; the surrounding plan (binary column

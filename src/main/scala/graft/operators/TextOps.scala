@@ -336,7 +336,14 @@ object TextOps {
       "need chunkTokens > overlapTokens >= 0")
     graft.functions.NativeFunctions.register(docs.sparkSession)
     val step = chunkTokens - overlapTokens
-    val toks = tokensOf(col("text"))
+    // Materialize the token array ONCE in its own projection. Inlining
+    // `tokensOf` into the window transform re-runs the tokenizer per
+    // window element (measured: 15 evaluations/row on an 8-word doc —
+    // the transform lambda re-evaluates its operand per sequence index,
+    // and HigherOrderFunction bodies are outside codegen CSE). The
+    // multi-referenced non-cheap alias also stops CollapseProject from
+    // undoing the split. BpeSpec pins exactly one merge-loop run per row.
+    val toks = col("__toks")
     val n = size(toks)
     val nStarts = ceil(n.cast("double") / lit(step.toDouble)).cast("int")
     val windows = transform(sequence(lit(0), nStarts - 1), i =>
@@ -345,6 +352,7 @@ object TextOps {
           .as("chunk_md5"),
         least(lit(chunkTokens), n - i * step).cast("long").as("n_tokens")))
     docs.filter(trim(col("text")) =!= "")
+      .select(col("doc_id"), tokensOf(col("text")).as("__toks"))
       .select(col("doc_id"), posexplode(windows).as(Seq("chunk_id", "c")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         col("c.n_tokens").as("n_tokens"), col("c.chunk_md5").as("chunk_md5"))

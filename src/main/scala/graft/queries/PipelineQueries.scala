@@ -913,6 +913,106 @@ object PipelineQueries {
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(d2, 4) AS dist2
       FROM rk2 WHERE rank <= 10 ORDER BY qid, rank""")),
 
+    // IVF-PQ (IVFADC): a LEARNED coarse quantizer (deterministic L2
+    // k-means = a 1-block codebook fit) prunes the corpus AND PQ codes
+    // of the RESIDUALS (x - cell centroid) stand in for vectors inside
+    // probed cells — a02's pruning composed with a05's code-only scan.
+    // The oracle replays everything: the coarse fit
+    // (seed/assign/update/assign), residual construction, the
+    // residual-PQ fit, L2 cell probing, per-(query, cell) residual
+    // distance tables summed as exact DECIMAL, and the exact re-rank of
+    // the top-50 survivors.
+    QueryDef("a06_ann_ivfpq", (s, d) =>
+      Similarity.ivfPqTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, k = 10, nProbe = 2, cells = 10, dim = 64)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      kc0 AS (SELECT vec_id AS cl, i, v AS cv FROM ed WHERE vec_id < 10),
+      ks1 AS (SELECT e.vec_id, c.cl, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
+              FROM ed e JOIN kc0 c ON c.i = e.i GROUP BY e.vec_id, c.cl),
+      ka1 AS (SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cl) AS rn
+                FROM ks1) t WHERE rn = 1),
+      kc1 AS (SELECT ka1.cl, e.i, ROUND(AVG(e.v), 6) AS cv
+              FROM ka1 JOIN ed e ON e.vec_id = ka1.vec_id
+              GROUP BY ka1.cl, e.i),
+      ks2 AS (SELECT e.vec_id, c.cl, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
+              FROM ed e JOIN kc1 c ON c.i = e.i GROUP BY e.vec_id, c.cl),
+      ka2 AS (SELECT vec_id, cl FROM (
+                SELECT vec_id, cl,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY d2, cl) AS rn
+                FROM ks2) t WHERE rn = 1),
+      rs AS (SELECT e.vec_id, a.cl AS label, e.i, e.v - c.cv AS rv
+             FROM ed e
+             JOIN ka2 a ON a.vec_id = e.vec_id
+             JOIN kc1 c ON c.cl = a.cl AND c.i = e.i),
+      rb AS (SELECT vec_id, label, (i-1)//16 AS b, (i-1)%16 AS j, rv AS v FROM rs),
+      pc0 AS (SELECT vec_id AS code, b, j, v AS cv FROM rb WHERE vec_id < 16),
+      ps1 AS (SELECT e.vec_id, e.b, c.code, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
+              FROM rb e JOIN pc0 c ON c.b = e.b AND c.j = e.j
+              GROUP BY e.vec_id, e.b, c.code),
+      pa1 AS (SELECT vec_id, b, code FROM (
+                SELECT vec_id, b, code,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                    ORDER BY d2, code) AS rn
+                FROM ps1) t WHERE rn = 1),
+      pc1 AS (SELECT pa1.code, e.b, e.j, ROUND(AVG(e.v), 6) AS cv
+              FROM pa1 JOIN rb e ON e.vec_id = pa1.vec_id AND e.b = pa1.b
+              GROUP BY pa1.code, e.b, e.j),
+      ps2 AS (SELECT e.vec_id, e.b, c.code, SUM((e.v-c.cv)*(e.v-c.cv)) AS d2
+              FROM rb e JOIN pc1 c ON c.b = e.b AND c.j = e.j
+              GROUP BY e.vec_id, e.b, c.code),
+      pa2 AS (SELECT vec_id, b, code FROM (
+                SELECT vec_id, b, code,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id, b
+                    ORDER BY d2, code) AS rn
+                FROM ps2) t WHERE rn = 1),
+      el AS (SELECT vec_id, cl AS label FROM ka2),
+      qd AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+      qc AS (SELECT q.qid, c.cl AS label, SUM((q.v - c.cv)*(q.v - c.cv)) AS d2
+             FROM qd q JOIN kc1 c ON c.i = q.i GROUP BY q.qid, c.cl),
+      probed AS (SELECT qid, label FROM (
+                   SELECT qid, label,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                       ORDER BY d2, label) AS rn
+                   FROM qc) t WHERE rn <= 2),
+      qr AS (SELECT p.qid, p.label, (q.i-1)//16 AS b, (q.i-1)%16 AS j,
+                    q.v - c.cv AS rv
+             FROM probed p
+             JOIN qd q ON q.qid = p.qid
+             JOIN kc1 c ON c.cl = p.label AND c.i = q.i),
+      dt AS (SELECT qr.qid, qr.label, qr.b, c.code,
+               CAST(ROUND(SUM((qr.rv - c.cv)*(qr.rv - c.cv)), 6)
+                 AS DECIMAL(20,6)) AS dtv
+             FROM qr JOIN pc1 c ON c.b = qr.b AND c.j = qr.j
+             GROUP BY qr.qid, qr.label, qr.b, c.code),
+      adc AS (SELECT d.qid, a.vec_id AS nid, SUM(d.dtv) AS adc
+              FROM pa2 a
+              JOIN el l ON l.vec_id = a.vec_id
+              JOIN dt d ON d.label = l.label AND d.b = a.b AND d.code = a.code
+              WHERE a.vec_id <> d.qid
+              GROUP BY d.qid, a.vec_id),
+      srk AS (SELECT qid, nid FROM (
+               SELECT qid, nid,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY adc, nid) AS rn
+               FROM adc) t WHERE rn <= 50),
+      ex AS (SELECT r.qid, r.nid, SUM((eq.v - en.v)*(eq.v - en.v)) AS d2
+             FROM srk r
+             JOIN ed eq ON eq.vec_id = r.qid
+             JOIN ed en ON en.vec_id = r.nid AND en.i = eq.i
+             GROUP BY r.qid, r.nid),
+      rk2 AS (SELECT qid, nid, d2,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY d2, nid) AS rank
+              FROM ex)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(d2, 4) AS dist2
+      FROM rk2 WHERE rank <= 10 ORDER BY qid, rank""")),
+
     // ---------------- multimodal plumbing ----------------
     // REAL image decode (javax.imageio): the blobs are genuine PNG/BMP
     // containers with a deterministic pixel pattern (horizontal R
@@ -989,6 +1089,26 @@ object PipelineQueries {
              ELSE 0 END AS BIGINT) AS sample_rate,
         CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2
              ELSE 0 END AS BIGINT) AS channels
+      FROM documents ORDER BY doc_id""")),
+
+    // REAL WAV PCM sample decode end to end: each doc becomes a complete
+    // PCM WAV container (correct RIFF/fmt/data chunk sizes, 16-bit LE
+    // samples alternating +a / -(a+2), all parameters derived from
+    // doc_id), and decodeWav walks the chunks and reads the raw samples
+    // back. The oracle recomputes rate/channels/sample count analytically
+    // and mean_abs in closed form (a+1 for the alternation over an even
+    // count) — values that only match if the sample bytes were really
+    // extracted, not inferred from the header.
+    QueryDef("m04_wav_stats", (s, d) =>
+      Multimodal.decodeWavStats(s,
+          Multimodal.documentsAsWavs(s, Tables.load(s, d, "documents")))
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id,
+        CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS sample_rate,
+        CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        CAST(16 + 2 * (doc_id % 16) AS BIGINT) AS n_samples,
+        CAST(101 + doc_id % 200 AS DOUBLE) AS mean_abs
       FROM documents ORDER BY doc_id""")),
 
     // ---------------- end-to-end curation ----------------

@@ -155,4 +155,28 @@ class BpeSpec extends SparkSpec {
       s.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("single evaluation: chunk() runs the BPE merge loop once per row") {
+    // the t11 plan references the token array three times (window count,
+    // slice, residual length); a silent per-reference re-evaluation is
+    // invisible to the oracle and a 2-3x CPU tax at scale. The volatile-
+    // gated eval counter pins the real evaluation count under the same
+    // execution mode the query uses.
+    val s = spark
+    import s.implicits._
+    val n = 50
+    val d = Seq.tabulate(n)(i =>
+      (i.toLong, s"customer $i batch value data stream window order"))
+      .toDF("doc_id", "text")
+    BpeOps.resetEvalCount()
+    BpeOps.countEvals = true
+    try {
+      val out = TextOps.chunk(d, chunkTokens = 4, overlapTokens = 1,
+        tokensOf = TextOps.bpeTokens(_)).collect()
+      assert(out.length > n) // multiple chunks per doc: windows really cut
+      val evals = BpeOps.evalCount
+      assert(evals === n.toLong,
+        s"bpe_tokens evaluated $evals times for $n rows (want exactly $n)")
+    } finally BpeOps.countEvals = false
+  }
 }

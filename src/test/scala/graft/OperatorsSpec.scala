@@ -418,6 +418,24 @@ class OperatorsSpec extends SparkSpec {
     val deepRecall = deeper.intersect(exact).size.toDouble / exact.size
     assert(deepRecall >= recall && deepRecall >= 0.8,
       f"deeper refine must raise recall: $recall%.2f -> $deepRecall%.2f")
+    // IVF-PQ composes coarse cell pruning with residual codes: the
+    // residual spread inside a cell is far smaller than the raw vectors',
+    // so the same code budget quantizes finer — recall must not fall
+    // below plain PQ-ADC's despite touching only the probed cells
+    val ivfpq = Similarity.ivfPqTopK(emb, col("vec_id") < 5, k = 10,
+        nProbe = 2, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ivfpq.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length.toLong))
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+      assert(!rows.exists(_._2 == q))
+    }
+    val ivfpqRecall = ivfpq.map(t => (t._1, t._2)).toSet
+      .intersect(exact).size.toDouble / exact.size
+    info(f"a05 PQ-ADC recall $recall%.2f vs a06 IVF-PQ recall $ivfpqRecall%.2f")
+    assert(ivfpqRecall >= recall,
+      f"IVF-PQ recall $ivfpqRecall%.2f fell below plain PQ-ADC $recall%.2f")
     // deterministic refit end to end
     val again = Similarity.pqTopK(emb, col("vec_id") < 5, k = 10, dim = 64)
       .collect()
@@ -815,6 +833,19 @@ class OperatorsSpec extends SparkSpec {
     assert((w.sample_rate, w.channels, w.n_samples) === ((16000L, 1L, 8L)))
     assert(w.mean_abs === 200.0) // (100+300)/2
     assert(Multimodal.decodeWav(10L, "nope".getBytes("UTF-8")).sample_rate === 0L)
+  }
+
+  test("makePcmWav round-trip: decodeWav inverts the deterministic builder") {
+    for (id <- Seq(0L, 1L, 2L, 7L, 31L, 199L)) {
+      val sr = 8000L * (1 + id % 3)
+      val n = (16 + 2 * (id % 16)).toInt
+      val a = (100 + id % 200).toInt
+      val samples = Array.tabulate[Short](n)(j =>
+        (if (j % 2 == 0) a else -(a + 2)).toShort)
+      val w = Multimodal.decodeWav(id, Multimodal.makePcmWav(sr, 1 + id % 2, samples))
+      assert((w.sample_rate, w.channels, w.n_samples) === ((sr, 1 + id % 2, n.toLong)))
+      assert(w.mean_abs === (a + 1).toDouble) // closed form of the alternation
+    }
   }
 
   test("WAV decode: adversarial chunk lengths terminate with zeros, never hang") {

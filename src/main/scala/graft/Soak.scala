@@ -125,7 +125,10 @@ object Soak {
       "c01_curation" -> 2.36, "cnt02_ngram_contamination" -> 1.26,
       "qz01_embed_quantize" -> 0.55, "qz02_product_quantize" -> 5.73,
       "smp04_source_cap" -> 0.30, "t05_bpe_tokens" -> 3.31,
-      "t11_chunking" -> 1.11)
+      "t11_chunking" -> 1.11,
+      // round-11 additions (PerfProbe warm run2 at sf0.1)
+      "c03_pretrain_pipeline" -> 2.54, "a05_ann_pq" -> 4.69,
+      "a06_ann_ivfpq" -> 7.82)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -134,7 +137,8 @@ object Soak {
       "d08_semantic_dedup", "d09_dup_ngram_spans",
       "d10_dup_span_extents", "d11_excise_spans",
       "a01_ann_bruteforce", "a02_ann_ivf", "a03_ann_lsh",
-      "a04_kmeans", "c01_curation", "c02_canonical_source",
+      "a04_kmeans", "a05_ann_pq", "a06_ann_ivfpq",
+      "c01_curation", "c02_canonical_source", "c03_pretrain_pipeline",
       "cnt02_ngram_contamination",
       "qz01_embed_quantize", "qz02_product_quantize", "smp04_source_cap",
       "t05_bpe_tokens", "t11_chunking", "m03_media_headers")

@@ -46,6 +46,87 @@ object Curation {
       .select(col("doc_id"), lit("kept").as("status"))
   }
 
+  /** The full pretraining-data pipeline, composed end to end the way a
+    * 100 TB corpus run chains it — each stage is an individually-verified
+    * operator, and this composition is where the remaining risk lives
+    * (schema drift between stages, checkpoint lineage, stage-boundary
+    * determinism):
+    *
+    *   1. heuristic quality filter ([[TextOps.heuristicFilter]]) — narrow,
+    *      in-row, drops rows before anything shuffles;
+    *   2. exact dedup ([[Dedup.exact]]) — one shuffle keyed on a 16-byte
+    *      digest, canonical = min doc_id;
+    *   3. MinHash-LSH near-dup clusters ([[Dedup.clusterAssignments]]) —
+    *      keep one representative (the component minimum) per TRANSITIVE
+    *      cluster, over the shrunk survivor set only;
+    *   4. benchmark decontamination
+    *      ([[Sampling.ngramContaminationScreen]]) — drop docs whose
+    *      shared-3-gram fraction against the eval set exceeds
+    *      `maxContamination` (a fraction, not GPT-3's any-gram rule:
+    *      common phrases collide with SOME benchmark gram in almost every
+    *      document, so the any-gram rule empties a real corpus; the
+    *      fraction targets docs that substantially CONTAIN eval text);
+    *   5. temperature mixing ([[Sampling.temperatureMix]]) — source
+    *      rebalance with rates computed over the POST-cleaning corpus
+    *      (the order matters: rates from pre-dedup counts would re-skew
+    *      toward sources whose volume was duplicates);
+    *   6. sequence packing ([[Packing.packByBudget]]) — shard-local
+    *      greedy fill of real-BPE token budgets.
+    *
+    * Returns the training manifest: (doc_id, source, n_tokens, shard,
+    * pack_id) for every surviving document.
+    *
+    * `checkpoint` runs at the three stage boundaries whose output feeds
+    * multiple downstream consumers (post-dedup, post-near-dup,
+    * post-decontamination — e.g. the temperature mix reads its input
+    * three times: per-source counts, the corpus total, and the final
+    * join). Default is `localCheckpoint(eager)` — right for a single
+    * job, but executor-pinned blocks are NOT fault-tolerant, so a real
+    * 100 TB deployment passes a durable hook
+    * (`df => { df.write.parquet(p); spark.read.parquet(p) }`): stage
+    * outputs land in the lake, a lost executor re-reads instead of
+    * failing the job, and each stage restarts from the last boundary.
+    */
+  def pretrainPipeline(docs: DataFrame, benchmark: DataFrame,
+      minWords: Int = 40, maxWords: Int = 5000,
+      minWordLen: Double = 3.5, maxWordLen: Double = 10.0,
+      minUniqueRatio: Double = 0.2, minStopwords: Int = 2,
+      nearDupThreshold: Double = 0.75,
+      maxContamination: Double = 0.2,
+      tau: Double = 0.5, budget: Double = 0.5,
+      packBudget: Int = 512, shardSize: Int = 100,
+      checkpoint: DataFrame => DataFrame = _.localCheckpoint(true)): DataFrame = {
+    // 1. quality filter: keep flag only, semi-join back to the full rows
+    val kept0 = docs.join(
+      TextOps.heuristicFilter(docs, minWords, maxWords, minWordLen,
+          maxWordLen, minUniqueRatio, minStopwords)
+        .filter(col("keep")).select(col("doc_id")),
+      Seq("doc_id"), "left_semi")
+    // 2. exact dedup
+    val canonical = Dedup.exact(kept0)
+      .filter(col("doc_id") === col("canonical_id")).select(col("doc_id"))
+    val kept1 = checkpoint(kept0.join(canonical, Seq("doc_id"), "left_semi"))
+    // 3. transitive near-dup representatives (see curate() for why the
+    // cluster policy beats pair-wise dropping)
+    val reps = Dedup.clusterAssignments(kept1, minEstJaccard = nearDupThreshold)
+      .filter(col("doc_id") === col("cluster_id")).select(col("doc_id"))
+    val kept2 = checkpoint(kept1.join(reps, Seq("doc_id"), "left_semi"))
+    // 4. decontamination against the eval set
+    val clean = Sampling.ngramContaminationScreen(kept2, benchmark)
+      .filter(col("contamination_frac") <= maxContamination)
+      .select(col("doc_id"))
+    val kept3 = checkpoint(kept2.join(clean, Seq("doc_id"), "left_semi"))
+    // 5. source temperature mix over the cleaned corpus
+    val mixed = Sampling.temperatureMix(kept3, col("source"), col("doc_id"),
+      tau, budget)
+    // 6. token-budget packing; source rides back via a doc_id equi-join
+    // (both sides are the same post-mix survivor set — AQE broadcasts)
+    Packing.packByBudget(mixed, packBudget, shardSize)
+      .join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"),
+        col("pack_id"))
+  }
+
   /** Source-priority canonical selection: within each EXACT-duplicate
     * group (same text bytes), keep the copy from the most-trusted source —
     * the standard multi-crawl curation rule (a page captured by both a

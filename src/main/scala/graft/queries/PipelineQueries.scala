@@ -78,11 +78,16 @@ object PipelineQueries {
     * of the recursion and are collected by `bfin`; `btoks` reassembles the
     * document's token stream in word order. Composes after WITH RECURSIVE.
     */
-  private val BPE: String =
+  private val BPE: String = bpeOver("documents")
+
+  /** [[BPE]] parameterized on the source relation, so composed pipelines
+    * can tokenize a survivor CTE instead of the whole table.
+    */
+  private def bpeOver(rel: String): String =
     s"""bw0 AS (SELECT doc_id, pos, w FROM (
        |   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
        |          generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
-       |   FROM documents) t WHERE w <> ''),
+       |   FROM $rel) t WHERE w <> ''),
        |binit AS (SELECT doc_id, pos,
        |   list_transform(range(1, length(w)+1),
        |     i -> substring(w, CAST(i AS INT), 1)) AS syms
@@ -1452,6 +1457,121 @@ object PipelineQueries {
       SELECT k.doc_id, 'kept' AS status FROM kept1 k
       LEFT JOIN comp c ON c.id = k.doc_id
       WHERE c.id IS NULL OR c.cluster_id = k.doc_id
-      ORDER BY k.doc_id"""), headline = true)
+      ORDER BY k.doc_id"""), headline = true),
+
+    // The COMPLETE pretraining pipeline composed as one operator:
+    // heuristic filter -> exact dedup -> transitive MinHash near-dup
+    // representatives -> benchmark 3-gram decontamination (fraction
+    // threshold) -> source temperature mix (rates over the CLEANED
+    // corpus) -> real-BPE shard-local sequence packing. The oracle
+    // replays every stage over the progressively-filtered survivor sets
+    // — stage composition (schema drift, boundary determinism) is
+    // exactly what this checks that the per-stage queries can't.
+    QueryDef("c03_pretrain_pipeline", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Curation.pretrainPipeline(docs, docs.filter(col("doc_id") % 10 === 0))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH RECURSIVE
+      ws AS (SELECT doc_id,
+        list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          x -> x <> '') AS w FROM documents),
+      hf AS (SELECT doc_id, len(w) AS nw,
+        CASE WHEN len(w) > 0 THEN
+          CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)
+          ELSE 0.0 END AS mwl,
+        CASE WHEN len(w) > 0 THEN
+          CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+          ELSE 0.0 END AS ur,
+        len(list_filter(list_distinct(w),
+          x -> x IN (${TextOps.stopwords.map(w => s"'$w'").mkString(", ")})))
+          AS ns
+        FROM ws),
+      kept0 AS (SELECT d.doc_id, d.text, d.source
+        FROM documents d JOIN hf f ON f.doc_id = d.doc_id
+        WHERE NOT (f.nw < 40 OR f.nw > 5000)
+          AND NOT (f.mwl < 3.5 OR f.mwl > 10.0)
+          AND NOT (f.ur < 0.2) AND NOT (f.ns < 2)),
+      exact AS (SELECT doc_id, text, source,
+          MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canonical_id
+        FROM kept0),
+      kept1 AS (SELECT doc_id, text, source FROM exact
+        WHERE doc_id = canonical_id),
+      tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+        generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM kept1),
+      sh0 AS (SELECT doc_id,
+        w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS shingle,
+        LEAD(w,2) OVER win IS NOT NULL AS complete
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE complete),
+      hs AS (SELECT unnest(range(0, 16)) AS h),
+      sig AS (SELECT doc_id, h, MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              FROM shd, hs GROUP BY doc_id, h),
+      buckets AS (SELECT doc_id, h % 4 AS band,
+                    MD5(string_agg(mh, ',' ORDER BY h)) AS bucket
+                  FROM sig GROUP BY doc_id, h % 4),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      est AS (SELECT c.a, c.b,
+                CAST(COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS DOUBLE)/16.0 AS ej
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+              GROUP BY c.a, c.b),
+      edges AS (SELECT a, b FROM est WHERE ej >= 0.75),
+      sym(src, dst) AS (SELECT a, b FROM edges UNION ALL
+                        SELECT b, a FROM edges),
+      reach(id, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      kept2 AS (SELECT k.doc_id, k.text, k.source FROM kept1 k
+        LEFT JOIN comp c ON c.id = k.doc_id
+        WHERE c.id IS NULL OR c.cluster_id = k.doc_id),
+      btok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+        generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+        FROM documents WHERE doc_id % 10 = 0),
+      bsh0 AS (SELECT doc_id,
+        w || ' ' || LEAD(w,1) OVER bwin || ' ' || LEAD(w,2) OVER bwin AS shingle,
+        LEAD(w,2) OVER bwin IS NOT NULL AS complete
+        FROM btok WINDOW bwin AS (PARTITION BY doc_id ORDER BY pos)),
+      bench AS (SELECT DISTINCT shingle FROM bsh0 WHERE complete),
+      csh AS (SELECT s.doc_id, s.shingle FROM shd s
+              JOIN kept2 k ON k.doc_id = s.doc_id),
+      per AS (SELECT s.doc_id, COUNT(*) AS n_grams, COUNT(b.shingle) AS n_cont
+              FROM csh s LEFT JOIN bench b ON b.shingle = s.shingle
+              GROUP BY s.doc_id),
+      kept3 AS (SELECT k.doc_id, k.text, k.source FROM kept2 k
+        LEFT JOIN per p ON p.doc_id = k.doc_id
+        WHERE (CASE WHEN COALESCE(p.n_grams, 0) > 0
+               THEN CAST(p.n_cont AS DOUBLE) / p.n_grams
+               ELSE 0.0 END) <= 0.2),
+      cnt AS (SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+              FROM kept3 GROUP BY source),
+      tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS total FROM kept3),
+      pw AS (SELECT source, n, total, POWER(n / total, 0.5) AS pt
+             FROM cnt CROSS JOIN tot),
+      z AS (SELECT SUM(pt) AS z FROM pw),
+      rates AS (SELECT pw.source,
+          LEAST(CAST(1.0 AS DOUBLE),
+            CAST(0.5 AS DOUBLE) * pw.total * (pw.pt / z.z) / pw.n) AS rate
+        FROM pw CROSS JOIN z),
+      kept4 AS (SELECT k.doc_id, k.text, k.source FROM kept3 k
+        JOIN rates r ON k.source = r.source
+        WHERE ('0x' || substring(md5(CAST(k.doc_id AS VARCHAR)), 1, 4))::BIGINT
+              < r.rate * 65536),
+      ${bpeOver("kept4")},
+      manifest AS (SELECT k.doc_id, k.source,
+          CAST(COALESCE(len(b.tk), 0) AS BIGINT) AS n_tokens,
+          CAST(FLOOR(k.doc_id / 100.0) AS BIGINT) AS shard
+        FROM kept4 k LEFT JOIN btoks b ON b.doc_id = k.doc_id)
+      SELECT doc_id, source, n_tokens, shard,
+        CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard
+          ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          / 512.0) AS BIGINT) AS pack_id
+      FROM manifest ORDER BY doc_id"""), headline = true)
   )
 }

@@ -615,6 +615,60 @@ class OperatorsSpec extends SparkSpec {
     assert(kept === Set(2L, 4L)) // 1 low quality, 3 deduped to 2
   }
 
+  test("pretrain pipeline: every stage drops its target; packing covers survivors") {
+    import spark.implicits._
+    // >=40 words, mean length in [3.5,10], >=2 distinct stopwords, so the
+    // heuristic filter passes; the two stopwords sit at the front where a
+    // tail edit can't touch them
+    def goodText(stem: String): String =
+      ("the of " + (1 to 40).map(i => s"$stem$i").mkString(" "))
+    val base = goodText("alpha")
+    val nearDup = base.split(" ").dropRight(1).mkString(" ") + " flipped"
+    val benchText = goodText("evalset")
+    val docs = Seq(
+      (1L, "too short", "src_a"),                         // stage 1: length
+      (2L, base, "src_a"),
+      (3L, base, "src_a"),                                // stage 2: exact dup of 2
+      (4L, nearDup, "src_b"),                             // stage 3: near dup of 2
+      (5L, benchText, "src_b"),                           // stage 4: contaminated
+      (6L, goodText("beta"), "src_b"),
+      (7L, goodText("gamma"), "src_c")).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    // tau=1 + budget=1 make the mix stage an identity (rate 1 per source),
+    // so survival is decided purely by the cleaning stages
+    val out = graft.operators.Curation.pretrainPipeline(docs, bench,
+        tau = 1.0, budget = 1.0, packBudget = 30, shardSize = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out.keySet === Set(2L, 6L, 7L))
+    // shard-local greedy packing over the survivors in doc_id order:
+    // pack_id = floor(prior BPE tokens / budget), prior in doc_id order
+    assert(out.keySet.forall(id => out(id)._3 === 0L)) // one shard
+    assert(out.values.forall(_._2 > 40L)) // BPE splits the made-up words
+    assert(out(2L)._4 === 0L)
+    assert(out(6L)._4 === out(2L)._2 / 30L)
+    assert(out(7L)._4 === (out(2L)._2 + out(6L)._2) / 30L)
+    assert(out(2L)._1 === "src_a" && out(7L)._1 === "src_c")
+    // the durable-checkpoint seam: a parquet round-trip hook must fire at
+    // the three stage boundaries and leave the result unchanged
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    var fired = 0
+    val durable: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      df => {
+        fired += 1
+        val p = s"$dir/stage$fired"
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      }
+    val viaParquet = graft.operators.Curation.pretrainPipeline(docs, bench,
+        tau = 1.0, budget = 1.0, packBudget = 30, shardSize = 100,
+        checkpoint = durable)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(fired === 3)
+    assert(viaParquet === out)
+  }
+
   test("skew-safe exact distinct count matches countDistinct") {
     import spark.implicits._
     // NULL values must be ignored (countDistinct semantics); a key with

@@ -240,6 +240,24 @@ class ScaleSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"sort in t12 plan:\n$p")
   }
 
+  test("multimodal decode is one narrow MapPartitions pass: no exchange") {
+    // the scaladoc claim behind m01/m02/m04: blob -> features is a
+    // per-partition codec pass; any Exchange here would shuffle raw
+    // media bytes across the cluster — the single most expensive wire
+    // format there is
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val img = graft.operators.Multimodal.decodeImageFeatures(spark,
+        graft.operators.Multimodal.documentsAsImages(spark, docs))
+      .queryExecution.executedPlan.toString
+    assert(!img.contains("Exchange"), s"image decode shuffles blobs:\n$img")
+    assert(img.contains("MapPartitions"), s"no narrow decode seam in:\n$img")
+    val wav = graft.operators.Multimodal.decodeWavStats(spark,
+        graft.operators.Multimodal.documentsAsWavs(spark, docs))
+      .queryExecution.executedPlan.toString
+    assert(!wav.contains("Exchange"), s"wav decode shuffles blobs:\n$wav")
+    assert(wav.contains("MapPartitions"), s"no narrow decode seam in:\n$wav")
+  }
+
   test("contamination screen broadcasts the benchmark side") {
     val p = plan("cnt01_contamination")
     assert(p.contains("BroadcastHashJoin"),
@@ -265,8 +283,12 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
     assert(!plan.contains("Aggregate"), s"unexpected aggregate in:\n$plan")
     // the BPE-token variant (t11's production shape) must stay just as
-    // narrow: the merge loop is a per-row expression, not a join/shuffle
-    val bpePlan = graft.operators.TextOps.chunk(docs, 4, 1,
+    // narrow: the merge loop is a per-row expression, not a join/shuffle.
+    // Parquet input, not a local Seq — ConvertToLocalRelation folds the
+    // tokenizer into a LocalTableScan at plan time otherwise, hiding the
+    // shape this pin is about
+    val pdocs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val bpePlan = graft.operators.TextOps.chunk(pdocs, 4, 1,
         tokensOf = graft.operators.TextOps.bpeTokens(_))
       .queryExecution.executedPlan.toString
     assert(!bpePlan.contains("Exchange"), s"unexpected shuffle in:\n$bpePlan")

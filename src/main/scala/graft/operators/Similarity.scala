@@ -411,8 +411,13 @@ object Similarity {
 
     // per-row cell assignment + residual x − centroid(cell(x)): a narrow
     // argmin fold + zip_with against broadcast literals — no join, no
-    // shuffle; materialized once in `base` so the cell argmin doesn't
-    // re-evaluate per consumer
+    // shuffle. MATERIALIZED once (localCheckpoint): nine downstream
+    // passes read it — the residual fit's seed collect and its
+    // (iters−1)×m centroid refreshes, plus the m code projections — and
+    // each would otherwise re-run the cells-way argmin over the corpus.
+    // At cluster scale the checkpoint is (vec_id, cell, resid) — the
+    // same width as the input — and a durable deployment would swap it
+    // for a lake write like the c03 boundary hook.
     val (cellCode, _) = Quantize.nearestCode(coarseBooks(0),
       col("embedding").cast("array<double>"))
     val centMap = typedlit(cents.map { case (l, v) => l -> v.toSeq }.toMap)
@@ -422,6 +427,7 @@ object Similarity {
       .select(col("vec_id"), col("cell"),
         zip_with(col("e"), element_at(centMap, col("cell")),
           (x, c) => x - c).as("resid"))
+      .localCheckpoint(true)
 
     // PQ codebooks fit on the residuals (the IVFADC training target)
     val (_, books) = Quantize.fitCodebooks(

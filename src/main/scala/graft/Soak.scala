@@ -126,9 +126,10 @@ object Soak {
       "qz01_embed_quantize" -> 0.55, "qz02_product_quantize" -> 5.73,
       "smp04_source_cap" -> 0.30, "t05_bpe_tokens" -> 3.31,
       "t11_chunking" -> 1.11,
-      // round-11 additions (PerfProbe warm run2 at sf0.1)
-      "c03_pretrain_pipeline" -> 2.54, "a05_ann_pq" -> 4.69,
-      "a06_ann_ivfpq" -> 7.82)
+      // round-11 additions (PerfProbe warm run2 at sf0.1, measured after
+      // the a06 residual-relation checkpoint)
+      "c03_pretrain_pipeline" -> 2.50, "a05_ann_pq" -> 4.12,
+      "a06_ann_ivfpq" -> 5.19)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",

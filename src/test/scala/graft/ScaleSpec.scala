@@ -258,6 +258,20 @@ class ScaleSpec extends SparkSpec {
     assert(wav.contains("MapPartitions"), s"no narrow decode seam in:\n$wav")
   }
 
+  test("composed pretrain pipeline keeps its stage plans across composition") {
+    // with an identity checkpoint hook the whole six-stage c03 chain is
+    // ONE plan tree — the per-stage scale properties (broadcast screens,
+    // no all-pairs joins) must survive Catalyst recombining the stages,
+    // which is exactly what the per-stage pins can't see
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.operators.Curation.pretrainPipeline(
+        docs, docs.filter(col("doc_id") % 10 === 0), checkpoint = identity)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"all-pairs join in c03:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"broadcast screens lost in composition:\n$p")
+  }
+
   test("contamination screen broadcasts the benchmark side") {
     val p = plan("cnt01_contamination")
     assert(p.contains("BroadcastHashJoin"),

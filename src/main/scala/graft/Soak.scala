@@ -129,7 +129,7 @@ object Soak {
       // round-11 additions (PerfProbe warm run2 at sf0.1, measured after
       // the a06 residual-relation checkpoint)
       "c03_pretrain_pipeline" -> 2.50, "a05_ann_pq" -> 4.12,
-      "a06_ann_ivfpq" -> 5.19)
+      "a06_ann_ivfpq" -> 5.19, "t13_bpe_train" -> 0.46)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -142,7 +142,7 @@ object Soak {
       "c01_curation", "c02_canonical_source", "c03_pretrain_pipeline",
       "cnt02_ngram_contamination",
       "qz01_embed_quantize", "qz02_product_quantize", "smp04_source_cap",
-      "t05_bpe_tokens", "t11_chunking", "m03_media_headers")
+      "t05_bpe_tokens", "t11_chunking", "t13_bpe_train", "m03_media_headers")
 
     var total = 0.0
     queries.foreach { name =>

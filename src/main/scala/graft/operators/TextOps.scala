@@ -450,6 +450,94 @@ object TextOps {
     "es" -> "el", "es" -> "los", "es" -> "y", "es" -> "es", "es" -> "una",
     "zh" -> "de", "zh" -> "shi", "zh" -> "bu", "zh" -> "le", "zh" -> "ren")
 
+  /** Distributed word-type histogram capped at the top `maxWordTypes` by
+    * (freq desc, word asc) — the corpus-sized pass of BPE training. One
+    * partial-aggregated shuffle on the word, then a TakeOrdered cap; the
+    * corpus itself never moves.
+    */
+  def wordHistogram(docs: DataFrame, maxWordTypes: Int): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w")).limit(maxWordTypes)
+
+  /** Learn a BPE merges table from the corpus (Sennrich et al. 2016: start
+    * from code points, repeatedly merge the most frequent adjacent symbol
+    * pair, frequency-weighted over word TYPES). Returns (rank, lhs, rhs,
+    * pair_count) for the first `nMerges` learned merges, rank 1-based in
+    * learn order — the merges-file the apply expressions
+    * ([[bpeTokens]]/[[graft.functions.BpeTokens]]) consume.
+    *
+    * Shape at 100 TB: the only corpus-sized pass is [[wordHistogram]] —
+    * one word-keyed partial-aggregated shuffle. The merge loop itself runs
+    * on the driver over the top-`maxWordTypes` histogram, which is
+    * VOCABULARY-sized (Zipf: ~10⁶–10⁷ word types for a web-scale corpus,
+    * capped explicitly) — the shape production BPE trainers use
+    * (SentencePiece / HF tokenizers train over a word-count dictionary,
+    * never the corpus). The alternative — one distributed pair-count
+    * aggregate per merge — costs `vocabSize` shuffles sequentially at a
+    * real 50k-merge vocabulary, which no cluster survives; bounded driver
+    * state (like a04's centroids and a05/a06's codebooks) is the correct
+    * trade, and the frequency cap makes the bound explicit.
+    *
+    * Determinism (oracle replays the loop stage by stage): pair counts are
+    * exact integers; the argmax ties by (count desc, lhs asc, rhs asc);
+    * merging splices occurrences leftmost-first, which cannot create new
+    * occurrences of the SAME pair, so it equals the batch left-to-right
+    * non-overlapping form. Stops early if pairs are exhausted before
+    * `nMerges` (single-symbol words drop out of counting naturally).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int = 12,
+      maxWordTypes: Int = 4000): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hist = wordHistogram(docs, maxWordTypes)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // per-word-type symbol state, split by CODE POINT (DuckDB substring
+    // semantics), mutated in place across merge steps
+    val states: Array[(scala.collection.mutable.ArrayBuffer[String], Long)] =
+      hist.map { case (w, f) =>
+        val syms = new scala.collection.mutable.ArrayBuffer[String](w.length)
+        var i = 0
+        while (i < w.length) {
+          val n = Character.charCount(w.codePointAt(i))
+          syms += w.substring(i, i + n)
+          i += n
+        }
+        (syms, f)
+      }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      states.foreach { case (syms, f) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + f)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        merges += ((l, r, c))
+        states.foreach { case (syms, _) =>
+          var i = 0
+          while (i < syms.length - 1) {
+            if (syms(i) == l && syms(i + 1) == r) {
+              syms(i) = l + r
+              syms.remove(i + 1)
+            } else i += 1
+          }
+        }
+      }
+    }
+    merges.toSeq.zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1L, l, r, c) }
+      .toDF("rank", "lhs", "rhs", "pair_count")
+  }
+
   /** Language-ID: explode tokens, join the broadcast marker table, argmax
     * matches per (doc, lang); docs with no marker hits get 'und'.
     */

@@ -151,6 +151,58 @@ object PipelineQueries {
       |         FROM s2 JOIN nrm n ON n.vec_id = s2.vec_id
       |         JOIN c1n ON c1n.cl = s2.cl) t WHERE rn = 1)""".stripMargin
 
+  /** DuckDB replay of BPE TRAINING ([[TextOps.bpeTrain]]): the merge loop
+    * unrolled as `k` generated stages over the top-`cap` word-type
+    * histogram. Stage i: pair counts weighted by word frequency (`pc_i`),
+    * deterministic argmax (`b_i`, count desc then pair asc), then a
+    * recursive CTE (`r_i`) splicing the LEFTMOST occurrence of that one
+    * pair per step until none remain (`st_i` keeps the occurrence-free
+    * final states — splicing pair (l,r) cannot create a new (l,r)
+    * adjacency, so sequential-leftmost equals the engine's batch
+    * left-to-right merge). Every stage CTE is MATERIALIZED: DuckDB inlines
+    * plain CTEs, and each stage references the previous twice, so the
+    * un-hinted plan re-expands the whole prefix exponentially.
+    */
+  private def bpeTrainSql(k: Int, cap: Int): String = {
+    val stages = (1 to k).map { i =>
+      val p = s"st${i - 1}"
+      s"""pc$i AS MATERIALIZED (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT syms[j] AS l, syms[j+1] AS r, freq
+         |    FROM (SELECT syms, freq, unnest(range(1, len(syms))) AS j FROM $p) t0) t1
+         |    GROUP BY l, r),
+         |  b$i AS MATERIALIZED (SELECT l, r, cnt FROM pc$i ORDER BY cnt DESC, l, r LIMIT 1),
+         |  r$i AS (
+         |    SELECT w, freq, syms FROM $p
+         |    UNION ALL
+         |    SELECT w, freq, list_concat(list_concat(
+         |        list_slice(syms, 1, idx-1), [l || r]),
+         |        list_slice(syms, idx+2, len(syms))) AS syms
+         |    FROM (SELECT t.w, t.freq, t.syms, b.l, b.r,
+         |            COALESCE(list_position(list_transform(range(1, len(t.syms)),
+         |              i -> CASE WHEN t.syms[i] = b.l AND t.syms[i+1] = b.r
+         |                   THEN 1 ELSE 0 END), 1), 0) AS idx
+         |          FROM r$i t CROSS JOIN b$i b) u
+         |    WHERE idx > 0),
+         |  st$i AS MATERIALIZED (SELECT t.w, t.freq, t.syms FROM r$i t CROSS JOIN b$i b
+         |    WHERE COALESCE(list_position(list_transform(range(1, len(t.syms)),
+         |      i -> CASE WHEN t.syms[i] = b.l AND t.syms[i+1] = b.r
+         |           THEN 1 ELSE 0 END), 1), 0) = 0)""".stripMargin
+    }.mkString(",\n  ")
+    val union = (1 to k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
+      .mkString("\n      UNION ALL ")
+    s"""
+    WITH RECURSIVE
+      wt0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+          FROM documents) t WHERE w <> '' GROUP BY w),
+      wt AS MATERIALIZED (SELECT w, freq FROM wt0 ORDER BY freq DESC, w LIMIT $cap),
+      st0 AS MATERIALIZED (SELECT w, freq, list_transform(range(1, length(w)+1),
+          i -> substring(w, CAST(i AS INT), 1)) AS syms FROM wt),
+      $stages
+    SELECT rank, lhs, rhs, pair_count FROM ($union) ORDER BY rank"""
+  }
+
   val queries: Seq[QueryDef] = Seq(
 
     // ---------------- text analysis ----------------
@@ -304,6 +356,14 @@ object PipelineQueries {
           ELSE 0.0 END AS avg_nll
       FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
       ORDER BY d.doc_id"""), headline = true),
+
+    // BPE tokenizer TRAINING (not just apply): learn the first n merges
+    // from the corpus word histogram. The oracle unrolls the merge loop as
+    // n generated stages — pair counts, deterministic argmax, leftmost
+    // splice recursion per stage — over the same capped histogram.
+    QueryDef("t13_bpe_train", (s, d) =>
+      TextOps.bpeTrain(Tables.load(s, d, "documents")).orderBy(col("rank")),
+      Some(bpeTrainSql(12, 4000))),
 
     // ---------------- dedup family ----------------
     QueryDef("d01_dedup_exact", (s, d) =>

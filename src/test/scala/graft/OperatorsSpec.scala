@@ -669,6 +669,28 @@ class OperatorsSpec extends SparkSpec {
     assert(viaParquet === out)
   }
 
+  test("bpe training learns hand-computable merges; learned file round-trips through apply") {
+    import spark.implicits._
+    // corpus "aaab aaab ab": histogram aaab->2, ab->1
+    //   stage 1 pairs: (a,a) 2*2=4, (a,b) 2+1=3  -> merge (a,a), count 4
+    //   stage 2: aaab=[aa,a,b]: (aa,a) 2, (a,b) 2; ab: (a,b) 1 -> (a,b), 3
+    //   stage 3: aaab=[aa,ab]: (aa,ab) 2                       -> (aa,ab), 2
+    val docs = Seq((1L, "aaab aaab ab")).toDF("doc_id", "text")
+    val merges = graft.operators.TextOps.bpeTrain(docs, nMerges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // after stage 3 every word is a single symbol: pairs exhaust before
+    // the requested 5 merges — early stop, not a crash
+    assert(merges === Array((1L, "a", "a", 4L), (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 2L)))
+    // the learned list is a VALID merges file (constituents produced by
+    // earlier merges), so the greedy apply expression consumes it directly
+    val content = merges.map { case (_, l, r, _) => s"$l $r" }.mkString("\n")
+    val table = graft.functions.BpeOps.table(content)
+    assert(table.tokenizeWord("aaab").toSeq === Seq("aaab"))
+    assert(table.tokenizeWord("ab").toSeq === Seq("ab"))
+    assert(table.tokenizeWord("ba").toSeq === Seq("b", "a"))
+  }
+
   test("skew-safe exact distinct count matches countDistinct") {
     import spark.implicits._
     // NULL values must be ignored (countDistinct semantics); a key with

@@ -272,6 +272,17 @@ class ScaleSpec extends SparkSpec {
       s"broadcast screens lost in composition:\n$p")
   }
 
+  test("bpe-train word histogram: partial aggregation + TakeOrdered cap") {
+    // the ONLY corpus-sized pass of tokenizer training: the word count
+    // must combine map-side and the top-N cap must be a bounded-heap
+    // TakeOrdered, never a full sort of the vocabulary
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.operators.TextOps.wordHistogram(docs, 4000)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), s"no map-side combine in:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"cap is not a top-k in:\n$p")
+  }
+
   test("contamination screen broadcasts the benchmark side") {
     val p = plan("cnt01_contamination")
     assert(p.contains("BroadcastHashJoin"),

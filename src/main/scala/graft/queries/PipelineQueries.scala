@@ -163,7 +163,7 @@ object PipelineQueries {
     * plain CTEs, and each stage references the previous twice, so the
     * un-hinted plan re-expands the whole prefix exponentially.
     */
-  private def bpeTrainSql(k: Int, cap: Int): String = {
+  private def bpeTrainStages(k: Int, cap: Int): String = {
     val stages = (1 to k).map { i =>
       val p = s"st${i - 1}"
       s"""pc$i AS MATERIALIZED (SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
@@ -191,17 +191,75 @@ object PipelineQueries {
     val union = (1 to k).map(i =>
       s"SELECT CAST($i AS BIGINT) AS rank, l AS lhs, r AS rhs, cnt AS pair_count FROM b$i")
       .mkString("\n      UNION ALL ")
-    s"""
-    WITH RECURSIVE
-      wt0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    s"""wt0 AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM (
           SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
           FROM documents) t WHERE w <> '' GROUP BY w),
       wt AS MATERIALIZED (SELECT w, freq FROM wt0 ORDER BY freq DESC, w LIMIT $cap),
       st0 AS MATERIALIZED (SELECT w, freq, list_transform(range(1, length(w)+1),
           i -> substring(w, CAST(i AS INT), 1)) AS syms FROM wt),
-      $stages
-    SELECT rank, lhs, rhs, pair_count FROM ($union) ORDER BY rank"""
+      $stages,
+      mg AS MATERIALIZED ($union)"""
   }
+
+  private def bpeTrainSql(k: Int, cap: Int): String =
+    s"""
+    WITH RECURSIVE
+      ${bpeTrainStages(k, cap)}
+    SELECT rank, lhs, rhs, pair_count FROM mg ORDER BY rank"""
+
+  /** Train-then-apply replay: the [[bpeTrainStages]] chain learns the
+    * merges, `mgl` packs them rank-ordered into the same `['l r', ...]`
+    * list shape the static-file BPE oracle uses, and the apply recursion
+    * (the [[BPE]] stepwise splice, with the list carried as a column
+    * because it is DATA here, not a literal) tokenizes the corpus with
+    * what was just learned.
+    */
+  private def bpeTrainApplySql(k: Int, cap: Int): String =
+    s"""
+    WITH RECURSIVE
+      ${bpeTrainStages(k, cap)},
+      mgl AS MATERIALIZED (SELECT list(lhs || ' ' || rhs ORDER BY rank) AS m FROM mg),
+      aw0 AS (SELECT doc_id, pos, w FROM (
+         SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS w,
+                generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) AS pos
+         FROM documents) t WHERE w <> ''),
+      ainit AS (SELECT doc_id, pos, list_transform(range(1, length(w)+1),
+          i -> substring(w, CAST(i AS INT), 1)) AS syms, m
+         FROM aw0 CROSS JOIN mgl),
+      abpe AS (
+        SELECT doc_id, pos, syms, m FROM ainit
+        UNION ALL
+        SELECT doc_id, pos,
+          list_concat(list_concat(
+            list_slice(syms, 1, idx-1),
+            [replace(m[CAST(br AS INT)], ' ', '')]),
+            list_slice(syms, idx+2, len(syms))) AS syms, m
+        FROM (
+          SELECT doc_id, pos, syms, m, br,
+            list_position(list_transform(range(1, len(syms)),
+              i -> list_position(m, syms[i] || ' ' || syms[i+1])),
+              CAST(br AS INT)) AS idx
+          FROM (
+            SELECT doc_id, pos, syms, m,
+              list_aggregate(list_filter(list_transform(range(1, len(syms)),
+                i -> list_position(m, syms[i] || ' ' || syms[i+1])),
+                x -> x > 0), 'min') AS br
+            FROM abpe) t
+          WHERE br IS NOT NULL) u
+      ),
+      afin AS (
+        SELECT doc_id, pos, syms FROM abpe
+        WHERE list_aggregate(list_filter(list_transform(range(1, len(syms)),
+          i -> list_position(m, syms[i] || ' ' || syms[i+1])),
+          x -> x > 0), 'min') IS NULL
+      ),
+      atoks AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS tk
+                FROM afin GROUP BY doc_id)
+    SELECT d.doc_id,
+      CAST(COALESCE(len(t.tk), 0) AS BIGINT) AS n_tokens,
+      md5(COALESCE(array_to_string(t.tk, ' '), '')) AS token_digest
+    FROM documents d LEFT JOIN atoks t ON t.doc_id = d.doc_id
+    ORDER BY d.doc_id"""
 
   val queries: Seq[QueryDef] = Seq(
 
@@ -364,6 +422,23 @@ object PipelineQueries {
     QueryDef("t13_bpe_train", (s, d) =>
       TextOps.bpeTrain(Tables.load(s, d, "documents")).orderBy(col("rank")),
       Some(bpeTrainSql(12, 4000))),
+
+    // Train-then-apply composition: tokenize the corpus with the merges
+    // file LEARNED by t13 (not the static default file) — the learned
+    // artifact drives the engine's greedy apply expression; the digest
+    // forces byte-identical token streams, so both the training replay
+    // and the apply replay must agree end to end.
+    QueryDef("t14_bpe_train_apply", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val learned = TextOps.bpeTrain(docs).collect()
+        .map(r => s"${r.getString(1)} ${r.getString(2)}").mkString("\n")
+      graft.functions.NativeFunctions.register(s)
+      val tk = TextOps.bpeTokens(col("text"), learned)
+      docs.select(col("doc_id"),
+          size(tk).cast("long").as("n_tokens"),
+          md5(array_join(tk, " ")).as("token_digest"))
+        .orderBy(col("doc_id"))
+    }, Some(bpeTrainApplySql(12, 4000))),
 
     // ---------------- dedup family ----------------
     QueryDef("d01_dedup_exact", (s, d) =>

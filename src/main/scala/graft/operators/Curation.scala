@@ -76,11 +76,12 @@ object Curation {
     * Returns the training manifest: (doc_id, source, n_tokens, shard,
     * pack_id) for every surviving document.
     *
-    * `checkpoint` runs at the three stage boundaries whose output feeds
+    * `checkpoint` runs at the four stage boundaries whose output feeds
     * multiple downstream consumers (post-dedup, post-near-dup,
-    * post-decontamination — e.g. the temperature mix reads its input
-    * three times: per-source counts, the corpus total, and the final
-    * join). Default is `localCheckpoint(eager)` — right for a single
+    * post-decontamination, post-τ-mix — e.g. the temperature mix reads
+    * its input three times: per-source counts, the corpus total, and the
+    * final join; the mix output feeds both packByBudget and the source
+    * rider join). Default is `localCheckpoint(eager)` — right for a single
     * job, but executor-pinned blocks are NOT fault-tolerant, so a real
     * 100 TB deployment passes a durable hook
     * (`df => { df.write.parquet(p); spark.read.parquet(p) }`): stage
@@ -116,9 +117,12 @@ object Curation {
       .filter(col("contamination_frac") <= maxContamination)
       .select(col("doc_id"))
     val kept3 = checkpoint(kept2.join(clean, Seq("doc_id"), "left_semi"))
-    // 5. source temperature mix over the cleaned corpus
-    val mixed = Sampling.temperatureMix(kept3, col("source"), col("doc_id"),
-      tau, budget)
+    // 5. source temperature mix over the cleaned corpus — checkpointed
+    // like the other stage boundaries: packByBudget AND the source rider
+    // join below both read it, and without the boundary a cluster run
+    // recomputes the whole mix (counts + total + final join) twice
+    val mixed = checkpoint(
+      Sampling.temperatureMix(kept3, col("source"), col("doc_id"), tau, budget))
     // 6. token-budget packing; source rides back via a doc_id equi-join
     // (both sides are the same post-mix survivor set — AQE broadcasts)
     Packing.packByBudget(mixed, packBudget, shardSize)

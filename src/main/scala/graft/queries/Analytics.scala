@@ -455,8 +455,11 @@ object Analytics {
       import org.apache.spark.sql.expressions.Window
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val es = graft.streaming.EventStream
-      val raw = s.read.schema(es.rawSchema).parquet(s"$d/events.parquet")
-      val rawCols = es.rawSchema.fieldNames.map(col).toSeq
+      // footer-inferred schema, NOT a hard-coded one: slicing and
+      // re-writing in the file's own encoding keeps the staged directory
+      // homogeneous whatever ts encoding the external writer shipped
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val rawCols = raw.schema.fieldNames.map(col).toSeq
       val nSlices = 4
       val sliced = raw.withColumn("slice",
           ntile(nSlices).over(Window.orderBy(col("ts"), col("event_id"))))
@@ -519,16 +522,13 @@ object Analytics {
         // watermark, second's data batch evaluates every timed-out state
         def heartbeat(n: Int, yearsAhead: Int): Unit = {
           // year 2100/2101: decades past any event, still inside the ns
-          // Long range (year 2500 in nanos overflows and the watermark
-          // would silently never advance)
-          val ns = (java.time.Instant.parse(s"${2100 + yearsAhead}-01-01T00:00:00Z")
-            .getEpochSecond) * 1000000000L
-          val row = org.apache.spark.sql.Row(-1L * n, ns, -1L * n, "hb", 0.0, "{}")
-          s.createDataFrame(
-            new java.util.ArrayList[org.apache.spark.sql.Row](
-              java.util.Arrays.asList(row)),
-            graft.streaming.EventStream.rawSchema)
-            .write.mode("append").parquet(dir)
+          // Long range even if the staged encoding is nanos-as-long (year
+          // 2500 in nanos overflows and the watermark would silently never
+          // advance). Written in the staged directory's own ts encoding.
+          graft.streaming.EventStream.appendSyntheticEvent(s, dir,
+            eventId = -1L * n,
+            ts = java.time.Instant.parse(s"${2100 + yearsAhead}-01-01T00:00:00Z"),
+            userId = -1L * n, eventType = "hb", value = 0.0, props = "{}")
           q.processAllAvailable()
         }
         heartbeat(1, 0)

@@ -12,18 +12,21 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Raw schema of the events parquet (ts is TIMESTAMP(NANOS), which Spark
-    * reads as a long under nanosAsLong).
+  /** Probe the events parquet footers for the ACTUAL file schema — a
+    * streaming read needs an explicit schema, and hard-coding one broke
+    * when the external writer switched `ts` from TIMESTAMP(NANOS) to
+    * TIMESTAMP_NTZ(micros) between rounds. A batch read infers from the
+    * footers (the reference's ListingTable behavior, `src/db.rs:134-137`),
+    * so the stream always reads with the encoding the files really carry.
     */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  def fileSchema(spark: SparkSession, dir: String): StructType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(dir).schema
+  }
 
-  /** Streaming source over a directory of event parquet files.
+  /** Streaming source over a directory of event parquet files, normalized
+    * to a TimestampType `ts` whatever the physical encoding (see
+    * `Tables.normalizeEventTs`).
     * `maxFilesPerTrigger` = None reads everything in one micro-batch —
     * the mode dedup-parity checks use, where cross-trigger watermark
     * advancement would drop late duplicates instead of deduplicating
@@ -31,11 +34,37 @@ object EventStream {
     */
   def source(spark: SparkSession, dir: String,
       maxFilesPerTrigger: Option[Int] = Some(4)): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val r = spark.readStream.schema(rawSchema)
+    val r = spark.readStream.schema(fileSchema(spark, dir))
     maxFilesPerTrigger.foreach(m => r.option("maxFilesPerTrigger", m.toString))
-    r.parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeEventTs(r.parquet(dir))
+  }
+
+  /** Append one synthetic event to a staged events directory IN THE
+    * DIRECTORY'S OWN ts encoding. A streaming source's schema is fixed at
+    * start, so a watermark-heartbeat row written in a different physical
+    * encoding than the staged files would either fail the read or—worse—
+    * be silently misinterpreted. Branching on the probed schema keeps the
+    * directory homogeneous under every encoding the table has shipped as.
+    */
+  def appendSyntheticEvent(spark: SparkSession, dir: String, eventId: Long,
+      ts: java.time.Instant, userId: Long, eventType: String,
+      value: Double, props: String): Unit = {
+    val schema = fileSchema(spark, dir)
+    val micros = ts.getEpochSecond * 1000000L + ts.getNano / 1000L
+    val tsCol = schema("ts").dataType match {
+      case LongType => lit(micros * 1000L) // nanos-as-long
+      case TimestampType => timestamp_micros(lit(micros))
+      case TimestampNTZType =>
+        timestamp_micros(lit(micros)).cast(TimestampNTZType)
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other")
+    }
+    spark.range(1).select(
+        lit(eventId).as("event_id"), tsCol.as("ts"),
+        lit(userId).as("user_id"), lit(eventType).as("event_type"),
+        lit(value).as("value"), lit(props).as("props"))
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      .write.mode("append").parquet(dir)
   }
 
   /** Watermarked hourly windowed aggregation per event type. */
@@ -66,8 +95,7 @@ object EventStream {
   /** Batch-equivalent of [[hourlyAgg]] for result parity checks. */
   def hourlyAggBatch(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    hourlyAgg(spark.read.schema(rawSchema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+    hourlyAgg(graft.core.Tables.normalizeEventTs(spark.read.parquet(dir)))
   }
 
   /** Ordered funnel analysis: for each user, the first time each stage

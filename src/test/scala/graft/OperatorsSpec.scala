@@ -650,7 +650,9 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L)._4 === (out(2L)._2 + out(6L)._2) / 30L)
     assert(out(2L)._1 === "src_a" && out(7L)._1 === "src_c")
     // the durable-checkpoint seam: a parquet round-trip hook must fire at
-    // the three stage boundaries and leave the result unchanged
+    // the four multi-consumer stage boundaries (post-exact-dedup,
+    // post-near-dup, post-decontamination, post-τ-mix) and leave the
+    // result unchanged
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     var fired = 0
     val durable: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
@@ -665,7 +667,7 @@ class OperatorsSpec extends SparkSpec {
         checkpoint = durable)
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(fired === 3)
+    assert(fired === 4)
     assert(viaParquet === out)
   }
 

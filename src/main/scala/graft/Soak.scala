@@ -142,7 +142,8 @@ object Soak {
       "c01_curation", "c02_canonical_source", "c03_pretrain_pipeline",
       "cnt02_ngram_contamination",
       "qz01_embed_quantize", "qz02_product_quantize", "smp04_source_cap",
-      "t05_bpe_tokens", "t11_chunking", "t13_bpe_train", "m03_media_headers")
+      "t05_bpe_tokens", "t11_chunking", "t13_bpe_train",
+      "t14_bpe_train_apply", "m03_media_headers")
 
     var total = 0.0
     queries.foreach { name =>

@@ -562,6 +562,77 @@ object Analytics {
       ORDER BY user_id, session_start""")),
 
     // ------------------------------------------------------------------
+    // As-of join (point-in-time lookup): each purchase picks up the
+    // LATEST view at-or-before it per user. Spark has no native as-of
+    // join; the operator is the tagged-union + running-window form (one
+    // exchange on user_id, linear — see AsofJoin's scaladoc), checked
+    // against DuckDB's first-class ASOF LEFT JOIN. The right side is
+    // pre-aggregated per (user_id, ts) so both engines' equal-ts tie
+    // policies are vacuously identical.
+    QueryDef("e09_asof_join", (s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsofJoin.asofJoin(purchases, views, Seq("user_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts"), col("purchase_value"),
+          col("r_view_value").as("view_value"),
+          unix_micros(col("r_ts")).as("view_ts"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH ev AS (SELECT event_id, user_id,
+              make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+            FROM events),
+      p AS (SELECT event_id, user_id, ts, value AS purchase_value FROM ev
+            WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, ts, MAX(value) AS view_value FROM ev
+            WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts,
+        p.purchase_value, v.view_value, epoch_us(v.ts) AS view_ts
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id""")),
+
+    // ------------------------------------------------------------------
+    // Tolerance'd as-of join (merge_asof(tolerance) semantics): a match
+    // staler than 10 minutes is nulled — the match is still the LATEST
+    // view (tolerance filters; it never falls back to an older row), so
+    // the oracle is the same ASOF join with a CASE gate on staleness.
+    QueryDef("e09b_asof_tolerance", (s, d) => {
+      val e = t(s, d, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("view_value"))
+      graft.operators.AsofJoin.asofJoin(purchases, views, Seq("user_id"),
+          toleranceMicros = Some(10L * 60L * 1000000L))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts"),
+          col("r_view_value").as("view_value"),
+          unix_micros(col("r_ts")).as("view_ts"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH ev AS (SELECT event_id, user_id,
+              make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+            FROM events),
+      p AS (SELECT event_id, user_id, ts FROM ev
+            WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, ts, MAX(value) AS view_value FROM ev
+            WHERE event_type = 'view' GROUP BY user_id, ts)
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts,
+        CASE WHEN p.ts - v.ts <= INTERVAL '10 minutes' THEN v.view_value
+             END AS view_value,
+        CASE WHEN p.ts - v.ts <= INTERVAL '10 minutes' THEN epoch_us(v.ts)
+             END AS view_ts
+      FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+      ORDER BY p.event_id""")),
+
+    // ------------------------------------------------------------------
     // Streaming funnel advances (flatMapGroupsWithState): the REAL
     // stateful streaming query runs through a memory sink and must emit
     // exactly the advances the batch cascade derives — one row per

@@ -964,4 +964,35 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("quality_score")).toMap
     assert(scores(1L) < scores(2L))
   }
+
+  test("as-of join: latest at-or-before match, left-outer nulls, equal-ts ties, tolerance") {
+    val s = spark
+    import s.implicits._
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val left = Seq((1L, ts("10:00"), "p1"), (1L, ts("11:00"), "p2"),
+      (2L, ts("09:00"), "p3")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, ts("09:30"), 0.5), (1L, ts("09:30"), 1.0), // equal-ts duplicate
+      (1L, ts("10:00"), 2.0), (1L, ts("10:30"), 3.0),
+      (3L, ts("08:00"), 9.0)).toDF("k", "ts", "w")
+    val out = graft.operators.AsofJoin.asofJoin(left, right, Seq("k"))
+      .collect().map(r => (r.getAs[String]("tag"),
+        Option(r.getAs[java.sql.Timestamp]("r_ts")),
+        Option(r.getAs[Any]("r_w")))).toSet
+    assert(out === Set(
+      ("p1", Some(ts("10:00")), Some(2.0)), // inclusive: equal ts matches
+      ("p2", Some(ts("10:30")), Some(3.0)), // latest prior, not first
+      ("p3", None, None)))                  // key 2 has no right rows
+    // equal-ts duplicate policy: the greatest payload struct wins
+    val dupWinner = graft.operators.AsofJoin.asofJoin(
+        Seq((1L, ts("09:45"), "x")).toDF("k", "ts", "tag"), right, Seq("k"))
+      .head.getAs[Double]("r_w")
+    assert(dupWinner === 1.0)
+    // tolerance: p2's 30-minute-stale match is nulled; p1's exact match stays
+    val tol = graft.operators.AsofJoin.asofJoin(left, right, Seq("k"),
+        toleranceMicros = Some(10L * 60L * 1000000L))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("r_w"))).toMap
+    assert(tol === Map("p1" -> Some(2.0), "p2" -> None, "p3" -> None))
+  }
 }

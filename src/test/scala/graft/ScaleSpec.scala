@@ -337,6 +337,25 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("MapPartitions"), s"no bounded-heap stage:\n$p")
   }
 
+  test("as-of join: one key exchange, no range-join pair blow-up") {
+    import spark.implicits._
+    def ts(hhmm: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val left = Seq((1L, ts("10:00"), 5.0)).toDF("k", "ts", "v")
+    val right = Seq((1L, ts("09:30"), 1.0)).toDF("k", "ts", "w")
+    val p = graft.operators.AsofJoin.asofJoin(left, right, Seq("k"))
+      .queryExecution.executedPlan.toString
+    // the naive encodings of "latest right row at-or-before each left ts"
+    // plan a BNLJ/cartesian range join (quadratic per key); the tagged
+    // union + running window must plan exactly ONE exchange on the key
+    assert(!p.contains("CartesianProduct"), s"cartesian in as-of join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"BNLJ in as-of join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"as-of join should not plan a pairwise join at all:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges === 1, s"expected exactly 1 key exchange, got $exchanges:\n$p")
+    assert(p.contains("Window"), s"no running window in:\n$p")
+  }
+
   test("minhash signatures are a narrow in-row map (no explode, no aggregate)") {
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g")).toDF("doc_id", "text")

@@ -94,8 +94,19 @@ object Similarity {
     * per-cell mean vector), probe the nProbe nearest cells per query, then
     * exact-score only vectors in probed cells. Sub-linear scan at scale when
     * cells >> nProbe.
+    *
+    * `candidateFilter` is PRE-filtered search (the production form for
+    * tombstones / ACLs / metadata constraints): the predicate is applied to
+    * the corpus side BEFORE scoring, inside the same pruned cell join —
+    * excluded vectors are never scored, the scan stays sub-linear (Spark
+    * pushes the predicate into the parquet scan under the cell join), and
+    * the top-k fills from eligible vectors only. Post-filtering the top-k
+    * instead would return fewer than k rows whenever any winner is
+    * excluded. The index (cells + centroids) is still built over the FULL
+    * corpus — filters change per query; the index does not.
     */
-  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int = 10, nProbe: Int = 2): DataFrame = {
+  def ivfTopK(emb: DataFrame, isQuery: Column, k: Int = 10, nProbe: Int = 2,
+      candidateFilter: Column = lit(true)): DataFrame = {
     val cos = nativeCosine(emb.sparkSession) _
     val dims = emb.select(col("vec_id"), col("label"),
       posexplode(col("embedding")).as(Seq("i", "v")))
@@ -112,7 +123,8 @@ object Similarity {
         Window.partitionBy(col("qid")).orderBy(col("csim").desc, col("label"))))
       .filter(col("crank") <= nProbe)
       .select(col("qid"), col("qvec"), col("label"))
-    val cand = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"),
+    val cand = emb.filter(candidateFilter)
+      .select(col("vec_id").as("nid"), col("embedding").as("nvec"),
         col("label"))
       .join(broadcast(probed), Seq("label"))
       .filter(col("nid") =!= col("qid"))

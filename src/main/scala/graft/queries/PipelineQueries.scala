@@ -884,6 +884,47 @@ object PipelineQueries {
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
 
+    // a07: PRE-filtered IVF search (tombstones/ACLs/metadata constraints) —
+    // the predicate rides inside the pruned cell join, so excluded vectors
+    // are never scored and top-k fills from eligible vectors only (a
+    // post-filter would come up short whenever a winner is excluded). The
+    // oracle replays a02's IVF pipeline with the same filter in its
+    // candidate stage.
+    QueryDef("a07_ann_filtered", (s, d) =>
+      Similarity.ivfTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, 10, 2,
+          candidateFilter = col("vec_id") % 3 =!= 0)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      cent AS (SELECT label, i, AVG(v) AS cv FROM ed GROUP BY label, i),
+      cnrm AS (SELECT label, SQRT(SUM(cv*cv)) AS cn FROM cent GROUP BY label),
+      q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+      qc AS (SELECT q.qid, c.label, SUM(q.v*c.cv) AS dot
+             FROM q JOIN cent c ON q.i = c.i GROUP BY q.qid, c.label),
+      probed AS (SELECT qid, label FROM (
+        SELECT qc.qid, qc.label,
+          ROW_NUMBER() OVER (PARTITION BY qc.qid
+            ORDER BY qc.dot/(n.nrm*cn.cn) DESC, qc.label) AS rn
+        FROM qc
+        JOIN nrm n ON n.vec_id = qc.qid
+        JOIN cnrm cn ON cn.label = qc.label) t WHERE rn <= 2),
+      cand AS (SELECT p.qid, e.vec_id AS nid, SUM(eq.v*e.v) AS dot
+               FROM probed p
+               JOIN ed e ON e.label = p.label AND e.vec_id <> p.qid
+                 AND e.vec_id % 3 <> 0
+               JOIN ed eq ON eq.vec_id = p.qid AND eq.i = e.i
+               GROUP BY p.qid, e.vec_id),
+      sims AS (SELECT qid, nid, dot/(nq.nrm*nn.nrm) AS sim
+               FROM cand
+               JOIN nrm nq ON nq.vec_id = qid
+               JOIN nrm nn ON nn.vec_id = nid),
+      ranked AS (SELECT qid, nid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, nid) AS rank FROM sims)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
+
     // ---------------- sampling / screening ----------------
     // Deterministic hash sampling (reproducible across engines — the
     // oracle replays the same md5 bucket), the selection stage after

@@ -965,6 +965,25 @@ class OperatorsSpec extends SparkSpec {
     assert(scores(1L) < scores(2L))
   }
 
+  test("filtered IVF search never returns an excluded vector and still fills k") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val filtered = Similarity.ivfTopK(emb, col("vec_id") < 3, k = 5,
+        nProbe = 2, candidateFilter = col("vec_id") % 3 =!= 0)
+      .collect()
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_.getAs[Long]("nid") % 3 != 0),
+      "excluded vector leaked into filtered top-k")
+    // top-k REFILLS from eligible vectors (pre-filter), it doesn't just
+    // drop winners (post-filter would return < k rows per query)
+    val perQ = filtered.groupBy(_.getAs[Long]("qid")).view.mapValues(_.length)
+    assert(perQ.values.forall(_ == 5), s"short top-k: ${perQ.toMap}")
+    // and the filter genuinely bites: the unfiltered search DOES surface
+    // vec_id % 3 == 0 neighbors
+    val unfiltered = Similarity.ivfTopK(emb, col("vec_id") < 3, k = 5,
+        nProbe = 2).collect()
+    assert(unfiltered.exists(_.getAs[Long]("nid") % 3 == 0))
+  }
+
   test("as-of join: latest at-or-before match, left-outer nulls, equal-ts ties, tolerance") {
     val s = spark
     import s.implicits._

@@ -129,7 +129,9 @@ object Soak {
       // round-11 additions (PerfProbe warm run2 at sf0.1, measured after
       // the a06 residual-relation checkpoint)
       "c03_pretrain_pipeline" -> 2.50, "a05_ann_pq" -> 4.12,
-      "a06_ann_ivfpq" -> 5.19, "t13_bpe_train" -> 0.46)
+      "a06_ann_ivfpq" -> 5.19, "t13_bpe_train" -> 0.46,
+      // round-12 additions (PerfProbe warm run2 at sf0.1)
+      "t14_bpe_train_apply" -> 1.20)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",

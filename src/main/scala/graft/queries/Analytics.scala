@@ -633,6 +633,51 @@ object Analytics {
       ORDER BY p.event_id""")),
 
     // ------------------------------------------------------------------
+    // Stream-stream interval join (attribution window): every view in the
+    // 60 minutes before each purchase, through a REAL watermarked
+    // stream-stream join into a memory sink. The range condition is what
+    // bounds both sides' join state at scale (a view is evicted once the
+    // watermark passes ts + window). Single micro-batch here = the
+    // complete-result mode the batch oracle can check exactly;
+    // StreamingSpec pins the cross-batch incremental behavior.
+    QueryDef("e10_stream_interval_join", (s, d) => {
+      val dir = stageEvents(s, d, "events_interval", copies = 1)
+      val es = graft.streaming.EventStream
+      val purchases = es.source(s, dir, None)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = es.source(s, dir, None)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("value").as("view_value"))
+      val sink = s"e10_sink_${sinkRuns.incrementAndGet()}"
+      val q = es.intervalJoin(purchases, views, "user_id", "v_user", "v_ts",
+          windowMinutes = 60)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts"), col("purchase_value"),
+          unix_micros(col("v_ts")).as("view_ts"), col("view_value"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        t.orderBy(col("event_id"), col("view_ts"), col("view_value"))
+      }
+    }, Some("""
+      WITH ev AS (SELECT event_id, user_id,
+              make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+            FROM events),
+      p AS (SELECT event_id, user_id, ts, value AS purchase_value FROM ev
+            WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, ts AS v_ts, value AS view_value FROM ev
+            WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts,
+        p.purchase_value, epoch_us(v.v_ts) AS view_ts, v.view_value
+      FROM p JOIN v ON p.user_id = v.user_id
+        AND v.v_ts >= p.ts - INTERVAL '60 minutes' AND v.v_ts <= p.ts
+      ORDER BY p.event_id, view_ts, view_value""")),
+
+    // ------------------------------------------------------------------
     // Streaming funnel advances (flatMapGroupsWithState): the REAL
     // stateful streaming query runs through a memory sink and must emit
     // exactly the advances the batch cascade derives — one row per

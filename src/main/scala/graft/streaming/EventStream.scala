@@ -67,6 +67,32 @@ object EventStream {
       .write.mode("append").parquet(dir)
   }
 
+  /** Stream-stream interval join: each left (probe) row pairs with every
+    * right (build) row for the same key whose event time falls in
+    * `[probe.ts - windowMinutes, probe.ts]` — the attribution-window shape
+    * (all views in the hour before a purchase), and the canonical
+    * Structured Streaming stream-stream join: BOTH sides are watermarked
+    * and the range condition bounds how long either side's rows are
+    * state — Spark evicts a build row once the watermark passes
+    * `ts + windowMinutes` (it can no longer match any future probe), so
+    * state is windowMinutes × arrival-rate regardless of stream length.
+    * Contrast [[graft.operators.AsofJoin]]: that is latest-ONE-match
+    * point-in-time batch semantics; this is ALL-matches-in-window and
+    * runs incrementally.
+    *
+    * The right side's columns must be pre-renamed by the caller (only the
+    * join key and `rightTs` are referenced here) so the joined frame has
+    * no ambiguous names.
+    */
+  def intervalJoin(probe: DataFrame, build: DataFrame, key: String,
+      rightKey: String, rightTs: String, windowMinutes: Int,
+      watermark: String = "1 hour"): DataFrame =
+    probe.withWatermark("ts", watermark)
+      .join(build.withWatermark(rightTs, watermark),
+        col(key) === col(rightKey) &&
+          col(rightTs) >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+          col(rightTs) <= col("ts"))
+
   /** Watermarked hourly windowed aggregation per event type. */
   def hourlyAgg(events: DataFrame): DataFrame =
     events

@@ -279,6 +279,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches across micro-batches, in-window only") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val views = vIn.toDF().toDF("v_user", "v_ts", "view_value")
+    val purchases = pIn.toDF().toDF("event_id", "user_id", "ts")
+    val q = EventStream.intervalJoin(purchases, views,
+        "user_id", "v_user", "v_ts", windowMinutes = 60)
+      .select(col("event_id"), col("view_value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("interval_join").start()
+    try {
+      // batch 1: two views for user 1, no purchases yet — both become state
+      vIn.addData((1L, ts("10:00"), 1.0), (1L, ts("10:40"), 2.0))
+      q.processAllAvailable()
+      // batch 2: purchase at 10:50 matches BOTH buffered views (cross-batch
+      // state join); purchase at 13:00 has an empty [12:00, 13:00] window
+      pIn.addData((100L, 1L, ts("10:50")), (101L, 1L, ts("13:00")))
+      q.processAllAvailable()
+      val rows = spark.table("interval_join").collect()
+        .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("view_value")))
+      assert(rows.toSet === Set((100L, 1.0), (100L, 2.0)), s"got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermark is attached to the streaming plan") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),

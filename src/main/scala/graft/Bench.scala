@@ -201,6 +201,24 @@ object Bench {
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
       }
+      // ...then unmeasured CONCURRENT warm-up batches: r12 forensics showed
+      // serial warm-ups alone leave the first measured batches on the JIT
+      // ramp (q01 batches 5.6→5.0→6.9→7.0 q/s with jit_ms 8900→4669 —
+      // eight parallel materializations exercise compilation the serial
+      // pass never reaches), so best-of-N was sampling warm-up, not
+      // steady state
+      val warmupBatches = sys.env
+        .getOrElse("SPARK_GRAFT_CONCURRENT_WARMUP_BATCHES", "2").toInt
+      (1 to warmupBatches).foreach { _ =>
+        spark.catalog.clearCache()
+        val pool = Executors.newFixedThreadPool(workers)
+        implicit val ec: EC = EC.fromExecutor(pool)
+        try Await.result(
+          Future.sequence((1 to concIters).map(_ => Future {
+            fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          })), Duration.Inf)
+        catch { case _: Throwable => () } finally pool.shutdown()
+      }
       // best-of-N batches, mirroring the serial min-of-N. A per-query time
       // budget bounds the pathological case: at least one batch always
       // runs, further batches only while under budget.

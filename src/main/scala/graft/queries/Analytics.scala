@@ -678,6 +678,70 @@ object Analytics {
       ORDER BY p.event_id, view_ts, view_value""")),
 
     // ------------------------------------------------------------------
+    // LEFT-OUTER stream-stream interval join: purchases with NO view in
+    // their window must also emit (null view columns). Outer emission is
+    // watermark-gated — Spark releases an unmatched probe row only once
+    // the watermark proves no future build row can match — so two
+    // far-future heartbeats (one per input stream, negative user_ids,
+    // written in the staged dir's own encoding) push the min-across-
+    // inputs watermark past every real purchase's window. The oracle is
+    // the batch LEFT JOIN; NULLS FIRST pinned on both sides (Spark's
+    // asc default vs DuckDB's NULLS LAST).
+    QueryDef("e10b_interval_left_outer", (s, d) => {
+      val dir = stageEvents(s, d, "events_interval_outer", copies = 1)
+      val es = graft.streaming.EventStream
+      val purchases = es.source(s, dir, None)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("value").as("purchase_value"))
+      val views = es.source(s, dir, None)
+        .filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+          col("value").as("view_value"))
+      val sink = s"e10b_sink_${sinkRuns.incrementAndGet()}"
+      val q = es.intervalJoin(purchases, views, "user_id", "v_user", "v_ts",
+          windowMinutes = 60, joinType = "left_outer")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("purchase_ts"), col("purchase_value"),
+          unix_micros(col("v_ts")).as("view_ts"), col("view_value"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        q.processAllAvailable()
+        // one heartbeat per INPUT STREAM (the query watermark is the min
+        // over both sides' event-time stats; a row filtered out of a side
+        // never advances it): a 2100 purchase and a 2100 view, then a
+        // second pair so the advanced watermark's eviction pass runs
+        Seq(0, 1).foreach { k =>
+          es.appendSyntheticEvent(s, dir, eventId = -10L - k,
+            ts = java.time.Instant.parse(s"${2100 + k}-01-01T00:00:00Z"),
+            userId = -1L, eventType = "purchase", value = 0.0, props = "{}")
+          es.appendSyntheticEvent(s, dir, eventId = -20L - k,
+            ts = java.time.Instant.parse(s"${2100 + k}-01-01T00:00:00Z"),
+            userId = -2L, eventType = "view", value = 0.0, props = "{}")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        t.filter(col("user_id") >= 0)
+          .orderBy(col("event_id"), col("view_ts").asc_nulls_first,
+            col("view_value").asc_nulls_first)
+      }
+    }, Some("""
+      WITH ev AS (SELECT event_id, user_id,
+              make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type, value
+            FROM events),
+      p AS (SELECT event_id, user_id, ts, value AS purchase_value FROM ev
+            WHERE event_type = 'purchase'),
+      v AS (SELECT user_id, ts AS v_ts, value AS view_value FROM ev
+            WHERE event_type = 'view')
+      SELECT p.event_id, p.user_id, epoch_us(p.ts) AS purchase_ts,
+        p.purchase_value, epoch_us(v.v_ts) AS view_ts, v.view_value
+      FROM p LEFT JOIN v ON p.user_id = v.user_id
+        AND v.v_ts >= p.ts - INTERVAL '60 minutes' AND v.v_ts <= p.ts
+      ORDER BY p.event_id, view_ts NULLS FIRST, view_value NULLS FIRST""")),
+
+    // ------------------------------------------------------------------
     // Streaming funnel advances (flatMapGroupsWithState): the REAL
     // stateful streaming query runs through a memory sink and must emit
     // exactly the advances the batch cascade derives — one row per

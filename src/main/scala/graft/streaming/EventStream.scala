@@ -83,15 +83,23 @@ object EventStream {
     * The right side's columns must be pre-renamed by the caller (only the
     * join key and `rightTs` are referenced here) so the joined frame has
     * no ambiguous names.
+    *
+    * `joinType` "left_outer" adds the unmatched-probe rows (null right
+    * payload) — Spark emits an outer result only once the watermark
+    * proves no future build row can match (the same eviction bound that
+    * keeps state finite decides outer emission), so a drained-directory
+    * run needs a watermark push past every probe's window before the
+    * outer rows appear.
     */
   def intervalJoin(probe: DataFrame, build: DataFrame, key: String,
       rightKey: String, rightTs: String, windowMinutes: Int,
-      watermark: String = "1 hour"): DataFrame =
+      watermark: String = "1 hour", joinType: String = "inner"): DataFrame =
     probe.withWatermark("ts", watermark)
       .join(build.withWatermark(rightTs, watermark),
         col(key) === col(rightKey) &&
           col(rightTs) >= col("ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
-          col(rightTs) <= col("ts"))
+          col(rightTs) <= col("ts"),
+        joinType)
 
   /** Watermarked hourly windowed aggregation per event type. */
   def hourlyAgg(events: DataFrame): DataFrame =

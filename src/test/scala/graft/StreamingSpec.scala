@@ -309,6 +309,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer interval join holds unmatched probes until the watermark clears them") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val vIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val q = EventStream.intervalJoin(
+        pIn.toDF().toDF("event_id", "user_id", "ts"),
+        vIn.toDF().toDF("v_user", "v_ts", "view_value"),
+        "user_id", "v_user", "v_ts", windowMinutes = 60,
+        joinType = "left_outer")
+      .select(col("event_id"), col("view_value"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("interval_outer").start()
+    try {
+      // a purchase with no view: NOT emitted yet — a matching view could
+      // still arrive while the watermark lags
+      pIn.addData((100L, 1L, ts("10:00")))
+      vIn.addData((9L, ts("10:00"), 0.0)) // unrelated user keeps v side live
+      q.processAllAvailable()
+      assert(spark.table("interval_outer").isEmpty,
+        "outer row emitted before the watermark cleared it")
+      // both sides advance far past 10:00 + window + delay; the next
+      // batch's eviction pass releases the unmatched probe with nulls
+      pIn.addData((101L, 2L, ts("14:00"))); vIn.addData((9L, ts("14:00"), 0.0))
+      q.processAllAvailable()
+      pIn.addData((102L, 2L, ts("15:00"))); vIn.addData((9L, ts("15:00"), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("interval_outer").collect()
+        .map(r => (r.getAs[Long]("event_id"), Option(r.getAs[Any]("view_value"))))
+      assert(rows.contains((100L, None)),
+        s"unmatched purchase never released: ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("watermark is attached to the streaming plan") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),

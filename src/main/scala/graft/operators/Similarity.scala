@@ -682,6 +682,53 @@ object Similarity {
       .select(col("a"), col("b"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** k-NN GRAPH over the whole corpus: top-k cosine neighbors for EVERY
+    * vector (not a small query set) — the construction primitive for
+    * graph-based dedup, kNN retrieval indexes, and cluster refinement.
+    * Candidates come from the same banded-LSH self-join as the near-dup
+    * path (never all-pairs; `maxBucketSize` is the hot-bucket guard for
+    * degenerate corpora), each undirected candidate pair is scored ONCE,
+    * then both directions feed the bounded-heap two-stage top-k. At 100 TB
+    * the shape is: bucket shuffle ~ corpus, candidate volume ~ band-curve
+    * selectivity, per-vector state k rows — no stage is quadratic with
+    * the cap on. Approximate by construction: a vector sharing no bucket
+    * with k neighbors returns fewer rows (same contract as [[lshTopK]]).
+    */
+  def knnGraph(emb: DataFrame, k: Int = 5, planes: Int = 64, bands: Int = 16,
+      dim: Int = -1, maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    require(planes % bands == 0, "planes must divide evenly into bands")
+    val cos = nativeCosine(emb.sparkSession) _
+    val resolvedDim =
+      if (dim > 0) dim
+      else emb.select(size(col("embedding"))).head(1) match {
+        case Array(r) => r.getInt(0)
+        case _ =>
+          return emb.sparkSession.emptyDataFrame
+            .select(lit(0L).as("qid"), lit(0L).as("nid"),
+              lit(0L).as("rank"), lit(0.0).as("cos_sim")).limit(0)
+      }
+    val (buckets, lazyCand) = lshCandidates(emb, planes, bands, resolvedDim,
+      maxBucketSize)
+    val cand =
+      try lazyCand.localCheckpoint(true)
+      finally buckets.unpersist(false)
+    val va = emb.select(col("vec_id").as("a"), col("embedding").as("va"))
+    val vb = emb.select(col("vec_id").as("b"), col("embedding").as("vb"))
+    // score each undirected pair once, then mirror — half the cosine work
+    // of treating every vector as an independent query
+    val scored = cand.join(va, Seq("a")).join(vb, Seq("b"))
+      .withColumn("cos_sim", cos(col("va"), col("vb")))
+      .select(col("a"), col("b"), col("cos_sim"))
+      .localCheckpoint(true) // two directed consumers of one scoring pass
+    val directed = scored
+      .select(col("a").as("qid"), col("b").as("nid"), col("cos_sim"))
+      .union(scored
+        .select(col("b").as("qid"), col("a").as("nid"), col("cos_sim")))
+    topKPerQuery(directed, k)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** Shared LSH bucket stage: (vec_id, band, bucket), cached. Both the
     * top-k path ([[lshTopK]]: query buckets vs corpus buckets) and the
     * near-dup pair path ([[lshCandidates]]: bucket self-join) consume this

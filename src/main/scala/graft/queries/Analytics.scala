@@ -742,6 +742,29 @@ object Analytics {
       ORDER BY p.event_id, view_ts NULLS FIRST, view_value NULLS FIRST""")),
 
     // ------------------------------------------------------------------
+    // Streaming watermarked hourly aggregation, oracle-checked end to end
+    // (previously only spec-checked against its batch twin): the REAL
+    // windowed streaming query drains the staged directory into a memory
+    // sink and must reproduce the batch GROUP BY hour exactly.
+    QueryDef("e11_stream_hourly", (s, d) => {
+      val dir = stageEvents(s, d, "events_hourly_stream", copies = 1)
+      val sink = s"e11_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream.runToMemory(s, dir, sink)
+      q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        t.select(unix_micros(col("window_start")).as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      }
+    }, Some("""
+      SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type,
+              value FROM events) e
+      GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // ------------------------------------------------------------------
     // Streaming funnel advances (flatMapGroupsWithState): the REAL
     // stateful streaming query runs through a memory sink and must emit
     // exactly the advances the batch cascade derives — one row per

@@ -884,6 +884,51 @@ object PipelineQueries {
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
 
+    // a08: k-NN GRAPH — top-k neighbors for EVERY corpus vector via the
+    // banded-LSH candidate self-join (never all-pairs), each undirected
+    // pair scored once and mirrored. The oracle replays signatures, band
+    // buckets, the a<b candidate join, the exact re-score, the mirror
+    // union, and the per-vector rank.
+    QueryDef("a08_knn_graph", (s, d) =>
+      Similarity.knnGraph(Tables.load(s, d, "embeddings"), k = 5, dim = 64)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      planes AS (SELECT pr.p, ir.i,
+            CASE WHEN ascii(substring(md5(CAST(pr.p AS VARCHAR) || ':' ||
+                   CAST(ir.i AS VARCHAR)), 1, 1)) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range(0, 64)) AS p) pr,
+               (SELECT DISTINCT i FROM ed) ir),
+      proj AS (SELECT ed.vec_id, pl.p, SUM(ed.v * pl.s) AS dot
+               FROM ed JOIN planes pl ON pl.i = ed.i GROUP BY ed.vec_id, pl.p),
+      sig AS (SELECT vec_id,
+                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY p) AS bits
+              FROM proj GROUP BY vec_id),
+      buckets AS (SELECT vec_id, b AS band, substring(bits, b*4+1, 4) AS bucket
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b) bb),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id),
+      dots AS (SELECT c.a, c.b, SUM(xa.v * xb.v) AS dot
+               FROM cand c JOIN ed xa ON xa.vec_id = c.a
+               JOIN ed xb ON xb.vec_id = c.b AND xb.i = xa.i
+               GROUP BY c.a, c.b),
+      sims AS (SELECT a, b, dot/(na.nrm*nb.nrm) AS sim
+               FROM dots
+               JOIN nrm na ON na.vec_id = a
+               JOIN nrm nb ON nb.vec_id = b),
+      directed AS (SELECT a AS qid, b AS nid, sim FROM sims
+                   UNION ALL
+                   SELECT b AS qid, a AS nid, sim FROM sims),
+      ranked AS (SELECT qid, nid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, nid) AS rank FROM directed)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // a07: PRE-filtered IVF search (tombstones/ACLs/metadata constraints) —
     // the predicate rides inside the pruned cell join, so excluded vectors
     // are never scored and top-k fills from eligible vectors only (a

@@ -965,6 +965,23 @@ class OperatorsSpec extends SparkSpec {
     assert(scores(1L) < scores(2L))
   }
 
+  test("knn graph: twin vectors are each other's rank-1 neighbor; loner links out") {
+    val s = spark
+    import s.implicits._
+    val a = Array.tabulate(64)(i => math.sin(i * 0.7).toFloat)
+    val b = Array.tabulate(64)(i => math.cos(i * 1.3).toFloat)
+    def nudge(v: Array[Float]) = { val w = v.clone(); w(0) += 0.01f; w }
+    val emb = Seq(1L -> a, 2L -> nudge(a), 10L -> b, 11L -> nudge(b))
+      .toDF("vec_id", "embedding")
+    val g = Similarity.knnGraph(emb, k = 2, dim = 64).collect()
+    val rank1 = g.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid")).toMap
+    // EVERY vector gets a neighbor list (graph, not query-set, semantics)
+    // and each twin pair is mutually rank-1
+    assert(rank1 === Map(1L -> 2L, 2L -> 1L, 10L -> 11L, 11L -> 10L))
+    assert(g.forall(_.getAs[Double]("cos_sim") <= 1.0))
+  }
+
   test("filtered IVF search never returns an excluded vector and still fills k") {
     val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
     val filtered = Similarity.ivfTopK(emb, col("vec_id") < 3, k = 5,

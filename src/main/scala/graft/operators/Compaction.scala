@@ -82,6 +82,47 @@ object Compaction {
     Result(rows, before.length, after.length)
   }
 
+  /** Cluster-compact: like [[compact]], but rows are RANGE-partitIONED and
+    * sorted by `clusterCols` on the way out, so every output file (and
+    * every parquet row group / ORC stripe inside it) covers a narrow key
+    * range. Column min/max statistics then turn key predicates into DATA
+    * SKIPPING at read time — the reader decodes only the row groups whose
+    * range can match — which is the layout lever (Z-order's 1-D special
+    * case) behind clustered tables in every lakehouse table format. The
+    * price over plain compaction is the same single shuffle (range instead
+    * of rebalance) plus an in-partition sort; at 100 TB this is the
+    * difference between a point lookup scanning one row group and
+    * scanning the table. SourcesSpec proves the skip with task
+    * recordsRead on a selective key scan, clustered vs rebalance-only.
+    *
+    * `writeOptions` passes format knobs (e.g. a small `parquet.block.size`
+    * to get several row groups per file where row-group granularity
+    * matters at test scale).
+    */
+  def compactClustered(spark: SparkSession, inDir: String, outDir: String,
+      clusterCols: Seq[String], targetBytes: Long = 128L * 1024 * 1024,
+      format: String = "parquet",
+      writeOptions: Map[String, String] = Map.empty): Result = {
+    require(format == "parquet" || format == "orc",
+      s"unsupported compaction format: $format")
+    require(clusterCols.nonEmpty, "compactClustered needs cluster columns")
+    import org.apache.spark.sql.functions.col
+    val suffix = s".$format"
+    val before = dataFiles(inDir, suffix)
+    val df = spark.read.format(format).load(inDir)
+    withAdvisorySize(spark, targetBytes) {
+      df.repartitionByRange(clusterCols.map(col): _*)
+        .sortWithinPartitions(clusterCols.map(col): _*)
+        .write.mode("overwrite").options(writeOptions).format(format)
+        .save(outDir)
+    }
+    val after = dataFiles(outDir, suffix)
+    val inRows = footerRowCount(spark, before.map(_.getPath).toSeq, format)
+    val rows = footerRowCount(spark, after.map(_.getPath).toSeq, format)
+    require(rows == inRows, s"compaction changed row count: $inRows -> $rows")
+    Result(rows, before.length, after.length)
+  }
+
   private def withAdvisorySize[A](spark: SparkSession, bytes: Long)(f: => A): A = {
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val old = spark.conf.getOption(key)

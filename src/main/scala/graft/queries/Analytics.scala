@@ -765,6 +765,35 @@ object Analytics {
       GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
     // ------------------------------------------------------------------
+    // Stream-STATIC enrichment join: the most common streaming pattern —
+    // a live event stream joined to a broadcast dimension table (here
+    // customer, every events.user_id keys into c_custkey) and aggregated
+    // per segment in complete mode. The static side plans as a broadcast
+    // hash join against the stream (no stream-side shuffle for the join);
+    // the oracle is the plain batch join + GROUP BY.
+    QueryDef("e12_stream_enrich", (s, d) => {
+      val dir = stageEvents(s, d, "events_enrich", copies = 1)
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val sink = s"e12_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream.source(s, dir, None)
+        .join(broadcast(cust), col("user_id") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        t.orderBy(col("c_mktsegment"))
+      }
+    }, Some("""
+      SELECT c_mktsegment, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // ------------------------------------------------------------------
     // Streaming funnel advances (flatMapGroupsWithState): the REAL
     // stateful streaming query runs through a memory sink and must emit
     // exactly the advances the batch cascade derives — one row per

@@ -146,6 +146,32 @@ object SourceQueries {
       SELECT CAST(event_id AS BIGINT) AS event_id,
         CAST(user_id AS BIGINT) AS user_id, event_type
       FROM read_parquet('$stage/events_compacted/*.parquet')
+      ORDER BY event_id""")),
+
+    // Cluster-compaction: the data-skipping layout rewrite (range-partition
+    // + sort by user_id, so row-group min/max stats prune key scans — the
+    // SourcesSpec recordsRead probe proves the skip). The oracle re-reads
+    // the CLUSTERED bytes: content must be byte-identical to the input
+    // whatever the new layout.
+    QueryDef("x06_clustered_scan", (s, d) => {
+      val in = s"$stage/events_cluster_in"
+      val out = s"$stage/events_clustered"
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(16).write.mode("overwrite").parquet(in)
+      val res = graft.operators.Compaction.compactClustered(s, in, out,
+        clusterCols = Seq("user_id"), targetBytes = 64L * 1024 * 1024)
+      require(res.rows > 0, "clustered compaction lost rows")
+      s.read.parquet(out)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    }, Some(s"""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        CAST(user_id AS BIGINT) AS user_id, event_type, value
+      FROM read_parquet('$stage/events_clustered/*.parquet')
       ORDER BY event_id"""))
   )
 

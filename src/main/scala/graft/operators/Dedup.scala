@@ -555,4 +555,83 @@ object Dedup {
         concat((0 until bits).map(i =>
           when(col(s"sv$i") >= 0, "1").otherwise("0")): _*).as("simhash"))
   }
+
+  // ------------------------------------------------------------------
+  // Incremental dedup: the production shape at 100 TB. A corpus is never
+  // deduplicated once — every ingestion day brings a new batch that must
+  // be cleaned against everything already accepted, WITHOUT re-comparing
+  // the accepted corpus against itself (that work is already done and at
+  // 100 TB is the dominant cost).
+
+  /** Exact incremental dedup: keep each incoming doc whose content digest
+    * (a) is the smallest-doc_id holder of that digest within the batch and
+    * (b) does not already exist in the accepted corpus.
+    *
+    * Scale: the accepted side collapses to a DISTINCT 32-hex-char digest
+    * relation before the join — 16 bytes of state per accepted doc, never
+    * its text — and the batch sees one digest-keyed shuffle (dedup within
+    * batch) plus one digest-keyed anti-join (batch vs corpus). Neither
+    * side's text crosses the wire.
+    */
+  def incrementalExact(accepted: DataFrame, incoming: DataFrame): DataFrame = {
+    val oldH = accepted.select(md5(col("text")).as("__h")).distinct()
+    val firstInBatch = incoming
+      .select(col("doc_id"), md5(col("text")).as("__h"))
+      .groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+    val keptIds = firstInBatch.join(oldH, Seq("__h"), "left_anti")
+      .select(col("doc_id"))
+    incoming.join(keptIds, Seq("doc_id"), "left_semi")
+  }
+
+  /** Near-dup incremental dedup over MinHash + LSH: drop an incoming doc
+    * that shares an LSH bucket — and an estimated Jaccard of at least
+    * `minEstJaccard` — with any accepted doc, or with a smaller-doc_id doc
+    * of its own batch (pairwise-greedy within the batch; chains that need
+    * transitive closure go through [[clusters]] on the accepted corpus).
+    *
+    * The asymmetry is the point: candidate pairs are generated ONLY where
+    * the bucket holds at least one incoming doc. Accepted×accepted pairs —
+    * the quadratic mass that dominates a naive re-run — are never formed,
+    * so each day's cost is proportional to the batch and its collisions,
+    * not the corpus.
+    */
+  def incrementalLsh(accepted: DataFrame, incoming: DataFrame,
+      numHashes: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val tagged = accepted.select(col("doc_id"), col("text"),
+        lit(false).as("is_new"))
+      .unionByName(incoming.select(col("doc_id"), col("text"),
+        lit(true).as("is_new")))
+    val flags = tagged.select(col("doc_id"), col("is_new"))
+    val sig = materializeSignatures(
+      minhashSignatureMatrix(tagged, numHashes))
+    def bandBucket(b: Int): Column =
+      md5(concat_ws(",", (b until numHashes by bands).map(i => col(s"mh$i")): _*))
+    val bucketCols = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bandBucket(b).as("bucket")))
+    val buckets = sig.select(col("doc_id"),
+        explode(array(bucketCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"),
+        col("bb.bucket").as("bucket"))
+      .join(flags, Seq("doc_id"))
+    // y side: incoming docs only — the filter that keeps accepted×accepted
+    // out of the join entirely
+    val cand = buckets.as("x")
+      .join(buckets.filter(col("is_new")).as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") =!= col("y.doc_id") &&
+          (!col("x.is_new") || col("x.doc_id") < col("y.doc_id")))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"xa.mh$i") === col(s"xb.mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val dropped = cand
+      .join(sig.as("xa"), col("a") === col("xa.doc_id"))
+      .join(sig.as("xb"), col("b") === col("xb.doc_id"))
+      .filter(matches.cast("double") / lit(numHashes.toDouble) >= minEstJaccard)
+      .select(col("b").as("doc_id")).distinct()
+    incoming.join(dropped, Seq("doc_id"), "left_anti")
+  }
 }

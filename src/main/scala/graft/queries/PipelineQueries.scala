@@ -678,6 +678,77 @@ object PipelineQueries {
         string_agg(CASE WHEN sv >= 0 THEN '1' ELSE '0' END, '' ORDER BY b) AS simhash
       FROM votes GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ------------------------------------------------------------------
+    // Incremental dedup: every ingestion day cleans a NEW batch against the
+    // already-accepted corpus without re-comparing accepted×accepted. The
+    // corpus split is a deterministic hash on doc_id (75% accepted / 25%
+    // incoming), so both engines reconstruct the same two sides.
+    QueryDef("d12_incremental_dedup", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val isNew = Sampling.bucket16(col("doc_id")) >= (0.75 * 65536).toInt
+      Dedup.incrementalExact(docs.filter(!isNew), docs.filter(isNew))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH flg AS (SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               >= CAST(0.75 * 65536 AS BIGINT) AS is_new
+           FROM documents),
+      newd AS (SELECT d.doc_id, md5(d.text) AS h FROM documents d
+               JOIN flg f ON f.doc_id = d.doc_id WHERE f.is_new),
+      oldh AS (SELECT DISTINCT md5(d.text) AS h FROM documents d
+               JOIN flg f ON f.doc_id = d.doc_id WHERE NOT f.is_new),
+      keep AS (SELECT h, MIN(doc_id) AS doc_id FROM newd GROUP BY h)
+      SELECT k.doc_id, d.lang, d.source
+      FROM keep k JOIN documents d ON d.doc_id = k.doc_id
+      WHERE NOT EXISTS (SELECT 1 FROM oldh o WHERE o.h = k.h)
+      ORDER BY k.doc_id""")),
+
+    // Near-dup flavor of the same shape: candidate pairs form ONLY in LSH
+    // buckets holding an incoming doc — the accepted×accepted quadratic
+    // mass never joins. The oracle replays minhash, banding, the asymmetric
+    // candidate join and the pairwise-greedy drop rule.
+    QueryDef("d12b_incremental_lsh", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val isNew = Sampling.bucket16(col("doc_id")) >= (0.75 * 65536).toInt
+      Dedup.incrementalLsh(docs.filter(!isNew), docs.filter(isNew))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $SHD,
+      hs AS (SELECT unnest(range(0, 16)) AS h),
+      sig AS (SELECT doc_id, h,
+                MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              FROM shd, hs GROUP BY doc_id, h),
+      flg AS (SELECT doc_id,
+             ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               >= CAST(0.75 * 65536 AS BIGINT) AS is_new
+           FROM documents),
+      buckets AS (SELECT doc_id, h % 4 AS band,
+                    MD5(string_agg(mh, ',' ORDER BY h)) AS bucket
+                  FROM sig GROUP BY doc_id, h % 4),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM buckets x
+               JOIN flg fx ON fx.doc_id = x.doc_id
+               JOIN buckets y ON x.band = y.band AND x.bucket = y.bucket
+                 AND x.doc_id <> y.doc_id
+               JOIN flg fy ON fy.doc_id = y.doc_id
+               WHERE fy.is_new AND (NOT fx.is_new OR x.doc_id < y.doc_id)),
+      est AS (SELECT c.a, c.b,
+                CAST(COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS DOUBLE) / 16.0
+                  AS est_jaccard
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+              GROUP BY c.a, c.b),
+      dropped AS (SELECT DISTINCT b AS doc_id FROM est
+                  WHERE est_jaccard >= 0.5)
+      SELECT d.doc_id, d.lang, d.source
+      FROM documents d JOIN flg f ON f.doc_id = d.doc_id
+      WHERE f.is_new
+        AND NOT EXISTS (SELECT 1 FROM dropped dr WHERE dr.doc_id = d.doc_id)
+      ORDER BY d.doc_id""")),
+
     // maxRows is the explicit opt-in to the O(N^2) baseline: test-scale
     // embeddings are ~2k vectors; anything corpus-sized must go through d06.
     QueryDef("d05_embed_neardup", (s, d) =>

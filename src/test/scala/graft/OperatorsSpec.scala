@@ -1031,4 +1031,33 @@ class OperatorsSpec extends SparkSpec {
         Option(r.getAs[Any]("r_w"))).toMap
     assert(tol === Map("p1" -> Some(2.0), "p2" -> None, "p3" -> None))
   }
+
+  test("incremental dedup drops batch docs against corpus and within batch, never corpus docs") {
+    val lorem = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val other = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the windowsill with evident disdain every morning"
+    val third = "pack my box with five dozen liquor jugs and then take " +
+      "the boxes down to the harbor before the evening tide arrives"
+    val accepted = docs(1L -> lorem, 2L -> other)
+    val incoming = docs(
+      10L -> lorem,                               // exact dup of accepted 1
+      11L -> third,                               // novel → survives
+      12L -> third,                               // exact dup of 11 → dropped
+      13L -> other.replace("morning", "evening")) // near-dup of accepted 2
+    // exact: 10 (vs corpus) and 12 (vs smaller-id 11) drop; 11 and 13 stay
+    val ex = Dedup.incrementalExact(accepted, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ex === Set(11L, 13L))
+    // LSH: 13's one-word edit still collides with accepted 2 → dropped too
+    val near = Dedup.incrementalLsh(accepted, incoming)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(near === Set(11L))
+    // asymmetry: an accepted-only near-dup pair must NOT affect the batch —
+    // accepted×accepted candidates are never formed
+    val acc2 = docs(1L -> lorem, 2L -> lorem, 3L -> other)
+    val surv = Dedup.incrementalLsh(acc2, docs(20L -> third))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(surv === Set(20L))
+  }
 }

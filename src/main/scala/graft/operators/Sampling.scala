@@ -123,6 +123,24 @@ object Sampling {
       .drop("__graft_src", "__graft_rate")
   }
 
+  /** Deterministic disjoint split (train/val/test …): each row is assigned
+    * the first label whose cumulative fraction bound its hash bucket falls
+    * under. Pure per-row hash arithmetic — no shuffle, no state, stable
+    * under reruns and re-partitioning, and rows never leak across splits
+    * because the bucket intervals partition [0, 65536).
+    */
+  def split(df: DataFrame, key: Column, fracs: Seq[(String, Double)]): DataFrame = {
+    require(fracs.nonEmpty && fracs.forall(_._2 > 0), "fractions must be positive")
+    require(math.abs(fracs.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val b = bucket16(key)
+    val cum = fracs.map(_._1).zip(fracs.scanLeft(0.0)(_ + _._2).tail)
+    val first = when(b < lit(cum.head._2 * 65536), lit(cum.head._1))
+    val assigned = cum.tail.init
+      .foldLeft(first) { case (acc, (n, c)) => acc.when(b < lit(c * 65536), lit(n)) }
+      .otherwise(lit(cum.last._1))
+    df.withColumn("split", assigned)
+  }
+
   /** Cap any single group's contribution at `cap` rows, keeping a
     * deterministic hash-ordered prefix (so the kept subset is an unbiased,
     * reproducible sample of the group rather than whatever the scan order

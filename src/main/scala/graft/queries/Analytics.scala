@@ -884,6 +884,33 @@ object Analytics {
       ORDER BY o_custkey, o_orderkey""")),
 
     // ------------------------------------------------------------------
+    // Time-RANGE window frame: per-user rolling 1-hour event count/value —
+    // the "activity in the trailing hour" shape RANGE frames exist for
+    // (ROWS frames can't express it: event density varies). Both engines
+    // order by epoch MICROseconds (the events table's precision after the
+    // nanos→micros normalization in Tables.loadEvents), so frame bounds
+    // and peer groups agree bit-exactly under either physical encoding.
+    QueryDef("w05_time_range_window", (s, d) => {
+      val e = t(s, d, "events").filter(col("user_id") < 40)
+        .withColumn("tus", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"))
+        .rangeBetween(-3600L * 1000000L, Window.currentRow)
+      e.select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum(col("value").cast("decimal(12,2)")).over(w).cast("double")
+            .as("sum_1h"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id,
+        COUNT(*) OVER w AS n_1h,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_1h
+      FROM (SELECT event_id, user_id, value,
+              epoch_ns(ts) // 1000 AS tus FROM events WHERE user_id < 40) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // Registered JSON function surface (json_get / json_contains — the
     // reference's functions-json names; SURVEY §2.9).
     QueryDef("j02_json_functions", (s, d) => {

@@ -1627,6 +1627,24 @@ object PipelineQueries {
             < r.rate * 65536
       ORDER BY d.doc_id""")),
 
+    // deterministic train/val/test split: pure per-row hash arithmetic,
+    // no shuffle; the bucket intervals partition [0, 65536) so splits are
+    // provably disjoint and exhaustive, and membership is stable across
+    // reruns/repartitioning (the property that keeps eval sets honest)
+    QueryDef("smp06_split", (s, d) =>
+      Sampling.split(Tables.load(s, d, "documents"), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id, source,
+        CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < 0.8 * 65536 THEN 'train'
+             WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+               < CAST((0.8 + 0.1) * 65536 AS DOUBLE) THEN 'val'
+             ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id""")),
+
     // per-source cap: at most 10 docs per source, kept by hash order so
     // the capped subset is an unbiased deterministic sample of each source
     QueryDef("smp04_source_cap", (s, d) =>

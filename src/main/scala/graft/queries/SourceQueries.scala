@@ -172,8 +172,57 @@ object SourceQueries {
       SELECT CAST(event_id AS BIGINT) AS event_id,
         CAST(user_id AS BIGINT) AS user_id, event_type, value
       FROM read_parquet('$stage/events_clustered/*.parquet')
-      ORDER BY event_id"""))
+      ORDER BY event_id""")),
+
+    // Bucketed co-located join: both fact and dim are written bucketed on
+    // the join key (same bucket count, Spark's Murmur3 bucket hash), so the
+    // join reads bucket i against bucket i with NO Exchange on either side
+    // — the layout that turns the biggest recurring shuffle of a 100 TB
+    // warehouse into a local merge (ScaleSpec pins the no-Exchange plan).
+    // The pre-write repartition uses the same hash as the bucket spec, so
+    // each bucket lands in exactly one file and the sortBy order survives.
+    // The oracle reads the bucketed bytes back: layout must not change
+    // content.
+    QueryDef("x07_bucketed_join", (s, d) => {
+      stageBucketedTables(s, d)
+      s.table("x07_customer").join(s.table("x07_orders"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }, Some(s"""
+      SELECT c.c_mktsegment, COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price
+      FROM read_parquet('$stage/x07_customer/*.parquet') c
+      JOIN read_parquet('$stage/x07_orders/*.parquet') o
+        ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment"""))
   )
+
+  /** Write customer and orders as parquet tables bucketed (and sorted) on
+    * their join key — 8 buckets each side — registered in the session
+    * catalog with external data at the staging dir.
+    */
+  private[graft] def stageBucketedTables(s: org.apache.spark.sql.SparkSession,
+      d: String): Unit = {
+    s.sql("DROP TABLE IF EXISTS x07_customer")
+    s.sql("DROP TABLE IF EXISTS x07_orders")
+    Tables.load(s, d, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .repartition(8, col("c_custkey"))
+      .write.mode("overwrite").option("path", s"$stage/x07_customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .format("parquet").saveAsTable("x07_customer")
+    Tables.load(s, d, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .repartition(8, col("o_custkey"))
+      .write.mode("overwrite").option("path", s"$stage/x07_orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .format("parquet").saveAsTable("x07_orders")
+  }
 
   /** Deterministic Delta table from the nation parquet: three data files,
     * two commits, one remove action. Rebuilt from scratch on every call so

@@ -370,4 +370,20 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"unexpected explode in:\n$plan")
     assert(!plan.contains("Aggregate"), s"unexpected aggregate in:\n$plan")
   }
+
+  test("bucketed join reads bucket-to-bucket with no Exchange on either side") {
+    graft.queries.SourceQueries.stageBucketedTables(spark, sf0001)
+    // forbid broadcast so the merge path itself is what's asserted: a
+    // non-bucketed layout would need a shuffle on BOTH sides here
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("x07_customer").join(spark.table("x07_orders"),
+        col("c_custkey") === col("o_custkey"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"no merge join in:\n$p")
+      assert(!p.contains("Exchange"), s"bucketed join still shuffles:\n$p")
+      assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

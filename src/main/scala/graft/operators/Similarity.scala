@@ -90,6 +90,24 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** Recall@k of an approximate top-k result against the exact one — the
+    * metric an index-tuning loop (nProbe, bands, codebook size) actually
+    * optimizes. Inputs are any two (qid, nid, …) rankings of the same
+    * query set; output is per-query hit count and recall.
+    *
+    * Scale: both inputs are k rows per query — tiny relative to the corpus
+    * whatever the corpus size — so this is a broadcast-sized equi-join,
+    * never a corpus pass.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame =
+    exact.select(col("qid"), col("nid"))
+      .join(approx.select(col("qid").as("__aqid"), col("nid").as("__anid")),
+        col("qid") === col("__aqid") && col("nid") === col("__anid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("__anid")).as("n_hits"),
+        round(count(col("__anid")).cast("double") / lit(k.toDouble), 4)
+          .as(s"recall_at_$k"))
+
   /** IVF-style ANN: coarse cells from the corpus's label column (centroid =
     * per-cell mean vector), probe the nProbe nearest cells per query, then
     * exact-score only vectors in probed cells. Sub-linear scan at scale when

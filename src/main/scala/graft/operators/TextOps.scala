@@ -440,6 +440,37 @@ object TextOps {
           .otherwise(lit(0.0)).as("avg_nll"))
   }
 
+  /** Perplexity gate over [[lmScore]]: keep the best `keepFraction` of
+    * docs by average NLL against the (corpus- or reference-)trained bigram
+    * LM — the standard model-based quality filter of pretraining curation.
+    *
+    * The default gate is an exact global PERCENT_RANK filter: portable to
+    * a SQL oracle with zero quantile-interpolation ambiguity, but it ranks
+    * through a single-partition window, so it is the verification shape.
+    * `exact = false` is the 100 TB shape: one approx_percentile scalar agg
+    * (t-digest, mergeable map-side) broadcast back as a threshold — the
+    * corpus never sees a global sort, at the cost of an approximate cut
+    * point near the boundary.
+    */
+  def perplexityGate(docs: DataFrame, keepFraction: Double = 0.9,
+      refDocs: DataFrame = null, exact: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
+    val scored = lmScore(docs, refDocs)
+    if (exact) {
+      scored
+        .withColumn("__pr", percent_rank().over(Window.orderBy(col("avg_nll"))))
+        .filter(col("__pr") <= keepFraction)
+        .drop("__pr")
+    } else {
+      val thr = scored.agg(
+        expr(s"approx_percentile(avg_nll, $keepFraction)").as("__thr"))
+      scored.crossJoin(broadcast(thr))
+        .filter(col("avg_nll") <= col("__thr"))
+        .drop("__thr")
+    }
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic: ties broken by language code.
     */

@@ -794,6 +794,77 @@ object Analytics {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ------------------------------------------------------------------
+    // Streaming ingestion dedup: documents arrive as doc_id-ordered slices
+    // (one file per micro-batch, arrival order enforced via file mtimes),
+    // and every micro-batch runs the incremental dedup against the
+    // accepted store via foreachBatch — the continuous-ingestion loop a
+    // lakehouse pipeline runs daily, collapsed to one streaming query.
+    // Because slices partition the doc_id range in order, first-arrival ==
+    // global min doc_id, so the accepted store must converge to exactly
+    // the batch keep-first dedup the oracle computes — whether duplicates
+    // collide within one micro-batch (groupBy path) or across micro-
+    // batches (anti-join path).
+    QueryDef("e13_stream_ingest_dedup", (s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      val conf = s.sparkContext.hadoopConfiguration
+      val inDir = s"${SourceQueries.stage}/docs_ingest"
+      val accDir = s"${SourceQueries.stage}/docs_accepted"
+      val fsys = new Path(inDir).getFileSystem(conf)
+      fsys.delete(new Path(inDir), true)
+      fsys.delete(new Path(accDir), true)
+      // Planted duplicates exercise both dedup paths: the +10000/+20000
+      // clones of the first 50 docs land together in the LAST slice (they
+      // collide in-batch → the groupBy keep-min path) and their originals
+      // arrived in earlier slices (cross-batch → the anti-join path). All
+      // clones carry higher doc_ids than their originals, so keep-first
+      // over the ingested union equals keep-min over the base table — the
+      // oracle below — and can only be reached by dropping every clone.
+      val base = t(s, d, "documents")
+      val clones = Seq(10000L, 20000L).map(off =>
+        base.filter(col("doc_id") < 50)
+          .withColumn("doc_id", col("doc_id") + off))
+      val ingest = clones.foldLeft(base)(_ unionByName _)
+      val nSlices = 3
+      val sliced = ingest.withColumn("__slice",
+          ntile(nSlices).over(Window.orderBy(col("doc_id"))))
+        .localCheckpoint(true) // one tiny global-sort window, 3 consumers
+      var seen = Set.empty[String]
+      (1 to nSlices).foreach { k =>
+        sliced.filter(col("__slice") === k).drop("__slice")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        val now = fsys.listStatus(new Path(inDir)).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        now.filterNot(p => seen(p.toString)).foreach(p =>
+          // spaced mtimes pin the file-source arrival order to slice order
+          fsys.setTimes(p, 1000000000000L + k * 60000L, -1))
+        seen = now.map(_.toString).toSet
+      }
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val accepted =
+            if (fsys.exists(new Path(accDir))) s.read.parquet(accDir)
+            else batch.limit(0)
+          graft.operators.Dedup.incrementalExact(accepted, batch)
+            .write.mode("append").parquet(accDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(accDir)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some("""
+      WITH keep AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+                    FROM documents GROUP BY md5(text))
+      SELECT k.doc_id, d.lang, d.source
+      FROM keep k JOIN documents d ON d.doc_id = k.doc_id
+      ORDER BY k.doc_id""")),
+
+    // ------------------------------------------------------------------
     // Streaming funnel advances (flatMapGroupsWithState): the REAL
     // stateful streaming query runs through a memory sink and must emit
     // exactly the advances the batch cascade derives — one row per

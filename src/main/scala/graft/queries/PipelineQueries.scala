@@ -25,10 +25,109 @@ object PipelineQueries {
       |  LEAD(w,2) OVER win IS NOT NULL AS complete
       |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
       |shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE complete)""".stripMargin
+  /** Bigram-LM scoring chain shared by t12 (scores) and t15 (the gate):
+    * add-α smoothed NLL per token against corpus-trained unigram/bigram
+    * counts, 6dp-rounded through DECIMAL so the per-doc mean is
+    * order-independent and engine-exact. Ends in
+    * `scored(doc_id, n_tokens, avg_nll)`.
+    */
+  private val LMS =
+    s"""$TOK,
+      |wt AS (SELECT doc_id, pos, w FROM tok WHERE w <> ''),
+      |ug AS (SELECT w, COUNT(*) AS uc FROM wt GROUP BY w),
+      |tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM wt),
+      |voc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ug),
+      |bg0 AS (SELECT doc_id, pos, w AS w1,
+      |          LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+      |        FROM wt),
+      |bgc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg0
+      |        WHERE w2 IS NOT NULL GROUP BY w1, w2),
+      |terms AS (
+      |  SELECT b.doc_id,
+      |    CAST(ROUND(-LN((COALESCE(c.bc, 0) + 0.5) /
+      |      (COALESCE(u.uc, 0) + 0.5 * voc.v)), 6) AS DECIMAL(20,6)) AS nll
+      |  FROM bg0 b
+      |  LEFT JOIN ug u ON u.w = b.w1
+      |  LEFT JOIN bgc c ON c.w1 = b.w1 AND c.w2 = b.w2
+      |  CROSS JOIN voc
+      |  WHERE b.w2 IS NOT NULL
+      |  UNION ALL
+      |  SELECT f.doc_id,
+      |    CAST(ROUND(-LN((COALESCE(u.uc, 0) + 0.5) /
+      |      (tot.t + 0.5 * voc.v)), 6) AS DECIMAL(20,6))
+      |  FROM (SELECT doc_id, w FROM (
+      |          SELECT doc_id, w,
+      |            ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+      |          FROM wt) x WHERE rn = 1) f
+      |  LEFT JOIN ug u ON u.w = f.w
+      |  CROSS JOIN tot CROSS JOIN voc),
+      |per AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(nll) AS total
+      |        FROM terms GROUP BY doc_id),
+      |scored AS (SELECT d.doc_id,
+      |    COALESCE(CAST(p.n_terms AS BIGINT), 0) AS n_tokens,
+      |    CASE WHEN p.n_terms > 0
+      |      THEN ROUND(CAST(p.total AS DOUBLE) / p.n_terms, 6)
+      |      ELSE 0.0 END AS avg_nll
+      |  FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id)""".stripMargin
+
   private val ED =
     """ed AS (SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
       |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
       |nrm AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ed GROUP BY vec_id)""".stripMargin
+
+  /** Exact brute-force cosine top-10 for query vectors vec_id < 5 — the
+    * a01 oracle body and a09's ground-truth side (complete query, no final
+    * ORDER BY, usable as a parenthesized subquery).
+    */
+  private val BF_TOPK =
+    s"""WITH $ED,
+      |q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+      |dots AS (SELECT q.qid, x.vec_id AS nid, SUM(q.v*x.v) AS dot
+      |         FROM q JOIN ed x ON q.i = x.i AND x.vec_id <> q.qid
+      |         GROUP BY q.qid, x.vec_id),
+      |sims AS (SELECT qid, nid, dot/(nq.nrm*nx.nrm) AS sim
+      |         FROM dots
+      |         JOIN nrm nq ON nq.vec_id = qid
+      |         JOIN nrm nx ON nx.vec_id = nid),
+      |ranked AS (SELECT qid, nid, sim,
+      |             ROW_NUMBER() OVER (PARTITION BY qid
+      |               ORDER BY sim DESC, nid) AS rank
+      |           FROM sims)
+      |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
+  /** Deterministic IVF replay (label cells, mean centroids, 2-of-10 cosine
+    * probes, exact re-score) top-10 for vec_id < 5 — the a02 oracle body
+    * and a09's approximate side.
+    */
+  private val IVF_TOPK =
+    s"""WITH $ED,
+      |cent AS (SELECT label, i, AVG(v) AS cv FROM ed GROUP BY label, i),
+      |cnrm AS (SELECT label, SQRT(SUM(cv*cv)) AS cn FROM cent GROUP BY label),
+      |q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+      |qc AS (SELECT q.qid, c.label, SUM(q.v*c.cv) AS dot
+      |       FROM q JOIN cent c ON q.i = c.i GROUP BY q.qid, c.label),
+      |probed AS (SELECT qid, label FROM (
+      |  SELECT qc.qid, qc.label,
+      |    ROW_NUMBER() OVER (PARTITION BY qc.qid
+      |      ORDER BY qc.dot/(n.nrm*cn.cn) DESC, qc.label) AS rn
+      |  FROM qc
+      |  JOIN nrm n ON n.vec_id = qc.qid
+      |  JOIN cnrm cn ON cn.label = qc.label) t WHERE rn <= 2),
+      |cand AS (SELECT p.qid, e.vec_id AS nid, SUM(eq.v*e.v) AS dot
+      |         FROM probed p
+      |         JOIN ed e ON e.label = p.label AND e.vec_id <> p.qid
+      |         JOIN ed eq ON eq.vec_id = p.qid AND eq.i = e.i
+      |         GROUP BY p.qid, e.vec_id),
+      |sims AS (SELECT qid, nid, dot/(nq.nrm*nn.nrm) AS sim
+      |         FROM cand
+      |         JOIN nrm nq ON nq.vec_id = qid
+      |         JOIN nrm nn ON nn.vec_id = nid),
+      |ranked AS (SELECT qid, nid, sim,
+      |             ROW_NUMBER() OVER (PARTITION BY qid
+      |               ORDER BY sim DESC, nid) AS rank FROM sims)
+      |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
+      |FROM ranked WHERE rank <= 10""".stripMargin
 
   /** Product-quantization codebook fit, composing after [[ED]]: 4 blocks
     * of 16 dims, seed codes = the 16 lowest vec_ids' sub-vectors,
@@ -376,44 +475,23 @@ object PipelineQueries {
     QueryDef("t12_lm_score", (s, d) =>
       TextOps.lmScore(Tables.load(s, d, "documents")).orderBy(col("doc_id")),
       Some(s"""
-      WITH $TOK,
-      wt AS (SELECT doc_id, pos, w FROM tok WHERE w <> ''),
-      ug AS (SELECT w, COUNT(*) AS uc FROM wt GROUP BY w),
-      tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM wt),
-      voc AS (SELECT CAST(COUNT(*) AS DOUBLE) AS v FROM ug),
-      bg0 AS (SELECT doc_id, pos, w AS w1,
-                LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
-              FROM wt),
-      bgc AS (SELECT w1, w2, COUNT(*) AS bc FROM bg0
-              WHERE w2 IS NOT NULL GROUP BY w1, w2),
-      terms AS (
-        SELECT b.doc_id,
-          CAST(ROUND(-LN((COALESCE(c.bc, 0) + 0.5) /
-            (COALESCE(u.uc, 0) + 0.5 * voc.v)), 6) AS DECIMAL(20,6)) AS nll
-        FROM bg0 b
-        LEFT JOIN ug u ON u.w = b.w1
-        LEFT JOIN bgc c ON c.w1 = b.w1 AND c.w2 = b.w2
-        CROSS JOIN voc
-        WHERE b.w2 IS NOT NULL
-        UNION ALL
-        SELECT f.doc_id,
-          CAST(ROUND(-LN((COALESCE(u.uc, 0) + 0.5) /
-            (tot.t + 0.5 * voc.v)), 6) AS DECIMAL(20,6))
-        FROM (SELECT doc_id, w FROM (
-                SELECT doc_id, w,
-                  ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-                FROM wt) x WHERE rn = 1) f
-        LEFT JOIN ug u ON u.w = f.w
-        CROSS JOIN tot CROSS JOIN voc),
-      per AS (SELECT doc_id, COUNT(*) AS n_terms, SUM(nll) AS total
-              FROM terms GROUP BY doc_id)
-      SELECT d.doc_id,
-        COALESCE(CAST(p.n_terms AS BIGINT), 0) AS n_tokens,
-        CASE WHEN p.n_terms > 0
-          THEN ROUND(CAST(p.total AS DOUBLE) / p.n_terms, 6)
-          ELSE 0.0 END AS avg_nll
-      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
-      ORDER BY d.doc_id"""), headline = true),
+      WITH $LMS
+      SELECT doc_id, n_tokens, avg_nll FROM scored
+      ORDER BY doc_id"""), headline = true),
+
+    // Perplexity gate: t12's scores turned into the curation decision —
+    // drop the worst-perplexity decile against the corpus-trained bigram
+    // LM. The gate is an exact rank filter (PERCENT_RANK over avg_nll),
+    // identical in both engines with no quantile-interpolation ambiguity.
+    QueryDef("t15_perplexity_gate", (s, d) =>
+      TextOps.perplexityGate(Tables.load(s, d, "documents"), 0.9)
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH $LMS,
+      ranked AS (SELECT doc_id, n_tokens, avg_nll,
+          PERCENT_RANK() OVER (ORDER BY avg_nll) AS pr FROM scored)
+      SELECT doc_id, n_tokens, avg_nll FROM ranked
+      WHERE pr <= 0.9 ORDER BY doc_id""")),
 
     // BPE tokenizer TRAINING (not just apply): learn the first n merges
     // from the corpus word histogram. The oracle unrolls the merge loop as
@@ -858,22 +936,7 @@ object PipelineQueries {
       Similarity.bruteForceTopK(Tables.load(s, d, "embeddings"),
           col("vec_id") < 5, 10)
         .orderBy(col("qid"), col("rank")),
-      Some(s"""
-      WITH $ED,
-      q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
-      dots AS (SELECT q.qid, x.vec_id AS nid, SUM(q.v*x.v) AS dot
-               FROM q JOIN ed x ON q.i = x.i AND x.vec_id <> q.qid
-               GROUP BY q.qid, x.vec_id),
-      sims AS (SELECT qid, nid, dot/(nq.nrm*nx.nrm) AS sim
-               FROM dots
-               JOIN nrm nq ON nq.vec_id = qid
-               JOIN nrm nx ON nx.vec_id = nid),
-      ranked AS (SELECT qid, nid, sim,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                     ORDER BY sim DESC, nid) AS rank
-                 FROM sims)
-      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
-      FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""), headline = true),
+      Some(s"$BF_TOPK ORDER BY qid, rank"), headline = true),
 
     // IVF is approximate w.r.t. exact ANN (probes 2 of 10 cells), but its
     // construction is fully deterministic — label cells, mean centroids,
@@ -883,34 +946,25 @@ object PipelineQueries {
       Similarity.ivfTopK(Tables.load(s, d, "embeddings"),
           col("vec_id") < 5, 10, 2)
         .orderBy(col("qid"), col("rank")),
-      Some(s"""
-      WITH $ED,
-      cent AS (SELECT label, i, AVG(v) AS cv FROM ed GROUP BY label, i),
-      cnrm AS (SELECT label, SQRT(SUM(cv*cv)) AS cn FROM cent GROUP BY label),
-      q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
-      qc AS (SELECT q.qid, c.label, SUM(q.v*c.cv) AS dot
-             FROM q JOIN cent c ON q.i = c.i GROUP BY q.qid, c.label),
-      probed AS (SELECT qid, label FROM (
-        SELECT qc.qid, qc.label,
-          ROW_NUMBER() OVER (PARTITION BY qc.qid
-            ORDER BY qc.dot/(n.nrm*cn.cn) DESC, qc.label) AS rn
-        FROM qc
-        JOIN nrm n ON n.vec_id = qc.qid
-        JOIN cnrm cn ON cn.label = qc.label) t WHERE rn <= 2),
-      cand AS (SELECT p.qid, e.vec_id AS nid, SUM(eq.v*e.v) AS dot
-               FROM probed p
-               JOIN ed e ON e.label = p.label AND e.vec_id <> p.qid
-               JOIN ed eq ON eq.vec_id = p.qid AND eq.i = e.i
-               GROUP BY p.qid, e.vec_id),
-      sims AS (SELECT qid, nid, dot/(nq.nrm*nn.nrm) AS sim
-               FROM cand
-               JOIN nrm nq ON nq.vec_id = qid
-               JOIN nrm nn ON nn.vec_id = nid),
-      ranked AS (SELECT qid, nid, sim,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                     ORDER BY sim DESC, nid) AS rank FROM sims)
-      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
-      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
+      Some(s"$IVF_TOPK ORDER BY qid, rank")),
+
+    // Recall evaluation: the metric an index tuning loop actually reads —
+    // per-query overlap of the approximate (IVF, 2-of-10 probes) top-10
+    // with the exact top-10. Both sides replay in SQL, so the recall
+    // numbers themselves are hash-checked, and the Spark side is one
+    // broadcast-sized join of two k-row-per-query results.
+    QueryDef("a09_ann_recall", (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.recallAtK(
+          Similarity.bruteForceTopK(emb, col("vec_id") < 5, 10),
+          Similarity.ivfTopK(emb, col("vec_id") < 5, 10, 2), 10)
+        .orderBy(col("qid"))
+    }, Some(s"""
+      SELECT ex.qid, CAST(COUNT(ap.nid) AS BIGINT) AS n_hits,
+        ROUND(COUNT(ap.nid) / 10.0, 4) AS recall_at_10
+      FROM ($BF_TOPK) ex LEFT JOIN ($IVF_TOPK) ap
+        ON ap.qid = ex.qid AND ap.nid = ex.nid
+      GROUP BY ex.qid ORDER BY ex.qid""")),
 
     // a03 completes the search family: hyperplane-LSH bucket probing as
     // the no-training coarse index (vs a02's centroid cells). The oracle

@@ -131,7 +131,10 @@ object Soak {
       "c03_pretrain_pipeline" -> 2.50, "a05_ann_pq" -> 4.12,
       "a06_ann_ivfpq" -> 5.19, "t13_bpe_train" -> 0.46,
       // round-12 additions (PerfProbe warm run2 at sf0.1)
-      "t14_bpe_train_apply" -> 1.20)
+      "t14_bpe_train_apply" -> 1.20,
+      "d12_incremental_dedup" -> 0.83, "d12b_incremental_lsh" -> 2.17,
+      "t15_perplexity_gate" -> 1.52, "a09_ann_recall" -> 0.83,
+      "smp06_split" -> 0.19, "e13_stream_ingest_dedup" -> 2.09)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -145,7 +148,10 @@ object Soak {
       "cnt02_ngram_contamination",
       "qz01_embed_quantize", "qz02_product_quantize", "smp04_source_cap",
       "t05_bpe_tokens", "t11_chunking", "t13_bpe_train",
-      "t14_bpe_train_apply", "m03_media_headers")
+      "t14_bpe_train_apply", "m03_media_headers",
+      "d12_incremental_dedup", "d12b_incremental_lsh",
+      "t15_perplexity_gate", "a09_ann_recall", "smp06_split",
+      "e13_stream_ingest_dedup")
 
     var total = 0.0
     queries.foreach { name =>

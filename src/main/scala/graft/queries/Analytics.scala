@@ -765,6 +765,35 @@ object Analytics {
       GROUP BY 1, 2 ORDER BY window_start, event_type""")),
 
     // ------------------------------------------------------------------
+    // SLIDING-window streaming rollup: 1-hour windows every 15 minutes —
+    // each event belongs to exactly 4 overlapping windows. The oracle
+    // reconstructs the window set arithmetically (floor-to-slide minus
+    // k slides), so the stream's window assignment itself is what's
+    // hash-checked, not just the aggregate values.
+    QueryDef("e14_stream_sliding", (s, d) => {
+      val dir = stageEvents(s, d, "events_sliding", copies = 1)
+      val sink = s"e14_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream
+        .slidingAgg(graft.streaming.EventStream.source(s, dir, None))
+        .writeStream.outputMode("complete").format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        t.select(unix_micros(col("window_start")).as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      }
+    }, Some("""
+      SELECT ws AS window_start, event_type, COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM (SELECT
+              ((epoch_ns(ts) // 1000) // 900000000 * 900000000)
+                - k.i * 900000000 AS ws,
+              event_type, value
+            FROM events, (SELECT unnest(range(0, 4)) AS i) k) e
+      GROUP BY ws, event_type ORDER BY window_start, event_type""")),
+
+    // ------------------------------------------------------------------
     // Stream-STATIC enrichment join: the most common streaming pattern —
     // a live event stream joined to a broadcast dimension table (here
     // customer, every events.user_id keys into c_custkey) and aggregated

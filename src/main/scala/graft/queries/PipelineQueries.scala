@@ -825,7 +825,7 @@ object PipelineQueries {
       FROM documents d JOIN flg f ON f.doc_id = d.doc_id
       WHERE f.is_new
         AND NOT EXISTS (SELECT 1 FROM dropped dr WHERE dr.doc_id = d.doc_id)
-      ORDER BY d.doc_id""")),
+      ORDER BY d.doc_id"""), headline = true),
 
     // maxRows is the explicit opt-in to the O(N^2) baseline: test-scale
     // embeddings are ~2k vectors; anything corpus-sized must go through d06.

@@ -92,6 +92,25 @@ object SourceQueries {
                          '$stage/nation_delta/data-00001.parquet'])
       ORDER BY n_nationkey""")),
 
+    // Time travel: the same Delta log replayed to VERSION 0 — before
+    // commit 1 added data-00001 and removed data-00002 — so the snapshot
+    // is the OTHER two files. The oracle reads exactly those bytes;
+    // passing both x03 and x03b means the reader distinguishes snapshots
+    // by log replay, not by whatever files sit in the directory.
+    QueryDef("x03b_delta_time_travel", (s, d) => {
+      val dir = s"$stage/nation_delta_tt"
+      stageDeltaNation(s, d, dir)
+      graft.sources.DeltaLog.read(s, dir, versionAsOf = Some(0L))
+        .select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        .orderBy(col("n_nationkey"))
+    }, Some(s"""
+      SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        CAST(n_regionkey AS BIGINT) AS n_regionkey
+      FROM read_parquet(['$stage/nation_delta_tt/data-00000.parquet',
+                         '$stage/nation_delta_tt/data-00002.parquet'])
+      ORDER BY n_nationkey""")),
+
     // Avro round-trip (reference registers Avro in the same db-dir walk as
     // CSV/NDJSON via DataFusion's avro feature): Spark writes orders as
     // Avro container files through the avro-mapred bridge (no spark-avro

@@ -63,19 +63,44 @@ object DeltaLog {
         "scanning the file raw would return deleted rows; this reader " +
         "supports tables without deletion vectors only")
 
-  /** Current snapshot: the live data files in first-added order. */
-  def liveAdds(spark: SparkSession, tablePath: String): Seq[LiveFile] = {
+  /** Snapshot at `versionAsOf` (time travel), or the current snapshot when
+    * None: the live data files in first-added order. Time travel replays
+    * the same log, truncated at the requested version; a checkpoint newer
+    * than the requested version is skipped, which is only sound when the
+    * full commit history back to version 0 is still present — enforced
+    * loudly, since a log-retention cleanup would otherwise produce a
+    * silently incomplete snapshot.
+    */
+  def liveAdds(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): Seq[LiveFile] = {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     require(logDir.isDirectory,
       s"not a Delta table (no _delta_log): $tablePath")
 
-    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+    val allCommits = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("""\d{20}\.json"""))
       .sortBy(_.getName)
+    versionAsOf.foreach { v =>
+      require(allCommits.exists(versionOf(_) == v),
+        s"Delta version $v not found in $logDir (versions: " +
+          s"${allCommits.map(versionOf).mkString(",")})")
+    }
+    val commits = versionAsOf match {
+      case Some(v) => allCommits.filter(versionOf(_) <= v)
+      case None => allCommits
+    }
 
-    // seed from the newest checkpoint at or below the newest commit, if any
+    // seed from the newest checkpoint at or below the newest usable commit,
+    // if any; a checkpoint PAST the travel target cannot seed that target
     val checkpointVersion = lastCheckpointVersion(logDir)
+      .filter(cp => versionAsOf.forall(cp <= _))
+    versionAsOf.foreach { _ =>
+      if (checkpointVersion.isEmpty)
+        require(commits.nonEmpty && versionOf(commits.head) == 0L,
+          s"time travel needs the full history from version 0 in $logDir " +
+            s"(oldest present: ${commits.headOption.map(versionOf)})")
+    }
     val live = mutable.LinkedHashMap.empty[String, Map[String, String]]
     checkpointVersion.foreach { v =>
       val cp = new File(logDir, f"$v%020d.checkpoint.parquet")
@@ -191,8 +216,9 @@ object DeltaLog {
     * carries — out of scope for this reader, so it refuses rather than
     * guessing.
     */
-  def read(spark: SparkSession, tablePath: String): DataFrame = {
-    val adds = liveAdds(spark, tablePath)
+  def read(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None): DataFrame = {
+    val adds = liveAdds(spark, tablePath, versionAsOf)
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
     val base = spark.read.parquet(adds.map(_.path): _*)
     if (adds.forall(_.partitionValues.isEmpty)) base

@@ -111,6 +111,21 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Sliding-window rollup: 1-hour windows advancing every 15 minutes, so
+    * each event lands in exactly 4 overlapping windows — the trailing-hour
+    * trend view a monitoring surface reads. Same decimal-exact aggregates
+    * as [[hourlyAgg]]; window starts stay slide-aligned to the epoch, so a
+    * batch replay can reconstruct them with integer arithmetic.
+    */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
   /** Run the hourly aggregation into an in-memory sink until the directory
     * is drained; returns the finished query (results under `queryName`).
     */

@@ -255,6 +255,60 @@ object Analytics {
       FROM part ORDER BY p_partkey LIMIT 500""")),
 
     // ------------------------------------------------------------------
+    // Datetime scalar family (SURVEY §2.38's temporal side): extraction,
+    // truncation, interval arithmetic with month-end clamping, day
+    // differences and formatting. Engine convention traps are normalized
+    // explicitly (Spark DAYOFWEEK is 1=Sunday, DuckDB's is 0=Sunday).
+    QueryDef("f03_datetime_functions", (s, d) => {
+      // o_orderdate is physically timestamp[us]; both engines normalize to
+      // DATE first so interval/day arithmetic has one well-defined type
+      val o = t(s, d, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
+      o.select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("yr"),
+          quarter(col("o_orderdate")).cast("long").as("qtr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy"),
+          // dates ship as strings (QueryDef determinism rules)
+          date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd")
+            .as("plus30d"),
+          date_format(add_months(col("o_orderdate"), 2), "yyyy-MM-dd")
+            .as("plus2m"),
+          date_format(last_day(col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          date_format(trunc(col("o_orderdate"), "MM"), "yyyy-MM-dd")
+            .as("month_start"),
+          datediff(col("o_orderdate"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_95"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .orderBy(col("o_orderkey"))
+        .limit(1000)
+    }, Some("""
+      SELECT o_orderkey,
+        CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+        CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+        CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+        CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+        CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+        strftime(o_orderdate + 30, '%Y-%m-%d') AS plus30d,
+        strftime(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE), '%Y-%m-%d')
+          AS plus2m,
+        strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        strftime(CAST(date_trunc('month', o_orderdate) AS DATE), '%Y-%m-%d')
+          AS month_start,
+        CAST(o_orderdate - DATE '1995-01-01' AS BIGINT) AS days_since_95,
+        strftime(o_orderdate, '%Y-%m') AS ym
+      FROM (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate
+            FROM orders) o
+      ORDER BY o_orderkey LIMIT 1000""")),
+
+    // ------------------------------------------------------------------
     // JSON functions over the events props column (reference registers
     // datafusion-functions-json; Spark's get_json_object is the analog —
     // reference tests/extension_cases/functions_json.rs:22-76).

@@ -96,11 +96,11 @@ object PipelineQueries {
       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       |FROM ranked WHERE rank <= 10""".stripMargin
 
-  /** Deterministic IVF replay (label cells, mean centroids, 2-of-10 cosine
-    * probes, exact re-score) top-10 for vec_id < 5 — the a02 oracle body
-    * and a09's approximate side.
+  /** Deterministic IVF replay (label cells, mean centroids, nProbe-of-10
+    * cosine probes, exact re-score) top-10 for vec_id < 5 — the a02 oracle
+    * body (at nProbe=2), a09's approximate side, and a10's sweep points.
     */
-  private val IVF_TOPK =
+  private def ivfTopkSql(nProbe: Int): String =
     s"""WITH $ED,
       |cent AS (SELECT label, i, AVG(v) AS cv FROM ed GROUP BY label, i),
       |cnrm AS (SELECT label, SQRT(SUM(cv*cv)) AS cn FROM cent GROUP BY label),
@@ -113,7 +113,7 @@ object PipelineQueries {
       |      ORDER BY qc.dot/(n.nrm*cn.cn) DESC, qc.label) AS rn
       |  FROM qc
       |  JOIN nrm n ON n.vec_id = qc.qid
-      |  JOIN cnrm cn ON cn.label = qc.label) t WHERE rn <= 2),
+      |  JOIN cnrm cn ON cn.label = qc.label) t WHERE rn <= $nProbe),
       |cand AS (SELECT p.qid, e.vec_id AS nid, SUM(eq.v*e.v) AS dot
       |         FROM probed p
       |         JOIN ed e ON e.label = p.label AND e.vec_id <> p.qid
@@ -128,6 +128,8 @@ object PipelineQueries {
       |               ORDER BY sim DESC, nid) AS rank FROM sims)
       |SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       |FROM ranked WHERE rank <= 10""".stripMargin
+
+  private val IVF_TOPK = ivfTopkSql(2)
 
   /** Product-quantization codebook fit, composing after [[ED]]: 4 blocks
     * of 16 dims, seed codes = the 16 lowest vec_ids' sub-vectors,
@@ -965,6 +967,32 @@ object PipelineQueries {
       FROM ($BF_TOPK) ex LEFT JOIN ($IVF_TOPK) ap
         ON ap.qid = ex.qid AND ap.nid = ex.nid
       GROUP BY ex.qid ORDER BY ex.qid""")),
+
+    // Recall SWEEP: the tuning curve itself — recall@10 at nProbe 1/2/4
+    // in one result. This is the query an index operator runs before
+    // picking the probe budget; monotonicity in nProbe falls out of the
+    // hash-checked numbers. The exact side is computed once and
+    // checkpointed; each sweep point reuses it.
+    QueryDef("a10_recall_sweep", (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 10)
+        .localCheckpoint(true)
+      Seq(1, 2, 4).map { np =>
+        Similarity.recallAtK(exact,
+            Similarity.ivfTopK(emb, col("vec_id") < 5, 10, np), 10)
+          .withColumn("nprobe", lit(np.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("nprobe"), col("qid"), col("n_hits"),
+          col("recall_at_10"))
+        .orderBy(col("nprobe"), col("qid"))
+    }, Some(Seq(1, 2, 4).map(np => s"""
+      SELECT CAST($np AS BIGINT) AS nprobe, ex.qid,
+        CAST(COUNT(ap.nid) AS BIGINT) AS n_hits,
+        ROUND(COUNT(ap.nid) / 10.0, 4) AS recall_at_10
+      FROM ($BF_TOPK) ex LEFT JOIN (${ivfTopkSql(np)}) ap
+        ON ap.qid = ex.qid AND ap.nid = ex.nid
+      GROUP BY ex.qid""").mkString(" UNION ALL ") +
+      " ORDER BY nprobe, qid")),
 
     // a03 completes the search family: hyperplane-LSH bucket probing as
     // the no-training coarse index (vs a02's centroid cells). The oracle

@@ -371,6 +371,39 @@ class ScaleSpec extends SparkSpec {
     assert(!plan.contains("Aggregate"), s"unexpected aggregate in:\n$plan")
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    val s = spark
+    import s.implicits._
+    // one pathological key (100k rows with a fat payload) among 50 normal
+    // ones: the classic hot-partition shape AQE's skew-join handling exists
+    // for. Thresholds lowered to test scale; factor/threshold semantics are
+    // Spark's own.
+    // md5 payloads keep the shuffle bytes incompressible: skew detection
+    // reads compressed map-output sizes
+    val left = s.range(0, 400000).select(
+      when(col("id") < 390000L, 0L).otherwise(col("id") % 50 + 1).as("k"),
+      md5(col("id").cast("string")).as("payload"))
+    val right = s.range(0, 51).select(col("id").as("k"),
+      col("id").cast("string").as("tag"))
+    withSQLConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256k",
+      // the downstream single-partition agg would otherwise veto the
+      // split as "introduces an extra shuffle"
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true") {
+      // aggregate over payload so pruning can't strip it before the
+      // exchange — the skew must actually cross the shuffle
+      val j = left.join(right, "k").agg(count(lit(1)), max(col("payload")))
+      j.collect() // AQE decides at runtime; materialize first
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not split the skew:\n$p")
+    }
+  }
+
   test("bucketed join reads bucket-to-bucket with no Exchange on either side") {
     graft.queries.SourceQueries.stageBucketedTables(spark, sf0001)
     // forbid broadcast so the merge path itself is what's asserted: a

@@ -193,6 +193,35 @@ object SourceQueries {
       FROM read_parquet('$stage/events_clustered/*.parquet')
       ORDER BY event_id""")),
 
+    // Hive-layout partitioned scan: events written as dt=YYYY-MM-DD
+    // directories (how a 100 TB event corpus actually ships) and read back
+    // through a partition-column filter that prunes directories at plan
+    // time (ScaleSpec's recordsRead probe proves the skip). The oracle
+    // reads the same partitioned bytes with DuckDB's hive_partitioning and
+    // applies the same predicate — layout + pruning must not change
+    // content.
+    QueryDef("x08_partitioned_scan", (s, d) => {
+      val dir = s"$stage/events_part"
+      Tables.load(s, d, "events")
+        .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), col("dt"))
+        .write.mode("overwrite").partitionBy("dt").parquet(dir)
+      s.read.parquet(dir)
+        .filter(col("dt") >= "2024-01-05" && col("dt") <= "2024-01-10")
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value"), col("dt").cast("string").as("dt"))
+        .orderBy(col("event_id"))
+    }, Some(s"""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        CAST(user_id AS BIGINT) AS user_id, event_type, value,
+        CAST(dt AS VARCHAR) AS dt
+      FROM read_parquet('$stage/events_part/*/*.parquet',
+                        hive_partitioning = true)
+      WHERE dt >= '2024-01-05' AND dt <= '2024-01-10'
+      ORDER BY event_id""")),
+
     // Bucketed co-located join: both fact and dim are written bucketed on
     // the join key (same bucket count, Spark's Murmur3 bucket hash), so the
     // join reads bucket i against bucket i with NO Exchange on either side

@@ -1490,6 +1490,20 @@ object PipelineQueries {
         CAST(101 + doc_id % 200 AS DOUBLE) AS mean_abs
       FROM documents ORDER BY doc_id""")),
 
+    // REAL audio feature extraction, not a stub: each doc becomes a pure
+    // sine WAV at bin 1 + doc_id % 31 of a 64-sample frame, and the
+    // operator must recover that bin by actually DFT-ing the decoded PCM.
+    // The oracle predicts the bin arithmetically — 500 distinct tones,
+    // each inverted exactly, or the hash breaks.
+    QueryDef("m05_spectral_peak", (s, d) =>
+      Multimodal.spectralPeak(s,
+          Multimodal.documentsAsTones(s, Tables.load(s, d, "documents")))
+        .toDF().orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id, CAST(64 AS BIGINT) AS n_samples,
+        CAST(1 + doc_id % 31 AS BIGINT) AS dominant_bin
+      FROM documents ORDER BY doc_id""")),
+
     // ---------------- end-to-end curation ----------------
     // quality filter -> exact dedup -> transitive near-dup cluster
     // representatives, composed; the oracle replays the whole chain (t02 +

@@ -1032,6 +1032,23 @@ class OperatorsSpec extends SparkSpec {
     assert(tol === Map("p1" -> Some(2.0), "p2" -> None, "p3" -> None))
   }
 
+  test("spectral peak picks the stronger of two mixed tones") {
+    val s = spark
+    import s.implicits._
+    val n = 64
+    def tone(b1: Int, a1: Double, b2: Int, a2: Double) =
+      Array.tabulate[Short](n)(j => math.round(
+        a1 * math.sin(2 * math.Pi * b1 * j / n) +
+          a2 * math.sin(2 * math.Pi * b2 * j / n)).toShort)
+    val media = Seq(
+      (1L, Multimodal.makePcmWav(8000, 1, tone(5, 8000, 12, 3000))),
+      (2L, Multimodal.makePcmWav(8000, 1, tone(5, 3000, 12, 8000))))
+      .toDF("doc_id", "blob")
+    val res = Multimodal.spectralPeak(s, media).collect()
+      .map(r => r.doc_id -> r.dominant_bin).toMap
+    assert(res === Map(1L -> 5L, 2L -> 12L))
+  }
+
   test("incremental dedup drops batch docs against corpus and within batch, never corpus docs") {
     val lorem = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
       "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"

@@ -123,6 +123,19 @@ object Sampling {
       .drop("__graft_src", "__graft_rate")
   }
 
+  /** Importance-weighted deterministic Bernoulli: keep probability
+    * proportional to `weight / scale`, capped at 1 — the loss-weighted /
+    * length-weighted selection shape (longer or higher-value docs kept at
+    * higher rates) with the same rerun-stable hash filter as
+    * [[hashBernoulli]]. Pure narrow arithmetic; no shuffle, no state.
+    */
+  def weightedBernoulli(df: DataFrame, key: Column, weight: Column,
+      scale: Double): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    df.filter(bucket16(key) <
+      least(lit(1.0), weight.cast("double") / lit(scale)) * 65536d)
+  }
+
   /** Deterministic disjoint split (train/val/test …): each row is assigned
     * the first label whose cumulative fraction bound its hash bucket falls
     * under. Pure per-row hash arithmetic — no shuffle, no state, stable

@@ -471,6 +471,37 @@ object TextOps {
     }
   }
 
+  /** N-gram novelty score: the fraction of a doc's distinct 3-gram
+    * shingles that appear NOWHERE else in the corpus — the diversity-
+    * selection complement of the duplication operators (a doc full of
+    * corpus-common boilerplate scores near 0, genuinely fresh text near
+    * 1).
+    *
+    * Scale shape: the shingle relation carries in-row-built 8-byte hashed
+    * keys (strings never leave their row), checkpointed once for its two
+    * consumers; doc-frequency is one map-side-combined groupBy on the key
+    * and the scoring join is keyed on the same 8 bytes.
+    */
+  def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val sh = docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"), lit(n))).as("sk"))
+      .localCheckpoint(true)
+    val dfreq = sh.groupBy(col("sk")).agg(count(lit(1)).as("__df"))
+    val per = sh.join(dfreq, Seq("sk"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("n_unique"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0,
+          col("n_unique").cast("double") / col("n_shingles").cast("double"))
+          .otherwise(lit(0.0)).as("novelty"))
+  }
+
   /** Marker words per language for the n-gram/stopword language-ID
     * heuristic. Deterministic: ties broken by language code.
     */

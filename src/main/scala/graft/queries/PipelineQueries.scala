@@ -495,6 +495,28 @@ object PipelineQueries {
       SELECT doc_id, n_tokens, avg_nll FROM ranked
       WHERE pr <= 0.9 ORDER BY doc_id""")),
 
+    // N-gram novelty: fraction of a doc's distinct shingles unseen
+    // anywhere else — the diversity-selection complement of the dup
+    // operators. Exact int/int double division, so the scores hash-match.
+    QueryDef("t16_novelty", (s, d) =>
+      TextOps.noveltyScore(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH $SHD,
+      df AS (SELECT shingle, COUNT(*) AS df FROM shd GROUP BY shingle),
+      per AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+               SUM(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS n_unique
+              FROM shd s JOIN df ON df.shingle = s.shingle
+              GROUP BY s.doc_id)
+      SELECT d.doc_id,
+        COALESCE(CAST(p.n_shingles AS BIGINT), 0) AS n_shingles,
+        COALESCE(CAST(p.n_unique AS BIGINT), 0) AS n_unique,
+        CASE WHEN p.n_shingles > 0
+          THEN CAST(p.n_unique AS DOUBLE) / p.n_shingles
+          ELSE 0.0 END AS novelty
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
     // BPE tokenizer TRAINING (not just apply): learn the first n merges
     // from the corpus word histogram. The oracle unrolls the merge loop as
     // n generated stages — pair counts, deterministic argmax, leftmost
@@ -1740,6 +1762,20 @@ object PipelineQueries {
                < CAST((0.8 + 0.1) * 65536 AS DOUBLE) THEN 'val'
              ELSE 'test' END AS split
       FROM documents ORDER BY doc_id""")),
+
+    // importance-weighted sampling: keep probability proportional to doc
+    // length (capped at 1) — the loss-/value-weighted selection shape,
+    // same rerun-stable hash filter as smp01
+    QueryDef("smp07_weighted_sample", (s, d) =>
+      Sampling.weightedBernoulli(Tables.load(s, d, "documents"),
+          col("doc_id"), col("n_chars"), scale = 1000.0)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id")),
+      Some("""
+      SELECT doc_id, n_chars, source FROM documents
+      WHERE ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+            < LEAST(1.0, CAST(n_chars AS DOUBLE) / 1000.0) * 65536
+      ORDER BY doc_id""")),
 
     // per-source cap: at most 10 docs per source, kept by hash order so
     // the capped subset is an unbiased deterministic sample of each source

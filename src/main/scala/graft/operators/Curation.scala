@@ -46,6 +46,36 @@ object Curation {
       .select(col("doc_id"), lit("kept").as("status"))
   }
 
+  /** Quality-aware canonical selection: same stage chain as [[curate]]
+    * (quality filter → exact dedup → transitive near-dup clusters), but
+    * the cluster representative is the HIGHEST-quality member (ties to the
+    * lowest doc_id) instead of the smallest id — what a production
+    * pipeline actually keeps from a near-dup group. One extra broadcast-
+    * sized join (scores are per-doc scalars) plus a per-cluster window
+    * whose partitions are cluster-sized, never corpus-sized.
+    */
+  def curateKeepBest(docs: DataFrame, minQuality: Double = 0.3,
+      nearDupThreshold: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.qualityScore(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val kept0 = docs.join(
+      scored.filter(col("quality_score") >= minQuality).select(col("doc_id")),
+      "doc_id")
+    val canonical = Dedup.exact(kept0)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    val kept1 = kept0.join(canonical, "doc_id").localCheckpoint(true)
+    val assign = Dedup.clusterAssignments(kept1,
+      minEstJaccard = nearDupThreshold)
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    assign.join(scored, "doc_id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"))
+  }
+
   /** The full pretraining-data pipeline, composed end to end the way a
     * 100 TB corpus run chains it — each stage is an individually-verified
     * operator, and this composition is where the remaining risk lives

@@ -1901,6 +1901,67 @@ object PipelineQueries {
       WHERE c.id IS NULL OR c.cluster_id = k.doc_id
       ORDER BY k.doc_id"""), headline = true),
 
+    // Quality-aware canonical selection: c01's chain, but the near-dup
+    // cluster representative is the highest-QUALITY member (ties to min
+    // doc_id) — what production pipelines actually keep from a dup group.
+    // The oracle replays the whole chain and swaps the rep rule to a
+    // quality-ordered window.
+    QueryDef("c04_curation_keep_best", (s, d) =>
+      Curation.curateKeepBest(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(raw"""
+      WITH RECURSIVE q0 AS (SELECT doc_id, text,
+          string_split_regex(trim(text), '\s+') AS toks FROM documents),
+      qual AS (SELECT doc_id, text,
+          LEAST(CAST(len(toks) AS DOUBLE)/100.0, 1.0) *
+            (1.0 - CAST(len(list_filter(toks, x -> x IN (${TextOps.stopwords.map("'" + _ + "'").mkString(",")}))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)) AS quality
+        FROM q0),
+      kept0 AS (SELECT doc_id, text FROM qual WHERE quality >= 0.3),
+      exact AS (SELECT doc_id, text,
+          MIN(doc_id) OVER (PARTITION BY MD5(text)) AS canonical_id FROM kept0),
+      kept1 AS (SELECT doc_id, text FROM exact WHERE doc_id = canonical_id),
+      tok AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w,
+        generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos FROM kept1),
+      sh0 AS (SELECT doc_id,
+        w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win AS shingle,
+        LEAD(w,2) OVER win IS NOT NULL AS complete
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      shd AS (SELECT DISTINCT doc_id, shingle FROM sh0 WHERE complete),
+      hs AS (SELECT unnest(range(0, 16)) AS h),
+      sig AS (SELECT doc_id, h, MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              FROM shd, hs GROUP BY doc_id, h),
+      buckets AS (SELECT doc_id, h % 4 AS band,
+                    MD5(string_agg(mh, ',' ORDER BY h)) AS bucket
+                  FROM sig GROUP BY doc_id, h % 4),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id),
+      est AS (SELECT c.a, c.b,
+                CAST(COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS DOUBLE)/16.0 AS ej
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+              GROUP BY c.a, c.b),
+      edges AS (SELECT a, b FROM est WHERE ej >= 0.75),
+      sym(src, dst) AS (SELECT a, b FROM edges UNION ALL
+                        SELECT b, a FROM edges),
+      reach(id, r) AS (
+        SELECT src, src FROM sym
+        UNION
+        SELECT s.src, r.r FROM sym s JOIN reach r ON r.id = s.dst),
+      comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      asg AS (SELECT k.doc_id, COALESCE(c.cluster_id, k.doc_id) AS cluster_id
+              FROM kept1 k LEFT JOIN comp c ON c.id = k.doc_id),
+      rep AS (SELECT doc_id, cluster_id FROM (
+          SELECT a.doc_id, a.cluster_id,
+            ROW_NUMBER() OVER (PARTITION BY a.cluster_id
+              ORDER BY q.quality DESC, a.doc_id) AS rn
+          FROM asg a JOIN qual q ON q.doc_id = a.doc_id) t WHERE rn = 1)
+      SELECT r.doc_id, r.cluster_id, q.quality AS quality_score
+      FROM rep r JOIN qual q ON q.doc_id = r.doc_id
+      ORDER BY r.doc_id""")),
+
     // The COMPLETE pretraining pipeline composed as one operator:
     // heuristic filter -> exact dedup -> transitive MinHash near-dup
     // representatives -> benchmark 3-gram decontamination (fraction

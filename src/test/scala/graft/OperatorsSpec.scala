@@ -1032,6 +1032,26 @@ class OperatorsSpec extends SparkSpec {
     assert(tol === Map("p1" -> Some(2.0), "p2" -> None, "p3" -> None))
   }
 
+  test("keep-best curation selects the highest-quality cluster member, not the smallest id") {
+    // three near-dups; doc 2 is longer (higher quality under the
+    // length-capped score) than 1 and 3. Distinct filler words keep the
+    // stopword ratio flat across the trio.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val d = docs(
+      1L -> base,
+      2L -> (base + " uniform victor"),
+      3L -> (base + " whiskey"),
+      9L -> ("unrelated solitary document about nothing shared with others " +
+        "carrying plenty of distinct vocabulary for a clean quality pass"))
+    val minRep = graft.operators.Curation.curate(d, minQuality = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val bestRep = graft.operators.Curation.curateKeepBest(d, minQuality = 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(minRep === Set(1L, 9L))  // min-id representative
+    assert(bestRep === Set(2L, 9L)) // highest-quality representative
+  }
+
   test("spectral peak picks the stronger of two mixed tones") {
     val s = spark
     import s.implicits._

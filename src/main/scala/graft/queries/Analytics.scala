@@ -877,6 +877,63 @@ object Analytics {
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
     // ------------------------------------------------------------------
+    // NATIVE session-window streaming aggregation (session_window):
+    // Catalyst's built-in merging-session state machine, complementing
+    // e08's hand-rolled flatMapGroupsWithState sessionizer. The two carry
+    // DIFFERENT boundary rules — session_window merges an event while its
+    // ts is STRICTLY inside the previous window (a gap of exactly 30
+    // minutes splits), where e08's gap>30min rule keeps it — so the
+    // oracle replays >= on the gap where e08's replays >. Sessions close
+    // in append mode once far-future heartbeats advance the watermark.
+    QueryDef("e15_session_window", (s, d) => {
+      val dir = stageEvents(s, d, "events_swin", copies = 1)
+      val sink = s"e15_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream.source(s, dir, None)
+        .withWatermark("ts", "1 minute")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(12,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("n_events"), col("sum_value"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        q.processAllAvailable()
+        (1 to 2).foreach { n =>
+          graft.streaming.EventStream.appendSyntheticEvent(s, dir,
+            eventId = -1L * n,
+            ts = java.time.Instant.parse(s"${2099 + n}-01-01T00:00:00Z"),
+            userId = -1L * n, eventType = "hb", value = 0.0, props = "{}")
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        t.filter(col("user_id") >= 0)
+          .select(col("user_id"),
+            unix_micros(col("session_start")).as("session_start"),
+            col("n_events"), col("sum_value"))
+          .orderBy(col("user_id"), col("session_start"))
+      }
+    }, Some("""
+      WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value
+            FROM events),
+      flagged AS (SELECT user_id, us, value,
+          CASE WHEN LAG(us) OVER w IS NULL
+                 OR us - LAG(us) OVER w >= 1800000000 THEN 1
+               ELSE 0 END AS is_new
+        FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      sess AS (SELECT user_id, us, value,
+          SUM(is_new) OVER (PARTITION BY user_id ORDER BY us
+            ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+      SELECT user_id, MIN(us) AS session_start, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM sess GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")),
+
+    // ------------------------------------------------------------------
     // Streaming ingestion dedup: documents arrive as doc_id-ordered slices
     // (one file per micro-batch, arrival order enforced via file mtimes),
     // and every micro-batch runs the incremental dedup against the

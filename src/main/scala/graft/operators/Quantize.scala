@@ -160,4 +160,47 @@ object Quantize {
       (acc, s) => when(s.getField("d2") < acc.getField("d2"), s).otherwise(acc))
     (best.getField("code"), best.getField("d2"))
   }
+
+  // ------------------------------------------------------------------
+  // Binary quantization: one sign bit per dimension, packed into a
+  // BIGINT — 8 bytes per vector whatever the original dimension (here the
+  // first 62 dims; bit i-1 set iff v_i >= 0). The crudest and cheapest
+  // vector code: a 100 TB embedding corpus collapses to GBs of codes, and
+  // candidate search is XOR+popcount, both codegen'd single instructions.
+
+  /** Pack the sign bits of the first `bits` dims (≤ 62 to stay in a
+    * positive BIGINT) in-row — a pure narrow map, no explode.
+    */
+  def binaryQuantize(emb: DataFrame, bits: Int = 62): DataFrame = {
+    require(bits > 0 && bits <= 62, "bits must be in [1, 62]")
+    emb.select(col("vec_id"), expr(
+      s"""aggregate(
+         |  transform(sequence(1, $bits), i ->
+         |    IF(element_at(embedding, i) >= CAST(0 AS FLOAT),
+         |       shiftleft(CAST(1 AS BIGINT), i - 1), CAST(0 AS BIGINT))),
+         |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("bits"))
+  }
+
+  /** Hamming-distance top-k over the packed codes: queries broadcast, the
+    * corpus side scans CODES ONLY (xor + popcount per candidate), ranked
+    * (hamming asc, nid asc) per query. The exact-rerank composition is
+    * [[graft.operators.Similarity.recallAtK]]'s job; this is the
+    * candidate stage a binary-quantized index runs at full corpus width.
+    */
+  def binaryTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
+      bits: Int = 62): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bq = binaryQuantize(emb, bits)
+    val q = bq.filter(isQuery)
+      .select(col("vec_id").as("qid"), col("bits").as("qbits"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("nid"))
+    bq.select(col("vec_id").as("nid"), col("bits").as("nbits"))
+      .crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .withColumn("hamming", expr("bit_count(qbits ^ nbits)").cast("long"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("nid"), col("rank"), col("hamming"))
+  }
 }

@@ -54,6 +54,30 @@ object MetaQueries {
         Tables.names.sorted.map(n => s"('$n','TEMPORARY')").mkString(",") +
         ") t(table_name, table_type) ORDER BY table_name")),
 
+    // information_schema.columns: the per-column synthesis (name, ordinal,
+    // data type, nullability) the reference's catalog surface exposes —
+    // pinned against the known documents schema as a literal oracle.
+    QueryDef("i02_information_schema_columns", (s, d) => {
+      Tables.registerAll(s, d)
+      InformationSchema.refresh(s)
+      s.table("information_schema_columns")
+        .filter(col("table_name") === "documents")
+        .select(col("table_name"), col("column_name"),
+          col("ordinal_position"), col("data_type"), col("is_nullable"))
+        .orderBy(col("ordinal_position"))
+    }, Some("""
+      SELECT table_name, column_name,
+        CAST(ordinal_position AS BIGINT) AS ordinal_position,
+        data_type, is_nullable
+      FROM (VALUES
+        ('documents', 'doc_id',  1, 'bigint', 'YES'),
+        ('documents', 'text',    2, 'string', 'YES'),
+        ('documents', 'lang',    3, 'string', 'YES'),
+        ('documents', 'source',  4, 'string', 'YES'),
+        ('documents', 'n_chars', 5, 'bigint', 'YES'))
+        t(table_name, column_name, ordinal_position, data_type, is_nullable)
+      ORDER BY ordinal_position""")),
+
     // MapTable (reference's custom PK-keyed in-memory table,
     // `tables/map_table.rs`): upsert + delete semantics through a SQL scan.
     QueryDef("map01_map_table", (s, _) => {

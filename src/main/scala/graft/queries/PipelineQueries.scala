@@ -1263,6 +1263,32 @@ object PipelineQueries {
     // (seed codes = lowest vec_ids, 6dp-rounded centroid update, ties to
     // the lower code), replayed block-parallel by the oracle. dim=64 is
     // fixture metadata, skipping the per-invocation probe job.
+    // Binary quantization + Hamming search: sign bits packed into ONE
+    // BIGINT per vector (8 bytes whatever the dimension), candidates by
+    // XOR+popcount — the cheapest vector code a 100 TB embedding corpus
+    // can carry. Pure integer arithmetic end to end, so the oracle replay
+    // is bit-exact by construction.
+    QueryDef("qz03_binary_quantize", (s, d) =>
+      Quantize.binaryTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, 10)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      bits AS (SELECT vec_id,
+          CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+                   ELSE 0 END) AS BIGINT) AS b
+        FROM ed WHERE i <= 62 GROUP BY vec_id),
+      q AS (SELECT vec_id AS qid, b AS qb FROM bits WHERE vec_id < 5),
+      h AS (SELECT q.qid, n.vec_id AS nid,
+              bit_count(xor(q.qb, n.b)) AS hamming
+            FROM q JOIN bits n ON n.vec_id <> q.qid),
+      ranked AS (SELECT qid, nid, hamming,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY hamming, nid) AS rank FROM h)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank,
+        CAST(hamming AS BIGINT) AS hamming
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
+
     QueryDef("qz02_product_quantize", (s, d) =>
       Quantize.productQuantize(Tables.load(s, d, "embeddings"),
           m = 4, k = 16, iters = 2, dim = 64)

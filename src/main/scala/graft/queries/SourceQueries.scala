@@ -222,6 +222,33 @@ object SourceQueries {
       WHERE dt >= '2024-01-05' AND dt <= '2024-01-10'
       ORDER BY event_id""")),
 
+    // Compression-codec round-trip: Spark writes zstd parquet (the codec a
+    // 100 TB lake actually stores — ~30% smaller than snappy at similar
+    // scan cost) and the oracle reads those exact bytes back with DuckDB's
+    // own zstd decoder. The filename suffix requirement pins that the
+    // codec option was honored, not silently defaulted.
+    QueryDef("x09_zstd_roundtrip", (s, d) => {
+      val dir = s"$stage/lineitem_zstd"
+      Tables.load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_returnflag"))
+        .write.mode("overwrite").option("compression", "zstd").parquet(dir)
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      require(files.nonEmpty && files.forall(_.getName.contains(".zstd.")),
+        s"zstd codec not applied: ${files.map(_.getName).mkString(",")}")
+      s.read.parquet(dir)
+        .select(col("l_orderkey").cast("long").as("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_returnflag"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }, Some(s"""
+      SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+        CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        l_quantity, l_returnflag
+      FROM read_parquet('$stage/lineitem_zstd/*.parquet')
+      ORDER BY l_orderkey, l_linenumber""")),
+
     // Bucketed co-located join: both fact and dim are written bucketed on
     // the join key (same bucket count, Spark's Murmur3 bucket hash), so the
     // join reads bucket i against bucket i with NO Exchange on either side

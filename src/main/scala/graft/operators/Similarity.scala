@@ -108,6 +108,29 @@ object Similarity {
         round(count(col("__anid")).cast("double") / lit(k.toDouble), 4)
           .as(s"recall_at_$k"))
 
+  /** Binary-quantization two-stage search: Hamming top-`candidates` over
+    * the packed sign bits ([[Quantize.binaryTopK]] — codes-only scan),
+    * then exact cosine re-rank of the short list to top-k. The production
+    * BQ shape: the corpus pass touches 8 bytes per vector; full floats are
+    * fetched for candidates×queries rows only.
+    */
+  def binaryRerankTopK(emb: DataFrame, isQuery: Column, k: Int = 10,
+      candidates: Int = 50): DataFrame = {
+    val cos = nativeCosine(emb.sparkSession) _
+    val cand = Quantize.binaryTopK(emb, isQuery, candidates)
+      .select(col("qid"), col("nid"))
+    val scored = cand
+      .join(emb.select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        "qid")
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        "nid")
+      .withColumn("cos_sim", cos(col("qvec"), col("nvec")))
+      .select(col("qid"), col("nid"), col("cos_sim"))
+    topKPerQuery(scored, k)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("cos_sim"), 4).as("cos_sim"))
+  }
+
   /** IVF-style ANN: coarse cells from the corpus's label column (centroid =
     * per-cell mean vector), probe the nProbe nearest cells per query, then
     * exact-score only vectors in probed cells. Sub-linear scan at scale when

@@ -131,6 +131,20 @@ object PipelineQueries {
 
   private val IVF_TOPK = ivfTopkSql(2)
 
+  /** Binary-quantization sign-bit packing + per-query Hamming distances
+    * (composes after [[ED]]): `bits(vec_id, b)`, queries `q`, distances
+    * `h(qid, nid, hamming)` — shared by qz03 and a11.
+    */
+  private val BQH =
+    """bits AS (SELECT vec_id,
+      |    CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << (i - 1))
+      |             ELSE 0 END) AS BIGINT) AS b
+      |  FROM ed WHERE i <= 62 GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, b AS qb FROM bits WHERE vec_id < 5),
+      |h AS (SELECT q.qid, n.vec_id AS nid,
+      |        bit_count(xor(q.qb, n.b)) AS hamming
+      |      FROM q JOIN bits n ON n.vec_id <> q.qid)""".stripMargin
+
   /** Product-quantization codebook fit, composing after [[ED]]: 4 blocks
     * of 16 dims, seed codes = the 16 lowest vec_ids' sub-vectors,
     * L2-argmin assignment with ties to the lower code, one 6dp-rounded
@@ -1274,19 +1288,41 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank")),
       Some(s"""
       WITH $ED,
-      bits AS (SELECT vec_id,
-          CAST(SUM(CASE WHEN v >= 0 THEN (CAST(1 AS BIGINT) << (i - 1))
-                   ELSE 0 END) AS BIGINT) AS b
-        FROM ed WHERE i <= 62 GROUP BY vec_id),
-      q AS (SELECT vec_id AS qid, b AS qb FROM bits WHERE vec_id < 5),
-      h AS (SELECT q.qid, n.vec_id AS nid,
-              bit_count(xor(q.qb, n.b)) AS hamming
-            FROM q JOIN bits n ON n.vec_id <> q.qid),
+      $BQH,
       ranked AS (SELECT qid, nid, hamming,
           ROW_NUMBER() OVER (PARTITION BY qid
             ORDER BY hamming, nid) AS rank FROM h)
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank,
         CAST(hamming AS BIGINT) AS hamming
+      FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // The BQ production shape: Hamming candidates (top-50 over the 8-byte
+    // codes), exact cosine re-rank to top-10 — the corpus pass never
+    // touches floats; candidates×queries rows do.
+    QueryDef("a11_bq_rerank", (s, d) =>
+      Similarity.binaryRerankTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, 10, candidates = 50)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      $BQH,
+      hranked AS (SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY hamming, nid) AS hrank FROM h),
+      cand AS (SELECT qid, nid FROM hranked WHERE hrank <= 50),
+      dots AS (SELECT c.qid, c.nid, SUM(eq.v*en.v) AS dot
+               FROM cand c
+               JOIN ed eq ON eq.vec_id = c.qid
+               JOIN ed en ON en.vec_id = c.nid AND en.i = eq.i
+               GROUP BY c.qid, c.nid),
+      sims AS (SELECT qid, nid, dot/(nq.nrm*nn.nrm) AS sim
+               FROM dots
+               JOIN nrm nq ON nq.vec_id = qid
+               JOIN nrm nn ON nn.vec_id = nid),
+      ranked AS (SELECT qid, nid, sim,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY sim DESC, nid) AS rank FROM sims)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
 
     QueryDef("qz02_product_quantize", (s, d) =>

@@ -134,7 +134,11 @@ object Soak {
       "t14_bpe_train_apply" -> 1.20,
       "d12_incremental_dedup" -> 0.83, "d12b_incremental_lsh" -> 2.17,
       "t15_perplexity_gate" -> 1.52, "a09_ann_recall" -> 0.83,
-      "smp06_split" -> 0.19, "e13_stream_ingest_dedup" -> 2.09)
+      "smp06_split" -> 0.19, "e13_stream_ingest_dedup" -> 2.09,
+      "c04_curation_keep_best" -> 2.80, "t16_novelty" -> 0.67,
+      "qz03_binary_quantize" -> 0.40, "a11_bq_rerank" -> 0.56,
+      "a10_recall_sweep" -> 1.58, "m05_spectral_peak" -> 0.88,
+      "smp07_weighted_sample" -> 0.16)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -151,7 +155,10 @@ object Soak {
       "t14_bpe_train_apply", "m03_media_headers",
       "d12_incremental_dedup", "d12b_incremental_lsh",
       "t15_perplexity_gate", "a09_ann_recall", "smp06_split",
-      "e13_stream_ingest_dedup")
+      "e13_stream_ingest_dedup",
+      "c04_curation_keep_best", "t16_novelty", "qz03_binary_quantize",
+      "a11_bq_rerank", "a10_recall_sweep", "m05_spectral_peak",
+      "smp07_weighted_sample")
 
     var total = 0.0
     queries.foreach { name =>

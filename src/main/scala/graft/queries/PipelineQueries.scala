@@ -1277,6 +1277,37 @@ object PipelineQueries {
     // (seed codes = lowest vec_ids, 6dp-rounded centroid update, ties to
     // the lower code), replayed block-parallel by the oracle. dim=64 is
     // fixture metadata, skipping the per-invocation probe job.
+    // Higher-order array functions (transform/aggregate/filter/array_min/
+    // max) as per-row vector arithmetic — the codegen'd HOF idiom that
+    // keeps embedding math OUT of UDFs. All reductions fold the array in
+    // order; 4dp rounding absorbs the oracle's reduction-order noise
+    // exactly as the cosine oracles do.
+    QueryDef("f04_array_functions", (s, d) =>
+      Tables.load(s, d, "embeddings").select(col("vec_id"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          round(sqrt(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double") * x.cast("double"))), 4)
+            .as("l2_norm"),
+          round(aggregate(col("embedding"), lit(0.0),
+            (a, x) => a + x.cast("double")) /
+            size(col("embedding")).cast("double"), 4).as("mean_val"),
+          round(array_max(col("embedding")).cast("double"), 4).as("max_val"),
+          round(array_min(col("embedding")).cast("double"), 4).as("min_val"),
+          size(filter(col("embedding"), x => x > lit(0f))).cast("long")
+            .as("n_pos"))
+        .orderBy(col("vec_id")),
+      Some(s"""
+      WITH $ED,
+      stats AS (SELECT vec_id, COUNT(*) AS n_dims,
+          ROUND(SQRT(SUM(v*v)), 4) AS l2_norm,
+          ROUND(SUM(v)/COUNT(*), 4) AS mean_val,
+          ROUND(MAX(v), 4) AS max_val, ROUND(MIN(v), 4) AS min_val,
+          SUM(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS n_pos
+        FROM ed GROUP BY vec_id)
+      SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims, l2_norm, mean_val,
+        max_val, min_val, CAST(n_pos AS BIGINT) AS n_pos
+      FROM stats ORDER BY vec_id""")),
+
     // Binary quantization + Hamming search: sign bits packed into ONE
     // BIGINT per vector (8 bytes whatever the dimension), candidates by
     // XOR+popcount — the cheapest vector code a 100 TB embedding corpus

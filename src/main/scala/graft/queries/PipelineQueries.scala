@@ -865,6 +865,98 @@ object PipelineQueries {
         AND NOT EXISTS (SELECT 1 FROM dropped dr WHERE dr.doc_id = d.doc_id)
       ORDER BY d.doc_id"""), headline = true),
 
+    // Streaming near-dup ingestion: the LSH flavor of e13's continuous
+    // loop — doc_id-ordered slices arrive one micro-batch at a time and
+    // each batch runs incrementalLsh against the accepted store, so a doc
+    // DROPPED in an earlier batch can't veto a later near-dup (only
+    // survivors can). The oracle unrolls the three stages over one shared
+    // signature replay: stage-k survivors have no >=0.5 edge to an earlier
+    // stage's SURVIVORS nor to a smaller-id doc of their own slice.
+    QueryDef("e16_stream_ingest_lsh", (s, d) => {
+      import org.apache.hadoop.fs.Path
+      import org.apache.spark.sql.expressions.Window
+      val conf = s.sparkContext.hadoopConfiguration
+      val inDir = s"${SourceQueries.stage}/docs_ingest_lsh"
+      val accDir = s"${SourceQueries.stage}/docs_accepted_lsh"
+      val fsys = new Path(inDir).getFileSystem(conf)
+      fsys.delete(new Path(inDir), true)
+      fsys.delete(new Path(accDir), true)
+      val nSlices = 3
+      val sliced = Tables.load(s, d, "documents").withColumn("__slice",
+          ntile(nSlices).over(Window.orderBy(col("doc_id"))))
+        .localCheckpoint(true)
+      var seen = Set.empty[String]
+      (1 to nSlices).foreach { k =>
+        sliced.filter(col("__slice") === k).drop("__slice")
+          .coalesce(1).write.mode("append").parquet(inDir)
+        val now = fsys.listStatus(new Path(inDir)).map(_.getPath)
+          .filter(_.getName.endsWith(".parquet"))
+        now.filterNot(p => seen(p.toString)).foreach(p =>
+          fsys.setTimes(p, 1100000000000L + k * 60000L, -1))
+        seen = now.map(_.toString).toSet
+      }
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val accepted =
+            if (fsys.exists(new Path(accDir))) s.read.parquet(accDir)
+            else batch.limit(0)
+          Dedup.incrementalLsh(accepted, batch)
+            .write.mode("append").parquet(accDir)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      s.read.parquet(accDir)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $SHD,
+      hs AS (SELECT unnest(range(0, 16)) AS h),
+      sig AS (SELECT doc_id, h,
+                MIN(MD5(CAST(h AS VARCHAR) || ':' || shingle)) AS mh
+              FROM shd, hs GROUP BY doc_id, h),
+      buckets AS (SELECT doc_id, h % 4 AS band,
+                    MD5(string_agg(mh, ',' ORDER BY h)) AS bucket
+                  FROM sig GROUP BY doc_id, h % 4),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM buckets x JOIN buckets y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.doc_id < y.doc_id),
+      est AS (SELECT c.a, c.b,
+                CAST(COUNT(CASE WHEN sa.mh = sb.mh THEN 1 END) AS DOUBLE) / 16.0
+                  AS ej
+              FROM cand c
+              JOIN sig sa ON sa.doc_id = c.a
+              JOIN sig sb ON sb.doc_id = c.b AND sb.h = sa.h
+              GROUP BY c.a, c.b),
+      ep AS (SELECT a, b FROM est WHERE ej >= 0.5),
+      sym AS (SELECT a AS u, b AS v FROM ep
+              UNION ALL SELECT b, a FROM ep),
+      sl AS (SELECT doc_id, NTILE(3) OVER (ORDER BY doc_id) AS k
+             FROM documents),
+      s1 AS (SELECT d.doc_id FROM sl d WHERE d.k = 1 AND NOT EXISTS (
+              SELECT 1 FROM sym e JOIN sl x ON x.doc_id = e.v
+              WHERE e.u = d.doc_id AND x.k = 1 AND x.doc_id < d.doc_id)),
+      s2 AS (SELECT d.doc_id FROM sl d WHERE d.k = 2 AND NOT EXISTS (
+              SELECT 1 FROM sym e WHERE e.u = d.doc_id AND (
+                EXISTS (SELECT 1 FROM s1 WHERE s1.doc_id = e.v)
+                OR EXISTS (SELECT 1 FROM sl x WHERE x.doc_id = e.v
+                           AND x.k = 2 AND x.doc_id < d.doc_id)))),
+      s3 AS (SELECT d.doc_id FROM sl d WHERE d.k = 3 AND NOT EXISTS (
+              SELECT 1 FROM sym e WHERE e.u = d.doc_id AND (
+                EXISTS (SELECT 1 FROM s1 WHERE s1.doc_id = e.v)
+                OR EXISTS (SELECT 1 FROM s2 WHERE s2.doc_id = e.v)
+                OR EXISTS (SELECT 1 FROM sl x WHERE x.doc_id = e.v
+                           AND x.k = 3 AND x.doc_id < d.doc_id)))),
+      surv AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2
+               UNION ALL SELECT doc_id FROM s3)
+      SELECT sv.doc_id, dd.source
+      FROM surv sv JOIN documents dd ON dd.doc_id = sv.doc_id
+      ORDER BY sv.doc_id""")),
+
     // maxRows is the explicit opt-in to the O(N^2) baseline: test-scale
     // embeddings are ~2k vectors; anything corpus-sized must go through d06.
     QueryDef("d05_embed_neardup", (s, d) =>

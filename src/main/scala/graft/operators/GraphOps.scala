@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over edge lists the pipeline already produces — the
+  * k-NN graph ([[Similarity.knnGraph]]) and the near-dup pair graph
+  * ([[Dedup]]). The reference engine has no graph operators; this extends
+  * the engine for graph-signal data curation (PageRank-style centrality is
+  * a standard document-quality / representativeness signal over similarity
+  * graphs). Complements [[Dedup.connectedComponents]] (min-label
+  * propagation): that computes membership, this computes a per-vertex
+  * score.
+  */
+object GraphOps {
+
+  /** Fixed-iteration PageRank over a directed edge list `(src, dst)`.
+    *
+    * Semantics (classic damped PageRank with dangling-mass
+    * redistribution):
+    * `pr_{t+1}(v) = (1-d)/N + d * (Σ_{u→v} pr_t(u)/outdeg(u) + D_t/N)`
+    * where `D_t` is the total rank held by vertices with no out-edges.
+    * `vertices` supplies the full vertex set (a vertex may have no edges
+    * at all and still holds rank).
+    *
+    * Scale shape: each iteration is ONE shuffle — the edges⋈ranks join on
+    * `src` followed by a groupBy on `dst`; the per-iteration scalars
+    * (vertex count, dangling mass) ride as broadcast single-row frames, so
+    * nothing is collected to the driver and the loop is a fixed, small
+    * number of stages. Edge out-degrees are joined once up front and the
+    * weighted edge list checkpointed — iterations re-read that compact
+    * relation, not the LSH pipeline that produced it. Rank frames are
+    * checkpointed per iteration to truncate lineage (the standard guard
+    * for iterative DataFrame algorithms; without it the plan doubles every
+    * pass). Contribution sums go through DECIMAL(38,18) so the result is
+    * order-independent and engine-exact, which is what lets a SQL oracle
+    * replay the same iterations bit-stably.
+    */
+  def pageRank(edges: DataFrame, vertices: DataFrame,
+      iterations: Int = 3, damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    val verts = vertices.select(col("id")).distinct().localCheckpoint(true)
+    // single-row broadcast frames: vertex count for the teleport term,
+    // joined everywhere a scalar is needed — never collected
+    val nDf = verts.agg(count(lit(1)).cast("double").as("n_v"))
+    val outdeg = edges.groupBy(col("src"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    // compact weighted edge relation the loop re-reads each pass
+    val edgesW = edges.select(col("src"), col("dst"))
+      .join(outdeg, Seq("src"))
+      .localCheckpoint(true)
+    val exactSum = (c: org.apache.spark.sql.Column) =>
+      sum(c.cast("decimal(38,18)")).cast("double")
+    var pr = verts.crossJoin(broadcast(nDf))
+      .select(col("id"), (lit(1.0) / col("n_v")).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val contrib = edgesW.join(pr, edgesW("src") === pr("id"))
+        .groupBy(col("dst"))
+        .agg(exactSum(col("pr") / col("outdeg")).as("mass"))
+        .select(col("dst").as("id"), col("mass"))
+      val dangling = pr.join(outdeg, pr("id") === outdeg("src"), "left_anti")
+        .agg(coalesce(exactSum(col("pr")), lit(0.0)).as("d_mass"))
+      pr = verts.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(nDf)).crossJoin(broadcast(dangling))
+        .select(col("id"),
+          ((lit(1.0) - lit(damping)) / col("n_v") +
+            lit(damping) * (coalesce(col("mass"), lit(0.0)) +
+              col("d_mass") / col("n_v"))).as("pr"))
+        .localCheckpoint(true)
+    }
+    pr
+  }
+
+  /** PageRank over the k-NN similarity graph of an embeddings frame — the
+    * composed form a curation pipeline calls: LSH-bucketed k-NN edges
+    * ([[Similarity.knnGraph]], never all-pairs) feed [[pageRank]], scoring
+    * each vector's centrality in its similarity neighborhood. High-rank
+    * vectors are prototypical (many near neighbors rank them); low-rank
+    * vectors are outliers — both ends are standard selection signals.
+    */
+  def knnPageRank(emb: DataFrame, k: Int = 5, planes: Int = 64,
+      bands: Int = 16, dim: Int = -1, iterations: Int = 3,
+      damping: Double = 0.85): DataFrame = {
+    val edges = Similarity.knnGraph(emb, k, planes, bands, dim)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val verts = emb.select(col("vec_id").as("id"))
+    pageRank(edges, verts, iterations, damping)
+      .select(col("id").as("vec_id"), round(col("pr"), 9).as("pagerank"))
+  }
+}

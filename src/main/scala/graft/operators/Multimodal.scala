@@ -72,6 +72,83 @@ object Multimodal {
     } finally if (iis != null) iis.close()
   }
 
+  /** Perceptual hash (aHash) of one decoded image: the image is cut into
+    * an 8×8 block grid (block (by,bx) covers x ∈ [⌊bx·w/8⌋, ⌊(bx+1)·w/8⌋)
+    * and the matching y strip), each block's brightness is its integer
+    * `Σ(r+g+b)` pixel sum, and bit (by·8+bx) is 1 iff the block is at
+    * least as bright as the image overall. The compare is PURE INTEGER —
+    * `blockSum·(w·h) ≥ totalSum·blockPixels` — no float division, so the
+    * hash is bit-identical across engines and replayable by a SQL oracle;
+    * it is also what makes aHash robust: any brightness-monotone re-encode
+    * (format change, scale) preserves the bit pattern. Images smaller than
+    * the grid or undecodable blobs return the empty string (loud in any
+    * downstream group-by, never a fake hash).
+    */
+  def decodePhash(bytes: Array[Byte]): String = {
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) ""
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis, false, true)
+          val img = reader.read(0)
+          val (w, h) = (img.getWidth, img.getHeight)
+          if (w < 8 || h < 8) return ""
+          val sums = Array.ofDim[Long](8, 8)
+          val pix = Array.ofDim[Long](8, 8)
+          var total = 0L
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val s = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              val bx = x * 8 / w
+              sums(by)(bx) += s
+              pix(by)(bx) += 1L
+              total += s
+              x += 1
+            }
+            y += 1
+          }
+          val area = w.toLong * h
+          val sb = new StringBuilder(64)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 8) {
+              sb.append(
+                if (sums(by)(bx) * area >= total * pix(by)(bx)) '1' else '0')
+              bx += 1
+            }
+            by += 1
+          }
+          sb.toString
+        } finally reader.dispose()
+      }
+    } catch {
+      case scala.util.control.NonFatal(_) => ""
+    } finally if (iis != null) iis.close()
+  }
+
+  /** Per-image perceptual hashes over a (doc_id, blob) frame — the image
+    * near-dup key: exact-match grouping on `phash` (or banded Hamming
+    * join, like [[graft.operators.Dedup.simhash]] for text) clusters
+    * re-encoded / brightness-shifted duplicates WITHOUT pairwise pixel
+    * comparison. Narrow end to end: decode + hash per row, no shuffle.
+    */
+  def imagePhash(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, decodePhash(bytes)) })
+      .toDF("doc_id", "phash")
+  }
+
   /** Decode image features from a (doc_id, blob binary) frame via
     * per-partition iteration — the pattern for batching expensive
     * decoders (one codec init per partition, streaming rows through it).

@@ -287,6 +287,55 @@ object TextOps {
     * Scores are rounded to 4 decimals at the very end; ordering uses the
     * unrounded value with the term string as total tie-break.
     */
+  /** BM25 relevance of every document against a bag of query terms — the
+    * retrieval scoring a RAG / data-selection pipeline runs after chunking
+    * (Robertson-Spärck Jones BM25, the Okapi defaults k1=1.2 b=0.75):
+    * `score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1−b+b·|d|/avgdl))`
+    * with `idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`.
+    *
+    * Shuffle budget at 100 TB: the tokenize→explode is narrow; term
+    * frequencies for the QUERY TERMS ONLY are one groupBy(doc_id, term)
+    * with the `isin(queryTerms)` filter pushed BELOW the aggregation (the
+    * whole vocabulary never shuffles — only matching postings); document
+    * lengths are a second map-side-combined groupBy(doc_id); df/avgdl/N
+    * ride as broadcast single-row or terms-sized frames. Scoring joins are
+    * all broadcastable. Per-term contributions sum through DECIMAL so the
+    * score is order-independent; only scored documents (≥1 query term)
+    * return.
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 needs at least one query term")
+    val tok = docs.select(col("doc_id"),
+      explode(filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= ""))
+        .as("term"))
+    val dlen = tok.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("double").as("dl"))
+    val hits = tok.filter(col("term").isin(queryTerms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val df = hits.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    // avgdl via exact decimal total, then ONE double division — decimal
+    // division scales differ across engines, double IEEE division doesn't
+    val stats = dlen.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum(col("dl").cast("decimal(38,6)")).cast("double") /
+        count(lit(1)).cast("double")).as("avgdl"))
+    val contrib = tf.join(broadcast(df), Seq("term"))
+      .join(dlen, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))))
+      .withColumn("c",
+        col("idf") * col("tf") * (lit(k1) + lit(1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))))
+    contrib.groupBy(col("doc_id"))
+      .agg(round(sum(col("c").cast("decimal(38,18)")).cast("double"), 6)
+        .as("bm25"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession

@@ -259,6 +259,26 @@ object Analytics {
     // truncation, interval arithmetic with month-end clamping, day
     // differences and formatting. Engine convention traps are normalized
     // explicitly (Spark DAYOFWEEK is 1=Sunday, DuckDB's is 0=Sunday).
+    // f05: fuzzy entity matching — supplier-name pairs within edit
+    // distance 2 via the length-banded blocked generator (Fuzzy
+    // .editDistancePairs: candidates by length equi-join, levenshtein with
+    // early-exit only inside blocks). The oracle replays the same pair
+    // semantics with DuckDB's levenshtein under the identical |len diff|
+    // ≤ 2 blocking bound; distances are exact integers, so the compare is
+    // bit-stable.
+    QueryDef("f05_edit_distance", (s, d) =>
+      graft.operators.Fuzzy.editDistancePairs(
+          t(s, d, "supplier"), "s_name", maxDist = 2)
+        .orderBy(col("a"), col("b")),
+      Some("""
+      WITH vals AS (SELECT DISTINCT s_name AS v FROM supplier
+                    WHERE s_name IS NOT NULL),
+      pairs AS (SELECT x.v AS a, y.v AS b, levenshtein(x.v, y.v) AS dist
+                FROM vals x JOIN vals y
+                  ON x.v < y.v AND abs(length(x.v) - length(y.v)) <= 2)
+      SELECT a, b, CAST(dist AS BIGINT) AS dist
+      FROM pairs WHERE dist <= 2 ORDER BY a, b""")),
+
     QueryDef("f03_datetime_functions", (s, d) => {
       // o_orderdate is physically timestamp[us]; both engines normalize to
       // DATE first so interval/day arithmetic has one well-defined type
@@ -1141,6 +1161,72 @@ object Analytics {
     // ------------------------------------------------------------------
     // Grouping sets (ROLLUP): order counts and value by status and
     // priority with subtotals (SURVEY §2.5 notes cube/rollup support).
+    // ------------------------------------------------------------------
+    // PIVOT: status × priority matrix via the relational pivot operator
+    // (Dataset.pivot with EXPLICIT pivot values — the form that skips the
+    // extra distinct-values job and keeps the plan a single hash
+    // aggregate; at 100 TB an implicit pivot first scans the corpus just
+    // to learn the columns). The oracle states the same rotation as
+    // portable conditional aggregation.
+    QueryDef("g04_pivot", (s, d) => {
+      val o = t(s, d, "orders")
+      o.groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(sum(col("o_totalprice").cast("decimal(14,2)")).cast("double"))
+        .select(col("o_orderstatus").as("status"),
+          col("1-URGENT").as("p1_urgent"), col("2-HIGH").as("p2_high"),
+          col("3-MEDIUM").as("p3_medium"),
+          col("4-NOT SPECIFIED").as("p4_not_specified"),
+          col("5-LOW").as("p5_low"))
+        .orderBy(col("status"))
+    }, Some("""
+      SELECT o_orderstatus AS status,
+        CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+          THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS p1_urgent,
+        CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+          THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS p2_high,
+        CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+          THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS p3_medium,
+        CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+          THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS p4_not_specified,
+        CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+          THEN CAST(o_totalprice AS DECIMAL(14,2)) END) AS DOUBLE) AS p5_low
+      FROM orders GROUP BY o_orderstatus ORDER BY status""")),
+
+    // ------------------------------------------------------------------
+    // UNPIVOT: the inverse rotation (wide metric columns → long
+    // (metric, value) rows) via Dataset.unpivot — a narrow per-row
+    // expansion, no shuffle beyond the feeding aggregate. Round-trips
+    // g04's matrix back to long form; the oracle uses UNION ALL (the
+    // portable statement of UNPIVOT).
+    QueryDef("g05_unpivot", (s, d) => {
+      val o = t(s, d, "orders")
+      val wide = o.groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          sum(col("o_totalprice").cast("decimal(14,2)")).cast("double")
+            .as("total_price"),
+          count(lit(1)).cast("double").as("n_orders"),
+          countDistinct(col("o_custkey")).cast("double").as("n_customers"))
+      wide.unpivot(Array(col("status")),
+          Array(col("total_price"), col("n_orders"), col("n_customers")),
+          "metric", "value")
+        .orderBy(col("status"), col("metric"))
+    }, Some("""
+      WITH wide AS (SELECT o_orderstatus AS status,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE)
+            AS total_price,
+          CAST(COUNT(*) AS DOUBLE) AS n_orders,
+          CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS n_customers
+        FROM orders GROUP BY o_orderstatus)
+      SELECT status, metric, value FROM (
+        SELECT status, 'total_price' AS metric, total_price AS value FROM wide
+        UNION ALL
+        SELECT status, 'n_orders' AS metric, n_orders AS value FROM wide
+        UNION ALL
+        SELECT status, 'n_customers' AS metric, n_customers AS value FROM wide)
+      ORDER BY status, metric""")),
+
     QueryDef("g01_rollup", (s, d) => {
       val o = t(s, d, "orders")
       o.rollup(col("o_orderstatus"), col("o_orderpriority"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Packing, Quantize, Sampling, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, GraphOps, Multimodal, Packing, Quantize, Sampling, Similarity, TextOps}
 
 /** Verifiable wrappers over the training-data pipeline operators
   * (graft.operators): text analysis, dedup family, similarity search,
@@ -130,6 +130,70 @@ object PipelineQueries {
       |FROM ranked WHERE rank <= 10""".stripMargin
 
   private val IVF_TOPK = ivfTopkSql(2)
+
+  /** LSH-banded k-NN graph replay over ALL corpus vectors, ending in
+    * `ranked(qid, nid, sim, rank)` — the a08 oracle chain (signatures,
+    * band buckets, a<b candidate join, exact re-score, mirror union,
+    * per-vector rank), shared with a12's PageRank oracle. Composes after
+    * [[ED]].
+    */
+  private val KNN_RANKED =
+    """planes AS (SELECT pr.p, ir.i,
+      |      CASE WHEN ascii(substring(md5(CAST(pr.p AS VARCHAR) || ':' ||
+      |             CAST(ir.i AS VARCHAR)), 1, 1)) % 2 = 1
+      |           THEN 1.0 ELSE -1.0 END AS s
+      |    FROM (SELECT unnest(range(0, 64)) AS p) pr,
+      |         (SELECT DISTINCT i FROM ed) ir),
+      |proj AS (SELECT ed.vec_id, pl.p, SUM(ed.v * pl.s) AS dot
+      |         FROM ed JOIN planes pl ON pl.i = ed.i GROUP BY ed.vec_id, pl.p),
+      |sig AS (SELECT vec_id,
+      |          string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+      |            ORDER BY p) AS bits
+      |        FROM proj GROUP BY vec_id),
+      |buckets AS (SELECT vec_id, b AS band, substring(bits, b*4+1, 4) AS bucket
+      |            FROM sig, (SELECT unnest(range(0, 16)) AS b) bb),
+      |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+      |         FROM buckets x JOIN buckets y
+      |           ON x.band = y.band AND x.bucket = y.bucket
+      |              AND x.vec_id < y.vec_id),
+      |dots AS (SELECT c.a, c.b, SUM(xa.v * xb.v) AS dot
+      |         FROM cand c JOIN ed xa ON xa.vec_id = c.a
+      |         JOIN ed xb ON xb.vec_id = c.b AND xb.i = xa.i
+      |         GROUP BY c.a, c.b),
+      |sims AS (SELECT a, b, dot/(na.nrm*nb.nrm) AS sim
+      |         FROM dots
+      |         JOIN nrm na ON na.vec_id = a
+      |         JOIN nrm nb ON nb.vec_id = b),
+      |directed AS (SELECT a AS qid, b AS nid, sim FROM sims
+      |             UNION ALL
+      |             SELECT b AS qid, a AS nid, sim FROM sims),
+      |ranked AS (SELECT qid, nid, sim,
+      |             ROW_NUMBER() OVER (PARTITION BY qid
+      |               ORDER BY sim DESC, nid) AS rank FROM directed)""".stripMargin
+
+  /** One damped-PageRank iteration `pr${i-1}` → `pr$i` as CTEs, mirroring
+    * GraphOps.pageRank exactly: dangling mass `d$i` (rank on vertices with
+    * no out-edges), contribution sums `c$i` through DECIMAL(38,18) (order
+    * independent), then the teleport + damped update. Composes after the
+    * `verts`/`nv`/`edges`/`odeg`/`pr0` CTEs in the a12 oracle.
+    */
+  private def pageRankIterSql(i: Int): String =
+    s"""d$i AS (SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(38,18)))
+      |            AS DOUBLE), 0.0) AS dm
+      |        FROM pr${i - 1} p LEFT JOIN odeg o ON o.src = p.id
+      |        WHERE o.src IS NULL),
+      |c$i AS (SELECT e.dst AS id,
+      |          CAST(SUM(CAST(p.pr / o.od AS DECIMAL(38,18))) AS DOUBLE)
+      |            AS mass
+      |        FROM edges e
+      |        JOIN pr${i - 1} p ON p.id = e.src
+      |        JOIN odeg o ON o.src = e.src
+      |        GROUP BY e.dst),
+      |pr$i AS (SELECT v.id,
+      |           (1.0 - 0.85)/(SELECT n FROM nv) +
+      |             0.85*(COALESCE(c.mass, 0.0) +
+      |               (SELECT dm FROM d$i)/(SELECT n FROM nv)) AS pr
+      |         FROM verts v LEFT JOIN c$i c ON c.id = v.id)""".stripMargin
 
   /** Binary-quantization sign-bit packing + per-query Hamming distances
     * (composes after [[ED]]): `bits(vec_id, b)`, queries `q`, distances
@@ -1175,40 +1239,33 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank")),
       Some(s"""
       WITH $ED,
-      planes AS (SELECT pr.p, ir.i,
-            CASE WHEN ascii(substring(md5(CAST(pr.p AS VARCHAR) || ':' ||
-                   CAST(ir.i AS VARCHAR)), 1, 1)) % 2 = 1
-                 THEN 1.0 ELSE -1.0 END AS s
-          FROM (SELECT unnest(range(0, 64)) AS p) pr,
-               (SELECT DISTINCT i FROM ed) ir),
-      proj AS (SELECT ed.vec_id, pl.p, SUM(ed.v * pl.s) AS dot
-               FROM ed JOIN planes pl ON pl.i = ed.i GROUP BY ed.vec_id, pl.p),
-      sig AS (SELECT vec_id,
-                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
-                  ORDER BY p) AS bits
-              FROM proj GROUP BY vec_id),
-      buckets AS (SELECT vec_id, b AS band, substring(bits, b*4+1, 4) AS bucket
-                  FROM sig, (SELECT unnest(range(0, 16)) AS b) bb),
-      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
-               FROM buckets x JOIN buckets y
-                 ON x.band = y.band AND x.bucket = y.bucket
-                    AND x.vec_id < y.vec_id),
-      dots AS (SELECT c.a, c.b, SUM(xa.v * xb.v) AS dot
-               FROM cand c JOIN ed xa ON xa.vec_id = c.a
-               JOIN ed xb ON xb.vec_id = c.b AND xb.i = xa.i
-               GROUP BY c.a, c.b),
-      sims AS (SELECT a, b, dot/(na.nrm*nb.nrm) AS sim
-               FROM dots
-               JOIN nrm na ON na.vec_id = a
-               JOIN nrm nb ON nb.vec_id = b),
-      directed AS (SELECT a AS qid, b AS nid, sim FROM sims
-                   UNION ALL
-                   SELECT b AS qid, a AS nid, sim FROM sims),
-      ranked AS (SELECT qid, nid, sim,
-                   ROW_NUMBER() OVER (PARTITION BY qid
-                     ORDER BY sim DESC, nid) AS rank FROM directed)
+      $KNN_RANKED
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
+    // a12: PAGERANK over the k-NN similarity graph — graph-signal scoring
+    // for curation (prototypical vs outlier vectors). The oracle replays
+    // a08's full knn-graph chain, then three exact damped-PageRank
+    // iterations with dangling-mass redistribution; contribution sums go
+    // through DECIMAL(38,18) on both sides so the iterate is
+    // order-independent and engine-exact.
+    QueryDef("a12_pagerank", (s, d) =>
+      GraphOps.knnPageRank(Tables.load(s, d, "embeddings"), k = 5, dim = 64)
+        .orderBy(col("vec_id")),
+      Some(s"""
+      WITH $ED,
+      $KNN_RANKED,
+      verts AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+      nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM verts),
+      edges AS (SELECT qid AS src, nid AS dst FROM ranked WHERE rank <= 5),
+      odeg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS od
+               FROM edges GROUP BY src),
+      pr0 AS (SELECT id, 1.0/(SELECT n FROM nv) AS pr FROM verts),
+      ${pageRankIterSql(1)},
+      ${pageRankIterSql(2)},
+      ${pageRankIterSql(3)}
+      SELECT CAST(id AS BIGINT) AS vec_id, ROUND(pr, 9) AS pagerank
+      FROM pr3 ORDER BY vec_id""")),
 
     // a07: PRE-filtered IVF search (tombstones/ACLs/metadata constraints) —
     // the predicate rides inside the pruned cell join, so excluded vectors
@@ -1702,6 +1759,38 @@ object PipelineQueries {
     // operator must recover that bin by actually DFT-ing the decoded PCM.
     // The oracle predicts the bin arithmetically — 500 distinct tones,
     // each inverted exactly, or the hash breaks.
+    // m06: image PERCEPTUAL HASH (aHash) over REAL decoded pixels — the
+    // image near-dup key. The Spark side decodes every blob with ImageIO
+    // and hashes the actual pixel grid; the oracle PREDICTS each block's
+    // integer brightness sum analytically from the generator's gradient
+    // (r = base+x, g/b constant) and replays the same pure-integer
+    // compare (blockSum·w·h ≥ totalSum·blockPixels — no float anywhere),
+    // so the two sides agree bit-for-bit only if the real decode is
+    // faithful. Block x-range for bx is [⌈bx·w/8⌉, ⌈(bx+1)·w/8⌉) (the
+    // preimage of ⌊x·8/w⌋ = bx), hence the (…+7)//8 ceilings.
+    QueryDef("m06_image_phash", (s, d) =>
+      Multimodal.imagePhash(s,
+          Multimodal.documentsAsImages(s, Tables.load(s, d, "documents")))
+        .orderBy(col("doc_id")),
+      Some("""
+      WITH img AS (SELECT doc_id,
+          8 + doc_id % 24 AS w, 8 + (doc_id*3) % 24 AS h,
+          (doc_id % 200) + ((doc_id*7) % 256) + ((doc_id*13) % 256) AS c
+        FROM documents),
+      blocks AS (SELECT doc_id, b, b % 8 AS bx, b // 8 AS by, w, h, c
+                 FROM img, (SELECT unnest(range(0, 64)) AS b)),
+      calc AS (SELECT doc_id, b, w, h, c,
+          (bx*w + 7)//8 AS xlo, ((bx+1)*w + 7)//8 AS xhi,
+          ((by+1)*h + 7)//8 - (by*h + 7)//8 AS ycnt
+        FROM blocks),
+      bitc AS (SELECT doc_id, b,
+          CASE WHEN ycnt*((xhi-xlo)*c + ((xlo+xhi-1)*(xhi-xlo))//2) * (w*h)
+                 >= (h*(w*c + (w*(w-1))//2)) * (ycnt*(xhi-xlo))
+               THEN '1' ELSE '0' END AS bit
+        FROM calc)
+      SELECT doc_id, string_agg(bit, '' ORDER BY b) AS phash
+      FROM bitc GROUP BY doc_id ORDER BY doc_id""")),
+
     QueryDef("m05_spectral_peak", (s, d) =>
       Multimodal.spectralPeak(s,
           Multimodal.documentsAsTones(s, Tables.load(s, d, "documents")))
@@ -1855,6 +1944,42 @@ object PipelineQueries {
         CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
         ROUND(tfidf, 4) AS tfidf
       FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""")),
+
+    // t17: BM25 relevance against a fixed query-term bag — retrieval
+    // scoring over the corpus (Okapi k1=1.2 b=0.75). Only postings for the
+    // query terms shuffle; df/avgdl/N ride broadcast. Both engines build
+    // the damped-constant terms with the SAME floating-point operations
+    // ((1.2 + 1.0), 0.75*dl/avgdl) so the doubles are bit-identical, and
+    // the per-term contribution sum goes through DECIMAL(38,18).
+    QueryDef("t17_bm25", (s, d) =>
+      TextOps.bm25(Tables.load(s, d, "documents"),
+          Seq("spark", "vector", "window"))
+        .orderBy(col("doc_id")),
+      Some("""
+      WITH tok AS (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          x -> x <> '')) AS term FROM documents),
+      dlen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM tok
+               GROUP BY doc_id),
+      hits AS (SELECT doc_id, term FROM tok
+               WHERE term IN ('spark', 'vector', 'window')),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM hits
+             GROUP BY doc_id, term),
+      df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+             FROM (SELECT DISTINCT doc_id, term FROM hits) GROUP BY term),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) /
+                    CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dlen),
+      contrib AS (SELECT tf.doc_id,
+          ln(1.0 + (st.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+            tf.tf * (1.2 + 1.0) /
+            (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.dl / st.avgdl)) AS c
+        FROM tf JOIN df USING (term)
+        JOIN dlen d ON d.doc_id = tf.doc_id
+        CROSS JOIN stats st)
+      SELECT doc_id,
+        ROUND(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
+      FROM contrib GROUP BY doc_id ORDER BY doc_id""")),
 
     // Token-window chunking (64-token windows, 16-token overlap → step
     // 48) over REAL BPE tokens — the budget unit a training pipeline

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Fuzzy, GraphOps, TextOps}
+
+/** Semantics of the graph-signal, fuzzy-matching, and retrieval-scoring
+  * operators on hand-analyzable fixtures, plus the plan properties that
+  * keep them viable at scale.
+  */
+class GraphFuzzySpec extends SparkSpec {
+
+  test("pageRank: one hand-computed iteration, dangling mass redistributed") {
+    val s = spark
+    import s.implicits._
+    // cycle 1→2→3→1 plus 1→4; vertex 4 is dangling (no out-edges)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("src", "dst")
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("id")
+    val pr1 = GraphOps.pageRank(edges, verts, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // pr0 = 0.25 each; dangling D = pr0(4) = 0.25
+    // pr1(v) = 0.15/4 + 0.85*(mass(v) + 0.25/4)
+    val eps = 1e-12
+    assert(math.abs(pr1(1L) - 0.303125) < eps, s"pr1(1)=${pr1(1L)}")
+    assert(math.abs(pr1(2L) - 0.196875) < eps, s"pr1(2)=${pr1(2L)}")
+    assert(math.abs(pr1(3L) - 0.303125) < eps, s"pr1(3)=${pr1(3L)}")
+    assert(math.abs(pr1(4L) - 0.196875) < eps, s"pr1(4)=${pr1(4L)}")
+  }
+
+  test("pageRank conserves total mass across iterations") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L), (5L, 1L))
+      .toDF("src", "dst")
+    val verts = (1L to 6L).toDF("id") // 6 has no edges at all
+    val total = GraphOps.pageRank(edges, verts, iterations = 3)
+      .agg(sum(col("pr"))).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-9,
+      s"rank mass not conserved: $total")
+  }
+
+  test("editDistancePairs: length-banded blocking is exact vs brute force") {
+    val s = spark
+    import s.implicits._
+    // lengths 2..6 — includes same-length pairs, off-by-one/two lengths,
+    // and a length gap of 3+ the band must (correctly) skip
+    val vals = Seq("ab", "abc", "abd", "abcd", "abcde", "abcdef", "xy",
+      "xyz", "wxyz").toDF("name")
+    val banded = Fuzzy.editDistancePairs(vals, "name", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val v2 = vals.select(col("name").as("b"))
+    val brute = vals.select(col("name").as("a")).crossJoin(v2)
+      .filter(col("a") < col("b"))
+      .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
+      .filter(col("dist") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(banded === brute,
+      s"banded=${banded.size} brute=${brute.size}\n" +
+        s"missing=${brute -- banded}\nextra=${banded -- brute}")
+  }
+
+  test("editDistancePairs plan: candidates via equi-join, never cartesian") {
+    val p = Fuzzy.editDistancePairs(
+        spark.read.parquet(s"$sf0001/supplier.parquet"), "s_name", 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy pair generator is all-pairs:\n$p")
+  }
+
+  test("bm25 matches the Okapi formula on a hand-built corpus") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((1L, "a b a"), (2L, "a c"), (3L, "d d d d"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bm25(d, Seq("a", "c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // N=3, avgdl=3, df(a)=2, df(c)=1
+    val idfA = math.log(1.0 + (3.0 - 2.0 + 0.5) / 2.5)
+    val idfC = math.log(1.0 + (3.0 - 1.0 + 0.5) / 1.5)
+    def term(idf: Double, tf: Double, dl: Double): Double =
+      idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    val exp1 = term(idfA, 2.0, 3.0)
+    val exp2 = term(idfA, 1.0, 2.0) + term(idfC, 1.0, 2.0)
+    assert(math.abs(got(1L) - exp1) < 1e-6, s"doc1 ${got(1L)} vs $exp1")
+    assert(math.abs(got(2L) - exp2) < 1e-6, s"doc2 ${got(2L)} vs $exp2")
+    assert(!got.contains(3L), "doc with no query terms must not score")
+  }
+
+  test("bm25 plan: query-term filter applies before the tf aggregation") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = TextOps.bm25(d, Seq("spark", "vector", "window"))
+      .queryExecution.optimizedPlan.toString
+    // the isin() must sit UNDER the (doc_id, term) aggregate so only
+    // query-term postings shuffle, not the whole vocabulary
+    val aggIdx = p.indexOf("Aggregate [doc_id")
+    val filtIdx = p.lastIndexOf("vector")
+    assert(aggIdx >= 0 && filtIdx > aggIdx,
+      s"query-term filter not below tf aggregate:\n$p")
+  }
+}

@@ -898,6 +898,39 @@ class OperatorsSpec extends SparkSpec {
     assert((trunc.width, trunc.height, trunc.n_frames) === ((0L, 0L, 0L)))
   }
 
+  test("perceptual hash: brightness-shift invariant, format invariant, structure sensitive") {
+    // aHash thresholds against the image's OWN mean, so a global
+    // brightness shift (different base, same gradient/dims: ids 24 apart
+    // share w/h — 48 apart shares gradient exactly) must not change it
+    val a = Multimodal.decodePhash(
+      Multimodal.encodeImage(Multimodal.makeImage(2L), "png"))
+    val shifted = Multimodal.decodePhash(
+      Multimodal.encodeImage(Multimodal.makeImage(50L), "png")) // +48: same w/h
+    assert(a.length === 64 && a === shifted,
+      s"brightness shift changed the hash:\n$a\n$shifted")
+    // lossless re-encode in another container: identical pixels → identical hash
+    val bmp = Multimodal.decodePhash(
+      Multimodal.encodeImage(Multimodal.makeImage(2L), "bmp"))
+    assert(a === bmp, "container format leaked into the hash")
+    // structurally different image (vertical gradient) → different hash
+    val img = new java.awt.image.BufferedImage(16, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 16; x <- 0 until 16)
+      img.setRGB(x, y, (y * 12) << 16)
+    val vert = Multimodal.decodePhash(Multimodal.encodeImage(img, "png"))
+    assert(vert !== a, "structurally different images collided")
+    // horizontal-gradient hash: columns left of the mean are 0, right are 1
+    assert(a.substring(0, 8).matches("0+1+"), s"unexpected row pattern: $a")
+    // vertical-gradient hash: top rows 0, bottom rows 1, uniform per row
+    assert(vert.substring(0, 8) === "00000000" &&
+      vert.substring(56, 64) === "11111111", s"vert: $vert")
+    // degrade contract: undecodable and sub-grid images hash to ""
+    assert(Multimodal.decodePhash("junk".getBytes("UTF-8")) === "")
+    val tiny = new java.awt.image.BufferedImage(4, 4,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    assert(Multimodal.decodePhash(Multimodal.encodeImage(tiny, "png")) === "")
+  }
+
   test("real WAV PCM sample decode: rate/channels/sample stats from raw samples") {
     // 44-byte header from makeWav has an empty data chunk; append samples
     val hdr = Multimodal.makeWav(16000, 1)

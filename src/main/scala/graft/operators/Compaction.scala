@@ -123,6 +123,86 @@ object Compaction {
     Result(rows, before.length, after.length)
   }
 
+  /** Morton (Z-order) interleave: bit `b` of dimension `d`'s rank lands at
+    * output bit `b*D + d`, so the curve alternates dimensions at every bit
+    * level — points close in ANY dimension stay close along the curve,
+    * which is what makes multi-column data skipping work where a
+    * lexicographic sort only skips on its leading column. Ranks must
+    * already be longs in `[0, 2^bits)`; `bits * D` must fit a long.
+    */
+  private[graft] def mortonInterleave(ranks: Seq[org.apache.spark.sql.Column],
+      bits: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val d = ranks.size
+    require(d >= 1 && bits >= 1 && bits * d <= 62,
+      s"bits($bits) * dims($d) must be in [1, 62]")
+    val terms = for {
+      b <- 0 until bits
+      (r, i) <- ranks.zipWithIndex
+    } yield shiftleft(shiftright(r, b).bitwiseAND(lit(1L)), b * d + i)
+    terms.reduce(_ + _)
+  }
+
+  /** Z-ORDER compaction: rewrite so rows are range-partitioned and sorted
+    * along the Morton curve over `zCols` — the multi-dimensional
+    * generalization of [[compactClustered]] (its 1-D special case) and
+    * the layout behind `OPTIMIZE ... ZORDER BY` in lakehouse formats.
+    * After the rewrite, a selective predicate on ANY of the z columns
+    * (or a box over several) prunes row groups via min/max stats; a
+    * lexicographic sort gives that only for the leading column.
+    *
+    * Each column is ranked into `[0, 2^bits)` by a linear min/max map
+    * (two doubles per column of driver state from ONE stats aggregate) —
+    * simpler than the percentile-rank variant lakehouses use, with the
+    * known caveat that a heavily skewed column wastes rank codes on its
+    * sparse range. File SIZES stay balanced regardless:
+    * `repartitionByRange` samples the z-value distribution, so output
+    * partitions hold equal ROW counts however skewed the z codes are.
+    * Cost is the same single range shuffle + in-partition sort as
+    * clustered compaction; row counts verified footer-only, as there.
+    */
+  def compactZOrder(spark: SparkSession, inDir: String, outDir: String,
+      zCols: Seq[String], bits: Int = 8,
+      targetBytes: Long = 128L * 1024 * 1024,
+      format: String = "parquet",
+      writeOptions: Map[String, String] = Map.empty): Result = {
+    require(format == "parquet" || format == "orc",
+      s"unsupported compaction format: $format")
+    require(zCols.size >= 2, "z-order needs at least 2 columns (use " +
+      "compactClustered for 1)")
+    import org.apache.spark.sql.functions._
+    val suffix = s".$format"
+    val before = dataFiles(inDir, suffix)
+    val df = spark.read.format(format).load(inDir)
+    val statCols = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).first()
+    val top = (1L << bits) - 1
+    val ranks = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i)
+      val mx = stats.getDouble(2 * i + 1)
+      if (mx <= mn) lit(0L)
+      else least(lit(top), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * top)
+          .cast("long")))
+    }
+    val z = mortonInterleave(ranks, bits)
+    withAdvisorySize(spark, targetBytes) {
+      df.withColumn("__graft_z", z)
+        .repartitionByRange(col("__graft_z"))
+        .sortWithinPartitions(col("__graft_z"))
+        .drop("__graft_z")
+        .write.mode("overwrite").options(writeOptions).format(format)
+        .save(outDir)
+    }
+    val after = dataFiles(outDir, suffix)
+    val inRows = footerRowCount(spark, before.map(_.getPath).toSeq, format)
+    val rows = footerRowCount(spark, after.map(_.getPath).toSeq, format)
+    require(rows == inRows, s"compaction changed row count: $inRows -> $rows")
+    Result(rows, before.length, after.length)
+  }
+
   private def withAdvisorySize[A](spark: SparkSession, bytes: Long)(f: => A): A = {
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val old = spark.conf.getOption(key)

@@ -136,6 +136,55 @@ object Dedup {
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
   }
 
+  /** Directed n-gram CONTAINMENT pairs: for each candidate pair a<b,
+    * `cont_a_in_b = |A∩B| / |A|` and `cont_b_in_a = |A∩B| / |B|` over the
+    * distinct shingle sets. This is the asymmetric complement of
+    * [[ngramJaccardPairs]]: a short document quoted whole inside a long
+    * one has containment ≈ 1 while its Jaccard is tiny (the union is
+    * dominated by the long doc), so a Jaccard threshold misses exactly
+    * the quotation/boilerplate-wrapper duplicates containment exists to
+    * catch (Broder 1997 distinguishes resemblance from containment for
+    * this reason). `max_cont` carries the larger direction for one-dial
+    * thresholding.
+    *
+    * Same shape and cost as the Jaccard form — the shingle relation is
+    * built in-row, materialized once, and feeds the sizes aggregate and
+    * both self-join sides; `maxDocFreq` is the same hot-shingle guard
+    * (sizes still count dropped shingles, so containment stays a lower
+    * bound under the cap).
+    */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+      maxDocFreq: Long = Long.MaxValue): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    val sh = materializeShingles(docs.repartition(col("doc_id"))
+      .select(col("doc_id"),
+        explode(call_function("shingle_hashes", col("text"), lit(n))).as("sk")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val joinable =
+      if (maxDocFreq == Long.MaxValue) sh
+      else {
+        val hot = sh.groupBy(col("sk")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDocFreq).select(col("sk"))
+        sh.join(hot, Seq("sk"), "left_anti")
+      }
+    val pairs = joinable.as("x").join(joinable.as("y"),
+        col("x.sk") === col("y.sk") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a"), col("n_shingles").as("na")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("n_shingles").as("nb")), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") / col("na").cast("double"))
+          .as("cont_a_in_b"),
+        (col("inter").cast("double") / col("nb").cast("double"))
+          .as("cont_b_in_a"),
+        greatest(
+          col("inter").cast("double") / col("na").cast("double"),
+          col("inter").cast("double") / col("nb").cast("double"))
+          .as("max_cont"))
+  }
+
   /** MinHash signature matrix: one row per doc, one column `mh<i>` per hash
     * function h_i(shingle) = md5(i || ':' || shingle), component = string
     * MIN — computed entirely IN-ROW by the native `minhash_signature`

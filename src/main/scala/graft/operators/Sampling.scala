@@ -221,6 +221,60 @@ object Sampling {
       .drop("__graft_ord", "__graft_grp", "__graft_key", "__graft_rn")
   }
 
+  /** Epoch-repeat mixing under a global size budget — the data-constrained
+    * regime (Muennighoff et al. 2023): when a source's allocation exceeds
+    * its corpus size, REPEAT it (up to `maxEpochs` passes) instead of
+    * starving the mix. Source s with target weight w_s gets a budget share
+    * `budget·w_s/Σw`; its repeat factor is
+    * `r_s = min(maxEpochs, share_s / size_s)` where size_s is the source's
+    * total of `sizeCol` (tokens, chars — any additive unit the budget is
+    * denominated in). Every row emits `floor(r_s)` full epochs, plus one
+    * extra epoch for the deterministic hash-Bernoulli fraction
+    * `r_s − floor(r_s)` of rows — so each source's expected emitted size
+    * is exactly its allocation, capped at `maxEpochs` epochs.
+    *
+    * Output: input columns plus `epoch` (0-based pass number). A row
+    * absent from the partial epoch and with `floor(r_s) = 0` is dropped —
+    * the down-sampling case degenerates to [[sourceMix]]'s behavior.
+    *
+    * Shape at 100 TB: one map-side-combined aggregate for per-source
+    * sizes, a broadcast rates relation, then a NARROW per-row explode of
+    * `sequence(0, n_copies−1)` — the corpus never shuffles, and the
+    * explode's fan-out is the repeat factor itself (bounded by
+    * `maxEpochs`), which is the output's size by definition. Plain
+    * left-associated double math throughout so a SQL oracle replays the
+    * exact rates.
+    */
+  def epochMix(df: DataFrame, source: Column, key: Column, sizeCol: Column,
+      targets: Map[String, Double], budget: Double, maxEpochs: Int): DataFrame = {
+    require(maxEpochs >= 1, "maxEpochs must be at least 1")
+    require(budget > 0, "budget must be positive (in sizeCol units)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sizes = df.groupBy(source.as("__graft_src"))
+      .agg(sum(sizeCol.cast("double")).as("__graft_size"))
+    val tdf = targets.toSeq.toDF("__graft_tsrc", "__graft_w")
+    val sumW = targets.values.sum
+    val rates = sizes
+      .join(broadcast(tdf), col("__graft_src") === col("__graft_tsrc"))
+      .select(col("__graft_src"),
+        least(lit(maxEpochs.toDouble),
+          lit(budget) * col("__graft_w") / (lit(sumW) * col("__graft_size")))
+          .as("__graft_r"))
+      .select(col("__graft_src"),
+        floor(col("__graft_r")).cast("long").as("__graft_full"),
+        (col("__graft_r") - floor(col("__graft_r"))).as("__graft_frac"))
+    df.join(broadcast(rates), source === col("__graft_src"))
+      .withColumn("__graft_ncopies",
+        col("__graft_full") +
+          when(bucket16(key) < col("__graft_frac") * 65536d, lit(1L))
+            .otherwise(lit(0L)))
+      .filter(col("__graft_ncopies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0L), col("__graft_ncopies") - 1)))
+      .drop("__graft_src", "__graft_full", "__graft_frac", "__graft_ncopies")
+  }
+
   /** Flag corpus rows whose fingerprint appears in the benchmark set
     * (contamination against eval data). `benchmarkFps` must expose a
     * single `fp` column; it is deduped and broadcast. The output carries
@@ -256,6 +310,67 @@ object Sampling {
     * pair expansion. Same 64-bit key-collision caveat as the dedup
     * family (a collision can only over-flag, never miss).
     */
+  /** N-gram decontamination behind a Bloom-filter runtime prefilter — the
+    * shape for when the eval-gram set is too big to broadcast (a full eval
+    * harness at 13-grams runs to hundreds of millions of keys; a hash
+    * relation that size forces [[ngramContaminationScreen]]'s broadcast
+    * into a corpus-wide shuffle join on gram keys). The Bloom filter
+    * stands in for the broadcast: ~1.2 bytes/key at 1 % fpp, so 100M eval
+    * grams ride to every executor in ~120 MB, and only grams the bloom
+    * accepts — true collisions plus the fpp sliver of clean grams — enter
+    * the exact verification join. The result is EXACT (bit-identical to
+    * the broadcast path): the bloom can only pass extra candidates, and
+    * the exact join then rejects its false positives, so the output never
+    * depends on fpp. This is the runtime-filter pattern Spark's own
+    * InjectRuntimeFilter applies to selective joins, made explicit where
+    * the optimizer can't see the selectivity.
+    *
+    * Shape at 100 TB: per-doc gram counts come from in-row `size()` (the
+    * corpus is never exploded for counting); the exploded side is
+    * filtered by the broadcast bloom BEFORE the exact shuffle join, so
+    * shuffle volume is collisions + fpp·clean, not the corpus's full gram
+    * stream. Same 64-bit key-collision caveat as the dedup family.
+    */
+  def bloomNgramDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    graft.functions.NativeFunctions.register(corpus.sparkSession)
+    val spark = corpus.sparkSession
+    // distinct eval gram keys, materialized once: sized for the bloom fit,
+    // reused as the exact join's build side
+    val bench = benchmark
+      .select(explode(call_function("shingle_hashes", col("text"), lit(n)))
+        .as("__graft_bench_gk"))
+      .distinct()
+      .localCheckpoint(true)
+    val nItems = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("__graft_bench_gk", nItems, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
+    val withGrams = corpus
+      .select(col("doc_id"),
+        call_function("shingle_hashes", col("text"), lit(n)).as("__graft_gks"))
+    // explode → bloom gate → EXACT verify join (hinted shuffle-hash: this
+    // operator exists for the eval set that can't broadcast) → per-doc count
+    val hits = withGrams
+      .select(col("doc_id"), explode(col("__graft_gks")).as("gk"))
+      .filter(mightContain(col("gk")))
+      .join(bench.hint("shuffle_hash"),
+        col("gk") === col("__graft_bench_gk"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    withGrams
+      .select(col("doc_id"),
+        coalesce(size(col("__graft_gks")), lit(0)).cast("long").as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        when(col("n_grams") > 0,
+          coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+            col("n_grams").cast("double"))
+          .otherwise(lit(0.0)).as("contamination_frac"),
+        (coalesce(col("n_contaminated"), lit(0L)) > 0).as("contaminated"))
+  }
+
   def ngramContaminationScreen(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 3): DataFrame = {
     graft.functions.NativeFunctions.register(corpus.sparkSession)

@@ -670,6 +670,30 @@ object PipelineQueries {
       JOIN sizes sb ON sb.doc_id = p.b
       ORDER BY jaccard DESC, a, b LIMIT 100"""), headline = true),
 
+    // d13: directed containment (Broder's resemblance-vs-containment
+    // split) — catches the short-doc-quoted-in-long-doc duplicates whose
+    // Jaccard is tiny; ordering by max_cont surfaces exactly the pairs
+    // d02's ranking buries. Same machinery, asymmetric denominators.
+    QueryDef("d13_containment", (s, d) =>
+      Dedup.containmentPairs(Tables.load(s, d, "documents"))
+        .orderBy(col("max_cont").desc, col("a"), col("b")).limit(100),
+      Some(s"""
+      WITH $SHD,
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM shd x JOIN shd y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id)
+      SELECT p.a, p.b,
+        CAST(p.inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a_in_b,
+        CAST(p.inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b_in_a,
+        GREATEST(CAST(p.inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                 CAST(p.inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) AS max_cont
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.a
+      JOIN sizes sb ON sb.doc_id = p.b
+      ORDER BY max_cont DESC, a, b LIMIT 100""")),
+
     // d09: per-POSITION duplicated-span stats (Lee et al.'s ExactSubstr at
     // n-gram granularity) — the per-span complement to d02's per-pair
     // Jaccard. Spark joins on 8-byte positional shingle keys; the oracle
@@ -1372,6 +1396,40 @@ object PipelineQueries {
       per AS (SELECT s.doc_id, COUNT(*) AS n_grams,
                COUNT(b.shingle) AS n_contaminated
               FROM shd s LEFT JOIN bench b ON b.shingle = s.shingle
+              GROUP BY s.doc_id)
+      SELECT d.doc_id,
+        COALESCE(CAST(p.n_grams AS BIGINT), 0) AS n_grams,
+        COALESCE(CAST(p.n_contaminated AS BIGINT), 0) AS n_contaminated,
+        CASE WHEN p.n_grams > 0
+          THEN COALESCE(CAST(p.n_contaminated AS DOUBLE), 0.0) / p.n_grams
+          ELSE 0.0 END AS contamination_frac,
+        COALESCE(p.n_contaminated, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
+    // Bloom-gated n-gram decontamination: same exact semantics as cnt02
+    // (at 5-grams) computed through the can't-broadcast path — a Bloom
+    // runtime filter gates the corpus gram stream BEFORE the exact
+    // shuffle join, so shuffle volume is collisions + fpp·clean grams.
+    // The oracle is the plain exact screen: the bloom is a prefilter the
+    // exact join corrects, so fpp never reaches the answer.
+    QueryDef("cnt03_bloom_decontaminate", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      Sampling.bloomNgramDecontaminate(docs,
+          docs.filter(col("doc_id") % 10 === 0), n = 5)
+        .orderBy(col("doc_id"))
+    }, Some(s"""
+      WITH $TOK,
+      sh5 AS (SELECT doc_id,
+          w || ' ' || LEAD(w,1) OVER win || ' ' || LEAD(w,2) OVER win ||
+            ' ' || LEAD(w,3) OVER win || ' ' || LEAD(w,4) OVER win AS shingle,
+          LEAD(w,4) OVER win IS NOT NULL AS complete
+        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+      shd5 AS (SELECT DISTINCT doc_id, shingle FROM sh5 WHERE complete),
+      bench AS (SELECT DISTINCT shingle FROM shd5 WHERE doc_id % 10 = 0),
+      per AS (SELECT s.doc_id, COUNT(*) AS n_grams,
+               COUNT(b.shingle) AS n_contaminated
+              FROM shd5 s LEFT JOIN bench b ON b.shingle = s.shingle
               GROUP BY s.doc_id)
       SELECT d.doc_id,
         COALESCE(CAST(p.n_grams AS BIGINT), 0) AS n_grams,
@@ -2087,6 +2145,38 @@ object PipelineQueries {
             < LEAST(1.0, CAST(n_chars AS DOUBLE) / 1000.0) * 65536
       ORDER BY doc_id""")),
 
+    // data-constrained epoch mixing (Muennighoff et al. 2023): sources
+    // whose budget share exceeds their size REPEAT up to 4 epochs; the
+    // weights put src0 at the epoch cap (r=4), src1/src2 at fractional
+    // repeats (r≈2.5/1.25), src3/src4 down-sampled (r≈0.625) — every
+    // branch of the rule exercised. The oracle replays the whole rate
+    // arithmetic and emits epochs via unnest(range(n_copies)).
+    QueryDef("smp08_epoch_mix", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+      val total = docs.agg(sum(col("n_chars"))).first().getLong(0)
+      Sampling.epochMix(docs, col("source"), col("doc_id"), col("n_chars"),
+          targets = Map("src0" -> 8.0, "src1" -> 4.0, "src2" -> 2.0,
+            "src3" -> 1.0, "src4" -> 1.0),
+          budget = 0.5 * total, maxEpochs = 4)
+        .select(col("doc_id"), col("source"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }, Some("""
+      WITH szs AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS sz
+                   FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS t FROM documents),
+      w AS (SELECT * FROM (VALUES ('src0', 8.0), ('src1', 4.0),
+              ('src2', 2.0), ('src3', 1.0), ('src4', 1.0)) AS v(src, wt)),
+      r AS (SELECT s.source,
+              LEAST(4.0, (0.5 * tot.t) * w.wt / (16.0 * s.sz)) AS r
+            FROM szs s JOIN w ON w.src = s.source CROSS JOIN tot),
+      n AS (SELECT d.doc_id, d.source,
+              CAST(FLOOR(r.r) AS BIGINT) +
+              CASE WHEN ('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+                   < (r.r - FLOOR(r.r)) * 65536 THEN 1 ELSE 0 END AS ncopies
+            FROM documents d JOIN r ON r.source = d.source)
+      SELECT doc_id, source, unnest(range(ncopies)) AS epoch
+      FROM n WHERE ncopies > 0 ORDER BY doc_id, epoch""")),
+
     // per-source cap: at most 10 docs per source, kept by hash order so
     // the capped subset is an unbiased deterministic sample of each source
     QueryDef("smp04_source_cap", (s, d) =>
@@ -2271,6 +2361,61 @@ object PipelineQueries {
       SELECT r.doc_id, r.cluster_id, q.quality AS quality_score
       FROM rep r JOIN qual q ON q.doc_id = r.doc_id
       ORDER BY r.doc_id""")),
+
+    // c05: TRAINED quality/domain classifier (the GPT-3 appendix-A shape:
+    // logistic regression over hashed bag-of-words, curated-vs-crawl
+    // labels — here lang='en' as the target domain). The entire 2-step
+    // full-batch GD loop runs in micro-unit integer arithmetic, so the
+    // oracle replays training end to end: iter-1 closed form (w=0 →
+    // p=0.5), gradient sums as exact BIGINTs, the one EXP per step
+    // re-quantized to integers immediately. Scores and decisions of the
+    // LEARNED model are hash-checked, not just its output schema.
+    QueryDef("c05_quality_classifier", (s, d) =>
+      graft.operators.Classifier.trainScore(
+          Tables.load(s, d, "documents"), col("lang") === "en")
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH $TOK,
+      feat AS (SELECT DISTINCT doc_id,
+          ('0x' || substring(md5(w), 1, 4))::BIGINT % 32 AS b
+        FROM tok WHERE w <> ''),
+      lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS yu
+              FROM documents),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      g1 AS (SELECT doc_id, 500000 - yu AS gu FROM lab),
+      gb1 AS (SELECT f.b, SUM(g.gu) AS gs FROM feat f
+              JOIN g1 g ON g.doc_id = f.doc_id GROUP BY f.b),
+      w1 AS (SELECT b, 0 - CAST(ROUND(0.5 * gs / nn.n, 0) AS BIGINT) AS wu
+             FROM gb1 CROSS JOIN nn),
+      b1 AS (SELECT 0 - CAST(ROUND(0.5 * (SELECT SUM(gu) FROM g1) /
+               (SELECT n FROM nn), 0) AS BIGINT) AS bu),
+      dot2 AS (SELECT f.doc_id, SUM(w.wu) AS du FROM feat f
+               JOIN w1 w ON w.b = f.b GROUP BY f.doc_id),
+      m2 AS (SELECT l.doc_id, l.yu,
+               CAST(COALESCE(d.du, 0) + b1.bu AS DOUBLE) / 1000000.0 AS m
+             FROM lab l LEFT JOIN dot2 d ON d.doc_id = l.doc_id CROSS JOIN b1),
+      g2 AS (SELECT doc_id,
+               CAST(ROUND(1.0 / (1.0 + EXP(-m)) * 1000000, 0) AS BIGINT) - yu AS gu
+             FROM m2),
+      gb2 AS (SELECT f.b, SUM(g.gu) AS gs FROM feat f
+              JOIN g2 g ON g.doc_id = f.doc_id GROUP BY f.b),
+      w2 AS (SELECT w1.b,
+               w1.wu - CAST(ROUND(0.5 * gb2.gs / nn.n, 0) AS BIGINT) AS wu
+             FROM w1 JOIN gb2 ON gb2.b = w1.b CROSS JOIN nn),
+      b2 AS (SELECT b1.bu - CAST(ROUND(0.5 * (SELECT SUM(gu) FROM g2) /
+               (SELECT n FROM nn), 0) AS BIGINT) AS bu FROM b1),
+      dot3 AS (SELECT f.doc_id, SUM(w.wu) AS du FROM feat f
+               JOIN w2 w ON w.b = f.b GROUP BY f.doc_id),
+      m3 AS (SELECT l.doc_id, l.yu,
+               CAST(COALESCE(d.du, 0) + b2.bu AS DOUBLE) / 1000000.0 AS m
+             FROM lab l LEFT JOIN dot3 d ON d.doc_id = l.doc_id CROSS JOIN b2),
+      p3 AS (SELECT doc_id, yu,
+               CAST(ROUND(1.0 / (1.0 + EXP(-m)) * 1000000, 0) AS BIGINT) AS pu
+             FROM m3)
+      SELECT doc_id, CAST(yu / 1000000 AS BIGINT) AS label,
+        CAST(pu AS DOUBLE) / 1000000 AS score,
+        pu >= 500000 AS predicted
+      FROM p3 ORDER BY doc_id""")),
 
     // The COMPLETE pretraining pipeline composed as one operator:
     // heuristic filter -> exact dedup -> transitive MinHash near-dup

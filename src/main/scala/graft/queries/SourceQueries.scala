@@ -193,6 +193,37 @@ object SourceQueries {
       FROM read_parquet('$stage/events_clustered/*.parquet')
       ORDER BY event_id""")),
 
+    // Z-order compaction: the MULTI-column data-skipping rewrite (Morton
+    // curve over (user_id, value); x06 is its 1-D special case). The
+    // scan applies a 2-D box predicate to the REWRITTEN bytes and the
+    // oracle applies the same box to the same bytes — layout + curve
+    // arithmetic must not change content. ScaleSpec/SourcesSpec prove the
+    // skip itself with recordsRead on both box dimensions.
+    QueryDef("x10_zorder_scan", (s, d) => {
+      val in = s"$stage/events_zorder_in"
+      val out = s"$stage/events_zordered"
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(16).write.mode("overwrite").parquet(in)
+      val res = graft.operators.Compaction.compactZOrder(s, in, out,
+        zCols = Seq("user_id", "value"), bits = 8,
+        targetBytes = 64L * 1024 * 1024)
+      require(res.rows > 0, "z-order compaction lost rows")
+      s.read.parquet(out)
+        .filter(col("user_id").between(100L, 200L) &&
+          col("value").between(10.0, 50.0))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    }, Some(s"""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        CAST(user_id AS BIGINT) AS user_id, event_type, value
+      FROM read_parquet('$stage/events_zordered/*.parquet')
+      WHERE user_id BETWEEN 100 AND 200 AND value BETWEEN 10.0 AND 50.0
+      ORDER BY event_id""")),
+
     // Hive-layout partitioned scan: events written as dt=YYYY-MM-DD
     // directories (how a 100 TB event corpus actually ships) and read back
     // through a partition-column filter that prunes directories at plan

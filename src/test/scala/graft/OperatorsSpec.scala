@@ -473,6 +473,121 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"bench set not broadcast:\n$plan")
   }
 
+  test("bloom decontamination matches the exact broadcast screen bit for bit") {
+    val evalText = "what is the capital of atlantis askers want to know today"
+    val d = docs(
+      1L -> evalText,
+      2L -> ("intro paragraph " + evalText + " outro text closing words"),
+      3L -> "completely unrelated training document text here for testing",
+      4L -> "a b c d") // fewer than 5 tokens: zero 5-grams
+    val bench = d.filter(col("doc_id") === 1L)
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getBoolean(4))).sortBy(_._1).toSeq
+    // exact parity with the broadcast-path screen at the same n — the
+    // bloom is a prefilter, never part of the answer
+    assert(canon(Sampling.bloomNgramDecontaminate(d, bench, n = 5)) ===
+      canon(Sampling.ngramContaminationScreen(d, bench, n = 5)))
+    // ...and that holds at a sloppy fpp too (more false positives into
+    // the exact join, same output)
+    assert(canon(Sampling.bloomNgramDecontaminate(d, bench, n = 5, fpp = 0.5)) ===
+      canon(Sampling.ngramContaminationScreen(d, bench, n = 5)))
+    // scale shape: the exact verify join is the hinted shuffle join (the
+    // operator exists for the eval set that can't broadcast), and the
+    // bloom gate sits below it as a Filter on the corpus gram stream
+    val plan = Sampling.bloomNgramDecontaminate(d, bench, n = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), s"exact join not shuffled:\n$plan")
+  }
+
+  test("trained classifier separates disjoint-vocabulary classes deterministically") {
+    val s = spark
+    import s.implicits._
+    val pos = Seq("alpha beta gamma delta", "beta gamma epsilon alpha",
+      "gamma delta alpha beta", "delta epsilon beta gamma")
+    val neg = Seq("uno dos tres cuatro", "dos tres cinco uno",
+      "tres cuatro uno dos", "cuatro cinco dos tres")
+    val d = (pos.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") } ++
+      neg.zipWithIndex.map { case (t, i) => (100L + i, t, "es") })
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.Classifier.trainScore(d, col("lang") === "en")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    val posScores = out.filter(_._2 == 1L).map(_._3)
+    val negScores = out.filter(_._2 == 0L).map(_._3)
+    assert(posScores.min > negScores.max,
+      s"classes not separated: pos=${posScores.toSeq} neg=${negScores.toSeq}")
+    out.foreach { case (id, label, score, pred) =>
+      assert(pred === (label == 1L), s"doc $id: score $score mispredicts")
+    }
+    // rerun-determinism: the integer-quantized GD loop has no float drift
+    val again = graft.operators.Classifier.trainScore(d, col("lang") === "en")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // scoring is a pure narrow map: no Exchange in the scored plan
+    val (w, b) = graft.operators.Classifier.trainLogistic(d, col("lang") === "en")
+    val plan = graft.operators.Classifier.score(d, col("lang") === "en", w, b, 32)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring should be narrow:\n$plan")
+  }
+
+  test("containment flags a short doc quoted inside a long one; jaccard misses it") {
+    val quoted = "the quick brown fox jumps over the lazy dog every single day"
+    val filler = (1 to 60).map(i => s"filler$i").mkString(" ")
+    val d = docs(
+      1L -> quoted,                       // 10 shingles, all inside doc 2
+      2L -> (filler + " " + quoted),      // long wrapper
+      3L -> "nothing in common with anything else here at all")
+    val cont = graft.operators.Dedup.containmentPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val (cab, cba, mx) = cont((1L, 2L))
+    assert(cab > 0.8, s"short-in-long containment should be ~1, got $cab")
+    assert(cba < 0.5, s"long-in-short containment should be small, got $cba")
+    assert(mx === math.max(cab, cba))
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair under Jaccard ranks LOW — the union is filler-dominated
+    val jac = graft.operators.Dedup.ngramJaccardPairs(d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(jac((1L, 2L)) < 0.3, s"jaccard should bury this pair: ${jac((1L, 2L))}")
+  }
+
+  test("epoch mix repeats data-constrained sources and caps at maxEpochs") {
+    val s = spark
+    import s.implicits._
+    val d = (0L until 4L).map(i => (i, "over", 100L)) ++
+      (10L until 14L).map(i => (i, "under", 100L)) ++
+      (20L until 24L).map(i => (i, "untargeted", 100L))
+    val df = d.toDF("doc_id", "src", "sz")
+    // sumW=4, budget=800: "over" share 600 vs size 400 → r=1.5 (1 full +
+    // 0.5 frac); "under" share 200 vs 400 → r=0.5 (0 full + 0.5 frac)
+    val out = Sampling.epochMix(df, col("src"), col("doc_id"), col("sz"),
+        Map("over" -> 3.0, "under" -> 1.0), budget = 800.0, maxEpochs = 4)
+      .select(col("doc_id"), col("src"), col("epoch")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDoc = out.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._3).sorted.toSeq }
+    // every "over" doc gets epoch 0; its optional extra epoch is exactly 1
+    (0L until 4L).foreach { id =>
+      assert(byDoc.contains(id) && byDoc(id).head === 0L)
+      assert(byDoc(id) === (0L until byDoc(id).size.toLong)) // contiguous
+      assert(byDoc(id).size <= 2)
+    }
+    // "under" docs appear at most once, only epoch 0
+    (10L until 14L).foreach { id =>
+      assert(byDoc.get(id).forall(_ === Seq(0L)))
+    }
+    // untargeted source is dropped entirely
+    assert(out.forall(_._2 !== "untargeted"))
+    // cap: a source whose allocation dwarfs its size repeats EXACTLY
+    // maxEpochs times — r = min(maxEpochs, huge) has no fractional part
+    val capped = Sampling.epochMix(df.filter(col("src") === "over"),
+        col("src"), col("doc_id"), col("sz"),
+        Map("over" -> 1.0), budget = 1e9, maxEpochs = 4)
+      .groupBy(col("doc_id")).count().collect()
+    assert(capped.nonEmpty && capped.forall(_.getLong(1) === 4L))
+  }
+
   test("sequence packing fills packs in order within the budget") {
     val s = spark
     import s.implicits._

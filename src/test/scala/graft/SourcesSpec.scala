@@ -585,6 +585,67 @@ class SourcesSpec extends SparkSpec {
       s"no data skipping: clustered read $clusteredRead of flat $flatRead records")
   }
 
+  test("z-order layout skips on the non-leading dimension; 1-D clustering can't") {
+    import org.apache.spark.sql.functions.col
+    // morton arithmetic pin: ranks (3, 1) at 2 bits → 0b0111 = 7
+    // (bit b of dim d lands at b*2+d)
+    val s2 = spark
+    import s2.implicits._
+    val m = Seq((3L, 1L)).toDF("a", "b")
+      .select(graft.operators.Compaction.mortonInterleave(
+        Seq(col("a"), col("b")), bits = 2).as("z"))
+      .collect().head.getLong(0)
+    assert(m === 7L, s"morton(3,1)@2bits should be 7, got $m")
+
+    val in = s"$tmp/zorder_probe_in"
+    val byUser = s"$tmp/zorder_probe_1d"
+    val zord = s"$tmp/zorder_probe_z"
+    // controlled 2-D uniform fixture (events' value column is too skewed
+    // and too small to exercise curve granularity): 100k points on a
+    // 1024×1024 grid, decorrelated dimensions
+    spark.range(100000)
+      .select(col("id").as("event_id"),
+        (col("id") * 2654435761L % 1024).as("x"),
+        (col("id") * 40503L % 1024).cast("double").as("y"))
+      .repartition(16).write.mode("overwrite").parquet(in)
+    // small target files + small row groups so the curve yields many
+    // prunable units at test scale (production defaults: 128 MB / 128 MB)
+    val opts = Map("parquet.block.size" -> (64 * 1024).toString)
+    graft.operators.Compaction.compactClustered(spark, in, byUser,
+      clusterCols = Seq("x"), targetBytes = 128L * 1024,
+      writeOptions = opts)
+    val res = graft.operators.Compaction.compactZOrder(spark, in, zord,
+      zCols = Seq("x", "y"), bits = 8,
+      targetBytes = 128L * 1024, writeOptions = opts)
+    assert(res.rows === 100000L)
+    def recordsRead(dir: String, pred: org.apache.spark.sql.Column): Long = {
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            n.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        spark.read.parquet(dir).filter(pred)
+          .write.mode("overwrite").format("noop").save()
+        var last = -1L; var spins = 0
+        while (n.get != last && spins < 40) { last = n.get; spins += 1; Thread.sleep(100) }
+        n.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // a 1/16th band on `y` — the NON-leading dimension: the x-sorted
+    // layout interleaves y everywhere (no skip); the z-curve clusters y
+    // ranges too, so file/row-group stats prune most of the scan
+    val yPred = col("y").between(256.0, 319.0)
+    val oneD = recordsRead(byUser, yPred)
+    val zRead = recordsRead(zord, yPred)
+    assert(zRead > 0, "z-order scan found no rows in the y band")
+    assert(zRead * 2 <= oneD,
+      s"no y-dimension skipping: z-order read $zRead of 1-D's $oneD")
+  }
+
   test("Delta checkpoint seeds the file list; later commits replay on top") {
     import java.io.File
     import java.nio.charset.StandardCharsets

@@ -509,8 +509,119 @@ object Multimodal {
         parseHeader(id, bytes) })
   }
 
+  final case class Mp4Header(doc_id: Long, brand: String, timescale: Long,
+      duration_ms: Long, width: Long, height: Long, n_boxes: Long)
+
+  /** REAL ISO-BMFF (MP4) box walk — the video leg of the container-header
+    * family (m03 covers image/audio). Boxes are length-prefixed big-endian
+    * `size | fourcc | payload` records; `moov`/`trak` are pure containers
+    * whose payload is itself a box list, so the walk recurses into them
+    * and SKIPS unknown boxes by their declared size (the property that
+    * makes the parse robust to real-world files full of vendor boxes).
+    * Extracts the `ftyp` major brand, `mvhd` v0 timescale/duration (ms
+    * via floor division), and `tkhd` v0 track dimensions (16.16 fixed
+    * point → integer pixels). Adversarial containers — size < 8, a box
+    * running past the buffer, version-1 headers this v0 parser doesn't
+    * speak — degrade to an empty-brand row, never a throw (same contract
+    * as [[parseHeader]]/[[decodeWav]]).
+    */
+  def parseMp4(docId: Long, b: Array[Byte]): Mp4Header = {
+    val bad = Mp4Header(docId, "", 0L, 0L, 0L, 0L, 0L)
+    var brand = ""
+    var timescale = 0L
+    var duration = 0L
+    var width = 0L
+    var height = 0L
+    var nBoxes = 0L
+    def walk(from: Int, to: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = be32(b, i)
+        if (size < 8 || i + size > to) return false
+        val typ = new String(b, i + 4, 4, "US-ASCII")
+        nBoxes += 1
+        typ match {
+          case "ftyp" if size >= 16 =>
+            brand = new String(b, i + 8, 4, "US-ASCII")
+          case "moov" | "trak" =>
+            if (!walk(i + 8, i + size.toInt)) return false
+          case "mvhd" if size >= 28 && b(i + 8) == 0 =>
+            timescale = be32(b, i + 20)
+            duration = be32(b, i + 24)
+          case "tkhd" if size >= 92 && b(i + 8) == 0 =>
+            width = be32(b, i + 84) >> 16
+            height = be32(b, i + 88) >> 16
+          case _ => ()
+        }
+        i += size.toInt
+      }
+      i == to
+    }
+    if (b.length < 8 || !walk(0, b.length)) bad
+    else if (brand.isEmpty || timescale <= 0) bad
+    else Mp4Header(docId, brand, timescale, duration * 1000L / timescale,
+      width, height, nBoxes)
+  }
+
+  /** MP4 header scan over a (doc_id, blob) frame — same narrow
+    * per-partition shape as [[headerScan]].
+    */
+  def mp4Scan(spark: SparkSession, media: DataFrame): Dataset[Mp4Header] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) =>
+        parseMp4(id, bytes) })
+  }
+
   // ---- deterministic container builders (test/fixture side; the parser
   // above never sees these — it reads bytes only) ----------------------
+
+  /** Minimal-but-genuine ISO-BMFF file: `ftyp` + a `free` box the walker
+    * must skip by size + `moov` containing an mvhd v0 and one
+    * `trak > tkhd` v0 with 16.16 fixed-point dimensions and identity
+    * matrices. 248 bytes; every offset per ISO/IEC 14496-12.
+    */
+  def makeMp4(brand: String, timescale: Long, duration: Long,
+      width: Long, height: Long): Array[Byte] = {
+    require(brand.length == 4, "brand must be a fourcc")
+    val buf = java.nio.ByteBuffer.allocate(20 + 12 + 216) // big-endian
+    def matrix(): Unit = {
+      buf.putInt(0x00010000); buf.putInt(0); buf.putInt(0)
+      buf.putInt(0); buf.putInt(0x00010000); buf.putInt(0)
+      buf.putInt(0); buf.putInt(0); buf.putInt(0x40000000)
+    }
+    buf.putInt(20); buf.put("ftyp".getBytes("US-ASCII"))
+    buf.put(brand.getBytes("US-ASCII")); buf.putInt(0)
+    buf.put("isom".getBytes("US-ASCII"))
+    buf.putInt(12); buf.put("free".getBytes("US-ASCII")); buf.putInt(0)
+    buf.putInt(216); buf.put("moov".getBytes("US-ASCII"))
+    // mvhd v0 (108 bytes)
+    buf.putInt(108); buf.put("mvhd".getBytes("US-ASCII"))
+    buf.putInt(0)                       // version + flags
+    buf.putInt(0); buf.putInt(0)        // creation, modification
+    buf.putInt(timescale.toInt); buf.putInt(duration.toInt)
+    buf.putInt(0x00010000)              // rate 1.0
+    buf.putShort(0x0100.toShort)        // volume 1.0
+    buf.putShort(0); buf.putInt(0); buf.putInt(0) // reserved
+    matrix()
+    (1 to 6).foreach(_ => buf.putInt(0)) // pre_defined
+    buf.putInt(2)                        // next_track_ID
+    // trak (100) > tkhd v0 (92)
+    buf.putInt(100); buf.put("trak".getBytes("US-ASCII"))
+    buf.putInt(92); buf.put("tkhd".getBytes("US-ASCII"))
+    buf.putInt(7)                       // version 0, flags: enabled|in-movie
+    buf.putInt(0); buf.putInt(0)        // creation, modification
+    buf.putInt(1)                       // track_ID
+    buf.putInt(0)                       // reserved
+    buf.putInt(duration.toInt)
+    buf.putInt(0); buf.putInt(0)        // reserved
+    buf.putShort(0); buf.putShort(0)    // layer, alternate_group
+    buf.putShort(0); buf.putShort(0)    // volume, reserved
+    matrix()
+    buf.putInt((width << 16).toInt); buf.putInt((height << 16).toInt)
+    buf.array()
+  }
 
   def makePng(width: Long, height: Long): Array[Byte] = {
     val out = java.nio.ByteBuffer.allocate(33)

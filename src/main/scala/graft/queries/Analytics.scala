@@ -211,6 +211,45 @@ object Analytics {
       FROM lineitem""")),
 
     // ------------------------------------------------------------------
+    // MERGEABLE distinct sketches (f02 bounds one-shot estimates; this is
+    // the composition story): one DataSketches HLL sketch per source
+    // shard, then the corpus estimate from hll_union_agg over the TINY
+    // per-shard sketch relation — never a second corpus pass. That union
+    // is how 100 TB dedup-cardinality dashboards actually work: shard
+    // sketches persist with the data; cross-shard rollups merge bytes.
+    // Duplicate fingerprints planted ACROSS sources make the merged
+    // distinct < the per-source sum, so the union is genuinely exercised.
+    // Exact companions hash-check; sketch estimates pin within 5 %.
+    QueryDef("f06_hll_sketches", (s, d) => {
+      val docs = Tables.load(s, d, "documents")
+        .select(col("source"),
+          graft.operators.TextOps.fingerprint(col("text")).as("fp"))
+      val per = docs.groupBy(col("source")).agg(
+        expr("hll_sketch_agg(fp)").as("sk"),
+        countDistinct(col("fp")).as("exact"))
+      val perOut = per.select(col("source").as("scope"), col("exact"),
+        (abs(expr("hll_sketch_estimate(sk)") - col("exact")) /
+          col("exact") <= 0.05).as("est_ok"))
+      val merged = per.agg(
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      val allOut = docs.agg(countDistinct(col("fp")).as("exact"))
+        .crossJoin(merged)
+        .select(lit("ALL").as("scope"), col("exact"),
+          (abs(col("est") - col("exact")) / col("exact") <= 0.05)
+            .as("est_ok"))
+      perOut.union(allOut).orderBy(col("scope"))
+    }, Some(raw"""
+      WITH fps AS (SELECT source,
+          MD5(LOWER(REGEXP_REPLACE(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents)
+      SELECT source AS scope, CAST(COUNT(DISTINCT fp) AS BIGINT) AS exact,
+        TRUE AS est_ok
+      FROM fps GROUP BY source
+      UNION ALL
+      SELECT 'ALL', CAST(COUNT(DISTINCT fp) AS BIGINT), TRUE FROM fps
+      ORDER BY scope""")),
+
+    // ------------------------------------------------------------------
     // Scalar-function sampler: string / math / conditional / date parts.
     QueryDef("f01_scalar_functions", (s, d) => {
       val p = t(s, d, "part")
@@ -837,6 +876,39 @@ object Analytics {
       FROM (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type,
               value FROM events) e
       GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // ------------------------------------------------------------------
+    // Streaming per-window top-k (trending-now): the unbounded counting
+    // runs as the real watermarked streaming aggregation into the memory
+    // sink; the rank is a batch post-pass over the drained window×type
+    // aggregate — a relation whose size is windows × distinct types,
+    // independent of event volume (rank windows aren't supported inside
+    // streaming complete mode, and don't need to be: this split IS the
+    // canonical pattern). Ties rank by event_type, so rows hash-check.
+    QueryDef("e17_stream_topk", (s, d) => {
+      val dir = stageEvents(s, d, "events_topk_stream", copies = 1)
+      val sink = s"e17_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream.runToMemory(s, dir, sink)
+      q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        graft.streaming.EventStream.topKPerWindow(t, 3)
+          .select(unix_micros(col("window_start")).as("window_start"),
+            col("event_type"), col("n"), col("rank"))
+          .orderBy(col("window_start"), col("rank"))
+      }
+    }, Some("""
+      WITH agg AS (
+        SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
+          COUNT(*) AS n
+        FROM (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type
+              FROM events) e
+        GROUP BY 1, 2),
+      ranked AS (SELECT window_start, event_type, n,
+          ROW_NUMBER() OVER (PARTITION BY window_start
+            ORDER BY n DESC, event_type) AS rank
+        FROM agg)
+      SELECT window_start, event_type, n, CAST(rank AS BIGINT) AS rank
+      FROM ranked WHERE rank <= 3 ORDER BY window_start, rank""")),
 
     // ------------------------------------------------------------------
     // SLIDING-window streaming rollup: 1-hour windows every 15 minutes —

@@ -126,6 +126,27 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Per-window top-k over a drained windowed aggregate (the streaming
+    * TRENDING-NOW surface): rank event types inside each window by count
+    * (ties broken by name, so results are engine-exact) and keep the top
+    * `k`. Streaming aggregation can't host a rank window itself (window
+    * functions aren't supported on streaming frames in complete mode), so
+    * the canonical pattern is exactly this split: the UNBOUNDED work — the
+    * per-window counting over the event firehose — runs incrementally
+    * with watermarked state, and the rank runs as a batch post-pass over
+    * the sink's window×type aggregate, a relation that is SMALL by
+    * construction (windows × distinct types, independent of event
+    * volume). At 100 TB of events the sink table is still a few thousand
+    * rows; the post-pass is one partition-local window.
+    */
+  def topKPerWindow(agg: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    agg.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Run the hourly aggregation into an in-memory sink until the directory
     * is drained; returns the finished query (results under `queryName`).
     */

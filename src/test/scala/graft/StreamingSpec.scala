@@ -347,6 +347,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-window top-k ranks by count with name tie-break and cuts at k") {
+    val s = spark
+    import s.implicits._
+    val agg = Seq(
+      (0L, "view", 10L, 1.0), (0L, "click", 10L, 1.0), (0L, "buy", 3L, 1.0),
+      (0L, "scroll", 1L, 1.0),
+      (3600L, "buy", 5L, 1.0))
+      .toDF("window_start", "event_type", "n", "sum_value")
+    val top = graft.streaming.EventStream.topKPerWindow(agg, 3)
+      .select("window_start", "event_type", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(t => (t._1, t._3))
+    // tie at n=10: click before view alphabetically; scroll cut by k=3
+    assert(top.toSeq === Seq((0L, "click", 1L), (0L, "view", 2L),
+      (0L, "buy", 3L), (3600L, "buy", 1L)))
+  }
+
   test("watermark is attached to the streaming plan") {
     val dir = Files.createTempDirectory("graft-stream3")
     Files.copy(java.nio.file.Paths.get(s"$sf0001/events.parquet"),

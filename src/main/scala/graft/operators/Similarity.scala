@@ -90,6 +90,65 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified top-k: greedily select k results maximizing
+    * `λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — the diversity
+    * re-rank that keeps a near-dup-heavy neighborhood from filling the
+    * whole result list (for training-data selection: pick representative
+    * AND diverse exemplars, not five copies of the same page).
+    *
+    * Two-stage shape: relevance is the exact top-`pool` per query (any
+    * first-stage retriever works — this composes with IVF/PQ/BQ the same
+    * way), after which EVERYTHING is k-bounded: the pairwise-similarity
+    * relation is queries × pool² rows and the greedy loop's k unrolled
+    * stages are joins over it — corpus size never appears after stage
+    * one. All similarities are 4dp-rounded before any comparison and ties
+    * break by nid, so the greedy argmax is engine-exact and the whole
+    * selection replays in SQL.
+    */
+  def mmrTopK(emb: DataFrame, isQuery: Column, k: Int = 5, pool: Int = 20,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1 && pool >= k, "need pool >= k >= 1")
+    val cos = nativeCosine(emb.sparkSession) _
+    val cand = bruteForceTopK(emb, isQuery, pool)
+      .select(col("qid"), col("nid"), col("cos_sim").as("rel"))
+      .localCheckpoint(true)
+    val ce = cand.select(col("qid"), col("nid"))
+      .join(emb.select(col("vec_id").as("nid"), col("embedding").as("nvec")),
+        "nid")
+    val pair = ce.select(col("qid"), col("nid").as("a"), col("nvec").as("avec"))
+      .join(ce.select(col("qid"), col("nid").as("b"), col("nvec").as("bvec")),
+        Seq("qid"))
+      .filter(col("a") =!= col("b"))
+      .select(col("qid"), col("a"), col("b"),
+        round(cos(col("avec"), col("bvec")), 4).as("psim"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col("qid"))
+    def argmax(scored: DataFrame, by: Column): DataFrame =
+      scored.withColumn("__rn",
+          row_number().over(w.orderBy(by.desc, col("nid"))))
+        .filter(col("__rn") === 1).drop("__rn")
+    var selected = argmax(cand, col("rel"))
+      .select(col("qid"), col("nid"), lit(1L).as("rank"), col("rel"))
+    var remaining = cand.join(selected.select(col("qid"), col("nid")),
+      Seq("qid", "nid"), "left_anti")
+    (2 to k).foreach { step =>
+      val pen = pair
+        .join(selected.select(col("qid"), col("nid").as("a")), Seq("qid", "a"))
+        .groupBy(col("qid"), col("b").as("nid")).agg(max(col("psim")).as("pen"))
+      val scored = remaining.join(pen, Seq("qid", "nid"), "left")
+        .withColumn("__score", lit(lambda) * col("rel") -
+          lit(1.0 - lambda) * coalesce(col("pen"), lit(0.0)))
+      val pick = argmax(scored, col("__score"))
+        .select(col("qid"), col("nid"), lit(step.toLong).as("rank"), col("rel"))
+      selected = selected.union(pick).localCheckpoint(true)
+      remaining = remaining.join(pick.select(col("qid"), col("nid")),
+        Seq("qid", "nid"), "left_anti")
+    }
+    selected.select(col("qid"), col("nid"), col("rank"),
+      col("rel").as("cos_sim"))
+  }
+
   /** Recall@k of an approximate top-k result against the exact one — the
     * metric an index-tuning loop (nProbe, bands, codebook size) actually
     * optimizes. Inputs are any two (qid, nid, …) rankings of the same

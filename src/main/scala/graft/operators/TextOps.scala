@@ -336,6 +336,73 @@ object TextOps {
         .as("bm25"))
   }
 
+  /** Flesch reading-ease readability score — the classic curation signal
+    * (low scores flag legalese/boilerplate; implausibly high ones flag
+    * word salad). Counts are regex-structural so the operator stays a
+    * pure narrow map with no dictionary: syllables ≈ vowel-group runs
+    * (`[aeiouy]+` over the lowercased text — the standard approximation),
+    * sentences ≈ terminal-punctuation runs (min 1), words = whitespace
+    * tokens. `206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)`
+    * with plain left-associated double math, so the score is
+    * engine-exact (no transcendentals at all).
+    */
+  def readability(docs: DataFrame): DataFrame = {
+    val nw = size(filter(tokens(col("text")), w => w =!= "")).cast("long")
+    val ns = greatest(lit(1L),
+      size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+    val syl = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"),
+      lit(0))).cast("long")
+    docs.select(col("doc_id"), nw.as("n_words"), ns.as("n_sentences"),
+        syl.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        when(col("n_words") > 0,
+          round(lit(206.835) -
+            lit(1.015) * (col("n_words").cast("double") / col("n_sentences")) -
+            lit(84.6) * (col("n_syllables").cast("double") / col("n_words")),
+            4))
+          .otherwise(lit(0.0)).as("flesch"))
+  }
+
+  /** Vocabulary coverage / OOV-rate stats — the tokenizer-evaluation
+    * metric data pipelines compute before committing to a vocabulary:
+    * build the corpus's top-`vocabSize` word vocabulary (count-desc,
+    * word-asc total order, so the cut boundary is deterministic) and
+    * report, per document, how many token OCCURRENCES fall outside it.
+    * A doc with a high OOV rate either needs byte-fallback tokenization
+    * or is noise (the two cases diverge downstream; this is the dial).
+    *
+    * Shape at 100 TB: the vocabulary is ONE map-side-combined word
+    * histogram capped by TakeOrdered (t13's corpus-pass shape — the
+    * cap bounds driver state at vocabSize rows); it broadcasts back, so
+    * the per-doc pass is a narrow explode + broadcast lookup + one
+    * doc-keyed count aggregate with map-side combine.
+    */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int = 1000): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .filter(col("w") =!= "")
+    val vocab = broadcast(
+      toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(vocabSize)
+        .select(col("w").as("__graft_vw")))
+    val per = toks
+      .join(vocab, col("w") === col("__graft_vw"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("__graft_vw")).as("n_in_vocab"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("n_tokens"), lit(0L)) -
+          coalesce(col("n_in_vocab"), lit(0L))).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          (col("n_tokens") - coalesce(col("n_in_vocab"), lit(0L)))
+            .cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("oov_rate"))
+  }
+
   def tfidfTopTerms(docs: DataFrame, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession

@@ -380,6 +380,61 @@ object PipelineQueries {
       mg AS MATERIALIZED ($union)"""
   }
 
+  /** MMR replay: exact top-`pool` relevance + 4dp pairwise sims, then one
+    * generated (penalty → score → argmax → union) stage per greedy pick.
+    * Stage s's score is `0.7·rel − (1.0−0.7)·max psim(c, selected)` with
+    * the SAME literal arithmetic as the Spark side (both engines compute
+    * 1.0−0.7 in doubles), ties by nid.
+    */
+  private def mmrSql(k: Int, pool: Int): String = {
+    val steps = (2 to k).map { s =>
+      s"""pen$s AS (SELECT p.qid, p.b AS nid, MAX(p.psim) AS pen
+         |  FROM pr p JOIN sel${s - 1} sl ON sl.qid = p.qid AND sl.nid = p.a
+         |  GROUP BY p.qid, p.b),
+         |sc$s AS (SELECT c.qid, c.nid, c.rel,
+         |    0.7 * c.rel - (1.0 - 0.7) * COALESCE(p.pen, 0.0) AS score
+         |  FROM cand c
+         |  LEFT JOIN pen$s p ON p.qid = c.qid AND p.nid = c.nid
+         |  WHERE NOT EXISTS (SELECT 1 FROM sel${s - 1} sl
+         |                    WHERE sl.qid = c.qid AND sl.nid = c.nid)),
+         |sel$s AS (SELECT * FROM sel${s - 1} UNION ALL
+         |  SELECT qid, nid, $s AS rank, rel FROM (
+         |    SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, nid) AS rn
+         |    FROM sc$s) t WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""
+    WITH $ED,
+    q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+    dots AS (SELECT q.qid, x.vec_id AS nid, SUM(q.v*x.v) AS dot
+             FROM q JOIN ed x ON q.i = x.i AND x.vec_id <> q.qid
+             GROUP BY q.qid, x.vec_id),
+    sims AS (SELECT qid, nid, dot/(nq.nrm*nx.nrm) AS sim
+             FROM dots
+             JOIN nrm nq ON nq.vec_id = qid
+             JOIN nrm nx ON nx.vec_id = nid),
+    cand AS (SELECT qid, nid, ROUND(sim, 4) AS rel FROM (
+               SELECT qid, nid, sim, ROW_NUMBER() OVER (PARTITION BY qid
+                 ORDER BY sim DESC, nid) AS rnk
+               FROM sims) t WHERE rnk <= $pool),
+    pr AS (SELECT ca.qid, ca.nid AS a, cb.nid AS b,
+             ROUND(SUM(ea.v*eb.v) / (na.nrm*nb.nrm), 4) AS psim
+           FROM cand ca
+           JOIN cand cb ON cb.qid = ca.qid AND cb.nid <> ca.nid
+           JOIN ed ea ON ea.vec_id = ca.nid
+           JOIN ed eb ON eb.vec_id = cb.nid AND eb.i = ea.i
+           JOIN nrm na ON na.vec_id = ca.nid
+           JOIN nrm nb ON nb.vec_id = cb.nid
+           GROUP BY ca.qid, ca.nid, cb.nid, na.nrm, nb.nrm),
+    sel1 AS (SELECT qid, nid, 1 AS rank, rel FROM (
+              SELECT qid, nid, rel, ROW_NUMBER() OVER (PARTITION BY qid
+                ORDER BY rel DESC, nid) AS rn
+              FROM cand) t WHERE rn = 1),
+    $steps
+    SELECT qid, nid, CAST(rank AS BIGINT) AS rank, rel AS cos_sim
+    FROM sel$k ORDER BY qid, rank"""
+  }
+
   private def bpeTrainSql(k: Int, cap: Int): String =
     s"""
     WITH RECURSIVE
@@ -592,6 +647,53 @@ object PipelineQueries {
         CASE WHEN p.n_shingles > 0
           THEN CAST(p.n_unique AS DOUBLE) / p.n_shingles
           ELSE 0.0 END AS novelty
+      FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+      ORDER BY d.doc_id""")),
+
+    // t19: Flesch reading-ease — regex-structural counts (vowel-group
+    // syllables, terminal-punctuation sentences) through the classic
+    // formula in plain left-associated double math; fully engine-exact
+    // (the one text score here with no transcendental anywhere).
+    QueryDef("t19_readability", (s, d) =>
+      TextOps.readability(Tables.load(s, d, "documents"))
+        .orderBy(col("doc_id")),
+      Some(raw"""
+      WITH c AS (SELECT doc_id,
+          CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            w -> w <> '')) AS BIGINT) AS n_words,
+          GREATEST(CAST(1 AS BIGINT),
+            CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+            AS n_sentences,
+          CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+            AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        CASE WHEN n_words > 0
+          THEN ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words), 4)
+          ELSE 0.0 END AS flesch
+      FROM c ORDER BY doc_id""")),
+
+    // t18: vocabulary coverage / OOV rate — the tokenizer-eval dial.
+    // Top-20 vocabulary (of the corpus's 31 distinct words, so the cut
+    // genuinely bites at sf0.01) by (count DESC, word) total order; the
+    // oracle replays the histogram cut and the per-doc occurrence counts.
+    QueryDef("t18_vocab_coverage", (s, d) =>
+      TextOps.vocabCoverage(Tables.load(s, d, "documents"), vocabSize = 20)
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH $TOK,
+      wt AS (SELECT doc_id, w FROM tok WHERE w <> ''),
+      vocab AS (SELECT w FROM (SELECT w, COUNT(*) AS c FROM wt
+                GROUP BY w ORDER BY c DESC, w LIMIT 20) t),
+      per AS (SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(v.w) AS n_in
+              FROM wt t LEFT JOIN vocab v ON v.w = t.w GROUP BY t.doc_id)
+      SELECT d.doc_id,
+        COALESCE(CAST(p.n_tokens AS BIGINT), 0) AS n_tokens,
+        COALESCE(CAST(p.n_tokens - p.n_in AS BIGINT), 0) AS n_oov,
+        CASE WHEN p.n_tokens > 0
+          THEN CAST(p.n_tokens - p.n_in AS DOUBLE) / p.n_tokens
+          ELSE 0.0 END AS oov_rate
       FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
       ORDER BY d.doc_id""")),
 
@@ -1563,6 +1665,18 @@ object PipelineQueries {
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
 
+    // a13: MMR diversified top-k (Carbonell & Goldstein) — the greedy
+    // λ·relevance − (1−λ)·max-similarity-to-selected loop, unrolled in
+    // the oracle as one penalty/score/argmax stage per pick over the
+    // 4dp-rounded candidate and pairwise similarity relations. Everything
+    // after the exact first stage is pool-bounded — the replay proves
+    // selection-order exactness, like a12's PageRank iterations.
+    QueryDef("a13_mmr", (s, d) =>
+      Similarity.mmrTopK(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, k = 5, pool = 20)
+        .orderBy(col("qid"), col("rank")),
+      Some(mmrSql(k = 5, pool = 20))),
+
     QueryDef("qz02_product_quantize", (s, d) =>
       Quantize.productQuantize(Tables.load(s, d, "embeddings"),
           m = 4, k = 16, iters = 2, dim = 64)
@@ -1790,6 +1904,42 @@ object PipelineQueries {
              ELSE 0 END AS BIGINT) AS sample_rate,
         CAST(CASE doc_id % 3 WHEN 2 THEN 1 + doc_id % 2
              ELSE 0 END AS BIGINT) AS channels
+      FROM documents ORDER BY doc_id""")),
+
+    // REAL MP4/ISO-BMFF box walk — the video leg of m03's container
+    // family: each doc becomes a genuine 248-byte ISO-BMFF file (ftyp +
+    // a free box the walker must skip + moov > mvhd/trak > tkhd, every
+    // offset per 14496-12, all parameters derived from doc_id) and the
+    // parser recovers brand/timescale/duration/dimensions by byte
+    // inspection, recursing into container boxes and converting 16.16
+    // fixed-point dims. The oracle predicts every field analytically —
+    // including the floor-division milliseconds — so the check passes
+    // only if the walk really inverts the box encoding.
+    QueryDef("m07_mp4_headers", (s, d) => {
+      import s.implicits._
+      val ids = Tables.load(s, d, "documents")
+        .select(col("doc_id").cast("long")).as[Long]
+      val media = ids.mapPartitions(_.map { id =>
+        val brand = (id % 3) match {
+          case 0 => "isom"; case 1 => "mp42"; case _ => "avc1"
+        }
+        (id, Multimodal.makeMp4(brand,
+          timescale = 600 * (1 + id % 4),
+          duration = 600 + (id * 37) % 100000,
+          width = 160 + (id % 120) * 16,
+          height = 90 + (id % 68) * 16))
+      }).toDF("doc_id", "blob")
+      Multimodal.mp4Scan(s, media).toDF().orderBy(col("doc_id"))
+    }, Some("""
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'isom' WHEN 1 THEN 'mp42'
+             ELSE 'avc1' END AS brand,
+        CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+        CAST((600 + (doc_id * 37) % 100000) * 1000
+             // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+        CAST(160 + (doc_id % 120) * 16 AS BIGINT) AS width,
+        CAST(90 + (doc_id % 68) * 16 AS BIGINT) AS height,
+        CAST(6 AS BIGINT) AS n_boxes
       FROM documents ORDER BY doc_id""")),
 
     // REAL WAV PCM sample decode end to end: each doc becomes a complete

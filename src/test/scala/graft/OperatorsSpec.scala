@@ -500,6 +500,75 @@ class OperatorsSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), s"exact join not shuffled:\n$plan")
   }
 
+  test("MMR demotes the near-duplicate neighbor a plain top-k keeps") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Seq(1f, 1f), 0),        // query
+      (1L, Seq(2f, 1.9f), 0),      // most relevant
+      (2L, Seq(2.001f, 1.9f), 0),  // near-duplicate of 1
+      (3L, Seq(-1.9f, 2f), 0))     // diverse, low relevance
+      .toDF("vec_id", "embedding", "label")
+    val plain = Similarity.bruteForceTopK(emb, col("vec_id") === 0, 3)
+      .collect().sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    assert(plain === Seq(1L, 2L, 3L), "plain ranking should keep the dup at 2")
+    // at a diversity-heavy λ the near-dup's max-sim-to-selected penalty
+    // (~1.0) pushes it below the orthogonal candidate
+    val mmr = Similarity.mmrTopK(emb, col("vec_id") === 0, k = 3, pool = 3,
+        lambda = 0.3)
+      .collect().sortBy(_.getLong(2)).map(r => (r.getLong(2), r.getLong(1))).toSeq
+    assert(mmr === Seq((1L, 1L), (2L, 3L), (3L, 2L)),
+      s"MMR should pick the diverse candidate second: $mmr")
+  }
+
+  test("readability counts words/sentences/vowel-group syllables per the formula") {
+    val d = docs(1L -> "The cat sat. It ran!", 2L -> "")
+    val out = TextOps.readability(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    // 5 words, 2 sentences, 5 vowel groups (e,a,a,i,a):
+    // 206.835 - 1.015*2.5 - 84.6*1.0 = 119.6975
+    assert(out(1L) === ((5L, 2L, 5L, 119.6975)))
+    assert(out(2L) === ((0L, 1L, 0L, 0.0)))
+  }
+
+  test("mp4 box walk inverts the container; adversarial boxes degrade, never throw") {
+    import graft.operators.Multimodal
+    val b = Multimodal.makeMp4("mp42", timescale = 1200, duration = 90000,
+      width = 640, height = 360)
+    val h = Multimodal.parseMp4(1L, b)
+    assert(h === Multimodal.Mp4Header(1L, "mp42", 1200L, 75000L, 640L, 360L, 6L))
+    // truncated mid-moov: the box runs past the buffer → degrade
+    assert(Multimodal.parseMp4(2L, b.take(100)).brand === "")
+    // declared size < 8 (a loop bomb in a naive walker) → degrade
+    val loop = b.clone(); loop(0) = 0; loop(1) = 0; loop(2) = 0; loop(3) = 4
+    assert(Multimodal.parseMp4(3L, loop).brand === "")
+    // version-1 mvhd (64-bit times this v0 parser doesn't speak):
+    // timescale never parses → degrade rather than misread offsets
+    val v1 = b.clone(); v1(20 + 12 + 8 + 8) = 1
+    assert(Multimodal.parseMp4(4L, v1).brand === "")
+    // trailing garbage that is not a whole box → degrade
+    assert(Multimodal.parseMp4(5L, b ++ Array[Byte](1, 2, 3)).brand === "")
+    // empty / sub-header input → degrade
+    assert(Multimodal.parseMp4(6L, Array.emptyByteArray).brand === "")
+  }
+
+  test("vocab coverage counts OOV occurrences against the deterministic top-k cut") {
+    val d = docs(
+      1L -> "common common common rare",   // 'common' freq 3+2, 'rare' freq 1
+      2L -> "common common other",         // 'other' freq 1
+      3L -> "")                            // no tokens
+    // vocabSize 2 keeps {common, other} (count desc, then word asc ties:
+    // other vs rare both count 1 → 'other' wins alphabetically)
+    val out = TextOps.vocabCoverage(d, vocabSize = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) === ((4L, 1L, 0.25))) // 'rare' is the one OOV occurrence
+    assert(out(2L) === ((3L, 0L, 0.0)))
+    assert(out(3L) === ((0L, 0L, 0.0)))
+  }
+
   test("trained classifier separates disjoint-vocabulary classes deterministically") {
     val s = spark
     import s.implicits._

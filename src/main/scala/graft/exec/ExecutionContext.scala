@@ -99,6 +99,8 @@ class ExecutionContext(val spark: SparkSession,
         graft.sources.DeltaLog.register(spark, name, loc)
       case DdlTranslate.AvroTable(name, loc) =>
         graft.sources.AvroIO.register(spark, name, loc)
+      case DdlTranslate.IcebergTable(name, loc) =>
+        graft.sources.IcebergLog.register(spark, name, loc)
       case s => sql(DdlTranslate(s))
     }
 }
@@ -128,6 +130,18 @@ object DdlTranslate {
   object AvroTable {
     def unapply(statement: String): Option[(String, String)] = statement match {
       case External(name, _, fmt, loc) if fmt.equalsIgnoreCase("avro") =>
+        Some((name, loc))
+      case _ => None
+    }
+  }
+
+  /** Extractor for the Iceberg variant: the live file set comes from the
+    * snapshot's manifest chain, so it registers through
+    * [[graft.sources.IcebergLog]] like Delta does through its log replay.
+    */
+  object IcebergTable {
+    def unapply(statement: String): Option[(String, String)] = statement match {
+      case External(name, _, fmt, loc) if fmt.equalsIgnoreCase("iceberg") =>
         Some((name, loc))
       case _ => None
     }

@@ -646,6 +646,53 @@ class SourcesSpec extends SparkSpec {
       s"no y-dimension skipping: z-order read $zRead of 1-D's $oneD")
   }
 
+  test("Iceberg snapshot chain: status filtering, time travel, loud refusals") {
+    import graft.sources.IcebergLog
+    import graft.sources.IcebergLog.FixtureEntry
+    val tbl = s"$tmp/ice_spec"
+    // three tiny parquet files
+    def pf(tag: String, ids: Seq[Long]): String = {
+      val s2 = spark; import s2.implicits._
+      val dir = s"$tmp/ice_spec_$tag"
+      ids.toDF("id").coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+    val a = pf("a", Seq(1L, 2L))
+    val b = pf("b", Seq(3L))
+    val c = pf("c", Seq(4L, 5L))
+    IcebergLog.writeFixture(tbl, Seq(
+      1L -> Seq(FixtureEntry(1, a, 2), FixtureEntry(1, c, 2)),
+      2L -> Seq(FixtureEntry(0, a, 2), FixtureEntry(1, b, 1),
+        FixtureEntry(2, c, 2))))
+    // current snapshot (2): DELETED c is gone
+    val cur = IcebergLog.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(cur === Seq(1L, 2L, 3L))
+    // time travel to snapshot 1: c is back, b never existed
+    val old = IcebergLog.read(spark, tbl, snapshotAsOf = Some(1L)).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(old === Seq(1L, 2L, 4L, 5L))
+    // unknown snapshot id → loud
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergLog.liveFiles(tbl, Some(99L))
+    }
+    assert(e1.getMessage.contains("snapshot 99"))
+    // v2 delete file (content != 0) → loud refusal, never silent rows
+    val tbl2 = s"$tmp/ice_spec_deletes"
+    IcebergLog.writeFixture(tbl2, Seq(
+      1L -> Seq(FixtureEntry(1, a, 2), FixtureEntry(1, b, 1, content = 1))))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLog.liveFiles(tbl2)
+    }
+    assert(e2.getMessage.contains("delete file"))
+    // not-a-table → loud
+    val e3 = intercept[IllegalArgumentException] {
+      IcebergLog.liveFiles(s"$tmp/not_a_table")
+    }
+    assert(e3.getMessage.contains("no metadata/"))
+  }
+
   test("Delta checkpoint seeds the file list; later commits replay on top") {
     import java.io.File
     import java.nio.charset.StandardCharsets

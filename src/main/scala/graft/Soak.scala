@@ -138,7 +138,13 @@ object Soak {
       "c04_curation_keep_best" -> 2.80, "t16_novelty" -> 0.67,
       "qz03_binary_quantize" -> 0.40, "a11_bq_rerank" -> 0.56,
       "a10_recall_sweep" -> 1.58, "m05_spectral_peak" -> 0.88,
-      "smp07_weighted_sample" -> 0.16)
+      "smp07_weighted_sample" -> 0.16,
+      // round-12 second batch (PerfProbe warm run2 at sf0.1)
+      "cnt03_bloom_decontaminate" -> 1.63, "d13_containment" -> 2.13,
+      "c05_quality_classifier" -> 1.44, "smp08_epoch_mix" -> 0.62,
+      "t18_vocab_coverage" -> 0.69, "t19_readability" -> 0.62,
+      "m07_mp4_headers" -> 0.32, "a13_mmr" -> 4.83,
+      "f06_hll_sketches" -> 0.41)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -158,7 +164,10 @@ object Soak {
       "e13_stream_ingest_dedup",
       "c04_curation_keep_best", "t16_novelty", "qz03_binary_quantize",
       "a11_bq_rerank", "a10_recall_sweep", "m05_spectral_peak",
-      "smp07_weighted_sample")
+      "smp07_weighted_sample",
+      "cnt03_bloom_decontaminate", "d13_containment",
+      "c05_quality_classifier", "smp08_epoch_mix", "t18_vocab_coverage",
+      "t19_readability", "m07_mp4_headers", "a13_mmr", "f06_hll_sketches")
 
     var total = 0.0
     queries.foreach { name =>

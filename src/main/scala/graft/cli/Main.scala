@@ -107,6 +107,41 @@ object Main {
       try Tui.run(ctx) finally spark.stop()
       return
     }
+    // `optimize` subcommand — the table-maintenance surface over the
+    // layout operators: plain small-file compaction by default,
+    // 1-D clustering with --cluster-by, multi-column Z-order with
+    // --zorder-by (comma-separated). The lakehouse `OPTIMIZE` verb as a
+    // CLI, runnable on any parquet/orc directory.
+    if (argv.headOption.contains("optimize")) {
+      val opts = argv.drop(1).sliding(2, 2).collect {
+        case Array(k, v) => k -> v }.toMap
+      val in = opts.getOrElse("--in",
+        throw new IllegalArgumentException("optimize needs --in <dir>"))
+      val out = opts.getOrElse("--out",
+        throw new IllegalArgumentException("optimize needs --out <dir>"))
+      val target = opts.get("--target-mb").map(_.toLong * 1024 * 1024)
+        .getOrElse(128L * 1024 * 1024)
+      val format = opts.getOrElse("--format", "parquet")
+      val spark = SessionFactory.build(opts.getOrElse("--master", "local[*]"))
+      try {
+        val res = (opts.get("--zorder-by"), opts.get("--cluster-by")) match {
+          case (Some(zc), _) =>
+            graft.operators.Compaction.compactZOrder(spark, in, out,
+              zc.split(",").map(_.trim).toSeq, targetBytes = target,
+              format = format)
+          case (None, Some(cc)) =>
+            graft.operators.Compaction.compactClustered(spark, in, out,
+              cc.split(",").map(_.trim).toSeq, targetBytes = target,
+              format = format)
+          case _ =>
+            graft.operators.Compaction.compact(spark, in, out,
+              targetBytes = target, format = format)
+        }
+        println(s"optimized $in -> $out: ${res.rows} rows, " +
+          s"${res.filesBefore} -> ${res.filesAfter} files")
+      } finally spark.stop()
+      return
+    }
     // `serve-flight` subcommand (reference ServeFlightSql { config, addr,
     // metrics_addr } — `src/cli/mod.rs` / `src/server/flightsql/mod.rs`):
     // real Arrow Flight SQL over gRPC

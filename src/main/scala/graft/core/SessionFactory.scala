@@ -42,6 +42,7 @@ object SessionFactory {
     MetaTables.register(spark)
     JsonFunctions.register(spark)
     NativeFunctions.register(spark)
+    graft.plans.FooterCount.enable(spark)
     S3Config(spark, conf)
     graft.sources.HfStore(spark, conf)
     ConfigUdfLoader.load(spark, conf)

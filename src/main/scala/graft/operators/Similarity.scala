@@ -90,6 +90,33 @@ object Similarity {
       .select(col("qid"), col("nid"), col("rank"), round(col("cos_sim"), 4).as("cos_sim"))
   }
 
+  /** k-NN majority-vote classification — the label-propagation /
+    * weak-labeling primitive (label new documents from their nearest
+    * labeled neighbors; also the standard probe for embedding quality).
+    * Prediction = the label with the most votes among the k exact nearest
+    * neighbors, ties to the smallest label; the query's own label rides
+    * along with a `correct` flag so the same relation serves as the
+    * accuracy eval.
+    *
+    * Scale: one [[bruteForceTopK]] pass (or swap in any ANN first stage),
+    * after which everything is k·queries rows — the vote aggregate and
+    * argmax window never see the corpus.
+    */
+  def knnClassify(emb: DataFrame, isQuery: Column, k: Int = 10): DataFrame = {
+    val votes = bruteForceTopK(emb, isQuery, k)
+      .join(emb.select(col("vec_id").as("nid"), col("label")), "nid")
+      .groupBy(col("qid"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("votes").desc, col("label"))
+    votes.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .join(emb.select(col("vec_id").as("qid"),
+        col("label").cast("long").as("true_label")), "qid")
+      .select(col("qid"), col("label").cast("long").as("predicted_label"),
+        col("votes"), col("true_label"),
+        (col("label").cast("long") === col("true_label")).as("correct"))
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
     * diversified top-k: greedily select k results maximizing
     * `λ·sim(q,c) − (1−λ)·max_{s∈selected} sim(c,s)` — the diversity
@@ -206,15 +233,47 @@ object Similarity {
     * corpus — filters change per query; the index does not.
     */
   def ivfTopK(emb: DataFrame, isQuery: Column, k: Int = 10, nProbe: Int = 2,
-      candidateFilter: Column = lit(true)): DataFrame = {
-    val cos = nativeCosine(emb.sparkSession) _
-    val dims = emb.select(col("vec_id"), col("label"),
-      posexplode(col("embedding")).as(Seq("i", "v")))
-    val centroids = dims.groupBy(col("label"), col("i"))
+      candidateFilter: Column = lit(true)): DataFrame =
+    ivfTopKWithCentroids(emb, ivfCentroids(emb), isQuery, k, nProbe,
+      candidateFilter)
+
+  /** The IVF coarse index: per-cell mean centroid over the corpus's label
+    * column — the artifact [[saveIvfIndex]] persists.
+    */
+  def ivfCentroids(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("label"), col("i"))
       .agg(avg(col("v")).as("cv"))
       .groupBy(col("label"))
       .agg(transform(array_sort(collect_list(struct(col("i"), col("cv")))),
         s => s.getField("cv")).as("centroid"))
+
+  /** Persist the IVF coarse index (cells × dim doubles — kilobytes
+    * whatever the corpus size). The production index lifecycle: the fit
+    * is a corpus pass you run once per index build, not once per query
+    * batch; searches load the artifact and skip it.
+    */
+  def saveIvfIndex(emb: DataFrame, dir: String): Unit =
+    ivfCentroids(emb).write.mode("overwrite").parquet(dir)
+
+  /** IVF search against a PERSISTED index ([[saveIvfIndex]]'s output):
+    * identical results to [[ivfTopK]] (the centroid doubles round-trip
+    * parquet exactly), zero fit cost at query time.
+    */
+  def ivfTopKFromIndex(emb: DataFrame, indexDir: String, isQuery: Column,
+      k: Int = 10, nProbe: Int = 2,
+      candidateFilter: Column = lit(true)): DataFrame =
+    ivfTopKWithCentroids(emb, emb.sparkSession.read.parquet(indexDir),
+      isQuery, k, nProbe, candidateFilter)
+
+  /** The search half of [[ivfTopK]], against any (label, centroid)
+    * relation.
+    */
+  def ivfTopKWithCentroids(emb: DataFrame, centroids: DataFrame,
+      isQuery: Column, k: Int, nProbe: Int,
+      candidateFilter: Column = lit(true)): DataFrame = {
+    val cos = nativeCosine(emb.sparkSession) _
     val queries = emb.filter(isQuery)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val probed = queries.crossJoin(broadcast(centroids))

@@ -1214,6 +1214,36 @@ object Analytics {
       ORDER BY event_id""")),
 
     // ------------------------------------------------------------------
+    // IGNORE NULLS forward-fill (LOCF gap-fill) — the sensor/time-series
+    // repair operator: sparse readings (here: value only on 'purchase'
+    // events) carried forward per user along event time. One window over
+    // the user exchange; ties on ts break by event_id so the fill order
+    // is total. Leading rows before a user's first reading stay NULL —
+    // the honest answer, pinned by the oracle.
+    QueryDef("w06_gap_fill", (s, d) => {
+      val e = t(s, d, "events").filter(col("user_id") < 40)
+        .withColumn("reading",
+          when(col("event_type") === "purchase", col("value")))
+        .withColumn("tus", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.select(col("event_id"), col("user_id"), col("event_type"),
+          col("reading"),
+          last(col("reading"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT event_id, user_id, event_type, reading,
+        LAST_VALUE(reading IGNORE NULLS) OVER w AS filled
+      FROM (SELECT event_id, user_id, event_type,
+              CASE WHEN event_type = 'purchase' THEN value END AS reading,
+              epoch_ns(ts) // 1000 AS tus
+            FROM events WHERE user_id < 40) e
+      WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // Registered JSON function surface (json_get / json_contains — the
     // reference's functions-json names; SURVEY §2.9).
     QueryDef("j02_json_functions", (s, d) => {

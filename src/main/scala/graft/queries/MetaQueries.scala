@@ -39,6 +39,21 @@ object MetaQueries {
       FROM parquet_metadata('__SF_DIR__/region.parquet')
       ORDER BY row_group_id, column_id""")),
 
+    // p02: metadata-only COUNT(*) — the FooterCountRule answers the
+    // unfiltered count from parquet footers; the require proves the scan
+    // was ELIMINATED (optimized plan collapses to a LocalRelation), and
+    // the oracle proves the metadata answer equals the true row count.
+    QueryDef("p02_footer_count", (s, d) => {
+      graft.plans.FooterCount.enable(s)
+      val df = s.read.parquet(Tables.path(d, "lineitem"))
+        .agg(count(lit(1)).as("n"))
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      require(leaves.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        s"footer-count rule did not fire:\n${df.queryExecution.optimizedPlan}")
+      df
+    }, Some("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem")),
+
     // synthesized information_schema (reference always enables it; the
     // FlightSQL catalog endpoints are SQL over these views) — listing
     // restricted to the testdata tables so the snapshot is deterministic.

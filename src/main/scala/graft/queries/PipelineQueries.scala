@@ -380,6 +380,51 @@ object PipelineQueries {
       mg AS MATERIALIZED ($union)"""
   }
 
+  /** The c05 logistic-regression training chain (2 unrolled full-batch GD
+    * steps in micro-unit integer arithmetic — see Classifier's Scaladoc),
+    * ending in `p3(doc_id, yu, pu)`: per-doc label and final sigmoid in
+    * micro-units. Shared by c05 (scores) and c06 (preference pairs over
+    * the learned scores).
+    */
+  private val C5LR =
+    s"""$TOK,
+      |feat AS (SELECT DISTINCT doc_id,
+      |    ('0x' || substring(md5(w), 1, 4))::BIGINT % 32 AS b
+      |  FROM tok WHERE w <> ''),
+      |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS yu
+      |        FROM documents),
+      |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |g1 AS (SELECT doc_id, 500000 - yu AS gu FROM lab),
+      |gb1 AS (SELECT f.b, SUM(g.gu) AS gs FROM feat f
+      |        JOIN g1 g ON g.doc_id = f.doc_id GROUP BY f.b),
+      |w1 AS (SELECT b, 0 - CAST(ROUND(0.5 * gs / nn.n, 0) AS BIGINT) AS wu
+      |       FROM gb1 CROSS JOIN nn),
+      |b1 AS (SELECT 0 - CAST(ROUND(0.5 * (SELECT SUM(gu) FROM g1) /
+      |         (SELECT n FROM nn), 0) AS BIGINT) AS bu),
+      |dot2 AS (SELECT f.doc_id, SUM(w.wu) AS du FROM feat f
+      |         JOIN w1 w ON w.b = f.b GROUP BY f.doc_id),
+      |m2 AS (SELECT l.doc_id, l.yu,
+      |         CAST(COALESCE(d.du, 0) + b1.bu AS DOUBLE) / 1000000.0 AS m
+      |       FROM lab l LEFT JOIN dot2 d ON d.doc_id = l.doc_id CROSS JOIN b1),
+      |g2 AS (SELECT doc_id,
+      |         CAST(ROUND(1.0 / (1.0 + EXP(-m)) * 1000000, 0) AS BIGINT) - yu AS gu
+      |       FROM m2),
+      |gb2 AS (SELECT f.b, SUM(g.gu) AS gs FROM feat f
+      |        JOIN g2 g ON g.doc_id = f.doc_id GROUP BY f.b),
+      |w2 AS (SELECT w1.b,
+      |         w1.wu - CAST(ROUND(0.5 * gb2.gs / nn.n, 0) AS BIGINT) AS wu
+      |       FROM w1 JOIN gb2 ON gb2.b = w1.b CROSS JOIN nn),
+      |b2 AS (SELECT b1.bu - CAST(ROUND(0.5 * (SELECT SUM(gu) FROM g2) /
+      |         (SELECT n FROM nn), 0) AS BIGINT) AS bu FROM b1),
+      |dot3 AS (SELECT f.doc_id, SUM(w.wu) AS du FROM feat f
+      |         JOIN w2 w ON w.b = f.b GROUP BY f.doc_id),
+      |m3 AS (SELECT l.doc_id, l.yu,
+      |         CAST(COALESCE(d.du, 0) + b2.bu AS DOUBLE) / 1000000.0 AS m
+      |       FROM lab l LEFT JOIN dot3 d ON d.doc_id = l.doc_id CROSS JOIN b2),
+      |p3 AS (SELECT doc_id, yu,
+      |         CAST(ROUND(1.0 / (1.0 + EXP(-m)) * 1000000, 0) AS BIGINT) AS pu
+      |       FROM m3)""".stripMargin
+
   /** MMR replay: exact top-`pool` relevance + 4dp pairwise sims, then one
     * generated (penalty → score → argmax → union) stage per greedy pick.
     * Stage s's score is `0.7·rel − (1.0−0.7)·max psim(c, selected)` with
@@ -1268,6 +1313,20 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank")),
       Some(s"$IVF_TOPK ORDER BY qid, rank")),
 
+    // a15: index PERSISTENCE lifecycle — fit the IVF coarse index once,
+    // write it (cells × dim doubles: kilobytes at any corpus size), and
+    // search from the loaded artifact with zero fit cost. The oracle is
+    // a02's full replay: the persisted search must return bit-identical
+    // results to the fit-inline one (centroid doubles round-trip parquet
+    // exactly), which is precisely the property an index file must have.
+    QueryDef("a15_ivf_persisted", (s, d) => {
+      val idx = s"${graft.queries.SourceQueries.stage}/ivf_index"
+      val emb = Tables.load(s, d, "embeddings")
+      Similarity.saveIvfIndex(emb, idx)
+      Similarity.ivfTopKFromIndex(emb, idx, col("vec_id") < 5, 10, 2)
+        .orderBy(col("qid"), col("rank"))
+    }, Some(s"$IVF_TOPK ORDER BY qid, rank")),
+
     // Recall evaluation: the metric an index tuning loop actually reads —
     // per-query overlap of the approximate (IVF, 2-of-10 probes) top-10
     // with the exact top-10. Both sides replay in SQL, so the recall
@@ -1664,6 +1723,28 @@ object PipelineQueries {
             ORDER BY sim DESC, nid) AS rank FROM sims)
       SELECT qid, nid, CAST(rank AS BIGINT) AS rank, ROUND(sim, 4) AS cos_sim
       FROM ranked WHERE rank <= 10 ORDER BY qid, rank""")),
+
+    // a14: k-NN majority-vote classification over the exact neighbor
+    // lists — vote counts, tie-to-smallest-label argmax, and the
+    // per-query accuracy flag all replayed (BF_TOPK as the first stage).
+    QueryDef("a14_knn_classify", (s, d) =>
+      Similarity.knnClassify(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, k = 10)
+        .orderBy(col("qid")),
+      Some(s"""
+      WITH lv AS (SELECT vec_id, label FROM embeddings),
+      votes AS (SELECT n.qid, l.label, COUNT(*) AS votes
+                FROM ($BF_TOPK) n JOIN lv l ON l.vec_id = n.nid
+                GROUP BY n.qid, l.label),
+      win AS (SELECT qid, label, votes,
+                ROW_NUMBER() OVER (PARTITION BY qid
+                  ORDER BY votes DESC, label) AS rn
+              FROM votes)
+      SELECT w.qid, CAST(w.label AS BIGINT) AS predicted_label, w.votes,
+        CAST(q.label AS BIGINT) AS true_label,
+        w.label = q.label AS correct
+      FROM win w JOIN lv q ON q.vec_id = w.qid
+      WHERE w.rn = 1 ORDER BY w.qid""")),
 
     // a13: MMR diversified top-k (Carbonell & Goldstein) — the greedy
     // λ·relevance − (1−λ)·max-similarity-to-selected loop, unrolled in
@@ -2525,47 +2606,58 @@ object PipelineQueries {
           Tables.load(s, d, "documents"), col("lang") === "en")
         .orderBy(col("doc_id")),
       Some(s"""
-      WITH $TOK,
-      feat AS (SELECT DISTINCT doc_id,
-          ('0x' || substring(md5(w), 1, 4))::BIGINT % 32 AS b
-        FROM tok WHERE w <> ''),
-      lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS yu
-              FROM documents),
-      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
-      g1 AS (SELECT doc_id, 500000 - yu AS gu FROM lab),
-      gb1 AS (SELECT f.b, SUM(g.gu) AS gs FROM feat f
-              JOIN g1 g ON g.doc_id = f.doc_id GROUP BY f.b),
-      w1 AS (SELECT b, 0 - CAST(ROUND(0.5 * gs / nn.n, 0) AS BIGINT) AS wu
-             FROM gb1 CROSS JOIN nn),
-      b1 AS (SELECT 0 - CAST(ROUND(0.5 * (SELECT SUM(gu) FROM g1) /
-               (SELECT n FROM nn), 0) AS BIGINT) AS bu),
-      dot2 AS (SELECT f.doc_id, SUM(w.wu) AS du FROM feat f
-               JOIN w1 w ON w.b = f.b GROUP BY f.doc_id),
-      m2 AS (SELECT l.doc_id, l.yu,
-               CAST(COALESCE(d.du, 0) + b1.bu AS DOUBLE) / 1000000.0 AS m
-             FROM lab l LEFT JOIN dot2 d ON d.doc_id = l.doc_id CROSS JOIN b1),
-      g2 AS (SELECT doc_id,
-               CAST(ROUND(1.0 / (1.0 + EXP(-m)) * 1000000, 0) AS BIGINT) - yu AS gu
-             FROM m2),
-      gb2 AS (SELECT f.b, SUM(g.gu) AS gs FROM feat f
-              JOIN g2 g ON g.doc_id = f.doc_id GROUP BY f.b),
-      w2 AS (SELECT w1.b,
-               w1.wu - CAST(ROUND(0.5 * gb2.gs / nn.n, 0) AS BIGINT) AS wu
-             FROM w1 JOIN gb2 ON gb2.b = w1.b CROSS JOIN nn),
-      b2 AS (SELECT b1.bu - CAST(ROUND(0.5 * (SELECT SUM(gu) FROM g2) /
-               (SELECT n FROM nn), 0) AS BIGINT) AS bu FROM b1),
-      dot3 AS (SELECT f.doc_id, SUM(w.wu) AS du FROM feat f
-               JOIN w2 w ON w.b = f.b GROUP BY f.doc_id),
-      m3 AS (SELECT l.doc_id, l.yu,
-               CAST(COALESCE(d.du, 0) + b2.bu AS DOUBLE) / 1000000.0 AS m
-             FROM lab l LEFT JOIN dot3 d ON d.doc_id = l.doc_id CROSS JOIN b2),
-      p3 AS (SELECT doc_id, yu,
-               CAST(ROUND(1.0 / (1.0 + EXP(-m)) * 1000000, 0) AS BIGINT) AS pu
-             FROM m3)
+      WITH $C5LR
       SELECT doc_id, CAST(yu / 1000000 AS BIGINT) AS label,
         CAST(pu AS DOUBLE) / 1000000 AS score,
         pu >= 500000 AS predicted
       FROM p3 ORDER BY doc_id""")),
+
+    // c06: preference-PAIR construction (the DPO/RLHF data shape): within
+    // each source, the trained classifier's best-scoring doc becomes
+    // `chosen` and the worst `rejected`, ties to the lower doc_id; the
+    // margin rides along for downstream filtering. The oracle replays the
+    // WHOLE c05 training chain and then both argmax windows — composition
+    // over a LEARNED artifact, like t14's train→apply.
+    QueryDef("c06_preference_pairs", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, d, "documents")
+      val scored = graft.operators.Classifier
+        .trainScore(docs, col("lang") === "en")
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .select(col("source"), col("doc_id"), col("score"))
+      def pick(w: org.apache.spark.sql.expressions.WindowSpec,
+          tag: String) =
+        scored.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("source"), col("doc_id").as(s"${tag}_doc"),
+            col("score").as(s"${tag}_score"))
+      val chosen = pick(Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id")), "chosen")
+      val rejected = pick(Window.partitionBy(col("source"))
+        .orderBy(col("score").asc, col("doc_id")), "rejected")
+      chosen.join(rejected, "source")
+        .select(col("source"), col("chosen_doc"), col("chosen_score"),
+          col("rejected_doc"), col("rejected_score"),
+          round(col("chosen_score") - col("rejected_score"), 6).as("margin"))
+        .orderBy(col("source"))
+    }, Some(s"""
+      WITH $C5LR
+      , sc AS (SELECT p.doc_id, d.source,
+                 CAST(p.pu AS DOUBLE) / 1000000 AS score
+               FROM p3 p JOIN documents d ON d.doc_id = p.doc_id),
+      best AS (SELECT source, doc_id, score FROM (
+                 SELECT source, doc_id, score, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY score DESC, doc_id) AS rn
+                 FROM sc) t WHERE rn = 1),
+      worst AS (SELECT source, doc_id, score FROM (
+                 SELECT source, doc_id, score, ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY score ASC, doc_id) AS rn
+                 FROM sc) t WHERE rn = 1)
+      SELECT b.source, b.doc_id AS chosen_doc, b.score AS chosen_score,
+        w.doc_id AS rejected_doc, w.score AS rejected_score,
+        ROUND(b.score - w.score, 6) AS margin
+      FROM best b JOIN worst w ON w.source = b.source
+      ORDER BY b.source""")),
 
     // The COMPLETE pretraining pipeline composed as one operator:
     // heuristic filter -> exact dedup -> transitive MinHash near-dup

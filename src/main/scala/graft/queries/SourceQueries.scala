@@ -31,7 +31,74 @@ object SourceQueries {
       .getOrElse(new java.io.File(
         sys.props("user.dir"), "target/xio").getAbsolutePath)
 
+  /** Iceberg fixture: three orders slices as parquet files, a two-snapshot
+    * metadata chain (snapshot 1 adds A+C; snapshot 2 keeps A, adds B,
+    * DELETES C), shared by x11 (current) and x11b (time travel). Returns
+    * the table path; idempotent per run.
+    */
+  private def buildIcebergFixture(s: org.apache.spark.sql.SparkSession,
+      d: String): String = {
+    import graft.sources.IcebergLog
+    val tbl = s"$stage/ice_table"
+    def writeSlice(tag: String, m: Long): String = {
+      val dir = s"$stage/ice_data_$tag"
+      Tables.load(s, d, "orders").filter(col("o_orderkey") % 3 === m)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .coalesce(1).write.mode("overwrite").parquet(dir)
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getPath
+    }
+    val a = writeSlice("a", 0)
+    val b = writeSlice("b", 1)
+    val c = writeSlice("c", 2)
+    IcebergLog.writeFixture(tbl, Seq(
+      1L -> Seq(IcebergLog.FixtureEntry(1, a, 0),
+        IcebergLog.FixtureEntry(1, c, 0)),
+      2L -> Seq(IcebergLog.FixtureEntry(0, a, 0),
+        IcebergLog.FixtureEntry(1, b, 0),
+        IcebergLog.FixtureEntry(2, c, 0))))
+  }
+
   val queries: Seq[QueryDef] = Seq(
+
+    // Iceberg CURRENT-snapshot scan through the real metadata chain:
+    // version-hint → v2.metadata.json → snapshot 2's Avro manifest list →
+    // manifest entries (A existing, B added, C DELETED) → live parquet.
+    // The oracle reads exactly the live bytes {A, B}; a reader that
+    // ignored entry status would also return C and fail the row count.
+    QueryDef("x11_iceberg_scan", (s, d) => {
+      val tbl = buildIcebergFixture(s, d)
+      val ctx = new ExecutionContext(s)
+      ctx.runScript(
+        s"CREATE EXTERNAL TABLE x11_ice STORED AS ICEBERG LOCATION '$tbl'")
+      ctx.sql(
+        """SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          |  CAST(o_totalprice AS DOUBLE) AS o_totalprice
+          |FROM x11_ice ORDER BY o_orderkey""".stripMargin)
+    }, Some(s"""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM read_parquet(['$stage/ice_data_a/*.parquet',
+                         '$stage/ice_data_b/*.parquet'])
+      ORDER BY o_orderkey""")),
+
+    // Iceberg TIME TRAVEL: snapshotAsOf=1 replays snapshot 1's manifest —
+    // {A, C}, including the file the current snapshot deleted. The oracle
+    // reads those exact bytes, so the snapshot isolation itself is what's
+    // hash-checked (x03b's shape, second lakehouse format).
+    QueryDef("x11b_iceberg_time_travel", (s, d) => {
+      val tbl = buildIcebergFixture(s, d)
+      graft.sources.IcebergLog.read(s, tbl, snapshotAsOf = Some(1L))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice").cast("double")
+            .as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some(s"""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM read_parquet(['$stage/ice_data_a/*.parquet',
+                         '$stage/ice_data_c/*.parquet'])
+      ORDER BY o_orderkey""")),
 
     QueryDef("x01_csv_scan", (s, d) => {
       val dir = s"$stage/nation_csv"

@@ -404,6 +404,62 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("footer-count rule: scan eliminated for bare count(*), untouched otherwise") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    graft.plans.FooterCount.enable(spark)
+    val path = s"$sf0001/lineitem.parquet"
+    val bare = spark.read.parquet(path).agg(count(lit(1)).as("n"))
+    assert(bare.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      s"rule did not fire:\n${bare.queryExecution.optimizedPlan}")
+    // ground truth via a shape the rule must NOT touch (Filter above the
+    // relation): values agree, and that plan still scans
+    val filtered = spark.read.parquet(path)
+      .filter(col("l_quantity") >= 0).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      "rule must not fire through a Filter")
+    assert(bare.head.getLong(0) === filtered.head.getLong(0))
+    // non-count aggregates keep the scan
+    val other = spark.read.parquet(path)
+      .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("s"))
+    assert(!other.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      "rule must not fire next to non-count aggregates")
+    // non-parquet sources keep the scan
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-fc")
+      .resolve("fc_csv").toString
+    spark.range(10).write.mode("overwrite").option("header", "true").csv(csvDir)
+    val csv = spark.read.option("header", "true").csv(csvDir)
+      .agg(count(lit(1)).as("n"))
+    assert(!csv.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      "rule must not fire on csv")
+    assert(csv.head.getLong(0) === 10L)
+  }
+
+  test("epoch mix joins broadcast rates and explodes in-row (no corpus exchange)") {
+    // the only exchanges allowed are the 20-key per-source size aggregate;
+    // the corpus side must meet the rates via broadcast and fan out
+    // through a Generate (sequence explode), never a hash shuffle
+    val p = plan("smp08_epoch_mix")
+    assert(p.contains("BroadcastHashJoin"), s"rates not broadcast:\n$p")
+    assert(p.contains("Generate"), s"no in-row epoch explode:\n$p")
+  }
+
+  test("vocab coverage: histogram cut is a bounded top-k, vocab broadcasts back") {
+    val p = plan("t18_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocab cut is not a bounded top-k:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab not broadcast:\n$p")
+  }
+
+  test("containment pairs share d02's shape: hashed keys, no cartesian") {
+    val p = plan("d13_containment")
+    assert(!p.contains("CartesianProduct"), s"containment went all-pairs:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 not a bounded rank:\n$p")
+  }
+
   test("bucketed join reads bucket-to-bucket with no Exchange on either side") {
     graft.queries.SourceQueries.stageBucketedTables(spark, sf0001)
     // forbid broadcast so the merge path itself is what's asserted: a

@@ -347,6 +347,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup state survives a checkpointed restart (exactly-once)") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("graft-restart")
+    val src = s"$base/src"; val out = s"$base/out"; val cp = s"$base/cp"
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    def writeBatch(ids: Seq[Long], min: Int): Unit =
+      ids.map(i => (i, ts(min))).toDF("id", "ts")
+        .write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, ts TIMESTAMP").parquet(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    writeBatch(Seq(1L, 2L, 3L, 4L, 5L), 0)
+    runOnce() // first run commits batch 1 and its dedup state to cp
+    // the process "dies"; new files arrive, overlapping the old ones
+    writeBatch(Seq(4L, 5L, 6L, 7L, 8L), 1)
+    runOnce() // restart from the SAME checkpoint
+    val got = spark.read.parquet(out).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // exactly-once across the restart: 4 and 5 are dropped only if the
+    // dedup state (and source offsets) really recovered from cp
+    assert(got === (1L to 8L),
+      s"restart broke exactly-once: $got")
+  }
+
   test("per-window top-k ranks by count with name tie-break and cuts at k") {
     val s = spark
     import s.implicits._

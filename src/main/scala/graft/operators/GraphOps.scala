@@ -72,6 +72,70 @@ object GraphOps {
     pr
   }
 
+  /** Semi-supervised LABEL PROPAGATION over a directed edge list: seeds
+    * keep their label (clamped); each iteration, every still-unlabeled
+    * vertex takes the majority label among its labeled out-neighbors
+    * (ties to the smallest label), or stays unlabeled if none are labeled
+    * yet. The weak-labeling workhorse when a thin labeled set must cover
+    * a large corpus through its similarity structure — [[Similarity
+    * .knnClassify]]'s one-hop vote, iterated so labels REACH vertices
+    * with no labeled neighbor of their own. `origin` records how each
+    * vertex got its label (`seed` / `iter<i>`), the provenance a curation
+    * pipeline keeps for confidence tiers.
+    *
+    * Scale shape: per iteration ONE join of the (k·N-row) edge list with
+    * the labeled subset and one (vertex, label)-keyed count aggregate —
+    * integer votes, so the argmax is engine-exact and a SQL oracle
+    * replays every iteration. Label frames are checkpointed per pass to
+    * truncate iterative lineage, as [[pageRank]] does.
+    */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame, vertices: DataFrame,
+      iterations: Int = 2): DataFrame = {
+    require(iterations >= 1, "need at least one iteration")
+    import org.apache.spark.sql.expressions.Window
+    var labels = vertices.select(col("id")).distinct()
+      .join(seeds.select(col("id"), col("label").cast("long").as("lbl")),
+        Seq("id"), "left")
+      .select(col("id"), col("lbl"),
+        when(col("lbl").isNotNull, lit("seed")).as("origin"))
+      .localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    (1 to iterations).foreach { i =>
+      val votes = e
+        .join(labels.filter(col("lbl").isNotNull)
+          .select(col("id").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy(col("src"), col("nlbl"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("votes").desc, col("nlbl"))
+      val best = votes.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("src").as("id"), col("nlbl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("lbl"), col("nlbl")).as("lbl"),
+          coalesce(col("origin"),
+            when(col("nlbl").isNotNull, lit(s"iter$i"))).as("origin"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
+  /** Label propagation over the k-NN similarity graph: the composed form
+    * — knn edges + a seed predicate over the embeddings frame.
+    */
+  def knnLabelPropagate(emb: DataFrame, isSeed: org.apache.spark.sql.Column,
+      k: Int = 5, planes: Int = 64, bands: Int = 16, dim: Int = -1,
+      iterations: Int = 2): DataFrame = {
+    val edges = Similarity.knnGraph(emb, k, planes, bands, dim)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    val seeds = emb.filter(isSeed)
+      .select(col("vec_id").as("id"), col("label"))
+    labelPropagate(edges, seeds, emb.select(col("vec_id").as("id")),
+        iterations)
+      .select(col("id").as("vec_id"), col("lbl").as("label"), col("origin"))
+  }
+
   /** PageRank over the k-NN similarity graph of an embeddings frame — the
     * composed form a curation pipeline calls: LSH-bucketed k-NN edges
     * ([[Similarity.knnGraph]], never all-pairs) feed [[pageRank]], scoring

@@ -150,30 +150,41 @@ object Similarity {
       .select(col("qid"), col("a"), col("b"),
         round(cos(col("avec"), col("bvec")), 4).as("psim"))
       .localCheckpoint(true)
-    val w = Window.partitionBy(col("qid"))
-    def argmax(scored: DataFrame, by: Column): DataFrame =
-      scored.withColumn("__rn",
-          row_number().over(w.orderBy(by.desc, col("nid"))))
-        .filter(col("__rn") === 1).drop("__rn")
-    var selected = argmax(cand, col("rel"))
-      .select(col("qid"), col("nid"), lit(1L).as("rank"), col("rel"))
-    var remaining = cand.join(selected.select(col("qid"), col("nid")),
-      Seq("qid", "nid"), "left_anti")
-    (2 to k).foreach { step =>
-      val pen = pair
-        .join(selected.select(col("qid"), col("nid").as("a")), Seq("qid", "a"))
-        .groupBy(col("qid"), col("b").as("nid")).agg(max(col("psim")).as("pen"))
-      val scored = remaining.join(pen, Seq("qid", "nid"), "left")
-        .withColumn("__score", lit(lambda) * col("rel") -
-          lit(1.0 - lambda) * coalesce(col("pen"), lit(0.0)))
-      val pick = argmax(scored, col("__score"))
-        .select(col("qid"), col("nid"), lit(step.toLong).as("rank"), col("rel"))
-      selected = selected.union(pick).localCheckpoint(true)
-      remaining = remaining.join(pick.select(col("qid"), col("nid")),
-        Seq("qid", "nid"), "left_anti")
+    // The greedy loop itself runs on the DRIVER over the two k-bounded
+    // relations (queries×pool candidates, queries×pool² pairwise sims —
+    // thousands of rows by CONTRACT, like the kmeans centroids and the
+    // gated union-find): k unrolled join+window stages cost ~1 s of pure
+    // scheduling each at any scale, while the driver loop is microseconds
+    // over the same bounded data. Arithmetic is identical (4dp doubles,
+    // λ·rel − (1−λ)·maxPsim, nid ties), so the SQL oracle still replays
+    // the selection exactly.
+    val mu = 1.0 - lambda
+    val candRows = cand.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val psim = pair.collect()
+      .map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)), r.getDouble(3)))
+      .toMap
+    val out = candRows.groupBy(_._1).toSeq.flatMap { case (qid, cands) =>
+      val pool = cands.map(c => c._2 -> c._3)
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (selected.size < k && selected.size < pool.size) {
+        val taken = selected.map(_._1).toSet
+        val best = pool.filterNot(c => taken(c._1)).minBy { case (nid, rel) =>
+          val pen =
+            if (taken.isEmpty) 0.0
+            else taken.map(s => psim.getOrElse((qid, s, nid), 0.0)).max
+          val score = if (taken.isEmpty) rel else lambda * rel - mu * pen
+          (-score, nid)
+        }
+        selected += best
+      }
+      selected.zipWithIndex.map { case ((nid, rel), i) =>
+        (qid, nid, (i + 1).toLong, rel)
+      }
     }
-    selected.select(col("qid"), col("nid"), col("rank"),
-      col("rel").as("cos_sim"))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    out.toDF("qid", "nid", "rank", "cos_sim")
   }
 
   /** Recall@k of an approximate top-k result against the exact one — the

@@ -1026,6 +1026,47 @@ object Analytics {
       ORDER BY user_id, session_start""")),
 
     // ------------------------------------------------------------------
+    // Streaming → DELTA sink: every micro-batch lands as ONE atomic Delta
+    // commit (foreachBatch ∘ DeltaWrite.append) — the lakehouse ingestion
+    // loop where readers always see whole batches, never torn files. Four
+    // input files at maxFilesPerTrigger=1 force ≥2 real commits (require'd)
+    // and the log-replayed table must reproduce the source exactly.
+    QueryDef("e19_stream_delta_sink", (s, d) => {
+      import org.apache.hadoop.fs.Path
+      val conf = s.sparkContext.hadoopConfiguration
+      val inDir = s"${SourceQueries.stage}/events_delta_in"
+      val tbl = s"${SourceQueries.stage}/delta_events_sink"
+      val fsys = new Path(tbl).getFileSystem(conf)
+      fsys.delete(new Path(inDir), true)
+      fsys.delete(new Path(tbl), true)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(4).write.parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          graft.sources.DeltaWrite.append(batch, tbl)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val commits = Option(new java.io.File(tbl, "_delta_log").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".json"))
+      require(commits >= 2, s"expected one commit per micro-batch, got $commits")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        CAST(user_id AS BIGINT) AS user_id, event_type, value
+      FROM events ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // Streaming ingestion dedup: documents arrive as doc_id-ordered slices
     // (one file per micro-batch, arrival order enforced via file mtimes),
     // and every micro-batch runs the incremental dedup against the

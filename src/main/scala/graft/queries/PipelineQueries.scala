@@ -177,6 +177,24 @@ object PipelineQueries {
     * independent), then the teleport + damped update. Composes after the
     * `verts`/`nv`/`edges`/`odeg`/`pr0` CTEs in the a12 oracle.
     */
+  /** One label-propagation iteration: labeled-neighbor votes over the knn
+    * edges, per-vertex integer argmax (ties to smallest label), COALESCE
+    * clamp of already-labeled vertices — `lb${i-1}` → `lb$i`.
+    */
+  private def labelPropIterSql(i: Int): String = {
+    val prev = s"lb${i - 1}"
+    s"""votes$i AS (SELECT e.src, l.lbl AS nlbl, COUNT(*) AS votes
+       |  FROM edges e JOIN $prev l ON l.id = e.dst AND l.lbl IS NOT NULL
+       |  GROUP BY e.src, l.lbl),
+       |best$i AS (SELECT src AS id, nlbl FROM (
+       |    SELECT src, nlbl, ROW_NUMBER() OVER (PARTITION BY src
+       |      ORDER BY votes DESC, nlbl) AS rn FROM votes$i) t WHERE rn = 1),
+       |lb$i AS (SELECT l.id, COALESCE(l.lbl, b.nlbl) AS lbl,
+       |    COALESCE(l.origin,
+       |      CASE WHEN b.nlbl IS NOT NULL THEN 'iter$i' END) AS origin
+       |  FROM $prev l LEFT JOIN best$i b ON b.id = l.id)""".stripMargin
+  }
+
   private def pageRankIterSql(i: Int): String =
     s"""d$i AS (SELECT COALESCE(CAST(SUM(CAST(p.pr AS DECIMAL(38,18)))
       |            AS DOUBLE), 0.0) AS dm
@@ -1452,6 +1470,28 @@ object PipelineQueries {
       SELECT CAST(id AS BIGINT) AS vec_id, ROUND(pr, 9) AS pagerank
       FROM pr3 ORDER BY vec_id""")),
 
+    // a17: semi-supervised LABEL PROPAGATION over the knn graph — a thin
+    // seed set (every 5th vector keeps its label) spreads through
+    // similarity structure with clamped seeds, integer majority votes and
+    // smallest-label ties; `origin` records the provenance tier. The
+    // oracle replays a08's knn chain then both iterations.
+    QueryDef("a17_label_prop", (s, d) =>
+      GraphOps.knnLabelPropagate(Tables.load(s, d, "embeddings"),
+          col("vec_id") % 5 === 0, k = 5, dim = 64)
+        .orderBy(col("vec_id")),
+      Some(s"""
+      WITH $ED,
+      $KNN_RANKED,
+      edges AS (SELECT qid AS src, nid AS dst FROM ranked WHERE rank <= 5),
+      lb0 AS (SELECT vec_id AS id,
+                CASE WHEN vec_id % 5 = 0 THEN CAST(label AS BIGINT) END AS lbl,
+                CASE WHEN vec_id % 5 = 0 THEN 'seed' END AS origin
+              FROM embeddings),
+      ${labelPropIterSql(1)},
+      ${labelPropIterSql(2)}
+      SELECT id AS vec_id, lbl AS label, origin FROM lb2
+      ORDER BY vec_id""")),
+
     // a07: PRE-filtered IVF search (tombstones/ACLs/metadata constraints) —
     // the predicate rides inside the pruned cell join, so excluded vectors
     // are never scored and top-k fills from eligible vectors only (a
@@ -1600,7 +1640,7 @@ object PipelineQueries {
           ELSE 0.0 END AS contamination_frac,
         COALESCE(p.n_contaminated, 0) > 0 AS contaminated
       FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
-      ORDER BY d.doc_id""")),
+      ORDER BY d.doc_id"""), headline = true),
 
     // sequence packing: greedy token-budget fill per shard (training-batch
     // construction); shard-local running sums keep it embarrassingly
@@ -2610,7 +2650,7 @@ object PipelineQueries {
       SELECT doc_id, CAST(yu / 1000000 AS BIGINT) AS label,
         CAST(pu AS DOUBLE) / 1000000 AS score,
         pu >= 500000 AS predicted
-      FROM p3 ORDER BY doc_id""")),
+      FROM p3 ORDER BY doc_id"""), headline = true),
 
     // c06: preference-PAIR construction (the DPO/RLHF data shape): within
     // each source, the trained classifier's best-scoring doc becomes

@@ -100,6 +100,84 @@ object SourceQueries {
                          '$stage/ice_data_c/*.parquet'])
       ORDER BY o_orderkey""")),
 
+    // Delta WRITE path round-trip: two append commits land orders slices
+    // as a real Delta table (data files + versioned JSON commits), read
+    // back through the log replay. The oracle reads every parquet file in
+    // the table root — equal only if the commits published exactly the
+    // written files and the reader replays exactly the commits.
+    QueryDef("x14_delta_write", (s, d) => {
+      val tbl = s"$stage/delta_written"
+      // fresh table per run (appends accumulate otherwise)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 1), tbl)
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some(s"""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM read_parquet('$stage/delta_written/*.parquet')
+      ORDER BY o_orderkey""")),
+
+    // Schema EVOLUTION across parquet files (the long-lived-table reality:
+    // a column added mid-stream): one file written before `o_prio_len`
+    // existed, one after, read together with mergeSchema — old rows
+    // surface NULL for the new column. The oracle reads the same two
+    // files with union_by_name, so the merged schema semantics themselves
+    // are hash-checked.
+    QueryDef("x12_schema_evolution", (s, d) => {
+      val dir = s"$stage/orders_evolved"
+      val o = Tables.load(s, d, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite").parquet(s"$dir/gen=old")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          length(col("o_orderpriority")).cast("long").as("o_prio_len"))
+        .write.mode("overwrite").parquet(s"$dir/gen=new")
+      s.read.option("mergeSchema", "true").parquet(dir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_prio_len"))
+        .orderBy(col("o_orderkey"))
+    }, Some(s"""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        o_prio_len
+      FROM read_parquet(['$stage/orders_evolved/gen=old/*.parquet',
+                         '$stage/orders_evolved/gen=new/*.parquet'],
+                        union_by_name = true)
+      ORDER BY o_orderkey""")),
+
+    // NESTED struct scan with field-level pruning: events rewritten with a
+    // (event_type, value) struct column, then only ONE leaf selected —
+    // ScaleSpec pins that the scan's ReadSchema carries just that leaf
+    // (nested schema pruning), the columnar win for deeply-structured
+    // 100 TB telemetry. The oracle reads the same nested bytes with
+    // DuckDB's struct dot access.
+    QueryDef("x13_nested_prune", (s, d) => {
+      val dir = s"$stage/events_nested"
+      Tables.load(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          struct(col("event_type"), col("value")).as("meta"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("meta.event_type").as("event_type"))
+        .orderBy(col("event_id"))
+    }, Some(s"""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        meta.event_type AS event_type
+      FROM read_parquet('$stage/events_nested/*.parquet')
+      ORDER BY event_id""")),
+
     QueryDef("x01_csv_scan", (s, d) => {
       val dir = s"$stage/nation_csv"
       Tables.load(s, d, "nation")

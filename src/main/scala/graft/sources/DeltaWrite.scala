@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+/** Minimal Delta Lake WRITE path — append and overwrite commits compatible
+  * with [[DeltaLog]]'s reader (and any Delta reader at protocol
+  * minReaderVersion 1): data files written by Spark's distributed parquet
+  * writer, then published by ONE versioned JSON commit in `_delta_log`.
+  * Completes the lakehouse story the read path started: a pipeline can now
+  * land its output AS a Delta table and time-travel its own history.
+  *
+  * Commit protocol correctness (the part that matters at scale):
+  *  - data files land under uuid names in the table root BEFORE the
+  *    commit exists — readers can't see them until the JSON publishes
+  *    them, so a crashed writer leaves garbage files, never a torn table;
+  *  - the commit file is staged then published to `NNNN…N.json` by an
+  *    atomic link(2) that FAILS if the version exists — optimistic
+  *    concurrency exactly like real Delta (loser retries at the next
+  *    version), spec-pinned; POSIX rename would silently replace;
+  *  - version 0 carries `protocol` (minReader 1 / minWriter 2) and
+  *    `metaData` (schemaString, no partition columns) so stock readers
+  *    accept the table.
+  */
+object DeltaWrite {
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def versionOf(f: File): Long = f.getName.stripSuffix(".json").toLong
+
+  private def commitFiles(logDir: File): Array[File] =
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("""\d{20}\.json"""))
+
+  /** Write `df`'s rows as parquet under the table root (staged then moved
+    * to uuid names), returning the published-in-root file names.
+    */
+  private def stageDataFiles(df: DataFrame, root: File): Seq[File] = {
+    val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
+    df.write.parquet(staging.getPath)
+    val parts = Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val moved = parts.map { f =>
+      val dst = new File(root, s"part-${java.util.UUID.randomUUID}.parquet")
+      Files.move(f.toPath, dst.toPath)
+      dst
+    }.toSeq
+    Option(staging.listFiles()).getOrElse(Array.empty)
+      .foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(staging.toPath)
+    require(moved.nonEmpty, s"no data files produced for ${root.getPath}")
+    moved
+  }
+
+  /** Publish `actions` as commit `version`, atomically. Throws
+    * IllegalStateException if that version was committed concurrently.
+    */
+  private[graft] def publish(logDir: File, version: Long,
+      actions: Seq[String]): Unit = {
+    val tmp = new File(logDir, s".tmp-${java.util.UUID.randomUUID}.json")
+    Files.write(tmp.toPath, actions.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val target = new File(logDir, f"$version%020d.json")
+    // ATOMIC claim of the version: link(2) fails with EEXIST if the target
+    // exists — unlike rename(2), which POSIX makes silently REPLACE it (a
+    // plain ATOMIC_MOVE here would let two writers both "win" version N
+    // and one commit vanish; the spec pins this refusal)
+    try Files.createLink(target.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp.toPath)
+        throw new IllegalStateException(
+          s"concurrent Delta commit: version $version already exists in " +
+            s"$logDir — retry at the next version")
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  private def headerActions(df: DataFrame): Seq[String] = Seq(
+    """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+    s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
+      """"format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${jsonEscape(df.schema.json)}",""" +
+      """"partitionColumns":[],"configuration":{}}}""")
+
+  private def addAction(f: File): String =
+    s"""{"add":{"path":"${jsonEscape(f.getName)}","partitionValues":{},""" +
+      s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+      """"dataChange":true}}"""
+
+  /** APPEND `df` as one atomic commit; returns the committed version. */
+  def append(df: DataFrame, tablePath: String): Long = {
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    logDir.mkdirs()
+    val files = stageDataFiles(df, root)
+    val existing = commitFiles(logDir)
+    val version = if (existing.isEmpty) 0L else existing.map(versionOf).max + 1
+    val header = if (version == 0L) headerActions(df) else Seq.empty
+    publish(logDir, version, header ++ files.map(addAction) :+
+      """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
+    version
+  }
+
+  /** OVERWRITE: one commit that removes every currently-live file and adds
+    * the new ones — readers see the old or the new snapshot, never a mix.
+    */
+  def overwrite(df: DataFrame, tablePath: String): Long = {
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    logDir.mkdirs()
+    val spark = df.sparkSession
+    val prior =
+      if (commitFiles(logDir).isEmpty) Seq.empty
+      else DeltaLog.liveAdds(spark, tablePath).map(_.path)
+    val files = stageDataFiles(df, root)
+    val existing = commitFiles(logDir)
+    val version = if (existing.isEmpty) 0L else existing.map(versionOf).max + 1
+    val header = if (version == 0L) headerActions(df) else Seq.empty
+    val rootPath = root.getAbsolutePath
+    val removes = prior.map { p =>
+      // remove paths must byte-match the recorded add paths, which are
+      // table-root-relative; liveAdds resolved them absolute
+      val rel =
+        if (p.startsWith(rootPath))
+          p.substring(rootPath.length).stripPrefix("/")
+        else p
+      s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":true}}"""
+    }
+    publish(logDir, version, header ++ removes ++ files.map(addAction) :+
+      """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}""")
+    version
+  }
+}

@@ -39,6 +39,28 @@ class GraphFuzzySpec extends SparkSpec {
       s"rank mass not conserved: $total")
   }
 
+  test("label propagation: reach grows per iteration, seeds clamp, ties to smallest") {
+    val s = spark
+    import s.implicits._
+    // chain 2→1, 3→2 (labels reach 3 only at iter2); 10 votes on {A=5,B=7}
+    // neighbors with one vote each (tie → smaller label); seed 20 has a
+    // differently-labeled neighbor but must keep its own label
+    val edges = Seq((2L, 1L), (3L, 2L), (10L, 5L), (10L, 7L), (20L, 1L))
+      .toDF("src", "dst")
+    val seeds = Seq((1L, 3), (5L, 8), (7L, 9), (20L, 6)).toDF("id", "label")
+    val verts = (Seq(1L, 2L, 3L, 5L, 7L, 10L, 20L, 99L)).toDF("id")
+    val out = GraphOps.labelPropagate(edges, seeds, verts, iterations = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.getString(2))))).toMap
+    assert(out(1L) === ((Some(3L), Some("seed"))))
+    assert(out(2L) === ((Some(3L), Some("iter1"))))
+    assert(out(3L) === ((Some(3L), Some("iter2")))) // two hops from the seed
+    assert(out(10L) === ((Some(8L), Some("iter1")))) // tie 8 vs 9 → smaller
+    assert(out(20L) === ((Some(6L), Some("seed")))) // clamped, not overwritten
+    assert(out(99L) === ((None, None))) // disconnected: honestly unlabeled
+  }
+
   test("editDistancePairs: length-banded blocking is exact vs brute force") {
     val s = spark
     import s.implicits._

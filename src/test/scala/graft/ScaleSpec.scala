@@ -404,6 +404,14 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("nested field selection prunes the scan to the single struct leaf") {
+    val p = plan("x13_nested_prune")
+    assert(p.contains("meta:struct<event_type:string>"),
+      s"nested schema not pruned to the selected leaf:\n$p")
+    assert(!p.contains("value:double"),
+      s"unselected struct leaf still read:\n$p")
+  }
+
   test("footer-count rule: scan eliminated for bare count(*), untouched otherwise") {
     import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
     graft.plans.FooterCount.enable(spark)

@@ -646,6 +646,35 @@ class SourcesSpec extends SparkSpec {
       s"no y-dimension skipping: z-order read $zRead of 1-D's $oneD")
   }
 
+  test("Delta write path: append commits, overwrite snapshot, atomic versions") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_write"
+    def ids(versionAsOf: Option[Long] = None): Seq[Long] =
+      DeltaLog.read(spark, tbl, versionAsOf).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl) === 0L)
+    assert(DeltaWrite.append(Seq((3L, "c")).toDF("id", "v"), tbl) === 1L)
+    assert(ids() === Seq(1L, 2L, 3L))
+    assert(ids(Some(0L)) === Seq(1L, 2L)) // our own history time-travels
+    // overwrite: old-or-new snapshots, never a mix; history intact
+    assert(DeltaWrite.overwrite(Seq((9L, "z")).toDF("id", "v"), tbl) === 2L)
+    assert(ids() === Seq(9L))
+    assert(ids(Some(1L)) === Seq(1L, 2L, 3L))
+    // optimistic concurrency: publishing an already-taken version refuses
+    val logDir = new java.io.File(tbl, "_delta_log")
+    val e = intercept[IllegalStateException] {
+      DeltaWrite.publish(logDir, 2L, Seq("""{"commitInfo":{}}"""))
+    }
+    assert(e.getMessage.contains("concurrent"))
+    // interop: the written table registers through the standard DDL
+    val ctx = new graft.exec.ExecutionContext(spark)
+    ctx.runScript(
+      s"CREATE EXTERNAL TABLE dwt_spec STORED AS DELTATABLE LOCATION '$tbl'")
+    assert(ctx.sql("SELECT COUNT(*) AS n FROM dwt_spec").head.getLong(0) === 1L)
+  }
+
   test("Iceberg snapshot chain: status filtering, time travel, loud refusals") {
     import graft.sources.IcebergLog
     import graft.sources.IcebergLog.FixtureEntry

@@ -143,7 +143,7 @@ object Soak {
       "cnt03_bloom_decontaminate" -> 1.63, "d13_containment" -> 2.13,
       "c05_quality_classifier" -> 1.44, "smp08_epoch_mix" -> 0.62,
       "t18_vocab_coverage" -> 0.69, "t19_readability" -> 0.62,
-      "m07_mp4_headers" -> 0.32, "a13_mmr" -> 4.83,
+      "m07_mp4_headers" -> 0.32, "a13_mmr" -> 1.04,
       "f06_hll_sketches" -> 0.41)
 
     val queries = Seq(

@@ -100,6 +100,33 @@ object SourceQueries {
                          '$stage/ice_data_c/*.parquet'])
       ORDER BY o_orderkey""")),
 
+    // Iceberg WRITE path round-trip: two append snapshots (new data files
+    // + EXISTING/ADDED manifest + next metadata version, prior history
+    // preserved), read back through the full metadata chain. Oracle reads
+    // every parquet file under data/ — equal only if manifests published
+    // exactly the written files.
+    QueryDef("x15_iceberg_write", (s, d) => {
+      val tbl = s"$stage/ice_written"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 2 === 1), tbl)
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some(s"""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM read_parquet('$stage/ice_written/data/*.parquet')
+      ORDER BY o_orderkey""")),
+
     // Delta WRITE path round-trip: two append commits land orders slices
     // as a real Delta table (data files + versioned JSON commits), read
     // back through the log replay. The oracle reads every parquet file in

@@ -183,6 +183,60 @@ object IcebergLog {
   final case class FixtureEntry(status: Int, filePath: String,
       recordCount: Long, content: Int = 0)
 
+  /** Write one snapshot's manifest + manifest list into `metaDir`; returns
+    * the metadata.json snapshot entry.
+    */
+  private def writeSnapshot(metaDir: File, sid: Long,
+      entries: Seq[FixtureEntry]): String = {
+    val manifest = new File(metaDir, s"m-$sid.avro")
+    writeAvro(manifest, manifestEntrySchema, entries.map { e =>
+      val df = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      df.put("content", e.content)
+      df.put("file_path", e.filePath)
+      df.put("file_format", "PARQUET")
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", 0L)
+      val r = new GenericData.Record(manifestEntrySchema)
+      r.put("status", e.status)
+      r.put("snapshot_id", sid)
+      r.put("data_file", df)
+      r
+    })
+    val list = new File(metaDir, s"snap-$sid.avro")
+    val mf = new GenericData.Record(manifestFileSchema)
+    mf.put("manifest_path", s"metadata/m-$sid.avro")
+    mf.put("manifest_length", manifest.length())
+    mf.put("partition_spec_id", 0)
+    mf.put("added_snapshot_id", sid)
+    writeAvro(list, manifestFileSchema, Seq(mf))
+    s"""{"snapshot-id":$sid,"manifest-list":"metadata/snap-$sid.avro"}"""
+  }
+
+  private def writeMetadataVersion(metaDir: File, tablePath: String,
+      version: Long, currentSid: Long, snapJsons: Seq[String]): Unit = {
+    val target = new File(metaDir, s"v$version.metadata.json")
+    val body =
+      s"""{"format-version":2,"table-uuid":"graft-table",
+         |"location":"$tablePath","current-snapshot-id":$currentSid,
+         |"snapshots":[${snapJsons.mkString(",")}]}""".stripMargin
+    // optimistic concurrency on the metadata version: CREATE_NEW is an
+    // atomic O_EXCL claim — a concurrent committer of the same version
+    // loses loudly (the Hadoop-catalog commit rule)
+    try Files.write(target.toPath,
+      body.getBytes(StandardCharsets.UTF_8),
+      java.nio.file.StandardOpenOption.CREATE_NEW)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent Iceberg commit: metadata version $version already " +
+            s"exists in $metaDir — retry at the next version")
+    }
+    Files.writeString(new File(metaDir, "version-hint.text").toPath,
+      version.toString)
+    ()
+  }
+
   /** Write a manifest + its manifest-list + a metadata.json snapshot chain.
     * `snapshots` maps snapshot-id → entries; the LAST becomes current.
     * Returns the table path.
@@ -192,37 +246,56 @@ object IcebergLog {
     val metaDir = new File(tablePath, "metadata")
     metaDir.mkdirs()
     val snapJsons = snapshots.map { case (sid, entries) =>
-      val manifest = new File(metaDir, s"m-$sid.avro")
-      writeAvro(manifest, manifestEntrySchema, entries.map { e =>
-        val df = new GenericData.Record(
-          manifestEntrySchema.getField("data_file").schema())
-        df.put("content", e.content)
-        df.put("file_path", e.filePath)
-        df.put("file_format", "PARQUET")
-        df.put("record_count", e.recordCount)
-        df.put("file_size_in_bytes", 0L)
-        val r = new GenericData.Record(manifestEntrySchema)
-        r.put("status", e.status)
-        r.put("snapshot_id", sid)
-        r.put("data_file", df)
-        r
-      })
-      val list = new File(metaDir, s"snap-$sid.avro")
-      val mf = new GenericData.Record(manifestFileSchema)
-      mf.put("manifest_path", s"metadata/m-$sid.avro")
-      mf.put("manifest_length", manifest.length())
-      mf.put("partition_spec_id", 0)
-      mf.put("added_snapshot_id", sid)
-      writeAvro(list, manifestFileSchema, Seq(mf))
-      s"""{"snapshot-id":$sid,"manifest-list":"metadata/snap-$sid.avro"}"""
+      writeSnapshot(metaDir, sid, entries)
     }
-    val current = snapshots.last._1
-    val v = snapshots.size
-    Files.writeString(new File(metaDir, s"v$v.metadata.json").toPath,
-      s"""{"format-version":2,"table-uuid":"graft-fixture",
-         |"location":"$tablePath","current-snapshot-id":$current,
-         |"snapshots":[${snapJsons.mkString(",")}]}""".stripMargin)
-    Files.writeString(new File(metaDir, "version-hint.text").toPath, v.toString)
+    new File(metaDir, s"v${snapshots.size}.metadata.json").delete()
+    writeMetadataVersion(metaDir, tablePath, snapshots.size.toLong,
+      snapshots.last._1, snapJsons)
     tablePath
+  }
+
+  /** APPEND `df` as a new Iceberg snapshot: new data files under `data/`,
+    * one manifest carrying the prior live files as EXISTING plus the new
+    * ones as ADDED, a new manifest list, and the next metadata version
+    * (prior snapshots preserved, so the table's own history time-travels).
+    * Returns the committed snapshot id. Same durability order as
+    * [[DeltaWrite]]: data files first, metadata last, version claimed
+    * atomically.
+    */
+  def append(df: DataFrame, tablePath: String): Long = {
+    val root = new File(tablePath)
+    val metaDir = new File(root, "metadata")
+    val dataDir = new File(root, "data")
+    metaDir.mkdirs()
+    dataDir.mkdirs()
+    val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
+    df.write.parquet(staging.getPath)
+    val moved = Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map { f =>
+        val dst = new File(dataDir, s"${java.util.UUID.randomUUID}.parquet")
+        Files.move(f.toPath, dst.toPath)
+        dst
+      }.toSeq
+    Option(staging.listFiles()).getOrElse(Array.empty)
+      .foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(staging.toPath)
+    require(moved.nonEmpty, s"no data files produced for $tablePath")
+    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+    val (priorSnaps, priorLive, version) =
+      if (hasMeta) {
+        val mf = currentMetadataFile(tablePath)
+        val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+        (parseMeta(mf).snapshots, liveFiles(tablePath), v + 1)
+      } else (Seq.empty[Snapshot], Seq.empty[String], 1L)
+    val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
+    val entries = priorLive.map(p => FixtureEntry(0, p, 0)) ++
+      moved.map(f => FixtureEntry(1, f.getPath, 0))
+    val snapJson = writeSnapshot(metaDir, sid, entries)
+    val priorJsons = priorSnaps.map(s =>
+      s"""{"snapshot-id":${s.snapshotId},"manifest-list":"${s.manifestList}"}""")
+    writeMetadataVersion(metaDir, tablePath, version, sid,
+      priorJsons :+ snapJson)
+    sid
   }
 }

@@ -89,6 +89,43 @@ class PropertySpec extends SparkSpec {
     assert(graft.server.HttpServer.extractSql("SELECT 1 AS x") === "SELECT 1 AS x")
   }
 
+  test("mp4 box walk never throws on arbitrary bytes (incl. adversarial prefixes)") {
+    import graft.operators.Multimodal
+    val junk: Gen[Array[Byte]] = for {
+      n <- Gen.choose(0, 512)
+      bs <- Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue))
+    } yield bs.toArray
+    forSamples(junk, 200) { b =>
+      val h = Multimodal.parseMp4(0L, b) // must degrade, never throw
+      assert(h.doc_id === 0L)
+    }
+    // adversarial: a VALID container prefix spliced with junk tails
+    val valid = Multimodal.makeMp4("isom", 600, 1200, 320, 240)
+    forSamples(Gen.choose(1, valid.length - 1), 60) { cut =>
+      Multimodal.parseMp4(1L, valid.take(cut))
+      Multimodal.parseMp4(2L, valid.take(cut) ++ Array[Byte](0x7f, 0, 0, 1))
+    }
+  }
+
+  test("morton interleave is injective over the rank grid (order-embedding per dim)") {
+    import org.apache.spark.sql.functions.col
+    val s2 = spark
+    import s2.implicits._
+    // full 5-bit × 5-bit grid: 1024 points, all z codes must be distinct,
+    // and fixing one dim makes z strictly monotone in the other
+    val grid = for (x <- 0L until 32L; y <- 0L until 32L) yield (x, y)
+    val z = grid.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.operators.Compaction.mortonInterleave(
+          Seq(col("x"), col("y")), bits = 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z.values.toSet.size === grid.size, "z codes must be distinct")
+    (0L until 32L).foreach { x =>
+      val along = (0L until 32L).map(y => z((x, y)))
+      assert(along === along.sorted, s"z not monotone in y at x=$x")
+    }
+  }
+
   test("native cosine equals composable cosine on random vectors") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -646,6 +646,28 @@ class SourcesSpec extends SparkSpec {
       s"no y-dimension skipping: z-order read $zRead of 1-D's $oneD")
   }
 
+  test("Iceberg write path: append snapshots, history preserved, atomic versions") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_write"
+    val sid1 = IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    val sid2 = IcebergLog.append(Seq((3L, "c")).toDF("id", "v"), tbl)
+    assert(sid1 === 1L && sid2 === 2L)
+    def ids(asOf: Option[Long] = None): Seq[Long] =
+      IcebergLog.read(spark, tbl, asOf).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() === Seq(1L, 2L, 3L))
+    assert(ids(Some(sid1)) === Seq(1L, 2L)) // own history time-travels
+    // optimistic concurrency: claim the next metadata version first
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$tbl/metadata", "v3.metadata.json").toPath, "{}")
+    val e = intercept[IllegalStateException] {
+      IcebergLog.append(Seq((9L, "z")).toDF("id", "v"), tbl)
+    }
+    assert(e.getMessage.contains("concurrent"))
+  }
+
   test("Delta write path: append commits, overwrite snapshot, atomic versions") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -144,7 +144,8 @@ object Soak {
       "c05_quality_classifier" -> 1.44, "smp08_epoch_mix" -> 0.62,
       "t18_vocab_coverage" -> 0.69, "t19_readability" -> 0.62,
       "m07_mp4_headers" -> 0.32, "a13_mmr" -> 1.04,
-      "f06_hll_sketches" -> 0.41)
+      "f06_hll_sketches" -> 0.41,
+      "d13b_containment_capped" -> 1.10, "c07_corpus_report" -> 0.81)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -167,7 +168,8 @@ object Soak {
       "smp07_weighted_sample",
       "cnt03_bloom_decontaminate", "d13_containment",
       "c05_quality_classifier", "smp08_epoch_mix", "t18_vocab_coverage",
-      "t19_readability", "m07_mp4_headers", "a13_mmr", "f06_hll_sketches")
+      "t19_readability", "m07_mp4_headers", "a13_mmr", "f06_hll_sketches",
+      "d13b_containment_capped", "c07_corpus_report")
 
     var total = 0.0
     queries.foreach { name =>

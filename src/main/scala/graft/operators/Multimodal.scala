@@ -423,6 +423,59 @@ object Multimodal {
       }).toDF("doc_id", "blob")
   }
 
+  final case class ResizedImage(doc_id: Long, src_w: Long, src_h: Long,
+      out_w: Long, out_h: Long, pixels: String)
+
+  /** REAL nearest-neighbor image RESIZE over decoded pixels: the
+    * normalize-to-model-input step of a multimodal pipeline (every vision
+    * encoder eats fixed dims). Source pixel (⌊i·w/W⌋, ⌊j·h/H⌋) for output
+    * (i, j) — integer floor arithmetic, so the resample is engine-exact
+    * and an oracle can predict every output pixel analytically from the
+    * generator. `pixels` is the row-major `r:g:b` stream (digest it for
+    * compact comparison); undecodable blobs degrade to an empty stream,
+    * the [[decodeImage]] contract.
+    */
+  def decodeResize(docId: Long, bytes: Array[Byte], outW: Int,
+      outH: Int): ResizedImage = {
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      require(img != null, "no decoder matched")
+      val w = img.getWidth
+      val h = img.getHeight
+      val sb = new StringBuilder
+      var j = 0
+      while (j < outH) {
+        var i = 0
+        while (i < outW) {
+          val rgb = img.getRGB(i * w / outW, j * h / outH)
+          if (sb.nonEmpty) sb.append(';')
+          sb.append((rgb >> 16) & 0xff).append(':')
+            .append((rgb >> 8) & 0xff).append(':').append(rgb & 0xff)
+          i += 1
+        }
+        j += 1
+      }
+      ResizedImage(docId, w.toLong, h.toLong, outW.toLong, outH.toLong,
+        sb.toString)
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        ResizedImage(docId, 0L, 0L, outW.toLong, outH.toLong, "")
+    }
+  }
+
+  /** Resize a (doc_id, blob) frame — same narrow per-partition decode seam
+    * as [[decodeImageFeatures]].
+    */
+  def imageResize(spark: SparkSession, media: DataFrame, outW: Int = 16,
+      outH: Int = 12): Dataset[ResizedImage] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("blob").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => decodeResize(id, b, outW, outH) })
+  }
+
   /** Documents-as-animated-GIFs with 1 + id%8 true frames each. */
   def documentsAsGifs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._

@@ -859,6 +859,34 @@ object PipelineQueries {
       JOIN sizes sb ON sb.doc_id = p.b
       ORDER BY max_cont DESC, a, b LIMIT 100""")),
 
+    // d13b: containment under the d02b hot-shingle cap — the production
+    // path (the sf1 soak shows uncapped containment is quadratic-output
+    // like d02, by construction; the cap makes it flat, as d02b proves).
+    // Sizes still count capped shingles, so containment stays a lower
+    // bound — replayed.
+    QueryDef("d13b_containment_capped", (s, d) =>
+      Dedup.containmentPairs(Tables.load(s, d, "documents"), maxDocFreq = 5)
+        .orderBy(col("max_cont").desc, col("a"), col("b")).limit(100),
+      Some(s"""
+      WITH $SHD,
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      hot AS (SELECT shingle FROM shd GROUP BY shingle HAVING COUNT(*) > 5),
+      shj AS (SELECT doc_id, shingle FROM shd
+              WHERE shingle NOT IN (SELECT shingle FROM hot)),
+      pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS inter
+                FROM shj x JOIN shj y
+                  ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY x.doc_id, y.doc_id)
+      SELECT p.a, p.b,
+        CAST(p.inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS cont_a_in_b,
+        CAST(p.inter AS DOUBLE) / CAST(sb.n AS DOUBLE) AS cont_b_in_a,
+        GREATEST(CAST(p.inter AS DOUBLE) / CAST(sa.n AS DOUBLE),
+                 CAST(p.inter AS DOUBLE) / CAST(sb.n AS DOUBLE)) AS max_cont
+      FROM pairs p
+      JOIN sizes sa ON sa.doc_id = p.a
+      JOIN sizes sb ON sb.doc_id = p.b
+      ORDER BY max_cont DESC, a, b LIMIT 100""")),
+
     // d09: per-POSITION duplicated-span stats (Lee et al.'s ExactSubstr at
     // n-gram granularity) — the per-span complement to d02's per-pair
     // Jaccard. Spark joins on 8-byte positional shingle keys; the oracle
@@ -2063,6 +2091,41 @@ object PipelineQueries {
         CAST(6 AS BIGINT) AS n_boxes
       FROM documents ORDER BY doc_id""")),
 
+    // m08: REAL nearest-neighbor RESIZE over decoded pixels (the
+    // normalize-to-model-input step): genuine PNG/BMP containers decode
+    // through ImageIO, resample to 16×12 with integer floor arithmetic,
+    // and the oracle predicts EVERY output pixel analytically from the
+    // gradient generator (R = base + ⌊i·w/16⌋, G/B constant) — the digest
+    // matches only if decode AND resample are both faithful.
+    QueryDef("m08_image_resize", (s, d) =>
+      Multimodal.imageResize(s,
+          Multimodal.documentsAsImages(s, Tables.load(s, d, "documents")),
+          outW = 16, outH = 12)
+        .toDF()
+        .select(col("doc_id"), col("src_w"), col("src_h"), col("out_w"),
+          col("out_h"), md5(col("pixels")).as("pixel_digest"))
+        .orderBy(col("doc_id")),
+      Some("""
+      WITH g AS (SELECT doc_id,
+          8 + doc_id % 24 AS w, 8 + (doc_id * 3) % 24 AS h,
+          doc_id % 200 AS base, (doc_id * 7) % 256 AS gg,
+          (doc_id * 13) % 256 AS bb
+        FROM documents),
+      px AS (SELECT g.doc_id, jj.j, ii.i,
+               g.base + (ii.i * g.w) // 16 AS r, g.gg, g.bb
+             FROM g,
+               (SELECT unnest(range(0, 16)) AS i) ii,
+               (SELECT unnest(range(0, 12)) AS j) jj),
+      ds AS (SELECT doc_id,
+               md5(string_agg(r || ':' || gg || ':' || bb, ';'
+                 ORDER BY j, i)) AS pixel_digest
+             FROM px GROUP BY doc_id)
+      SELECT g.doc_id, CAST(g.w AS BIGINT) AS src_w,
+        CAST(g.h AS BIGINT) AS src_h, CAST(16 AS BIGINT) AS out_w,
+        CAST(12 AS BIGINT) AS out_h, ds.pixel_digest
+      FROM g JOIN ds ON ds.doc_id = g.doc_id
+      ORDER BY g.doc_id""")),
+
     // REAL WAV PCM sample decode end to end: each doc becomes a complete
     // PCM WAV container (correct RIFF/fmt/data chunk sizes, 16-bit LE
     // samples alternating +a / -(a+2), all parameters derived from
@@ -2698,6 +2761,63 @@ object PipelineQueries {
         ROUND(b.score - w.score, 6) AS margin
       FROM best b JOIN worst w ON w.source = b.source
       ORDER BY b.source""")),
+
+    // c07: corpus HEALTH REPORT — the per-source dashboard a curation team
+    // reads before touching dials: volume, exact-dup rate (distinct text
+    // digests), size, and language-mix entropy (−Σ p·ln p, 6dp-rounded
+    // DECIMAL terms so the sum is order-independent), plus an ALL rollup.
+    // Pure composition of corpus aggregates: two map-side-combined
+    // groupBys and a 20-row join — nothing corpus-sized survives stage 1.
+    QueryDef("c07_corpus_report", (s, d) => {
+      val base = Tables.load(s, d, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          md5(col("text")).as("h"))
+      def report(src: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+        val keyed = base.withColumn("scope", src)
+        val per = keyed.groupBy(col("scope")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("h")).as("n_unique"),
+          sum(col("n_chars")).as("chars"))
+        val ent = keyed.groupBy(col("scope"), col("lang"))
+          .agg(count(lit(1)).as("nl"))
+          .join(per.select(col("scope"), col("n_docs")), "scope")
+          .select(col("scope"),
+            (col("nl").cast("double") / col("n_docs")).as("p"))
+          .select(col("scope"),
+            round(-col("p") * log(col("p")), 6).cast("decimal(20,6)").as("t"))
+          .groupBy(col("scope")).agg(sum(col("t")).cast("double").as("lang_entropy"))
+        per.join(ent, "scope")
+          .select(col("scope"), col("n_docs"), col("n_unique"),
+            ((col("n_docs") - col("n_unique")).cast("double") /
+              col("n_docs")).as("dup_frac"),
+            (col("chars").cast("double") / col("n_docs")).as("mean_chars"),
+            col("lang_entropy"))
+      }
+      report(col("source")).union(report(lit("ALL"))).orderBy(col("scope"))
+    }, Some("""
+      WITH base AS (SELECT source, lang, n_chars, md5(text) AS h
+                    FROM documents),
+      scoped AS (SELECT source AS scope, lang, n_chars, h FROM base
+                 UNION ALL
+                 SELECT 'ALL', lang, n_chars, h FROM base),
+      per AS (SELECT scope, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+                SUM(n_chars) AS chars
+              FROM scoped GROUP BY scope),
+      ent AS (SELECT l.scope,
+                CAST(SUM(CAST(ROUND(-(CAST(l.nl AS DOUBLE) / p.n_docs) *
+                  LN(CAST(l.nl AS DOUBLE) / p.n_docs), 6) AS DECIMAL(20,6)))
+                  AS DOUBLE) AS lang_entropy
+              FROM (SELECT scope, lang, COUNT(*) AS nl
+                    FROM scoped GROUP BY scope, lang) l
+              JOIN per p ON p.scope = l.scope
+              GROUP BY l.scope)
+      SELECT p.scope, p.n_docs, p.n_unique,
+        CAST(p.n_docs - p.n_unique AS DOUBLE) / p.n_docs AS dup_frac,
+        CAST(p.chars AS DOUBLE) / p.n_docs AS mean_chars,
+        e.lang_entropy
+      FROM per p JOIN ent e ON e.scope = p.scope
+      ORDER BY p.scope""")),
 
     // The COMPLETE pretraining pipeline composed as one operator:
     // heuristic filter -> exact dedup -> transitive MinHash near-dup

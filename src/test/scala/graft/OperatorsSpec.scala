@@ -532,6 +532,20 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2L) === ((0L, 1L, 0L, 0.0)))
   }
 
+  test("image resize resamples decoded pixels exactly; codecs agree; junk degrades") {
+    import graft.operators.Multimodal
+    // id=5 gradient: w=13, h=23, base=5, G=35, B=65; R(i) = 5 + (i*13)/4
+    val img = Multimodal.makeImage(5L)
+    val png = Multimodal.decodeResize(1L, Multimodal.encodeImage(img, "png"), 4, 3)
+    val bmp = Multimodal.decodeResize(2L, Multimodal.encodeImage(img, "bmp"), 4, 3)
+    assert(png.pixels === bmp.pixels && png.pixels.nonEmpty,
+      "codec choice must not change the resampled pixels")
+    assert((png.src_w, png.src_h, png.out_w, png.out_h) === ((13L, 23L, 4L, 3L)))
+    assert(png.pixels.split(";").take(4).toSeq ===
+      Seq("5:35:65", "8:35:65", "11:35:65", "14:35:65"))
+    assert(Multimodal.decodeResize(3L, Array[Byte](1, 2, 3), 4, 3).pixels === "")
+  }
+
   test("mp4 box walk inverts the container; adversarial boxes degrade, never throw") {
     import graft.operators.Multimodal
     val b = Multimodal.makeMp4("mp42", timescale = 1200, duration = 90000,

@@ -54,6 +54,34 @@ object MetaQueries {
       df
     }, Some("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem")),
 
+    // p03: metadata-only MIN/MAX (+COUNT) — the FooterStatsRule folds the
+    // per-row-group column statistics parquet writers already store, across
+    // timestamp, double, string and bigint columns in one aggregate; the
+    // require proves the scan was ELIMINATED and the oracle proves the
+    // footer fold equals the true aggregate over the data pages.
+    QueryDef("p03_footer_minmax", (s, d) => {
+      graft.plans.FooterStats.enable(s)
+      val df = s.read.parquet(Tables.path(d, "lineitem")).agg(
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        max(col("l_returnflag")).as("max_rflag"),
+        min(col("l_orderkey")).as("min_okey"),
+        count(lit(1)).as("n"))
+      val leaves = df.queryExecution.optimizedPlan.collectLeaves()
+      require(leaves.forall(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+        s"footer-stats rule did not fire:\n${df.queryExecution.optimizedPlan}")
+      df
+    }, Some("""
+      SELECT min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+        min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        max(l_returnflag) AS max_rflag,
+        CAST(min(l_orderkey) AS BIGINT) AS min_okey,
+        CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem""")),
+
     // synthesized information_schema (reference always enables it; the
     // FlightSQL catalog endpoints are SQL over these views) — listing
     // restricted to the testdata tables so the snapshot is deterministic.

@@ -446,6 +446,46 @@ class ScaleSpec extends SparkSpec {
     assert(csv.head.getLong(0) === 10L)
   }
 
+  test("footer-stats rule: min/max answered from footers, exact null semantics") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import spark.implicits._
+    graft.plans.FooterStats.enable(spark)
+    def metadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    val path = s"$sf0001/lineitem.parquet"
+    val agg = spark.read.parquet(path).agg(
+      min(col("l_shipdate")).as("a"), max(col("l_quantity")).as("b"),
+      max(col("l_returnflag")).as("c"), count(lit(1)).as("n"))
+    assert(metadataOnly(agg), s"rule did not fire:\n${agg.queryExecution.optimizedPlan}")
+    // ground truth through a shape the rule must not touch
+    val truth = spark.read.parquet(path).filter(col("l_orderkey") >= 0).agg(
+      min(col("l_shipdate")).as("a"), max(col("l_quantity")).as("b"),
+      max(col("l_returnflag")).as("c"), count(lit(1)).as("n"))
+    assert(!metadataOnly(truth), "rule must not fire through a Filter")
+    assert(agg.head === truth.head)
+    // null semantics: a column all-null in one file, mixed in another —
+    // stats exclude nulls exactly like SQL MIN/MAX; an entirely-null
+    // column folds to NULL without disabling the rewrite
+    val dir = java.nio.file.Files.createTempDirectory("graft-fs").toString
+    Seq[(java.lang.Long, java.lang.Long)]((1L, null), (5L, null))
+      .toDF("x", "y").repartition(1).write.mode("append").parquet(dir)
+    Seq[(java.lang.Long, java.lang.Long)]((null, null), (3L, null))
+      .toDF("x", "y").repartition(1).write.mode("append").parquet(dir)
+    val nullAgg = spark.read.parquet(dir)
+      .agg(min(col("x")).as("lo"), max(col("x")).as("hi"), max(col("y")).as("ny"))
+    assert(metadataOnly(nullAgg),
+      s"rule did not fire on nullable data:\n${nullAgg.queryExecution.optimizedPlan}")
+    val r = nullAgg.head
+    assert(r.getLong(0) === 1L && r.getLong(1) === 5L && r.isNullAt(2))
+    // grouped aggregates and non-min/max companions keep the scan
+    assert(!metadataOnly(spark.read.parquet(path).groupBy(col("l_returnflag"))
+      .agg(min(col("l_quantity")).as("m"))), "rule must not fire under grouping")
+    assert(!metadataOnly(spark.read.parquet(path)
+      .agg(min(col("l_quantity")).as("m"), sum(col("l_quantity")).as("s"))),
+      "rule must not fire next to non-foldable aggregates")
+  }
+
   test("epoch mix joins broadcast rates and explodes in-row (no corpus exchange)") {
     // the only exchanges allowed are the 20-key per-source size aggregate;
     // the corpus side must meet the rates via broadcast and fan out

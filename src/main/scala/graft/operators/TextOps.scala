@@ -735,4 +735,64 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("pred0"), lit("und")).as("pred_lang"),
         col("lang").as("actual_lang"))
   }
+
+  /** Zipf power-law fit over the corpus word-frequency distribution: OLS
+    * of ln(freq) on ln(rank) across the `topK` most frequent word types —
+    * a one-row corpus health statistic (natural-language corpora sit near
+    * slope −1; a flat slope flags templated/machine text, a cliff flags a
+    * truncated vocabulary).
+    *
+    * Shape at 100 TB: the corpus contributes ONE word-histogram shuffle
+    * (partial-agg combines per map task, so vocabulary size — not corpus
+    * size — crosses the wire), exactly t13's corpus pass. The histogram is
+    * consumed twice (global type/token totals; top-K cut) — vocabulary-
+    * sized lineage whose recompute is the histogram agg itself, the same
+    * recompute-over-pin trade as d09, with a durable-persist of the
+    * vocab-sized histogram as the knob if the corpus pass ever dominates.
+    * The top-K cut is a bounded TakeOrdered; the rank window and OLS fold
+    * run over ≤ topK rows. Every OLS sum goes through DECIMAL(38,18)
+    * (order-independent, engine-exact); ln() ulps are absorbed by the
+    * final ROUND(..., 4).
+    */
+  def zipfFit(docs: DataFrame, topK: Int = 500): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = docs
+      .select(explode(tokens(lower(trim(col("text"))))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val totals = hist.agg(
+      count(lit(1)).as("n_types"),
+      sum(col("freq")).as("n_tokens"))
+    // bounded top-k (TakeOrderedAndProject), then rank over ≤ topK rows —
+    // the single-partition window is capped by construction
+    val top = hist.orderBy(col("freq").desc, col("w")).limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("w"))))
+    val pts = top.select(
+      log(col("rank").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"))
+    def dsum(c: Column): Column =
+      sum(c.cast("decimal(38,18)")).cast("double")
+    val fit = pts.agg(
+      count(lit(1)).cast("double").as("k"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    totals.crossJoin(fit).select(
+      col("n_types").cast("long").as("n_types"),
+      col("n_tokens").cast("long").as("n_tokens"),
+      col("k").cast("long").as("k_fit"),
+      round((col("k") * col("sxy") - col("sx") * col("sy")) /
+        (col("k") * col("sxx") - col("sx") * col("sx")), 4).as("slope"),
+      round((col("sy") - col("sx") *
+        ((col("k") * col("sxy") - col("sx") * col("sy")) /
+          (col("k") * col("sxx") - col("sx") * col("sx")))) / col("k"), 4)
+        .as("intercept"),
+      round(
+        ((col("k") * col("sxy") - col("sx") * col("sy")) *
+          (col("k") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("k") * col("sxx") - col("sx") * col("sx")) *
+            (col("k") * col("syy") - col("sy") * col("sy"))), 4).as("r2"))
+  }
 }

@@ -760,6 +760,42 @@ object PipelineQueries {
       FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
       ORDER BY d.doc_id""")),
 
+    // t20: Zipf power-law fit — OLS of ln(freq) on ln(rank) over the
+    // top-500 word types, a one-row corpus health statistic. The corpus
+    // contributes one partial-agg histogram shuffle; the fit folds ≤ 500
+    // points. Both engines sum every OLS term through DECIMAL(38,18)
+    // (order-independent) and ROUND(...,4) absorbs ln() ulps.
+    QueryDef("t20_zipf_fit", (s, d) =>
+      TextOps.zipfFit(Tables.load(s, d, "documents")),
+      Some("""
+      WITH tok AS (SELECT unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        FROM documents),
+      hist AS (SELECT w, COUNT(*) AS freq FROM tok GROUP BY w),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                CAST(SUM(freq) AS BIGINT) AS n_tokens FROM hist),
+      top AS (SELECT w, freq, ROW_NUMBER() OVER
+                (ORDER BY freq DESC, w) AS rank
+              FROM hist ORDER BY freq DESC, w LIMIT 500),
+      pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                ln(CAST(freq AS DOUBLE)) AS y FROM top),
+      s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+        CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(y AS DECIMAL(38,18))) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(x * y AS DECIMAL(38,18))) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+        CAST(SUM(CAST(y * y AS DECIMAL(38,18))) AS DOUBLE) AS syy
+        FROM pts)
+      SELECT tot.n_types, tot.n_tokens, CAST(s.k AS BIGINT) AS k_fit,
+        ROUND((s.k * s.sxy - s.sx * s.sy) /
+              (s.k * s.sxx - s.sx * s.sx), 4) AS slope,
+        ROUND((s.sy - s.sx * ((s.k * s.sxy - s.sx * s.sy) /
+              (s.k * s.sxx - s.sx * s.sx))) / s.k, 4) AS intercept,
+        ROUND(((s.k * s.sxy - s.sx * s.sy) * (s.k * s.sxy - s.sx * s.sy)) /
+              ((s.k * s.sxx - s.sx * s.sx) *
+               (s.k * s.syy - s.sy * s.sy)), 4) AS r2
+      FROM tot CROSS JOIN s""")),
+
     // BPE tokenizer TRAINING (not just apply): learn the first n merges
     // from the corpus word histogram. The oracle unrolls the merge loop as
     // n generated stages — pair counts, deterministic argmax, leftmost

@@ -155,6 +155,47 @@ object SourceQueries {
       FROM read_parquet('$stage/delta_written/*.parquet')
       ORDER BY o_orderkey""")),
 
+    // x16: MERGE (upsert) into the Delta write path — the lakehouse
+    // operation an incremental pipeline lands batches with. Target is two
+    // physical files (even keys, split by %4); the source updates every
+    // %4==0 row (+1000 marker) and inserts every %4==1 key, so one file
+    // is rewritten copy-on-write and one keeps its physical identity
+    // (file-level CoW pinned in SourcesSpec). The oracle recomputes the
+    // post-merge table from the base relation: source rows win, unmatched
+    // target rows survive.
+    QueryDef("x16_delta_merge", (s, d) => {
+      val tbl = s"$stage/delta_merged"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 4 === 0), tbl)
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 4 === 2), tbl)
+      val src = o.filter(col("o_orderkey") % 4 <= 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      graft.sources.DeltaWrite.merge(tbl, src, Seq("o_orderkey"))
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+      src AS (SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders WHERE o_orderkey % 4 IN (0, 1))
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt WHERE o_orderkey NOT IN
+              (SELECT o_orderkey FROM src))
+      ORDER BY o_orderkey""")),
+
     // Schema EVOLUTION across parquet files (the long-lived-table reality:
     // a column added mid-stream): one file written before `o_prio_len`
     // existed, one after, read together with mergeSchema — old rows

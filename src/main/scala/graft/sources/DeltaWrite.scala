@@ -111,6 +111,85 @@ object DeltaWrite {
     version
   }
 
+  /** Outcome of a [[merge]] commit. */
+  final case class MergeStats(version: Long, filesRewritten: Int,
+      filesAdded: Int, rowsUpdated: Long, rowsInserted: Long)
+
+  /** MERGE (upsert) into a Delta table: source rows whose `keys` match an
+    * existing row REPLACE it (update-all-columns), the rest are inserted —
+    * one atomic commit, copy-on-write at FILE granularity like real Delta:
+    *
+    *  - touched files = live files containing at least one matched key,
+    *    found by a broadcast semi-join of the (small, incremental-batch)
+    *    source keys against the target scan — the full table is read once,
+    *    but only for key columns + the file-path metadata column;
+    *  - ONLY touched files are rewritten (their unmatched survivors union
+    *    the full source); untouched files keep their physical identity, so
+    *    a merge against a clustered layout (x06/x10) rewrites the few
+    *    files whose key range overlaps the batch, not the table;
+    *  - the commit removes touched files and adds the rewritten ones via
+    *    the same atomic version claim as append/overwrite — readers see
+    *    the pre- or post-merge snapshot, never a mix.
+    *
+    * Refuses ambiguous sources (two source rows matching one target key),
+    * the same error real Delta raises. Source must carry exactly the
+    * target's columns (any order).
+    */
+  def merge(tablePath: String, source: DataFrame,
+      keys: Seq[String]): MergeStats = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val spark = source.sparkSession
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    require(commitFiles(logDir).nonEmpty, s"not a Delta table: $tablePath")
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    require(adds.forall(_.partitionValues.isEmpty),
+      s"merge supports unpartitioned tables: $tablePath")
+    val target = spark.read.parquet(adds.map(_.path): _*)
+    val cols = target.columns.toSeq
+    require(source.columns.sorted.sameElements(cols.sorted),
+      s"source columns ${source.columns.mkString(",")} != table ${cols.mkString(",")}")
+    val src = source.select(cols.map(col): _*)
+    val dup = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dup == 0L,
+      "merge source has multiple rows for the same key (ambiguous match)")
+    val srcCount = src.count()
+    if (srcCount == 0L) // empty batch: a no-op, not an empty commit
+      return MergeStats(commitFiles(logDir).map(versionOf).max, 0, 0, 0L, 0L)
+    val srcKeys = src.select(keys.map(col): _*)
+    // touched files: bounded by live-file count (same driver-state class
+    // as the log listing itself)
+    val touched = target
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .join(broadcast(srcKeys), keys, "leftsemi")
+      .select(col("__graft_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (survivors, rowsUpdated) =
+      if (touched.isEmpty) (None, 0L)
+      else {
+        val touchedRows = spark.read.parquet(touched: _*)
+        (Some(touchedRows.join(broadcast(srcKeys), keys, "leftanti")),
+          touchedRows.join(broadcast(srcKeys), keys, "leftsemi").count())
+      }
+    val rowsInserted = srcCount - rowsUpdated
+    val out = survivors.fold(src)(_.unionByName(src))
+    val files = stageDataFiles(out, root)
+    val existing = commitFiles(logDir)
+    val version = existing.map(versionOf).max + 1
+    val names = adds.map(a => new File(a.path).getName)
+    val removes = touched.map { uri =>
+      // metadata paths are qualified URIs; recorded add paths are
+      // root-relative uuid names — unique by construction, match by name
+      val name = uri.substring(uri.lastIndexOf('/') + 1)
+      require(names.contains(name), s"touched file not in live set: $uri")
+      s"""{"remove":{"path":"${jsonEscape(name)}","dataChange":true}}"""
+    }
+    publish(logDir, version, removes ++ files.map(addAction) :+
+      """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""")
+    MergeStats(version, touched.size, files.size, rowsUpdated, rowsInserted)
+  }
+
   /** OVERWRITE: one commit that removes every currently-live file and adds
     * the new ones — readers see the old or the new snapshot, never a mix.
     */

@@ -697,6 +697,48 @@ class SourcesSpec extends SparkSpec {
     assert(ctx.sql("SELECT COUNT(*) AS n FROM dwt_spec").head.getLong(0) === 1L)
   }
 
+  test("Delta merge: file-level copy-on-write, upsert semantics, ambiguity refused") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_merge_spec"
+    // two single-file commits with disjoint key ranges
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((10L, "x"), (11L, "y")).toDF("id", "v").repartition(1), tbl)
+    val before = DeltaLog.liveFiles(spark, tbl)
+    assert(before.size === 2)
+    // batch updates id=1 (touches file 1 only) and inserts id=20
+    val st = DeltaWrite.merge(tbl,
+      Seq((1L, "A2"), (20L, "n")).toDF("id", "v"), Seq("id"))
+    assert(st.rowsUpdated === 1L && st.rowsInserted === 1L &&
+      st.filesRewritten === 1)
+    val after = DeltaLog.liveFiles(spark, tbl)
+    // the untouched file keeps its physical identity (file-level CoW);
+    // the touched file is gone
+    val untouched = before.filter(after.contains)
+    assert(untouched.size === 1,
+      s"expected exactly one surviving file:\nbefore=$before\nafter=$after")
+    assert(spark.read.parquet(untouched.head).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(10L, 11L))
+    val rows = DeltaLog.read(spark, tbl).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "A2"), (2L, "b"), (10L, "x"), (11L, "y"),
+      (20L, "n")))
+    // pre-merge snapshot still time-travels
+    assert(DeltaLog.read(spark, tbl, Some(1L)).count() === 4L)
+    // two source rows matching one key: refused, table unchanged
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(tbl,
+        Seq((2L, "dup1"), (2L, "dup2")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    assert(DeltaLog.read(spark, tbl).count() === 5L)
+    // pure-insert batch rewrites nothing
+    val ins = DeltaWrite.merge(tbl, Seq((30L, "z")).toDF("id", "v"), Seq("id"))
+    assert(ins.filesRewritten === 0 && ins.rowsInserted === 1L)
+    assert(DeltaLog.liveFiles(spark, tbl).toSet.intersect(after.toSet) === after.toSet)
+  }
+
   test("Iceberg snapshot chain: status filtering, time travel, loud refusals") {
     import graft.sources.IcebergLog
     import graft.sources.IcebergLog.FixtureEntry

@@ -152,4 +152,81 @@ object GraphOps {
     pageRank(edges, verts, iterations, damping)
       .select(col("id").as("vec_id"), round(col("pr"), 9).as("pagerank"))
   }
+
+  /** Per-vertex TRIANGLE COUNT and local clustering coefficient over a
+    * directed edge list treated as a simple undirected graph — the
+    * community-density signal next to [[pageRank]]'s centrality (dense
+    * neighborhoods = redundant near-duplicate cliques; zero-triangle
+    * vertices = isolated outliers).
+    *
+    * Scale shape (degree-oriented node-iterator, the standard distributed
+    * formulation): every edge is ORIENTED from its lower-(degree, id)
+    * endpoint to the higher one, so each triangle is found exactly once
+    * at its order-lowest vertex, and — the part that matters at 100 TB —
+    * the wedge self-join fans out per-vertex as out-degree², where
+    * orientation caps out-degree at O(√E) for ANY degree distribution: a
+    * hub with a million neighbors contributes almost no wedges because
+    * nearly all its edges point INTO it. Three shuffles total (degree
+    * agg, wedge join, closing-edge probe); the canonical edge relation is
+    * checkpointed once for its three consumers.
+    */
+  def triangleCounts(edges: DataFrame, vertices: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true) // degrees + orientation + closing-edge probe
+    val deg = und.select(col("a").as("id"))
+      .unionAll(und.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("degree"))
+    val withDeg = und
+      .join(deg.select(col("id").as("a"), col("degree").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("degree").as("db")), Seq("b"))
+    val lowFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = withDeg.select(
+        when(lowFirst, col("a")).otherwise(col("b")).as("u"),
+        when(lowFirst, col("b")).otherwise(col("a")).as("v"),
+        when(lowFirst, col("db")).otherwise(col("da")).as("dv"))
+      .localCheckpoint(true) // wedge self-join + closing-edge probe
+    val x = oriented.select(col("u"), col("v").as("v1"), col("dv").as("d1"))
+    val y = oriented.select(col("u"), col("v").as("v2"), col("dv").as("d2"))
+    val closeLow = col("d1") < col("d2") ||
+      (col("d1") === col("d2") && col("v1") < col("v2"))
+    val wedges = x.join(y, Seq("u")).filter(col("v1") < col("v2"))
+      .select(col("u"), col("v1"), col("v2"),
+        when(closeLow, col("v1")).otherwise(col("v2")).as("ws"),
+        when(closeLow, col("v2")).otherwise(col("v1")).as("wd"))
+    val tri = wedges.join(oriented
+        .select(col("u").as("ws"), col("v").as("wd")), Seq("ws", "wd"))
+      .select(col("u"), col("v1"), col("v2")) // each triangle exactly once
+    val perV = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("triangles"))
+    vertices.select(col("id")).distinct()
+      .join(deg, Seq("id"), "left")
+      .join(perV, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("degree"), lit(0L)).cast("long").as("degree"),
+        coalesce(col("triangles"), lit(0L)).cast("long").as("triangles"),
+        when(coalesce(col("degree"), lit(0L)) >= 2,
+          lit(2.0) * coalesce(col("triangles"), lit(0L)).cast("double") /
+            (col("degree").cast("double") *
+              (col("degree").cast("double") - 1.0)))
+          .otherwise(lit(0.0)).as("clustering"))
+  }
+
+  /** Triangle census over the k-NN similarity graph of an embeddings
+    * frame — [[triangleCounts]] on [[Similarity.knnGraph]] edges, the
+    * composed near-duplicate-clique / outlier detector.
+    */
+  def knnTriangles(emb: DataFrame, k: Int = 5, planes: Int = 64,
+      bands: Int = 16, dim: Int = -1): DataFrame = {
+    val edges = Similarity.knnGraph(emb, k, planes, bands, dim)
+      .select(col("qid").as("src"), col("nid").as("dst"))
+    triangleCounts(edges, emb.select(col("vec_id").as("id")))
+      .select(col("id").cast("long").as("vec_id"), col("degree"),
+        col("triangles"), col("clustering"))
+  }
 }

@@ -911,6 +911,47 @@ object Analytics {
       FROM ranked WHERE rank <= 3 ORDER BY window_start, rank""")),
 
     // ------------------------------------------------------------------
+    // e18: WATERMARK LATE-DATA DROP, oracle-checked. Three staggered
+    // arrivals (on-time events → the same events shifted 6 h into the
+    // past → a far-future heartbeat), each landing after the previous
+    // drain so the committed watermark is in effect (a pre-staged backlog
+    // would process the late file under the PRE-on-time watermark and
+    // drop nothing — see stageLateDataFixture): the on-time batch sets
+    // the watermark, every late row arrives with its window expired and
+    // is DROPPED, and the heartbeat closes all on-time windows so append
+    // mode emits exactly them (its own never-closed window held back).
+    // Emitted rows must therefore equal the batch hourly aggregate of
+    // the events table alone — if the stream failed to drop late data,
+    // every shifted window would surface as extra rows and the hash
+    // would catch it.
+    QueryDef("e18_stream_late_data", (s, d) => {
+      val dir = s"${SourceQueries.stage}/events_late"
+      val arrive = graft.streaming.EventStream.stageLateDataFixture(s, d, dir)
+      arrive(0)() // on-time file present before the stream starts
+      val sink = s"e18_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream
+        .hourlyAgg(graft.streaming.EventStream.source(s, dir, Some(1)))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        q.processAllAvailable()
+        arrive(1)(); q.processAllAvailable() // late file: dropped
+        arrive(2)(); q.processAllAvailable() // heartbeat: flush windows
+      } finally q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        t.select(unix_micros(col("window_start")).as("window_start"),
+            col("event_type"), col("n"), col("sum_value"))
+          .orderBy(col("window_start"), col("event_type"))
+      }
+    }, Some("""
+      SELECT epoch_us(date_trunc('hour', ts)) AS window_start, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      FROM (SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, event_type,
+              value FROM events) e
+      GROUP BY 1, 2 ORDER BY window_start, event_type""")),
+
+    // ------------------------------------------------------------------
     // SLIDING-window streaming rollup: 1-hour windows every 15 minutes —
     // each event belongs to exactly 4 overlapping windows. The oracle
     // reconstructs the window set arithmetically (floor-to-slide minus

@@ -1534,6 +1534,47 @@ object PipelineQueries {
       SELECT CAST(id AS BIGINT) AS vec_id, ROUND(pr, 9) AS pagerank
       FROM pr3 ORDER BY vec_id""")),
 
+    // a16: TRIANGLE COUNT + local clustering coefficient over the same
+    // knn graph — community density next to a12's centrality (triangle-
+    // dense neighborhoods = near-duplicate cliques). Spark uses the
+    // degree-oriented wedge join (each triangle found once at its
+    // order-lowest vertex, out-degree capped at O(√E)); the oracle
+    // replays the knn chain then counts id-ordered (a<b<c) closed
+    // triples — different algorithm, identical census, so the
+    // orientation argument itself is what's being checked.
+    QueryDef("a16_triangle_count", (s, d) =>
+      GraphOps.knnTriangles(Tables.load(s, d, "embeddings"), k = 5, dim = 64)
+        .orderBy(col("vec_id")),
+      Some(s"""
+      WITH $ED,
+      $KNN_RANKED,
+      edges AS (SELECT qid AS src, nid AS dst FROM ranked WHERE rank <= 5),
+      und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst),
+      degs AS (SELECT id, COUNT(*) AS degree FROM
+                 (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+               GROUP BY id),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      perv AS (SELECT id, COUNT(*) AS triangles FROM
+                 (SELECT x AS id FROM tri UNION ALL
+                  SELECT y AS id FROM tri UNION ALL
+                  SELECT z AS id FROM tri)
+               GROUP BY id)
+      SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+        CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+        CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+        CASE WHEN COALESCE(d.degree, 0) >= 2
+          THEN 2.0 * CAST(COALESCE(p.triangles, 0) AS DOUBLE) /
+               (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+          ELSE 0.0 END AS clustering
+      FROM (SELECT DISTINCT vec_id FROM embeddings) v
+      LEFT JOIN degs d ON d.id = v.vec_id
+      LEFT JOIN perv p ON p.id = v.vec_id
+      ORDER BY vec_id""")),
+
     // a17: semi-supervised LABEL PROPAGATION over the knn graph — a thin
     // seed set (every 5th vector keeps its label) spreads through
     // similarity structure with clamped seeds, integer majority votes and

@@ -67,6 +67,67 @@ object EventStream {
       .write.mode("append").parquet(dir)
   }
 
+  /** Stage the three-batch WATERMARK fixture: the full events table as an
+    * on-time file, the same events shifted 6 hours INTO THE PAST as a
+    * late file, and one far-future heartbeat row. All three are fully
+    * written into a holding area up front; the returned ARRIVAL actions
+    * each move the next file atomically into `dir`, so the caller
+    * controls exactly when the stream can discover it.
+    *
+    * The stagger matters, not just the order: a watermark advance only
+    * takes effect from the batch AFTER the one that observed the data
+    * (Spark commits the update at the batch boundary, surfacing it via a
+    * zero-data micro-batch) — so a pre-staged backlog drained
+    * oldest-first would process the late file while the watermark was
+    * still at its pre-on-time value and drop NOTHING (observed, not
+    * hypothetical). Arriving each file after the previous
+    * `processAllAvailable` gives the semantics a real pipeline sees:
+    * the on-time batch sets the watermark, every late row lands with its
+    * window expired and is DROPPED, and the heartbeat closes all on-time
+    * windows so append mode flushes exactly them (its own never-closed
+    * window held back). The emitted result is then the batch hourly
+    * aggregate of the ON-TIME file alone — late-drop semantics become
+    * oracle-checkable instead of spec-trust.
+    */
+  def stageLateDataFixture(spark: SparkSession, sfDir: String,
+      dir: String): Seq[() => Unit] = {
+    val ev = graft.core.Tables.loadEvents(spark, sfDir)
+    val root = new java.io.File(dir)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(root); root.mkdirs()
+    val hold = new java.io.File(root, ".holding")
+    hold.mkdirs()
+    def onePart(df: org.apache.spark.sql.DataFrame,
+        name: String): () => Unit = {
+      val tmp = new java.io.File(hold, s".stage_$name")
+      df.repartition(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = Option(tmp.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet")).head
+      val held = new java.io.File(hold, name)
+      java.nio.file.Files.move(part.toPath, held.toPath)
+      rm(tmp)
+      () => {
+        java.nio.file.Files.move(held.toPath,
+          new java.io.File(root, name).toPath)
+        ()
+      }
+    }
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val hbTs = java.sql.Timestamp.from(maxTs.toInstant.plusSeconds(6L * 3600))
+    Seq(
+      onePart(ev, "a_ontime.parquet"),
+      onePart(ev.withColumn("ts", col("ts") - expr("INTERVAL 6 HOURS"))
+        .withColumn("event_id", col("event_id") + 1000000L),
+        "b_late.parquet"),
+      onePart(ev.limit(1)
+        .withColumn("ts", lit(hbTs))
+        .withColumn("event_id", lit(9999999L))
+        .withColumn("event_type", lit("heartbeat")), "c_heartbeat.parquet"))
+  }
+
   /** Stream-stream interval join: each left (probe) row pairs with every
     * right (build) row for the same key whose event time falls in
     * `[probe.ts - windowMinutes, probe.ts]` — the attribution-window shape

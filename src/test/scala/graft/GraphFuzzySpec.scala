@@ -27,6 +27,53 @@ class GraphFuzzySpec extends SparkSpec {
     assert(math.abs(pr1(4L) - 0.196875) < eps, s"pr1(4)=${pr1(4L)}")
   }
 
+  test("triangleCounts: hand census, direction/duplicate-insensitive, brute-force fuzz") {
+    val s = spark
+    import s.implicits._
+    // K4 on {1,2,3,4} (4 triangles, each vertex in 3) plus pendant 5-1
+    // and isolated vertex 6; edges deliberately duplicated and mixed
+    // direction — the canonicalization must absorb both
+    val k4 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (3L, 2L), (2L, 4L), (3L, 4L), (5L, 1L))
+    val tri = GraphOps.triangleCounts(k4.toDF("src", "dst"),
+      Seq(1L, 2L, 3L, 4L, 5L, 6L).toDF("id"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(tri(1L) === ((4L, 3L, 0.5)))   // deg 4: 3 of C(4,2)=6 pairs closed
+    assert(tri(2L) === ((3L, 3L, 1.0)))
+    assert(tri(3L) === ((3L, 3L, 1.0)))
+    assert(tri(4L) === ((3L, 3L, 1.0)))
+    assert(tri(5L) === ((1L, 0L, 0.0)))
+    assert(tri(6L) === ((0L, 0L, 0.0)))
+    // fuzz: random graphs vs an in-memory brute-force count
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 3) {
+      val n = 12
+      val es = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      val und = es.toSet
+      def adj(v: Long) = und.collect {
+        case (`v`, w) => w
+        case (w, `v`) => w
+      }
+      val expect = (0L until n).map { v =>
+        val nb = adj(v).toSeq
+        val t = (for {
+          i <- nb.indices; j <- (i + 1) until nb.size
+          x = math.min(nb(i), nb(j)); y = math.max(nb(i), nb(j))
+          if und.contains((x, y))
+        } yield 1).size.toLong
+        v -> t
+      }.toMap
+      val got = GraphOps.triangleCounts(es.toDF("src", "dst"),
+        (0L until n).toDF("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expect, s"trial $trial: $got vs $expect")
+    }
+  }
+
   test("pageRank conserves total mass across iterations") {
     val s = spark
     import s.implicits._

@@ -403,4 +403,60 @@ class StreamingSpec extends SparkSpec {
       .queryExecution.logical.toString
     assert(plan.contains("EventTimeWatermark"))
   }
+
+  test("watermark drops late rows only once the advance is committed (staggered vs backlog)") {
+    val s = spark
+    import s.implicits._
+    def run(staggered: Boolean): Set[(Long, Long)] = {
+      val dir = Files.createTempDirectory("graft-late").toString
+      def onePart(rows: Seq[Long], name: String, mod: Long): Unit = {
+        val tmp = new java.io.File(dir, s".s_$name")
+        rows.map(sec => new java.sql.Timestamp(sec * 1000)).toDF("ts")
+          .repartition(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+        val dst = new java.io.File(dir, name)
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        dst.setLastModified(mod); ()
+      }
+      val now = System.currentTimeMillis()
+      onePart(Seq(100L, 105L), "a.parquet", now - 60000)
+      if (!staggered) {
+        onePart(Seq(10L, 12L), "b.parquet", now - 30000)
+        onePart(Seq(1000L), "c.parquet", now)
+      }
+      val sink = s"late_${if (staggered) "stag" else "back"}_${System.nanoTime()}"
+      val q = spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .withWatermark("ts", "10 seconds")
+        .groupBy(window(col("ts"), "10 seconds"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("ws"), col("n"))
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try {
+        q.processAllAvailable()
+        if (staggered) {
+          onePart(Seq(10L, 12L), "b.parquet", now - 30000)
+          q.processAllAvailable()
+          onePart(Seq(1000L), "c.parquet", now)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val out = spark.table(sink).collect()
+        .map(r => (r.getTimestamp(0).getTime / 1000, r.getLong(1))).toSet
+      spark.catalog.dropTempView(sink)
+      out
+    }
+    // staggered arrival: the on-time batch's committed watermark (95s) is
+    // in effect when the late file lands, so [10,20) is dropped and only
+    // the on-time window emits (heartbeat's own window never closes)
+    assert(run(staggered = true) === Set((100L, 2L)))
+    // pre-staged backlog: the late file is processed before the watermark
+    // advance takes effect, so the late window SURVIVES — the documented
+    // reason e18's fixture staggers arrivals; if Spark ever starts
+    // dropping here too, e18's oracle still holds (drop is a superset)
+    // but this pin should be updated
+    assert(run(staggered = false) === Set((100L, 2L), (10L, 2L)))
+  }
 }

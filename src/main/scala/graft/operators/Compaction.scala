@@ -203,6 +203,51 @@ object Compaction {
     Result(rows, before.length, after.length)
   }
 
+  /** Write `df` as parquet with a PARQUET BLOOM FILTER on `bloomCols` —
+    * the layout lever for HIGH-CARDINALITY point lookups, complementing
+    * clustering/Z-order (which need the data SORTED to make min/max stats
+    * selective): a bloom filter answers "row group cannot contain value
+    * v" for values scattered uniformly, where every row group's min/max
+    * spans the whole domain and sorting by one key is already spent.
+    * Dictionary encoding is disabled for the bloom columns' file (bloom
+    * targets exactly the cardinality regime where dictionaries stop
+    * fitting; at test scale a dictionary would also shadow the bloom
+    * pruning the spec measures). At 100 TB: an absent-key probe touches
+    * footers + a few KB of bloom bitset per row group instead of
+    * decoding the column — the reader-side row-group elimination is
+    * automatic in the parquet reader once the equality predicate pushes
+    * down.
+    */
+  def writeWithBloom(df: org.apache.spark.sql.DataFrame, outDir: String,
+      bloomCols: Seq[String], expectedNdv: Long = 100000L,
+      blockSize: Long = 1L * 1024 * 1024): Unit = {
+    val w = df.write.mode("overwrite")
+      .option("parquet.block.size", blockSize.toString)
+      .option("parquet.enable.dictionary", "false")
+    bloomCols.foreach { c =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }
+    w.parquet(outDir)
+  }
+
+  /** True iff every row group in `path` carries a bloom filter for
+    * `column` (footer check — bloom offsets are recorded per chunk).
+    */
+  def hasBloomFilter(path: String, column: String): Boolean = {
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path),
+        new org.apache.hadoop.conf.Configuration()))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala
+      blocks.nonEmpty && blocks.forall(_.getColumns.asScala
+        .filter(_.getPath.toDotString == column)
+        .forall(_.getBloomFilterOffset >= 0))
+    } finally reader.close()
+  }
+
   private def withAdvisorySize[A](spark: SparkSession, bytes: Long)(f: => A): A = {
     val key = "spark.sql.adaptive.advisoryPartitionSizeInBytes"
     val old = spark.conf.getOption(key)

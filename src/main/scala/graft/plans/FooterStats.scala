@@ -101,7 +101,7 @@ case class FooterStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 object FooterStats {
 
-  private[plans] def supportedType(t: DataType): Boolean = t match {
+  private[graft] def supportedType(t: DataType): Boolean = t match {
     case IntegerType | LongType | FloatType | DoubleType | DateType |
         StringType | TimestampType | TimestampNTZType => true
     case _ => false
@@ -112,7 +112,7 @@ object FooterStats {
     * all-null — or None for the whole file when any chunk's stats are
     * missing/untrusted. Strings travel as Array[Byte].
     */
-  private def readOne(path: String, cols: Seq[String])
+  private[graft] def readOne(path: String, cols: Seq[String])
       : Option[(Long, Seq[(Option[Any], Option[Any])])] = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(

@@ -196,6 +196,76 @@ object SourceQueries {
               (SELECT o_orderkey FROM src))
       ORDER BY o_orderkey""")),
 
+    // p04: PARQUET BLOOM FILTER point lookups — the layout lever for
+    // high-cardinality keys where clustering can't help (uniform md5
+    // strings: every row group's min/max spans the whole hex domain).
+    // The write carries a bloom filter on the key column (footer-pinned
+    // by the in-query require); present- and absent-key probes both
+    // hash-check against DuckDB reading the same staged bytes. The
+    // row-group elimination itself (absent probe decodes ~nothing vs a
+    // no-bloom twin) is pinned by recordsRead in SourcesSpec.
+    QueryDef("p04_bloom_lookup", (s, d) => {
+      val dir = s"$stage/bloom_orders"
+      val o = Tables.load(s, d, "orders")
+        .select(md5(col("o_orderkey").cast("string")).as("k"),
+          col("o_totalprice"))
+      graft.operators.Compaction.writeWithBloom(o, dir, Seq("k"))
+      val files = Option(new java.io.File(dir).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+      require(files.nonEmpty &&
+        files.forall(f => graft.operators.Compaction.hasBloomFilter(
+          f.getPath, "k")),
+        s"bloom filter missing from written footers in $dir")
+      val t = s.read.parquet(dir)
+      val present = t.filter(col("k") === md5(lit("42")))
+        .agg(count(lit(1)).as("n_present"))
+      val absent = t.filter(col("k") === md5(lit("absent")))
+        .agg(count(lit(1)).as("n_absent"))
+      present.crossJoin(absent)
+    }, Some(s"""
+      SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM read_parquet('$stage/bloom_orders/*.parquet')
+         WHERE k = md5('42')) AS n_present,
+        (SELECT CAST(COUNT(*) AS BIGINT)
+         FROM read_parquet('$stage/bloom_orders/*.parquet')
+         WHERE k = md5('absent')) AS n_absent""")),
+
+    // x17: Delta DATA SKIPPING — add actions carry per-file min/max stats
+    // (computed from the just-written parquet FOOTERS, no data re-read);
+    // a range scan folds the log, opens only the files whose stats admit
+    // the range, and still applies the filter. Target is written range-
+    // partitioned by key (8 narrow files), so the two-thousand-key probe
+    // must prune most of them — the in-query require pins that the scan
+    // set actually shrank, the oracle pins that skipping never changed
+    // the answer.
+    QueryDef("x17_delta_skip", (s, d) => {
+      val tbl = s"$stage/delta_skip"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+      graft.sources.DeltaWrite.append(o, tbl)
+      val (kept, total) = graft.sources.DeltaLog.pruneByStats(s, tbl,
+        "o_orderkey", Some(2000L.toDouble), Some(3999L.toDouble))
+      require(kept.size < total,
+        s"data skipping pruned nothing: ${kept.size} of $total files kept")
+      graft.sources.DeltaLog.readRange(s, tbl, "o_orderkey",
+          Some(2000L), Some(3999L))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 2000 AND 3999
+      ORDER BY o_orderkey""")),
+
     // Schema EVOLUTION across parquet files (the long-lived-table reality:
     // a column added mid-stream): one file written before `o_prio_len`
     // existed, one after, read together with mergeSchema — old rows

@@ -92,10 +92,49 @@ object DeltaWrite {
       s""""schemaString":"${jsonEscape(df.schema.json)}",""" +
       """"partitionColumns":[],"configuration":{}}}""")
 
-  private def addAction(f: File): String =
+  /** Per-file column statistics for the add action's `stats` field, in
+    * Delta's format ({"numRecords":N,"minValues":{..},"maxValues":{..},
+    * "nullCount":{..}}), computed from the parquet FOOTER of the file
+    * just written — no data re-read. Restricted to int/long/float/double/
+    * string top-level columns (the exactly-JSON-renderable subset; real
+    * Delta also renders timestamps as ISO strings and truncates long
+    * strings — both omitted here, which only ever makes pruning less
+    * aggressive, never wrong). None when any such column lacks
+    * trustworthy footer stats (NaN floats, pre-PARQUET-251 binary): a
+    * stats-less add is always scanned.
+    */
+  private def fileStats(f: File,
+      schema: org.apache.spark.sql.types.StructType): Option[String] = {
+    import org.apache.spark.sql.types._
+    val cols = schema.fields.filter(_.dataType match {
+      case IntegerType | LongType | FloatType | DoubleType | StringType => true
+      case _ => false
+    }).map(_.name).toSeq
+    if (cols.isEmpty) return None
+    graft.plans.FooterStats.readOne(f.getPath, cols).map { case (rows, per) =>
+      def render(v: Any): String = v match {
+        case b: Array[Byte] =>
+          "\"" + jsonEscape(new String(b, StandardCharsets.UTF_8)) + "\""
+        case other => other.toString
+      }
+      def side(pick: ((Option[Any], Option[Any])) => Option[Any]): String =
+        cols.zip(per).flatMap { case (n, mm) =>
+          pick(mm).map(v => s""""${jsonEscape(n)}":${render(v)}""")
+        }.mkString("{", ",", "}")
+      s"""{"numRecords":$rows,"minValues":${side(_._1)}""" +
+        s""","maxValues":${side(_._2)},"nullCount":{}}"""
+    }
+  }
+
+  private def addAction(f: File, stats: Option[String] = None): String =
     s"""{"add":{"path":"${jsonEscape(f.getName)}","partitionValues":{},""" +
       s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+      stats.fold("")(s => s""""stats":"${jsonEscape(s)}",""") +
       """"dataChange":true}}"""
+
+  private def addWithStats(f: File,
+      schema: org.apache.spark.sql.types.StructType): String =
+    addAction(f, fileStats(f, schema))
 
   /** APPEND `df` as one atomic commit; returns the committed version. */
   def append(df: DataFrame, tablePath: String): Long = {
@@ -106,7 +145,7 @@ object DeltaWrite {
     val existing = commitFiles(logDir)
     val version = if (existing.isEmpty) 0L else existing.map(versionOf).max + 1
     val header = if (version == 0L) headerActions(df) else Seq.empty
-    publish(logDir, version, header ++ files.map(addAction) :+
+    publish(logDir, version, header ++ files.map(addWithStats(_, df.schema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
     version
   }
@@ -185,7 +224,7 @@ object DeltaWrite {
       require(names.contains(name), s"touched file not in live set: $uri")
       s"""{"remove":{"path":"${jsonEscape(name)}","dataChange":true}}"""
     }
-    publish(logDir, version, removes ++ files.map(addAction) :+
+    publish(logDir, version, removes ++ files.map(addWithStats(_, out.schema)) :+
       """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""")
     MergeStats(version, touched.size, files.size, rowsUpdated, rowsInserted)
   }
@@ -215,7 +254,7 @@ object DeltaWrite {
         else p
       s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":true}}"""
     }
-    publish(logDir, version, header ++ removes ++ files.map(addAction) :+
+    publish(logDir, version, header ++ removes ++ files.map(addWithStats(_, df.schema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}""")
     version
   }

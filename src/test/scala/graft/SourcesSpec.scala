@@ -739,6 +739,103 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaLog.liveFiles(spark, tbl).toSet.intersect(after.toSet) === after.toSet)
   }
 
+  test("bloom filter prunes row groups for absent keys where min/max can't") {
+    import graft.operators.Compaction
+    val n = 60000
+    val df = spark.range(n.toLong).select(
+      md5(col("id").cast("string")).as("k"), col("id"))
+    val bloomDir = s"$tmp/bloom_ab/with"
+    val plainDir = s"$tmp/bloom_ab/without"
+    // same data, same block size, same no-dictionary encoding — the ONLY
+    // difference is the bloom filter, so the recordsRead delta is its work
+    Compaction.writeWithBloom(df, bloomDir, Seq("k"),
+      expectedNdv = n.toLong, blockSize = 512L * 1024)
+    df.write.mode("overwrite")
+      .option("parquet.block.size", (512L * 1024).toString)
+      .option("parquet.enable.dictionary", "false")
+      .parquet(plainDir)
+    def recordsRead(dir: String): Long = {
+      val c = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            c.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        // the absent key must sit INSIDE every row group's [min, max]
+        // (any md5 of an unused seed is an interior point of the uniform
+        // hex domain) — an extreme like "fff…f" would be pruned by plain
+        // min/max stats and prove nothing about the bloom filter
+        spark.read.parquet(dir).filter(col("k") === md5(lit("no-such-row")))
+          .write.mode("overwrite").format("noop").save()
+        var last = -1L; var spins = 0
+        while (c.get != last && spins < 40) { last = c.get; spins += 1; Thread.sleep(100) }
+        c.get
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // md5 keys are uniform: every row group's min/max spans ~the whole hex
+    // domain, so the no-bloom twin decodes ~everything for an absent key
+    val without = recordsRead(plainDir)
+    val withBloom = recordsRead(bloomDir)
+    assert(without > n / 2,
+      s"expected the statless layout to decode ~all $n rows, read $without")
+    assert(withBloom * 10 <= without,
+      s"bloom pruned nothing: $withBloom vs $without records")
+    // and presence still answers correctly through the bloom path
+    assert(spark.read.parquet(bloomDir)
+      .filter(col("k") === md5(lit("7"))).count() === 1L)
+  }
+
+  test("Delta data skipping: footer stats in add actions, safe pruning") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_skip_spec"
+    // four single-file commits with disjoint key ranges and one null
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((10L, "c"), (11L, "d")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((20L, "e")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq[(java.lang.Long, String)]((null, "n"))
+      .toDF("id", "v").repartition(1), tbl)
+    // every add action of our writer carries min/max stats
+    val logDir = new java.io.File(tbl, "_delta_log")
+    val logText = logDir.listFiles().filter(_.getName.endsWith(".json"))
+      .flatMap(f => java.nio.file.Files.readString(f.toPath).linesIterator)
+      .mkString("\n")
+    assert(logText.contains("minValues") && logText.contains("maxValues"))
+    // stats parsed back onto the live set
+    val adds = DeltaLog.liveAdds(spark, tbl)
+    assert(adds.count(_.stats.nonEmpty) === 4)
+    // range [10, 12]: only the second file admits it
+    val (kept, total) = DeltaLog.pruneByStats(spark, tbl, "id",
+      Some(10.0), Some(12.0))
+    assert(total === 4)
+    // all-null file has no id entry in minValues → must be KEPT (safety)
+    assert(kept.size === 2,
+      s"expected the matching file + the statless-column file: $kept")
+    val rows = DeltaLog.readRange(spark, tbl, "id", Some(10L), Some(12L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows === Seq(10L, 11L)) // null row filtered by the predicate
+    // a file added WITHOUT stats (foreign writer) is always kept
+    val src = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val extra = new java.io.File(tbl, "foreign-no-stats.parquet")
+    java.nio.file.Files.copy(src.toPath, extra.toPath)
+    DeltaWrite.publish(logDir, 4L, Seq(
+      s"""{"add":{"path":"${extra.getName}","partitionValues":{},""" +
+        s""""size":${extra.length},"modificationTime":0,"dataChange":true}}"""))
+    val (kept2, total2) = DeltaLog.pruneByStats(spark, tbl, "id",
+      Some(100.0), Some(200.0))
+    assert(total2 === 5)
+    assert(kept2.map(_.path).contains(extra.getPath),
+      "stats-less add must never be pruned")
+    // out-of-range probe keeps ONLY the stats-less files (empty result)
+    assert(DeltaLog.readRange(spark, tbl, "id", Some(100L), Some(200L))
+      .count() === 0L)
+  }
+
   test("Iceberg snapshot chain: status filtering, time travel, loud refusals") {
     import graft.sources.IcebergLog
     import graft.sources.IcebergLog.FixtureEntry

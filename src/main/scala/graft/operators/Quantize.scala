@@ -29,12 +29,13 @@ object Quantize {
       .collect()
       .map(r => (r.getDouble(1), r.getDouble(2)))
 
-  private def quantExpr(vec: Column, mns: Seq[Double], mxs: Seq[Double]): Column =
+  private def quantExpr(vec: Column, mns: Seq[Double], mxs: Seq[Double],
+      levels: Double = 255.0): Column =
     transform(vec, (v, i) => {
       val mn = element_at(typedlit(mns), i + 1)
       val mx = element_at(typedlit(mxs), i + 1)
       when(mx === mn, lit(0L))
-        .otherwise(round((v.cast("double") - mn) * 255.0 / (mx - mn)).cast("long"))
+        .otherwise(round((v.cast("double") - mn) * levels / (mx - mn)).cast("long"))
     })
 
   /** (vec_id, qvec) with qvec ∈ [0, 255]^dim. Constant dimensions map
@@ -45,6 +46,33 @@ object Quantize {
     emb.select(col("vec_id"),
       quantExpr(col("embedding"), stats.map(_._1).toSeq,
         stats.map(_._2).toSeq).as("qvec"))
+  }
+
+  /** INT4 with NIBBLE PACKING: the same per-dimension affine map at 16
+    * levels, then two 4-bit codes packed per byte — 64 float32 dims
+    * become 32 bytes, the 8× cut that makes billion-vector indexes
+    * memory-resident (the compressed-storage half of the int8/PQ/BQ
+    * family; dequantize is the same inverse map at 15). Both the
+    * quantize and the pack are per-row array transforms inside codegen:
+    * zero shuffles beyond [[int8Stats]]' dim-sized aggregate. Requires an
+    * even dimension (packing is positional).
+    *
+    * Output long-form (vec_id, byte index j, packed byte b = hi·16+lo)
+    * so an oracle checks the exact storage bytes, not a summary.
+    */
+  def int4Packed(emb: DataFrame): DataFrame = {
+    val stats = int8Stats(emb)
+    require(stats.length % 2 == 0,
+      s"int4 packing needs an even dimension, got ${stats.length}")
+    val q4 = quantExpr(col("embedding"), stats.map(_._1).toSeq,
+      stats.map(_._2).toSeq, levels = 15.0)
+    emb.select(col("vec_id"), q4.as("q4"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(stats.length / 2 - 1)), j =>
+          element_at(col("q4"), j * 2 + 1) * 16 +
+            element_at(col("q4"), j * 2 + 2)).as("packed"))
+      .select(col("vec_id"), posexplode(col("packed")).as(Seq("j", "b")))
+      .select(col("vec_id"), col("j").cast("long").as("j"), col("b"))
   }
 
   /** Inverse map for error analysis: v̂_i = mn_i + q_i·(mx_i − mn_i)/255. */

@@ -948,4 +948,40 @@ object Similarity {
       .distinct()
     (buckets, cand)
   }
+
+  /** HYBRID retrieval: lexical BM25 and vector-cosine rankings fused by
+    * RECIPROCAL RANK FUSION — `rrf(d) = Σ_list 1/(rrfK + rank_list(d))`,
+    * the standard score-free way to combine retrievers whose raw scores
+    * aren't comparable (the default hybrid mode of every current search
+    * stack). A document missing from one list simply contributes nothing
+    * from it.
+    *
+    * Scale shape: the BM25 side moves only postings for the query terms
+    * ([[TextOps.bm25]]); the vector side broadcasts ONE query embedding
+    * ([[bruteForceTopK]] filtered to it); both lists are bounded top-k
+    * cuts before the fusion join, so the full-outer fuse and the final
+    * rank run over ≤ kLex + kVec rows however large the corpus. All
+    * arithmetic is integer ranks and two fixed-order double divisions —
+    * engine-exact, no rounding needed.
+    */
+  def hybridRrf(docs: DataFrame, emb: DataFrame, queryTerms: Seq[String],
+      queryVecId: Long, kLex: Int = 50, kVec: Int = 50, kOut: Int = 20,
+      rrfK: Int = 60): DataFrame = {
+    val lexW = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val lexRank = TextOps.bm25(docs, queryTerms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(kLex)
+      .withColumn("r_lex", row_number().over(lexW).cast("long"))
+      .select(col("doc_id"), col("r_lex"))
+    val vecRank = bruteForceTopK(emb, col("vec_id") === queryVecId, kVec)
+      .select(col("nid").as("doc_id"), col("rank").cast("long").as("r_vec"))
+    val rrf =
+      coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("r_lex")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK.toDouble) + col("r_vec")), lit(0.0))
+    val fused = lexRank.join(vecRank, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("r_lex"), col("r_vec"), rrf.as("rrf"))
+    fused.orderBy(col("rrf").desc, col("doc_id")).limit(kOut)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id")))
+          .cast("long"))
+  }
 }

@@ -472,6 +472,39 @@ object Analytics {
     // the previous): conditional-MIN window cascade, one exchange on
     // user_id. The oracle replays the same strictly-after chain with
     // sequential per-stage joins.
+    // e20: event-TRANSITION matrix (Markov path analysis): per-user
+    // consecutive event-type bigrams → corpus transition counts and
+    // conditional probabilities. One window over the per-user exchange
+    // (ties broken by event_id), then a types²-sized aggregate; the
+    // probability divides exact integer counts (integers are exactly
+    // representable doubles, so the per-from window sum is
+    // order-independent without the decimal detour).
+    QueryDef("e20_event_transitions", (s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val tr = t(s, d, "events")
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      tr.withColumn("p", col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col("from_type")))
+            .cast("double"))
+        .orderBy(col("from_type"), col("to_type"))
+    }, Some("""
+      WITH seq AS (SELECT user_id, event_type,
+          LEAD(event_type) OVER (PARTITION BY user_id
+            ORDER BY make_timestamp(epoch_ns(ts) // 1000), event_id)
+            AS to_type
+        FROM events),
+      tr AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+             FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, CAST(n AS BIGINT) AS n,
+        CAST(n AS DOUBLE) /
+          CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      FROM tr ORDER BY from_type, to_type""")),
+
     QueryDef("e04_funnel", (s, d) => {
       val stages = Seq("view", "click", "purchase")
       graft.streaming.EventStream.funnel(t(s, d, "events"), stages)

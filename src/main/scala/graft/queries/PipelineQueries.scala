@@ -1785,6 +1785,27 @@ object PipelineQueries {
       FROM ed e JOIN st ON st.i = e.i
       ORDER BY vec_id, i""")),
 
+    // qz04: int4 + NIBBLE PACKING — 16-level affine quantization, two
+    // codes per byte (64 float dims → 32 bytes, the memory-resident-index
+    // cut). The oracle recomputes every packed storage byte (hi·16+lo
+    // from the replayed affine map), so the bit layout itself is checked.
+    QueryDef("qz04_int4_pack", (s, d) =>
+      Quantize.int4Packed(Tables.load(s, d, "embeddings"))
+        .orderBy(col("vec_id"), col("j")),
+      Some(s"""
+      WITH $ED,
+      st AS (SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM ed GROUP BY i),
+      q4 AS (SELECT e.vec_id, e.i,
+          CAST(CASE WHEN st.mx = st.mn THEN 0
+               ELSE ROUND((e.v - st.mn) * 15.0 / (st.mx - st.mn))
+               END AS BIGINT) AS q
+        FROM ed e JOIN st ON st.i = e.i)
+      SELECT a.vec_id AS vec_id, CAST((a.i - 1) / 2 AS BIGINT) AS j,
+        a.q * 16 + b.q AS b
+      FROM q4 a JOIN q4 b ON b.vec_id = a.vec_id AND b.i = a.i + 1
+      WHERE a.i % 2 = 1
+      ORDER BY a.vec_id, j""")),
+
     // Product quantization: 4 blocks of 16 dims, 16 codes per block, 2
     // Lloyd iterations — the same deterministic k-means machinery as a04
     // (seed codes = lowest vec_ids, 6dp-rounded centroid update, ties to
@@ -2449,6 +2470,70 @@ object PipelineQueries {
       SELECT doc_id,
         ROUND(CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE), 6) AS bm25
       FROM contrib GROUP BY doc_id ORDER BY doc_id""")),
+
+    // a18: HYBRID retrieval — BM25 (t17's scorer) and vector cosine
+    // (a01's ranker, one broadcast query embedding) fused by reciprocal
+    // rank fusion, the standard score-free combiner of incomparable
+    // retrievers. Both lists are bounded top-k cuts before the fusion
+    // join, so the fuse runs over ≤ 100 rows however large the corpus;
+    // ranks are integers and the RRF sum is two fixed-order double
+    // divisions — engine-exact, no rounding. The oracle replays BOTH
+    // retrieval chains and the fusion.
+    QueryDef("a18_hybrid_rrf", (s, d) =>
+      Similarity.hybridRrf(Tables.load(s, d, "documents"),
+          Tables.load(s, d, "embeddings"),
+          Seq("spark", "vector", "window"), queryVecId = 3L)
+        .orderBy(col("rank")),
+      Some(s"""
+      WITH dtok AS (SELECT doc_id,
+        unnest(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+          x -> x <> '')) AS term FROM documents),
+      dlen AS (SELECT doc_id, CAST(COUNT(*) AS DOUBLE) AS dl FROM dtok
+               GROUP BY doc_id),
+      hits AS (SELECT doc_id, term FROM dtok
+               WHERE term IN ('spark', 'vector', 'window')),
+      tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM hits
+             GROUP BY doc_id, term),
+      tdf AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+              FROM (SELECT DISTINCT doc_id, term FROM hits) GROUP BY term),
+      stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                  CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) /
+                    CAST(COUNT(*) AS DOUBLE) AS avgdl FROM dlen),
+      contrib AS (SELECT tf.doc_id,
+          ln(1.0 + (st.n_docs - tdf.df + 0.5) / (tdf.df + 0.5)) *
+            tf.tf * (1.2 + 1.0) /
+            (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dd.dl / st.avgdl)) AS c
+        FROM tf JOIN tdf USING (term)
+        JOIN dlen dd ON dd.doc_id = tf.doc_id
+        CROSS JOIN stats st),
+      bscore AS (SELECT doc_id,
+          CAST(SUM(CAST(c AS DECIMAL(38,18))) AS DOUBLE) AS bm25
+        FROM contrib GROUP BY doc_id),
+      lexr AS (SELECT doc_id, r_lex FROM (
+          SELECT doc_id, ROW_NUMBER() OVER
+            (ORDER BY bm25 DESC, doc_id) AS r_lex FROM bscore)
+        WHERE r_lex <= 50),
+      $ED,
+      q AS (SELECT i, v FROM ed WHERE vec_id = 3),
+      dots AS (SELECT x.vec_id AS nid, SUM(q.v * x.v) AS dot
+               FROM q JOIN ed x ON q.i = x.i AND x.vec_id <> 3
+               GROUP BY x.vec_id),
+      sims AS (SELECT nid, dot / (nq.nrm * nx.nrm) AS sim
+               FROM dots
+               JOIN nrm nq ON nq.vec_id = 3
+               JOIN nrm nx ON nx.vec_id = nid),
+      vecr AS (SELECT doc_id, r_vec FROM (
+          SELECT nid AS doc_id, ROW_NUMBER() OVER
+            (ORDER BY sim DESC, nid) AS r_vec FROM sims)
+        WHERE r_vec <= 50),
+      fused AS (SELECT doc_id,
+          CAST(r_lex AS BIGINT) AS r_lex, CAST(r_vec AS BIGINT) AS r_vec,
+          COALESCE(1.0 / (60.0 + r_lex), 0.0) +
+            COALESCE(1.0 / (60.0 + r_vec), 0.0) AS rrf
+        FROM lexr FULL JOIN vecr USING (doc_id))
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, r_lex, r_vec, rrf,
+        CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT) AS rank
+      FROM fused ORDER BY rrf DESC, doc_id LIMIT 20""")),
 
     // Token-window chunking (64-token windows, 16-token overlap → step
     // 48) over REAL BPE tokens — the budget unit a training pipeline

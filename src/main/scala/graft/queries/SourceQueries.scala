@@ -231,6 +231,34 @@ object SourceQueries {
          FROM read_parquet('$stage/bloom_orders/*.parquet')
          WHERE k = md5('absent')) AS n_absent""")),
 
+    // x18: Delta DELETE WHERE — the DML that completes append/overwrite/
+    // merge: copy-on-write at file granularity (the %8 predicate touches
+    // only the even-keys file; the odd file keeps its physical identity —
+    // SourcesSpec pins that). The oracle recomputes the post-delete table
+    // relationally.
+    QueryDef("x18_delta_delete", (s, d) => {
+      val tbl = s"$stage/delta_deleted"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 1), tbl)
+      graft.sources.DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 8 === 0)
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 <> 0
+      ORDER BY o_orderkey""")),
+
     // x17: Delta DATA SKIPPING — add actions carry per-file min/max stats
     // (computed from the just-written parquet FOOTERS, no data re-read);
     // a range scan folds the log, opens only the files whose stats admit

@@ -229,6 +229,58 @@ object DeltaWrite {
     MergeStats(version, touched.size, files.size, rowsUpdated, rowsInserted)
   }
 
+  /** Outcome of a [[deleteWhere]] commit. */
+  final case class DeleteStats(version: Long, filesRewritten: Int,
+      filesAdded: Int, rowsDeleted: Long)
+
+  /** DELETE WHERE: remove the rows matching `predicate` in one atomic
+    * commit, copy-on-write at FILE granularity like [[merge]]: only files
+    * containing at least one matching row are rewritten (as their
+    * surviving rows); files with no match keep their physical identity.
+    * With data skipping stats on the predicate column ([[fileStats]]),
+    * real deployments prune the candidate set before reading — here the
+    * match scan reads each file once and the rewrite reads only touched
+    * files. A fully-deleted file is removed without a replacement; a
+    * predicate matching nothing is a no-op (no empty commit).
+    */
+  def deleteWhere(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column): DeleteStats = {
+    import org.apache.spark.sql.functions.col
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    require(commitFiles(logDir).nonEmpty, s"not a Delta table: $tablePath")
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    require(adds.forall(_.partitionValues.isEmpty),
+      s"deleteWhere supports unpartitioned tables: $tablePath")
+    val target = spark.read.parquet(adds.map(_.path): _*)
+    val touched = target
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .filter(predicate)
+      .select(col("__graft_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    if (touched.isEmpty)
+      return DeleteStats(commitFiles(logDir).map(versionOf).max, 0, 0, 0L)
+    val touchedRows = spark.read.parquet(touched: _*)
+    val rowsDeleted = touchedRows.filter(predicate).count()
+    val survivors = touchedRows.filter(!predicate)
+    // a touched file may lose ALL its rows; only write files if any survive
+    val files =
+      if (survivors.isEmpty) Seq.empty[File]
+      else stageDataFiles(survivors, root)
+    val version = commitFiles(logDir).map(versionOf).max + 1
+    val names = adds.map(a => new File(a.path).getName)
+    val removes = touched.map { uri =>
+      val name = uri.substring(uri.lastIndexOf('/') + 1)
+      require(names.contains(name), s"touched file not in live set: $uri")
+      s"""{"remove":{"path":"${jsonEscape(name)}","dataChange":true}}"""
+    }
+    publish(logDir, version,
+      removes ++ files.map(addWithStats(_, target.schema)) :+
+        """{"commitInfo":{"operation":"DELETE","operationParameters":{}}}""")
+    DeleteStats(version, touched.size, files.size, rowsDeleted)
+  }
+
   /** OVERWRITE: one commit that removes every currently-live file and adds
     * the new ones — readers see the old or the new snapshot, never a mix.
     */

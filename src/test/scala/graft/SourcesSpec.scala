@@ -788,6 +788,35 @@ class SourcesSpec extends SparkSpec {
       .filter(col("k") === md5(lit("7"))).count() === 1L)
   }
 
+  test("Delta delete: file-level CoW, full-file drop, no-op on no match") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_delete_spec"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((10L, "x"), (11L, "y")).toDF("id", "v").repartition(1), tbl)
+    val before = DeltaLog.liveFiles(spark, tbl)
+    // delete id=1: touches only file 1, file 2 keeps its physical identity
+    val st = DeltaWrite.deleteWhere(spark, tbl, col("id") === 1L)
+    assert(st.rowsDeleted === 1L && st.filesRewritten === 1 && st.filesAdded === 1)
+    val after = DeltaLog.liveFiles(spark, tbl)
+    assert(before.filter(after.contains).size === 1)
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 10L, 11L))
+    // pre-delete snapshot still time-travels
+    assert(DeltaLog.read(spark, tbl, Some(1L)).count() === 4L)
+    // predicate wiping a whole file: removed with no replacement
+    val st2 = DeltaWrite.deleteWhere(spark, tbl, col("id") >= 10L)
+    assert(st2.rowsDeleted === 2L && st2.filesRewritten === 1 &&
+      st2.filesAdded === 0)
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // no match: no-op, no new version
+    val v = st2.version
+    val st3 = DeltaWrite.deleteWhere(spark, tbl, col("id") === 999L)
+    assert(st3.version === v && st3.rowsDeleted === 0L)
+  }
+
   test("Delta data skipping: footer stats in add actions, safe pruning") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -39,6 +39,8 @@ object PerfProbe {
           fn.run(spark, sfDir).queryExecution.executedPlan.toString)
       (1 to 2).foreach { i =>
         spark.catalog.clearCache() // measure the full pipeline every run
+        // also drop leaked localCheckpoint blocks (not catalog-tracked)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         stages.clear()
         val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
           .asInstanceOf[com.sun.management.OperatingSystemMXBean]

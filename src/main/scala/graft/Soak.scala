@@ -85,6 +85,35 @@ object Soak {
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
   }
 
+  /** Synthetic events at 10× the sf0.1 shape (1M rows over 30 days,
+    * five types, zipfy users) so the event-analytics operators soak too.
+    */
+  private def genEvents(spark: SparkSession, n: Long, out: String): Unit = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType, nullable = false),
+      StructField("ts", TimestampType, nullable = false),
+      StructField("user_id", LongType, nullable = false),
+      StructField("event_type", StringType, nullable = false),
+      StructField("value", DoubleType, nullable = false),
+      StructField("props", StringType, nullable = false)))
+    val types = Array("view", "click", "cart", "purchase", "refund")
+    val t0 = 1704067200000000L // 2024-01-01 UTC, micros
+    val span = 30L * 24 * 3600 * 1000000L
+    val rdd = spark.range(n).rdd.map { idBoxed =>
+      val id: Long = idBoxed
+      val rnd = new java.util.Random(id * 6364136223846793005L + 1442695040888963407L)
+      val ts = new java.sql.Timestamp(0L)
+      val micros = t0 + (math.abs(rnd.nextLong()) % span)
+      ts.setTime(micros / 1000)
+      ts.setNanos(((micros % 1000000L) * 1000L).toInt)
+      Row(id, ts, math.abs(rnd.nextLong()) % (n / 10),
+        types(rnd.nextInt(types.length)), rnd.nextInt(10000) / 100.0,
+        s"""{"k":${rnd.nextInt(100)}}""")
+    }
+    spark.createDataFrame(rdd, schema)
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("target/sf1")
     val spark = SparkSession.builder()
@@ -100,6 +129,7 @@ object Soak {
       println(s"[soak] generating sf1 corpus into $out ...")
       genDocuments(spark, 50000L, out)
       genEmbeddings(spark, 20000L, 64, out)
+      genEvents(spark, 1000000L, out)
       // TPC-H sf1 in the flat testdata layout the queries read
       graft.core.TpchGen.tpchTables.foreach { t =>
         core.TpchDataGen.generators(t)(spark, 1.0)
@@ -145,7 +175,15 @@ object Soak {
       "t18_vocab_coverage" -> 0.69, "t19_readability" -> 0.62,
       "m07_mp4_headers" -> 0.32, "a13_mmr" -> 1.04,
       "f06_hll_sketches" -> 0.41,
-      "d13b_containment_capped" -> 1.10, "c07_corpus_report" -> 0.81)
+      "d13b_containment_capped" -> 1.10, "c07_corpus_report" -> 0.81,
+      // round-12 third batch (PerfProbe warm run2 at sf0.1; qz04 after
+      // the per-element-quantize rewrite)
+      "t20_zipf_fit" -> 0.76, "a16_triangle_count" -> 3.28,
+      "a18_hybrid_rrf" -> 0.93, "qz04_int4_pack" -> 1.61,
+      "e20_event_transitions" -> 0.50, "x16_delta_merge" -> 1.68,
+      "x17_delta_skip" -> 0.68, "x18_delta_delete" -> 1.12,
+      "p03_footer_minmax" -> 0.11, "p04_bloom_lookup" -> 0.50,
+      "a16b_triangle_capped" -> 2.10, "x19_delta_vacuum" -> 1.75)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -169,11 +207,23 @@ object Soak {
       "cnt03_bloom_decontaminate", "d13_containment",
       "c05_quality_classifier", "smp08_epoch_mix", "t18_vocab_coverage",
       "t19_readability", "m07_mp4_headers", "a13_mmr", "f06_hll_sketches",
-      "d13b_containment_capped", "c07_corpus_report")
+      "d13b_containment_capped", "c07_corpus_report",
+      "t20_zipf_fit", "a16_triangle_count", "a18_hybrid_rrf",
+      "qz04_int4_pack", "e20_event_transitions", "x16_delta_merge",
+      "x17_delta_skip", "x18_delta_delete", "p03_footer_minmax",
+      "p04_bloom_lookup", "a16b_triangle_capped", "x19_delta_vacuum")
+
+    if (!new java.io.File(s"$out/events.parquet").exists())
+      genEvents(spark, 1000000L, out) // corpora generated before events joined
 
     var total = 0.0
     queries.foreach { name =>
       spark.catalog.clearCache()
+      // drop leaked localCheckpoint blocks from the previous query: the
+      // catalog cache doesn't track them, and across a 64-query session
+      // they accumulate until the heap OOMs (observed on a back-to-back
+      // soak re-run in one JVM) — the same leak a long-lived server hits
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       val t0 = System.nanoTime()
       val status =
         try {

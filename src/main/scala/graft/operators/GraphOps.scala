@@ -222,8 +222,9 @@ object GraphOps {
     * composed near-duplicate-clique / outlier detector.
     */
   def knnTriangles(emb: DataFrame, k: Int = 5, planes: Int = 64,
-      bands: Int = 16, dim: Int = -1): DataFrame = {
-    val edges = Similarity.knnGraph(emb, k, planes, bands, dim)
+      bands: Int = 16, dim: Int = -1,
+      maxBucketSize: Long = Long.MaxValue): DataFrame = {
+    val edges = Similarity.knnGraph(emb, k, planes, bands, dim, maxBucketSize)
       .select(col("qid").as("src"), col("nid").as("dst"))
     triangleCounts(edges, emb.select(col("vec_id").as("id")))
       .select(col("id").cast("long").as("vec_id"), col("degree"),

@@ -64,13 +64,23 @@ object Quantize {
     val stats = int8Stats(emb)
     require(stats.length % 2 == 0,
       s"int4 packing needs an even dimension, got ${stats.length}")
-    val q4 = quantExpr(col("embedding"), stats.map(_._1).toSeq,
-      stats.map(_._2).toSeq, levels = 15.0)
-    emb.select(col("vec_id"), q4.as("q4"))
-      .select(col("vec_id"),
+    val mns = stats.map(_._1).toSeq
+    val mxs = stats.map(_._2).toSeq
+    // quantize PER ELEMENT inside the pack expression rather than staging
+    // a q4 array column: projection collapse would substitute a staged
+    // array's full dim-sized transform into every one of the d/2 byte
+    // expressions (O(d²) work per row — observed 18× slower); this form
+    // touches exactly two embedding elements per byte
+    def quantAt(idx: Column): Column = {
+      val mn = element_at(typedlit(mns), idx)
+      val mx = element_at(typedlit(mxs), idx)
+      val v = element_at(col("embedding"), idx).cast("double")
+      when(mx === mn, lit(0L))
+        .otherwise(round((v - mn) * 15.0 / (mx - mn)).cast("long"))
+    }
+    emb.select(col("vec_id"),
         transform(sequence(lit(0), lit(stats.length / 2 - 1)), j =>
-          element_at(col("q4"), j * 2 + 1) * 16 +
-            element_at(col("q4"), j * 2 + 2)).as("packed"))
+          quantAt(j * 2 + 1) * 16 + quantAt(j * 2 + 2)).as("packed"))
       .select(col("vec_id"), posexplode(col("packed")).as(Seq("j", "b")))
       .select(col("vec_id"), col("j").cast("long").as("j"), col("b"))
   }

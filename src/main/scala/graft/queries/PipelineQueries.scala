@@ -1534,6 +1534,83 @@ object PipelineQueries {
       SELECT CAST(id AS BIGINT) AS vec_id, ROUND(pr, 9) AS pagerank
       FROM pr3 ORDER BY vec_id""")),
 
+    // a16b: the PRODUCTION form of a16 — the same triangle census over
+    // the knn graph built with d06b's hot-bucket cap (buckets holding
+    // > 30 vectors are excluded from candidate generation), which is
+    // what bounds the LSH self-join at corpus scale: a16 uncapped soaks
+    // super-linear at sf1 exactly like d06 (the candidate stage, not the
+    // wedge join, is the quadratic demonstration). The oracle replays
+    // the capped chain end to end, so the recall trade is hash-checked.
+    QueryDef("a16b_triangle_capped", (s, d) =>
+      GraphOps.knnTriangles(Tables.load(s, d, "embeddings"), k = 5,
+          dim = 64, maxBucketSize = 30)
+        .orderBy(col("vec_id")),
+      Some(s"""
+      WITH $ED,
+      planes AS (SELECT pr.p, ir.i,
+            CASE WHEN ascii(substring(md5(CAST(pr.p AS VARCHAR) || ':' ||
+                   CAST(ir.i AS VARCHAR)), 1, 1)) % 2 = 1
+                 THEN 1.0 ELSE -1.0 END AS s
+          FROM (SELECT unnest(range(0, 64)) AS p) pr,
+               (SELECT DISTINCT i FROM ed) ir),
+      proj AS (SELECT ed.vec_id, pl.p, SUM(ed.v * pl.s) AS dot
+               FROM ed JOIN planes pl ON pl.i = ed.i GROUP BY ed.vec_id, pl.p),
+      sig AS (SELECT vec_id,
+                string_agg(CASE WHEN dot >= 0 THEN '1' ELSE '0' END, ''
+                  ORDER BY p) AS bits
+              FROM proj GROUP BY vec_id),
+      buckets AS (SELECT vec_id, b AS band, substring(bits, b*4+1, 4) AS bucket
+                  FROM sig, (SELECT unnest(range(0, 16)) AS b) bb),
+      cold AS (SELECT band, bucket FROM buckets
+               GROUP BY band, bucket HAVING COUNT(*) <= 30),
+      jb AS (SELECT bk.vec_id, bk.band, bk.bucket FROM buckets bk
+             JOIN cold cd ON cd.band = bk.band AND cd.bucket = bk.bucket),
+      cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+               FROM jb x JOIN jb y
+                 ON x.band = y.band AND x.bucket = y.bucket
+                    AND x.vec_id < y.vec_id),
+      dots AS (SELECT c.a, c.b, SUM(xa.v * xb.v) AS dot
+               FROM cand c JOIN ed xa ON xa.vec_id = c.a
+               JOIN ed xb ON xb.vec_id = c.b AND xb.i = xa.i
+               GROUP BY c.a, c.b),
+      sims AS (SELECT a, b, dot/(na.nrm*nb.nrm) AS sim
+               FROM dots
+               JOIN nrm na ON na.vec_id = a
+               JOIN nrm nb ON nb.vec_id = b),
+      directed AS (SELECT a AS qid, b AS nid, sim FROM sims
+                   UNION ALL
+                   SELECT b AS qid, a AS nid, sim FROM sims),
+      ranked AS (SELECT qid, nid, sim,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                     ORDER BY sim DESC, nid) AS rank
+                 FROM directed),
+      edges AS (SELECT qid AS src, nid AS dst FROM ranked WHERE rank <= 5),
+      und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+              FROM edges WHERE src <> dst),
+      degs AS (SELECT id, COUNT(*) AS degree FROM
+                 (SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und)
+               GROUP BY id),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM und e1
+              JOIN und e2 ON e2.a = e1.b
+              JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      perv AS (SELECT id, COUNT(*) AS triangles FROM
+                 (SELECT x AS id FROM tri UNION ALL
+                  SELECT y AS id FROM tri UNION ALL
+                  SELECT z AS id FROM tri)
+               GROUP BY id)
+      SELECT CAST(v.vec_id AS BIGINT) AS vec_id,
+        CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree,
+        CAST(COALESCE(p.triangles, 0) AS BIGINT) AS triangles,
+        CASE WHEN COALESCE(d.degree, 0) >= 2
+          THEN 2.0 * CAST(COALESCE(p.triangles, 0) AS DOUBLE) /
+               (CAST(d.degree AS DOUBLE) * (CAST(d.degree AS DOUBLE) - 1.0))
+          ELSE 0.0 END AS clustering
+      FROM (SELECT DISTINCT vec_id FROM embeddings) v
+      LEFT JOIN degs d ON d.id = v.vec_id
+      LEFT JOIN perv p ON p.id = v.vec_id
+      ORDER BY vec_id""")),
+
     // a16: TRIANGLE COUNT + local clustering coefficient over the same
     // knn graph — community density next to a12's centrality (triangle-
     // dense neighborhoods = near-duplicate cliques). Spark uses the

@@ -259,6 +259,43 @@ object SourceQueries {
       FROM orders WHERE o_orderkey % 8 <> 0
       ORDER BY o_orderkey""")),
 
+    // x19: Delta VACUUM — the space-reclaim pass closing the table
+    // lifecycle (append → merge → delete leave tombstoned files; vacuum
+    // physically drops them). The in-query requires pin that vacuum
+    // removed at least one tombstone and that the live snapshot's bytes
+    // were untouched; the oracle re-derives the final table — identical
+    // to reading it before the vacuum, which is the whole point.
+    QueryDef("x19_delta_vacuum", (s, d) => {
+      val tbl = s"$stage/delta_vacuumed"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 1), tbl)
+      graft.sources.DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 8 === 0)
+      val removed = graft.sources.DeltaWrite.vacuum(s, tbl, olderThanMs = 0L)
+      require(removed.nonEmpty, "vacuum reclaimed no tombstoned files")
+      val onDisk = Option(new java.io.File(tbl).listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val live = graft.sources.DeltaLog.liveFiles(s, tbl)
+      require(onDisk == live.size,
+        s"vacuum left $onDisk data files on disk for ${live.size} live")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 <> 0
+      ORDER BY o_orderkey""")),
+
     // x17: Delta DATA SKIPPING — add actions carry per-file min/max stats
     // (computed from the just-written parquet FOOTERS, no data re-read);
     // a range scan folds the log, opens only the files whose stats admit

@@ -188,7 +188,12 @@ object DeltaWrite {
     val cols = target.columns.toSeq
     require(source.columns.sorted.sameElements(cols.sorted),
       s"source columns ${source.columns.mkString(",")} != table ${cols.mkString(",")}")
-    val src = source.select(cols.map(col): _*)
+    // cast the batch to the TABLE's exact types (real Delta's implicit
+    // whenMatched cast): without it a wider-typed batch would rewrite
+    // touched files in a different physical type than the untouched
+    // files keep, and the next snapshot read would fail on the mix
+    val src = source.select(cols.map(c =>
+      col(c).cast(target.schema(c).dataType).as(c)): _*)
     val dup = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count()
     require(dup == 0L,
@@ -279,6 +284,35 @@ object DeltaWrite {
       removes ++ files.map(addWithStats(_, target.schema)) :+
         """{"commitInfo":{"operation":"DELETE","operationParameters":{}}}""")
     DeleteStats(version, touched.size, files.size, rowsDeleted)
+  }
+
+  /** VACUUM: physically delete data files no longer referenced by the
+    * CURRENT snapshot — the space-reclaim pass after merge/delete/
+    * overwrite leave tombstoned files behind. Like real Delta's
+    * `VACUUM`, this trades history for space: time travel to versions
+    * that referenced a vacuumed file will fail (loudly, at read time —
+    * the log itself is untouched, so version listing still works).
+    * `olderThanMs` is the retention guard: only tombstoned files whose
+    * modification time is at least this old are deleted (real Delta
+    * defaults to 7 days to protect in-flight readers; tests pass 0).
+    * Returns the deleted file names. Never touches live files, the log,
+    * or non-data files.
+    */
+  def vacuum(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    require(commitFiles(logDir).nonEmpty, s"not a Delta table: $tablePath")
+    val live = DeltaLog.liveAdds(spark, tablePath)
+      .map(a => new File(a.path).getName).toSet
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val candidates = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !live.contains(f.getName) && f.lastModified <= cutoff)
+    candidates.map { f =>
+      Files.delete(f.toPath)
+      f.getName
+    }.toSeq
   }
 
   /** OVERWRITE: one commit that removes every currently-live file and adds

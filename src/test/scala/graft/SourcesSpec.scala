@@ -817,6 +817,36 @@ class SourcesSpec extends SparkSpec {
     assert(st3.version === v && st3.rowsDeleted === 0L)
   }
 
+  test("Delta vacuum: reclaims only aged tombstones, live files and log untouched") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_vacuum_spec"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((10L, "x")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.deleteWhere(spark, tbl, col("id") === 1L)
+    val live = DeltaLog.liveFiles(spark, tbl).map(new java.io.File(_).getName).toSet
+    def diskFiles() = new java.io.File(tbl).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(diskFiles().size === 3) // two originals + the rewrite; one tombstoned
+    // retention guard: a young tombstone survives a 1-day-retention vacuum
+    assert(DeltaWrite.vacuum(spark, tbl, olderThanMs = 86400000L).isEmpty)
+    assert(diskFiles().size === 3)
+    // zero retention: exactly the tombstone goes; live set intact
+    val removed = DeltaWrite.vacuum(spark, tbl, olderThanMs = 0L)
+    assert(removed.size === 1 && !live.contains(removed.head))
+    assert(diskFiles() === live)
+    // current snapshot still reads; vacuumed history fails LOUDLY
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 10L))
+    val e = intercept[Exception] {
+      DeltaLog.read(spark, tbl, Some(0L)).collect()
+    }
+    assert(e.getMessage != null)
+    // idempotent: nothing left to reclaim
+    assert(DeltaWrite.vacuum(spark, tbl, olderThanMs = 0L).isEmpty)
+  }
+
   test("Delta data skipping: footer stats in add actions, safe pruning") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -183,7 +183,9 @@ object Soak {
       "e20_event_transitions" -> 0.50, "x16_delta_merge" -> 1.68,
       "x17_delta_skip" -> 0.68, "x18_delta_delete" -> 1.12,
       "p03_footer_minmax" -> 0.11, "p04_bloom_lookup" -> 0.50,
-      "a16b_triangle_capped" -> 2.10, "x19_delta_vacuum" -> 1.75)
+      "a16b_triangle_capped" -> 2.10, "x19_delta_vacuum" -> 1.75,
+      "c08_token_fertility" -> 0.80, "e21_user_growth" -> 0.74,
+      "f07_count_min" -> 1.64)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -211,7 +213,8 @@ object Soak {
       "t20_zipf_fit", "a16_triangle_count", "a18_hybrid_rrf",
       "qz04_int4_pack", "e20_event_transitions", "x16_delta_merge",
       "x17_delta_skip", "x18_delta_delete", "p03_footer_minmax",
-      "p04_bloom_lookup", "a16b_triangle_capped", "x19_delta_vacuum")
+      "p04_bloom_lookup", "a16b_triangle_capped", "x19_delta_vacuum",
+      "c08_token_fertility", "e21_user_growth", "f07_count_min")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

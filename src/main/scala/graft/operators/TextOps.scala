@@ -736,6 +736,28 @@ object TextOps {
         col("lang").as("actual_lang"))
   }
 
+  /** Tokenizer FERTILITY by language: BPE tokens emitted per whitespace
+    * word — the standard tokenizer-fit diagnostic (a language far above
+    * the corpus mean pays disproportionate sequence length for the same
+    * content; the signal that drives vocab rebalancing). One narrow pass
+    * computing both counts per row, then a langs-sized aggregate;
+    * fertility divides exact long sums, so the double is engine-exact.
+    */
+  def tokenFertility(docs: DataFrame): DataFrame = {
+    graft.functions.NativeFunctions.register(docs.sparkSession)
+    docs.select(col("lang"),
+        size(filter(tokens(col("text")), w => w =!= ""))
+          .cast("long").as("nw"),
+        size(bpeTokens(col("text"))).cast("long").as("nt"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_words"),
+        sum(col("nt")).as("n_tokens"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("n_words").cast("double"))
+          .as("fertility"))
+  }
+
   /** Zipf power-law fit over the corpus word-frequency distribution: OLS
     * of ln(freq) on ln(rank) across the `topK` most frequent word types —
     * a one-row corpus health statistic (natural-language corpora sit near

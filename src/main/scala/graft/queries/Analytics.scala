@@ -472,6 +472,42 @@ object Analytics {
     // the previous): conditional-MIN window cascade, one exchange on
     // user_id. The oracle replays the same strictly-after chain with
     // sequential per-stage joins.
+    // e21: USER GROWTH — daily new / active / cumulative / returning
+    // users, the product-analytics daily rollup. First-seen is one
+    // user-keyed aggregate, the dailies are day-keyed, and the running
+    // cumulative window folds ~30 day rows (single-partition by
+    // construction, days not events).
+    QueryDef("e21_user_growth", (s, d) => {
+      val e = t(s, d, "events")
+      val newu = e.groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .groupBy(date_format(col("first_ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val dau = e.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+      dau.join(newu, Seq("day"), "left")
+        .select(col("day"), col("active_users"),
+          coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("cum_users",
+          sum(col("new_users")).over(Window.orderBy(col("day"))))
+        .withColumn("returning", col("active_users") - col("new_users"))
+        .orderBy(col("day"))
+    }, Some("""
+      WITH ev AS (SELECT user_id,
+              make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+      fu AS (SELECT user_id, MIN(ts) AS first_ts FROM ev GROUP BY user_id),
+      nu AS (SELECT strftime(first_ts, '%Y-%m-%d') AS day,
+               COUNT(*) AS new_users FROM fu GROUP BY 1),
+      da AS (SELECT strftime(ts, '%Y-%m-%d') AS day,
+               COUNT(DISTINCT user_id) AS active_users FROM ev GROUP BY 1)
+      SELECT da.day, CAST(da.active_users AS BIGINT) AS active_users,
+        CAST(COALESCE(nu.new_users, 0) AS BIGINT) AS new_users,
+        CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY da.day)
+          AS BIGINT) AS cum_users,
+        CAST(da.active_users - COALESCE(nu.new_users, 0) AS BIGINT)
+          AS returning
+      FROM da LEFT JOIN nu ON nu.day = da.day ORDER BY da.day""")),
+
     // e20: event-TRANSITION matrix (Markov path analysis): per-user
     // consecutive event-type bigrams → corpus transition counts and
     // conditional probabilities. One window over the per-user exchange

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Curation, Dedup, GraphOps, Multimodal, Packing, Quantize, Sampling, Similarity, TextOps}
+import graft.operators.{Curation, Dedup, GraphOps, Multimodal, Packing, Quantize, Sampling, Similarity, Sketch, TextOps}
 
 /** Verifiable wrappers over the training-data pipeline operators
   * (graft.operators): text analysis, dedup family, similarity search,
@@ -759,6 +759,70 @@ object PipelineQueries {
           ELSE 0.0 END AS oov_rate
       FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
       ORDER BY d.doc_id""")),
+
+    // f07: COUNT-MIN sketch — the mergeable heavy-hitter estimator next
+    // to f06's HLL: d×w counter grid (KBs at any corpus size), one
+    // (j,bucket)-keyed shuffle whose map-side partial agg IS the
+    // per-partition sketch merge. Estimates MIN over d cells and can
+    // only over-count; probed on the exact top-20 words so the oracle
+    // checks every cell hash, every estimate, and the never-under
+    // invariant.
+    QueryDef("f07_count_min", (s, d) => {
+      val words = Tables.load(s, d, "documents")
+        .select(explode(TextOps.tokens(lower(trim(col("text"))))).as("w"))
+        .filter(col("w") =!= "")
+      val sketch = Sketch.countMin(words, col("w"))
+      val top = words.groupBy(col("w")).agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("w")).limit(20)
+        .withColumnRenamed("w", "k")
+      Sketch.cmEstimate(sketch, top.select(col("k")))
+        .join(top, Seq("k"))
+        .select(col("k").as("w"), col("exact"), col("est"),
+          (col("est") >= col("exact")).as("never_under"))
+        .orderBy(col("w"))
+    }, Some("""
+      WITH tok AS (SELECT unnest(list_filter(
+          string_split_regex(lower(trim(text)), '\s+'), x -> x <> '')) AS w
+        FROM documents),
+      jj AS (SELECT unnest(range(0, 4)) AS j),
+      cells AS (SELECT j,
+          ('0x' || substring(md5(CAST(j AS VARCHAR) || ':' || w), 1, 4))
+            ::BIGINT % 256 AS bucket,
+          COUNT(*) AS cnt
+        FROM tok, jj GROUP BY 1, 2),
+      topw AS (SELECT w, COUNT(*) AS exact FROM tok GROUP BY w
+               ORDER BY exact DESC, w LIMIT 20),
+      est AS (SELECT t.w, t.exact, MIN(c.cnt) AS est
+        FROM topw t
+        CROSS JOIN jj
+        JOIN cells c ON c.j = jj.j AND c.bucket =
+          ('0x' || substring(md5(CAST(jj.j AS VARCHAR) || ':' || t.w), 1, 4))
+            ::BIGINT % 256
+        GROUP BY t.w, t.exact)
+      SELECT w, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est,
+        est >= exact AS never_under
+      FROM est ORDER BY w""")),
+
+    // c08: tokenizer FERTILITY by language — BPE tokens per whitespace
+    // word, the tokenizer-fit diagnostic behind vocab rebalancing. The
+    // oracle replays the full merge-loop BPE per word (the t05/t11
+    // machinery), so the fertility ratio is checked against a true
+    // re-tokenization, not a count heuristic.
+    QueryDef("c08_token_fertility", (s, d) =>
+      TextOps.tokenFertility(Tables.load(s, d, "documents"))
+        .orderBy(col("lang")),
+      Some(s"""
+      WITH RECURSIVE $BPE,
+      per AS (SELECT d.doc_id, d.lang,
+          len(list_filter(string_split_regex(trim(d.text), '\\s+'),
+            x -> x <> '')) AS nw,
+          COALESCE(len(b.tk), 0) AS nt
+        FROM documents d LEFT JOIN btoks b ON b.doc_id = d.doc_id)
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(nw) AS BIGINT) AS n_words,
+        CAST(SUM(nt) AS BIGINT) AS n_tokens,
+        CAST(SUM(nt) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS fertility
+      FROM per GROUP BY lang ORDER BY lang""")),
 
     // t20: Zipf power-law fit — OLS of ln(freq) on ln(rank) over the
     // top-500 word types, a one-row corpus health statistic. The corpus

@@ -331,6 +331,83 @@ object SourceQueries {
       FROM orders WHERE o_orderkey BETWEEN 2000 AND 3999
       ORDER BY o_orderkey""")),
 
+    // x20: Delta CHECKPOINT + LOG EXPIRY — the log-compaction lifecycle a
+    // long-lived table needs: four commits, a parquet checkpoint at the
+    // head version, then retention cleanup DELETES every JSON commit the
+    // checkpoint covers (pinned in-query), then one MORE append proves
+    // the version counter survives cleanup (the checkpoint, not the JSON
+    // list, carries it). The final read is seeded from the checkpoint
+    // alone plus the one post-cleanup commit — O(1) snapshot resolution
+    // where a 10⁴-commit table would otherwise replay every JSON on
+    // every read. The oracle re-derives the expected table relationally.
+    QueryDef("x20_delta_checkpoint", (s, d) => {
+      val tbl = s"$stage/delta_checkpointed"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 to 2).foreach(m =>
+        graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 4 === m), tbl))
+      graft.sources.DeltaWrite.deleteWhere(s, tbl, col("o_orderkey") % 8 === 1)
+      val cpV = graft.sources.DeltaWrite.checkpoint(s, tbl)
+      require(cpV == 3L, s"checkpoint at unexpected version $cpV")
+      val expired = graft.sources.DeltaWrite.expireLog(tbl)
+      require(expired.size == 4,
+        s"log expiry removed ${expired.size} commits, expected 4")
+      // the version counter must survive cleanup: next commit is 4, not 0
+      val v = graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 3), tbl)
+      require(v == 4L, s"post-cleanup append landed at version $v, expected 4")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 <> 1
+      ORDER BY o_orderkey""")),
+
+    // x21: Delta RESTORE — the metadata-only undo: append evens (v0),
+    // OVERWRITE with odds (v1, the "bad write"), restore to v0 (v2: one
+    // commit re-adding v0's files and removing v1's — no data file read,
+    // written or moved, so restoring a 100 TB table costs one log
+    // append). The read after restore must equal v0's content (oracle);
+    // the in-query require pins that the bad version STAYS time-
+    // travelable — restore preserves history, unlike vacuum.
+    QueryDef("x21_delta_restore", (s, d) => {
+      val tbl = s"$stage/delta_restored"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sources.DeltaWrite.overwrite(o.filter(col("o_orderkey") % 2 === 1), tbl)
+      val st = graft.sources.DeltaWrite.restoreTo(s, tbl, 0L)
+      require(st.version == 2L && st.filesReAdded > 0 && st.filesRemoved > 0,
+        s"restore commit looks wrong: $st")
+      // history preserved: the overwritten snapshot is still readable
+      val badRows = graft.sources.DeltaLog.read(s, tbl, versionAsOf = Some(1L))
+        .count()
+      require(badRows > 0, "restore destroyed the bad version's history")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      ORDER BY o_orderkey""")),
+
     // Schema EVOLUTION across parquet files (the long-lived-table reality:
     // a column added mid-stream): one file written before `o_prio_len`
     // existed, one after, read together with mergeSchema — old rows

@@ -336,7 +336,7 @@ object DeltaLog {
     }
 
   /** `_last_checkpoint` is a one-line JSON `{"version": N, ...}`. */
-  private def lastCheckpointVersion(logDir: File): Option[Long] = {
+  private[sources] def lastCheckpointVersion(logDir: File): Option[Long] = {
     val f = new File(logDir, "_last_checkpoint")
     if (!f.isFile) None
     else MiniJson.parseObject(

@@ -43,6 +43,26 @@ object DeltaWrite {
     Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.matches("""\d{20}\.json"""))
 
+  /** Next commit version: one past the newest version the log knows —
+    * JSON commits OR the checkpoint. After a log-retention cleanup
+    * ([[expireLog]]) the checkpoint may be the ONLY record of the
+    * version counter; ignoring it would restart at 0 and corrupt the
+    * table (two incompatible version-0 commits).
+    */
+  private def nextVersion(logDir: File): Long = {
+    val known = commitFiles(logDir).map(versionOf) ++
+      DeltaLog.lastCheckpointVersion(logDir)
+    if (known.isEmpty) 0L else known.max + 1
+  }
+
+  /** A log is a table once it has any commit record — JSON commits or a
+    * checkpoint that survived log cleanup.
+    */
+  private def requireTable(logDir: File, tablePath: String): Unit =
+    require(commitFiles(logDir).nonEmpty ||
+        DeltaLog.lastCheckpointVersion(logDir).isDefined,
+      s"not a Delta table: $tablePath")
+
   /** Write `df`'s rows as parquet under the table root (staged then moved
     * to uuid names), returning the published-in-root file names.
     */
@@ -142,8 +162,7 @@ object DeltaWrite {
     val logDir = new File(root, "_delta_log")
     logDir.mkdirs()
     val files = stageDataFiles(df, root)
-    val existing = commitFiles(logDir)
-    val version = if (existing.isEmpty) 0L else existing.map(versionOf).max + 1
+    val version = nextVersion(logDir)
     val header = if (version == 0L) headerActions(df) else Seq.empty
     publish(logDir, version, header ++ files.map(addWithStats(_, df.schema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
@@ -180,7 +199,7 @@ object DeltaWrite {
     val spark = source.sparkSession
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
-    require(commitFiles(logDir).nonEmpty, s"not a Delta table: $tablePath")
+    requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.forall(_.partitionValues.isEmpty),
       s"merge supports unpartitioned tables: $tablePath")
@@ -200,7 +219,7 @@ object DeltaWrite {
       "merge source has multiple rows for the same key (ambiguous match)")
     val srcCount = src.count()
     if (srcCount == 0L) // empty batch: a no-op, not an empty commit
-      return MergeStats(commitFiles(logDir).map(versionOf).max, 0, 0, 0L, 0L)
+      return MergeStats(nextVersion(logDir) - 1, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(col): _*)
     // touched files: bounded by live-file count (same driver-state class
     // as the log listing itself)
@@ -219,8 +238,7 @@ object DeltaWrite {
     val rowsInserted = srcCount - rowsUpdated
     val out = survivors.fold(src)(_.unionByName(src))
     val files = stageDataFiles(out, root)
-    val existing = commitFiles(logDir)
-    val version = existing.map(versionOf).max + 1
+    val version = nextVersion(logDir)
     val names = adds.map(a => new File(a.path).getName)
     val removes = touched.map { uri =>
       // metadata paths are qualified URIs; recorded add paths are
@@ -254,7 +272,7 @@ object DeltaWrite {
     import org.apache.spark.sql.functions.col
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
-    require(commitFiles(logDir).nonEmpty, s"not a Delta table: $tablePath")
+    requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.forall(_.partitionValues.isEmpty),
       s"deleteWhere supports unpartitioned tables: $tablePath")
@@ -265,7 +283,7 @@ object DeltaWrite {
       .select(col("__graft_file")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty)
-      return DeleteStats(commitFiles(logDir).map(versionOf).max, 0, 0, 0L)
+      return DeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
     val touchedRows = spark.read.parquet(touched: _*)
     val rowsDeleted = touchedRows.filter(predicate).count()
     val survivors = touchedRows.filter(!predicate)
@@ -273,7 +291,7 @@ object DeltaWrite {
     val files =
       if (survivors.isEmpty) Seq.empty[File]
       else stageDataFiles(survivors, root)
-    val version = commitFiles(logDir).map(versionOf).max + 1
+    val version = nextVersion(logDir)
     val names = adds.map(a => new File(a.path).getName)
     val removes = touched.map { uri =>
       val name = uri.substring(uri.lastIndexOf('/') + 1)
@@ -302,7 +320,7 @@ object DeltaWrite {
       olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
-    require(commitFiles(logDir).nonEmpty, s"not a Delta table: $tablePath")
+    requireTable(logDir, tablePath)
     val live = DeltaLog.liveAdds(spark, tablePath)
       .map(a => new File(a.path).getName).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
@@ -324,11 +342,11 @@ object DeltaWrite {
     logDir.mkdirs()
     val spark = df.sparkSession
     val prior =
-      if (commitFiles(logDir).isEmpty) Seq.empty
+      if (commitFiles(logDir).isEmpty &&
+        DeltaLog.lastCheckpointVersion(logDir).isEmpty) Seq.empty
       else DeltaLog.liveAdds(spark, tablePath).map(_.path)
     val files = stageDataFiles(df, root)
-    val existing = commitFiles(logDir)
-    val version = if (existing.isEmpty) 0L else existing.map(versionOf).max + 1
+    val version = nextVersion(logDir)
     val header = if (version == 0L) headerActions(df) else Seq.empty
     val rootPath = root.getAbsolutePath
     val removes = prior.map { p =>
@@ -343,5 +361,148 @@ object DeltaWrite {
     publish(logDir, version, header ++ removes ++ files.map(addWithStats(_, df.schema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}""")
     version
+  }
+
+  private def relPath(root: File, p: String): String = {
+    val rootPath = root.getAbsolutePath
+    if (p.startsWith(rootPath)) p.substring(rootPath.length).stripPrefix("/")
+    else p
+  }
+
+  /** Write a parquet CHECKPOINT of the current snapshot at the newest
+    * committed version, plus the `_last_checkpoint` pointer — the log-
+    * compaction step that makes a long-lived Delta table readable in
+    * O(1) instead of O(commits). At 100 TB a busy table accumulates
+    * thousands of JSON commits; every reader replays ALL of them on every
+    * snapshot resolution until a checkpoint collapses the prefix into one
+    * parquet file ([[DeltaLog.liveAdds]] already seeds from it). The
+    * checkpoint carries the same action columns real Delta writes
+    * (protocol / metaData / add rows), so stock readers accept it.
+    * Returns the checkpointed version.
+    */
+  def checkpoint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Long = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    val commits = commitFiles(logDir)
+    require(commits.nonEmpty,
+      s"nothing to checkpoint (no JSON commits): $tablePath")
+    val version = commits.map(versionOf).max
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    require(adds.nonEmpty, s"refusing to checkpoint an empty table: $tablePath")
+    val schemaJson = spark.read.parquet(adds.map(_.path): _*).schema.json
+    val protocolT = StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType)))
+    val metaDataT = StructType(Seq(
+      StructField("id", StringType),
+      StructField("schemaString", StringType),
+      StructField("partitionColumns", ArrayType(StringType))))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType)))
+    val schema = StructType(Seq(
+      StructField("protocol", protocolT),
+      StructField("metaData", metaDataT),
+      StructField("add", addT)))
+    val rows: Seq[Row] =
+      Row(Row(1, 2), null, null) +:
+      Row(null, Row(java.util.UUID.randomUUID.toString, schemaJson,
+        Seq.empty[String]), null) +:
+      adds.map { a =>
+        val f = new File(a.path)
+        Row(null, null, Row(relPath(root, a.path), a.partitionValues,
+          f.length, f.lastModified, true))
+      }
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(rows.asJava, schema)
+    // one physical file under the exact protocol name: stage, then move
+    val staging = new File(logDir, s".cp-stage-${java.util.UUID.randomUUID}")
+    df.coalesce(1).write.parquet(staging.getPath)
+    val part = Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).head
+    val target = new File(logDir, f"$version%020d.checkpoint.parquet")
+    Files.deleteIfExists(target.toPath)
+    Files.move(part.toPath, target.toPath)
+    Option(staging.listFiles()).getOrElse(Array.empty)
+      .foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(staging.toPath)
+    Files.write(new File(logDir, "_last_checkpoint").toPath,
+      s"""{"version":$version,"size":${rows.size}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    version
+  }
+
+  /** Log-retention cleanup: delete the JSON commits a checkpoint has made
+    * redundant (version <= the `_last_checkpoint` version). Like real
+    * Delta's log cleanup this trades history for metadata size: time
+    * travel to an expired version fails LOUDLY at read time
+    * ([[DeltaLog.liveAdds]] refuses a travel target it cannot replay from
+    * version 0 or seed from a checkpoint at/below the target), while
+    * current-snapshot reads and future commits are unaffected —
+    * [[nextVersion]] counts from the checkpoint. Returns the deleted
+    * commit file names.
+    */
+  def expireLog(tablePath: String): Seq[String] = {
+    val logDir = new File(tablePath, "_delta_log")
+    val cp = DeltaLog.lastCheckpointVersion(logDir).getOrElse(
+      throw new IllegalStateException(
+        s"refusing to expire log without a checkpoint: $tablePath"))
+    commitFiles(logDir).filter(versionOf(_) <= cp).map { f =>
+      Files.delete(f.toPath)
+      f.getName
+    }.toSeq
+  }
+
+  /** Outcome of a [[restoreTo]] commit. */
+  final case class RestoreStats(version: Long, filesRemoved: Int,
+      filesReAdded: Int)
+
+  /** RESTORE the table to the snapshot at `version`: ONE commit that
+    * removes every live file the target snapshot lacks and re-adds every
+    * target file the current snapshot dropped — the undo button for a bad
+    * overwrite/merge/delete. Pure METADATA: no data file is read, written
+    * or moved (tombstoned files still exist physically until VACUUM), so
+    * restoring a 100 TB table costs one log append. History is preserved
+    * — the bad version remains time-travelable, exactly like real Delta's
+    * RESTORE. Fails loudly if a needed file was already vacuumed.
+    */
+  def restoreTo(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      version: Long): RestoreStats = {
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val target = DeltaLog.liveAdds(spark, tablePath, Some(version))
+    val current = DeltaLog.liveAdds(spark, tablePath)
+    val targetRel = target.map(a => relPath(root, a.path)).toSet
+    val currentRel = current.map(a => relPath(root, a.path)).toSet
+    val removes = current.filterNot(a => targetRel.contains(relPath(root, a.path)))
+    val readds = target.filterNot(a => currentRel.contains(relPath(root, a.path)))
+    if (removes.isEmpty && readds.isEmpty)
+      return RestoreStats(nextVersion(logDir) - 1, 0, 0)
+    readds.foreach(a => require(new File(a.path).isFile,
+      s"cannot restore to version $version: data file was vacuumed: ${a.path}"))
+    def pvJson(pv: Map[String, String]): String =
+      pv.map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      }.mkString("{", ",", "}")
+    val v = nextVersion(logDir)
+    publish(logDir, v,
+      removes.map(a =>
+        s"""{"remove":{"path":"${jsonEscape(relPath(root, a.path))}","dataChange":true}}""") ++
+      readds.map { a =>
+        val f = new File(a.path)
+        s"""{"add":{"path":"${jsonEscape(relPath(root, a.path))}",""" +
+          s""""partitionValues":${pvJson(a.partitionValues)},""" +
+          s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+          """"dataChange":true}}"""
+      } :+
+      s"""{"commitInfo":{"operation":"RESTORE","operationParameters":{"version":$version}}}""")
+    RestoreStats(v, removes.size, readds.size)
   }
 }

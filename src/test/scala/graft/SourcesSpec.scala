@@ -968,4 +968,68 @@ class SourcesSpec extends SparkSpec {
       p.substring(p.lastIndexOf('/') + 1))
     assert(live.toSet === Set("f2.parquet"))
   }
+
+  test("Delta checkpoint WRITER: checkpoint equals replay, survives log expiry") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_cp_writer"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((3L, "c")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.deleteWhere(spark, tbl, col("id") === 2L)
+    val beforeCp = DeltaLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+    val cpV = DeltaWrite.checkpoint(spark, tbl)
+    assert(cpV === 2L)
+    // checkpoint-seeded read == full-replay read (JSON commits still present:
+    // the reader prefers the checkpoint, replays nothing at/below it)
+    assert(DeltaLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+      === beforeCp)
+    // expiry deletes exactly the covered commits; current read unaffected
+    val expired = DeltaWrite.expireLog(tbl)
+    assert(expired.size === 3)
+    assert(DeltaLog.read(spark, tbl).collect().map(_.toString).sorted.toSeq
+      === beforeCp)
+    // expired history fails LOUDLY, not silently-wrong
+    intercept[Exception] { DeltaLog.read(spark, tbl, Some(1L)).collect() }
+    // version counter survives: next commit is 3, and replays on top
+    assert(DeltaWrite.append(Seq((9L, "z")).toDF("id", "v").repartition(1),
+      tbl) === 3L)
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 9L))
+    // expiry without a checkpoint refuses
+    val bare = s"$tmp/delta_no_cp"
+    DeltaWrite.append(Seq((1L, "a")).toDF("id", "v").repartition(1), bare)
+    intercept[IllegalStateException] { DeltaWrite.expireLog(bare) }
+  }
+
+  test("Delta restore: metadata-only undo, history kept, vacuumed target refused") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_restore_spec"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.overwrite(Seq((7L, "x")).toDF("id", "v").repartition(1), tbl)
+    val dataFilesBefore = new java.io.File(tbl).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    val st = DeltaWrite.restoreTo(spark, tbl, 0L)
+    assert(st.version === 2L && st.filesRemoved === 1 && st.filesReAdded === 1)
+    // METADATA-only: the restore commit created/moved no data file
+    val dataFilesAfter = new java.io.File(tbl).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataFilesAfter === dataFilesBefore)
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // the bad version is still time-travelable (history preserved)
+    assert(DeltaLog.read(spark, tbl, Some(1L)).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(7L))
+    // restore to the current state: no-op, no new commit
+    val st2 = DeltaWrite.restoreTo(spark, tbl, 0L)
+    assert(st2.version === 2L && st2.filesRemoved === 0 && st2.filesReAdded === 0)
+    // vacuum the tombstoned v1 file, then restoring to v1 must refuse
+    DeltaWrite.vacuum(spark, tbl, olderThanMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.restoreTo(spark, tbl, 1L)
+    }
+    assert(e.getMessage.contains("vacuumed"))
+  }
 }

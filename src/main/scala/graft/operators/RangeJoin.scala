@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binned time-range join: the equi-join rewrite of a pure range
+  * predicate. A join whose ONLY condition is `build.ts in
+  * [probe.ts - W, probe.ts)` has no equi key, so Catalyst can only plan
+  * it as a broadcast-nested-loop / cartesian — O(N·M) row comparisons
+  * that are fatal at any real scale (the reference inherits the same
+  * limitation: DataFusion plans a NestedLoopJoin for pure inequality
+  * conditions). The standard fix is to QUANTIZE the time axis into
+  * W-wide bins: a build row in bin b can only match probe rows in bins
+  * {b, b+1}, so exploding each probe into its two candidate bins turns
+  * the range join into an equi-join on the bin id plus a residual range
+  * filter — one shuffle, hash-joinable, and the candidate pairs per probe
+  * are bounded by the rows in a 2W window instead of the whole table.
+  *
+  * Scale posture: the shuffle key is the bin id, so partitions are time
+  * slices — at 100 TB the join parallelizes over the time axis, and a
+  * hot minute (bin skew) is exactly what AQE's skew-join splitting
+  * handles because the residual filter is stateless. Bin width = window
+  * width keeps the candidate factor at exactly 2 explode copies per
+  * probe; a narrower window never needs more bins.
+  */
+object RangeJoin {
+
+  /** Micros-since-epoch of a timestamp column, tolerant of the physical
+    * encodings external tables ship as: TIMESTAMP passes through,
+    * TIMESTAMP_NTZ is cast under the (UTC) session zone — the same
+    * normalization posture as Tables.normalizeEventTs, so the operator
+    * works on raw footer-inferred frames, not only pre-normalized ones.
+    */
+  private def usOf(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** For each probe row, the COUNT of build rows whose `buildTs` falls in
+    * `[probeTs - windowSec, probeTs)` — strictly before the probe, so a
+    * row never counts itself when probe and build are the same relation.
+    * Probes with an empty window are kept with `n_prior` 0 (left
+    * semantics). `keyCols` identify a probe row uniquely (the grouping
+    * that collapses the two bin copies back into one output row).
+    */
+  def countPrior(probe: DataFrame, build: DataFrame, probeTs: String,
+      buildTs: String, windowSec: Long, keyCols: Seq[String]): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val w = windowSec * 1000000L // micros
+    val p = probe
+      .withColumn("__p_us", usOf(col(probeTs)))
+      .withColumn("__bin", floor(col("__p_us") / w))
+      // explode into the two candidate bins: a build row strictly inside
+      // the W-wide window behind the probe lives in the probe's own bin
+      // or the one before it, never further
+      .withColumn("__jbin", explode(array(col("__bin") - 1, col("__bin"))))
+    val b = build.select(usOf(col(buildTs)).as("__b_us"))
+      .withColumn("__bbin", floor(col("__b_us") / w))
+    val joined = p.join(b,
+      col("__jbin") === col("__bbin") &&
+        col("__b_us") >= col("__p_us") - lit(w) &&
+        col("__b_us") < col("__p_us"),
+      "left_outer")
+    // each matching build row satisfies the residual range in exactly ONE
+    // of the two bin copies (its own bin), so the regrouped count is exact
+    joined.groupBy(keyCols.map(col): _*)
+      .agg(count(col("__b_us")).as("n_prior"))
+  }
+
+  /** General form: all (probe, build) pairs with `buildTs` in
+    * `[probeTs - windowSec, probeTs)`, via the same bin equi-join. The
+    * build side must be pre-renamed by the caller to avoid ambiguous
+    * columns; returns probe.* ++ build.* for each matching pair.
+    */
+  def joinPrior(probe: DataFrame, build: DataFrame, probeTs: String,
+      buildTs: String, windowSec: Long,
+      extraCondition: Option[Column] = None): DataFrame = {
+    require(windowSec > 0, "windowSec must be positive")
+    val w = windowSec * 1000000L
+    val p = probe
+      .withColumn("__p_us", usOf(col(probeTs)))
+      .withColumn("__jbin",
+        explode(array(floor(col("__p_us") / w) - 1, floor(col("__p_us") / w))))
+    val b = build
+      .withColumn("__b_us", usOf(col(buildTs)))
+      .withColumn("__bbin", floor(col("__b_us") / w))
+    val cond = col("__jbin") === col("__bbin") &&
+      col("__b_us") >= col("__p_us") - lit(w) &&
+      col("__b_us") < col("__p_us")
+    p.join(b, extraCondition.fold(cond)(cond && _))
+      .drop("__p_us", "__jbin", "__b_us", "__bbin")
+  }
+}

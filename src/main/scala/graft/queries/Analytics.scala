@@ -1289,6 +1289,70 @@ object Analytics {
       ORDER BY user_id, funnel_stage""")),
 
     // ------------------------------------------------------------------
+    // Streaming CDC materialization: latest-event-per-user changelog via
+    // flatMapGroupsWithState (one fixed-size state record per key), the
+    // upsert feed a downstream table materializes. The post-pass folds
+    // the emitted changelog to its final row per key — exactly what an
+    // upsert sink does — and the oracle recomputes the same argmax
+    // (ms-truncated ts, event_id tie-break) from the batch table, so the
+    // stream's winner rule is hash-checked end to end. Cross-batch
+    // change suppression is pinned in StreamingSpec.
+    QueryDef("e22_stream_cdc", (s, d) => {
+      val dir = stageEvents(s, d, "events_cdc", copies = 1)
+      val sink = s"e22_sink_${sinkRuns.incrementAndGet()}"
+      val q = graft.streaming.EventStream
+        .latestPerKey(graft.streaming.EventStream.source(s, dir, None))
+        .toDF()
+        .writeStream.outputMode("append").format("memory").queryName(sink)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      materializeAndDropSink(s, sink) { t =>
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)
+        t.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"), col("value"))
+          .orderBy(col("user_id"))
+      }
+    }, Some("""
+      WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
+              event_type, value FROM events)
+      SELECT user_id, ms AS ts, event_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ms DESC, event_id DESC) AS rn
+        FROM ev)
+      WHERE rn = 1
+      ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
+    // BINNED RANGE JOIN: per purchase, how many events (any user, any
+    // type) occurred platform-wide in the strictly-prior hour. The range
+    // predicate has NO equi key, so a naive plan is a nested-loop over
+    // every (purchase, event) pair — O(N·M), fatal at scale (the
+    // reference's engine plans the same query as a NestedLoopJoin).
+    // RangeJoin.countPrior quantizes the time axis into window-wide bins
+    // and probes each purchase's two candidate bins through ONE hash
+    // equi-join + residual filter; ScaleSpec pins the plan free of
+    // BroadcastNestedLoop/Cartesian. The oracle computes the same count
+    // with a correlated range subquery.
+    QueryDef("e23_range_join_bin", (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      graft.operators.RangeJoin.countPrior(
+          purchases, ev.select(col("ts")), "ts", "ts",
+          windowSec = 3600L, keyCols = Seq("event_id"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH ev AS (SELECT epoch_us(ts) AS us FROM events),
+      p AS (SELECT event_id, epoch_us(ts) AS us FROM events
+            WHERE event_type = 'purchase')
+      SELECT p.event_id,
+        (SELECT COUNT(*) FROM ev
+         WHERE ev.us >= p.us - 3600000000 AND ev.us < p.us) AS n_prior
+      FROM p ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // Full frame/rank coverage: ntile, first_value, moving frame sum,
     // lag — the OVER-clause surface the reference inherits (SURVEY §2.6).
     QueryDef("w03_window_frames", (s, d) => {

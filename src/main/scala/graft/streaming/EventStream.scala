@@ -339,6 +339,80 @@ object EventStream {
       }
   }
 
+  final case class CdcState(ts: Long, eventId: Long, eventType: String,
+      value: Double)
+  final case class CdcChange(user_id: Long, ts: Long, event_id: Long,
+      event_type: String, value: Double)
+
+  /** CDC-style MATERIALIZED LATEST-PER-KEY over the event stream: per
+    * user, track the newest event (by event time, event_id breaking ts
+    * ties so the winner is engine-exact) and emit a CHANGE row each time
+    * the winner advances — the changelog a downstream table materializes
+    * by upserting on user_id, i.e. the streaming half of a CDC pipeline
+    * (Debezium-shaped: the last change per key IS the current row).
+    *
+    * State per key is ONE fixed-size record regardless of history, so
+    * memory is bounded by the live key population — the same posture as
+    * [[funnelStream]], and the optional `idleTtlMinutes` event-time
+    * timeout evicts keys idle past the horizon for unbounded-key
+    * deployments (an evicted key's next event re-emits unconditionally,
+    * which an upsert sink absorbs idempotently).
+    *
+    * Within a batch, rows apply in (ts, event_id) order; across batches
+    * application is monotone (an older row can never displace a newer
+    * winner), so out-of-order arrival costs at most suppressed
+    * intermediate changes — never a wrong final state.
+    */
+  def latestPerKey(events: DataFrame,
+      idleTtlMinutes: Option[Int] = None): Dataset[CdcChange] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val ttlMs = idleTtlMinutes.map(_ * 60L * 1000L)
+    val timeoutConf =
+      if (ttlMs.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").cast("long"), col("ts"),
+        col("event_id").cast("long"), col("event_type"),
+        col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CdcState, CdcChange](
+        OutputMode.Append(), timeoutConf) {
+        (user: Long,
+            rows: Iterator[(Long, java.sql.Timestamp, Long, String, Double)],
+            state: GroupState[CdcState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.map { case (_, t, id, et, v) =>
+              (t.getTime, id, et, v)
+            }.toSeq.sortBy(r => (r._1, r._2))
+            var cur = state.getOption
+            val changes = List.newBuilder[CdcChange]
+            sorted.foreach { case (ms, id, et, v) =>
+              val newer = cur.forall(s =>
+                ms > s.ts || (ms == s.ts && id > s.eventId))
+              if (newer) {
+                cur = Some(CdcState(ms, id, et, v))
+                changes += CdcChange(user, ms, id, et, v)
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              ttlMs.foreach { ttl =>
+                // same stale-timestamp guard as sessionize/funnelStream
+                val wm = state.getCurrentWatermarkMs()
+                state.setTimeoutTimestamp(math.max(s.ts + ttl, wm + 1))
+              }
+            }
+            changes.result().iterator
+          }
+      }
+  }
+
   final case class FunnelProgress(stage: Int, stageTs: Long)
   final case class FunnelAdvance(user_id: Long, funnel_stage: Long, ts: Long)
 

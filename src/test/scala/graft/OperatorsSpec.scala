@@ -1328,4 +1328,39 @@ class OperatorsSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(surv === Set(20L))
   }
+
+  test("binned range join equals the naive cross-join at bin boundaries") {
+    import graft.operators.RangeJoin
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // window = 10s; bins are [0,10), [10,20), ... Probes sit on bin edges
+    // and mid-bin; build rows probe every boundary of the half-open
+    // window [p-10, p): exactly p-10 (in), p-10+ε analog (in), exactly p
+    // (OUT: strictly prior), p+1 (out), and far away (out).
+    val probes = Seq((1L, t(20)), (2L, t(25)), (3L, t(7)))
+      .toDF("pid", "ts")
+    val builds = Seq(t(10), t(15), t(19), t(20), t(21), t(25), t(3), t(50))
+      .map(Tuple1(_)).toDF("ts")
+    val got = RangeJoin.countPrior(probes, builds, "ts", "ts",
+        windowSec = 10L, keyCols = Seq("pid"))
+      .collect().map(r => r.getAs[Long]("pid") -> r.getAs[Long]("n_prior"))
+      .toMap
+    // naive reference: count builds with p-10 <= b < p
+    // pid 1 (p=20): {10,15,19} = 3  (20 excluded: not strictly prior)
+    // pid 2 (p=25): {15,19,20,21} = 4 (25 excluded)
+    // pid 3 (p=7):  {3} = 1
+    assert(got === Map(1L -> 3L, 2L -> 4L, 3L -> 1L))
+    // general pair form agrees with an explicit cross-join filter
+    val pairs = RangeJoin.joinPrior(
+        probes, builds.withColumnRenamed("ts", "b_ts"), "ts", "b_ts", 10L)
+      .select(col("pid"), col("b_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L)).toSet
+    val naive = probes.crossJoin(builds.withColumnRenamed("ts", "b_ts"))
+      .filter(col("b_ts") >= col("ts") - expr("INTERVAL 10 SECONDS") &&
+        col("b_ts") < col("ts"))
+      .select(col("pid"), col("b_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L)).toSet
+    assert(pairs === naive)
+  }
 }

@@ -283,6 +283,22 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"cap is not a top-k in:\n$p")
   }
 
+  test("binned range join plans as an equi-join, never a nested loop") {
+    // the whole point of RangeJoin: a pure time-range predicate has no
+    // equi key and would plan O(N*M); binning must surface a hash/merge
+    // equi-join on the bin id with the range as residual filter
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val p = graft.operators.RangeJoin.countPrior(
+        purchases, ev.select(col("ts")), "ts", "ts", 3600L, Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to nested loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in range join:\n$p")
+    assert(p.contains("Join"), s"no join surfaced at all:\n$p")
+  }
+
   test("contamination screen broadcasts the benchmark side") {
     val p = plan("cnt01_contamination")
     assert(p.contains("BroadcastHashJoin"),

@@ -242,6 +242,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("CDC latest-per-key: cross-batch suppression, ts/event_id winner rule") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = EventStream.latestPerKey(events)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_stream").start()
+    try {
+      def changes() = spark.table("cdc_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSeq
+      // batch 1: two rows for user 1 — applied in ts order, both are
+      // advances (the changelog records the intermediate state too)
+      input.addData((1L, ts("10:00"), 100L, "view", 1.0),
+        (1L, ts("10:30"), 101L, "click", 2.0))
+      q.processAllAvailable()
+      assert(changes().sorted === Seq((1L, 100L), (1L, 101L)))
+      // batch 2: an OLDER row arrives late — suppressed, state unchanged
+      input.addData((1L, ts("10:15"), 102L, "view", 3.0))
+      q.processAllAvailable()
+      assert(changes().sorted === Seq((1L, 100L), (1L, 101L)))
+      // batch 3: same ts as the winner, LOWER event_id — suppressed;
+      // same ts, HIGHER event_id — wins (the deterministic tie rule)
+      input.addData((1L, ts("10:30"), 50L, "view", 4.0))
+      q.processAllAvailable()
+      assert(changes().sorted === Seq((1L, 100L), (1L, 101L)))
+      input.addData((1L, ts("10:30"), 200L, "purchase", 5.0))
+      q.processAllAvailable()
+      assert(changes().sorted === Seq((1L, 100L), (1L, 101L), (1L, 200L)))
+      // a second key tracks independently
+      input.addData((2L, ts("09:00"), 300L, "view", 6.0))
+      q.processAllAvailable()
+      assert(changes().sorted === Seq((1L, 100L), (1L, 101L), (1L, 200L),
+        (2L, 300L)))
+    } finally q.stop()
+  }
+
   test("TTL'd streaming funnel evicts idle users; re-entry restarts at stage 0") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

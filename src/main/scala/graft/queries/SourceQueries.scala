@@ -331,6 +331,44 @@ object SourceQueries {
       FROM orders WHERE o_orderkey BETWEEN 2000 AND 3999
       ORDER BY o_orderkey""")),
 
+    // x22: ICEBERG DATA SKIPPING — the manifest-level pruning real
+    // Iceberg scan planning does before any parquet footer is opened:
+    // append records each data file's [min, max] for o_orderkey (field
+    // id 1) in the manifest's lower_bounds/upper_bounds (single-value
+    // binary serialization, from the just-written footers), and a range
+    // probe folds ONLY the manifest — kilobytes on the driver — to drop
+    // the files that cannot match. Written range-partitioned (8 narrow
+    // files) so the two-thousand-key probe must prune most of them; the
+    // in-query require pins the shrink, the oracle pins that skipping
+    // never changed the answer. Completes the skipping story in BOTH
+    // lakehouse formats (x17 = Delta).
+    QueryDef("x22_iceberg_skip", (s, d) => {
+      val tbl = s"$stage/ice_skip"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(8, col("o_orderkey"))
+      graft.sources.IcebergLog.append(o, tbl, Seq(1 -> "o_orderkey"))
+      val (kept, total) = graft.sources.IcebergLog.pruneByLongBounds(
+        tbl, 1, Some(2000L), Some(3999L))
+      require(kept.size < total,
+        s"manifest skipping pruned nothing: ${kept.size} of $total files kept")
+      graft.sources.IcebergLog.readRange(s, tbl, "o_orderkey", 1,
+          Some(2000L), Some(3999L))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey BETWEEN 2000 AND 3999
+      ORDER BY o_orderkey""")),
+
     // x20: Delta CHECKPOINT + LOG EXPIRY — the log-compaction lifecycle a
     // long-lived table needs: four commits, a parquet checkpoint at the
     // head version, then retention cleanup DELETES every JSON commit the

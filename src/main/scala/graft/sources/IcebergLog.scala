@@ -100,11 +100,20 @@ object IcebergLog {
     try reader.iterator().asScala.toVector finally reader.close()
   }
 
-  /** The live parquet data files of a snapshot (current, or `snapshotAsOf`
-    * by snapshot id). Relative `file_path`s resolve against the table root.
+  /** A live data file plus its manifest-recorded column bounds (field-id
+    * → single-value binary; empty when the writer recorded none, in which
+    * case the file must always be scanned).
     */
-  def liveFiles(tablePath: String,
-      snapshotAsOf: Option[Long] = None): Seq[String] = {
+  final case class LiveEntry(path: String,
+      lowerBounds: Map[Int, Array[Byte]],
+      upperBounds: Map[Int, Array[Byte]])
+
+  /** The live data-file entries of a snapshot (current, or `snapshotAsOf`
+    * by snapshot id), with bounds. Relative `file_path`s resolve against
+    * the table root.
+    */
+  def liveEntries(tablePath: String,
+      snapshotAsOf: Option[Long] = None): Seq[LiveEntry] = {
     val meta = parseMeta(currentMetadataFile(tablePath))
     val wantedId = snapshotAsOf.getOrElse(meta.currentSnapshotId)
     val snap = meta.snapshots.find(_.snapshotId == wantedId).getOrElse(
@@ -113,6 +122,18 @@ object IcebergLog {
           s"${meta.snapshots.map(_.snapshotId).mkString(",")})"))
     def resolve(p: String): String =
       if (new File(p).isAbsolute) p else new File(tablePath, p).getPath
+    def boundsOf(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
+      df.get(field) match { // null for stats-less writers AND pre-bounds manifests
+        case arr: java.util.Collection[_] =>
+          arr.asScala.map { kv =>
+            val r = kv.asInstanceOf[GenericRecord]
+            val buf = r.get("value").asInstanceOf[java.nio.ByteBuffer]
+            val bytes = new Array[Byte](buf.remaining())
+            buf.duplicate().get(bytes)
+            r.get("key").asInstanceOf[Int] -> bytes
+          }.toMap
+        case _ => Map.empty
+      }
     val manifests = readAvro(new File(resolve(snap.manifestList)))
       .map(_.get("manifest_path").toString)
     manifests.flatMap { mp =>
@@ -126,9 +147,52 @@ object IcebergLog {
             "applying position/equality deletes is unsupported; scanning " +
             "raw would return deleted rows")
         // status: 0 EXISTING, 1 ADDED, 2 DELETED
-        if (status == 2) None else Some(resolve(path))
+        if (status == 2) None
+        else Some(LiveEntry(resolve(path),
+          boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds")))
       }
     }
+  }
+
+  /** The live parquet data-file paths of a snapshot. */
+  def liveFiles(tablePath: String,
+      snapshotAsOf: Option[Long] = None): Seq[String] =
+    liveEntries(tablePath, snapshotAsOf).map(_.path)
+
+  /** DATA SKIPPING over manifest bounds: the live files whose recorded
+    * [lower, upper] for long-typed `fieldId` can intersect `[lo, hi]`
+    * (either bound None = unbounded). Files without bounds for the field
+    * are ALWAYS kept — skipping may only shrink the scan, never the
+    * answer (the same safety rule as [[DeltaLog.pruneByStats]]; this is
+    * the manifest-level pruning real Iceberg scan planning does before
+    * any footer is opened). Returns (kept, totalLive).
+    */
+  def pruneByLongBounds(tablePath: String, fieldId: Int,
+      lo: Option[Long], hi: Option[Long]): (Seq[LiveEntry], Int) = {
+    val entries = liveEntries(tablePath)
+    val kept = entries.filter { e =>
+      val below = for { l <- lo; ub <- e.upperBounds.get(fieldId) }
+        yield decodeLongBound(ub) < l
+      val above = for { h <- hi; lb <- e.lowerBounds.get(fieldId) }
+        yield decodeLongBound(lb) > h
+      !(below.getOrElse(false) || above.getOrElse(false))
+    }
+    (kept, entries.size)
+  }
+
+  /** Range scan with manifest data skipping: read ONLY the bound-admitted
+    * files, then apply the predicate (skipping bounds the scan; the
+    * filter still decides rows).
+    */
+  def readRange(spark: SparkSession, tablePath: String, column: String,
+      fieldId: Int, lo: Option[Long], hi: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = pruneByLongBounds(tablePath, fieldId, lo, hi)
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(_.path): _*)
+      else read(spark, tablePath).limit(0)
+    val bounded = lo.fold(base)(l => base.filter(col(column) >= lit(l)))
+    hi.fold(bounded)(h => bounded.filter(col(column) <= lit(h)))
   }
 
   /** Snapshot scan as a DataFrame (current snapshot, or time travel via
@@ -158,6 +222,10 @@ object IcebergLog {
       |{"name":"partition_spec_id","type":"int"},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
+  // lower_bounds / upper_bounds use Iceberg's Avro encoding of a
+  // map<int, binary>: an array of key/value records (field-id ->
+  // single-value binary serialization), optional for writers that
+  // record no stats
   private val manifestEntrySchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
@@ -167,7 +235,41 @@ object IcebergLog {
       |{"name":"file_path","type":"string"},
       |{"name":"file_format","type":"string"},
       |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+      |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"lower_bounds","type":["null",{"type":"array","items":
+      |{"type":"record","name":"k_v_lower","fields":[
+      |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+      |"default":null},
+      |{"name":"upper_bounds","type":["null",{"type":"array","items":
+      |{"type":"record","name":"k_v_upper","fields":[
+      |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+      |"default":null}]}}]}""".stripMargin)
+
+  // ---- Iceberg single-value binary serialization (spec Appendix D):
+  // long/double are 8-byte little-endian, int 4-byte LE, string UTF-8.
+  // Only what the bounds writer/pruner needs.
+
+  private[sources] def boundBytes(v: Any): Array[Byte] = v match {
+    case l: Long =>
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+    case i: Int =>
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array()
+    case d: Double =>
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d).array()
+    case b: Array[Byte] => b // parquet binary stats: already UTF-8 bytes
+    case s: String => s.getBytes(StandardCharsets.UTF_8)
+    case other => throw new IllegalArgumentException(
+      s"unsupported bound value type: ${other.getClass.getName}")
+  }
+
+  private[graft] def decodeLongBound(b: Array[Byte]): Long = {
+    require(b.length == 8, s"long bound must be 8 bytes, got ${b.length}")
+    java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+  }
 
   private def writeAvro(f: File, schema: Schema,
       rows: Seq[GenericRecord]): Unit = {
@@ -178,10 +280,13 @@ object IcebergLog {
   }
 
   /** One manifest-entry fixture row. `content` 0 = data, 1/2 = v2 deletes
-    * (for refusal tests); `status` 2 = DELETED.
+    * (for refusal tests); `status` 2 = DELETED. Bounds map field-id →
+    * single-value binary, empty = writer recorded no stats.
     */
   final case class FixtureEntry(status: Int, filePath: String,
-      recordCount: Long, content: Int = 0)
+      recordCount: Long, content: Int = 0,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** Write one snapshot's manifest + manifest list into `metaDir`; returns
     * the metadata.json snapshot entry.
@@ -189,14 +294,31 @@ object IcebergLog {
   private def writeSnapshot(metaDir: File, sid: Long,
       entries: Seq[FixtureEntry]): String = {
     val manifest = new File(metaDir, s"m-$sid.avro")
+    val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+    def kvArray(fieldName: String,
+        bounds: Map[Int, Array[Byte]]): AnyRef =
+      if (bounds.isEmpty) null
+      else {
+        val arrSchema = dataFileSchema.getField(fieldName).schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        val arr = new GenericData.Array[GenericRecord](bounds.size, arrSchema)
+        bounds.toSeq.sortBy(_._1).foreach { case (k, v) =>
+          val kv = new GenericData.Record(arrSchema.getElementType)
+          kv.put("key", k)
+          kv.put("value", java.nio.ByteBuffer.wrap(v))
+          arr.add(kv)
+        }
+        arr
+      }
     writeAvro(manifest, manifestEntrySchema, entries.map { e =>
-      val df = new GenericData.Record(
-        manifestEntrySchema.getField("data_file").schema())
+      val df = new GenericData.Record(dataFileSchema)
       df.put("content", e.content)
       df.put("file_path", e.filePath)
       df.put("file_format", "PARQUET")
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", 0L)
+      df.put("lower_bounds", kvArray("lower_bounds", e.lowerBounds))
+      df.put("upper_bounds", kvArray("upper_bounds", e.upperBounds))
       val r = new GenericData.Record(manifestEntrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", sid)
@@ -262,7 +384,19 @@ object IcebergLog {
     * [[DeltaWrite]]: data files first, metadata last, version claimed
     * atomically.
     */
-  def append(df: DataFrame, tablePath: String): Long = {
+  def append(df: DataFrame, tablePath: String): Long =
+    append(df, tablePath, Seq.empty)
+
+  /** APPEND with manifest column bounds: `statsFields` maps Iceberg
+    * field-id → column name; each new data file's manifest entry carries
+    * that column's [min, max] from the parquet FOOTER just written (no
+    * data re-read), serialized per the spec's single-value binary form —
+    * the stats [[pruneByLongBounds]] skips on. Columns whose footer stats
+    * are untrustworthy are simply omitted (the file is then always
+    * scanned).
+    */
+  def append(df: DataFrame, tablePath: String,
+      statsFields: Seq[(Int, String)]): Long = {
     val root = new File(tablePath)
     val metaDir = new File(root, "metadata")
     val dataDir = new File(root, "data")
@@ -282,15 +416,39 @@ object IcebergLog {
     require(moved.nonEmpty, s"no data files produced for $tablePath")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    val (priorSnaps, priorLive, version) =
+    val (priorSnaps, version) =
       if (hasMeta) {
         val mf = currentMetadataFile(tablePath)
         val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-        (parseMeta(mf).snapshots, liveFiles(tablePath), v + 1)
-      } else (Seq.empty[Snapshot], Seq.empty[String], 1L)
+        (parseMeta(mf).snapshots, v + 1)
+      } else (Seq.empty[Snapshot], 1L)
     val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
-    val entries = priorLive.map(p => FixtureEntry(0, p, 0)) ++
-      moved.map(f => FixtureEntry(1, f.getPath, 0))
+    def boundsFor(f: File): (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) =
+      if (statsFields.isEmpty) (Map.empty, Map.empty)
+      else graft.plans.FooterStats.readOne(f.getPath, statsFields.map(_._2))
+        .map { case (_, per) =>
+          val lows = statsFields.zip(per).flatMap { case ((id, _), (mn, _)) =>
+            mn.map(v => id -> boundBytes(v))
+          }.toMap
+          val highs = statsFields.zip(per).flatMap { case ((id, _), (_, mx)) =>
+            mx.map(v => id -> boundBytes(v))
+          }.toMap
+          (lows, highs)
+        }.getOrElse((Map.empty, Map.empty))
+    // prior live files keep their manifest identity but are re-listed as
+    // EXISTING without bounds re-derivation only when none were recorded;
+    // carrying the previous entry's bounds forward keeps skipping working
+    // across appends
+    val priorEntries =
+      if (!hasMeta) Seq.empty
+      else liveEntries(tablePath).map(e =>
+        FixtureEntry(0, e.path, 0, lowerBounds = e.lowerBounds,
+          upperBounds = e.upperBounds))
+    val entries = priorEntries ++
+      moved.map { f =>
+        val (lo, hi) = boundsFor(f)
+        FixtureEntry(1, f.getPath, 0, lowerBounds = lo, upperBounds = hi)
+      }
     val snapJson = writeSnapshot(metaDir, sid, entries)
     val priorJsons = priorSnaps.map(s =>
       s"""{"snapshot-id":${s.snapshotId},"manifest-list":"${s.manifestList}"}""")

@@ -1002,6 +1002,42 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalStateException] { DeltaWrite.expireLog(bare) }
   }
 
+  test("Iceberg manifest bounds: roundtrip, safe pruning, carried across appends") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_bounds"
+    // two appends with stats on field 1; disjoint key ranges per file
+    IcebergLog.append(Seq((1L, "a"), (5L, "b")).toDF("id", "v")
+      .repartition(1), tbl, Seq(1 -> "id"))
+    IcebergLog.append(Seq((100L, "c"), (200L, "d")).toDF("id", "v")
+      .repartition(1), tbl, Seq(1 -> "id"))
+    val entries = IcebergLog.liveEntries(tbl)
+    assert(entries.size === 2)
+    // bounds decode to the real per-file min/max — including the first
+    // file's, carried forward as EXISTING through the second append
+    val decoded = entries.map(e =>
+      (IcebergLog.decodeLongBound(e.lowerBounds(1)),
+        IcebergLog.decodeLongBound(e.upperBounds(1)))).sortBy(_._1)
+    assert(decoded === Seq((1L, 5L), (100L, 200L)))
+    // pruning keeps only the overlapping file; unbounded side works
+    assert(IcebergLog.pruneByLongBounds(tbl, 1, Some(3L), Some(50L))._1
+      .size === 1)
+    assert(IcebergLog.pruneByLongBounds(tbl, 1, None, Some(6L))._1.size === 1)
+    assert(IcebergLog.pruneByLongBounds(tbl, 1, Some(300L), None)._1.isEmpty)
+    // the range read still filters inside the kept file
+    assert(IcebergLog.readRange(spark, tbl, "id", 1, Some(3L), Some(50L))
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(5L))
+    // SAFETY: a stats-less file (no bounds for the field) is always kept
+    IcebergLog.append(Seq((999L, "z")).toDF("id", "v").repartition(1), tbl)
+    // probe [3,4]: the [1,5] file overlaps, [100,200] is pruned, and the
+    // stats-less file MUST survive despite matching nothing
+    val (kept, total) = IcebergLog.pruneByLongBounds(tbl, 1, Some(3L), Some(4L))
+    assert(total === 3 && kept.size === 2 &&
+      kept.exists(_.lowerBounds.isEmpty),
+      "a file without recorded bounds must never be pruned")
+  }
+
   test("Delta restore: metadata-only undo, history kept, vacuumed target refused") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

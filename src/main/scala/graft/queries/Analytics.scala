@@ -1353,6 +1353,74 @@ object Analytics {
       FROM p ORDER BY event_id""")),
 
     // ------------------------------------------------------------------
+    // Streaming CDC → LAKEHOUSE UPSERT, the full pipeline composed: the
+    // e22 latest-per-key changelog streams in time-sliced micro-batches,
+    // and each batch MERGEs (Delta copy-on-write upsert, x16) into a
+    // Delta table keyed by user_id — the standard "materialize a CDC
+    // feed into the lake" architecture. Per batch the changelog is
+    // folded to one winner per key (merge refuses ambiguous sources);
+    // across batches the CDC monotone rule makes application order-
+    // independent, so whatever order the file source discovers the
+    // slices in, the FINAL table is the global argmax — which is exactly
+    // what the oracle checks against the batch relation. At scale each
+    // merge rewrites only the files containing touched keys (file-level
+    // CoW), so the sink cost tracks the batch's key spread, not table
+    // size.
+    QueryDef("e24_stream_delta_upsert", (s, d) => {
+      // time-sliced staging (e06b's shape): 3 files = 3 micro-batches
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val rawCols = raw.schema.fieldNames.map(col).toSeq
+      val nSlices = 3
+      val sliced = raw.withColumn("slice",
+          ntile(nSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+        .localCheckpoint(true)
+      val dir = s"${SourceQueries.stage}/events_cdc_delta"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      (1 to nSlices).foreach { k =>
+        sliced.filter(col("slice") === k).select(rawCols: _*)
+          .repartition(1).write.mode("append").parquet(dir)
+      }
+      val tbl = s"${SourceQueries.stage}/delta_cdc_sink"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val q = graft.streaming.EventStream
+        .latestPerKey(graft.streaming.EventStream.source(s, dir, Some(1)))
+        .toDF()
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val w = Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val upserts = batch.withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+            if (new java.io.File(s"$tbl/_delta_log").isDirectory)
+              graft.sources.DeltaWrite.merge(tbl, upserts, Seq("user_id"))
+            else graft.sources.DeltaWrite.append(upserts, tbl)
+            ()
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
+              event_type, value FROM events)
+      SELECT user_id, ms AS ts, event_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ms DESC, event_id DESC) AS rn
+        FROM ev)
+      WHERE rn = 1
+      ORDER BY user_id""")),
+
+    // ------------------------------------------------------------------
     // Full frame/rank coverage: ntile, first_value, moving frame sum,
     // lag — the OVER-clause surface the reference inherits (SURVEY §2.6).
     QueryDef("w03_window_frames", (s, d) => {

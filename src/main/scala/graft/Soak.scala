@@ -185,7 +185,11 @@ object Soak {
       "p03_footer_minmax" -> 0.11, "p04_bloom_lookup" -> 0.50,
       "a16b_triangle_capped" -> 2.10, "x19_delta_vacuum" -> 1.75,
       "c08_token_fertility" -> 0.80, "e21_user_growth" -> 0.74,
-      "f07_count_min" -> 1.64)
+      "f07_count_min" -> 1.64,
+      // round-12 fourth batch (PerfProbe warm run2 at sf0.1)
+      "e22_stream_cdc" -> 2.55, "e23_range_join_bin" -> 0.84,
+      "e24_stream_delta_upsert" -> 12.4, "x20_delta_checkpoint" -> 1.84,
+      "x21_delta_restore" -> 0.77, "x22_iceberg_skip" -> 0.65)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -214,7 +218,9 @@ object Soak {
       "qz04_int4_pack", "e20_event_transitions", "x16_delta_merge",
       "x17_delta_skip", "x18_delta_delete", "p03_footer_minmax",
       "p04_bloom_lookup", "a16b_triangle_capped", "x19_delta_vacuum",
-      "c08_token_fertility", "e21_user_growth", "f07_count_min")
+      "c08_token_fertility", "e21_user_growth", "f07_count_min",
+      "e22_stream_cdc", "e23_range_join_bin", "e24_stream_delta_upsert",
+      "x20_delta_checkpoint", "x21_delta_restore", "x22_iceberg_skip")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

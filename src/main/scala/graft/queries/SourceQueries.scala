@@ -369,6 +369,39 @@ object SourceQueries {
       FROM orders WHERE o_orderkey BETWEEN 2000 AND 3999
       ORDER BY o_orderkey""")),
 
+    // x23: ICEBERG DELETE WHERE — the v1 copy-on-write DML completing
+    // the second format's write story (x18's shape): one snapshot marks
+    // the files containing matches DELETED, re-adds their survivors,
+    // carries untouched files as EXISTING with bounds intact. The %8
+    // predicate touches only the even-keys file, so the odd file keeps
+    // its physical identity (pinned in SourcesSpec); the oracle
+    // recomputes the post-delete table relationally.
+    QueryDef("x23_iceberg_delete", (s, d) => {
+      val tbl = s"$stage/ice_deleted"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 0), tbl, Seq(1 -> "o_orderkey"))
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 1), tbl, Seq(1 -> "o_orderkey"))
+      graft.sources.IcebergLog.deleteWhere(s, tbl,
+        col("o_orderkey") % 8 === 0, Seq(1 -> "o_orderkey"))
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 <> 0
+      ORDER BY o_orderkey""")),
+
     // x20: Delta CHECKPOINT + LOG EXPIRY — the log-compaction lifecycle a
     // long-lived table needs: four commits, a parquet checkpoint at the
     // head version, then retention cleanup DELETES every JSON commit the

@@ -399,8 +399,31 @@ object IcebergLog {
       statsFields: Seq[(Int, String)]): Long = {
     val root = new File(tablePath)
     val metaDir = new File(root, "metadata")
-    val dataDir = new File(root, "data")
     metaDir.mkdirs()
+    val moved = stageData(df, root)
+    require(moved.nonEmpty, s"no data files produced for $tablePath")
+    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+    // prior live files keep their manifest identity but are re-listed as
+    // EXISTING without bounds re-derivation only when none were recorded;
+    // carrying the previous entry's bounds forward keeps skipping working
+    // across appends
+    val priorEntries =
+      if (!hasMeta) Seq.empty
+      else liveEntries(tablePath).map(e =>
+        FixtureEntry(0, e.path, 0, lowerBounds = e.lowerBounds,
+          upperBounds = e.upperBounds))
+    commitSnapshot(tablePath, priorEntries ++
+      moved.map(f => addedEntry(f, statsFields)))
+  }
+
+  /** Stage `df`'s rows as parquet under `data/` (write to a hidden
+    * staging dir, move to uuid names): data files exist on disk BEFORE
+    * any metadata names them, so a crashed writer leaves garbage, never
+    * a torn snapshot.
+    */
+  private def stageData(df: DataFrame, root: File): Seq[File] = {
+    val dataDir = new File(root, "data")
     dataDir.mkdirs()
     val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
     df.write.parquet(staging.getPath)
@@ -413,18 +436,13 @@ object IcebergLog {
     Option(staging.listFiles()).getOrElse(Array.empty)
       .foreach(f => Files.deleteIfExists(f.toPath))
     Files.deleteIfExists(staging.toPath)
-    require(moved.nonEmpty, s"no data files produced for $tablePath")
-    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
-      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    val (priorSnaps, version) =
-      if (hasMeta) {
-        val mf = currentMetadataFile(tablePath)
-        val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-        (parseMeta(mf).snapshots, v + 1)
-      } else (Seq.empty[Snapshot], 1L)
-    val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
-    def boundsFor(f: File): (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) =
-      if (statsFields.isEmpty) (Map.empty, Map.empty)
+    moved
+  }
+
+  private def addedEntry(f: File,
+      statsFields: Seq[(Int, String)]): FixtureEntry = {
+    val (lo, hi) =
+      if (statsFields.isEmpty) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
       else graft.plans.FooterStats.readOne(f.getPath, statsFields.map(_._2))
         .map { case (_, per) =>
           val lows = statsFields.zip(per).flatMap { case ((id, _), (mn, _)) =>
@@ -434,26 +452,83 @@ object IcebergLog {
             mx.map(v => id -> boundBytes(v))
           }.toMap
           (lows, highs)
-        }.getOrElse((Map.empty, Map.empty))
-    // prior live files keep their manifest identity but are re-listed as
-    // EXISTING without bounds re-derivation only when none were recorded;
-    // carrying the previous entry's bounds forward keeps skipping working
-    // across appends
-    val priorEntries =
-      if (!hasMeta) Seq.empty
-      else liveEntries(tablePath).map(e =>
-        FixtureEntry(0, e.path, 0, lowerBounds = e.lowerBounds,
-          upperBounds = e.upperBounds))
-    val entries = priorEntries ++
-      moved.map { f =>
-        val (lo, hi) = boundsFor(f)
-        FixtureEntry(1, f.getPath, 0, lowerBounds = lo, upperBounds = hi)
-      }
+        }.getOrElse((Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]]))
+    FixtureEntry(1, f.getPath, 0, lowerBounds = lo, upperBounds = hi)
+  }
+
+  /** Publish `entries` as the next snapshot + metadata version (prior
+    * snapshots preserved); returns the new snapshot id.
+    */
+  private def commitSnapshot(tablePath: String,
+      entries: Seq[FixtureEntry]): Long = {
+    val metaDir = new File(tablePath, "metadata")
+    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+    val (priorSnaps, version) =
+      if (hasMeta) {
+        val mf = currentMetadataFile(tablePath)
+        val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+        (parseMeta(mf).snapshots, v + 1)
+      } else (Seq.empty[Snapshot], 1L)
+    val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
     val snapJson = writeSnapshot(metaDir, sid, entries)
     val priorJsons = priorSnaps.map(s =>
       s"""{"snapshot-id":${s.snapshotId},"manifest-list":"${s.manifestList}"}""")
     writeMetadataVersion(metaDir, tablePath, version, sid,
       priorJsons :+ snapJson)
     sid
+  }
+
+  /** Outcome of a [[deleteWhere]] snapshot. */
+  final case class DeleteStats(snapshotId: Long, filesRewritten: Int,
+      filesAdded: Int, rowsDeleted: Long)
+
+  /** DELETE WHERE for the Iceberg write path — the v1 copy-on-write
+    * shape (no delete files): ONE new snapshot whose manifest marks
+    * every file containing a matching row DELETED, re-adds its surviving
+    * rows as new files, and carries every untouched file as EXISTING
+    * with its bounds intact — file-granular CoW exactly like
+    * [[DeltaWrite.deleteWhere]], so a delete against a clustered layout
+    * rewrites the overlapping files, not the table. Prior snapshots stay
+    * time-travelable (the rows remain visible at older snapshot ids). A
+    * fully-deleted file is dropped with no replacement; a predicate
+    * matching nothing is a no-op (no empty snapshot). `statsFields`
+    * rebuilds manifest bounds for the rewritten files.
+    */
+  def deleteWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      statsFields: Seq[(Int, String)] = Seq.empty): DeleteStats = {
+    import org.apache.spark.sql.functions.col
+    val root = new File(tablePath)
+    val entries = liveEntries(tablePath)
+    require(entries.nonEmpty, s"not a live Iceberg table: $tablePath")
+    val target = spark.read.parquet(entries.map(_.path): _*)
+    val touched = target
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .filter(predicate)
+      .select(col("__graft_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    if (touched.isEmpty)
+      return DeleteStats(meta.currentSnapshotId, 0, 0, 0L)
+    // metadata paths are qualified URIs; entries are absolute plain paths
+    // with uuid names unique by construction — match by file name
+    val touchedNames = touched.map(u => u.substring(u.lastIndexOf('/') + 1)).toSet
+    val names = entries.map(e => new File(e.path).getName).toSet
+    touchedNames.foreach(n =>
+      require(names.contains(n), s"touched file not in live set: $n"))
+    val touchedRows = spark.read.parquet(
+      entries.map(_.path).filter(p => touchedNames(new File(p).getName)): _*)
+    val rowsDeleted = touchedRows.filter(predicate).count()
+    val survivors = touchedRows.filter(!predicate)
+    val newFiles =
+      if (survivors.isEmpty) Seq.empty[File] else stageData(survivors, root)
+    val nextEntries = entries.map { e =>
+      val st = if (touchedNames(new File(e.path).getName)) 2 else 0
+      FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
+        upperBounds = e.upperBounds)
+    } ++ newFiles.map(f => addedEntry(f, statsFields))
+    val sid = commitSnapshot(tablePath, nextEntries)
+    DeleteStats(sid, touchedNames.size, newFiles.size, rowsDeleted)
   }
 }

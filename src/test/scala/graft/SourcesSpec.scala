@@ -1038,6 +1038,41 @@ class SourcesSpec extends SparkSpec {
       "a file without recorded bounds must never be pruned")
   }
 
+  test("Iceberg delete: file-granular CoW, history kept, edge cases") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_delete_spec"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(1), tbl, Seq(1 -> "id"))
+    IcebergLog.append(Seq((10L, "x"), (11L, "y")).toDF("id", "v")
+      .repartition(1), tbl, Seq(1 -> "id"))
+    val before = IcebergLog.liveEntries(tbl)
+    val st = IcebergLog.deleteWhere(spark, tbl, col("id") === 1L, Seq(1 -> "id"))
+    assert(st.rowsDeleted === 1L && st.filesRewritten === 1 && st.filesAdded === 1)
+    // untouched file keeps its physical identity AND its bounds
+    val after = IcebergLog.liveEntries(tbl)
+    val kept = after.filter(e => before.exists(_.path == e.path))
+    assert(kept.size === 1 &&
+      IcebergLog.decodeLongBound(kept.head.lowerBounds(1)) === 10L)
+    assert(IcebergLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(2L, 10L, 11L))
+    // pre-delete snapshot still time-travels
+    assert(IcebergLog.read(spark, tbl, Some(st.snapshotId - 1))
+      .count() === 4L)
+    // rewritten survivors carry fresh bounds → skipping still prunes
+    assert(IcebergLog.pruneByLongBounds(tbl, 1, Some(100L), None)._1.isEmpty)
+    // predicate wiping a whole file: dropped with no replacement
+    val st2 = IcebergLog.deleteWhere(spark, tbl, col("id") >= 10L)
+    assert(st2.rowsDeleted === 2L && st2.filesRewritten === 1 &&
+      st2.filesAdded === 0)
+    assert(IcebergLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // no match: no-op, no new snapshot
+    val st3 = IcebergLog.deleteWhere(spark, tbl, col("id") === 999L)
+    assert(st3.snapshotId === st2.snapshotId && st3.rowsDeleted === 0L)
+  }
+
   test("Delta restore: metadata-only undo, history kept, vacuumed target refused") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

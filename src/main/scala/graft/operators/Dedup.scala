@@ -683,4 +683,49 @@ object Dedup {
       .select(col("b").as("doc_id")).distinct()
     incoming.join(dropped, Seq("doc_id"), "left_anti")
   }
+
+  /** FREQUENCY-BASED SEGMENT EXCISION (the CCNet/RefinedWeb paragraph-
+    * dedup shape): split every document into consecutive `segWords`-word
+    * segments IN-ROW (narrow — no shuffle to segment), count exact
+    * segment occurrences across the corpus, and strip every segment that
+    * appears more than `maxDf` times — repeated boilerplate (nav bars,
+    * license headers, templated footers) is exactly the text that recurs
+    * verbatim across unrelated documents. Two shuffles total at any
+    * corpus size: the segment-frequency count (map-side partial agg over
+    * hashed strings) and the per-document reassembly; the excision
+    * itself is a left-anti join against the (small by construction —
+    * only segments OVER the threshold) frequent set. Documents whose
+    * every segment is boilerplate survive with empty text — dropping
+    * them is the caller's policy decision, not the operator's.
+    */
+  def stripFrequentSegments(docs: DataFrame, segWords: Int = 8,
+      maxDf: Long = 2L): DataFrame = {
+    require(segWords > 0 && maxDf > 0, "segWords and maxDf must be positive")
+    val segs = docs
+      .withColumn("__words", split(col("text"), " "))
+      .withColumn("__segs", expr(
+        s"""transform(sequence(0, size(__words) - 1, $segWords),
+           |  i -> array_join(slice(__words, i + 1, $segWords), ' '))"""
+          .stripMargin))
+      .select(col("doc_id"), posexplode(col("__segs")).as(Seq("sid", "seg")))
+    val frequent = segs.groupBy(col("seg"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .select(col("seg"))
+    val kept = segs.join(frequent, Seq("seg"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(expr("transform(array_sort(collect_list(struct(sid, seg))), s -> s.seg)"),
+          " ").as("text_clean"),
+        count(lit(1)).as("__n_kept"))
+    val totals = docs
+      .select(col("doc_id"),
+        expr(s"(size(split(text, ' ')) + ${segWords - 1}) div $segWords")
+          .cast("long").as("n_segs"))
+    totals.join(kept, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_segs"),
+        (col("n_segs") - coalesce(col("__n_kept"), lit(0L))).as("n_removed"))
+  }
 }

@@ -959,6 +959,39 @@ object PipelineQueries {
       JOIN sizes sb ON sb.doc_id = p.b
       ORDER BY max_cont DESC, a, b LIMIT 100""")),
 
+    // d14: FREQUENCY-BASED SEGMENT EXCISION (the CCNet paragraph-dedup /
+    // boilerplate-removal shape): 8-word segments cut in-row, exact
+    // occurrence count across the corpus (one hashed-string shuffle with
+    // map-side partial agg), segments appearing >2 times stripped via a
+    // left-anti join against the over-threshold set, documents
+    // reassembled in segment order. The planted exact/near duplicates in
+    // the corpus make their segments frequent, so the oracle exercises
+    // real excision, not a no-op. A doc whose every segment is
+    // boilerplate survives as empty text (dropping is caller policy).
+    QueryDef("d14_frequent_segments", (s, d) =>
+      Dedup.stripFrequentSegments(Tables.load(s, d, "documents"),
+          segWords = 8, maxDf = 2L)
+        .orderBy(col("doc_id")),
+      Some("""
+      WITH ws AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      segs AS (
+        SELECT doc_id, CAST(i // 8 AS BIGINT) AS sid,
+          array_to_string(w[i + 1 : least(i + 8, len(w))], ' ') AS seg
+        FROM ws, UNNEST(generate_series(0, len(w) - 1, 8)) AS t(i)),
+      freq AS (SELECT seg FROM segs GROUP BY seg HAVING COUNT(*) > 2),
+      kept AS (SELECT doc_id, sid, seg FROM segs
+               WHERE seg NOT IN (SELECT seg FROM freq)),
+      reassembled AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY sid) AS text_clean,
+          COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id),
+      totals AS (SELECT doc_id,
+          CAST((len(w) + 7) // 8 AS BIGINT) AS n_segs FROM ws)
+      SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+        t.n_segs, t.n_segs - COALESCE(r.n_kept, 0) AS n_removed
+      FROM totals t LEFT JOIN reassembled r ON r.doc_id = t.doc_id
+      ORDER BY t.doc_id""")),
+
     // d13b: containment under the d02b hot-shingle cap — the production
     // path (the sf1 soak shows uncapped containment is quadratic-output
     // like d02, by construction; the cap makes it flat, as d02b proves).

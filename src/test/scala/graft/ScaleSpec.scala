@@ -299,6 +299,18 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("Join"), s"no join surfaced at all:\n$p")
   }
 
+  test("frequent-segment excision: map-side partial count, no all-pairs join") {
+    // segmentation must stay in-row (the only corpus passes are the
+    // hashed-string frequency count and the per-doc reassembly)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.operators.Dedup.stripFrequentSegments(docs)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"),
+      s"segment frequency count lacks map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"all-pairs join in d14:\n$p")
+  }
+
   test("contamination screen broadcasts the benchmark side") {
     val p = plan("cnt01_contamination")
     assert(p.contains("BroadcastHashJoin"),

@@ -102,6 +102,40 @@ object Similarity {
     * after which everything is k·queries rows — the vote aggregate and
     * argmax window never see the corpus.
     */
+  /** HARD-NEGATIVE MINING for contrastive / retrieval training: for each
+    * anchor, the k most-similar corpus vectors carrying a DIFFERENT
+    * label — the negatives that actually move a contrastive loss, unlike
+    * random sampling. Near-identical vectors with a different label
+    * (rounded cosine above `maxSim`) are EXCLUDED: at that similarity
+    * the "negative" is almost surely a mislabeled duplicate, the classic
+    * false-negative trap of hard mining (the rounding makes the band
+    * edge engine-exact).
+    *
+    * Scale: the a01 shape — anchors broadcast (the anchor batch is
+    * bounded by contract), ONE pass over the corpus with a bounded
+    * per-anchor heap; swap the first stage for IVF/LSH (a02/a03) when
+    * the anchor set itself is corpus-sized.
+    */
+  def hardNegatives(emb: DataFrame, isAnchor: Column, k: Int = 5,
+      maxSim: Double = 0.99): DataFrame = {
+    val cos = nativeCosine(emb.sparkSession) _
+    val anchors = emb.filter(isAnchor)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("anchor_label"))
+    val cand = emb.select(col("vec_id").as("nid"),
+        col("embedding").as("nvec"), col("label").as("neg_label"))
+      .crossJoin(broadcast(anchors))
+      .filter(col("nid") =!= col("qid") &&
+        col("neg_label") =!= col("anchor_label"))
+      .withColumn("cos_sim", cos(col("qvec"), col("nvec")))
+      .filter(round(col("cos_sim"), 4) <= maxSim)
+    topKPerQuery(cand.select(col("qid"), col("nid"), col("cos_sim"),
+        col("anchor_label"), col("neg_label")), k)
+      .select(col("qid"), col("nid"), col("rank"),
+        round(col("cos_sim"), 4).as("cos_sim"),
+        col("anchor_label"), col("neg_label"))
+  }
+
   def knnClassify(emb: DataFrame, isQuery: Column, k: Int = 10): DataFrame = {
     val votes = bruteForceTopK(emb, isQuery, k)
       .join(emb.select(col("vec_id").as("nid"), col("label")), "nid")

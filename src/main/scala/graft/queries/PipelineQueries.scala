@@ -1482,6 +1482,40 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rank")),
       Some(s"$BF_TOPK ORDER BY qid, rank"), headline = true),
 
+    // a19: HARD-NEGATIVE MINING — per anchor, the top-5 most-similar
+    // vectors with a DIFFERENT label, the contrastive-training data op
+    // (random negatives don't move the loss; hard ones do). The rounded
+    // ≤0.99 cosine band excludes near-identical different-label vectors
+    // (presumed mislabeled duplicates — the false-negative trap). Same
+    // broadcast-anchors + bounded-heap pass as a01; the oracle replays
+    // the full cosine ranking with the label exclusion and band edge.
+    QueryDef("a19_hard_negatives", (s, d) =>
+      Similarity.hardNegatives(Tables.load(s, d, "embeddings"),
+          col("vec_id") < 5, 5)
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""
+      WITH $ED,
+      labels AS (SELECT vec_id, label FROM embeddings),
+      q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+      dots AS (SELECT q.qid, x.vec_id AS nid, SUM(q.v*x.v) AS dot
+               FROM q JOIN ed x ON q.i = x.i AND x.vec_id <> q.qid
+               GROUP BY q.qid, x.vec_id),
+      sims AS (SELECT qid, nid, dot/(nq.nrm*nx.nrm) AS sim
+               FROM dots
+               JOIN nrm nq ON nq.vec_id = qid
+               JOIN nrm nx ON nx.vec_id = nid),
+      neg AS (SELECT s.qid, s.nid, s.sim, la.label AS anchor_label,
+                ln.label AS neg_label
+              FROM sims s
+              JOIN labels la ON la.vec_id = s.qid
+              JOIN labels ln ON ln.vec_id = s.nid
+              WHERE la.label <> ln.label AND ROUND(s.sim, 4) <= 0.99),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                   ORDER BY sim DESC, nid) AS rank FROM neg)
+      SELECT qid, nid, CAST(rank AS BIGINT) AS rank,
+        ROUND(sim, 4) AS cos_sim, anchor_label, neg_label
+      FROM ranked WHERE rank <= 5 ORDER BY qid, rank""")),
+
     // IVF is approximate w.r.t. exact ANN (probes 2 of 10 cells), but its
     // construction is fully deterministic — label cells, mean centroids,
     // cosine probe ranking — so the whole pipeline is SQL-expressible and

@@ -189,7 +189,8 @@ object Soak {
       // round-12 fourth batch (PerfProbe warm run2 at sf0.1)
       "e22_stream_cdc" -> 2.55, "e23_range_join_bin" -> 0.84,
       "e24_stream_delta_upsert" -> 12.4, "x20_delta_checkpoint" -> 1.84,
-      "x21_delta_restore" -> 0.77, "x22_iceberg_skip" -> 0.65)
+      "x21_delta_restore" -> 0.77, "x22_iceberg_skip" -> 0.65,
+      "e23b_range_join_hier" -> 1.37)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -220,7 +221,8 @@ object Soak {
       "p04_bloom_lookup", "a16b_triangle_capped", "x19_delta_vacuum",
       "c08_token_fertility", "e21_user_growth", "f07_count_min",
       "e22_stream_cdc", "e23_range_join_bin", "e24_stream_delta_upsert",
-      "x20_delta_checkpoint", "x21_delta_restore", "x22_iceberg_skip")
+      "x20_delta_checkpoint", "x21_delta_restore", "x22_iceberg_skip",
+      "e23b_range_join_hier")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -46,13 +46,15 @@ object RangeJoin {
     val w = windowSec * 1000000L // micros
     val p = probe
       .withColumn("__p_us", usOf(col(probeTs)))
-      .withColumn("__bin", floor(col("__p_us") / w))
+      // integer div, not floor(double /): at epoch-micros magnitudes a
+      // double quotient sits within a few ulp of bin boundaries
+      .withColumn("__bin", expr(s"__p_us div ${w}L"))
       // explode into the two candidate bins: a build row strictly inside
       // the W-wide window behind the probe lives in the probe's own bin
       // or the one before it, never further
       .withColumn("__jbin", explode(array(col("__bin") - 1, col("__bin"))))
     val b = build.select(usOf(col(buildTs)).as("__b_us"))
-      .withColumn("__bbin", floor(col("__b_us") / w))
+      .withColumn("__bbin", expr(s"__b_us div ${w}L"))
     val joined = p.join(b,
       col("__jbin") === col("__bbin") &&
         col("__b_us") >= col("__p_us") - lit(w) &&
@@ -62,6 +64,53 @@ object RangeJoin {
     // of the two bin copies (its own bin), so the regrouped count is exact
     joined.groupBy(keyCols.map(col): _*)
       .agg(count(col("__b_us")).as("n_prior"))
+  }
+
+  /** HIERARCHICAL form of [[countPrior]] for COUNT-type range joins over
+    * dense streams: pre-aggregate the build side into fine bins of width
+    * `windowSec / m`, answer each probe's window as (sum of the fully-
+    * contained bins' pre-counts) + (raw rows joined ONLY in the two edge
+    * bins, range-filtered). [[countPrior]] materializes O(density × W)
+    * candidate pairs per probe; here the full-bin part touches the tiny
+    * per-bin aggregate (corpus-independent rows per probe: ≤ m+1) and
+    * raw pairs shrink to the two edge bins — a ~m/2× cut in join work,
+    * the lever that matters when the window holds thousands of events.
+    * Exact, not approximate: the bin split is a partition of the window.
+    * `windowSec` must be divisible by `m`.
+    */
+  def countPriorBinned(probe: DataFrame, build: DataFrame, probeTs: String,
+      buildTs: String, windowSec: Long, m: Int,
+      keyCols: Seq[String]): DataFrame = {
+    require(windowSec > 0 && m > 1 && windowSec % m == 0,
+      s"windowSec ($windowSec) must be positive and divisible by m ($m)")
+    val w = windowSec * 1000000L
+    val b = w / m // fine-bin width, micros
+    val keyC = keyCols.map(col)
+    val p = probe
+      .withColumn("__p_us", usOf(col(probeTs)))
+      .withColumn("__lo", col("__p_us") - lit(w))
+      // candidate fine bins floor(lo/b) .. floor(p/b): m+1 ids
+      .withColumn("__k", explode(expr(
+        s"sequence((__p_us - ${w}L) div ${b}L, __p_us div ${b}L)")))
+      .withColumn("__isFull",
+        col("__k") * b >= col("__lo") && (col("__k") + 1) * b <= col("__p_us"))
+    val binned = build.select(usOf(col(buildTs)).as("__b_us"))
+      .withColumn("__bk", expr(s"__b_us div ${b}L"))
+    val binCounts = binned.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__bn"))
+    val fullPart = p.filter(col("__isFull"))
+      .join(binCounts, col("__k") === col("__bk"))
+      .groupBy(keyC: _*).agg(sum(col("__bn")).as("__full_n"))
+    val edgePart = p.filter(!col("__isFull"))
+      .join(binned, col("__k") === col("__bk") &&
+        col("__b_us") >= col("__lo") && col("__b_us") < col("__p_us"))
+      .groupBy(keyC: _*).agg(count(lit(1)).as("__edge_n"))
+    probe.select(keyC: _*)
+      .join(fullPart, keyCols, "left_outer")
+      .join(edgePart, keyCols, "left_outer")
+      .select(keyC :+
+        (coalesce(col("__full_n"), lit(0L)) +
+          coalesce(col("__edge_n"), lit(0L))).as("n_prior"): _*)
   }
 
   /** General form: all (probe, build) pairs with `buildTs` in
@@ -77,10 +126,10 @@ object RangeJoin {
     val p = probe
       .withColumn("__p_us", usOf(col(probeTs)))
       .withColumn("__jbin",
-        explode(array(floor(col("__p_us") / w) - 1, floor(col("__p_us") / w))))
+        explode(expr(s"array(__p_us div ${w}L - 1, __p_us div ${w}L)")))
     val b = build
       .withColumn("__b_us", usOf(col(buildTs)))
-      .withColumn("__bbin", floor(col("__b_us") / w))
+      .withColumn("__bbin", expr(s"__b_us div ${w}L"))
     val cond = col("__jbin") === col("__bbin") &&
       col("__b_us") >= col("__p_us") - lit(w) &&
       col("__b_us") < col("__p_us")

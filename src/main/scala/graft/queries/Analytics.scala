@@ -1353,6 +1353,31 @@ object Analytics {
       FROM p ORDER BY event_id""")),
 
     // ------------------------------------------------------------------
+    // e23b: HIERARCHICAL binned range count — the dense-stream scale
+    // path for e23: the build side pre-aggregates into window/8 fine
+    // bins, each probe answers as (pre-counted full bins) + (raw rows in
+    // the two EDGE bins only), cutting raw candidate pairs ~4× at this
+    // m and ~m/2× in general. Exact by construction (the bin split
+    // partitions the window) — same oracle as e23, and OperatorsSpec
+    // pins equality with the flat form on alignment edge cases.
+    QueryDef("e23b_range_join_hier", (s, d) => {
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts"))
+      graft.operators.RangeJoin.countPriorBinned(
+          purchases, ev.select(col("ts")), "ts", "ts",
+          windowSec = 3600L, m = 8, keyCols = Seq("event_id"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      WITH ev AS (SELECT epoch_us(ts) AS us FROM events),
+      p AS (SELECT event_id, epoch_us(ts) AS us FROM events
+            WHERE event_type = 'purchase')
+      SELECT p.event_id,
+        (SELECT COUNT(*) FROM ev
+         WHERE ev.us >= p.us - 3600000000 AND ev.us < p.us) AS n_prior
+      FROM p ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // Streaming CDC → LAKEHOUSE UPSERT, the full pipeline composed: the
     // e22 latest-per-key changelog streams in time-sliced micro-batches,
     // and each batch MERGEs (Delta copy-on-write upsert, x16) into a

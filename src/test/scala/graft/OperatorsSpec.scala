@@ -1351,6 +1351,20 @@ class OperatorsSpec extends SparkSpec {
     // pid 2 (p=25): {15,19,20,21} = 4 (25 excluded)
     // pid 3 (p=7):  {3} = 1
     assert(got === Map(1L -> 3L, 2L -> 4L, 3L -> 1L))
+    // hierarchical (pre-aggregated fine bins + edge-only raw join) form
+    // is EXACT: equal to the flat form on every probe, including probes
+    // aligned to fine-bin and window boundaries
+    val alignedProbes = Seq((1L, t(20)), (2L, t(25)), (3L, t(7)),
+      (4L, t(30)), (5L, t(12)))  // t(30): window [20,30) aligned both ends
+      .toDF("pid", "ts")
+    val flat = RangeJoin.countPrior(alignedProbes, builds, "ts", "ts",
+        10L, Seq("pid")).collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("n_prior")).toMap
+    val hier = RangeJoin.countPriorBinned(alignedProbes, builds, "ts", "ts",
+        10L, m = 5, keyCols = Seq("pid")).collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("n_prior")).toMap
+    assert(hier === flat)
+
     // general pair form agrees with an explicit cross-join filter
     val pairs = RangeJoin.joinPrior(
         probes, builds.withColumnRenamed("ts", "b_ts"), "ts", "b_ts", 10L)

@@ -402,6 +402,50 @@ object SourceQueries {
       FROM orders WHERE o_orderkey % 8 <> 0
       ORDER BY o_orderkey""")),
 
+    // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
+    // lifecycle completing the second format (x19/x20's analog): after
+    // append/append/delete leave a tombstoned file and three snapshots,
+    // expiry keeps only the current snapshot, the next metadata version
+    // lists only it, and every unreferenced data file AND manifest is
+    // physically deleted (in-query requires pin reclaim happened, the
+    // disk equals the live set, and expired time travel fails loudly).
+    // The oracle pins the snapshot bytes unchanged — the whole point.
+    QueryDef("x24_iceberg_expire", (s, d) => {
+      val tbl = s"$stage/ice_expired"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 2 === 1), tbl)
+      graft.sources.IcebergLog.deleteWhere(s, tbl, col("o_orderkey") % 8 === 0)
+      val (_, deleted) = graft.sources.IcebergLog.expireSnapshots(tbl, keep = 1)
+      require(deleted.exists(_.endsWith(".parquet")),
+        "expiry reclaimed no orphaned data files")
+      val onDisk = Option(new java.io.File(s"$tbl/data").listFiles())
+        .getOrElse(Array.empty)
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+      val live = graft.sources.IcebergLog.liveFiles(tbl)
+      require(onDisk == live.size,
+        s"expiry left $onDisk data files on disk for ${live.size} live")
+      val expiredTravel =
+        try { graft.sources.IcebergLog.read(s, tbl, Some(1L)).count(); false }
+        catch { case _: IllegalArgumentException => true }
+      require(expiredTravel, "expired snapshot still time-travels silently")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 8 <> 0
+      ORDER BY o_orderkey""")),
+
     // x20: Delta CHECKPOINT + LOG EXPIRY — the log-compaction lifecycle a
     // long-lived table needs: four commits, a parquet checkpoint at the
     // head version, then retention cleanup DELETES every JSON commit the

@@ -479,6 +479,62 @@ object IcebergLog {
     sid
   }
 
+  /** EXPIRE SNAPSHOTS + ORPHAN CLEANUP — Iceberg's retention lifecycle
+    * (the [[DeltaWrite.vacuum]]/expireLog analog): publish a metadata
+    * version listing only the newest `keep` snapshots, then physically
+    * delete every data file and manifest/manifest-list no surviving
+    * snapshot references. Trades history for space exactly like real
+    * Iceberg's `expire_snapshots`: time travel to an expired id fails
+    * LOUDLY at resolve time (it is no longer in the metadata), current
+    * reads are untouched. A file marked DELETED in the head snapshot
+    * but still live in an older SURVIVING snapshot is kept — liveness
+    * is the union over survivors. Returns (new metadata version, names
+    * of deleted files).
+    */
+  def expireSnapshots(tablePath: String, keep: Int): (Long, Seq[String]) = {
+    require(keep >= 1, "must keep at least the current snapshot")
+    val root = new File(tablePath)
+    val metaDir = new File(root, "metadata")
+    val mf = currentMetadataFile(tablePath)
+    val meta = parseMeta(mf)
+    val survivors = meta.snapshots.sortBy(_.snapshotId).takeRight(keep)
+    require(survivors.exists(_.snapshotId == meta.currentSnapshotId),
+      s"refusing to expire the current snapshot ${meta.currentSnapshotId}")
+    if (survivors.size == meta.snapshots.size)
+      return (mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong,
+        Seq.empty)
+    def resolve(p: String): String =
+      if (new File(p).isAbsolute) p else new File(tablePath, p).getPath
+    // referenced set BEFORE rewriting metadata: data files live in any
+    // surviving snapshot, plus the survivors' manifest/manifest-list files
+    val keepData = survivors.flatMap(s =>
+      liveEntries(tablePath, Some(s.snapshotId))).map(e =>
+      new File(e.path).getName).toSet
+    val keepMeta = survivors.flatMap { s =>
+      val listFile = new File(resolve(s.manifestList))
+      listFile.getName +: readAvro(listFile)
+        .map(r => new File(resolve(r.get("manifest_path").toString)).getName)
+    }.toSet
+    val version = mf.getName.stripPrefix("v")
+      .stripSuffix(".metadata.json").toLong + 1
+    val survivorJsons = survivors.map(s =>
+      s"""{"snapshot-id":${s.snapshotId},"manifest-list":"${s.manifestList}"}""")
+    writeMetadataVersion(metaDir, tablePath, version,
+      meta.currentSnapshotId, survivorJsons)
+    val orphanData = Option(new File(root, "data").listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+        !keepData.contains(f.getName))
+    val orphanMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".avro") &&
+        !keepMeta.contains(f.getName))
+    val deleted = (orphanData ++ orphanMeta).map { f =>
+      Files.delete(f.toPath)
+      f.getName
+    }.toSeq
+    (version, deleted)
+  }
+
   /** Outcome of a [[deleteWhere]] snapshot. */
   final case class DeleteStats(snapshotId: Long, filesRewritten: Int,
       filesAdded: Int, rowsDeleted: Long)

@@ -1073,6 +1073,42 @@ class SourcesSpec extends SparkSpec {
     assert(st3.snapshotId === st2.snapshotId && st3.rowsDeleted === 0L)
   }
 
+  test("Iceberg snapshot expiry: union-liveness across survivors, loud expired travel") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_expire_spec"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), tbl)
+    IcebergLog.append(Seq((10L, "x")).toDF("id", "v").repartition(1), tbl)
+    // snapshot 3 deletes the first file's rows — file tombstoned at head
+    IcebergLog.deleteWhere(spark, tbl, col("id") <= 2L)
+    def dataFiles() = Option(new java.io.File(s"$tbl/data").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles() === 2)
+    // keep=2: snapshot 2 still references the tombstoned file -> UNION
+    // liveness must keep it on disk
+    val (_, del2) = IcebergLog.expireSnapshots(tbl, keep = 2)
+    assert(!del2.exists(_.endsWith(".parquet")),
+      s"expiry deleted a file still live in a surviving snapshot: $del2")
+    assert(dataFiles() === 2)
+    // snapshot 1 is gone: loud refusal, not silent wrong data
+    intercept[IllegalArgumentException] {
+      IcebergLog.read(spark, tbl, Some(1L)).collect()
+    }
+    // snapshot 2 still reads (it survived)
+    assert(IcebergLog.read(spark, tbl, Some(2L)).count() === 3L)
+    // keep=1: now the tombstoned file is orphaned and reclaimed
+    val (_, del1) = IcebergLog.expireSnapshots(tbl, keep = 1)
+    assert(del1.exists(_.endsWith(".parquet")))
+    assert(dataFiles() === IcebergLog.liveFiles(tbl).size)
+    assert(IcebergLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(10L))
+    // idempotent: nothing further to expire
+    val (_, del0) = IcebergLog.expireSnapshots(tbl, keep = 1)
+    assert(del0.isEmpty)
+  }
+
   test("Delta restore: metadata-only undo, history kept, vacuumed target refused") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

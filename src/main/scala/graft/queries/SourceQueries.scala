@@ -402,6 +402,65 @@ object SourceQueries {
       FROM orders WHERE o_orderkey % 8 <> 0
       ORDER BY o_orderkey""")),
 
+    // x25: Delta PARTITIONED WRITE — add actions carry partitionValues,
+    // data files land under hive-style dirs WITHOUT the partition
+    // column (Delta keeps it in the log; the reader re-injects it from
+    // the broadcast file→pv map). The oracle recomputes the full table
+    // relationally, so the log-side pv round-trip itself is what's
+    // hash-checked.
+    QueryDef("x25_delta_part_write", (s, d) => {
+      val tbl = s"$stage/delta_partitioned"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.appendPartitioned(o, tbl, Seq("o_orderstatus"))
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderstatus IS NOT NULL
+      ORDER BY o_orderkey""")),
+
+    // x26: Delta LOG-LEVEL PARTITION PRUNING — a partition predicate is
+    // answered from add-action partitionValues alone (zero data files
+    // opened to prune; the in-query require pins that the file list
+    // actually shrank), then ONLY the matching partition's files are
+    // scanned with the pv re-injected as a literal. At 100 TB this is
+    // the first pruning lever, ahead of stats skipping and row-group
+    // elimination.
+    QueryDef("x26_delta_part_prune", (s, d) => {
+      val tbl = s"$stage/delta_part_pruned"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.appendPartitioned(o, tbl, Seq("o_orderstatus"))
+      val (kept, total) = graft.sources.DeltaLog.livePartitionAdds(s, tbl,
+        Map("o_orderstatus" -> "O"))
+      require(kept.nonEmpty && kept.size < total,
+        s"partition pruning pruned nothing: ${kept.size} of $total files kept")
+      graft.sources.DeltaLog.readPartition(s, tbl, Map("o_orderstatus" -> "O"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

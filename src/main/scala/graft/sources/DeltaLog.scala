@@ -267,6 +267,48 @@ object DeltaLog {
     hi.fold(bounded)(h => bounded.filter(col(column) <= lit(h)))
   }
 
+  /** PARTITION PRUNING from the log alone: the live adds whose
+    * `partitionValues` match every (column -> value) in `filter` — zero
+    * data files opened or listed, the first and cheapest pruning lever
+    * on a 100 TB partitioned table (the scan that follows touches only
+    * the matching partitions' files). Files MISSING a filtered column
+    * in their pv are kept (unpartitioned adds in a mixed table must not
+    * be silently dropped — same may-only-shrink-the-scan rule as
+    * [[pruneByStats]]). Returns (kept, totalLive).
+    */
+  def livePartitionAdds(spark: SparkSession, tablePath: String,
+      filter: Map[String, String]): (Seq[LiveFile], Int) = {
+    val adds = liveAdds(spark, tablePath)
+    val kept = adds.filter(a => filter.forall { case (k, v) =>
+      a.partitionValues.get(k).forall(_ == v)
+    })
+    (kept, adds.size)
+  }
+
+  /** Scan ONE partition slice: log-pruned file list, partition columns
+    * re-injected from the kept adds' pv (they are not in the files).
+    */
+  def readPartition(spark: SparkSession, tablePath: String,
+      filter: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (kept, _) = livePartitionAdds(spark, tablePath, filter)
+    require(kept.nonEmpty,
+      s"no live files match partition filter $filter in $tablePath")
+    val pvCols = kept.flatMap(_.partitionValues.keys).distinct.sorted
+    // distinct pv combinations among kept files; single-combination fast
+    // path injects literals (no join at all — the common point lookup)
+    val combos = kept.map(_.partitionValues).distinct
+    if (combos.size == 1) {
+      val base = spark.read.parquet(kept.map(_.path): _*)
+      pvCols.foldLeft(base)((df, c) =>
+        df.withColumn(c, lit(combos.head.getOrElse(c, null: String))))
+    } else {
+      // mixed combos: the same broadcast file→pv injection as read(),
+      // but over ONLY the kept files — pruning is preserved
+      scanWithPv(spark, kept)
+    }
+  }
+
   /** Live data-file paths only (unpartitioned view of [[liveAdds]]). */
   def liveFiles(spark: SparkSession, tablePath: String): Seq[String] =
     liveAdds(spark, tablePath).map(_.path)
@@ -289,6 +331,16 @@ object DeltaLog {
       versionAsOf: Option[Long] = None): DataFrame = {
     val adds = liveAdds(spark, tablePath, versionAsOf)
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
+    scanWithPv(spark, adds)
+  }
+
+  /** ONE distributed parquet scan over `adds` with the log's partition
+    * values injected via a broadcast (file -> pv) map when any add
+    * carries them (partition column data lives in the log, not the
+    * parquet).
+    */
+  private def scanWithPv(spark: SparkSession,
+      adds: Seq[LiveFile]): DataFrame = {
     val base = spark.read.parquet(adds.map(_.path): _*)
     if (adds.forall(_.partitionValues.isEmpty)) base
     else {

@@ -105,12 +105,14 @@ object DeltaWrite {
     } finally Files.deleteIfExists(tmp.toPath)
   }
 
-  private def headerActions(df: DataFrame): Seq[String] = Seq(
+  private def headerActions(df: DataFrame,
+      partitionCols: Seq[String] = Seq.empty): Seq[String] = Seq(
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
     s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
       """"format":{"provider":"parquet","options":{}},""" +
       s""""schemaString":"${jsonEscape(df.schema.json)}",""" +
-      """"partitionColumns":[],"configuration":{}}}""")
+      s""""partitionColumns":[${partitionCols.map(c =>
+        "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{}}}""")
 
   /** Per-file column statistics for the add action's `stats` field, in
     * Delta's format ({"numRecords":N,"minValues":{..},"maxValues":{..},
@@ -360,6 +362,72 @@ object DeltaWrite {
     }
     publish(logDir, version, header ++ removes ++ files.map(addWithStats(_, df.schema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}""")
+    version
+  }
+
+  /** PARTITIONED append: one atomic commit whose data files land under
+    * hive-style `col=value/` directories and whose add actions carry the
+    * `partitionValues` map — the Delta layout where partition columns
+    * live in the LOG, not the parquet (Spark's partitionBy writer
+    * already strips them from the files; [[DeltaLog.read]] re-injects
+    * them from the log's broadcast file→pv map). At 100 TB this is the
+    * first pruning lever: [[DeltaLog.livePartitionAdds]] answers a
+    * partition predicate from log metadata alone — zero data files
+    * touched for pruning. Returns the committed version.
+    */
+  def appendPartitioned(df: DataFrame, tablePath: String,
+      partitionCols: Seq[String]): Long = {
+    require(partitionCols.nonEmpty, "use append() for unpartitioned writes")
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    logDir.mkdirs()
+    val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
+    df.write.partitionBy(partitionCols: _*).parquet(staging.getPath)
+    // walk the hive tree: each part file's relative dir encodes its pv
+    def walk(dir: File, pv: Map[String, String]): Seq[(File, Map[String, String])] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory && d.getName.contains("=") =>
+          val Array(k, v) = d.getName.split("=", 2)
+          walk(d, pv + (java.net.URLDecoder.decode(k, "UTF-8") ->
+            java.net.URLDecoder.decode(v, "UTF-8")))
+        case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> pv)
+        case _ => Seq.empty
+      }
+    val staged = walk(staging, Map.empty)
+    require(staged.nonEmpty, s"no data files produced for $tablePath")
+    val moved = staged.map { case (f, pv) =>
+      val dir = new File(root, partitionCols.map(c =>
+        s"$c=${java.net.URLEncoder.encode(pv(c), "UTF-8")}").mkString("/"))
+      dir.mkdirs()
+      val dst = new File(dir, s"part-${java.util.UUID.randomUUID}.parquet")
+      Files.move(f.toPath, dst.toPath)
+      (dst, pv)
+    }
+    def rmTree(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      Files.deleteIfExists(f.toPath); ()
+    }
+    rmTree(staging)
+    val version = nextVersion(logDir)
+    val header =
+      if (version == 0L) headerActions(df, partitionCols) else Seq.empty
+    def pvJson(pv: Map[String, String]): String =
+      pv.map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      }.mkString("{", ",", "}")
+    val adds = moved.map { case (f, pv) =>
+      // the protocol records RELATIVE paths URL-ENCODED (the reader
+      // decodes once): encode each physical segment so an escaped dir
+      // name like `cat=c%2Fd` round-trips to itself, not to a bogus
+      // nested path
+      val rel = relPath(root, f.getPath).split("/")
+        .map(seg => java.net.URLEncoder.encode(seg, "UTF-8")).mkString("/")
+      s"""{"add":{"path":"${jsonEscape(rel)}",""" +
+        s""""partitionValues":${pvJson(pv)},"size":${f.length},""" +
+        s""""modificationTime":${f.lastModified},"dataChange":true}}"""
+    }
+    publish(logDir, version, header ++ adds :+
+      """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
     version
   }
 

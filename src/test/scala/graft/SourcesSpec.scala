@@ -1002,6 +1002,43 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalStateException] { DeltaWrite.expireLog(bare) }
   }
 
+  test("Delta partitioned write: pv in log only, encoded values, safe pruning") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_part_spec"
+    // partition values that NEED url-encoding round-trip (space, slash)
+    DeltaWrite.appendPartitioned(
+      Seq((1L, "a b"), (2L, "c/d"), (3L, "a b")).toDF("id", "cat"),
+      tbl, Seq("cat"))
+    // data files must NOT contain the partition column
+    val files = DeltaLog.liveFiles(spark, tbl)
+    assert(files.nonEmpty)
+    assert(!spark.read.parquet(files.head).columns.contains("cat"),
+      "partition column leaked into the data file")
+    // full read re-injects pv correctly, encoded values intact
+    val got = DeltaLog.read(spark, tbl).select("id", "cat").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a b", 2L -> "c/d", 3L -> "a b"))
+    // log-level pruning: two files for 'a b' vs one for 'c/d'... at least
+    // the non-matching partition's files are dropped without data reads
+    val (kept, total) = DeltaLog.livePartitionAdds(spark, tbl,
+      Map("cat" -> "c/d"))
+    assert(kept.nonEmpty && kept.size < total)
+    assert(DeltaLog.readPartition(spark, tbl, Map("cat" -> "c/d"))
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // SAFETY: filtering on a column absent from pv keeps everything
+    val (keptAll, totalAll) = DeltaLog.livePartitionAdds(spark, tbl,
+      Map("nope" -> "x"))
+    assert(keptAll.size === totalAll)
+    // a second partitioned append composes; merge/delete still refuse
+    DeltaWrite.appendPartitioned(Seq((4L, "e")).toDF("id", "cat"), tbl, Seq("cat"))
+    assert(DeltaLog.read(spark, tbl).count() === 4L)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.merge(tbl, Seq((1L, "z")).toDF("id", "cat"), Seq("id"))
+    }
+  }
+
   test("Iceberg manifest bounds: roundtrip, safe pruning, carried across appends") {
     import graft.sources.IcebergLog
     val s = spark

@@ -461,6 +461,67 @@ object SourceQueries {
       FROM orders WHERE o_orderstatus = 'O'
       ORDER BY o_orderkey""")),
 
+    // p05: METADATA-ONLY COUNT over a Delta table — the log-fold analog
+    // of the p02 footer-count rule: every add action records numRecords
+    // (from the parquet footers at write time), so an unfiltered
+    // COUNT(*) folds the log on the driver and opens ZERO data files.
+    // Refuses (falls back to a scan) if any live add lacks stats — the
+    // in-query require pins that the fold actually answered.
+    QueryDef("p05_delta_count", (s, d) => {
+      val tbl = s"$stage/delta_counted"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 1), tbl)
+      val n = graft.sources.DeltaLog.countFromStats(s, tbl).getOrElse(
+        sys.error("log fold refused: a live add lacks numRecords stats"))
+      import s.implicits._
+      Seq(n).toDF("n")
+    }, Some("SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders")),
+
+    // x27: Delta TRANSACTION IDENTIFIERS (exactly-once sink commits) —
+    // each append carries {"txn":{appId,version}}, and a RETRIED epoch
+    // is a no-op instead of a double append: the epoch id, not the
+    // data, is the idempotence key (how a real Delta streaming sink
+    // survives foreachBatch retries). The retry here carries DIFFERENT
+    // data than the original epoch-1 commit — if the no-op check
+    // failed, the oracle would see those rows and the hash would break.
+    QueryDef("x27_delta_txn", (s, d) => {
+      val tbl = s"$stage/delta_txn"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val evens = o.filter(col("o_orderkey") % 2 === 0)
+      val odds = o.filter(col("o_orderkey") % 2 === 1)
+      val v1 = graft.sources.DeltaWrite.appendIdempotent(evens, tbl, "sinkA", 1L)
+      require(v1.isDefined, "first epoch-1 commit must land")
+      // the RETRY of epoch 1 (crashed before acking, re-runs with what
+      // would be duplicate work) must be skipped
+      val retry = graft.sources.DeltaWrite.appendIdempotent(odds, tbl, "sinkA", 1L)
+      require(retry.isEmpty, "retried epoch was double-committed")
+      val v2 = graft.sources.DeltaWrite.appendIdempotent(odds, tbl, "sinkA", 2L)
+      require(v2.isDefined, "epoch-2 commit must land")
+      // a DIFFERENT sink's epoch counter is independent
+      require(graft.sources.DeltaLog.latestTxnVersions(tbl) == Map("sinkA" -> 2L))
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

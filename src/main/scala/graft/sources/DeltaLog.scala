@@ -267,6 +267,58 @@ object DeltaLog {
     hi.fold(bounded)(h => bounded.filter(col(column) <= lit(h)))
   }
 
+  /** Latest committed `txn` version per application id — the Delta
+    * transaction-identifier mechanism a streaming sink uses for
+    * exactly-once: each micro-batch commit carries
+    * `{"txn":{"appId":…,"version":epoch}}`, and a retried batch whose
+    * epoch is already recorded is SKIPPED instead of double-appended.
+    * Replays JSON commits only (checkpoint txn columns not needed for
+    * the sink's own recent epochs; a sink older than the retained log
+    * restarts from its own checkpoint anyway).
+    */
+  def latestTxnVersions(tablePath: String): Map[String, Long] = {
+    val logDir = new File(tablePath, "_delta_log")
+    if (!logDir.isDirectory) return Map.empty
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("""\d{20}\.json"""))
+      .sortBy(_.getName)
+    val latest = mutable.Map.empty[String, Long]
+    commits.foreach { f =>
+      Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+        .filter(_.trim.nonEmpty).foreach { line =>
+          MiniJson.parseObject(line).foreach { action =>
+            action.get("txn") match {
+              case Some(m: Map[_, _]) =>
+                val t = m.asInstanceOf[Map[String, Any]]
+                for {
+                  app <- t.get("appId").collect { case s: String => s }
+                  v <- t.get("version").collect { case d: Double => d.toLong }
+                } latest(app) = math.max(latest.getOrElse(app, Long.MinValue), v)
+              case _ =>
+            }
+          }
+        }
+    }
+    latest.toMap
+  }
+
+  /** Metadata-only COUNT(*): the sum of every live add's recorded
+    * `numRecords` — the log-fold analog of the parquet-footer COUNT rule
+    * (plans/FooterCount), answering an unfiltered count without opening
+    * ONE data file. None (caller must scan) unless EVERY live add
+    * carries stats with numRecords: a single stats-less file makes the
+    * fold unsound, and soundness beats cleverness.
+    */
+  def countFromStats(spark: SparkSession, tablePath: String): Option[Long] = {
+    val adds = liveAdds(spark, tablePath)
+    val counts = adds.map(_.stats.flatMap(_.get("numRecords").collect {
+      case d: Double => d.toLong
+    }))
+    if (counts.nonEmpty && counts.forall(_.isDefined))
+      Some(counts.flatten.sum)
+    else None
+  }
+
   /** PARTITION PRUNING from the log alone: the live adds whose
     * `partitionValues` match every (column -> value) in `filter` — zero
     * data files opened or listed, the first and cheapest pruning lever

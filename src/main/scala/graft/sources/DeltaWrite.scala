@@ -365,6 +365,33 @@ object DeltaWrite {
     version
   }
 
+  /** IDEMPOTENT append for exactly-once sinks — the Delta transaction-
+    * identifier protocol: the commit carries
+    * `{"txn":{"appId":…,"version":epoch}}`, and a RETRY of an epoch the
+    * log already records is a no-op (returns None) instead of a double
+    * append. This is how a real Delta streaming sink survives
+    * foreachBatch retries: the epoch id, not the data, is the
+    * idempotence key. Returns the committed version, or None if this
+    * (appId, epoch) was already committed.
+    */
+  def appendIdempotent(df: DataFrame, tablePath: String, appId: String,
+      epoch: Long): Option[Long] = {
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    logDir.mkdirs()
+    val committed = DeltaLog.latestTxnVersions(tablePath).get(appId)
+    if (committed.exists(_ >= epoch)) return None
+    val files = stageDataFiles(df, root)
+    val version = nextVersion(logDir)
+    val header = if (version == 0L) headerActions(df) else Seq.empty
+    publish(logDir, version,
+      header ++
+        Seq(s"""{"txn":{"appId":"${jsonEscape(appId)}","version":$epoch}}""") ++
+        files.map(addWithStats(_, df.schema)) :+
+        """{"commitInfo":{"operation":"STREAMING UPDATE","operationParameters":{}}}""")
+    Some(version)
+  }
+
   /** PARTITIONED append: one atomic commit whose data files land under
     * hive-style `col=value/` directories and whose add actions carry the
     * `partitionValues` map — the Delta layout where partition columns

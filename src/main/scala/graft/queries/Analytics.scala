@@ -1157,8 +1157,12 @@ object Analytics {
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir)
         .writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          graft.sources.DeltaWrite.append(batch, tbl)
+        // IDEMPOTENT commits via Delta transaction identifiers (x27):
+        // a retried epoch is a no-op, so foreachBatch's at-least-once
+        // becomes exactly-once at the sink
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          graft.sources.DeltaWrite.appendIdempotent(
+            batch, tbl, "e19_sink", epoch)
           ()
         }
         .start()
@@ -1166,6 +1170,10 @@ object Analytics {
       val commits = Option(new java.io.File(tbl, "_delta_log").listFiles())
         .getOrElse(Array.empty).count(_.getName.endsWith(".json"))
       require(commits >= 2, s"expected one commit per micro-batch, got $commits")
+      // a manual replay of an already-committed epoch must be a no-op
+      val replay = graft.sources.DeltaWrite.appendIdempotent(
+        s.read.parquet(inDir).limit(5), tbl, "e19_sink", 0L)
+      require(replay.isEmpty, "replayed epoch 0 was double-committed")
       graft.sources.DeltaLog.read(s, tbl)
         .select(col("event_id").cast("long").as("event_id"),
           col("user_id").cast("long").as("user_id"), col("event_type"),

@@ -522,6 +522,51 @@ object SourceQueries {
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 
+    // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
+    // pass behind a streaming sink: eight per-epoch small commits leave
+    // eight small files; one dataChange:false commit rewrites them into
+    // a single compacted file (rows untouched — the oracle pins that),
+    // with footer stats re-derived so data skipping survives
+    // compaction. In-query requires pin the live-set shrink, the
+    // dataChange:false marking, and pre-optimize time travel.
+    QueryDef("x28_delta_optimize", (s, d) => {
+      val tbl = s"$stage/delta_optimized"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 to 7).foreach(m =>
+        graft.sources.DeltaWrite.append(
+          o.filter(col("o_orderkey") % 8 === m).coalesce(1), tbl))
+      val before = graft.sources.DeltaLog.liveFiles(s, tbl)
+      require(before.size >= 8, s"expected 8 small files, got ${before.size}")
+      val st = graft.sources.DeltaWrite.optimize(s, tbl,
+        smallFileBytes = 1L << 30, targetFiles = 1)
+      require(st.filesCompacted >= 8 && st.filesAdded == 1,
+        s"optimize did not pack: $st")
+      require(graft.sources.DeltaLog.liveFiles(s, tbl).size == 1,
+        "live set did not shrink to the compacted file")
+      // the compaction commit must be dataChange:false throughout
+      val commitText = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(tbl, f"_delta_log/${st.version}%020d.json").toPath))
+      require(!commitText.contains("\"dataChange\":true"),
+        "optimize marked actions as data changes")
+      // pre-optimize snapshot still time-travels (tombstones intact)
+      require(graft.sources.DeltaLog.read(s, tbl, Some(st.version - 1))
+        .count() > 0, "pre-optimize history lost")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

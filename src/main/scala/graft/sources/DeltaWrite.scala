@@ -392,6 +392,56 @@ object DeltaWrite {
     Some(version)
   }
 
+  /** Outcome of an [[optimize]] commit. */
+  final case class OptimizeStats(version: Long, filesCompacted: Int,
+      filesAdded: Int)
+
+  /** OPTIMIZE (bin-packing compaction): rewrite every live file smaller
+    * than `smallFileBytes` into `targetFiles` compacted files, in ONE
+    * commit whose remove/add actions carry `dataChange:false` — the
+    * table's ROWS are untouched (streaming/CDC consumers know to skip
+    * the commit), only the physical layout changes. This is the
+    * mandatory maintenance pass behind a streaming sink: one small file
+    * per micro-batch epoch (e19) grows the live set without bound, and
+    * scan cost follows file count long before data size. Files at or
+    * above the threshold keep their identity; fewer than two small
+    * files is a no-op (nothing to pack). Time travel to pre-optimize
+    * versions still works until vacuum reclaims the tombstones.
+    */
+  def optimize(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      smallFileBytes: Long, targetFiles: Int = 1): OptimizeStats = {
+    require(targetFiles >= 1, "targetFiles must be at least 1")
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    require(adds.forall(_.partitionValues.isEmpty),
+      s"optimize supports unpartitioned tables: $tablePath")
+    val small = adds.filter(a => new File(a.path).length < smallFileBytes)
+    if (small.size < 2)
+      return OptimizeStats(nextVersion(logDir) - 1, 0, 0)
+    val packed = spark.read.parquet(small.map(_.path): _*)
+      .coalesce(targetFiles)
+    val files = stageDataFiles(packed, root)
+    val version = nextVersion(logDir)
+    val removes = small.map { a =>
+      val rel = relPath(root, a.path)
+      s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":false}}"""
+    }
+    val addsJson = files.map { f =>
+      // same footer-derived stats as a data commit — compaction must not
+      // degrade data skipping
+      val stats = fileStats(f, packed.schema)
+      s"""{"add":{"path":"${jsonEscape(f.getName)}","partitionValues":{},""" +
+        s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+        stats.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
+        """"dataChange":false}}"""
+    }
+    publish(logDir, version, removes ++ addsJson :+
+      """{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{}}}""")
+    OptimizeStats(version, small.size, files.size)
+  }
+
   /** PARTITIONED append: one atomic commit whose data files land under
     * hive-style `col=value/` directories and whose add actions carry the
     * `partitionValues` map — the Delta layout where partition columns

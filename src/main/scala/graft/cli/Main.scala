@@ -107,6 +107,19 @@ object Main {
       try Tui.run(ctx) finally spark.stop()
       return
     }
+    // `delta` subcommand — the Delta-table lifecycle as a CLI verb:
+    // checkpoint / expire-log / vacuum / restore / optimize, the
+    // maintenance loop a 100 TB table needs on a schedule.
+    if (argv.headOption.contains("delta")) {
+      val op = argv.lift(1).getOrElse(
+        throw new IllegalArgumentException(
+          "delta needs an operation: checkpoint|expire-log|vacuum|restore|optimize"))
+      val opts = argv.drop(2).sliding(2, 2).collect {
+        case Array(k, v) => k -> v }.toMap
+      val spark = SessionFactory.build(opts.getOrElse("--master", "local[*]"))
+      try println(deltaMaintain(spark, op, opts)) finally spark.stop()
+      return
+    }
     // `optimize` subcommand — the table-maintenance surface over the
     // layout operators: plain small-file compaction by default,
     // 1-D clustering with --cluster-by, multi-column Z-order with
@@ -276,6 +289,52 @@ object Main {
       }
       if (args.time)
         println(f"elapsed: ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+    }
+  }
+
+  /** The `delta <op>` dispatch, factored for direct spec coverage.
+    * Returns the human-readable result line the CLI prints.
+    */
+  private[graft] def deltaMaintain(spark: org.apache.spark.sql.SparkSession,
+      op: String, opts: Map[String, String]): String = {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val tbl = opts.getOrElse("--table",
+      throw new IllegalArgumentException(s"delta $op needs --table <path>"))
+    op match {
+      case "checkpoint" =>
+        val v = DeltaWrite.checkpoint(spark, tbl)
+        s"checkpointed $tbl at version $v"
+      case "expire-log" =>
+        val removed = DeltaWrite.expireLog(tbl)
+        s"expired ${removed.size} commits from $tbl: ${removed.mkString(", ")}"
+      case "vacuum" =>
+        val retention = opts.get("--retention-ms").map(_.toLong)
+          .getOrElse(7L * 24 * 3600 * 1000)
+        val removed = DeltaWrite.vacuum(spark, tbl, retention)
+        s"vacuumed ${removed.size} files from $tbl"
+      case "restore" =>
+        val v = opts.getOrElse("--version",
+          throw new IllegalArgumentException(
+            "delta restore needs --version <n>")).toLong
+        val st = DeltaWrite.restoreTo(spark, tbl, v)
+        s"restored $tbl to version $v as commit ${st.version} " +
+          s"(${st.filesReAdded} re-added, ${st.filesRemoved} removed)"
+      case "optimize" =>
+        val small = opts.get("--small-mb").map(_.toLong * 1024 * 1024)
+          .getOrElse(128L * 1024 * 1024)
+        val target = opts.get("--target-files").map(_.toInt).getOrElse(1)
+        val st = DeltaWrite.optimize(spark, tbl, small, target)
+        s"optimized $tbl: ${st.filesCompacted} files packed into " +
+          s"${st.filesAdded} at commit ${st.version}"
+      case "count" =>
+        DeltaLog.countFromStats(spark, tbl) match {
+          case Some(n) => s"$n rows (from log stats, zero files opened)"
+          case None => s"${DeltaLog.read(spark, tbl).count()} rows (scanned:" +
+            " a live file lacks numRecords stats)"
+        }
+      case other => throw new IllegalArgumentException(
+        s"unknown delta operation: $other " +
+          "(checkpoint|expire-log|vacuum|restore|optimize|count)")
     }
   }
 }

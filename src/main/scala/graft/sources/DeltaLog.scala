@@ -39,7 +39,8 @@ object DeltaLog {
     * always be scanned).
     */
   final case class LiveFile(path: String, partitionValues: Map[String, String],
-      stats: Option[Map[String, Any]] = None)
+      stats: Option[Map[String, Any]] = None,
+      statsJson: Option[String] = None)
 
   /** The newest reader protocol this implementation understands. Tables
     * written with deletion vectors (minReaderVersion 3) keep deletes as DV
@@ -106,7 +107,7 @@ object DeltaLog {
             s"(oldest present: ${commits.headOption.map(versionOf)})")
     }
     val live = mutable.LinkedHashMap
-      .empty[String, (Map[String, String], Option[Map[String, Any]])]
+      .empty[String, (Map[String, String], Option[Map[String, Any]], Option[String])]
     checkpointVersion.foreach { v =>
       val cp = new File(logDir, f"$v%020d.checkpoint.parquet")
       require(cp.isFile, s"_last_checkpoint names a missing file: $cp")
@@ -137,14 +138,17 @@ object DeltaLog {
           .selectExpr("add.path").collect().headOption
           .foreach(r => refuseDeletionVector(r.getString(0), cp.getName))
       }
-      val rows =
-        if (addFields.contains("partitionValues"))
-          cpDf.selectExpr("add.path", "add.partitionValues").collect()
-        else cpDf.selectExpr("add.path", "map() AS pv").collect()
-      rows.foreach { r =>
+      val pvExpr =
+        if (addFields.contains("partitionValues")) "add.partitionValues"
+        else "map() AS pv"
+      val statsExpr =
+        if (addFields.contains("stats")) "add.stats"
+        else "CAST(NULL AS STRING) AS stats"
+      cpDf.selectExpr("add.path", pvExpr, statsExpr).collect().foreach { r =>
         val pv = Option(r.getMap[String, String](1))
           .map(_.toMap).getOrElse(Map.empty)
-        live += r.getString(0) -> ((pv, None)) // checkpoint rows: no stats read
+        val raw = Option(r.getString(2))
+        live += r.getString(0) -> ((pv, raw.flatMap(MiniJson.parseObject), raw))
       }
     }
 
@@ -182,9 +186,9 @@ object DeltaLog {
                     }
                   case _ => Map.empty[String, String]
                 }
-                val stats = a.get("stats").collect { case s: String => s }
-                  .flatMap(MiniJson.parseObject)
-                live += pathOf(a, f) -> ((pv, stats))
+                val rawStats = a.get("stats").collect { case s: String => s }
+                live += pathOf(a, f) -> ((pv,
+                  rawStats.flatMap(MiniJson.parseObject), rawStats))
               case _ =>
             }
             action.get("remove") match {
@@ -195,13 +199,13 @@ object DeltaLog {
           }
       }
 
-    live.toSeq.map { case (rel, (pv, stats)) =>
+    live.toSeq.map { case (rel, (pv, stats, raw)) =>
       // paths are table-root-relative and URL-encoded per the protocol;
       // absolute URIs pass through
       val abs =
         if (rel.contains("://") || rel.startsWith("/")) rel
         else new File(root, URLDecoder.decode(rel, "UTF-8")).getPath
-      LiveFile(abs, pv, stats)
+      LiveFile(abs, pv, stats, raw)
     }
   }
 

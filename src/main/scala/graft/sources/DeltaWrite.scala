@@ -550,7 +550,8 @@ object DeltaWrite {
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
-      StructField("dataChange", BooleanType)))
+      StructField("dataChange", BooleanType),
+      StructField("stats", StringType))) // real checkpoints carry stats too
     val schema = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaDataT),
@@ -562,7 +563,7 @@ object DeltaWrite {
       adds.map { a =>
         val f = new File(a.path)
         Row(null, null, Row(relPath(root, a.path), a.partitionValues,
-          f.length, f.lastModified, true))
+          f.length, f.lastModified, true, a.statsJson.orNull))
       }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, schema)
@@ -642,9 +643,12 @@ object DeltaWrite {
         s"""{"remove":{"path":"${jsonEscape(relPath(root, a.path))}","dataChange":true}}""") ++
       readds.map { a =>
         val f = new File(a.path)
+        // carry the target snapshot's recorded stats verbatim — a
+        // restore must not degrade data skipping or log-fold counts
         s"""{"add":{"path":"${jsonEscape(relPath(root, a.path))}",""" +
           s""""partitionValues":${pvJson(a.partitionValues)},""" +
           s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+          a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
           """"dataChange":true}}"""
       } :+
       s"""{"commitInfo":{"operation":"RESTORE","operationParameters":{"version":$version}}}""")

@@ -268,4 +268,32 @@ class AppSurfaceSpec extends SparkSpec {
     assert(out.contains("| id | s |"))
     assert(out.startsWith("+----+---+"))
   }
+
+  test("delta CLI verb drives the full table-maintenance lifecycle") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.DeltaWrite
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-delta-cli").toString + "/t"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((3L, "c")).toDF("id", "v").repartition(1), tbl)
+    def run(op: String, extra: (String, String)*): String =
+      cli.Main.deltaMaintain(spark, op, Map("--table" -> tbl) ++ extra)
+    assert(run("count") === "3 rows (from log stats, zero files opened)")
+    assert(run("optimize", "--small-mb" -> "1") startsWith "optimized")
+    // a bad overwrite (v3), undone by restore to the optimized v2
+    DeltaWrite.overwrite(Seq((9L, "z")).toDF("id", "v").repartition(1), tbl)
+    assert(run("count") === "1 rows (from log stats, zero files opened)")
+    assert(run("restore", "--version" -> "2") startsWith "restored")
+    assert(run("count") === "3 rows (from log stats, zero files opened)")
+    // compact the metadata, drop the covered commits, reclaim tombstones
+    assert(run("checkpoint") startsWith "checkpointed")
+    assert(run("expire-log") startsWith "expired 5 commits")
+    assert(run("vacuum", "--retention-ms" -> "0") startsWith "vacuumed 3 files")
+    assert(run("count") === "3 rows (from log stats, zero files opened)")
+    intercept[IllegalArgumentException] { run("nope") }
+    intercept[IllegalArgumentException] {
+      cli.Main.deltaMaintain(spark, "count", Map.empty)
+    }
+  }
 }

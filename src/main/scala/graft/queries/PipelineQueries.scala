@@ -131,6 +131,30 @@ object PipelineQueries {
 
   private val IVF_TOPK = ivfTopkSql(2)
 
+  /** Brute-force top-10 over the FIRST `d` dimensions only — the
+    * Matryoshka-truncation side of a20 (cosine over the prefix, norms
+    * recomputed on the prefix).
+    */
+  private def bfTopkDimsSql(d: Int): String =
+    s"""WITH edd AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |  CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      |ed AS (SELECT * FROM edd WHERE i <= $d),
+      |nrm AS (SELECT vec_id, SQRT(SUM(v*v)) AS nrm FROM ed GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, i, v FROM ed WHERE vec_id < 5),
+      |dots AS (SELECT q.qid, x.vec_id AS nid, SUM(q.v*x.v) AS dot
+      |         FROM q JOIN ed x ON q.i = x.i AND x.vec_id <> q.qid
+      |         GROUP BY q.qid, x.vec_id),
+      |sims AS (SELECT qid, nid, dot/(nq.nrm*nx.nrm) AS sim
+      |         FROM dots
+      |         JOIN nrm nq ON nq.vec_id = qid
+      |         JOIN nrm nx ON nx.vec_id = nid),
+      |ranked AS (SELECT qid, nid, sim,
+      |             ROW_NUMBER() OVER (PARTITION BY qid
+      |               ORDER BY sim DESC, nid) AS rank
+      |           FROM sims)
+      |SELECT qid, nid, CAST(rank AS BIGINT) AS rank
+      |FROM ranked WHERE rank <= 10""".stripMargin
+
   /** LSH-banded k-NN graph replay over ALL corpus vectors, ending in
     * `ranked(qid, nid, sim, rank)` — the a08 oracle chain (signatures,
     * band buckets, a<b candidate join, exact re-score, mirror union,
@@ -1557,6 +1581,37 @@ object PipelineQueries {
       FROM ($BF_TOPK) ex LEFT JOIN ($IVF_TOPK) ap
         ON ap.qid = ex.qid AND ap.nid = ex.nid
       GROUP BY ex.qid ORDER BY ex.qid""")),
+
+    // a20: MATRYOSHKA truncation-recall sweep — "can I store the first
+    // d dims and keep my neighbors?", the adoption question for
+    // MRL-style embeddings (truncating the vector is the cheapest
+    // compression there is: no codebooks, no re-encode). Exact search
+    // over the 16/32/64-dim prefixes, recall@10 against the full-dim
+    // ground truth (computed once, checkpointed); dims=64 is the
+    // recall=1.0 sanity anchor baked into the hash. Same broadcast +
+    // bounded-heap passes as a01 — at scale each sweep point is one
+    // codes-narrow corpus scan.
+    QueryDef("a20_matryoshka_recall", (s, d) => {
+      val emb = Tables.load(s, d, "embeddings")
+      val exact = Similarity.bruteForceTopK(emb, col("vec_id") < 5, 10)
+        .localCheckpoint(true)
+      Seq(16, 32, 64).map { dd =>
+        val trunc = emb.withColumn("embedding",
+          slice(col("embedding"), 1, dd))
+        Similarity.recallAtK(exact,
+            Similarity.bruteForceTopK(trunc, col("vec_id") < 5, 10), 10)
+          .withColumn("dims", lit(dd.toLong))
+      }.reduce(_ unionByName _)
+        .select(col("dims"), col("qid"), col("n_hits"), col("recall_at_10"))
+        .orderBy(col("dims"), col("qid"))
+    }, Some(Seq(16, 32, 64).map(dd => s"""
+      SELECT CAST($dd AS BIGINT) AS dims, ex.qid,
+        CAST(COUNT(ap.nid) AS BIGINT) AS n_hits,
+        ROUND(COUNT(ap.nid) / 10.0, 4) AS recall_at_10
+      FROM ($BF_TOPK) ex LEFT JOIN (${bfTopkDimsSql(dd)}) ap
+        ON ap.qid = ex.qid AND ap.nid = ex.nid
+      GROUP BY ex.qid""").mkString(" UNION ALL ") +
+      " ORDER BY dims, qid")),
 
     // Recall SWEEP: the tuning curve itself — recall@10 at nProbe 1/2/4
     // in one result. This is the query an index operator runs before

@@ -190,7 +190,13 @@ object Soak {
       "e22_stream_cdc" -> 2.55, "e23_range_join_bin" -> 0.84,
       "e24_stream_delta_upsert" -> 12.4, "x20_delta_checkpoint" -> 1.84,
       "x21_delta_restore" -> 0.77, "x22_iceberg_skip" -> 0.65,
-      "e23b_range_join_hier" -> 1.37)
+      "e23b_range_join_hier" -> 1.37,
+      // round-12 fifth batch (PerfProbe warm run2 at sf0.1)
+      "d14_frequent_segments" -> 1.63, "a19_hard_negatives" -> 0.57,
+      "a20_matryoshka_recall" -> 1.12, "x23_iceberg_delete" -> 1.35,
+      "x24_iceberg_expire" -> 1.14, "x25_delta_part_write" -> 0.64,
+      "x26_delta_part_prune" -> 0.50, "x27_delta_txn" -> 0.65,
+      "x28_delta_optimize" -> 2.27, "p05_delta_count" -> 0.43)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -222,7 +228,11 @@ object Soak {
       "c08_token_fertility", "e21_user_growth", "f07_count_min",
       "e22_stream_cdc", "e23_range_join_bin", "e24_stream_delta_upsert",
       "x20_delta_checkpoint", "x21_delta_restore", "x22_iceberg_skip",
-      "e23b_range_join_hier")
+      "e23b_range_join_hier",
+      "d14_frequent_segments", "a19_hard_negatives", "a20_matryoshka_recall",
+      "x23_iceberg_delete", "x24_iceberg_expire", "x25_delta_part_write",
+      "x26_delta_part_prune", "x27_delta_txn", "x28_delta_optimize",
+      "p05_delta_count")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

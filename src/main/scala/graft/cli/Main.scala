@@ -113,7 +113,7 @@ object Main {
     if (argv.headOption.contains("delta")) {
       val op = argv.lift(1).getOrElse(
         throw new IllegalArgumentException(
-          "delta needs an operation: checkpoint|expire-log|vacuum|restore|optimize"))
+          "delta needs an operation: checkpoint|expire-log|vacuum|restore|optimize|count"))
       val opts = argv.drop(2).sliding(2, 2).collect {
         case Array(k, v) => k -> v }.toMap
       val spark = SessionFactory.build(opts.getOrElse("--master", "local[*]"))

@@ -25,6 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** True FLOOR division of a long SQL expression by positive literal
+    * `b`: `div` truncates toward zero, which disagrees with floor for
+    * negative (pre-epoch) micros — the binned forms need real floor
+    * bins or a window spanning epoch zero misclassifies its edge bins.
+    */
+  private def floorDiv(e: String, b: Long): String =
+    s"(($e) div ${b}L + (CASE WHEN (($e) % ${b}L) < 0 THEN -1 ELSE 0 END))"
+
   /** Micros-since-epoch of a timestamp column, tolerant of the physical
     * encodings external tables ship as: TIMESTAMP passes through,
     * TIMESTAMP_NTZ is cast under the (UTC) session zone — the same
@@ -48,13 +56,13 @@ object RangeJoin {
       .withColumn("__p_us", usOf(col(probeTs)))
       // integer div, not floor(double /): at epoch-micros magnitudes a
       // double quotient sits within a few ulp of bin boundaries
-      .withColumn("__bin", expr(s"__p_us div ${w}L"))
+      .withColumn("__bin", expr(floorDiv("__p_us", w)))
       // explode into the two candidate bins: a build row strictly inside
       // the W-wide window behind the probe lives in the probe's own bin
       // or the one before it, never further
       .withColumn("__jbin", explode(array(col("__bin") - 1, col("__bin"))))
     val b = build.select(usOf(col(buildTs)).as("__b_us"))
-      .withColumn("__bbin", expr(s"__b_us div ${w}L"))
+      .withColumn("__bbin", expr(floorDiv("__b_us", w)))
     val joined = p.join(b,
       col("__jbin") === col("__bbin") &&
         col("__b_us") >= col("__p_us") - lit(w) &&
@@ -91,11 +99,11 @@ object RangeJoin {
       .withColumn("__lo", col("__p_us") - lit(w))
       // candidate fine bins floor(lo/b) .. floor(p/b): m+1 ids
       .withColumn("__k", explode(expr(
-        s"sequence((__p_us - ${w}L) div ${b}L, __p_us div ${b}L)")))
+        s"sequence(${floorDiv(s"__p_us - ${w}L", b)}, ${floorDiv("__p_us", b)})")))
       .withColumn("__isFull",
         col("__k") * b >= col("__lo") && (col("__k") + 1) * b <= col("__p_us"))
     val binned = build.select(usOf(col(buildTs)).as("__b_us"))
-      .withColumn("__bk", expr(s"__b_us div ${b}L"))
+      .withColumn("__bk", expr(floorDiv("__b_us", b)))
     val binCounts = binned.groupBy(col("__bk"))
       .agg(count(lit(1)).as("__bn"))
     val fullPart = p.filter(col("__isFull"))
@@ -126,10 +134,10 @@ object RangeJoin {
     val p = probe
       .withColumn("__p_us", usOf(col(probeTs)))
       .withColumn("__jbin",
-        explode(expr(s"array(__p_us div ${w}L - 1, __p_us div ${w}L)")))
+        explode(expr(s"array(${floorDiv("__p_us", w)} - 1, ${floorDiv("__p_us", w)})")))
     val b = build
       .withColumn("__b_us", usOf(col(buildTs)))
-      .withColumn("__bbin", expr(s"__b_us div ${w}L"))
+      .withColumn("__bbin", expr(floorDiv("__b_us", w)))
     val cond = col("__jbin") === col("__bbin") &&
       col("__b_us") >= col("__p_us") - lit(w) &&
       col("__b_us") < col("__p_us")

@@ -21,6 +21,15 @@ import graft.exec.ExecutionContext
   */
 object SourceQueries {
 
+  /** Recursive delete of a staging fixture dir (idempotent per run). */
+  private[queries] def rmTree(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   // absolute staging dir: the oracle SQL must name the same files the Spark
   // side wrote, so the resolved path is embedded in the SQL text. Resolved
   // from the working directory (sbt forks run at the project root) with a
@@ -107,11 +116,7 @@ object SourceQueries {
     // exactly the written files.
     QueryDef("x15_iceberg_write", (s, d) => {
       val tbl = s"$stage/ice_written"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
@@ -135,11 +140,7 @@ object SourceQueries {
     QueryDef("x14_delta_write", (s, d) => {
       val tbl = s"$stage/delta_written"
       // fresh table per run (appends accumulate otherwise)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
@@ -165,11 +166,7 @@ object SourceQueries {
     // target rows survive.
     QueryDef("x16_delta_merge", (s, d) => {
       val tbl = s"$stage/delta_merged"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 4 === 0), tbl)
@@ -238,11 +235,7 @@ object SourceQueries {
     // relationally.
     QueryDef("x18_delta_delete", (s, d) => {
       val tbl = s"$stage/delta_deleted"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
@@ -267,11 +260,7 @@ object SourceQueries {
     // to reading it before the vacuum, which is the whole point.
     QueryDef("x19_delta_vacuum", (s, d) => {
       val tbl = s"$stage/delta_vacuumed"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
@@ -306,11 +295,7 @@ object SourceQueries {
     // the answer.
     QueryDef("x17_delta_skip", (s, d) => {
       val tbl = s"$stage/delta_skip"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartitionByRange(8, col("o_orderkey"))
@@ -344,11 +329,7 @@ object SourceQueries {
     // lakehouse formats (x17 = Delta).
     QueryDef("x22_iceberg_skip", (s, d) => {
       val tbl = s"$stage/ice_skip"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .repartitionByRange(8, col("o_orderkey"))
@@ -378,11 +359,7 @@ object SourceQueries {
     // recomputes the post-delete table relationally.
     QueryDef("x23_iceberg_delete", (s, d) => {
       val tbl = s"$stage/ice_deleted"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.IcebergLog.append(
@@ -410,11 +387,7 @@ object SourceQueries {
     // hash-checked.
     QueryDef("x25_delta_part_write", (s, d) => {
       val tbl = s"$stage/delta_partitioned"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.DeltaWrite.appendPartitioned(o, tbl, Seq("o_orderstatus"))
@@ -438,11 +411,7 @@ object SourceQueries {
     // elimination.
     QueryDef("x26_delta_part_prune", (s, d) => {
       val tbl = s"$stage/delta_part_pruned"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.DeltaWrite.appendPartitioned(o, tbl, Seq("o_orderstatus"))
@@ -469,11 +438,7 @@ object SourceQueries {
     // in-query require pins that the fold actually answered.
     QueryDef("p05_delta_count", (s, d) => {
       val tbl = s"$stage/delta_counted"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
@@ -493,11 +458,7 @@ object SourceQueries {
     // failed, the oracle would see those rows and the hash would break.
     QueryDef("x27_delta_txn", (s, d) => {
       val tbl = s"$stage/delta_txn"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val evens = o.filter(col("o_orderkey") % 2 === 0)
@@ -531,11 +492,7 @@ object SourceQueries {
     // dataChange:false marking, and pre-optimize time travel.
     QueryDef("x28_delta_optimize", (s, d) => {
       val tbl = s"$stage/delta_optimized"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       (0 to 7).foreach(m =>
@@ -577,11 +534,7 @@ object SourceQueries {
     // The oracle pins the snapshot bytes unchanged — the whole point.
     QueryDef("x24_iceberg_expire", (s, d) => {
       val tbl = s"$stage/ice_expired"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
@@ -622,11 +575,7 @@ object SourceQueries {
     // every read. The oracle re-derives the expected table relationally.
     QueryDef("x20_delta_checkpoint", (s, d) => {
       val tbl = s"$stage/delta_checkpointed"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       (0 to 2).foreach(m =>
@@ -661,11 +610,7 @@ object SourceQueries {
     // travelable — restore preserves history, unlike vacuum.
     QueryDef("x21_delta_restore", (s, d) => {
       val tbl = s"$stage/delta_restored"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
+      rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)

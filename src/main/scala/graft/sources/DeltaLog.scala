@@ -40,7 +40,8 @@ object DeltaLog {
     */
   final case class LiveFile(path: String, partitionValues: Map[String, String],
       stats: Option[Map[String, Any]] = None,
-      statsJson: Option[String] = None)
+      statsJson: Option[String] = None,
+      recordedPath: String = "")
 
   /** The newest reader protocol this implementation understands. Tables
     * written with deletion vectors (minReaderVersion 3) keep deletes as DV
@@ -201,11 +202,14 @@ object DeltaLog {
 
     live.toSeq.map { case (rel, (pv, stats, raw)) =>
       // paths are table-root-relative and URL-encoded per the protocol;
-      // absolute URIs pass through
+      // absolute URIs pass through. The RECORDED (still-encoded) form is
+      // kept too: remove/checkpoint actions must byte-match it, and
+      // re-encoding a decoded path is not the identity for values
+      // containing '%', '+' or '/'
       val abs =
         if (rel.contains("://") || rel.startsWith("/")) rel
         else new File(root, URLDecoder.decode(rel, "UTF-8")).getPath
-      LiveFile(abs, pv, stats, raw)
+      LiveFile(abs, pv, stats, raw, recordedPath = rel)
     }
   }
 
@@ -287,6 +291,32 @@ object DeltaLog {
       .filter(f => f.getName.matches("""\d{20}\.json"""))
       .sortBy(_.getName)
     val latest = mutable.Map.empty[String, Long]
+    // seed from the checkpoint's txn rows (if any): the retry guard must
+    // survive checkpoint + log expiry, or a retried epoch double-commits
+    // right after routine log maintenance
+    lastCheckpointVersion(logDir).foreach { v =>
+      val cp = new File(logDir, f"$v%020d.checkpoint.parquet")
+      if (cp.isFile) {
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(cp.getPath),
+            new org.apache.hadoop.conf.Configuration()))
+        val hasTxn =
+          try reader.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .exists(_.getName == "txn")
+          finally reader.close()
+        if (hasTxn) {
+          // tiny driver-side read: the checkpoint is metadata
+          val spark = org.apache.spark.sql.SparkSession.active
+          spark.read.parquet(cp.getPath).where("txn IS NOT NULL")
+            .selectExpr("txn.appId", "txn.version").collect().foreach { r =>
+              val app = r.getString(0)
+              val ver = r.getLong(1)
+              latest(app) = math.max(latest.getOrElse(app, Long.MinValue), ver)
+            }
+        }
+      }
+    }
     commits.foreach { f =>
       Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
         .filter(_.trim.nonEmpty).foreach { line =>

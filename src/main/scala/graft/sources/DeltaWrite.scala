@@ -288,7 +288,12 @@ object DeltaWrite {
       return DeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
     val touchedRows = spark.read.parquet(touched: _*)
     val rowsDeleted = touchedRows.filter(predicate).count()
-    val survivors = touchedRows.filter(!predicate)
+    // SQL DELETE semantics: rows where the predicate is NULL are NOT
+    // deleted — `!predicate` alone would silently drop them (NULL is
+    // neither true nor false)
+    val survivors = touchedRows.filter(
+      !org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
     // a touched file may lose ALL its rows; only write files if any survive
     val files =
       if (survivors.isEmpty) Seq.empty[File]
@@ -346,20 +351,12 @@ object DeltaWrite {
     val prior =
       if (commitFiles(logDir).isEmpty &&
         DeltaLog.lastCheckpointVersion(logDir).isEmpty) Seq.empty
-      else DeltaLog.liveAdds(spark, tablePath).map(_.path)
+      else DeltaLog.liveAdds(spark, tablePath).map(_.recordedPath)
     val files = stageDataFiles(df, root)
     val version = nextVersion(logDir)
     val header = if (version == 0L) headerActions(df) else Seq.empty
-    val rootPath = root.getAbsolutePath
-    val removes = prior.map { p =>
-      // remove paths must byte-match the recorded add paths, which are
-      // table-root-relative; liveAdds resolved them absolute
-      val rel =
-        if (p.startsWith(rootPath))
-          p.substring(rootPath.length).stripPrefix("/")
-        else p
-      s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":true}}"""
-    }
+    val removes = prior.map(rel =>
+      s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":true}}""")
     publish(logDir, version, header ++ removes ++ files.map(addWithStats(_, df.schema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}""")
     version
@@ -552,18 +549,29 @@ object DeltaWrite {
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
       StructField("stats", StringType))) // real checkpoints carry stats too
+    val txnT = StructType(Seq(
+      StructField("appId", StringType),
+      StructField("version", LongType)))
     val schema = StructType(Seq(
       StructField("protocol", protocolT),
       StructField("metaData", metaDataT),
-      StructField("add", addT)))
+      StructField("add", addT),
+      StructField("txn", txnT)))
+    // txn idempotence records survive log expiry through the checkpoint
+    // (real Delta checkpoints carry txn actions for exactly this reason:
+    // a streaming sink's retry guard must outlive the JSON commits)
+    val txns = DeltaLog.latestTxnVersions(tablePath)
     val rows: Seq[Row] =
-      Row(Row(1, 2), null, null) +:
+      (Row(Row(1, 2), null, null, null) +:
       Row(null, Row(java.util.UUID.randomUUID.toString, schemaJson,
-        Seq.empty[String]), null) +:
+        Seq.empty[String]), null, null) +:
       adds.map { a =>
         val f = new File(a.path)
-        Row(null, null, Row(relPath(root, a.path), a.partitionValues,
-          f.length, f.lastModified, true, a.statsJson.orNull))
+        Row(null, null, Row(a.recordedPath, a.partitionValues,
+          f.length, f.lastModified, true, a.statsJson.orNull), null)
+      }) ++
+      txns.toSeq.sortBy(_._1).map { case (app, v) =>
+        Row(null, null, null, Row(app, v))
       }
     import scala.jdk.CollectionConverters._
     val df = spark.createDataFrame(rows.asJava, schema)
@@ -625,10 +633,13 @@ object DeltaWrite {
     requireTable(logDir, tablePath)
     val target = DeltaLog.liveAdds(spark, tablePath, Some(version))
     val current = DeltaLog.liveAdds(spark, tablePath)
-    val targetRel = target.map(a => relPath(root, a.path)).toSet
-    val currentRel = current.map(a => relPath(root, a.path)).toSet
-    val removes = current.filterNot(a => targetRel.contains(relPath(root, a.path)))
-    val readds = target.filterNot(a => currentRel.contains(relPath(root, a.path)))
+    // identity AND the emitted remove/add paths use the RECORDED form:
+    // a remove only tombstones an add it byte-matches, and partitioned
+    // adds are URL-encoded on disk
+    val targetRel = target.map(_.recordedPath).toSet
+    val currentRel = current.map(_.recordedPath).toSet
+    val removes = current.filterNot(a => targetRel.contains(a.recordedPath))
+    val readds = target.filterNot(a => currentRel.contains(a.recordedPath))
     if (removes.isEmpty && readds.isEmpty)
       return RestoreStats(nextVersion(logDir) - 1, 0, 0)
     readds.foreach(a => require(new File(a.path).isFile,
@@ -640,12 +651,12 @@ object DeltaWrite {
     val v = nextVersion(logDir)
     publish(logDir, v,
       removes.map(a =>
-        s"""{"remove":{"path":"${jsonEscape(relPath(root, a.path))}","dataChange":true}}""") ++
+        s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""") ++
       readds.map { a =>
         val f = new File(a.path)
         // carry the target snapshot's recorded stats verbatim — a
         // restore must not degrade data skipping or log-fold counts
-        s"""{"add":{"path":"${jsonEscape(relPath(root, a.path))}",""" +
+        s"""{"add":{"path":"${jsonEscape(a.recordedPath)}",""" +
           s""""partitionValues":${pvJson(a.partitionValues)},""" +
           s""""size":${f.length},"modificationTime":${f.lastModified},""" +
           a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +

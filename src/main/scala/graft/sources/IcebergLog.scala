@@ -576,7 +576,11 @@ object IcebergLog {
     val touchedRows = spark.read.parquet(
       entries.map(_.path).filter(p => touchedNames(new File(p).getName)): _*)
     val rowsDeleted = touchedRows.filter(predicate).count()
-    val survivors = touchedRows.filter(!predicate)
+    // SQL DELETE semantics: NULL-predicate rows survive (same guard as
+    // the Delta path)
+    val survivors = touchedRows.filter(
+      !org.apache.spark.sql.functions.coalesce(predicate,
+        org.apache.spark.sql.functions.lit(false)))
     val newFiles =
       if (survivors.isEmpty) Seq.empty[File] else stageData(survivors, root)
     val nextEntries = entries.map { e =>

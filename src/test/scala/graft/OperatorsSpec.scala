@@ -1365,6 +1365,25 @@ class OperatorsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("n_prior")).toMap
     assert(hier === flat)
 
+    // pre-epoch (negative micros) timestamps: `div` truncates toward
+    // zero where floor bins are needed — the hierarchical form must
+    // still equal the flat form across epoch zero
+    def nt(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val negProbes = Seq((10L, nt(-10)), (11L, nt(5)), (12L, nt(-70)))
+      .toDF("pid", "ts")
+    val negBuilds = Seq(nt(-65), nt(-20), nt(-15), nt(-5), nt(0), nt(3), nt(-125))
+      .map(Tuple1(_)).toDF("ts")
+    val negFlat = RangeJoin.countPrior(negProbes, negBuilds, "ts", "ts",
+        60L, Seq("pid")).collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("n_prior")).toMap
+    val negHier = RangeJoin.countPriorBinned(negProbes, negBuilds, "ts", "ts",
+        60L, m = 4, keyCols = Seq("pid")).collect()
+      .map(r => r.getAs[Long]("pid") -> r.getAs[Long]("n_prior")).toMap
+    // naive reference: [p-60, p) — pid 10: {-65,-20,-15} = 3;
+    // pid 11: {-20,-15,-5,0,3} = 5; pid 12: {-125} = 1
+    assert(negFlat === Map(10L -> 3L, 11L -> 5L, 12L -> 1L))
+    assert(negHier === negFlat)
+
     // general pair form agrees with an explicit cross-join filter
     val pairs = RangeJoin.joinPrior(
         probes, builds.withColumnRenamed("ts", "b_ts"), "ts", "b_ts", 10L)

@@ -1039,6 +1039,73 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("partitioned restore + checkpoint use RECORDED paths (encoded values)") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_part_restore"
+    // values that need URL-encoding: restore/checkpoint must byte-match
+    // the RECORDED add paths, not re-encode decoded ones
+    DeltaWrite.appendPartitioned(
+      Seq((1L, "a b"), (2L, "c/d")).toDF("id", "cat"), tbl, Seq("cat"))
+    DeltaWrite.appendPartitioned(
+      Seq((3L, "a b")).toDF("id", "cat"), tbl, Seq("cat"))
+    val st = DeltaWrite.restoreTo(spark, tbl, 0L)
+    assert(st.filesRemoved > 0)
+    // a broken remove path would leave v1's rows live: silent wrong data
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // checkpoint a partitioned table with encoded values; the seeded read
+    // must still resolve every file and re-inject the decoded pv
+    DeltaWrite.checkpoint(spark, tbl)
+    DeltaWrite.expireLog(tbl)
+    val got = DeltaLog.read(spark, tbl).select("id", "cat").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a b", 2L -> "c/d"))
+  }
+
+  test("txn idempotence survives checkpoint + log expiry") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_txn_cp"
+    assert(DeltaWrite.appendIdempotent(
+      Seq((1L, "a")).toDF("id", "v").repartition(1), tbl, "sink", 7L).isDefined)
+    DeltaWrite.checkpoint(spark, tbl)
+    DeltaWrite.expireLog(tbl)
+    // the JSON commit carrying the txn is gone; the checkpoint must still
+    // answer the retry guard or the sink double-commits after maintenance
+    assert(DeltaLog.latestTxnVersions(tbl) === Map("sink" -> 7L))
+    assert(DeltaWrite.appendIdempotent(
+      Seq((9L, "dup")).toDF("id", "v").repartition(1), tbl, "sink", 7L).isEmpty)
+    assert(DeltaLog.read(spark, tbl).count() === 1L)
+    // a NEWER epoch still commits, and both records merge
+    assert(DeltaWrite.appendIdempotent(
+      Seq((2L, "b")).toDF("id", "v").repartition(1), tbl, "sink", 8L).isDefined)
+    assert(DeltaLog.latestTxnVersions(tbl) === Map("sink" -> 8L))
+  }
+
+  test("DELETE keeps NULL-predicate rows in both formats (SQL semantics)") {
+    import graft.sources.{DeltaLog, DeltaWrite, IcebergLog}
+    val s = spark
+    import s.implicits._
+    def frame() = Seq[(java.lang.Long, String)]((1L, "a"), (2L, "b"), (null, "n"))
+      .toDF("id", "v").repartition(1)
+    val dTbl = s"$tmp/delta_null_del"
+    DeltaWrite.append(frame(), dTbl)
+    val dst = DeltaWrite.deleteWhere(spark, dTbl, col("id") === 1L)
+    assert(dst.rowsDeleted === 1L)
+    assert(DeltaLog.read(spark, dTbl).select("v").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("b", "n"),
+      "NULL-id row must survive a DELETE WHERE id = 1")
+    val iTbl = s"$tmp/ice_null_del"
+    IcebergLog.append(frame(), iTbl)
+    val ist = IcebergLog.deleteWhere(spark, iTbl, col("id") === 1L)
+    assert(ist.rowsDeleted === 1L)
+    assert(IcebergLog.read(spark, iTbl).select("v").collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("b", "n"))
+  }
+
   test("Iceberg manifest bounds: roundtrip, safe pruning, carried across appends") {
     import graft.sources.IcebergLog
     val s = spark

@@ -254,4 +254,108 @@ class PropertySpec extends SparkSpec {
       assert(gotDist === expected, s"distributed path, edges: $edges")
     }
   }
+
+  test("Delta lifecycle fuzz: random op sequences match an in-memory model") {
+    // the strongest robustness claim for the write path: after EVERY
+    // step of a random append/overwrite/merge/delete/optimize/
+    // checkpoint/expire/restore sequence, DeltaLog.read equals a trivial
+    // in-memory reference model of table contents — and time travel to
+    // any still-replayable version equals the model's history
+    import graft.sources.{DeltaLog, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    sealed trait Op
+    case object Append extends Op
+    case object Overwrite extends Op
+    case object Merge extends Op
+    case object Delete extends Op
+    case object Optimize extends Op
+    case object CheckpointExpire extends Op
+    case object Restore extends Op
+    val opGen: Gen[Op] = Gen.frequency(4 -> Gen.const(Append),
+      1 -> Gen.const(Overwrite), 2 -> Gen.const(Merge),
+      2 -> Gen.const(Delete), 1 -> Gen.const(Optimize),
+      1 -> Gen.const(CheckpointExpire), 1 -> Gen.const(Restore))
+    val batchGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(1, 4)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 9L))
+      tag <- Gen.choose(0L, 1000L)
+    } yield keys.distinct.map(k => k -> (k * 1000 + tag))
+    forSamples(Gen.zip(Gen.listOfN(8, opGen), Gen.listOfN(8, batchGen),
+        Gen.listOfN(8, Gen.choose(0L, 9L))), n = 6) {
+      case (ops, batches, delKeys) =>
+        val tbl = java.nio.file.Files
+          .createTempDirectory("graft-delta-fuzz").toString + "/t"
+        var model = Map.empty[Long, Long] // id -> payload (merge keyed on id)
+        var history = Vector.empty[(Long, Map[Long, Long])] // version -> model
+        var expiredBelow = -1L // versions at/below this are unreadable
+        def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "payload").repartition(1)
+        def check(): Unit = {
+          if (model.isEmpty) {
+            // an all-rows-deleted table has no live files; the reader
+            // refuses loudly rather than inventing a schema
+            intercept[Exception] { DeltaLog.read(spark, tbl).collect() }
+          } else {
+            val rows = DeltaLog.read(spark, tbl).collect()
+              .map(r => r.getAs[Long]("id") -> r.getAs[Long]("payload")).toSeq
+            assert(rows.map(_._1).distinct.size === rows.size,
+              s"DUPLICATE ids in live table: ${rows.sorted} after ops $ops")
+            assert(rows.toMap === model, s"live mismatch after ops $ops: got ${rows.sorted}")
+          }
+          // every still-replayable non-empty historical version too
+          history.filter(h => h._1 > expiredBelow && h._2.nonEmpty)
+            .foreach { case (v, m) =>
+              val h = DeltaLog.read(spark, tbl, Some(v)).collect()
+                .map(r => r.getAs[Long]("id") -> r.getAs[Long]("payload")).toMap
+              assert(h === m, s"history v$v mismatch after ops $ops")
+            }
+        }
+        ops.zip(batches).zip(delKeys).foreach { case ((op, batch), delKey) =>
+          val exists = new java.io.File(s"$tbl/_delta_log").isDirectory
+          op match {
+            case Append =>
+              // appends do NOT upsert: an existing id would legitimately
+              // duplicate, which the keyed model can't express — restrict
+              // appends to fresh keys (merge covers the update semantics)
+              val fresh = batch.filterNot { case (k, _) => model.contains(k) }
+              if (fresh.nonEmpty) {
+                val v = DeltaWrite.append(df(fresh), tbl)
+                model = model ++ fresh.toMap
+                history :+= ((v, model))
+              }
+            case Overwrite =>
+              val v = DeltaWrite.overwrite(df(batch), tbl)
+              model = batch.toMap
+              history :+= ((v, model))
+            case Merge if exists && model.nonEmpty =>
+              val st = DeltaWrite.merge(tbl, df(batch), Seq("id"))
+              model = model ++ batch.toMap
+              history :+= ((st.version, model))
+            case Delete if exists && model.nonEmpty =>
+              val st = DeltaWrite.deleteWhere(spark, tbl, col("id") === delKey)
+              if (model.contains(delKey)) {
+                model -= delKey
+                history :+= ((st.version, model))
+              }
+            case Optimize if exists && model.nonEmpty =>
+              val st = DeltaWrite.optimize(spark, tbl, 1L << 30)
+              if (st.filesCompacted > 0) history :+= ((st.version, model))
+            case CheckpointExpire if exists && model.nonEmpty =>
+              val cp = DeltaWrite.checkpoint(spark, tbl)
+              DeltaWrite.expireLog(tbl)
+              expiredBelow = cp // only strictly-newer commits replay as targets
+            case Restore if exists && history.exists(_._1 > expiredBelow) =>
+              val (v, m) = history.filter(_._1 > expiredBelow).head
+              val st = DeltaWrite.restoreTo(spark, tbl, v)
+              model = m
+              if (st.filesRemoved + st.filesReAdded > 0)
+                history :+= ((st.version, model))
+            case _ => // op not applicable yet: skip
+          }
+          if (exists || new java.io.File(s"$tbl/_delta_log").isDirectory)
+            check()
+        }
+    }
+  }
 }

@@ -255,6 +255,86 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Iceberg lifecycle fuzz: random op sequences match an in-memory model") {
+    // the Delta fuzz's mirror for the second format: append / deleteWhere
+    // / expireSnapshots interleavings, model-checked after every step,
+    // with history replay for snapshots the expiry hasn't dropped
+    import graft.sources.IcebergLog
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    sealed trait Op
+    case object Append extends Op
+    case object Delete extends Op
+    case object Expire extends Op
+    val opGen: Gen[Op] = Gen.frequency(4 -> Gen.const(Append),
+      2 -> Gen.const(Delete), 1 -> Gen.const(Expire))
+    val batchGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.choose(1, 4)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 9L))
+      tag <- Gen.choose(0L, 1000L)
+    } yield keys.distinct.map(k => k -> (k * 1000 + tag))
+    forSamples(Gen.zip(Gen.listOfN(8, opGen), Gen.listOfN(8, batchGen),
+        Gen.listOfN(8, Gen.choose(0L, 9L))), n = 6) {
+      case (ops, batches, delKeys) =>
+        val tbl = java.nio.file.Files
+          .createTempDirectory("graft-ice-fuzz").toString + "/t"
+        var model = Map.empty[Long, Long]
+        var history = Vector.empty[(Long, Map[Long, Long])] // sid -> model
+        var oldestKept = Long.MinValue
+        def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "payload").repartition(1)
+        def exists = new java.io.File(s"$tbl/metadata").isDirectory
+        def check(): Unit = {
+          if (model.isEmpty) {
+            intercept[Exception] { IcebergLog.read(spark, tbl).collect() }
+          } else {
+            val rows = IcebergLog.read(spark, tbl).collect()
+              .map(r => r.getAs[Long]("id") -> r.getAs[Long]("payload")).toSeq
+            assert(rows.map(_._1).distinct.size === rows.size,
+              s"DUPLICATE ids after ops $ops: ${rows.sorted}")
+            assert(rows.toMap === model, s"live mismatch after ops $ops")
+          }
+          history.filter(h => h._1 >= oldestKept && h._2.nonEmpty)
+            .foreach { case (sid, m) =>
+              val h = IcebergLog.read(spark, tbl, Some(sid)).collect()
+                .map(r => r.getAs[Long]("id") -> r.getAs[Long]("payload")).toMap
+              assert(h === m, s"snapshot $sid mismatch after ops $ops")
+            }
+        }
+        ops.zip(batches).zip(delKeys).foreach { case ((op, batch), delKey) =>
+          op match {
+            case Append =>
+              val fresh = batch.filterNot { case (k, _) => model.contains(k) }
+              if (fresh.nonEmpty) {
+                val sid = IcebergLog.append(df(fresh), tbl, Seq(1 -> "id"))
+                model = model ++ fresh.toMap
+                history :+= ((sid, model))
+              }
+            case Delete if exists && model.nonEmpty =>
+              val st = IcebergLog.deleteWhere(spark, tbl,
+                col("id") === delKey, Seq(1 -> "id"))
+              if (model.contains(delKey)) {
+                model -= delKey
+                history :+= ((st.snapshotId, model))
+              }
+            case Expire if exists && history.nonEmpty =>
+              val keep = 1 + (delKey % 2).toInt // keep 1 or 2 newest
+              IcebergLog.expireSnapshots(tbl, keep)
+              val survivors = history.takeRight(keep).map(_._1)
+              oldestKept = survivors.min
+              // expired ids must now refuse loudly
+              history.filter(_._1 < oldestKept).foreach { case (sid, _) =>
+                intercept[IllegalArgumentException] {
+                  IcebergLog.read(spark, tbl, Some(sid)).collect()
+                }
+              }
+            case _ =>
+          }
+          if (exists) check()
+        }
+    }
+  }
+
   test("Delta lifecycle fuzz: random op sequences match an in-memory model") {
     // the strongest robustness claim for the write path: after EVERY
     // step of a random append/overwrite/merge/delete/optimize/

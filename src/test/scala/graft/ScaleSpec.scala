@@ -299,6 +299,19 @@ class ScaleSpec extends SparkSpec {
     assert(p.contains("Join"), s"no join surfaced at all:\n$p")
   }
 
+  test("hierarchical range count: partial aggs, hash joins only") {
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("ts"))
+    val p = graft.operators.RangeJoin.countPriorBinned(
+        purchases, ev.select(col("ts")), "ts", "ts", 3600L, 8, Seq("event_id"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"nested loop in e23b plan:\n$p")
+    assert(p.contains("partial_count") && p.contains("partial_sum"),
+      s"bin pre-aggregation lost its map-side combine:\n$p")
+  }
+
   test("frequent-segment excision: map-side partial count, no all-pairs join") {
     // segmentation must stay in-row (the only corpus passes are the
     // hashed-string frequency count and the per-doc reassembly)

@@ -524,6 +524,36 @@ object SourceQueries {
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 
+    // x29: ICEBERG SINK IDEMPOTENCE via snapshot summaries — the second
+    // format's exactly-once mechanism (x27's mirror, the way real
+    // Iceberg sinks record their committed checkpoint id): a retried
+    // epoch carrying DIFFERENT data must be a no-op, or the oracle sees
+    // its rows and the hash breaks. Summaries survive ordinary appends
+    // (they are re-rendered into every new metadata version).
+    QueryDef("x29_iceberg_txn", (s, d) => {
+      val tbl = s"$stage/ice_txn"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val evens = o.filter(col("o_orderkey") % 2 === 0)
+      val odds = o.filter(col("o_orderkey") % 2 === 1)
+      require(graft.sources.IcebergLog.appendIdempotent(
+        evens, tbl, "sinkA", 1L).isDefined, "epoch-1 commit must land")
+      require(graft.sources.IcebergLog.appendIdempotent(
+        odds, tbl, "sinkA", 1L).isEmpty, "retried epoch was double-committed")
+      require(graft.sources.IcebergLog.appendIdempotent(
+        odds, tbl, "sinkA", 2L).isDefined, "epoch-2 commit must land")
+      require(graft.sources.IcebergLog.latestSinkEpochs(tbl) == Map("sinkA" -> 2L))
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

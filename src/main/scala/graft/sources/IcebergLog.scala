@@ -38,7 +38,12 @@ import graft.server.MiniJson
   */
 object IcebergLog {
 
-  final case class Snapshot(snapshotId: Long, manifestList: String)
+  /** `summary` carries the snapshot's key/value properties — the spec's
+    * snapshot summary, which streaming sinks use as their idempotence
+    * record (the Flink Iceberg sink stores its checkpoint id there).
+    */
+  final case class Snapshot(snapshotId: Long, manifestList: String,
+      summary: Map[String, String] = Map.empty)
 
   /** Parsed metadata root: format version + snapshots + the current one. */
   final case class TableMeta(formatVersion: Long, currentSnapshotId: Long,
@@ -86,12 +91,33 @@ object IcebergLog {
     val snaps = root.get("snapshots") match {
       case Some(xs: Seq[_]) => xs.collect { case m: Map[_, _] =>
         val mm = m.asInstanceOf[Map[String, Any]]
+        val summary = mm.get("summary") match {
+          case Some(sm: Map[_, _]) => sm.asInstanceOf[Map[String, Any]]
+            .collect { case (k, v: String) => k -> v }
+          case _ => Map.empty[String, String]
+        }
         Snapshot(mm("snapshot-id").asInstanceOf[Double].toLong,
-          mm("manifest-list").asInstanceOf[String])
+          mm("manifest-list").asInstanceOf[String], summary)
       }
       case _ => Seq.empty
     }
     TableMeta(fv, current, snaps)
+  }
+
+  private def jsonEscape(x: String): String = x.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def snapshotJson(s: Snapshot): String = {
+    val summaryJson =
+      if (s.summary.isEmpty) ""
+      else s.summary.toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      }.mkString(""","summary":{""", ",", "}")
+    s"""{"snapshot-id":${s.snapshotId},"manifest-list":"${s.manifestList}"$summaryJson}"""
   }
 
   private def readAvro(f: File): Seq[GenericRecord] = {
@@ -289,7 +315,7 @@ object IcebergLog {
       upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** Write one snapshot's manifest + manifest list into `metaDir`; returns
-    * the metadata.json snapshot entry.
+    * the manifest-list path (table-relative).
     */
   private def writeSnapshot(metaDir: File, sid: Long,
       entries: Seq[FixtureEntry]): String = {
@@ -332,7 +358,7 @@ object IcebergLog {
     mf.put("partition_spec_id", 0)
     mf.put("added_snapshot_id", sid)
     writeAvro(list, manifestFileSchema, Seq(mf))
-    s"""{"snapshot-id":$sid,"manifest-list":"metadata/snap-$sid.avro"}"""
+    s"metadata/snap-$sid.avro"
   }
 
   private def writeMetadataVersion(metaDir: File, tablePath: String,
@@ -368,7 +394,7 @@ object IcebergLog {
     val metaDir = new File(tablePath, "metadata")
     metaDir.mkdirs()
     val snapJsons = snapshots.map { case (sid, entries) =>
-      writeSnapshot(metaDir, sid, entries)
+      snapshotJson(Snapshot(sid, writeSnapshot(metaDir, sid, entries)))
     }
     new File(metaDir, s"v${snapshots.size}.metadata.json").delete()
     writeMetadataVersion(metaDir, tablePath, snapshots.size.toLong,
@@ -457,10 +483,13 @@ object IcebergLog {
   }
 
   /** Publish `entries` as the next snapshot + metadata version (prior
-    * snapshots preserved); returns the new snapshot id.
+    * snapshots preserved, INCLUDING their summaries); returns the new
+    * snapshot id. `summary` becomes the new snapshot's key/value
+    * properties.
     */
   private def commitSnapshot(tablePath: String,
-      entries: Seq[FixtureEntry]): Long = {
+      entries: Seq[FixtureEntry],
+      summary: Map[String, String] = Map.empty): Long = {
     val metaDir = new File(tablePath, "metadata")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
@@ -471,9 +500,9 @@ object IcebergLog {
         (parseMeta(mf).snapshots, v + 1)
       } else (Seq.empty[Snapshot], 1L)
     val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
-    val snapJson = writeSnapshot(metaDir, sid, entries)
-    val priorJsons = priorSnaps.map(s =>
-      s"""{"snapshot-id":${s.snapshotId},"manifest-list":"${s.manifestList}"}""")
+    val snapJson = snapshotJson(
+      Snapshot(sid, writeSnapshot(metaDir, sid, entries), summary))
+    val priorJsons = priorSnaps.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version, sid,
       priorJsons :+ snapJson)
     sid
@@ -517,8 +546,7 @@ object IcebergLog {
     }.toSet
     val version = mf.getName.stripPrefix("v")
       .stripSuffix(".metadata.json").toLong + 1
-    val survivorJsons = survivors.map(s =>
-      s"""{"snapshot-id":${s.snapshotId},"manifest-list":"${s.manifestList}"}""")
+    val survivorJsons = survivors.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version,
       meta.currentSnapshotId, survivorJsons)
     val orphanData = Option(new File(root, "data").listFiles())
@@ -533,6 +561,50 @@ object IcebergLog {
       f.getName
     }.toSeq
     (version, deleted)
+  }
+
+  /** Latest committed sink epoch per app id, read from snapshot
+    * summaries — the Iceberg analog of Delta's txn identifiers (the
+    * Flink Iceberg sink records its max committed checkpoint id in the
+    * snapshot summary exactly like this).
+    */
+  def latestSinkEpochs(tablePath: String): Map[String, Long] =
+    parseMeta(currentMetadataFile(tablePath)).snapshots
+      .flatMap(s => for {
+        app <- s.summary.get("graft.sink.app-id")
+        v <- s.summary.get("graft.sink.epoch")
+          .flatMap(e => scala.util.Try(e.toLong).toOption)
+      } yield app -> v)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+
+  /** IDEMPOTENT append for exactly-once sinks: the snapshot summary
+    * records (appId, epoch), and a RETRY of an already-committed epoch
+    * is a no-op returning None — [[DeltaWrite.appendIdempotent]]'s
+    * mirror via the mechanism real Iceberg sinks use. CAVEAT (the real
+    * system's constraint too): the record lives in snapshot summaries,
+    * so [[expireSnapshots]] retention must keep the sink's most recent
+    * snapshot or the retry guard is lost with it.
+    */
+  def appendIdempotent(df: DataFrame, tablePath: String, appId: String,
+      epoch: Long, statsFields: Seq[(Int, String)] = Seq.empty): Option[Long] = {
+    val metaDir = new File(tablePath, "metadata")
+    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+    if (hasMeta && latestSinkEpochs(tablePath).get(appId).exists(_ >= epoch))
+      return None
+    val root = new File(tablePath)
+    metaDir.mkdirs()
+    val moved = stageData(df, root)
+    require(moved.nonEmpty, s"no data files produced for $tablePath")
+    val priorEntries =
+      if (!hasMeta) Seq.empty
+      else liveEntries(tablePath).map(e =>
+        FixtureEntry(0, e.path, 0, lowerBounds = e.lowerBounds,
+          upperBounds = e.upperBounds))
+    Some(commitSnapshot(tablePath,
+      priorEntries ++ moved.map(f => addedEntry(f, statsFields)),
+      summary = Map("graft.sink.app-id" -> appId,
+        "graft.sink.epoch" -> epoch.toString)))
   }
 
   /** Outcome of a [[deleteWhere]] snapshot. */

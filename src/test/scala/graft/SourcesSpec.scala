@@ -1177,6 +1177,30 @@ class SourcesSpec extends SparkSpec {
     assert(st3.snapshotId === st2.snapshotId && st3.rowsDeleted === 0L)
   }
 
+  test("Iceberg sink epochs: summaries survive appends, die with expiry (documented)") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_sink_epochs"
+    assert(IcebergLog.appendIdempotent(
+      Seq((1L, "a")).toDF("id", "v").repartition(1), tbl, "sink", 3L).isDefined)
+    // an ordinary append re-renders prior snapshot jsons: summary kept
+    IcebergLog.append(Seq((2L, "b")).toDF("id", "v").repartition(1), tbl)
+    assert(IcebergLog.latestSinkEpochs(tbl) === Map("sink" -> 3L))
+    assert(IcebergLog.appendIdempotent(
+      Seq((9L, "dup")).toDF("id", "v").repartition(1), tbl, "sink", 3L).isEmpty)
+    // two sinks track independently
+    assert(IcebergLog.appendIdempotent(
+      Seq((3L, "c")).toDF("id", "v").repartition(1), tbl, "other", 1L).isDefined)
+    assert(IcebergLog.latestSinkEpochs(tbl) ===
+      Map("sink" -> 3L, "other" -> 1L))
+    assert(IcebergLog.read(spark, tbl).count() === 3L)
+    // the documented retention caveat: expiring the snapshot that holds
+    // a sink's record loses its retry guard (keep=1 keeps only `other`'s)
+    IcebergLog.expireSnapshots(tbl, keep = 1)
+    assert(IcebergLog.latestSinkEpochs(tbl) === Map("other" -> 1L))
+  }
+
   test("Iceberg snapshot expiry: union-liveness across survivors, loud expired travel") {
     import graft.sources.IcebergLog
     val s = spark

@@ -101,8 +101,22 @@ class ExecutionContext(val spark: SparkSession,
         graft.sources.AvroIO.register(spark, name, loc)
       case DdlTranslate.IcebergTable(name, loc) =>
         graft.sources.IcebergLog.register(spark, name, loc)
+      case DdlTranslate.VacuumStmt(loc, retainHours) =>
+        val removed = graft.sources.DeltaWrite.vacuum(spark, loc,
+          retainHours.map(_ * 3600L * 1000L).getOrElse(7L * 24 * 3600 * 1000))
+        oneRowResult("files_removed", removed.size.toLong)
+      case DdlTranslate.OptimizeStmt(loc) =>
+        val st = graft.sources.DeltaWrite.optimize(spark, loc,
+          smallFileBytes = 128L * 1024 * 1024)
+        oneRowResult("files_compacted", st.filesCompacted.toLong)
       case s => sql(DdlTranslate(s))
     }
+
+  /** Single-row result frame for maintenance statements. */
+  private def oneRowResult(name: String, value: Long): DataFrame = {
+    import spark.implicits._
+    Seq(value).toDF(name)
+  }
 }
 
 /** `CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION 'p'` (reference
@@ -143,6 +157,30 @@ object DdlTranslate {
     def unapply(statement: String): Option[(String, String)] = statement match {
       case External(name, _, fmt, loc) if fmt.equalsIgnoreCase("iceberg") =>
         Some((name, loc))
+      case _ => None
+    }
+  }
+
+  /** `VACUUM 'path' [RETAIN n HOURS]` — the Databricks/Delta SQL verb
+    * for [[graft.sources.DeltaWrite.vacuum]]; default retention 7 days.
+    */
+  object VacuumStmt {
+    private val P =
+      """(?is)VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""".r
+    def unapply(statement: String): Option[(String, Option[Long])] =
+      statement match {
+        case P(loc, hours) => Some((loc, Option(hours).map(_.toLong)))
+        case _ => None
+      }
+  }
+
+  /** `OPTIMIZE 'path'` — the lakehouse bin-packing verb for
+    * [[graft.sources.DeltaWrite.optimize]].
+    */
+  object OptimizeStmt {
+    private val P = """(?is)OPTIMIZE\s+'([^']+)'\s*""".r
+    def unapply(statement: String): Option[String] = statement match {
+      case P(loc) => Some(loc)
       case _ => None
     }
   }

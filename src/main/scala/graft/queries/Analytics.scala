@@ -1386,6 +1386,40 @@ object Analytics {
       FROM p ORDER BY event_id""")),
 
     // ------------------------------------------------------------------
+    // e25: SCD TYPE 2 dimension build — the warehouse-history
+    // materialization of the e22 changelog: instead of keeping only the
+    // latest row per key, EVERY change becomes a validity interval
+    // (valid_from = its own ts, valid_to = the next change's ts, open
+    // interval + is_current flag on the newest). One window over the
+    // per-user exchange (lead() for the closing edge, the same
+    // (ms, event_id) ordering as the CDC winner rule) — no self-join,
+    // no shuffle beyond the keyed exchange, which is the plan you want
+    // when rebuilding a 100 TB dimension's history.
+    QueryDef("e25_scd2_history", (s, d) => {
+      val ev = t(s, d, "events")
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ms"), col("event_id"))
+      ev.select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"),
+          expr("unix_micros(ts) div 1000").as("ms"))
+        .withColumn("valid_to", lead(col("ms"), 1).over(w))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("value"), col("ms").as("valid_from"), col("valid_to"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, event_id, event_type, value,
+              epoch_ns(ts) // 1000000 AS ms FROM events)
+      SELECT user_id, event_id, event_type, value,
+        ms AS valid_from,
+        LEAD(ms) OVER w AS valid_to,
+        (LEAD(ms) OVER w IS NULL) AS is_current
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ms, event_id)
+      ORDER BY user_id, valid_from, event_id""")),
+
+    // ------------------------------------------------------------------
     // Streaming CDC → LAKEHOUSE UPSERT, the full pipeline composed: the
     // e22 latest-per-key changelog streams in time-sliced micro-batches,
     // and each batch MERGEs (Delta copy-on-write upsert, x16) into a

@@ -269,6 +269,31 @@ class AppSurfaceSpec extends SparkSpec {
     assert(out.startsWith("+----+---+"))
   }
 
+  test("VACUUM / OPTIMIZE SQL statements drive the Delta maintenance ops") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-sql-maint").toString + "/t"
+    DeltaWrite.append(Seq((1L, "a")).toDF("id", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((2L, "b")).toDF("id", "v").repartition(1), tbl)
+    // OPTIMIZE packs the two small files into one
+    val opt = ctx.runScript(s"OPTIMIZE '$tbl'").last.collect()
+    assert(opt.head.getLong(0) === 2L)
+    assert(DeltaLog.liveFiles(spark, tbl).size === 1)
+    // default 7-day retention protects the fresh tombstones...
+    assert(ctx.runScript(s"VACUUM '$tbl'").last.collect().head.getLong(0) === 0L)
+    // ...RETAIN 0 HOURS reclaims them
+    assert(ctx.runScript(s"VACUUM '$tbl' RETAIN 0 HOURS").last.collect()
+      .head.getLong(0) === 2L)
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // non-maintenance statements still flow through the normal path
+    assert(ctx.runScript("SELECT 41 + 1 AS x").last.collect()
+      .head.getInt(0) === 42)
+  }
+
   test("delta CLI verb drives the full table-maintenance lifecycle") {
     val s = spark
     import s.implicits._

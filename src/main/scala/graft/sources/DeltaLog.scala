@@ -275,6 +275,28 @@ object DeltaLog {
     hi.fold(bounded)(h => bounded.filter(col(column) <= lit(h)))
   }
 
+  /** TIMESTAMP-based time travel (`AS OF TIMESTAMP`): resolve the
+    * newest version whose commit file was published at or before
+    * `tsMillis`, exactly real Delta's rule (commit-file modification
+    * times define the timeline), then delegate to version travel.
+    * Refuses a timestamp before the first commit — there is no snapshot
+    * to serve — and a log whose commits were expired below the target.
+    */
+  def readTimestampAsOf(spark: SparkSession, tablePath: String,
+      tsMillis: Long): DataFrame = {
+    val logDir = new File(tablePath, "_delta_log")
+    require(logDir.isDirectory,
+      s"not a Delta table (no _delta_log): $tablePath")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("""\d{20}\.json"""))
+      .sortBy(_.getName)
+    val atOrBefore = commits.filter(_.lastModified <= tsMillis)
+    require(atOrBefore.nonEmpty,
+      s"no Delta commit at or before timestamp $tsMillis in $logDir " +
+        s"(earliest: ${commits.headOption.map(_.lastModified)})")
+    read(spark, tablePath, Some(versionOf(atOrBefore.last)))
+  }
+
   /** Latest committed `txn` version per application id — the Delta
     * transaction-identifier mechanism a streaming sink uses for
     * exactly-once: each micro-batch commit carries

@@ -1237,6 +1237,26 @@ class SourcesSpec extends SparkSpec {
     assert(del0.isEmpty)
   }
 
+  test("Delta AS OF TIMESTAMP resolves by commit publication time") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_ts_travel"
+    DeltaWrite.append(Seq((1L, "a")).toDF("id", "v").repartition(1), tbl)
+    val between = System.currentTimeMillis()
+    Thread.sleep(1100) // commit mtimes have second granularity on some FS
+    DeltaWrite.append(Seq((2L, "b")).toDF("id", "v").repartition(1), tbl)
+    // a timestamp between the commits serves v0; after both, v1
+    assert(DeltaLog.readTimestampAsOf(spark, tbl, between)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(DeltaLog.readTimestampAsOf(spark, tbl, System.currentTimeMillis())
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // before the first commit: loud refusal, not an empty table
+    intercept[IllegalArgumentException] {
+      DeltaLog.readTimestampAsOf(spark, tbl, 1000L)
+    }
+  }
+
   test("Delta restore: metadata-only undo, history kept, vacuumed target refused") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

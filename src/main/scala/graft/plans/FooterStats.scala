@@ -111,17 +111,47 @@ object FooterStats {
     * plain serializable values (None, None) when every row group is
     * all-null — or None for the whole file when any chunk's stats are
     * missing/untrusted. Strings travel as Array[Byte].
+    *
+    * Timestamp columns are UNIT-AWARE: parquet stores the raw INT64 in the
+    * file's declared unit (MILLIS for older Hive/arrow writers, MICROS for
+    * Spark's default) while Catalyst's internal timestamp value is always
+    * MICROS. The file's logical-type annotation is consulted per column:
+    * MICROS passes through, MILLIS is scaled ×1000 here, and anything else
+    * (NANOS, a missing annotation on a timestamp-read column can't occur —
+    * Spark would not have mapped it to TimestampType, and INT96 physical
+    * encoding, whose stats parquet-mr doesn't write anyway) bails the whole
+    * file so the rule keeps the scan rather than fold a wrong unit.
     */
   private[graft] def readOne(path: String, cols: Seq[String])
       : Option[(Long, Seq[(Option[Any], Option[Any])])] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(path),
         new org.apache.hadoop.conf.Configuration()))
     try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      // raw-stat → Catalyst-unit multiplier per requested column; a unit
+      // we cannot convert exactly disables the whole file (→ no fold).
+      val scales = cols.map { name =>
+        val desc = schema.getColumns.asScala
+          .find(_.getPath.mkString(".") == name).getOrElse(return None)
+        val pt = desc.getPrimitiveType
+        if (pt.getPrimitiveTypeName == PrimitiveTypeName.INT96) return None
+        pt.getLogicalTypeAnnotation match {
+          case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            ts.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+              case _ => return None // NANOS / future units: never fold
+            }
+          case _ => 1L
+        }
+      }
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val per = cols.map { name =>
+      val per = cols.zip(scales).map { case (name, scale) =>
         var lo: Option[Any] = None
         var hi: Option[Any] = None
         for (b <- blocks) {
@@ -132,7 +162,8 @@ object FooterStats {
             // no stats at all for a chunk with values → untrusted
             if (cc.getValueCount > 0) return None
           } else if (st.hasNonNullValue) {
-            val (mn, mx) = (toPlain(st.genericGetMin), toPlain(st.genericGetMax))
+            val mn = toPlain(st.genericGetMin, scale)
+            val mx = toPlain(st.genericGetMax, scale)
             lo = Some(lo.fold(mn)(v => if (plainLt(mn, v)) mn else v))
             hi = Some(hi.fold(mx)(v => if (plainLt(v, mx)) mx else v))
           } else if (!st.isNumNullsSet || st.getNumNulls != cc.getValueCount) {
@@ -145,8 +176,10 @@ object FooterStats {
     } finally reader.close()
   }
 
-  private def toPlain(v: Any): Any = v match {
+  private def toPlain(v: Any, scale: Long): Any = v match {
     case b: org.apache.parquet.io.api.Binary => b.getBytes
+    case l: java.lang.Long if scale != 1L =>
+      Math.multiplyExact(l.longValue(), scale) // MILLIS stat → micros
     case other => other
   }
 

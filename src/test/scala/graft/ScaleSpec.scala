@@ -527,6 +527,38 @@ class ScaleSpec extends SparkSpec {
       "rule must not fire next to non-foldable aggregates")
   }
 
+  test("footer-stats rule: timestamp unit honored — MILLIS scaled to micros, INT96 refused") {
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    graft.plans.FooterStats.enable(spark)
+    def metadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    val dir = java.nio.file.Files.createTempDirectory("graft-tsunit").toString
+    val rows = "SELECT timestamp'2021-03-04 05:06:07.89' AS ts " +
+      "UNION ALL SELECT timestamp'2024-01-02 03:04:05.678'"
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      spark.sql(rows).write.mode("overwrite").parquet(s"$dir/millis")
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+      spark.sql(rows).write.mode("overwrite").parquet(s"$dir/int96")
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    // MILLIS: raw footer stat is in millis; the fold must still fire and
+    // carry the value in Catalyst micros (×1000), not millis-as-micros
+    val m = spark.read.parquet(s"$dir/millis")
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    assert(metadataOnly(m), s"rule did not fire on a MILLIS file:\n${m.queryExecution.optimizedPlan}")
+    val truth = spark.read.parquet(s"$dir/millis").filter(col("ts").isNotNull)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    assert(!metadataOnly(truth), "truth shape must keep the scan")
+    assert(m.head === truth.head,
+      s"MILLIS stats folded with the wrong unit: ${m.head} vs ${truth.head}")
+    // INT96: no micros conversion exists without decoding → never fold
+    val i96 = spark.read.parquet(s"$dir/int96").agg(min(col("ts")).as("lo"))
+    assert(!metadataOnly(i96), "rule must refuse INT96 timestamp files")
+    assert(i96.head.getTimestamp(0) === truth.head.getTimestamp(0))
+  }
+
   test("epoch mix joins broadcast rates and explodes in-row (no corpus exchange)") {
     // the only exchanges allowed are the 20-key per-source size aggregate;
     // the corpus side must meet the rates via broadcast and fan out

@@ -632,42 +632,63 @@ object Dedup {
     incoming.join(keptIds, Seq("doc_id"), "left_semi")
   }
 
-  /** Near-dup incremental dedup over MinHash + LSH: drop an incoming doc
-    * that shares an LSH bucket — and an estimated Jaccard of at least
-    * `minEstJaccard` — with any accepted doc, or with a smaller-doc_id doc
-    * of its own batch (pairwise-greedy within the batch; chains that need
-    * transitive closure go through [[clusters]] on the accepted corpus).
-    *
-    * The asymmetry is the point: candidate pairs are generated ONLY where
-    * the bucket holds at least one incoming doc. Accepted×accepted pairs —
-    * the quadratic mass that dominates a naive re-run — are never formed,
-    * so each day's cost is proportional to the batch and its collisions,
-    * not the corpus.
+  /** The persisted accepted-side STATE for incremental near-dup
+    * ingestion: the MinHash signature relation (doc_id, mh0..mh{n-1}) —
+    * n md5 minima per accepted doc, a few hundred bytes of state
+    * regardless of document length. Written once when a doc is ACCEPTED
+    * and re-read by every later [[incrementalLshAgainstStore]] batch, so
+    * accepted TEXT is shingled and hashed exactly once in its lifetime —
+    * the difference between O(batch) and O(corpus) per ingestion day at
+    * 100 TB, where re-deriving corpus signatures would dwarf everything
+    * else in the pipeline.
     */
-  def incrementalLsh(accepted: DataFrame, incoming: DataFrame,
+  def minhashStore(docs: DataFrame, numHashes: Int = 16): DataFrame =
+    minhashSignatureMatrix(docs, numHashes)
+
+  /** Near-dup incremental dedup over MinHash + LSH against a PERSISTED
+    * signature store: drop an incoming doc that shares an LSH bucket —
+    * and an estimated Jaccard of at least `minEstJaccard` — with any
+    * accepted doc, or with a smaller-doc_id doc of its own batch
+    * (pairwise-greedy within the batch; chains that need transitive
+    * closure go through [[clusters]] on the accepted corpus).
+    *
+    * `acceptedSig` is a [[minhashStore]] relation (same `numHashes`), NOT
+    * text: signatures are computed over the BATCH ONLY, and the accepted
+    * corpus contributes narrow persisted rows — its text is never read,
+    * shingled, or hashed again. Returns (survivors, survivorSignatures);
+    * appending the second to the store is the caller's state update, so
+    * the next batch inherits this one's acceptances without recompute.
+    *
+    * The candidate asymmetry is the other half of the scale story: pairs
+    * are generated ONLY where the bucket holds at least one incoming doc
+    * (accepted×accepted — the quadratic mass of a naive re-run — is
+    * never formed), and because the incoming side of the bucket join and
+    * the candidate side of the scoring joins are batch-sized, AQE
+    * broadcasts them: the store is touched by nothing heavier than one
+    * narrow columnar scan per batch.
+    */
+  def incrementalLshAgainstStore(acceptedSig: DataFrame, incoming: DataFrame,
       numHashes: Int = 16, bands: Int = 4,
-      minEstJaccard: Double = 0.5): DataFrame = {
+      minEstJaccard: Double = 0.5): (DataFrame, DataFrame) = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
-    val tagged = accepted.select(col("doc_id"), col("text"),
-        lit(false).as("is_new"))
-      .unionByName(incoming.select(col("doc_id"), col("text"),
-        lit(true).as("is_new")))
-    val flags = tagged.select(col("doc_id"), col("is_new"))
-    val sig = materializeSignatures(
-      minhashSignatureMatrix(tagged, numHashes))
+    val sigCols = col("doc_id") +: (0 until numHashes).map(i => col(s"mh$i"))
+    val incSig = materializeSignatures(
+      minhashSignatureMatrix(incoming, numHashes))
+    val sig = acceptedSig.select(sigCols: _*).withColumn("is_new", lit(false))
+      .unionByName(incSig.withColumn("is_new", lit(true)))
     def bandBucket(b: Int): Column =
       md5(concat_ws(",", (b until numHashes by bands).map(i => col(s"mh$i")): _*))
     val bucketCols = (0 until bands).map(b =>
       struct(lit(b).as("band"), bandBucket(b).as("bucket")))
-    val buckets = sig.select(col("doc_id"),
-        explode(array(bucketCols: _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"),
-        col("bb.bucket").as("bucket"))
-      .join(flags, Seq("doc_id"))
+    def bucketsOf(s: DataFrame): DataFrame =
+      s.select(col("doc_id"), col("is_new"),
+          explode(array(bucketCols: _*)).as("bb"))
+        .select(col("doc_id"), col("is_new"), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
     // y side: incoming docs only — the filter that keeps accepted×accepted
     // out of the join entirely
-    val cand = buckets.as("x")
-      .join(buckets.filter(col("is_new")).as("y"),
+    val cand = bucketsOf(sig).as("x")
+      .join(bucketsOf(incSig.withColumn("is_new", lit(true))).as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") =!= col("y.doc_id") &&
           (!col("x.is_new") || col("x.doc_id") < col("y.doc_id")))
@@ -678,11 +699,23 @@ object Dedup {
       .reduce(_ + _)
     val dropped = cand
       .join(sig.as("xa"), col("a") === col("xa.doc_id"))
-      .join(sig.as("xb"), col("b") === col("xb.doc_id"))
+      .join(incSig.as("xb"), col("b") === col("xb.doc_id"))
       .filter(matches.cast("double") / lit(numHashes.toDouble) >= minEstJaccard)
       .select(col("b").as("doc_id")).distinct()
-    incoming.join(dropped, Seq("doc_id"), "left_anti")
+    (incoming.join(dropped, Seq("doc_id"), "left_anti"),
+      incSig.join(dropped, Seq("doc_id"), "left_anti"))
   }
+
+  /** Bootstrap form of [[incrementalLshAgainstStore]] for callers that
+    * have not yet persisted a store: derives the accepted signatures from
+    * text HERE (a one-time O(corpus) pass — the cost the store exists to
+    * amortize) and returns the surviving incoming docs.
+    */
+  def incrementalLsh(accepted: DataFrame, incoming: DataFrame,
+      numHashes: Int = 16, bands: Int = 4,
+      minEstJaccard: Double = 0.5): DataFrame =
+    incrementalLshAgainstStore(minhashStore(accepted, numHashes), incoming,
+      numHashes, bands, minEstJaccard)._1
 
   /** FREQUENCY-BASED SEGMENT EXCISION (the CCNet/RefinedWeb paragraph-
     * dedup shape): split every document into consecutive `segWords`-word

@@ -45,14 +45,21 @@ object RangeJoin {
     * `[probeTs - windowSec, probeTs)` — strictly before the probe, so a
     * row never counts itself when probe and build are the same relation.
     * Probes with an empty window are kept with `n_prior` 0 (left
-    * semantics). `keyCols` identify a probe row uniquely (the grouping
-    * that collapses the two bin copies back into one output row).
+    * semantics). `keyCols` MUST identify a probe row uniquely (the
+    * grouping that collapses the two bin copies back into one output
+    * row): two probe rows sharing a key would silently merge into one
+    * wrong combined count, so the contract is ENFORCED — each probe row
+    * carries a plan-local row id, and a group whose ids disagree raises
+    * at execution time instead of emitting a merged number. The check
+    * rides the existing aggregate (a min/max over an id the explode
+    * copies share) — no extra job, shuffle, or scan.
     */
   def countPrior(probe: DataFrame, build: DataFrame, probeTs: String,
       buildTs: String, windowSec: Long, keyCols: Seq[String]): DataFrame = {
     require(windowSec > 0, "windowSec must be positive")
     val w = windowSec * 1000000L // micros
     val p = probe
+      .withColumn("__pid", monotonically_increasing_id())
       .withColumn("__p_us", usOf(col(probeTs)))
       // integer div, not floor(double /): at epoch-micros magnitudes a
       // double quotient sits within a few ulp of bin boundaries
@@ -71,7 +78,14 @@ object RangeJoin {
     // each matching build row satisfies the residual range in exactly ONE
     // of the two bin copies (its own bin), so the regrouped count is exact
     joined.groupBy(keyCols.map(col): _*)
-      .agg(count(col("__b_us")).as("n_prior"))
+      .agg(count(col("__b_us")).as("__np"),
+        min(col("__pid")).as("__pid_lo"), max(col("__pid")).as("__pid_hi"))
+      .select(keyCols.map(col) :+
+        when(col("__pid_lo") =!= col("__pid_hi"), raise_error(lit(
+          "RangeJoin.countPrior: keyCols do not identify probe rows " +
+            "uniquely — distinct probe rows share a key and their counts " +
+            "would merge")))
+          .otherwise(col("__np")).as("n_prior"): _*)
   }
 
   /** HIERARCHICAL form of [[countPrior]] for COUNT-type range joins over
@@ -94,7 +108,11 @@ object RangeJoin {
     val w = windowSec * 1000000L
     val b = w / m // fine-bin width, micros
     val keyC = keyCols.map(col)
+    // same keyCols-uniqueness contract and enforcement as countPrior: the
+    // edge aggregate sees EVERY probe row (see below), so its min/max row
+    // id detects any merged pair exactly.
     val p = probe
+      .withColumn("__pid", monotonically_increasing_id())
       .withColumn("__p_us", usOf(col(probeTs)))
       .withColumn("__lo", col("__p_us") - lit(w))
       // candidate fine bins floor(lo/b) .. floor(p/b): m+1 ids
@@ -109,16 +127,28 @@ object RangeJoin {
     val fullPart = p.filter(col("__isFull"))
       .join(binCounts, col("__k") === col("__bk"))
       .groupBy(keyC: _*).agg(sum(col("__bn")).as("__full_n"))
+    // the LAST candidate bin (id floor(p/b)) starts at or after the
+    // probe's own instant, so it can never be fully inside the half-open
+    // window — EVERY probe row owns at least one edge bin. A left-outer
+    // join therefore keeps zero-match probes alive here (no third join
+    // back to `probe` needed for left semantics) and makes this aggregate
+    // the exact uniqueness guard: a duplicated key always lands both row
+    // ids in one group.
     val edgePart = p.filter(!col("__isFull"))
       .join(binned, col("__k") === col("__bk") &&
-        col("__b_us") >= col("__lo") && col("__b_us") < col("__p_us"))
-      .groupBy(keyC: _*).agg(count(lit(1)).as("__edge_n"))
-    probe.select(keyC: _*)
+        col("__b_us") >= col("__lo") && col("__b_us") < col("__p_us"),
+        "left_outer")
+      .groupBy(keyC: _*).agg(count(col("__b_us")).as("__edge_n"),
+        min(col("__pid")).as("__pid_lo"), max(col("__pid")).as("__pid_hi"))
+    edgePart
       .join(fullPart, keyCols, "left_outer")
-      .join(edgePart, keyCols, "left_outer")
       .select(keyC :+
-        (coalesce(col("__full_n"), lit(0L)) +
-          coalesce(col("__edge_n"), lit(0L))).as("n_prior"): _*)
+        when(col("__pid_lo") =!= col("__pid_hi"), raise_error(lit(
+          "RangeJoin.countPriorBinned: keyCols do not identify probe " +
+            "rows uniquely — distinct probe rows share a key and their " +
+            "counts would merge")))
+          .otherwise(coalesce(col("__full_n"), lit(0L)) + col("__edge_n"))
+          .as("n_prior"): _*)
   }
 
   /** General form: all (probe, build) pairs with `buildTs` in

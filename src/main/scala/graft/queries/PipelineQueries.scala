@@ -1260,12 +1260,19 @@ object PipelineQueries {
 
     // Near-dup flavor of the same shape: candidate pairs form ONLY in LSH
     // buckets holding an incoming doc — the accepted×accepted quadratic
-    // mass never joins. The oracle replays minhash, banding, the asymmetric
+    // mass never joins — and the accepted side enters as its PERSISTED
+    // signature store (parquet staged here once, standing state in
+    // production): the incremental path reads narrow signatures, never
+    // accepted text. The oracle replays minhash, banding, the asymmetric
     // candidate join and the pairwise-greedy drop rule.
     QueryDef("d12b_incremental_lsh", (s, d) => {
       val docs = Tables.load(s, d, "documents")
       val isNew = Sampling.bucket16(col("doc_id")) >= (0.75 * 65536).toInt
-      Dedup.incrementalLsh(docs.filter(!isNew), docs.filter(isNew))
+      val sigDir = s"${SourceQueries.stage}/d12b_sig_store"
+      Dedup.minhashStore(docs.filter(!isNew))
+        .write.mode("overwrite").parquet(sigDir)
+      Dedup.incrementalLshAgainstStore(s.read.parquet(sigDir),
+          docs.filter(isNew))._1
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
     }, Some(s"""
@@ -1316,9 +1323,11 @@ object PipelineQueries {
       val conf = s.sparkContext.hadoopConfiguration
       val inDir = s"${SourceQueries.stage}/docs_ingest_lsh"
       val accDir = s"${SourceQueries.stage}/docs_accepted_lsh"
+      val sigDir = s"${SourceQueries.stage}/docs_accepted_lsh_sig"
       val fsys = new Path(inDir).getFileSystem(conf)
       fsys.delete(new Path(inDir), true)
       fsys.delete(new Path(accDir), true)
+      fsys.delete(new Path(sigDir), true)
       val nSlices = 3
       val sliced = Tables.load(s, d, "documents").withColumn("__slice",
           ntile(nSlices).over(Window.orderBy(col("doc_id"))))
@@ -1338,11 +1347,17 @@ object PipelineQueries {
         .parquet(inDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val accepted =
-            if (fsys.exists(new Path(accDir))) s.read.parquet(accDir)
-            else batch.limit(0)
-          Dedup.incrementalLsh(accepted, batch)
-            .write.mode("append").parquet(accDir)
+          // per-batch cost is O(batch + collisions): the accepted state
+          // enters as the persisted SIGNATURE store, and each batch's
+          // survivor signatures are appended so no accepted doc is ever
+          // re-shingled — accepted text is written once and never re-read
+          val acceptedSig =
+            if (fsys.exists(new Path(sigDir))) s.read.parquet(sigDir)
+            else Dedup.minhashStore(batch.limit(0))
+          val (survivors, survivorSig) =
+            Dedup.incrementalLshAgainstStore(acceptedSig, batch)
+          survivors.write.mode("append").parquet(accDir)
+          survivorSig.write.mode("append").parquet(sigDir)
           ()
         }
         .start()

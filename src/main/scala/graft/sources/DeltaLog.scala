@@ -182,8 +182,14 @@ object DeltaLog {
                 }
                 val pv = a.get("partitionValues") match {
                   case Some(pm: Map[_, _]) =>
+                    // a JSON null value is a NULL partition value per the
+                    // protocol (writers render it from the
+                    // __HIVE_DEFAULT_PARTITION__ directory) — preserve the
+                    // key with a null value so pruning treats it as a real,
+                    // never-equal value and injection yields SQL NULL
                     pm.asInstanceOf[Map[String, Any]].collect {
                       case (k, v: String) => k -> v
+                      case (k, null) => k -> (null: String)
                     }
                   case _ => Map.empty[String, String]
                 }
@@ -306,6 +312,47 @@ object DeltaLog {
     * the sink's own recent epochs; a sink older than the retained log
     * restarts from its own checkpoint anyway).
     */
+  /** The table's current `metaData` action: schemaString, partitionColumns,
+    * format provider and configuration, as the LAST metaData in the JSON
+    * commits (schema evolution replaces it), seeded from the checkpoint's
+    * metaData row when the early commits have been expired. None only for
+    * a log that never recorded one (not a table this writer produced).
+    */
+  def tableMetaData(spark: SparkSession, tablePath: String)
+      : Option[Map[String, Any]] = {
+    val logDir = new File(tablePath, "_delta_log")
+    if (!logDir.isDirectory) return None
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("""\d{20}\.json"""))
+      .sortBy(_.getName)
+    var meta: Option[Map[String, Any]] = None
+    lastCheckpointVersion(logDir).foreach { v =>
+      val cp = new File(logDir, f"$v%020d.checkpoint.parquet")
+      if (cp.isFile) {
+        val cpAll = spark.read.parquet(cp.getPath)
+        if (cpAll.schema.fieldNames.contains("metaData")) {
+          cpAll.where("metaData IS NOT NULL").selectExpr("to_json(metaData)")
+            .collect().headOption.foreach { r =>
+              meta = MiniJson.parseObject(r.getString(0))
+            }
+        }
+      }
+    }
+    commits.foreach { f =>
+      Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+        .filter(_.trim.nonEmpty).foreach { line =>
+          MiniJson.parseObject(line).foreach { action =>
+            action.get("metaData") match {
+              case Some(m: Map[_, _]) =>
+                meta = Some(m.asInstanceOf[Map[String, Any]])
+              case _ =>
+            }
+          }
+        }
+    }
+    meta
+  }
+
   def latestTxnVersions(tablePath: String): Map[String, Long] = {
     val logDir = new File(tablePath, "_delta_log")
     if (!logDir.isDirectory) return Map.empty
@@ -395,6 +442,15 @@ object DeltaLog {
 
   /** Scan ONE partition slice: log-pruned file list, partition columns
     * re-injected from the kept adds' pv (they are not in the files).
+    *
+    * REFUSES a mixed table where a kept file lacks a filtered column in
+    * its `partitionValues` (plain append + appendPartitioned on one
+    * table): [[livePartitionAdds]] keeps such files by the may-only-
+    * shrink pruning rule, but THIS method's contract is an exact
+    * partition slice, and the unpartitioned files' rows may not satisfy
+    * the predicate (their partition-column data lives in the parquet,
+    * which pruning never reads). Filtering `read()` is the correct path
+    * for mixed tables; silently returning extra rows is not.
     */
   def readPartition(spark: SparkSession, tablePath: String,
       filter: Map[String, String]): DataFrame = {
@@ -402,6 +458,14 @@ object DeltaLog {
     val (kept, _) = livePartitionAdds(spark, tablePath, filter)
     require(kept.nonEmpty,
       s"no live files match partition filter $filter in $tablePath")
+    val unresolved = kept.filter(a =>
+      filter.keys.exists(k => !a.partitionValues.contains(k)))
+    require(unresolved.isEmpty,
+      s"readPartition needs every kept file to record the filtered " +
+        s"partition column(s) ${filter.keys.mkString(",")} in " +
+        s"partitionValues; ${unresolved.size} live file(s) do not (mixed " +
+        "partitioned/unpartitioned table) — their rows cannot be pruned " +
+        "exactly from the log. Use read() with a residual filter instead")
     val pvCols = kept.flatMap(_.partitionValues.keys).distinct.sorted
     // distinct pv combinations among kept files; single-combination fast
     // path injects literals (no join at all — the common point lookup)
@@ -455,6 +519,27 @@ object DeltaLog {
       import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
       import org.apache.spark.sql.types.{StringType, StructField, StructType}
       val pvCols = adds.flatMap(_.partitionValues.keys).distinct.sorted
+      // a mixed table (some files carry the column IN THE DATA, some in
+      // pv) cannot be reconciled here: injection would either shadow real
+      // data or produce duplicate columns depending on which footer won
+      // schema inference — refuse loudly instead of decoding wrong. Two
+      // independent detectors: the log alone (an add missing a pv key
+      // another add carries — deterministic, no data touched) and the
+      // inferred data schema (an external writer that put the column in
+      // both places).
+      val mixedLog = pvCols.filter(k =>
+        adds.exists(a => !a.partitionValues.contains(k)))
+      require(mixedLog.isEmpty,
+        s"mixed partitioned/unpartitioned Delta table: add actions " +
+          s"disagree on partition column(s) ${mixedLog.mkString(",")} — " +
+          "the files without partitionValues keep that column in their " +
+          "data, which log-side injection would shadow. Rewrite the " +
+          "table with one layout")
+      val collisions = pvCols.filter(base.columns.contains)
+      require(collisions.isEmpty,
+        s"mixed partitioned/unpartitioned Delta table: column(s) " +
+          s"${collisions.mkString(",")} present both in data files and in " +
+          "add-action partitionValues — rewrite the table with one layout")
       // map-side file keys must byte-match input_file_name(), which reports
       // the qualified, URL-encoded URI of the split's file — qualify through
       // the same Hadoop machinery the scan uses

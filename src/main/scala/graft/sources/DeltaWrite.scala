@@ -331,13 +331,22 @@ object DeltaWrite {
     val live = DeltaLog.liveAdds(spark, tablePath)
       .map(a => new File(a.path).getName).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val candidates = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !live.contains(f.getName) && f.lastModified <= cutoff)
-    candidates.map { f =>
+    // recurse into hive-style partition subdirectories (appendPartitioned
+    // lands files under col=value/): liveness matches by file NAME, which
+    // is safe because every writer here names data files with a fresh
+    // uuid. The log dir and dot-prefixed staging dirs are never data.
+    def candidates(dir: File): Seq[File] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory && d.getName != "_delta_log" &&
+            !d.getName.startsWith(".") => candidates(d)
+        case f if f.isFile && f.getName.endsWith(".parquet") &&
+            !live.contains(f.getName) && f.lastModified <= cutoff => Seq(f)
+        case _ => Seq.empty
+      }
+    candidates(root).map { f =>
       Files.delete(f.toPath)
       f.getName
-    }.toSeq
+    }
   }
 
   /** OVERWRITE: one commit that removes every currently-live file and adds
@@ -457,21 +466,35 @@ object DeltaWrite {
     logDir.mkdirs()
     val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
     df.write.partitionBy(partitionCols: _*).parquet(staging.getPath)
-    // walk the hive tree: each part file's relative dir encodes its pv
+    // Hive/Spark path escaping encodes special characters as %XX but does
+    // NOT encode '+' or space — URLDecoder would corrupt a literal '+'
+    // into a space. Decode only the %XX escapes.
+    def hiveDecode(s: String): String =
+      java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    // walk the hive tree: each part file's relative dir encodes its pv;
+    // Spark writes a NULL partition value as the __HIVE_DEFAULT_PARTITION__
+    // sentinel directory — record it as a true null partitionValue (the
+    // Delta protocol renders it as JSON null), never as the literal string
     def walk(dir: File, pv: Map[String, String]): Seq[(File, Map[String, String])] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
         case d if d.isDirectory && d.getName.contains("=") =>
           val Array(k, v) = d.getName.split("=", 2)
-          walk(d, pv + (java.net.URLDecoder.decode(k, "UTF-8") ->
-            java.net.URLDecoder.decode(v, "UTF-8")))
+          val value =
+            if (v == "__HIVE_DEFAULT_PARTITION__") null else hiveDecode(v)
+          walk(d, pv + (hiveDecode(k) -> value))
         case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> pv)
         case _ => Seq.empty
       }
     val staged = walk(staging, Map.empty)
     require(staged.nonEmpty, s"no data files produced for $tablePath")
     val moved = staged.map { case (f, pv) =>
-      val dir = new File(root, partitionCols.map(c =>
-        s"$c=${java.net.URLEncoder.encode(pv(c), "UTF-8")}").mkString("/"))
+      val dir = new File(root, partitionCols.map { c =>
+        val seg = pv(c) match {
+          case null => "__HIVE_DEFAULT_PARTITION__"
+          case v => java.net.URLEncoder.encode(v, "UTF-8")
+        }
+        s"$c=$seg"
+      }.mkString("/"))
       dir.mkdirs()
       val dst = new File(dir, s"part-${java.util.UUID.randomUUID}.parquet")
       Files.move(f.toPath, dst.toPath)
@@ -486,8 +509,9 @@ object DeltaWrite {
     val header =
       if (version == 0L) headerActions(df, partitionCols) else Seq.empty
     def pvJson(pv: Map[String, String]): String =
-      pv.map { case (k, v) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      pv.map {
+        case (k, null) => s""""${jsonEscape(k)}":null"""
+        case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
       }.mkString("{", ",", "}")
     val adds = moved.map { case (f, pv) =>
       // the protocol records RELATIVE paths URL-ENCODED (the reader
@@ -534,14 +558,38 @@ object DeltaWrite {
     val version = commits.map(versionOf).max
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.nonEmpty, s"refusing to checkpoint an empty table: $tablePath")
-    val schemaJson = spark.read.parquet(adds.map(_.path): _*).schema.json
+    // carry the table's REAL metaData action (v0 commit, or a later schema
+    // evolution) into the checkpoint: schemaString includes partition
+    // columns the data files strip, partitionColumns drives partition-
+    // aware readers, and `format` is mandatory per the protocol. Deriving
+    // any of these from the data files would silently drop the partition
+    // layout for partitioned tables.
+    val meta = DeltaLog.tableMetaData(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot checkpoint: no metaData action in the log of $tablePath"))
+    def metaStr(k: String): String =
+      meta.get(k).collect { case s: String => s }.getOrElse(
+        throw new IllegalArgumentException(
+          s"metaData action lacks required field $k in $tablePath"))
+    val metaPartCols: Seq[String] = meta.get("partitionColumns")
+      .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
+      .getOrElse(Seq.empty)
+    val formatProvider = meta.get("format")
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("provider").collect { case s: String => s })
+      .getOrElse("parquet")
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
       StructField("minWriterVersion", IntegerType)))
+    val formatT = StructType(Seq(
+      StructField("provider", StringType),
+      StructField("options", MapType(StringType, StringType))))
     val metaDataT = StructType(Seq(
       StructField("id", StringType),
+      StructField("format", formatT),
       StructField("schemaString", StringType),
-      StructField("partitionColumns", ArrayType(StringType))))
+      StructField("partitionColumns", ArrayType(StringType)),
+      StructField("configuration", MapType(StringType, StringType))))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
@@ -563,8 +611,9 @@ object DeltaWrite {
     val txns = DeltaLog.latestTxnVersions(tablePath)
     val rows: Seq[Row] =
       (Row(Row(1, 2), null, null, null) +:
-      Row(null, Row(java.util.UUID.randomUUID.toString, schemaJson,
-        Seq.empty[String]), null, null) +:
+      Row(null, Row(metaStr("id"), Row(formatProvider,
+        Map.empty[String, String]), metaStr("schemaString"), metaPartCols,
+        Map.empty[String, String]), null, null) +:
       adds.map { a =>
         val f = new File(a.path)
         Row(null, null, Row(a.recordedPath, a.partitionValues,
@@ -645,8 +694,9 @@ object DeltaWrite {
     readds.foreach(a => require(new File(a.path).isFile,
       s"cannot restore to version $version: data file was vacuumed: ${a.path}"))
     def pvJson(pv: Map[String, String]): String =
-      pv.map { case (k, v) =>
-        s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      pv.map {
+        case (k, null) => s""""${jsonEscape(k)}":null"""
+        case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
       }.mkString("{", ",", "}")
     val v = nextVersion(logDir)
     publish(logDir, v,

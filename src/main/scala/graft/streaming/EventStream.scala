@@ -355,13 +355,24 @@ object EventStream {
     * memory is bounded by the live key population — the same posture as
     * [[funnelStream]], and the optional `idleTtlMinutes` event-time
     * timeout evicts keys idle past the horizon for unbounded-key
-    * deployments (an evicted key's next event re-emits unconditionally,
-    * which an upsert sink absorbs idempotently).
+    * deployments (an evicted key's next IN-HORIZON event re-emits
+    * unconditionally, which an upsert sink absorbs idempotently).
     *
     * Within a batch, rows apply in (ts, event_id) order; across batches
     * application is monotone (an older row can never displace a newer
     * winner), so out-of-order arrival costs at most suppressed
-    * intermediate changes — never a wrong final state.
+    * intermediate changes — never a wrong final state. The TTL path
+    * needs one extra guard to keep that claim: after a key's state is
+    * evicted, a late OUT-OF-HORIZON event (older than the current
+    * watermark — flatMapGroupsWithState does not drop late rows itself)
+    * would re-install as a fresh winner and regress the downstream upsert
+    * to stale data. So when TTL is enabled and a key has NO state, rows
+    * at or behind the watermark are discarded instead of installed:
+    * combined with eviction requiring `winner.ts + ttl < watermark`, any
+    * event old enough to regress an evicted key is by construction behind
+    * the watermark, so the final state stays correct for every TTL ≥ 0
+    * (keys WITH live state still accept sub-watermark rows — the monotone
+    * (ts, event_id) rule already makes those safe).
     */
   def latestPerKey(events: DataFrame,
       idleTtlMinutes: Option[Int] = None): Dataset[CdcChange] = {
@@ -387,9 +398,18 @@ object EventStream {
             state.remove()
             Iterator.empty
           } else {
-            val sorted = rows.map { case (_, t, id, et, v) =>
+            val all = rows.map { case (_, t, id, et, v) =>
               (t.getTime, id, et, v)
             }.toSeq.sortBy(r => (r._1, r._2))
+            // TTL regression guard (see scaladoc): a key with no live
+            // state must not be re-installed by an event the watermark
+            // has already passed — it may be the ghost of an evicted,
+            // NEWER winner. Keys with state keep the plain monotone rule.
+            val sorted =
+              if (ttlMs.isDefined && state.getOption.isEmpty) {
+                val wm = state.getCurrentWatermarkMs()
+                all.filter(_._1 > wm)
+              } else all
             var cur = state.getOption
             val changes = List.newBuilder[CdcChange]
             sorted.foreach { case (ms, id, et, v) =>

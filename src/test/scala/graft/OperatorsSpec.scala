@@ -1329,6 +1329,53 @@ class OperatorsSpec extends SparkSpec {
     assert(surv === Set(20L))
   }
 
+  test("incremental LSH store path never reads accepted text, matches bootstrap") {
+    val lorem = "lorem ipsum dolor sit amet consectetur adipiscing elit " +
+      "sed do eiusmod tempor incididunt ut labore et dolore magna aliqua"
+    val other = "the quick brown fox jumps over the lazy dog while the " +
+      "cat watches from the windowsill with evident disdain every morning"
+    val third = "pack my box with five dozen liquor jugs and then take " +
+      "the boxes down to the harbor before the evening tide arrives"
+    val accepted = docs(1L -> lorem, 2L -> other)
+    val incoming = docs(10L -> lorem, 11L -> third, 12L -> third,
+      13L -> other.replace("morning", "evening"))
+    // the store is persisted parquet — accepted TEXT does not even exist
+    // on the incremental path's input, only narrow signatures
+    val sigDir =
+      java.nio.file.Files.createTempDirectory("graft-lshstore").toString
+    Dedup.minhashStore(accepted).write.mode("overwrite")
+      .parquet(s"$sigDir/sig")
+    val (surv, survSig) = Dedup.incrementalLshAgainstStore(
+      spark.read.parquet(s"$sigDir/sig"), incoming)
+    // STRUCTURAL pin: every file scan in the plan reads signature columns
+    // only — no parquet leaf carries a `text` column (incoming text enters
+    // as an in-memory relation here, so any file-scanned `text` would be
+    // an accepted-side re-read)
+    val fileSchemas = surv.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.schema.fieldNames.toSeq
+    }
+    assert(fileSchemas.nonEmpty, "expected the signature store scan")
+    assert(fileSchemas.forall(!_.contains("text")),
+      s"incremental path scans accepted text: $fileSchemas")
+    // result identical to the bootstrap (text-derived) path
+    assert(surv.select("doc_id").collect().map(_.getLong(0)).toSet ===
+      Set(11L))
+    // the survivor signatures are exactly the store rows the next batch
+    // needs: appending them reproduces minhashStore over the survivors
+    val expectSig = Dedup.minhashStore(docs(11L -> third))
+      .collect().map(_.toSeq).toSet
+    assert(survSig.collect().map(_.toSeq).toSet === expectSig)
+    // second day against the UPDATED store: 11's near-twin now collides
+    survSig.write.mode("append").parquet(s"$sigDir/sig")
+    val day2 = Dedup.incrementalLshAgainstStore(
+      spark.read.parquet(s"$sigDir/sig"),
+      docs(30L -> third.replace("evening", "morning"), 31L -> lorem))._1
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(day2 === Set.empty[Long],
+      s"store update lost day-1 acceptances: $day2 survived")
+  }
+
   test("binned range join equals the naive cross-join at bin boundaries") {
     import graft.operators.RangeJoin
     val s = spark
@@ -1395,5 +1442,42 @@ class OperatorsSpec extends SparkSpec {
       .select(col("pid"), col("b_ts")).collect()
       .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000L)).toSet
     assert(pairs === naive)
+  }
+
+  test("range join: non-unique keyCols fail LOUDLY instead of merging counts") {
+    import graft.operators.RangeJoin
+    val s = spark
+    import s.implicits._
+    def t(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    // two DISTINCT probe rows share pid=1 — grouping by pid would
+    // silently emit one merged count (3+4=7) for both rows
+    val dupProbes = Seq((1L, t(20)), (1L, t(25)), (3L, t(7)))
+      .toDF("pid", "ts")
+    val builds = Seq(t(10), t(15), t(19), t(20), t(21), t(25), t(3), t(50))
+      .map(Tuple1(_)).toDF("ts")
+    def failureMsg(body: => Unit): String = {
+      val e = intercept[Exception] { body }
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    val eFlat = failureMsg {
+      RangeJoin.countPrior(dupProbes, builds, "ts", "ts", 10L,
+        Seq("pid")).collect()
+    }
+    assert(eFlat.contains("uniquely"),
+      s"expected the uniqueness guard, got: $eFlat")
+    val eHier = failureMsg {
+      RangeJoin.countPriorBinned(dupProbes, builds, "ts", "ts", 10L,
+        m = 5, keyCols = Seq("pid")).collect()
+    }
+    assert(eHier.contains("uniquely"),
+      s"expected the uniqueness guard, got: $eHier")
+    // unique keys still pass (the guard costs no extra job — it rides
+    // the existing aggregate)
+    val ok = RangeJoin.countPrior(Seq((1L, t(20))).toDF("pid", "ts"),
+        builds, "ts", "ts", 10L, Seq("pid"))
+      .collect().map(r => r.getAs[Long]("pid") -> r.getAs[Long]("n_prior"))
+      .toMap
+    assert(ok === Map(1L -> 3L))
   }
 }

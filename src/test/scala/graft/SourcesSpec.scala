@@ -1039,6 +1039,52 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("Delta partitioned hardening: '+' values, null partitions, recursive vacuum, mixed refusals") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_part_harden"
+    // a literal '+' must survive the staged-dir decode (Hive path escaping
+    // leaves '+' unescaped; URLDecoder would corrupt it to a space), and a
+    // NULL partition value (__HIVE_DEFAULT_PARTITION__ dir) must round-trip
+    // as SQL NULL, never as the sentinel string
+    DeltaWrite.appendPartitioned(
+      Seq((1L, Some("a+b")), (2L, None), (3L, Some("plain")))
+        .toDF("id", "cat"), tbl, Seq("cat"))
+    val got = DeltaLog.read(spark, tbl).select("id", "cat").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(1L -> Some("a+b"), 2L -> None, 3L -> Some("plain")))
+    // the null partition is a real, never-equal value for pruning
+    val (kept, total) = DeltaLog.livePartitionAdds(spark, tbl,
+      Map("cat" -> "a+b"))
+    assert(kept.nonEmpty && kept.size < total)
+    assert(DeltaLog.readPartition(spark, tbl, Map("cat" -> "a+b"))
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+    // overwrite tombstones the partitioned files, which live under
+    // cat=value/ subdirectories: vacuum must walk the partition tree
+    // (a flat root listing reclaims nothing — the old silent no-op)
+    val tombstoned = DeltaLog.liveFiles(spark, tbl).size
+    DeltaWrite.overwrite(Seq((9L, "x")).toDF("id", "cat"), tbl)
+    val removed = DeltaWrite.vacuum(spark, tbl, olderThanMs = 0L)
+    assert(removed.size === tombstoned,
+      s"vacuum reclaimed ${removed.size} of $tombstoned partitioned tombstones")
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).toSeq === Seq(9L))
+    // MIXED table (plain append's files keep the column in DATA,
+    // partitioned adds move it to pv): snapshot read and partition read
+    // must both refuse loudly — injection would shadow real data
+    val mixed = s"$tmp/delta_part_mixed"
+    DeltaWrite.append(Seq((1L, "m")).toDF("id", "cat").repartition(1), mixed)
+    DeltaWrite.appendPartitioned(Seq((2L, "n")).toDF("id", "cat"),
+      mixed, Seq("cat"))
+    val e1 = intercept[IllegalArgumentException] { DeltaLog.read(spark, mixed) }
+    assert(e1.getMessage.contains("mixed"))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaLog.readPartition(spark, mixed, Map("cat" -> "n"))
+    }
+    assert(e2.getMessage.toLowerCase.contains("mixed"))
+  }
+
   test("partitioned restore + checkpoint use RECORDED paths (encoded values)") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark
@@ -1058,6 +1104,20 @@ class SourcesSpec extends SparkSpec {
     // checkpoint a partitioned table with encoded values; the seeded read
     // must still resolve every file and re-inject the decoded pv
     DeltaWrite.checkpoint(spark, tbl)
+    // the checkpoint's metaData row must carry the REAL table metadata:
+    // the protocol-mandatory format field, the true partition columns,
+    // and the v0 schemaString (which includes the partition column the
+    // data files strip) — not [] and a data-file-derived schema
+    val cpFile = new java.io.File(s"$tbl/_delta_log").listFiles()
+      .filter(_.getName.endsWith(".checkpoint.parquet")).head
+    val md = spark.read.parquet(cpFile.getPath)
+      .where("metaData IS NOT NULL")
+      .selectExpr("metaData.format.provider", "metaData.partitionColumns",
+        "metaData.schemaString").collect().head
+    assert(md.getString(0) === "parquet")
+    assert(md.getSeq[String](1) === Seq("cat"))
+    assert(md.getString(2).contains("\"cat\""),
+      "checkpoint schemaString lost the partition column")
     DeltaWrite.expireLog(tbl)
     val got = DeltaLog.read(spark, tbl).select("id", "cat").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -354,6 +354,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("TTL'd latestPerKey: a late ghost event cannot regress an evicted key") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(hhmm: String) =
+      java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    val q = EventStream.latestPerKey(events, idleTtlMinutes = Some(30))
+      .toDF()
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdc_ttl").start()
+    try {
+      // user 1's winner is 10:00 -> TTL horizon 10:30
+      input.addData((1L, ts("10:00"), 100L, "t", 1.0))
+      q.processAllAvailable()
+      // unrelated traffic pushes the watermark (1h delay) to 12:00, then
+      // the next batch starts past the horizon -> user 1 is evicted
+      input.addData((99L, ts("13:00"), 900L, "t", 0.0))
+      q.processAllAvailable()
+      input.addData((99L, ts("13:30"), 901L, "t", 0.0))
+      q.processAllAvailable()
+      // GHOST: an out-of-horizon event OLDER than the evicted winner.
+      // flatMapGroupsWithState does not drop late rows itself — without
+      // the guard this would re-install as a fresh winner and emit a
+      // change regressing the downstream upsert to stale data
+      input.addData((1L, ts("09:00"), 99L, "t", 2.0))
+      q.processAllAvailable()
+      // a genuine new event after the watermark re-installs normally
+      input.addData((1L, ts("14:00"), 102L, "t", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("cdc_ttl").filter(col("user_id") === 1L)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got === Seq(100L, 102L),
+        s"ghost event leaked through the TTL path: $got")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches across micro-batches, in-window only") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val s = spark

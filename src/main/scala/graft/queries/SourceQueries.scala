@@ -554,6 +554,52 @@ object SourceQueries {
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 
+    // x30: ICEBERG V2 MERGE-ON-READ DELETES — the interop gap real
+    // Iceberg writers (Flink/Spark under write.delete.mode=merge-on-read)
+    // produce: a POSITION delete file ((file, pos) rows, anti-joined on
+    // row identity for files at-or-before its sequence number) and an
+    // EQUALITY delete file (key rows, anti-joined null-safely for files
+    // STRICTLY older). Batch A lands, a position delete kills %8==0, an
+    // equality delete kills status 'F' BY KEY with no scan or rewrite,
+    // then batch B lands AFTER both — its rows (including new 'F' rows)
+    // must survive per the sequence rules, and A's data files must keep
+    // their physical identity (no rewrite — the whole point of MoR).
+    // The oracle recomputes the surviving set relationally.
+    QueryDef("x30_iceberg_v2_deletes", (s, d) => {
+      val tbl = s"$stage/ice_v2_mor"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 <= 1), tbl)
+      val filesBefore = graft.sources.IcebergLog.liveFiles(tbl).toSet
+      val st = graft.sources.IcebergLog.deletePositionsWhere(s, tbl,
+        col("o_orderkey") % 8 === 0)
+      require(st.rowsDeleted > 0, "position delete matched nothing")
+      locally { import s.implicits._
+        graft.sources.IcebergLog.deleteEqualityKeys(tbl,
+          Seq("F").toDF("o_orderstatus"), equalityFieldIds = Seq(2))
+      }
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 4 >= 2), tbl)
+      val (dataNow, delsNow) = graft.sources.IcebergLog.liveSplitEntries(tbl)
+      require(delsNow.map(_.content).sorted == Seq(1, 2),
+        s"expected one position + one equality delete file, got $delsNow")
+      require(filesBefore.subsetOf(dataNow.map(_.path).toSet),
+        "MoR delete rewrote a data file")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 4 >= 2
+         OR (o_orderkey % 4 <= 1 AND o_orderkey % 8 <> 0
+             AND o_orderstatus <> 'F')
+      ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

@@ -31,10 +31,20 @@ import graft.server.MiniJson
   * split planning intact. Snapshot isolation comes free: the file list is
   * immutable per snapshot.
   *
-  * Loud refusals (the [[DeltaLog]] deletion-vector posture): v2 DELETE
-  * files (`data_file.content != 0` — position/equality deletes that must
-  * be anti-joined into the scan) and format versions above 2 throw rather
-  * than silently returning deleted rows.
+  * FORMAT V2 ROW-LEVEL DELETES are supported on the [[read]] path — the
+  * merge-on-read shape real Iceberg writers (Flink/Spark) produce under
+  * row-level DML: POSITION delete files (`content=1`, parquet rows of
+  * `(file_path, pos)`) anti-join the scan on (file, row-index) for data
+  * files with sequence number ≤ the delete's, and EQUALITY delete files
+  * (`content=2`, parquet rows of the equality columns) anti-join
+  * null-safely on those columns for data files STRICTLY OLDER than the
+  * delete — so rows appended after an equality delete survive it, per
+  * spec. Both anti-joins broadcast the delete side (delete files are
+  * incremental-batch sized; the data scan stays one distributed pass).
+  * Metadata-only planning paths that cannot see deletes
+  * ([[pruneByLongBounds]], [[readRange]], the CoW [[deleteWhere]])
+  * refuse tables with live delete files rather than resurrect rows.
+  * Format versions above 2 still refuse at [[parseMeta]].
   */
 object IcebergLog {
 
@@ -126,20 +136,44 @@ object IcebergLog {
     try reader.iterator().asScala.toVector finally reader.close()
   }
 
-  /** A live data file plus its manifest-recorded column bounds (field-id
+  /** A live file entry plus its manifest-recorded column bounds (field-id
     * → single-value binary; empty when the writer recorded none, in which
-    * case the file must always be scanned).
+    * case the file must always be scanned). `content` 0 = data file,
+    * 1 = position-delete file, 2 = equality-delete file; `seq` is the
+    * entry's data sequence number (the append ordinal delete applicability
+    * is decided by — 0 for pre-v2-support manifests); `equalityIds` names
+    * the equality-delete key columns by Iceberg field id.
     */
   final case class LiveEntry(path: String,
       lowerBounds: Map[Int, Array[Byte]],
-      upperBounds: Map[Int, Array[Byte]])
+      upperBounds: Map[Int, Array[Byte]],
+      content: Int = 0,
+      seq: Long = 0L,
+      equalityIds: Seq[Int] = Seq.empty)
 
-  /** The live data-file entries of a snapshot (current, or `snapshotAsOf`
-    * by snapshot id), with bounds. Relative `file_path`s resolve against
-    * the table root.
+  /** The live DATA-file entries of a snapshot. REFUSES a table with live
+    * v2 delete files: every caller of this method plans from the data
+    * files alone (stats pruning, CoW rewrite, prior-entry carry), and on
+    * such a table that planning would silently resurrect deleted rows —
+    * [[read]] (which anti-joins the deletes) and [[liveSplitEntries]]
+    * (which surfaces them) are the delete-aware entry points.
     */
   def liveEntries(tablePath: String,
       snapshotAsOf: Option[Long] = None): Seq[LiveEntry] = {
+    val (data, dels) = liveSplitEntries(tablePath, snapshotAsOf)
+    require(dels.isEmpty,
+      s"Iceberg table carries ${dels.size} live v2 delete file(s): this " +
+        "path plans from data files alone and would return deleted rows — " +
+        "read() applies the deletes; rewrite (compact) the table to drop them")
+    data
+  }
+
+  /** All live file entries of a snapshot (current, or `snapshotAsOf` by
+    * snapshot id), split (dataFiles, deleteFiles). Relative `file_path`s
+    * resolve against the table root.
+    */
+  def liveSplitEntries(tablePath: String,
+      snapshotAsOf: Option[Long] = None): (Seq[LiveEntry], Seq[LiveEntry]) = {
     val meta = parseMeta(currentMetadataFile(tablePath))
     val wantedId = snapshotAsOf.getOrElse(meta.currentSnapshotId)
     val snap = meta.snapshots.find(_.snapshotId == wantedId).getOrElse(
@@ -162,22 +196,33 @@ object IcebergLog {
       }
     val manifests = readAvro(new File(resolve(snap.manifestList)))
       .map(_.get("manifest_path").toString)
-    manifests.flatMap { mp =>
+    val entries = manifests.flatMap { mp =>
       readAvro(new File(resolve(mp))).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
         val content = df.get("content").asInstanceOf[Int]
         val path = df.get("file_path").toString
-        require(content == 0,
-          s"Iceberg v2 delete file in manifest ($path, content=$content): " +
-            "applying position/equality deletes is unsupported; scanning " +
-            "raw would return deleted rows")
+        require(content >= 0 && content <= 2,
+          s"unknown Iceberg content=$content in manifest entry $path")
+        // pre-v2-support manifests have no data_sequence_number field →
+        // GenericRecord.get returns null → seq 0 (all same epoch)
+        val seq = entry.get("data_sequence_number") match {
+          case l: java.lang.Long => l.longValue()
+          case _ => 0L
+        }
+        val eqIds = df.get("equality_ids") match {
+          case c: java.util.Collection[_] =>
+            c.asScala.map(_.asInstanceOf[Int]).toSeq
+          case _ => Seq.empty[Int]
+        }
         // status: 0 EXISTING, 1 ADDED, 2 DELETED
         if (status == 2) None
         else Some(LiveEntry(resolve(path),
-          boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds")))
+          boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
+          content, seq, eqIds))
       }
     }
+    entries.partition(_.content == 0)
   }
 
   /** The live parquet data-file paths of a snapshot. */
@@ -222,14 +267,142 @@ object IcebergLog {
   }
 
   /** Snapshot scan as a DataFrame (current snapshot, or time travel via
-    * `snapshotAsOf`).
+    * `snapshotAsOf`), with any v2 position/equality delete files of the
+    * snapshot anti-joined in (merge-on-read).
     */
   def read(spark: SparkSession, tablePath: String,
       snapshotAsOf: Option[Long] = None): DataFrame = {
-    val files = liveFiles(tablePath, snapshotAsOf)
-    require(files.nonEmpty, s"Iceberg snapshot has no data files: $tablePath")
-    spark.read.parquet(files: _*)
+    val (data, dels) = liveSplitEntries(tablePath, snapshotAsOf)
+    require(data.nonEmpty, s"Iceberg snapshot has no data files: $tablePath")
+    if (dels.isEmpty) spark.read.parquet(data.map(_.path): _*)
+    else {
+      val meta = Seq("__graft_file", "__graft_pos", "__graft_dseq")
+      liveWithMeta(spark, data, dels).drop(meta: _*)
+    }
   }
+
+  /** The live-row relation of a v2 snapshot WITH per-row provenance
+    * columns still attached (`__graft_file` data-file NAME, `__graft_pos`
+    * row index in its file, `__graft_dseq` the file's sequence number) —
+    * [[read]] drops them; the MoR delete writers reuse them to address
+    * rows. ONE distributed scan over the data files; every delete
+    * relation is incremental-batch sized and broadcast:
+    *
+    *  - POSITION deletes (`content=1`) anti-join on (file, pos) where the
+    *    delete's sequence number ≥ the data file's (a position delete
+    *    addresses files that existed when it was written);
+    *  - EQUALITY deletes (`content=2`) anti-join NULL-SAFELY on the
+    *    delete file's own columns where the delete's sequence number is
+    *    STRICTLY greater — rows appended later survive, per spec. Column
+    *    resolution uses the delete parquet's column names (this writer
+    *    records names = table names; `equality_ids` is carried in the
+    *    manifest for spec fidelity).
+    */
+  private def liveWithMeta(spark: SparkSession, data: Seq[LiveEntry],
+      dels: Seq[LiveEntry]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, split}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    // file NAME → sequence number; names are uuids, unique by construction
+    val seqRows = data.map(e => Row(new File(e.path).getName, e.seq))
+    val seqDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(seqRows, 1),
+      StructType(Seq(StructField("__graft_file", StringType),
+        StructField("__graft_dseq", LongType))))
+    var cur = spark.read.parquet(data.map(_.path): _*)
+      .withColumn("__graft_file",
+        element_at(split(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+      .join(broadcast(seqDf), Seq("__graft_file"))
+    val posDels = dels.filter(_.content == 1)
+    if (posDels.nonEmpty) {
+      val pd = posDels.map(e => spark.read.parquet(e.path)
+          .select(element_at(split(col("file_path"), "/"), -1).as("__pfile"),
+            col("pos").as("__ppos"), lit(e.seq).as("__pseq")))
+        .reduce(_.unionByName(_))
+      cur = cur.join(broadcast(pd),
+        cur("__graft_file") === pd("__pfile") &&
+          cur("__graft_pos") === pd("__ppos") &&
+          pd("__pseq") >= cur("__graft_dseq"),
+        "left_anti")
+    }
+    dels.filter(_.content == 2).foreach { e =>
+      val ed = spark.read.parquet(e.path)
+      val cond = ed.columns.map(c => cur(c) <=> ed(c)).reduce(_ && _) &&
+        lit(e.seq) > cur("__graft_dseq")
+      cur = cur.join(broadcast(ed), cond, "left_anti")
+    }
+    cur
+  }
+
+  /** Outcome of a MoR delete commit. */
+  final case class V2DeleteStats(snapshotId: Long, rowsDeleted: Long)
+
+  /** MERGE-ON-READ DELETE WHERE: instead of rewriting files (the CoW
+    * [[deleteWhere]]), publish ONE position-delete file naming the
+    * matching live rows by (data file, row index) — the v2 shape real
+    * Iceberg writers produce when `write.delete.mode=merge-on-read`.
+    * Matching runs over the LIVE relation (rows already dead to earlier
+    * delete files are not re-addressed), so `rowsDeleted` is exact and
+    * the written positions are sorted by (file, pos) as the spec asks.
+    * Untouched data files keep their physical identity — the delete cost
+    * is O(matches), not O(table). A predicate matching nothing is a
+    * no-op (no empty snapshot). NULL-predicate rows survive (SQL DELETE
+    * semantics).
+    */
+  def deletePositionsWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column): V2DeleteStats = {
+    import org.apache.spark.sql.functions.col
+    val root = new File(tablePath)
+    val (data, dels) = liveSplitEntries(tablePath)
+    require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
+    val hits = liveWithMeta(spark, data, dels)
+      .filter(predicate)
+      .select(col("__graft_file").as("file_path"),
+        col("__graft_pos").as("pos"))
+      .orderBy(col("file_path"), col("pos"))
+    val staged = stageData(hits.coalesce(1), root)
+    val n = staged.headOption.map(f =>
+      spark.read.parquet(f.getPath).count()).getOrElse(0L)
+    if (n == 0L) {
+      staged.foreach(f => Files.deleteIfExists(f.toPath))
+      return V2DeleteStats(
+        parseMeta(currentMetadataFile(tablePath)).currentSnapshotId, 0L)
+    }
+    val sid = commitSnapshot(tablePath,
+      (data ++ dels).map(existingEntry) ++
+        staged.map(f => FixtureEntry(1, f.getPath, n, content = 1)))
+    V2DeleteStats(sid, n)
+  }
+
+  /** EQUALITY DELETE: publish `keys` (distinct rows of the equality
+    * columns) as ONE `content=2` delete file — v2's "delete by key
+    * without reading anything" shape (the CDC-sink fast path: no scan,
+    * no match job, O(batch) regardless of table size). Applies to data
+    * files STRICTLY OLDER than this snapshot, so later appends of the
+    * same keys survive. `equalityFieldIds` records the columns' Iceberg
+    * field ids in the manifest entry per spec.
+    */
+  def deleteEqualityKeys(tablePath: String,
+      keys: DataFrame, equalityFieldIds: Seq[Int]): Long = {
+    val root = new File(tablePath)
+    val (data, dels) = liveSplitEntries(tablePath)
+    require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
+    val staged = stageData(keys.distinct().coalesce(1), root)
+    require(staged.nonEmpty, "no delete key file produced")
+    commitSnapshot(tablePath,
+      (data ++ dels).map(existingEntry) ++
+        staged.map(f => FixtureEntry(1, f.getPath, 0, content = 2,
+          equalityIds = equalityFieldIds)))
+  }
+
+  /** Carry a live entry forward into the next snapshot unchanged:
+    * EXISTING status, original content/sequence/bounds.
+    */
+  private def existingEntry(e: LiveEntry): FixtureEntry =
+    FixtureEntry(0, e.path, 0, content = e.content,
+      lowerBounds = e.lowerBounds, upperBounds = e.upperBounds,
+      seq = e.seq, equalityIds = e.equalityIds)
 
   /** DDL entry point (`CREATE EXTERNAL TABLE ... STORED AS ICEBERG`). */
   def register(spark: SparkSession, name: String, tablePath: String): DataFrame = {
@@ -256,12 +429,15 @@ object IcebergLog {
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int"},
       |{"name":"snapshot_id","type":["null","long"],"default":null},
+      |{"name":"data_sequence_number","type":["null","long"],"default":null},
       |{"name":"data_file","type":{"type":"record","name":"data_file_r","fields":[
       |{"name":"content","type":"int"},
       |{"name":"file_path","type":"string"},
       |{"name":"file_format","type":"string"},
       |{"name":"record_count","type":"long"},
       |{"name":"file_size_in_bytes","type":"long"},
+      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+      |"default":null},
       |{"name":"lower_bounds","type":["null",{"type":"array","items":
       |{"type":"record","name":"k_v_lower","fields":[
       |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
@@ -305,14 +481,19 @@ object IcebergLog {
     try rows.foreach(w.append) finally w.close()
   }
 
-  /** One manifest-entry fixture row. `content` 0 = data, 1/2 = v2 deletes
-    * (for refusal tests); `status` 2 = DELETED. Bounds map field-id →
-    * single-value binary, empty = writer recorded no stats.
+  /** One manifest-entry fixture row. `content` 0 = data, 1 = position
+    * deletes, 2 = equality deletes; `status` 2 = DELETED. Bounds map
+    * field-id → single-value binary, empty = writer recorded no stats.
+    * `seq` is the data sequence number carried by EXISTING entries;
+    * ADDED entries get the committing snapshot's id as their sequence
+    * number (see commitSnapshot).
     */
   final case class FixtureEntry(status: Int, filePath: String,
       recordCount: Long, content: Int = 0,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      seq: Long = 0L,
+      equalityIds: Seq[Int] = Seq.empty)
 
   /** Write one snapshot's manifest + manifest list into `metaDir`; returns
     * the manifest-list path (table-relative).
@@ -343,11 +524,24 @@ object IcebergLog {
       df.put("file_format", "PARQUET")
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", 0L)
+      df.put("equality_ids",
+        if (e.equalityIds.isEmpty) null
+        else {
+          val arrSchema = dataFileSchema.getField("equality_ids").schema()
+            .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+          val arr = new GenericData.Array[Integer](e.equalityIds.size, arrSchema)
+          e.equalityIds.foreach(i => arr.add(Int.box(i)))
+          arr
+        })
       df.put("lower_bounds", kvArray("lower_bounds", e.lowerBounds))
       df.put("upper_bounds", kvArray("upper_bounds", e.upperBounds))
       val r = new GenericData.Record(manifestEntrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", sid)
+      // ADDED entries are sequenced at this snapshot; EXISTING/DELETED
+      // carry the sequence number their original commit assigned
+      r.put("data_sequence_number",
+        Long.box(if (e.status == 1) sid else e.seq))
       r.put("data_file", df)
       r
     })
@@ -430,15 +624,14 @@ object IcebergLog {
     require(moved.nonEmpty, s"no data files produced for $tablePath")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    // prior live files keep their manifest identity but are re-listed as
-    // EXISTING without bounds re-derivation only when none were recorded;
-    // carrying the previous entry's bounds forward keeps skipping working
-    // across appends
+    // prior live files (data AND any v2 delete files — dropping a delete
+    // entry would resurrect its rows) keep their manifest identity,
+    // bounds, and sequence numbers as EXISTING entries; the new files are
+    // ADDED and sequenced at this snapshot, so pre-existing equality
+    // deletes (strictly-older rule) never touch them
     val priorEntries =
       if (!hasMeta) Seq.empty
-      else liveEntries(tablePath).map(e =>
-        FixtureEntry(0, e.path, 0, lowerBounds = e.lowerBounds,
-          upperBounds = e.upperBounds))
+      else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
     commitSnapshot(tablePath, priorEntries ++
       moved.map(f => addedEntry(f, statsFields)))
   }
@@ -534,11 +727,13 @@ object IcebergLog {
         Seq.empty)
     def resolve(p: String): String =
       if (new File(p).isAbsolute) p else new File(tablePath, p).getPath
-    // referenced set BEFORE rewriting metadata: data files live in any
-    // surviving snapshot, plus the survivors' manifest/manifest-list files
-    val keepData = survivors.flatMap(s =>
-      liveEntries(tablePath, Some(s.snapshotId))).map(e =>
-      new File(e.path).getName).toSet
+    // referenced set BEFORE rewriting metadata: data files AND v2 delete
+    // files live in any surviving snapshot, plus the survivors'
+    // manifest/manifest-list files
+    val keepData = survivors.flatMap { s =>
+      val (d, x) = liveSplitEntries(tablePath, Some(s.snapshotId))
+      d ++ x
+    }.map(e => new File(e.path).getName).toSet
     val keepMeta = survivors.flatMap { s =>
       val listFile = new File(resolve(s.manifestList))
       listFile.getName +: readAvro(listFile)
@@ -598,9 +793,7 @@ object IcebergLog {
     require(moved.nonEmpty, s"no data files produced for $tablePath")
     val priorEntries =
       if (!hasMeta) Seq.empty
-      else liveEntries(tablePath).map(e =>
-        FixtureEntry(0, e.path, 0, lowerBounds = e.lowerBounds,
-          upperBounds = e.upperBounds))
+      else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
     Some(commitSnapshot(tablePath,
       priorEntries ++ moved.map(f => addedEntry(f, statsFields)),
       summary = Map("graft.sink.app-id" -> appId,

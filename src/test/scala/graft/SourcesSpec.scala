@@ -668,6 +668,60 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("concurrent"))
   }
 
+  test("Iceberg v2 MoR deletes: position + equality anti-joined, sequence rules, refusals") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_v2_mor"
+    // seq 1: ids 1..6; seq 2: ids 7..9
+    IcebergLog.append((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), tbl)
+    IcebergLog.append((7L to 9L).map(i => (i, s"v$i")).toDF("id", "v"), tbl)
+    val dataFilesBefore = IcebergLog.liveFiles(tbl).toSet
+    // POSITION delete (MoR): ids 2 and 8 — one delete file, no rewrite
+    val st = IcebergLog.deletePositionsWhere(spark, tbl,
+      col("id") === 2L || col("id") === 8L)
+    assert(st.rowsDeleted === 2L)
+    def ids(asOf: Option[Long] = None): Seq[Long] =
+      IcebergLog.read(spark, tbl, asOf).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 7L, 9L))
+    // untouched data files keep their physical identity (the MoR point)
+    val (dataAfter, delsAfter) = IcebergLog.liveSplitEntries(tbl)
+    assert(dataAfter.map(_.path).toSet === dataFilesBefore)
+    assert(delsAfter.map(_.content) === Seq(1))
+    // EQUALITY delete: key id=3 (and the already-dead 8 — idempotent)
+    IcebergLog.deleteEqualityKeys(tbl,
+      Seq(3L, 8L).toDF("id"), equalityFieldIds = Seq(1))
+    assert(ids() === Seq(1L, 4L, 5L, 6L, 7L, 9L))
+    // re-appending id=3 after the equality delete SURVIVES (strictly-
+    // older sequence rule): the delete addresses the old epoch only
+    IcebergLog.append(Seq((3L, "v3-new"), (10L, "v10")).toDF("id", "v"), tbl)
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 7L, 9L, 10L))
+    assert(IcebergLog.read(spark, tbl).filter(col("id") === 3L)
+      .select("v").head().getString(0) === "v3-new")
+    // a SECOND position delete on the post-append table hits the new
+    // epoch too; positions already dead are not re-addressed
+    val st2 = IcebergLog.deletePositionsWhere(spark, tbl, col("id") >= 9L)
+    assert(st2.rowsDeleted === 2L)
+    assert(ids() === Seq(1L, 3L, 4L, 5L, 6L, 7L))
+    // time travel BEFORE the deletes still sees everything
+    assert(ids(Some(2L)) === (1L to 9L))
+    // delete-blind planning paths refuse rather than resurrect rows
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergLog.pruneByLongBounds(tbl, 1, Some(0L), Some(100L))
+    }
+    assert(e1.getMessage.contains("delete file"))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLog.deleteWhere(spark, tbl, col("id") === 1L)
+    }
+    assert(e2.getMessage.contains("delete file"))
+    // matching nothing is a no-op (no empty snapshot)
+    val before = IcebergLog.liveSplitEntries(tbl)._2.size
+    val st3 = IcebergLog.deletePositionsWhere(spark, tbl, col("id") === 999L)
+    assert(st3.rowsDeleted === 0L)
+    assert(IcebergLog.liveSplitEntries(tbl)._2.size === before)
+  }
+
   test("Delta write path: append commits, overwrite snapshot, atomic versions") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

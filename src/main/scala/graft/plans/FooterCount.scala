@@ -55,10 +55,17 @@ case class FooterCountRule(spark: SparkSession) extends Rule[LogicalPlan] {
           } =>
       plainParquet(agg.child) match {
         case Some(fs) =>
-          val n = graft.operators.Compaction.footerRowCount(spark,
-            fs.location.inputFiles.toSeq)
-          LocalRelation(agg.output,
-            Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+          // same contract as FooterStatsRule: the fold does real I/O, and
+          // a footer vanishing between listing and read must keep the
+          // scan, never fail the query the rule exists to accelerate
+          try {
+            val n = graft.operators.Compaction.footerRowCount(spark,
+              fs.location.inputFiles.toSeq)
+            LocalRelation(agg.output,
+              Seq(InternalRow.fromSeq(agg.output.map(_ => n))))
+          } catch {
+            case scala.util.control.NonFatal(_) => agg
+          }
         case None => agg
       }
   }

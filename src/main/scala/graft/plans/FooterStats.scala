@@ -80,19 +80,29 @@ case class FooterStatsRule(spark: SparkSession) extends Rule[LogicalPlan] {
       if (decomposed.exists(_.isEmpty) || minMaxCols.isEmpty) agg
       else plainParquet(agg.child) match {
         case Some(fs) =>
-          val files = fs.location.inputFiles.toSeq
-          val names = minMaxCols.map(_.name).distinct
-          FooterStats.merged(spark, files, names,
-              names.map(n => minMaxCols.find(_.name == n).get.dataType)) match {
-            case Some((rows, stats)) =>
-              val values = decomposed.flatten.map {
-                case ("count", _) => rows
-                case (op, a) =>
-                  val (lo, hi) = stats(a.name)
-                  if (op == "min") lo.orNull else hi.orNull
-              }
-              LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
-            case None => agg // stats unusable somewhere: keep the scan
+          // The rule's contract is "can never change a result" — which
+          // includes never turning a working scan into an error. The fold
+          // does real I/O (footers can vanish or corrupt between listing
+          // and read) and real arithmetic (a garbage MILLIS stat can
+          // overflow multiplyExact): ANY failure keeps the scan, it never
+          // propagates out of the optimizer.
+          try {
+            val files = fs.location.inputFiles.toSeq
+            val names = minMaxCols.map(_.name).distinct
+            FooterStats.merged(spark, files, names,
+                names.map(n => minMaxCols.find(_.name == n).get.dataType)) match {
+              case Some((rows, stats)) =>
+                val values = decomposed.flatten.map {
+                  case ("count", _) => rows
+                  case (op, a) =>
+                    val (lo, hi) = stats(a.name)
+                    if (op == "min") lo.orNull else hi.orNull
+                }
+                LocalRelation(agg.output, Seq(InternalRow.fromSeq(values)))
+              case None => agg // stats unusable somewhere: keep the scan
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) => agg
           }
         case None => agg
       }

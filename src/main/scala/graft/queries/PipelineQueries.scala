@@ -1346,23 +1346,37 @@ object PipelineQueries {
       val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
         .parquet(inDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           // per-batch cost is O(batch + collisions): the accepted state
           // enters as the persisted SIGNATURE store, and each batch's
           // survivor signatures are appended so no accepted doc is ever
-          // re-shingled — accepted text is written once and never re-read
+          // re-shingled — accepted text is written once and never re-read.
+          // BOTH outputs commit through the Delta write path's idempotent
+          // epochs (epoch = the micro-batch id): foreachBatch delivery is
+          // at-least-once, and a replay finds each table independently
+          // skipping an epoch it already committed — a crash BETWEEN the
+          // two appends heals on the retry (the accepted append no-ops,
+          // the signature append recomputes against the UNCHANGED
+          // pre-batch store and lands), so the store can never silently
+          // desync from the accepted corpus. The log also pins the
+          // store's file list when the plan reads it, so appending to
+          // the very table the plan scans is snapshot-clean, not a race
+          // against the directory listing.
           val acceptedSig =
-            if (fsys.exists(new Path(sigDir))) s.read.parquet(sigDir)
+            if (new java.io.File(sigDir, "_delta_log").isDirectory)
+              graft.sources.DeltaLog.read(s, sigDir)
             else Dedup.minhashStore(batch.limit(0))
           val (survivors, survivorSig) =
             Dedup.incrementalLshAgainstStore(acceptedSig, batch)
-          survivors.write.mode("append").parquet(accDir)
-          survivorSig.write.mode("append").parquet(sigDir)
+          graft.sources.DeltaWrite.appendIdempotent(
+            survivors, accDir, "e16-acc", batchId)
+          graft.sources.DeltaWrite.appendIdempotent(
+            survivorSig, sigDir, "e16-sig", batchId)
           ()
         }
         .start()
       try q.processAllAvailable() finally q.stop()
-      s.read.parquet(accDir)
+      graft.sources.DeltaLog.read(s, accDir)
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }, Some(s"""

@@ -600,6 +600,63 @@ object SourceQueries {
              AND o_orderstatus <> 'F')
       ORDER BY o_orderkey""")),
 
+    // x31: ICEBERG COMPACTION (rewriteDataFiles) — the MoR recovery path
+    // completing x30's lifecycle: the same position + equality deletes
+    // land, and while they are live every delete-blind planning path
+    // (bounds pruning here) REFUSES — each equality-delete file also
+    // costs one broadcast anti-join on every read, so a long-lived CDC
+    // table needs a way back. rewriteDataFiles materializes the
+    // delete-applied rows into fresh key-clustered files and commits a
+    // snapshot with ZERO delete entries: the in-query requires pin that
+    // the delete files are gone, bounds pruning works AND actually
+    // prunes (sorted rewrite → tight per-file key ranges), and the bytes
+    // are unchanged (same oracle as x30 — compaction may never change
+    // an answer).
+    QueryDef("x31_iceberg_rewrite", (s, d) => {
+      val tbl = s"$stage/ice_rewrite"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val stats = Seq(1 -> "o_orderkey")
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 <= 1), tbl, stats)
+      graft.sources.IcebergLog.deletePositionsWhere(s, tbl,
+        col("o_orderkey") % 8 === 0)
+      locally { import s.implicits._
+        graft.sources.IcebergLog.deleteEqualityKeys(tbl,
+          Seq("F").toDF("o_orderstatus"), equalityFieldIds = Seq(2))
+      }
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 4 >= 2), tbl, stats)
+      // delete-blind pruning must refuse while delete files are live...
+      val refused =
+        try { graft.sources.IcebergLog.pruneByLongBounds(tbl, 1, None, Some(8L)); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "bounds pruning planned over live v2 delete files")
+      val rs = graft.sources.IcebergLog.rewriteDataFiles(s, tbl,
+        statsFields = stats, sortBy = Seq("o_orderkey"), targetFiles = 4)
+      require(rs.deleteFilesRemoved == 2 && rs.filesAdded > 1,
+        s"compaction did not drop both delete files: $rs")
+      val (_, delsNow) = graft.sources.IcebergLog.liveSplitEntries(tbl)
+      require(delsNow.isEmpty, "delete files survived compaction")
+      // ...and is restored AND selective after it (clustered rewrite)
+      val (kept, total) = graft.sources.IcebergLog.pruneByLongBounds(
+        tbl, 1, None, Some(8L))
+      require(kept.nonEmpty && kept.size < total,
+        s"post-compaction bounds pruning pruned nothing: ${kept.size}/$total")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 4 >= 2
+         OR (o_orderkey % 4 <= 1 AND o_orderkey % 8 <> 0
+             AND o_orderstatus <> 'F')
+      ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

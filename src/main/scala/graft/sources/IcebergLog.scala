@@ -149,7 +149,8 @@ object IcebergLog {
       upperBounds: Map[Int, Array[Byte]],
       content: Int = 0,
       seq: Long = 0L,
-      equalityIds: Seq[Int] = Seq.empty)
+      equalityIds: Seq[Int] = Seq.empty,
+      recordCount: Long = 0L)
 
   /** The live DATA-file entries of a snapshot. REFUSES a table with live
     * v2 delete files: every caller of this method plans from the data
@@ -164,7 +165,7 @@ object IcebergLog {
     require(dels.isEmpty,
       s"Iceberg table carries ${dels.size} live v2 delete file(s): this " +
         "path plans from data files alone and would return deleted rows — " +
-        "read() applies the deletes; rewrite (compact) the table to drop them")
+        "read() applies the deletes; rewriteDataFiles() compacts them away")
     data
   }
 
@@ -194,9 +195,20 @@ object IcebergLog {
           }.toMap
         case _ => Map.empty
       }
+    // (manifest path, the manifest-list entry's own sequence number) —
+    // v2 ADDED entries with a null data_sequence_number INHERIT it (the
+    // spec's sequence-number inheritance: real writers leave ADDED seqs
+    // null in the manifest and stamp the commit's sequence once, in the
+    // manifest list)
     val manifests = readAvro(new File(resolve(snap.manifestList)))
-      .map(_.get("manifest_path").toString)
-    val entries = manifests.flatMap { mp =>
+      .map { r =>
+        val mseq = r.get("sequence_number") match {
+          case l: java.lang.Long => Some(l.longValue())
+          case _ => None // pre-v2 manifest list without the field
+        }
+        (r.get("manifest_path").toString, mseq)
+      }
+    val entries = manifests.flatMap { case (mp, mseq) =>
       readAvro(new File(resolve(mp))).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         val df = entry.get("data_file").asInstanceOf[GenericRecord]
@@ -204,11 +216,22 @@ object IcebergLog {
         val path = df.get("file_path").toString
         require(content >= 0 && content <= 2,
           s"unknown Iceberg content=$content in manifest entry $path")
-        // pre-v2-support manifests have no data_sequence_number field →
-        // GenericRecord.get returns null → seq 0 (all same epoch)
         val seq = entry.get("data_sequence_number") match {
           case l: java.lang.Long => l.longValue()
-          case _ => 0L
+          // null on a v1 table: sequencing predates the table format,
+          // every file is the same epoch (no delete files can exist)
+          case _ if meta.formatVersion == 1L => 0L
+          // v2 ADDED: inherit the committing manifest's sequence number —
+          // defaulting to 0 here would let an older equality delete
+          // (strictly-greater rule) wrongly kill rows appended AFTER it
+          case _ if status == 1 && mseq.isDefined => mseq.get
+          // v2 EXISTING/DELETED must carry their original sequence
+          // explicitly (inheritance only covers same-commit ADDED rows);
+          // refuse loudly rather than mis-sequence a MoR table
+          case _ => throw new IllegalArgumentException(
+            s"v2 manifest entry for $path (status $status) has no " +
+              "data_sequence_number and no inheritable manifest " +
+              "sequence — refusing to default it to 0")
         }
         val eqIds = df.get("equality_ids") match {
           case c: java.util.Collection[_] =>
@@ -219,7 +242,8 @@ object IcebergLog {
         if (status == 2) None
         else Some(LiveEntry(resolve(path),
           boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
-          content, seq, eqIds))
+          content, seq, eqIds,
+          df.get("record_count").asInstanceOf[Long]))
       }
     }
     entries.partition(_.content == 0)
@@ -303,7 +327,15 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, split}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.Row
-    // file NAME → sequence number; names are uuids, unique by construction
+    // file NAME → sequence number. Our writer's names are uuids (unique by
+    // construction), but an externally-written table may repeat a basename
+    // across directories — basename matching would then silently misapply
+    // position deletes, so duplicate names refuse up front.
+    val allNames = data.map(e => new File(e.path).getName)
+    require(allNames.distinct.size == allNames.size,
+      "duplicate data-file basenames in the live set: position-delete " +
+        "matching is by file name and would be ambiguous — " +
+        allNames.diff(allNames.distinct).distinct.mkString(","))
     val seqRows = data.map(e => Row(new File(e.path).getName, e.seq))
     val seqDf = spark.createDataFrame(
       spark.sparkContext.parallelize(seqRows, 1),
@@ -352,13 +384,25 @@ object IcebergLog {
     */
   def deletePositionsWhere(spark: SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column): V2DeleteStats = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
     val root = new File(tablePath)
     val (data, dels) = liveSplitEntries(tablePath)
     require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
+    // the delete file records the FULL data-file path as the manifest
+    // names it (the v2 spec's file_path contract — a spec-compliant
+    // external reader matches on it verbatim; our own reader additionally
+    // tolerates basename-only files from other writers)
+    val pathRows = data.map(e => Row(new File(e.path).getName, e.path))
+    val pathDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pathRows, 1),
+      StructType(Seq(StructField("__graft_file", StringType),
+        StructField("__graft_full", StringType))))
     val hits = liveWithMeta(spark, data, dels)
       .filter(predicate)
-      .select(col("__graft_file").as("file_path"),
+      .join(broadcast(pathDf), Seq("__graft_file"))
+      .select(col("__graft_full").as("file_path"),
         col("__graft_pos").as("pos"))
       .orderBy(col("file_path"), col("pos"))
     val staged = stageData(hits.coalesce(1), root)
@@ -390,9 +434,17 @@ object IcebergLog {
     require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
     val staged = stageData(keys.distinct().coalesce(1), root)
     require(staged.nonEmpty, "no delete key file produced")
+    // record_count is the manifest's row count for the delete file itself
+    // (spec-required; external planners budget delete application by it)
+    val n = staged.headOption.map(f =>
+      keys.sparkSession.read.parquet(f.getPath).count()).getOrElse(0L)
+    if (n == 0L) { // empty key batch: a no-op, not an empty delete file
+      staged.foreach(f => Files.deleteIfExists(f.toPath))
+      return parseMeta(currentMetadataFile(tablePath)).currentSnapshotId
+    }
     commitSnapshot(tablePath,
       (data ++ dels).map(existingEntry) ++
-        staged.map(f => FixtureEntry(1, f.getPath, 0, content = 2,
+        staged.map(f => FixtureEntry(1, f.getPath, n, content = 2,
           equalityIds = equalityFieldIds)))
   }
 
@@ -400,7 +452,7 @@ object IcebergLog {
     * EXISTING status, original content/sequence/bounds.
     */
   private def existingEntry(e: LiveEntry): FixtureEntry =
-    FixtureEntry(0, e.path, 0, content = e.content,
+    FixtureEntry(0, e.path, e.recordCount, content = e.content,
       lowerBounds = e.lowerBounds, upperBounds = e.upperBounds,
       seq = e.seq, equalityIds = e.equalityIds)
 
@@ -419,6 +471,7 @@ object IcebergLog {
       |{"name":"manifest_path","type":"string"},
       |{"name":"manifest_length","type":"long"},
       |{"name":"partition_spec_id","type":"int"},
+      |{"name":"sequence_number","type":["null","long"],"default":null},
       |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
 
   // lower_bounds / upper_bounds use Iceberg's Avro encoding of a
@@ -485,15 +538,19 @@ object IcebergLog {
     * deletes, 2 = equality deletes; `status` 2 = DELETED. Bounds map
     * field-id → single-value binary, empty = writer recorded no stats.
     * `seq` is the data sequence number carried by EXISTING entries;
-    * ADDED entries get the committing snapshot's id as their sequence
-    * number (see commitSnapshot).
+    * ADDED entries write a NULL data_sequence_number and INHERIT the
+    * committing snapshot's sequence from the manifest list — the spec's
+    * inheritance shape real v2 writers produce (see writeSnapshot).
+    * `forceNullSeq` drops the explicit sequence from a non-ADDED entry
+    * too, staging the malformed shape the reader must refuse.
     */
   final case class FixtureEntry(status: Int, filePath: String,
       recordCount: Long, content: Int = 0,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       seq: Long = 0L,
-      equalityIds: Seq[Int] = Seq.empty)
+      equalityIds: Seq[Int] = Seq.empty,
+      forceNullSeq: Boolean = false)
 
   /** Write one snapshot's manifest + manifest list into `metaDir`; returns
     * the manifest-list path (table-relative).
@@ -538,10 +595,13 @@ object IcebergLog {
       val r = new GenericData.Record(manifestEntrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", sid)
-      // ADDED entries are sequenced at this snapshot; EXISTING/DELETED
-      // carry the sequence number their original commit assigned
+      // ADDED entries leave data_sequence_number NULL and inherit the
+      // manifest list's sequence_number (= this snapshot) — the spec's
+      // inheritance form real v2 writers emit, which keeps the read
+      // side's inheritance path exercised by every fixture;
+      // EXISTING/DELETED carry their original commit's sequence
       r.put("data_sequence_number",
-        Long.box(if (e.status == 1) sid else e.seq))
+        if (e.status == 1 || e.forceNullSeq) null else Long.box(e.seq))
       r.put("data_file", df)
       r
     })
@@ -550,6 +610,7 @@ object IcebergLog {
     mf.put("manifest_path", s"metadata/m-$sid.avro")
     mf.put("manifest_length", manifest.length())
     mf.put("partition_spec_id", 0)
+    mf.put("sequence_number", Long.box(sid))
     mf.put("added_snapshot_id", sid)
     writeAvro(list, manifestFileSchema, Seq(mf))
     s"metadata/snap-$sid.avro"
@@ -660,19 +721,21 @@ object IcebergLog {
 
   private def addedEntry(f: File,
       statsFields: Seq[(Int, String)]): FixtureEntry = {
-    val (lo, hi) =
-      if (statsFields.isEmpty) (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
-      else graft.plans.FooterStats.readOne(f.getPath, statsFields.map(_._2))
-        .map { case (_, per) =>
-          val lows = statsFields.zip(per).flatMap { case ((id, _), (mn, _)) =>
-            mn.map(v => id -> boundBytes(v))
-          }.toMap
-          val highs = statsFields.zip(per).flatMap { case ((id, _), (_, mx)) =>
-            mx.map(v => id -> boundBytes(v))
-          }.toMap
-          (lows, highs)
-        }.getOrElse((Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]]))
-    FixtureEntry(1, f.getPath, 0, lowerBounds = lo, upperBounds = hi)
+    // one footer read per file just written (no data re-read): the row
+    // count is spec-required in the manifest; bounds only when asked
+    val footer = graft.plans.FooterStats.readOne(f.getPath, statsFields.map(_._2))
+    val rows = footer.map(_._1).getOrElse(0L)
+    val (lo, hi) = footer
+      .map { case (_, per) =>
+        val lows = statsFields.zip(per).flatMap { case ((id, _), (mn, _)) =>
+          mn.map(v => id -> boundBytes(v))
+        }.toMap
+        val highs = statsFields.zip(per).flatMap { case ((id, _), (_, mx)) =>
+          mx.map(v => id -> boundBytes(v))
+        }.toMap
+        (lows, highs)
+      }.getOrElse((Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]]))
+    FixtureEntry(1, f.getPath, rows, lowerBounds = lo, upperBounds = hi)
   }
 
   /** Publish `entries` as the next snapshot + metadata version (prior
@@ -851,9 +914,73 @@ object IcebergLog {
     val nextEntries = entries.map { e =>
       val st = if (touchedNames(new File(e.path).getName)) 2 else 0
       FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
-        upperBounds = e.upperBounds)
+        upperBounds = e.upperBounds, seq = e.seq)
     } ++ newFiles.map(f => addedEntry(f, statsFields))
     val sid = commitSnapshot(tablePath, nextEntries)
     DeleteStats(sid, touchedNames.size, newFiles.size, rowsDeleted)
+  }
+
+  /** Outcome of a [[rewriteDataFiles]] compaction. */
+  final case class RewriteStats(snapshotId: Long, filesRewritten: Int,
+      deleteFilesRemoved: Int, filesAdded: Int)
+
+  /** COMPACTION (`rewriteDataFiles`) — the MoR recovery path: materialize
+    * the delete-applied live rows into fresh data files and commit a
+    * snapshot carrying ZERO delete entries (old data files and every
+    * delete file tombstoned, prior snapshots still time-travelable with
+    * their deletes applied). This is what bounds a long-lived MoR table:
+    * each equality-delete file costs one broadcast anti-join on EVERY
+    * read (see liveWithMeta), and the delete-blind planning paths
+    * ([[pruneByLongBounds]], [[readRange]], CoW [[deleteWhere]]) refuse
+    * while any delete file is live — compaction restores all of them.
+    * The analog of real Iceberg's `rewrite_data_files` procedure and of
+    * [[DeltaWrite.optimize]] (x28).
+    *
+    * `sortBy` range-partitions + sorts the rewrite into `targetFiles`
+    * clustered files (compaction with a sort order — each output file
+    * then covers a tight key range, so `statsFields` bounds make
+    * [[pruneByLongBounds]] selective again, not just legal again);
+    * without it the rewrite bin-packs into `targetFiles` (0 = keep the
+    * plan's partitioning). One distributed pass over the table either
+    * way. A table with no delete files and no requested re-layout is a
+    * no-op (no empty snapshot).
+    */
+  def rewriteDataFiles(spark: SparkSession, tablePath: String,
+      statsFields: Seq[(Int, String)] = Seq.empty,
+      sortBy: Seq[String] = Seq.empty,
+      targetFiles: Int = 0): RewriteStats = {
+    import org.apache.spark.sql.functions.col
+    val root = new File(tablePath)
+    val (data, dels) = liveSplitEntries(tablePath)
+    require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
+    if (dels.isEmpty && sortBy.isEmpty && targetFiles == 0)
+      return RewriteStats(
+        parseMeta(currentMetadataFile(tablePath)).currentSnapshotId, 0, 0, 0)
+    val metaCols = Seq("__graft_file", "__graft_pos", "__graft_dseq")
+    val live0 = liveWithMeta(spark, data, dels).drop(metaCols: _*)
+    val live =
+      if (sortBy.nonEmpty) {
+        val n = if (targetFiles > 0) targetFiles else data.size
+        live0.repartitionByRange(n, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      } else if (targetFiles > 0) live0.coalesce(targetFiles)
+      else live0
+    val staged = stageData(live, root)
+    // row count from the footers just written (no re-read): an all-rows-
+    // deleted table would compact to an unreadable empty snapshot —
+    // refuse it (an empty DataFrame still stages a schema-only file)
+    val stagedRows =
+      graft.operators.Compaction.footerRowCount(spark, staged.map(_.getPath))
+    if (staged.isEmpty || stagedRows == 0L) {
+      staged.foreach(f => Files.deleteIfExists(f.toPath))
+      throw new IllegalArgumentException(
+        "compaction would leave the table empty (every live row is " +
+          s"deleted): $tablePath — expire or drop the table instead")
+    }
+    val tombstones = (data ++ dels).map(e =>
+      existingEntry(e).copy(status = 2))
+    val sid = commitSnapshot(tablePath,
+      tombstones ++ staged.map(f => addedEntry(f, statsFields)))
+    RewriteStats(sid, data.size, dels.size, staged.size)
   }
 }

@@ -373,6 +373,17 @@ object EventStream {
     * the watermark, so the final state stays correct for every TTL ≥ 0
     * (keys WITH live state still accept sub-watermark rows — the monotone
     * (ts, event_id) rule already makes those safe).
+    *
+    * The guard cannot distinguish an evicted key from a NEVER-SEEN one
+    * (no tombstone is kept — that would defeat the TTL's point of
+    * bounding state), so with TTL enabled a genuinely new key whose
+    * FIRST event arrives at or behind the watermark is also discarded
+    * rather than installed. That is standard late-data semantics (the
+    * same event aimed at a windowed aggregate would be dropped by the
+    * watermark itself), but it IS a behavioral difference from the
+    * no-TTL mode, which installs first events of any age: deployments
+    * that need first-event fidelity for arbitrarily late keys should
+    * run without `idleTtlMinutes` and bound state another way.
     */
   def latestPerKey(events: DataFrame,
       idleTtlMinutes: Option[Int] = None): Dataset[CdcChange] = {

@@ -559,6 +559,48 @@ class ScaleSpec extends SparkSpec {
     assert(i96.head.getTimestamp(0) === truth.head.getTimestamp(0))
   }
 
+  test("footer rules never fail a query: a vanished footer keeps the scan") {
+    // the rules' contract is "can never change a result" — including
+    // never turning a working scan into an error: the fold does real I/O
+    // between listing and read, and a file deleted in that window (or a
+    // corrupt footer) must fall back to the scan, not throw through the
+    // optimizer. ignoreMissingFiles makes the fallback scan itself
+    // succeed, isolating the rule's behavior.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    import spark.implicits._
+    graft.plans.FooterStats.enable(spark)
+    graft.plans.FooterCount.enable(spark)
+    def metadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    val dir = java.nio.file.Files.createTempDirectory("graft-vanish").toString
+    Seq(1L, 2L, 3L).toDF("x").repartition(1).write.mode("append").parquet(dir)
+    Seq(10L, 11L).toDF("x").repartition(1).write.mode("append").parquet(dir)
+    val prev = spark.conf.get("spark.sql.files.ignoreMissingFiles")
+    spark.conf.set("spark.sql.files.ignoreMissingFiles", "true")
+    try {
+      // the DataFrame lists (and caches) BOTH files now...
+      val df = spark.read.parquet(dir)
+      val parts = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val expected = spark.read.parquet(parts.last.getPath)
+        .agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+          count(lit(1)).as("n")).head
+      // ...then one vanishes between listing and the rule's footer fold
+      assert(parts.head.delete())
+      val agg = df.agg(min(col("x")).as("lo"), max(col("x")).as("hi"),
+        count(lit(1)).as("n"))
+      assert(!metadataOnly(agg),
+        "stats fold must keep the scan when a footer vanishes")
+      assert(agg.head === expected) // and the query still answers
+      val cnt = df.agg(count(lit(1)).as("n"))
+      assert(!metadataOnly(cnt),
+        "count fold must keep the scan when a footer vanishes")
+      assert(cnt.head.getLong(0) === expected.getLong(2))
+    } finally
+      spark.conf.set("spark.sql.files.ignoreMissingFiles", prev)
+  }
+
   test("epoch mix joins broadcast rates and explodes in-row (no corpus exchange)") {
     // the only exchanges allowed are the 20-key per-source size aggregate;
     // the corpus side must meet the rates via broadcast and fan out

@@ -722,6 +722,126 @@ class SourcesSpec extends SparkSpec {
     assert(IcebergLog.liveSplitEntries(tbl)._2.size === before)
   }
 
+  test("Iceberg rewriteDataFiles: drops delete files, restores pruning, keeps history") {
+    import graft.sources.IcebergLog
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_rewrite"
+    val stats = Seq(1 -> "id")
+    IcebergLog.append((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), tbl, stats)
+    IcebergLog.append((7L to 9L).map(i => (i, s"v$i")).toDF("id", "v"), tbl, stats)
+    // accumulate MoR deletes: the read plan grows one broadcast anti-join
+    // per equality-delete file (plus one for all position files and one
+    // for the seq map) — the unbounded-growth shape compaction must cap
+    IcebergLog.deleteEqualityKeys(tbl, Seq(2L).toDF("id"), Seq(1))
+    IcebergLog.deleteEqualityKeys(tbl, Seq(4L).toDF("id"), Seq(1))
+    val sidPre = IcebergLog.deletePositionsWhere(spark, tbl,
+      col("id") === 7L).snapshotId
+    def ids(asOf: Option[Long] = None): Seq[Long] =
+      IcebergLog.read(spark, tbl, asOf).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    def joins(): Int = IcebergLog.read(spark, tbl).queryExecution
+      .optimizedPlan.collect { case j: Join => j }.size
+    val idsBefore = ids()
+    assert(idsBefore === Seq(1L, 3L, 5L, 6L, 8L, 9L))
+    assert(joins() === 4) // seq map + 1 position + 2 equality
+    val rs = IcebergLog.rewriteDataFiles(spark, tbl,
+      statsFields = stats, sortBy = Seq("id"), targetFiles = 3)
+    assert(rs.filesRewritten >= 2 && rs.deleteFilesRemoved === 3 &&
+      rs.filesAdded >= 2)
+    // the answer is unchanged; the delete files and their per-read
+    // anti-joins are GONE (plan length flat no matter how many deletes
+    // accumulated before the compaction)
+    assert(ids() === idsBefore)
+    assert(IcebergLog.liveSplitEntries(tbl)._2.isEmpty)
+    assert(joins() === 0)
+    // bounds pruning is legal AND selective again (clustered rewrite)
+    val (kept, total) = IcebergLog.pruneByLongBounds(tbl, 1, None, Some(3L))
+    assert(kept.nonEmpty && kept.size < total)
+    // pre-compaction snapshots still time-travel WITH their deletes
+    assert(ids(Some(sidPre)) === idsBefore)
+    // a second rewrite with nothing to do is a no-op (no empty snapshot)
+    val rs2 = IcebergLog.rewriteDataFiles(spark, tbl)
+    assert(rs2.filesAdded === 0 && rs2.deleteFilesRemoved === 0)
+    // compacting a fully-deleted table refuses rather than committing an
+    // unreadable empty snapshot
+    val tbl2 = s"$tmp/ice_rewrite_empty"
+    IcebergLog.append(Seq((1L, "a")).toDF("id", "v"), tbl2)
+    IcebergLog.deletePositionsWhere(spark, tbl2, lit(true))
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.rewriteDataFiles(spark, tbl2)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("Iceberg v2 hardening: spec-path delete files, seq inheritance, dup-name refusal") {
+    import graft.sources.IcebergLog
+    import graft.sources.IcebergLog.FixtureEntry
+    val s = spark
+    import s.implicits._
+    // position-delete files record the FULL data-file path as the
+    // manifest names it (v2 spec contract — a spec-compliant external
+    // reader matches verbatim; basename-only matching would silently
+    // resurrect rows there)
+    val tbl = s"$tmp/ice_fullpath"
+    IcebergLog.append((1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"), tbl)
+    IcebergLog.deletePositionsWhere(spark, tbl, col("id") === 2L)
+    val (data, dels) = IcebergLog.liveSplitEntries(tbl)
+    val recorded = spark.read.parquet(dels.filter(_.content == 1).head.path)
+      .select("file_path").collect().map(_.getString(0)).toSet
+    assert(recorded.nonEmpty && recorded.subsetOf(data.map(_.path).toSet))
+    // equality-delete manifest entries carry the real key-file row count
+    IcebergLog.deleteEqualityKeys(tbl, Seq(1L, 3L).toDF("id"), Seq(1))
+    val eq = IcebergLog.liveSplitEntries(tbl)._2.filter(_.content == 2)
+    assert(eq.map(_.recordCount) === Seq(2L))
+    // data-file entries record their footer row count too
+    assert(IcebergLog.liveSplitEntries(tbl)._1.map(_.recordCount).sum === 4L)
+    // ADDED entries with a null data_sequence_number INHERIT the manifest
+    // list's sequence number (the shape real v2 writers produce)
+    val inh = s"$tmp/ice_inherit"
+    IcebergLog.writeFixture(inh,
+      Seq(5L -> Seq(FixtureEntry(1, "data/y.parquet", 0))))
+    assert(IcebergLog.liveSplitEntries(inh)._1.head.seq === 5L)
+    // ...but a non-ADDED v2 entry with no explicit sequence REFUSES
+    // loudly instead of defaulting to 0 (which would let an older
+    // equality delete wrongly kill newer rows)
+    val bad = s"$tmp/ice_badseq"
+    IcebergLog.writeFixture(bad,
+      Seq(1L -> Seq(FixtureEntry(0, "data/x.parquet", 0, forceNullSeq = true))))
+    val e1 = intercept[IllegalArgumentException] {
+      IcebergLog.liveSplitEntries(bad)
+    }
+    assert(e1.getMessage.contains("data_sequence_number"))
+    // duplicate data-file BASENAMES refuse on the MoR read path: position
+    // deletes match by name, and two same-named files in different dirs
+    // would silently cross-delete
+    val dup = s"$tmp/ice_dupname"
+    def sameNamed(sub: String): String = {
+      val dir = new java.io.File(s"$dup/$sub"); dir.mkdirs()
+      Seq((1L, "a")).toDF("id", "v").coalesce(1)
+        .write.mode("overwrite").parquet(s"$dup/stage_$sub")
+      val src = new java.io.File(s"$dup/stage_$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, "part-000.parquet")
+      Files.move(src.toPath, dst.toPath)
+      dst.getPath
+    }
+    val pa = sameNamed("a")
+    val pb = sameNamed("b")
+    Seq((pa, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dup/posdel")
+    val pd = new java.io.File(s"$dup/posdel").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    IcebergLog.writeFixture(dup, Seq(1L -> Seq(
+      FixtureEntry(1, pa, 1), FixtureEntry(1, pb, 1),
+      FixtureEntry(1, pd, 1, content = 1))))
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLog.read(spark, dup).count()
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
   test("Delta write path: append commits, overwrite snapshot, atomic versions") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -402,13 +402,15 @@ object Bench {
       // ambient load, and at what jit/gc cost, that number was measured
       val minRun = runs.minBy(_._1)
       (n, if (failed) -1.0 else minRun._1,
-        if (failed) -1.0 else median(runs.map(_._1)), minRun._2)
+        if (failed) -1.0 else median(runs.map(_._1)), minRun._2,
+        runs.map(_._1))
     }
-    val qs = results.map { case (k, v, _, _) => "\"" + k + f"\":$v%.3f" }
+    val qs = results.map { case (k, v, _, _, _) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
-    val qsMed = results.map { case (k, _, m, _) => "\"" + k + f"\":$m%.3f" }
+    val qsMed = results.map { case (k, _, m, _, _) => "\"" + k + f"\":$m%.3f" }
       .mkString("{", ",", "}")
-    val qsForensics = results.map { case (k, _, _, f) => "\"" + k + "\":" + f.json }
+    val qsForensics = results
+      .map { case (k, _, _, f, _) => "\"" + k + "\":" + f.json }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
@@ -437,6 +439,25 @@ object Bench {
     val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"load_gate_trajectory":${trajJson(gateTraj)},"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$dirty"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_forensics":$qsForensics,$env,$concFragment,"concurrent_isolated":$isolated,"sf":"$sfDir"}""")
+    // SERIAL forensics tail line: the artifact keeps only the last ~2 KB
+    // of output, and the big line above routinely outgrows it — so the
+    // per-run serial evidence (every run's wall seconds, plus the
+    // min-run's load/jit/gc for the slowest entries) gets its own compact
+    // line right before the summary. Short keys (each headline name's
+    // leading segment is unique) and 2-decimal arrays keep it inside the
+    // tail; a serial regression is then attributable (ambient load vs
+    // jit storm vs real) from the artifact alone, without a rerun.
+    val shortKey = (n: String) => n.split("_").head
+    val runsJson = results.map { case (k, _, _, _, rs) =>
+      "\"" + shortKey(k) + "\":" +
+        rs.map(r => f"$r%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val hotJson = results.sortBy(-_._2).take(6)
+      .map { case (k, _, _, fr, _) =>
+        "\"" + shortKey(k) +
+          f"""\":{"l":${fr.load}%.2f,"j":${fr.jitMs},"g":${fr.gcMs}}"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"serial_runs","runs":$runsJson,"hot":$hotJson,"iters":$iters,"dirty":$dirty}""")
     // Tail-proof summary: the forensic line above grew past the driver's
     // fixed-size tail capture in r10, truncating the headline per-query
     // wall times out of the artifact. A compact line with ONLY the

@@ -191,7 +191,7 @@ object SourceQueries {
             UNION ALL
             SELECT * FROM tgt WHERE o_orderkey NOT IN
               (SELECT o_orderkey FROM src))
-      ORDER BY o_orderkey""")),
+      ORDER BY o_orderkey"""), headline = true),
 
     // p04: PARQUET BLOOM FILTER point lookups — the layout lever for
     // high-cardinality keys where clustering can't help (uniform md5
@@ -522,7 +522,7 @@ object SourceQueries {
     }, Some("""
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
-      FROM orders ORDER BY o_orderkey""")),
+      FROM orders ORDER BY o_orderkey"""), headline = true),
 
     // x29: ICEBERG SINK IDEMPOTENCE via snapshot summaries — the second
     // format's exactly-once mechanism (x27's mirror, the way real
@@ -656,6 +656,106 @@ object SourceQueries {
          OR (o_orderkey % 4 <= 1 AND o_orderkey % 8 <> 0
              AND o_orderstatus <> 'F')
       ORDER BY o_orderkey""")),
+
+    // x32: ICEBERG PARTITIONED WRITE — the second format's twin of
+    // Delta's x25: the metadata records the identity partition spec and
+    // every data-file manifest entry carries its typed partition tuple
+    // (the v2 `partition` struct). Unlike the Hive/Delta layout the
+    // partition column STAYS in the data files (Iceberg's contract:
+    // partitioning is metadata, not path encoding), so the read needs no
+    // value re-injection. The oracle recomputes the table relationally —
+    // the spec/struct round-trip is what's hash-checked.
+    QueryDef("x32_iceberg_part_write", (s, d) => {
+      val tbl = s"$stage/ice_partitioned"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.appendPartitioned(o, tbl,
+        partitionBy = Seq(2 -> "o_orderstatus"))
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      ORDER BY o_orderkey""")),
+
+    // x33: ICEBERG MANIFEST PARTITION PRUNING — x26's twin: a partition
+    // predicate is answered from manifest partition tuples ALONE (zero
+    // data files or footers opened to prune; the in-query require pins
+    // that the file list actually shrank), then only the matching
+    // partition's files are scanned. At 100 TB this is the first pruning
+    // lever, ahead of column-bounds skipping and row-group elimination.
+    QueryDef("x33_iceberg_part_prune", (s, d) => {
+      val tbl = s"$stage/ice_part_pruned"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.appendPartitioned(o, tbl,
+        partitionBy = Seq(2 -> "o_orderstatus"))
+      val (kept, total) = graft.sources.IcebergLog.prunePartitions(tbl,
+        Map("o_orderstatus" -> "O"))
+      require(kept.nonEmpty && kept.size < total,
+        s"partition pruning pruned nothing: ${kept.size} of $total files kept")
+      graft.sources.IcebergLog.readPartition(s, tbl,
+          Map("o_orderstatus" -> "O"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_orderkey""")),
+
+    // x34: Delta MERGE SCHEMA EVOLUTION — the CDC reality x16 stops
+    // short of: one day the upstream feed grows a column. The merge
+    // commits a NEW metaData action carrying the widened schema, touched
+    // files rewrite in it, and UNTOUCHED files stay physically old —
+    // readers NULL-fill them through the metaData schema, so evolving a
+    // 100 TB table costs one metadata action plus the touched files, not
+    // an O(table) rewrite. The in-query requires pin that the
+    // pre-evolution snapshot still reads WITHOUT the new column (time
+    // travel sees each epoch's own schema); the oracle recomputes the
+    // evolved table relationally, NULLs included.
+    QueryDef("x34_delta_merge_evolve", (s, d) => {
+      val tbl = s"$stage/delta_evolved"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 2 === 0), tbl)
+      // the evolved source: updates for %4==0, inserts for the odds,
+      // plus a NEW column the table has never seen
+      val src = o.filter(col("o_orderkey") % 4 === 0 ||
+          col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("o_band", (col("o_orderkey") % 10).cast("long"))
+      val st = graft.sources.DeltaWrite.merge(tbl, src,
+        Seq("o_orderkey"), mergeSchema = true)
+      require(st.rowsUpdated > 0 && st.rowsInserted > 0,
+        s"evolving merge must update and insert: $st")
+      // time travel BEFORE the evolution reads the old schema
+      require(!graft.sources.DeltaLog.read(s, tbl, Some(0L))
+        .columns.contains("o_band"),
+        "pre-evolution snapshot leaked the evolved column")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_band").cast("long").as("o_band"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(CASE WHEN o_orderkey % 4 = 0 OR o_orderkey % 2 = 1
+             THEN o_totalprice + 1 ELSE o_totalprice END AS DOUBLE)
+          AS o_totalprice,
+        CASE WHEN o_orderkey % 4 = 0 OR o_orderkey % 2 = 1
+             THEN CAST(o_orderkey % 10 AS BIGINT) ELSE NULL END AS o_band
+      FROM orders ORDER BY o_orderkey""")),
 
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after

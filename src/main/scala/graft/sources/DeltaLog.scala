@@ -319,14 +319,23 @@ object DeltaLog {
     * a log that never recorded one (not a table this writer produced).
     */
   def tableMetaData(spark: SparkSession, tablePath: String)
-      : Option[Map[String, Any]] = {
+      : Option[Map[String, Any]] = tableMetaData(spark, tablePath, None)
+
+  /** As-of-version form: the metaData in force AT `versionAsOf` — the
+    * schema a time-travel read must decode with (a later schema evolution
+    * replaces the action, but history keeps the old one).
+    */
+  def tableMetaData(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long]): Option[Map[String, Any]] = {
     val logDir = new File(tablePath, "_delta_log")
     if (!logDir.isDirectory) return None
     val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.matches("""\d{20}\.json"""))
+      .filter(f => versionAsOf.forall(v => versionOf(f) <= v))
       .sortBy(_.getName)
     var meta: Option[Map[String, Any]] = None
-    lastCheckpointVersion(logDir).foreach { v =>
+    lastCheckpointVersion(logDir)
+      .filter(v => versionAsOf.forall(_ >= v)).foreach { v =>
       val cp = new File(logDir, f"$v%020d.checkpoint.parquet")
       if (cp.isFile) {
         val cpAll = spark.read.parquet(cp.getPath)
@@ -352,6 +361,19 @@ object DeltaLog {
     }
     meta
   }
+
+  /** The metaData action's schema as a Catalyst StructType (None when no
+    * metaData or an unparseable schemaString).
+    */
+  private[sources] def metaSchema(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long] = None)
+      : Option[org.apache.spark.sql.types.StructType] =
+    tableMetaData(spark, tablePath, versionAsOf)
+      .flatMap(_.get("schemaString"))
+      .collect { case s: String => s }
+      .flatMap(s => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
 
   def latestTxnVersions(tablePath: String): Map[String, Long] = {
     val logDir = new File(tablePath, "_delta_log")
@@ -503,6 +525,19 @@ object DeltaLog {
       versionAsOf: Option[Long] = None): DataFrame = {
     val adds = liveAdds(spark, tablePath, versionAsOf)
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
+    // SCHEMA EVOLUTION: an evolved table's pre-evolution files physically
+    // lack the new columns, and footer inference would answer with
+    // whichever file won — so unpartitioned tables decode through the
+    // metaData schema IN FORCE AT the read version (time travel across an
+    // evolution sees each epoch's own schema), NULL-filling columns a
+    // file predates. Partitioned tables keep inference: their partition
+    // columns live in the log, not the files, and are injected below.
+    if (adds.forall(_.partitionValues.isEmpty))
+      metaSchema(spark, tablePath, versionAsOf) match {
+        case Some(st) =>
+          return spark.read.schema(st).parquet(adds.map(_.path): _*)
+        case None => () // no metaData recorded (external minimal log)
+      }
     scanWithPv(spark, adds)
   }
 

@@ -196,7 +196,7 @@ object DeltaWrite {
     * target's columns (any order).
     */
   def merge(tablePath: String, source: DataFrame,
-      keys: Seq[String]): MergeStats = {
+      keys: Seq[String], mergeSchema: Boolean = false): MergeStats = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     val spark = source.sparkSession
     val root = new File(tablePath)
@@ -205,15 +205,36 @@ object DeltaWrite {
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.forall(_.partitionValues.isEmpty),
       s"merge supports unpartitioned tables: $tablePath")
-    val target = spark.read.parquet(adds.map(_.path): _*)
-    val cols = target.columns.toSeq
-    require(source.columns.sorted.sameElements(cols.sorted),
-      s"source columns ${source.columns.mkString(",")} != table ${cols.mkString(",")}")
+    // decode through the metaData schema when the log carries one: after
+    // a prior evolution the live files are physically mixed and footer
+    // inference would pick whichever file won
+    val target0 = DeltaLog.metaSchema(spark, tablePath) match {
+      case Some(st) => spark.read.schema(st).parquet(adds.map(_.path): _*)
+      case None => spark.read.parquet(adds.map(_.path): _*)
+    }
+    val cols = target0.columns.toSeq
+    // SCHEMA EVOLUTION (`mergeSchema`, real Delta's autoMerge): source
+    // columns beyond the table's schema widen it — the commit carries a
+    // new metaData action with the merged schema, touched files rewrite
+    // in it, and UNTOUCHED files stay physically old (readers NULL-fill
+    // through the metaData schema; no O(table) rewrite for a new column).
+    // Source must still cover every existing column; dropping or
+    // retyping columns is not evolution and stays refused.
+    val newCols = source.columns.filterNot(cols.contains).toSeq
+    require(newCols.isEmpty || mergeSchema,
+      s"source columns ${newCols.mkString(",")} are not in the table " +
+        s"schema ${cols.mkString(",")} — pass mergeSchema=true to evolve")
+    require(cols.forall(source.columns.contains),
+      s"source columns ${source.columns.mkString(",")} must cover table " +
+        s"columns ${cols.mkString(",")}")
+    val target = newCols.foldLeft(target0)((t, c) =>
+      t.withColumn(c, lit(null).cast(source.schema(c).dataType)))
+    val allCols = cols ++ newCols
     // cast the batch to the TABLE's exact types (real Delta's implicit
     // whenMatched cast): without it a wider-typed batch would rewrite
     // touched files in a different physical type than the untouched
     // files keep, and the next snapshot read would fail on the mix
-    val src = source.select(cols.map(c =>
+    val src = source.select(allCols.map(c =>
       col(c).cast(target.schema(c).dataType).as(c)): _*)
     val dup = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count()
@@ -233,7 +254,9 @@ object DeltaWrite {
     val (survivors, rowsUpdated) =
       if (touched.isEmpty) (None, 0L)
       else {
-        val touchedRows = spark.read.parquet(touched: _*)
+        // decode through the (evolved) table schema so pre-evolution
+        // survivors NULL-fill the new columns in their rewrite
+        val touchedRows = spark.read.schema(target.schema).parquet(touched: _*)
         (Some(touchedRows.join(broadcast(srcKeys), keys, "leftanti")),
           touchedRows.join(broadcast(srcKeys), keys, "leftsemi").count())
       }
@@ -249,7 +272,22 @@ object DeltaWrite {
       require(names.contains(name), s"touched file not in live set: $uri")
       s"""{"remove":{"path":"${jsonEscape(name)}","dataChange":true}}"""
     }
-    publish(logDir, version, removes ++ files.map(addWithStats(_, out.schema)) :+
+    // an evolving merge commits a NEW metaData action with the merged
+    // schema (the table id survives the evolution — real Delta keeps it
+    // stable; only the schemaString advances)
+    val metaAction =
+      if (newCols.isEmpty) Seq.empty
+      else {
+        val tableId = DeltaLog.tableMetaData(spark, tablePath)
+          .flatMap(_.get("id")).collect { case s: String => s }
+          .getOrElse(java.util.UUID.randomUUID.toString)
+        Seq(s"""{"metaData":{"id":"${jsonEscape(tableId)}",""" +
+          """"format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${jsonEscape(out.schema.json)}",""" +
+          """"partitionColumns":[],"configuration":{}}}""")
+      }
+    publish(logDir, version,
+      metaAction ++ removes ++ files.map(addWithStats(_, out.schema)) :+
       """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""")
     MergeStats(version, touched.size, files.size, rowsUpdated, rowsInserted)
   }

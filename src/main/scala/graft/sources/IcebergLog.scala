@@ -55,9 +55,12 @@ object IcebergLog {
   final case class Snapshot(snapshotId: Long, manifestList: String,
       summary: Map[String, String] = Map.empty)
 
-  /** Parsed metadata root: format version + snapshots + the current one. */
+  /** Parsed metadata root: format version + snapshots + the current one.
+    * `specFields` is the default partition spec's identity fields as
+    * (source field id, column name) — empty for unpartitioned tables.
+    */
   final case class TableMeta(formatVersion: Long, currentSnapshotId: Long,
-      snapshots: Seq[Snapshot])
+      snapshots: Seq[Snapshot], specFields: Seq[(Int, String)] = Seq.empty)
 
   /** Resolve the table's current metadata JSON: `version-hint.text` names
     * the version if present (the Hadoop-catalog convention), else the
@@ -111,7 +114,25 @@ object IcebergLog {
       }
       case _ => Seq.empty
     }
-    TableMeta(fv, current, snaps)
+    // default partition spec (identity transforms only — the subset this
+    // writer produces); absent/empty on unpartitioned tables
+    val spec = root.get("partition-specs") match {
+      case Some(xs: Seq[_]) => xs.collectFirst {
+        case m: Map[_, _]
+            if m.asInstanceOf[Map[String, Any]].get("spec-id")
+              .contains(0.0) =>
+          m.asInstanceOf[Map[String, Any]].get("fields") match {
+            case Some(fs: Seq[_]) => fs.collect { case f: Map[_, _] =>
+              val fm = f.asInstanceOf[Map[String, Any]]
+              (fm("source-id").asInstanceOf[Double].toInt,
+                fm("name").asInstanceOf[String])
+            }
+            case _ => Seq.empty[(Int, String)]
+          }
+      }.getOrElse(Seq.empty)
+      case _ => Seq.empty
+    }
+    TableMeta(fv, current, snaps, spec)
   }
 
   private def jsonEscape(x: String): String = x.flatMap {
@@ -136,6 +157,13 @@ object IcebergLog {
     try reader.iterator().asScala.toVector finally reader.close()
   }
 
+  /** Field access tolerant of manifests written before a field existed:
+    * GenericData.Record.get THROWS on a name outside the writer's schema,
+    * so optional/evolving fields go through this instead.
+    */
+  private def fieldOrNull(r: GenericRecord, name: String): AnyRef =
+    if (r.getSchema.getField(name) == null) null else r.get(name)
+
   /** A live file entry plus its manifest-recorded column bounds (field-id
     * → single-value binary; empty when the writer recorded none, in which
     * case the file must always be scanned). `content` 0 = data file,
@@ -150,7 +178,8 @@ object IcebergLog {
       content: Int = 0,
       seq: Long = 0L,
       equalityIds: Seq[Int] = Seq.empty,
-      recordCount: Long = 0L)
+      recordCount: Long = 0L,
+      partitionValues: Map[String, Any] = Map.empty)
 
   /** The live DATA-file entries of a snapshot. REFUSES a table with live
     * v2 delete files: every caller of this method plans from the data
@@ -184,7 +213,7 @@ object IcebergLog {
     def resolve(p: String): String =
       if (new File(p).isAbsolute) p else new File(tablePath, p).getPath
     def boundsOf(df: GenericRecord, field: String): Map[Int, Array[Byte]] =
-      df.get(field) match { // null for stats-less writers AND pre-bounds manifests
+      fieldOrNull(df, field) match { // null for stats-less writers AND pre-bounds manifests
         case arr: java.util.Collection[_] =>
           arr.asScala.map { kv =>
             val r = kv.asInstanceOf[GenericRecord]
@@ -202,7 +231,7 @@ object IcebergLog {
     // manifest list)
     val manifests = readAvro(new File(resolve(snap.manifestList)))
       .map { r =>
-        val mseq = r.get("sequence_number") match {
+        val mseq = fieldOrNull(r, "sequence_number") match {
           case l: java.lang.Long => Some(l.longValue())
           case _ => None // pre-v2 manifest list without the field
         }
@@ -216,7 +245,7 @@ object IcebergLog {
         val path = df.get("file_path").toString
         require(content >= 0 && content <= 2,
           s"unknown Iceberg content=$content in manifest entry $path")
-        val seq = entry.get("data_sequence_number") match {
+        val seq = fieldOrNull(entry, "data_sequence_number") match {
           case l: java.lang.Long => l.longValue()
           // null on a v1 table: sequencing predates the table format,
           // every file is the same epoch (no delete files can exist)
@@ -233,17 +262,30 @@ object IcebergLog {
               "data_sequence_number and no inheritable manifest " +
               "sequence — refusing to default it to 0")
         }
-        val eqIds = df.get("equality_ids") match {
+        val eqIds = fieldOrNull(df, "equality_ids") match {
           case c: java.util.Collection[_] =>
             c.asScala.map(_.asInstanceOf[Int]).toSeq
           case _ => Seq.empty[Int]
+        }
+        // the data_file's partition struct (v2 r102): one field per
+        // identity partition column, null/absent on unpartitioned tables
+        val pv = fieldOrNull(df, "partition") match {
+          case r: GenericRecord =>
+            r.getSchema.getFields.asScala.map { f =>
+              f.name -> (r.get(f.name) match {
+                case u: org.apache.avro.util.Utf8 => u.toString
+                case l: java.lang.Long => l.longValue()
+                case other => other // String or null
+              })
+            }.toMap[String, Any]
+          case _ => Map.empty[String, Any]
         }
         // status: 0 EXISTING, 1 ADDED, 2 DELETED
         if (status == 2) None
         else Some(LiveEntry(resolve(path),
           boundsOf(df, "lower_bounds"), boundsOf(df, "upper_bounds"),
           content, seq, eqIds,
-          df.get("record_count").asInstanceOf[Long]))
+          df.get("record_count").asInstanceOf[Long], pv))
       }
     }
     entries.partition(_.content == 0)
@@ -454,7 +496,8 @@ object IcebergLog {
   private def existingEntry(e: LiveEntry): FixtureEntry =
     FixtureEntry(0, e.path, e.recordCount, content = e.content,
       lowerBounds = e.lowerBounds, upperBounds = e.upperBounds,
-      seq = e.seq, equalityIds = e.equalityIds)
+      seq = e.seq, equalityIds = e.equalityIds,
+      partitionValues = e.partitionValues)
 
   /** DDL entry point (`CREATE EXTERNAL TABLE ... STORED AS ICEBERG`). */
   def register(spark: SparkSession, name: String, tablePath: String): DataFrame = {
@@ -477,28 +520,45 @@ object IcebergLog {
   // lower_bounds / upper_bounds use Iceberg's Avro encoding of a
   // map<int, binary>: an array of key/value records (field-id ->
   // single-value binary serialization), optional for writers that
-  // record no stats
-  private val manifestEntrySchema = new Schema.Parser().parse(
-    """{"type":"record","name":"manifest_entry","fields":[
-      |{"name":"status","type":"int"},
-      |{"name":"snapshot_id","type":["null","long"],"default":null},
-      |{"name":"data_sequence_number","type":["null","long"],"default":null},
-      |{"name":"data_file","type":{"type":"record","name":"data_file_r","fields":[
-      |{"name":"content","type":"int"},
-      |{"name":"file_path","type":"string"},
-      |{"name":"file_format","type":"string"},
-      |{"name":"record_count","type":"long"},
-      |{"name":"file_size_in_bytes","type":"long"},
-      |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
-      |"default":null},
-      |{"name":"lower_bounds","type":["null",{"type":"array","items":
-      |{"type":"record","name":"k_v_lower","fields":[
-      |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
-      |"default":null},
-      |{"name":"upper_bounds","type":["null",{"type":"array","items":
-      |{"type":"record","name":"k_v_upper","fields":[
-      |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
-      |"default":null}]}}]}""".stripMargin)
+  // record no stats. The data_file record of a PARTITIONED table also
+  // carries the spec's `partition` struct (r102): one typed field per
+  // identity partition column, so the schema is built per manifest from
+  // the partition fields in play (the real format's shape — the struct's
+  // fields follow the table's partition spec, they are not a fixed map).
+  private def manifestEntrySchema(
+      partFields: Seq[(String, String)]): Schema = {
+    val partField =
+      if (partFields.isEmpty) ""
+      else {
+        val fs = partFields.map { case (n, t) =>
+          s"""{"name":"$n","type":["null","$t"],"default":null}"""
+        }.mkString(",")
+        s"""{"name":"partition","type":["null",{"type":"record",
+           |"name":"r102","fields":[$fs]}],"default":null},""".stripMargin
+      }
+    new Schema.Parser().parse(
+      s"""{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":["null","long"],"default":null},
+        |{"name":"data_sequence_number","type":["null","long"],"default":null},
+        |{"name":"data_file","type":{"type":"record","name":"data_file_r","fields":[
+        |{"name":"content","type":"int"},
+        |{"name":"file_path","type":"string"},
+        |{"name":"file_format","type":"string"},
+        |$partField
+        |{"name":"record_count","type":"long"},
+        |{"name":"file_size_in_bytes","type":"long"},
+        |{"name":"equality_ids","type":["null",{"type":"array","items":"int"}],
+        |"default":null},
+        |{"name":"lower_bounds","type":["null",{"type":"array","items":
+        |{"type":"record","name":"k_v_lower","fields":[
+        |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |"default":null},
+        |{"name":"upper_bounds","type":["null",{"type":"array","items":
+        |{"type":"record","name":"k_v_upper","fields":[
+        |{"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |"default":null}]}}]}""".stripMargin)
+  }
 
   // ---- Iceberg single-value binary serialization (spec Appendix D):
   // long/double are 8-byte little-endian, int 4-byte LE, string UTF-8.
@@ -550,7 +610,8 @@ object IcebergLog {
       upperBounds: Map[Int, Array[Byte]] = Map.empty,
       seq: Long = 0L,
       equalityIds: Seq[Int] = Seq.empty,
-      forceNullSeq: Boolean = false)
+      forceNullSeq: Boolean = false,
+      partitionValues: Map[String, Any] = Map.empty)
 
   /** Write one snapshot's manifest + manifest list into `metaDir`; returns
     * the manifest-list path (table-relative).
@@ -558,7 +619,21 @@ object IcebergLog {
   private def writeSnapshot(metaDir: File, sid: Long,
       entries: Seq[FixtureEntry]): String = {
     val manifest = new File(metaDir, s"m-$sid.avro")
-    val dataFileSchema = manifestEntrySchema.getField("data_file").schema()
+    // partition struct fields for this manifest: the union of the
+    // entries' partition columns, typed long where any value is a long
+    // (identity transform keeps the source column's type)
+    val partFields: Seq[(String, String)] = entries
+      .flatMap(_.partitionValues.keys).distinct.sorted.map { n =>
+        val isLong = entries.flatMap(_.partitionValues.get(n))
+          .exists(_.isInstanceOf[Long])
+        (n, if (isLong) "long" else "string")
+      }
+    val entrySchema = manifestEntrySchema(partFields)
+    val dataFileSchema = entrySchema.getField("data_file").schema()
+    val partSchema =
+      if (partFields.isEmpty) None
+      else dataFileSchema.getField("partition").schema()
+        .getTypes.asScala.find(_.getType == Schema.Type.RECORD)
     def kvArray(fieldName: String,
         bounds: Map[Int, Array[Byte]]): AnyRef =
       if (bounds.isEmpty) null
@@ -574,11 +649,26 @@ object IcebergLog {
         }
         arr
       }
-    writeAvro(manifest, manifestEntrySchema, entries.map { e =>
+    writeAvro(manifest, entrySchema, entries.map { e =>
       val df = new GenericData.Record(dataFileSchema)
       df.put("content", e.content)
       df.put("file_path", e.filePath)
       df.put("file_format", "PARQUET")
+      // entries WITHOUT partition info (delete files, pre-spec files) get
+      // a null struct, which the reader maps to "no info — always keep",
+      // never an all-null record that would wrongly prune
+      partSchema.foreach { ps =>
+        if (e.partitionValues.nonEmpty) {
+          val rec = new GenericData.Record(ps)
+          partFields.foreach { case (n, _) =>
+            rec.put(n, e.partitionValues.getOrElse(n, null) match {
+              case l: Long => Long.box(l)
+              case other => other // String or null
+            })
+          }
+          df.put("partition", rec)
+        }
+      }
       df.put("record_count", e.recordCount)
       df.put("file_size_in_bytes", 0L)
       df.put("equality_ids",
@@ -592,7 +682,7 @@ object IcebergLog {
         })
       df.put("lower_bounds", kvArray("lower_bounds", e.lowerBounds))
       df.put("upper_bounds", kvArray("upper_bounds", e.upperBounds))
-      val r = new GenericData.Record(manifestEntrySchema)
+      val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", sid)
       // ADDED entries leave data_sequence_number NULL and inherit the
@@ -617,11 +707,24 @@ object IcebergLog {
   }
 
   private def writeMetadataVersion(metaDir: File, tablePath: String,
-      version: Long, currentSid: Long, snapJsons: Seq[String]): Unit = {
+      version: Long, currentSid: Long, snapJsons: Seq[String],
+      specFields: Seq[(Int, String)] = Seq.empty): Unit = {
     val target = new File(metaDir, s"v$version.metadata.json")
+    // partition spec (identity transforms; field-ids from 1000 per the
+    // spec's partition-field id space) — the metadata-level record that
+    // makes the per-entry partition structs interpretable
+    val specJson =
+      if (specFields.isEmpty) ""
+      else {
+        val fs = specFields.zipWithIndex.map { case ((sid, n), i) =>
+          s"""{"name":"${jsonEscape(n)}","transform":"identity",""" +
+            s""""source-id":$sid,"field-id":${1000 + i}}"""
+        }.mkString(",")
+        s""","partition-specs":[{"spec-id":0,"fields":[$fs]}],"default-spec-id":0"""
+      }
     val body =
       s"""{"format-version":2,"table-uuid":"graft-table",
-         |"location":"$tablePath","current-snapshot-id":$currentSid,
+         |"location":"$tablePath","current-snapshot-id":$currentSid$specJson,
          |"snapshots":[${snapJsons.mkString(",")}]}""".stripMargin
     // optimistic concurrency on the metadata version: CREATE_NEW is an
     // atomic O_EXCL claim — a concurrent committer of the same version
@@ -697,6 +800,141 @@ object IcebergLog {
       moved.map(f => addedEntry(f, statsFields)))
   }
 
+  /** PARTITIONED APPEND: write `df` partitioned by the identity
+    * transforms of `partitionBy` ((Iceberg source field id, column
+    * name)), recording the partition spec in the table metadata and each
+    * data file's partition tuple in its manifest entry (the v2 `partition`
+    * struct) — the metadata [[prunePartitions]] answers from without
+    * opening a single data file. Unlike Hive/Delta layouts, the partition
+    * columns STAY in the data files (Iceberg's contract: partitioning is
+    * metadata, not path encoding), so readers need no value re-injection
+    * and the files remain self-describing. Files land flat under `data/`
+    * with uuid names; the manifest, not the directory tree, is the source
+    * of truth. `statsFields` adds column bounds exactly as [[append]].
+    * Returns the committed snapshot id.
+    */
+  def appendPartitioned(df: DataFrame, tablePath: String,
+      partitionBy: Seq[(Int, String)],
+      statsFields: Seq[(Int, String)] = Seq.empty): Long = {
+    require(partitionBy.nonEmpty, "appendPartitioned needs partition columns")
+    val root = new File(tablePath)
+    val metaDir = new File(root, "metadata")
+    metaDir.mkdirs()
+    val moved = stagePartitioned(df, root, partitionBy.map(_._2))
+    require(moved.nonEmpty, s"no data files produced for $tablePath")
+    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+    val priorEntries =
+      if (!hasMeta) Seq.empty
+      else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
+    commitSnapshot(tablePath,
+      priorEntries ++ moved.map { case (f, pv) =>
+        addedEntry(f, statsFields).copy(partitionValues = pv)
+      },
+      partitionSpec = partitionBy)
+  }
+
+  /** MANIFEST-LEVEL PARTITION PRUNING: the live data files whose recorded
+    * partition tuple matches every (column → value) in `filter` (a null
+    * value selects the null partition). Answered from the manifests
+    * ALONE — zero data files or footers opened — the first pruning lever
+    * at 100 TB, ahead of column-bounds skipping and row-group
+    * elimination. Files with NO recorded partition info are always kept
+    * (pruning may only shrink the scan, never the answer — same safety
+    * rule as [[pruneByLongBounds]]). Refuses tables with live v2 delete
+    * files like every delete-blind planning path. Returns (kept, total).
+    */
+  def prunePartitions(tablePath: String,
+      filter: Map[String, Any]): (Seq[LiveEntry], Int) = {
+    require(filter.nonEmpty, "empty partition filter")
+    val entries = liveEntries(tablePath)
+    val kept = entries.filter { e =>
+      filter.forall { case (k, v) =>
+        e.partitionValues.get(k) match {
+          case Some(pv) => pv == v ||
+            (pv == null && v == null) // null partition selected explicitly
+          case None => true // no partition info recorded: must scan
+        }
+      }
+    }
+    (kept, entries.size)
+  }
+
+  /** Partition-pruned scan: read ONLY the manifest-admitted files, then
+    * apply `filter` as a residual predicate (free for our identity-
+    * partitioned files — every row matches — but it makes files kept
+    * for safety, e.g. pre-spec unpartitioned ones, row-exact too).
+    */
+  def readPartition(spark: SparkSession, tablePath: String,
+      filter: Map[String, Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = prunePartitions(tablePath, filter)
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(_.path): _*)
+      else read(spark, tablePath).limit(0)
+    filter.foldLeft(base) { case (d, (c, v)) =>
+      if (v == null) d.filter(col(c).isNull)
+      else d.filter(col(c) === lit(v))
+    }
+  }
+
+  /** Stage `df` partitioned by `partCols` (identity): write through
+    * Spark's hive-style partitioned writer on DUPLICATED shadow columns
+    * (so the real columns stay in the files), then move each leaf file
+    * flat into `data/` under a uuid name, decoding its partition tuple
+    * from the directory path. Same crash posture as [[stageData]].
+    */
+  private def stagePartitioned(df: DataFrame, root: File,
+      partCols: Seq[String]): Seq[(File, Map[String, Any])] = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val dataDir = new File(root, "data")
+    dataDir.mkdirs()
+    val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
+    val shadowed = partCols.foldLeft(df)((d, c) =>
+      d.withColumn(s"__gp_$c", col(c)))
+    shadowed.write.partitionBy(partCols.map("__gp_" + _): _*)
+      .parquet(staging.getPath)
+    // hive-style %XX escape decoding (the writer escapes every special
+    // char as %XX; '+' is a literal plus, never a space)
+    def hiveDecode(s: String): String = {
+      val out = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 3 <= s.length) {
+          out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { out.append(s.charAt(i)); i += 1 }
+      }
+      out.toString
+    }
+    def typed(name: String, raw: String): Any =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else df.schema(name).dataType match {
+        case LongType | IntegerType => raw.toLong
+        case _ => raw
+      }
+    def walk(dir: File, pv: Map[String, Any]): Seq[(File, Map[String, Any])] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory && d.getName.contains("=") =>
+          val Array(k, vraw) = d.getName.split("=", 2)
+          val name = k.stripPrefix("__gp_")
+          walk(d, pv + (name -> typed(name, hiveDecode(vraw))))
+        case f if f.isFile && f.getName.endsWith(".parquet") =>
+          val dst = new File(dataDir, s"${java.util.UUID.randomUUID}.parquet")
+          Files.move(f.toPath, dst.toPath)
+          Seq(dst -> pv)
+        case _ => Seq.empty
+      }
+    val moved = walk(staging, Map.empty)
+    def rmTree(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      Files.deleteIfExists(f.toPath); ()
+    }
+    rmTree(staging)
+    moved
+  }
+
   /** Stage `df`'s rows as parquet under `data/` (write to a hidden
     * staging dir, move to uuid names): data files exist on disk BEFORE
     * any metadata names them, so a crashed writer leaves garbage, never
@@ -745,22 +983,27 @@ object IcebergLog {
     */
   private def commitSnapshot(tablePath: String,
       entries: Seq[FixtureEntry],
-      summary: Map[String, String] = Map.empty): Long = {
+      summary: Map[String, String] = Map.empty,
+      partitionSpec: Seq[(Int, String)] = Seq.empty): Long = {
     val metaDir = new File(tablePath, "metadata")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    val (priorSnaps, version) =
+    val (priorSnaps, version, priorSpec) =
       if (hasMeta) {
         val mf = currentMetadataFile(tablePath)
         val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
-        (parseMeta(mf).snapshots, v + 1)
-      } else (Seq.empty[Snapshot], 1L)
+        val meta = parseMeta(mf)
+        (meta.snapshots, v + 1, meta.specFields)
+      } else (Seq.empty[Snapshot], 1L, Seq.empty[(Int, String)])
+    // the table's partition spec is sticky: a commit that does not
+    // declare one carries the prior metadata's forward
+    val spec = if (partitionSpec.nonEmpty) partitionSpec else priorSpec
     val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
     val snapJson = snapshotJson(
       Snapshot(sid, writeSnapshot(metaDir, sid, entries), summary))
     val priorJsons = priorSnaps.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version, sid,
-      priorJsons :+ snapJson)
+      priorJsons :+ snapJson, spec)
     sid
   }
 
@@ -806,7 +1049,7 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     val survivorJsons = survivors.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version,
-      meta.currentSnapshotId, survivorJsons)
+      meta.currentSnapshotId, survivorJsons, meta.specFields)
     val orphanData = Option(new File(root, "data").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
@@ -965,14 +1208,20 @@ object IcebergLog {
           .sortWithinPartitions(sortBy.map(col): _*)
       } else if (targetFiles > 0) live0.coalesce(targetFiles)
       else live0
-    val staged = stageData(live, root)
+    // a partitioned table compacts PER PARTITION: the rewrite re-stages
+    // through the partitioned writer so every fresh file keeps a
+    // partition tuple and prunePartitions stays exact after compaction
+    val spec = parseMeta(currentMetadataFile(tablePath)).specFields
+    val staged: Seq[(File, Map[String, Any])] =
+      if (spec.isEmpty) stageData(live, root).map(_ -> Map.empty[String, Any])
+      else stagePartitioned(live, root, spec.map(_._2))
     // row count from the footers just written (no re-read): an all-rows-
     // deleted table would compact to an unreadable empty snapshot —
     // refuse it (an empty DataFrame still stages a schema-only file)
-    val stagedRows =
-      graft.operators.Compaction.footerRowCount(spark, staged.map(_.getPath))
+    val stagedRows = graft.operators.Compaction.footerRowCount(
+      spark, staged.map(_._1.getPath))
     if (staged.isEmpty || stagedRows == 0L) {
-      staged.foreach(f => Files.deleteIfExists(f.toPath))
+      staged.foreach(f => Files.deleteIfExists(f._1.toPath))
       throw new IllegalArgumentException(
         "compaction would leave the table empty (every live row is " +
           s"deleted): $tablePath — expire or drop the table instead")
@@ -980,7 +1229,9 @@ object IcebergLog {
     val tombstones = (data ++ dels).map(e =>
       existingEntry(e).copy(status = 2))
     val sid = commitSnapshot(tablePath,
-      tombstones ++ staged.map(f => addedEntry(f, statsFields)))
+      tombstones ++ staged.map { case (f, pv) =>
+        addedEntry(f, statsFields).copy(partitionValues = pv)
+      })
     RewriteStats(sid, data.size, dels.size, staged.size)
   }
 }

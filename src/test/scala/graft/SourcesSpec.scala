@@ -842,6 +842,89 @@ class SourcesSpec extends SparkSpec {
     assert(e2.getMessage.contains("duplicate"))
   }
 
+  test("Iceberg partitioned write: typed partition structs, metadata-only pruning") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_part"
+    // string + long identity partitioning, a null partition, and a value
+    // needing hive %XX escaping ('=' in the value)
+    val rows = Seq(
+      (1L, "us", 10L, 1.0), (2L, "us", 10L, 2.0), (3L, "eu", 10L, 3.0),
+      (4L, "eu", 20L, 4.0), (5L, "a=b", 20L, 5.0), (6L, null, 20L, 6.0))
+      .toDF("id", "region", "day", "v")
+    IcebergLog.appendPartitioned(rows, tbl,
+      partitionBy = Seq(2 -> "region", 3 -> "day"))
+    // whole-table read: partition columns come from the data files
+    // themselves (no re-injection), null partition rows included
+    val back = IcebergLog.read(spark, tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(back.map(_._1).toSeq === (1L to 6L))
+    assert(back.find(_._1 == 5L).get._2 === "a=b")
+    assert(back.find(_._1 == 6L).get._2 === null)
+    // the metadata records the identity spec with the caller's field ids
+    val metaTxt = new String(Files.readAllBytes(
+      new java.io.File(s"$tbl/metadata").listFiles()
+        .filter(_.getName.endsWith(".metadata.json"))
+        .maxBy(_.getName).toPath))
+    assert(metaTxt.contains("\"partition-specs\""))
+    assert(metaTxt.contains("\"transform\":\"identity\""))
+    assert(metaTxt.contains("\"source-id\":2") && metaTxt.contains("\"source-id\":3"))
+    // manifest entries carry TYPED tuples: string region, long day
+    val entries = IcebergLog.liveEntries(tbl)
+    assert(entries.forall(_.partitionValues.keySet === Set("region", "day")))
+    assert(entries.exists(_.partitionValues("day") == 10L))
+    assert(entries.exists(_.partitionValues("region") == "a=b"))
+    assert(entries.exists(_.partitionValues("region") == null))
+    // pruning answers from manifests alone, exactly
+    val (kUs, total) = IcebergLog.prunePartitions(tbl, Map("region" -> "us"))
+    assert(kUs.nonEmpty && kUs.size < total)
+    assert(IcebergLog.readPartition(spark, tbl, Map("region" -> "us"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // two-column filter narrows further; long values match typed
+    assert(IcebergLog.readPartition(spark, tbl,
+        Map("region" -> "eu", "day" -> 20L))
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(4L))
+    // the NULL partition is addressable
+    assert(IcebergLog.readPartition(spark, tbl, Map("region" -> null))
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(6L))
+    // a later partitioned append carries prior files as EXISTING with
+    // their partition tuples intact, and the spec needs no re-declare
+    IcebergLog.appendPartitioned(Seq((7L, "us", 30L, 7.0))
+        .toDF("id", "region", "day", "v"), tbl,
+      partitionBy = Seq(2 -> "region", 3 -> "day"))
+    val (kUs2, _) = IcebergLog.prunePartitions(tbl, Map("region" -> "us"))
+    assert(kUs2.size === kUs.size + 1)
+    // a file with NO partition info (unpartitioned append to the same
+    // table) is always kept — pruning may only shrink the scan, never
+    // the answer — and the residual filter keeps the rows exact
+    IcebergLog.append(Seq((8L, "us", 40L, 8.0))
+      .toDF("id", "region", "day", "v"), tbl)
+    val (kMixed, totalMixed) = IcebergLog.prunePartitions(tbl, Map("region" -> "eu"))
+    assert(kMixed.exists(_.partitionValues.isEmpty),
+      "partition-info-less file must be kept")
+    assert(kMixed.size < totalMixed)
+    assert(IcebergLog.readPartition(spark, tbl, Map("region" -> "eu"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(3L, 4L))
+    // delete-blind pruning refuses once v2 delete files are live...
+    IcebergLog.deletePositionsWhere(spark, tbl, col("id") === 1L)
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.prunePartitions(tbl, Map("region" -> "us"))
+    }
+    assert(e.getMessage.contains("delete file"))
+    // ...and compaction restores it with the partition tuples REBUILT:
+    // the rewrite re-stages through the partitioned writer, so pruning
+    // stays exact (not merely legal) after the delete files compact away
+    IcebergLog.rewriteDataFiles(spark, tbl)
+    val (kAfter, totalAfter) = IcebergLog.prunePartitions(tbl, Map("region" -> "us"))
+    assert(kAfter.nonEmpty && kAfter.size < totalAfter)
+    assert(kAfter.forall(_.partitionValues.nonEmpty),
+      "compacted files lost their partition tuples")
+    assert(IcebergLog.readPartition(spark, tbl, Map("region" -> "us"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      Seq(2L, 7L, 8L)) // id 1 deleted; 8's unpartitioned row re-tupled
+  }
+
   test("Delta write path: append commits, overwrite snapshot, atomic versions") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark
@@ -911,6 +994,64 @@ class SourcesSpec extends SparkSpec {
     val ins = DeltaWrite.merge(tbl, Seq((30L, "z")).toDF("id", "v"), Seq("id"))
     assert(ins.filesRewritten === 0 && ins.rowsInserted === 1L)
     assert(DeltaLog.liveFiles(spark, tbl).toSet.intersect(after.toSet) === after.toSet)
+  }
+
+  test("Delta merge schema evolution: metaData advances, old files NULL-fill") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_evolve"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    DeltaWrite.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), tbl)
+    val before = DeltaLog.liveFiles(spark, tbl).toSet
+    // a new column WITHOUT mergeSchema refuses (the x16 contract holds)
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(tbl, Seq((1L, "a2", 10L)).toDF("id", "v", "w"), Seq("id"))
+    }
+    assert(e1.getMessage.contains("mergeSchema"))
+    // ...and a source DROPPING a column is never evolution
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaWrite.merge(tbl, Seq((1L, 10L)).toDF("id", "w"),
+        Seq("id"), mergeSchema = true)
+    }
+    assert(e2.getMessage.contains("cover"))
+    // evolving merge: update id=1 (file A), insert id=9, new column w
+    val st = DeltaWrite.merge(tbl,
+      Seq((1L, "a2", 10L), (9L, "i", 90L)).toDF("id", "v", "w"),
+      Seq("id"), mergeSchema = true)
+    assert(st.rowsUpdated === 1L && st.rowsInserted === 1L)
+    // the UNTOUCHED file keeps its physical identity (no O(table)
+    // rewrite for a new column)...
+    val liveNow = DeltaLog.liveFiles(spark, tbl).toSet
+    assert(liveNow.intersect(before).nonEmpty,
+      "schema evolution rewrote every file")
+    // ...and its rows NULL-fill the evolved column through the metaData
+    // schema (the files are physically mixed: old two-column, new three)
+    val rows = DeltaLog.read(spark, tbl).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null else Long.box(r.getLong(2))))
+    assert(rows.toSeq === Seq((1L, "a2", Long.box(10L)), (2L, "b", null),
+      (3L, "c", null), (4L, "d", null), (9L, "i", Long.box(90L))))
+    // time travel BEFORE the evolution reads the old schema exactly
+    val v1 = DeltaLog.read(spark, tbl, Some(1L))
+    assert(v1.columns.toSeq === Seq("id", "v"))
+    assert(v1.count() === 4L)
+    // the table id is stable across the evolution; only the schema moved
+    val metaNow = DeltaLog.tableMetaData(spark, tbl).get
+    val metaV1 = DeltaLog.tableMetaData(spark, tbl, Some(1L)).get
+    assert(metaNow("id") === metaV1("id"))
+    assert(metaNow("schemaString") !== metaV1("schemaString"))
+    // a SECOND evolution stacks: three physical schemas, one logical
+    val st2 = DeltaWrite.merge(tbl,
+      Seq((2L, "b2", 20L, "x")).toDF("id", "v", "w", "t"),
+      Seq("id"), mergeSchema = true)
+    assert(st2.rowsUpdated === 1L)
+    val evolved2 = DeltaLog.read(spark, tbl).orderBy("id")
+    assert(evolved2.columns.toSeq === Seq("id", "v", "w", "t"))
+    val r2 = evolved2.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(3)) null else r.getString(3)))
+    assert(r2.toSeq === Seq((1L, null), (2L, "x"), (3L, null), (4L, null),
+      (9L, null)))
   }
 
   test("bloom filter prunes row groups for absent keys where min/max can't") {

@@ -155,14 +155,23 @@ object Bench {
   private def buildSession(cpus: String): SparkSession = {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", aqe)
       .config("spark.sql.adaptive.coalescePartitions.enabled", aqe)
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // forensic A/B knob: `SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"` applies
+    // arbitrary session confs to a repro run (e.g. flipping
+    // spark.sql.codegen.wholeStage to separate codegen-JIT cost from
+    // engine throughput) without a code change per experiment
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(";")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -232,7 +232,15 @@ object Soak {
       "d14_frequent_segments", "a19_hard_negatives", "a20_matryoshka_recall",
       "x23_iceberg_delete", "x24_iceberg_expire", "x25_delta_part_write",
       "x26_delta_part_prune", "x27_delta_txn", "x28_delta_optimize",
-      "p05_delta_count")
+      "p05_delta_count",
+      // round-14 additions: the v2 MoR lifecycle (deletes → compaction),
+      // Iceberg partitioned writes/pruning, Delta schema evolution, and
+      // the store-backed streaming LSH ingest (three micro-batches over a
+      // GROWING signature store — the per-batch cost staying flat is the
+      // incremental-dedup scale contract)
+      "x30_iceberg_v2_deletes", "x31_iceberg_rewrite",
+      "x32_iceberg_part_write", "x33_iceberg_part_prune",
+      "x34_delta_merge_evolve", "e16_stream_ingest_lsh")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -114,4 +114,61 @@ class EventsEncodingSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("StringType"))
   }
+
+  test("physical TIMESTAMP_MILLIS events decode and fold like micros") {
+    // the fourth wire encoding: parquet TIMESTAMP(MILLIS), what older
+    // Hive/arrow writers emit. The raw INT64 is 1000× smaller than
+    // micros, so a unit mix-up compresses every timestamp — the same
+    // failure family the nanos tests pin, from the other direction.
+    // Events carry sub-millisecond precision (999/1000 rows in the
+    // testdata), so the comparison stages the SAME ms-truncated rows
+    // under both physical units; outputs must be byte-identical.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    val msCanonical = canonical
+      .withColumn("ts", timestamp_millis(unix_millis(col("ts"))))
+      .localCheckpoint(true)
+    def stageAs(unit: String): String = {
+      val dir = Files.createTempDirectory(s"graft-enc-$unit").toString
+      val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+      try {
+        spark.conf.set("spark.sql.parquet.outputTimestampType", unit)
+        msCanonical.repartition(1).write.mode("overwrite").parquet(dir)
+      } finally
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+      dir
+    }
+    val micros = stageAs("TIMESTAMP_MICROS")
+    val millis = stageAs("TIMESTAMP_MILLIS")
+    // batch ingestion: identical normalized rows
+    val a = Tables.normalizeEventTs(spark.read.parquet(micros))
+      .orderBy("event_id").collect().toSeq
+    val b = Tables.normalizeEventTs(spark.read.parquet(millis))
+      .orderBy("event_id").collect().toSeq
+    assert(b === a, "MILLIS file decoded differently from MICROS")
+    // streaming source: identical hourly aggregate
+    val rows = Seq(micros -> "enc_ms_micros", millis -> "enc_ms_millis")
+      .map { case (dir, sink) =>
+        val q = EventStream.runToMemory(spark, dir, sink)
+        try {
+          val r = spark.table(sink)
+            .orderBy("window_start", "event_type").collect().toSeq
+          assert(r.nonEmpty, s"$sink: empty streaming aggregate")
+          r
+        } finally q.stop()
+      }
+    assert(rows(1) === rows(0), "MILLIS streaming aggregate differs")
+    // and the footer-stats fold fires on the MILLIS file with the value
+    // scaled to Catalyst micros (the unit machinery, end-to-end on the
+    // events surface rather than a synthetic fixture)
+    graft.plans.FooterStats.enable(spark)
+    val agg = spark.read.parquet(millis)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    assert(agg.queryExecution.optimizedPlan.collectLeaves()
+      .forall(_.isInstanceOf[LocalRelation]),
+      s"stats fold refused a MILLIS events file:\n${agg.queryExecution.optimizedPlan}")
+    val truth = spark.read.parquet(micros).filter(col("ts").isNotNull)
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    assert(agg.head === truth.head,
+      "MILLIS footer stats folded with the wrong unit")
+  }
 }

@@ -114,6 +114,7 @@ object FooterStats {
   private[graft] def supportedType(t: DataType): Boolean = t match {
     case IntegerType | LongType | FloatType | DoubleType | DateType |
         StringType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true // warehouse numerics are decimal-typed
     case _ => false
   }
 
@@ -142,9 +143,10 @@ object FooterStats {
         new org.apache.hadoop.conf.Configuration()))
     try {
       val schema = reader.getFooter.getFileMetaData.getSchema
-      // raw-stat → Catalyst-unit multiplier per requested column; a unit
-      // we cannot convert exactly disables the whole file (→ no fold).
-      val scales = cols.map { name =>
+      // raw-stat → plain-value converter per requested column; an
+      // encoding we cannot convert exactly disables the whole file
+      // (→ no fold).
+      val convs: Seq[Any => Any] = cols.map { name =>
         val desc = schema.getColumns.asScala
           .find(_.getPath.mkString(".") == name).getOrElse(return None)
         val pt = desc.getPrimitiveType
@@ -152,16 +154,34 @@ object FooterStats {
         pt.getLogicalTypeAnnotation match {
           case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
             ts.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
-              case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+              // raw INT64 in the file's unit → Catalyst micros
+              case LogicalTypeAnnotation.TimeUnit.MICROS => identity[Any] _
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                (v: Any) => Math.multiplyExact(
+                  v.asInstanceOf[java.lang.Long].longValue(), 1000L)
               case _ => return None // NANOS / future units: never fold
             }
-          case _ => 1L
+          case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+            // parquet stores decimals as an unscaled INT32/INT64 or a
+            // big-endian two's-complement binary (FLBA/BINARY); either
+            // way the stat converts exactly to a BigDecimal at the
+            // column's declared scale
+            (v: Any) => v match {
+              case i: java.lang.Integer =>
+                java.math.BigDecimal.valueOf(i.longValue(), dec.getScale)
+              case l: java.lang.Long =>
+                java.math.BigDecimal.valueOf(l.longValue(), dec.getScale)
+              case b: org.apache.parquet.io.api.Binary =>
+                new java.math.BigDecimal(
+                  new java.math.BigInteger(b.getBytes), dec.getScale)
+              case other => other
+            }
+          case _ => identity[Any] _
         }
       }
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
       val rows = blocks.map(_.getRowCount).sum
-      val per = cols.zip(scales).map { case (name, scale) =>
+      val per = cols.zip(convs).map { case (name, conv) =>
         var lo: Option[Any] = None
         var hi: Option[Any] = None
         for (b <- blocks) {
@@ -172,8 +192,8 @@ object FooterStats {
             // no stats at all for a chunk with values → untrusted
             if (cc.getValueCount > 0) return None
           } else if (st.hasNonNullValue) {
-            val mn = toPlain(st.genericGetMin, scale)
-            val mx = toPlain(st.genericGetMax, scale)
+            val mn = toPlain(st.genericGetMin, conv)
+            val mx = toPlain(st.genericGetMax, conv)
             lo = Some(lo.fold(mn)(v => if (plainLt(mn, v)) mn else v))
             hi = Some(hi.fold(mx)(v => if (plainLt(v, mx)) mx else v))
           } else if (!st.isNumNullsSet || st.getNumNulls != cc.getValueCount) {
@@ -186,10 +206,8 @@ object FooterStats {
     } finally reader.close()
   }
 
-  private def toPlain(v: Any, scale: Long): Any = v match {
+  private def toPlain(v: Any, conv: Any => Any): Any = conv(v) match {
     case b: org.apache.parquet.io.api.Binary => b.getBytes
-    case l: java.lang.Long if scale != 1L =>
-      Math.multiplyExact(l.longValue(), scale) // MILLIS stat → micros
     case other => other
   }
 
@@ -211,6 +229,8 @@ object FooterStats {
     case (x: Long, y: Long) => x < y
     case (x: Float, y: Float) => x < y
     case (x: Double, y: Double) => x < y
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      x.compareTo(y) < 0
     case _ => sys.error(s"unexpected stat type: ${a.getClass}")
   }
 
@@ -242,6 +262,12 @@ object FooterStats {
   /** Plain stat value → Catalyst internal representation. */
   private def internal(v: Any, t: DataType): Any = t match {
     case StringType => UTF8String.fromBytes(v.asInstanceOf[Array[Byte]])
+    case dt: DecimalType =>
+      // changePrecision inside Decimal.apply throws if the stat doesn't
+      // fit the query schema's (precision, scale) — caught by the rule's
+      // NonFatal guard, which keeps the scan
+      Decimal(BigDecimal(v.asInstanceOf[java.math.BigDecimal]),
+        dt.precision, dt.scale)
     case _ => v // Int/Long/Float/Double, date days, timestamp micros
   }
 

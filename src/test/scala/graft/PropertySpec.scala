@@ -266,9 +266,14 @@ class PropertySpec extends SparkSpec {
     sealed trait Op
     case object Append extends Op
     case object Delete extends Op
+    case object PosDelete extends Op
+    case object EqDelete extends Op
+    case object Rewrite extends Op
     case object Expire extends Op
     val opGen: Gen[Op] = Gen.frequency(4 -> Gen.const(Append),
-      2 -> Gen.const(Delete), 1 -> Gen.const(Expire))
+      2 -> Gen.const(Delete), 2 -> Gen.const(PosDelete),
+      2 -> Gen.const(EqDelete), 1 -> Gen.const(Rewrite),
+      1 -> Gen.const(Expire))
     val batchGen: Gen[Seq[(Long, Long)]] = for {
       n <- Gen.choose(1, 4)
       keys <- Gen.listOfN(n, Gen.choose(0L, 9L))
@@ -311,12 +316,52 @@ class PropertySpec extends SparkSpec {
                 history :+= ((sid, model))
               }
             case Delete if exists && model.nonEmpty =>
-              val st = IcebergLog.deleteWhere(spark, tbl,
-                col("id") === delKey, Seq(1 -> "id"))
+              // CoW delete is a delete-blind planning path: it must
+              // REFUSE while v2 delete files are live (resurrection
+              // hazard), and work again after a Rewrite compacts them
+              if (IcebergLog.liveSplitEntries(tbl)._2.nonEmpty) {
+                intercept[IllegalArgumentException] {
+                  IcebergLog.deleteWhere(spark, tbl,
+                    col("id") === delKey, Seq(1 -> "id"))
+                }
+              } else {
+                val st = IcebergLog.deleteWhere(spark, tbl,
+                  col("id") === delKey, Seq(1 -> "id"))
+                if (model.contains(delKey)) {
+                  model -= delKey
+                  history :+= ((st.snapshotId, model))
+                }
+              }
+            case PosDelete if exists && model.nonEmpty =>
+              // MoR position delete: one delete file, no rewrite;
+              // matching nothing is a no-op (no empty snapshot)
+              val st = IcebergLog.deletePositionsWhere(spark, tbl,
+                col("id") === delKey)
               if (model.contains(delKey)) {
+                assert(st.rowsDeleted === 1L,
+                  s"pos-delete of live id $delKey deleted ${st.rowsDeleted}")
                 model -= delKey
                 history :+= ((st.snapshotId, model))
-              }
+              } else assert(st.rowsDeleted === 0L,
+                s"pos-delete of absent id $delKey deleted rows")
+            case EqDelete if exists && model.nonEmpty =>
+              // MoR equality delete by key, no scan: applies to files
+              // STRICTLY older, so a LATER append of the same id (the
+              // fuzz's fresh-key appends allow exactly that once the id
+              // leaves the model) must survive it — the sequence-rule
+              // interleaving that matters at CDC scale
+              val sid = IcebergLog.deleteEqualityKeys(tbl,
+                Seq(delKey).toDF("id"), equalityFieldIds = Seq(1))
+              model -= delKey
+              history :+= ((sid, model))
+            case Rewrite if exists && model.nonEmpty =>
+              // compaction: answer NEVER changes, delete files vanish,
+              // delete-blind paths work again
+              val rs = IcebergLog.rewriteDataFiles(spark, tbl,
+                statsFields = Seq(1 -> "id"))
+              assert(IcebergLog.liveSplitEntries(tbl)._2.isEmpty,
+                s"delete files survived rewrite after ops $ops")
+              if (rs.filesAdded > 0) history :+= ((rs.snapshotId, model))
             case Expire if exists && history.nonEmpty =>
               val keep = 1 + (delKey % 2).toInt // keep 1 or 2 newest
               IcebergLog.expireSnapshots(tbl, keep)

@@ -559,6 +559,39 @@ class ScaleSpec extends SparkSpec {
     assert(i96.head.getTimestamp(0) === truth.head.getTimestamp(0))
   }
 
+  test("footer-stats rule folds DECIMAL stats across physical encodings") {
+    // warehouse numerics are decimal-typed (TPC-H's own quantities and
+    // prices): parquet stores them as unscaled INT32/INT64 or big-endian
+    // two's-complement FLBA by precision, and the fold must convert each
+    // exactly — precision ≤ 9 (INT32), ≤ 18 (INT64), and > 18 (FLBA,
+    // incl. negatives, whose sign lives in two's complement) all fire.
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    graft.plans.FooterStats.enable(spark)
+    def metadataOnly(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.optimizedPlan.collectLeaves()
+        .forall(_.isInstanceOf[LocalRelation])
+    val dir = java.nio.file.Files.createTempDirectory("graft-dec").toString
+    spark.sql("""
+      SELECT CAST(v AS DECIMAL(8,2)) AS d32,
+             CAST(v AS DECIMAL(15,2)) AS d64,
+             CAST(v * 1e9 AS DECIMAL(30,4)) AS dbig
+      FROM VALUES (-12345.67), (0.01), (98765.43) AS t(v)
+    """).repartition(2).write.mode("overwrite").parquet(dir)
+    val agg = spark.read.parquet(dir).agg(
+      min(col("d32")).as("a"), max(col("d32")).as("b"),
+      min(col("d64")).as("c"), max(col("d64")).as("d"),
+      min(col("dbig")).as("e"), max(col("dbig")).as("f"))
+    assert(metadataOnly(agg),
+      s"rule did not fire on decimals:\n${agg.queryExecution.optimizedPlan}")
+    val truth = spark.read.parquet(dir).filter(col("d32").isNotNull).agg(
+      min(col("d32")).as("a"), max(col("d32")).as("b"),
+      min(col("d64")).as("c"), max(col("d64")).as("d"),
+      min(col("dbig")).as("e"), max(col("dbig")).as("f"))
+    assert(!metadataOnly(truth), "truth shape must keep the scan")
+    assert(agg.head === truth.head,
+      s"decimal stats folded wrong: ${agg.head} vs ${truth.head}")
+  }
+
   test("footer rules never fail a query: a vanished footer keeps the scan") {
     // the rules' contract is "can never change a result" — including
     // never turning a working scan into an error: the fold does real I/O

@@ -196,7 +196,11 @@ object Soak {
       "a20_matryoshka_recall" -> 1.12, "x23_iceberg_delete" -> 1.35,
       "x24_iceberg_expire" -> 1.14, "x25_delta_part_write" -> 0.64,
       "x26_delta_part_prune" -> 0.50, "x27_delta_txn" -> 0.65,
-      "x28_delta_optimize" -> 2.27, "p05_delta_count" -> 0.43)
+      "x28_delta_optimize" -> 2.27, "p05_delta_count" -> 0.43,
+      // round-14 additions (PerfProbe warm run2 at sf0.1)
+      "x30_iceberg_v2_deletes" -> 3.69, "x31_iceberg_rewrite" -> 3.20,
+      "x32_iceberg_part_write" -> 0.86, "x33_iceberg_part_prune" -> 1.05,
+      "x34_delta_merge_evolve" -> 1.96, "e16_stream_ingest_lsh" -> 7.03)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",

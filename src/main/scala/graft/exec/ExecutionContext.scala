@@ -101,14 +101,42 @@ class ExecutionContext(val spark: SparkSession,
         graft.sources.AvroIO.register(spark, name, loc)
       case DdlTranslate.IcebergTable(name, loc) =>
         graft.sources.IcebergLog.register(spark, name, loc)
+      // VACUUM / OPTIMIZE dispatch on the table's format: a `metadata/`
+      // tree is Iceberg, a `_delta_log/` is Delta — the same statement
+      // drives the matching maintenance op of either lakehouse format
       case DdlTranslate.VacuumStmt(loc, retainHours) =>
-        val removed = graft.sources.DeltaWrite.vacuum(spark, loc,
-          retainHours.map(_ * 3600L * 1000L).getOrElse(7L * 24 * 3600 * 1000))
-        oneRowResult("files_removed", removed.size.toLong)
+        if (isIcebergTable(loc)) {
+          // Iceberg retention is snapshot-granular (expire_snapshots):
+          // keep only the current snapshot and reclaim everything no
+          // survivor references; the RETAIN horizon maps to history
+          // depth, not wall hours (fixture snapshots carry no wallclock)
+          val (_, removed) =
+            graft.sources.IcebergLog.expireSnapshots(loc, keep = 1)
+          oneRowResult("files_removed",
+            removed.count(_.endsWith(".parquet")).toLong)
+        } else {
+          val removed = graft.sources.DeltaWrite.vacuum(spark, loc,
+            retainHours.map(_ * 3600L * 1000L).getOrElse(7L * 24 * 3600 * 1000))
+          oneRowResult("files_removed", removed.size.toLong)
+        }
       case DdlTranslate.OptimizeStmt(loc) =>
-        val st = graft.sources.DeltaWrite.optimize(spark, loc,
-          smallFileBytes = 128L * 1024 * 1024)
-        oneRowResult("files_compacted", st.filesCompacted.toLong)
+        if (isIcebergTable(loc)) {
+          // rewriteDataFiles: bin-packs AND drops v2 delete files,
+          // restoring the delete-blind planning paths (x31's op).
+          // Target file count from live bytes at the same 128 MB
+          // granularity as the Delta path — never a blind coalesce(1)
+          val (data, _) = graft.sources.IcebergLog.liveSplitEntries(loc)
+          val liveBytes = data.map(e => new java.io.File(e.path).length).sum
+          val target = math.max(1L,
+            (liveBytes + (128L << 20) - 1) / (128L << 20)).toInt
+          val rs = graft.sources.IcebergLog.rewriteDataFiles(spark, loc,
+            targetFiles = target)
+          oneRowResult("files_compacted", rs.filesRewritten.toLong)
+        } else {
+          val st = graft.sources.DeltaWrite.optimize(spark, loc,
+            smallFileBytes = 128L * 1024 * 1024)
+          oneRowResult("files_compacted", st.filesCompacted.toLong)
+        }
       case s => sql(DdlTranslate(s))
     }
 
@@ -117,6 +145,13 @@ class ExecutionContext(val spark: SparkSession,
     import spark.implicits._
     Seq(value).toDF(name)
   }
+
+  /** Format sniff for maintenance-statement dispatch: an Iceberg table
+    * has a `metadata/` tree and no `_delta_log/`.
+    */
+  private def isIcebergTable(loc: String): Boolean =
+    new java.io.File(loc, "metadata").isDirectory &&
+      !new java.io.File(loc, "_delta_log").isDirectory
 }
 
 /** `CREATE EXTERNAL TABLE t STORED AS PARQUET LOCATION 'p'` (reference

@@ -712,6 +712,49 @@ object SourceQueries {
       FROM orders WHERE o_orderstatus = 'O'
       ORDER BY o_orderkey""")),
 
+    // x35: ICEBERG COMPOSED PRUNING — partition tuples AND column bounds
+    // folded from the manifests in one planning pass (the shape real
+    // Iceberg runs for WHERE part = v AND key <= k): whole partitions
+    // eliminated first, bounds skipping within the survivors — zero data
+    // files or footers opened to plan. The upstream repartitionByRange
+    // gives each partition several files with tight disjoint key ranges,
+    // so BOTH stages must prune (each pinned in-query); at 100 TB this
+    // is the two-level pruning a clustered+partitioned layout exists for.
+    QueryDef("x35_iceberg_part_range", (s, d) => {
+      val tbl = s"$stage/ice_part_range"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .repartitionByRange(4, col("o_orderkey"))
+      graft.sources.IcebergLog.appendPartitioned(o, tbl,
+        partitionBy = Seq(2 -> "o_orderstatus"),
+        statsFields = Seq(1 -> "o_orderkey"))
+      // the range boundary scales with the data: first key quartile
+      // (the oracle derives the same boundary relationally)
+      val hiK = o.agg(max(col("o_orderkey")).cast("long"))
+        .head.getLong(0) / 4
+      val (kept, afterPart, total) =
+        graft.sources.IcebergLog.prunePartitionsAndBounds(tbl,
+          Map("o_orderstatus" -> "O"), 1, None, Some(hiK))
+      require(afterPart < total,
+        s"partition stage pruned nothing: $afterPart of $total")
+      require(kept.nonEmpty && kept.size < afterPart,
+        s"bounds stage pruned nothing: ${kept.size} of $afterPart")
+      graft.sources.IcebergLog.readPartitionRange(s, tbl,
+          Map("o_orderstatus" -> "O"), "o_orderkey", 1, None, Some(hiK))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderstatus = 'O'
+        AND o_orderkey <= (SELECT CAST(FLOOR(MAX(o_orderkey) / 4.0) AS BIGINT)
+                           FROM orders)
+      ORDER BY o_orderkey""")),
+
     // x34: Delta MERGE SCHEMA EVOLUTION — the CDC reality x16 stops
     // short of: one day the upstream feed grows a column. The merge
     // commits a NEW metaData action carrying the widened schema, touched

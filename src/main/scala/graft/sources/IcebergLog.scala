@@ -307,14 +307,54 @@ object IcebergLog {
   def pruneByLongBounds(tablePath: String, fieldId: Int,
       lo: Option[Long], hi: Option[Long]): (Seq[LiveEntry], Int) = {
     val entries = liveEntries(tablePath)
-    val kept = entries.filter { e =>
-      val below = for { l <- lo; ub <- e.upperBounds.get(fieldId) }
-        yield decodeLongBound(ub) < l
-      val above = for { h <- hi; lb <- e.lowerBounds.get(fieldId) }
-        yield decodeLongBound(lb) > h
-      !(below.getOrElse(false) || above.getOrElse(false))
-    }
+    val kept = entries.filter(boundsAdmit(_, fieldId, lo, hi))
     (kept, entries.size)
+  }
+
+  /** Can `e`'s recorded [lower, upper] for long-typed `fieldId` intersect
+    * [lo, hi]? Missing bounds admit (skipping may only shrink the scan).
+    */
+  private def boundsAdmit(e: LiveEntry, fieldId: Int,
+      lo: Option[Long], hi: Option[Long]): Boolean = {
+    val below = for { l <- lo; ub <- e.upperBounds.get(fieldId) }
+      yield decodeLongBound(ub) < l
+    val above = for { h <- hi; lb <- e.lowerBounds.get(fieldId) }
+      yield decodeLongBound(lb) > h
+    !(below.getOrElse(false) || above.getOrElse(false))
+  }
+
+  /** COMPOSED manifest pruning — the shape real Iceberg scan planning
+    * runs for `WHERE part = v AND key BETWEEN lo AND hi`: partition
+    * tuples eliminate whole partitions first, column bounds then skip
+    * within the survivors, both folded from the manifests alone (zero
+    * data files or footers opened). Returns (kept, afterPartition,
+    * totalLive) so callers can see each stage's selectivity.
+    */
+  def prunePartitionsAndBounds(tablePath: String, filter: Map[String, Any],
+      fieldId: Int, lo: Option[Long], hi: Option[Long])
+      : (Seq[LiveEntry], Int, Int) = {
+    val (partKept, total) = prunePartitions(tablePath, filter)
+    val kept = partKept.filter(boundsAdmit(_, fieldId, lo, hi))
+    (kept, partKept.size, total)
+  }
+
+  /** Partition + range scan over ONLY the doubly-admitted files, with the
+    * partition filter and range predicate re-applied as residuals (the
+    * bounds decide files; the predicate still decides rows).
+    */
+  def readPartitionRange(spark: SparkSession, tablePath: String,
+      filter: Map[String, Any], column: String, fieldId: Int,
+      lo: Option[Long], hi: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _, _) = prunePartitionsAndBounds(tablePath, filter, fieldId, lo, hi)
+    val base =
+      if (kept.nonEmpty) spark.read.parquet(kept.map(_.path): _*)
+      else read(spark, tablePath).limit(0)
+    val partFiltered = filter.foldLeft(base) { case (d, (c, v)) =>
+      if (v == null) d.filter(col(c).isNull) else d.filter(col(c) === lit(v))
+    }
+    val bounded = lo.fold(partFiltered)(l => partFiltered.filter(col(column) >= lit(l)))
+    hi.fold(bounded)(h => bounded.filter(col(column) <= lit(h)))
   }
 
   /** Range scan with manifest data skipping: read ONLY the bound-admitted

@@ -294,6 +294,39 @@ class AppSurfaceSpec extends SparkSpec {
       .head.getInt(0) === 42)
   }
 
+  test("VACUUM / OPTIMIZE SQL statements dispatch to the Iceberg ops by format") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.IcebergLog
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-sql-ice-maint").toString + "/t"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    IcebergLog.append(Seq((3L, "c")).toDF("id", "v"), tbl)
+    // a MoR delete leaves a live delete file...
+    IcebergLog.deletePositionsWhere(spark, tbl, col("id") === 2L)
+    assert(IcebergLog.liveSplitEntries(tbl)._2.nonEmpty)
+    // ...OPTIMIZE on an Iceberg path runs rewriteDataFiles: delete files
+    // gone, answer unchanged
+    val opt = ctx.runScript(s"OPTIMIZE '$tbl'").last.collect()
+    assert(opt.head.getLong(0) >= 2L) // data files rewritten
+    assert(IcebergLog.liveSplitEntries(tbl)._2.isEmpty)
+    assert(IcebergLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // VACUUM on an Iceberg path expires history + reclaims orphans
+    val removed = ctx.runScript(s"VACUUM '$tbl'").last.collect()
+      .head.getLong(0)
+    assert(removed > 0L, "expiry reclaimed no data files")
+    assert(IcebergLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // expired time travel refuses loudly (history traded for space)
+    intercept[IllegalArgumentException] {
+      IcebergLog.read(spark, tbl, Some(1L)).collect()
+    }
+    ()
+  }
+
   test("delta CLI verb drives the full table-maintenance lifecycle") {
     val s = spark
     import s.implicits._

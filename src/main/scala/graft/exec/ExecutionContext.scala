@@ -137,6 +137,23 @@ class ExecutionContext(val spark: SparkSession,
             smallFileBytes = 128L * 1024 * 1024)
           oneRowResult("files_compacted", st.filesCompacted.toLong)
         }
+      case DdlTranslate.DeleteStmt(loc, cond) =>
+        val pred = org.apache.spark.sql.functions.expr(cond)
+        if (isIcebergTable(loc)) {
+          val st = graft.sources.IcebergLog.deleteWhere(spark, loc, pred)
+          oneRowResult("rows_deleted", st.rowsDeleted)
+        } else {
+          val st = graft.sources.DeltaWrite.deleteWhere(spark, loc, pred)
+          oneRowResult("rows_deleted", st.rowsDeleted)
+        }
+      case DdlTranslate.ReorgPurgeStmt(loc) =>
+        if (isIcebergTable(loc)) {
+          val rs = graft.sources.IcebergLog.rewriteDataFiles(spark, loc)
+          oneRowResult("files_purged", rs.filesRewritten.toLong)
+        } else {
+          val ps = graft.sources.DeltaWrite.purgeDeletionVectors(spark, loc)
+          oneRowResult("files_purged", ps.filesPurged.toLong)
+        }
       case s => sql(DdlTranslate(s))
     }
 
@@ -214,6 +231,34 @@ object DdlTranslate {
     */
   object OptimizeStmt {
     private val P = """(?is)OPTIMIZE\s+'([^']+)'\s*""".r
+    def unapply(statement: String): Option[String] = statement match {
+      case P(loc) => Some(loc)
+      case _ => None
+    }
+  }
+
+  /** `DELETE FROM 'path' WHERE <expr>` — the lakehouse row-delete verb
+    * (copy-on-write in either format); the trailing expression is parsed
+    * as a Spark SQL predicate over the table's columns.
+    */
+  object DeleteStmt {
+    private val P = """(?is)DELETE\s+FROM\s+'([^']+)'\s+WHERE\s+(.+)""".r
+    def unapply(statement: String): Option[(String, String)] =
+      statement.trim match {
+        case P(loc, cond) => Some((loc, cond.trim))
+        case _ => None
+      }
+  }
+
+  /** `REORG TABLE 'path' APPLY (PURGE)` — Databricks' verb for
+    * materializing merge-on-read deletes away: Delta deletion vectors
+    * purge ([[graft.sources.DeltaWrite.purgeDeletionVectors]]); on an
+    * Iceberg path the analog is `rewriteDataFiles`, which drops the v2
+    * delete files.
+    */
+  object ReorgPurgeStmt {
+    private val P =
+      """(?is)REORG\s+TABLE\s+'([^']+)'\s+APPLY\s*\(\s*PURGE\s*\)\s*""".r
     def unapply(statement: String): Option[String] = statement match {
       case P(loc) => Some(loc)
       case _ => None

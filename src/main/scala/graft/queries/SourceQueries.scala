@@ -800,6 +800,123 @@ object SourceQueries {
              THEN CAST(o_orderkey % 10 AS BIGINT) ELSE NULL END AS o_band
       FROM orders ORDER BY o_orderkey""")),
 
+    // x36: DELTA DELETION VECTORS — the Delta protocol's merge-on-read
+    // row deletes (x30's first-format twin): deleteWhereDv re-adds each
+    // touched file with a serialized RoaringBitmapArray of its dead row
+    // indexes and upgrades the protocol to the deletionVectors table
+    // feature — NO data file is rewritten (pinned in-query), the commit
+    // is O(bitmap bytes), and the read applies the bitmaps as a
+    // broadcast-closure filter. Two stacked deletes exercise the bitmap
+    // UNION path; a post-delete append proves new files are untouched;
+    // the metadata-only count subtracts DV cardinality. The oracle
+    // recomputes the surviving set relationally.
+    QueryDef("x36_delta_dv_deletes", (s, d) => {
+      val tbl = s"$stage/delta_dv"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 0), tbl)
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 1), tbl)
+      val filesBefore = graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+      val st = graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderkey") % 8 === 0)
+      require(st.rowsDeleted > 0, "DV delete matched nothing")
+      // second MoR delete: stacks a bitmap UNION onto already-DV'd files
+      val st2 = graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderstatus") === "F")
+      require(st2.rowsDeleted > 0, "second DV delete matched nothing")
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 >= 2), tbl)
+      val addsNow = graft.sources.DeltaLog.liveAdds(s, tbl)
+      // no file REWRITTEN: the only files allowed to leave the live set
+      // are ones whose every row died (dropped outright, no descriptor)
+      val gone = filesBefore.diff(addsNow.map(_.path).toSet).size
+      require(gone == st.filesFullyDead + st2.filesFullyDead,
+        s"MoR delete rewrote a data file ($gone gone, " +
+          s"${st.filesFullyDead + st2.filesFullyDead} fully dead)")
+      require(addsNow.exists(_.dv.isDefined), "no live deletion vector")
+      val (minR, _, rFeats, _) = graft.sources.DeltaLog.currentProtocol(tbl)
+      require(minR == 3 && rFeats == Seq("deletionVectors"),
+        s"protocol not upgraded for DVs: $minR/$rFeats")
+      // metadata-only count must subtract DV cardinality exactly
+      val fromStats = graft.sources.DeltaLog.countFromStats(s, tbl)
+      val live = graft.sources.DeltaLog.read(s, tbl)
+      require(fromStats.contains(live.count()),
+        s"stats count $fromStats != scan count under DVs")
+      live
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 4 >= 2
+         OR (o_orderkey % 4 <= 1 AND o_orderkey % 8 <> 0
+             AND o_orderstatus <> 'F')
+      ORDER BY o_orderkey""")),
+
+    // x37: DELTA DV PURGE (REORG APPLY PURGE) — x31's first-format twin,
+    // completing x36's lifecycle: while DVs are live every copy-on-write
+    // op (optimize here) REFUSES, and each read pays the bitmap filter.
+    // purgeDeletionVectors materializes ONLY the DV-carrying files' live
+    // rows into clean files (dataChange:false — rows unchanged, pinned
+    // by the same oracle as x36), drops every descriptor, re-enables
+    // optimize, and frees the DV file for vacuum. Pre-purge history
+    // still time-travels WITH the deletes applied.
+    QueryDef("x37_delta_dv_purge", (s, d) => {
+      val tbl = s"$stage/delta_dv_purge"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 <= 1), tbl)
+      graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderkey") % 8 === 0)
+      val dvSt = graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderstatus") === "F")
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 >= 2), tbl)
+      // copy-on-write ops must refuse while DVs are live
+      val refused =
+        try {
+          graft.sources.DeltaWrite.optimize(s, tbl, smallFileBytes = 1L << 30)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "optimize ran over live deletion vectors")
+      val ps = graft.sources.DeltaWrite.purgeDeletionVectors(s, tbl)
+      require(ps.filesPurged > 0 && ps.filesAdded > 0,
+        s"purge touched nothing: $ps")
+      val addsNow = graft.sources.DeltaLog.liveAdds(s, tbl)
+      require(addsNow.forall(_.dv.isEmpty), "a descriptor survived purge")
+      // pre-purge history still applies the DVs
+      require(graft.sources.DeltaLog.read(s, tbl, Some(dvSt.version))
+          .filter(col("o_orderstatus") === "F").count() == 0L,
+        "time travel to the DV epoch resurrected deleted rows")
+      // ...and the purge commit changed no rows (dataChange:false only)
+      val commitText = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(tbl, f"_delta_log/${ps.version}%020d.json").toPath))
+      require(!commitText.contains("\"dataChange\":true"),
+        "purge marked actions as data changes")
+      // copy-on-write maintenance works again
+      graft.sources.DeltaWrite.optimize(s, tbl, smallFileBytes = 1L << 30)
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 4 >= 2
+         OR (o_orderkey % 4 <= 1 AND o_orderkey % 8 <> 0
+             AND o_orderstatus <> 'F')
+      ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

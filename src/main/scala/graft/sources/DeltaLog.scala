@@ -41,33 +41,56 @@ object DeltaLog {
   final case class LiveFile(path: String, partitionValues: Map[String, String],
       stats: Option[Map[String, Any]] = None,
       statsJson: Option[String] = None,
-      recordedPath: String = "")
+      recordedPath: String = "",
+      dv: Option[DeltaDv.Descriptor] = None)
 
-  /** The newest reader protocol this implementation understands. Tables
-    * written with deletion vectors (minReaderVersion 3) keep deletes as DV
-    * bitmaps on still-live `add` entries, and column-mapping tables
-    * (minReaderVersion 2) diverge physical from logical column names —
-    * replaying only add/remove on either would silently return deleted
-    * rows / mismapped columns. The reference delegates this refusal to
-    * delta-rs, which rejects unsupported reader versions; we do the same,
-    * loudly, at replay time.
+  /** Protocol gate. Two shapes are readable here: the classic
+    * minReaderVersion <= 1 with no reader features, and minReaderVersion 3
+    * whose readerFeatures are a subset of {deletionVectors} — the
+    * table-features form a MoR DELETE upgrade commits, whose semantics
+    * this reader fully implements ([[DeltaDv]] + the scan-side dead-row
+    * filter below). Column mapping (minReaderVersion 2, or the
+    * `columnMapping` feature) diverges physical from logical column names
+    * and stays refused: replaying it blind would decode silently wrong.
+    * The reference delegates this refusal to delta-rs, which rejects
+    * unsupported reader versions; we do the same, loudly, at replay time.
     */
-  private val MaxReaderVersion = 1L
+  private[sources] val DvFeature = "deletionVectors"
 
   private def checkProtocol(minReader: Long, readerFeatures: Seq[Any],
-      where: String): Unit =
-    require(minReader <= MaxReaderVersion && readerFeatures.isEmpty,
+      where: String): Unit = {
+    val feats = readerFeatures.collect { case s: String => s }
+    val ok =
+      (minReader <= 1L && readerFeatures.isEmpty) ||
+        (minReader == 3L && feats.size == readerFeatures.size &&
+          feats.toSet.subsetOf(Set(DvFeature)))
+    require(ok,
       s"unsupported Delta reader protocol in $where: minReaderVersion=" +
         s"$minReader, readerFeatures=${readerFeatures.mkString("[", ",", "]")}" +
-        s" — this reader supports minReaderVersion <= $MaxReaderVersion with" +
-        " no reader features (deletion vectors / column mapping would decode" +
-        " silently wrong)")
+        " — this reader supports minReaderVersion <= 1 with no reader " +
+        s"features, or minReaderVersion 3 with readerFeatures ⊆ [$DvFeature]" +
+        " (column mapping would decode silently wrong)")
+  }
 
-  private def refuseDeletionVector(path: String, where: String): Nothing =
-    throw new IllegalArgumentException(
-      s"Delta add action for $path in $where carries a deletionVector: " +
-        "scanning the file raw would return deleted rows; this reader " +
-        "supports tables without deletion vectors only")
+  /** Parse an add action's `deletionVector` descriptor (JSON-decoded map
+    * form). Required fields per the protocol: storageType, pathOrInlineDv,
+    * sizeInBytes, cardinality; offset only for on-disk DVs.
+    */
+  private[sources] def parseDv(m: Map[String, Any]): DeltaDv.Descriptor = {
+    def str(k: String): String = m.get(k).collect { case s: String => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"deletionVector descriptor lacks required field $k"))
+    def num(k: String): Option[Long] =
+      m.get(k).collect { case d: Double => d.toLong }
+    DeltaDv.Descriptor(str("storageType"), str("pathOrInlineDv"),
+      num("offset"),
+      num("sizeInBytes").getOrElse(
+        throw new IllegalArgumentException(
+          "deletionVector descriptor lacks sizeInBytes")),
+      num("cardinality").getOrElse(
+        throw new IllegalArgumentException(
+          "deletionVector descriptor lacks cardinality")))
+  }
 
   /** Snapshot at `versionAsOf` (time travel), or the current snapshot when
     * None: the live data files in first-added order. Time travel replays
@@ -107,8 +130,9 @@ object DeltaLog {
           s"time travel needs the full history from version 0 in $logDir " +
             s"(oldest present: ${commits.headOption.map(versionOf)})")
     }
-    val live = mutable.LinkedHashMap
-      .empty[String, (Map[String, String], Option[Map[String, Any]], Option[String])]
+    val live = mutable.LinkedHashMap.empty[String,
+      (Map[String, String], Option[Map[String, Any]], Option[String],
+        Option[DeltaDv.Descriptor])]
     checkpointVersion.foreach { v =>
       val cp = new File(logDir, f"$v%020d.checkpoint.parquet")
       require(cp.isFile, s"_last_checkpoint names a missing file: $cp")
@@ -134,23 +158,27 @@ object DeltaLog {
       // only rows with a non-null `add` carry live files
       val cpDf = cpAll.where("add IS NOT NULL")
       val addFields = structFields("add")
-      if (addFields.contains("deletionVector")) {
-        cpDf.where("add.deletionVector IS NOT NULL")
-          .selectExpr("add.path").collect().headOption
-          .foreach(r => refuseDeletionVector(r.getString(0), cp.getName))
-      }
       val pvExpr =
         if (addFields.contains("partitionValues")) "add.partitionValues"
         else "map() AS pv"
       val statsExpr =
         if (addFields.contains("stats")) "add.stats"
         else "CAST(NULL AS STRING) AS stats"
-      cpDf.selectExpr("add.path", pvExpr, statsExpr).collect().foreach { r =>
-        val pv = Option(r.getMap[String, String](1))
-          .map(_.toMap).getOrElse(Map.empty)
-        val raw = Option(r.getString(2))
-        live += r.getString(0) -> ((pv, raw.flatMap(MiniJson.parseObject), raw))
-      }
+      // the checkpoint carries deletionVector descriptors for DV tables —
+      // decode through the same JSON parser the commit replay uses
+      val dvExpr =
+        if (addFields.contains("deletionVector")) "to_json(add.deletionVector)"
+        else "CAST(NULL AS STRING) AS dv"
+      cpDf.selectExpr("add.path", pvExpr, statsExpr, dvExpr)
+        .collect().foreach { r =>
+          val pv = Option(r.getMap[String, String](1))
+            .map(_.toMap).getOrElse(Map.empty)
+          val raw = Option(r.getString(2))
+          val dv = Option(r.getString(3)).flatMap(MiniJson.parseObject)
+            .map(parseDv)
+          live += r.getString(0) ->
+            ((pv, raw.flatMap(MiniJson.parseObject), raw, dv))
+        }
     }
 
     commits
@@ -175,10 +203,13 @@ object DeltaLog {
             action.get("add") match {
               case Some(m: Map[_, _]) =>
                 val a = m.asInstanceOf[Map[String, Any]]
-                a.get("deletionVector") match {
-                  case Some(_: Map[_, _]) =>
-                    refuseDeletionVector(pathOf(a, f), f.getName)
-                  case _ =>
+                // a MoR delete re-adds the SAME path with a deletionVector
+                // descriptor — the LinkedHashMap update replaces the old
+                // entry in place, exactly the protocol's replay rule
+                val dv = a.get("deletionVector") match {
+                  case Some(dm: Map[_, _]) =>
+                    Some(parseDv(dm.asInstanceOf[Map[String, Any]]))
+                  case _ => None
                 }
                 val pv = a.get("partitionValues") match {
                   case Some(pm: Map[_, _]) =>
@@ -195,7 +226,7 @@ object DeltaLog {
                 }
                 val rawStats = a.get("stats").collect { case s: String => s }
                 live += pathOf(a, f) -> ((pv,
-                  rawStats.flatMap(MiniJson.parseObject), rawStats))
+                  rawStats.flatMap(MiniJson.parseObject), rawStats, dv))
               case _ =>
             }
             action.get("remove") match {
@@ -206,7 +237,7 @@ object DeltaLog {
           }
       }
 
-    live.toSeq.map { case (rel, (pv, stats, raw)) =>
+    live.toSeq.map { case (rel, (pv, stats, raw, dv)) =>
       // paths are table-root-relative and URL-encoded per the protocol;
       // absolute URIs pass through. The RECORDED (still-encoded) form is
       // kept too: remove/checkpoint actions must byte-match it, and
@@ -215,8 +246,35 @@ object DeltaLog {
       val abs =
         if (rel.contains("://") || rel.startsWith("/")) rel
         else new File(root, URLDecoder.decode(rel, "UTF-8")).getPath
-      LiveFile(abs, pv, stats, raw, recordedPath = rel)
+      LiveFile(abs, pv, stats, raw, recordedPath = rel, dv = dv)
     }
+  }
+
+  /** Apply the live adds' DELETION VECTORS to a scan over exactly those
+    * files: dead rows (named by `_metadata.file_path` + `row_index`
+    * against each file's RoaringBitmapArray) are filtered out. The DV
+    * BYTES ride the task closure in their compressed portable form —
+    * never an enumerated (file, row) list, so a DV covering millions of
+    * rows ships as kilobytes — and each task rehydrates the bitmaps once
+    * (transient-lazy). No-op (the unchanged plan, full codegen) when no
+    * add carries a DV. File identity is by basename, which every writer
+    * here makes uuid-unique; enforced before trusting it.
+    */
+  private[sources] def applyDv(spark: SparkSession, df: DataFrame,
+      adds: Seq[LiveFile], root: File): DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val withDv = adds.filter(_.dv.isDefined)
+    if (withDv.isEmpty) return df
+    val names = adds.map(a => new File(a.path).getName)
+    require(names.distinct.size == names.size,
+      s"duplicate data-file basenames in ${root.getPath} — deletion-vector " +
+        "matching is by uuid-unique file name and cannot disambiguate")
+    val dvBytes: Map[String, Array[Byte]] = withDv.map { a =>
+      new File(a.path).getName -> DeltaDv.readBitmapBytes(root, a.dv.get)
+    }.toMap
+    val filter = new DeltaDv.RowFilter(dvBytes)
+    val liveUdf = udf((file: String, idx: Long) => filter.live(file, idx))
+    df.filter(liveUdf(col("_metadata.file_path"), col("_metadata.row_index")))
   }
 
   /** DATA SKIPPING: the live files whose add-action stats admit rows with
@@ -273,7 +331,12 @@ object DeltaLog {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = pruneByStats(spark, tablePath, column, lo, hi)
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(_.path): _*)
+      if (kept.nonEmpty)
+        // stats bounds may only WIDEN under a DV (they describe the
+        // physical file) — pruning stays sound; the DV filter then drops
+        // the dead rows the kept files still physically hold
+        applyDv(spark, spark.read.parquet(kept.map(_.path): _*), kept,
+          new File(tablePath))
       else { // schema from the full snapshot, zero rows
         read(spark, tablePath).limit(0)
       }
@@ -436,12 +499,53 @@ object DeltaLog {
     */
   def countFromStats(spark: SparkSession, tablePath: String): Option[Long] = {
     val adds = liveAdds(spark, tablePath)
-    val counts = adds.map(_.stats.flatMap(_.get("numRecords").collect {
+    // a deletion vector keeps its file's PHYSICAL numRecords in stats;
+    // the live count subtracts the descriptor's cardinality, which the
+    // protocol requires to be exact — still a zero-data-file answer
+    val counts = adds.map(a => a.stats.flatMap(_.get("numRecords").collect {
       case d: Double => d.toLong
-    }))
+    }).map(_ - a.dv.map(_.cardinality).getOrElse(0L)))
     if (counts.nonEmpty && counts.forall(_.isDefined))
       Some(counts.flatten.sum)
     else None
+  }
+
+  /** The table's current protocol action (minReaderVersion,
+    * minWriterVersion, readerFeatures, writerFeatures), defaulting to
+    * (1, 2, [], []) when the retained log carries none — the writer's
+    * seam for feature upgrades (a MoR DELETE must commit the
+    * deletionVectors feature before any reader trusts its adds) and for
+    * checkpoints, which must carry the protocol forward verbatim.
+    */
+  def currentProtocol(tablePath: String): (Int, Int, Seq[String], Seq[String]) = {
+    val logDir = new File(tablePath, "_delta_log")
+    var proto = (1, 2, Seq.empty[String], Seq.empty[String])
+    if (!logDir.isDirectory) return proto
+    Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("""\d{20}\.json"""))
+      .sortBy(_.getName)
+      .foreach { f =>
+        Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+          .filter(_.trim.nonEmpty).foreach { line =>
+            MiniJson.parseObject(line).foreach { action =>
+              action.get("protocol") match {
+                case Some(m: Map[_, _]) =>
+                  val p = m.asInstanceOf[Map[String, Any]]
+                  def num(k: String, dflt: Int): Int = p.get(k)
+                    .collect { case d: Double => d.toInt }.getOrElse(dflt)
+                  def strs(k: String): Seq[String] = p.get(k)
+                    .collect { case xs: Seq[_] =>
+                      xs.collect { case s: String => s } }
+                    .getOrElse(Seq.empty)
+                  proto = (num("minReaderVersion", 1),
+                    num("minWriterVersion", 2),
+                    strs("readerFeatures"), strs("writerFeatures"))
+                case _ =>
+              }
+            }
+          }
+      }
+    proto
   }
 
   /** PARTITION PRUNING from the log alone: the live adds whose
@@ -493,13 +597,14 @@ object DeltaLog {
     // path injects literals (no join at all — the common point lookup)
     val combos = kept.map(_.partitionValues).distinct
     if (combos.size == 1) {
-      val base = spark.read.parquet(kept.map(_.path): _*)
+      val base = applyDv(spark, spark.read.parquet(kept.map(_.path): _*),
+        kept, new File(tablePath))
       pvCols.foldLeft(base)((df, c) =>
         df.withColumn(c, lit(combos.head.getOrElse(c, null: String))))
     } else {
       // mixed combos: the same broadcast file→pv injection as read(),
       // but over ONLY the kept files — pruning is preserved
-      scanWithPv(spark, kept)
+      scanWithPv(spark, kept, new File(tablePath))
     }
   }
 
@@ -532,13 +637,15 @@ object DeltaLog {
     // evolution sees each epoch's own schema), NULL-filling columns a
     // file predates. Partitioned tables keep inference: their partition
     // columns live in the log, not the files, and are injected below.
+    val root = new File(tablePath)
     if (adds.forall(_.partitionValues.isEmpty))
       metaSchema(spark, tablePath, versionAsOf) match {
         case Some(st) =>
-          return spark.read.schema(st).parquet(adds.map(_.path): _*)
+          return applyDv(spark,
+            spark.read.schema(st).parquet(adds.map(_.path): _*), adds, root)
         case None => () // no metaData recorded (external minimal log)
       }
-    scanWithPv(spark, adds)
+    scanWithPv(spark, adds, root)
   }
 
   /** ONE distributed parquet scan over `adds` with the log's partition
@@ -547,8 +654,9 @@ object DeltaLog {
     * parquet).
     */
   private def scanWithPv(spark: SparkSession,
-      adds: Seq[LiveFile]): DataFrame = {
-    val base = spark.read.parquet(adds.map(_.path): _*)
+      adds: Seq[LiveFile], root: File): DataFrame = {
+    val base = applyDv(spark,
+      spark.read.parquet(adds.map(_.path): _*), adds, root)
     if (adds.forall(_.partitionValues.isEmpty)) base
     else {
       import org.apache.spark.sql.functions.{broadcast, col, input_file_name}

@@ -205,6 +205,7 @@ object DeltaWrite {
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.forall(_.partitionValues.isEmpty),
       s"merge supports unpartitioned tables: $tablePath")
+    requireNoDv(adds, "merge", tablePath)
     // decode through the metaData schema when the log carries one: after
     // a prior evolution the live files are physically mixed and footer
     // inference would pick whichever file won
@@ -316,6 +317,7 @@ object DeltaWrite {
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.forall(_.partitionValues.isEmpty),
       s"deleteWhere supports unpartitioned tables: $tablePath")
+    requireNoDv(adds, "deleteWhere", tablePath)
     val target = spark.read.parquet(adds.map(_.path): _*)
     val touched = target
       .withColumn("__graft_file", col("_metadata.file_path"))
@@ -349,6 +351,187 @@ object DeltaWrite {
     DeleteStats(version, touched.size, files.size, rowsDeleted)
   }
 
+  /** Copy-on-write ops scan live files RAW — on a table with live
+    * deletion vectors they would resurrect the dead rows. Refuse, naming
+    * the recovery paths (exactly the Iceberg delete-blind posture).
+    */
+  private def requireNoDv(adds: Seq[DeltaLog.LiveFile], op: String,
+      tablePath: String): Unit = {
+    val n = adds.count(_.dv.isDefined)
+    require(n == 0,
+      s"$op would scan raw data files, but $n live file(s) of $tablePath " +
+        "carry deletion vectors (merge-on-read deletes) — run " +
+        "purgeDeletionVectors to materialize them away first, or use " +
+        "deleteWhereDv for further MoR deletes")
+  }
+
+  private def dvJson(d: DeltaDv.Descriptor): String =
+    s"""{"storageType":"${jsonEscape(d.storageType)}",""" +
+      s""""pathOrInlineDv":"${jsonEscape(d.pathOrInlineDv)}",""" +
+      d.offset.fold("")(o => s""""offset":$o,""") +
+      s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+
+  /** Outcome of a [[deleteWhereDv]] commit. */
+  final case class DvDeleteStats(version: Long, filesTouched: Int,
+      filesFullyDead: Int, rowsDeleted: Long)
+
+  /** DELETE WHERE, merge-on-read: instead of rewriting touched files
+    * ([[deleteWhere]]'s copy-on-write), each touched file is RE-ADDED
+    * with a `deletionVector` descriptor naming its dead row indexes as a
+    * serialized RoaringBitmapArray ([[DeltaDv]]) — the Delta protocol's
+    * DV mechanism, ONE tiny DV file per commit regardless of table size.
+    * This is the point-delete fast path at 100 TB (GDPR erasure, CDC
+    * retractions): no data file is rewritten, the commit cost is
+    * O(matched rows' bitmap bytes), and reads stay a single scan plus a
+    * broadcast-closure bitmap filter.
+    *
+    * Correct-by-construction details:
+    *  - the match scan applies EXISTING DVs first, so an already-dead row
+    *    is never re-counted and never re-deleted;
+    *  - bitmaps are built EXECUTOR-side (per-file groupBy + serialize
+    *    UDF); only compressed bitmap bytes reach the driver — never an
+    *    enumerated (file, row) list;
+    *  - a second delete on an already-DV'd file UNIONs the bitmaps
+    *    (O(bitmap bytes), [[DeltaDv.union]]);
+    *  - a file whose every row is dead (declared stats numRecords ==
+    *    bitmap cardinality) gets a plain `remove` — no descriptor that a
+    *    reader would pay to apply forever;
+    *  - the FIRST DV commit upgrades the protocol to
+    *    minReaderVersion 3 / minWriterVersion 7 with the deletionVectors
+    *    table feature, so pre-DV readers refuse loudly instead of
+    *    resurrecting rows;
+    *  - rows where the predicate is NULL are NOT deleted (SQL DELETE
+    *    semantics, same as [[deleteWhere]]).
+    */
+  def deleteWhereDv(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column): DvDeleteStats = {
+    import org.apache.spark.sql.functions.{col, collect_list, size,
+      sort_array, substring_index, udf}
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    require(adds.forall(_.partitionValues.isEmpty),
+      s"deleteWhereDv supports unpartitioned tables: $tablePath")
+    // match scan: snapshot read (metaData schema + existing DVs applied),
+    // keeping only predicate-TRUE rows' physical identity
+    val matched = DeltaLog.read(spark, tablePath)
+      .filter(predicate)
+      .select(col("_metadata.file_path").as("__f"),
+        col("_metadata.row_index").as("__i"))
+    val serUdf = udf((idx: Seq[Long]) => DeltaDv.serializePositions(idx))
+    val perFile = matched
+      .groupBy(substring_index(col("__f"), "/", -1).as("__name"))
+      .agg(sort_array(collect_list(col("__i"))).as("__idx"))
+      .select(col("__name"), serUdf(col("__idx")).as("__bytes"),
+        size(col("__idx")).cast("long").as("__card"))
+      .collect()
+    if (perFile.isEmpty) // nothing matched: a no-op, not an empty commit
+      return DvDeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
+    val byName = adds.map(a => new File(a.path).getName -> a).toMap
+    val rowsDeleted = perFile.map(_.getLong(2)).sum
+    // merge with any existing DV; split fully-dead files out
+    val merged = perFile.toSeq.map { r =>
+      val name = r.getString(0)
+      val a = byName.getOrElse(name, throw new IllegalStateException(
+        s"matched file not in live set: $name"))
+      val (bytes, card) = a.dv match {
+        case Some(d) =>
+          val u = DeltaDv.union(DeltaDv.readBitmapBytes(root, d),
+            r.getAs[Array[Byte]](1))
+          (u, DeltaDv.cardinality(u))
+        case None => (r.getAs[Array[Byte]](1), r.getLong(2))
+      }
+      (a, bytes, card)
+    }
+    def physicalRows(a: DeltaLog.LiveFile): Option[Long] =
+      a.stats.flatMap(_.get("numRecords").collect { case d: Double => d.toLong })
+    val (fullyDead, partial) = merged.partition { case (a, _, card) =>
+      physicalRows(a).contains(card)
+    }
+    // ONE DV file for the whole commit, entries in `partial` order
+    val dvActions: Seq[String] =
+      if (partial.isEmpty) Seq.empty
+      else {
+        val (pathOrInline, offs) = DeltaDv.writeDvFile(root, partial.map(_._2))
+        partial.zip(offs).flatMap { case ((a, bytes, card), (off, len)) =>
+          val f = new File(a.path)
+          val d = DeltaDv.Descriptor("u", pathOrInline, Some(off), len, card)
+          require(len == bytes.length.toLong, "DV entry length drift")
+          Seq(
+            s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""",
+            s"""{"add":{"path":"${jsonEscape(a.recordedPath)}","partitionValues":{},""" +
+              s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+              a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
+              s""""deletionVector":${dvJson(d)},"dataChange":true}}""")
+        }
+      }
+    val deadActions = fullyDead.map { case (a, _, _) =>
+      s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}"""
+    }
+    val (minR, _, rFeats, _) = DeltaLog.currentProtocol(tablePath)
+    val protoAction =
+      if (minR >= 3 && rFeats.contains(DeltaLog.DvFeature)) Seq.empty
+      else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors"],""" +
+        """"writerFeatures":["deletionVectors"]}}""")
+    val version = nextVersion(logDir)
+    publish(logDir, version, protoAction ++ deadActions ++ dvActions :+
+      """{"commitInfo":{"operation":"DELETE","operationParameters":{"mode":"merge-on-read"}}}""")
+    DvDeleteStats(version, merged.size, fullyDead.size, rowsDeleted)
+  }
+
+  /** Outcome of a [[purgeDeletionVectors]] commit. */
+  final case class PurgeStats(version: Long, filesPurged: Int,
+      filesAdded: Int)
+
+  /** PURGE deletion vectors (real Delta's `REORG TABLE … APPLY (PURGE)`):
+    * materialize every DV-carrying file's LIVE rows into fresh clean
+    * files and commit remove+add with `dataChange:false` — the table's
+    * rows are untouched, only the physical encoding of the deletes
+    * changes. This is the MoR recovery path: it re-enables the
+    * copy-on-write ops ([[merge]]/[[deleteWhere]]/[[optimize]] refuse
+    * under live DVs), stops every future read paying the bitmap filter,
+    * and frees the DV files for [[vacuum]]. Files WITHOUT a DV keep
+    * their physical identity — purging a 100 TB table touches only the
+    * deleted-into files. No-op when no live add carries a DV.
+    */
+  def purgeDeletionVectors(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): PurgeStats = {
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    require(adds.forall(_.partitionValues.isEmpty),
+      s"purgeDeletionVectors supports unpartitioned tables: $tablePath")
+    val dvAdds = adds.filter(_.dv.isDefined)
+    if (dvAdds.isEmpty)
+      return PurgeStats(nextVersion(logDir) - 1, 0, 0)
+    val base = DeltaLog.metaSchema(spark, tablePath) match {
+      case Some(st) => spark.read.schema(st).parquet(dvAdds.map(_.path): _*)
+      case None => spark.read.parquet(dvAdds.map(_.path): _*)
+    }
+    val liveRows = DeltaLog.applyDv(spark, base, dvAdds, root)
+    // an externally-written full-file DV can leave zero survivors
+    val files =
+      if (liveRows.isEmpty) Seq.empty[File]
+      else stageDataFiles(liveRows, root)
+    val version = nextVersion(logDir)
+    val removes = dvAdds.map(a =>
+      s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":false}}""")
+    val addsJson = files.map { f =>
+      val stats = fileStats(f, base.schema)
+      s"""{"add":{"path":"${jsonEscape(f.getName)}","partitionValues":{},""" +
+        s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+        stats.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
+        """"dataChange":false}}"""
+    }
+    publish(logDir, version, removes ++ addsJson :+
+      """{"commitInfo":{"operation":"REORG","operationParameters":{"applyPurge":true}}}""")
+    PurgeStats(version, dvAdds.size, files.size)
+  }
+
   /** VACUUM: physically delete data files no longer referenced by the
     * CURRENT snapshot — the space-reclaim pass after merge/delete/
     * overwrite leave tombstoned files behind. Like real Delta's
@@ -366,8 +549,13 @@ object DeltaWrite {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
-    val live = DeltaLog.liveAdds(spark, tablePath)
-      .map(a => new File(a.path).getName).toSet
+    val liveAdds = DeltaLog.liveAdds(spark, tablePath)
+    val live = liveAdds.map(a => new File(a.path).getName).toSet
+    // a DV file referenced by any live add's descriptor is LIVE metadata:
+    // deleting it would corrupt every read of its data file. Orphaned DV
+    // files (their delete was purged or their add removed) reclaim like
+    // tombstoned parquet.
+    val liveDv = liveAdds.flatMap(_.dv).flatMap(DeltaDv.dvFileName).toSet
     val cutoff = System.currentTimeMillis() - olderThanMs
     // recurse into hive-style partition subdirectories (appendPartitioned
     // lands files under col=value/): liveness matches by file NAME, which
@@ -379,6 +567,9 @@ object DeltaWrite {
             !d.getName.startsWith(".") => candidates(d)
         case f if f.isFile && f.getName.endsWith(".parquet") &&
             !live.contains(f.getName) && f.lastModified <= cutoff => Seq(f)
+        case f if f.isFile && f.getName.startsWith("deletion_vector_") &&
+            f.getName.endsWith(".bin") && !liveDv.contains(f.getName) &&
+            f.lastModified <= cutoff => Seq(f)
         case _ => Seq.empty
       }
     candidates(root).map { f =>
@@ -461,6 +652,7 @@ object DeltaWrite {
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.forall(_.partitionValues.isEmpty),
       s"optimize supports unpartitioned tables: $tablePath")
+    requireNoDv(adds, "optimize", tablePath)
     val small = adds.filter(a => new File(a.path).length < smallFileBytes)
     if (small.size < 2)
       return OptimizeStats(nextVersion(logDir) - 1, 0, 0)
@@ -618,7 +810,12 @@ object DeltaWrite {
       .getOrElse("parquet")
     val protocolT = StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType)))
+      StructField("minWriterVersion", IntegerType),
+      // table-features form (null for legacy protocols): a DV table's
+      // checkpoint must carry the feature lists, or a reader seeded from
+      // it would trust adds whose semantics it cannot decode
+      StructField("readerFeatures", ArrayType(StringType)),
+      StructField("writerFeatures", ArrayType(StringType))))
     val formatT = StructType(Seq(
       StructField("provider", StringType),
       StructField("options", MapType(StringType, StringType))))
@@ -628,13 +825,20 @@ object DeltaWrite {
       StructField("schemaString", StringType),
       StructField("partitionColumns", ArrayType(StringType)),
       StructField("configuration", MapType(StringType, StringType))))
+    val dvT = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", LongType),
+      StructField("sizeInBytes", LongType),
+      StructField("cardinality", LongType)))
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", BooleanType),
-      StructField("stats", StringType))) // real checkpoints carry stats too
+      StructField("stats", StringType), // real checkpoints carry stats too
+      StructField("deletionVector", dvT)))
     val txnT = StructType(Seq(
       StructField("appId", StringType),
       StructField("version", LongType)))
@@ -647,15 +851,20 @@ object DeltaWrite {
     // (real Delta checkpoints carry txn actions for exactly this reason:
     // a streaming sink's retry guard must outlive the JSON commits)
     val txns = DeltaLog.latestTxnVersions(tablePath)
+    val (minR, minW, rFeats, wFeats) = DeltaLog.currentProtocol(tablePath)
     val rows: Seq[Row] =
-      (Row(Row(1, 2), null, null, null) +:
+      (Row(Row(minR, minW,
+        if (rFeats.isEmpty) null else rFeats,
+        if (wFeats.isEmpty) null else wFeats), null, null, null) +:
       Row(null, Row(metaStr("id"), Row(formatProvider,
         Map.empty[String, String]), metaStr("schemaString"), metaPartCols,
         Map.empty[String, String]), null, null) +:
       adds.map { a =>
         val f = new File(a.path)
+        val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+          d.offset.map(Long.box).orNull, d.sizeInBytes, d.cardinality)).orNull
         Row(null, null, Row(a.recordedPath, a.partitionValues,
-          f.length, f.lastModified, true, a.statsJson.orNull), null)
+          f.length, f.lastModified, true, a.statsJson.orNull, dvRow), null)
       }) ++
       txns.toSeq.sortBy(_._1).map { case (app, v) =>
         Row(null, null, null, Row(app, v))
@@ -722,15 +931,35 @@ object DeltaWrite {
     val current = DeltaLog.liveAdds(spark, tablePath)
     // identity AND the emitted remove/add paths use the RECORDED form:
     // a remove only tombstones an add it byte-matches, and partitioned
-    // adds are URL-encoded on disk
-    val targetRel = target.map(_.recordedPath).toSet
-    val currentRel = current.map(_.recordedPath).toSet
-    val removes = current.filterNot(a => targetRel.contains(a.recordedPath))
-    val readds = target.filterNot(a => currentRel.contains(a.recordedPath))
+    // adds are URL-encoded on disk. Identity INCLUDES the deletionVector
+    // descriptor: restoring across a MoR delete must re-add the same
+    // path with the target epoch's DV (or none), not silently keep the
+    // current one — the in-commit remove-then-add replay handles the
+    // same-path case.
+    val targetRel = target.map(a => (a.recordedPath, a.dv)).toSet
+    val currentRel = current.map(a => (a.recordedPath, a.dv)).toSet
+    val removes = current.filterNot(a =>
+      targetRel.contains((a.recordedPath, a.dv)))
+    val readds = target.filterNot(a =>
+      currentRel.contains((a.recordedPath, a.dv)))
     if (removes.isEmpty && readds.isEmpty)
       return RestoreStats(nextVersion(logDir) - 1, 0, 0)
-    readds.foreach(a => require(new File(a.path).isFile,
-      s"cannot restore to version $version: data file was vacuumed: ${a.path}"))
+    readds.foreach { a =>
+      require(new File(a.path).isFile,
+        s"cannot restore to version $version: data file was vacuumed: ${a.path}")
+      a.dv.foreach { d =>
+        val missing = d.storageType match {
+          case "u" => DeltaDv.dvFileName(d).filterNot(n =>
+            new File(root, n).isFile)
+          case "p" => Some(d.pathOrInlineDv)
+            .filterNot(p => new File(p).isFile)
+          case _ => None // inline rides the log itself
+        }
+        missing.foreach(n => throw new IllegalArgumentException(
+          s"cannot restore to version $version: deletion-vector file was " +
+            s"vacuumed: $n"))
+      }
+    }
     def pvJson(pv: Map[String, String]): String =
       pv.map {
         case (k, null) => s""""${jsonEscape(k)}":null"""
@@ -748,6 +977,7 @@ object DeltaWrite {
           s""""partitionValues":${pvJson(a.partitionValues)},""" +
           s""""size":${f.length},"modificationTime":${f.lastModified},""" +
           a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
+          a.dv.fold("")(d => s""""deletionVector":${dvJson(d)},""") +
           """"dataChange":true}}"""
       } :+
       s"""{"commitInfo":{"operation":"RESTORE","operationParameters":{"version":$version}}}""")

@@ -327,6 +327,43 @@ class AppSurfaceSpec extends SparkSpec {
     ()
   }
 
+  test("DELETE FROM / REORG APPLY PURGE statements dispatch by lakehouse format") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{DeltaLog, DeltaWrite, IcebergLog}
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-sql-delete").toString
+    // Delta: DELETE is copy-on-write; with live DVs REORG purges them
+    val dtbl = s"$base/delta"
+    DeltaWrite.append((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1), dtbl)
+    assert(ctx.runScript(s"DELETE FROM '$dtbl' WHERE id % 2 = 0")
+      .last.collect().head.getLong(0) === 3L)
+    assert(DeltaLog.read(spark, dtbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
+    DeltaWrite.deleteWhereDv(spark, dtbl, col("id") === 3L)
+    assert(DeltaLog.liveAdds(spark, dtbl).exists(_.dv.isDefined))
+    assert(ctx.runScript(s"REORG TABLE '$dtbl' APPLY (PURGE)")
+      .last.collect().head.getLong(0) === 1L)
+    assert(DeltaLog.liveAdds(spark, dtbl).forall(_.dv.isEmpty))
+    assert(DeltaLog.read(spark, dtbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L))
+    // Iceberg: same statements, format-sniffed dispatch
+    val itbl = s"$base/ice"
+    IcebergLog.append((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), itbl)
+    assert(ctx.runScript(s"DELETE FROM '$itbl' WHERE id % 2 = 0")
+      .last.collect().head.getLong(0) === 3L)
+    IcebergLog.deletePositionsWhere(spark, itbl, col("id") === 3L)
+    assert(IcebergLog.liveSplitEntries(itbl)._2.nonEmpty)
+    assert(ctx.runScript(s"REORG TABLE '$itbl' APPLY (PURGE)")
+      .last.collect().head.getLong(0) > 0L)
+    assert(IcebergLog.liveSplitEntries(itbl)._2.isEmpty)
+    assert(IcebergLog.read(spark, itbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L))
+  }
+
   test("delta CLI verb drives the full table-maintenance lifecycle") {
     val s = spark
     import s.implicits._

@@ -434,39 +434,67 @@ class SourcesSpec extends SparkSpec {
       (3L, "2024-01-02")))
   }
 
-  test("Delta reader refuses an unsupported reader protocol (v3 / reader features)") {
+  test("Delta protocol gate: v3+deletionVectors accepted, column mapping refused") {
     import java.io.File
     import java.nio.charset.StandardCharsets
     val dir = s"$tmp/delta_v3"
     writeDeltaFixture(dir)
-    // a later commit upgrades the table to reader v3 with deletion vectors:
-    // replaying add/remove alone would now return deleted rows — refuse
+    // the deletionVectors table feature is fully implemented — a v3
+    // upgrade commit must NOT refuse the table
     Files.write(new File(s"$dir/_delta_log", f"${2L}%020d.json").toPath,
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"]}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    assert(sources.DeltaLog.liveFiles(spark, dir).nonEmpty)
+    // a feature this reader does NOT implement still refuses loudly
+    Files.write(new File(s"$dir/_delta_log", f"${3L}%020d.json").toPath,
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","columnMapping"]}}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
     val e = intercept[IllegalArgumentException] {
       sources.DeltaLog.liveFiles(spark, dir)
     }
     assert(e.getMessage.contains("minReaderVersion"))
-    assert(e.getMessage.contains("deletionVectors"))
+    // ...and so does minReaderVersion 2 (legacy column mapping)
+    val dir2 = s"$tmp/delta_v2"
+    writeDeltaFixture(dir2)
+    Files.write(new File(s"$dir2/_delta_log", f"${2L}%020d.json").toPath,
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    intercept[IllegalArgumentException] {
+      sources.DeltaLog.liveFiles(spark, dir2)
+    }
+    ()
   }
 
-  test("Delta reader refuses add actions carrying a deletion vector") {
+  test("Delta reader never scans through a malformed deletion vector") {
     import java.io.File
     import java.nio.charset.StandardCharsets
-    val dir = s"$tmp/delta_dv"
+    val dir = s"$tmp/delta_dv_malformed"
     writeDeltaFixture(dir)
-    // DV on a protocol-v1-claiming log is malformed, but the defense must
-    // not depend on the writer being honest about its protocol
+    // the descriptor parses (liveAdds carries it), but its DV path is
+    // garbage — the READ must refuse loudly, never return the file's
+    // rows as if nothing were deleted
     Files.write(new File(s"$dir/_delta_log", f"${2L}%020d.json").toPath,
       ("""{"add":{"path":"f0.parquet","dataChange":true,""" +
         """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":36,"cardinality":2}}}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
+    val adds = sources.DeltaLog.liveAdds(spark, dir)
+    assert(adds.exists(_.dv.isDefined))
     val e = intercept[IllegalArgumentException] {
-      sources.DeltaLog.liveFiles(spark, dir)
+      sources.DeltaLog.read(spark, dir).collect()
     }
-    assert(e.getMessage.contains("deletionVector"))
+    assert(e.getMessage.contains("DV"))
+    // an unknown storage type refuses too — defense does not depend on
+    // the writer being honest about its protocol version
+    Files.write(new File(s"$dir/_delta_log", f"${3L}%020d.json").toPath,
+      ("""{"add":{"path":"f0.parquet","dataChange":true,""" +
+        """"deletionVector":{"storageType":"z","pathOrInlineDv":"x","sizeInBytes":1,"cardinality":1}}}""" + "\n")
+        .getBytes(StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalArgumentException] {
+      sources.DeltaLog.read(spark, dir).collect()
+    }
+    assert(e2.getMessage.contains("storageType"))
   }
 
   test("partitioned Delta read is one scan + broadcast map join at 100 partitions") {
@@ -1661,5 +1689,199 @@ class SourcesSpec extends SparkSpec {
       DeltaWrite.restoreTo(spark, tbl, 1L)
     }
     assert(e.getMessage.contains("vacuumed"))
+  }
+
+  test("DV codec: z85 reference vector, bitmap round-trip, file CRC integrity") {
+    import graft.sources.DeltaDv
+    // the ZeroMQ Z85 reference test vector (public spec 32/Z85)
+    val helloBytes = Array(0x86, 0x4f, 0xd2, 0x6f, 0xb5, 0x59, 0xf7, 0x5b)
+      .map(_.toByte)
+    assert(DeltaDv.z85Encode(helloBytes) === "HelloWorld")
+    assert(DeltaDv.z85Decode("HelloWorld").toSeq === helloBytes.toSeq)
+    intercept[IllegalArgumentException](DeltaDv.z85Encode(Array[Byte](1)))
+    intercept[IllegalArgumentException](DeltaDv.z85Decode("abc"))
+    // portable RoaringBitmapArray: multi-bucket (row index past 2^32)
+    val positions = Seq(0L, 5L, 1000000L, (1L << 32) + 7L)
+    val data = DeltaDv.serializePositions(positions)
+    assert(DeltaDv.deserializePositions(data) === positions.sorted)
+    assert(DeltaDv.cardinality(data) === 4L)
+    val bms = DeltaDv.deserializeBitmaps(data)
+    assert(DeltaDv.contains(bms, 5L) && DeltaDv.contains(bms, (1L << 32) + 7L))
+    assert(!DeltaDv.contains(bms, 6L) && !DeltaDv.contains(bms, (2L << 32)))
+    // union without enumeration
+    val u = DeltaDv.union(data, DeltaDv.serializePositions(Seq(5L, 9L)))
+    assert(DeltaDv.deserializePositions(u) === (positions :+ 9L).sorted)
+    // DV file layout: two entries, offsets address each, CRC verified
+    val root = new java.io.File(s"$tmp/dvfile"); root.mkdirs()
+    val d2 = DeltaDv.serializePositions(Seq(42L))
+    val (pathOrInline, offs) = DeltaDv.writeDvFile(root, Seq(data, d2))
+    assert(offs.size === 2)
+    val desc1 = DeltaDv.Descriptor("u", pathOrInline, Some(offs(0)._1),
+      offs(0)._2, 4L)
+    val desc2 = DeltaDv.Descriptor("u", pathOrInline, Some(offs(1)._1),
+      offs(1)._2, 1L)
+    assert(DeltaDv.readPositions(root, desc1) === positions.sorted)
+    assert(DeltaDv.readPositions(root, desc2) === Seq(42L))
+    // inline storage round-trips through z85 (pad to 4-byte groups the
+    // way a writer would choose sizes; our serialized form may not be
+    // 4-aligned, so inline uses its own padding contract — test the
+    // aligned case)
+    val aligned = DeltaDv.serializePositions(Seq(1L, 2L, 3L))
+    if (aligned.length % 4 == 0) {
+      val inline = DeltaDv.Descriptor("i", DeltaDv.z85Encode(aligned),
+        None, aligned.length.toLong, 3L)
+      assert(DeltaDv.readPositions(root, inline) === Seq(1L, 2L, 3L))
+    }
+    // corrupt one byte of the stored bitmap: CRC refuses loudly
+    val dvFile = root.listFiles().filter(_.getName.endsWith(".bin")).head
+    val raf = new java.io.RandomAccessFile(dvFile, "rw")
+    raf.seek(offs(0)._1 + 4 + 2); val b = raf.readByte()
+    raf.seek(offs(0)._1 + 4 + 2); raf.writeByte(b ^ 0x5); raf.close()
+    val e = intercept[IllegalArgumentException] {
+      DeltaDv.readPositions(root, desc1)
+    }
+    assert(e.getMessage.contains("checksum"))
+    // cardinality mismatch refuses (entry 2 is intact)
+    val badCard = desc2.copy(cardinality = 3L)
+    assert(intercept[IllegalArgumentException] {
+      DeltaDv.readPositions(root, badCard)
+    }.getMessage.contains("cardinality"))
+    // unknown storage type refuses
+    assert(intercept[IllegalArgumentException] {
+      DeltaDv.readPositions(root, desc2.copy(storageType = "x"))
+    }.getMessage.contains("storageType"))
+  }
+
+  test("Delta deletion vectors: MoR delete, stacked union, protocol, count, travel") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_dv_spec"
+    DeltaWrite.append((1L to 8L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1), tbl)
+    DeltaWrite.append((11L to 18L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1), tbl)
+    val before = DeltaLog.liveFiles(spark, tbl).toSet
+    assert(before.size === 2)
+    // MoR delete across both files: no rewrite, protocol upgraded
+    val st = DeltaWrite.deleteWhereDv(spark, tbl, col("id") % 2 === 0)
+    assert(st.rowsDeleted === 8L && st.filesTouched === 2 &&
+      st.filesFullyDead === 0)
+    assert(DeltaLog.liveFiles(spark, tbl).toSet === before,
+      "MoR delete rewrote a data file")
+    val (minR, minW, rF, wF) = DeltaLog.currentProtocol(tbl)
+    assert(minR === 3 && minW === 7 && rF === Seq("deletionVectors") &&
+      wF === Seq("deletionVectors"))
+    def ids(v: Option[Long] = None): Seq[Long] =
+      DeltaLog.read(spark, tbl, v).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq
+    assert(ids() === Seq(1L, 3L, 5L, 7L, 11L, 13L, 15L, 17L))
+    // already-dead rows never re-match or re-count; stacked delete UNIONs
+    val st2 = DeltaWrite.deleteWhereDv(spark, tbl,
+      col("id") % 2 === 0 || col("id") < 4)
+    assert(st2.rowsDeleted === 2L, s"re-counted dead rows: $st2")
+    assert(ids() === Seq(5L, 7L, 11L, 13L, 15L, 17L))
+    // one DV per file, merged cardinality declared
+    val adds = DeltaLog.liveAdds(spark, tbl)
+    assert(adds.forall(_.dv.isDefined))
+    assert(adds.map(_.dv.get.cardinality).sorted === Seq(4L, 6L))
+    // metadata-only count subtracts cardinality
+    assert(DeltaLog.countFromStats(spark, tbl) === Some(6L))
+    // time travel: pre-delete epoch sees all 16; after first delete, 8
+    assert(ids(Some(1L)).size === 16)
+    assert(ids(Some(2L)).size === 8)
+    // range scan applies DVs on the kept files
+    assert(DeltaLog.readRange(spark, tbl, "id", Some(1L), Some(8L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(5L, 7L))
+    // predicate-NULL rows are NOT deleted (SQL DELETE semantics)
+    val ntbl = s"$tmp/delta_dv_null"
+    DeltaWrite.append(Seq((1L, Some(1L)), (2L, None), (3L, Some(3L)))
+      .toDF("id", "k").repartition(1), ntbl)
+    DeltaWrite.deleteWhereDv(spark, ntbl, col("k") > 1L)
+    assert(DeltaLog.read(spark, ntbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // no-op predicate: no commit
+    val v0 = DeltaWrite.deleteWhereDv(spark, ntbl, col("id") > 100L).version
+    assert(v0 === DeltaWrite.deleteWhereDv(spark, ntbl, col("id") > 100L).version)
+  }
+
+  test("Delta DV lifecycle: full-file drop, purge, CoW refusals, vacuum, checkpoint, restore") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_dv_life"
+    DeltaWrite.append((1L to 4L).map(i => (i, "a")).toDF("id", "v")
+      .repartition(1), tbl)
+    DeltaWrite.append((11L to 14L).map(i => (i, "b")).toDF("id", "v")
+      .repartition(1), tbl)
+    // a delete matching EVERY row of file 1 drops it outright — no
+    // descriptor a reader would pay to apply forever
+    val st = DeltaWrite.deleteWhereDv(spark, tbl, col("id") < 10L)
+    assert(st.filesFullyDead === 1 && st.filesTouched === 1 &&
+      st.rowsDeleted === 4L)
+    assert(DeltaLog.liveAdds(spark, tbl).forall(_.dv.isEmpty))
+    // now a partial DV on file 2, then the CoW refusal set
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 11L)
+    for ((name, op) <- Seq[(String, () => Any)](
+      ("merge", () => DeltaWrite.merge(tbl, Seq((12L, "z")).toDF("id", "v"), Seq("id"))),
+      ("deleteWhere", () => DeltaWrite.deleteWhere(spark, tbl, col("id") === 12L)),
+      ("optimize", () => DeltaWrite.optimize(spark, tbl, 1L << 30)))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("deletion vectors"), s"$name did not refuse")
+    }
+    // checkpoint carries the DV descriptor + feature protocol; a reader
+    // seeded from the checkpoint ALONE still hides the dead row
+    DeltaWrite.checkpoint(spark, tbl)
+    DeltaWrite.expireLog(tbl)
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(12L, 13L, 14L))
+    assert(DeltaLog.countFromStats(spark, tbl) === Some(3L))
+    // purge: materializes live rows, drops descriptors, re-enables CoW
+    val dvBin = new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".bin")).map(_.getName).toSeq
+    assert(dvBin.nonEmpty)
+    val ps = DeltaWrite.purgeDeletionVectors(spark, tbl)
+    assert(ps.filesPurged === 1 && ps.filesAdded === 1)
+    assert(DeltaLog.liveAdds(spark, tbl).forall(_.dv.isEmpty))
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(12L, 13L, 14L))
+    DeltaWrite.optimize(spark, tbl, 1L << 30) // no refusal anymore
+    // purge is idempotent (no-op without DVs)
+    assert(DeltaWrite.purgeDeletionVectors(spark, tbl).filesPurged === 0)
+    // vacuum reclaims the orphaned DV file AND the tombstoned parquet
+    val reclaimed = DeltaWrite.vacuum(spark, tbl, olderThanMs = 0L)
+    assert(dvBin.forall(reclaimed.contains), s"DV bin not reclaimed: $reclaimed")
+    assert(DeltaLog.read(spark, tbl).count() === 3L)
+    ()
+  }
+
+  test("Delta DV restore: re-adds carry the epoch's descriptor; vacuumed DV refused") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_dv_restore"
+    DeltaWrite.append((1L to 6L).map(i => (i, "a")).toDF("id", "v")
+      .repartition(1), tbl) // v0
+    val d1 = DeltaWrite.deleteWhereDv(spark, tbl, col("id") <= 2L) // v1
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 3L) // v2: union DV
+    def ids(): Seq[Long] = DeltaLog.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids() === Seq(4L, 5L, 6L))
+    // restore to the v1 epoch: same path, DIFFERENT descriptor — the
+    // re-add must carry v1's DV, not keep v2's
+    val st = DeltaWrite.restoreTo(spark, tbl, d1.version)
+    assert(st.filesRemoved === 1 && st.filesReAdded === 1)
+    assert(ids() === Seq(3L, 4L, 5L, 6L))
+    // restore to the no-DV epoch resurrects everything
+    DeltaWrite.restoreTo(spark, tbl, 0L)
+    assert(ids() === Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // drop every descriptor-bearing epoch's DV file, then restoring to
+    // a DV epoch refuses loudly
+    new java.io.File(tbl).listFiles()
+      .filter(_.getName.endsWith(".bin")).foreach(_.delete())
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.restoreTo(spark, tbl, d1.version)
+    }
+    assert(e.getMessage.contains("deletion-vector"))
   }
 }

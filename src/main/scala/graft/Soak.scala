@@ -200,7 +200,9 @@ object Soak {
       // round-14 additions (PerfProbe warm run2 at sf0.1)
       "x30_iceberg_v2_deletes" -> 3.69, "x31_iceberg_rewrite" -> 3.20,
       "x32_iceberg_part_write" -> 0.86, "x33_iceberg_part_prune" -> 1.05,
-      "x34_delta_merge_evolve" -> 1.96, "e16_stream_ingest_lsh" -> 7.03)
+      "x34_delta_merge_evolve" -> 1.96, "e16_stream_ingest_lsh" -> 7.03,
+      // round-14 second batch (PerfProbe warm run2 at sf0.1)
+      "x36_delta_dv_deletes" -> 2.28, "x37_delta_dv_purge" -> 1.95)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -244,13 +246,26 @@ object Soak {
       // incremental-dedup scale contract)
       "x30_iceberg_v2_deletes", "x31_iceberg_rewrite",
       "x32_iceberg_part_write", "x33_iceberg_part_prune",
-      "x34_delta_merge_evolve", "e16_stream_ingest_lsh")
+      "x34_delta_merge_evolve", "e16_stream_ingest_lsh",
+      // Delta deletion vectors: MoR delete + purge lifecycle — the DV
+      // bitmap filter's cost staying sublinear (bitmap bytes, not rows)
+      // is the scale contract
+      "x36_delta_dv_deletes", "x37_delta_dv_purge")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined
 
+    // Optional local-iteration filter (Verify's GRAFT_VERIFY_ONLY analog):
+    // GRAFT_SOAK_ONLY=x36,x37 soaks only matching prefixes. Driver/full
+    // runs set nothing.
+    val selected = sys.env.get("GRAFT_SOAK_ONLY") match {
+      case Some(ps) =>
+        val prefixes = ps.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        queries.filter(n => prefixes.exists(n.startsWith))
+      case None => queries
+    }
     var total = 0.0
-    queries.foreach { name =>
+    selected.foreach { name =>
       spark.catalog.clearCache()
       // drop leaked localCheckpoint blocks from the previous query: the
       // catalog cache doesn't track them, and across a 64-query session
@@ -273,7 +288,7 @@ object Soak {
         ratio.fold("null")(r => f"$r%.2f")},"status":"$status"}""")
       System.gc()
     }
-    println(f"""{"soak_total":$total%.2f,"queries":${queries.size}}""")
+    println(f"""{"soak_total":$total%.2f,"queries":${selected.size}}""")
     spark.stop()
   }
 }

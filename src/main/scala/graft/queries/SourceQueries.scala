@@ -917,6 +917,76 @@ object SourceQueries {
              AND o_orderstatus <> 'F')
       ORDER BY o_orderkey""")),
 
+    // x38: DELTA CHANGE DATA FEED — the protocol's CDC read surface:
+    // with delta.enableChangeDataFeed set, merge publishes its exact
+    // update_preimage/update_postimage/insert rows and a DV delete its
+    // delete rows as `_change_data/` files (cdc actions); pure-insert
+    // appends derive from add actions. The feed reads ONLY each commit's
+    // changed files — O(changed bytes) per version. The read happens
+    // AFTER a DV purge and an OPTIMIZE, pinning that dataChange:false
+    // commits are invisible and cdc files survive maintenance; the
+    // pre-CDF append stays out of the feed (and reading before the
+    // property refuses, pinned in-query). The oracle recomputes every
+    // change row relationally.
+    QueryDef("x38_delta_cdf", (s, d) => {
+      val tbl = s"$stage/delta_cdf"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 0), tbl) // v0, pre-CDF
+      graft.sources.DeltaWrite.enableChangeDataFeed(s, tbl) // v1
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 2), tbl) // v2: derived inserts
+      val src = o.filter(col("o_orderkey") % 8 === 0 ||
+          col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      graft.sources.DeltaWrite.merge(tbl, src, Seq("o_orderkey")) // v3: cdc
+      graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderstatus") === "F") // v4: cdc
+      // maintenance is invisible to the feed (dataChange:false)
+      graft.sources.DeltaWrite.purgeDeletionVectors(s, tbl) // v5
+      graft.sources.DeltaWrite.optimize(s, tbl, smallFileBytes = 1L << 30) // v6
+      // reading from before the property was set refuses loudly
+      val refused =
+        try { graft.sources.DeltaLog.tableChanges(s, tbl, 0L); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "feed served history before CDF was enabled")
+      graft.sources.DeltaLog.tableChanges(s, tbl, 2L)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("_change_type"),
+          col("_commit_version").cast("long").as("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("o_orderkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+          'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        FROM orders WHERE o_orderkey % 4 = 2
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice AS DOUBLE), 'update_preimage', 3
+        FROM orders WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 1 AS DOUBLE), 'update_postimage', 3
+        FROM orders WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 1 AS DOUBLE), 'insert', 3
+        FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(CASE WHEN o_orderkey % 8 = 0 OR o_orderkey % 2 = 1
+               THEN o_totalprice + 1 ELSE o_totalprice END AS DOUBLE),
+          'delete', 4
+        FROM orders
+        WHERE o_orderstatus = 'F'
+      ) ORDER BY _commit_version, _change_type, o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

@@ -510,6 +510,158 @@ object DeltaLog {
     else None
   }
 
+  /** CHANGE DATA FEED read: every row change committed in versions
+    * `[fromVersion, toVersion]` (inclusive; None = current), as the table
+    * columns plus `_change_type` (insert / delete / update_preimage /
+    * update_postimage), `_commit_version`, `_commit_timestamp` — the
+    * Delta protocol's CDC read surface.
+    *
+    * Per-commit rule (the protocol's): when a commit carries `cdc`
+    * actions, they ARE the change set (reading `_change_data/` files the
+    * writer published); otherwise changes derive from the data actions —
+    * `add dataChange:true` files are inserts, `remove dataChange:true`
+    * files are deletes of their full content (readable until VACUUM
+    * reclaims the tombstone — a vacuumed remove refuses loudly rather
+    * than silently dropping changes). `dataChange:false` commits
+    * (OPTIMIZE, DV purge, checkpointing) are invisible by construction.
+    * A DV commit without cdc actions refuses: its add/remove pair
+    * re-names the same file, so derivation cannot see which rows died.
+    *
+    * Scale posture: the feed reads ONLY each commit's changed files —
+    * O(changed bytes) per version, never a table scan; each commit's
+    * files decode through the metaData schema in force AT that version
+    * (NULL-filling across evolutions via unionByName).
+    */
+  def tableChanges(spark: SparkSession, tablePath: String,
+      fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    require(logDir.isDirectory, s"not a Delta table (no _delta_log): $tablePath")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("""\d{20}\.json"""))
+      .sortBy(_.getName)
+    require(commits.nonEmpty, s"no commits in $logDir")
+    val maxV = toVersion.getOrElse(versionOf(commits.last))
+    require(fromVersion <= maxV,
+      s"empty change range: fromVersion $fromVersion > toVersion $maxV")
+    // the retained log must cover the range — a checkpoint-expired prefix
+    // cannot be replayed as a feed
+    require(versionOf(commits.head) <= fromVersion,
+      s"change feed start $fromVersion predates the retained log " +
+        s"(oldest commit: ${versionOf(commits.head)}) in $logDir")
+    // the property must cover the WHOLE range (real Delta's rule): a
+    // commit made before enablement wrote no cdc actions, so serving it
+    // would silently misreport in-place changes as plain add/removes
+    require(cdfIsEnabled(spark, tablePath, maxV) &&
+        cdfIsEnabled(spark, tablePath, fromVersion),
+      s"change data feed is not enabled on $tablePath for the full range " +
+        s"[$fromVersion, $maxV] (set delta.enableChangeDataFeed via " +
+        "DeltaWrite.enableChangeDataFeed; history before the property is " +
+        "not readable as a feed)")
+    val perCommit = commits
+      .filter(f => versionOf(f) >= fromVersion && versionOf(f) <= maxV)
+      .flatMap { f =>
+        val v = versionOf(f)
+        var cdcPaths = List.empty[String]
+        var addPaths = List.empty[String]
+        var addHasDv = false
+        var removePaths = List.empty[String]
+        Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+          .filter(_.trim.nonEmpty).foreach { line =>
+            MiniJson.parseObject(line).foreach { action =>
+              action.get("cdc").foreach { case m: Map[_, _] =>
+                val a = m.asInstanceOf[Map[String, Any]]
+                cdcPaths ::= pathOf(a, f)
+              case _ => }
+              action.get("add").foreach { case m: Map[_, _] =>
+                val a = m.asInstanceOf[Map[String, Any]]
+                if (a.get("dataChange").contains(true)) {
+                  addPaths ::= pathOf(a, f)
+                  if (a.get("deletionVector").exists(_.isInstanceOf[Map[_, _]]))
+                    addHasDv = true
+                  require(a.get("partitionValues").collect {
+                    case pm: Map[_, _] => pm.nonEmpty }.getOrElse(false) == false,
+                    s"change feed supports unpartitioned tables: $tablePath")
+                }
+              case _ => }
+              action.get("remove").foreach { case m: Map[_, _] =>
+                val a = m.asInstanceOf[Map[String, Any]]
+                if (a.get("dataChange").contains(true))
+                  removePaths ::= pathOf(a, f)
+              case _ => }
+            }
+          }
+        if (cdcPaths.isEmpty && addPaths.isEmpty && removePaths.isEmpty) None
+        else Some((v, f.lastModified, cdcPaths.reverse, addPaths.reverse,
+          addHasDv, removePaths.reverse))
+      }
+    def resolve(rel: String): String =
+      if (rel.contains("://") || rel.startsWith("/")) rel
+      else new File(root, URLDecoder.decode(rel, "UTF-8")).getPath
+    val frames = perCommit.flatMap {
+      case (v, mtime, cdcPaths, addPaths, addHasDv, removePaths) =>
+        val schemaAt = metaSchema(spark, tablePath, Some(v))
+        def scan(paths: Seq[String], withChangeType: Boolean): DataFrame = {
+          val abs = paths.map(resolve)
+          abs.foreach(p => require(new File(p).isFile,
+            s"change-feed file for version $v was vacuumed: $p"))
+          schemaAt match {
+            case Some(st) if !withChangeType =>
+              spark.read.schema(st).parquet(abs: _*)
+            case Some(st) =>
+              val withCt = org.apache.spark.sql.types.StructType(
+                st.fields :+ org.apache.spark.sql.types.StructField(
+                  "_change_type", org.apache.spark.sql.types.StringType))
+              spark.read.schema(withCt).parquet(abs: _*)
+            case None => spark.read.parquet(abs: _*)
+          }
+        }
+        val changed: Seq[DataFrame] =
+          if (cdcPaths.nonEmpty) Seq(scan(cdcPaths, withChangeType = true))
+          else {
+            require(!addHasDv,
+              s"version $v of $tablePath re-adds a file with a deletion " +
+                "vector but carries no cdc action — the changed rows " +
+                "cannot be derived from add/remove (foreign writer " +
+                "without CDF); read the snapshots instead")
+            val ins = if (addPaths.isEmpty) Seq.empty else Seq(
+              scan(addPaths, withChangeType = false)
+                .withColumn("_change_type", lit("insert")))
+            val del = if (removePaths.isEmpty) Seq.empty else Seq(
+              scan(removePaths, withChangeType = false)
+                .withColumn("_change_type", lit("delete")))
+            ins ++ del
+          }
+        changed.map(_
+          .withColumn("_commit_version", lit(v))
+          // epoch millis → timestamp arithmetically (string rendering
+          // would depend on the JVM default timezone)
+          .withColumn("_commit_timestamp",
+            (lit(mtime) / 1000.0).cast("timestamp")))
+    }
+    if (frames.isEmpty)
+      read(spark, tablePath)
+        .withColumn("_change_type", lit(null: String))
+        .withColumn("_commit_version", lit(0L))
+        .withColumn("_commit_timestamp",
+          to_timestamp(lit(null: String)))
+        .limit(0)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Is `delta.enableChangeDataFeed` set in the metaData in force at
+    * `versionAsOf`?
+    */
+  private def cdfIsEnabled(spark: SparkSession, tablePath: String,
+      versionAsOf: Long): Boolean =
+    tableMetaData(spark, tablePath, Some(versionAsOf))
+      .flatMap(_.get("configuration"))
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("delta.enableChangeDataFeed"))
+      .collect { case s: String => s }
+      .exists(_.equalsIgnoreCase("true"))
+
   /** The table's current protocol action (minReaderVersion,
     * minWriterVersion, readerFeatures, writerFeatures), defaulting to
     * (1, 2, [], []) when the retained log carries none — the writer's

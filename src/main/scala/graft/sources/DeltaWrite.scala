@@ -252,17 +252,39 @@ object DeltaWrite {
       .join(broadcast(srcKeys), keys, "leftsemi")
       .select(col("__graft_file")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val (survivors, rowsUpdated) =
-      if (touched.isEmpty) (None, 0L)
-      else {
-        // decode through the (evolved) table schema so pre-evolution
-        // survivors NULL-fill the new columns in their rewrite
-        val touchedRows = spark.read.schema(target.schema).parquet(touched: _*)
-        (Some(touchedRows.join(broadcast(srcKeys), keys, "leftanti")),
-          touchedRows.join(broadcast(srcKeys), keys, "leftsemi").count())
-      }
+    // decode through the (evolved) table schema so pre-evolution
+    // survivors NULL-fill the new columns in their rewrite
+    val touchedRows =
+      if (touched.isEmpty) None
+      else Some(spark.read.schema(target.schema).parquet(touched: _*))
+    val (survivors, rowsUpdated) = touchedRows match {
+      case None => (None, 0L)
+      case Some(tr) =>
+        (Some(tr.join(broadcast(srcKeys), keys, "leftanti")),
+          tr.join(broadcast(srcKeys), keys, "leftsemi").count())
+    }
     val rowsInserted = srcCount - rowsUpdated
     val out = survivors.fold(src)(_.unionByName(src))
+    // CHANGE DATA FEED: a merge's in-place updates are invisible to
+    // add/remove derivation (survivors would masquerade as
+    // delete+insert), so the commit publishes the exact change rows —
+    // matched old rows as update_preimage, their replacements as
+    // update_postimage, unmatched source rows as insert. All three are
+    // bounded by the batch, one O(batch) write.
+    val cdcActions =
+      if (!cdfEnabled(spark, tablePath)) Seq.empty
+      else {
+        val pre = touchedRows.fold(src.limit(0))(
+          _.join(broadcast(srcKeys), keys, "leftsemi"))
+        val matchedKeys = pre.select(keys.map(col): _*)
+        val post = src.join(broadcast(matchedKeys), keys, "leftsemi")
+        val ins = src.join(broadcast(matchedKeys), keys, "leftanti")
+        stageCdc(
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+            .unionByName(ins.withColumn("_change_type", lit("insert"))),
+          root)
+      }
     val files = stageDataFiles(out, root)
     val version = nextVersion(logDir)
     val names = adds.map(a => new File(a.path).getName)
@@ -288,7 +310,8 @@ object DeltaWrite {
           """"partitionColumns":[],"configuration":{}}}""")
       }
     publish(logDir, version,
-      metaAction ++ removes ++ files.map(addWithStats(_, out.schema)) :+
+      metaAction ++ removes ++ files.map(addWithStats(_, out.schema)) ++
+      cdcActions :+
       """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""")
     MergeStats(version, touched.size, files.size, rowsUpdated, rowsInserted)
   }
@@ -338,6 +361,13 @@ object DeltaWrite {
     val files =
       if (survivors.isEmpty) Seq.empty[File]
       else stageDataFiles(survivors, root)
+    // CDF: survivors re-add under new uuids, so add/remove derivation
+    // would wrongly report them deleted+inserted — publish the exact
+    // deleted rows instead (O(deleted), not O(touched files))
+    val cdcActions =
+      if (!cdfEnabled(spark, tablePath)) Seq.empty
+      else stageCdc(touchedRows.filter(predicate).withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("delete")), root)
     val version = nextVersion(logDir)
     val names = adds.map(a => new File(a.path).getName)
     val removes = touched.map { uri =>
@@ -346,9 +376,87 @@ object DeltaWrite {
       s"""{"remove":{"path":"${jsonEscape(name)}","dataChange":true}}"""
     }
     publish(logDir, version,
-      removes ++ files.map(addWithStats(_, target.schema)) :+
+      removes ++ files.map(addWithStats(_, target.schema)) ++ cdcActions :+
         """{"commitInfo":{"operation":"DELETE","operationParameters":{}}}""")
     DeleteStats(version, touched.size, files.size, rowsDeleted)
+  }
+
+  // ---- CHANGE DATA FEED ----------------------------------------------
+  // The Delta protocol's CDC mechanism: with the
+  // `delta.enableChangeDataFeed` table property set, commits that change
+  // rows IN PLACE (merge updates, deletes) publish the changed rows as
+  // parquet files under `_change_data/`, referenced by `cdc` actions in
+  // the same commit. Pure-insert commits (append) and whole-file removes
+  // write no change file — readers derive insert/delete rows from the
+  // add/remove actions (DeltaLog.tableChanges). dataChange:false commits
+  // (optimize, purge) are invisible to the feed by construction.
+
+  /** Is the change data feed enabled on this table? */
+  def cdfEnabled(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Boolean =
+    DeltaLog.tableMetaData(spark, tablePath)
+      .flatMap(_.get("configuration"))
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("delta.enableChangeDataFeed"))
+      .collect { case s: String => s }
+      .exists(_.equalsIgnoreCase("true"))
+
+  /** Enable the change data feed: ONE metadata-only commit carrying the
+    * table's current metaData action plus the
+    * `delta.enableChangeDataFeed` property (the `ALTER TABLE SET
+    * TBLPROPERTIES` analog). Changes are recorded from the NEXT commit
+    * on — exactly real Delta's rule; history before the property is not
+    * retroactively readable as a feed. Returns the committed version.
+    */
+  def enableChangeDataFeed(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Long = {
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val meta = DeltaLog.tableMetaData(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot enable CDF: no metaData action in the log of $tablePath"))
+    def str(k: String): String = meta.get(k).collect { case s: String => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"metaData action lacks required field $k in $tablePath"))
+    val partCols = meta.get("partitionColumns")
+      .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
+      .getOrElse(Seq.empty)
+    val version = nextVersion(logDir)
+    publish(logDir, version, Seq(
+      s"""{"metaData":{"id":"${jsonEscape(str("id"))}",""" +
+        """"format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${jsonEscape(str("schemaString"))}",""" +
+        s""""partitionColumns":[${partCols.map(c =>
+          "\"" + jsonEscape(c) + "\"").mkString(",")}],""" +
+        """"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+      """{"commitInfo":{"operation":"SET TBLPROPERTIES","operationParameters":{}}}"""))
+    version
+  }
+
+  /** Stage `changes` (table columns + `_change_type`) as parquet under
+    * `_change_data/` and return the cdc actions referencing them. The
+    * feed costs O(changed rows), written once, in the same atomic commit
+    * as the data change itself.
+    */
+  private def stageCdc(changes: DataFrame, root: File): Seq[String] = {
+    val dir = new File(root, "_change_data")
+    dir.mkdirs()
+    val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
+    changes.write.parquet(staging.getPath)
+    val parts = Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0)
+    val moved = parts.map { f =>
+      val dst = new File(dir, s"cdc-${java.util.UUID.randomUUID}.parquet")
+      Files.move(f.toPath, dst.toPath)
+      dst
+    }.toSeq
+    Option(staging.listFiles()).getOrElse(Array.empty)
+      .foreach(f => Files.deleteIfExists(f.toPath))
+    Files.deleteIfExists(staging.toPath)
+    moved.map(f =>
+      s"""{"cdc":{"path":"_change_data/${jsonEscape(f.getName)}",""" +
+        s""""partitionValues":{},"size":${f.length},"dataChange":false}}""")
   }
 
   /** Copy-on-write ops scan live files RAW — on a table with live
@@ -416,8 +524,8 @@ object DeltaWrite {
       s"deleteWhereDv supports unpartitioned tables: $tablePath")
     // match scan: snapshot read (metaData schema + existing DVs applied),
     // keeping only predicate-TRUE rows' physical identity
-    val matched = DeltaLog.read(spark, tablePath)
-      .filter(predicate)
+    val matchedRows = DeltaLog.read(spark, tablePath).filter(predicate)
+    val matched = matchedRows
       .select(col("_metadata.file_path").as("__f"),
         col("_metadata.row_index").as("__i"))
     val serUdf = udf((idx: Seq[Long]) => DeltaDv.serializePositions(idx))
@@ -476,8 +584,16 @@ object DeltaWrite {
       else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
         """"readerFeatures":["deletionVectors"],""" +
         """"writerFeatures":["deletionVectors"]}}""")
+    // CDF: a DV commit re-adds the same path (add/remove derivation is
+    // meaningless) — publish the exact deleted rows from the pre-commit
+    // snapshot, O(matched rows)
+    val cdcActions =
+      if (!cdfEnabled(spark, tablePath)) Seq.empty
+      else stageCdc(matchedRows.withColumn("_change_type",
+        org.apache.spark.sql.functions.lit("delete")), root)
     val version = nextVersion(logDir)
-    publish(logDir, version, protoAction ++ deadActions ++ dvActions :+
+    publish(logDir, version,
+      protoAction ++ deadActions ++ dvActions ++ cdcActions :+
       """{"commitInfo":{"operation":"DELETE","operationParameters":{"mode":"merge-on-read"}}}""")
     DvDeleteStats(version, merged.size, fullyDead.size, rowsDeleted)
   }
@@ -542,7 +658,10 @@ object DeltaWrite {
     * modification time is at least this old are deleted (real Delta
     * defaults to 7 days to protect in-flight readers; tests pass 0).
     * Returns the deleted file names. Never touches live files, the log,
-    * or non-data files.
+    * or non-data files. Change-data files (`_change_data/`, never in the
+    * live set) age out under the same retention — exactly real Delta's
+    * CDF retention rule; [[DeltaLog.tableChanges]] refuses loudly when a
+    * requested range's change file was reclaimed.
     */
   def vacuum(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {

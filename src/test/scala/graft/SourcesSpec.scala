@@ -1855,6 +1855,69 @@ class SourcesSpec extends SparkSpec {
     ()
   }
 
+  test("Delta change data feed: cdc exactness, derivation, invisibility, retention") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_cdf_spec"
+    def feed(from: Long): Seq[(Long, String, String, Long)] =
+      DeltaLog.tableChanges(spark, tbl, from)
+        .select("id", "v", "_change_type", "_commit_version")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3))).sortBy(t => (t._4, t._3, t._1)).toSeq
+    DeltaWrite.append((1L to 4L).map(i => (i, s"a$i")).toDF("id", "v")
+      .repartition(1), tbl) // v0: pre-CDF
+    assert(!DeltaWrite.cdfEnabled(spark, tbl))
+    assert(DeltaWrite.enableChangeDataFeed(spark, tbl) === 1L)
+    assert(DeltaWrite.cdfEnabled(spark, tbl))
+    DeltaWrite.append(Seq((5L, "a5"), (6L, "a6")).toDF("id", "v")
+      .repartition(1), tbl) // v2: derived inserts
+    DeltaWrite.merge(tbl, Seq((5L, "B5"), (9L, "b9")).toDF("id", "v"),
+      Seq("id")) // v3: cdc update + insert
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 1L) // v4: cdc delete
+    DeltaWrite.purgeDeletionVectors(spark, tbl) // v5: invisible
+    DeltaWrite.optimize(spark, tbl, smallFileBytes = 1L << 30) // v6: invisible
+    assert(feed(2L) === Seq(
+      (5L, "a5", "insert", 2L), (6L, "a6", "insert", 2L),
+      (9L, "b9", "insert", 3L), (5L, "B5", "update_postimage", 3L),
+      (5L, "a5", "update_preimage", 3L),
+      (1L, "a1", "delete", 4L)))
+    // the merge's cdc rows came from a change file, not derivation
+    assert(new java.io.File(tbl, "_change_data").listFiles()
+      .count(_.getName.endsWith(".parquet")) >= 2)
+    // CoW delete on the CDF table reports ONLY the deleted row (survivors
+    // of the rewritten file must not appear as delete+insert)
+    DeltaWrite.deleteWhere(spark, tbl, col("id") === 6L) // v7
+    assert(feed(7L) === Seq((6L, "a6", "delete", 7L)))
+    // maintenance-only range: empty feed, full schema
+    val empty = DeltaLog.tableChanges(spark, tbl, 5L, Some(6L))
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSet === Set("id", "v", "_change_type",
+      "_commit_version", "_commit_timestamp"))
+    // pre-enablement history is not readable as a feed
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.tableChanges(spark, tbl, 0L)
+    }.getMessage.contains("enableChangeDataFeed"))
+    // a DV commit without cdc actions (foreign writer) refuses derivation
+    val adds = DeltaLog.liveAdds(spark, tbl)
+    val one = adds.head
+    DeltaWrite.publish(new java.io.File(tbl, "_delta_log"), 8L, Seq(
+      s"""{"remove":{"path":"${one.recordedPath}","dataChange":true}}""",
+      s"""{"add":{"path":"${one.recordedPath}","partitionValues":{},"size":1,""" +
+        """"modificationTime":1,"dataChange":true,""" +
+        """"deletionVector":{"storageType":"i","pathOrInlineDv":"00000","sizeInBytes":4,"cardinality":0}}}"""))
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.tableChanges(spark, tbl, 8L)
+    }.getMessage.contains("cdc"))
+    // retention: vacuum reclaims aged change files; the feed then refuses
+    DeltaWrite.vacuum(spark, tbl, olderThanMs = 0L)
+    assert(new java.io.File(tbl, "_change_data").listFiles()
+      .count(_.getName.endsWith(".parquet")) === 0)
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.tableChanges(spark, tbl, 2L, Some(4L)).collect()
+    }.getMessage.contains("vacuumed"))
+  }
+
   test("Delta DV restore: re-adds carry the epoch's descriptor; vacuumed DV refused") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -202,7 +202,8 @@ object Soak {
       "x32_iceberg_part_write" -> 0.86, "x33_iceberg_part_prune" -> 1.05,
       "x34_delta_merge_evolve" -> 1.96, "e16_stream_ingest_lsh" -> 7.03,
       // round-14 second batch (PerfProbe warm run2 at sf0.1)
-      "x36_delta_dv_deletes" -> 2.28, "x37_delta_dv_purge" -> 1.95)
+      "x36_delta_dv_deletes" -> 2.28, "x37_delta_dv_purge" -> 1.95,
+      "x38_delta_cdf" -> 4.73, "x39_delta_cdf_mirror" -> 15.43)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -250,7 +251,11 @@ object Soak {
       // Delta deletion vectors: MoR delete + purge lifecycle — the DV
       // bitmap filter's cost staying sublinear (bitmap bytes, not rows)
       // is the scale contract
-      "x36_delta_dv_deletes", "x37_delta_dv_purge")
+      "x36_delta_dv_deletes", "x37_delta_dv_purge",
+      // change data feed: emission + read must track CHANGED bytes, not
+      // table size; the mirror consumer is the full
+      // bootstrap+increments pipeline
+      "x38_delta_cdf", "x39_delta_cdf_mirror")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -987,6 +987,81 @@ object SourceQueries {
         WHERE o_orderstatus = 'F'
       ) ORDER BY _commit_version, _change_type, o_orderkey""")),
 
+    // x39: CDF INCREMENTAL CONSUMER — the reason the feed exists: a
+    // downstream MIRROR table maintained from the change feed alone
+    // (bootstrap = snapshot copy at enablement, then per-poll: read ONLY
+    // the new versions' changes, net them to one winner per key — last
+    // commit wins, preimages dropped — MERGE the upserts, delete the
+    // deletions). Each poll costs O(changed bytes in the range), never a
+    // source re-scan — the real initial-snapshot+increments pattern of a
+    // Delta CDC pipeline. Pinned in-query: the mirror equals the source
+    // snapshot after EVERY poll; the oracle recomputes the final state
+    // relationally.
+    QueryDef("x39_delta_cdf_mirror", (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val src = s"$stage/cdf_src"
+      val mir = s"$stage/cdf_mirror"
+      rmTree(src); rmTree(mir)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 0), src) // v0
+      graft.sources.DeltaWrite.enableChangeDataFeed(s, src) // v1
+      // consumer bootstrap: copy the enabling-time snapshot
+      graft.sources.DeltaWrite.append(
+        graft.sources.DeltaLog.read(s, src, Some(1L)), mir)
+      // the source evolves: insert batch, CDC merge, MoR delete
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 2), src) // v2
+      graft.sources.DeltaWrite.merge(src,
+        o.filter(col("o_orderkey") % 8 === 0 || col("o_orderkey") % 2 === 1)
+          .withColumn("o_totalprice", col("o_totalprice") + 1),
+        Seq("o_orderkey")) // v3
+      graft.sources.DeltaWrite.deleteWhereDv(s, src,
+        col("o_orderstatus") === "F") // v4
+      def poll(from: Long, to: Long): Unit = {
+        val ch = graft.sources.DeltaLog.tableChanges(s, src, from, Some(to))
+          .filter(col("_change_type") =!= "update_preimage")
+        // net effect per key over the range: the LAST commit wins
+        val w = Window.partitionBy("o_orderkey")
+          .orderBy(col("_commit_version").desc)
+        val net = ch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        val ups = net.filter(col("_change_type") =!= "delete")
+          .drop("_change_type", "_commit_version", "_commit_timestamp")
+        if (!ups.isEmpty)
+          graft.sources.DeltaWrite.merge(mir, ups, Seq("o_orderkey"))
+        // poll-bounded driver state: only the range's deleted keys (a
+        // huge retraction batch would anti-join instead)
+        val delKeys = net.filter(col("_change_type") === "delete")
+          .select("o_orderkey").collect().map(_.get(0)).toSeq
+        if (delKeys.nonEmpty)
+          graft.sources.DeltaWrite.deleteWhere(s, mir,
+            col("o_orderkey").isin(delKeys: _*))
+        // the mirror must equal the source snapshot at the poll horizon
+        // (decimal sum: order-independent exactness, the QueryDef rule)
+        def fp(tbl: org.apache.spark.sql.DataFrame) = tbl
+          .agg(count(lit(1)),
+            sum(col("o_totalprice").cast("decimal(28,6)"))).head
+        val a = fp(graft.sources.DeltaLog.read(s, mir))
+        val b = fp(graft.sources.DeltaLog.read(s, src, Some(to)))
+        require(a == b, s"mirror diverged from source@$to: $a vs $b")
+      }
+      poll(2L, 3L)
+      poll(4L, 4L)
+      graft.sources.DeltaLog.read(s, mir)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(CASE WHEN o_orderkey % 8 = 0 OR o_orderkey % 2 = 1
+             THEN o_totalprice + 1 ELSE o_totalprice END AS DOUBLE)
+          AS o_totalprice
+      FROM orders WHERE o_orderstatus <> 'F'
+      ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

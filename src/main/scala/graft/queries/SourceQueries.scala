@@ -1062,6 +1062,63 @@ object SourceQueries {
       FROM orders WHERE o_orderstatus <> 'F'
       ORDER BY o_orderkey""")),
 
+    // x40: DELTA COLUMN MAPPING (name mode) — the minReaderVersion-2
+    // interop surface real Delta writers produce after ALTER COLUMN
+    // operations: parquet files store PHYSICAL `col-<uuid>` names and
+    // the metaData schemaString maps them to logical names. The scan
+    // reads the fully physicalized schema and positional-casts back to
+    // logical — the oracle reads the original table relationally, so a
+    // mis-mapped (or silently NULL-decoded) column breaks the hash.
+    QueryDef("x40_delta_column_mapping", (s, d) => {
+      import org.apache.spark.sql.types._
+      val tbl = s"$stage/delta_mapped"
+      rmTree(tbl)
+      new java.io.File(tbl).mkdirs()
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // stage physical-named data files (what a mapped writer produces)
+      val staging = s"$tbl/.stage"
+      o.select(col("o_orderkey").as("col-1a"),
+          col("o_orderstatus").as("col-2b"),
+          col("o_totalprice").as("col-3c"))
+        .coalesce(2).write.parquet(staging)
+      val parts = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val moved = parts.zipWithIndex.map { case (f, i) =>
+        val dst = new java.io.File(tbl, s"data-$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst
+      }
+      def m(p: String, id: Int) = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", p)
+        .putLong("delta.columnMapping.id", id).build()
+      val logical = StructType(Seq(
+        StructField("o_orderkey",
+          o.schema("o_orderkey").dataType, nullable = true, m("col-1a", 1)),
+        StructField("o_orderstatus", StringType, nullable = true, m("col-2b", 2)),
+        StructField("o_totalprice",
+          o.schema("o_totalprice").dataType, nullable = true, m("col-3c", 3))))
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val logDir = new java.io.File(tbl, "_delta_log"); logDir.mkdirs()
+      graft.sources.DeltaWrite.publish(logDir, 0L, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"x40","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+          """"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""") ++
+        moved.map(f =>
+          s"""{"add":{"path":"${f.getName}","partitionValues":{},""" +
+            s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+            """"dataChange":true}}"""))
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

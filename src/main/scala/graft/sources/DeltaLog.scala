@@ -57,19 +57,95 @@ object DeltaLog {
     */
   private[sources] val DvFeature = "deletionVectors"
 
+  private[sources] val CmFeature = "columnMapping"
+
   private def checkProtocol(minReader: Long, readerFeatures: Seq[Any],
       where: String): Unit = {
     val feats = readerFeatures.collect { case s: String => s }
     val ok =
-      (minReader <= 1L && readerFeatures.isEmpty) ||
+      (minReader <= 2L && readerFeatures.isEmpty) ||
         (minReader == 3L && feats.size == readerFeatures.size &&
-          feats.toSet.subsetOf(Set(DvFeature)))
+          feats.toSet.subsetOf(Set(DvFeature, CmFeature)))
     require(ok,
       s"unsupported Delta reader protocol in $where: minReaderVersion=" +
         s"$minReader, readerFeatures=${readerFeatures.mkString("[", ",", "]")}" +
-        " — this reader supports minReaderVersion <= 1 with no reader " +
-        s"features, or minReaderVersion 3 with readerFeatures ⊆ [$DvFeature]" +
-        " (column mapping would decode silently wrong)")
+        " — this reader supports minReaderVersion <= 2 with no reader " +
+        s"features, or minReaderVersion 3 with readerFeatures ⊆ " +
+        s"[$DvFeature, $CmFeature]. Column-mapping semantics are enforced " +
+        "at scan time from the metaData (name mode decoded, id mode " +
+        "refused loudly)")
+  }
+
+  // ---- COLUMN MAPPING --------------------------------------------------
+  // minReaderVersion 2 / the columnMapping table feature: parquet files
+  // store PHYSICAL field names (e.g. `col-<uuid>`), and the metaData
+  // schemaString carries each logical field's
+  // `delta.columnMapping.physicalName` metadata. NAME mode is decoded
+  // here: scan with the fully physicalized schema (every nesting level —
+  // parquet resolves nested fields by name), then rename back to logical
+  // via a positional struct cast. ID mode (parquet field-id resolution)
+  // is refused loudly rather than decoded wrong.
+
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  /** `delta.columnMapping.mode` from the metaData configuration. */
+  private[sources] def mappingMode(meta: Option[Map[String, Any]]): String =
+    meta.flatMap(_.get("configuration"))
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .flatMap(_.get("delta.columnMapping.mode"))
+      .collect { case s: String => s }
+      .getOrElse("none")
+
+  private def physName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+    else f.name
+
+  /** Rename every nesting level to physical names (the on-disk shape). */
+  private def physicalize(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(physName(f), physicalize(f.dataType), f.nullable)))
+      case ArrayType(et, n) => ArrayType(physicalize(et), n)
+      case MapType(k, v, n) => MapType(physicalize(k), physicalize(v), n)
+      case other => other
+    }
+  }
+
+  /** Strip mapping metadata, keeping logical names (the cast target). */
+  private def logicalType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        StructField(f.name, logicalType(f.dataType), f.nullable)))
+      case ArrayType(et, n) => ArrayType(logicalType(et), n)
+      case MapType(k, v, n) => MapType(logicalType(k), logicalType(v), n)
+      case other => other
+    }
+  }
+
+  /** NAME-mode scan: physical-schema read + positional cast back to
+    * logical names at every nesting level. DVs compose (the filter rides
+    * `_metadata`, not column names).
+    */
+  private def scanNameMapped(spark: SparkSession, tablePath: String,
+      adds: Seq[LiveFile],
+      logical: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(adds.forall(_.partitionValues.isEmpty),
+      s"column-mapped partitioned tables are not supported: $tablePath " +
+        "(partitionValues are keyed by physical names — rewrite or read " +
+        "the files directly)")
+    val physical = physicalize(logical)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val base = applyDv(spark,
+      spark.read.schema(physical).parquet(adds.map(_.path): _*),
+      adds, new File(tablePath))
+    base.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+      col(s"`${pf.name}`").cast(logicalType(lf.dataType)).as(lf.name)
+    }.toSeq: _*)
   }
 
   /** Parse an add action's `deletionVector` descriptor (JSON-decoded map
@@ -332,11 +408,19 @@ object DeltaLog {
     val (kept, _) = pruneByStats(spark, tablePath, column, lo, hi)
     val base =
       if (kept.nonEmpty)
-        // stats bounds may only WIDEN under a DV (they describe the
-        // physical file) — pruning stays sound; the DV filter then drops
-        // the dead rows the kept files still physically hold
-        applyDv(spark, spark.read.parquet(kept.map(_.path): _*), kept,
-          new File(tablePath))
+        requireMappingReadable(spark, tablePath, None) match {
+          case Some(logical) =>
+            // NAME mode: a mapped table's add stats are keyed by physical
+            // names, so pruneByStats keeps every file (sound: skipping may
+            // only shrink) and the logical-named scan filters row-exactly
+            scanNameMapped(spark, tablePath, kept, logical)
+          case None =>
+            // stats bounds may only WIDEN under a DV (they describe the
+            // physical file) — pruning stays sound; the DV filter then
+            // drops the dead rows the kept files still physically hold
+            applyDv(spark, spark.read.parquet(kept.map(_.path): _*), kept,
+              new File(tablePath))
+        }
       else { // schema from the full snapshot, zero rows
         read(spark, tablePath).limit(0)
       }
@@ -559,6 +643,8 @@ object DeltaLog {
         s"[$fromVersion, $maxV] (set delta.enableChangeDataFeed via " +
         "DeltaWrite.enableChangeDataFeed; history before the property is " +
         "not readable as a feed)")
+    require(mappingMode(tableMetaData(spark, tablePath, Some(maxV))) == "none",
+      s"change feed over a column-mapped table is not supported: $tablePath")
     val perCommit = commits
       .filter(f => versionOf(f) >= fromVersion && versionOf(f) <= maxV)
       .flatMap { f =>
@@ -790,6 +876,11 @@ object DeltaLog {
     // file predates. Partitioned tables keep inference: their partition
     // columns live in the log, not the files, and are injected below.
     val root = new File(tablePath)
+    requireMappingReadable(spark, tablePath, versionAsOf) match {
+      case Some(logical) => // NAME-mode column mapping
+        return scanNameMapped(spark, tablePath, adds, logical)
+      case None => ()
+    }
     if (adds.forall(_.partitionValues.isEmpty))
       metaSchema(spark, tablePath, versionAsOf) match {
         case Some(st) =>
@@ -799,6 +890,28 @@ object DeltaLog {
       }
     scanWithPv(spark, adds, root)
   }
+
+  /** Mapping-mode gate shared by the scan paths: None for an unmapped
+    * table (scan normally), Some(logical schema) for NAME mode, a loud
+    * refusal for ID mode / a mapped table without a parseable schema.
+    */
+  private def requireMappingReadable(spark: SparkSession, tablePath: String,
+      versionAsOf: Option[Long])
+      : Option[org.apache.spark.sql.types.StructType] =
+    mappingMode(tableMetaData(spark, tablePath, versionAsOf)) match {
+      case "none" => None
+      case "name" =>
+        Some(metaSchema(spark, tablePath, versionAsOf).getOrElse(
+          throw new IllegalArgumentException(
+            s"column-mapped table without a parseable schemaString: " +
+              tablePath)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"delta.columnMapping.mode '$other' is not supported in " +
+            s"$tablePath — this reader decodes name mode; id mode " +
+            "(parquet field-id resolution) would need field-id matching " +
+            "and is refused rather than decoded wrong")
+    }
 
   /** ONE distributed parquet scan over `adds` with the log's partition
     * values injected via a broadcast (file -> pv) map when any add

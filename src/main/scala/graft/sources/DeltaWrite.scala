@@ -206,6 +206,7 @@ object DeltaWrite {
     require(adds.forall(_.partitionValues.isEmpty),
       s"merge supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "merge", tablePath)
+    requireNotMapped(spark, tablePath, "merge")
     // decode through the metaData schema when the log carries one: after
     // a prior evolution the live files are physically mixed and footer
     // inference would pick whichever file won
@@ -341,6 +342,7 @@ object DeltaWrite {
     require(adds.forall(_.partitionValues.isEmpty),
       s"deleteWhere supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "deleteWhere", tablePath)
+    requireNotMapped(spark, tablePath, "deleteWhere")
     val target = spark.read.parquet(adds.map(_.path): _*)
     val touched = target
       .withColumn("__graft_file", col("_metadata.file_path"))
@@ -422,6 +424,16 @@ object DeltaWrite {
     val partCols = meta.get("partitionColumns")
       .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
       .getOrElse(Seq.empty)
+    // PRESERVE existing configuration keys (dropping, say, a
+    // columnMapping mode would corrupt the table) and add the property
+    val config = meta.get("configuration")
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty)
+      .collect { case (k, v: String) => k -> v } +
+      ("delta.enableChangeDataFeed" -> "true")
+    val configJson = config.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+    }.mkString("{", ",", "}")
     val version = nextVersion(logDir)
     publish(logDir, version, Seq(
       s"""{"metaData":{"id":"${jsonEscape(str("id"))}",""" +
@@ -429,7 +441,7 @@ object DeltaWrite {
         s""""schemaString":"${jsonEscape(str("schemaString"))}",""" +
         s""""partitionColumns":[${partCols.map(c =>
           "\"" + jsonEscape(c) + "\"").mkString(",")}],""" +
-        """"configuration":{"delta.enableChangeDataFeed":"true"}}}""",
+        s""""configuration":$configJson}}""",
       """{"commitInfo":{"operation":"SET TBLPROPERTIES","operationParameters":{}}}"""))
     version
   }
@@ -458,6 +470,19 @@ object DeltaWrite {
       s"""{"cdc":{"path":"_change_data/${jsonEscape(f.getName)}",""" +
         s""""partitionValues":{},"size":${f.length},"dataChange":false}}""")
   }
+
+  /** Mutation ops decode files through the logical metaData schema — on
+    * a column-mapped table the files carry PHYSICAL names and that
+    * decode would silently NULL every column. Refuse; read support
+    * (name mode) lives in [[DeltaLog]].
+    */
+  private def requireNotMapped(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      op: String): Unit =
+    require(DeltaLog.mappingMode(
+        DeltaLog.tableMetaData(spark, tablePath)) == "none",
+      s"$op does not support column-mapped tables: $tablePath (data files " +
+        "carry physical names; a logical-schema rewrite would decode wrong)")
 
   /** Copy-on-write ops scan live files RAW — on a table with live
     * deletion vectors they would resurrect the dead rows. Refuse, naming
@@ -522,6 +547,7 @@ object DeltaWrite {
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.forall(_.partitionValues.isEmpty),
       s"deleteWhereDv supports unpartitioned tables: $tablePath")
+    requireNotMapped(spark, tablePath, "deleteWhereDv")
     // match scan: snapshot read (metaData schema + existing DVs applied),
     // keeping only predicate-TRUE rows' physical identity
     val matchedRows = DeltaLog.read(spark, tablePath).filter(predicate)
@@ -621,6 +647,7 @@ object DeltaWrite {
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.forall(_.partitionValues.isEmpty),
       s"purgeDeletionVectors supports unpartitioned tables: $tablePath")
+    requireNotMapped(spark, tablePath, "purgeDeletionVectors")
     val dvAdds = adds.filter(_.dv.isDefined)
     if (dvAdds.isEmpty)
       return PurgeStats(nextVersion(logDir) - 1, 0, 0)
@@ -772,6 +799,7 @@ object DeltaWrite {
     require(adds.forall(_.partitionValues.isEmpty),
       s"optimize supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "optimize", tablePath)
+    requireNotMapped(spark, tablePath, "optimize")
     val small = adds.filter(a => new File(a.path).length < smallFileBytes)
     if (small.size < 2)
       return OptimizeStats(nextVersion(logDir) - 1, 0, 0)

@@ -434,36 +434,36 @@ class SourcesSpec extends SparkSpec {
       (3L, "2024-01-02")))
   }
 
-  test("Delta protocol gate: v3+deletionVectors accepted, column mapping refused") {
+  test("Delta protocol gate: implemented features accepted, unknown ones refused") {
     import java.io.File
     import java.nio.charset.StandardCharsets
     val dir = s"$tmp/delta_v3"
     writeDeltaFixture(dir)
-    // the deletionVectors table feature is fully implemented — a v3
-    // upgrade commit must NOT refuse the table
+    // deletionVectors + columnMapping are implemented — a v3 upgrade
+    // commit with either (or both) must NOT refuse the table
     Files.write(new File(s"$dir/_delta_log", f"${2L}%020d.json").toPath,
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","columnMapping"]}}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
     assert(sources.DeltaLog.liveFiles(spark, dir).nonEmpty)
-    // a feature this reader does NOT implement still refuses loudly
+    // a feature this reader does NOT implement refuses loudly
     Files.write(new File(s"$dir/_delta_log", f"${3L}%020d.json").toPath,
       ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors","columnMapping"]}}""" + "\n")
+        """"readerFeatures":["deletionVectors","v2Checkpoint"]}}""" + "\n")
         .getBytes(StandardCharsets.UTF_8))
     val e = intercept[IllegalArgumentException] {
       sources.DeltaLog.liveFiles(spark, dir)
     }
     assert(e.getMessage.contains("minReaderVersion"))
-    // ...and so does minReaderVersion 2 (legacy column mapping)
+    // minReaderVersion 2 (legacy column mapping) passes the protocol
+    // gate; mapping-mode semantics gate at SCAN time instead — id mode
+    // refuses, name mode decodes (own test)
     val dir2 = s"$tmp/delta_v2"
     writeDeltaFixture(dir2)
     Files.write(new File(s"$dir2/_delta_log", f"${2L}%020d.json").toPath,
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
         .getBytes(StandardCharsets.UTF_8))
-    intercept[IllegalArgumentException] {
-      sources.DeltaLog.liveFiles(spark, dir2)
-    }
+    assert(sources.DeltaLog.liveFiles(spark, dir2).nonEmpty)
     ()
   }
 
@@ -1853,6 +1853,84 @@ class SourcesSpec extends SparkSpec {
     assert(dvBin.forall(reclaimed.contains), s"DV bin not reclaimed: $reclaimed")
     assert(DeltaLog.read(spark, tbl).count() === 3L)
     ()
+  }
+
+  test("Delta column mapping: name mode decodes (nested too), id mode and mutations refuse") {
+    import java.io.File
+    import java.nio.charset.StandardCharsets
+    import org.apache.spark.sql.types._
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    def stageMapped(dir: String, mode: String): Unit = {
+      new File(dir).mkdirs()
+      val phys = Seq((1L, "x", "t1"), (2L, "y", "t2")).toDF("id", "v", "tag")
+        .select(col("id").as("col-aa"), col("v").as("col-bb"),
+          struct(col("tag").as("col-cc")).as("col-dd"))
+      val stagingDir = s"$dir/.stage"
+      phys.coalesce(1).write.parquet(stagingDir)
+      val part = new File(stagingDir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val data = new File(dir, "data-0.parquet")
+      Files.move(part.toPath, data.toPath)
+      def m(p: String, id: Int) = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", p)
+        .putLong("delta.columnMapping.id", id).build()
+      val logical = StructType(Seq(
+        StructField("id", LongType, nullable = true, m("col-aa", 1)),
+        StructField("v", StringType, nullable = true, m("col-bb", 2)),
+        StructField("info", StructType(Seq(
+          StructField("tag", StringType, nullable = true, m("col-cc", 4)))),
+          nullable = true, m("col-dd", 3))))
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val logDir = new File(dir, "_delta_log"); logDir.mkdirs()
+      DeltaWrite.publish(logDir, 0L, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+          s""""configuration":{"delta.columnMapping.mode":"$mode",""" +
+          """"delta.columnMapping.maxColumnId":"4"}}}""",
+        s"""{"add":{"path":"data-0.parquet","partitionValues":{},""" +
+          s""""size":${data.length},"modificationTime":${data.lastModified},""" +
+          """"dataChange":true}}"""))
+    }
+    val tbl = s"$tmp/delta_mapped"
+    stageMapped(tbl, "name")
+    // the scan comes back under LOGICAL names at every nesting level
+    val df = DeltaLog.read(spark, tbl)
+    assert(df.columns.toSeq === Seq("id", "v", "info"))
+    assert(df.schema("info").dataType.asInstanceOf[StructType]
+      .fieldNames.toSeq === Seq("tag"))
+    assert(df.selectExpr("id", "v", "info.tag").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1).toSeq === Seq((1L, "x", "t1"), (2L, "y", "t2")))
+    // readRange routes through the mapped scan (stats are physical-keyed
+    // → nothing pruned, still row-exact)
+    assert(DeltaLog.readRange(spark, tbl, "id", Some(2L), None)
+      .select("v").collect().map(_.getString(0)).toSeq === Seq("y"))
+    // mutations refuse rather than NULL-decoding physical files
+    for ((name, op) <- Seq[(String, () => Any)](
+      ("merge", () => DeltaWrite.merge(tbl,
+        Seq((1L, "z")).toDF("id", "v"), Seq("id"))),
+      ("deleteWhere", () => DeltaWrite.deleteWhere(spark, tbl, col("id") === 1L)),
+      ("deleteWhereDv", () => DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 1L)),
+      ("optimize", () => DeltaWrite.optimize(spark, tbl, 1L << 30)))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("column-mapped"), s"$name did not refuse")
+    }
+    // enabling CDF preserves the mapping config (and the feed refuses)
+    DeltaWrite.enableChangeDataFeed(spark, tbl)
+    assert(DeltaWrite.cdfEnabled(spark, tbl))
+    assert(DeltaLog.read(spark, tbl).count() === 2L) // still decodes
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.tableChanges(spark, tbl, 1L)
+    }.getMessage.contains("column-mapped"))
+    // id mode refuses loudly at scan time
+    val tbl2 = s"$tmp/delta_mapped_id"
+    stageMapped(tbl2, "id")
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.read(spark, tbl2)
+    }.getMessage.contains("columnMapping.mode"))
   }
 
   test("Delta change data feed: cdc exactness, derivation, invisibility, retention") {

@@ -1119,6 +1119,58 @@ object SourceQueries {
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 
+    // x41: ICEBERG INCREMENTAL APPEND SCAN — x38's second-format twin
+    // (real Iceberg's changes-between read): records appended in
+    // snapshots (from, to], dispatched on the spec-required `operation`
+    // summary — append snapshots contribute their ADDED files (O(appended
+    // bytes), never a table scan), a `replace` compaction in the middle
+    // is SKIPPED (rows unchanged by contract — the in-query require pins
+    // no rows carry its snapshot id), and a row-removing snapshot
+    // REFUSES (pinned too). The oracle recomputes both appended batches
+    // with their deterministic snapshot ids.
+    QueryDef("x41_iceberg_incremental", (s, d) => {
+      val tbl = s"$stage/ice_incr"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val s1 = graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 4 === 0), tbl)
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 4 === 2), tbl) // s2
+      val rs = graft.sources.IcebergLog.rewriteDataFiles(s, tbl,
+        targetFiles = 2) // s3: replace — must be invisible
+      val s4 = graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 1), tbl)
+      graft.sources.IcebergLog.deleteWhere(s, tbl,
+        col("o_orderkey") % 16 === 0) // s5: row-removing
+      // a range crossing the delete refuses loudly...
+      val refused =
+        try { graft.sources.IcebergLog.appendsBetween(s, tbl, s1); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "incremental scan planned across a delete snapshot")
+      // ...a range bounded before it serves the appends, skipping the
+      // replace
+      val incr = graft.sources.IcebergLog.appendsBetween(s, tbl, s1, Some(s4))
+      require(incr.filter(col("_snapshot_id") === rs.snapshotId).isEmpty,
+        "compaction snapshot leaked rows into the incremental scan")
+      incr
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("_snapshot_id").cast("long").as("_snapshot_id"))
+        .orderBy(col("_snapshot_id"), col("o_orderkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+          CAST(2 AS BIGINT) AS _snapshot_id
+        FROM orders WHERE o_orderkey % 4 = 2
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice AS DOUBLE), 4
+        FROM orders WHERE o_orderkey % 2 = 1
+      ) ORDER BY _snapshot_id, o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

@@ -291,10 +291,88 @@ object IcebergLog {
     entries.partition(_.content == 0)
   }
 
+  /** The table's snapshots (id, manifest list, summary), oldest first —
+    * the inspection surface for snapshot operations and sink epochs.
+    */
+  def snapshots(tablePath: String): Seq[Snapshot] =
+    parseMeta(currentMetadataFile(tablePath)).snapshots.sortBy(_.snapshotId)
+
   /** The live parquet data-file paths of a snapshot. */
   def liveFiles(tablePath: String,
       snapshotAsOf: Option[Long] = None): Seq[String] =
     liveEntries(tablePath, snapshotAsOf).map(_.path)
+
+  /** One snapshot's ADDED data files (status 1, content 0) — the files
+    * the commit itself created, straight from its manifests.
+    */
+  private def addedDataFiles(tablePath: String,
+      snap: Snapshot): Seq[String] = {
+    def resolve(p: String): String =
+      if (new File(p).isAbsolute) p else new File(tablePath, p).getPath
+    readAvro(new File(resolve(snap.manifestList)))
+      .map(_.get("manifest_path").toString)
+      .flatMap { mp =>
+        readAvro(new File(resolve(mp))).flatMap { entry =>
+          val status = entry.get("status").asInstanceOf[Int]
+          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val content = df.get("content").asInstanceOf[Int]
+          if (status == 1 && content == 0)
+            Some(resolve(df.get("file_path").toString))
+          else None
+        }
+      }
+  }
+
+  /** INCREMENTAL APPEND SCAN — Iceberg's changes-between read (the
+    * [[DeltaLog.tableChanges]] twin): every record appended in snapshots
+    * `(fromSnapshotId, toSnapshotId]` (from exclusive — 0 = table
+    * creation; to None = current), as the table columns plus
+    * `_snapshot_id`. Dispatch is on each snapshot's spec-required
+    * `operation` summary: `append` snapshots contribute their ADDED data
+    * files (appended files are immutable, so this reads O(appended
+    * bytes), never the table); `replace` (compaction) snapshots are
+    * SKIPPED — rows unchanged by contract; `delete`/`overwrite`/unknown
+    * snapshots REFUSE loudly, exactly real Iceberg's incremental-read
+    * rule — an append-only representation of a row-removing commit does
+    * not exist. Expired history refuses at resolve (the ids are gone
+    * from the metadata).
+    */
+  def appendsBetween(spark: SparkSession, tablePath: String,
+      fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    val toId = toSnapshotId.getOrElse(meta.currentSnapshotId)
+    val ids = meta.snapshots.map(_.snapshotId).sorted
+    require(fromSnapshotId == 0L || ids.contains(fromSnapshotId),
+      s"fromSnapshotId $fromSnapshotId not in table metadata (have " +
+        s"${ids.mkString(",")}) — expired history cannot be read " +
+        "incrementally")
+    require(ids.contains(toId),
+      s"toSnapshotId $toId not in table metadata (have ${ids.mkString(",")})")
+    require(fromSnapshotId <= toId,
+      s"empty range: from $fromSnapshotId > to $toId")
+    val range = meta.snapshots.sortBy(_.snapshotId)
+      .filter(s => s.snapshotId > fromSnapshotId && s.snapshotId <= toId)
+    val frames = range.flatMap { s =>
+      s.summary.get("operation") match {
+        case Some("append") =>
+          val files = addedDataFiles(tablePath, s)
+          if (files.isEmpty) None
+          else Some(spark.read.parquet(files: _*)
+            .withColumn("_snapshot_id", lit(s.snapshotId)))
+        case Some("replace") => None // compaction: rows unchanged
+        case other =>
+          throw new IllegalArgumentException(
+            s"snapshot ${s.snapshotId} of $tablePath has operation " +
+              s"${other.getOrElse("<missing>")} — an incremental APPEND " +
+              "scan cannot represent row-removing commits; read the " +
+              "snapshots instead")
+      }
+    }
+    if (frames.isEmpty)
+      read(spark, tablePath).withColumn("_snapshot_id", lit(0L)).limit(0)
+    else frames.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
 
   /** DATA SKIPPING over manifest bounds: the live files whose recorded
     * [lower, upper] for long-typed `fieldId` can intersect `[lo, hi]`
@@ -497,7 +575,8 @@ object IcebergLog {
     }
     val sid = commitSnapshot(tablePath,
       (data ++ dels).map(existingEntry) ++
-        staged.map(f => FixtureEntry(1, f.getPath, n, content = 1)))
+        staged.map(f => FixtureEntry(1, f.getPath, n, content = 1)),
+      operation = "delete")
     V2DeleteStats(sid, n)
   }
 
@@ -527,7 +606,8 @@ object IcebergLog {
     commitSnapshot(tablePath,
       (data ++ dels).map(existingEntry) ++
         staged.map(f => FixtureEntry(1, f.getPath, n, content = 2,
-          equalityIds = equalityFieldIds)))
+          equalityIds = equalityFieldIds)),
+      operation = "delete")
   }
 
   /** Carry a live entry forward into the next snapshot unchanged:
@@ -1024,7 +1104,8 @@ object IcebergLog {
   private def commitSnapshot(tablePath: String,
       entries: Seq[FixtureEntry],
       summary: Map[String, String] = Map.empty,
-      partitionSpec: Seq[(Int, String)] = Seq.empty): Long = {
+      partitionSpec: Seq[(Int, String)] = Seq.empty,
+      operation: String = "append"): Long = {
     val metaDir = new File(tablePath, "metadata")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
@@ -1039,8 +1120,12 @@ object IcebergLog {
     // declare one carries the prior metadata's forward
     val spec = if (partitionSpec.nonEmpty) partitionSpec else priorSpec
     val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
+    // the spec REQUIRES an `operation` in every snapshot summary; it is
+    // also what the incremental scan dispatches on (append scanned,
+    // replace skipped, delete/overwrite refused)
     val snapJson = snapshotJson(
-      Snapshot(sid, writeSnapshot(metaDir, sid, entries), summary))
+      Snapshot(sid, writeSnapshot(metaDir, sid, entries),
+        summary + ("operation" -> operation)))
     val priorJsons = priorSnaps.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version, sid,
       priorJsons :+ snapJson, spec)
@@ -1199,7 +1284,7 @@ object IcebergLog {
       FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
         upperBounds = e.upperBounds, seq = e.seq)
     } ++ newFiles.map(f => addedEntry(f, statsFields))
-    val sid = commitSnapshot(tablePath, nextEntries)
+    val sid = commitSnapshot(tablePath, nextEntries, operation = "delete")
     DeleteStats(sid, touchedNames.size, newFiles.size, rowsDeleted)
   }
 
@@ -1271,7 +1356,7 @@ object IcebergLog {
     val sid = commitSnapshot(tablePath,
       tombstones ++ staged.map { case (f, pv) =>
         addedEntry(f, statsFields).copy(partitionValues = pv)
-      })
+      }, operation = "replace")
     RewriteStats(sid, data.size, dels.size, staged.size)
   }
 }

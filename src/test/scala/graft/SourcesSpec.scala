@@ -1855,6 +1855,43 @@ class SourcesSpec extends SparkSpec {
     ()
   }
 
+  test("Iceberg incremental append scan: operation dispatch, replace skip, refusals") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_incremental"
+    val s1 = IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    val s2 = IcebergLog.append(Seq((3L, "c")).toDF("id", "v"), tbl)
+    val rs = IcebergLog.rewriteDataFiles(spark, tbl, targetFiles = 1)
+    val s4 = IcebergLog.append(Seq((4L, "d")).toDF("id", "v"), tbl)
+    def rows(from: Long, to: Option[Long] = None): Seq[(Long, Long)] =
+      IcebergLog.appendsBetween(spark, tbl, from, to)
+        .select("id", "_snapshot_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    // from = 0: full history; replace contributes nothing
+    assert(rows(0L) === Seq((1L, s1), (2L, s1), (3L, s2), (4L, s4)))
+    assert(rows(s2) === Seq((4L, s4)))
+    // bounded to the replace snapshot: empty but schema-complete
+    val empty = IcebergLog.appendsBetween(spark, tbl, s2, Some(rs.snapshotId))
+    assert(empty.count() === 0L &&
+      empty.columns.toSet === Set("id", "v", "_snapshot_id"))
+    // every snapshot records the spec-required operation summary
+    val ops = IcebergLog.snapshots(tbl).map(sn =>
+      sn.snapshotId -> sn.summary.get("operation"))
+    assert(ops.toMap === Map(s1 -> Some("append"), s2 -> Some("append"),
+      rs.snapshotId -> Some("replace"), s4 -> Some("append")))
+    // a row-removing snapshot refuses; ranges before it still serve
+    IcebergLog.deleteWhere(spark, tbl, col("id") === 1L)
+    assert(intercept[IllegalArgumentException] {
+      IcebergLog.appendsBetween(spark, tbl, s1)
+    }.getMessage.contains("row-removing"))
+    assert(rows(s1, Some(s4)) === Seq((3L, s2), (4L, s4)))
+    // unknown snapshot ids refuse (expired history)
+    assert(intercept[IllegalArgumentException] {
+      IcebergLog.appendsBetween(spark, tbl, 999L)
+    }.getMessage.contains("not in table metadata"))
+  }
+
   test("Delta column mapping: name mode decodes (nested too), id mode and mutations refuse") {
     import java.io.File
     import java.nio.charset.StandardCharsets

@@ -203,7 +203,9 @@ object Soak {
       "x34_delta_merge_evolve" -> 1.96, "e16_stream_ingest_lsh" -> 7.03,
       // round-14 second batch (PerfProbe warm run2 at sf0.1)
       "x36_delta_dv_deletes" -> 2.28, "x37_delta_dv_purge" -> 1.95,
-      "x38_delta_cdf" -> 4.73, "x39_delta_cdf_mirror" -> 15.43)
+      "x38_delta_cdf" -> 4.73, "x39_delta_cdf_mirror" -> 15.43,
+      "x40_delta_column_mapping" -> 1.16, "x41_iceberg_incremental" -> 2.89,
+      "x42_iceberg_spec_evolution" -> 1.85)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -255,7 +257,14 @@ object Soak {
       // change data feed: emission + read must track CHANGED bytes, not
       // table size; the mirror consumer is the full
       // bootstrap+increments pipeline
-      "x38_delta_cdf", "x39_delta_cdf_mirror")
+      "x38_delta_cdf", "x39_delta_cdf_mirror",
+      // column-mapped decode and the Iceberg incremental read — both
+      // must track their own bytes (mapped scan = one scan + rename;
+      // incremental = appended bytes only)
+      "x40_delta_column_mapping", "x41_iceberg_incremental",
+      // partition evolution: per-spec manifests must stay sound AND
+      // selective as epochs and file counts grow
+      "x42_iceberg_spec_evolution")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -1171,6 +1171,55 @@ object SourceQueries {
         FROM orders WHERE o_orderkey % 2 = 1
       ) ORDER BY _snapshot_id, o_orderkey""")),
 
+    // x42: ICEBERG PARTITION SPEC EVOLUTION — the lifecycle real tables
+    // hit when the partitioning strategy changes: epoch A lands under
+    // spec 0 (o_orderstatus), epoch B under spec 1 (o_orderpriority);
+    // the metadata records BOTH specs (old files stay interpretable
+    // forever) and each manifest carries ITS epoch's exact partition
+    // struct — so filtering on the NEW column keeps every old-spec file
+    // ("no info", never conflated with a null partition VALUE) and the
+    // residual filter makes the read row-exact across epochs. The
+    // in-query requires pin the spec history, that pruning still shrank
+    // the new epoch, and that old-epoch files survived the filter; the
+    // oracle recomputes the slice over ALL rows — a wrongly-pruned
+    // old-spec file breaks the hash.
+    QueryDef("x42_iceberg_spec_evolution", (s, d) => {
+      val tbl = s"$stage/ice_spec_evo"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_orderpriority"), col("o_totalprice"))
+      graft.sources.IcebergLog.appendPartitioned(
+        o.filter(col("o_orderkey") % 2 === 0), tbl,
+        partitionBy = Seq(3 -> "o_orderstatus"))
+      graft.sources.IcebergLog.appendPartitioned(
+        o.filter(col("o_orderkey") % 2 === 1), tbl,
+        partitionBy = Seq(6 -> "o_orderpriority"))
+      val (specs, defaultId) = graft.sources.IcebergLog.partitionSpecs(tbl)
+      require(specs.map(_._2.map(_._2)) ==
+          Seq(Seq("o_orderstatus"), Seq("o_orderpriority")) && defaultId == 1,
+        s"spec history not recorded: $specs / $defaultId")
+      val (kept, total) = graft.sources.IcebergLog.prunePartitions(tbl,
+        Map("o_orderpriority" -> "1-URGENT"))
+      require(kept.size < total, "evolution filter pruned nothing")
+      // every epoch-A file must survive a new-column filter
+      val epochA = graft.sources.IcebergLog.liveEntries(tbl)
+        .filter(_.partitionValues.keySet == Set("o_orderstatus"))
+      require(epochA.nonEmpty &&
+          epochA.map(_.path).toSet.subsetOf(kept.map(_.path).toSet),
+        "an old-spec file was wrongly pruned by the new partition column")
+      graft.sources.IcebergLog.readPartition(s, tbl,
+          Map("o_orderpriority" -> "1-URGENT"))
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"), col("o_orderpriority"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        o_orderpriority, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+      ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

@@ -56,11 +56,16 @@ object IcebergLog {
       summary: Map[String, String] = Map.empty)
 
   /** Parsed metadata root: format version + snapshots + the current one.
-    * `specFields` is the default partition spec's identity fields as
+    * `specFields` is the DEFAULT partition spec's identity fields as
     * (source field id, column name) — empty for unpartitioned tables.
+    * `specs` is the full spec history ((spec-id, fields)); partition
+    * EVOLUTION appends a new spec and moves `defaultSpecId`, leaving
+    * files written under older specs interpretable forever.
     */
   final case class TableMeta(formatVersion: Long, currentSnapshotId: Long,
-      snapshots: Seq[Snapshot], specFields: Seq[(Int, String)] = Seq.empty)
+      snapshots: Seq[Snapshot], specFields: Seq[(Int, String)] = Seq.empty,
+      specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
+      defaultSpecId: Int = 0)
 
   /** Resolve the table's current metadata JSON: `version-hint.text` names
     * the version if present (the Hadoop-catalog convention), else the
@@ -114,25 +119,30 @@ object IcebergLog {
       }
       case _ => Seq.empty
     }
-    // default partition spec (identity transforms only — the subset this
-    // writer produces); absent/empty on unpartitioned tables
-    val spec = root.get("partition-specs") match {
-      case Some(xs: Seq[_]) => xs.collectFirst {
-        case m: Map[_, _]
-            if m.asInstanceOf[Map[String, Any]].get("spec-id")
-              .contains(0.0) =>
-          m.asInstanceOf[Map[String, Any]].get("fields") match {
-            case Some(fs: Seq[_]) => fs.collect { case f: Map[_, _] =>
-              val fm = f.asInstanceOf[Map[String, Any]]
+    // the full partition-spec history (identity transforms only — the
+    // subset this writer produces); absent/empty on unpartitioned tables
+    val specs: Seq[(Int, Seq[(Int, String)])] =
+      root.get("partition-specs") match {
+        case Some(xs: Seq[_]) => xs.collect { case m: Map[_, _] =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val id = mm.get("spec-id")
+            .collect { case d: Double => d.toInt }.getOrElse(0)
+          val fields = mm.get("fields") match {
+            case Some(fs: Seq[_]) => fs.collect { case fm0: Map[_, _] =>
+              val fm = fm0.asInstanceOf[Map[String, Any]]
               (fm("source-id").asInstanceOf[Double].toInt,
                 fm("name").asInstanceOf[String])
             }
             case _ => Seq.empty[(Int, String)]
           }
-      }.getOrElse(Seq.empty)
-      case _ => Seq.empty
-    }
-    TableMeta(fv, current, snaps, spec)
+          (id, fields)
+        }
+        case _ => Seq.empty
+      }
+    val defaultId = root.get("default-spec-id")
+      .collect { case d: Double => d.toInt }.getOrElse(0)
+    val spec = specs.find(_._1 == defaultId).map(_._2).getOrElse(Seq.empty)
+    TableMeta(fv, current, snaps, spec, specs, defaultId)
   }
 
   private def jsonEscape(x: String): String = x.flatMap {
@@ -296,6 +306,15 @@ object IcebergLog {
     */
   def snapshots(tablePath: String): Seq[Snapshot] =
     parseMeta(currentMetadataFile(tablePath)).snapshots.sortBy(_.snapshotId)
+
+  /** The table's partition-spec history ((spec-id, identity fields)) and
+    * the default spec id — the inspection surface for spec evolution.
+    */
+  def partitionSpecs(tablePath: String)
+      : (Seq[(Int, Seq[(Int, String)])], Int) = {
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    (meta.specs, meta.defaultSpecId)
+  }
 
   /** The live parquet data-file paths of a snapshot. */
   def liveFiles(tablePath: String,
@@ -737,110 +756,136 @@ object IcebergLog {
     * the manifest-list path (table-relative).
     */
   private def writeSnapshot(metaDir: File, sid: Long,
-      entries: Seq[FixtureEntry]): String = {
-    val manifest = new File(metaDir, s"m-$sid.avro")
-    // partition struct fields for this manifest: the union of the
-    // entries' partition columns, typed long where any value is a long
-    // (identity transform keeps the source column's type)
-    val partFields: Seq[(String, String)] = entries
-      .flatMap(_.partitionValues.keys).distinct.sorted.map { n =>
-        val isLong = entries.flatMap(_.partitionValues.get(n))
+      entries: Seq[FixtureEntry],
+      specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty): String = {
+    // ONE MANIFEST PER PARTITION SHAPE (real Iceberg's per-manifest
+    // spec): grouping by each entry's partition-column SET keeps every
+    // manifest's r102 struct exact for ITS files. Under partition
+    // EVOLUTION a carried old-spec entry must never be padded with the
+    // new spec's columns — a padded null is indistinguishable from a
+    // genuine null partition VALUE, and prunePartitions would wrongly
+    // drop the file on a new-column filter even though its data may
+    // contain matching rows. Absent column (file's spec lacks it) must
+    // stay absent, so it maps to "no info — always keep".
+    val groups = entries.groupBy(_.partitionValues.keySet).toSeq
+      .sortBy(_._1.toSeq.sorted.mkString(","))
+    val written = groups.zipWithIndex.map { case ((keys, es), gi) =>
+      val manifest = new File(metaDir, s"m-$sid-$gi.avro")
+      // partition struct fields for THIS group, typed long where any
+      // value is a long (identity transform keeps the source's type)
+      val partFields: Seq[(String, String)] = keys.toSeq.sorted.map { n =>
+        val isLong = es.flatMap(_.partitionValues.get(n))
           .exists(_.isInstanceOf[Long])
         (n, if (isLong) "long" else "string")
       }
-    val entrySchema = manifestEntrySchema(partFields)
-    val dataFileSchema = entrySchema.getField("data_file").schema()
-    val partSchema =
-      if (partFields.isEmpty) None
-      else dataFileSchema.getField("partition").schema()
-        .getTypes.asScala.find(_.getType == Schema.Type.RECORD)
-    def kvArray(fieldName: String,
-        bounds: Map[Int, Array[Byte]]): AnyRef =
-      if (bounds.isEmpty) null
-      else {
-        val arrSchema = dataFileSchema.getField(fieldName).schema()
-          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
-        val arr = new GenericData.Array[GenericRecord](bounds.size, arrSchema)
-        bounds.toSeq.sortBy(_._1).foreach { case (k, v) =>
-          val kv = new GenericData.Record(arrSchema.getElementType)
-          kv.put("key", k)
-          kv.put("value", java.nio.ByteBuffer.wrap(v))
-          arr.add(kv)
-        }
-        arr
-      }
-    writeAvro(manifest, entrySchema, entries.map { e =>
-      val df = new GenericData.Record(dataFileSchema)
-      df.put("content", e.content)
-      df.put("file_path", e.filePath)
-      df.put("file_format", "PARQUET")
-      // entries WITHOUT partition info (delete files, pre-spec files) get
-      // a null struct, which the reader maps to "no info — always keep",
-      // never an all-null record that would wrongly prune
-      partSchema.foreach { ps =>
-        if (e.partitionValues.nonEmpty) {
-          val rec = new GenericData.Record(ps)
-          partFields.foreach { case (n, _) =>
-            rec.put(n, e.partitionValues.getOrElse(n, null) match {
-              case l: Long => Long.box(l)
-              case other => other // String or null
-            })
-          }
-          df.put("partition", rec)
-        }
-      }
-      df.put("record_count", e.recordCount)
-      df.put("file_size_in_bytes", 0L)
-      df.put("equality_ids",
-        if (e.equalityIds.isEmpty) null
+      val entrySchema = manifestEntrySchema(partFields)
+      val dataFileSchema = entrySchema.getField("data_file").schema()
+      val partSchema =
+        if (partFields.isEmpty) None
+        else dataFileSchema.getField("partition").schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.RECORD)
+      def kvArray(fieldName: String,
+          bounds: Map[Int, Array[Byte]]): AnyRef =
+        if (bounds.isEmpty) null
         else {
-          val arrSchema = dataFileSchema.getField("equality_ids").schema()
+          val arrSchema = dataFileSchema.getField(fieldName).schema()
             .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
-          val arr = new GenericData.Array[Integer](e.equalityIds.size, arrSchema)
-          e.equalityIds.foreach(i => arr.add(Int.box(i)))
+          val arr = new GenericData.Array[GenericRecord](bounds.size, arrSchema)
+          bounds.toSeq.sortBy(_._1).foreach { case (k, v) =>
+            val kv = new GenericData.Record(arrSchema.getElementType)
+            kv.put("key", k)
+            kv.put("value", java.nio.ByteBuffer.wrap(v))
+            arr.add(kv)
+          }
           arr
-        })
-      df.put("lower_bounds", kvArray("lower_bounds", e.lowerBounds))
-      df.put("upper_bounds", kvArray("upper_bounds", e.upperBounds))
-      val r = new GenericData.Record(entrySchema)
-      r.put("status", e.status)
-      r.put("snapshot_id", sid)
-      // ADDED entries leave data_sequence_number NULL and inherit the
-      // manifest list's sequence_number (= this snapshot) — the spec's
-      // inheritance form real v2 writers emit, which keeps the read
-      // side's inheritance path exercised by every fixture;
-      // EXISTING/DELETED carry their original commit's sequence
-      r.put("data_sequence_number",
-        if (e.status == 1 || e.forceNullSeq) null else Long.box(e.seq))
-      r.put("data_file", df)
-      r
-    })
+        }
+      writeAvro(manifest, entrySchema, es.map { e =>
+        val df = new GenericData.Record(dataFileSchema)
+        df.put("content", e.content)
+        df.put("file_path", e.filePath)
+        df.put("file_format", "PARQUET")
+        // entries WITHOUT partition info (delete files, pre-spec files)
+        // get a null struct, which the reader maps to "no info — always
+        // keep", never an all-null record that would wrongly prune
+        partSchema.foreach { ps =>
+          if (e.partitionValues.nonEmpty) {
+            val rec = new GenericData.Record(ps)
+            partFields.foreach { case (n, _) =>
+              rec.put(n, e.partitionValues.getOrElse(n, null) match {
+                case l: Long => Long.box(l)
+                case other => other // String or null
+              })
+            }
+            df.put("partition", rec)
+          }
+        }
+        df.put("record_count", e.recordCount)
+        df.put("file_size_in_bytes", 0L)
+        df.put("equality_ids",
+          if (e.equalityIds.isEmpty) null
+          else {
+            val arrSchema = dataFileSchema.getField("equality_ids").schema()
+              .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+            val arr = new GenericData.Array[Integer](e.equalityIds.size, arrSchema)
+            e.equalityIds.foreach(i => arr.add(Int.box(i)))
+            arr
+          })
+        df.put("lower_bounds", kvArray("lower_bounds", e.lowerBounds))
+        df.put("upper_bounds", kvArray("upper_bounds", e.upperBounds))
+        val r = new GenericData.Record(entrySchema)
+        r.put("status", e.status)
+        r.put("snapshot_id", sid)
+        // ADDED entries leave data_sequence_number NULL and inherit the
+        // manifest list's sequence_number (= this snapshot) — the spec's
+        // inheritance form real v2 writers emit, which keeps the read
+        // side's inheritance path exercised by every fixture;
+        // EXISTING/DELETED carry their original commit's sequence
+        r.put("data_sequence_number",
+          if (e.status == 1 || e.forceNullSeq) null else Long.box(e.seq))
+        r.put("data_file", df)
+        r
+      })
+      // the manifest's spec id: the recorded spec whose column set
+      // matches this group (0 for unpartitioned/delete-file groups)
+      val specId = specs.find(_._2.map(_._2).toSet == keys)
+        .map(_._1).getOrElse(0)
+      (manifest, specId)
+    }
     val list = new File(metaDir, s"snap-$sid.avro")
-    val mf = new GenericData.Record(manifestFileSchema)
-    mf.put("manifest_path", s"metadata/m-$sid.avro")
-    mf.put("manifest_length", manifest.length())
-    mf.put("partition_spec_id", 0)
-    mf.put("sequence_number", Long.box(sid))
-    mf.put("added_snapshot_id", sid)
-    writeAvro(list, manifestFileSchema, Seq(mf))
+    writeAvro(list, manifestFileSchema, written.map { case (manifest, specId) =>
+      val mf = new GenericData.Record(manifestFileSchema)
+      mf.put("manifest_path", s"metadata/${manifest.getName}")
+      mf.put("manifest_length", manifest.length())
+      mf.put("partition_spec_id", specId)
+      mf.put("sequence_number", Long.box(sid))
+      mf.put("added_snapshot_id", sid)
+      mf
+    })
     s"metadata/snap-$sid.avro"
   }
 
   private def writeMetadataVersion(metaDir: File, tablePath: String,
       version: Long, currentSid: Long, snapJsons: Seq[String],
-      specFields: Seq[(Int, String)] = Seq.empty): Unit = {
+      specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
+      defaultSpecId: Int = 0): Unit = {
     val target = new File(metaDir, s"v$version.metadata.json")
-    // partition spec (identity transforms; field-ids from 1000 per the
-    // spec's partition-field id space) — the metadata-level record that
-    // makes the per-entry partition structs interpretable
+    // the FULL partition-spec history (identity transforms; partition
+    // field-ids from 1000, unique ACROSS specs per the v2 rule) — the
+    // metadata-level record that keeps every epoch's per-entry partition
+    // structs interpretable after an evolution
     val specJson =
-      if (specFields.isEmpty) ""
+      if (specs.isEmpty) ""
       else {
-        val fs = specFields.zipWithIndex.map { case ((sid, n), i) =>
-          s"""{"name":"${jsonEscape(n)}","transform":"identity",""" +
-            s""""source-id":$sid,"field-id":${1000 + i}}"""
+        val arr = specs.map { case (id, fields) =>
+          require(fields.size < 100,
+            s"partition spec $id has ${fields.size} fields (max 99)")
+          val fs = fields.zipWithIndex.map { case ((sid, n), i) =>
+            s"""{"name":"${jsonEscape(n)}","transform":"identity",""" +
+              s""""source-id":$sid,"field-id":${1000 + id * 100 + i}}"""
+          }.mkString(",")
+          s"""{"spec-id":$id,"fields":[$fs]}"""
         }.mkString(",")
-        s""","partition-specs":[{"spec-id":0,"fields":[$fs]}],"default-spec-id":0"""
+        s""","partition-specs":[$arr],"default-spec-id":$defaultSpecId"""
       }
     val body =
       s"""{"format-version":2,"table-uuid":"graft-table",
@@ -1109,26 +1154,37 @@ object IcebergLog {
     val metaDir = new File(tablePath, "metadata")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    val (priorSnaps, version, priorSpec) =
+    val (priorSnaps, version, priorSpecs, priorDefault) =
       if (hasMeta) {
         val mf = currentMetadataFile(tablePath)
         val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
         val meta = parseMeta(mf)
-        (meta.snapshots, v + 1, meta.specFields)
-      } else (Seq.empty[Snapshot], 1L, Seq.empty[(Int, String)])
-    // the table's partition spec is sticky: a commit that does not
-    // declare one carries the prior metadata's forward
-    val spec = if (partitionSpec.nonEmpty) partitionSpec else priorSpec
+        (meta.snapshots, v + 1, meta.specs, meta.defaultSpecId)
+      } else (Seq.empty[Snapshot], 1L,
+        Seq.empty[(Int, Seq[(Int, String)])], 0)
+    // PARTITION SPEC EVOLUTION: a commit declaring a spec the table has
+    // never seen APPENDS it under the next spec-id and makes it the
+    // default; re-declaring a known spec just re-selects it; declaring
+    // none carries the history and default forward (sticky). Old specs
+    // are never dropped — files written under them stay interpretable.
+    val (specs, defaultId) =
+      if (partitionSpec.isEmpty) (priorSpecs, priorDefault)
+      else priorSpecs.find(_._2 == partitionSpec) match {
+        case Some((id, _)) => (priorSpecs, id)
+        case None =>
+          val nid = (priorSpecs.map(_._1) :+ -1).max + 1
+          (priorSpecs :+ (nid -> partitionSpec), nid)
+      }
     val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
     // the spec REQUIRES an `operation` in every snapshot summary; it is
     // also what the incremental scan dispatches on (append scanned,
     // replace skipped, delete/overwrite refused)
     val snapJson = snapshotJson(
-      Snapshot(sid, writeSnapshot(metaDir, sid, entries),
+      Snapshot(sid, writeSnapshot(metaDir, sid, entries, specs),
         summary + ("operation" -> operation)))
     val priorJsons = priorSnaps.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version, sid,
-      priorJsons :+ snapJson, spec)
+      priorJsons :+ snapJson, specs, defaultId)
     sid
   }
 
@@ -1174,7 +1230,7 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     val survivorJsons = survivors.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version,
-      meta.currentSnapshotId, survivorJsons, meta.specFields)
+      meta.currentSnapshotId, survivorJsons, meta.specs, meta.defaultSpecId)
     val orphanData = Option(new File(root, "data").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&

@@ -1855,6 +1855,50 @@ class SourcesSpec extends SparkSpec {
     ()
   }
 
+  test("Iceberg partition evolution: per-spec manifests, sound pruning across epochs") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_spec_evolution"
+    // epoch A partitioned by v (spec 0); epoch B by cat (spec 1)
+    IcebergLog.appendPartitioned(
+      Seq((1L, "a", "x"), (2L, "b", "y")).toDF("id", "v", "cat"), tbl,
+      partitionBy = Seq(2 -> "v"))
+    IcebergLog.appendPartitioned(
+      Seq((3L, "a", "x"), (4L, "b", "y")).toDF("id", "v", "cat"), tbl,
+      partitionBy = Seq(3 -> "cat"))
+    val (specs, defaultId) = IcebergLog.partitionSpecs(tbl)
+    assert(specs.map { case (id, fs) => id -> fs.map(_._2) } ===
+      Seq(0 -> Seq("v"), 1 -> Seq("cat")))
+    assert(defaultId === 1)
+    // THE evolution pin: filtering on the NEW column must keep every
+    // old-spec file (their spec lacks `cat` — "no info", not "null"),
+    // and the residual filter makes the read row-exact: id=1 has cat=x
+    // IN ITS DATA even though its file is partitioned by v
+    val (kept, total) = IcebergLog.prunePartitions(tbl, Map("cat" -> "x"))
+    assert(total === 4 && kept.size === 3,
+      s"expected 2 old-spec + 1 matching new-spec file, got ${kept.size}")
+    assert(IcebergLog.readPartition(spark, tbl, Map("cat" -> "x"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // ...and symmetrically on the OLD column across new-spec files
+    assert(IcebergLog.readPartition(spark, tbl, Map("v" -> "a"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+    // re-declaring a known spec re-selects it without duplicating
+    IcebergLog.appendPartitioned(
+      Seq((5L, "c", "z")).toDF("id", "v", "cat"), tbl,
+      partitionBy = Seq(2 -> "v"))
+    val (specs2, default2) = IcebergLog.partitionSpecs(tbl)
+    assert(specs2.size === 2 && default2 === 0)
+    // compaction rewrites the WHOLE table under the default spec; the
+    // answer is unchanged and pruning on it is exact again
+    IcebergLog.rewriteDataFiles(spark, tbl)
+    assert(IcebergLog.read(spark, tbl).count() === 5L)
+    val (keptV, totalV) = IcebergLog.prunePartitions(tbl, Map("v" -> "a"))
+    assert(keptV.size < totalV)
+    assert(IcebergLog.readPartition(spark, tbl, Map("v" -> "a"))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L))
+  }
+
   test("Iceberg incremental append scan: operation dispatch, replace skip, refusals") {
     import graft.sources.IcebergLog
     val s = spark

@@ -205,7 +205,7 @@ object Soak {
       "x36_delta_dv_deletes" -> 2.28, "x37_delta_dv_purge" -> 1.95,
       "x38_delta_cdf" -> 4.73, "x39_delta_cdf_mirror" -> 15.43,
       "x40_delta_column_mapping" -> 1.16, "x41_iceberg_incremental" -> 2.89,
-      "x42_iceberg_spec_evolution" -> 1.85)
+      "x42_iceberg_spec_evolution" -> 1.85, "x43_iceberg_refs" -> 2.69)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -264,7 +264,9 @@ object Soak {
       "x40_delta_column_mapping", "x41_iceberg_incremental",
       // partition evolution: per-spec manifests must stay sound AND
       // selective as epochs and file counts grow
-      "x42_iceberg_spec_evolution")
+      "x42_iceberg_spec_evolution",
+      // refs: tag-pinned retention across mutations + expiry
+      "x43_iceberg_refs")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

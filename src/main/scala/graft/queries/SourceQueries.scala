@@ -1220,6 +1220,49 @@ object SourceQueries {
       FROM orders WHERE o_orderpriority = '1-URGENT'
       ORDER BY o_orderkey""")),
 
+    // x43: ICEBERG SNAPSHOT REFS — the named time-travel surface a
+    // training pipeline needs most: tag the exact corpus snapshot a
+    // model trained on ("train-v1"), keep mutating the table, and the
+    // tag (a) still reads byte-identically and (b) PINS its snapshot
+    // through retention — expiry at keep=1 reclaims everything except
+    // the head and the tagged snapshot (pinned in-query, along with
+    // untagged history refusing post-expiry). Metadata-only: creating
+    // the tag writes one metadata version. The oracle recomputes the
+    // tagged epoch relationally.
+    QueryDef("x43_iceberg_refs", (s, d) => {
+      val tbl = s"$stage/ice_refs"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 0), tbl) // s1: the corpus
+      graft.sources.IcebergLog.createRef(tbl, "train-v1")
+      val s2 = graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 1), tbl)
+      graft.sources.IcebergLog.deleteWhere(s, tbl,
+        col("o_orderkey") % 8 === 0) // s3: head
+      graft.sources.IcebergLog.expireSnapshots(tbl, keep = 1)
+      val left = graft.sources.IcebergLog.snapshots(tbl)
+        .map(_.snapshotId).sorted
+      require(left.size == 2 && !left.contains(s2),
+        s"expiry did not keep exactly head + tagged snapshot: $left")
+      // untagged history is gone...
+      val refused =
+        try { graft.sources.IcebergLog.read(s, tbl, Some(s2)).collect(); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "expired untagged snapshot still readable")
+      // ...the tag still reads byte-identically (what the oracle checks)
+      graft.sources.IcebergLog.readRef(s, tbl, "train-v1")
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
+      ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

@@ -65,7 +65,8 @@ object IcebergLog {
   final case class TableMeta(formatVersion: Long, currentSnapshotId: Long,
       snapshots: Seq[Snapshot], specFields: Seq[(Int, String)] = Seq.empty,
       specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
-      defaultSpecId: Int = 0)
+      defaultSpecId: Int = 0,
+      refs: Map[String, (Long, String)] = Map.empty)
 
   /** Resolve the table's current metadata JSON: `version-hint.text` names
     * the version if present (the Hadoop-catalog convention), else the
@@ -142,7 +143,21 @@ object IcebergLog {
     val defaultId = root.get("default-spec-id")
       .collect { case d: Double => d.toInt }.getOrElse(0)
     val spec = specs.find(_._1 == defaultId).map(_._2).getOrElse(Seq.empty)
-    TableMeta(fv, current, snaps, spec, specs, defaultId)
+    // snapshot refs (the spec's named time-travel surface): name →
+    // (snapshot-id, tag|branch)
+    val refs: Map[String, (Long, String)] = root.get("refs") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]].collect {
+        case (n, rm: Map[_, _]) =>
+          val r = rm.asInstanceOf[Map[String, Any]]
+          n -> ((r.get("snapshot-id")
+              .collect { case d: Double => d.toLong }.getOrElse(
+                throw new IllegalArgumentException(
+                  s"ref $n lacks snapshot-id in ${f.getPath}")),
+            r.get("type").collect { case s: String => s }.getOrElse("tag")))
+      }
+      case _ => Map.empty
+    }
+    TableMeta(fv, current, snaps, spec, specs, defaultId, refs)
   }
 
   private def jsonEscape(x: String): String = x.flatMap {
@@ -314,6 +329,73 @@ object IcebergLog {
       : (Seq[(Int, Seq[(Int, String)])], Int) = {
     val meta = parseMeta(currentMetadataFile(tablePath))
     (meta.specs, meta.defaultSpecId)
+  }
+
+  // ---- SNAPSHOT REFS (tags / branches) -------------------------------
+  // The spec's named time-travel surface: `refs` in the metadata maps a
+  // name to a snapshot id. A TAG is an immutable audit pointer ("the
+  // corpus we trained v3 on"); the `main` BRANCH tracks the head on
+  // every commit. Refs gate retention: expireSnapshots keeps every
+  // ref'd snapshot regardless of age, so a tag is a durable pin until
+  // dropped — exactly real Iceberg's tag retention.
+
+  /** The table's refs: name → (snapshot id, tag|branch). */
+  def refs(tablePath: String): Map[String, (Long, String)] =
+    parseMeta(currentMetadataFile(tablePath)).refs
+
+  /** Create a tag (or named branch pointer) at `snapshotId` (None =
+    * current): ONE new metadata version, no data or manifest touched.
+    * Refuses unknown snapshots and existing names (a ref is immutable —
+    * drop and recreate to move it).
+    */
+  def createRef(tablePath: String, name: String,
+      snapshotId: Option[Long] = None, refType: String = "tag"): Long = {
+    require(refType == "tag" || refType == "branch",
+      s"ref type must be tag or branch, got $refType")
+    require(name != "main", "main is reserved (it tracks the head)")
+    val metaDir = new File(tablePath, "metadata")
+    val mf = currentMetadataFile(tablePath)
+    val meta = parseMeta(mf)
+    val sid = snapshotId.getOrElse(meta.currentSnapshotId)
+    require(meta.snapshots.exists(_.snapshotId == sid),
+      s"snapshot $sid not in table metadata (have " +
+        s"${meta.snapshots.map(_.snapshotId).mkString(",")})")
+    require(!meta.refs.contains(name),
+      s"ref $name already exists (drop it first to move it)")
+    val version = mf.getName.stripPrefix("v")
+      .stripSuffix(".metadata.json").toLong + 1
+    writeMetadataVersion(metaDir, tablePath, version, meta.currentSnapshotId,
+      meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
+      meta.refs + (name -> ((sid, refType))))
+    sid
+  }
+
+  /** Drop a ref (its snapshot becomes expirable again). Refuses `main`
+    * and unknown names.
+    */
+  def dropRef(tablePath: String, name: String): Unit = {
+    require(name != "main", "main is reserved (it tracks the head)")
+    val metaDir = new File(tablePath, "metadata")
+    val mf = currentMetadataFile(tablePath)
+    val meta = parseMeta(mf)
+    require(meta.refs.contains(name), s"no such ref: $name (have " +
+      s"${meta.refs.keys.toSeq.sorted.mkString(",")})")
+    val version = mf.getName.stripPrefix("v")
+      .stripSuffix(".metadata.json").toLong + 1
+    writeMetadataVersion(metaDir, tablePath, version, meta.currentSnapshotId,
+      meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
+      meta.refs - name)
+  }
+
+  /** Read the snapshot a ref names (`AS OF TAG` / branch read). */
+  def readRef(spark: SparkSession, tablePath: String,
+      name: String): DataFrame = {
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    val (sid, _) = meta.refs.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no such ref: $name in $tablePath (have " +
+          s"${meta.refs.keys.toSeq.sorted.mkString(",")})"))
+    read(spark, tablePath, Some(sid))
   }
 
   /** The live parquet data-file paths of a snapshot. */
@@ -867,7 +949,8 @@ object IcebergLog {
   private def writeMetadataVersion(metaDir: File, tablePath: String,
       version: Long, currentSid: Long, snapJsons: Seq[String],
       specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
-      defaultSpecId: Int = 0): Unit = {
+      defaultSpecId: Int = 0,
+      refs: Map[String, (Long, String)] = Map.empty): Unit = {
     val target = new File(metaDir, s"v$version.metadata.json")
     // the FULL partition-spec history (identity transforms; partition
     // field-ids from 1000, unique ACROSS specs per the v2 rule) — the
@@ -887,9 +970,17 @@ object IcebergLog {
         }.mkString(",")
         s""","partition-specs":[$arr],"default-spec-id":$defaultSpecId"""
       }
+    val refsJson =
+      if (refs.isEmpty) ""
+      else {
+        val arr = refs.toSeq.sortBy(_._1).map { case (n, (sid, t)) =>
+          s""""${jsonEscape(n)}":{"snapshot-id":$sid,"type":"${jsonEscape(t)}"}"""
+        }.mkString(",")
+        s""","refs":{$arr}"""
+      }
     val body =
       s"""{"format-version":2,"table-uuid":"graft-table",
-         |"location":"$tablePath","current-snapshot-id":$currentSid$specJson,
+         |"location":"$tablePath","current-snapshot-id":$currentSid$specJson$refsJson,
          |"snapshots":[${snapJsons.mkString(",")}]}""".stripMargin
     // optimistic concurrency on the metadata version: CREATE_NEW is an
     // atomic O_EXCL claim — a concurrent committer of the same version
@@ -1154,14 +1245,15 @@ object IcebergLog {
     val metaDir = new File(tablePath, "metadata")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    val (priorSnaps, version, priorSpecs, priorDefault) =
+    val (priorSnaps, version, priorSpecs, priorDefault, priorRefs) =
       if (hasMeta) {
         val mf = currentMetadataFile(tablePath)
         val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
         val meta = parseMeta(mf)
-        (meta.snapshots, v + 1, meta.specs, meta.defaultSpecId)
+        (meta.snapshots, v + 1, meta.specs, meta.defaultSpecId, meta.refs)
       } else (Seq.empty[Snapshot], 1L,
-        Seq.empty[(Int, Seq[(Int, String)])], 0)
+        Seq.empty[(Int, Seq[(Int, String)])], 0,
+        Map.empty[String, (Long, String)])
     // PARTITION SPEC EVOLUTION: a commit declaring a spec the table has
     // never seen APPENDS it under the next spec-id and makes it the
     // default; re-declaring a known spec just re-selects it; declaring
@@ -1183,8 +1275,11 @@ object IcebergLog {
       Snapshot(sid, writeSnapshot(metaDir, sid, entries, specs),
         summary + ("operation" -> operation)))
     val priorJsons = priorSnaps.map(snapshotJson)
+    // tags/branches ride along; the `main` branch tracks the head (the
+    // spec's rule: main is the current snapshot's branch)
     writeMetadataVersion(metaDir, tablePath, version, sid,
-      priorJsons :+ snapJson, specs, defaultId)
+      priorJsons :+ snapJson, specs, defaultId,
+      priorRefs + ("main" -> ((sid, "branch"))))
     sid
   }
 
@@ -1206,7 +1301,14 @@ object IcebergLog {
     val metaDir = new File(root, "metadata")
     val mf = currentMetadataFile(tablePath)
     val meta = parseMeta(mf)
-    val survivors = meta.snapshots.sortBy(_.snapshotId).takeRight(keep)
+    // a snapshot NAMED BY A REF survives expiry regardless of age — the
+    // spec's retention rule for tags/branches (drop the ref first to
+    // reclaim it); `main` tracks the head, which survives anyway
+    val refIds = meta.refs.values.map(_._1).toSet
+    val survivors = meta.snapshots.sortBy(_.snapshotId)
+      .zipWithIndex.collect { case (s, i)
+        if i >= meta.snapshots.size - keep || refIds.contains(s.snapshotId) => s
+      }
     require(survivors.exists(_.snapshotId == meta.currentSnapshotId),
       s"refusing to expire the current snapshot ${meta.currentSnapshotId}")
     if (survivors.size == meta.snapshots.size)
@@ -1230,7 +1332,8 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     val survivorJsons = survivors.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version,
-      meta.currentSnapshotId, survivorJsons, meta.specs, meta.defaultSpecId)
+      meta.currentSnapshotId, survivorJsons, meta.specs, meta.defaultSpecId,
+      meta.refs)
     val orphanData = Option(new File(root, "data").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&

@@ -1855,6 +1855,44 @@ class SourcesSpec extends SparkSpec {
     ()
   }
 
+  test("Iceberg snapshot refs: tags pin retention, main tracks head, drops reclaim") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_refs"
+    val s1 = IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    assert(IcebergLog.refs(tbl) === Map("main" -> ((s1, "branch"))))
+    assert(IcebergLog.createRef(tbl, "v1-corpus") === s1)
+    val s2 = IcebergLog.append(Seq((3L, "c")).toDF("id", "v"), tbl)
+    // main advanced with the head; the tag stayed put
+    assert(IcebergLog.refs(tbl) === Map(
+      "main" -> ((s2, "branch")), "v1-corpus" -> ((s1, "tag"))))
+    def tagIds(): Seq[Long] = IcebergLog.readRef(spark, tbl, "v1-corpus")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(tagIds() === Seq(1L, 2L))
+    // refusals: duplicate name, unknown snapshot, reserved main
+    intercept[IllegalArgumentException](IcebergLog.createRef(tbl, "v1-corpus"))
+    intercept[IllegalArgumentException](
+      IcebergLog.createRef(tbl, "x", Some(999L)))
+    intercept[IllegalArgumentException](IcebergLog.createRef(tbl, "main"))
+    // expiry keeps the TAGGED snapshot even at keep=1
+    IcebergLog.expireSnapshots(tbl, keep = 1)
+    assert(IcebergLog.snapshots(tbl).map(_.snapshotId).sorted === Seq(s1, s2))
+    assert(tagIds() === Seq(1L, 2L))
+    // dropping the tag makes it expirable; the next expiry reclaims it
+    IcebergLog.dropRef(tbl, "v1-corpus")
+    intercept[IllegalArgumentException](IcebergLog.dropRef(tbl, "v1-corpus"))
+    intercept[IllegalArgumentException](IcebergLog.dropRef(tbl, "main"))
+    IcebergLog.expireSnapshots(tbl, keep = 1)
+    assert(IcebergLog.snapshots(tbl).map(_.snapshotId) === Seq(s2))
+    intercept[IllegalArgumentException](
+      IcebergLog.readRef(spark, tbl, "v1-corpus"))
+    // expired travel refuses loudly as ever
+    intercept[IllegalArgumentException](
+      IcebergLog.read(spark, tbl, Some(s1)).collect())
+    ()
+  }
+
   test("Iceberg partition evolution: per-spec manifests, sound pruning across epochs") {
     import graft.sources.IcebergLog
     val s = spark

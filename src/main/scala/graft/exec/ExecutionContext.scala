@@ -29,7 +29,9 @@ class ExecutionContext(val spark: SparkSession,
   /** Execute one statement with the app rewrites applied. */
   def sql(statement: String): DataFrame = {
     val rewritten = InformationSchema.rewrite(spark,
-      ParquetMetadataTable.rewrite(spark, UrlTableRewrite(statement)))
+      ParquetMetadataTable.rewrite(spark,
+        graft.functions.LakehouseTvf.rewrite(spark,
+          UrlTableRewrite(statement))))
     val df = spark.sql(rewritten)
     resultLimit.map(df.limit).getOrElse(df)
   }

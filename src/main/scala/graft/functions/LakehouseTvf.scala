@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL table-valued functions over the lakehouse surfaces, as a pre-parse
+  * rewrite exactly like [[ParquetMetadataTable.rewrite]] (the reference's
+  * `parquet_metadata(...)` seam, `src/args.rs` → datafusion UDTF):
+  *
+  *  - `table_changes('path', from [, to])` — the Databricks TVF name for
+  *    the Delta CHANGE DATA FEED ([[graft.sources.DeltaLog.tableChanges]]);
+  *  - `iceberg_snapshots('path')` — the `table$snapshots` inspection
+  *    surface: (snapshot_id, operation, manifest_list);
+  *  - `iceberg_refs('path')` — the `table$refs` inspection surface:
+  *    (name, snapshot_id, type).
+  *
+  * Each call materializes as a temp view at rewrite time (metadata-scale
+  * for the inspection tables; the change feed plans lazily like any scan),
+  * so the surrounding SQL composes freely — joins, filters, aggregates.
+  */
+object LakehouseTvf {
+
+  private val Changes =
+    """(?i)\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
+  private val Snaps = """(?i)\biceberg_snapshots\s*\(\s*'([^']+)'\s*\)""".r
+  private val Refs = """(?i)\biceberg_refs\s*\(\s*'([^']+)'\s*\)""".r
+
+  def rewrite(spark: SparkSession, sql: String): String = {
+    val s1 = Changes.replaceAllIn(sql, m => {
+      val path = m.group(1)
+      val from = m.group(2).toLong
+      val to = Option(m.group(3)).map(_.toLong)
+      val view = "table_changes_" +
+        math.abs((path, from, to).hashCode).toString
+      graft.sources.DeltaLog.tableChanges(spark, path, from, to)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    val s2 = Snaps.replaceAllIn(s1, m => {
+      val path = m.group(1)
+      val view = "iceberg_snapshots_" + math.abs(path.hashCode).toString
+      val se = spark
+      import se.implicits._
+      graft.sources.IcebergLog.snapshots(path)
+        .map(s => (s.snapshotId, s.summary.getOrElse("operation", null),
+          s.manifestList))
+        .toDF("snapshot_id", "operation", "manifest_list")
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    Refs.replaceAllIn(s2, m => {
+      val path = m.group(1)
+      val view = "iceberg_refs_" + math.abs(path.hashCode).toString
+      val se = spark
+      import se.implicits._
+      graft.sources.IcebergLog.refs(path).toSeq.sortBy(_._1)
+        .map { case (n, (sid, t)) => (n, sid, t) }
+        .toDF("name", "snapshot_id", "type")
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+  }
+}

@@ -364,6 +364,46 @@ class AppSurfaceSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L))
   }
 
+  test("lakehouse TVFs: table_changes / iceberg_snapshots / iceberg_refs in SQL") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.sources.{DeltaWrite, IcebergLog}
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-tvf").toString
+    // Delta CDF through SQL: enable, change, query the feed as a table
+    val dtbl = s"$base/delta"
+    DeltaWrite.append((1L to 4L).map(i => (i, s"v$i")).toDF("id", "v"), dtbl)
+    DeltaWrite.enableChangeDataFeed(spark, dtbl)
+    DeltaWrite.deleteWhereDv(spark, dtbl, col("id") === 2L) // v2
+    DeltaWrite.merge(dtbl, Seq((9L, "n")).toDF("id", "v"), Seq("id")) // v3
+    val feed = ctx.sql(
+      s"SELECT _change_type, count(*) AS n FROM table_changes('$dtbl', 2) " +
+        "GROUP BY 1 ORDER BY 1").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toSeq
+    assert(feed === Seq("delete" -> 1L, "insert" -> 1L))
+    // the TVF composes with ordinary SQL (bounded range + filter)
+    assert(ctx.sql(
+      s"SELECT id FROM table_changes('$dtbl', 2, 2) WHERE id > 0").collect()
+      .map(_.getLong(0)).toSeq === Seq(2L))
+    // Iceberg inspection tables
+    val itbl = s"$base/ice"
+    val s1 = IcebergLog.append(Seq((1L, "a")).toDF("id", "v"), itbl)
+    IcebergLog.createRef(itbl, "train-v1")
+    IcebergLog.deleteWhere(spark, itbl, col("id") === 99L) // no-op, no snap
+    val s2 = IcebergLog.append(Seq((2L, "b")).toDF("id", "v"), itbl)
+    val snaps = ctx.sql(
+      s"SELECT snapshot_id, operation FROM iceberg_snapshots('$itbl') " +
+        "ORDER BY snapshot_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(snaps === Seq((s1, "append"), (s2, "append")))
+    val refRows = ctx.sql(
+      s"SELECT name, snapshot_id, type FROM iceberg_refs('$itbl') ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq
+    assert(refRows === Seq(("main", s2, "branch"), ("train-v1", s1, "tag")))
+  }
+
   test("delta CLI verb drives the full table-maintenance lifecycle") {
     val s = spark
     import s.implicits._

@@ -332,9 +332,28 @@ object Main {
           case None => s"${DeltaLog.read(spark, tbl).count()} rows (scanned:" +
             " a live file lacks numRecords stats)"
         }
+      case "purge" =>
+        val st = DeltaWrite.purgeDeletionVectors(spark, tbl)
+        s"purged ${st.filesPurged} DV-carrying files into " +
+          s"${st.filesAdded} at commit ${st.version}"
+      case "enable-cdf" =>
+        val v = DeltaWrite.enableChangeDataFeed(spark, tbl)
+        s"change data feed enabled on $tbl at version $v"
+      case "changes" =>
+        val from = opts.getOrElse("--from",
+          throw new IllegalArgumentException(
+            "delta changes needs --from <version>")).toLong
+        val to = opts.get("--to").map(_.toLong)
+        val counts = DeltaLog.tableChanges(spark, tbl, from, to)
+          .groupBy("_change_type").count()
+          .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}")
+          .sorted.mkString(", ")
+        s"changes in $tbl from version $from: " +
+          (if (counts.isEmpty) "none" else counts)
       case other => throw new IllegalArgumentException(
         s"unknown delta operation: $other " +
-          "(checkpoint|expire-log|vacuum|restore|optimize|count)")
+          "(checkpoint|expire-log|vacuum|restore|optimize|count|purge|" +
+          "enable-cdf|changes)")
     }
   }
 }

@@ -426,6 +426,14 @@ class AppSurfaceSpec extends SparkSpec {
     assert(run("expire-log") startsWith "expired 5 commits")
     assert(run("vacuum", "--retention-ms" -> "0") startsWith "vacuumed 3 files")
     assert(run("count") === "3 rows (from log stats, zero files opened)")
+    // CDF + deletion-vector verbs: enable, MoR-delete, inspect, purge
+    assert(run("enable-cdf") startsWith "change data feed enabled")
+    val dv = graft.sources.DeltaWrite.deleteWhereDv(spark, tbl,
+      org.apache.spark.sql.functions.col("id") === 2L)
+    assert(run("changes", "--from" -> dv.version.toString)
+      === s"changes in $tbl from version ${dv.version}: delete=1")
+    assert(run("purge") startsWith "purged 1 DV-carrying files")
+    assert(run("count") === "2 rows (from log stats, zero files opened)")
     intercept[IllegalArgumentException] { run("nope") }
     intercept[IllegalArgumentException] {
       cli.Main.deltaMaintain(spark, "count", Map.empty)

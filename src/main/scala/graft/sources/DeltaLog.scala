@@ -660,9 +660,17 @@ object DeltaLog {
                 val a = m.asInstanceOf[Map[String, Any]]
                 cdcPaths ::= pathOf(a, f)
               case _ => }
+              // a MISSING dataChange defaults to TRUE (the protocol's
+              // rule for foreign minimal logs) — defaulting false would
+              // silently DROP changes from the feed
+              def isDataChange(a: Map[String, Any]): Boolean =
+                a.get("dataChange") match {
+                  case Some(b: java.lang.Boolean) => b.booleanValue()
+                  case _ => true
+                }
               action.get("add").foreach { case m: Map[_, _] =>
                 val a = m.asInstanceOf[Map[String, Any]]
-                if (a.get("dataChange").contains(true)) {
+                if (isDataChange(a)) {
                   addPaths ::= pathOf(a, f)
                   if (a.get("deletionVector").exists(_.isInstanceOf[Map[_, _]]))
                     addHasDv = true
@@ -673,7 +681,7 @@ object DeltaLog {
               case _ => }
               action.get("remove").foreach { case m: Map[_, _] =>
                 val a = m.asInstanceOf[Map[String, Any]]
-                if (a.get("dataChange").contains(true))
+                if (isDataChange(a))
                   removePaths ::= pathOf(a, f)
               case _ => }
             }

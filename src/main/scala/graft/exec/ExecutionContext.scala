@@ -148,6 +148,17 @@ class ExecutionContext(val spark: SparkSession,
           val st = graft.sources.DeltaWrite.deleteWhere(spark, loc, pred)
           oneRowResult("rows_deleted", st.rowsDeleted)
         }
+      case DdlTranslate.ConvertDeltaStmt(loc, cols) =>
+        oneRowResult("version",
+          graft.sources.DeltaWrite.convertParquet(spark, loc, cols))
+      case DdlTranslate.ConvertIcebergStmt(loc) =>
+        // in-place adoption: the directory's own parquet files become the
+        // table's first snapshot; metadata/ lands beside them
+        oneRowResult("snapshot_id",
+          graft.sources.IcebergLog.addFiles(loc, loc))
+      case DdlTranslate.CloneStmt(dst, src, ver) =>
+        oneRowResult("version",
+          graft.sources.DeltaWrite.cloneShallow(spark, src, dst, ver))
       case DdlTranslate.ReorgPurgeStmt(loc) =>
         if (isIcebergTable(loc)) {
           val rs = graft.sources.IcebergLog.rewriteDataFiles(spark, loc)
@@ -248,6 +259,48 @@ object DdlTranslate {
     def unapply(statement: String): Option[(String, String)] =
       statement.trim match {
         case P(loc, cond) => Some((loc, cond.trim))
+        case _ => None
+      }
+  }
+
+  /** `CONVERT TO DELTA 'path' [PARTITIONED BY (c1, c2)]` — in-place,
+    * zero-copy adoption of an existing parquet directory
+    * ([[graft.sources.DeltaWrite.convertParquet]]).
+    */
+  object ConvertDeltaStmt {
+    private val P =
+      """(?is)CONVERT\s+TO\s+DELTA\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*""".r
+    def unapply(statement: String): Option[(String, Seq[String])] =
+      statement match {
+        case P(loc, cols) => Some((loc,
+          Option(cols).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)))
+        case _ => None
+      }
+  }
+
+  /** `CONVERT TO ICEBERG 'path'` — in-place adoption of the directory's
+    * parquet files as an Iceberg table
+    * ([[graft.sources.IcebergLog.addFiles]]).
+    */
+  object ConvertIcebergStmt {
+    private val P = """(?is)CONVERT\s+TO\s+ICEBERG\s+'([^']+)'\s*""".r
+    def unapply(statement: String): Option[String] = statement match {
+      case P(loc) => Some(loc)
+      case _ => None
+    }
+  }
+
+  /** `CREATE TABLE 'dst' SHALLOW CLONE 'src' [VERSION AS OF n]` —
+    * zero-copy branch of a Delta table
+    * ([[graft.sources.DeltaWrite.cloneShallow]]).
+    */
+  object CloneStmt {
+    private val P =
+      """(?is)CREATE\s+TABLE\s+'([^']+)'\s+SHALLOW\s+CLONE\s+'([^']+)'(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s*""".r
+    def unapply(statement: String): Option[(String, String, Option[Long])] =
+      statement match {
+        case P(dst, src, ver) => Some((dst, src, Option(ver).map(_.toLong)))
         case _ => None
       }
   }

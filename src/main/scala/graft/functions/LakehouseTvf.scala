@@ -11,7 +11,10 @@ import org.apache.spark.sql.SparkSession
   *  - `iceberg_snapshots('path')` — the `table$snapshots` inspection
   *    surface: (snapshot_id, operation, manifest_list);
   *  - `iceberg_refs('path')` — the `table$refs` inspection surface:
-  *    (name, snapshot_id, type).
+  *    (name, snapshot_id, type);
+  *  - `delta_history('path')` — the `DESCRIBE HISTORY` surface:
+  *    (version, timestamp, operation, operation_parameters), newest
+  *    first ([[graft.sources.DeltaLog.history]]).
   *
   * Each call materializes as a temp view at rewrite time (metadata-scale
   * for the inspection tables; the change feed plans lazily like any scan),
@@ -23,6 +26,7 @@ object LakehouseTvf {
     """(?i)\btable_changes\s*\(\s*'([^']+)'\s*,\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)""".r
   private val Snaps = """(?i)\biceberg_snapshots\s*\(\s*'([^']+)'\s*\)""".r
   private val Refs = """(?i)\biceberg_refs\s*\(\s*'([^']+)'\s*\)""".r
+  private val History = """(?i)\bdelta_history\s*\(\s*'([^']+)'\s*\)""".r
 
   def rewrite(spark: SparkSession, sql: String): String = {
     val s1 = Changes.replaceAllIn(sql, m => {
@@ -47,7 +51,7 @@ object LakehouseTvf {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    Refs.replaceAllIn(s2, m => {
+    val s3 = Refs.replaceAllIn(s2, m => {
       val path = m.group(1)
       val view = "iceberg_refs_" + math.abs(path.hashCode).toString
       val se = spark
@@ -55,6 +59,13 @@ object LakehouseTvf {
       graft.sources.IcebergLog.refs(path).toSeq.sortBy(_._1)
         .map { case (n, (sid, t)) => (n, sid, t) }
         .toDF("name", "snapshot_id", "type")
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    History.replaceAllIn(s3, m => {
+      val path = m.group(1)
+      val view = "delta_history_" + math.abs(path.hashCode).toString
+      graft.sources.DeltaLog.history(spark, path)
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })

@@ -1263,6 +1263,235 @@ object SourceQueries {
       FROM orders WHERE o_orderkey % 2 = 0
       ORDER BY o_orderkey""")),
 
+    // x44: CONVERT TO DELTA — zero-copy, in-place adoption of an
+    // existing parquet directory (the 100 TB onboarding path: a corpus
+    // that already exists must never be rewritten just to gain ACID
+    // commits and pruning). The SQL verb writes ONE version-0 commit
+    // whose adds point at the files where they are; the in-query
+    // requires pin that not a byte moved (file set identical before and
+    // after), that footer stats landed in the adds (metadata-only count
+    // + data skipping work immediately), and that the adopted table is
+    // first-class (a normal append lands on top). The oracle recomputes
+    // both slices relationally.
+    QueryDef("x44_convert_delta", (s, d) => {
+      val tbl = s"$stage/conv_delta"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 3 === 0)
+        .repartitionByRange(4, col("o_orderkey"))
+        .write.parquet(tbl)
+      def files(): Set[String] =
+        Option(new java.io.File(tbl).listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      val before = files()
+      val ctx = new ExecutionContext(s)
+      ctx.runScript(s"CONVERT TO DELTA '$tbl'")
+      require(files() == before && before.nonEmpty,
+        "conversion moved, rewrote, or added data files")
+      require(graft.sources.DeltaLog.countFromStats(s, tbl).isDefined,
+        "adopted add actions carry no footer stats")
+      val (kept, total) = graft.sources.DeltaLog.pruneByStats(s, tbl,
+        "o_orderkey", Some(0d), Some(1500d))
+      require(kept.size < total,
+        s"adopted stats pruned nothing: ${kept.size} of $total kept")
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 3 === 1), tbl)
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 2
+      ORDER BY o_orderkey""")),
+
+    // x45: ICEBERG ADD_FILES — the second format's zero-copy adoption
+    // (real Iceberg's add_files/migrate procedures): manifests record
+    // full paths, so the adopted files stay OUTSIDE the table directory
+    // entirely — pinned by liveFiles == the raw directory's own files.
+    // statsFields folds footer MIN/MAX into manifest bounds at adoption,
+    // so metadata-only range pruning works immediately (pinned); a
+    // second adoption of the same files refuses (double rows); the
+    // incremental scan serves the adoption as a plain append (pinned by
+    // row count); and a normal append lands on top. Oracle recomputes
+    // both slices.
+    QueryDef("x45_iceberg_add_files", (s, d) => {
+      val raw = s"$stage/ice_adopt_raw"
+      val tbl = s"$stage/ice_adopt"
+      rmTree(raw); rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val slice0 = o.filter(col("o_orderkey") % 3 === 0)
+      slice0.repartitionByRange(4, col("o_orderkey")).write.parquet(raw)
+      val sid1 = graft.sources.IcebergLog.addFiles(tbl, raw,
+        Seq(1 -> "o_orderkey"))
+      val rawSet = Option(new java.io.File(raw).listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+      val liveSet = graft.sources.IcebergLog.liveFiles(tbl)
+        .map(p => new java.io.File(p).getAbsolutePath).toSet
+      require(liveSet == rawSet && rawSet.nonEmpty,
+        "adoption moved or copied files instead of referencing them")
+      val (kept, total) = graft.sources.IcebergLog.pruneByLongBounds(
+        tbl, 1, Some(2000L), Some(3999L))
+      require(kept.size < total,
+        s"adopted bounds pruned nothing: ${kept.size} of $total kept")
+      val refused =
+        try { graft.sources.IcebergLog.addFiles(tbl, raw); false }
+        catch { case _: IllegalArgumentException => true }
+      require(refused, "double adoption of the same files was accepted")
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 3 === 1), tbl)
+      val adopted = graft.sources.IcebergLog.appendsBetween(
+        s, tbl, 0L, Some(sid1))
+      require(adopted.count() == slice0.count(),
+        "incremental scan does not serve the adoption as an append")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 2
+      ORDER BY o_orderkey""")),
+
+    // x46: UNIFORM — one directory, one copy of the data, BOTH protocol
+    // views: Delta is the source of truth, each sync publishes the
+    // current Delta snapshot as one Iceberg metadata commit over the
+    // very same parquet files (Delta Lake's Universal Format). Pins:
+    // first sync adds everything; a re-sync of the same Delta version
+    // no-ops (version-keyed idempotence); an appended batch mirrors as
+    // an `append` snapshot carrying the prior files as EXISTING; the
+    // Iceberg side time-travels to the first mirror; and a Delta DELETE
+    // mirrors honestly as `overwrite`, which the Iceberg incremental
+    // scan refuses to cross rather than misreport. The oracle pins the
+    // final Iceberg-side read — byte-equal to the Delta truth.
+    QueryDef("x46_uniform_iceberg", (s, d) => {
+      val tbl = s"$stage/uniform_tbl"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val sliceA = o.filter(col("o_orderkey") % 3 === 0)
+      graft.sources.DeltaWrite.append(sliceA, tbl)
+      val s1 = graft.sources.Uniform.deltaToIceberg(s, tbl,
+        Seq(1 -> "o_orderkey"))
+      require(s1.snapshotId.isDefined && s1.filesCarried == 0 &&
+          s1.filesAdded > 0, s"first sync wrong shape: $s1")
+      val aCount = sliceA.count()
+      require(graft.sources.IcebergLog.read(s, tbl).count() == aCount,
+        "Iceberg view diverges from the Delta truth after first sync")
+      require(graft.sources.Uniform.deltaToIceberg(s, tbl)
+          .snapshotId.isEmpty,
+        "re-sync of an already-mirrored Delta version was not a no-op")
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 3 === 1), tbl)
+      val s2 = graft.sources.Uniform.deltaToIceberg(s, tbl,
+        Seq(1 -> "o_orderkey"))
+      require(s2.snapshotId.isDefined && s2.filesCarried > 0 &&
+          s2.filesAdded > 0, s"append sync wrong shape: $s2")
+      require(graft.sources.IcebergLog.read(s, tbl, s1.snapshotId)
+          .count() == aCount,
+        "Iceberg-side time travel to the first mirror diverged")
+      graft.sources.DeltaWrite.deleteWhere(s, tbl,
+        col("o_orderkey") % 9 === 0)
+      graft.sources.Uniform.deltaToIceberg(s, tbl, Seq(1 -> "o_orderkey"))
+      val refused =
+        try {
+          graft.sources.IcebergLog.appendsBetween(s, tbl, s1.snapshotId.get)
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused,
+        "incremental scan crossed a row-removing mirror snapshot")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 9 <> 0
+      ORDER BY o_orderkey""")),
+
+    // x47: SHALLOW CLONE — zero-copy branch of a Delta table (the
+    // 100 TB experimentation pattern: branch a curated corpus for an
+    // ablation without paying for a copy). The SQL verb clones the
+    // source AS OF version 0 into a new table whose adds reference the
+    // source's files by absolute path; pins: the clone root holds a log
+    // and NOT ONE data file, per-file stats carried over (metadata-only
+    // count works), and full divergence — an append lands only in the
+    // clone, a DELETE on the source leaves the clone's frozen branch
+    // point untouched (the oracle would break if the source's delete
+    // leaked in, since %8==0 keys are a subset of the clone's %4==0
+    // slice). Oracle recomputes the branch + its divergent append.
+    QueryDef("x47_shallow_clone", (s, d) => {
+      val src = s"$stage/clone_src"
+      val dst = s"$stage/clone_dst"
+      rmTree(src); rmTree(dst)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 0), src) // v0 — the branch point
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 1), src) // v1 — after it
+      val ctx = new ExecutionContext(s)
+      ctx.runScript(s"CREATE TABLE '$dst' SHALLOW CLONE '$src' VERSION AS OF 0")
+      val copied = Option(new java.io.File(dst).listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      require(copied.isEmpty, "shallow clone copied data files")
+      require(graft.sources.DeltaLog.countFromStats(s, dst).isDefined,
+        "clone add actions lost the source's per-file stats")
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 2), dst) // divergent append
+      graft.sources.DeltaWrite.deleteWhere(s, src,
+        col("o_orderkey") % 8 === 0) // source diverges too
+      graft.sources.DeltaLog.read(s, dst)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (0, 2)
+      ORDER BY o_orderkey""")),
+
+    // x48: DESCRIBE HISTORY — the audit surface over a table's commit
+    // log, as the `delta_history('p')` SQL TVF: one row per retained
+    // commit with its operation, newest first in the raw surface,
+    // ordered here for determinism. The staged lifecycle (CONVERT →
+    // WRITE → DELETE → OPTIMIZE) produces a fixed (version, operation)
+    // sequence the DuckDB oracle pins as literal VALUES — any mislabeled
+    // or missing commit breaks the hash. Timestamps are excluded
+    // (wall-clock); the operation log itself is the contract.
+    QueryDef("x48_delta_history", (s, d) => {
+      val tbl = s"$stage/hist_tbl"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      o.filter(col("o_orderkey") % 5 === 0).write.parquet(tbl)
+      val ctx = new ExecutionContext(s)
+      ctx.runScript(s"CONVERT TO DELTA '$tbl'") // v0: CONVERT
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 5 === 1), tbl) // v1: WRITE
+      graft.sources.DeltaWrite.deleteWhere(s, tbl,
+        col("o_orderkey") % 10 === 0) // v2: DELETE
+      graft.sources.DeltaWrite.optimize(s, tbl,
+        smallFileBytes = 128L * 1024 * 1024) // v3: OPTIMIZE
+      ctx.sql(s"""
+        SELECT CAST(version AS BIGINT) AS version, operation
+        FROM delta_history('$tbl') ORDER BY version""")
+    }, Some("""
+      SELECT CAST(version AS BIGINT) AS version, operation FROM (VALUES
+        (0, 'CONVERT'), (1, 'WRITE'), (2, 'DELETE'), (3, 'OPTIMIZE')
+      ) AS t(version, operation) ORDER BY version""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

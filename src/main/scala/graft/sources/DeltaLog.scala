@@ -989,6 +989,74 @@ object DeltaLog {
   private def versionOf(f: File): Long =
     f.getName.stripSuffix(".json").toLong
 
+  /** Commit history, newest first — the `DESCRIBE HISTORY` surface:
+    * one row per JSON commit with (version, timestamp, operation,
+    * operation_parameters). The operation comes from each commit's
+    * commitInfo action (null when a foreign writer recorded none);
+    * parameters render as a deterministic `k=v` comma-join. The timestamp
+    * is the commit file's modification time — the same fallback real
+    * Delta uses when commitInfo carries no inCommitTimestamp (ours
+    * doesn't), and the clock [[readTimestampAsOf]] already travels by.
+    * Commits aged out by [[DeltaWrite.expireLog]] no longer appear —
+    * history is as deep as the retained log, exactly like real Delta.
+    * Driver cost is O(retained commits): log-scale, never data-scale.
+    */
+  def history(spark: SparkSession, tablePath: String): DataFrame = {
+    val logDir = new File(tablePath, "_delta_log")
+    require(logDir.isDirectory,
+      s"not a Delta table (no _delta_log): $tablePath")
+    val commits = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("""\d{20}\.json"""))
+      .sortBy(_.getName).reverse
+    require(commits.nonEmpty, s"no JSON commits in $logDir")
+    val rows = commits.toSeq.map { f =>
+      var op: String = null
+      var params: String = null
+      Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
+        .filter(_.trim.nonEmpty).foreach { line =>
+          MiniJson.parseObject(line).foreach { action =>
+            action.get("commitInfo") match {
+              case Some(ci: Map[_, _]) =>
+                val m = ci.asInstanceOf[Map[String, Any]]
+                op = m.get("operation")
+                  .collect { case s: String => s }.orNull
+                params = m.get("operationParameters")
+                  .collect { case p: Map[_, _] =>
+                    p.asInstanceOf[Map[String, Any]].toSeq
+                      .sortBy(_._1)
+                      .map { case (k, v) => s"$k=${String.valueOf(v)}" }
+                      .mkString(",")
+                  }.orNull
+              case _ =>
+            }
+          }
+        }
+      org.apache.spark.sql.Row(versionOf(f),
+        new java.sql.Timestamp(f.lastModified), op, params)
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("timestamp", TimestampType, nullable = false),
+        StructField("operation", StringType),
+        StructField("operation_parameters", StringType))))
+  }
+
+  /** Newest committed version the log knows — JSON commits or the
+    * checkpoint (after log-retention cleanup the checkpoint may be the
+    * only record of the counter).
+    */
+  def latestVersion(tablePath: String): Long = {
+    val logDir = new File(tablePath, "_delta_log")
+    val known = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.matches("""\d{20}\.json""")).map(versionOf).toSeq ++
+      lastCheckpointVersion(logDir)
+    require(known.nonEmpty, s"not a Delta table: $tablePath")
+    known.max
+  }
+
   private def pathOf(action: Map[String, Any], f: File): String =
     action.get("path") match {
       case Some(p: String) => p

@@ -106,11 +106,15 @@ object DeltaWrite {
   }
 
   private def headerActions(df: DataFrame,
-      partitionCols: Seq[String] = Seq.empty): Seq[String] = Seq(
+      partitionCols: Seq[String] = Seq.empty): Seq[String] =
+    headerActions(df.schema, partitionCols)
+
+  private def headerActions(schema: org.apache.spark.sql.types.StructType,
+      partitionCols: Seq[String]): Seq[String] = Seq(
     """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
     s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
       """"format":{"provider":"parquet","options":{}},""" +
-      s""""schemaString":"${jsonEscape(df.schema.json)}",""" +
+      s""""schemaString":"${jsonEscape(schema.json)}",""" +
       s""""partitionColumns":[${partitionCols.map(c =>
         "\"" + jsonEscape(c) + "\"").mkString(",")}],"configuration":{}}}""")
 
@@ -910,6 +914,192 @@ object DeltaWrite {
     val rootPath = root.getAbsolutePath
     if (p.startsWith(rootPath)) p.substring(rootPath.length).stripPrefix("/")
     else p
+  }
+
+  /** CONVERT TO DELTA — adopt an existing directory of parquet files as a
+    * Delta table IN PLACE, zero copy (the Databricks `CONVERT TO DELTA`
+    * statement; reference tables register parquet dirs the same way via
+    * `src/db.rs:142-144`, but gain no log). This is the 100 TB onboarding
+    * path: a corpus that already exists as parquet must never be
+    * rewritten just to gain ACID commits, time travel, and stats-based
+    * pruning — conversion writes ONE version-0 commit whose add actions
+    * point at the files exactly where they are:
+    *
+    *  - no data file is moved, rewritten, or copied — the commit is
+    *    O(files) metadata, not O(bytes) data;
+    *  - each add action carries per-file column stats read from the
+    *    parquet FOOTER only ([[fileStats]]), so `countFromStats` and
+    *    [[DeltaLog.pruneByStats]] work on the adopted table immediately;
+    *  - a hive-partitioned layout (`col=value/` directories) converts
+    *    with `partitionCols`: partition values are decoded from the
+    *    directory names into add-action `partitionValues` (the Delta
+    *    protocol's home for them — the spec's CONVERT does exactly this
+    *    directory harvest), null partitions via the
+    *    `__HIVE_DEFAULT_PARTITION__` sentinel;
+    *  - refuses directories that are already Delta tables, layouts whose
+    *    hive keys disagree with `partitionCols` (adopting half a layout
+    *    would shadow or lose columns), and empty directories.
+    *
+    * After conversion the table is a first-class Delta table: append /
+    * merge / delete / optimize / checkpoint / time travel all apply, and
+    * version 0 IS the adoption point. Returns the committed version (0).
+    */
+  def convertParquet(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, partitionCols: Seq[String] = Seq.empty): Long = {
+    val root = new File(tablePath)
+    require(root.isDirectory, s"not a directory: $tablePath")
+    val logDir = new File(root, "_delta_log")
+    require(commitFiles(logDir).isEmpty &&
+        DeltaLog.lastCheckpointVersion(logDir).isEmpty,
+      s"already a Delta table: $tablePath — CONVERT adopts plain parquet only")
+    // schema BEFORE creating the log dir (an empty _delta_log would be
+    // invisible to inference anyway, but keep the read pristine)
+    val schema = spark.read.parquet(tablePath).schema
+    def hiveDecode(s: String): String =
+      java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+    def walk(dir: File, pv: Map[String, String]): Seq[(File, Map[String, String])] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory && d.getName.contains("=") =>
+          val Array(k, v) = d.getName.split("=", 2)
+          val value =
+            if (v == "__HIVE_DEFAULT_PARTITION__") null else hiveDecode(v)
+          walk(d, pv + (hiveDecode(k) -> value))
+        case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> pv)
+        case _ => Seq.empty
+      }
+    val found = walk(root, Map.empty).sortBy(_._1.getPath)
+    require(found.nonEmpty, s"no parquet files to convert under $tablePath")
+    // every file must carry EXACTLY the declared partition keys: a file
+    // at the wrong depth (extra or missing hive segments) would either
+    // lose its partition values or shadow data columns at read time
+    val misplaced = found.filter(_._2.keySet != partitionCols.toSet)
+    require(misplaced.isEmpty,
+      s"hive layout disagrees with partitionCols ${partitionCols.mkString(",")}: " +
+        misplaced.take(3).map { case (f, pv) =>
+          s"${relPath(root, f.getPath)} carries [${pv.keys.mkString(",")}]"
+        }.mkString("; "))
+    // stats come from DATA columns only — partition values live in the
+    // directory names, not the footers
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => partitionCols.contains(f.name)))
+    def pvJson(pv: Map[String, String]): String =
+      pv.map {
+        case (k, null) => s""""${jsonEscape(k)}":null"""
+        case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      }.mkString("{", ",", "}")
+    val adds = found.map { case (f, pv) =>
+      val rel = relPath(root, f.getPath).split("/")
+        .map(seg => java.net.URLEncoder.encode(seg, "UTF-8")).mkString("/")
+      val stats = fileStats(f, dataSchema)
+      s"""{"add":{"path":"${jsonEscape(rel)}",""" +
+        s""""partitionValues":${pvJson(pv)},"size":${f.length},""" +
+        s""""modificationTime":${f.lastModified},""" +
+        stats.fold("")(s => s""""stats":"${jsonEscape(s)}",""") +
+        """"dataChange":true}}"""
+    }
+    logDir.mkdirs()
+    publish(logDir, 0L, headerActions(schema, partitionCols) ++ adds :+
+      s"""{"commitInfo":{"operation":"CONVERT","operationParameters":{""" +
+      s""""numFiles":"${found.size}"}}}""")
+    0L
+  }
+
+  /** SHALLOW CLONE — create a new Delta table whose version 0 references
+    * the SOURCE table's live files by absolute path (Databricks'
+    * `CREATE TABLE ... SHALLOW CLONE src [VERSION AS OF n]`): zero data
+    * copied, O(files) metadata. The clone then diverges freely — appends,
+    * merges, deletes, optimize land in the CLONE's own log and never
+    * touch the source — which is the 100 TB experimentation pattern:
+    * branch a curated corpus for an ablation without paying for a copy.
+    *
+    *  - `versionAsOf` clones the source AS OF that version — the clone's
+    *    version 0 is a frozen, named branch point of the source's history;
+    *  - add actions carry the source's per-file stats verbatim, so
+    *    `countFromStats` / [[DeltaLog.pruneByStats]] work on the clone
+    *    immediately; partition values carry the same way;
+    *  - the source's metaData (schema, partition columns, configuration)
+    *    is copied under a NEW table id; the protocol is carried verbatim
+    *    so feature-gated tables stay gated;
+    *  - refuses sources with live deletion vectors (a DV descriptor's
+    *    file path resolves against ITS table root — the clone would
+    *    resolve it against the wrong root; purge first), and targets that
+    *    are already Delta tables.
+    *
+    * Same caveat as real Delta: VACUUM on the SOURCE can reclaim files a
+    * clone still references (the source's log does not know about
+    * clones) — vacuum the source only after its clones are dropped or
+    * rewritten. VACUUM on the clone is safe: source files live outside
+    * the clone root and are never reclaim candidates. Returns the clone's
+    * committed version (0).
+    */
+  def cloneShallow(spark: org.apache.spark.sql.SparkSession,
+      sourcePath: String, targetPath: String,
+      versionAsOf: Option[Long] = None): Long = {
+    val srcRoot = new File(sourcePath)
+    val dstRoot = new File(targetPath)
+    require(srcRoot.getAbsolutePath != dstRoot.getAbsolutePath,
+      "clone source and target are the same path")
+    val dstLog = new File(dstRoot, "_delta_log")
+    require(commitFiles(dstLog).isEmpty &&
+        DeltaLog.lastCheckpointVersion(dstLog).isEmpty,
+      s"clone target is already a Delta table: $targetPath")
+    val adds = DeltaLog.liveAdds(spark, sourcePath, versionAsOf)
+    require(adds.nonEmpty, s"clone source has no live files: $sourcePath")
+    require(adds.forall(_.dv.isEmpty),
+      s"live deletion vectors in $sourcePath — DV paths resolve against " +
+        "the source root and would dangle in the clone; purge first " +
+        "(REORG ... APPLY (PURGE))")
+    val meta = DeltaLog.tableMetaData(spark, sourcePath, versionAsOf)
+      .getOrElse(throw new IllegalArgumentException(
+        s"clone source has no metaData action: $sourcePath"))
+    val schemaString = meta.get("schemaString")
+      .collect { case s: String => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"clone source metaData has no schemaString: $sourcePath"))
+    val pCols = meta.get("partitionColumns")
+      .collect { case s: Seq[_] => s.map(String.valueOf) }
+      .getOrElse(Seq.empty)
+    val conf = meta.get("configuration")
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty[String, Any])
+    val (mr, mw, rf, wf) = DeltaLog.currentProtocol(sourcePath)
+    def strArr(xs: Seq[String]): String =
+      xs.map(x => "\"" + jsonEscape(x) + "\"").mkString("[", ",", "]")
+    val protoJson =
+      s"""{"protocol":{"minReaderVersion":$mr,"minWriterVersion":$mw""" +
+        (if (rf.isEmpty) "" else s""","readerFeatures":${strArr(rf)}""") +
+        (if (wf.isEmpty) "" else s""","writerFeatures":${strArr(wf)}""") +
+        "}}"
+    val confJson = conf.map { case (k, v) =>
+      s""""${jsonEscape(k)}":"${jsonEscape(String.valueOf(v))}""""
+    }.mkString("{", ",", "}")
+    val metaJson =
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
+        """"format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${jsonEscape(schemaString)}",""" +
+        s""""partitionColumns":${strArr(pCols)},""" +
+        s""""configuration":$confJson}}"""
+    val addJsons = adds.map { a =>
+      val f = new File(a.path)
+      require(f.isFile,
+        s"clone source references a missing file (vacuumed?): ${a.path}")
+      val pvJson = a.partitionValues.map {
+        case (k, null) => s""""${jsonEscape(k)}":null"""
+        case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      }.mkString("{", ",", "}")
+      s"""{"add":{"path":"${jsonEscape(f.getAbsolutePath)}",""" +
+        s""""partitionValues":$pvJson,"size":${f.length},""" +
+        s""""modificationTime":${f.lastModified},""" +
+        a.statsJson.fold("")(s => s""""stats":"${jsonEscape(s)}",""") +
+        """"dataChange":true}}"""
+    }
+    dstLog.mkdirs()
+    publish(dstLog, 0L, protoJson +: metaJson +: addJsons :+
+      (s"""{"commitInfo":{"operation":"CLONE","operationParameters":{""" +
+        s""""source":"${jsonEscape(srcRoot.getAbsolutePath)}",""" +
+        s""""sourceVersion":"${versionAsOf.getOrElse(
+          DeltaLog.latestVersion(sourcePath))}"}}}"""))
+    0L
   }
 
   /** Write a parquet CHECKPOINT of the current snapshot at the newest

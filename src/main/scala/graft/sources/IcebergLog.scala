@@ -714,7 +714,7 @@ object IcebergLog {
   /** Carry a live entry forward into the next snapshot unchanged:
     * EXISTING status, original content/sequence/bounds.
     */
-  private def existingEntry(e: LiveEntry): FixtureEntry =
+  private[sources] def existingEntry(e: LiveEntry): FixtureEntry =
     FixtureEntry(0, e.path, e.recordCount, content = e.content,
       lowerBounds = e.lowerBounds, upperBounds = e.upperBounds,
       seq = e.seq, equalityIds = e.equalityIds,
@@ -1056,6 +1056,44 @@ object IcebergLog {
       moved.map(f => addedEntry(f, statsFields)))
   }
 
+  /** ADD FILES — adopt existing parquet files into an Iceberg table
+    * IN PLACE, zero copy (real Iceberg's `add_files` / `migrate`
+    * procedures): one new snapshot whose ADDED manifest entries point at
+    * the files exactly where they are — manifests record full paths, so
+    * Iceberg needs no directory convention and the adopted files may
+    * live anywhere. This is the same 100 TB onboarding path as
+    * [[DeltaWrite.convertParquet]]: O(files) metadata, never O(bytes)
+    * data. Each entry carries its footer row count, and `statsFields`
+    * ((field id, column)) folds footer MIN/MAX into manifest bounds so
+    * [[pruneByLongBounds]] skips adopted files immediately. On an
+    * existing table the prior live set carries forward as EXISTING
+    * entries (the snapshot is a plain `append` — [[appendsBetween]]
+    * serves the adopted rows incrementally like any other append).
+    * Refuses files already live in the table (double adoption would
+    * duplicate rows) and empty directories. Returns the snapshot id.
+    */
+  def addFiles(tablePath: String, dataDir: String,
+      statsFields: Seq[(Int, String)] = Seq.empty): Long = {
+    val files = Option(new File(dataDir).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .sortBy(_.getName).toSeq
+    require(files.nonEmpty, s"no parquet files to add under $dataDir")
+    val metaDir = new File(tablePath, "metadata")
+    metaDir.mkdirs()
+    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+    val priorEntries =
+      if (!hasMeta) Seq.empty
+      else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
+    val livePaths = priorEntries.map(e => new File(e.filePath).getAbsolutePath).toSet
+    val dup = files.filter(f => livePaths.contains(f.getAbsolutePath))
+    require(dup.isEmpty,
+      s"file(s) already live in $tablePath — adding again would duplicate " +
+        s"rows: ${dup.take(3).map(_.getName).mkString(",")}")
+    commitSnapshot(tablePath,
+      priorEntries ++ files.map(f => addedEntry(f, statsFields)))
+  }
+
   /** PARTITIONED APPEND: write `df` partitioned by the identity
     * transforms of `partitionBy` ((Iceberg source field id, column
     * name)), recording the partition spec in the table metadata and each
@@ -1213,7 +1251,7 @@ object IcebergLog {
     moved
   }
 
-  private def addedEntry(f: File,
+  private[sources] def addedEntry(f: File,
       statsFields: Seq[(Int, String)]): FixtureEntry = {
     // one footer read per file just written (no data re-read): the row
     // count is spec-required in the manifest; bounds only when asked
@@ -1237,7 +1275,7 @@ object IcebergLog {
     * snapshot id. `summary` becomes the new snapshot's key/value
     * properties.
     */
-  private def commitSnapshot(tablePath: String,
+  private[sources] def commitSnapshot(tablePath: String,
       entries: Seq[FixtureEntry],
       summary: Map[String, String] = Map.empty,
       partitionSpec: Seq[(Int, String)] = Seq.empty,

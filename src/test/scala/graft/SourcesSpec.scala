@@ -2144,4 +2144,201 @@ class SourcesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("deletion-vector"))
   }
+
+  test("CONVERT TO DELTA adopts a hive-partitioned layout in place") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/convert_part"
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0),
+      (4L, null, 4.0)).toDF("id", "cat", "v")
+    df.write.partitionBy("cat").parquet(tbl)
+    val before = {
+      def walk(f: java.io.File): Seq[String] =
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+          case d if d.isDirectory => walk(d)
+          case p if p.getName.endsWith(".parquet") => Seq(p.getPath)
+          case _ => Seq.empty
+        }
+      walk(new java.io.File(tbl)).toSet
+    }
+    DeltaWrite.convertParquet(spark, tbl, Seq("cat"))
+    // zero copy: exactly the same physical files, now under a log
+    val live = DeltaLog.liveAdds(spark, tbl).map(_.path).toSet
+    assert(live === before && before.nonEmpty)
+    // partition values were harvested from the directory names,
+    // including the null partition
+    val back = DeltaLog.read(spark, tbl)
+    assert(back.count() === 4L)
+    assert(back.filter(col("cat").isNull).select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(4L))
+    assert(back.filter(col("cat") === "a").count() === 2L)
+    // the adopted table is first-class: a partitioned append lands on top
+    DeltaWrite.appendPartitioned(Seq((9L, "z", 9.0)).toDF("id", "cat", "v"),
+      tbl, Seq("cat"))
+    val after = DeltaLog.read(spark, tbl)
+    assert(after.count() === 5L)
+    assert(after.filter(col("cat") === "z").select("id")
+      .head.getLong(0) === 9L)
+  }
+
+  test("CONVERT TO DELTA refuses re-conversion, layout mismatch, empty dirs") {
+    import graft.sources.DeltaWrite
+    val s = spark
+    import s.implicits._
+    val flat = s"$tmp/convert_refuse_flat"
+    Seq((1L, "a")).toDF("id", "cat").write.parquet(flat)
+    DeltaWrite.convertParquet(spark, flat)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.convertParquet(spark, flat)
+    }.getMessage.contains("already a Delta table"))
+    val part = s"$tmp/convert_refuse_part"
+    Seq((1L, "a")).toDF("id", "cat").write.partitionBy("cat").parquet(part)
+    // declaring no partition columns against a hive layout must refuse —
+    // the files would lose their partition values
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.convertParquet(spark, part)
+    }.getMessage.contains("partitionCols"))
+    val empty = s"$tmp/convert_refuse_empty"
+    new java.io.File(empty).mkdirs()
+    assert(intercept[Exception] {
+      DeltaWrite.convertParquet(spark, empty)
+    } != null)
+  }
+
+  test("Iceberg addFiles adopts into an existing table; CONVERT TO ICEBERG verb") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    // adopt into an EXISTING table: the prior live set carries forward
+    val tbl = s"$tmp/ice_addfiles_existing"
+    val extra = s"$tmp/ice_addfiles_extra"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl,
+      Seq(1 -> "id"))
+    Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+      .coalesce(1).write.parquet(extra)
+    IcebergLog.addFiles(tbl, extra, Seq(1 -> "id"))
+    assert(IcebergLog.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L))
+    // prior snapshot still time-travels without the adopted rows
+    val sids = IcebergLog.snapshots(tbl).map(_.snapshotId)
+    assert(IcebergLog.read(spark, tbl, Some(sids.head)).count() === 2L)
+    // in-place SQL verb: the directory's own files become the table
+    val dir = s"$tmp/ice_convert_verb"
+    Seq((7L, "x"), (8L, "y")).toDF("id", "v").write.parquet(dir)
+    val ctx = new graft.exec.ExecutionContext(spark)
+    ctx.runScript(s"CONVERT TO ICEBERG '$dir'")
+    assert(IcebergLog.read(spark, dir).count() === 2L)
+    // metadata landed beside the files; the files did not move
+    assert(new java.io.File(dir, "metadata").isDirectory)
+    assert(Option(new java.io.File(dir).listFiles()).get
+      .exists(f => f.isFile && f.getName.endsWith(".parquet")))
+  }
+
+  test("UniForm refuses DVs, partitioned and mapped tables, Iceberg-side writes") {
+    import graft.sources.{DeltaWrite, IcebergLog, Uniform}
+    val s = spark
+    import s.implicits._
+    // live deletion vectors: an Iceberg reader would resurrect the rows
+    val dvTbl = s"$tmp/uniform_dv"
+    DeltaWrite.append((1L to 4L).map(i => (i, "a")).toDF("id", "v")
+      .repartition(1), dvTbl)
+    DeltaWrite.deleteWhereDv(spark, dvTbl, col("id") === 1L)
+    assert(intercept[IllegalArgumentException] {
+      Uniform.deltaToIceberg(spark, dvTbl)
+    }.getMessage.contains("deletion vectors"))
+    // partitioned: partition data lives in the log, not the files
+    val pTbl = s"$tmp/uniform_part"
+    DeltaWrite.appendPartitioned(Seq((1L, "a"), (2L, "b")).toDF("id", "cat"),
+      pTbl, Seq("cat"))
+    assert(intercept[IllegalArgumentException] {
+      Uniform.deltaToIceberg(spark, pTbl)
+    }.getMessage.contains("partitioned"))
+    // a write through the Iceberg view diverges the mirror: refuse
+    val wTbl = s"$tmp/uniform_icewrite"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), wTbl)
+    Uniform.deltaToIceberg(spark, wTbl)
+    IcebergLog.deleteEqualityKeys(wTbl, Seq(1L).toDF("id"), Seq(1))
+    DeltaWrite.append(Seq((3L, "c")).toDF("id", "v"), wTbl)
+    assert(intercept[IllegalArgumentException] {
+      Uniform.deltaToIceberg(spark, wTbl)
+    }.getMessage.contains("derived"))
+  }
+
+  test("UniForm mirrors bounds for pruning and ops honestly across syncs") {
+    import graft.sources.{DeltaWrite, IcebergLog, Uniform}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/uniform_bounds"
+    DeltaWrite.append((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartitionByRange(4, col("id")), tbl)
+    val s1 = Uniform.deltaToIceberg(spark, tbl, Seq(1 -> "id"))
+    assert(s1.snapshotId.isDefined)
+    // footer bounds landed in the mirror's manifests: metadata-only
+    // pruning works on the Iceberg view
+    val (kept, total) = IcebergLog.pruneByLongBounds(tbl, 1,
+      Some(1L), Some(20L))
+    assert(kept.size < total && total === 4)
+    // an append mirrors as `append` (incremental-scan friendly)…
+    DeltaWrite.append(Seq((200L, "x")).toDF("id", "v"), tbl)
+    val s2 = Uniform.deltaToIceberg(spark, tbl, Seq(1 -> "id"))
+    val snaps = IcebergLog.snapshots(tbl)
+    assert(snaps.last.summary("operation") === "append")
+    assert(snaps.last.summary("delta-version") === "1")
+    val incr = IcebergLog.appendsBetween(spark, tbl,
+      s1.snapshotId.get, s2.snapshotId)
+    assert(incr.select("id").collect().map(_.getLong(0)).toSeq === Seq(200L))
+    // …a row-removing Delta op mirrors as `overwrite`
+    DeltaWrite.deleteWhere(spark, tbl, col("id") <= 10L)
+    Uniform.deltaToIceberg(spark, tbl, Seq(1 -> "id"))
+    assert(IcebergLog.snapshots(tbl).last.summary("operation") === "overwrite")
+    assert(IcebergLog.read(spark, tbl).count() ===
+      graft.sources.DeltaLog.read(spark, tbl).count())
+  }
+
+  test("shallow clone: vacuum safety, DV refusal, existing-target refusal") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val src = s"$tmp/clone_spec_src"
+    val dst = s"$tmp/clone_spec_dst"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src)
+    DeltaWrite.cloneShallow(spark, src, dst)
+    // vacuum on the CLONE must never reclaim the source's files (they
+    // live outside the clone root and are not candidates)
+    DeltaWrite.vacuum(spark, dst, olderThanMs = 0L)
+    assert(DeltaLog.read(spark, src).count() === 2L)
+    assert(DeltaLog.read(spark, dst).count() === 2L)
+    // cloning onto an existing table refuses
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.cloneShallow(spark, src, dst)
+    }.getMessage.contains("already a Delta table"))
+    // a DV-carrying source refuses (descriptor paths would dangle)
+    val dvSrc = s"$tmp/clone_spec_dvsrc"
+    DeltaWrite.append((1L to 4L).map(i => (i, "a")).toDF("id", "v")
+      .repartition(1), dvSrc)
+    DeltaWrite.deleteWhereDv(spark, dvSrc, col("id") === 1L)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.cloneShallow(spark, dvSrc, s"$tmp/clone_spec_dvdst")
+    }.getMessage.contains("deletion vectors"))
+  }
+
+  test("delta_history records the operation log, newest first") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/history_spec"
+    DeltaWrite.append(Seq((1L, "a")).toDF("id", "v"), tbl) // v0
+    DeltaWrite.merge(tbl, Seq((1L, "b"), (2L, "c")).toDF("id", "v"),
+      keys = Seq("id")) // v1
+    DeltaWrite.deleteWhere(spark, tbl, col("id") === 2L) // v2
+    val h = DeltaLog.history(spark, tbl).collect()
+    assert(h.map(_.getLong(0)).toSeq === Seq(2L, 1L, 0L))
+    assert(h.map(_.getString(2)).toSeq === Seq("DELETE", "MERGE", "WRITE"))
+    assert(h.last.getString(3) === "mode=Append")
+    // not a Delta table → loud refusal
+    assert(intercept[IllegalArgumentException] {
+      DeltaLog.history(spark, s"$tmp/no_such_table")
+    }.getMessage.contains("not a Delta table"))
+  }
 }

@@ -350,10 +350,48 @@ object Main {
           .sorted.mkString(", ")
         s"changes in $tbl from version $from: " +
           (if (counts.isEmpty) "none" else counts)
+      case "history" =>
+        val h = DeltaLog.history(spark, tbl).collect()
+        val head = h.head
+        s"${h.length} commits in $tbl; head: version=${head.getLong(0)} " +
+          s"operation=${Option(head.getString(2)).getOrElse("?")}"
+      case "convert" =>
+        val pcols = opts.get("--partition-by")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Seq.empty)
+        val v = DeltaWrite.convertParquet(spark, tbl, pcols)
+        s"converted $tbl to Delta at version $v (zero data files copied)"
+      case "clone" =>
+        val target = opts.getOrElse("--target",
+          throw new IllegalArgumentException(
+            "delta clone needs --target <path>"))
+        val ver = opts.get("--version").map(_.toLong)
+        DeltaWrite.cloneShallow(spark, tbl, target, ver)
+        s"shallow-cloned $tbl into $target" +
+          ver.fold("")(v => s" as of version $v")
+      case "uniform" =>
+        val st = graft.sources.Uniform.deltaToIceberg(spark, tbl)
+        st.snapshotId match {
+          case Some(sid) => s"mirrored $tbl delta-version " +
+            s"${st.deltaVersion} as Iceberg snapshot $sid " +
+            s"(${st.filesAdded} added, ${st.filesCarried} carried)"
+          case None =>
+            s"already mirrored at delta-version ${st.deltaVersion} (no-op)"
+        }
+      case "convert-from-iceberg" =>
+        val st = graft.sources.Uniform.icebergToDelta(spark, tbl)
+        st.version match {
+          case Some(v) => s"mirrored $tbl Iceberg snapshot " +
+            s"${st.snapshotId} as Delta version $v " +
+            s"(${st.filesAdded} added, ${st.filesRemoved} removed)"
+          case None =>
+            s"already mirrored at snapshot ${st.snapshotId} (no-op)"
+        }
       case other => throw new IllegalArgumentException(
         s"unknown delta operation: $other " +
           "(checkpoint|expire-log|vacuum|restore|optimize|count|purge|" +
-          "enable-cdf|changes)")
+          "enable-cdf|changes|history|convert|clone|uniform|" +
+          "convert-from-iceberg)")
     }
   }
 }

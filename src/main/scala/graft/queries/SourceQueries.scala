@@ -1291,8 +1291,11 @@ object SourceQueries {
         "conversion moved, rewrote, or added data files")
       require(graft.sources.DeltaLog.countFromStats(s, tbl).isDefined,
         "adopted add actions carry no footer stats")
+      // scale-free probe: a single-key range admits only the file whose
+      // [min,max] straddles it — at ANY SF the range-partitioned layout
+      // leaves the other files prunable
       val (kept, total) = graft.sources.DeltaLog.pruneByStats(s, tbl,
-        "o_orderkey", Some(0d), Some(1500d))
+        "o_orderkey", Some(0d), Some(1d))
       require(kept.size < total,
         s"adopted stats pruned nothing: ${kept.size} of $total kept")
       graft.sources.DeltaWrite.append(
@@ -1491,6 +1494,51 @@ object SourceQueries {
       SELECT CAST(version AS BIGINT) AS version, operation FROM (VALUES
         (0, 'CONVERT'), (1, 'WRITE'), (2, 'DELETE'), (3, 'OPTIMIZE')
       ) AS t(version, operation) ORDER BY version""")),
+
+    // x49: REVERSE UNIFORM (Iceberg → Delta) — x46's mirror image, the
+    // CONVERT-from-Iceberg direction: Iceberg is the source of truth and
+    // each sync publishes its current snapshot as ONE Delta commit over
+    // the same files — adds for new live files, removes for dropped
+    // ones, a txn action recording the mirrored snapshot id. Pins:
+    // version 0 on first sync; metadata-only count works on the mirror
+    // (numRecords riding the manifest record counts, no footer re-read);
+    // re-sync of a mirrored snapshot no-ops; an Iceberg append + CoW
+    // delete resyncs as adds AND removes; the two views stay row-equal.
+    // The oracle pins the final Delta-side read of the Iceberg truth.
+    QueryDef("x49_iceberg_to_delta", (s, d) => {
+      val tbl = s"$stage/rev_uniform"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 3 === 0), tbl)
+      val r1 = graft.sources.Uniform.icebergToDelta(s, tbl)
+      require(r1.version.contains(0L) && r1.filesAdded > 0 &&
+          r1.filesRemoved == 0, s"first reverse sync wrong shape: $r1")
+      require(graft.sources.DeltaLog.countFromStats(s, tbl).isDefined,
+        "mirror adds carry no numRecords stats from the manifests")
+      require(graft.sources.Uniform.icebergToDelta(s, tbl).version.isEmpty,
+        "re-sync of an already-mirrored snapshot was not a no-op")
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 3 === 1), tbl)
+      graft.sources.IcebergLog.deleteWhere(s, tbl,
+        col("o_orderkey") % 9 === 0)
+      val r2 = graft.sources.Uniform.icebergToDelta(s, tbl)
+      require(r2.version.isDefined && r2.filesAdded > 0 &&
+          r2.filesRemoved > 0, s"resync after delete wrong shape: $r2")
+      require(graft.sources.DeltaLog.read(s, tbl).count() ==
+          graft.sources.IcebergLog.read(s, tbl).count(),
+        "Delta view diverges from the Iceberg truth after resync")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 9 <> 0
+      ORDER BY o_orderkey""")),
 
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after

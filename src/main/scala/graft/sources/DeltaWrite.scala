@@ -27,7 +27,7 @@ import org.apache.spark.sql.DataFrame
   */
 object DeltaWrite {
 
-  private def jsonEscape(s: String): String = s.flatMap {
+  private[sources] def jsonEscape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"
     case '\n' => "\\n"
@@ -161,6 +161,17 @@ object DeltaWrite {
   private def addWithStats(f: File,
       schema: org.apache.spark.sql.types.StructType): String =
     addAction(f, fileStats(f, schema))
+
+  /** Seams for the cross-format mirror ([[Uniform.icebergToDelta]]):
+    * version counter and version-0 header, without exposing the
+    * internals more widely.
+    */
+  private[sources] def nextMirrorVersion(logDir: File): Long =
+    nextVersion(logDir)
+
+  private[sources] def mirrorHeader(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    headerActions(schema, Seq.empty)
 
   /** APPEND `df` as one atomic commit; returns the committed version. */
   def append(df: DataFrame, tablePath: String): Long = {

@@ -120,4 +120,119 @@ object Uniform {
       operation = op)
     SyncStats(Some(sid), deltaVersion, fresh.size, carried.size)
   }
+
+  /** The transaction id under which Delta-side mirror commits record the
+    * mirrored Iceberg snapshot — the sync's idempotence AND divergence
+    * ledger.
+    */
+  private[sources] val IcebergMirrorApp = "uniform-iceberg-mirror"
+
+  /** Outcome of one reverse sync: `version` is None when the Iceberg
+    * snapshot was already mirrored (no-op).
+    */
+  final case class ReverseSyncStats(version: Option[Long], snapshotId: Long,
+      filesAdded: Int, filesRemoved: Int)
+
+  /** The mirror direction real Databricks ships as CONVERT-from-Iceberg:
+    * publish an Iceberg table's CURRENT snapshot as a Delta log over the
+    * SAME parquet files. Iceberg is the source of truth; the Delta view
+    * is derived and read-only. Each sync is one Delta commit carrying
+    * adds for newly-live files, removes for files the Iceberg side
+    * dropped, and a `txn` action recording the mirrored snapshot id —
+    * which is both the idempotence key (re-syncing a mirrored snapshot
+    * no-ops) and the divergence detector: the next sync recomputes the
+    * recorded snapshot's live set and refuses if the Delta view no
+    * longer matches it (something wrote through the Delta side). If the
+    * recorded snapshot has been expired the check is skipped — the
+    * mirror trusts its own last commit (documented, not silent: expiry
+    * is an explicit retention action).
+    *
+    * Add actions carry `{"numRecords":N}` stats straight from the
+    * manifest entries' record counts — NO footer re-read — so
+    * [[DeltaLog.countFromStats]] answers metadata-only on the mirror.
+    * Iceberg keeps partition column data IN the files (self-describing),
+    * so a partitioned source mirrors as an unpartitioned Delta scan with
+    * the partition columns as plain data columns — correct and
+    * scan-friendly. Refuses live v2 delete files (a Delta reader would
+    * resurrect the deleted rows — compact first, [[IcebergLog.rewriteDataFiles]]).
+    */
+  def icebergToDelta(spark: SparkSession, tablePath: String)
+      : ReverseSyncStats = {
+    val meta = IcebergLog.parseMeta(IcebergLog.currentMetadataFile(tablePath))
+    val sid = meta.currentSnapshotId
+    val mirrored = DeltaLog.latestTxnVersions(tablePath)
+      .get(IcebergMirrorApp)
+    if (mirrored.contains(sid))
+      return ReverseSyncStats(None, sid, 0, 0)
+    val (data, dels) = IcebergLog.liveSplitEntries(tablePath)
+    require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
+    require(dels.isEmpty,
+      s"live v2 delete files in $tablePath — a Delta reader would " +
+        "resurrect the deleted rows; compact first (rewriteDataFiles / " +
+        "OPTIMIZE)")
+    val iceLive = data.map(e => new File(e.path).getAbsolutePath).toSet
+
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    val firstSync = mirrored.isEmpty &&
+      !logDir.isDirectory
+    val deltaLive =
+      if (firstSync) Seq.empty
+      else DeltaLog.liveAdds(spark, tablePath)
+    // divergence ledger: the Delta view must still equal the live set of
+    // the LAST MIRRORED snapshot — anything else means a write landed
+    // through the derived side
+    mirrored.foreach { prevSid =>
+      // the recorded snapshot may have been expired, or may carry delete
+      // files liveEntries refuses to plan from — in either case the
+      // ledger cannot be replayed and the mirror trusts its own last
+      // commit instead of refusing
+      scala.util.Try(IcebergLog.liveFiles(tablePath, Some(prevSid)))
+        .foreach { prev =>
+          val prevLive = prev.map(p => new File(p).getAbsolutePath).toSet
+          val nowLive =
+            deltaLive.map(a => new File(a.path).getAbsolutePath).toSet
+          require(nowLive == prevLive,
+            s"Delta view of $tablePath diverged from mirrored snapshot " +
+              s"$prevSid — the mirror is derived, read-only state; a " +
+              "write landed through the Delta side")
+        }
+    }
+    require(mirrored.nonEmpty || deltaLive.isEmpty || !logDir.isDirectory,
+      s"$tablePath already has a Delta log that is not a mirror — " +
+        "refusing to overwrite an independent table's history")
+
+    val deltaPaths = deltaLive.map(a => new File(a.path).getAbsolutePath).toSet
+    val freshEntries = data.filterNot(e =>
+      deltaPaths.contains(new File(e.path).getAbsolutePath))
+    val dropped = deltaLive.filterNot(a =>
+      iceLive.contains(new File(a.path).getAbsolutePath))
+    val adds = freshEntries.map { e =>
+      val f = new File(e.path)
+      val stats =
+        if (e.recordCount > 0L)
+          s""""stats":"${DeltaWrite.jsonEscape(
+            s"""{"numRecords":${e.recordCount}}""")}","""
+        else ""
+      s"""{"add":{"path":"${DeltaWrite.jsonEscape(f.getAbsolutePath)}",""" +
+        s""""partitionValues":{},"size":${f.length},""" +
+        s""""modificationTime":${f.lastModified},$stats"dataChange":true}}"""
+    }
+    val removes = dropped.map(a =>
+      s"""{"remove":{"path":"${DeltaWrite.jsonEscape(a.recordedPath)}",""" +
+        """"dataChange":true}}""")
+    logDir.mkdirs()
+    val version = DeltaWrite.nextMirrorVersion(logDir)
+    val header =
+      if (version == 0L) {
+        val schema = spark.read.parquet(data.map(_.path): _*).schema
+        DeltaWrite.mirrorHeader(schema)
+      } else Seq.empty
+    DeltaWrite.publish(logDir, version,
+      header ++ adds ++ removes ++ Seq(
+        s"""{"txn":{"appId":"$IcebergMirrorApp","version":$sid}}""",
+        s"""{"commitInfo":{"operation":"CONVERT","operationParameters":{""" +
+          s""""sourceFormat":"iceberg","snapshotId":"$sid"}}}"""))
+    ReverseSyncStats(Some(version), sid, freshEntries.size, dropped.size)
+  }
 }

@@ -439,4 +439,33 @@ class AppSurfaceSpec extends SparkSpec {
       cli.Main.deltaMaintain(spark, "count", Map.empty)
     }
   }
+
+  test("delta CLI verbs cover adoption, clone, history, and both mirrors") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-adopt-cli").toString
+    def run(tbl: String, op: String, extra: (String, String)*): String =
+      cli.Main.deltaMaintain(spark, op, Map("--table" -> tbl) ++ extra)
+    // convert: an existing parquet dir becomes a Delta table in place
+    val raw = s"$base/raw"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.parquet(raw)
+    assert(run(raw, "convert") startsWith "converted")
+    assert(run(raw, "count") === "2 rows (from log stats, zero files opened)")
+    assert(run(raw, "history") startsWith "1 commits")
+    // clone: zero-copy branch
+    val cl = s"$base/clone"
+    assert(run(raw, "clone", "--target" -> cl) startsWith "shallow-cloned")
+    assert(run(cl, "count") === "2 rows (from log stats, zero files opened)")
+    // uniform: Delta → Iceberg mirror, then idempotent no-op
+    assert(run(raw, "uniform") startsWith "mirrored")
+    assert(run(raw, "uniform") startsWith "already mirrored")
+    assert(graft.sources.IcebergLog.read(spark, raw).count() === 2L)
+    // convert-from-iceberg: Iceberg → Delta mirror
+    val ice = s"$base/ice"
+    graft.sources.IcebergLog.append(Seq((7L, "x")).toDF("id", "v"), ice)
+    assert(run(ice, "convert-from-iceberg") startsWith "mirrored")
+    assert(run(ice, "convert-from-iceberg") startsWith "already mirrored")
+    assert(graft.sources.DeltaLog.read(spark, ice).count() === 1L)
+  }
 }

@@ -2323,6 +2323,60 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("deletion vectors"))
   }
 
+  test("reverse UniForm refuses divergence, delete files, foreign Delta logs") {
+    import graft.sources.{DeltaWrite, IcebergLog, Uniform}
+    val s = spark
+    import s.implicits._
+    // a write through the DERIVED Delta side diverges the ledger: refuse
+    val tbl = s"$tmp/rev_uniform_diverge"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    Uniform.icebergToDelta(spark, tbl)
+    assert(graft.sources.DeltaLog.read(spark, tbl).count() === 2L)
+    DeltaWrite.append(Seq((9L, "z")).toDF("id", "v"), tbl) // foreign write
+    IcebergLog.append(Seq((3L, "c")).toDF("id", "v"), tbl)
+    assert(intercept[IllegalArgumentException] {
+      Uniform.icebergToDelta(spark, tbl)
+    }.getMessage.contains("diverged"))
+    // live v2 delete files: a Delta reader would resurrect the rows
+    val dTbl = s"$tmp/rev_uniform_dels"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dTbl)
+    IcebergLog.deleteEqualityKeys(dTbl, Seq(1L).toDF("id"), Seq(1))
+    assert(intercept[IllegalArgumentException] {
+      Uniform.icebergToDelta(spark, dTbl)
+    }.getMessage.contains("delete files"))
+    // an independent Delta table in the same root is never overwritten
+    val iTbl = s"$tmp/rev_uniform_foreign"
+    DeltaWrite.append(Seq((1L, "a")).toDF("id", "v"), iTbl)
+    IcebergLog.append(Seq((2L, "b")).toDF("id", "v"), iTbl)
+    assert(intercept[IllegalArgumentException] {
+      Uniform.icebergToDelta(spark, iTbl)
+    }.getMessage.contains("not a mirror"))
+  }
+
+  test("reverse UniForm mirrors partitioned Iceberg and compacted tables") {
+    import graft.sources.{DeltaLog, IcebergLog, Uniform}
+    val s = spark
+    import s.implicits._
+    // Iceberg keeps partition columns IN the files, so a partitioned
+    // source mirrors as a plain Delta scan with those columns intact
+    val tbl = s"$tmp/rev_uniform_part"
+    IcebergLog.appendPartitioned(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "cat"),
+      tbl, partitionBy = Seq(2 -> "cat"))
+    Uniform.icebergToDelta(spark, tbl)
+    val back = DeltaLog.read(spark, tbl)
+    assert(back.count() === 3L)
+    assert(back.filter(col("cat") === "a").count() === 2L)
+    // a compaction (replace snapshot) resyncs as adds + removes and the
+    // view stays row-identical
+    IcebergLog.append(Seq((4L, "c"), (5L, "d")).toDF("id", "cat"), tbl)
+    IcebergLog.rewriteDataFiles(spark, tbl, targetFiles = 1)
+    val r = Uniform.icebergToDelta(spark, tbl)
+    assert(r.version.isDefined && r.filesAdded >= 1 && r.filesRemoved >= 1)
+    assert(DeltaLog.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
   test("delta_history records the operation log, newest first") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

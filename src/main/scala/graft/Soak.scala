@@ -205,7 +205,11 @@ object Soak {
       "x36_delta_dv_deletes" -> 2.28, "x37_delta_dv_purge" -> 1.95,
       "x38_delta_cdf" -> 4.73, "x39_delta_cdf_mirror" -> 15.43,
       "x40_delta_column_mapping" -> 1.16, "x41_iceberg_incremental" -> 2.89,
-      "x42_iceberg_spec_evolution" -> 1.85, "x43_iceberg_refs" -> 2.69)
+      "x42_iceberg_spec_evolution" -> 1.85, "x43_iceberg_refs" -> 2.69,
+      // round-15 additions (PerfProbe warm run2 at sf0.1)
+      "x44_convert_delta" -> 1.34, "x45_iceberg_add_files" -> 1.21,
+      "x46_uniform_iceberg" -> 1.95, "x47_shallow_clone" -> 1.51,
+      "x48_delta_history" -> 1.43, "x49_iceberg_to_delta" -> 1.55)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -266,7 +270,13 @@ object Soak {
       // selective as epochs and file counts grow
       "x42_iceberg_spec_evolution",
       // refs: tag-pinned retention across mutations + expiry
-      "x43_iceberg_refs")
+      "x43_iceberg_refs",
+      // round-15: zero-copy adoption + cross-format mirrors — all four
+      // must stay O(files) metadata as the data decade-scales (conversion
+      // cost = footer reads + one commit; mirrors = one metadata commit
+      // per sync; clone = one commit referencing the source)
+      "x44_convert_delta", "x45_iceberg_add_files", "x46_uniform_iceberg",
+      "x47_shallow_clone", "x48_delta_history", "x49_iceberg_to_delta")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

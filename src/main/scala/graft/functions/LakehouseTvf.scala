@@ -14,7 +14,11 @@ import org.apache.spark.sql.SparkSession
   *    (name, snapshot_id, type);
   *  - `delta_history('path')` — the `DESCRIBE HISTORY` surface:
   *    (version, timestamp, operation, operation_parameters), newest
-  *    first ([[graft.sources.DeltaLog.history]]).
+  *    first ([[graft.sources.DeltaLog.history]]);
+  *  - `iceberg_files('path')` — the `table$files` inspection surface:
+  *    (content, file_path, record_count, partition), manifest-only;
+  *  - `iceberg_partitions('path')` — the `table$partitions` surface:
+  *    (partition, file_count, record_count), manifest-only.
   *
   * Each call materializes as a temp view at rewrite time (metadata-scale
   * for the inspection tables; the change feed plans lazily like any scan),
@@ -27,6 +31,8 @@ object LakehouseTvf {
   private val Snaps = """(?i)\biceberg_snapshots\s*\(\s*'([^']+)'\s*\)""".r
   private val Refs = """(?i)\biceberg_refs\s*\(\s*'([^']+)'\s*\)""".r
   private val History = """(?i)\bdelta_history\s*\(\s*'([^']+)'\s*\)""".r
+  private val Files = """(?i)\biceberg_files\s*\(\s*'([^']+)'\s*\)""".r
+  private val Parts = """(?i)\biceberg_partitions\s*\(\s*'([^']+)'\s*\)""".r
 
   def rewrite(spark: SparkSession, sql: String): String = {
     val s1 = Changes.replaceAllIn(sql, m => {
@@ -62,10 +68,24 @@ object LakehouseTvf {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    History.replaceAllIn(s3, m => {
+    val s4 = History.replaceAllIn(s3, m => {
       val path = m.group(1)
       val view = "delta_history_" + math.abs(path.hashCode).toString
       graft.sources.DeltaLog.history(spark, path)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    val s5 = Files.replaceAllIn(s4, m => {
+      val path = m.group(1)
+      val view = "iceberg_files_" + math.abs(path.hashCode).toString
+      graft.sources.IcebergLog.filesTable(spark, path)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    Parts.replaceAllIn(s5, m => {
+      val path = m.group(1)
+      val view = "iceberg_partitions_" + math.abs(path.hashCode).toString
+      graft.sources.IcebergLog.partitionsTable(spark, path)
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })

@@ -1056,6 +1056,56 @@ object IcebergLog {
       moved.map(f => addedEntry(f, statsFields)))
   }
 
+  /** The `table$files` inspection surface: one row per live entry at the
+    * current snapshot — content kind, full path, manifest record count,
+    * and the recorded partition tuple as a deterministic `k=v` comma-join
+    * (null for unpartitioned entries). Metadata-scale: answered from the
+    * manifests alone, zero data files opened — at 100 TB this is the
+    * table-health query an operator runs hourly, and it must never cost a
+    * scan.
+    */
+  def filesTable(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val (data, dels) = liveSplitEntries(tablePath)
+    def contentName(c: Int): String = c match {
+      case 0 => "data"
+      case 1 => "position_deletes"
+      case 2 => "equality_deletes"
+      case other => s"unknown_$other"
+    }
+    def pvString(pv: Map[String, Any]): String =
+      if (pv.isEmpty) null
+      else pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${Option(v).map(String.valueOf).getOrElse("null")}" }
+        .mkString(",")
+    val rows = (data ++ dels).map(e =>
+      Row(contentName(e.content), e.path, e.recordCount,
+        pvString(e.partitionValues)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("content", StringType, nullable = false),
+        StructField("file_path", StringType, nullable = false),
+        StructField("record_count", LongType, nullable = false),
+        StructField("partition", StringType))))
+  }
+
+  /** The `table$partitions` inspection surface: live DATA files grouped
+    * by their recorded partition tuple with file and record counts —
+    * the skew/layout overview (which partition is the fat one, which is
+    * fragmented into too many small files). Manifest-only, like
+    * [[filesTable]].
+    */
+  def partitionsTable(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count, sum}
+    filesTable(spark, tablePath)
+      .filter(org.apache.spark.sql.functions.col("content") === "data")
+      .groupBy("partition")
+      .agg(count("*").as("file_count"),
+        sum("record_count").as("record_count"))
+  }
+
   /** ADD FILES — adopt existing parquet files into an Iceberg table
     * IN PLACE, zero copy (real Iceberg's `add_files` / `migrate`
     * procedures): one new snapshot whose ADDED manifest entries point at

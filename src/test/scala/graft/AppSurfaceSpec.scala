@@ -440,6 +440,36 @@ class AppSurfaceSpec extends SparkSpec {
     }
   }
 
+  test("iceberg_files / iceberg_partitions TVFs answer manifest-only") {
+    val s = spark
+    import s.implicits._
+    import graft.sources.IcebergLog
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-ice-tvf").toString + "/t"
+    IcebergLog.appendPartitioned(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "cat"),
+      tbl, partitionBy = Seq(2 -> "cat"))
+    IcebergLog.deleteEqualityKeys(tbl, Seq(2L).toDF("id"), Seq(1))
+    // files: both content kinds visible, partition tuples recorded
+    val files = ctx.sql(s"SELECT content, record_count, partition " +
+      s"FROM iceberg_files('$tbl') ORDER BY content, partition")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).orNull)).toSeq
+    // record counts, not file counts: the partitioned writer may split a
+    // partition across tasks, so the file count per partition is layout
+    val data = files.filter(_._1 == "data")
+    assert(data.map(_._2).sum === 3L)
+    assert(data.map(_._3).distinct.sorted === Seq("cat=a", "cat=b"))
+    assert(files.count(_._1 == "equality_deletes") === 1)
+    // partitions: grouped layout overview, SQL-composable
+    val parts = ctx.sql(s"SELECT partition, file_count, record_count " +
+      s"FROM iceberg_partitions('$tbl') ORDER BY partition")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(parts.map(p => (p._1, p._3)) === Seq(("cat=a", 2L), ("cat=b", 1L)))
+    assert(parts.map(_._2).sum === data.size.toLong)
+  }
+
   test("delta CLI verbs cover adoption, clone, history, and both mirrors") {
     val s = spark
     import s.implicits._

@@ -2377,6 +2377,67 @@ class SourcesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("mirror fuzz: random lifecycles keep both protocol views row-identical") {
+    import graft.sources.{DeltaLog, DeltaWrite, IcebergLog, Uniform}
+    val s = spark
+    import s.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.select("id", "v").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+
+    // forward: Delta is the truth, random append/delete/merge/optimize,
+    // sync after every step, Iceberg view must match exactly
+    val rnd = new scala.util.Random(4242)
+    val fwd = s"$tmp/mirror_fuzz_fwd"
+    var nextId = 100L
+    DeltaWrite.append((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4), fwd)
+    Uniform.deltaToIceberg(spark, fwd)
+    (1 to 8).foreach { step =>
+      rnd.nextInt(4) match {
+        case 0 =>
+          DeltaWrite.append((nextId to nextId + 9L)
+            .map(i => (i, s"v$i")).toDF("id", "v"), fwd)
+          nextId += 10L
+        case 1 => // bounded delete: never empties the table
+          DeltaWrite.deleteWhere(spark, fwd,
+            col("id") % 7 === (step % 7).toLong && col("id") > 5L)
+        case 2 =>
+          DeltaWrite.merge(fwd, (nextId - 5L to nextId)
+            .map(i => (i, s"m$i")).toDF("id", "v"), keys = Seq("id"))
+          nextId += 1L
+        case 3 =>
+          DeltaWrite.optimize(spark, fwd, smallFileBytes = 128L << 20)
+      }
+      Uniform.deltaToIceberg(spark, fwd)
+      assert(rows(IcebergLog.read(spark, fwd)) ===
+        rows(DeltaLog.read(spark, fwd)), s"forward mirror diverged at step $step")
+    }
+
+    // reverse: Iceberg is the truth, random append/CoW-delete/compaction,
+    // sync after every step, Delta view must match exactly
+    val rev = s"$tmp/mirror_fuzz_rev"
+    IcebergLog.append((1L to 40L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4), rev)
+    Uniform.icebergToDelta(spark, rev)
+    (1 to 8).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 =>
+          IcebergLog.append((nextId to nextId + 9L)
+            .map(i => (i, s"v$i")).toDF("id", "v"), rev)
+          nextId += 10L
+        case 1 =>
+          IcebergLog.deleteWhere(spark, rev,
+            col("id") % 5 === (step % 5).toLong && col("id") > 5L)
+        case 2 =>
+          IcebergLog.rewriteDataFiles(spark, rev, targetFiles = 2)
+      }
+      Uniform.icebergToDelta(spark, rev)
+      assert(rows(DeltaLog.read(spark, rev)) ===
+        rows(IcebergLog.read(spark, rev)), s"reverse mirror diverged at step $step")
+    }
+  }
+
   test("delta_history records the operation log, newest first") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -106,8 +106,11 @@ class ExecutionContext(val spark: SparkSession,
       // VACUUM / OPTIMIZE dispatch on the table's format: a `metadata/`
       // tree is Iceberg, a `_delta_log/` is Delta — the same statement
       // drives the matching maintenance op of either lakehouse format
-      case DdlTranslate.VacuumStmt(loc, retainHours) =>
+      case DdlTranslate.VacuumStmt(loc, retainHours, dryRun) =>
         if (isIcebergTable(loc)) {
+          require(!dryRun,
+            "VACUUM DRY RUN is a Delta surface; Iceberg expiry is " +
+              "snapshot-granular (inspect with iceberg_snapshots first)")
           // Iceberg retention is snapshot-granular (expire_snapshots):
           // keep only the current snapshot and reclaim everything no
           // survivor references; the RETAIN horizon maps to history
@@ -118,26 +121,43 @@ class ExecutionContext(val spark: SparkSession,
             removed.count(_.endsWith(".parquet")).toLong)
         } else {
           val removed = graft.sources.DeltaWrite.vacuum(spark, loc,
-            retainHours.map(_ * 3600L * 1000L).getOrElse(7L * 24 * 3600 * 1000))
-          oneRowResult("files_removed", removed.size.toLong)
+            retainHours.map(_ * 3600L * 1000L).getOrElse(7L * 24 * 3600 * 1000),
+            dryRun = dryRun)
+          oneRowResult(
+            if (dryRun) "files_reclaimable" else "files_removed",
+            removed.size.toLong)
         }
-      case DdlTranslate.OptimizeStmt(loc) =>
+      case DdlTranslate.OptimizeStmt(loc, zCols) =>
         if (isIcebergTable(loc)) {
           // rewriteDataFiles: bin-packs AND drops v2 delete files,
           // restoring the delete-blind planning paths (x31's op).
           // Target file count from live bytes at the same 128 MB
-          // granularity as the Delta path — never a blind coalesce(1)
+          // granularity as the Delta path — never a blind coalesce(1).
+          // ZORDER BY maps to a sort-clustered rewrite (Iceberg's
+          // sort-order rewrite strategy): lexicographic over the listed
+          // columns, leading-column selective.
           val (data, _) = graft.sources.IcebergLog.liveSplitEntries(loc)
           val liveBytes = data.map(e => new java.io.File(e.path).length).sum
           val target = math.max(1L,
             (liveBytes + (128L << 20) - 1) / (128L << 20)).toInt
           val rs = graft.sources.IcebergLog.rewriteDataFiles(spark, loc,
-            targetFiles = target)
+            sortBy = zCols, targetFiles = target)
           oneRowResult("files_compacted", rs.filesRewritten.toLong)
+        } else if (zCols.nonEmpty) {
+          val st = graft.sources.DeltaWrite.optimizeZOrder(spark, loc, zCols)
+          oneRowResult("files_compacted", st.filesCompacted.toLong)
         } else {
           val st = graft.sources.DeltaWrite.optimize(spark, loc,
             smallFileBytes = 128L * 1024 * 1024)
           oneRowResult("files_compacted", st.filesCompacted.toLong)
+        }
+      case DdlTranslate.RestoreStmt(loc, version) =>
+        if (isIcebergTable(loc)) {
+          graft.sources.IcebergLog.rollbackTo(loc, version)
+          oneRowResult("rolled_back_to", version)
+        } else {
+          val st = graft.sources.DeltaWrite.restoreTo(spark, loc, version)
+          oneRowResult("files_restored", st.filesReAdded.toLong)
         }
       case DdlTranslate.DeleteStmt(loc, cond) =>
         val pred = org.apache.spark.sql.functions.expr(cond)
@@ -226,28 +246,50 @@ object DdlTranslate {
     }
   }
 
-  /** `VACUUM 'path' [RETAIN n HOURS]` — the Databricks/Delta SQL verb
-    * for [[graft.sources.DeltaWrite.vacuum]]; default retention 7 days.
+  /** `VACUUM 'path' [RETAIN n HOURS] [DRY RUN]` — the Databricks/Delta
+    * SQL verb for [[graft.sources.DeltaWrite.vacuum]]; default retention
+    * 7 days. DRY RUN lists reclaim candidates without deleting.
     */
   object VacuumStmt {
     private val P =
-      """(?is)VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?\s*""".r
-    def unapply(statement: String): Option[(String, Option[Long])] =
+      """(?is)VACUUM\s+'([^']+)'(?:\s+RETAIN\s+(\d+)\s+HOURS)?(\s+DRY\s+RUN)?\s*""".r
+    def unapply(statement: String): Option[(String, Option[Long], Boolean)] =
       statement match {
-        case P(loc, hours) => Some((loc, Option(hours).map(_.toLong)))
+        case P(loc, hours, dry) =>
+          Some((loc, Option(hours).map(_.toLong), dry != null))
         case _ => None
       }
   }
 
-  /** `OPTIMIZE 'path'` — the lakehouse bin-packing verb for
-    * [[graft.sources.DeltaWrite.optimize]].
+  /** `OPTIMIZE 'path' [ZORDER BY (c1, c2)]` — the lakehouse maintenance
+    * verb: bin-packing without ZORDER
+    * ([[graft.sources.DeltaWrite.optimize]]), multi-column curve
+    * re-clustering with it ([[graft.sources.DeltaWrite.optimizeZOrder]]).
     */
   object OptimizeStmt {
-    private val P = """(?is)OPTIMIZE\s+'([^']+)'\s*""".r
-    def unapply(statement: String): Option[String] = statement match {
-      case P(loc) => Some(loc)
-      case _ => None
-    }
+    private val P =
+      """(?is)OPTIMIZE\s+'([^']+)'(?:\s+ZORDER\s+BY\s*\(([^)]*)\))?\s*""".r
+    def unapply(statement: String): Option[(String, Seq[String])] =
+      statement match {
+        case P(loc, z) => Some((loc,
+          Option(z).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            .getOrElse(Seq.empty)))
+        case _ => None
+      }
+  }
+
+  /** `RESTORE TABLE 'path' TO VERSION AS OF n` — metadata-only undo:
+    * Delta [[graft.sources.DeltaWrite.restoreTo]] (n = commit version) or
+    * Iceberg [[graft.sources.IcebergLog.rollbackTo]] (n = snapshot id).
+    */
+  object RestoreStmt {
+    private val P =
+      """(?is)RESTORE\s+TABLE\s+'([^']+)'\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*""".r
+    def unapply(statement: String): Option[(String, Long)] =
+      statement match {
+        case P(loc, v) => Some((loc, v.toLong))
+        case _ => None
+      }
   }
 
   /** `DELETE FROM 'path' WHERE <expr>` — the lakehouse row-delete verb

@@ -1540,6 +1540,96 @@ object SourceQueries {
       FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 9 <> 0
       ORDER BY o_orderkey""")),
 
+    // x50: OPTIMIZE ZORDER BY — the multi-column data-skipping layout
+    // lever: a round-robin-scattered table prunes NOTHING on any single
+    // column (every file spans the full domain — pinned before); one
+    // Morton-curve rewrite later, a selective probe on EITHER z column
+    // prunes files (pinned after, both dimensions), in ONE
+    // dataChange:false commit (pinned via the history operation +
+    // zOrderBy parameter). The oracle pins every row unchanged — a
+    // re-clustering may only ever move bytes, never answers.
+    QueryDef("x50_zorder_optimize", (s, d) => {
+      val tbl = s"$stage/zorder_opt"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.repartition(6), tbl)
+      // probe at each column's domain MIDPOINT: every round-robin file's
+      // [min,max] straddles it (kept == total before), while the curve
+      // layout confines it to a few files (kept < total after) — an edge
+      // probe would prune trivially even on the scattered layout
+      val mids = o.agg(
+        ((min(col("o_orderkey")) + max(col("o_orderkey"))) / 2)
+          .cast("double").as("mk"),
+        ((min(col("o_custkey")) + max(col("o_custkey"))) / 2)
+          .cast("double").as("mc")).head
+      def prunes(c: String, mid: Double): Boolean = {
+        val (kept, total) = graft.sources.DeltaLog.pruneByStats(s, tbl,
+          c, Some(mid), Some(mid + 1))
+        kept.size < total
+      }
+      require(!prunes("o_orderkey", mids.getDouble(0)) &&
+          !prunes("o_custkey", mids.getDouble(1)),
+        "scattered layout already pruned — fixture broken")
+      graft.sources.DeltaWrite.optimizeZOrder(s, tbl,
+        Seq("o_orderkey", "o_custkey"), targetFiles = 8)
+      require(prunes("o_orderkey", mids.getDouble(0)) &&
+          prunes("o_custkey", mids.getDouble(1)),
+        "z-order produced no pruning on a z column")
+      val head = graft.sources.DeltaLog.history(s, tbl).collect().head
+      require(head.getString(2) == "OPTIMIZE" &&
+          head.getString(3).contains("zOrderBy"),
+        s"zorder commit mislabeled: ${head.getString(2)}/${head.getString(3)}")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        CAST(o_custkey AS BIGINT) AS o_custkey,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
+    // x51: ICEBERG ROLLBACK — real Iceberg's rollback_to_snapshot (the
+    // Delta RESTORE analog, x21's second-format twin): after an
+    // append/append/delete history, ONE metadata-only version moves the
+    // current snapshot (and `main`) back over the delete. Pins: the
+    // rolled-over head still time-travels with its deletes applied, and
+    // a post-rollback append builds on the TARGET's lineage (the head's
+    // deleted rows stay gone from the new current). The oracle pins the
+    // restored table byte-identically — every order, nothing deleted.
+    QueryDef("x51_iceberg_rollback", (s, d) => {
+      val tbl = s"$stage/ice_rollback"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 0), tbl) // s1
+      val s2 = graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 1), tbl) // s2: the good state
+      graft.sources.IcebergLog.deleteWhere(s, tbl,
+        col("o_orderkey") % 8 === 0) // s3: the bad delete
+      val head = graft.sources.IcebergLog.snapshots(tbl)
+        .map(_.snapshotId).max
+      val deletedCount = graft.sources.IcebergLog.read(s, tbl).count()
+      graft.sources.IcebergLog.rollbackTo(tbl, s2)
+      // the bad head stays in history, deletes applied, until expiry
+      require(graft.sources.IcebergLog.read(s, tbl, Some(head)).count()
+          == deletedCount, "rolled-over head no longer time-travels")
+      // main follows the rollback
+      require(graft.sources.IcebergLog.refs(tbl)("main")._1 == s2,
+        "main ref did not follow the rollback")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

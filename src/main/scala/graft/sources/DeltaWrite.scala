@@ -706,7 +706,8 @@ object DeltaWrite {
     * requested range's change file was reclaimed.
     */
   def vacuum(spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      olderThanMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+      olderThanMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
@@ -733,7 +734,11 @@ object DeltaWrite {
             f.lastModified <= cutoff => Seq(f)
         case _ => Seq.empty
       }
-    candidates(root).map { f =>
+    // DRY RUN lists what a real vacuum would reclaim without touching a
+    // byte — the operator's pre-flight at 100 TB, where an over-eager
+    // retention window is an unrecoverable mistake
+    if (dryRun) candidates(root).map(_.getName)
+    else candidates(root).map { f =>
       Files.delete(f.toPath)
       f.getName
     }
@@ -838,6 +843,85 @@ object DeltaWrite {
     publish(logDir, version, removes ++ addsJson :+
       """{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{}}}""")
     OptimizeStats(version, small.size, files.size)
+  }
+
+  /** OPTIMIZE ZORDER BY — rewrite the live set clustered along the Morton
+    * curve over `zCols` (the Databricks `OPTIMIZE ... ZORDER BY` verb):
+    * after the rewrite a selective predicate on ANY z column — or a box
+    * over several — prunes files via the re-derived footer stats, where a
+    * lexicographic sort helps only its leading column. This is the layout
+    * lever for multi-column point/range lookups at 100 TB: data skipping
+    * quality IS scan cost, and one curve-ordered rewrite buys pruning on
+    * every z dimension at once.
+    *
+    * Unlike bin-packing [[optimize]] (which touches only small files),
+    * Z-ordering is a re-CLUSTERING: every live file rewrites, range-
+    * partitioned by z-value into `targetFiles` equal-row outputs (0 =
+    * auto-size at 128 MB). Same commit discipline as optimize: ONE commit,
+    * remove/add actions `dataChange:false` (rows untouched — streaming
+    * consumers skip it), per-file stats from the new footers, history
+    * time-travels until vacuum. Ranking per column is the linear min/max
+    * map from [[graft.operators.Compaction.compactZOrder]] — one stats
+    * aggregate of driver state, two doubles per column.
+    */
+  def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, zCols: Seq[String], bits: Int = 8,
+      targetFiles: Int = 0): OptimizeStats = {
+    import org.apache.spark.sql.functions._
+    require(zCols.size >= 2,
+      "ZORDER BY needs at least 2 columns (1-D clustering is a plain sort)")
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    require(adds.forall(_.partitionValues.isEmpty),
+      s"optimize supports unpartitioned tables: $tablePath")
+    requireNoDv(adds, "optimize zorder", tablePath)
+    requireNotMapped(spark, tablePath, "optimize zorder")
+    val df = spark.read.parquet(adds.map(_.path): _*)
+    zCols.foreach(c => require(df.columns.contains(c),
+      s"ZORDER column not in table: $c"))
+    val statCols = zCols.flatMap(c => Seq(
+      min(col(c)).cast("double").as(s"mn_$c"),
+      max(col(c)).cast("double").as(s"mx_$c")))
+    val stats = df.agg(statCols.head, statCols.tail: _*).first()
+    val top = (1L << bits) - 1
+    val ranks = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = stats.getDouble(2 * i)
+      val mx = stats.getDouble(2 * i + 1)
+      if (mx <= mn) lit(0L)
+      else least(lit(top), greatest(lit(0L),
+        floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * top)
+          .cast("long")))
+    }
+    val z = graft.operators.Compaction.mortonInterleave(ranks, bits)
+    val target =
+      if (targetFiles >= 1) targetFiles
+      else {
+        val liveBytes = adds.map(a => new File(a.path).length).sum
+        math.max(1L, (liveBytes + (128L << 20) - 1) / (128L << 20)).toInt
+      }
+    val clustered = df.withColumn("__graft_z", z)
+      .repartitionByRange(target, col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
+    val files = stageDataFiles(clustered, root)
+    val version = nextVersion(logDir)
+    val removes = adds.map { a =>
+      s"""{"remove":{"path":"${jsonEscape(relPath(root, a.path))}",""" +
+        """"dataChange":false}}"""
+    }
+    val addsJson = files.map { f =>
+      val st = fileStats(f, df.schema)
+      s"""{"add":{"path":"${jsonEscape(f.getName)}","partitionValues":{},""" +
+        s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+        st.fold("")(x => s""""stats":"${jsonEscape(x)}",""") +
+        """"dataChange":false}}"""
+    }
+    publish(logDir, version, removes ++ addsJson :+
+      (s"""{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{""" +
+        s""""zOrderBy":"${jsonEscape(zCols.mkString(","))}"}}}"""))
+    OptimizeStats(version, adds.size, files.size)
   }
 
   /** PARTITIONED append: one atomic commit whose data files land under

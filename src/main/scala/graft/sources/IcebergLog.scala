@@ -1371,6 +1371,33 @@ object IcebergLog {
     sid
   }
 
+  /** ROLLBACK — move the table's current snapshot back to an existing
+    * `snapshotId` (real Iceberg's `rollback_to_snapshot` procedure, the
+    * [[DeltaWrite.restoreTo]] analog): ONE new metadata version whose
+    * current-snapshot-id is the target and whose `main` branch follows.
+    * Metadata-only — no data file read, written, or moved; every
+    * snapshot (including the rolled-back-over head) stays in the history
+    * and time-travels until [[expireSnapshots]] reclaims it. Refuses
+    * unknown ids (expired history cannot be rolled to) and a no-op
+    * target (rolling back to the current snapshot is a caller bug, not a
+    * commit). Returns the new metadata version.
+    */
+  def rollbackTo(tablePath: String, snapshotId: Long): Long = {
+    val mf = currentMetadataFile(tablePath)
+    val meta = parseMeta(mf)
+    require(meta.snapshots.exists(_.snapshotId == snapshotId),
+      s"unknown snapshot $snapshotId in $tablePath (known: " +
+        s"${meta.snapshots.map(_.snapshotId).mkString(",")})")
+    require(meta.currentSnapshotId != snapshotId,
+      s"snapshot $snapshotId is already current in $tablePath")
+    val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
+    val metaDir = new File(tablePath, "metadata")
+    writeMetadataVersion(metaDir, tablePath, v + 1, snapshotId,
+      meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
+      meta.refs + ("main" -> ((snapshotId, "branch"))))
+    v + 1
+  }
+
   /** EXPIRE SNAPSHOTS + ORPHAN CLEANUP — Iceberg's retention lifecycle
     * (the [[DeltaWrite.vacuum]]/expireLog analog): publish a metadata
     * version listing only the newest `keep` snapshots, then physically

@@ -2438,6 +2438,84 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("OPTIMIZE ZORDER BY: SQL verb dispatch, row fidelity, refusals") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/zorder_verb"
+    val df = (1L to 400L).map(i => (i, (i * 37L) % 400L, s"v$i"))
+      .toDF("a", "b", "v")
+    DeltaWrite.append(df.repartition(4), tbl)
+    // the SQL verb routes ZORDER BY to the curve rewrite
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val out = ctx.runScript(s"OPTIMIZE '$tbl' ZORDER BY (a, b)").last
+    assert(out.columns.toSeq === Seq("files_compacted"))
+    assert(out.head.getLong(0) === 4L)
+    // rows byte-identical after the re-clustering
+    assert(DeltaLog.read(spark, tbl).select("a", "b", "v")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq ===
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .sortBy(_._1).toSeq)
+    // refusals: a single column is a plain sort, not a curve; unknown
+    // columns refuse before any rewrite
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.optimizeZOrder(spark, tbl, Seq("a"))
+    }.getMessage.contains("at least 2"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.optimizeZOrder(spark, tbl, Seq("a", "nope"))
+    }.getMessage.contains("not in table"))
+  }
+
+  test("VACUUM DRY RUN lists reclaim candidates without deleting") {
+    import graft.sources.DeltaWrite
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/vacuum_dry"
+    DeltaWrite.append(Seq((1L, "a")).toDF("id", "v"), tbl)
+    DeltaWrite.overwrite(Seq((2L, "b")).toDF("id", "v"), tbl) // tombstones v0
+    def onDisk(): Int = Option(new java.io.File(tbl).listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val before = onDisk()
+    // SQL verb: candidates listed, nothing touched
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val dry = ctx.runScript(s"VACUUM '$tbl' RETAIN 0 HOURS DRY RUN").last
+    assert(dry.columns.toSeq === Seq("files_reclaimable"))
+    assert(dry.head.getLong(0) >= 1L)
+    assert(onDisk() === before)
+    // the real vacuum then reclaims exactly what the dry run named
+    val removed = DeltaWrite.vacuum(spark, tbl, olderThanMs = 0L)
+    assert(removed.size.toLong === dry.head.getLong(0))
+    assert(onDisk() === before - removed.size)
+  }
+
+  test("Iceberg rollback: post-rollback appends build on the target lineage") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_rollback_spec"
+    val s1 = IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    IcebergLog.deleteWhere(spark, tbl, col("id") === 1L) // s2: bad delete
+    // RESTORE SQL verb dispatches to rollbackTo on an Iceberg path
+    val ctx = new graft.exec.ExecutionContext(spark)
+    ctx.runScript(s"RESTORE TABLE '$tbl' TO VERSION AS OF $s1")
+    assert(IcebergLog.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L))
+    // the next commit builds on the TARGET, not the rolled-over head
+    IcebergLog.append(Seq((3L, "c")).toDF("id", "v"), tbl)
+    assert(IcebergLog.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 3L))
+    // refusals: unknown snapshot; rolling back to the current head
+    assert(intercept[IllegalArgumentException] {
+      IcebergLog.rollbackTo(tbl, 999L)
+    }.getMessage.contains("unknown snapshot"))
+    assert(intercept[IllegalArgumentException] {
+      val cur = IcebergLog.snapshots(tbl).map(_.snapshotId).max
+      IcebergLog.rollbackTo(tbl, cur)
+    }.getMessage.contains("already current"))
+  }
+
   test("delta_history records the operation log, newest first") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -151,6 +151,12 @@ class ExecutionContext(val spark: SparkSession,
             smallFileBytes = 128L * 1024 * 1024)
           oneRowResult("files_compacted", st.filesCompacted.toLong)
         }
+      case DdlTranslate.AddConstraintStmt(loc, name, cond) =>
+        oneRowResult("version",
+          graft.sources.DeltaWrite.addCheckConstraint(spark, loc, name, cond))
+      case DdlTranslate.DropConstraintStmt(loc, name) =>
+        oneRowResult("version",
+          graft.sources.DeltaWrite.dropCheckConstraint(spark, loc, name))
       case DdlTranslate.RestoreStmt(loc, version) =>
         if (isIcebergTable(loc)) {
           graft.sources.IcebergLog.rollbackTo(loc, version)
@@ -274,6 +280,30 @@ object DdlTranslate {
         case P(loc, z) => Some((loc,
           Option(z).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
             .getOrElse(Seq.empty)))
+        case _ => None
+      }
+  }
+
+  /** `ALTER TABLE 'path' ADD CONSTRAINT name CHECK (expr)` — Delta CHECK
+    * constraints ([[graft.sources.DeltaWrite.addCheckConstraint]]).
+    */
+  object AddConstraintStmt {
+    private val P =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s*\((.+)\)\s*""".r
+    def unapply(statement: String): Option[(String, String, String)] =
+      statement.trim match {
+        case P(loc, name, cond) => Some((loc, name, cond.trim))
+        case _ => None
+      }
+  }
+
+  /** `ALTER TABLE 'path' DROP CONSTRAINT name`. */
+  object DropConstraintStmt {
+    private val P =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+    def unapply(statement: String): Option[(String, String)] =
+      statement match {
+        case P(loc, name) => Some((loc, name))
         case _ => None
       }
   }

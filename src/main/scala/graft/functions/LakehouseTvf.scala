@@ -18,7 +18,10 @@ import org.apache.spark.sql.SparkSession
   *  - `iceberg_files('path')` — the `table$files` inspection surface:
   *    (content, file_path, record_count, partition), manifest-only;
   *  - `iceberg_partitions('path')` — the `table$partitions` surface:
-  *    (partition, file_count, record_count), manifest-only.
+  *    (partition, file_count, record_count), manifest-only;
+  *  - `delta_files('path')` — the Delta live-file inspection surface:
+  *    (file_path, size_bytes, record_count, partition,
+  *    has_deletion_vector), log-only ([[graft.sources.DeltaLog.filesTable]]).
   *
   * Each call materializes as a temp view at rewrite time (metadata-scale
   * for the inspection tables; the change feed plans lazily like any scan),
@@ -33,6 +36,7 @@ object LakehouseTvf {
   private val History = """(?i)\bdelta_history\s*\(\s*'([^']+)'\s*\)""".r
   private val Files = """(?i)\biceberg_files\s*\(\s*'([^']+)'\s*\)""".r
   private val Parts = """(?i)\biceberg_partitions\s*\(\s*'([^']+)'\s*\)""".r
+  private val DFiles = """(?i)\bdelta_files\s*\(\s*'([^']+)'\s*\)""".r
 
   def rewrite(spark: SparkSession, sql: String): String = {
     val s1 = Changes.replaceAllIn(sql, m => {
@@ -82,10 +86,17 @@ object LakehouseTvf {
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })
-    Parts.replaceAllIn(s5, m => {
+    val s6 = Parts.replaceAllIn(s5, m => {
       val path = m.group(1)
       val view = "iceberg_partitions_" + math.abs(path.hashCode).toString
       graft.sources.IcebergLog.partitionsTable(spark, path)
+        .createOrReplaceTempView(view)
+      scala.util.matching.Regex.quoteReplacement(view)
+    })
+    DFiles.replaceAllIn(s6, m => {
+      val path = m.group(1)
+      val view = "delta_files_" + math.abs(path.hashCode).toString
+      graft.sources.DeltaLog.filesTable(spark, path)
         .createOrReplaceTempView(view)
       scala.util.matching.Regex.quoteReplacement(view)
     })

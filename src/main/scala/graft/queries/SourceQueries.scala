@@ -1630,6 +1630,52 @@ object SourceQueries {
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 
+    // x52: CHECK CONSTRAINTS — the Delta protocol's writer-enforced
+    // invariants (`delta.constraints.*`, minWriterVersion 3): once
+    // declared, every incoming BATCH is checked in one pass (never a
+    // table scan) and a violating batch refuses BEFORE any commit
+    // exists — pinned in-query by the version counter not moving and
+    // the read not changing. Creation validates existing rows (a
+    // constraint cannot be born violated — real Delta's rule); DROP is
+    // metadata-only and re-admits what the constraint excluded. The
+    // oracle recomputes the final table including the post-drop
+    // negative-price batch — an enforcement leak on either side of the
+    // lifecycle breaks the hash.
+    QueryDef("x52_check_constraints", (s, d) => {
+      val tbl = s"$stage/check_tbl"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 3 === 0), tbl)
+      val ctx = new ExecutionContext(s)
+      ctx.runScript(
+        s"ALTER TABLE '$tbl' ADD CONSTRAINT price_pos CHECK (o_totalprice > 0)")
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 3 === 1), tbl) // conforming: lands
+      val bad = o.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_totalprice", -col("o_totalprice"))
+      val vBefore = graft.sources.DeltaLog.latestVersion(tbl)
+      val refused =
+        try { graft.sources.DeltaWrite.append(bad, tbl); false }
+        catch { case e: IllegalArgumentException =>
+          e.getMessage.contains("price_pos") }
+      require(refused, "violating batch was not refused by name")
+      require(graft.sources.DeltaLog.latestVersion(tbl) == vBefore,
+        "refused batch left a commit behind")
+      ctx.runScript(s"ALTER TABLE '$tbl' DROP CONSTRAINT price_pos")
+      graft.sources.DeltaWrite.append(bad, tbl) // now admitted
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(CASE WHEN o_orderkey % 3 = 2 THEN -o_totalprice
+          ELSE o_totalprice END AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
     // x24: ICEBERG SNAPSHOT EXPIRY + ORPHAN CLEANUP — the retention
     // lifecycle completing the second format (x19/x20's analog): after
     // append/append/delete leave a tombstoned file and three snapshots,

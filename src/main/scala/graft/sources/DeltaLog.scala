@@ -989,6 +989,55 @@ object DeltaLog {
   private def versionOf(f: File): Long =
     f.getName.stripSuffix(".json").toLong
 
+  /** The table's CHECK constraints: `delta.constraints.<name>`
+    * configuration keys → (name, SQL expression). Empty for tables
+    * without constraints.
+    */
+  def checkConstraints(spark: SparkSession, tablePath: String)
+      : Map[String, String] =
+    tableMetaData(spark, tablePath)
+      .flatMap(_.get("configuration"))
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty)
+      .collect {
+        case (k, v: String) if k.startsWith("delta.constraints.") =>
+          k.stripPrefix("delta.constraints.") -> v
+      }
+
+  /** The `delta_files` inspection surface: one row per LIVE file —
+    * full path, on-disk size, add-action numRecords (null when the
+    * writer recorded no stats), the partition tuple as a deterministic
+    * `k=v` comma-join (null when unpartitioned), and whether a deletion
+    * vector rides the file. Log-only: zero data files opened — the
+    * Delta twin of [[IcebergLog.filesTable]].
+    */
+  def filesTable(spark: SparkSession, tablePath: String): DataFrame = {
+    import org.apache.spark.sql.types.{BooleanType, LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val adds = liveAdds(spark, tablePath)
+    def pvString(pv: Map[String, String]): String =
+      if (pv.isEmpty) null
+      else pv.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"$k=${Option(v).getOrElse("null")}" }
+        .mkString(",")
+    val rows = adds.map { a =>
+      val records = a.stats.flatMap(_.get("numRecords")).collect {
+        case n: Double => java.lang.Long.valueOf(n.toLong)
+        case n: java.lang.Number => java.lang.Long.valueOf(n.longValue())
+      }.orNull
+      Row(a.path, new File(a.path).length(), records,
+        pvString(a.partitionValues), a.dv.nonEmpty)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("file_path", StringType, nullable = false),
+        StructField("size_bytes", LongType, nullable = false),
+        StructField("record_count", LongType),
+        StructField("partition", StringType),
+        StructField("has_deletion_vector", BooleanType, nullable = false))))
+  }
+
   /** Commit history, newest first — the `DESCRIBE HISTORY` surface:
     * one row per JSON commit with (version, timestamp, operation,
     * operation_parameters). The operation comes from each commit's

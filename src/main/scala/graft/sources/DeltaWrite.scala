@@ -178,6 +178,7 @@ object DeltaWrite {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     logDir.mkdirs()
+    requireSatisfiesConstraints(df.sparkSession, tablePath, df, "append")
     val files = stageDataFiles(df, root)
     val version = nextVersion(logDir)
     val header = if (version == 0L) headerActions(df) else Seq.empty
@@ -222,6 +223,7 @@ object DeltaWrite {
       s"merge supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "merge", tablePath)
     requireNotMapped(spark, tablePath, "merge")
+    requireSatisfiesConstraints(spark, tablePath, source, "merge")
     // decode through the metaData schema when the log carries one: after
     // a prior evolution the live files are physically mixed and footer
     // inference would pick whichever file won
@@ -433,24 +435,38 @@ object DeltaWrite {
     val meta = DeltaLog.tableMetaData(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"cannot enable CDF: no metaData action in the log of $tablePath"))
+    // PRESERVE existing configuration keys (dropping, say, a
+    // columnMapping mode would corrupt the table) and add the property
+    setConfiguration(meta, logDir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+  }
+
+  /** Publish one metadata-only commit whose configuration is the current
+    * one plus `set` minus `unset` — the `ALTER TABLE SET/UNSET
+    * TBLPROPERTIES` engine shared by CDF enablement and CHECK
+    * constraints. All other metaData fields (table id, schema, partition
+    * columns) carry forward verbatim. `extraActions` ride the same
+    * commit (e.g. a protocol upgrade).
+    */
+  private def setConfiguration(meta: Map[String, Any], logDir: File,
+      set: Map[String, String], unset: Set[String] = Set.empty,
+      extraActions: Seq[String] = Seq.empty): Long = {
     def str(k: String): String = meta.get(k).collect { case s: String => s }
       .getOrElse(throw new IllegalArgumentException(
-        s"metaData action lacks required field $k in $tablePath"))
+        s"metaData action lacks required field $k"))
     val partCols = meta.get("partitionColumns")
       .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
       .getOrElse(Seq.empty)
-    // PRESERVE existing configuration keys (dropping, say, a
-    // columnMapping mode would corrupt the table) and add the property
     val config = meta.get("configuration")
       .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
       .getOrElse(Map.empty)
-      .collect { case (k, v: String) => k -> v } +
-      ("delta.enableChangeDataFeed" -> "true")
+      .collect { case (k, v: String) => k -> v } --
+      unset ++ set
     val configJson = config.toSeq.sortBy(_._1).map { case (k, v) =>
       s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
     }.mkString("{", ",", "}")
     val version = nextVersion(logDir)
-    publish(logDir, version, Seq(
+    publish(logDir, version, extraActions ++ Seq(
       s"""{"metaData":{"id":"${jsonEscape(str("id"))}",""" +
         """"format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${jsonEscape(str("schemaString"))}",""" +
@@ -459,6 +475,89 @@ object DeltaWrite {
         s""""configuration":$configJson}}""",
       """{"commitInfo":{"operation":"SET TBLPROPERTIES","operationParameters":{}}}"""))
     version
+  }
+
+  /** ADD CONSTRAINT — the Delta protocol's CHECK constraints (writer
+    * feature, `delta.constraints.<name>` configuration keys holding SQL
+    * expressions; minWriterVersion 3): every row added from now on must
+    * satisfy the expression, enforced at WRITE time so a violation
+    * refuses the whole batch BEFORE any commit exists — the invariant a
+    * 100 TB curated corpus needs cheap, because checking costs one pass
+    * over each incoming BATCH, never a table scan. Existing rows are
+    * verified once at creation (real Delta's rule: a constraint cannot
+    * be born already violated). SQL-standard CHECK semantics: a NULL
+    * evaluation passes, only FALSE violates. The commit bumps
+    * minWriterVersion to 3 if below (never downgrades a feature-gated
+    * table). Returns the committed version.
+    */
+  def addCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, name: String, exprSql: String): Long = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"constraint name must be an identifier: $name")
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val meta = DeltaLog.tableMetaData(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot add constraint: no metaData action in $tablePath"))
+    val key = s"delta.constraints.$name"
+    val existing = meta.get("configuration")
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty)
+    require(!existing.contains(key),
+      s"constraint $name already exists on $tablePath")
+    // a constraint cannot be born violated: one scan of the CURRENT rows
+    val bad = DeltaLog.read(spark, tablePath)
+      .filter(not(coalesce(expr(exprSql), lit(true)))).limit(1).collect()
+    require(bad.isEmpty,
+      s"existing row violates CHECK ($exprSql): ${bad.headOption.orNull}")
+    val (mr, mw, _, _) = DeltaLog.currentProtocol(tablePath)
+    val protoBump =
+      if (mw >= 3) Seq.empty
+      else Seq(s"""{"protocol":{"minReaderVersion":$mr,"minWriterVersion":3}}""")
+    setConfiguration(meta, logDir, Map(key -> exprSql),
+      extraActions = protoBump)
+  }
+
+  /** DROP CONSTRAINT — metadata-only removal; refuses unknown names. */
+  def dropCheckConstraint(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, name: String): Long = {
+    val logDir = new File(tablePath, "_delta_log")
+    requireTable(logDir, tablePath)
+    val meta = DeltaLog.tableMetaData(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot drop constraint: no metaData action in $tablePath"))
+    val key = s"delta.constraints.$name"
+    val existing = meta.get("configuration")
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty)
+    require(existing.contains(key),
+      s"no such constraint on $tablePath: $name")
+    setConfiguration(meta, logDir, Map.empty, unset = Set(key))
+  }
+
+  /** Writer-side CHECK enforcement: refuse `df` if any row violates a
+    * constraint of the table at `tablePath` — BEFORE any file is staged
+    * or commit attempted, so a violating batch leaves zero trace. No-op
+    * (and zero-cost: no job) on tables without constraints. The error
+    * names the constraint and carries one violating row.
+    */
+  private def requireSatisfiesConstraints(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      df: DataFrame, op: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val logDir = new File(tablePath, "_delta_log")
+    if (commitFiles(logDir).isEmpty &&
+      DeltaLog.lastCheckpointVersion(logDir).isEmpty) return
+    val cons = DeltaLog.checkConstraints(spark, tablePath)
+    cons.foreach { case (name, e) =>
+      val bad = df.filter(not(coalesce(expr(e), lit(true))))
+        .limit(1).collect()
+      require(bad.isEmpty,
+        s"$op violates CHECK constraint $name ($e) on $tablePath — " +
+          s"example row: ${bad.headOption.orNull}")
+    }
   }
 
   /** Stage `changes` (table columns + `_change_type`) as parquet under
@@ -756,6 +855,7 @@ object DeltaWrite {
       if (commitFiles(logDir).isEmpty &&
         DeltaLog.lastCheckpointVersion(logDir).isEmpty) Seq.empty
       else DeltaLog.liveAdds(spark, tablePath).map(_.recordedPath)
+    requireSatisfiesConstraints(spark, tablePath, df, "overwrite")
     val files = stageDataFiles(df, root)
     val version = nextVersion(logDir)
     val header = if (version == 0L) headerActions(df) else Seq.empty
@@ -782,6 +882,8 @@ object DeltaWrite {
     logDir.mkdirs()
     val committed = DeltaLog.latestTxnVersions(tablePath).get(appId)
     if (committed.exists(_ >= epoch)) return None
+    requireSatisfiesConstraints(df.sparkSession, tablePath, df,
+      "idempotent append")
     val files = stageDataFiles(df, root)
     val version = nextVersion(logDir)
     val header = if (version == 0L) headerActions(df) else Seq.empty
@@ -940,6 +1042,8 @@ object DeltaWrite {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     logDir.mkdirs()
+    requireSatisfiesConstraints(df.sparkSession, tablePath, df,
+      "partitioned append")
     val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
     df.write.partitionBy(partitionCols: _*).parquet(staging.getPath)
     // Hive/Spark path escaping encodes special characters as %XX but does

@@ -2516,6 +2516,83 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("already current"))
   }
 
+  test("CHECK constraints: all write paths enforce, NULL passes, protocol bumps") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/check_spec"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl)
+    // a constraint cannot be born violated
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.addCheckConstraint(spark, tbl, "id_big", "id > 1")
+    }.getMessage.contains("existing row violates"))
+    DeltaWrite.addCheckConstraint(spark, tbl, "id_pos", "id > 0")
+    assert(DeltaLog.checkConstraints(spark, tbl) === Map("id_pos" -> "id > 0"))
+    // the constraint commit bumped the writer protocol
+    val (_, mw, _, _) = DeltaLog.currentProtocol(tbl)
+    assert(mw >= 3)
+    // duplicate add / unknown drop refuse
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.addCheckConstraint(spark, tbl, "id_pos", "id > 0")
+    }.getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.dropCheckConstraint(spark, tbl, "nope")
+    }.getMessage.contains("no such constraint"))
+    // every write path enforces: append, idempotent append, overwrite,
+    // merge
+    val bad = Seq((-7L, "x")).toDF("id", "v")
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.append(bad, tbl)
+    }.getMessage.contains("id_pos"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.appendIdempotent(bad, tbl, "app", 99L)
+    }.getMessage.contains("id_pos"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.overwrite(bad, tbl)
+    }.getMessage.contains("id_pos"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.merge(tbl, bad, keys = Seq("id"))
+    }.getMessage.contains("id_pos"))
+    // SQL-standard CHECK: a NULL evaluation PASSES (only FALSE violates)
+    DeltaWrite.append(Seq((Option.empty[Long], "n")).toDF("id", "v"), tbl)
+    assert(DeltaLog.read(spark, tbl).count() === 3L)
+    // a partitioned table enforces too
+    val ptbl = s"$tmp/check_spec_part"
+    DeltaWrite.appendPartitioned(Seq((1L, "a")).toDF("id", "cat"),
+      ptbl, Seq("cat"))
+    DeltaWrite.addCheckConstraint(spark, ptbl, "id_pos", "id > 0")
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.appendPartitioned(Seq((-1L, "z")).toDF("id", "cat"),
+        ptbl, Seq("cat"))
+    }.getMessage.contains("id_pos"))
+  }
+
+  test("delta_files TVF: sizes, record counts, partitions, DV flags") {
+    import graft.sources.{DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val tbl = s"$tmp/delta_files_tvf"
+    DeltaWrite.append((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(1), tbl)
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 2L)
+    val row = ctx.sql(s"SELECT size_bytes, record_count, partition, " +
+      s"has_deletion_vector FROM delta_files('$tbl')").collect()
+    assert(row.length === 1)
+    assert(row.head.getLong(0) > 0L)
+    assert(row.head.getLong(1) === 6L) // physical rows; DV masks at read
+    assert(row.head.isNullAt(2))
+    assert(row.head.getBoolean(3))
+    // partitioned: the tuple surfaces
+    val ptbl = s"$tmp/delta_files_tvf_part"
+    DeltaWrite.appendPartitioned(Seq((1L, "a"), (2L, "b")).toDF("id", "cat"),
+      ptbl, Seq("cat"))
+    val parts = ctx.sql(s"SELECT DISTINCT partition " +
+      s"FROM delta_files('$ptbl') ORDER BY partition")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts === Seq("cat=a", "cat=b"))
+  }
+
   test("delta_history records the operation log, newest first") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

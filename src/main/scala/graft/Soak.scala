@@ -209,7 +209,9 @@ object Soak {
       // round-15 additions (PerfProbe warm run2 at sf0.1)
       "x44_convert_delta" -> 1.34, "x45_iceberg_add_files" -> 1.21,
       "x46_uniform_iceberg" -> 1.95, "x47_shallow_clone" -> 1.51,
-      "x48_delta_history" -> 1.43, "x49_iceberg_to_delta" -> 1.55)
+      "x48_delta_history" -> 1.43, "x49_iceberg_to_delta" -> 1.55,
+      "x50_zorder_optimize" -> 1.80, "x51_iceberg_rollback" -> 1.66,
+      "x52_check_constraints" -> 1.75)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -276,7 +278,12 @@ object Soak {
       // cost = footer reads + one commit; mirrors = one metadata commit
       // per sync; clone = one commit referencing the source)
       "x44_convert_delta", "x45_iceberg_add_files", "x46_uniform_iceberg",
-      "x47_shallow_clone", "x48_delta_history", "x49_iceberg_to_delta")
+      "x47_shallow_clone", "x48_delta_history", "x49_iceberg_to_delta",
+      // z-order re-clustering (one range shuffle + sort — the only
+      // data-scale op in the round-15 batch) and metadata-only rollback
+      "x50_zorder_optimize", "x51_iceberg_rollback",
+      // writer-enforced CHECK constraints: per-batch cost, never a scan
+      "x52_check_constraints")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -162,6 +162,37 @@ object DeltaWrite {
       schema: org.apache.spark.sql.types.StructType): String =
     addAction(f, fileStats(f, schema))
 
+  /** Claim-the-next-version retry loop for commits that can NEVER
+    * logically conflict — blind appends: they read no snapshot state, so
+    * a competing commit cannot invalidate them (real Delta's conflict
+    * matrix allows concurrent appends unconditionally; only the VERSION
+    * NUMBER is contended). On a lost race the version is recomputed and
+    * the claim retried; `actions` is re-evaluated with the new version so
+    * the version-0 header appears exactly when this writer creates the
+    * table. This is what lets a 1000-sink ingest fan-in commit to one
+    * table without coordination. Ops that READ the snapshot before
+    * writing (merge / delete / overwrite / optimize / restore) still fail
+    * fast on a lost race: their read set may be stale and a silent rebase
+    * could resurrect or double rows — the caller re-runs against the new
+    * snapshot.
+    */
+  private def publishWithRetry(logDir: File,
+      actions: Long => Seq[String], attempts: Int = 32): Long = {
+    var left = attempts
+    while (true) {
+      val version = nextVersion(logDir)
+      try {
+        publish(logDir, version, actions(version))
+        return version
+      } catch {
+        case e: IllegalStateException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Seams for the cross-format mirror ([[Uniform.icebergToDelta]]):
     * version counter and version-0 header, without exposing the
     * internals more widely.
@@ -180,11 +211,14 @@ object DeltaWrite {
     logDir.mkdirs()
     requireSatisfiesConstraints(df.sparkSession, tablePath, df, "append")
     val files = stageDataFiles(df, root)
-    val version = nextVersion(logDir)
-    val header = if (version == 0L) headerActions(df) else Seq.empty
-    publish(logDir, version, header ++ files.map(addWithStats(_, df.schema)) :+
-      """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
-    version
+    // footer stats computed once; only the version-dependent header is
+    // re-evaluated on a lost concurrency race
+    val adds = files.map(addWithStats(_, df.schema))
+    publishWithRetry(logDir, version => {
+      val header = if (version == 0L) headerActions(df) else Seq.empty
+      header ++ adds :+
+        """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}"""
+    })
   }
 
   /** Outcome of a [[merge]] commit. */
@@ -885,14 +919,42 @@ object DeltaWrite {
     requireSatisfiesConstraints(df.sparkSession, tablePath, df,
       "idempotent append")
     val files = stageDataFiles(df, root)
-    val version = nextVersion(logDir)
-    val header = if (version == 0L) headerActions(df) else Seq.empty
-    publish(logDir, version,
-      header ++
-        Seq(s"""{"txn":{"appId":"${jsonEscape(appId)}","version":$epoch}}""") ++
-        files.map(addWithStats(_, df.schema)) :+
-        """{"commitInfo":{"operation":"STREAMING UPDATE","operationParameters":{}}}""")
-    Some(version)
+    val adds = files.map(addWithStats(_, df.schema))
+    // retry the version claim like a blind append, but RE-CHECK the txn
+    // table each attempt: the commit we lost the race to may be another
+    // worker retrying THIS (appId, epoch) — appending anyway would double
+    // the batch. ORDER MATTERS for exactly-once: compute the target
+    // version FIRST, then scan txns — versions are dense, so every commit
+    // <= target-1 exists at scan time and is covered by the scan; a
+    // successful claim of `target` then proves no unvalidated commit
+    // slipped between the check and the claim (checking before choosing
+    // the target would leave a window where a competing same-epoch commit
+    // lands and our claim still succeeds one version later). On
+    // discovering the epoch landed, drop our staged files (invisible
+    // garbage otherwise) and report the no-op.
+    var left = 32
+    while (true) {
+      val version = nextVersion(logDir)
+      if (DeltaLog.latestTxnVersions(tablePath).get(appId)
+          .exists(_ >= epoch)) {
+        files.foreach(f => Files.deleteIfExists(f.toPath))
+        return None
+      }
+      val header = if (version == 0L) headerActions(df) else Seq.empty
+      try {
+        publish(logDir, version,
+          header ++
+            Seq(s"""{"txn":{"appId":"${jsonEscape(appId)}","version":$epoch}}""") ++
+            adds :+
+            """{"commitInfo":{"operation":"STREAMING UPDATE","operationParameters":{}}}""")
+        return Some(version)
+      } catch {
+        case e: IllegalStateException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    None // unreachable
   }
 
   /** Outcome of an [[optimize]] commit. */
@@ -1085,9 +1147,6 @@ object DeltaWrite {
       Files.deleteIfExists(f.toPath); ()
     }
     rmTree(staging)
-    val version = nextVersion(logDir)
-    val header =
-      if (version == 0L) headerActions(df, partitionCols) else Seq.empty
     def pvJson(pv: Map[String, String]): String =
       pv.map {
         case (k, null) => s""""${jsonEscape(k)}":null"""
@@ -1104,9 +1163,12 @@ object DeltaWrite {
         s""""partitionValues":${pvJson(pv)},"size":${f.length},""" +
         s""""modificationTime":${f.lastModified},"dataChange":true}}"""
     }
-    publish(logDir, version, header ++ adds :+
-      """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}""")
-    version
+    publishWithRetry(logDir, version => {
+      val header =
+        if (version == 0L) headerActions(df, partitionCols) else Seq.empty
+      header ++ adds :+
+        """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}"""
+    })
   }
 
   private def relPath(root: File, p: String): String = {

@@ -76,20 +76,36 @@ object IcebergLog {
     val metaDir = new File(tablePath, "metadata")
     require(metaDir.isDirectory, s"not an Iceberg table (no metadata/): $tablePath")
     val hint = new File(metaDir, "version-hint.text")
-    if (hint.isFile) {
-      val v = new String(Files.readAllBytes(hint.toPath),
-        StandardCharsets.UTF_8).trim
-      val f = new File(metaDir, s"v$v.metadata.json")
-      require(f.isFile, s"version-hint names $v but ${f.getName} is absent")
-      f
-    } else {
-      val candidates = Option(metaDir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.getName.matches("v\\d+\\.metadata\\.json"))
-      require(candidates.nonEmpty, s"no v*.metadata.json under $metaDir")
-      candidates.maxBy(_.getName.stripPrefix("v")
+    // the hint is written non-atomically AFTER the metadata-version claim,
+    // so under concurrent committers it can lag (or tear): trusting a
+    // stale hint would resolve an old snapshot, and a retrying appender
+    // reading it would silently drop the winner's files. The highest
+    // committed v*.metadata.json is the truth; the hint can only ever
+    // CONFIRM it (the Hadoop-catalog convention keeps the hint for
+    // external readers, not for this resolver's correctness).
+    val hintVersion: Option[Long] =
+      if (!hint.isFile) None
+      else scala.util.Try(new String(Files.readAllBytes(hint.toPath),
+        StandardCharsets.UTF_8).trim.toLong).toOption
+    val candidates = Option(metaDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("v\\d+\\.metadata\\.json"))
+      .map(f => f.getName.stripPrefix("v")
         .stripSuffix(".metadata.json").toLong)
-    }
+    val known = (candidates ++ hintVersion).distinct
+    require(known.nonEmpty, s"no v*.metadata.json under $metaDir")
+    val v = known.max
+    val f = new File(metaDir, s"v$v.metadata.json")
+    require(f.isFile, s"resolved metadata version $v but ${f.getName} is absent")
+    f
   }
+
+  /** The table's current metadata VERSION number (the committed chain's
+    * head) — the optimistic-concurrency base a writer captures before
+    * reading the state it will carry forward.
+    */
+  private[sources] def currentVersionOf(tablePath: String): Long =
+    currentMetadataFile(tablePath).getName
+      .stripPrefix("v").stripSuffix(".metadata.json").toLong
 
   private[sources] def parseMeta(f: File): TableMeta = {
     val root = MiniJson.parseObject(
@@ -649,6 +665,7 @@ object IcebergLog {
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     import org.apache.spark.sql.Row
     val root = new File(tablePath)
+    val base = currentVersionOf(tablePath)
     val (data, dels) = liveSplitEntries(tablePath)
     require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
     // the delete file records the FULL data-file path as the manifest
@@ -677,7 +694,7 @@ object IcebergLog {
     val sid = commitSnapshot(tablePath,
       (data ++ dels).map(existingEntry) ++
         staged.map(f => FixtureEntry(1, f.getPath, n, content = 1)),
-      operation = "delete")
+      operation = "delete", expectedBaseVersion = Some(base))
     V2DeleteStats(sid, n)
   }
 
@@ -692,6 +709,7 @@ object IcebergLog {
   def deleteEqualityKeys(tablePath: String,
       keys: DataFrame, equalityFieldIds: Seq[Int]): Long = {
     val root = new File(tablePath)
+    val base = currentVersionOf(tablePath)
     val (data, dels) = liveSplitEntries(tablePath)
     require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
     val staged = stageData(keys.distinct().coalesce(1), root)
@@ -708,7 +726,7 @@ object IcebergLog {
       (data ++ dels).map(existingEntry) ++
         staged.map(f => FixtureEntry(1, f.getPath, n, content = 2,
           equalityIds = equalityFieldIds)),
-      operation = "delete")
+      operation = "delete", expectedBaseVersion = Some(base))
   }
 
   /** Carry a live entry forward into the next snapshot unchanged:
@@ -840,6 +858,13 @@ object IcebergLog {
   private def writeSnapshot(metaDir: File, sid: Long,
       entries: Seq[FixtureEntry],
       specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty): String = {
+    // manifest/list names carry a per-ATTEMPT unique tag: two concurrent
+    // committers may both stage snapshot id N before either claims the
+    // metadata version — same-named files would silently clobber the
+    // winner's manifests (readers follow the RECORDED paths, so unique
+    // names cost nothing; the loser's files become orphans that
+    // expireSnapshots reclaims)
+    val tag = java.util.UUID.randomUUID.toString.take(8)
     // ONE MANIFEST PER PARTITION SHAPE (real Iceberg's per-manifest
     // spec): grouping by each entry's partition-column SET keeps every
     // manifest's r102 struct exact for ITS files. Under partition
@@ -852,7 +877,7 @@ object IcebergLog {
     val groups = entries.groupBy(_.partitionValues.keySet).toSeq
       .sortBy(_._1.toSeq.sorted.mkString(","))
     val written = groups.zipWithIndex.map { case ((keys, es), gi) =>
-      val manifest = new File(metaDir, s"m-$sid-$gi.avro")
+      val manifest = new File(metaDir, s"m-$sid-$gi-$tag.avro")
       // partition struct fields for THIS group, typed long where any
       // value is a long (identity transform keeps the source's type)
       val partFields: Seq[(String, String)] = keys.toSeq.sorted.map { n =>
@@ -933,7 +958,7 @@ object IcebergLog {
         .map(_._1).getOrElse(0)
       (manifest, specId)
     }
-    val list = new File(metaDir, s"snap-$sid.avro")
+    val list = new File(metaDir, s"snap-$sid-$tag.avro")
     writeAvro(list, manifestFileSchema, written.map { case (manifest, specId) =>
       val mf = new GenericData.Record(manifestFileSchema)
       mf.put("manifest_path", s"metadata/${manifest.getName}")
@@ -943,7 +968,7 @@ object IcebergLog {
       mf.put("added_snapshot_id", sid)
       mf
     })
-    s"metadata/snap-$sid.avro"
+    s"metadata/snap-$sid-$tag.avro"
   }
 
   private def writeMetadataVersion(metaDir: File, tablePath: String,
@@ -982,18 +1007,25 @@ object IcebergLog {
       s"""{"format-version":2,"table-uuid":"graft-table",
          |"location":"$tablePath","current-snapshot-id":$currentSid$specJson$refsJson,
          |"snapshots":[${snapJsons.mkString(",")}]}""".stripMargin
-    // optimistic concurrency on the metadata version: CREATE_NEW is an
-    // atomic O_EXCL claim — a concurrent committer of the same version
-    // loses loudly (the Hadoop-catalog commit rule)
-    try Files.write(target.toPath,
-      body.getBytes(StandardCharsets.UTF_8),
-      java.nio.file.StandardOpenOption.CREATE_NEW)
+    // optimistic concurrency on the metadata version: stage the FULL
+    // body to a tmp file, then claim the version by an atomic link(2) —
+    // a concurrent committer of the same version loses loudly (the
+    // Hadoop-catalog commit rule). The claim and the complete content
+    // become visible in ONE step: a bare CREATE_NEW + write would make
+    // the file LISTABLE before its bytes land, and a concurrent
+    // committer re-reading state after a lost race could parse a
+    // partial/empty metadata file and rebase onto garbage — observed as
+    // silent row loss under 4-writer stress before this staging.
+    val tmp = new File(metaDir, s".tmp-${java.util.UUID.randomUUID}.json")
+    Files.write(tmp.toPath, body.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(target.toPath, tmp.toPath)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp.toPath)
         throw new IllegalStateException(
           s"concurrent Iceberg commit: metadata version $version already " +
             s"exists in $metaDir — retry at the next version")
-    }
+    } finally Files.deleteIfExists(tmp.toPath)
     Files.writeString(new File(metaDir, "version-hint.text").toPath,
       version.toString)
     ()
@@ -1042,18 +1074,24 @@ object IcebergLog {
     metaDir.mkdirs()
     val moved = stageData(df, root)
     require(moved.nonEmpty, s"no data files produced for $tablePath")
-    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
-      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
     // prior live files (data AND any v2 delete files — dropping a delete
     // entry would resurrect its rows) keep their manifest identity,
     // bounds, and sequence numbers as EXISTING entries; the new files are
     // ADDED and sequenced at this snapshot, so pre-existing equality
     // deletes (strictly-older rule) never touch them
-    val priorEntries =
-      if (!hasMeta) Seq.empty
-      else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
-    commitSnapshot(tablePath, priorEntries ++
-      moved.map(f => addedEntry(f, statsFields)))
+    val fresh = moved.map(f => addedEntry(f, statsFields))
+    retryAppendCommit() {
+      val hasMetaNow = Option(metaDir.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+      // base captured BEFORE the state read: if anything commits after,
+      // the claim of base+1 fails and the retry rebases on fresh state
+      val base = if (!hasMetaNow) None else Some(currentVersionOf(tablePath))
+      val priorEntries =
+        if (!hasMetaNow) Seq.empty
+        else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
+      commitSnapshot(tablePath, priorEntries ++ fresh,
+        expectedBaseVersion = base)
+    }
   }
 
   /** The `table$files` inspection surface: one row per live entry at the
@@ -1130,18 +1168,23 @@ object IcebergLog {
     require(files.nonEmpty, s"no parquet files to add under $dataDir")
     val metaDir = new File(tablePath, "metadata")
     metaDir.mkdirs()
-    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
-      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    val priorEntries =
-      if (!hasMeta) Seq.empty
-      else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
-    val livePaths = priorEntries.map(e => new File(e.filePath).getAbsolutePath).toSet
-    val dup = files.filter(f => livePaths.contains(f.getAbsolutePath))
-    require(dup.isEmpty,
-      s"file(s) already live in $tablePath — adding again would duplicate " +
-        s"rows: ${dup.take(3).map(_.getName).mkString(",")}")
-    commitSnapshot(tablePath,
-      priorEntries ++ files.map(f => addedEntry(f, statsFields)))
+    val fresh = files.map(f => addedEntry(f, statsFields))
+    retryAppendCommit() {
+      val hasMetaNow = Option(metaDir.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+      val base = if (!hasMetaNow) None else Some(currentVersionOf(tablePath))
+      val priorEntries =
+        if (!hasMetaNow) Seq.empty
+        else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
+      val livePaths =
+        priorEntries.map(e => new File(e.filePath).getAbsolutePath).toSet
+      val dup = files.filter(f => livePaths.contains(f.getAbsolutePath))
+      require(dup.isEmpty,
+        s"file(s) already live in $tablePath — adding again would duplicate " +
+          s"rows: ${dup.take(3).map(_.getName).mkString(",")}")
+      commitSnapshot(tablePath, priorEntries ++ fresh,
+        expectedBaseVersion = base)
+    }
   }
 
   /** PARTITIONED APPEND: write `df` partitioned by the identity
@@ -1166,16 +1209,19 @@ object IcebergLog {
     metaDir.mkdirs()
     val moved = stagePartitioned(df, root, partitionBy.map(_._2))
     require(moved.nonEmpty, s"no data files produced for $tablePath")
-    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
-      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    val priorEntries =
-      if (!hasMeta) Seq.empty
-      else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
-    commitSnapshot(tablePath,
-      priorEntries ++ moved.map { case (f, pv) =>
-        addedEntry(f, statsFields).copy(partitionValues = pv)
-      },
-      partitionSpec = partitionBy)
+    val fresh = moved.map { case (f, pv) =>
+      addedEntry(f, statsFields).copy(partitionValues = pv)
+    }
+    retryAppendCommit() {
+      val hasMetaNow = Option(metaDir.listFiles()).getOrElse(Array.empty)
+        .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+      val base = if (!hasMetaNow) None else Some(currentVersionOf(tablePath))
+      val priorEntries =
+        if (!hasMetaNow) Seq.empty
+        else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
+      commitSnapshot(tablePath, priorEntries ++ fresh,
+        partitionSpec = partitionBy, expectedBaseVersion = base)
+    }
   }
 
   /** MANIFEST-LEVEL PARTITION PRUNING: the live data files whose recorded
@@ -1320,6 +1366,27 @@ object IcebergLog {
     FixtureEntry(1, f.getPath, rows, lowerBounds = lo, upperBounds = hi)
   }
 
+  /** Commit retry for snapshots that never logically conflict — blind
+    * appends (new files only; the prior live set is carried as EXISTING
+    * whatever it currently is): on a lost metadata-version race, `body`
+    * re-runs, re-reading the table state so the retry rebases onto the
+    * winner's snapshot — real Iceberg's commit-retry loop. Row-changing
+    * commits (delete / rewrite) stay fail-fast: their read set may be
+    * stale and a silent rebase could resurrect or double-delete rows.
+    */
+  private def retryAppendCommit(attempts: Int = 32)(body: => Long): Long = {
+    var left = attempts
+    while (true) {
+      try return body
+      catch {
+        case e: IllegalStateException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Publish `entries` as the next snapshot + metadata version (prior
     * snapshots preserved, INCLUDING their summaries); returns the new
     * snapshot id. `summary` becomes the new snapshot's key/value
@@ -1329,7 +1396,8 @@ object IcebergLog {
       entries: Seq[FixtureEntry],
       summary: Map[String, String] = Map.empty,
       partitionSpec: Seq[(Int, String)] = Seq.empty,
-      operation: String = "append"): Long = {
+      operation: String = "append",
+      expectedBaseVersion: Option[Long] = None): Long = {
     val metaDir = new File(tablePath, "metadata")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
@@ -1342,6 +1410,20 @@ object IcebergLog {
       } else (Seq.empty[Snapshot], 1L,
         Seq.empty[(Int, Seq[(Int, String)])], 0,
         Map.empty[String, (Long, String)])
+    // OPTIMISTIC-CONCURRENCY BASE CHECK: `entries` was computed from the
+    // state at `expectedBaseVersion`; if the table advanced since, the
+    // carried EXISTING set is stale and committing it would SILENTLY DROP
+    // whatever the intervening commit added (the lost update the 4-writer
+    // stress caught). The version claim alone cannot catch this — it only
+    // guarantees the NUMBER is fresh, not that the carried state is.
+    // Throw the retryable signal instead; appenders rebase, mutations
+    // surface the conflict to their caller.
+    expectedBaseVersion.foreach { base =>
+      if (version != base + 1)
+        throw new IllegalStateException(
+          s"concurrent Iceberg commit: table advanced past version $base " +
+            s"(head is now ${version - 1}) in $tablePath — retry on fresh state")
+    }
     // PARTITION SPEC EVOLUTION: a commit declaring a spec the table has
     // never seen APPENDS it under the next spec-id and makes it the
     // default; re-declaring a known spec just re-selects it; declaring
@@ -1488,21 +1570,43 @@ object IcebergLog {
   def appendIdempotent(df: DataFrame, tablePath: String, appId: String,
       epoch: Long, statsFields: Seq[(Int, String)] = Seq.empty): Option[Long] = {
     val metaDir = new File(tablePath, "metadata")
-    val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
-      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    if (hasMeta && latestSinkEpochs(tablePath).get(appId).exists(_ >= epoch))
-      return None
     val root = new File(tablePath)
     metaDir.mkdirs()
+    def hasMetaNow: Boolean = Option(metaDir.listFiles())
+      .getOrElse(Array.empty)
+      .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+    if (hasMetaNow && latestSinkEpochs(tablePath).get(appId).exists(_ >= epoch))
+      return None
     val moved = stageData(df, root)
     require(moved.nonEmpty, s"no data files produced for $tablePath")
-    val priorEntries =
-      if (!hasMeta) Seq.empty
-      else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
-    Some(commitSnapshot(tablePath,
-      priorEntries ++ moved.map(f => addedEntry(f, statsFields)),
-      summary = Map("graft.sink.app-id" -> appId,
-        "graft.sink.epoch" -> epoch.toString)))
+    val fresh = moved.map(f => addedEntry(f, statsFields))
+    // same exactly-once discipline as the Delta sink: base first, then
+    // the epoch scan (which reads state >= base), then a claim of base+1
+    // that fails if ANY commit landed after — so a racing same-epoch
+    // worker can never double the batch
+    var left = 32
+    while (true) {
+      val meta = hasMetaNow
+      val base = if (!meta) None else Some(currentVersionOf(tablePath))
+      if (meta && latestSinkEpochs(tablePath).get(appId).exists(_ >= epoch)) {
+        moved.foreach(f => Files.deleteIfExists(f.toPath))
+        return None
+      }
+      val priorEntries =
+        if (!meta) Seq.empty
+        else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
+      try {
+        return Some(commitSnapshot(tablePath, priorEntries ++ fresh,
+          summary = Map("graft.sink.app-id" -> appId,
+            "graft.sink.epoch" -> epoch.toString),
+          expectedBaseVersion = base))
+      } catch {
+        case e: IllegalStateException =>
+          left -= 1
+          if (left <= 0) throw e
+      }
+    }
+    None // unreachable
   }
 
   /** Outcome of a [[deleteWhere]] snapshot. */
@@ -1526,6 +1630,10 @@ object IcebergLog {
       statsFields: Seq[(Int, String)] = Seq.empty): DeleteStats = {
     import org.apache.spark.sql.functions.col
     val root = new File(tablePath)
+    // fail-fast optimistic concurrency: base captured before the state
+    // read; a commit landing before ours makes the claim fail LOUDLY
+    // instead of silently dropping the intervening files
+    val base = currentVersionOf(tablePath)
     val entries = liveEntries(tablePath)
     require(entries.nonEmpty, s"not a live Iceberg table: $tablePath")
     val target = spark.read.parquet(entries.map(_.path): _*)
@@ -1558,7 +1666,8 @@ object IcebergLog {
       FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
         upperBounds = e.upperBounds, seq = e.seq)
     } ++ newFiles.map(f => addedEntry(f, statsFields))
-    val sid = commitSnapshot(tablePath, nextEntries, operation = "delete")
+    val sid = commitSnapshot(tablePath, nextEntries, operation = "delete",
+      expectedBaseVersion = Some(base))
     DeleteStats(sid, touchedNames.size, newFiles.size, rowsDeleted)
   }
 
@@ -1593,6 +1702,7 @@ object IcebergLog {
       targetFiles: Int = 0): RewriteStats = {
     import org.apache.spark.sql.functions.col
     val root = new File(tablePath)
+    val base = currentVersionOf(tablePath)
     val (data, dels) = liveSplitEntries(tablePath)
     require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
     if (dels.isEmpty && sortBy.isEmpty && targetFiles == 0)
@@ -1630,7 +1740,7 @@ object IcebergLog {
     val sid = commitSnapshot(tablePath,
       tombstones ++ staged.map { case (f, pv) =>
         addedEntry(f, statsFields).copy(partitionValues = pv)
-      }, operation = "replace")
+      }, operation = "replace", expectedBaseVersion = Some(base))
     RewriteStats(sid, data.size, dels.size, staged.size)
   }
 }

@@ -94,6 +94,10 @@ object Uniform {
     metaDir.mkdirs()
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
+    // optimistic-concurrency base: a concurrent Iceberg-side commit
+    // between our state read and our claim refuses loudly instead of
+    // being silently dropped from the mirror's carried live set
+    val base = if (!hasMeta) None else Some(IcebergLog.currentVersionOf(tablePath))
     val (priorData, priorDeletes) =
       if (!hasMeta) (Seq.empty[IcebergLog.LiveEntry], Seq.empty[IcebergLog.LiveEntry])
       else IcebergLog.liveSplitEntries(tablePath)
@@ -117,7 +121,7 @@ object Uniform {
       carried.map(IcebergLog.existingEntry) ++
         fresh.map(a => IcebergLog.addedEntry(new File(a.path), statsFields)),
       summary = Map("delta-version" -> deltaVersion.toString),
-      operation = op)
+      operation = op, expectedBaseVersion = base)
     SyncStats(Some(sid), deltaVersion, fresh.size, carried.size)
   }
 

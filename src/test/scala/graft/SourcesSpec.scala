@@ -687,13 +687,25 @@ class SourcesSpec extends SparkSpec {
         .collect().map(_.getLong(0)).sorted.toSeq
     assert(ids() === Seq(1L, 2L, 3L))
     assert(ids(Some(sid1)) === Seq(1L, 2L)) // own history time-travels
-    // optimistic concurrency: claim the next metadata version first
+    // optimistic concurrency, new contract: a foreign writer claiming
+    // the next metadata version with a COMPLETE file (stage+link is the
+    // only way a claim becomes visible) does NOT fail the appender —
+    // the append rebases onto the foreign head and commits after it
+    val v2 = java.nio.file.Files.readString(
+      new java.io.File(s"$tbl/metadata", "v2.metadata.json").toPath)
     java.nio.file.Files.writeString(
-      new java.io.File(s"$tbl/metadata", "v3.metadata.json").toPath, "{}")
-    val e = intercept[IllegalStateException] {
-      IcebergLog.append(Seq((9L, "z")).toDF("id", "v"), tbl)
+      new java.io.File(s"$tbl/metadata", "v3.metadata.json").toPath, v2)
+    IcebergLog.append(Seq((9L, "z")).toDF("id", "v"), tbl)
+    assert(ids() === Seq(1L, 2L, 3L, 9L))
+    assert(new java.io.File(s"$tbl/metadata", "v4.metadata.json").isFile)
+    // a CORRUPT metadata head refuses loudly rather than being rebased
+    // onto (only an external writer can produce one — our own claims are
+    // atomic with their full content)
+    java.nio.file.Files.writeString(
+      new java.io.File(s"$tbl/metadata", "v5.metadata.json").toPath, "{}")
+    intercept[Exception] {
+      IcebergLog.append(Seq((10L, "q")).toDF("id", "v"), tbl)
     }
-    assert(e.getMessage.contains("concurrent"))
   }
 
   test("Iceberg v2 MoR deletes: position + equality anti-joined, sequence rules, refusals") {
@@ -2591,6 +2603,54 @@ class SourcesSpec extends SparkSpec {
       s"FROM delta_files('$ptbl') ORDER BY partition")
       .collect().map(_.getString(0)).toSeq
     assert(parts === Seq("cat=a", "cat=b"))
+  }
+
+  test("concurrent appends: lost version races retry; idempotence holds under racing writers") {
+    import graft.sources.{DeltaLog, DeltaWrite, IcebergLog}
+    import java.util.concurrent.{Executors, TimeUnit}
+    val s = spark
+    import s.implicits._
+    val pool = Executors.newFixedThreadPool(4)
+    try {
+      // Delta: 4 uncoordinated writers, 3 appends each — every batch must
+      // land exactly once and the version sequence stays dense
+      val dTbl = s"$tmp/conc_delta"
+      (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 3).foreach { i =>
+            DeltaWrite.append(
+              Seq((w * 10L + i, s"w$w-$i")).toDF("id", "v"), dTbl)
+          }
+        })
+      }.foreach(_.get(180, TimeUnit.SECONDS))
+      val ids = DeltaLog.read(spark, dTbl).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids.size === 12 && ids.distinct.size === 12)
+      assert(DeltaLog.latestVersion(dTbl) === 11L)
+      // Iceberg: same shape through the snapshot-commit retry
+      val iTbl = s"$tmp/conc_iceberg"
+      (0 until 4).map { w =>
+        pool.submit(new Runnable {
+          def run(): Unit = (0 until 2).foreach { i =>
+            IcebergLog.append(
+              Seq((w * 10L + i, s"w$w-$i")).toDF("id", "v"), iTbl)
+          }
+        })
+      }.foreach(_.get(180, TimeUnit.SECONDS))
+      assert(IcebergLog.read(spark, iTbl).count() === 8L)
+      assert(IcebergLog.snapshots(iTbl).size === 8)
+      // exactly-once: 4 workers all retrying the SAME (appId, epoch) —
+      // precisely one commit may carry the batch, however the races fall
+      val eTbl = s"$tmp/conc_idem"
+      val outcomes = (0 until 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Option[Long]] {
+          def call(): Option[Long] = DeltaWrite.appendIdempotent(
+            Seq((1L, "a"), (2L, "b")).toDF("id", "v"), eTbl, "app", 1L)
+        })
+      }.map(_.get(180, TimeUnit.SECONDS))
+      assert(outcomes.count(_.isDefined) === 1, s"outcomes: $outcomes")
+      assert(DeltaLog.read(spark, eTbl).count() === 2L)
+    } finally pool.shutdown()
   }
 
   test("delta_history records the operation log, newest first") {

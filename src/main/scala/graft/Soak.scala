@@ -211,7 +211,7 @@ object Soak {
       "x46_uniform_iceberg" -> 1.95, "x47_shallow_clone" -> 1.51,
       "x48_delta_history" -> 1.43, "x49_iceberg_to_delta" -> 1.55,
       "x50_zorder_optimize" -> 1.80, "x51_iceberg_rollback" -> 1.66,
-      "x52_check_constraints" -> 1.75)
+      "x52_check_constraints" -> 1.75, "e26_stream_uniform" -> 2.91)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -283,7 +283,10 @@ object Soak {
       // data-scale op in the round-15 batch) and metadata-only rollback
       "x50_zorder_optimize", "x51_iceberg_rollback",
       // writer-enforced CHECK constraints: per-batch cost, never a scan
-      "x52_check_constraints")
+      "x52_check_constraints",
+      // streaming ingest landing exactly-once in BOTH protocol views:
+      // per-batch cost = one idempotent Delta commit + one metadata sync
+      "e26_stream_uniform")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

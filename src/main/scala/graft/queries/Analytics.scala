@@ -1185,6 +1185,62 @@ object Analytics {
       FROM events ORDER BY event_id""")),
 
     // ------------------------------------------------------------------
+    // e26: STREAMING INGEST, TWO PROTOCOL VIEWS — e19's sink composed
+    // with the UniForm mirror: each micro-batch lands EXACTLY ONCE in
+    // the Delta table (txn identifiers) and the same commit is published
+    // as one Iceberg snapshot (version-keyed idempotent sync), so at
+    // every batch boundary the directory is simultaneously a current
+    // Delta table AND a current Iceberg table over ONE copy of the data.
+    // Both halves are retry-safe, so foreachBatch's at-least-once stays
+    // exactly-once end-to-end. Pins: one Iceberg snapshot per Delta
+    // version (mirror never lags), a post-stream re-sync no-ops, both
+    // views row-identical. The oracle hash-checks the DERIVED
+    // (Iceberg-side) view — the whole point of the mirror.
+    QueryDef("e26_stream_uniform", (s, d) => {
+      import org.apache.hadoop.fs.Path
+      val conf = s.sparkContext.hadoopConfiguration
+      val inDir = s"${SourceQueries.stage}/events_uniform_in"
+      val tbl = s"${SourceQueries.stage}/uniform_events_sink"
+      val fsys = new Path(tbl).getFileSystem(conf)
+      fsys.delete(new Path(inDir), true)
+      fsys.delete(new Path(tbl), true)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"))
+        .repartition(4).write.parquet(inDir)
+      val schema = s.read.parquet(inDir).schema
+      val q = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .parquet(inDir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, epoch: Long) =>
+          graft.sources.DeltaWrite.appendIdempotent(
+            batch, tbl, "e26_sink", epoch)
+          graft.sources.Uniform.deltaToIceberg(s, tbl)
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      val snaps = graft.sources.IcebergLog.snapshots(tbl)
+      require(snaps.size >= 2, s"expected one snapshot per batch: ${snaps.size}")
+      require(snaps.last.summary("delta-version").toLong ==
+          graft.sources.DeltaLog.latestVersion(tbl),
+        "the Iceberg mirror lags the Delta head")
+      require(graft.sources.Uniform.deltaToIceberg(s, tbl).snapshotId.isEmpty,
+        "post-stream re-sync was not a no-op")
+      require(graft.sources.IcebergLog.read(s, tbl).count() ==
+          graft.sources.DeltaLog.read(s, tbl).count(),
+        "the two protocol views diverge")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("event_id").cast("long").as("event_id"),
+          col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT CAST(event_id AS BIGINT) AS event_id,
+        CAST(user_id AS BIGINT) AS user_id, event_type, value
+      FROM events ORDER BY event_id""")),
+
+    // ------------------------------------------------------------------
     // Streaming ingestion dedup: documents arrive as doc_id-ordered slices
     // (one file per micro-batch, arrival order enforced via file mtimes),
     // and every micro-batch runs the incremental dedup against the

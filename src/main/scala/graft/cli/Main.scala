@@ -378,6 +378,21 @@ object Main {
           case None =>
             s"already mirrored at delta-version ${st.deltaVersion} (no-op)"
         }
+      case "add-constraint" =>
+        val name = opts.getOrElse("--name",
+          throw new IllegalArgumentException(
+            "delta add-constraint needs --name <identifier>"))
+        val cond = opts.getOrElse("--check",
+          throw new IllegalArgumentException(
+            "delta add-constraint needs --check <expr>"))
+        val v = DeltaWrite.addCheckConstraint(spark, tbl, name, cond)
+        s"constraint $name CHECK ($cond) added to $tbl at version $v"
+      case "drop-constraint" =>
+        val name = opts.getOrElse("--name",
+          throw new IllegalArgumentException(
+            "delta drop-constraint needs --name <identifier>"))
+        val v = DeltaWrite.dropCheckConstraint(spark, tbl, name)
+        s"constraint $name dropped from $tbl at version $v"
       case "convert-from-iceberg" =>
         val st = graft.sources.Uniform.icebergToDelta(spark, tbl)
         st.version match {
@@ -391,7 +406,7 @@ object Main {
         s"unknown delta operation: $other " +
           "(checkpoint|expire-log|vacuum|restore|optimize|count|purge|" +
           "enable-cdf|changes|history|convert|clone|uniform|" +
-          "convert-from-iceberg)")
+          "convert-from-iceberg|add-constraint|drop-constraint)")
     }
   }
 }

@@ -497,5 +497,15 @@ class AppSurfaceSpec extends SparkSpec {
     assert(run(ice, "convert-from-iceberg") startsWith "mirrored")
     assert(run(ice, "convert-from-iceberg") startsWith "already mirrored")
     assert(graft.sources.DeltaLog.read(spark, ice).count() === 1L)
+    // constraints: add enforces, drop re-admits
+    assert(run(raw, "add-constraint", "--name" -> "id_pos",
+      "--check" -> "id > 0") startsWith "constraint id_pos")
+    intercept[IllegalArgumentException] {
+      graft.sources.DeltaWrite.append(Seq((-1L, "z")).toDF("id", "v"), raw)
+    }
+    assert(run(raw, "drop-constraint", "--name" -> "id_pos")
+      startsWith "constraint id_pos dropped")
+    graft.sources.DeltaWrite.append(Seq((-1L, "z")).toDF("id", "v"), raw)
+    assert(run(raw, "count") === "3 rows (from log stats, zero files opened)")
   }
 }

@@ -84,7 +84,8 @@ object DeltaWrite {
   }
 
   /** Publish `actions` as commit `version`, atomically. Throws
-    * IllegalStateException if that version was committed concurrently.
+    * [[ConcurrentCommitException]] if that version was committed
+    * concurrently.
     */
   private[graft] def publish(logDir: File, version: Long,
       actions: Seq[String]): Unit = {
@@ -99,7 +100,7 @@ object DeltaWrite {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp.toPath)
-        throw new IllegalStateException(
+        throw new ConcurrentCommitException(
           s"concurrent Delta commit: version $version already exists in " +
             s"$logDir — retry at the next version")
     } finally Files.deleteIfExists(tmp.toPath)
@@ -162,35 +163,79 @@ object DeltaWrite {
       schema: org.apache.spark.sql.types.StructType): String =
     addAction(f, fileStats(f, schema))
 
-  /** Claim-the-next-version retry loop for commits that can NEVER
-    * logically conflict — blind appends: they read no snapshot state, so
-    * a competing commit cannot invalidate them (real Delta's conflict
-    * matrix allows concurrent appends unconditionally; only the VERSION
-    * NUMBER is contended). On a lost race the version is recomputed and
-    * the claim retried; `actions` is re-evaluated with the new version so
-    * the version-0 header appears exactly when this writer creates the
-    * table. This is what lets a 1000-sink ingest fan-in commit to one
-    * table without coordination. Ops that READ the snapshot before
-    * writing (merge / delete / overwrite / optimize / restore) still fail
-    * fast on a lost race: their read set may be stale and a silent rebase
-    * could resurrect or double rows — the caller re-runs against the new
-    * snapshot.
+  /** Claim-the-next-version retry loop for appends, whose DATA can never
+    * conflict (real Delta's conflict matrix allows concurrent appends;
+    * only the VERSION NUMBER is contended) — but whose VALIDATION can go
+    * stale: a concurrent commit may carry a metaData/protocol action
+    * (ALTER ADD CONSTRAINT, schema change, column-mapping upgrade), and
+    * real Delta fails appends across those (MetadataChangedException)
+    * rather than committing a batch the new metadata never screened. So
+    * each attempt calls `preClaim(version)` BEFORE claiming: the caller
+    * re-validates iff a metaData/protocol commit landed since its last
+    * check ([[metadataChangedBetween]]). The exactly-once reasoning of
+    * [[appendIdempotent]] applies: versions are dense, so every commit
+    * < `version` exists when `preClaim` runs, and a successful claim of
+    * `version` proves no unvalidated commit slipped between the check
+    * and the claim. On a lost race the version is recomputed, `preClaim`
+    * re-runs, and `actions` is re-evaluated with the new version (the
+    * version-0 header appears exactly when this writer creates the
+    * table). Only [[ConcurrentCommitException]] retries — any other
+    * failure escapes immediately. Ops that READ the snapshot before
+    * writing (merge / delete / overwrite / optimize / restore) still
+    * fail fast on a lost race: their read set may be stale and a silent
+    * rebase could resurrect or double rows.
     */
   private def publishWithRetry(logDir: File,
-      actions: Long => Seq[String], attempts: Int = 32): Long = {
+      actions: Long => Seq[String], attempts: Int = 32,
+      preClaim: Long => Unit = _ => ()): Long = {
     var left = attempts
     while (true) {
       val version = nextVersion(logDir)
+      preClaim(version)
       try {
         publish(logDir, version, actions(version))
         return version
       } catch {
-        case e: IllegalStateException =>
+        case e: ConcurrentCommitException =>
           left -= 1
           if (left <= 0) throw e
       }
     }
     -1L // unreachable
+  }
+
+  /** True iff any committed version in (`after`, `until`) carries a
+    * metaData or protocol action — the signal that an append's
+    * constraint/schema validation is stale and must re-run against the
+    * new table metadata before re-claiming (real Delta's
+    * MetadataChangedException conflict class).
+    */
+  private def metadataChangedBetween(logDir: File, after: Long,
+      until: Long): Boolean =
+    commitFiles(logDir).exists { f =>
+      val v = versionOf(f)
+      v > after && v < until && {
+        val txt =
+          new String(Files.readAllBytes(f.toPath), StandardCharsets.UTF_8)
+        txt.contains("\"metaData\"") || txt.contains("\"protocol\"")
+      }
+    }
+
+  /** A `preClaim` hook re-running CHECK-constraint validation whenever a
+    * metaData/protocol commit landed after `validatedAt` (the head
+    * version observed BEFORE the caller's initial validation — captured
+    * first so a constraint commit racing the initial check still
+    * triggers a re-check). Shared by the append family.
+    */
+  private def revalidateOnMetadataChange(logDir: File, tablePath: String,
+      df: DataFrame, op: String, validatedAt: Long): Long => Unit = {
+    var validatedThrough = validatedAt
+    version => {
+      if (metadataChangedBetween(logDir, validatedThrough, version)) {
+        requireSatisfiesConstraints(df.sparkSession, tablePath, df, op)
+        validatedThrough = version - 1
+      }
+    }
   }
 
   /** Seams for the cross-format mirror ([[Uniform.icebergToDelta]]):
@@ -204,12 +249,21 @@ object DeltaWrite {
       schema: org.apache.spark.sql.types.StructType): Seq[String] =
     headerActions(schema, Seq.empty)
 
+  /** Test seam: runs between an append's initial constraint validation
+    * and its version claim, where a concurrent writer's metaData commit
+    * can land — lets the spec stage that race deterministically instead
+    * of hoping threads interleave.
+    */
+  private[graft] var onAppendRaceWindow: () => Unit = () => ()
+
   /** APPEND `df` as one atomic commit; returns the committed version. */
   def append(df: DataFrame, tablePath: String): Long = {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     logDir.mkdirs()
+    val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df, "append")
+    onAppendRaceWindow()
     val files = stageDataFiles(df, root)
     // footer stats computed once; only the version-dependent header is
     // re-evaluated on a lost concurrency race
@@ -218,7 +272,8 @@ object DeltaWrite {
       val header = if (version == 0L) headerActions(df) else Seq.empty
       header ++ adds :+
         """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}"""
-    })
+    }, preClaim =
+      revalidateOnMetadataChange(logDir, tablePath, df, "append", validatedAt))
   }
 
   /** Outcome of a [[merge]] commit. */
@@ -686,9 +741,10 @@ object DeltaWrite {
     */
   def deleteWhereDv(spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
-      predicate: org.apache.spark.sql.Column): DvDeleteStats = {
-    import org.apache.spark.sql.functions.{col, collect_list, size,
-      sort_array, substring_index, udf}
+      predicate: org.apache.spark.sql.Column,
+      maxDvCollectBytes: Long = 256L << 20): DvDeleteStats = {
+    import org.apache.spark.sql.functions.{col, collect_list, count, lit,
+      size, sort_array, substring_index, sum, udf}
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
@@ -702,6 +758,29 @@ object DeltaWrite {
     val matched = matchedRows
       .select(col("_metadata.file_path").as("__f"),
         col("_metadata.row_index").as("__i"))
+    // DRIVER-MEMORY BOUND, checked BEFORE any bitmap bytes concentrate on
+    // the driver: the collect below gathers one serialized roaring bitmap
+    // per touched file. Roaring's worst case is 2 bytes/position (array
+    // containers) plus ≤ 8 KiB per 64Ki-row span (bitmap containers cap
+    // there), so positions×2 + files×8 KiB upper-bounds the aggregate —
+    // a cheap count-only pre-pass (narrow columns, map-side combined)
+    // buys a loud refusal instead of a driver OOM. The 100 TB evolution
+    // (executor-side DV writes via foreachPartition, driver sees only
+    // (path, cardinality, size) tuples) is the documented next step; this
+    // guard makes the current shape safe-by-refusal until then.
+    val pre = matched
+      .groupBy(substring_index(col("__f"), "/", -1).as("__name"))
+      .agg(count(lit(1)).as("__n"))
+      .agg(sum(col("__n")), count(lit(1))).head
+    val (nPositions, nFiles) =
+      if (pre.isNullAt(0)) (0L, 0L) else (pre.getLong(0), pre.getLong(1))
+    val estBytes = nPositions * 2L + nFiles * 8192L
+    require(estBytes <= maxDvCollectBytes,
+      s"deleteWhereDv would collect ~$estBytes bytes of deletion-vector " +
+        s"bitmaps to the driver ($nPositions matched rows across $nFiles " +
+        s"files; bound $maxDvCollectBytes) — delete in narrower predicate " +
+        "slices, raise maxDvCollectBytes, or use deleteWhere (copy-on-" +
+        "write) which never concentrates the matches")
     val serUdf = udf((idx: Seq[Long]) => DeltaDv.serializePositions(idx))
     val perFile = matched
       .groupBy(substring_index(col("__f"), "/", -1).as("__name"))
@@ -916,8 +995,11 @@ object DeltaWrite {
     logDir.mkdirs()
     val committed = DeltaLog.latestTxnVersions(tablePath).get(appId)
     if (committed.exists(_ >= epoch)) return None
+    val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df,
       "idempotent append")
+    val revalidate = revalidateOnMetadataChange(logDir, tablePath, df,
+      "idempotent append", validatedAt)
     val files = stageDataFiles(df, root)
     val adds = files.map(addWithStats(_, df.schema))
     // retry the version claim like a blind append, but RE-CHECK the txn
@@ -940,6 +1022,11 @@ object DeltaWrite {
         files.foreach(f => Files.deleteIfExists(f.toPath))
         return None
       }
+      // a lost race may have been a concurrent ALTER ADD CONSTRAINT /
+      // schema change — re-screen the batch against the new metadata
+      // before re-claiming (same conflict class real Delta fails
+      // appends on)
+      revalidate(version)
       val header = if (version == 0L) headerActions(df) else Seq.empty
       try {
         publish(logDir, version,
@@ -949,7 +1036,7 @@ object DeltaWrite {
             """{"commitInfo":{"operation":"STREAMING UPDATE","operationParameters":{}}}""")
         return Some(version)
       } catch {
-        case e: IllegalStateException =>
+        case e: ConcurrentCommitException =>
           left -= 1
           if (left <= 0) throw e
       }
@@ -1030,7 +1117,7 @@ object DeltaWrite {
     */
   def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, zCols: Seq[String], bits: Int = 8,
-      targetFiles: Int = 0): OptimizeStats = {
+      targetFiles: Int = 0, linearRanks: Boolean = false): OptimizeStats = {
     import org.apache.spark.sql.functions._
     require(zCols.size >= 2,
       "ZORDER BY needs at least 2 columns (1-D clustering is a plain sort)")
@@ -1038,6 +1125,8 @@ object DeltaWrite {
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
+    require(adds.nonEmpty,
+      s"optimize zorder on a table with no live files: $tablePath")
     require(adds.forall(_.partitionValues.isEmpty),
       s"optimize supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "optimize zorder", tablePath)
@@ -1045,19 +1134,62 @@ object DeltaWrite {
     val df = spark.read.parquet(adds.map(_.path): _*)
     zCols.foreach(c => require(df.columns.contains(c),
       s"ZORDER column not in table: $c"))
-    val statCols = zCols.flatMap(c => Seq(
-      min(col(c)).cast("double").as(s"mn_$c"),
-      max(col(c)).cast("double").as(s"mx_$c")))
-    val stats = df.agg(statCols.head, statCols.tail: _*).first()
     val top = (1L << bits) - 1
-    val ranks = zCols.zipWithIndex.map { case (c, i) =>
-      val mn = stats.getDouble(2 * i)
-      val mx = stats.getDouble(2 * i + 1)
-      if (mx <= mn) lit(0L)
-      else least(lit(top), greatest(lit(0L),
-        floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * top)
-          .cast("long")))
-    }
+    // Default ranks are RANGE ranks (per-dimension approximate quantiles,
+    // what real OPTIMIZE ZORDER's range-partitioned clustering computes):
+    // a heavy-tailed dimension still spreads its rows across the full
+    // 2^bits rank domain, so the Morton interleave stays balanced. The
+    // legacy linear (c-mn)/(mx-mn) scaling collapses a skewed column into
+    // a few rank values (every outlier-free row lands near rank 0) and is
+    // kept only as the comparison baseline for the skew spec. Cost: one
+    // multi-column quantile pass (driver state O(dims × 2^bits) doubles),
+    // then a codegen'd per-row bucket fold over the broadcast boundaries.
+    val ranks: Seq[org.apache.spark.sql.Column] =
+      if (linearRanks) {
+        val statCols = zCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"mn_$c"),
+          max(col(c)).cast("double").as(s"mx_$c")))
+        val stats = df.agg(statCols.head, statCols.tail: _*).first()
+        zCols.zipWithIndex.map { case (c, i) =>
+          // all-NULL live column → null min/max → rank 0 (never a bare
+          // NullPointerException out of Row.getDouble)
+          if (stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1)) lit(0L)
+          else {
+            val mn = stats.getDouble(2 * i)
+            val mx = stats.getDouble(2 * i + 1)
+            if (mx <= mn) lit(0L)
+            else coalesce(least(lit(top), greatest(lit(0L),
+              floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * top)
+                .cast("long"))), lit(0L))
+          }
+        }
+      } else {
+        val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
+        val qCols = zCols.indices.map(i => s"__graft_zq_$i")
+        val projected = df.select(zCols.zip(qCols).map { case (c, n) =>
+          col(c).cast("double").as(n)
+        }: _*)
+        val allQs = projected.stat.approxQuantile(qCols.toArray, probs,
+          1.0 / (1 << (bits + 2)))
+        zCols.zipWithIndex.map { case (c, i) =>
+          // duplicate boundaries (a value spanning many quantiles)
+          // dedupe away; an all-NULL column has no quantiles → rank 0
+          val qs = allQs(i).filterNot(_.isNaN).distinct.sorted
+          if (qs.isEmpty) lit(0L)
+          else {
+            val boundaries = array(qs.map(lit(_)): _*)
+            // rank = #boundaries <= value, RESCALED to the full 0..top
+            // domain (dedupe shrinks the boundary count, and an
+            // unscaled rank would zero this dimension's high Morton
+            // bits, letting the other dimensions dominate the
+            // interleave); NULL value → 0
+            val raw = coalesce(aggregate(boundaries, lit(0L), (acc, b) =>
+              acc + when(col(c).cast("double") >= b, lit(1L))
+                .otherwise(lit(0L))), lit(0L))
+            floor(raw * lit(top) / lit(qs.length.toLong)).cast("long")
+          }
+        }
+      }
     val z = graft.operators.Compaction.mortonInterleave(ranks, bits)
     val target =
       if (targetFiles >= 1) targetFiles
@@ -1104,6 +1236,7 @@ object DeltaWrite {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     logDir.mkdirs()
+    val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df,
       "partitioned append")
     val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
@@ -1168,7 +1301,8 @@ object DeltaWrite {
         if (version == 0L) headerActions(df, partitionCols) else Seq.empty
       header ++ adds :+
         """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Append"}}}"""
-    })
+    }, preClaim = revalidateOnMetadataChange(logDir, tablePath, df,
+      "partitioned append", validatedAt))
   }
 
   private def relPath(root: File, p: String): String = {

@@ -1022,7 +1022,7 @@ object IcebergLog {
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         Files.deleteIfExists(tmp.toPath)
-        throw new IllegalStateException(
+        throw new ConcurrentCommitException(
           s"concurrent Iceberg commit: metadata version $version already " +
             s"exists in $metaDir — retry at the next version")
     } finally Files.deleteIfExists(tmp.toPath)
@@ -1379,7 +1379,7 @@ object IcebergLog {
     while (true) {
       try return body
       catch {
-        case e: IllegalStateException =>
+        case e: ConcurrentCommitException =>
           left -= 1
           if (left <= 0) throw e
       }
@@ -1420,7 +1420,7 @@ object IcebergLog {
     // surface the conflict to their caller.
     expectedBaseVersion.foreach { base =>
       if (version != base + 1)
-        throw new IllegalStateException(
+        throw new ConcurrentCommitException(
           s"concurrent Iceberg commit: table advanced past version $base " +
             s"(head is now ${version - 1}) in $tablePath — retry on fresh state")
     }
@@ -1601,7 +1601,7 @@ object IcebergLog {
             "graft.sink.epoch" -> epoch.toString),
           expectedBaseVersion = base))
       } catch {
-        case e: IllegalStateException =>
+        case e: ConcurrentCommitException =>
           left -= 1
           if (left <= 0) throw e
       }

@@ -76,11 +76,16 @@ object Uniform {
     val deltaVersion = DeltaLog.latestVersion(tablePath)
     if (mirroredVersion(tablePath).contains(deltaVersion))
       return SyncStats(None, deltaVersion, 0, 0)
+    // everything below reads AS OF the captured version: a Delta commit
+    // landing between the capture and the state read would otherwise
+    // stamp the snapshot's delta-version summary with an OLDER version
+    // than the live set it mirrors, breaking the version-keyed
+    // idempotence/time-travel contract for that snapshot
     require(DeltaLog.mappingMode(
-        DeltaLog.tableMetaData(spark, tablePath)) == "none",
+        DeltaLog.tableMetaData(spark, tablePath, Some(deltaVersion))) == "none",
       s"column-mapped Delta table cannot mirror to Iceberg: $tablePath — " +
         "physical parquet names diverge from logical names")
-    val adds = DeltaLog.liveAdds(spark, tablePath)
+    val adds = DeltaLog.liveAdds(spark, tablePath, Some(deltaVersion))
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
     require(adds.forall(_.dv.isEmpty),
       s"live deletion vectors in $tablePath — an Iceberg reader would " +

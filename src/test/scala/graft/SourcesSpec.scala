@@ -2671,4 +2671,132 @@ class SourcesSpec extends SparkSpec {
       DeltaLog.history(spark, s"$tmp/no_such_table")
     }.getMessage.contains("not a Delta table"))
   }
+
+  test("append retry re-validates against a constraint committed in the race window") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/race_constraint"
+    DeltaWrite.append(Seq((1L, "a")).toDF("id", "v"), tbl) // v0
+    // stage the race deterministically: a concurrent ALTER ADD CONSTRAINT
+    // lands between this append's initial validation and its version
+    // claim — real Delta fails the append (MetadataChangedException
+    // class); a blind retry would commit a batch the new constraint
+    // never screened
+    DeltaWrite.onAppendRaceWindow = () =>
+      DeltaWrite.addCheckConstraint(spark, tbl, "pos_id", "id > 0")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        DeltaWrite.append(Seq((-5L, "bad")).toDF("id", "v"), tbl)
+      }
+      assert(e.getMessage.contains("pos_id"))
+    } finally DeltaWrite.onAppendRaceWindow = () => ()
+    // the violating batch must NOT have landed; the constraint commit did
+    assert(DeltaLog.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L))
+    assert(DeltaLog.checkConstraints(spark, tbl).nonEmpty)
+    // a batch satisfying the just-added constraint re-validates and lands
+    DeltaWrite.onAppendRaceWindow = () =>
+      DeltaWrite.dropCheckConstraint(spark, tbl, "pos_id")
+    try {
+      // constraint dropped in the window: append re-screens against the
+      // NEW metadata (no constraints) and commits — proving the
+      // re-validation reads the intervening state, not the stale check
+      DeltaWrite.append(Seq((7L, "ok")).toDF("id", "v"), tbl)
+    } finally DeltaWrite.onAppendRaceWindow = () => ()
+    assert(DeltaLog.read(spark, tbl).count() === 2L)
+    // the race signal is the dedicated retryable type (an ISE subclass,
+    // so legacy handlers keep working) — double-claiming a version throws
+    // it, and an UNRELATED IllegalStateException must not be retried
+    val logDir = new java.io.File(tbl, "_delta_log")
+    DeltaWrite.publish(logDir, 100L, Seq("""{"commitInfo":{}}"""))
+    val cce = intercept[IllegalStateException] {
+      DeltaWrite.publish(logDir, 100L, Seq("""{"commitInfo":{}}"""))
+    }
+    assert(cce.isInstanceOf[graft.sources.ConcurrentCommitException])
+    assert(cce.getMessage.contains("concurrent Delta commit"))
+    java.nio.file.Files.delete(
+      new java.io.File(logDir, f"${100L}%020d.json").toPath)
+  }
+
+  test("optimize zorder: range ranks beat linear on skew; null guards hold") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    // heavy-tailed x (99% in [0,100), 1% huge outliers), uniform y —
+    // linear min/max scaling collapses the bulk of x into rank 0 and the
+    // interleave degenerates to a y-sort; range ranks spread x evenly
+    def stage(tbl: String): Unit = {
+      val rows = (0 until 4000).map { i =>
+        val x = if (i % 100 == 0) 1000000000L + i else (i % 100).toLong
+        (x, (i * 37 % 1000).toLong, s"p$i")
+      }
+      DeltaWrite.append(rows.toDF("x", "y", "p").repartition(8), tbl)
+    }
+    // pruning effectiveness, the thing Z-order exists for: how many
+    // files' (x, y) footer bounds admit a small 2-D range probe. Under
+    // linear scaling the bulk of skewed x collapses to one rank, every
+    // bulk file spans the whole x domain, and probes prune by y alone;
+    // range ranks tile BOTH dimensions, so each probe admits fewer files.
+    def admitted(tbl: String): Int = {
+      val adds = DeltaLog.liveAdds(spark, tbl)
+      val bounds = adds.map { a =>
+        val r = spark.read.parquet(a.path)
+          .agg(min(col("x")), max(col("x")), min(col("y")), max(col("y"))).head
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val probes = for (px <- 5L until 100L by 10L; py <- 50L until 1000L by 100L)
+        yield (px - 5, px + 5, py - 50, py + 50)
+      probes.map { case (xl, xh, yl, yh) =>
+        bounds.count { case (mnx, mxx, mny, mxy) =>
+          mnx <= xh && xl <= mxx && mny <= yh && yl <= mxy
+        }
+      }.sum
+    }
+    val tq = s"$tmp/zorder_skew_q"; stage(tq)
+    val tl = s"$tmp/zorder_skew_l"; stage(tl)
+    DeltaWrite.optimizeZOrder(spark, tq, Seq("x", "y"), targetFiles = 8)
+    DeltaWrite.optimizeZOrder(spark, tl, Seq("x", "y"), targetFiles = 8,
+      linearRanks = true)
+    // identical rows either way
+    assert(DeltaLog.read(spark, tq).agg(sum(col("x")), sum(col("y"))).head ===
+      DeltaLog.read(spark, tl).agg(sum(col("x")), sum(col("y"))).head)
+    val (qa, la) = (admitted(tq), admitted(tl))
+    assert(qa < la, s"range-rank probe admissions $qa not below linear $la")
+    // all-NULL z column: rank 0, completes without an NPE
+    val tn = s"$tmp/zorder_null"
+    DeltaWrite.append((1 to 50).map(i => (Option.empty[java.lang.Long], i.toLong, s"r$i"))
+      .toDF("x", "y", "p"), tn)
+    DeltaWrite.optimizeZOrder(spark, tn, Seq("x", "y"), targetFiles = 1)
+    assert(DeltaLog.read(spark, tn).count() === 50L)
+    // all-tombstoned table: clean refusal, not a raw scan error
+    val te = s"$tmp/zorder_empty"
+    DeltaWrite.append(Seq((1L, 2L, "a")).toDF("x", "y", "p"), te)
+    DeltaWrite.deleteWhere(spark, te, lit(true))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.optimizeZOrder(spark, te, Seq("x", "y"))
+    }.getMessage.contains("no live files"))
+  }
+
+  test("deleteWhereDv refuses an unbounded driver DV collection") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/dv_bound"
+    DeltaWrite.append((1 to 2000).map(i => (i.toLong, s"r$i")).toDF("id", "v"), tbl)
+    // the pre-collect estimate (2 B/position + 8 KiB/file) trips a tiny
+    // bound BEFORE any bitmap bytes reach the driver
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhereDv(spark, tbl, col("id") <= 1000L,
+        maxDvCollectBytes = 64L)
+    }
+    assert(e.getMessage.contains("deletion-vector") &&
+      e.getMessage.contains("1000 matched rows"))
+    // nothing committed, table unchanged
+    assert(DeltaLog.read(spark, tbl).count() === 2000L)
+    // the default bound admits the same delete unchanged
+    val st = DeltaWrite.deleteWhereDv(spark, tbl, col("id") <= 1000L)
+    assert(st.rowsDeleted === 1000L)
+    assert(DeltaLog.read(spark, tbl).count() === 1000L)
+  }
 }

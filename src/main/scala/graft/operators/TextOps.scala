@@ -560,16 +560,24 @@ object TextOps {
     * docs by average NLL against the (corpus- or reference-)trained bigram
     * LM — the standard model-based quality filter of pretraining curation.
     *
-    * The default gate is an exact global PERCENT_RANK filter: portable to
-    * a SQL oracle with zero quantile-interpolation ambiguity, but it ranks
-    * through a single-partition window, so it is the verification shape.
-    * `exact = false` is the 100 TB shape: one approx_percentile scalar agg
-    * (t-digest, mergeable map-side) broadcast back as a threshold — the
-    * corpus never sees a global sort, at the cost of an approximate cut
-    * point near the boundary.
+    * The DEFAULT is the 100 TB shape: one `approx_percentile` scalar
+    * aggregation (Greenwald–Khanna summaries, merged map-side) whose
+    * threshold broadcasts back as a plain filter — the corpus never sees
+    * a global sort, and the only approximation is the cut point's rank,
+    * bounded by `n / accuracy` positions (the spec pins that band:
+    * identical keep-set away from the boundary, bounded disagreement at
+    * it). Below `accuracy` retained samples the summary is lossless, so
+    * at oracle scale the approx gate IS the exact gate — which is what
+    * lets t15b oracle-check this exact production path.
+    *
+    * `exact = true` is the verification override: a global PERCENT_RANK
+    * filter, portable to a SQL oracle with zero quantile-interpolation
+    * ambiguity — but it ranks through a single-partition window, so it
+    * exists for oracles and small corpora, never for production.
     */
   def perplexityGate(docs: DataFrame, keepFraction: Double = 0.9,
-      refDocs: DataFrame = null, exact: Boolean = true): DataFrame = {
+      refDocs: DataFrame = null, exact: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
     val scored = lmScore(docs, refDocs)
@@ -580,7 +588,8 @@ object TextOps {
         .drop("__pr")
     } else {
       val thr = scored.agg(
-        expr(s"approx_percentile(avg_nll, $keepFraction)").as("__thr"))
+        expr(s"approx_percentile(avg_nll, $keepFraction, $accuracy)")
+          .as("__thr"))
       scored.crossJoin(broadcast(thr))
         .filter(col("avg_nll") <= col("__thr"))
         .drop("__thr")

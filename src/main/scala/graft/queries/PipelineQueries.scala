@@ -701,12 +701,15 @@ object PipelineQueries {
       SELECT doc_id, n_tokens, avg_nll FROM scored
       ORDER BY doc_id"""), headline = true),
 
-    // Perplexity gate: t12's scores turned into the curation decision —
-    // drop the worst-perplexity decile against the corpus-trained bigram
-    // LM. The gate is an exact rank filter (PERCENT_RANK over avg_nll),
-    // identical in both engines with no quantile-interpolation ambiguity.
+    // Perplexity gate, VERIFICATION shape: t12's scores turned into the
+    // curation decision — drop the worst-perplexity decile against the
+    // corpus-trained bigram LM via an exact rank filter (PERCENT_RANK
+    // over avg_nll), identical in both engines with no
+    // quantile-interpolation ambiguity. exact=true is the explicit
+    // oracle-verification override; t15b runs the production default.
     QueryDef("t15_perplexity_gate", (s, d) =>
-      TextOps.perplexityGate(Tables.load(s, d, "documents"), 0.9)
+      TextOps.perplexityGate(Tables.load(s, d, "documents"), 0.9,
+        exact = true)
         .orderBy(col("doc_id")),
       Some(s"""
       WITH $LMS,
@@ -714,6 +717,28 @@ object PipelineQueries {
           PERCENT_RANK() OVER (ORDER BY avg_nll) AS pr FROM scored)
       SELECT doc_id, n_tokens, avg_nll FROM ranked
       WHERE pr <= 0.9 ORDER BY doc_id""")),
+
+    // Perplexity gate, PRODUCTION (100 TB) shape — the library default:
+    // ONE approx_percentile scalar aggregation broadcast back as a
+    // threshold filter, no global sort anywhere. Below `accuracy`
+    // retained samples the Greenwald–Khanna summary is lossless and
+    // returns exactly the value at rank CEIL(q·n) — so at oracle scale
+    // the production path is oracle-checkable to the row: the oracle
+    // recomputes that same rank's value with ROW_NUMBER and filters by
+    // it. At 100 TB the identical plan runs with a bounded (n/accuracy
+    // ranks) cut-point band, spec-pinned in OperatorsSpec.
+    QueryDef("t15b_perplexity_gate_approx", (s, d) =>
+      TextOps.perplexityGate(Tables.load(s, d, "documents"), 0.9)
+        .orderBy(col("doc_id")),
+      Some(s"""
+      WITH $LMS,
+      ranked AS (SELECT doc_id, n_tokens, avg_nll,
+          ROW_NUMBER() OVER (ORDER BY avg_nll) AS rn,
+          COUNT(*) OVER () AS n FROM scored),
+      thr AS (SELECT avg_nll AS t FROM ranked
+              WHERE rn = CAST(CEIL(0.9 * n) AS BIGINT) LIMIT 1)
+      SELECT doc_id, n_tokens, avg_nll FROM scored, thr
+      WHERE avg_nll <= t ORDER BY doc_id""")),
 
     // N-gram novelty: fraction of a doc's distinct shingles unseen
     // anywhere else — the diversity-selection complement of the dup

@@ -338,6 +338,48 @@ class OperatorsSpec extends SparkSpec {
     assert(vsRef(1L) > out(1L)._2) // common-in-self is rare-in-ref
   }
 
+  test("perplexity gate: approx default matches exact at full retention, bounded band under compression") {
+    val s = spark
+    import s.implicits._
+    // 3000 docs with spread-out avg_nll: word frequencies vary with i so
+    // transition probabilities (and scores) differ across docs
+    val d = (1 to 3000).map { i =>
+      (i.toLong, s"w${i % 7} w${i % 61} w${i % 211} w${i % 997} w${i % 13}")
+    }.toDF("doc_id", "text")
+    def keepSet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = keepSet(TextOps.perplexityGate(d, 0.9, exact = true))
+    // full retention (n < accuracy): the GK summary is lossless and the
+    // production default IS the exact gate — this is the property that
+    // makes t15b oracle-checkable
+    val approx = keepSet(TextOps.perplexityGate(d, 0.9))
+    assert(approx === exact)
+    // forced compression (accuracy 50 « n): agreement everywhere except
+    // a bounded band at the cut. GK's rank error is ≤ n/accuracy, so any
+    // disagreeing doc must sit within 2·n/accuracy ranks of the cut.
+    val coarse = keepSet(TextOps.perplexityGate(d, 0.9, accuracy = 50))
+    val ranked = TextOps.lmScore(d).orderBy(col("avg_nll"), col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0))
+    val rankOf = ranked.zipWithIndex.toMap
+    val n = ranked.length
+    val cut = math.ceil(0.9 * n).toInt
+    val band = 2 * n / 50
+    val disagree = (coarse diff exact) union (exact diff coarse)
+    disagree.foreach { id =>
+      assert(math.abs(rankOf(id) - cut) <= band,
+        s"doc $id disagrees at rank ${rankOf(id)}, cut $cut, band $band")
+    }
+    // the coarse keep-set is still downward-closed in avg_nll (a value
+    // threshold can never keep a worse doc while dropping a better one)
+    val scores = TextOps.lmScore(d).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val keptMax = coarse.map(scores).max
+    val dropMin = (scores.keySet diff coarse).map(scores).min
+    assert(keptMax <= dropMin ||
+        scores.values.toSeq.count(_ == keptMax) > 1,
+      s"approx gate kept a doc scoring $keptMax past a dropped $dropMin")
+  }
+
   test("span excision cuts exactly the extent tokens and digests the remainder") {
     val d = docs(
       1L -> "x y z q r s x y z", // extents (0,2),(6,8) -> kept "q r s"

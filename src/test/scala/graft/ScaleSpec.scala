@@ -240,6 +240,25 @@ class ScaleSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"sort in t12 plan:\n$p")
   }
 
+  test("t15 production gate plans no Window: threshold broadcasts, corpus never sorts") {
+    // the library default (exact = false) must never move the corpus
+    // through a global sort — ONE approx_percentile scalar agg, threshold
+    // broadcast back as a filter. The exact override is the verification
+    // shape and is ALLOWED its window; production is not.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val prod = graft.operators.TextOps.perplexityGate(docs)
+      .queryExecution.executedPlan.toString
+    assert(!prod.contains("Window"),
+      s"global window in the production perplexity gate:\n$prod")
+    assert(prod.contains("BroadcastNestedLoopJoin") ||
+        prod.contains("BroadcastExchange"),
+      s"threshold not broadcast in:\n$prod")
+    val verif = graft.operators.TextOps.perplexityGate(docs, exact = true)
+      .queryExecution.executedPlan.toString
+    assert(verif.contains("Window"),
+      "verification override lost its exact rank filter")
+  }
+
   test("multimodal decode is one narrow MapPartitions pass: no exchange") {
     // the scaladoc claim behind m01/m02/m04: blob -> features is a
     // per-partition codec pass; any Exchange here would shuffle raw

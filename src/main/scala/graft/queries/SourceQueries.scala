@@ -1119,6 +1119,98 @@ object SourceQueries {
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 
+    // x40b: DELTA COLUMN MAPPING (id mode) + RENAME-WITHOUT-REWRITE —
+    // the other half of the mapping protocol: files carry scrambled
+    // PHYSICAL names in a DIFFERENT column order than the logical
+    // schema, plus parquet footer field ids; the reader resolves every
+    // column by id (delta.columnMapping.id → parquet.field.id), so
+    // names and positions are irrelevant by design. Then the ALTER that
+    // mapping exists for: RENAME COLUMN is ONE metadata commit (file
+    // set pinned byte-identical), time travel across it sees each
+    // epoch's own name, and a post-rename append through the mapped
+    // write path stages id-stamped physical files that resolve too.
+    QueryDef("x40b_delta_mapping_id_rename", (s, d) => {
+      import org.apache.spark.sql.types._
+      val tbl = s"$stage/delta_mapped_id"
+      rmTree(tbl)
+      new java.io.File(tbl).mkdirs()
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      // stage id-stamped physical files, column order REVERSED vs logical
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      def fid(id: Long) = new MetadataBuilder()
+        .putLong("parquet.field.id", id).build()
+      val staging = s"$tbl/.stage"
+      o.select(col("o_totalprice").as("p_9z", fid(3)),
+          col("o_orderstatus").as("s_5k", fid(2)),
+          col("o_orderkey").as("k_2q", fid(1)))
+        .coalesce(2).write.parquet(staging)
+      val parts = new java.io.File(staging).listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      val moved = parts.zipWithIndex.map { case (f, i) =>
+        val dst = new java.io.File(tbl, s"data-$i.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst
+      }
+      def m(p: String, id: Int) = new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", p)
+        .putLong("delta.columnMapping.id", id).build()
+      val logical = StructType(Seq(
+        StructField("o_orderkey",
+          o.schema("o_orderkey").dataType, nullable = true, m("k_2q", 1)),
+        StructField("o_orderstatus", StringType, nullable = true, m("s_5k", 2)),
+        StructField("o_totalprice",
+          o.schema("o_totalprice").dataType, nullable = true, m("p_9z", 3))))
+      def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      val logDir = new java.io.File(tbl, "_delta_log"); logDir.mkdirs()
+      graft.sources.DeltaWrite.publish(logDir, 0L, Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"x40b","format":{"provider":"parquet","options":{}},""" +
+          s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+          """"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"3"}}}""") ++
+        moved.map(f =>
+          s"""{"add":{"path":"${f.getName}","partitionValues":{},""" +
+            s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+            """"dataChange":true}}"""))
+      require(graft.sources.DeltaLog.read(s, tbl).columns.toSeq ==
+        Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+        "id resolution failed on the scrambled fixture")
+      // RENAME WITHOUT REWRITE: one metadata commit, zero data movement
+      val before = graft.sources.DeltaLog.liveAdds(s, tbl)
+        .map(a => (a.path, new java.io.File(a.path).lastModified)).toSet
+      graft.sources.DeltaWrite.renameColumn(s, tbl, "o_totalprice", "price")
+      val after = graft.sources.DeltaLog.liveAdds(s, tbl)
+        .map(a => (a.path, new java.io.File(a.path).lastModified)).toSet
+      require(before == after, "rename moved bytes — it must be metadata-only")
+      // time travel ACROSS the rename: each epoch decodes its own name
+      require(graft.sources.DeltaLog.read(s, tbl, Some(0L)).columns
+        .contains("o_totalprice"), "pre-rename epoch lost its name")
+      require(graft.sources.DeltaLog.read(s, tbl).columns.contains("price"),
+        "post-rename epoch kept the old name")
+      // post-rename append through the MAPPED write path: the batch is
+      // authored against the NEW logical name; staging re-stamps field
+      // ids + physical names so id resolution covers new files too
+      graft.sources.DeltaWrite.append(
+        graft.sources.DeltaLog.read(s, tbl, Some(0L))
+          .filter(col("o_orderkey") % 10 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_orderstatus"),
+            (col("o_totalprice") + 1).as("price")), tbl)
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("price").cast("double").as("price"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS price FROM orders
+        UNION ALL
+        SELECT CAST(o_orderkey + 10000000 AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 1 AS DOUBLE)
+        FROM orders WHERE o_orderkey % 10 = 0)
+      ORDER BY o_orderkey""")),
+
     // x41: ICEBERG INCREMENTAL APPEND SCAN — x38's second-format twin
     // (real Iceberg's changes-between read): records appended in
     // snapshots (from, to], dispatched on the spec-required `operation`

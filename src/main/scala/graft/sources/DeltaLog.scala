@@ -72,8 +72,7 @@ object DeltaLog {
         " — this reader supports minReaderVersion <= 2 with no reader " +
         s"features, or minReaderVersion 3 with readerFeatures ⊆ " +
         s"[$DvFeature, $CmFeature]. Column-mapping semantics are enforced " +
-        "at scan time from the metaData (name mode decoded, id mode " +
-        "refused loudly)")
+        "at scan time from the metaData (name and id modes decoded)")
   }
 
   // ---- COLUMN MAPPING --------------------------------------------------
@@ -83,10 +82,20 @@ object DeltaLog {
   // `delta.columnMapping.physicalName` metadata. NAME mode is decoded
   // here: scan with the fully physicalized schema (every nesting level —
   // parquet resolves nested fields by name), then rename back to logical
-  // via a positional struct cast. ID mode (parquet field-id resolution)
-  // is refused loudly rather than decoded wrong.
+  // via a positional struct cast. ID mode resolves columns by parquet
+  // footer field id (`delta.columnMapping.id` → `parquet.field.id` on
+  // the request schema, Spark's native field-id matching) — physical
+  // names and column order in the files are irrelevant by design.
 
   private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  private[sources] val FieldIdKey = "delta.columnMapping.id"
+
+  /** Spark's parquet field-id resolution key: a request-schema field
+    * carrying this metadata matches the footer column with that id, not
+    * the name — exactly what Delta ID-mode (and Iceberg) readers need.
+    */
+  private[sources] val ParquetFieldIdKey = "parquet.field.id"
 
   /** `delta.columnMapping.mode` from the metaData configuration. */
   private[sources] def mappingMode(meta: Option[Map[String, Any]]): String =
@@ -101,7 +110,7 @@ object DeltaLog {
     else f.name
 
   /** Rename every nesting level to physical names (the on-disk shape). */
-  private def physicalize(dt: org.apache.spark.sql.types.DataType)
+  private[sources] def physicalize(dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.types.DataType = {
     import org.apache.spark.sql.types._
     dt match {
@@ -124,6 +133,63 @@ object DeltaLog {
       case MapType(k, v, n) => MapType(logicalType(k), logicalType(v), n)
       case other => other
     }
+  }
+
+  /** The ID-mode request schema: LOGICAL names with `parquet.field.id`
+    * metadata copied from each field's `delta.columnMapping.id` — Spark's
+    * reader then resolves every column by footer field id and answers
+    * with the logical name directly (no rename pass needed). Every
+    * nesting level must carry an id; a field without one cannot be
+    * resolved and refuses.
+    */
+  private def fieldIdRequestSchema(
+      st: org.apache.spark.sql.types.StructType, tablePath: String)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    def walk(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map { f =>
+        require(f.metadata.contains(FieldIdKey),
+          s"ID-mode column-mapped table $tablePath: field '${f.name}' " +
+            s"lacks $FieldIdKey in the metaData schemaString — cannot " +
+            "resolve it against parquet footers")
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putLong(ParquetFieldIdKey, f.metadata.getLong(FieldIdKey)).build()
+        StructField(f.name, walk(f.dataType), f.nullable, md)
+      })
+      case ArrayType(et, n) => ArrayType(walk(et), n)
+      case MapType(k, v, n) => MapType(walk(k), walk(v), n)
+      case other => other
+    }
+    walk(st).asInstanceOf[StructType]
+  }
+
+  /** ID-mode scan: request the logical schema annotated with parquet
+    * field ids and let Spark's footer-id resolution do the matching —
+    * the files' physical column NAMES (and their order) are irrelevant,
+    * which is the whole point of id mode (real Delta assigns ids at
+    * creation and never changes them across renames). DVs compose (the
+    * filter rides `_metadata`). The field-id read conf is enabled
+    * session-wide: it is inert for request schemas without id metadata,
+    * which is every non-ID-mapped scan.
+    */
+  private def scanIdMapped(spark: SparkSession, tablePath: String,
+      adds: Seq[LiveFile],
+      logical: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(adds.forall(_.partitionValues.isEmpty),
+      s"column-mapped partitioned tables are not supported: $tablePath " +
+        "(partitionValues are keyed by physical names — rewrite or read " +
+        "the files directly)")
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    val request = fieldIdRequestSchema(logical, tablePath)
+    val base = applyDv(spark,
+      spark.read.schema(request).parquet(adds.map(_.path): _*),
+      adds, new File(tablePath))
+    // strip the mapping metadata from the result schema (the reader's
+    // output contract is the clean logical shape, same as name mode)
+    base.select(logical.fields.map { f =>
+      col(s"`${f.name}`").cast(logicalType(f.dataType)).as(f.name)
+    }.toSeq: _*)
   }
 
   /** NAME-mode scan: physical-schema read + positional cast back to
@@ -409,11 +475,13 @@ object DeltaLog {
     val base =
       if (kept.nonEmpty)
         requireMappingReadable(spark, tablePath, None) match {
-          case Some(logical) =>
-            // NAME mode: a mapped table's add stats are keyed by physical
-            // names, so pruneByStats keeps every file (sound: skipping may
-            // only shrink) and the logical-named scan filters row-exactly
-            scanNameMapped(spark, tablePath, kept, logical)
+          case Some((mode, logical)) =>
+            // mapped modes: a mapped table's add stats are keyed by
+            // physical names, so pruneByStats keeps every file (sound:
+            // skipping may only shrink) and the logical-named scan
+            // filters row-exactly
+            if (mode == "name") scanNameMapped(spark, tablePath, kept, logical)
+            else scanIdMapped(spark, tablePath, kept, logical)
           case None =>
             // stats bounds may only WIDEN under a DV (they describe the
             // physical file) — pruning stays sound; the DV filter then
@@ -885,8 +953,10 @@ object DeltaLog {
     // columns live in the log, not the files, and are injected below.
     val root = new File(tablePath)
     requireMappingReadable(spark, tablePath, versionAsOf) match {
-      case Some(logical) => // NAME-mode column mapping
+      case Some(("name", logical)) =>
         return scanNameMapped(spark, tablePath, adds, logical)
+      case Some((_, logical)) => // "id"
+        return scanIdMapped(spark, tablePath, adds, logical)
       case None => ()
     }
     if (adds.forall(_.partitionValues.isEmpty))
@@ -900,25 +970,27 @@ object DeltaLog {
   }
 
   /** Mapping-mode gate shared by the scan paths: None for an unmapped
-    * table (scan normally), Some(logical schema) for NAME mode, a loud
-    * refusal for ID mode / a mapped table without a parseable schema.
+    * table (scan normally), Some((mode, logical schema)) for NAME mode
+    * (physical-schema scan + rename) and ID mode (parquet footer
+    * field-id resolution); any other declared mode — or a mapped table
+    * without a parseable schema — refuses loudly rather than decoding
+    * wrong.
     */
   private def requireMappingReadable(spark: SparkSession, tablePath: String,
       versionAsOf: Option[Long])
-      : Option[org.apache.spark.sql.types.StructType] =
+      : Option[(String, org.apache.spark.sql.types.StructType)] =
     mappingMode(tableMetaData(spark, tablePath, versionAsOf)) match {
       case "none" => None
-      case "name" =>
-        Some(metaSchema(spark, tablePath, versionAsOf).getOrElse(
+      case m @ ("name" | "id") =>
+        Some(m -> metaSchema(spark, tablePath, versionAsOf).getOrElse(
           throw new IllegalArgumentException(
             s"column-mapped table without a parseable schemaString: " +
               tablePath)))
       case other =>
         throw new IllegalArgumentException(
-          s"delta.columnMapping.mode '$other' is not supported in " +
-            s"$tablePath — this reader decodes name mode; id mode " +
-            "(parquet field-id resolution) would need field-id matching " +
-            "and is refused rather than decoded wrong")
+          s"delta.columnMapping.mode '$other' is not a Delta protocol " +
+            s"mode in $tablePath — name and id are decoded; anything " +
+            "else is refused rather than decoded wrong")
     }
 
   /** ONE distributed parquet scan over `adds` with the log's partition

@@ -256,6 +256,73 @@ object DeltaWrite {
     */
   private[graft] var onAppendRaceWindow: () => Unit = () => ()
 
+  /** Stage-time translation for column-mapped tables: data files must
+    * carry PHYSICAL column names (and, in id mode, parquet footer field
+    * ids), so an appended batch — authored against the logical schema —
+    * is renamed field-for-field before it is written. Returns the frame
+    * to stage plus the physical schema its footers will carry (the shape
+    * [[fileStats]] must read). Unmapped tables pass through untouched.
+    * NAME mode renames every nesting level via a positional cast; ID
+    * mode additionally stamps `parquet.field.id` from each column's
+    * `delta.columnMapping.id` and keeps to top-level non-nested columns
+    * (metadata cannot ride a cast into nested fields — refuse rather
+    * than write footers an id-resolving reader cannot match).
+    */
+  private def physicalizeForStage(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      df: DataFrame): (DataFrame, org.apache.spark.sql.types.StructType) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val logDir = new File(tablePath, "_delta_log")
+    if (commitFiles(logDir).isEmpty &&
+      DeltaLog.lastCheckpointVersion(logDir).isEmpty)
+      return (df, df.schema)
+    val meta = DeltaLog.tableMetaData(spark, tablePath)
+    val mode = DeltaLog.mappingMode(meta)
+    if (mode == "none") return (df, df.schema)
+    val logical = DeltaLog.metaSchema(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"column-mapped table without a parseable schemaString: $tablePath"))
+    val missing = logical.fieldNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"mapped append to $tablePath lacks column(s): ${missing.mkString(",")}")
+    val physical = DeltaLog.physicalize(logical).asInstanceOf[StructType]
+    val staged = mode match {
+      case "name" =>
+        df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+          col(s"`${lf.name}`").cast(pf.dataType).as(pf.name)
+        }.toSeq: _*)
+      case "id" =>
+        def nested(dt: DataType): Boolean = dt match {
+          case _: StructType => true
+          case ArrayType(et, _) => nested(et)
+          case MapType(k, v, _) => nested(k) || nested(v)
+          case _ => false
+        }
+        logical.fields.foreach { f =>
+          require(!nested(f.dataType),
+            s"id-mode mapped append to $tablePath: nested column " +
+              s"'${f.name}' is not supported (nested parquet field ids " +
+              "cannot be attached at stage time — write through an " +
+              "id-mode writer)")
+          require(f.metadata.contains(DeltaLog.FieldIdKey),
+            s"id-mode table $tablePath: column '${f.name}' lacks " +
+              s"${DeltaLog.FieldIdKey}")
+        }
+        spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+          val md = new MetadataBuilder()
+            .putLong(DeltaLog.ParquetFieldIdKey,
+              lf.metadata.getLong(DeltaLog.FieldIdKey)).build()
+          col(s"`${lf.name}`").cast(pf.dataType).as(pf.name, md)
+        }.toSeq: _*)
+      case other =>
+        throw new IllegalArgumentException(
+          s"unsupported delta.columnMapping.mode '$other' in $tablePath")
+    }
+    (staged, physical)
+  }
+
   /** APPEND `df` as one atomic commit; returns the committed version. */
   def append(df: DataFrame, tablePath: String): Long = {
     val root = new File(tablePath)
@@ -264,10 +331,12 @@ object DeltaWrite {
     val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df, "append")
     onAppendRaceWindow()
-    val files = stageDataFiles(df, root)
+    // column-mapped tables stage PHYSICAL-named (and id-stamped) files
+    val (stage, physSchema) = physicalizeForStage(df.sparkSession, tablePath, df)
+    val files = stageDataFiles(stage, root)
     // footer stats computed once; only the version-dependent header is
     // re-evaluated on a lost concurrency race
-    val adds = files.map(addWithStats(_, df.schema))
+    val adds = files.map(addWithStats(_, physSchema))
     publishWithRetry(logDir, version => {
       val header = if (version == 0L) headerActions(df) else Seq.empty
       header ++ adds :+
@@ -539,7 +608,10 @@ object DeltaWrite {
     */
   private def setConfiguration(meta: Map[String, Any], logDir: File,
       set: Map[String, String], unset: Set[String] = Set.empty,
-      extraActions: Seq[String] = Seq.empty): Long = {
+      extraActions: Seq[String] = Seq.empty,
+      newSchemaJson: Option[String] = None,
+      operation: String = "SET TBLPROPERTIES",
+      opParams: Map[String, String] = Map.empty): Long = {
     def str(k: String): String = meta.get(k).collect { case s: String => s }
       .getOrElse(throw new IllegalArgumentException(
         s"metaData action lacks required field $k"))
@@ -554,16 +626,129 @@ object DeltaWrite {
     val configJson = config.toSeq.sortBy(_._1).map { case (k, v) =>
       s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
     }.mkString("{", ",", "}")
+    val opParamsJson = opParams.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+    }.mkString("{", ",", "}")
     val version = nextVersion(logDir)
     publish(logDir, version, extraActions ++ Seq(
       s"""{"metaData":{"id":"${jsonEscape(str("id"))}",""" +
         """"format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"${jsonEscape(str("schemaString"))}",""" +
+        s""""schemaString":"${jsonEscape(
+          newSchemaJson.getOrElse(str("schemaString")))}",""" +
         s""""partitionColumns":[${partCols.map(c =>
           "\"" + jsonEscape(c) + "\"").mkString(",")}],""" +
         s""""configuration":$configJson}}""",
-      """{"commitInfo":{"operation":"SET TBLPROPERTIES","operationParameters":{}}}"""))
+      s"""{"commitInfo":{"operation":"${jsonEscape(operation)}",""" +
+        s""""operationParameters":$opParamsJson}}"""))
     version
+  }
+
+  /** ALTER TABLE ... SET TBLPROPERTIES ('delta.columnMapping.mode'='name')
+    * — upgrade an unmapped table to NAME-mode column mapping WITHOUT
+    * touching a data file: every field (at every nesting level) gets
+    * `physicalName` = its current name plus a stable `columnMapping.id`,
+    * so existing files keep resolving by name and every future
+    * [[renameColumn]] is a metadata-only commit. This is the whole point
+    * of column mapping at 100 TB: a rename that would otherwise rewrite
+    * the corpus costs one JSON commit. ID mode is creation-time only
+    * (existing footers lack parquet field ids — real Delta has the same
+    * rule), so upgrading to it refuses. The protocol bumps to
+    * minReaderVersion 2 / minWriterVersion 5, or gains the columnMapping
+    * table feature when already on the v3 feature protocol. Returns the
+    * committed version.
+    */
+  def enableColumnMapping(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String): Long = {
+    import org.apache.spark.sql.types._
+    val logDir = new File(tablePath, "_delta_log")
+    requireTable(logDir, tablePath)
+    val meta = DeltaLog.tableMetaData(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no metaData action in $tablePath — cannot upgrade"))
+    require(DeltaLog.mappingMode(Some(meta)) == "none",
+      s"column mapping already enabled on $tablePath")
+    val schema = DeltaLog.metaSchema(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"unparseable schemaString in $tablePath"))
+    var nextId = 0L
+    def annotate(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        nextId += 1
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", f.name)
+          .putLong(DeltaLog.FieldIdKey, nextId).build()
+        StructField(f.name, annotate(f.dataType), f.nullable, md)
+      })
+      case ArrayType(et, n) => ArrayType(annotate(et), n)
+      case MapType(k, v, n) => MapType(annotate(k), annotate(v), n)
+      case other => other
+    }
+    val mapped = annotate(schema).asInstanceOf[StructType]
+    val (minR, minW, rFeats, wFeats) = DeltaLog.currentProtocol(tablePath)
+    val proto =
+      if (minR >= 3)
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":[${(rFeats :+ DeltaLog.CmFeature).distinct
+            .map("\"" + _ + "\"").mkString(",")}],""" +
+          s""""writerFeatures":[${(wFeats :+ DeltaLog.CmFeature).distinct
+            .map("\"" + _ + "\"").mkString(",")}]}}"""
+      else
+        s"""{"protocol":{"minReaderVersion":2,"minWriterVersion":${
+          math.max(5, minW)}}}"""
+    setConfiguration(meta, logDir,
+      Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> nextId.toString),
+      extraActions = Seq(proto),
+      newSchemaJson = Some(mapped.json),
+      operation = "SET TBLPROPERTIES",
+      opParams = Map("delta.columnMapping.mode" -> "name"))
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN old TO new — the metadata-only rename
+    * column mapping exists for: the field's LOGICAL name changes in the
+    * schemaString while its physicalName/columnMapping.id (and therefore
+    * every data file) stay untouched. Time travel across the rename sees
+    * each epoch's own name, because reads decode through the metaData in
+    * force at the read version. Requires column mapping (name or id
+    * mode); refuses unknown/colliding names and columns referenced by a
+    * CHECK constraint (the stored expression would silently stop
+    * matching rows — real Delta blocks this the same way). Top-level
+    * columns only. Returns the committed version.
+    */
+  def renameColumn(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, oldName: String, newName: String): Long = {
+    import org.apache.spark.sql.types._
+    val logDir = new File(tablePath, "_delta_log")
+    requireTable(logDir, tablePath)
+    val meta = DeltaLog.tableMetaData(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no metaData action in $tablePath"))
+    require(DeltaLog.mappingMode(Some(meta)) != "none",
+      s"RENAME COLUMN needs column mapping on $tablePath — without it " +
+        "the files carry the old name and every reader would decode " +
+        "NULLs; run enableColumnMapping first (one metadata commit)")
+    val schema = DeltaLog.metaSchema(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"unparseable schemaString in $tablePath"))
+    require(schema.fieldNames.contains(oldName),
+      s"no such column to rename: $oldName in $tablePath")
+    require(!schema.fieldNames.contains(newName),
+      s"rename target already exists: $newName in $tablePath")
+    DeltaLog.checkConstraints(spark, tablePath).foreach { case (n, e) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(oldName)}\\b".r
+          .findFirstIn(e).isDefined,
+        s"cannot rename $oldName: CHECK constraint $n references it ($e) " +
+          "— drop the constraint first")
+    }
+    val renamed = StructType(schema.fields.map { f =>
+      if (f.name == oldName) StructField(newName, f.dataType, f.nullable,
+        f.metadata)
+      else f
+    })
+    setConfiguration(meta, logDir, Map.empty,
+      newSchemaJson = Some(renamed.json),
+      operation = "RENAME COLUMN",
+      opParams = Map("from" -> oldName, "to" -> newName))
   }
 
   /** ADD CONSTRAINT — the Delta protocol's CHECK constraints (writer
@@ -969,12 +1154,13 @@ object DeltaWrite {
         DeltaLog.lastCheckpointVersion(logDir).isEmpty) Seq.empty
       else DeltaLog.liveAdds(spark, tablePath).map(_.recordedPath)
     requireSatisfiesConstraints(spark, tablePath, df, "overwrite")
-    val files = stageDataFiles(df, root)
+    val (stage, physSchema) = physicalizeForStage(spark, tablePath, df)
+    val files = stageDataFiles(stage, root)
     val version = nextVersion(logDir)
     val header = if (version == 0L) headerActions(df) else Seq.empty
     val removes = prior.map(rel =>
       s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":true}}""")
-    publish(logDir, version, header ++ removes ++ files.map(addWithStats(_, df.schema)) :+
+    publish(logDir, version, header ++ removes ++ files.map(addWithStats(_, physSchema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}""")
     version
   }
@@ -1000,8 +1186,9 @@ object DeltaWrite {
       "idempotent append")
     val revalidate = revalidateOnMetadataChange(logDir, tablePath, df,
       "idempotent append", validatedAt)
-    val files = stageDataFiles(df, root)
-    val adds = files.map(addWithStats(_, df.schema))
+    val (stage, physSchema) = physicalizeForStage(df.sparkSession, tablePath, df)
+    val files = stageDataFiles(stage, root)
+    val adds = files.map(addWithStats(_, physSchema))
     // retry the version claim like a blind append, but RE-CHECK the txn
     // table each attempt: the commit we lost the race to may be another
     // worker retrying THIS (appId, epoch) — appending anyway would double
@@ -1239,6 +1426,9 @@ object DeltaWrite {
     val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df,
       "partitioned append")
+    if (commitFiles(logDir).nonEmpty ||
+      DeltaLog.lastCheckpointVersion(logDir).isDefined)
+      requireNotMapped(df.sparkSession, tablePath, "partitioned append")
     val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
     df.write.partitionBy(partitionCols: _*).parquet(staging.getPath)
     // Hive/Spark path escaping encodes special characters as %XX but does

@@ -1986,7 +1986,7 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("not in table metadata"))
   }
 
-  test("Delta column mapping: name mode decodes (nested too), id mode and mutations refuse") {
+  test("Delta column mapping: name mode decodes (nested too), mutations refuse, id needs footer ids") {
     import java.io.File
     import java.nio.charset.StandardCharsets
     import org.apache.spark.sql.types._
@@ -2056,12 +2056,19 @@ class SourcesSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       DeltaLog.tableChanges(spark, tbl, 1L)
     }.getMessage.contains("column-mapped"))
-    // id mode refuses loudly at scan time
+    // id mode resolves by parquet FOOTER field id — this fixture's files
+    // were staged without ids, so the scan fails loudly (Spark's
+    // field-id matcher) instead of silently falling back to name
+    // guessing; a properly id-stamped table decodes (x40b + the upgrade
+    // spec cover the positive path)
     val tbl2 = s"$tmp/delta_mapped_id"
     stageMapped(tbl2, "id")
-    assert(intercept[IllegalArgumentException] {
-      DeltaLog.read(spark, tbl2)
-    }.getMessage.contains("columnMapping.mode"))
+    val e2 = intercept[Throwable] { DeltaLog.read(spark, tbl2).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(_.toLowerCase.contains("field id")),
+      s"expected a missing-field-id failure, got: ${msgs(e2).mkString(" | ")}")
   }
 
   test("Delta change data feed: cdc exactness, derivation, invisibility, retention") {
@@ -2670,6 +2677,70 @@ class SourcesSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       DeltaLog.history(spark, s"$tmp/no_such_table")
     }.getMessage.contains("not a Delta table"))
+  }
+
+  test("column mapping upgrade: rename without rewrite on an ordinary table") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/cm_upgrade"
+    DeltaWrite.append(Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("id", "name", "score"), tbl) // v0: plain unmapped table
+    // rename refuses without mapping (files carry the old name)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, tbl, "score", "quality")
+    }.getMessage.contains("needs column mapping"))
+    // the upgrade ALTER: one metadata commit, physicalName = current name
+    DeltaWrite.enableColumnMapping(spark, tbl) // v1
+    // mode visible via the TVF-facing metadata (mappingMode is
+    // package-private to sources): the upgrade's SET TBLPROPERTIES
+    // commit is the head history entry
+    assert(DeltaLog.history(spark, tbl).collect().head.getString(2) ===
+      "SET TBLPROPERTIES")
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.enableColumnMapping(spark, tbl)
+    }.getMessage.contains("already enabled"))
+    // pre-upgrade files read unchanged through the mapped path
+    assert(DeltaLog.read(spark, tbl).orderBy("id").collect()
+      .map(_.getString(1)).toSeq === Seq("a", "b"))
+    // rename: metadata-only (file set identical), old data decodes under
+    // the new logical name
+    val before = DeltaLog.liveAdds(spark, tbl).map(_.path).toSet
+    DeltaWrite.renameColumn(spark, tbl, "score", "quality") // v2
+    assert(DeltaLog.liveAdds(spark, tbl).map(_.path).toSet === before)
+    val cur = DeltaLog.read(spark, tbl)
+    assert(cur.columns.toSeq === Seq("id", "name", "quality"))
+    assert(cur.orderBy("id").collect().map(_.getDouble(2)).toSeq ===
+      Seq(10.0, 20.0))
+    // time travel: the pre-rename epoch answers with ITS name
+    assert(DeltaLog.read(spark, tbl, Some(1L)).columns.contains("score"))
+    // post-rename append through the mapped write path: the batch is
+    // authored against the NEW name, staged under the PHYSICAL (old) one
+    DeltaWrite.append(Seq((3L, "c", 30.0)).toDF("id", "name", "quality"), tbl)
+    assert(DeltaLog.read(spark, tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
+      Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // refusals: unknown source, colliding target, constraint-referenced
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, tbl, "nope", "x")
+    }.getMessage.contains("no such column"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, tbl, "quality", "id")
+    }.getMessage.contains("already exists"))
+    DeltaWrite.addCheckConstraint(spark, tbl, "pos_q", "quality > 0")
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.renameColumn(spark, tbl, "quality", "q2")
+    }.getMessage.contains("pos_q"))
+    // renaming a column the constraint does NOT reference still works
+    DeltaWrite.renameColumn(spark, tbl, "name", "label")
+    assert(DeltaLog.read(spark, tbl).columns.toSeq ===
+      Seq("id", "label", "quality"))
+    // partitioned append refuses on a mapped table (partitionValues
+    // would be keyed by physical names)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.appendPartitioned(
+        Seq((9L, "z", 1.0)).toDF("id", "label", "quality"), tbl, Seq("label"))
+    }.getMessage.contains("column-mapped"))
   }
 
   test("append retry re-validates against a constraint committed in the race window") {

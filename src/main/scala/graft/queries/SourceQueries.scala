@@ -1513,6 +1513,56 @@ object SourceQueries {
       FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 9 <> 0
       ORDER BY o_orderkey""")),
 
+    // x46b: UNIFORM FOR PARTITIONED DELTA — the coverage real UniForm
+    // ships and r15's mirror refused: a hive-partitioned Delta table
+    // keeps partition column DATA in its log (stripped from the files),
+    // so the sync translates the log's partitionValues into typed
+    // Iceberg identity partition structs + an identity spec. The
+    // mirror's reads re-inject the columns from manifests (the Iceberg
+    // spec's identity-transform rule) — pinned row-identical including
+    // the partition column — and PRUNE partitions from manifests alone
+    // (kept < total pinned; prunePartitions never opens a footer by
+    // construction). A second partitioned append re-syncs with carried
+    // EXISTING entries keeping their structs.
+    QueryDef("x46b_uniform_partitioned", (s, d) => {
+      val tbl = s"$stage/uniform_part"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.appendPartitioned(
+        o.filter(col("o_orderkey") % 2 === 0), tbl, Seq("o_orderstatus"))
+      val s1 = graft.sources.Uniform.deltaToIceberg(s, tbl,
+        Seq(1 -> "o_orderkey"))
+      require(s1.snapshotId.isDefined && s1.filesAdded > 0,
+        s"partitioned sync refused or empty: $s1")
+      // manifest-only partition pruning on the MIRROR
+      val (kept, total) = graft.sources.IcebergLog.prunePartitions(tbl,
+        Map("o_orderstatus" -> "F"))
+      require(kept.nonEmpty && kept.size < total,
+        s"mirror partition pruning did not shrink: ${kept.size}/$total")
+      val fWant = o.filter(col("o_orderkey") % 2 === 0 &&
+        col("o_orderstatus") === "F").count()
+      require(graft.sources.IcebergLog.readPartition(s, tbl,
+          Map("o_orderstatus" -> "F")).count() == fWant,
+        "pruned mirror read diverges from the Delta truth")
+      // second partitioned append: the re-sync carries the prior files
+      // as EXISTING (structs intact) and the spec stays identity-stable
+      graft.sources.DeltaWrite.appendPartitioned(
+        o.filter(col("o_orderkey") % 2 === 1), tbl, Seq("o_orderstatus"))
+      val s2 = graft.sources.Uniform.deltaToIceberg(s, tbl,
+        Seq(1 -> "o_orderkey"))
+      require(s2.filesCarried > 0 && s2.filesAdded > 0,
+        s"re-sync wrong shape: $s2")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
     // x47: SHALLOW CLONE — zero-copy branch of a Delta table (the
     // 100 TB experimentation pattern: branch a curated corpus for an
     // ablation without paying for a copy). The SQL verb clones the

@@ -66,7 +66,8 @@ object IcebergLog {
       snapshots: Seq[Snapshot], specFields: Seq[(Int, String)] = Seq.empty,
       specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
       defaultSpecId: Int = 0,
-      refs: Map[String, (Long, String)] = Map.empty)
+      refs: Map[String, (Long, String)] = Map.empty,
+      schemaFields: Seq[(Int, String, String)] = Seq.empty)
 
   /** Resolve the table's current metadata JSON: `version-hint.text` names
     * the version if present (the Hadoop-catalog convention), else the
@@ -173,7 +174,28 @@ object IcebergLog {
       }
       case _ => Map.empty
     }
-    TableMeta(fv, current, snaps, spec, specs, defaultId, refs)
+    // the current schema's (field id, name, iceberg type) triples —
+    // recorded only by tables that need field-id reads (UniForm mirrors
+    // of column-mapped Delta); absent on footer-inferred tables
+    val schemaFields: Seq[(Int, String, String)] =
+      root.get("schemas") match {
+        case Some(xs: Seq[_]) =>
+          val curId = root.get("current-schema-id")
+            .collect { case d: Double => d.toInt }.getOrElse(0)
+          xs.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+            .find(m => m.get("schema-id")
+              .collect { case d: Double => d.toInt }.getOrElse(0) == curId)
+            .flatMap(_.get("fields")).collect { case fs: Seq[_] =>
+              fs.collect { case fm0: Map[_, _] =>
+                val fm = fm0.asInstanceOf[Map[String, Any]]
+                (fm("id").asInstanceOf[Double].toInt,
+                  fm("name").asInstanceOf[String],
+                  fm("type").asInstanceOf[String])
+              }
+            }.getOrElse(Seq.empty)
+        case _ => Seq.empty
+      }
+    TableMeta(fv, current, snaps, spec, specs, defaultId, refs, schemaFields)
   }
 
   private def jsonEscape(x: String): String = x.flatMap {
@@ -382,7 +404,7 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     writeMetadataVersion(metaDir, tablePath, version, meta.currentSnapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs + (name -> ((sid, refType))))
+      meta.refs + (name -> ((sid, refType))), meta.schemaFields)
     sid
   }
 
@@ -400,7 +422,7 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     writeMetadataVersion(metaDir, tablePath, version, meta.currentSnapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs - name)
+      meta.refs - name, meta.schemaFields)
   }
 
   /** Read the snapshot a ref names (`AS OF TAG` / branch read). */
@@ -575,11 +597,152 @@ object IcebergLog {
       snapshotAsOf: Option[Long] = None): DataFrame = {
     val (data, dels) = liveSplitEntries(tablePath, snapshotAsOf)
     require(data.nonEmpty, s"Iceberg snapshot has no data files: $tablePath")
-    if (dels.isEmpty) spark.read.parquet(data.map(_.path): _*)
-    else {
-      val meta = Seq("__graft_file", "__graft_pos", "__graft_dseq")
-      liveWithMeta(spark, data, dels).drop(meta: _*)
+    val base =
+      if (dels.isEmpty) scanData(spark, tablePath, data)
+      else {
+        val meta = Seq("__graft_file", "__graft_pos", "__graft_dseq")
+        liveWithMeta(spark, data, dels).drop(meta: _*)
+      }
+    injectIdentityPartitions(spark, data, base)
+  }
+
+  /** The distributed data-file scan behind [[read]]: plain footer-schema
+    * inference normally; field-id resolution (logical names + ids from
+    * the table metadata's schema) when this table RECORDS a schema —
+    * the UniForm-mirror case, where files carry physical Delta names
+    * and only the footer field ids are stable.
+    */
+  private def scanData(spark: SparkSession, tablePath: String,
+      data: Seq[LiveEntry]): DataFrame =
+    currentSchemaFields(tablePath) match {
+      case Some(fields) =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(fieldIdRequestSchema(fields))
+          .parquet(data.map(_.path): _*)
+      case None => spark.read.parquet(data.map(_.path): _*)
     }
+
+  /** The metadata-recorded schema's (id, name, iceberg type) triples,
+    * None when the table relies on footer inference (every table this
+    * writer creates directly; only UniForm mirrors of column-mapped
+    * Delta record one).
+    */
+  private[sources] def currentSchemaFields(tablePath: String)
+      : Option[Seq[(Int, String, String)]] = {
+    val fs = parseMeta(currentMetadataFile(tablePath)).schemaFields
+    if (fs.isEmpty) None else Some(fs)
+  }
+
+  /** Iceberg primitive type string → Spark type (the subset this writer
+    * round-trips; anything else refuses loudly rather than mis-typing).
+    */
+  private[sources] def icebergToSparkType(t: String)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    val dec = """decimal\((\d+),\s*(\d+)\)""".r
+    t match {
+      case "long" => LongType
+      case "int" => IntegerType
+      case "double" => DoubleType
+      case "float" => FloatType
+      case "string" => StringType
+      case "boolean" => BooleanType
+      case "date" => DateType
+      case "timestamp" | "timestamptz" => TimestampType
+      case dec(p, sc) => DecimalType(p.toInt, sc.toInt)
+      case other => throw new IllegalArgumentException(
+        s"unsupported Iceberg type in schema record: $other")
+    }
+  }
+
+  /** Spark type → Iceberg primitive type string (the inverse subset). */
+  private[sources] def sparkToIcebergType(
+      dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType => "long"
+      case IntegerType => "int"
+      case DoubleType => "double"
+      case FloatType => "float"
+      case StringType => "string"
+      case BooleanType => "boolean"
+      case DateType => "date"
+      case TimestampType => "timestamptz"
+      case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+      case other => throw new IllegalArgumentException(
+        s"cannot express Spark type $other as an Iceberg schema field — " +
+          "nested/complex columns are not supported in schema-recorded " +
+          "(UniForm-mirrored) tables")
+    }
+  }
+
+  /** The field-id request schema for a schema-recorded table: logical
+    * names typed from the metadata record, each stamped with
+    * `parquet.field.id` so Spark resolves the column by footer id.
+    */
+  private def fieldIdRequestSchema(fields: Seq[(Int, String, String)])
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(fields.map { case (id, n, t) =>
+      StructField(n, icebergToSparkType(t), nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", id.toLong).build())
+    })
+  }
+
+  /** IDENTITY-PARTITION RE-INJECTION — the Iceberg spec's rule that an
+    * identity-transformed partition column may be ABSENT from the data
+    * files and read from the manifest's partition struct instead (how
+    * imported hive layouts and UniForm-mirrored Delta tables stay
+    * readable without rewriting a byte: Delta keeps partition column
+    * data in its log, so the mirrored files physically lack it). Any
+    * partition column missing from the scanned schema joins back in
+    * from a broadcast file→value map, O(files) metadata. Mixed presence
+    * (some files carry the column in data, some only in metadata)
+    * refuses — injection would shadow real data. Tables whose files
+    * carry their partition columns (this writer's shadow-column
+    * staging) pass through untouched.
+    */
+  private def injectIdentityPartitions(spark: SparkSession,
+      data: Seq[LiveEntry], base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val pvCols = data.flatMap(_.partitionValues.keys).distinct.sorted
+    val missing = pvCols.filterNot(base.columns.contains)
+    if (missing.isEmpty) return base
+    missing.foreach { c =>
+      require(data.forall(_.partitionValues.contains(c)),
+        s"mixed partition metadata: column $c is absent from some files' " +
+          "data AND some manifests — cannot re-inject without shadowing")
+    }
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fileKey = "__graft_ice_file"
+    def sparkType(vs: Seq[Any]) = vs.collectFirst {
+      case _: Long => LongType
+      case _: Int => LongType
+    }.getOrElse(StringType)
+    val colTypes = missing.map(c =>
+      c -> sparkType(data.flatMap(_.partitionValues.get(c)).filter(_ != null)))
+    val rows = data.map { e =>
+      val p = new org.apache.hadoop.fs.Path(e.path)
+      val qualified = p.getFileSystem(hadoopConf).makeQualified(p)
+        .toUri.toString
+      Row.fromSeq(qualified +: colTypes.map { case (c, t) =>
+        e.partitionValues.get(c).orNull match {
+          case null => null
+          case v: Long if t == LongType => v
+          case v: Int if t == LongType => v.toLong
+          case v => v.toString
+        }
+      })
+    }
+    val mapSchema = StructType(StructField(fileKey, StringType) +:
+      colTypes.map { case (c, t) => StructField(c, t) })
+    val fileToPv = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mapSchema)
+    base.withColumn(fileKey, input_file_name())
+      .join(broadcast(fileToPv), Seq(fileKey))
+      .drop(col(fileKey))
   }
 
   /** The live-row relation of a v2 snapshot WITH per-row provenance
@@ -975,7 +1138,8 @@ object IcebergLog {
       version: Long, currentSid: Long, snapJsons: Seq[String],
       specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
       defaultSpecId: Int = 0,
-      refs: Map[String, (Long, String)] = Map.empty): Unit = {
+      refs: Map[String, (Long, String)] = Map.empty,
+      schemaFields: Seq[(Int, String, String)] = Seq.empty): Unit = {
     val target = new File(metaDir, s"v$version.metadata.json")
     // the FULL partition-spec history (identity transforms; partition
     // field-ids from 1000, unique ACROSS specs per the v2 rule) — the
@@ -1003,9 +1167,23 @@ object IcebergLog {
         }.mkString(",")
         s""","refs":{$arr}"""
       }
+    // the spec's schema record: one struct schema with stable field ids
+    // — readers resolve parquet columns by these ids, never by name.
+    // Recorded only by tables that NEED id resolution (UniForm mirrors
+    // of column-mapped Delta); footer-inferred tables omit it
+    val schemaJson =
+      if (schemaFields.isEmpty) ""
+      else {
+        val fs = schemaFields.map { case (id, n, t) =>
+          s"""{"id":$id,"name":"${jsonEscape(n)}","required":false,""" +
+            s""""type":"${jsonEscape(t)}"}"""
+        }.mkString(",")
+        s""","schemas":[{"schema-id":0,"type":"struct","fields":[$fs]}]""" +
+          ""","current-schema-id":0"""
+      }
     val body =
       s"""{"format-version":2,"table-uuid":"graft-table",
-         |"location":"$tablePath","current-snapshot-id":$currentSid$specJson$refsJson,
+         |"location":"$tablePath","current-snapshot-id":$currentSid$specJson$refsJson$schemaJson,
          |"snapshots":[${snapJsons.mkString(",")}]}""".stripMargin
     // optimistic concurrency on the metadata version: stage the FULL
     // body to a tmp file, then claim the version by an atomic link(2) —
@@ -1260,7 +1438,8 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = prunePartitions(tablePath, filter)
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(_.path): _*)
+      if (kept.nonEmpty)
+        injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept))
       else read(spark, tablePath).limit(0)
     filter.foldLeft(base) { case (d, (c, v)) =>
       if (v == null) d.filter(col(c).isNull)
@@ -1397,19 +1576,23 @@ object IcebergLog {
       summary: Map[String, String] = Map.empty,
       partitionSpec: Seq[(Int, String)] = Seq.empty,
       operation: String = "append",
-      expectedBaseVersion: Option[Long] = None): Long = {
+      expectedBaseVersion: Option[Long] = None,
+      schemaFields: Seq[(Int, String, String)] = Seq.empty): Long = {
     val metaDir = new File(tablePath, "metadata")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-    val (priorSnaps, version, priorSpecs, priorDefault, priorRefs) =
+    val (priorSnaps, version, priorSpecs, priorDefault, priorRefs,
+        priorSchema) =
       if (hasMeta) {
         val mf = currentMetadataFile(tablePath)
         val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
         val meta = parseMeta(mf)
-        (meta.snapshots, v + 1, meta.specs, meta.defaultSpecId, meta.refs)
+        (meta.snapshots, v + 1, meta.specs, meta.defaultSpecId, meta.refs,
+          meta.schemaFields)
       } else (Seq.empty[Snapshot], 1L,
         Seq.empty[(Int, Seq[(Int, String)])], 0,
-        Map.empty[String, (Long, String)])
+        Map.empty[String, (Long, String)],
+        Seq.empty[(Int, String, String)])
     // OPTIMISTIC-CONCURRENCY BASE CHECK: `entries` was computed from the
     // state at `expectedBaseVersion`; if the table advanced since, the
     // carried EXISTING set is stale and committing it would SILENTLY DROP
@@ -1447,9 +1630,12 @@ object IcebergLog {
     val priorJsons = priorSnaps.map(snapshotJson)
     // tags/branches ride along; the `main` branch tracks the head (the
     // spec's rule: main is the current snapshot's branch)
+    // schema record: sticky like the spec history — declaring none
+    // carries the prior forward; declaring one sets/replaces it
+    val schema = if (schemaFields.isEmpty) priorSchema else schemaFields
     writeMetadataVersion(metaDir, tablePath, version, sid,
       priorJsons :+ snapJson, specs, defaultId,
-      priorRefs + ("main" -> ((sid, "branch"))))
+      priorRefs + ("main" -> ((sid, "branch"))), schema)
     sid
   }
 
@@ -1476,7 +1662,7 @@ object IcebergLog {
     val metaDir = new File(tablePath, "metadata")
     writeMetadataVersion(metaDir, tablePath, v + 1, snapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs + ("main" -> ((snapshotId, "branch"))))
+      meta.refs + ("main" -> ((snapshotId, "branch"))), meta.schemaFields)
     v + 1
   }
 
@@ -1530,7 +1716,7 @@ object IcebergLog {
     val survivorJsons = survivors.map(snapshotJson)
     writeMetadataVersion(metaDir, tablePath, version,
       meta.currentSnapshotId, survivorJsons, meta.specs, meta.defaultSpecId,
-      meta.refs)
+      meta.refs, meta.schemaFields)
     val orphanData = Option(new File(root, "data").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&

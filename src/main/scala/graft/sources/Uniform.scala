@@ -38,19 +38,27 @@ import org.apache.spark.sql.SparkSession
   *    incrementally and REFUSES ranges crossing a row-changing sync,
   *    never misreporting changes.
   *
+  * Translated inputs (metadata-only, zero bytes moved):
+  *  - PARTITIONED tables: the log's partitionValues become typed
+  *    identity partition structs + an identity spec; the mirror's reads
+  *    re-inject the columns from manifests (the Iceberg spec's
+  *    identity-transform rule) and prune partitions manifest-only;
+  *  - ID-mode COLUMN-MAPPED tables: the parquet footer field ids ARE
+  *    the Iceberg schema field ids (real UniForm's core contract) — the
+  *    mirror records a schema and its readers resolve columns by id,
+  *    so the physical Delta names in the files are irrelevant.
+  *
   * Refused inputs (each would produce an Iceberg view that reads
   * differently from the Delta truth):
   *  - live deletion vectors (Iceberg readers would resurrect the deleted
   *    rows — purge first, [[DeltaWrite.purgeDeletionVectors]]);
-  *  - column-mapped tables (physical parquet names diverge from logical
-  *    names; Iceberg-side readers would see physical names);
-  *  - partitioned tables (Delta keeps partition column DATA in the log,
-  *    not the files — Iceberg files must be self-describing, so the
-  *    mirrored scan would lose those columns entirely).
+  *  - NAME-mode column-mapped tables (files carry physical names and NO
+  *    footer field ids — nothing stable to resolve by; real UniForm
+  *    emits a name mapping, a documented non-goal here);
+  *  - partitioned AND mapped at once (neither translation composes).
   *
-  * Real UniForm has the same constraints family (DVs require Iceberg v3,
-  * mapping/partitioning need metadata translation this mirror does not
-  * attempt — refusal beats silent divergence).
+  * Real UniForm has the same constraints family (DVs require Iceberg v3;
+  * its mapping prerequisite is exactly the id translation above).
   */
 object Uniform {
 
@@ -81,19 +89,83 @@ object Uniform {
     // stamp the snapshot's delta-version summary with an OLDER version
     // than the live set it mirrors, breaking the version-keyed
     // idempotence/time-travel contract for that snapshot
-    require(DeltaLog.mappingMode(
-        DeltaLog.tableMetaData(spark, tablePath, Some(deltaVersion))) == "none",
-      s"column-mapped Delta table cannot mirror to Iceberg: $tablePath — " +
-        "physical parquet names diverge from logical names")
+    val meta = DeltaLog.tableMetaData(spark, tablePath, Some(deltaVersion))
+    val mode = DeltaLog.mappingMode(meta)
+    // NAME-mode files carry physical names AND no parquet footer field
+    // ids — an Iceberg reader has nothing stable to resolve by, so the
+    // refusal stands (real UniForm generates a name mapping; out of
+    // scope). ID mode mirrors: the footer field ids ARE the Iceberg
+    // schema's field ids (real UniForm's core contract), recorded in the
+    // mirror metadata so readers resolve columns by id, never by name.
+    require(mode != "name",
+      s"name-mode column-mapped Delta table cannot mirror to Iceberg: " +
+        s"$tablePath — its files carry physical names and no parquet " +
+        "field ids; id-mode tables mirror (footer ids = Iceberg field ids)")
     val adds = DeltaLog.liveAdds(spark, tablePath, Some(deltaVersion))
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
     require(adds.forall(_.dv.isEmpty),
       s"live deletion vectors in $tablePath — an Iceberg reader would " +
         "resurrect the deleted rows; purge first (REORG ... APPLY (PURGE))")
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"partitioned Delta table cannot mirror to Iceberg: $tablePath — " +
-        "partition column data lives in the Delta log, not the parquet " +
-        "files, so the mirrored files are not self-describing")
+    val logical = DeltaLog.metaSchema(spark, tablePath, Some(deltaVersion))
+    // ID-mode translation: Iceberg schema record = logical names typed
+    // from the Delta schema, field ids = delta.columnMapping.id (which
+    // the staged parquet footers carry); stats columns re-key to the
+    // PHYSICAL footer names the one-time footer read resolves against
+    val schemaRecord: Seq[(Int, String, String)] =
+      if (mode != "id") Seq.empty
+      else {
+        val st = logical.getOrElse(throw new IllegalArgumentException(
+          s"id-mode table without a parseable schemaString: $tablePath"))
+        st.fields.toSeq.map { f =>
+          require(f.metadata.contains(DeltaLog.FieldIdKey),
+            s"id-mode table $tablePath: field '${f.name}' lacks " +
+              DeltaLog.FieldIdKey)
+          (f.metadata.getLong(DeltaLog.FieldIdKey).toInt, f.name,
+            IcebergLog.sparkToIcebergType(f.dataType))
+        }
+      }
+    val statsResolved: Seq[(Int, String)] =
+      if (mode != "id") statsFields
+      else {
+        val st = logical.get
+        val phys = DeltaLog.physicalize(st)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val physByLogical = st.fieldNames.zip(phys.fieldNames).toMap
+        statsFields.map { case (fid, c) => (fid, physByLogical.getOrElse(c, c)) }
+      }
+    // PARTITIONED translation: the log's partitionValues become typed
+    // identity partition structs + an identity spec, and the mirror's
+    // reads re-inject the columns from manifests (the Iceberg spec's
+    // identity-transform rule — zero bytes moved, manifest-only pruning)
+    val partCols: Seq[String] = meta.flatMap(_.get("partitionColumns"))
+      .collect { case xs: Seq[_] => xs.collect { case s0: String => s0 } }
+      .getOrElse(Seq.empty)
+    require(partCols.isEmpty || mode == "none",
+      s"partitioned AND column-mapped Delta table cannot mirror: $tablePath")
+    val (spec, typedPv) =
+      if (partCols.isEmpty) (Seq.empty[(Int, String)],
+        (_: DeltaLog.LiveFile) => Map.empty[String, Any])
+      else {
+        val st = logical.getOrElse(throw new IllegalArgumentException(
+          s"partitioned Delta table without a parseable schemaString " +
+            s"(partition column types unknown): $tablePath"))
+        import org.apache.spark.sql.types.{IntegerType, LongType}
+        val specFields = partCols.map(c =>
+          (st.fieldNames.indexOf(c) + 1, c))
+        require(specFields.forall(_._1 > 0),
+          s"partition column(s) missing from schema: $tablePath")
+        val longTyped = partCols.filter(c =>
+          st(c).dataType == LongType || st(c).dataType == IntegerType).toSet
+        val f = (a: DeltaLog.LiveFile) => partCols.map { c =>
+          val raw = a.partitionValues.getOrElse(c, null)
+          c -> (raw match {
+            case null => null
+            case v if longTyped(c) => v.toLong
+            case v => v
+          })
+        }.toMap
+        (specFields, f)
+      }
 
     val metaDir = new File(tablePath, "metadata")
     metaDir.mkdirs()
@@ -124,9 +196,11 @@ object Uniform {
       if (priorData.size == carried.size) "append" else "overwrite"
     val sid = IcebergLog.commitSnapshot(tablePath,
       carried.map(IcebergLog.existingEntry) ++
-        fresh.map(a => IcebergLog.addedEntry(new File(a.path), statsFields)),
+        fresh.map(a => IcebergLog.addedEntry(new File(a.path), statsResolved)
+          .copy(partitionValues = typedPv(a))),
       summary = Map("delta-version" -> deltaVersion.toString),
-      operation = op, expectedBaseVersion = base)
+      operation = op, expectedBaseVersion = base,
+      partitionSpec = spec, schemaFields = schemaRecord)
     SyncStats(Some(sid), deltaVersion, fresh.size, carried.size)
   }
 

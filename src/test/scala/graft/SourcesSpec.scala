@@ -2254,8 +2254,9 @@ class SourcesSpec extends SparkSpec {
       .exists(f => f.isFile && f.getName.endsWith(".parquet")))
   }
 
-  test("UniForm refuses DVs, partitioned and mapped tables, Iceberg-side writes") {
-    import graft.sources.{DeltaWrite, IcebergLog, Uniform}
+  test("UniForm refuses DVs, name-mode mapping, Iceberg-side writes; translates partitions and id mapping") {
+    import graft.sources.{DeltaLog, DeltaWrite, IcebergLog, Uniform}
+    import org.apache.spark.sql.types._
     val s = spark
     import s.implicits._
     // live deletion vectors: an Iceberg reader would resurrect the rows
@@ -2266,13 +2267,67 @@ class SourcesSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       Uniform.deltaToIceberg(spark, dvTbl)
     }.getMessage.contains("deletion vectors"))
-    // partitioned: partition data lives in the log, not the files
+    // partitioned tables TRANSLATE: identity spec + typed structs,
+    // mirror reads re-inject the partition column from manifests
     val pTbl = s"$tmp/uniform_part"
-    DeltaWrite.appendPartitioned(Seq((1L, "a"), (2L, "b")).toDF("id", "cat"),
-      pTbl, Seq("cat"))
+    DeltaWrite.appendPartitioned(
+      Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "cat"), pTbl, Seq("cat"))
+    assert(Uniform.deltaToIceberg(spark, pTbl).snapshotId.isDefined)
+    val mirrored = IcebergLog.read(spark, pTbl)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(mirrored.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "a")))
+    val (kept, total) = IcebergLog.prunePartitions(pTbl, Map("cat" -> "a"))
+    assert(kept.size < total, "identity spec did not prune the mirror")
+    // NAME-mode mapping refuses (files carry physical names, no footer
+    // ids — nothing stable for an Iceberg reader to resolve by)
+    val nTbl = s"$tmp/uniform_name_mapped"
+    DeltaWrite.append(Seq((1L, "x")).toDF("id", "v"), nTbl)
+    DeltaWrite.enableColumnMapping(spark, nTbl)
     assert(intercept[IllegalArgumentException] {
-      Uniform.deltaToIceberg(spark, pTbl)
-    }.getMessage.contains("partitioned"))
+      Uniform.deltaToIceberg(spark, nTbl)
+    }.getMessage.contains("name-mode"))
+    // ID-mode mapping TRANSLATES: footer field ids become the Iceberg
+    // schema's field ids; the mirror records a schema and resolves by
+    // id, so the physical Delta names are irrelevant
+    val iTbl = s"$tmp/uniform_id_mapped"
+    new java.io.File(iTbl).mkdirs()
+    s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    def fid(id: Long) = new MetadataBuilder()
+      .putLong("parquet.field.id", id).build()
+    val staging = s"$iTbl/.stage"
+    Seq((10L, "p"), (20L, "q")).toDF("id", "v")
+      .select(col("v").as("phys_v", fid(2)), col("id").as("phys_k", fid(1)))
+      .coalesce(1).write.parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val data0 = new java.io.File(iTbl, "data-0.parquet")
+    Files.move(part.toPath, data0.toPath)
+    def m(p: String, id: Int) = new MetadataBuilder()
+      .putString("delta.columnMapping.physicalName", p)
+      .putLong("delta.columnMapping.id", id).build()
+    val logical = StructType(Seq(
+      StructField("id", LongType, nullable = true, m("phys_k", 1)),
+      StructField("v", StringType, nullable = true, m("phys_v", 2))))
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val logDir = new java.io.File(iTbl, "_delta_log"); logDir.mkdirs()
+    DeltaWrite.publish(logDir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"um","format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${esc(logical.json)}","partitionColumns":[],""" +
+        """"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""",
+      s"""{"add":{"path":"data-0.parquet","partitionValues":{},""" +
+        s""""size":${data0.length},"modificationTime":${data0.lastModified},""" +
+        """"dataChange":true}}"""))
+    assert(Uniform.deltaToIceberg(spark, iTbl).snapshotId.isDefined)
+    // the mirror reads LOGICAL names by field id — identical to the
+    // Delta truth
+    val ice = IcebergLog.read(spark, iTbl)
+    assert(ice.columns.toSeq === Seq("id", "v"))
+    assert(ice.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((10L, "p"), (20L, "q")))
+    assert(DeltaLog.read(spark, iTbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq((10L, "p"), (20L, "q")))
     // a write through the Iceberg view diverges the mirror: refuse
     val wTbl = s"$tmp/uniform_icewrite"
     DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), wTbl)

@@ -1694,9 +1694,6 @@ object IcebergLog {
       }
     require(survivors.exists(_.snapshotId == meta.currentSnapshotId),
       s"refusing to expire the current snapshot ${meta.currentSnapshotId}")
-    if (survivors.size == meta.snapshots.size)
-      return (mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong,
-        Seq.empty)
     def resolve(p: String): String =
       if (new File(p).isAbsolute) p else new File(tablePath, p).getPath
     // referenced set BEFORE rewriting metadata: data files AND v2 delete
@@ -1711,12 +1708,27 @@ object IcebergLog {
       listFile.getName +: readAvro(listFile)
         .map(r => new File(resolve(r.get("manifest_path").toString)).getName)
     }.toSet
-    val version = mf.getName.stripPrefix("v")
-      .stripSuffix(".metadata.json").toLong + 1
-    val survivorJsons = survivors.map(snapshotJson)
-    writeMetadataVersion(metaDir, tablePath, version,
-      meta.currentSnapshotId, survivorJsons, meta.specs, meta.defaultSpecId,
-      meta.refs, meta.schemaFields)
+    // a new metadata version is published only when a snapshot actually
+    // drops; ORPHAN RECLAMATION runs regardless — a lost commit race
+    // (per-attempt unique manifest names) or a writer that died between
+    // staging and its version claim leaves valid-but-unreferenced
+    // manifest/manifest-list avros and data parquets, and those must
+    // not wait for the next snapshot drop to be reclaimed. (Real
+    // Iceberg splits this into expire_snapshots + remove_orphan_files;
+    // production cleanup there uses an age threshold so an IN-FLIGHT
+    // writer's staged files survive — same caveat applies here, where
+    // expiry is assumed to run without concurrent writers.)
+    val priorVersion = mf.getName.stripPrefix("v")
+      .stripSuffix(".metadata.json").toLong
+    val version =
+      if (survivors.size == meta.snapshots.size) priorVersion
+      else {
+        val survivorJsons = survivors.map(snapshotJson)
+        writeMetadataVersion(metaDir, tablePath, priorVersion + 1,
+          meta.currentSnapshotId, survivorJsons, meta.specs,
+          meta.defaultSpecId, meta.refs, meta.schemaFields)
+        priorVersion + 1
+      }
     val orphanData = Option(new File(root, "data").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&

@@ -2734,6 +2734,54 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("not a Delta table"))
   }
 
+  test("expiry reclaims a lost race's orphan manifests; table byte-identical") {
+    import graft.sources.IcebergLog
+    import java.io.File
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_orphans"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), tbl) // s1
+    IcebergLog.append(Seq((3L, "c")).toDF("id", "v"), tbl)            // s2
+    val metaDir = new File(tbl, "metadata")
+    val dataDir = new File(tbl, "data")
+    // stage a LOST RACE's debris, byte-faithfully: a loser (per-attempt
+    // unique manifest names) writes a valid manifest + manifest-list +
+    // staged data file, then fails its metadata-version claim and dies —
+    // leaving files nothing references. Copies of real ones ARE that
+    // debris.
+    val referencedAvros = metaDir.listFiles()
+      .filter(_.getName.endsWith(".avro")).map(_.getName).toSet
+    val srcAvro = metaDir.listFiles().filter(_.getName.endsWith(".avro")).head
+    val orphanAvro = new File(metaDir, s"orphan-${java.util.UUID.randomUUID}.avro")
+    Files.copy(srcAvro.toPath, orphanAvro.toPath)
+    val srcParquet = dataDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val orphanParquet = new File(dataDir, s"orphan-${java.util.UUID.randomUUID}.parquet")
+    Files.copy(srcParquet.toPath, orphanParquet.toPath)
+    val rowsBefore = IcebergLog.read(spark, tbl).orderBy("id").collect().toSeq
+    val versionBefore = IcebergLog.snapshots(tbl).size
+    // keep = all snapshots: NO metadata version published (nothing
+    // expired), yet the debris is reclaimed
+    val (v1, deleted1) = IcebergLog.expireSnapshots(tbl, keep = 2)
+    assert(deleted1.toSet === Set(orphanAvro.getName, orphanParquet.getName),
+      s"expected exactly the staged debris reclaimed, got $deleted1")
+    assert(!orphanAvro.exists && !orphanParquet.exists)
+    // every referenced file survived; the table is byte-identical and
+    // every snapshot still time-travels
+    assert(metaDir.listFiles().filter(_.getName.endsWith(".avro"))
+      .map(_.getName).toSet === referencedAvros)
+    assert(IcebergLog.read(spark, tbl).orderBy("id").collect().toSeq ===
+      rowsBefore)
+    assert(IcebergLog.snapshots(tbl).size === versionBefore)
+    val s1 = IcebergLog.snapshots(tbl).head.snapshotId
+    assert(IcebergLog.read(spark, tbl, Some(s1)).count() === 2L)
+    // and a genuine expiry still reclaims the dropped snapshot's
+    // exclusive metadata while the head stays byte-identical
+    val (_, deleted2) = IcebergLog.expireSnapshots(tbl, keep = 1)
+    assert(deleted2.nonEmpty)
+    assert(IcebergLog.read(spark, tbl).orderBy("id").collect().toSeq ===
+      rowsBefore)
+  }
+
   test("column mapping upgrade: rename without rewrite on an ordinary table") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

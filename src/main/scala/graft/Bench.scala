@@ -189,6 +189,31 @@ object Bench {
       f"""{"qps":$qps%.3f,"load":${f.load}%.2f,"proc_cpu":${f.procCpu}%.2f,"jit_ms":${f.jitMs},"gc_ms":${f.gcMs}}"""
   }
 
+  /** Stage an isolated multi-split copy of sf lineitem: the three-round
+    * q01 concurrency pin says the staged sf0.1 file is ONE parquet row
+    * group, so per-query scan parallelism is 1 and concurrency can only
+    * interleave whole queries. This restages the same rows as `parts`
+    * files (= `parts` independent splits) in a temp dir; the
+    * `q01_multirg` concurrent row then DEMONSTRATES whether the ceiling
+    * moves with split count — turning the structural pin into evidence.
+    */
+  private def stageMultiSplit(spark: SparkSession, sfDir: String,
+      parts: Int): String = {
+    val dst = java.nio.file.Files.createTempDirectory("graft-multirg").toString
+    spark.read.parquet(s"$sfDir/lineitem.parquet").repartition(parts)
+      .write.parquet(s"$dst/lineitem.parquet")
+    info(s"staged $parts-split lineitem at $dst")
+    dst
+  }
+
+  private def rmTreeQuiet(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    try rm(new java.io.File(dir)) catch { case _: Throwable => () }
+  }
+
   private def runConcurrent(spark: SparkSession, sfDir: String,
       cpus: Int): Seq[(String, Seq[BatchStats])] = {
     val concNames = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_QUERIES",
@@ -198,8 +223,22 @@ object Bench {
     val concBatches = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_BATCHES", "4").toInt
     val warmups = sys.env.getOrElse("SPARK_GRAFT_CONCURRENT_WARMUPS", "3").toInt
     val workers = math.min(concIters, cpus)
-    concNames.map { name =>
-      val fn = SparkEntry.queries(name)
+    // the row-group-ceiling demonstration rides along whenever q01 is in
+    // the set: same query, same rows, an 8-split staging of lineitem
+    val multiRgParts = sys.env.getOrElse("SPARK_GRAFT_MULTIRG_PARTS", "8").toInt
+    val multiRg: Option[(String, String, String)] =
+      if (multiRgParts > 0 && concNames.contains("q01_pricing_summary"))
+        try Some(("q01_multirg", "q01_pricing_summary",
+          stageMultiSplit(spark, sfDir, multiRgParts)))
+        catch { case e: Throwable =>
+          info(s"multirg staging failed: ${e.getMessage}"); None
+        }
+      else None
+    val entries = concNames.map(n => (n, n, sfDir)) ++ multiRg
+    val out = entries.map { case (label, name, dir) =>
+      val fn0 = SparkEntry.queries(name)
+      val fn = (s: SparkSession, _: String) => fn0(s, dir)
+      val nameForLog = label
       // serial warm-ups first: the isolated fresh JVM starts cold, and a
       // cold first batch is 32 threads of interpreted generated code
       // fighting the C2 queue — it measures the JIT, not the engine
@@ -240,7 +279,7 @@ object Bench {
       // not eagerly over the whole range
       while (b <= concBatches &&
           (b == 1 || System.nanoTime() - tq0 < budgetNanos)) {
-        info(s"concurrent $name batch $b")
+        info(s"concurrent $nameForLog batch $b")
         spark.catalog.clearCache()
         val pool = Executors.newFixedThreadPool(workers)
         implicit val ec: EC = EC.fromExecutor(pool)
@@ -253,7 +292,7 @@ object Bench {
             true
           }
         } catch { case e: Throwable =>
-          info(s"concurrent $name failed: ${e.getMessage}")
+          info(s"concurrent $nameForLog failed: ${e.getMessage}")
           (1.0, RunForensics(loadAvg(), 0.0, 0L, 0L), false)
         } finally pool.shutdown()
         spark.catalog.clearCache()
@@ -261,8 +300,10 @@ object Bench {
         batches += BatchStats(if (ok) concIters / secs else -1.0, forensics)
         b += 1
       }
-      name -> batches.toSeq
+      label -> batches.toSeq
     }
+    multiRg.foreach { case (_, _, dir) => rmTreeQuiet(dir) }
+    out
   }
 
   private def concJson(rows: Seq[(String, Seq[BatchStats])], concIters: Int,

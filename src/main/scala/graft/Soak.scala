@@ -286,7 +286,14 @@ object Soak {
       "x52_check_constraints",
       // streaming ingest landing exactly-once in BOTH protocol views:
       // per-batch cost = one idempotent Delta commit + one metadata sync
-      "e26_stream_uniform")
+      "e26_stream_uniform",
+      // round-16: the perplexity gate's PRODUCTION shape (broadcast
+      // approx-percentile threshold — the corpus never sees a global
+      // sort, so the 10x ratio staying ~linear is the whole point),
+      // id-mode mapped reads + metadata-only rename, and the partitioned
+      // UniForm mirror (one metadata commit; manifest-only pruning)
+      "t15b_perplexity_gate_approx", "x40b_delta_mapping_id_rename",
+      "x46b_uniform_partitioned")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -1453,7 +1453,7 @@ object SourceQueries {
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders WHERE o_orderkey % 3 <> 2
-      ORDER BY o_orderkey""")),
+      ORDER BY o_orderkey"""), headline = true),
 
     // x46: UNIFORM — one directory, one copy of the data, BOTH protocol
     // views: Delta is the source of truth, each sync publishes the
@@ -1511,7 +1511,7 @@ object SourceQueries {
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders WHERE o_orderkey % 3 <> 2 AND o_orderkey % 9 <> 0
-      ORDER BY o_orderkey""")),
+      ORDER BY o_orderkey"""), headline = true),
 
     // x46b: UNIFORM FOR PARTITIONED DELTA — the coverage real UniForm
     // ships and r15's mirror refused: a hive-partitioned Delta table

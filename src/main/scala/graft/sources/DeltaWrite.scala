@@ -909,9 +909,14 @@ object DeltaWrite {
     * Correct-by-construction details:
     *  - the match scan applies EXISTING DVs first, so an already-dead row
     *    is never re-counted and never re-deleted;
-    *  - bitmaps are built EXECUTOR-side (per-file groupBy + serialize
-    *    UDF); only compressed bitmap bytes reach the driver — never an
-    *    enumerated (file, row) list;
+    *  - bitmaps are built EXECUTOR-side (per-file groupBy + serialize);
+    *    only compressed bitmap bytes reach the driver — never an
+    *    enumerated (file, row) list — and past `maxDvCollectBytes` of
+    *    estimated bitmap bytes not even those: the DV files are WRITTEN
+    *    FROM THE EXECUTORS (one per touched data file) and the driver
+    *    sees only (name, descriptor, cardinality) tuples — the 100 TB
+    *    shape, where a delete touching 10⁵ files never concentrates a
+    *    byte of bitmap on the driver;
     *  - a second delete on an already-DV'd file UNIONs the bitmaps
     *    (O(bitmap bytes), [[DeltaDv.union]]);
     *  - a file whose every row is dead (declared stats numRecords ==
@@ -929,7 +934,7 @@ object DeltaWrite {
       predicate: org.apache.spark.sql.Column,
       maxDvCollectBytes: Long = 256L << 20): DvDeleteStats = {
     import org.apache.spark.sql.functions.{col, collect_list, count, lit,
-      size, sort_array, substring_index, sum, udf}
+      sort_array, substring_index, sum}
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
@@ -943,78 +948,123 @@ object DeltaWrite {
     val matched = matchedRows
       .select(col("_metadata.file_path").as("__f"),
         col("_metadata.row_index").as("__i"))
-    // DRIVER-MEMORY BOUND, checked BEFORE any bitmap bytes concentrate on
-    // the driver: the collect below gathers one serialized roaring bitmap
-    // per touched file. Roaring's worst case is 2 bytes/position (array
-    // containers) plus ≤ 8 KiB per 64Ki-row span (bitmap containers cap
-    // there), so positions×2 + files×8 KiB upper-bounds the aggregate —
-    // a cheap count-only pre-pass (narrow columns, map-side combined)
-    // buys a loud refusal instead of a driver OOM. The 100 TB evolution
-    // (executor-side DV writes via foreachPartition, driver sees only
-    // (path, cardinality, size) tuples) is the documented next step; this
-    // guard makes the current shape safe-by-refusal until then.
+    // DRIVER-MEMORY GATE, decided BEFORE any bitmap bytes move: roaring's
+    // worst case is 2 bytes/position (array containers) plus ≤ 8 KiB per
+    // 64Ki-row span (bitmap containers cap there), so positions×2 +
+    // files×8 KiB upper-bounds the aggregate. Under the bound the driver
+    // path runs (ONE DV file for the whole commit — fewer files); above
+    // it the EXECUTOR path runs (one DV file per touched data file,
+    // written where the positions were aggregated) — same commit, zero
+    // driver bitmap bytes. The pre-pass is a count-only aggregation over
+    // two narrow columns, map-side combined.
     val pre = matched
       .groupBy(substring_index(col("__f"), "/", -1).as("__name"))
       .agg(count(lit(1)).as("__n"))
       .agg(sum(col("__n")), count(lit(1))).head
     val (nPositions, nFiles) =
       if (pre.isNullAt(0)) (0L, 0L) else (pre.getLong(0), pre.getLong(1))
-    val estBytes = nPositions * 2L + nFiles * 8192L
-    require(estBytes <= maxDvCollectBytes,
-      s"deleteWhereDv would collect ~$estBytes bytes of deletion-vector " +
-        s"bitmaps to the driver ($nPositions matched rows across $nFiles " +
-        s"files; bound $maxDvCollectBytes) — delete in narrower predicate " +
-        "slices, raise maxDvCollectBytes, or use deleteWhere (copy-on-" +
-        "write) which never concentrates the matches")
-    val serUdf = udf((idx: Seq[Long]) => DeltaDv.serializePositions(idx))
-    val perFile = matched
-      .groupBy(substring_index(col("__f"), "/", -1).as("__name"))
-      .agg(sort_array(collect_list(col("__i"))).as("__idx"))
-      .select(col("__name"), serUdf(col("__idx")).as("__bytes"),
-        size(col("__idx")).cast("long").as("__card"))
-      .collect()
-    if (perFile.isEmpty) // nothing matched: a no-op, not an empty commit
+    if (nFiles == 0L) // nothing matched: a no-op, not an empty commit
       return DvDeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
+    val estBytes = nPositions * 2L + nFiles * 8192L
     val byName = adds.map(a => new File(a.path).getName -> a).toMap
-    val rowsDeleted = perFile.map(_.getLong(2)).sum
-    // merge with any existing DV; split fully-dead files out
-    val merged = perFile.toSeq.map { r =>
-      val name = r.getString(0)
-      val a = byName.getOrElse(name, throw new IllegalStateException(
-        s"matched file not in live set: $name"))
-      val (bytes, card) = a.dv match {
-        case Some(d) =>
-          val u = DeltaDv.union(DeltaDv.readBitmapBytes(root, d),
-            r.getAs[Array[Byte]](1))
-          (u, DeltaDv.cardinality(u))
-        case None => (r.getAs[Array[Byte]](1), r.getLong(2))
-      }
-      (a, bytes, card)
-    }
     def physicalRows(a: DeltaLog.LiveFile): Option[Long] =
       a.stats.flatMap(_.get("numRecords").collect { case d: Double => d.toLong })
-    val (fullyDead, partial) = merged.partition { case (a, _, card) =>
-      physicalRows(a).contains(card)
-    }
-    // ONE DV file for the whole commit, entries in `partial` order
-    val dvActions: Seq[String] =
-      if (partial.isEmpty) Seq.empty
-      else {
-        val (pathOrInline, offs) = DeltaDv.writeDvFile(root, partial.map(_._2))
-        partial.zip(offs).flatMap { case ((a, bytes, card), (off, len)) =>
-          val f = new File(a.path)
-          val d = DeltaDv.Descriptor("u", pathOrInline, Some(off), len, card)
-          require(len == bytes.length.toLong, "DV entry length drift")
-          Seq(
-            s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""",
-            s"""{"add":{"path":"${jsonEscape(a.recordedPath)}","partitionValues":{},""" +
-              s""""size":${f.length},"modificationTime":${f.lastModified},""" +
-              a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
-              s""""deletionVector":${dvJson(d)},"dataChange":true}}""")
+    val grouped = matched
+      .groupBy(substring_index(col("__f"), "/", -1).as("__name"))
+      .agg(sort_array(collect_list(col("__i"))).as("__idx"))
+    // both paths produce (live file, fresh deletes, merged cardinality,
+    // descriptor — None when the file died entirely)
+    val touched: Seq[(DeltaLog.LiveFile, Long, Long, Option[DeltaDv.Descriptor])] =
+      if (estBytes <= maxDvCollectBytes) {
+        val perFile = grouped.collect()
+        perFile.toSeq.map { r =>
+          val name = r.getString(0)
+          val a = byName.getOrElse(name, throw new IllegalStateException(
+            s"matched file not in live set: $name"))
+          val idx = r.getSeq[Long](1)
+          val fresh = DeltaDv.serializePositions(idx)
+          val (bytes, card) = a.dv match {
+            case Some(d) =>
+              val u = DeltaDv.union(DeltaDv.readBitmapBytes(root, d), fresh)
+              (u, DeltaDv.cardinality(u))
+            case None => (fresh, idx.size.toLong)
+          }
+          (a, idx.size.toLong, card, Some(bytes))
+        } match { case merged =>
+          // ONE DV file for the whole commit, in stable entry order
+          val (dead, partial) = merged.partition { case (a, _, card, _) =>
+            physicalRows(a).contains(card)
+          }
+          val dvEntries =
+            if (partial.isEmpty) Seq.empty
+            else {
+              val (pathOrInline, offs) =
+                DeltaDv.writeDvFile(root, partial.map(_._4.get))
+              partial.zip(offs).map { case ((a, n, card, Some(b)), (off, len)) =>
+                require(len == b.length.toLong, "DV entry length drift")
+                (a, n, card,
+                  Some(DeltaDv.Descriptor("u", pathOrInline, Some(off), len, card)))
+              }
+            }
+          dead.map { case (a, n, card, _) => (a, n, card, None) } ++ dvEntries
+        }
+      } else {
+        // EXECUTOR-SIDE DV WRITES: each touched file's positions are
+        // already aggregated on one executor; it merges with the
+        // existing DV (read by descriptor, compressed bytes only) and
+        // writes that file's DV right there. The driver receives ONE
+        // small tuple per file. Fully-dead files (merged cardinality ==
+        // declared numRecords) skip the write entirely.
+        val rootPath = root.getAbsolutePath
+        val dvMeta: Map[String, (Option[DeltaDv.Descriptor], Option[Long])] =
+          byName.map { case (n, a) => n -> ((a.dv, physicalRows(a))) }
+        val dvMetaB = spark.sparkContext.broadcast(dvMeta)
+        val results = grouped.rdd.mapPartitions { it =>
+          val rootF = new File(rootPath)
+          it.map { row =>
+            val name = row.getString(0)
+            val idx = row.getSeq[Long](1)
+            val fresh = DeltaDv.serializePositions(idx)
+            val (exist, phys) = dvMetaB.value.getOrElse(name,
+              throw new IllegalStateException(
+                s"matched file not in live set: $name"))
+            val (bytes, card) = exist match {
+              case Some(d) =>
+                val u = DeltaDv.union(DeltaDv.readBitmapBytes(rootF, d), fresh)
+                (u, DeltaDv.cardinality(u))
+              case None => (fresh, idx.size.toLong)
+            }
+            if (phys.contains(card))
+              (name, idx.size.toLong, card, null: String, -1L, -1L)
+            else {
+              val (pathOrInline, offs) =
+                DeltaDv.writeDvFile(rootF, Seq(bytes))
+              (name, idx.size.toLong, card, pathOrInline,
+                offs.head._1, offs.head._2)
+            }
+          }
+        }.collect()
+        dvMetaB.unpersist()
+        results.toSeq.map { case (name, n, card, pathOrInline, off, len) =>
+          val a = byName(name)
+          if (pathOrInline == null) (a, n, card, None)
+          else (a, n, card,
+            Some(DeltaDv.Descriptor("u", pathOrInline, Some(off), len, card)))
         }
       }
-    val deadActions = fullyDead.map { case (a, _, _) =>
-      s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}"""
+    val rowsDeleted = touched.map(_._2).sum
+    val fullyDead = touched.count(_._4.isEmpty)
+    val dvActions: Seq[String] = touched.flatMap {
+      case (a, _, _, Some(d)) =>
+        val f = new File(a.path)
+        Seq(
+          s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""",
+          s"""{"add":{"path":"${jsonEscape(a.recordedPath)}","partitionValues":{},""" +
+            s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+            a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
+            s""""deletionVector":${dvJson(d)},"dataChange":true}}""")
+      case (a, _, _, None) =>
+        Seq(s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""")
     }
     val (minR, _, rFeats, _) = DeltaLog.currentProtocol(tablePath)
     val protoAction =
@@ -1031,9 +1081,9 @@ object DeltaWrite {
         org.apache.spark.sql.functions.lit("delete")), root)
     val version = nextVersion(logDir)
     publish(logDir, version,
-      protoAction ++ deadActions ++ dvActions ++ cdcActions :+
+      protoAction ++ dvActions ++ cdcActions :+
       """{"commitInfo":{"operation":"DELETE","operationParameters":{"mode":"merge-on-read"}}}""")
-    DvDeleteStats(version, merged.size, fullyDead.size, rowsDeleted)
+    DvDeleteStats(version, touched.size, fullyDead, rowsDeleted)
   }
 
   /** Outcome of a [[purgeDeletionVectors]] commit. */

@@ -2952,25 +2952,45 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("no live files"))
   }
 
-  test("deleteWhereDv refuses an unbounded driver DV collection") {
+  test("deleteWhereDv past the driver bound writes DVs executor-side, same answer") {
     import graft.sources.{DeltaLog, DeltaWrite}
+    import java.io.File
     val s = spark
     import s.implicits._
-    val tbl = s"$tmp/dv_bound"
-    DeltaWrite.append((1 to 2000).map(i => (i.toLong, s"r$i")).toDF("id", "v"), tbl)
-    // the pre-collect estimate (2 B/position + 8 KiB/file) trips a tiny
-    // bound BEFORE any bitmap bytes reach the driver
-    val e = intercept[IllegalArgumentException] {
-      DeltaWrite.deleteWhereDv(spark, tbl, col("id") <= 1000L,
-        maxDvCollectBytes = 64L)
-    }
-    assert(e.getMessage.contains("deletion-vector") &&
-      e.getMessage.contains("1000 matched rows"))
-    // nothing committed, table unchanged
-    assert(DeltaLog.read(spark, tbl).count() === 2000L)
-    // the default bound admits the same delete unchanged
-    val st = DeltaWrite.deleteWhereDv(spark, tbl, col("id") <= 1000L)
-    assert(st.rowsDeleted === 1000L)
-    assert(DeltaLog.read(spark, tbl).count() === 1000L)
+    def stage(tbl: String): Unit = DeltaWrite.append(
+      (1 to 2000).map(i => (i.toLong, s"r$i")).toDF("id", "v")
+        .repartition(4), tbl)
+    // driver path (default bound): ONE DV file for the whole commit
+    val td = s"$tmp/dv_driver"; stage(td)
+    val std = DeltaWrite.deleteWhereDv(spark, td, col("id") % 3 === 0L)
+    // executor path (tiny bound: the 2 B/position + 8 KiB/file estimate
+    // exceeds it): one DV file PER touched data file, written where the
+    // positions were aggregated — the driver never sees bitmap bytes
+    val te = s"$tmp/dv_exec"; stage(te)
+    val ste = DeltaWrite.deleteWhereDv(spark, te, col("id") % 3 === 0L,
+      maxDvCollectBytes = 64L)
+    assert(ste.rowsDeleted === std.rowsDeleted &&
+      ste.filesTouched === std.filesTouched)
+    def dvFiles(t: String): Int = new File(t).listFiles()
+      .count(_.getName.startsWith("deletion_vector_"))
+    assert(dvFiles(td) === 1)
+    assert(dvFiles(te) === ste.filesTouched,
+      "executor path should write one DV file per touched file")
+    // identical surviving rows through the scan either way
+    def rows(t: String): Seq[Long] =
+      DeltaLog.read(spark, t).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows(te) === rows(td))
+    assert(rows(te).size === 2000 - std.rowsDeleted)
+    // a SECOND executor-side delete unions with the executor-written DVs
+    val ste2 = DeltaWrite.deleteWhereDv(spark, te, col("id") % 3 === 1L,
+      maxDvCollectBytes = 64L)
+    val std2 = DeltaWrite.deleteWhereDv(spark, td, col("id") % 3 === 1L)
+    assert(ste2.rowsDeleted === std2.rowsDeleted)
+    assert(rows(te) === rows(td))
+    // fully-dead detection holds executor-side too: kill everything left
+    val ste3 = DeltaWrite.deleteWhereDv(spark, te, lit(true),
+      maxDvCollectBytes = 64L)
+    assert(ste3.filesFullyDead === ste3.filesTouched)
+    assert(DeltaLog.liveAdds(spark, te).isEmpty)
   }
 }

@@ -157,6 +157,15 @@ class ExecutionContext(val spark: SparkSession,
       case DdlTranslate.DropConstraintStmt(loc, name) =>
         oneRowResult("version",
           graft.sources.DeltaWrite.dropCheckConstraint(spark, loc, name))
+      case DdlTranslate.EnableMappingStmt(loc) =>
+        oneRowResult("version",
+          graft.sources.DeltaWrite.enableColumnMapping(spark, loc))
+      case DdlTranslate.RenameColumnStmt(loc, from, to) =>
+        oneRowResult("version",
+          graft.sources.DeltaWrite.renameColumn(spark, loc, from, to))
+      case DdlTranslate.DropColumnStmt(loc, name) =>
+        oneRowResult("version",
+          graft.sources.DeltaWrite.dropColumn(spark, loc, name))
       case DdlTranslate.RestoreStmt(loc, version) =>
         if (isIcebergTable(loc)) {
           graft.sources.IcebergLog.rollbackTo(loc, version)
@@ -301,6 +310,47 @@ object DdlTranslate {
   object DropConstraintStmt {
     private val P =
       """(?is)ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*""".r
+    def unapply(statement: String): Option[(String, String)] =
+      statement match {
+        case P(loc, name) => Some((loc, name))
+        case _ => None
+      }
+  }
+
+  /** `ALTER TABLE 'path' SET TBLPROPERTIES ('delta.columnMapping.mode' =
+    * 'name')` — the column-mapping upgrade ALTER
+    * ([[graft.sources.DeltaWrite.enableColumnMapping]]).
+    */
+  object EnableMappingStmt {
+    private val P =
+      ("""(?is)ALTER\s+TABLE\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(\s*""" +
+        """'delta\.columnMapping\.mode'\s*=\s*'name'\s*\)\s*""").r
+    def unapply(statement: String): Option[String] =
+      statement match {
+        case P(loc) => Some(loc)
+        case _ => None
+      }
+  }
+
+  /** `ALTER TABLE 'path' RENAME COLUMN a TO b` — metadata-only under
+    * column mapping ([[graft.sources.DeltaWrite.renameColumn]]).
+    */
+  object RenameColumnStmt {
+    private val P =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*""".r
+    def unapply(statement: String): Option[(String, String, String)] =
+      statement match {
+        case P(loc, from, to) => Some((loc, from, to))
+        case _ => None
+      }
+  }
+
+  /** `ALTER TABLE 'path' DROP COLUMN a` — metadata-only under column
+    * mapping ([[graft.sources.DeltaWrite.dropColumn]]).
+    */
+  object DropColumnStmt {
+    private val P =
+      """(?is)ALTER\s+TABLE\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*""".r
     def unapply(statement: String): Option[(String, String)] =
       statement match {
         case P(loc, name) => Some((loc, name))

@@ -751,6 +751,54 @@ object DeltaWrite {
       opParams = Map("from" -> oldName, "to" -> newName))
   }
 
+  /** ALTER TABLE ... DROP COLUMN — rename's metadata-only sibling: the
+    * field leaves the logical schemaString while every data file keeps
+    * its physical column untouched (readers simply stop requesting it;
+    * a later [[purgeDeletionVectors]]-style rewrite is the only thing
+    * that ever physically removes the bytes — exactly real Delta).
+    * Requires column mapping for the same reason rename does: without
+    * it, a re-ADD of a same-named column would silently resurrect the
+    * old data out of the files. Time travel before the drop still sees
+    * the column. Refuses the last column, unknown names, and columns a
+    * CHECK constraint references. Returns the committed version.
+    */
+  def dropColumn(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, name: String): Long = {
+    import org.apache.spark.sql.types._
+    val logDir = new File(tablePath, "_delta_log")
+    requireTable(logDir, tablePath)
+    val meta = DeltaLog.tableMetaData(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"no metaData action in $tablePath"))
+    require(DeltaLog.mappingMode(Some(meta)) != "none",
+      s"DROP COLUMN needs column mapping on $tablePath — without it a " +
+        "future column of the same name would resurrect the old bytes; " +
+        "run enableColumnMapping first (one metadata commit)")
+    val schema = DeltaLog.metaSchema(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"unparseable schemaString in $tablePath"))
+    require(schema.fieldNames.contains(name),
+      s"no such column to drop: $name in $tablePath")
+    require(schema.fields.length > 1,
+      s"cannot drop the last column of $tablePath")
+    val partCols = meta.get("partitionColumns")
+      .collect { case xs: Seq[_] => xs.collect { case s0: String => s0 } }
+      .getOrElse(Seq.empty)
+    require(!partCols.contains(name),
+      s"cannot drop partition column $name of $tablePath")
+    DeltaLog.checkConstraints(spark, tablePath).foreach { case (n, e) =>
+      require(!s"\\b${java.util.regex.Pattern.quote(name)}\\b".r
+          .findFirstIn(e).isDefined,
+        s"cannot drop $name: CHECK constraint $n references it ($e) — " +
+          "drop the constraint first")
+    }
+    val remaining = StructType(schema.fields.filterNot(_.name == name))
+    setConfiguration(meta, logDir, Map.empty,
+      newSchemaJson = Some(remaining.json),
+      operation = "DROP COLUMNS",
+      opParams = Map("column" -> name))
+  }
+
   /** ADD CONSTRAINT — the Delta protocol's CHECK constraints (writer
     * feature, `delta.constraints.<name>` configuration keys holding SQL
     * expressions; minWriterVersion 3): every row added from now on must

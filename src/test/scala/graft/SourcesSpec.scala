@@ -2844,6 +2844,37 @@ class SourcesSpec extends SparkSpec {
       DeltaWrite.appendPartitioned(
         Seq((9L, "z", 1.0)).toDF("id", "label", "quality"), tbl, Seq("label"))
     }.getMessage.contains("column-mapped"))
+    // DROP COLUMN: metadata-only sibling — field leaves the logical
+    // schema, files untouched, time travel still sees it
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.dropColumn(spark, tbl, "quality") // pos_q references it
+    }.getMessage.contains("pos_q"))
+    DeltaWrite.dropCheckConstraint(spark, tbl, "pos_q")
+    val filesBefore = DeltaLog.liveAdds(spark, tbl).map(_.path).toSet
+    val dropV = DeltaWrite.dropColumn(spark, tbl, "label")
+    assert(DeltaLog.liveAdds(spark, tbl).map(_.path).toSet === filesBefore)
+    assert(DeltaLog.read(spark, tbl).columns.toSeq === Seq("id", "quality"))
+    assert(DeltaLog.read(spark, tbl, Some(dropV - 1)).columns
+      .contains("label"), "pre-drop epoch lost the column")
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.dropColumn(spark, tbl, "nope")
+    }.getMessage.contains("no such column"))
+    // ...and an UNMAPPED table refuses the drop (a later same-named
+    // column would resurrect the old bytes)
+    val plain = s"$tmp/cm_plain_drop"
+    DeltaWrite.append(Seq((1L, "a")).toDF("id", "v"), plain)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.dropColumn(spark, plain, "v")
+    }.getMessage.contains("needs column mapping"))
+    // the whole family drives through SQL too
+    val sqlTbl = s"$tmp/cm_sql"
+    DeltaWrite.append(Seq((1L, "a", 2.0)).toDF("id", "name", "score"), sqlTbl)
+    val ctx = new graft.exec.ExecutionContext(spark)
+    ctx.runScript(s"ALTER TABLE '$sqlTbl' SET TBLPROPERTIES " +
+      "('delta.columnMapping.mode' = 'name')")
+    ctx.runScript(s"ALTER TABLE '$sqlTbl' RENAME COLUMN score TO quality")
+    ctx.runScript(s"ALTER TABLE '$sqlTbl' DROP COLUMN name")
+    assert(DeltaLog.read(spark, sqlTbl).columns.toSeq === Seq("id", "quality"))
   }
 
   test("append retry re-validates against a constraint committed in the race window") {

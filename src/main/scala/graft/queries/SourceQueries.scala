@@ -1401,7 +1401,7 @@ object SourceQueries {
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders WHERE o_orderkey % 3 <> 2
-      ORDER BY o_orderkey""")),
+      ORDER BY o_orderkey"""), headline = true),
 
     // x45: ICEBERG ADD_FILES — the second format's zero-copy adoption
     // (real Iceberg's add_files/migrate procedures): manifests record

@@ -67,7 +67,8 @@ object IcebergLog {
       specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
       defaultSpecId: Int = 0,
       refs: Map[String, (Long, String)] = Map.empty,
-      schemaFields: Seq[(Int, String, String)] = Seq.empty)
+      schemaFields: Seq[(Int, String, String)] = Seq.empty,
+      nameMapping: Map[Int, String] = Map.empty)
 
   /** Resolve the table's current metadata JSON: `version-hint.text` names
     * the version if present (the Hadoop-catalog convention), else the
@@ -195,7 +196,30 @@ object IcebergLog {
             }.getOrElse(Seq.empty)
         case _ => Seq.empty
       }
-    TableMeta(fv, current, snaps, spec, specs, defaultId, refs, schemaFields)
+    // the spec's name mapping (`schema.name-mapping.default` table
+    // property): field id -> physical column name, for data files that
+    // carry NO parquet field ids (UniForm mirrors of NAME-mode mapped
+    // Delta). Simple flat form only: [{"field-id":N,"names":["phys"]}].
+    val nameMapping: Map[Int, String] = root.get("properties") match {
+      case Some(pm: Map[_, _]) =>
+        pm.asInstanceOf[Map[String, Any]]
+          .get("schema.name-mapping.default")
+          .collect { case s0: String => s0 }
+          .flatMap(raw => MiniJson.parseObject(s"""{"m":$raw}"""))
+          .flatMap(_.get("m").collect { case xs: Seq[_] => xs })
+          .map(_.collect { case m: Map[_, _] =>
+            val mm = m.asInstanceOf[Map[String, Any]]
+            val id = mm("field-id").asInstanceOf[Double].toInt
+            val names = mm.get("names") match {
+              case Some(xs: Seq[_]) => xs.collect { case n: String => n }
+              case _ => Seq.empty
+            }
+            id -> names.head
+          }.toMap).getOrElse(Map.empty)
+      case _ => Map.empty
+    }
+    TableMeta(fv, current, snaps, spec, specs, defaultId, refs, schemaFields,
+      nameMapping)
   }
 
   private def jsonEscape(x: String): String = x.flatMap {
@@ -404,7 +428,8 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     writeMetadataVersion(metaDir, tablePath, version, meta.currentSnapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs + (name -> ((sid, refType))), meta.schemaFields)
+      meta.refs + (name -> ((sid, refType))), meta.schemaFields,
+      meta.nameMapping)
     sid
   }
 
@@ -422,7 +447,7 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     writeMetadataVersion(metaDir, tablePath, version, meta.currentSnapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs - name, meta.schemaFields)
+      meta.refs - name, meta.schemaFields, meta.nameMapping)
   }
 
   /** Read the snapshot a ref names (`AS OF TAG` / branch read). */
@@ -616,9 +641,28 @@ object IcebergLog {
       data: Seq[LiveEntry]): DataFrame =
     currentSchemaFields(tablePath) match {
       case Some(fields) =>
-        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.read.schema(fieldIdRequestSchema(fields))
-          .parquet(data.map(_.path): _*)
+        val mapping = parseMeta(currentMetadataFile(tablePath)).nameMapping
+        if (mapping.nonEmpty) {
+          // NAME MAPPING (`schema.name-mapping.default`): files carry
+          // physical names and NO footer field ids — scan the typed
+          // physical schema, rename positionally back to logical
+          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.types.{StructField, StructType}
+          val physical = StructType(fields.map { case (id, n, t) =>
+            StructField(mapping.getOrElse(id,
+              throw new IllegalArgumentException(
+                s"name mapping lacks field id $id ($n) in $tablePath")),
+              icebergToSparkType(t), nullable = true)
+          })
+          spark.read.schema(physical).parquet(data.map(_.path): _*)
+            .select(fields.zip(physical.fields).map { case ((_, n, _), pf) =>
+              col(s"`${pf.name}`").as(n)
+            }: _*)
+        } else {
+          spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+          spark.read.schema(fieldIdRequestSchema(fields))
+            .parquet(data.map(_.path): _*)
+        }
       case None => spark.read.parquet(data.map(_.path): _*)
     }
 
@@ -1139,7 +1183,8 @@ object IcebergLog {
       specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
       defaultSpecId: Int = 0,
       refs: Map[String, (Long, String)] = Map.empty,
-      schemaFields: Seq[(Int, String, String)] = Seq.empty): Unit = {
+      schemaFields: Seq[(Int, String, String)] = Seq.empty,
+      nameMapping: Map[Int, String] = Map.empty): Unit = {
     val target = new File(metaDir, s"v$version.metadata.json")
     // the FULL partition-spec history (identity transforms; partition
     // field-ids from 1000, unique ACROSS specs per the v2 rule) — the
@@ -1181,9 +1226,20 @@ object IcebergLog {
         s""","schemas":[{"schema-id":0,"type":"struct","fields":[$fs]}]""" +
           ""","current-schema-id":0"""
       }
+    // the spec's name mapping, as the standard table property — field id
+    // → physical column name, for data files carrying NO parquet field
+    // ids (name-mode UniForm mirrors)
+    val propsJson =
+      if (nameMapping.isEmpty) ""
+      else {
+        val arr = nameMapping.toSeq.sortBy(_._1).map { case (id, n) =>
+          s"""{"field-id":$id,"names":["${jsonEscape(n)}"]}"""
+        }.mkString("[", ",", "]")
+        s""","properties":{"schema.name-mapping.default":"${jsonEscape(arr)}"}"""
+      }
     val body =
       s"""{"format-version":2,"table-uuid":"graft-table",
-         |"location":"$tablePath","current-snapshot-id":$currentSid$specJson$refsJson$schemaJson,
+         |"location":"$tablePath","current-snapshot-id":$currentSid$specJson$refsJson$schemaJson$propsJson,
          |"snapshots":[${snapJsons.mkString(",")}]}""".stripMargin
     // optimistic concurrency on the metadata version: stage the FULL
     // body to a tmp file, then claim the version by an atomic link(2) —
@@ -1577,22 +1633,24 @@ object IcebergLog {
       partitionSpec: Seq[(Int, String)] = Seq.empty,
       operation: String = "append",
       expectedBaseVersion: Option[Long] = None,
-      schemaFields: Seq[(Int, String, String)] = Seq.empty): Long = {
+      schemaFields: Seq[(Int, String, String)] = Seq.empty,
+      nameMapping: Map[Int, String] = Map.empty): Long = {
     val metaDir = new File(tablePath, "metadata")
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
     val (priorSnaps, version, priorSpecs, priorDefault, priorRefs,
-        priorSchema) =
+        priorSchema, priorMapping) =
       if (hasMeta) {
         val mf = currentMetadataFile(tablePath)
         val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
         val meta = parseMeta(mf)
         (meta.snapshots, v + 1, meta.specs, meta.defaultSpecId, meta.refs,
-          meta.schemaFields)
+          meta.schemaFields, meta.nameMapping)
       } else (Seq.empty[Snapshot], 1L,
         Seq.empty[(Int, Seq[(Int, String)])], 0,
         Map.empty[String, (Long, String)],
-        Seq.empty[(Int, String, String)])
+        Seq.empty[(Int, String, String)],
+        Map.empty[Int, String])
     // OPTIMISTIC-CONCURRENCY BASE CHECK: `entries` was computed from the
     // state at `expectedBaseVersion`; if the table advanced since, the
     // carried EXISTING set is stale and committing it would SILENTLY DROP
@@ -1630,12 +1688,13 @@ object IcebergLog {
     val priorJsons = priorSnaps.map(snapshotJson)
     // tags/branches ride along; the `main` branch tracks the head (the
     // spec's rule: main is the current snapshot's branch)
-    // schema record: sticky like the spec history — declaring none
-    // carries the prior forward; declaring one sets/replaces it
+    // schema record + name mapping: sticky like the spec history —
+    // declaring none carries the prior forward; declaring sets/replaces
     val schema = if (schemaFields.isEmpty) priorSchema else schemaFields
+    val mapping = if (nameMapping.isEmpty) priorMapping else nameMapping
     writeMetadataVersion(metaDir, tablePath, version, sid,
       priorJsons :+ snapJson, specs, defaultId,
-      priorRefs + ("main" -> ((sid, "branch"))), schema)
+      priorRefs + ("main" -> ((sid, "branch"))), schema, mapping)
     sid
   }
 
@@ -1662,7 +1721,8 @@ object IcebergLog {
     val metaDir = new File(tablePath, "metadata")
     writeMetadataVersion(metaDir, tablePath, v + 1, snapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs + ("main" -> ((snapshotId, "branch"))), meta.schemaFields)
+      meta.refs + ("main" -> ((snapshotId, "branch"))), meta.schemaFields,
+      meta.nameMapping)
     v + 1
   }
 

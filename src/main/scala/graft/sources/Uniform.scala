@@ -43,22 +43,23 @@ import org.apache.spark.sql.SparkSession
   *    identity partition structs + an identity spec; the mirror's reads
   *    re-inject the columns from manifests (the Iceberg spec's
   *    identity-transform rule) and prune partitions manifest-only;
-  *  - ID-mode COLUMN-MAPPED tables: the parquet footer field ids ARE
-  *    the Iceberg schema field ids (real UniForm's core contract) — the
-  *    mirror records a schema and its readers resolve columns by id,
-  *    so the physical Delta names in the files are irrelevant.
+  *  - COLUMN-MAPPED tables, both modes: the mirror records an Iceberg
+  *    schema whose field ids are the `delta.columnMapping.id`s. ID-mode
+  *    files carry those ids in their parquet footers (readers resolve
+  *    by id — real UniForm's core contract); NAME-mode files carry
+  *    neither logical names nor footer ids, so the mirror additionally
+  *    emits the spec's `schema.name-mapping.default` property (field
+  *    id → physical column name) and readers resolve through it —
+  *    exactly how real UniForm serves name-mapped tables.
   *
   * Refused inputs (each would produce an Iceberg view that reads
   * differently from the Delta truth):
   *  - live deletion vectors (Iceberg readers would resurrect the deleted
   *    rows — purge first, [[DeltaWrite.purgeDeletionVectors]]);
-  *  - NAME-mode column-mapped tables (files carry physical names and NO
-  *    footer field ids — nothing stable to resolve by; real UniForm
-  *    emits a name mapping, a documented non-goal here);
-  *  - partitioned AND mapped at once (neither translation composes).
+  *  - partitioned AND mapped at once (the translations don't compose).
   *
   * Real UniForm has the same constraints family (DVs require Iceberg v3;
-  * its mapping prerequisite is exactly the id translation above).
+  * its column-mapping prerequisite is exactly the translation above).
   */
 object Uniform {
 
@@ -91,47 +92,49 @@ object Uniform {
     // idempotence/time-travel contract for that snapshot
     val meta = DeltaLog.tableMetaData(spark, tablePath, Some(deltaVersion))
     val mode = DeltaLog.mappingMode(meta)
-    // NAME-mode files carry physical names AND no parquet footer field
-    // ids — an Iceberg reader has nothing stable to resolve by, so the
-    // refusal stands (real UniForm generates a name mapping; out of
-    // scope). ID mode mirrors: the footer field ids ARE the Iceberg
-    // schema's field ids (real UniForm's core contract), recorded in the
-    // mirror metadata so readers resolve columns by id, never by name.
-    require(mode != "name",
-      s"name-mode column-mapped Delta table cannot mirror to Iceberg: " +
-        s"$tablePath — its files carry physical names and no parquet " +
-        "field ids; id-mode tables mirror (footer ids = Iceberg field ids)")
     val adds = DeltaLog.liveAdds(spark, tablePath, Some(deltaVersion))
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
     require(adds.forall(_.dv.isEmpty),
       s"live deletion vectors in $tablePath — an Iceberg reader would " +
         "resurrect the deleted rows; purge first (REORG ... APPLY (PURGE))")
     val logical = DeltaLog.metaSchema(spark, tablePath, Some(deltaVersion))
-    // ID-mode translation: Iceberg schema record = logical names typed
-    // from the Delta schema, field ids = delta.columnMapping.id (which
-    // the staged parquet footers carry); stats columns re-key to the
-    // PHYSICAL footer names the one-time footer read resolves against
+    // COLUMN-MAPPING translation — real UniForm's core contract, both
+    // halves: the Iceberg schema record carries the LOGICAL names typed
+    // from the Delta schema with field ids = delta.columnMapping.id. ID
+    // mode needs nothing more (the staged parquet footers carry those
+    // very ids); NAME mode's files have no footer ids, so the mirror
+    // additionally emits the spec's `schema.name-mapping.default`
+    // property (field id → physical column name) and readers resolve
+    // through it. Stats columns re-key to the PHYSICAL footer names the
+    // one-time footer read resolves against.
     val schemaRecord: Seq[(Int, String, String)] =
-      if (mode != "id") Seq.empty
+      if (mode == "none") Seq.empty
       else {
         val st = logical.getOrElse(throw new IllegalArgumentException(
-          s"id-mode table without a parseable schemaString: $tablePath"))
+          s"$mode-mode table without a parseable schemaString: $tablePath"))
         st.fields.toSeq.map { f =>
           require(f.metadata.contains(DeltaLog.FieldIdKey),
-            s"id-mode table $tablePath: field '${f.name}' lacks " +
+            s"$mode-mode table $tablePath: field '${f.name}' lacks " +
               DeltaLog.FieldIdKey)
           (f.metadata.getLong(DeltaLog.FieldIdKey).toInt, f.name,
             IcebergLog.sparkToIcebergType(f.dataType))
         }
       }
-    val statsResolved: Seq[(Int, String)] =
-      if (mode != "id") statsFields
+    val (statsResolved: Seq[(Int, String)], nameMapping: Map[Int, String]) =
+      if (mode == "none") (statsFields, Map.empty[Int, String])
       else {
         val st = logical.get
         val phys = DeltaLog.physicalize(st)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val physByLogical = st.fieldNames.zip(phys.fieldNames).toMap
-        statsFields.map { case (fid, c) => (fid, physByLogical.getOrElse(c, c)) }
+        val mapping =
+          if (mode != "name") Map.empty[Int, String]
+          else schemaRecord.map { case (id, n, _) =>
+            id -> physByLogical.getOrElse(n, n)
+          }.toMap
+        (statsFields.map { case (fid, c) =>
+          (fid, physByLogical.getOrElse(c, c))
+        }, mapping)
       }
     // PARTITIONED translation: the log's partitionValues become typed
     // identity partition structs + an identity spec, and the mirror's
@@ -200,7 +203,8 @@ object Uniform {
           .copy(partitionValues = typedPv(a))),
       summary = Map("delta-version" -> deltaVersion.toString),
       operation = op, expectedBaseVersion = base,
-      partitionSpec = spec, schemaFields = schemaRecord)
+      partitionSpec = spec, schemaFields = schemaRecord,
+      nameMapping = nameMapping)
     SyncStats(Some(sid), deltaVersion, fresh.size, carried.size)
   }
 

@@ -2254,7 +2254,7 @@ class SourcesSpec extends SparkSpec {
       .exists(f => f.isFile && f.getName.endsWith(".parquet")))
   }
 
-  test("UniForm refuses DVs, name-mode mapping, Iceberg-side writes; translates partitions and id mapping") {
+  test("UniForm refuses DVs and Iceberg-side writes; translates partitions and both mapping modes") {
     import graft.sources.{DeltaLog, DeltaWrite, IcebergLog, Uniform}
     import org.apache.spark.sql.types._
     val s = spark
@@ -2278,14 +2278,21 @@ class SourcesSpec extends SparkSpec {
     assert(mirrored.toSeq === Seq((1L, "a"), (2L, "b"), (3L, "a")))
     val (kept, total) = IcebergLog.prunePartitions(pTbl, Map("cat" -> "a"))
     assert(kept.size < total, "identity spec did not prune the mirror")
-    // NAME-mode mapping refuses (files carry physical names, no footer
-    // ids — nothing stable for an Iceberg reader to resolve by)
+    // NAME-mode mapping TRANSLATES via the spec's name-mapping property:
+    // files carry physical names and no footer ids, so the mirror emits
+    // schema.name-mapping.default (field id → physical name) and the
+    // Iceberg read resolves through it — including after a rename, where
+    // the physical name DIVERGES from the logical one
     val nTbl = s"$tmp/uniform_name_mapped"
-    DeltaWrite.append(Seq((1L, "x")).toDF("id", "v"), nTbl)
+    DeltaWrite.append(Seq((1L, "x"), (2L, "y")).toDF("id", "v"), nTbl)
     DeltaWrite.enableColumnMapping(spark, nTbl)
-    assert(intercept[IllegalArgumentException] {
-      Uniform.deltaToIceberg(spark, nTbl)
-    }.getMessage.contains("name-mode"))
+    DeltaWrite.renameColumn(spark, nTbl, "v", "val")
+    assert(Uniform.deltaToIceberg(spark, nTbl).snapshotId.isDefined)
+    val nIce = IcebergLog.read(spark, nTbl)
+    assert(nIce.columns.toSeq === Seq("id", "val"),
+      s"name-mapped mirror lost logical names: ${nIce.columns.toSeq}")
+    assert(nIce.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "x"), (2L, "y")))
     // ID-mode mapping TRANSLATES: footer field ids become the Iceberg
     // schema's field ids; the mirror records a schema and resolves by
     // id, so the physical Delta names are irrelevant

@@ -704,6 +704,67 @@ object DeltaWrite {
       opParams = Map("delta.columnMapping.mode" -> "name"))
   }
 
+  /** CREATE an ID-mode column-mapped Delta table from `df` — the
+    * creation-time path real Delta requires for id mode (existing
+    * tables upgrade to NAME mode only, [[enableColumnMapping]]): every
+    * column gets `columnMapping.id` = its ordinal and a decoupled
+    * physical name (`col-<i>`), the staged parquet footers carry those
+    * ids (`parquet.field.id`), and version 0 publishes the
+    * minReaderVersion 2 / minWriterVersion 5 protocol with the mapping
+    * configuration. From then on every rename/drop is metadata-only and
+    * every reader resolves columns by footer id — names and column
+    * order in the files never matter again. Top-level non-nested
+    * columns only (footer ids cannot be attached to nested fields at
+    * stage time). Returns the committed version (0).
+    */
+  def createIdMapped(df: DataFrame, tablePath: String): Long = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    require(!logDir.isDirectory || commitFiles(logDir).isEmpty,
+      s"table already exists: $tablePath (id mode is creation-time " +
+        "only — real Delta's rule; existing tables upgrade to name mode)")
+    def nested(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case ArrayType(et, _) => nested(et)
+      case MapType(k, v, _) => nested(k) || nested(v)
+      case _ => false
+    }
+    df.schema.fields.foreach(f => require(!nested(f.dataType),
+      s"createIdMapped: nested column '${f.name}' is not supported " +
+        "(nested parquet field ids cannot be attached at stage time)"))
+    logDir.mkdirs()
+    val logical = StructType(df.schema.fields.zipWithIndex.map {
+      case (f, i) =>
+        val md = new MetadataBuilder().withMetadata(f.metadata)
+          .putString("delta.columnMapping.physicalName", s"col-${i + 1}")
+          .putLong(DeltaLog.FieldIdKey, (i + 1).toLong).build()
+        StructField(f.name, f.dataType, f.nullable, md)
+    })
+    val physical = DeltaLog.physicalize(logical).asInstanceOf[StructType]
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val staged = df.select(logical.fields.zip(physical.fields).zipWithIndex
+      .map { case ((lf, pf), i) =>
+        val md = new MetadataBuilder()
+          .putLong(DeltaLog.ParquetFieldIdKey, (i + 1).toLong).build()
+        col(s"`${lf.name}`").as(pf.name, md)
+      }.toSeq: _*)
+    val files = stageDataFiles(staged, root)
+    val adds = files.map(addWithStats(_, physical))
+    val maxId = logical.fields.length
+    publish(logDir, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
+        """"format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":"${jsonEscape(logical.json)}",""" +
+        """"partitionColumns":[],""" +
+        s""""configuration":{"delta.columnMapping.mode":"id",""" +
+        s""""delta.columnMapping.maxColumnId":"$maxId"}}}""") ++ adds :+
+      """{"commitInfo":{"operation":"CREATE TABLE","operationParameters":{"columnMapping":"id"}}}""")
+    0L
+  }
+
   /** ALTER TABLE ... RENAME COLUMN old TO new — the metadata-only rename
     * column mapping exists for: the field's LOGICAL name changes in the
     * schemaString while its physicalName/columnMapping.id (and therefore

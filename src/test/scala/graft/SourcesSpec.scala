@@ -2741,6 +2741,44 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("not a Delta table"))
   }
 
+  test("createIdMapped: full id-mode lifecycle from a first-class writer") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/cm_create_id"
+    DeltaWrite.createIdMapped(
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "score"), tbl)
+    // reads resolve by footer id, logical names come back
+    val df = DeltaLog.read(spark, tbl)
+    assert(df.columns.toSeq === Seq("id", "name", "score"))
+    assert(df.orderBy("id").collect().map(_.getDouble(2)).toSeq ===
+      Seq(1.5, 2.5))
+    // ...and the files really carry decoupled physical names
+    val raw = spark.read.parquet(DeltaLog.liveAdds(spark, tbl).head.path)
+    assert(raw.columns.toSeq === Seq("col-1", "col-2", "col-3"))
+    // the metadata-only ALTERs compose on top, appends re-stamp ids
+    DeltaWrite.renameColumn(spark, tbl, "score", "quality")
+    DeltaWrite.append(Seq((3L, "c", 3.5)).toDF("id", "name", "quality"), tbl)
+    DeltaWrite.dropColumn(spark, tbl, "name")
+    assert(DeltaLog.read(spark, tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq ===
+      Seq((1L, 1.5), (2L, 2.5), (3L, 3.5)))
+    // id mode also mirrors to Iceberg out of the box
+    assert(graft.sources.Uniform.deltaToIceberg(spark, tbl)
+      .snapshotId.isDefined)
+    assert(graft.sources.IcebergLog.read(spark, tbl).columns.toSeq ===
+      Seq("id", "quality"))
+    // creation-time only: an existing table refuses
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.createIdMapped(Seq((9L, "z", 0.0)).toDF("id", "n", "q"), tbl)
+    }.getMessage.contains("already exists"))
+    // nested columns refuse (ids cannot ride into nested fields)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.createIdMapped(
+        Seq((1L, ("x", 2L))).toDF("id", "s"), s"$tmp/cm_create_nested")
+    }.getMessage.contains("nested"))
+  }
+
   test("expiry reclaims a lost race's orphan manifests; table byte-identical") {
     import graft.sources.IcebergLog
     import java.io.File

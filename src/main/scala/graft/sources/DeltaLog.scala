@@ -192,6 +192,38 @@ object DeltaLog {
     }.toSeq: _*)
   }
 
+  /** Mapped decode of ARBITRARY parquet paths (no DV application, no
+    * live-set plumbing) — the change-feed derivation's seam: NAME mode
+    * reads the physicalized schema and renames positionally; ID mode
+    * resolves by footer field id. Because resolution keys on
+    * physicalName/id — which NEVER change — one logical schema decodes
+    * files written under ANY earlier logical names, which is what makes
+    * a feed across renames serve the range-end names transparently.
+    */
+  private def scanMappedPaths(spark: SparkSession, tablePath: String,
+      mode: String, logical: org.apache.spark.sql.types.StructType,
+      paths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    mode match {
+      case "name" =>
+        val physical = physicalize(logical)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        spark.read.schema(physical).parquet(paths: _*)
+          .select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
+            col(s"`${pf.name}`").cast(logicalType(lf.dataType)).as(lf.name)
+          }.toSeq: _*)
+      case "id" =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(fieldIdRequestSchema(logical, tablePath))
+          .parquet(paths: _*)
+          .select(logical.fields.map { f =>
+            col(s"`${f.name}`").cast(logicalType(f.dataType)).as(f.name)
+          }.toSeq: _*)
+      case other => throw new IllegalArgumentException(
+        s"unsupported delta.columnMapping.mode '$other' in $tablePath")
+    }
+  }
+
   /** NAME-mode scan: physical-schema read + positional cast back to
     * logical names at every nesting level. DVs compose (the filter rides
     * `_metadata`, not column names).
@@ -711,8 +743,19 @@ object DeltaLog {
         s"[$fromVersion, $maxV] (set delta.enableChangeDataFeed via " +
         "DeltaWrite.enableChangeDataFeed; history before the property is " +
         "not readable as a feed)")
-    require(mappingMode(tableMetaData(spark, tablePath, Some(maxV))) == "none",
-      s"change feed over a column-mapped table is not supported: $tablePath")
+    // COLUMN-MAPPED feeds decode EVERY version through the schema in
+    // force at the END of the range: physicalName/columnMapping.id never
+    // change, so one logical schema resolves files written under any
+    // earlier logical names — a rename mid-range is transparent and the
+    // whole feed serves the range-end names (real Delta's CDF behavior
+    // under column mapping).
+    val endMode = mappingMode(tableMetaData(spark, tablePath, Some(maxV)))
+    val endSchema: Option[org.apache.spark.sql.types.StructType] =
+      if (endMode == "none") None
+      else Some(metaSchema(spark, tablePath, Some(maxV)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column-mapped table without a parseable schemaString: " +
+            tablePath)))
     val perCommit = commits
       .filter(f => versionOf(f) >= fromVersion && versionOf(f) <= maxV)
       .flatMap { f =>
@@ -763,11 +806,25 @@ object DeltaLog {
       else new File(root, URLDecoder.decode(rel, "UTF-8")).getPath
     val frames = perCommit.flatMap {
       case (v, mtime, cdcPaths, addPaths, addHasDv, removePaths) =>
-        val schemaAt = metaSchema(spark, tablePath, Some(v))
+        // unmapped tables decode each commit with ITS epoch's schema
+        // (evolution-faithful); mapped tables with the range-end schema
+        // (rename-transparent, see above)
+        val schemaAt =
+          if (endMode == "none") metaSchema(spark, tablePath, Some(v))
+          else endSchema
+        // cdc files on a mapped table would carry physical names and no
+        // producer here writes them (mutations refuse on mapped tables);
+        // a foreign writer's cdc is refused rather than decoded wrong
+        require(endMode == "none" || cdcPaths.isEmpty,
+          s"cdc actions on column-mapped $tablePath (foreign writer) — " +
+            "physical-name cdc decode is not supported; read snapshots")
         def scan(paths: Seq[String], withChangeType: Boolean): DataFrame = {
           val abs = paths.map(resolve)
           abs.foreach(p => require(new File(p).isFile,
             s"change-feed file for version $v was vacuumed: $p"))
+          if (endMode != "none")
+            return scanMappedPaths(spark, tablePath, endMode,
+              endSchema.get, abs)
           schemaAt match {
             case Some(st) if !withChangeType =>
               spark.read.schema(st).parquet(abs: _*)

@@ -2049,13 +2049,26 @@ class SourcesSpec extends SparkSpec {
       val e = intercept[IllegalArgumentException](op())
       assert(e.getMessage.contains("column-mapped"), s"$name did not refuse")
     }
-    // enabling CDF preserves the mapping config (and the feed refuses)
+    // enabling CDF preserves the mapping config, and the feed WORKS on
+    // a mapped table: appends derive as inserts decoded through the
+    // mapped schema (logical names), rename mid-feed is transparent —
+    // every frame serves the range-end names because physicalName never
+    // changes (real Delta's CDF-under-mapping behavior)
     DeltaWrite.enableChangeDataFeed(spark, tbl)
     assert(DeltaWrite.cdfEnabled(spark, tbl))
     assert(DeltaLog.read(spark, tbl).count() === 2L) // still decodes
-    assert(intercept[IllegalArgumentException] {
-      DeltaLog.tableChanges(spark, tbl, 1L)
-    }.getMessage.contains("column-mapped"))
+    DeltaWrite.append(Seq((3L, "z", "t3")).toDF("id", "v", "tag")
+      .select(col("id"), col("v"), struct(col("tag")).as("info")), tbl)
+    DeltaWrite.renameColumn(spark, tbl, "v", "word")
+    DeltaWrite.append(Seq((4L, "w", "t4")).toDF("id", "word", "tag")
+      .select(col("id"), col("word"), struct(col("tag")).as("info")), tbl)
+    val feed = DeltaLog.tableChanges(spark, tbl, 1L)
+    assert(feed.columns.contains("word") && !feed.columns.contains("v"),
+      s"mapped feed did not serve range-end names: ${feed.columns.toSeq}")
+    assert(feed.filter(col("_change_type") === "insert")
+      .select("id", "word").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq ===
+      Seq((3L, "z"), (4L, "w")))
     // id mode resolves by parquet FOOTER field id — this fixture's files
     // were staged without ids, so the scan fails loudly (Spark's
     // field-id matcher) instead of silently falling back to name

@@ -476,12 +476,21 @@ object DeltaLog {
       case _ => None // incomparable: treat as unknown, keep the file
     }
     val adds = liveAdds(spark, tablePath)
+    // on a column-mapped table the add stats are keyed by PHYSICAL names
+    // (they come from the parquet footers) — translate the logical column
+    // so data skipping works on mapped tables too; an unknown logical
+    // name keeps the raw key (pruning may only shrink, never the answer)
+    val statsKey = requireMappingReadable(spark, tablePath, None) match {
+      case Some((_, logical)) =>
+        logical.fields.find(_.name == column).map(physName).getOrElse(column)
+      case None => column
+    }
     val kept = adds.filter { f =>
       f.stats match {
         case Some(st) =>
           def bound(side: String): Option[Any] = st.get(side)
             .collect { case m: Map[_, _] =>
-              m.asInstanceOf[Map[String, Any]].get(column) }.flatten
+              m.asInstanceOf[Map[String, Any]].get(statsKey) }.flatten
           val belowLo = for {
             l <- lo; mx <- bound("maxValues"); c <- cmp(mx, l)
           } yield c < 0
@@ -508,10 +517,9 @@ object DeltaLog {
       if (kept.nonEmpty)
         requireMappingReadable(spark, tablePath, None) match {
           case Some((mode, logical)) =>
-            // mapped modes: a mapped table's add stats are keyed by
-            // physical names, so pruneByStats keeps every file (sound:
-            // skipping may only shrink) and the logical-named scan
-            // filters row-exactly
+            // mapped modes: pruneByStats translated the logical column to
+            // its physical stats key, so data skipping applies; the
+            // logical-named scan then filters row-exactly
             if (mode == "name") scanNameMapped(spark, tablePath, kept, logical)
             else scanIdMapped(spark, tablePath, kept, logical)
           case None =>

@@ -2881,6 +2881,15 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tbl).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getDouble(2))).toSeq ===
       Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    // data skipping works ACROSS the rename: the pre-upgrade files'
+    // stats are keyed by the ORIGINAL (physical) name, and the pruner
+    // translates the renamed logical column back to it
+    val (kept, total) = DeltaLog.pruneByStats(spark, tbl, "quality",
+      Some(25.0), None)
+    assert(total >= 2 && kept.size < total,
+      s"mapped range probe pruned nothing: ${kept.size}/$total")
+    assert(DeltaLog.readRange(spark, tbl, "quality", Some(25.0), None)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
     // refusals: unknown source, colliding target, constraint-referenced
     assert(intercept[IllegalArgumentException] {
       DeltaWrite.renameColumn(spark, tbl, "nope", "x")

@@ -240,6 +240,28 @@ class ScaleSpec extends SparkSpec {
     assert(!p.contains("Sort "), s"sort in t12 plan:\n$p")
   }
 
+  test("identity-partition injection broadcasts the file map, never shuffles data") {
+    // the UniForm-mirror read path: partition columns re-injected from
+    // manifests must join via a BROADCAST of the O(files) map — a
+    // SortMergeJoin here would shuffle the whole corpus to recover
+    // columns that metadata already knows
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-inj").toString
+    val tbl = s"$dir/part_mirror"
+    graft.sources.DeltaWrite.appendPartitioned(
+      (1 to 200).map(i => (i.toLong, s"c${i % 3}", i * 2.0))
+        .toDF("id", "cat", "v"), tbl, Seq("cat"))
+    graft.sources.Uniform.deltaToIceberg(spark, tbl)
+    val plan = graft.sources.IcebergLog.read(spark, tbl)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+      s"injection did not broadcast the file->pv map:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"injection shuffles the corpus:\n$plan")
+  }
+
   test("t15 production gate plans no Window: threshold broadcasts, corpus never sorts") {
     // the library default (exact = false) must never move the corpus
     // through a global sort — ONE approx_percentile scalar agg, threshold

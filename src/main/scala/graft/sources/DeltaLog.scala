@@ -1064,9 +1064,46 @@ object DeltaLog {
     * parquet).
     */
   private def scanWithPv(spark: SparkSession,
-      adds: Seq[LiveFile], root: File): DataFrame = {
-    val base = applyDv(spark,
-      spark.read.parquet(adds.map(_.path): _*), adds, root)
+      adds: Seq[LiveFile], root: File): DataFrame =
+    injectPv(spark, adds,
+      applyDv(spark, spark.read.parquet(adds.map(_.path): _*), adds, root))
+
+  /** Snapshot read PLUS physical row-identity columns
+    * (`__graft_dv_file` = the scan's file path, `__graft_dv_pos` = the
+    * row index in its file), captured BEFORE the pv-injection join —
+    * `_metadata` is a scan-relation pseudo-column and does not survive
+    * the broadcast join that re-attaches partition columns. This is the
+    * MoR delete writers' match-scan seam: a DELETE predicate may
+    * reference BOTH partition and data columns, and the physical
+    * identity of every matching row still resolves. Mapped tables are
+    * the callers' concern (they refuse before calling).
+    */
+  private[sources] def readWithRowIdentity(spark: SparkSession,
+      tablePath: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val adds = liveAdds(spark, tablePath)
+    require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
+    val root = new File(tablePath)
+    // same schema discipline as read(): unpartitioned tables decode
+    // through the metaData schema (evolution-safe); partitioned keep
+    // inference (their partition columns live in the log)
+    val base0 =
+      if (adds.forall(_.partitionValues.isEmpty))
+        metaSchema(spark, tablePath, None) match {
+          case Some(st) => spark.read.schema(st).parquet(adds.map(_.path): _*)
+          case None => spark.read.parquet(adds.map(_.path): _*)
+        }
+      else spark.read.parquet(adds.map(_.path): _*)
+    val withId = applyDv(spark, base0, adds, root)
+      .withColumn("__graft_dv_file", col("_metadata.file_path"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    injectPv(spark, adds, withId)
+  }
+
+  /** Re-attach the log's partition values to `base` via a broadcast
+    * (file -> pv) map — no-op for unpartitioned adds. */
+  private def injectPv(spark: SparkSession, adds: Seq[LiveFile],
+      base: DataFrame): DataFrame = {
     if (adds.forall(_.partitionValues.isEmpty)) base
     else {
       import org.apache.spark.sql.functions.{broadcast, col, input_file_name}

@@ -995,6 +995,15 @@ object DeltaWrite {
         "deleteWhereDv for further MoR deletes")
   }
 
+  /** Render a partitionValues map as protocol JSON (null values are the
+    * null partition, rendered as JSON null).
+    */
+  private def pvJson(pv: Map[String, String]): String =
+    pv.map {
+      case (k, null) => s""""${jsonEscape(k)}":null"""
+      case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+    }.mkString("{", ",", "}")
+
   private def dvJson(d: DeltaDv.Descriptor): String =
     s"""{"storageType":"${jsonEscape(d.storageType)}",""" +
       s""""pathOrInlineDv":"${jsonEscape(d.pathOrInlineDv)}",""" +
@@ -1048,15 +1057,16 @@ object DeltaWrite {
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"deleteWhereDv supports unpartitioned tables: $tablePath")
     requireNotMapped(spark, tablePath, "deleteWhereDv")
-    // match scan: snapshot read (metaData schema + existing DVs applied),
-    // keeping only predicate-TRUE rows' physical identity
-    val matchedRows = DeltaLog.read(spark, tablePath).filter(predicate)
-    val matched = matchedRows
-      .select(col("_metadata.file_path").as("__f"),
-        col("_metadata.row_index").as("__i"))
+    // match scan: snapshot read (existing DVs applied, partition columns
+    // injected from the log so the predicate may reference them), with
+    // physical row identity captured BEFORE the pv join
+    val withId = DeltaLog.readWithRowIdentity(spark, tablePath)
+      .filter(predicate)
+    val matchedRows = withId.drop("__graft_dv_file", "__graft_dv_pos")
+    val matched = withId
+      .select(col("__graft_dv_file").as("__f"),
+        col("__graft_dv_pos").as("__i"))
     // DRIVER-MEMORY GATE, decided BEFORE any bitmap bytes move: roaring's
     // worst case is 2 bytes/position (array containers) plus ≤ 8 KiB per
     // 64Ki-row span (bitmap containers cap there), so positions×2 +
@@ -1168,7 +1178,8 @@ object DeltaWrite {
         val f = new File(a.path)
         Seq(
           s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""",
-          s"""{"add":{"path":"${jsonEscape(a.recordedPath)}","partitionValues":{},""" +
+          s"""{"add":{"path":"${jsonEscape(a.recordedPath)}",""" +
+            s""""partitionValues":${pvJson(a.partitionValues)},""" +
             s""""size":${f.length},"modificationTime":${f.lastModified},""" +
             a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
             s""""deletionVector":${dvJson(d)},"dataChange":true}}""")
@@ -1216,34 +1227,48 @@ object DeltaWrite {
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"purgeDeletionVectors supports unpartitioned tables: $tablePath")
     requireNotMapped(spark, tablePath, "purgeDeletionVectors")
     val dvAdds = adds.filter(_.dv.isDefined)
     if (dvAdds.isEmpty)
       return PurgeStats(nextVersion(logDir) - 1, 0, 0)
-    val base = DeltaLog.metaSchema(spark, tablePath) match {
-      case Some(st) => spark.read.schema(st).parquet(dvAdds.map(_.path): _*)
-      case None => spark.read.parquet(dvAdds.map(_.path): _*)
+    // PARTITION GROUPS: a partitioned table's rewrite runs one job per
+    // TOUCHED partition tuple (only DV-carrying files are in play), and
+    // each group's fresh files inherit that tuple in their add actions —
+    // partition column data never lives in the files, so the rewritten
+    // bytes are pv-free like the originals. Unpartitioned tables are the
+    // single empty-tuple group (one job, unchanged behavior). The driver
+    // loop is bounded by touched-partition count, the same class as
+    // real OPTIMIZE's per-partition planning.
+    val groups = dvAdds.groupBy(_.partitionValues).toSeq
+    val partitioned = dvAdds.exists(_.partitionValues.nonEmpty)
+    val newAdds = groups.flatMap { case (pv, groupAdds) =>
+      val base =
+        if (partitioned) spark.read.parquet(groupAdds.map(_.path): _*)
+        else DeltaLog.metaSchema(spark, tablePath) match {
+          case Some(st) =>
+            spark.read.schema(st).parquet(groupAdds.map(_.path): _*)
+          case None => spark.read.parquet(groupAdds.map(_.path): _*)
+        }
+      val liveRows = DeltaLog.applyDv(spark, base, groupAdds, root)
+      // an externally-written full-file DV can leave zero survivors
+      val files =
+        if (liveRows.isEmpty) Seq.empty[File]
+        else stageDataFiles(liveRows, root)
+      files.map { f =>
+        val stats = fileStats(f, base.schema)
+        s"""{"add":{"path":"${jsonEscape(f.getName)}",""" +
+          s""""partitionValues":${pvJson(pv)},""" +
+          s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+          stats.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
+          """"dataChange":false}}"""
+      }
     }
-    val liveRows = DeltaLog.applyDv(spark, base, dvAdds, root)
-    // an externally-written full-file DV can leave zero survivors
-    val files =
-      if (liveRows.isEmpty) Seq.empty[File]
-      else stageDataFiles(liveRows, root)
     val version = nextVersion(logDir)
     val removes = dvAdds.map(a =>
       s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":false}}""")
-    val addsJson = files.map { f =>
-      val stats = fileStats(f, base.schema)
-      s"""{"add":{"path":"${jsonEscape(f.getName)}","partitionValues":{},""" +
-        s""""size":${f.length},"modificationTime":${f.lastModified},""" +
-        stats.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
-        """"dataChange":false}}"""
-    }
-    publish(logDir, version, removes ++ addsJson :+
+    publish(logDir, version, removes ++ newAdds :+
       """{"commitInfo":{"operation":"REORG","operationParameters":{"applyPurge":true}}}""")
-    PurgeStats(version, dvAdds.size, files.size)
+    PurgeStats(version, dvAdds.size, newAdds.size)
   }
 
   /** VACUUM: physically delete data files no longer referenced by the

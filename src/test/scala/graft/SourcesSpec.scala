@@ -2754,6 +2754,49 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("not a Delta table"))
   }
 
+  test("partitioned MoR deletes: DVs land per partition, purge rewrites per group") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/dv_partitioned"
+    DeltaWrite.appendPartitioned(
+      (1 to 300).map(i => (i.toLong, s"c${i % 3}", s"r$i"))
+        .toDF("id", "cat", "v"), tbl, Seq("cat"))
+    // the predicate references BOTH a partition column and a data column
+    // — the GDPR shape: erase keys inside specific partitions
+    val st = DeltaWrite.deleteWhereDv(spark, tbl,
+      col("cat") === "c1" && col("id") % 2 === 0L)
+    assert(st.rowsDeleted === 50L) // ids ≡ 4 (mod 6) in 1..300
+    def survivors(): Seq[Long] =
+      DeltaLog.read(spark, tbl).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    val want = (1 to 300).map(_.toLong)
+      .filterNot(i => i % 3 == 1 && i % 2 == 0)
+    assert(survivors() === want.sorted)
+    // partition columns still decode after the DV re-add (pv carried)
+    assert(DeltaLog.read(spark, tbl).filter(col("cat") === "c1").count() ===
+      want.count(_ % 3 == 1))
+    // second delete unions; executor path exercises partitioned too
+    DeltaWrite.deleteWhereDv(spark, tbl,
+      col("cat") === "c2" && col("id") <= 100L, maxDvCollectBytes = 64L)
+    val want2 = want.filterNot(i => i % 3 == 2 && i <= 100)
+    assert(survivors() === want2.sorted)
+    // purge: per-partition-group rewrite, rows unchanged, DVs gone,
+    // fresh adds keep their partition tuples
+    val ps = DeltaWrite.purgeDeletionVectors(spark, tbl)
+    assert(ps.filesPurged > 0 && ps.filesAdded > 0)
+    assert(DeltaLog.liveAdds(spark, tbl).forall(_.dv.isEmpty))
+    assert(survivors() === want2.sorted)
+    assert(DeltaLog.read(spark, tbl).filter(col("cat") === "c2")
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq ===
+      want2.filter(_ % 3 == 2).sorted)
+    // partition pruning still answers from the log alone
+    val (kept, total) = DeltaLog.livePartitionAdds(spark, tbl,
+      Map("cat" -> "c0")) match {
+      case (k, t) => (k, t)
+    }
+    assert(kept.nonEmpty && kept.size < total)
+  }
+
   test("createIdMapped: full id-mode lifecycle from a first-class writer") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

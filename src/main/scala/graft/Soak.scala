@@ -293,7 +293,10 @@ object Soak {
       // id-mode mapped reads + metadata-only rename, and the partitioned
       // UniForm mirror (one metadata commit; manifest-only pruning)
       "t15b_perplexity_gate_approx", "x40b_delta_mapping_id_rename",
-      "x46b_uniform_partitioned")
+      "x46b_uniform_partitioned",
+      // partitioned MoR deletes + per-group purge: cost must track
+      // touched partitions and deleted rows, never table size
+      "x36b_delta_dv_partitioned")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

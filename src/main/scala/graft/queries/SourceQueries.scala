@@ -859,6 +859,53 @@ object SourceQueries {
              AND o_orderstatus <> 'F')
       ORDER BY o_orderkey""")),
 
+    // x36b: PARTITIONED MoR DELETES — the GDPR shape at 100 TB: erase
+    // keys INSIDE specific partitions of a hive-partitioned table
+    // without rewriting a byte. The predicate references both the
+    // partition column and a data column (the match scan injects
+    // partition values from the log, physical row identity captured
+    // before that join); the DV re-adds carry each file's
+    // partitionValues, so the partition column keeps decoding (pinned)
+    // and log-only partition pruning keeps answering (pinned). A purge
+    // then rewrites per touched-partition group — rows identical, DVs
+    // gone, fresh adds inheriting their tuples (oracle pins the rows).
+    QueryDef("x36b_delta_dv_partitioned", (s, d) => {
+      val tbl = s"$stage/delta_dv_part"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.appendPartitioned(o, tbl,
+        Seq("o_orderstatus"))
+      val filesBefore = graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+      val st = graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 4 === 0)
+      require(st.rowsDeleted > 0, "partitioned DV delete matched nothing")
+      // merge-on-read: untouched-partition files keep physical identity
+      require(graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+          .intersect(filesBefore).nonEmpty,
+        "partitioned MoR delete rewrote every file")
+      // log-only partition pruning still answers after the DV re-adds
+      val (kept, total) = graft.sources.DeltaLog.livePartitionAdds(s, tbl,
+        Map("o_orderstatus" -> "O"))
+      require(kept.nonEmpty && kept.size < total,
+        s"partition pruning lost after DV delete: ${kept.size}/$total")
+      // purge per partition group: rows identical, DVs gone
+      val ps = graft.sources.DeltaWrite.purgeDeletionVectors(s, tbl)
+      require(ps.filesPurged > 0 &&
+          graft.sources.DeltaLog.liveAdds(s, tbl).forall(_.dv.isEmpty),
+        "purge left live deletion vectors")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 0)
+      ORDER BY o_orderkey""")),
+
     // x37: DELTA DV PURGE (REORG APPLY PURGE) — x31's first-format twin,
     // completing x36's lifecycle: while DVs are live every copy-on-write
     // op (optimize here) REFUSES, and each read pays the bitmap filter.

@@ -1964,7 +1964,14 @@ object DeltaWrite {
         if (wFeats.isEmpty) null else wFeats), null, null, null) +:
       Row(null, Row(metaStr("id"), Row(formatProvider,
         Map.empty[String, String]), metaStr("schemaString"), metaPartCols,
-        Map.empty[String, String]), null, null) +:
+        // the REAL configuration map — dropping it here silently
+        // forgot column-mapping mode, CDF enablement and CHECK
+        // constraints the moment the JSON log expired (caught by the
+        // mapped-checkpoint spec)
+        meta.get("configuration")
+          .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+          .getOrElse(Map.empty[String, Any])
+          .collect { case (k, v: String) => k -> v }), null, null) +:
       adds.map { a =>
         val f = new File(a.path)
         val dvRow = a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,

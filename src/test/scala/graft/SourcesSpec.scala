@@ -2976,6 +2976,21 @@ class SourcesSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       DeltaWrite.dropColumn(spark, plain, "v")
     }.getMessage.contains("needs column mapping"))
+    // the mapping survives checkpoint + log expiry: the checkpoint
+    // carries the metaData action (configuration + schemaString with
+    // physicalNames) verbatim, so a reader seeded from it still decodes
+    // physically-named files under logical names
+    DeltaWrite.addCheckConstraint(spark, tbl, "q_pos", "quality > 0")
+    DeltaWrite.checkpoint(spark, tbl)
+    DeltaWrite.expireLog(tbl)
+    assert(DeltaLog.read(spark, tbl).columns.toSeq === Seq("id", "quality"))
+    assert(DeltaLog.read(spark, tbl).orderBy("id").collect()
+      .map(_.getDouble(1)).toSeq === Seq(10.0, 20.0, 30.0))
+    // ...and so do CHECK constraints (configuration keys ride the same
+    // metaData row)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.append(Seq((9L, -1.0)).toDF("id", "quality"), tbl)
+    }.getMessage.contains("q_pos"))
     // the whole family drives through SQL too
     val sqlTbl = s"$tmp/cm_sql"
     DeltaWrite.append(Seq((1L, "a", 2.0)).toDF("id", "name", "score"), sqlTbl)

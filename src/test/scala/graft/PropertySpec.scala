@@ -382,10 +382,16 @@ class PropertySpec extends SparkSpec {
 
   test("Delta lifecycle fuzz: random op sequences match an in-memory model") {
     // the strongest robustness claim for the write path: after EVERY
-    // step of a random append/overwrite/merge/delete/optimize/
-    // checkpoint/expire/restore sequence, DeltaLog.read equals a trivial
-    // in-memory reference model of table contents — and time travel to
-    // any still-replayable version equals the model's history
+    // step of a random append/overwrite/merge/delete/MoR-DV-delete/
+    // purge/optimize/checkpoint/expire/restore/enable-mapping/rename
+    // sequence, DeltaLog.read equals a trivial in-memory reference model
+    // of table contents — and time travel to any still-replayable
+    // version equals the model's history under THAT version's column
+    // names (renames are per-epoch). Op applicability mirrors the
+    // documented refusal matrix: CoW ops skip under live DVs, mutations
+    // and DV deletes skip under column mapping, restore skips once
+    // mapped (restore reinstates files, not metadata — modeling that
+    // corner is out of scope).
     import graft.sources.{DeltaLog, DeltaWrite}
     import org.apache.spark.sql.functions.col
     val s = spark
@@ -395,44 +401,58 @@ class PropertySpec extends SparkSpec {
     case object Overwrite extends Op
     case object Merge extends Op
     case object Delete extends Op
+    case object DvDelete extends Op
+    case object Purge extends Op
     case object Optimize extends Op
     case object CheckpointExpire extends Op
     case object Restore extends Op
+    case object EnableMapping extends Op
+    case object Rename extends Op
     val opGen: Gen[Op] = Gen.frequency(4 -> Gen.const(Append),
       1 -> Gen.const(Overwrite), 2 -> Gen.const(Merge),
-      2 -> Gen.const(Delete), 1 -> Gen.const(Optimize),
-      1 -> Gen.const(CheckpointExpire), 1 -> Gen.const(Restore))
+      2 -> Gen.const(Delete), 2 -> Gen.const(DvDelete),
+      1 -> Gen.const(Purge), 1 -> Gen.const(Optimize),
+      1 -> Gen.const(CheckpointExpire), 1 -> Gen.const(Restore),
+      1 -> Gen.const(EnableMapping), 1 -> Gen.const(Rename))
     val batchGen: Gen[Seq[(Long, Long)]] = for {
       n <- Gen.choose(1, 4)
       keys <- Gen.listOfN(n, Gen.choose(0L, 9L))
       tag <- Gen.choose(0L, 1000L)
     } yield keys.distinct.map(k => k -> (k * 1000 + tag))
-    forSamples(Gen.zip(Gen.listOfN(8, opGen), Gen.listOfN(8, batchGen),
-        Gen.listOfN(8, Gen.choose(0L, 9L))), n = 6) {
+    forSamples(Gen.zip(Gen.listOfN(10, opGen), Gen.listOfN(10, batchGen),
+        Gen.listOfN(10, Gen.choose(0L, 9L))), n = 6) {
       case (ops, batches, delKeys) =>
         val tbl = java.nio.file.Files
           .createTempDirectory("graft-delta-fuzz").toString + "/t"
         var model = Map.empty[Long, Long] // id -> payload (merge keyed on id)
-        var history = Vector.empty[(Long, Map[Long, Long])] // version -> model
+        // version -> (model, payload column name at that version)
+        var history = Vector.empty[(Long, Map[Long, Long], String)]
         var expiredBelow = -1L // versions at/below this are unreadable
-        def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "payload").repartition(1)
+        var mapped = false
+        var payloadCol = "payload"
+        var hasDv = false
+        def df(rows: Seq[(Long, Long)]) =
+          rows.toDF("id", payloadCol).repartition(1)
         def check(): Unit = {
           if (model.isEmpty) {
             // an all-rows-deleted table has no live files; the reader
             // refuses loudly rather than inventing a schema
             intercept[Exception] { DeltaLog.read(spark, tbl).collect() }
           } else {
-            val rows = DeltaLog.read(spark, tbl).collect()
-              .map(r => r.getAs[Long]("id") -> r.getAs[Long]("payload")).toSeq
+            val rows = DeltaLog.read(spark, tbl)
+              .select(col("id"), col(payloadCol)).collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toSeq
             assert(rows.map(_._1).distinct.size === rows.size,
               s"DUPLICATE ids in live table: ${rows.sorted} after ops $ops")
             assert(rows.toMap === model, s"live mismatch after ops $ops: got ${rows.sorted}")
           }
-          // every still-replayable non-empty historical version too
+          // every still-replayable non-empty historical version too,
+          // under the column names of ITS epoch
           history.filter(h => h._1 > expiredBelow && h._2.nonEmpty)
-            .foreach { case (v, m) =>
-              val h = DeltaLog.read(spark, tbl, Some(v)).collect()
-                .map(r => r.getAs[Long]("id") -> r.getAs[Long]("payload")).toMap
+            .foreach { case (v, m, pc) =>
+              val h = DeltaLog.read(spark, tbl, Some(v))
+                .select(col("id"), col(pc)).collect()
+                .map(r => r.getLong(0) -> r.getLong(1)).toMap
               assert(h === m, s"history v$v mismatch after ops $ops")
             }
         }
@@ -447,35 +467,62 @@ class PropertySpec extends SparkSpec {
               if (fresh.nonEmpty) {
                 val v = DeltaWrite.append(df(fresh), tbl)
                 model = model ++ fresh.toMap
-                history :+= ((v, model))
+                history :+= ((v, model, payloadCol))
               }
             case Overwrite =>
               val v = DeltaWrite.overwrite(df(batch), tbl)
               model = batch.toMap
-              history :+= ((v, model))
-            case Merge if exists && model.nonEmpty =>
+              hasDv = false // every prior file (and its DV) left the live set
+              history :+= ((v, model, payloadCol))
+            case Merge if exists && model.nonEmpty && !mapped && !hasDv =>
               val st = DeltaWrite.merge(tbl, df(batch), Seq("id"))
               model = model ++ batch.toMap
-              history :+= ((st.version, model))
-            case Delete if exists && model.nonEmpty =>
+              history :+= ((st.version, model, payloadCol))
+            case Delete if exists && model.nonEmpty && !mapped && !hasDv =>
               val st = DeltaWrite.deleteWhere(spark, tbl, col("id") === delKey)
               if (model.contains(delKey)) {
                 model -= delKey
-                history :+= ((st.version, model))
+                history :+= ((st.version, model, payloadCol))
               }
-            case Optimize if exists && model.nonEmpty =>
+            case DvDelete if exists && model.nonEmpty && !mapped =>
+              val st = DeltaWrite.deleteWhereDv(spark, tbl,
+                col("id") === delKey)
+              if (model.contains(delKey)) {
+                model -= delKey
+                hasDv = true // at least the touched file carries one now
+                history :+= ((st.version, model, payloadCol))
+              }
+            case Purge if exists && hasDv =>
+              val st = DeltaWrite.purgeDeletionVectors(spark, tbl)
+              hasDv = false
+              if (st.filesPurged > 0 && model.nonEmpty)
+                history :+= ((st.version, model, payloadCol))
+            case Optimize if exists && model.nonEmpty && !mapped && !hasDv =>
               val st = DeltaWrite.optimize(spark, tbl, 1L << 30)
-              if (st.filesCompacted > 0) history :+= ((st.version, model))
+              if (st.filesCompacted > 0)
+                history :+= ((st.version, model, payloadCol))
             case CheckpointExpire if exists && model.nonEmpty =>
               val cp = DeltaWrite.checkpoint(spark, tbl)
               DeltaWrite.expireLog(tbl)
               expiredBelow = cp // only strictly-newer commits replay as targets
-            case Restore if exists && history.exists(_._1 > expiredBelow) =>
-              val (v, m) = history.filter(_._1 > expiredBelow).head
+            case Restore if exists && !mapped && !hasDv &&
+                history.exists(_._1 > expiredBelow) =>
+              val (v, m, _) = history.filter(_._1 > expiredBelow).head
               val st = DeltaWrite.restoreTo(spark, tbl, v)
               model = m
+              // the restored snapshot may re-instate DV-carrying adds
+              hasDv = DeltaLog.liveAdds(spark, tbl).exists(_.dv.isDefined)
               if (st.filesRemoved + st.filesReAdded > 0)
-                history :+= ((st.version, model))
+                history :+= ((st.version, model, payloadCol))
+            case EnableMapping if exists && model.nonEmpty && !mapped =>
+              val v = DeltaWrite.enableColumnMapping(spark, tbl)
+              mapped = true
+              history :+= ((v, model, payloadCol))
+            case Rename if exists && mapped && model.nonEmpty =>
+              val next = if (payloadCol == "payload") "payload_r" else "payload"
+              val v = DeltaWrite.renameColumn(spark, tbl, payloadCol, next)
+              payloadCol = next
+              history :+= ((v, model, payloadCol))
             case _ => // op not applicable yet: skip
           }
           if (exists || new java.io.File(s"$tbl/_delta_log").isDirectory)

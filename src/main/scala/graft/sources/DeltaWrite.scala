@@ -1438,33 +1438,48 @@ object DeltaWrite {
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"optimize supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "optimize", tablePath)
     requireNotMapped(spark, tablePath, "optimize")
-    val small = adds.filter(a => new File(a.path).length < smallFileBytes)
-    if (small.size < 2)
+    // bin-packing NEVER crosses partition boundaries (real OPTIMIZE's
+    // rule: a file belongs to exactly one partition tuple): small files
+    // group by their tuple, each group compacts independently, and the
+    // fresh adds inherit the tuple — partition column data stays in the
+    // log, so the rewritten bytes are pv-free like the originals.
+    // Unpartitioned tables are the single empty-tuple group. The driver
+    // loop is bounded by the count of partitions that HAVE ≥2 small
+    // files, the same class as real OPTIMIZE's per-partition planning.
+    val smallByPv = adds
+      .filter(a => new File(a.path).length < smallFileBytes)
+      .groupBy(_.partitionValues)
+      .filter(_._2.size >= 2)
+    if (smallByPv.isEmpty)
       return OptimizeStats(nextVersion(logDir) - 1, 0, 0)
-    val packed = spark.read.parquet(small.map(_.path): _*)
-      .coalesce(targetFiles)
-    val files = stageDataFiles(packed, root)
+    val actions = smallByPv.toSeq.map { case (pv, small) =>
+      val packed = spark.read.parquet(small.map(_.path): _*)
+        .coalesce(targetFiles)
+      val files = stageDataFiles(packed, root)
+      val removes = small.map { a =>
+        // the log's RECORDED path (URL-encoded relative for partitioned
+        // layouts) — a re-derived path would not byte-match the add and
+        // the replay would keep the file live
+        s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":false}}"""
+      }
+      val addsJson = files.map { f =>
+        // same footer-derived stats as a data commit — compaction must
+        // not degrade data skipping
+        val stats = fileStats(f, packed.schema)
+        s"""{"add":{"path":"${jsonEscape(f.getName)}",""" +
+          s""""partitionValues":${pvJson(pv)},""" +
+          s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+          stats.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
+          """"dataChange":false}}"""
+      }
+      (small.size, files.size, removes ++ addsJson)
+    }
     val version = nextVersion(logDir)
-    val removes = small.map { a =>
-      val rel = relPath(root, a.path)
-      s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":false}}"""
-    }
-    val addsJson = files.map { f =>
-      // same footer-derived stats as a data commit — compaction must not
-      // degrade data skipping
-      val stats = fileStats(f, packed.schema)
-      s"""{"add":{"path":"${jsonEscape(f.getName)}","partitionValues":{},""" +
-        s""""size":${f.length},"modificationTime":${f.lastModified},""" +
-        stats.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
-        """"dataChange":false}}"""
-    }
-    publish(logDir, version, removes ++ addsJson :+
+    publish(logDir, version, actions.flatMap(_._3) :+
       """{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{}}}""")
-    OptimizeStats(version, small.size, files.size)
+    OptimizeStats(version, actions.map(_._1).sum, actions.map(_._2).sum)
   }
 
   /** OPTIMIZE ZORDER BY — rewrite the live set clustered along the Morton

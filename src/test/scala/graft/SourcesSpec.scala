@@ -2754,6 +2754,40 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("not a Delta table"))
   }
 
+  test("partitioned OPTIMIZE: bin-packing never crosses partition boundaries") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/opt_partitioned"
+    // six tiny appends → two per partition tuple, all under the threshold
+    (1 to 6).foreach { i =>
+      DeltaWrite.appendPartitioned(
+        Seq((i.toLong, s"c${i % 3}", s"r$i")).toDF("id", "cat", "v"),
+        tbl, Seq("cat"))
+    }
+    val before = DeltaLog.read(spark, tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val st = DeltaWrite.optimize(spark, tbl, smallFileBytes = 1L << 20)
+    assert(st.filesCompacted === 6 && st.filesAdded === 3,
+      s"expected 6 files packed into 3 (one per partition), got $st")
+    // every fresh add carries its tuple; no add mixes partitions
+    val adds = DeltaLog.liveAdds(spark, tbl)
+    assert(adds.size === 3)
+    assert(adds.map(_.partitionValues("cat")).sorted === Seq("c0", "c1", "c2"))
+    adds.foreach { a =>
+      val cats = spark.read.parquet(a.path).select("id").collect()
+        .map(r => s"c${r.getLong(0) % 3}").distinct
+      assert(cats.toSeq === Seq(a.partitionValues("cat")),
+        s"compacted file mixes partitions: ${cats.toSeq} vs ${a.partitionValues}")
+    }
+    // rows byte-identical, partition column still decodes, pruning works
+    assert(DeltaLog.read(spark, tbl).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === before)
+    val (kept, total) = DeltaLog.livePartitionAdds(spark, tbl,
+      Map("cat" -> "c1"))
+    assert(kept.size === 1 && total === 3)
+  }
+
   test("partitioned MoR deletes: DVs land per partition, purge rewrites per group") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -211,7 +211,12 @@ object Soak {
       "x46_uniform_iceberg" -> 1.95, "x47_shallow_clone" -> 1.51,
       "x48_delta_history" -> 1.43, "x49_iceberg_to_delta" -> 1.55,
       "x50_zorder_optimize" -> 1.80, "x51_iceberg_rollback" -> 1.66,
-      "x52_check_constraints" -> 1.75, "e26_stream_uniform" -> 2.91)
+      "x52_check_constraints" -> 1.75, "e26_stream_uniform" -> 2.91,
+      // round-16 additions (Bench min-of-3 at sf0.1, clean floor)
+      "t15b_perplexity_gate_approx" -> 1.84,
+      "x40b_delta_mapping_id_rename" -> 0.81,
+      "x46b_uniform_partitioned" -> 1.55,
+      "x36b_delta_dv_partitioned" -> 1.51)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",

@@ -1497,9 +1497,11 @@ object DeltaWrite {
     * auto-size at 128 MB). Same commit discipline as optimize: ONE commit,
     * remove/add actions `dataChange:false` (rows untouched — streaming
     * consumers skip it), per-file stats from the new footers, history
-    * time-travels until vacuum. Ranking per column is the linear min/max
-    * map from [[graft.operators.Compaction.compactZOrder]] — one stats
-    * aggregate of driver state, two doubles per column.
+    * time-travels until vacuum. Ranking per column is a RANGE rank from
+    * one multi-column approximate-quantile pass (skew-proof; the legacy
+    * linear min/max scaling survives as `linearRanks` for the skew
+    * spec's comparison). Partitioned tables cluster PER PARTITION with
+    * group-local quantiles, fresh files inheriting their tuples.
     */
   def optimizeZOrder(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, zCols: Seq[String], bits: Int = 8,
@@ -1513,13 +1515,20 @@ object DeltaWrite {
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.nonEmpty,
       s"optimize zorder on a table with no live files: $tablePath")
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"optimize supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "optimize zorder", tablePath)
     requireNotMapped(spark, tablePath, "optimize zorder")
-    val df = spark.read.parquet(adds.map(_.path): _*)
-    zCols.foreach(c => require(df.columns.contains(c),
-      s"ZORDER column not in table: $c"))
+    // PARTITIONED tables Z-order PER PARTITION (real OPTIMIZE ZORDER's
+    // rule: clustering never crosses partition boundaries, and the
+    // tuple itself already prunes): each group gets its own quantile
+    // boundaries — group-local value distributions, not global ones —
+    // and its fresh files inherit the tuple. One commit for all groups;
+    // the driver loop is bounded by partition count, same class as the
+    // per-partition planning of the real command. Z columns must be
+    // DATA columns (a partition column is constant within its group).
+    val zPartCols = adds.flatMap(_.partitionValues.keys).distinct
+    zCols.foreach(c => require(!zPartCols.contains(c),
+      s"ZORDER column $c is a partition column of $tablePath — it is " +
+        "constant within every partition and cannot cluster"))
     val top = (1L << bits) - 1
     // Default ranks are RANGE ranks (per-dimension approximate quantiles,
     // what real OPTIMIZE ZORDER's range-partitioned clustering computes):
@@ -1530,7 +1539,7 @@ object DeltaWrite {
     // kept only as the comparison baseline for the skew spec. Cost: one
     // multi-column quantile pass (driver state O(dims × 2^bits) doubles),
     // then a codegen'd per-row bucket fold over the broadcast boundaries.
-    val ranks: Seq[org.apache.spark.sql.Column] =
+    def groupRanks(df: DataFrame): Seq[org.apache.spark.sql.Column] =
       if (linearRanks) {
         val statCols = zCols.flatMap(c => Seq(
           min(col(c)).cast("double").as(s"mn_$c"),
@@ -1576,34 +1585,43 @@ object DeltaWrite {
           }
         }
       }
-    val z = graft.operators.Compaction.mortonInterleave(ranks, bits)
-    val target =
-      if (targetFiles >= 1) targetFiles
-      else {
-        val liveBytes = adds.map(a => new File(a.path).length).sum
-        math.max(1L, (liveBytes + (128L << 20) - 1) / (128L << 20)).toInt
-      }
-    val clustered = df.withColumn("__graft_z", z)
-      .repartitionByRange(target, col("__graft_z"))
-      .sortWithinPartitions(col("__graft_z"))
-      .drop("__graft_z")
-    val files = stageDataFiles(clustered, root)
+    val actions = adds.groupBy(_.partitionValues).toSeq.flatMap {
+      case (pv, groupAdds) =>
+        val df = spark.read.parquet(groupAdds.map(_.path): _*)
+        zCols.foreach(c => require(df.columns.contains(c),
+          s"ZORDER column not in table: $c"))
+        val z = graft.operators.Compaction.mortonInterleave(groupRanks(df), bits)
+        val target =
+          if (targetFiles >= 1) targetFiles
+          else {
+            val liveBytes = groupAdds.map(a => new File(a.path).length).sum
+            math.max(1L, (liveBytes + (128L << 20) - 1) / (128L << 20)).toInt
+          }
+        val clustered = df.withColumn("__graft_z", z)
+          .repartitionByRange(target, col("__graft_z"))
+          .sortWithinPartitions(col("__graft_z"))
+          .drop("__graft_z")
+        val files = stageDataFiles(clustered, root)
+        val removes = groupAdds.map { a =>
+          s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}",""" +
+            """"dataChange":false}}"""
+        }
+        val addsJson = files.map { f =>
+          val st = fileStats(f, df.schema)
+          s"""{"add":{"path":"${jsonEscape(f.getName)}",""" +
+            s""""partitionValues":${pvJson(pv)},""" +
+            s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+            st.fold("")(x => s""""stats":"${jsonEscape(x)}",""") +
+            """"dataChange":false}}"""
+        }
+        removes ++ addsJson
+    }
     val version = nextVersion(logDir)
-    val removes = adds.map { a =>
-      s"""{"remove":{"path":"${jsonEscape(relPath(root, a.path))}",""" +
-        """"dataChange":false}}"""
-    }
-    val addsJson = files.map { f =>
-      val st = fileStats(f, df.schema)
-      s"""{"add":{"path":"${jsonEscape(f.getName)}","partitionValues":{},""" +
-        s""""size":${f.length},"modificationTime":${f.lastModified},""" +
-        st.fold("")(x => s""""stats":"${jsonEscape(x)}",""") +
-        """"dataChange":false}}"""
-    }
-    publish(logDir, version, removes ++ addsJson :+
+    publish(logDir, version, actions :+
       (s"""{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{""" +
         s""""zOrderBy":"${jsonEscape(zCols.mkString(","))}"}}}"""))
-    OptimizeStats(version, adds.size, files.size)
+    OptimizeStats(version, adds.size,
+      actions.count(_.startsWith("{\"add\"")))
   }
 
   /** PARTITIONED append: one atomic commit whose data files land under

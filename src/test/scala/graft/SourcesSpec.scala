@@ -2788,6 +2788,67 @@ class SourcesSpec extends SparkSpec {
     assert(kept.size === 1 && total === 3)
   }
 
+  test("partitioned ZORDER: per-partition clustering with group-local quantiles") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/zorder_partitioned"
+    // two partitions with DISJOINT x domains: group-local quantiles must
+    // spread each partition's own range (global boundaries would collapse
+    // one group's ranks)
+    val rows = (1 to 2000).map { i =>
+      val cat = s"c${i % 2}"
+      val x = if (i % 2 == 0) i.toLong else i.toLong + 1000000L
+      (x, (i * 37 % 500).toLong, cat, s"r$i")
+    }
+    DeltaWrite.appendPartitioned(
+      rows.toDF("x", "y", "cat", "v").repartition(6), tbl, Seq("cat"))
+    // a partition column cannot be a z column (constant within groups)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.optimizeZOrder(spark, tbl, Seq("cat", "x"))
+    }.getMessage.contains("partition column"))
+    val st = DeltaWrite.optimizeZOrder(spark, tbl, Seq("x", "y"),
+      targetFiles = 4)
+    assert(st.filesAdded === 8, s"expected 4 files per partition: $st")
+    // fresh adds inherit their tuples; within each partition a small
+    // 2-D box probe admits fewer files than the partition holds —
+    // group-local quantiles clustered each partition's OWN domain (with
+    // a global quantile pass, c0's disjoint low range would collapse
+    // into one rank and probes there would admit everything)
+    val adds = DeltaLog.liveAdds(spark, tbl)
+    assert(adds.map(_.partitionValues("cat")).sorted ===
+      Seq.fill(4)("c0") ++ Seq.fill(4)("c1"))
+    for ((c, xBase) <- Seq(("c0", 0L), ("c1", 1000000L))) {
+      val bounds = adds.filter(_.partitionValues("cat") == c).map { a =>
+        val r = spark.read.parquet(a.path)
+          .agg(org.apache.spark.sql.functions.min(col("x")),
+            org.apache.spark.sql.functions.max(col("x")),
+            org.apache.spark.sql.functions.min(col("y")),
+            org.apache.spark.sql.functions.max(col("y"))).head
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      }
+      val probes = for (px <- 100L until 2000L by 400L;
+          py <- 50L until 500L by 150L)
+        yield (xBase + px - 50, xBase + px + 50, py - 40, py + 40)
+      val admitted = probes.map { case (xl, xh, yl, yh) =>
+        bounds.count { case (mnx, mxx, mny, mxy) =>
+          mnx <= xh && xl <= mxx && mny <= yh && yl <= mxy
+        }
+      }
+      assert(admitted.sum < probes.size * bounds.size,
+        s"partition $c probes admit every file: $bounds")
+      assert(admitted.min < bounds.size,
+        s"no probe pruned anything in $c: $bounds")
+    }
+    // rows byte-identical through the partitioned read
+    assert(DeltaLog.read(spark, tbl)
+      .agg(org.apache.spark.sql.functions.sum(col("x")),
+        org.apache.spark.sql.functions.count(col("v"))).head ===
+      rows.toDF("x", "y", "cat", "v")
+        .agg(org.apache.spark.sql.functions.sum(col("x")),
+          org.apache.spark.sql.functions.count(col("v"))).head)
+  }
+
   test("partitioned MoR deletes: DVs land per partition, purge rewrites per group") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -15,10 +15,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Optional local-iteration filter: GRAFT_VERIFY_ONLY=m01,m02 runs only
-    // queries whose name starts with one of the prefixes. Driver sets
-    // nothing → full run.
-    val only = sys.env.get("GRAFT_VERIFY_ONLY")
+    // Optional local-iteration filter: GRAFT_VERIFY_ONLY=m01,m02 (or a
+    // third CLI arg, usable from a warm sbt shell whose env is fixed)
+    // runs only queries whose name starts with one of the prefixes.
+    // Driver passes two args and sets nothing → full run.
+    val only = args.drop(2).headOption.orElse(sys.env.get("GRAFT_VERIFY_ONLY"))
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val selected = only match {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }

@@ -722,7 +722,12 @@ object DeltaWrite {
     import org.apache.spark.sql.types._
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
-    require(!logDir.isDirectory || commitFiles(logDir).isEmpty,
+    // existence = JSON commits OR a checkpoint: a table whose JSON log
+    // was expired (checkpoint-only) has no 0.json, so publish(…, 0L)
+    // would "succeed" with actions invisible below the checkpoint —
+    // the same existence test physicalizeForStage uses
+    require(!logDir.isDirectory || (commitFiles(logDir).isEmpty &&
+        DeltaLog.lastCheckpointVersion(logDir).isEmpty),
       s"table already exists: $tablePath (id mode is creation-time " +
         "only — real Delta's rule; existing tables upgrade to name mode)")
     def nested(dt: DataType): Boolean = dt match {
@@ -1031,10 +1036,12 @@ object DeltaWrite {
     *    only compressed bitmap bytes reach the driver — never an
     *    enumerated (file, row) list — and past `maxDvCollectBytes` of
     *    estimated bitmap bytes not even those: the DV files are WRITTEN
-    *    FROM THE EXECUTORS (one per touched data file) and the driver
-    *    sees only (name, descriptor, cardinality) tuples — the 100 TB
-    *    shape, where a delete touching 10⁵ files never concentrates a
-    *    byte of bitmap on the driver;
+    *    FROM THE EXECUTORS, packed per task partition (many bitmaps per
+    *    shared offset-addressed file, flushed every [[dvPackFlushBytes]])
+    *    and the driver sees only (name, descriptor, cardinality) tuples
+    *    — the 100 TB shape, where a delete touching 10⁵ files never
+    *    concentrates a byte of bitmap on the driver NOR scatters 10⁵
+    *    tiny DV files next to the data;
     *  - a second delete on an already-DV'd file UNIONs the bitmaps
     *    (O(bitmap bytes), [[DeltaDv.union]]);
     *  - a file whose every row is dead (declared stats numRecords ==
@@ -1047,6 +1054,14 @@ object DeltaWrite {
     *  - rows where the predicate is NULL are NOT deleted (SQL DELETE
     *    semantics, same as [[deleteWhere]]).
     */
+  /** Flush bound for executor-packed DV files: a task partition packs
+    * merged bitmaps into one shared DV file until their bytes reach
+    * this, then starts another — bounding both per-task memory and the
+    * packed file size (the cap real Delta applies when packing many DVs
+    * into shared files).
+    */
+  private[sources] val dvPackFlushBytes: Long = 128L << 20
+
   def deleteWhereDv(spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       predicate: org.apache.spark.sql.Column,
@@ -1131,16 +1146,40 @@ object DeltaWrite {
         // EXECUTOR-SIDE DV WRITES: each touched file's positions are
         // already aggregated on one executor; it merges with the
         // existing DV (read by descriptor, compressed bytes only) and
-        // writes that file's DV right there. The driver receives ONE
-        // small tuple per file. Fully-dead files (merged cardinality ==
-        // declared numRecords) skip the write entirely.
+        // PACKS the partition's bitmaps into shared DV files (the
+        // offset-addressed format the driver path emits) — one file per
+        // ~`dvPackFlushBytes` of bitmap bytes per task partition, never
+        // one per touched data file (at the 10⁵-touched-file scale this
+        // path exists for, per-file DVs would mean 10⁵ tiny files next
+        // to the data; real Delta packs many DVs per file for the same
+        // reason). The driver receives ONE small tuple per file.
+        // Fully-dead files (merged cardinality == declared numRecords)
+        // skip the write entirely.
         val rootPath = root.getAbsolutePath
         val dvMeta: Map[String, (Option[DeltaDv.Descriptor], Option[Long])] =
           byName.map { case (n, a) => n -> ((a.dv, physicalRows(a))) }
         val dvMetaB = spark.sparkContext.broadcast(dvMeta)
+        val flushBytes = dvPackFlushBytes
         val results = grouped.rdd.mapPartitions { it =>
           val rootF = new File(rootPath)
-          it.map { row =>
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, String, Long, Long)]
+          // pending (name, n, card, bytes) awaiting a packed flush; the
+          // buffer is bounded by flushBytes + one bitmap, so partition
+          // memory never scales with touched-file count
+          val pending = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, Array[Byte])]
+          var pendingBytes = 0L
+          def flush(): Unit = if (pending.nonEmpty) {
+            val (pathOrInline, offs) =
+              DeltaDv.writeDvFile(rootF, pending.map(_._4).toSeq)
+            pending.zip(offs).foreach { case ((name, n, card, b), (off, len)) =>
+              require(len == b.length.toLong, "DV entry length drift")
+              out += ((name, n, card, pathOrInline, off, len))
+            }
+            pending.clear(); pendingBytes = 0L
+          }
+          it.foreach { row =>
             val name = row.getString(0)
             val idx = row.getSeq[Long](1)
             val fresh = DeltaDv.serializePositions(idx)
@@ -1154,14 +1193,15 @@ object DeltaWrite {
               case None => (fresh, idx.size.toLong)
             }
             if (phys.contains(card))
-              (name, idx.size.toLong, card, null: String, -1L, -1L)
+              out += ((name, idx.size.toLong, card, null: String, -1L, -1L))
             else {
-              val (pathOrInline, offs) =
-                DeltaDv.writeDvFile(rootF, Seq(bytes))
-              (name, idx.size.toLong, card, pathOrInline,
-                offs.head._1, offs.head._2)
+              pending += ((name, idx.size.toLong, card, bytes))
+              pendingBytes += bytes.length
+              if (pendingBytes >= flushBytes) flush()
             }
           }
+          flush()
+          out.iterator
         }.collect()
         dvMetaB.unpersist()
         results.toSeq.map { case (name, n, card, pathOrInline, off, len) =>

@@ -48,6 +48,12 @@ import graft.server.MiniJson
   */
 object IcebergLog {
 
+  /** Never-referenced files younger than this survive [[expireSnapshots]]
+    * — they may be a live writer's pre-claim staging. 3 days, matching
+    * real Iceberg's `remove_orphan_files` `older_than` default.
+    */
+  val defaultOrphanAgeMs: Long = 3L * 24 * 3600 * 1000
+
   /** `summary` carries the snapshot's key/value properties — the spec's
     * snapshot summary, which streaming sinks use as their idempotence
     * record (the Flink Iceberg sink stores its checkpoint id there).
@@ -1735,10 +1741,13 @@ object IcebergLog {
     * LOUDLY at resolve time (it is no longer in the metadata), current
     * reads are untouched. A file marked DELETED in the head snapshot
     * but still live in an older SURVIVING snapshot is kept — liveness
-    * is the union over survivors. Returns (new metadata version, names
-    * of deleted files).
+    * is the union over survivors. Files referenced by NO snapshot at
+    * all (a lost commit race's staging) are reclaimed only once older
+    * than `orphanAgeMs` — see the in-body comment. Returns (new
+    * metadata version, names of deleted files).
     */
-  def expireSnapshots(tablePath: String, keep: Int): (Long, Seq[String]) = {
+  def expireSnapshots(tablePath: String, keep: Int,
+      orphanAgeMs: Long = defaultOrphanAgeMs): (Long, Seq[String]) = {
     require(keep >= 1, "must keep at least the current snapshot")
     val root = new File(tablePath)
     val metaDir = new File(root, "metadata")
@@ -1772,30 +1781,52 @@ object IcebergLog {
     // drops; ORPHAN RECLAMATION runs regardless — a lost commit race
     // (per-attempt unique manifest names) or a writer that died between
     // staging and its version claim leaves valid-but-unreferenced
-    // manifest/manifest-list avros and data parquets, and those must
-    // not wait for the next snapshot drop to be reclaimed. (Real
-    // Iceberg splits this into expire_snapshots + remove_orphan_files;
-    // production cleanup there uses an age threshold so an IN-FLIGHT
-    // writer's staged files survive — same caveat applies here, where
-    // expiry is assumed to run without concurrent writers.)
+    // manifest/manifest-list avros and data parquets. Two classes, two
+    // rules (real Iceberg's expire_snapshots + remove_orphan_files):
+    //  - files referenced by a DROPPED snapshot but no survivor were
+    //    committed and are now dereferenced → reclaim immediately;
+    //  - files referenced by NO snapshot at all are indistinguishable
+    //    from an IN-FLIGHT writer's staging (commitWithRetry stages
+    //    data parquets and manifest avros BEFORE claiming a metadata
+    //    version), so they are reclaimed only past `orphanAgeMs`
+    //    (default 3 days, remove_orphan_files' `older_than` default);
+    //    pass 0 for immediate reclamation when no writers can be live.
+    val allReferenced = meta.snapshots.flatMap { s =>
+      val (d, x) = liveSplitEntries(tablePath, Some(s.snapshotId))
+      d ++ x
+    }.map(e => new File(e.path).getName).toSet
+    val allMeta = meta.snapshots.flatMap { s =>
+      val listFile = new File(resolve(s.manifestList))
+      listFile.getName +: readAvro(listFile)
+        .map(r => new File(resolve(r.get("manifest_path").toString)).getName)
+    }.toSet
+    val orphanCutoff = System.currentTimeMillis() - orphanAgeMs
+    def reclaimable(f: File, everReferenced: Boolean): Boolean =
+      everReferenced || f.lastModified() <= orphanCutoff
     val priorVersion = mf.getName.stripPrefix("v")
       .stripSuffix(".metadata.json").toLong
     val version =
       if (survivors.size == meta.snapshots.size) priorVersion
       else {
         val survivorJsons = survivors.map(snapshotJson)
+        // nameMapping must survive the rewrite: dropping it turns a
+        // name-mode UniForm mirror unreadable (readers fall back to the
+        // footer-field-id branch against files that carry no field ids)
         writeMetadataVersion(metaDir, tablePath, priorVersion + 1,
           meta.currentSnapshotId, survivorJsons, meta.specs,
-          meta.defaultSpecId, meta.refs, meta.schemaFields)
+          meta.defaultSpecId, meta.refs, meta.schemaFields,
+          meta.nameMapping)
         priorVersion + 1
       }
     val orphanData = Option(new File(root, "data").listFiles())
       .getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
-        !keepData.contains(f.getName))
+        !keepData.contains(f.getName) &&
+        reclaimable(f, allReferenced.contains(f.getName)))
     val orphanMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".avro") &&
-        !keepMeta.contains(f.getName))
+        !keepMeta.contains(f.getName) &&
+        reclaimable(f, allMeta.contains(f.getName)))
     val deleted = (orphanData ++ orphanMeta).map { f =>
       Files.delete(f.toPath)
       f.getName

@@ -2306,6 +2306,19 @@ class SourcesSpec extends SparkSpec {
       s"name-mapped mirror lost logical names: ${nIce.columns.toSeq}")
     assert(nIce.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
       .toSeq === Seq((1L, "x"), (2L, "y")))
+    // EXPIRY preserves the mapping: the metadata rewrite on a snapshot
+    // drop must carry schema.name-mapping.default forward — dropping it
+    // sends readers down the footer-field-id branch against files that
+    // carry no field ids (regression: expireSnapshots omitted the
+    // nameMapping argument)
+    DeltaWrite.append(Seq((3L, "z")).toDF("id", "val"), nTbl)
+    assert(Uniform.deltaToIceberg(spark, nTbl).snapshotId.isDefined)
+    IcebergLog.expireSnapshots(nTbl, keep = 1)
+    val nExp = IcebergLog.read(spark, nTbl)
+    assert(nExp.columns.toSeq === Seq("id", "val"),
+      s"expiry dropped the name mapping: ${nExp.columns.toSeq}")
+    assert(nExp.orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "x"), (2L, "y"), (3L, "z")))
     // ID-mode mapping TRANSLATES: footer field ids become the Iceberg
     // schema's field ids; the mirror records a schema and resolves by
     // id, so the physical Delta names are irrelevant
@@ -2923,6 +2936,20 @@ class SourcesSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       DeltaWrite.createIdMapped(Seq((9L, "z", 0.0)).toDF("id", "n", "q"), tbl)
     }.getMessage.contains("already exists"))
+    // ...including a CHECKPOINT-ONLY table (JSON log expired): 0.json no
+    // longer exists, so a naive publish(…, 0L) would "succeed" with its
+    // actions invisible below the checkpoint — the guard must also test
+    // the checkpoint, like physicalizeForStage's existence rule
+    DeltaWrite.checkpoint(spark, tbl)
+    DeltaWrite.expireLog(tbl)
+    assert(!Option(new java.io.File(tbl, "_delta_log").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .exists(_.getName.matches("\\d{20}\\.json")))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.createIdMapped(Seq((9L, "z", 0.0)).toDF("id", "n", "q"), tbl)
+    }.getMessage.contains("already exists"))
+    // the table still reads after the refused create (nothing clobbered)
+    assert(DeltaLog.read(spark, tbl).count() >= 2L)
     // nested columns refuse (ids cannot ride into nested fields)
     assert(intercept[IllegalArgumentException] {
       DeltaWrite.createIdMapped(
@@ -2955,6 +2982,17 @@ class SourcesSpec extends SparkSpec {
     Files.copy(srcParquet.toPath, orphanParquet.toPath)
     val rowsBefore = IcebergLog.read(spark, tbl).orderBy("id").collect().toSeq
     val versionBefore = IcebergLog.snapshots(tbl).size
+    // FRESH debris survives the default age gate: a file referenced by
+    // no snapshot is indistinguishable from a live writer's pre-claim
+    // staging, so default expiry must NOT delete it (the racing-writer
+    // protection real remove_orphan_files' older_than default gives)
+    val (_, deletedFresh) = IcebergLog.expireSnapshots(tbl, keep = 2)
+    assert(deletedFresh.isEmpty && orphanAvro.exists && orphanParquet.exists,
+      s"fresh never-referenced staging was reclaimed: $deletedFresh")
+    // ...past the age threshold the debris IS reclaimed (backdate mtime
+    // rather than opt in with orphanAgeMs=0 — exercises the cutoff)
+    val old = System.currentTimeMillis() - 4L * 24 * 3600 * 1000
+    assert(orphanAvro.setLastModified(old) && orphanParquet.setLastModified(old))
     // keep = all snapshots: NO metadata version published (nothing
     // expired), yet the debris is reclaimed
     val (v1, deleted1) = IcebergLog.expireSnapshots(tbl, keep = 2)
@@ -3215,18 +3253,25 @@ class SourcesSpec extends SparkSpec {
     val td = s"$tmp/dv_driver"; stage(td)
     val std = DeltaWrite.deleteWhereDv(spark, td, col("id") % 3 === 0L)
     // executor path (tiny bound: the 2 B/position + 8 KiB/file estimate
-    // exceeds it): one DV file PER touched data file, written where the
-    // positions were aggregated — the driver never sees bitmap bytes
+    // exceeds it): bitmaps are PACKED per task partition — DV file count
+    // is bounded by the shuffle partition count, never one per touched
+    // data file (pin with 2 shuffle partitions against 4 touched files)
     val te = s"$tmp/dv_exec"; stage(te)
-    val ste = DeltaWrite.deleteWhereDv(spark, te, col("id") % 3 === 0L,
-      maxDvCollectBytes = 64L)
+    val packParts = 2
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", packParts)
+    val ste =
+      try DeltaWrite.deleteWhereDv(spark, te, col("id") % 3 === 0L,
+        maxDvCollectBytes = 64L)
+      finally spark.conf.set("spark.sql.shuffle.partitions", priorShuffle)
     assert(ste.rowsDeleted === std.rowsDeleted &&
       ste.filesTouched === std.filesTouched)
     def dvFiles(t: String): Int = new File(t).listFiles()
       .count(_.getName.startsWith("deletion_vector_"))
     assert(dvFiles(td) === 1)
-    assert(dvFiles(te) === ste.filesTouched,
-      "executor path should write one DV file per touched file")
+    assert(ste.filesTouched === 4)
+    assert(dvFiles(te) <= packParts && dvFiles(te) < ste.filesTouched,
+      s"executor path should pack DVs per task partition, got ${dvFiles(te)}")
     // identical surviving rows through the scan either way
     def rows(t: String): Seq[Long] =
       DeltaLog.read(spark, t).select("id").collect().map(_.getLong(0)).sorted.toSeq

@@ -72,11 +72,30 @@ object Bench {
     t
   }
 
-  /** Forensic deltas for one measured run. */
+  /** Machine-wide busy jiffies (USER_HZ = 100) from /proc/stat line 1 —
+    * user+nice+system+irq+softirq+steal, excluding idle and iowait.
+    * Subtracting this process's own CPU delta yields FOREIGN CPU: the
+    * attribution loadavg cannot give (the 1-min average folds our own
+    * 32-thread bursts into the same number as a live competitor — the
+    * r16 "load 2.3–3.6 under dirty:false" ambiguity).
+    */
+  private def busyJiffies(): Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** Forensic deltas for one measured run. `fcores` = average CPU cores
+    * used by processes OTHER than this JVM during the run (−1 where
+    * /proc/stat is unreadable) — the per-run dirty signal.
+    */
   final case class RunForensics(load: Double, procCpu: Double, jitMs: Long,
-      gcMs: Long) {
+      gcMs: Long, fcores: Double) {
     def json: String =
-      f"""{"load":$load%.2f,"proc_cpu":$procCpu%.2f,"jit_ms":$jitMs,"gc_ms":$gcMs}"""
+      f"""{"load":$load%.2f,"proc_cpu":$procCpu%.2f,"jit_ms":$jitMs,"gc_ms":$gcMs,"fcores":$fcores%.2f}"""
   }
 
   private def measure[A](body: => A): (Double, RunForensics, A) = {
@@ -84,11 +103,16 @@ object Bench {
     val cpu0 = osBean.getProcessCpuTime
     val jit0 = jitTotalMs()
     val gc0 = gcTotalMs()
+    val busy0 = busyJiffies()
     val t0 = System.nanoTime()
     val a = body
     val secs = (System.nanoTime() - t0) / 1e9
+    val fcores =
+      if (busy0 < 0) -1.0
+      else math.max(0.0, (busyJiffies() - busy0) / 100.0 -
+        (osBean.getProcessCpuTime - cpu0) / 1e9) / math.max(secs, 1e-9)
     (secs, RunForensics(load0, (osBean.getProcessCpuTime - cpu0) / 1e9,
-      jitTotalMs() - jit0, gcTotalMs() - gc0), a)
+      jitTotalMs() - jit0, gcTotalMs() - gc0, fcores), a)
   }
 
   /** Ambient-load settle gate. The old gate was a single ≤2.0 snapshot —
@@ -186,7 +210,15 @@ object Bench {
     */
   private final case class BatchStats(qps: Double, f: RunForensics) {
     def json: String =
-      f"""{"qps":$qps%.3f,"load":${f.load}%.2f,"proc_cpu":${f.procCpu}%.2f,"jit_ms":${f.jitMs},"gc_ms":${f.gcMs}}"""
+      f"""{"qps":$qps%.3f,"load":${f.load}%.2f,"proc_cpu":${f.procCpu}%.2f,"jit_ms":${f.jitMs},"gc_ms":${f.gcMs},"fcores":${f.fcores}%.2f}"""
+    /** `[qps, load_at_start, foreign_cores, jit_ms, gc_ms]` — compact
+      * enough that EVERY batch of EVERY entry fits inside the summary
+      * line the driver's 2 KB tail is guaranteed to keep (the r16
+      * q01_multirg contradiction was undiagnosable precisely because
+      * this evidence lived only in the truncated verbose line).
+      */
+    def compact: String =
+      f"""[$qps%.2f,${f.load}%.2f,${f.fcores}%.2f,${f.jitMs},${f.gcMs}]"""
   }
 
   /** Stage an isolated multi-split copy of sf lineitem: the three-round
@@ -293,7 +325,7 @@ object Bench {
           }
         } catch { case e: Throwable =>
           info(s"concurrent $nameForLog failed: ${e.getMessage}")
-          (1.0, RunForensics(loadAvg(), 0.0, 0L, 0L), false)
+          (1.0, RunForensics(loadAvg(), 0.0, 0L, 0L, -1.0), false)
         } finally pool.shutdown()
         spark.catalog.clearCache()
         System.gc()
@@ -306,6 +338,14 @@ object Bench {
     out
   }
 
+  /** Ambient-CPU threshold above which a measured number is stamped
+    * dirty: a foreign process averaging more than this many cores during
+    * the run that produced the reported min/max. 1.0 clears kernel noise
+    * and the monitoring tail while catching any real competitor.
+    */
+  private def dirtyForeignCores: Double =
+    sys.env.getOrElse("SPARK_GRAFT_DIRTY_FCORES", "1.0").toDouble
+
   private def concJson(rows: Seq[(String, Seq[BatchStats])], concIters: Int,
       workers: Int): String = {
     val cs = rows.map { case (k, bs) =>
@@ -314,7 +354,55 @@ object Bench {
     val batches = rows.map { case (k, bs) =>
       "\"" + k + "\":" + bs.map(_.json).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    s""""concurrent_qps":$cs,"concurrent_batches":$batches,"concurrent_iters":$concIters,"concurrent_workers":$workers"""
+    // compact per-batch evidence, [qps,load,fcores,jit_ms,gc_ms] per
+    // batch, keyed by the entry's short name — small enough to ride in
+    // the tail-proof summary line
+    val compact = rows.map { case (k, bs) =>
+      "\"" + shortKey(k) + "\":" + bs.map(_.compact).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // the reported number per entry is the BEST batch's qps — the entry
+    // is dirty when THAT batch ran against foreign CPU
+    val dirtyEntries = rows.filter { case (_, bs) =>
+      bs.nonEmpty && bs.maxBy(_.qps).f.fcores > dirtyForeignCores
+    }.map(_._1)
+    val concDirty = dirtyEntries.nonEmpty
+    val dirtyJson = dirtyEntries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s""""concurrent_qps":$cs,"concurrent_batches":$batches,"concurrent_compact":$compact,"concurrent_dirty":$concDirty,"concurrent_dirty_entries":$dirtyJson,"concurrent_iters":$concIters,"concurrent_workers":$workers"""
+  }
+
+  /** Short display key: leading `_`-segment, plus a disambiguating tail
+    * for staged variants (`q01_multirg` → `q01m`, not `q01`).
+    */
+  private def shortKey(n: String): String = {
+    val head = n.split("_").head
+    if (n.endsWith("_multirg")) head + "m" else head
+  }
+
+  /** Extract `"key":<value>` from a flat JSON fragment, where value is a
+    * balanced object/array or a scalar — enough structure awareness to
+    * lift the child's compact fields into the parent's summary line
+    * without a JSON library.
+    */
+  private def fragField(frag: String, key: String): Option[String] = {
+    val tag = "\"" + key + "\":"
+    val i = frag.indexOf(tag)
+    if (i < 0) return None
+    val start = i + tag.length
+    frag(start) match {
+      case c @ ('{' | '[') =>
+        val close = if (c == '{') '}' else ']'
+        var depth = 0
+        var j = start
+        while (j < frag.length) {
+          if (frag(j) == c) depth += 1
+          else if (frag(j) == close) { depth -= 1; if (depth == 0) return Some(frag.substring(start, j + 1)) }
+          j += 1
+        }
+        None
+      case _ =>
+        val j = frag.indexWhere(ch => ch == ',' || ch == '}', start)
+        Some(frag.substring(start, if (j < 0) frag.length else j))
+    }
   }
 
   /** Fork a fresh JVM (same flags + classpath) running ONLY the concurrent
@@ -423,7 +511,7 @@ object Bench {
         (secs, f)
       } catch { case e: Throwable =>
         info(s"$name failed: ${e.getMessage}")
-        (-1.0, RunForensics(loadAvg(), 0.0, 0L, 0L))
+        (-1.0, RunForensics(loadAvg(), 0.0, 0L, 0L, -1.0))
       }
     }
 
@@ -486,7 +574,20 @@ object Bench {
 
     val loadAfter = loadAvg()
     val jvmsAfter = foreignJvms()
-    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"load_gate_trajectory":${trajJson(gateTraj)},"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$dirty"""
+    // per-query dirty: the run that PRODUCED each reported min saw this
+    // much foreign CPU — a start-gate-only dirty misses competitors that
+    // arrive mid-run (r16: serial hot rows recorded load 2.3–3.6 under
+    // dirty:false, unattributable between self-load and ambient)
+    val dirtyQueries = results.collect {
+      case (k, _, _, fr, _) if fr.fcores > dirtyForeignCores => k
+    }
+    val serialDirty = dirty || dirtyQueries.nonEmpty
+    val dirtyQueriesJson =
+      dirtyQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val concDirty = fragField(concFragment, "concurrent_dirty")
+      .contains("true")
+    val anyDirty = serialDirty || concDirty
+    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"load_gate_trajectory":${trajJson(gateTraj)},"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$anyDirty,"dirty_gate":$dirty,"dirty_queries":$dirtyQueriesJson"""
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_median":$qsMed,"queries_forensics":$qsForensics,$env,$concFragment,"concurrent_isolated":$isolated,"sf":"$sfDir"}""")
     // SERIAL forensics tail line: the artifact keeps only the last ~2 KB
@@ -497,7 +598,6 @@ object Bench {
     // leading segment is unique) and 2-decimal arrays keep it inside the
     // tail; a serial regression is then attributable (ambient load vs
     // jit storm vs real) from the artifact alone, without a rerun.
-    val shortKey = (n: String) => n.split("_").head
     val runsJson = results.map { case (k, _, _, _, rs) =>
       "\"" + shortKey(k) + "\":" +
         rs.map(r => f"$r%.2f").mkString("[", ",", "]")
@@ -505,17 +605,22 @@ object Bench {
     val hotJson = results.sortBy(-_._2).take(6)
       .map { case (k, _, _, fr, _) =>
         "\"" + shortKey(k) +
-          f"""\":{"l":${fr.load}%.2f,"j":${fr.jitMs},"g":${fr.gcMs}}"""
+          f"""\":{"l":${fr.load}%.2f,"f":${fr.fcores}%.2f,"j":${fr.jitMs},"g":${fr.gcMs}}"""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"serial_runs","runs":$runsJson,"hot":$hotJson,"iters":$iters,"dirty":$dirty}""")
+    println(s"""{"metric":"serial_runs","runs":$runsJson,"hot":$hotJson,"iters":$iters,"dirty":$serialDirty}""")
     // Tail-proof summary: the forensic line above grew past the driver's
     // fixed-size tail capture in r10, truncating the headline per-query
     // wall times out of the artifact. A compact line with ONLY the
-    // headline numbers prints LAST so the final ~2 KB of output always
-    // carries them, whatever the forensics grow to.
-    val concQps = concFragment.split(",\"concurrent_batches\"").head
-      .stripPrefix("\"concurrent_qps\":")
-    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$qs,"concurrent_qps":$concQps,"dirty":$dirty,"sf":"$sfDir"}""")
+    // headline numbers — now INCLUDING the per-batch concurrent evidence
+    // (compact form) and the per-query dirty attribution, the two fields
+    // whose truncation made r16's q01_multirg contradiction undiagnosable
+    // — prints LAST so the final ~2 KB of output always carries them.
+    val concQps = fragField(concFragment, "concurrent_qps").getOrElse("{}")
+    val concCompact =
+      fragField(concFragment, "concurrent_compact").getOrElse("{}")
+    val concDirtyEntries =
+      fragField(concFragment, "concurrent_dirty_entries").getOrElse("[]")
+    println(f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$qs,"concurrent_qps":$concQps,"cb":$concCompact,"dirty":$anyDirty,"dirty_queries":$dirtyQueriesJson,"dirty_conc":$concDirtyEntries,"sf":"$sfDir"}""")
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

@@ -877,8 +877,14 @@ object SourceQueries {
       graft.sources.DeltaWrite.appendPartitioned(o, tbl,
         Seq("o_orderstatus"))
       val filesBefore = graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+      // soak override: graft.dv.maxCollectBytes=0 forces the EXECUTOR
+      // DV-write path (packed per task partition), so the distributed
+      // shape gets its own sf1 soak row; unset → production default
+      val dvBound = sys.props.get("graft.dv.maxCollectBytes")
+        .map(_.toLong).getOrElse(256L << 20)
       val st = graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
-        col("o_orderstatus") === "F" && col("o_orderkey") % 4 === 0)
+        col("o_orderstatus") === "F" && col("o_orderkey") % 4 === 0,
+        maxDvCollectBytes = dvBound)
       require(st.rowsDeleted > 0, "partitioned DV delete matched nothing")
       // merge-on-read: untouched-partition files keep physical identity
       require(graft.sources.DeltaLog.liveFiles(s, tbl).toSet
@@ -1608,6 +1614,48 @@ object SourceQueries {
     }, Some("""
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
+    // x46c: UNIFORM FOR PARTITIONED **COLUMN-MAPPED** DELTA — the
+    // translations COMPOSE: an id-mapped table created PARTITIONED
+    // (physical hive dirs, physical pv keys), metadata-only renames of
+    // both a data column AND the partition column, then one sync. The
+    // mirror's partition spec carries the mapping's field ids as
+    // source-ids and the renamed LOGICAL names as field names; reads
+    // resolve data columns by footer field id, re-inject the partition
+    // column from manifests, and prune manifest-only. In-query requires
+    // pin the pruning and the pruned-read row count; the oracle pins the
+    // full mirror bytes against the pre-rename Delta truth.
+    QueryDef("x46c_uniform_partitioned_mapped", (s, d) => {
+      val tbl = s"$stage/uniform_part_mapped"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.createIdMapped(o, tbl,
+        partitionCols = Seq("o_orderstatus"))
+      graft.sources.DeltaWrite.renameColumn(s, tbl, "o_totalprice", "price")
+      graft.sources.DeltaWrite.renameColumn(s, tbl, "o_orderstatus", "status")
+      val st = graft.sources.Uniform.deltaToIceberg(s, tbl,
+        Seq(1 -> "o_orderkey"))
+      require(st.snapshotId.isDefined && st.filesAdded > 0,
+        s"mapped partitioned sync refused or empty: $st")
+      val (kept, total) = graft.sources.IcebergLog.prunePartitions(tbl,
+        Map("status" -> "F"))
+      require(kept.nonEmpty && kept.size < total,
+        s"mapped mirror partition pruning did not shrink: ${kept.size}/$total")
+      val fWant = o.filter(col("o_orderstatus") === "F").count()
+      require(graft.sources.IcebergLog.readPartition(s, tbl,
+          Map("status" -> "F")).count() == fWant,
+        "pruned mapped mirror read diverges from the Delta truth")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("status"),
+          col("price").cast("double").as("price"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        o_orderstatus AS status,
+        CAST(o_totalprice AS DOUBLE) AS price
       FROM orders ORDER BY o_orderkey""")),
 
     // x47: SHALLOW CLONE — zero-copy branch of a Delta table (the

@@ -176,20 +176,82 @@ object DeltaLog {
       adds: Seq[LiveFile],
       logical: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.col
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"column-mapped partitioned tables are not supported: $tablePath " +
-        "(partitionValues are keyed by physical names — rewrite or read " +
-        "the files directly)")
+    val (partFields, dataFields, physOf) = mappedPartitionSplit(logical, adds,
+      tablePath)
     spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-    val request = fieldIdRequestSchema(logical, tablePath)
+    val request = fieldIdRequestSchema(
+      org.apache.spark.sql.types.StructType(dataFields), tablePath)
     val base = applyDv(spark,
       spark.read.schema(request).parquet(adds.map(_.path): _*),
       adds, new File(tablePath))
+    val withPv = injectPvMapped(spark, adds, base, partFields, physOf)
     // strip the mapping metadata from the result schema (the reader's
-    // output contract is the clean logical shape, same as name mode)
-    base.select(logical.fields.map { f =>
+    // output contract is the clean logical shape, same as name mode);
+    // partition columns cast from the log's strings to their declared
+    // types, in schema order
+    withPv.select(logical.fields.map { f =>
       col(s"`${f.name}`").cast(logicalType(f.dataType)).as(f.name)
     }.toSeq: _*)
+  }
+
+  /** Split a mapped table's logical schema into (partition fields, data
+    * fields, logical → physical partition-key map). A logical field is a
+    * partition field iff its PHYSICAL name keys every add's
+    * `partitionValues` — the protocol stores pv keyed by physical names
+    * under column mapping, while `metaData.partitionColumns` stays
+    * logical. Mixed layouts (adds disagreeing on pv keys) refuse, same
+    * as the unmapped injector.
+    */
+  private def mappedPartitionSplit(
+      logical: org.apache.spark.sql.types.StructType, adds: Seq[LiveFile],
+      tablePath: String): (Seq[org.apache.spark.sql.types.StructField],
+        Seq[org.apache.spark.sql.types.StructField], Map[String, String]) = {
+    val pvKeys = adds.headOption.map(_.partitionValues.keySet)
+      .getOrElse(Set.empty)
+    require(adds.forall(_.partitionValues.keySet == pvKeys),
+      s"mixed partitioned/unpartitioned Delta table: add actions " +
+        s"disagree on partition keys in $tablePath — rewrite with one " +
+        "layout")
+    def phys(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains(PhysNameKey)) f.metadata.getString(PhysNameKey)
+      else f.name
+    val (part, data) = logical.fields.partition(f => pvKeys.contains(phys(f)))
+    val resolved = part.map(f => f.name -> phys(f)).toMap
+    require(resolved.values.toSet == pvKeys,
+      s"partition keys ${pvKeys -- resolved.values} have no schema field " +
+        s"whose physical name matches in $tablePath")
+    (part.toSeq, data.toSeq, resolved)
+  }
+
+  /** [[injectPv]]'s column-mapped sibling: pv keys are PHYSICAL names,
+    * output columns take the LOGICAL names (typed casts happen in the
+    * caller's final projection). No-op for unpartitioned adds.
+    */
+  private def injectPvMapped(spark: SparkSession, adds: Seq[LiveFile],
+      base: DataFrame,
+      partFields: Seq[org.apache.spark.sql.types.StructField],
+      physOf: Map[String, String]): DataFrame = {
+    if (partFields.isEmpty) base
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val hadoopConf = spark.sessionState.newHadoopConf()
+      val fileKey = "__graft_delta_file"
+      val rows = adds.map { a =>
+        val p = new org.apache.hadoop.fs.Path(a.path)
+        val qualified = p.getFileSystem(hadoopConf).makeQualified(p)
+          .toUri.toString
+        org.apache.spark.sql.Row.fromSeq(qualified +:
+          partFields.map(f => a.partitionValues.get(physOf(f.name)).orNull))
+      }
+      val mapSchema = StructType(StructField(fileKey, StringType) +:
+        partFields.map(f => StructField(f.name, StringType)))
+      val fileToPv = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), mapSchema)
+      base.withColumn(fileKey, input_file_name())
+        .join(broadcast(fileToPv), Seq(fileKey))
+        .drop(col(fileKey))
+    }
   }
 
   /** Mapped decode of ARBITRARY parquet paths (no DV application, no
@@ -232,17 +294,26 @@ object DeltaLog {
       adds: Seq[LiveFile],
       logical: org.apache.spark.sql.types.StructType): DataFrame = {
     import org.apache.spark.sql.functions.col
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"column-mapped partitioned tables are not supported: $tablePath " +
-        "(partitionValues are keyed by physical names — rewrite or read " +
-        "the files directly)")
-    val physical = physicalize(logical)
+    val (partFields, dataFields, physOf) = mappedPartitionSplit(logical, adds,
+      tablePath)
+    val dataLogical = org.apache.spark.sql.types.StructType(dataFields)
+    val physical = physicalize(dataLogical)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val base = applyDv(spark,
+    val base0 = applyDv(spark,
       spark.read.schema(physical).parquet(adds.map(_.path): _*),
       adds, new File(tablePath))
-    base.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
-      col(s"`${pf.name}`").cast(logicalType(lf.dataType)).as(lf.name)
+    // positional rename back to logical happens per data field; the
+    // partition columns join in from the log under their logical names
+    // and the final projection below casts and orders everything
+    // (input_file_name() still resolves after a projection — it reads
+    // the task's scan context, not a relation column)
+    val decoded = base0.select(
+      dataFields.zip(physical.fields).map { case (lf, pf) =>
+        col(s"`${pf.name}`").as(lf.name)
+      }: _*)
+    val withPv = injectPvMapped(spark, adds, decoded, partFields, physOf)
+    withPv.select(logical.fields.map { lf =>
+      col(s"`${lf.name}`").cast(logicalType(lf.dataType)).as(lf.name)
     }.toSeq: _*)
   }
 

@@ -611,13 +611,19 @@ object DeltaWrite {
       extraActions: Seq[String] = Seq.empty,
       newSchemaJson: Option[String] = None,
       operation: String = "SET TBLPROPERTIES",
-      opParams: Map[String, String] = Map.empty): Long = {
+      opParams: Map[String, String] = Map.empty,
+      newPartitionColumns: Option[Seq[String]] = None): Long = {
     def str(k: String): String = meta.get(k).collect { case s: String => s }
       .getOrElse(throw new IllegalArgumentException(
         s"metaData action lacks required field $k"))
-    val partCols = meta.get("partitionColumns")
-      .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
-      .getOrElse(Seq.empty)
+    // partitionColumns carry forward verbatim unless the caller renames
+    // one (metaData.partitionColumns record LOGICAL names, which follow
+    // a RENAME COLUMN; the add actions' pv keys are physical and never
+    // change)
+    val partCols = newPartitionColumns.getOrElse(
+      meta.get("partitionColumns")
+        .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
+        .getOrElse(Seq.empty))
     val config = meta.get("configuration")
       .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
       .getOrElse(Map.empty)
@@ -715,9 +721,17 @@ object DeltaWrite {
     * every reader resolves columns by footer id — names and column
     * order in the files never matter again. Top-level non-nested
     * columns only (footer ids cannot be attached to nested fields at
-    * stage time). Returns the committed version (0).
+    * stage time).
+    *
+    * `partitionCols` creates the table PARTITIONED under mapping: data
+    * files land in hive dirs named by the PHYSICAL partition column
+    * (add.partitionValues are keyed physical per the protocol, while
+    * metaData.partitionColumns record the logical names), so partition
+    * column renames stay metadata-only like everything else.
+    * Returns the committed version (0).
     */
-  def createIdMapped(df: DataFrame, tablePath: String): Long = {
+  def createIdMapped(df: DataFrame, tablePath: String,
+      partitionCols: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val root = new File(tablePath)
@@ -755,15 +769,81 @@ object DeltaWrite {
           .putLong(DeltaLog.ParquetFieldIdKey, (i + 1).toLong).build()
         col(s"`${lf.name}`").as(pf.name, md)
       }.toSeq: _*)
-    val files = stageDataFiles(staged, root)
-    val adds = files.map(addWithStats(_, physical))
+    partitionCols.foreach(c => require(df.columns.contains(c),
+      s"createIdMapped: partition column '$c' not in the DataFrame"))
+    val physByLogical = logical.fields.zip(physical.fields)
+      .map { case (lf, pf) => lf.name -> pf.name }.toMap
+    val adds: Seq[String] =
+      if (partitionCols.isEmpty)
+        stageDataFiles(staged, root).map(addWithStats(_, physical))
+      else {
+        // PARTITIONED staging: hive dirs named by the PHYSICAL column
+        // (the pv keys of every future add), data files carry only the
+        // non-partition physical columns with their footer ids
+        val physParts = partitionCols.map(physByLogical)
+        val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
+        staged.write.partitionBy(physParts: _*).parquet(staging.getPath)
+        def hiveDecode(s0: String): String =
+          java.net.URLDecoder.decode(s0.replace("+", "%2B"), "UTF-8")
+        def walk(dir: File, pv: Map[String, String])
+            : Seq[(File, Map[String, String])] =
+          Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+            case d if d.isDirectory && d.getName.contains("=") =>
+              val Array(k, raw) = d.getName.split("=", 2)
+              val value =
+                if (raw == "__HIVE_DEFAULT_PARTITION__") null
+                else hiveDecode(raw)
+              walk(d, pv + (hiveDecode(k) -> value))
+            case f if f.isFile && f.getName.endsWith(".parquet") =>
+              Seq(f -> pv)
+            case _ => Seq.empty
+          }
+        val stagedFiles = walk(staging, Map.empty)
+        require(stagedFiles.nonEmpty, s"no data files produced for $tablePath")
+        val moved = stagedFiles.map { case (f, pv) =>
+          val dir = new File(root, physParts.map { c =>
+            val seg = pv(c) match {
+              case null => "__HIVE_DEFAULT_PARTITION__"
+              case v => java.net.URLEncoder.encode(v, "UTF-8")
+            }
+            s"$c=$seg"
+          }.mkString("/"))
+          dir.mkdirs()
+          val dst = new File(dir, s"part-${java.util.UUID.randomUUID}.parquet")
+          Files.move(f.toPath, dst.toPath)
+          (dst, pv)
+        }
+        def rmTree(f: File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+          Files.deleteIfExists(f.toPath); ()
+        }
+        rmTree(staging)
+        val physData = org.apache.spark.sql.types.StructType(
+          physical.fields.filterNot(f => physParts.contains(f.name)))
+        moved.map { case (f, pv) =>
+          val rel = relPath(root, f.getPath).split("/")
+            .map(seg => java.net.URLEncoder.encode(seg, "UTF-8")).mkString("/")
+          val pvJson = pv.map {
+            case (k, null) => s""""${jsonEscape(k)}":null"""
+            case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+          }.mkString("{", ",", "}")
+          s"""{"add":{"path":"${jsonEscape(rel)}",""" +
+            s""""partitionValues":$pvJson,"size":${f.length},""" +
+            s""""modificationTime":${f.lastModified},""" +
+            fileStats(f, physData).fold("")(x =>
+              s""""stats":"${jsonEscape(x)}",""") +
+            """"dataChange":true}}"""
+        }
+      }
     val maxId = logical.fields.length
+    val partColsJson = partitionCols.map(c =>
+      "\"" + jsonEscape(c) + "\"").mkString(",")
     publish(logDir, 0L, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"${java.util.UUID.randomUUID}",""" +
         """"format":{"provider":"parquet","options":{}},""" +
         s""""schemaString":"${jsonEscape(logical.json)}",""" +
-        """"partitionColumns":[],""" +
+        s""""partitionColumns":[$partColsJson],""" +
         s""""configuration":{"delta.columnMapping.mode":"id",""" +
         s""""delta.columnMapping.maxColumnId":"$maxId"}}}""") ++ adds :+
       """{"commitInfo":{"operation":"CREATE TABLE","operationParameters":{"columnMapping":"id"}}}""")
@@ -811,10 +891,20 @@ object DeltaWrite {
         f.metadata)
       else f
     })
+    // a renamed PARTITION column follows in metaData.partitionColumns
+    // (logical names); the add actions' physical pv keys are untouched
+    val priorPartCols = meta.get("partitionColumns")
+      .collect { case xs: Seq[_] => xs.collect { case s0: String => s0 } }
+      .getOrElse(Seq.empty)
+    val newPartCols =
+      if (priorPartCols.contains(oldName))
+        Some(priorPartCols.map(c => if (c == oldName) newName else c))
+      else None
     setConfiguration(meta, logDir, Map.empty,
       newSchemaJson = Some(renamed.json),
       operation = "RENAME COLUMN",
-      opParams = Map("from" -> oldName, "to" -> newName))
+      opParams = Map("from" -> oldName, "to" -> newName),
+      newPartitionColumns = newPartCols)
   }
 
   /** ALTER TABLE ... DROP COLUMN — rename's metadata-only sibling: the
@@ -1570,16 +1660,66 @@ object DeltaWrite {
       s"ZORDER column $c is a partition column of $tablePath — it is " +
         "constant within every partition and cannot cluster"))
     val top = (1L << bits) - 1
+    val groups = adds.groupBy(_.partitionValues).toSeq
+    // canonical string key for a partition tuple — identical on both
+    // sides (the batched quantile job and the per-group rewrite loop)
+    // because both render the SAME log partitionValues maps
+    def pvKey(pv: Map[String, String]): String = pv.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k=${Option(v).getOrElse(" ")}" }
+      .mkString("")
     // Default ranks are RANGE ranks (per-dimension approximate quantiles,
     // what real OPTIMIZE ZORDER's range-partitioned clustering computes):
     // a heavy-tailed dimension still spreads its rows across the full
     // 2^bits rank domain, so the Morton interleave stays balanced. The
     // legacy linear (c-mn)/(mx-mn) scaling collapses a skewed column into
     // a few rank values (every outlier-free row lands near rank 0) and is
-    // kept only as the comparison baseline for the skew spec. Cost: one
-    // multi-column quantile pass (driver state O(dims × 2^bits) doubles),
-    // then a codegen'd per-row bucket fold over the broadcast boundaries.
-    def groupRanks(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+    // kept only as the comparison baseline for the skew spec.
+    //
+    // ALL partition groups' boundaries come from ONE grouped
+    // percentile_approx job: the former per-group approxQuantile loop was
+    // a SERIAL driver loop of Spark jobs — thousands of sequential jobs
+    // at 10³+ partitions. Here every live file is read once, each row is
+    // keyed by its file's partition tuple (broadcast file→key map joined
+    // on _metadata.file_name, captured by select BEFORE the join — the
+    // pseudo-column does not survive joins), and one aggregation yields
+    // every group's per-dimension boundaries. Driver state is
+    // O(groups × dims × 2^bits) doubles — the same boundaries it held
+    // before, arriving in one job instead of `groups` jobs.
+    val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits))
+    val boundsByKey: Map[String, Seq[Seq[Double]]] =
+      if (linearRanks) Map.empty
+      else {
+        val keyRows = groups.flatMap { case (pv, as) =>
+          as.map(a => (new File(a.path).getName, pvKey(pv)))
+        }
+        val sess = spark
+        import sess.implicits._
+        val keyDf = keyRows.toDF("__fname", "__pvkey")
+        val scan = spark.read.parquet(adds.map(_.path): _*)
+        zCols.foreach(c => require(scan.columns.contains(c),
+          s"ZORDER column not in table: $c"))
+        val aggs = zCols.zipWithIndex.map { case (c, i) =>
+          percentile_approx(col(c).cast("double"),
+            array(probs.map(lit(_)): _*), lit(1 << (bits + 2)))
+            .as(s"__graft_zq_$i")
+        }
+        val keyed = scan
+          .select(zCols.map(col) :+
+            element_at(split(col("_metadata.file_path"), "/"), -1)
+              .as("__fname"): _*)
+          .join(broadcast(keyDf), "__fname")
+        // named job: the UI (and the job-count spec) can see the whole
+        // boundary pass is ONE submission regardless of group count
+        spark.sparkContext.setJobDescription("graft zorder boundaries")
+        try keyed.groupBy(col("__pvkey")).agg(aggs.head, aggs.tail: _*)
+          .collect().map { r =>
+            r.getString(0) -> zCols.indices.map(i =>
+              Option(r.getSeq[Double](i + 1)).getOrElse(Seq.empty[Double]))
+          }.toMap
+        finally spark.sparkContext.setJobDescription(null)
+      }
+    def groupRanks(df: DataFrame,
+        pv: Map[String, String]): Seq[org.apache.spark.sql.Column] =
       if (linearRanks) {
         val statCols = zCols.flatMap(c => Seq(
           min(col(c)).cast("double").as(s"mn_$c"),
@@ -1599,13 +1739,8 @@ object DeltaWrite {
           }
         }
       } else {
-        val probs = (1 until (1 << bits)).map(_.toDouble / (1 << bits)).toArray
-        val qCols = zCols.indices.map(i => s"__graft_zq_$i")
-        val projected = df.select(zCols.zip(qCols).map { case (c, n) =>
-          col(c).cast("double").as(n)
-        }: _*)
-        val allQs = projected.stat.approxQuantile(qCols.toArray, probs,
-          1.0 / (1 << (bits + 2)))
+        val allQs = boundsByKey.getOrElse(pvKey(pv),
+          zCols.map(_ => Seq.empty[Double]))
         zCols.zipWithIndex.map { case (c, i) =>
           // duplicate boundaries (a value spanning many quantiles)
           // dedupe away; an all-NULL column has no quantiles → rank 0
@@ -1625,12 +1760,22 @@ object DeltaWrite {
           }
         }
       }
-    val actions = adds.groupBy(_.partitionValues).toSeq.flatMap {
-      case (pv, groupAdds) =>
+    // per-group rewrites are INDEPENDENT (disjoint input files, unique
+    // staging dirs, one log publish afterwards) — run them on a bounded
+    // pool so wall time stays sub-linear in partition count; the serial
+    // alternative pays (sample job + write job) × groups end to end
+    val rewriteParallelism = math.max(1, math.min(8, groups.size))
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(rewriteParallelism)
+    implicit val zEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val groupFutures = groups.map { case (pv, groupAdds) =>
+      scala.concurrent.Future {
         val df = spark.read.parquet(groupAdds.map(_.path): _*)
         zCols.foreach(c => require(df.columns.contains(c),
           s"ZORDER column not in table: $c"))
-        val z = graft.operators.Compaction.mortonInterleave(groupRanks(df), bits)
+        val z = graft.operators.Compaction
+          .mortonInterleave(groupRanks(df, pv), bits)
         val target =
           if (targetFiles >= 1) targetFiles
           else {
@@ -1655,7 +1800,13 @@ object DeltaWrite {
             """"dataChange":false}}"""
         }
         removes ++ addsJson
+      }
     }
+    val actions =
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(groupFutures),
+        scala.concurrent.duration.Duration.Inf).flatten
+      finally pool.shutdown()
     val version = nextVersion(logDir)
     publish(logDir, version, actions :+
       (s"""{"commitInfo":{"operation":"OPTIMIZE","operationParameters":{""" +
@@ -1799,17 +1950,45 @@ object DeltaWrite {
     val schema = spark.read.parquet(tablePath).schema
     def hiveDecode(s: String): String =
       java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
-    def walk(dir: File, pv: Map[String, String]): Seq[(File, Map[String, String])] =
-      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
-        case d if d.isDirectory && d.getName.contains("=") =>
-          val Array(k, v) = d.getName.split("=", 2)
-          val value =
-            if (v == "__HIVE_DEFAULT_PARTITION__") null else hiveDecode(v)
-          walk(d, pv + (hiveDecode(k) -> value))
-        case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> pv)
-        case _ => Seq.empty
-      }
-    val found = walk(root, Map.empty).sortBy(_._1.getPath)
+    // the DRIVER walks only the DIRECTORY tree (one entry per hive
+    // partition — metadata small even at 10⁵ partitions); the per-dir
+    // FILE listing and the per-file FOOTER reads — the two O(files)
+    // costs that made the old shape a serial driver loop — run
+    // DISTRIBUTED, one task per directory slice, returning only the
+    // small (path, pv, size, mtime, statsJson) tuples the commit needs.
+    // This is real CONVERT TO DELTA's shape: the file manifest is
+    // collected by a Spark job, never a driver-side recursive stat loop.
+    def walkDirs(dir: File,
+        pv: Map[String, String]): Seq[(String, Map[String, String])] =
+      (dir.getPath -> pv) +:
+        Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+          case d if d.isDirectory && d.getName.contains("=") =>
+            val Array(k, v) = d.getName.split("=", 2)
+            val value =
+              if (v == "__HIVE_DEFAULT_PARTITION__") null else hiveDecode(v)
+            walkDirs(d, pv + (hiveDecode(k) -> value))
+          case _ => Seq.empty
+        }
+    val dirs = walkDirs(root, Map.empty)
+    // stats come from DATA columns only — partition values live in the
+    // directory names, not the footers
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => partitionCols.contains(f.name)))
+    val slices = math.max(1, math.min(dirs.size,
+      spark.sparkContext.defaultParallelism))
+    spark.sparkContext.setJobDescription("graft convert manifest")
+    val found: Seq[(String, Map[String, String], Long, Long, Option[String])] =
+      try spark.sparkContext
+        .parallelize(dirs.map { case (p, pv) => (p, pv.toSeq) }, slices)
+        .flatMap { case (dirPath, pvSeq) =>
+          val d = new File(dirPath)
+          Option(d.listFiles()).getOrElse(Array.empty).iterator
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(f => (f.getPath, pvSeq.toMap, f.length, f.lastModified,
+              fileStats(f, dataSchema)))
+        }
+        .collect().toSeq.sortBy(_._1)
+      finally spark.sparkContext.setJobDescription(null)
     require(found.nonEmpty, s"no parquet files to convert under $tablePath")
     // every file must carry EXACTLY the declared partition keys: a file
     // at the wrong depth (extra or missing hive segments) would either
@@ -1817,25 +1996,20 @@ object DeltaWrite {
     val misplaced = found.filter(_._2.keySet != partitionCols.toSet)
     require(misplaced.isEmpty,
       s"hive layout disagrees with partitionCols ${partitionCols.mkString(",")}: " +
-        misplaced.take(3).map { case (f, pv) =>
-          s"${relPath(root, f.getPath)} carries [${pv.keys.mkString(",")}]"
+        misplaced.take(3).map { case (p, pv, _, _, _) =>
+          s"${relPath(root, p)} carries [${pv.keys.mkString(",")}]"
         }.mkString("; "))
-    // stats come from DATA columns only — partition values live in the
-    // directory names, not the footers
-    val dataSchema = org.apache.spark.sql.types.StructType(
-      schema.fields.filterNot(f => partitionCols.contains(f.name)))
     def pvJson(pv: Map[String, String]): String =
       pv.map {
         case (k, null) => s""""${jsonEscape(k)}":null"""
         case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
       }.mkString("{", ",", "}")
-    val adds = found.map { case (f, pv) =>
-      val rel = relPath(root, f.getPath).split("/")
+    val adds = found.map { case (p, pv, size, mtime, stats) =>
+      val rel = relPath(root, p).split("/")
         .map(seg => java.net.URLEncoder.encode(seg, "UTF-8")).mkString("/")
-      val stats = fileStats(f, dataSchema)
       s"""{"add":{"path":"${jsonEscape(rel)}",""" +
-        s""""partitionValues":${pvJson(pv)},"size":${f.length},""" +
-        s""""modificationTime":${f.lastModified},""" +
+        s""""partitionValues":${pvJson(pv)},"size":$size,""" +
+        s""""modificationTime":$mtime,""" +
         stats.fold("")(s => s""""stats":"${jsonEscape(s)}",""") +
         """"dataChange":true}}"""
     }

@@ -634,7 +634,16 @@ object IcebergLog {
         val meta = Seq("__graft_file", "__graft_pos", "__graft_dseq")
         liveWithMeta(spark, data, dels).drop(meta: _*)
       }
-    injectIdentityPartitions(spark, data, base)
+    val injected = injectIdentityPartitions(spark, data, base)
+    // a recorded schema fixes the output column ORDER too — partition
+    // columns join in last, so a mapped+partitioned mirror re-projects
+    // to the schema's declared order
+    currentSchemaFields(tablePath) match {
+      case Some(fields) if fields.map(_._2).forall(injected.columns.contains) =>
+        import org.apache.spark.sql.functions.col
+        injected.select(fields.map(f => col(s"`${f._2}`")): _*)
+      case _ => injected
+    }
   }
 
   /** The distributed data-file scan behind [[read]]: plain footer-schema
@@ -646,8 +655,16 @@ object IcebergLog {
   private def scanData(spark: SparkSession, tablePath: String,
       data: Seq[LiveEntry]): DataFrame =
     currentSchemaFields(tablePath) match {
-      case Some(fields) =>
-        val mapping = parseMeta(currentMetadataFile(tablePath)).nameMapping
+      case Some(allFields) =>
+        val meta0 = parseMeta(currentMetadataFile(tablePath))
+        val mapping = meta0.nameMapping
+        // IDENTITY-PARTITION fields live in manifests, not data files —
+        // requesting them from parquet would yield NULL columns that
+        // block the partition injection. Scan only the data fields; the
+        // injector re-attaches the rest (and read() restores order).
+        val partIds = meta0.specs.find(_._1 == meta0.defaultSpecId)
+          .map(_._2.map(_._1).toSet).getOrElse(Set.empty[Int])
+        val fields = allFields.filterNot(f => partIds.contains(f._1))
         if (mapping.nonEmpty) {
           // NAME MAPPING (`schema.name-mapping.default`): files carry
           // physical names and NO footer field ids — scan the typed

@@ -52,11 +52,16 @@ import org.apache.spark.sql.SparkSession
   *    id → physical column name) and readers resolve through it —
   *    exactly how real UniForm serves name-mapped tables.
   *
+  * The two translations COMPOSE (partitioned AND mapped): the partition
+  * spec's source-ids are the mapping's field ids, the spec field names
+  * stay logical, and the pv lookup keys on the physical column name —
+  * the mirror then reads logical names, injects partitions from
+  * manifests, and prunes manifest-only.
+  *
   * Refused inputs (each would produce an Iceberg view that reads
-  * differently from the Delta truth):
-  *  - live deletion vectors (Iceberg readers would resurrect the deleted
-  *    rows — purge first, [[DeltaWrite.purgeDeletionVectors]]);
-  *  - partitioned AND mapped at once (the translations don't compose).
+  * differently from the Delta truth): live deletion vectors (Iceberg
+  * readers would resurrect the deleted rows — purge first,
+  * [[DeltaWrite.purgeDeletionVectors]]).
   *
   * Real UniForm has the same constraints family (DVs require Iceberg v3;
   * its column-mapping prerequisite is exactly the translation above).
@@ -143,8 +148,6 @@ object Uniform {
     val partCols: Seq[String] = meta.flatMap(_.get("partitionColumns"))
       .collect { case xs: Seq[_] => xs.collect { case s0: String => s0 } }
       .getOrElse(Seq.empty)
-    require(partCols.isEmpty || mode == "none",
-      s"partitioned AND column-mapped Delta table cannot mirror: $tablePath")
     val (spec, typedPv) =
       if (partCols.isEmpty) (Seq.empty[(Int, String)],
         (_: DeltaLog.LiveFile) => Map.empty[String, Any])
@@ -153,14 +156,31 @@ object Uniform {
           s"partitioned Delta table without a parseable schemaString " +
             s"(partition column types unknown): $tablePath"))
         import org.apache.spark.sql.types.{IntegerType, LongType}
-        val specFields = partCols.map(c =>
-          (st.fieldNames.indexOf(c) + 1, c))
-        require(specFields.forall(_._1 > 0),
-          s"partition column(s) missing from schema: $tablePath")
+        // COMPOSED with column mapping: the spec's source-ids must be
+        // the SAME ids the schema record carries (columnMapping.id for
+        // mapped tables, ordinals otherwise), the spec field name stays
+        // LOGICAL (the mirror injects and prunes by it), and the log's
+        // pv lookup keys on the PHYSICAL name (the protocol's pv keying
+        // under mapping)
+        val specFields = partCols.map { c =>
+          require(st.fieldNames.contains(c),
+            s"partition column $c missing from schema: $tablePath")
+          val id =
+            if (mode == "none") st.fieldNames.indexOf(c) + 1
+            else st(c).metadata.getLong(DeltaLog.FieldIdKey).toInt
+          (id, c)
+        }
+        val pvKeyOf: Map[String, String] =
+          if (mode == "none") partCols.map(c => c -> c).toMap
+          else {
+            val phys = DeltaLog.physicalize(st)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]
+            st.fieldNames.zip(phys.fieldNames).toMap
+          }
         val longTyped = partCols.filter(c =>
           st(c).dataType == LongType || st(c).dataType == IntegerType).toSet
         val f = (a: DeltaLog.LiveFile) => partCols.map { c =>
-          val raw = a.partitionValues.getOrElse(c, null)
+          val raw = a.partitionValues.getOrElse(pvKeyOf(c), null)
           c -> (raw match {
             case null => null
             case v if longTyped(c) => v.toLong

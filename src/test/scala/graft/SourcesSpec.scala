@@ -2194,7 +2194,29 @@ class SourcesSpec extends SparkSpec {
         }
       walk(new java.io.File(tbl)).toSet
     }
-    DeltaWrite.convertParquet(spark, tbl, Seq("cat"))
+    // the file manifest (listing + footer stats) is collected by a
+    // DISTRIBUTED job, not a driver stat loop — pin via the job
+    // description (at 10⁶ adopted files the driver walk was the
+    // bottleneck real CONVERT avoids the same way)
+    val manifestJobs = new java.util.concurrent.atomic.AtomicInteger
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .getOrElse("")
+        if (desc == "graft convert manifest") manifestJobs.incrementAndGet()
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try DeltaWrite.convertParquet(spark, tbl, Seq("cat"))
+    finally {
+      Thread.sleep(300)
+      spark.sparkContext.removeSparkListener(l)
+    }
+    assert(manifestJobs.get === 1,
+      s"expected one distributed manifest job, saw ${manifestJobs.get}")
     // zero copy: exactly the same physical files, now under a log
     val live = DeltaLog.liveAdds(spark, tbl).map(_.path).toSet
     assert(live === before && before.nonEmpty)
@@ -2862,6 +2884,75 @@ class SourcesSpec extends SparkSpec {
           org.apache.spark.sql.functions.count(col("v"))).head)
   }
 
+  test("many-partition ZORDER: quantile pass is one batched job, not one per group") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/zorder_many_parts"
+    val nGroups = 10
+    val rows = (1 to 3000).map { i =>
+      (i.toLong, (i * 37 % 500).toLong, s"c${i % nGroups}", s"r$i")
+    }
+    DeltaWrite.appendPartitioned(
+      rows.toDF("x", "y", "cat", "v").repartition(4), tbl, Seq("cat"))
+    def countJobs(f: => Unit): (Int, Int) = {
+      val n = new java.util.concurrent.atomic.AtomicInteger
+      val boundary = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          n.incrementAndGet()
+          // the batched boundary pass collect()s inside DeltaWrite; the
+          // per-group rewrite jobs are parquet saves — the callSite
+          // distinguishes them
+          val desc = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
+            .getOrElse("")
+          if (desc == "graft zorder boundaries") boundary.incrementAndGet()
+          ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        var last = -1
+        var spins = 0
+        while (n.get != last && spins < 40) {
+          last = n.get; spins += 1; Thread.sleep(100)
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      (n.get, boundary.get)
+    }
+    // the serial per-group shape paid one approxQuantile JOB PER GROUP
+    // before any rewrite; the batched shape computes every group's
+    // boundaries in ONE grouped percentile_approx job. The rewrite's own
+    // jobs (range sampling + staged write per group) remain per-group —
+    // the same per-partition work the real command pays, now submitted
+    // from a bounded pool — so pin the boundary-job count exactly and
+    // the total loosely.
+    val (jobs, boundaryJobs) = countJobs {
+      DeltaWrite.optimizeZOrder(spark, tbl, Seq("x", "y"), targetFiles = 1); ()
+    }
+    // O(1) boundary submissions (AQE materializes the broadcast build,
+    // the shuffle map and the result as separate jobs — all constant in
+    // group count), NOT one per group: the old shape paid nGroups
+    assert(boundaryJobs >= 1 && boundaryJobs <= 4,
+      s"expected O(1) batched boundary jobs, got $boundaryJobs")
+    assert(boundaryJobs < nGroups,
+      s"boundary jobs scale with groups: $boundaryJobs for $nGroups")
+    assert(jobs <= 4 * nGroups,
+      s"job count blew up: $jobs jobs for $nGroups groups")
+    // and the rewrite is still correct: per-group files, rows identical
+    val adds = DeltaLog.liveAdds(spark, tbl)
+    assert(adds.size === nGroups)
+    assert(DeltaLog.read(spark, tbl)
+      .agg(org.apache.spark.sql.functions.sum(col("x")),
+        org.apache.spark.sql.functions.count(col("v"))).head ===
+      rows.toDF("x", "y", "cat", "v")
+        .agg(org.apache.spark.sql.functions.sum(col("x")),
+          org.apache.spark.sql.functions.count(col("v"))).head)
+  }
+
   test("partitioned MoR deletes: DVs land per partition, purge rewrites per group") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark
@@ -2955,6 +3046,66 @@ class SourcesSpec extends SparkSpec {
       DeltaWrite.createIdMapped(
         Seq((1L, ("x", 2L))).toDF("id", "s"), s"$tmp/cm_create_nested")
     }.getMessage.contains("nested"))
+  }
+
+  test("partitioned + column-mapped: Delta reads, renames follow, UniForm composes") {
+    import graft.sources.{DeltaLog, DeltaWrite, IcebergLog, Uniform}
+    val s = spark
+    import s.implicits._
+    // NAME mode: a partitioned table upgrades in place; reads decode
+    // data columns physically and re-inject the partition column from
+    // the log's (physical-keyed) pv under its logical name
+    val n = s"$tmp/pm_name"
+    DeltaWrite.appendPartitioned(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L))
+        .toDF("id", "cat", "v"), n, Seq("cat"))
+    DeltaWrite.enableColumnMapping(spark, n)
+    assert(DeltaLog.read(spark, n).columns.toSeq === Seq("id", "cat", "v"))
+    assert(DeltaLog.read(spark, n).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)))
+    // metadata-only renames: a data column AND the partition column
+    // (partitionColumns follows the logical rename; pv keys stay
+    // physical, so zero files move)
+    DeltaWrite.renameColumn(spark, n, "v", "val")
+    DeltaWrite.renameColumn(spark, n, "cat", "category")
+    val renamed = DeltaLog.read(spark, n)
+    assert(renamed.columns.toSeq === Seq("id", "category", "val"))
+    assert(renamed.filter(col("category") === "a").count() === 2)
+    // ...and the name-mapped mirror composes with the partition spec
+    assert(Uniform.deltaToIceberg(spark, n).snapshotId.isDefined)
+    val nIce = IcebergLog.read(spark, n)
+    assert(nIce.columns.toSeq === Seq("id", "category", "val"))
+    assert(nIce.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L)))
+    val (kept, total) = IcebergLog.prunePartitions(n, Map("category" -> "a"))
+    assert(kept.nonEmpty && kept.size < total,
+      s"name-mapped mirror pruning did not shrink: ${kept.size}/$total")
+    // ID mode: created PARTITIONED — hive dirs named by the PHYSICAL
+    // partition column, pv keys physical, partitionColumns logical
+    val i = s"$tmp/pm_id"
+    DeltaWrite.createIdMapped(
+      Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "x", 3.5))
+        .toDF("id", "grp", "score"), i, partitionCols = Seq("grp"))
+    assert(Option(new java.io.File(i).listFiles()).get
+      .exists(f => f.isDirectory && f.getName.startsWith("col-2=")),
+      "id-mode partitioned create should lay out physical hive dirs")
+    assert(DeltaLog.read(spark, i).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "x", 3.5)))
+    DeltaWrite.renameColumn(spark, i, "grp", "group_id")
+    assert(DeltaLog.read(spark, i).columns.toSeq ===
+      Seq("id", "group_id", "score"))
+    assert(Uniform.deltaToIceberg(spark, i).snapshotId.isDefined)
+    val ice = IcebergLog.read(spark, i)
+    assert(ice.columns.toSeq === Seq("id", "group_id", "score"))
+    assert(ice.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "x", 3.5)))
+    val (k2, t2) = IcebergLog.prunePartitions(i, Map("group_id" -> "x"))
+    assert(k2.nonEmpty && k2.size < t2,
+      s"id-mapped mirror pruning did not shrink: ${k2.size}/$t2")
   }
 
   test("expiry reclaims a lost race's orphan manifests; table byte-identical") {

@@ -207,8 +207,29 @@ object Uniform {
         "diverged it from the Delta truth")
 
     val deltaPaths = adds.map(a => new File(a.path).getAbsolutePath).toSet
-    val carried = priorData.filter(e =>
-      deltaPaths.contains(new File(e.path).getAbsolutePath))
+    // CARRIED entries wrote their partition structs under the spec
+    // field names in force at THEIR sync; a partition-column RENAME
+    // since then would otherwise leave the mirror with mixed struct
+    // keys (old on carried, new on fresh) and break injection. Identity
+    // transforms + stable source-ids make the re-key exact: match the
+    // prior default spec to the current one by source-id.
+    val specRekey: Map[String, String] =
+      if (!hasMeta || spec.isEmpty) Map.empty
+      else {
+        val pm = IcebergLog.parseMeta(IcebergLog.currentMetadataFile(tablePath))
+        val prior = pm.specs.find(_._1 == pm.defaultSpecId)
+          .map(_._2).getOrElse(Seq.empty)
+        val newById = spec.toMap
+        prior.flatMap { case (srcId, oldName) =>
+          newById.get(srcId).filter(_ != oldName).map(oldName -> _)
+        }.toMap
+      }
+    def rekeyPv(pv: Map[String, Any]): Map[String, Any] =
+      if (specRekey.isEmpty) pv
+      else pv.map { case (k, v) => specRekey.getOrElse(k, k) -> v }
+    val carried = priorData
+      .filter(e => deltaPaths.contains(new File(e.path).getAbsolutePath))
+      .map(e => e.copy(partitionValues = rekeyPv(e.partitionValues)))
     val carriedPaths = carried.map(e => new File(e.path).getAbsolutePath).toSet
     val fresh = adds.filterNot(a =>
       carriedPaths.contains(new File(a.path).getAbsolutePath))

@@ -3106,6 +3106,20 @@ class SourcesSpec extends SparkSpec {
     val (k2, t2) = IcebergLog.prunePartitions(i, Map("group_id" -> "x"))
     assert(k2.nonEmpty && k2.size < t2,
       s"id-mapped mirror pruning did not shrink: ${k2.size}/$t2")
+    // rename the PARTITION column AFTER the mirror exists: the re-sync
+    // must RE-KEY the carried partition structs to the new spec name
+    // (matched by source-id — identity transforms make this exact), or
+    // the mirror would hold mixed struct keys and injection would break
+    DeltaWrite.renameColumn(spark, i, "group_id", "bucket")
+    assert(Uniform.deltaToIceberg(spark, i).snapshotId.isDefined)
+    val ice2 = IcebergLog.read(spark, i)
+    assert(ice2.columns.toSeq === Seq("id", "bucket", "score"))
+    assert(ice2.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "x", 3.5)))
+    val (k3, t3) = IcebergLog.prunePartitions(i, Map("bucket" -> "x"))
+    assert(k3.nonEmpty && k3.size < t3,
+      s"post-rename mirror pruning did not shrink: ${k3.size}/$t3")
   }
 
   test("expiry reclaims a lost race's orphan manifests; table byte-identical") {

@@ -1834,11 +1834,27 @@ object DeltaWrite {
     val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df,
       "partitioned append")
-    if (commitFiles(logDir).nonEmpty ||
-      DeltaLog.lastCheckpointVersion(logDir).isDefined)
-      requireNotMapped(df.sparkSession, tablePath, "partitioned append")
+    // COLUMN-MAPPED tables append first-class: the batch is authored
+    // against the LOGICAL schema, staged under PHYSICAL column names
+    // (id-stamped footers in id mode), and laid out in PHYSICAL hive
+    // dirs — the pv keys every mapped add records per the protocol
+    val (stagedDf, _) = physicalizeForStage(df.sparkSession, tablePath, df)
+    val physPartCols = {
+      val meta = DeltaLog.tableMetaData(df.sparkSession, tablePath)
+      if (DeltaLog.mappingMode(meta) == "none") partitionCols
+      else {
+        val logical = DeltaLog.metaSchema(df.sparkSession, tablePath)
+          .getOrElse(throw new IllegalArgumentException(
+            s"column-mapped table without a parseable schemaString: " +
+              tablePath))
+        val phys = DeltaLog.physicalize(logical)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val byLogical = logical.fieldNames.zip(phys.fieldNames).toMap
+        partitionCols.map(c => byLogical.getOrElse(c, c))
+      }
+    }
     val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
-    df.write.partitionBy(partitionCols: _*).parquet(staging.getPath)
+    stagedDf.write.partitionBy(physPartCols: _*).parquet(staging.getPath)
     // Hive/Spark path escaping encodes special characters as %XX but does
     // NOT encode '+' or space — URLDecoder would corrupt a literal '+'
     // into a space. Decode only the %XX escapes.
@@ -1861,7 +1877,7 @@ object DeltaWrite {
     val staged = walk(staging, Map.empty)
     require(staged.nonEmpty, s"no data files produced for $tablePath")
     val moved = staged.map { case (f, pv) =>
-      val dir = new File(root, partitionCols.map { c =>
+      val dir = new File(root, physPartCols.map { c =>
         val seg = pv(c) match {
           case null => "__HIVE_DEFAULT_PARTITION__"
           case v => java.net.URLEncoder.encode(v, "UTF-8")

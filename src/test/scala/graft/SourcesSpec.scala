@@ -3120,6 +3120,27 @@ class SourcesSpec extends SparkSpec {
     val (k3, t3) = IcebergLog.prunePartitions(i, Map("bucket" -> "x"))
     assert(k3.nonEmpty && k3.size < t3,
       s"post-rename mirror pruning did not shrink: ${k3.size}/$t3")
+    // partitioned APPENDS compose with mapping too: the batch is
+    // authored logically (post-rename names), staged under physical
+    // column names + the SAME physical hive dirs the create laid down
+    DeltaWrite.appendPartitioned(
+      Seq((4L, "z", 4.5)).toDF("id", "bucket", "score"), i, Seq("bucket"))
+    assert(DeltaLog.read(spark, i).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "x", 1.5), (2L, "y", 2.5), (3L, "x", 3.5), (4L, "z", 4.5)))
+    assert(Option(new java.io.File(i).listFiles()).get
+      .exists(f => f.isDirectory && f.getName == "col-2=z"),
+      "mapped partitioned append should land in a physical hive dir")
+    val s2i = Uniform.deltaToIceberg(spark, i)
+    assert(s2i.snapshotId.isDefined && s2i.filesAdded > 0 &&
+      s2i.filesCarried > 0, s"mapped partitioned re-sync wrong shape: $s2i")
+    assert(IcebergLog.read(spark, i).count() === 4L)
+    // ...and on the name-mode table under ITS renamed columns
+    DeltaWrite.appendPartitioned(
+      Seq((4L, "c", 40L)).toDF("id", "category", "val"), n, Seq("category"))
+    assert(DeltaLog.read(spark, n).filter(col("category") === "c")
+      .select("val").head.getLong(0) === 40L)
+    assert(DeltaLog.read(spark, n).count() === 4L)
   }
 
   test("expiry reclaims a lost race's orphan manifests; table byte-identical") {

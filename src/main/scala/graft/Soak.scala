@@ -316,7 +316,8 @@ object Soak {
       case None => queries
     }
     var total = 0.0
-    selected.foreach { name =>
+    var ran = 0
+    def runOne(label: String, name: String): Unit = {
       spark.catalog.clearCache()
       // drop leaked localCheckpoint blocks from the previous query: the
       // catalog cache doesn't track them, and across a 64-query session
@@ -332,14 +333,28 @@ object Soak {
         } catch { case e: Throwable => s"failed: ${e.getMessage.take(120)}" }
       val sec = (System.nanoTime() - t0) / 1e9
       total += sec
-      val extrap = sf01Base.get(name).map(_ * 10)
+      ran += 1
+      val extrap = sf01Base.get(label).orElse(sf01Base.get(name)).map(_ * 10)
       val ratio = extrap.map(e => sec / e)
-      println(f"""{"soak":"$name","sec":$sec%.2f,"extrapolated_10x":${
+      println(f"""{"soak":"$label","sec":$sec%.2f,"extrapolated_10x":${
         extrap.fold("null")(e => f"$e%.2f")},"ratio":${
         ratio.fold("null")(r => f"$r%.2f")},"status":"$status"}""")
       System.gc()
     }
-    println(f"""{"soak_total":$total%.2f,"queries":${selected.size}}""")
+    selected.foreach(name => runOne(name, name))
+    // The EXECUTOR-side packed-DV write path gets its own soak row: the
+    // distributed shape (bitmaps merged and written from the task
+    // holding each file's positions, one shared DV file per task
+    // partition) is spec-pinned row-identical to the driver path but had
+    // no at-scale run on record. graft.dv.maxCollectBytes=0 makes the
+    // x36b query take it unconditionally; the baseline is x36b's own
+    // sf0.1 number, so the ratio reads against the same work.
+    if (selected.contains("x36b_delta_dv_partitioned")) {
+      System.setProperty("graft.dv.maxCollectBytes", "0")
+      try runOne("x36b_dv_executor", "x36b_delta_dv_partitioned")
+      finally System.clearProperty("graft.dv.maxCollectBytes")
+    }
+    println(f"""{"soak_total":$total%.2f,"queries":$ran}""")
     spark.stop()
   }
 }

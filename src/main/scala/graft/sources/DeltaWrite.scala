@@ -330,6 +330,7 @@ object DeltaWrite {
     logDir.mkdirs()
     val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df, "append")
+    requirePartitioningMatches(df.sparkSession, tablePath, Seq.empty)
     onAppendRaceWindow()
     // column-mapped tables stage PHYSICAL-named (and id-stamped) files
     val (stage, physSchema) = physicalizeForStage(df.sparkSession, tablePath, df)
@@ -1498,6 +1499,7 @@ object DeltaWrite {
     val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df,
       "idempotent append")
+    requirePartitioningMatches(df.sparkSession, tablePath, Seq.empty)
     val revalidate = revalidateOnMetadataChange(logDir, tablePath, df,
       "idempotent append", validatedAt)
     val (stage, physSchema) = physicalizeForStage(df.sparkSession, tablePath, df)
@@ -1815,6 +1817,27 @@ object DeltaWrite {
       actions.count(_.startsWith("{\"add\"")))
   }
 
+  /** An EXISTING table's recorded partitioning is a protocol contract:
+    * adds whose partitionValues keys disagree with
+    * `metaData.partitionColumns` corrupt the table (readers re-inject
+    * and prune by exactly those keys), so both append paths validate
+    * against the log before staging a byte. Names compare LOGICAL —
+    * `partitionColumns` records logical names under column mapping.
+    */
+  private def requirePartitioningMatches(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, partitionCols: Seq[String]): Unit =
+    DeltaLog.tableMetaData(spark, tablePath).foreach { meta =>
+      val recorded = meta.get("partitionColumns")
+        .collect { case s: Seq[_] => s.map(String.valueOf) }
+        .getOrElse(Seq.empty)
+      require(recorded == partitionCols,
+        s"table is partitioned by [${recorded.mkString(",")}], not " +
+          s"[${partitionCols.mkString(",")}]" +
+          (if (partitionCols.isEmpty) " — use appendPartitioned" else "") +
+          s": $tablePath")
+    }
+
   /** PARTITIONED append: one atomic commit whose data files land under
     * hive-style `col=value/` directories and whose add actions carry the
     * `partitionValues` map — the Delta layout where partition columns
@@ -1834,6 +1857,7 @@ object DeltaWrite {
     val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df,
       "partitioned append")
+    requirePartitioningMatches(df.sparkSession, tablePath, partitionCols)
     // COLUMN-MAPPED tables append first-class: the batch is authored
     // against the LOGICAL schema, staged under PHYSICAL column names
     // (id-stamped footers in id mode), and laid out in PHYSICAL hive

@@ -1392,6 +1392,17 @@ class SourcesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DeltaWrite.merge(tbl, Seq((1L, "z")).toDF("id", "cat"), Seq("id"))
     }
+    // the recorded partitioning is a contract BOTH ways: an unpartitioned
+    // append, or a partitioned one with different columns, would commit
+    // adds whose pv keys disagree with metaData.partitionColumns —
+    // readers prune by exactly those keys, so both refuse up front
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.append(Seq((5L, "f")).toDF("id", "cat"), tbl)
+    }.getMessage.contains("use appendPartitioned"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.appendPartitioned(
+        Seq((5L, "f")).toDF("id", "cat"), tbl, Seq("id"))
+    }.getMessage.contains("partitioned by [cat]"))
   }
 
   test("Delta partitioned hardening: '+' values, null partitions, recursive vacuum, mixed refusals") {
@@ -1427,11 +1438,32 @@ class SourcesSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq === Seq(9L))
     // MIXED table (plain append's files keep the column in DATA,
     // partitioned adds move it to pv): snapshot read and partition read
-    // must both refuse loudly — injection would shadow real data
+    // must both refuse loudly — injection would shadow real data.
+    // OUR writer now refuses to produce the shape at all (r17: the
+    // recorded partitioning is a write-time contract), so the fixture
+    // is forged the way a foreign/buggy writer would hand it to us.
     val mixed = s"$tmp/delta_part_mixed"
     DeltaWrite.append(Seq((1L, "m")).toDF("id", "cat").repartition(1), mixed)
-    DeltaWrite.appendPartitioned(Seq((2L, "n")).toDF("id", "cat"),
-      mixed, Seq("cat"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.appendPartitioned(Seq((2L, "n")).toDF("id", "cat"),
+        mixed, Seq("cat"))
+    }.getMessage.contains("partitioned by []"))
+    locally {
+      val pdir = new java.io.File(s"$mixed/cat=n"); pdir.mkdirs()
+      Seq(Tuple1(2L)).toDF("id").repartition(1)
+        .write.mode("overwrite").parquet(s"$mixed/.stage_mixed")
+      val pf = new java.io.File(s"$mixed/.stage_mixed").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(pdir, "part-mixed.parquet")
+      java.nio.file.Files.move(pf.toPath, dst.toPath)
+      val addJson = s"""{"add":{"path":"cat%3Dn/part-mixed.parquet",""" +
+        s""""partitionValues":{"cat":"n"},"size":${dst.length},""" +
+        s""""modificationTime":${dst.lastModified},"dataChange":true}}"""
+      java.nio.file.Files.write(
+        new java.io.File(s"$mixed/_delta_log", f"${1L}%020d.json").toPath,
+        java.util.Arrays.asList(addJson),
+        java.nio.charset.StandardCharsets.UTF_8)
+    }
     val e1 = intercept[IllegalArgumentException] { DeltaLog.read(spark, mixed) }
     assert(e1.getMessage.contains("mixed"))
     val e2 = intercept[IllegalArgumentException] {
@@ -3267,12 +3299,15 @@ class SourcesSpec extends SparkSpec {
     DeltaWrite.renameColumn(spark, tbl, "name", "label")
     assert(DeltaLog.read(spark, tbl).columns.toSeq ===
       Seq("id", "label", "quality"))
-    // partitioned append refuses on a mapped table (partitionValues
-    // would be keyed by physical names)
+    // partitioned append onto an UNPARTITIONED table refuses — mapping
+    // no longer blocks it (r17: mapped partitioned appends are
+    // first-class, pinned in the UniForm partitioned+mapped spec), but
+    // the table's recorded partitioning is a protocol contract: adds
+    // carrying pv keys the metaData doesn't declare corrupt pruning
     assert(intercept[IllegalArgumentException] {
       DeltaWrite.appendPartitioned(
         Seq((9L, "z", 1.0)).toDF("id", "label", "quality"), tbl, Seq("label"))
-    }.getMessage.contains("column-mapped"))
+    }.getMessage.contains("partitioned by []"))
     // DROP COLUMN: metadata-only sibling — field leaves the logical
     // schema, files untouched, time travel still sees it
     assert(intercept[IllegalArgumentException] {

@@ -213,7 +213,10 @@ object Bench {
         builder.config(k.trim, v.trim)
       })
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: runtime warnings land on stdout via the sbt fork
+    // and count against the driver's bounded output capture — the bench
+    // JSON must never compete with log chatter for the kept window
+    spark.sparkContext.setLogLevel("ERROR")
     spark
   }
 

@@ -912,6 +912,46 @@ object SourceQueries {
       WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 0)
       ORDER BY o_orderkey""")),
 
+    // x36c: MoR DELETES ON A COLUMN-MAPPED PARTITIONED TABLE — GDPR on
+    // a MAPPED corpus: buying rename-without-rewrite must not forfeit
+    // erasure. Keys are erased inside partitions of an id-mapped table
+    // ACROSS A RENAME without rewriting a byte (the match scan decodes
+    // logically, positions are physical; the DV is column-blind); the
+    // purge then rewrites only touched groups under the physicalized
+    // schema with parquet field ids RE-STAMPED — a missed stamp would
+    // NULL-decode every post-purge read, which the oracle hash catches.
+    QueryDef("x36c_delta_dv_mapped", (s, d) => {
+      val tbl = s"$stage/delta_dv_mapped"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.createIdMapped(o, tbl,
+        partitionCols = Seq("o_orderstatus"))
+      graft.sources.DeltaWrite.renameColumn(s, tbl,
+        "o_totalprice", "o_price")
+      val filesBefore = graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+      val st = graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 4 === 0)
+      require(st.rowsDeleted > 0, "mapped DV delete matched nothing")
+      require(graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+          .intersect(filesBefore).nonEmpty,
+        "mapped MoR delete rewrote every file")
+      val ps = graft.sources.DeltaWrite.purgeDeletionVectors(s, tbl)
+      require(ps.filesPurged > 0 &&
+          graft.sources.DeltaLog.liveAdds(s, tbl).forall(_.dv.isEmpty),
+        "mapped purge left live deletion vectors")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_price").cast("double").as("o_price"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 0)
+      ORDER BY o_orderkey""")),
+
     // x37: DELTA DV PURGE (REORG APPLY PURGE) — x31's first-format twin,
     // completing x36's lifecycle: while DVs are live every copy-on-write
     // op (optimize here) REFUSES, and each read pays the bitmap filter.
@@ -1825,6 +1865,52 @@ object SourceQueries {
     }, Some("""
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
         CAST(o_custkey AS BIGINT) AS o_custkey,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
+    // x50b: ZORDER ON A COLUMN-MAPPED TABLE — the maintenance verb a
+    // mapped corpus cannot do without: at 100 TB, buying rename-without-
+    // rewrite (column mapping) must not forfeit re-clustering. The
+    // rewrite reads PHYSICAL bytes under the physicalized data schema
+    // (id mode: parquet footer field ids resolve the synthetic physical
+    // names) and re-stamps the ids on the fresh files — a missed stamp
+    // would NULL-decode every row post-rewrite, which the oracle's hash
+    // would catch. Same midpoint-probe pin as x50, composed with a
+    // pre-rewrite RENAME of one z column: callers cluster by LOGICAL
+    // names, stats stay physical-keyed, pruning translates.
+    QueryDef("x50b_zorder_mapped", (s, d) => {
+      val tbl = s"$stage/zorder_mapped"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      graft.sources.DeltaWrite.createIdMapped(o.repartition(6), tbl)
+      graft.sources.DeltaWrite.renameColumn(s, tbl, "o_custkey", "o_buyer")
+      val mids = o.agg(
+        ((min(col("o_orderkey")) + max(col("o_orderkey"))) / 2)
+          .cast("double").as("mk"),
+        ((min(col("o_custkey")) + max(col("o_custkey"))) / 2)
+          .cast("double").as("mc")).head
+      def prunes(c: String, mid: Double): Boolean = {
+        val (kept, total) = graft.sources.DeltaLog.pruneByStats(s, tbl,
+          c, Some(mid), Some(mid + 1))
+        kept.size < total
+      }
+      require(!prunes("o_orderkey", mids.getDouble(0)) &&
+          !prunes("o_buyer", mids.getDouble(1)),
+        "scattered mapped layout already pruned — fixture broken")
+      graft.sources.DeltaWrite.optimizeZOrder(s, tbl,
+        Seq("o_orderkey", "o_buyer"), targetFiles = 8)
+      require(prunes("o_orderkey", mids.getDouble(0)) &&
+          prunes("o_buyer", mids.getDouble(1)),
+        "mapped z-order produced no pruning on a z column")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_buyer").cast("long").as("o_buyer"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+        CAST(o_custkey AS BIGINT) AS o_buyer,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 

@@ -262,7 +262,8 @@ object DeltaLog {
     * files written under ANY earlier logical names, which is what makes
     * a feed across renames serve the range-end names transparently.
     */
-  private def scanMappedPaths(spark: SparkSession, tablePath: String,
+  private[sources] def scanMappedPaths(spark: SparkSession,
+      tablePath: String,
       mode: String, logical: org.apache.spark.sql.types.StructType,
       paths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -1155,6 +1156,14 @@ object DeltaLog {
     val adds = liveAdds(spark, tablePath)
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
     val root = new File(tablePath)
+    val mode = mappingMode(tableMetaData(spark, tablePath))
+    if (mode != "none") {
+      val logical = metaSchema(spark, tablePath).getOrElse(
+        throw new IllegalArgumentException(
+          s"column-mapped table without a parseable schemaString: " +
+            tablePath))
+      return readWithRowIdentityMapped(spark, tablePath, adds, mode, logical)
+    }
     // same schema discipline as read(): unpartitioned tables decode
     // through the metaData schema (evolution-safe); partitioned keep
     // inference (their partition columns live in the log)
@@ -1169,6 +1178,52 @@ object DeltaLog {
       .withColumn("__graft_dv_file", col("_metadata.file_path"))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
     injectPv(spark, adds, withId)
+  }
+
+  /** Mapped variant of [[readWithRowIdentity]]: the same logical decode
+    * as read(), with every row's PHYSICAL identity (file path + row
+    * index) captured from the raw scan BEFORE the logical projection —
+    * what a mapped MoR delete needs (positions are physical; the
+    * predicate is logical).
+    */
+  private def readWithRowIdentityMapped(spark: SparkSession,
+      tablePath: String, adds: Seq[LiveFile], mode: String,
+      logical: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val (partFields, dataFields, physOf) = mappedPartitionSplit(logical, adds,
+      tablePath)
+    val dataLogical = org.apache.spark.sql.types.StructType(dataFields)
+    val idCols = Seq(col("__graft_dv_file"), col("__graft_dv_pos"))
+    val raw = mode match {
+      case "name" =>
+        spark.read.schema(physicalize(dataLogical)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .parquet(adds.map(_.path): _*)
+      case "id" =>
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(fieldIdRequestSchema(dataLogical, tablePath))
+          .parquet(adds.map(_.path): _*)
+      case other => throw new IllegalArgumentException(
+        s"unsupported delta.columnMapping.mode '$other' in $tablePath")
+    }
+    val withId = applyDv(spark, raw, adds, new File(tablePath))
+      .withColumn("__graft_dv_file", col("_metadata.file_path"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    // name mode renames data fields back to logical; id mode's request
+    // schema already carries logical names (resolution was by field id)
+    val decoded = mode match {
+      case "name" =>
+        val physical = physicalize(dataLogical)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        withId.select(dataFields.zip(physical.fields).map {
+          case (lf, pf) => col(s"`${pf.name}`").as(lf.name)
+        } ++ idCols: _*)
+      case _ => withId
+    }
+    val withPv = injectPvMapped(spark, adds, decoded, partFields, physOf)
+    withPv.select(logical.fields.map { f =>
+      col(s"`${f.name}`").cast(logicalType(f.dataType)).as(f.name)
+    } ++ idCols: _*)
   }
 
   /** Re-attach the log's partition values to `base` via a broadcast

@@ -381,14 +381,34 @@ object DeltaWrite {
     require(adds.forall(_.partitionValues.isEmpty),
       s"merge supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "merge", tablePath)
-    requireNotMapped(spark, tablePath, "merge")
+    // MAPPED tables merge first-class: the batch and the predicate are
+    // LOGICAL (decode through the mapping), touched files resolve via
+    // the identity scan, survivors + the batch restage through the same
+    // physicalization as a mapped append. Refused compositions: CDF
+    // (physical-name cdc staging not implemented) and schema evolution
+    // (new columns would need fresh mapping entries) — both loud.
+    val mapMode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
+    require(mapMode == "none" || !cdfEnabled(spark, tablePath),
+      s"merge on a column-mapped table with change data feed enabled " +
+        s"is not supported: $tablePath (disable CDF or use snapshots)")
+    val mappedLogical =
+      if (mapMode == "none") None
+      else Some(DeltaLog.metaSchema(spark, tablePath).getOrElse(
+        throw new IllegalArgumentException(
+          s"column-mapped table without a parseable schemaString: " +
+            tablePath)))
     requireSatisfiesConstraints(spark, tablePath, source, "merge")
     // decode through the metaData schema when the log carries one: after
     // a prior evolution the live files are physically mixed and footer
     // inference would pick whichever file won
-    val target0 = DeltaLog.metaSchema(spark, tablePath) match {
-      case Some(st) => spark.read.schema(st).parquet(adds.map(_.path): _*)
-      case None => spark.read.parquet(adds.map(_.path): _*)
+    val target0 = mappedLogical match {
+      case Some(logical) =>
+        DeltaLog.scanMappedPaths(spark, tablePath, mapMode, logical,
+          adds.map(_.path))
+      case None => DeltaLog.metaSchema(spark, tablePath) match {
+        case Some(st) => spark.read.schema(st).parquet(adds.map(_.path): _*)
+        case None => spark.read.parquet(adds.map(_.path): _*)
+      }
     }
     val cols = target0.columns.toSeq
     // SCHEMA EVOLUTION (`mergeSchema`, real Delta's autoMerge): source
@@ -402,6 +422,9 @@ object DeltaWrite {
     require(newCols.isEmpty || mergeSchema,
       s"source columns ${newCols.mkString(",")} are not in the table " +
         s"schema ${cols.mkString(",")} — pass mergeSchema=true to evolve")
+    require(newCols.isEmpty || mapMode == "none",
+      s"merge schema evolution on a column-mapped table is not " +
+        s"supported: $tablePath (new columns need fresh mapping entries)")
     require(cols.forall(source.columns.contains),
       s"source columns ${source.columns.mkString(",")} must cover table " +
         s"columns ${cols.mkString(",")}")
@@ -423,9 +446,16 @@ object DeltaWrite {
       return MergeStats(nextVersion(logDir) - 1, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(col): _*)
     // touched files: bounded by live-file count (same driver-state class
-    // as the log listing itself)
-    val touched = target
-      .withColumn("__graft_file", col("_metadata.file_path"))
+    // as the log listing itself). Mapped tables discover via the
+    // identity scan — the logical projection loses `_metadata`, so the
+    // file column must be captured before it.
+    val identityScan =
+      if (mapMode == "none")
+        target.withColumn("__graft_file", col("_metadata.file_path"))
+      else DeltaLog.readWithRowIdentity(spark, tablePath)
+        .withColumnRenamed("__graft_dv_file", "__graft_file")
+        .drop("__graft_dv_pos")
+    val touched = identityScan
       .join(broadcast(srcKeys), keys, "leftsemi")
       .select(col("__graft_file")).distinct()
       .collect().map(_.getString(0)).toSeq
@@ -433,7 +463,12 @@ object DeltaWrite {
     // survivors NULL-fill the new columns in their rewrite
     val touchedRows =
       if (touched.isEmpty) None
-      else Some(spark.read.schema(target.schema).parquet(touched: _*))
+      else Some(mappedLogical match {
+        case Some(logical) =>
+          DeltaLog.scanMappedPaths(spark, tablePath, mapMode, logical,
+            touched)
+        case None => spark.read.schema(target.schema).parquet(touched: _*)
+      })
     val (survivors, rowsUpdated) = touchedRows match {
       case None => (None, 0L)
       case Some(tr) =>
@@ -462,7 +497,12 @@ object DeltaWrite {
             .unionByName(ins.withColumn("_change_type", lit("insert"))),
           root)
       }
-    val files = stageDataFiles(out, root)
+    // mapped rewrites stage physical-named (id-stamped) files, exactly
+    // like a mapped append; stats key on the physical schema
+    val (outStaged, outStatsSchema) =
+      if (mapMode == "none") (out, out.schema)
+      else physicalizeForStage(spark, tablePath, out)
+    val files = stageDataFiles(outStaged, root)
     val version = nextVersion(logDir)
     val names = adds.map(a => new File(a.path).getName)
     val removes = touched.map { uri =>
@@ -487,7 +527,8 @@ object DeltaWrite {
           """"partitionColumns":[],"configuration":{}}}""")
       }
     publish(logDir, version,
-      metaAction ++ removes ++ files.map(addWithStats(_, out.schema)) ++
+      metaAction ++ removes ++
+      files.map(addWithStats(_, outStatsSchema)) ++
       cdcActions :+
       """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""")
     MergeStats(version, touched.size, files.size, rowsUpdated, rowsInserted)
@@ -518,16 +559,39 @@ object DeltaWrite {
     require(adds.forall(_.partitionValues.isEmpty),
       s"deleteWhere supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "deleteWhere", tablePath)
-    requireNotMapped(spark, tablePath, "deleteWhere")
-    val target = spark.read.parquet(adds.map(_.path): _*)
+    // MAPPED tables delete copy-on-write first-class: the predicate is
+    // LOGICAL (match scan decodes through the mapping), survivors
+    // re-encode through the same physicalization as a mapped append.
+    // Only the CDF composition stays refused (physical-name cdc staging
+    // is not implemented — same carve-out as deleteWhereDv).
+    val mapMode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
+    require(mapMode == "none" || !cdfEnabled(spark, tablePath),
+      s"deleteWhere on a column-mapped table with change data feed " +
+        s"enabled is not supported: $tablePath (disable CDF or use " +
+        "snapshots)")
+    val mappedLogical =
+      if (mapMode == "none") None
+      else Some(DeltaLog.metaSchema(spark, tablePath).getOrElse(
+        throw new IllegalArgumentException(
+          s"column-mapped table without a parseable schemaString: " +
+            tablePath)))
+    val target =
+      if (mapMode == "none") spark.read.parquet(adds.map(_.path): _*)
+      else DeltaLog.readWithRowIdentity(spark, tablePath)
+    val fileCol = if (mapMode == "none") col("_metadata.file_path")
+      else col("__graft_dv_file")
     val touched = target
-      .withColumn("__graft_file", col("_metadata.file_path"))
+      .withColumn("__graft_file", fileCol)
       .filter(predicate)
       .select(col("__graft_file")).distinct()
       .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty)
       return DeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
-    val touchedRows = spark.read.parquet(touched: _*)
+    val touchedRows = mappedLogical match {
+      case None => spark.read.parquet(touched: _*)
+      case Some(logical) =>
+        DeltaLog.scanMappedPaths(spark, tablePath, mapMode, logical, touched)
+    }
     val rowsDeleted = touchedRows.filter(predicate).count()
     // SQL DELETE semantics: rows where the predicate is NULL are NOT
     // deleted — `!predicate` alone would silently drop them (NULL is
@@ -535,10 +599,17 @@ object DeltaWrite {
     val survivors = touchedRows.filter(
       !org.apache.spark.sql.functions.coalesce(predicate,
         org.apache.spark.sql.functions.lit(false)))
-    // a touched file may lose ALL its rows; only write files if any survive
+    // a touched file may lose ALL its rows; only write files if any
+    // survive; mapped survivors restage physical-named (id-stamped)
+    val (survivorsStaged, statsSchema) =
+      if (mapMode == "none") (survivors, touchedRows.schema)
+      else {
+        val (st, physSchema) = physicalizeForStage(spark, tablePath, survivors)
+        (st, physSchema)
+      }
     val files =
       if (survivors.isEmpty) Seq.empty[File]
-      else stageDataFiles(survivors, root)
+      else stageDataFiles(survivorsStaged, root)
     // CDF: survivors re-add under new uuids, so add/remove derivation
     // would wrongly report them deleted+inserted — publish the exact
     // deleted rows instead (O(deleted), not O(touched files))
@@ -554,7 +625,7 @@ object DeltaWrite {
       s"""{"remove":{"path":"${jsonEscape(name)}","dataChange":true}}"""
     }
     publish(logDir, version,
-      removes ++ files.map(addWithStats(_, target.schema)) ++ cdcActions :+
+      removes ++ files.map(addWithStats(_, statsSchema)) ++ cdcActions :+
         """{"commitInfo":{"operation":"DELETE","operationParameters":{}}}""")
     DeleteStats(version, touched.size, files.size, rowsDeleted)
   }
@@ -638,17 +709,51 @@ object DeltaWrite {
     }.mkString("{", ",", "}")
     val version = nextVersion(logDir)
     publish(logDir, version, extraActions ++ Seq(
-      s"""{"metaData":{"id":"${jsonEscape(str("id"))}",""" +
-        """"format":{"provider":"parquet","options":{}},""" +
-        s""""schemaString":"${jsonEscape(
-          newSchemaJson.getOrElse(str("schemaString")))}",""" +
-        s""""partitionColumns":[${partCols.map(c =>
-          "\"" + jsonEscape(c) + "\"").mkString(",")}],""" +
-        s""""configuration":$configJson}}""",
+      metaDataActionJson(str("id"),
+        newSchemaJson.getOrElse(str("schemaString")), partCols, configJson),
       s"""{"commitInfo":{"operation":"${jsonEscape(operation)}",""" +
         s""""operationParameters":$opParamsJson}}"""))
     version
   }
+
+  /** Serialize a PARSED metaData map (from [[DeltaLog.tableMetaData]])
+    * back into its action JSON, optionally overriding partitionColumns —
+    * the building block for commits that must re-emit or restore table
+    * metadata (overwrite's unpartition redeclaration, RESTORE's
+    * metadata-as-of-target).
+    */
+  private def serializeMetaAction(meta: Map[String, Any],
+      partitionColsOverride: Option[Seq[String]] = None): String = {
+    def str(k: String): String = meta.get(k)
+      .collect { case s: String => s }
+      .getOrElse(throw new IllegalArgumentException(
+        s"metaData action lacks required field $k"))
+    val partCols = partitionColsOverride.getOrElse(
+      meta.get("partitionColumns")
+        .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
+        .getOrElse(Seq.empty))
+    val configJson = meta.get("configuration")
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty[String, Any])
+      .collect { case (k, v: String) => k -> v }
+      .toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      }.mkString("{", ",", "}")
+    metaDataActionJson(str("id"), str("schemaString"), partCols, configJson)
+  }
+
+  /** One serialized `metaData` action — the single shape every metadata
+    * rewrite in this file publishes (schemaString is already JSON, the
+    * configuration fragment already serialized).
+    */
+  private def metaDataActionJson(id: String, schemaJson: String,
+      partCols: Seq[String], configJson: String): String =
+    s"""{"metaData":{"id":"${jsonEscape(id)}",""" +
+      """"format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":"${jsonEscape(schemaJson)}",""" +
+      s""""partitionColumns":[${partCols.map(c =>
+        "\"" + jsonEscape(c) + "\"").mkString(",")}],""" +
+      s""""configuration":$configJson}}"""
 
   /** ALTER TABLE ... SET TBLPROPERTIES ('delta.columnMapping.mode'='name')
     * — upgrade an unmapped table to NAME-mode column mapping WITHOUT
@@ -1069,13 +1174,61 @@ object DeltaWrite {
     * decode would silently NULL every column. Refuse; read support
     * (name mode) lives in [[DeltaLog]].
     */
-  private def requireNotMapped(
+  /** Physicalized DATA schema (partition columns excluded) for reading a
+    * MAPPED table's live files raw and re-staging them byte-compatible:
+    * name mode resolves and rewrites by physical column name; id mode
+    * carries `parquet.field.id` on every field so footers resolve by id
+    * on read and the ids re-stamp on write (both fieldId confs enabled
+    * here). None for unmapped tables. Layout rewrites that neither
+    * decode to logical nor change values (OPTIMIZE, ZORDER) read and
+    * write through this — physical bytes in, physical bytes out, the
+    * mapping untouched, so a 100 TB mapped corpus keeps its maintenance
+    * verbs without ever paying a decode.
+    */
+  private def mappedRewriteSchema(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      op: String): Unit =
-    require(DeltaLog.mappingMode(
-        DeltaLog.tableMetaData(spark, tablePath)) == "none",
-      s"$op does not support column-mapped tables: $tablePath (data files " +
-        "carry physical names; a logical-schema rewrite would decode wrong)")
+      adds: Seq[DeltaLog.LiveFile])
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    val mode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
+    if (mode == "none") return None
+    val logical = DeltaLog.metaSchema(spark, tablePath).getOrElse(
+      throw new IllegalArgumentException(
+        s"column-mapped table without a parseable schemaString: $tablePath"))
+    val pvKeys = adds.flatMap(_.partitionValues.keySet).toSet
+    val physAll = DeltaLog.physicalize(logical).asInstanceOf[StructType]
+    def nested(dt: DataType): Boolean = dt match {
+      case _: StructType => true
+      case ArrayType(et, _) => nested(et)
+      case MapType(k, v, _) => nested(k) || nested(v)
+      case _ => false
+    }
+    val fields = logical.fields.zip(physAll.fields)
+      .filterNot { case (_, pf) => pvKeys.contains(pf.name) }
+      .map { case (lf, pf) =>
+        mode match {
+          case "name" => StructField(pf.name, pf.dataType, pf.nullable)
+          case "id" =>
+            require(!nested(lf.dataType),
+              s"id-mode rewrite of $tablePath: nested column '${lf.name}' " +
+                "is not supported (nested parquet field ids cannot be " +
+                "re-stamped at stage time)")
+            require(lf.metadata.contains(DeltaLog.FieldIdKey),
+              s"id-mode table $tablePath: column '${lf.name}' lacks " +
+                s"${DeltaLog.FieldIdKey}")
+            StructField(pf.name, pf.dataType, pf.nullable,
+              new MetadataBuilder().putLong(DeltaLog.ParquetFieldIdKey,
+                lf.metadata.getLong(DeltaLog.FieldIdKey)).build())
+          case other => throw new IllegalArgumentException(
+            s"unsupported delta.columnMapping.mode '$other' in $tablePath")
+        }
+      }
+    if (mode == "id") {
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    }
+    Some(StructType(fields))
+  }
 
   /** Copy-on-write ops scan live files RAW — on a table with live
     * deletion vectors they would resurrect the dead rows. Refuse, naming
@@ -1163,7 +1316,19 @@ object DeltaWrite {
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
-    requireNotMapped(spark, tablePath, "deleteWhereDv")
+    // MAPPED tables MoR-delete first-class: the match scan decodes
+    // logically with each row's PHYSICAL identity captured before the
+    // projection, and DV descriptors are path+position based — no
+    // column semantics touch the bitmap. Only the CDF composition stays
+    // refused (cdc files would need physical-name staging plus a mapped
+    // cdc decode — the feed reader refuses foreign cdc on mapped tables
+    // for the same reason).
+    val deleteMapped =
+      DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath)) != "none"
+    require(!(deleteMapped && cdfEnabled(spark, tablePath)),
+      s"deleteWhereDv on a column-mapped table with change data feed " +
+        s"enabled is not supported: $tablePath (cdc staging under " +
+        "physical names is not implemented; disable CDF or use snapshots)")
     // match scan: snapshot read (existing DVs applied, partition columns
     // injected from the log so the predicate may reference them), with
     // physical row identity captured BEFORE the pv join
@@ -1320,9 +1485,17 @@ object DeltaWrite {
     val (minR, _, rFeats, _) = DeltaLog.currentProtocol(tablePath)
     val protoAction =
       if (minR >= 3 && rFeats.contains(DeltaLog.DvFeature)) Seq.empty
-      else Seq("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-        """"readerFeatures":["deletionVectors"],""" +
-        """"writerFeatures":["deletionVectors"]}}""")
+      else {
+        // reader version 3 lists ALL active reader features — upgrading
+        // a mapped table with only [deletionVectors] would hide the
+        // mapping from feature-gated readers
+        val feats = (rFeats.toSet + DeltaLog.DvFeature ++
+          (if (deleteMapped) Set(DeltaLog.CmFeature) else Set.empty))
+          .toSeq.sorted
+        val featJson = feats.map("\"" + _ + "\"").mkString("[", ",", "]")
+        Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+          s""""readerFeatures":$featJson,"writerFeatures":$featJson}}""")
+      }
     // CDF: a DV commit re-adds the same path (add/remove derivation is
     // meaningless) — publish the exact deleted rows from the pre-commit
     // snapshot, O(matched rows)
@@ -1358,7 +1531,10 @@ object DeltaWrite {
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
-    requireNotMapped(spark, tablePath, "purgeDeletionVectors")
+    // mapped tables purge first-class: the DV filter is POSITIONAL
+    // (file + row index — no column semantics), so survivors read back
+    // under the physicalized data schema and restage byte-compatible
+    val rewriteSchema = mappedRewriteSchema(spark, tablePath, adds)
     val dvAdds = adds.filter(_.dv.isDefined)
     if (dvAdds.isEmpty)
       return PurgeStats(nextVersion(logDir) - 1, 0, 0)
@@ -1373,13 +1549,17 @@ object DeltaWrite {
     val groups = dvAdds.groupBy(_.partitionValues).toSeq
     val partitioned = dvAdds.exists(_.partitionValues.nonEmpty)
     val newAdds = groups.flatMap { case (pv, groupAdds) =>
-      val base =
-        if (partitioned) spark.read.parquet(groupAdds.map(_.path): _*)
-        else DeltaLog.metaSchema(spark, tablePath) match {
+      val base = rewriteSchema match {
+        case Some(sch) =>
+          spark.read.schema(sch).parquet(groupAdds.map(_.path): _*)
+        case None if partitioned =>
+          spark.read.parquet(groupAdds.map(_.path): _*)
+        case None => DeltaLog.metaSchema(spark, tablePath) match {
           case Some(st) =>
             spark.read.schema(st).parquet(groupAdds.map(_.path): _*)
           case None => spark.read.parquet(groupAdds.map(_.path): _*)
         }
+      }
       val liveRows = DeltaLog.applyDv(spark, base, groupAdds, root)
       // an externally-written full-file DV can leave zero survivors
       val files =
@@ -1473,9 +1653,21 @@ object DeltaWrite {
     val files = stageDataFiles(stage, root)
     val version = nextVersion(logDir)
     val header = if (version == 0L) headerActions(df) else Seq.empty
+    // overwriting a PARTITIONED table lands unpartitioned adds, so the
+    // same commit redeclares partitionColumns=[] (the overwriteSchema
+    // semantics): without it the metaData keeps promising a partitioning
+    // the live files no longer have — pv-keyed pruning would consult a
+    // stale contract and the write-time partitioning guard would refuse
+    // every subsequent append to a table that is, in fact, unpartitioned
+    val metaUpdate = DeltaLog.tableMetaData(spark, tablePath).toSeq.collect {
+      case meta if meta.get("partitionColumns")
+          .collect { case xs: Seq[_] => xs }.exists(_.nonEmpty) =>
+        serializeMetaAction(meta, partitionColsOverride = Some(Seq.empty))
+    }
     val removes = prior.map(rel =>
       s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":true}}""")
-    publish(logDir, version, header ++ removes ++ files.map(addWithStats(_, physSchema)) :+
+    publish(logDir, version, header ++ metaUpdate ++ removes ++
+      files.map(addWithStats(_, physSchema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}""")
     version
   }
@@ -1571,7 +1763,11 @@ object DeltaWrite {
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
     requireNoDv(adds, "optimize", tablePath)
-    requireNotMapped(spark, tablePath, "optimize")
+    // mapped tables compact first-class: live bytes are already physical
+    // (names + ids), so the rewrite reads them back under the
+    // physicalized data schema and restages byte-compatible files —
+    // never a logical decode/re-encode
+    val rewriteSchema = mappedRewriteSchema(spark, tablePath, adds)
     // bin-packing NEVER crosses partition boundaries (real OPTIMIZE's
     // rule: a file belongs to exactly one partition tuple): small files
     // group by their tuple, each group compacts independently, and the
@@ -1587,7 +1783,9 @@ object DeltaWrite {
     if (smallByPv.isEmpty)
       return OptimizeStats(nextVersion(logDir) - 1, 0, 0)
     val actions = smallByPv.toSeq.map { case (pv, small) =>
-      val packed = spark.read.parquet(small.map(_.path): _*)
+      val packed = rewriteSchema
+        .fold(spark.read)(sch => spark.read.schema(sch))
+        .parquet(small.map(_.path): _*)
         .coalesce(targetFiles)
       val files = stageDataFiles(packed, root)
       val removes = small.map { a =>
@@ -1648,7 +1846,23 @@ object DeltaWrite {
     require(adds.nonEmpty,
       s"optimize zorder on a table with no live files: $tablePath")
     requireNoDv(adds, "optimize zorder", tablePath)
-    requireNotMapped(spark, tablePath, "optimize zorder")
+    // mapped tables re-cluster first-class: the scan reads physical
+    // bytes under the physicalized data schema and the rewrite restages
+    // byte-compatible files; callers name z columns LOGICALLY and the
+    // translation below keys every scan/rank on the physical name
+    val rewriteSchema = mappedRewriteSchema(spark, tablePath, adds)
+    val zPhysByLogical: Map[String, String] =
+      if (rewriteSchema.isEmpty) Map.empty
+      else {
+        val logical = DeltaLog.metaSchema(spark, tablePath).getOrElse(
+          throw new IllegalArgumentException(
+            s"column-mapped table without a parseable schemaString: " +
+              tablePath))
+        val phys = DeltaLog.physicalize(logical)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        logical.fieldNames.zip(phys.fieldNames).toMap
+      }
+    def physOfZ(c: String): String = zPhysByLogical.getOrElse(c, c)
     // PARTITIONED tables Z-order PER PARTITION (real OPTIMIZE ZORDER's
     // rule: clustering never crosses partition boundaries, and the
     // tuple itself already prunes): each group gets its own quantile
@@ -1656,9 +1870,10 @@ object DeltaWrite {
     // and its fresh files inherit the tuple. One commit for all groups;
     // the driver loop is bounded by partition count, same class as the
     // per-partition planning of the real command. Z columns must be
-    // DATA columns (a partition column is constant within its group).
+    // DATA columns (a partition column is constant within its group;
+    // pv keys are physical, so the comparison is physical-vs-physical).
     val zPartCols = adds.flatMap(_.partitionValues.keys).distinct
-    zCols.foreach(c => require(!zPartCols.contains(c),
+    zCols.foreach(c => require(!zPartCols.contains(physOfZ(c)),
       s"ZORDER column $c is a partition column of $tablePath — it is " +
         "constant within every partition and cannot cluster"))
     val top = (1L << bits) - 1
@@ -1697,16 +1912,17 @@ object DeltaWrite {
         val sess = spark
         import sess.implicits._
         val keyDf = keyRows.toDF("__fname", "__pvkey")
-        val scan = spark.read.parquet(adds.map(_.path): _*)
-        zCols.foreach(c => require(scan.columns.contains(c),
+        val scan = rewriteSchema.fold(spark.read)(s => spark.read.schema(s))
+          .parquet(adds.map(_.path): _*)
+        zCols.foreach(c => require(scan.columns.contains(physOfZ(c)),
           s"ZORDER column not in table: $c"))
         val aggs = zCols.zipWithIndex.map { case (c, i) =>
-          percentile_approx(col(c).cast("double"),
+          percentile_approx(col(physOfZ(c)).cast("double"),
             array(probs.map(lit(_)): _*), lit(1 << (bits + 2)))
             .as(s"__graft_zq_$i")
         }
         val keyed = scan
-          .select(zCols.map(col) :+
+          .select(zCols.map(c => col(physOfZ(c))) :+
             element_at(split(col("_metadata.file_path"), "/"), -1)
               .as("__fname"): _*)
           .join(broadcast(keyDf), "__fname")
@@ -1724,8 +1940,8 @@ object DeltaWrite {
         pv: Map[String, String]): Seq[org.apache.spark.sql.Column] =
       if (linearRanks) {
         val statCols = zCols.flatMap(c => Seq(
-          min(col(c)).cast("double").as(s"mn_$c"),
-          max(col(c)).cast("double").as(s"mx_$c")))
+          min(col(physOfZ(c))).cast("double").as(s"mn_$c"),
+          max(col(physOfZ(c))).cast("double").as(s"mx_$c")))
         val stats = df.agg(statCols.head, statCols.tail: _*).first()
         zCols.zipWithIndex.map { case (c, i) =>
           // all-NULL live column → null min/max → rank 0 (never a bare
@@ -1736,8 +1952,8 @@ object DeltaWrite {
             val mx = stats.getDouble(2 * i + 1)
             if (mx <= mn) lit(0L)
             else coalesce(least(lit(top), greatest(lit(0L),
-              floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * top)
-                .cast("long"))), lit(0L))
+              floor((col(physOfZ(c)).cast("double") - lit(mn)) /
+                lit(mx - mn) * top).cast("long"))), lit(0L))
           }
         }
       } else {
@@ -1756,7 +1972,7 @@ object DeltaWrite {
             // bits, letting the other dimensions dominate the
             // interleave); NULL value → 0
             val raw = coalesce(aggregate(boundaries, lit(0L), (acc, b) =>
-              acc + when(col(c).cast("double") >= b, lit(1L))
+              acc + when(col(physOfZ(c)).cast("double") >= b, lit(1L))
                 .otherwise(lit(0L))), lit(0L))
             floor(raw * lit(top) / lit(qs.length.toLong)).cast("long")
           }
@@ -1773,8 +1989,9 @@ object DeltaWrite {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val groupFutures = groups.map { case (pv, groupAdds) =>
       scala.concurrent.Future {
-        val df = spark.read.parquet(groupAdds.map(_.path): _*)
-        zCols.foreach(c => require(df.columns.contains(c),
+        val df = rewriteSchema.fold(spark.read)(s => spark.read.schema(s))
+          .parquet(groupAdds.map(_.path): _*)
+        zCols.foreach(c => require(df.columns.contains(physOfZ(c)),
           s"ZORDER column not in table: $c"))
         val z = graft.operators.Compaction
           .mortonInterleave(groupRanks(df, pv), bits)
@@ -2342,7 +2559,20 @@ object DeltaWrite {
       targetRel.contains((a.recordedPath, a.dv)))
     val readds = target.filterNot(a =>
       currentRel.contains((a.recordedPath, a.dv)))
-    if (removes.isEmpty && readds.isEmpty)
+    // real RESTORE restores table METADATA too — schema, partitioning,
+    // configuration as of the target version. A file-set-only restore
+    // leaves the CURRENT metadata promising a different shape than the
+    // re-added files (e.g. partitionColumns=[] over pv-carrying adds
+    // after restoring across an overwrite, or the evolved schema over
+    // pre-evolution files). Protocol stays put: like real Delta,
+    // restore never downgrades reader/writer features.
+    val metaAction = (for {
+      t <- DeltaLog.tableMetaData(spark, tablePath, Some(version))
+      c <- DeltaLog.tableMetaData(spark, tablePath)
+      tj = serializeMetaAction(t)
+      if tj != serializeMetaAction(c)
+    } yield tj).toSeq
+    if (removes.isEmpty && readds.isEmpty && metaAction.isEmpty)
       return RestoreStats(nextVersion(logDir) - 1, 0, 0)
     readds.foreach { a =>
       require(new File(a.path).isFile,
@@ -2367,6 +2597,7 @@ object DeltaWrite {
       }.mkString("{", ",", "}")
     val v = nextVersion(logDir)
     publish(logDir, v,
+      metaAction ++
       removes.map(a =>
         s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""") ++
       readds.map { a =>

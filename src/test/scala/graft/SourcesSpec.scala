@@ -1436,6 +1436,18 @@ class SourcesSpec extends SparkSpec {
       s"vacuum reclaimed ${removed.size} of $tombstoned partitioned tombstones")
     assert(DeltaLog.read(spark, tbl).select("id").collect()
       .map(_.getLong(0)).toSeq === Seq(9L))
+    // the overwrite REDECLARED the table unpartitioned in its own commit
+    // (its adds carry no pv): the recorded contract now says [], so plain
+    // appends compose and partitioned ones refuse — without the
+    // redeclaration the metaData would keep promising cat-partitioning
+    // over files that no longer have it
+    DeltaWrite.append(Seq((10L, "y")).toDF("id", "cat"), tbl)
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(9L, 10L))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.appendPartitioned(Seq((11L, "w")).toDF("id", "cat"),
+        tbl, Seq("cat"))
+    }.getMessage.contains("partitioned by []"))
     // MIXED table (plain append's files keep the column in DATA,
     // partitioned adds move it to pv): snapshot read and partition read
     // must both refuse loudly — injection would shadow real data.
@@ -1509,6 +1521,40 @@ class SourcesSpec extends SparkSpec {
     val got = DeltaLog.read(spark, tbl).select("id", "cat").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "a b", 2L -> "c/d"))
+  }
+
+  test("restore restores METADATA: partitioning returns across an overwrite") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_restore_meta"
+    DeltaWrite.appendPartitioned(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "cat"), tbl, Seq("cat")) // v0
+    // overwrite redeclares the table UNPARTITIONED in its own commit
+    DeltaWrite.overwrite(Seq((9L, "x")).toDF("id", "cat"), tbl) // v1
+    def partCols(): Seq[String] = DeltaLog.tableMetaData(spark, tbl).get
+      .get("partitionColumns").collect { case xs: Seq[_] => xs.map(String.valueOf) }
+      .getOrElse(Seq.empty)
+    assert(partCols() === Seq.empty, "overwrite must redeclare partitioning")
+    // plain appends compose with the overwritten (unpartitioned) shape
+    DeltaWrite.append(Seq((10L, "y")).toDF("id", "cat"), tbl) // v2
+    // RESTORE to the partitioned epoch: the file set AND the metadata
+    // come back — a file-set-only restore would leave partitionColumns=[]
+    // over pv-carrying adds, breaking pv re-injection and the write-time
+    // partitioning contract
+    val st = DeltaWrite.restoreTo(spark, tbl, 0L)
+    assert(st.filesRemoved > 0 && st.filesReAdded > 0)
+    assert(partCols() === Seq("cat"), "restore must restore partitionColumns")
+    assert(DeltaLog.read(spark, tbl).select("id", "cat").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a", 2L -> "b"))
+    // the restored contract is live again, both ways
+    DeltaWrite.appendPartitioned(Seq((3L, "c")).toDF("id", "cat"), tbl, Seq("cat"))
+    assert(DeltaLog.readPartition(spark, tbl, Map("cat" -> "c"))
+      .select("id").head.getLong(0) === 3L)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.append(Seq((4L, "d")).toDF("id", "cat"), tbl)
+    }.getMessage.contains("use appendPartitioned"))
   }
 
   test("txn idempotence survives checkpoint + log expiry") {
@@ -2071,16 +2117,10 @@ class SourcesSpec extends SparkSpec {
     // → nothing pruned, still row-exact)
     assert(DeltaLog.readRange(spark, tbl, "id", Some(2L), None)
       .select("v").collect().map(_.getString(0)).toSeq === Seq("y"))
-    // mutations refuse rather than NULL-decoding physical files
-    for ((name, op) <- Seq[(String, () => Any)](
-      ("merge", () => DeltaWrite.merge(tbl,
-        Seq((1L, "z")).toDF("id", "v"), Seq("id"))),
-      ("deleteWhere", () => DeltaWrite.deleteWhere(spark, tbl, col("id") === 1L)),
-      ("deleteWhereDv", () => DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 1L)),
-      ("optimize", () => DeltaWrite.optimize(spark, tbl, 1L << 30)))) {
-      val e = intercept[IllegalArgumentException](op())
-      assert(e.getMessage.contains("column-mapped"), s"$name did not refuse")
-    }
+    // every mutation runs first-class on mapped tables as of r17
+    // (merge/deleteWhere/deleteWhereDv/purge/optimize/zorder — pinned in
+    // their own specs); the surviving refusals are the CDF compositions,
+    // asserted right after enablement below
     // enabling CDF preserves the mapping config, and the feed WORKS on
     // a mapped table: appends derive as inserts decoded through the
     // mapped schema (logical names), rename mid-feed is transparent —
@@ -2088,6 +2128,19 @@ class SourcesSpec extends SparkSpec {
     // changes (real Delta's CDF-under-mapping behavior)
     DeltaWrite.enableChangeDataFeed(spark, tbl)
     assert(DeltaWrite.cdfEnabled(spark, tbl))
+    // mapped + CDF: row-rewriting mutations refuse loudly (cdc staging
+    // under physical names is not implemented); none of these commit,
+    // so the feed assertions below are undisturbed
+    for ((name, op) <- Seq[(String, () => Any)](
+      ("merge", () => DeltaWrite.merge(tbl,
+        Seq((1L, "z", "t")).toDF("id", "v", "tag")
+          .select(col("id"), col("v"), struct(col("tag")).as("info")),
+        Seq("id"))),
+      ("deleteWhere", () => DeltaWrite.deleteWhere(spark, tbl, col("id") === 1L)),
+      ("deleteWhereDv", () => DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 1L)))) {
+      val e = intercept[IllegalArgumentException](op())
+      assert(e.getMessage.contains("change data feed"), s"$name did not refuse")
+    }
     assert(DeltaLog.read(spark, tbl).count() === 2L) // still decodes
     DeltaWrite.append(Seq((3L, "z", "t3")).toDF("id", "v", "tag")
       .select(col("id"), col("v"), struct(col("tag")).as("info")), tbl)
@@ -3078,6 +3131,173 @@ class SourcesSpec extends SparkSpec {
       DeltaWrite.createIdMapped(
         Seq((1L, ("x", 2L))).toDF("id", "s"), s"$tmp/cm_create_nested")
     }.getMessage.contains("nested"))
+  }
+
+  test("mapped tables compact and z-order first-class (name + id modes)") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    // NAME mode, across a rename: three single-file appends, then
+    // OPTIMIZE — the rewrite reads PHYSICAL bytes (no logical decode)
+    // and restages files the mapped scan keeps decoding
+    val t1 = s"$tmp/mapped_opt_name"
+    DeltaWrite.append(Seq((1L, "a", 1.0)).toDF("id", "name", "q"), t1)
+    DeltaWrite.enableColumnMapping(spark, t1)
+    DeltaWrite.renameColumn(spark, t1, "name", "label")
+    DeltaWrite.append(Seq((2L, "b", 2.0)).toDF("id", "label", "q"), t1)
+    DeltaWrite.append(Seq((3L, "c", 3.0)).toDF("id", "label", "q"), t1)
+    def rows1() = DeltaLog.read(spark, t1).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val before1 = rows1()
+    val st1 = DeltaWrite.optimize(spark, t1, 1L << 30)
+    assert(st1.filesCompacted === 3 && st1.filesAdded === 1,
+      s"mapped name-mode compaction wrong shape: $st1")
+    assert(rows1() === before1, "mapped compaction changed rows")
+    // the compacted file's stats must stay PHYSICAL-keyed: the
+    // logical->physical range probe still prunes/answers
+    assert(DeltaLog.readRange(spark, t1, "q", Some(2.5), None)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(3L))
+    // ID mode: physical column names are synthetic, resolution is by
+    // parquet field id — ZORDER must re-stamp ids or every read after
+    // the rewrite NULL-decodes
+    val t2 = s"$tmp/mapped_opt_id"
+    val data = (1 to 64).map(i => (i.toLong, (i % 8).toLong, (i / 8).toLong))
+    DeltaWrite.createIdMapped(data.toDF("id", "x", "y"), t2)
+    DeltaWrite.renameColumn(spark, t2, "x", "x2")
+    val sum2 = DeltaLog.read(spark, t2)
+      .agg(org.apache.spark.sql.functions.sum("id"),
+        org.apache.spark.sql.functions.sum("x2")).head
+    val st2 = DeltaWrite.optimizeZOrder(spark, t2, Seq("x2", "y"), bits = 3)
+    assert(st2.filesAdded >= 1, s"mapped zorder added nothing: $st2")
+    val sum2b = DeltaLog.read(spark, t2)
+      .agg(org.apache.spark.sql.functions.sum("id"),
+        org.apache.spark.sql.functions.sum("x2")).head
+    assert(sum2b === sum2, "id-mode zorder lost or NULL-decoded rows")
+    assert(DeltaLog.read(spark, t2).count() === 64L)
+    // z columns are named LOGICALLY; a partition column still refuses
+    val t3 = s"$tmp/mapped_opt_id_part"
+    DeltaWrite.createIdMapped(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "cat", "q"), t3,
+      partitionCols = Seq("cat"))
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.optimizeZOrder(spark, t3, Seq("cat", "q"))
+    }.getMessage.contains("partition column"))
+  }
+
+  test("mapped tables MoR-delete and purge first-class; CDF composition refuses") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    // the GDPR shape on a MAPPED corpus: id mode, partitioned, across a
+    // rename — erase keys without rewriting a byte, then purge
+    val t = s"$tmp/mapped_dv"
+    DeltaWrite.createIdMapped(
+      (1 to 40).map(i => (i.toLong, s"u${i % 4}", i.toDouble))
+        .toDF("id", "user", "score"),
+      t, partitionCols = Seq("user"))
+    DeltaWrite.renameColumn(spark, t, "score", "quality")
+    val filesBefore = DeltaLog.liveFiles(spark, t).toSet
+    val st = DeltaWrite.deleteWhereDv(spark, t,
+      col("user") === "u1" && col("quality") > 10.0)
+    assert(st.rowsDeleted > 0, "mapped MoR delete matched nothing")
+    // merge-on-read: untouched partitions keep physical identity
+    assert(DeltaLog.liveFiles(spark, t).toSet
+      .intersect(filesBefore).nonEmpty,
+      "mapped MoR delete rewrote every file")
+    val expect = (1 to 40).map(_.toLong)
+      .filterNot(i => i % 4 == 1 && i > 10).toSet
+    def ids(): Set[Long] = DeltaLog.read(spark, t)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids() === expect, "mapped DV read diverged")
+    // a second delete UNIONs bitmaps; purge then rewrites survivors
+    // under the physicalized schema — a missed field-id stamp would
+    // NULL-decode every column after the rewrite
+    DeltaWrite.deleteWhereDv(spark, t, col("id") === 2L)
+    val ps = DeltaWrite.purgeDeletionVectors(spark, t)
+    assert(ps.filesPurged > 0 &&
+      DeltaLog.liveAdds(spark, t).forall(_.dv.isEmpty),
+      "mapped purge left live deletion vectors")
+    assert(ids() === expect - 2L)
+    assert(DeltaLog.read(spark, t).filter(col("quality") > 38.0)
+      .count() === 2L, "post-purge mapped decode lost column values")
+    // protocol: the DV upgrade on a mapped table lists BOTH reader
+    // features — hiding columnMapping from feature-gated readers would
+    // violate the reader-version-3 contract
+    val (minR, _, rFeats, _) = DeltaLog.currentProtocol(t)
+    assert(minR === 3 && rFeats.toSet === Set("columnMapping",
+      "deletionVectors"), s"mapped DV protocol wrong: $minR $rFeats")
+    // name-mode upgrade path composes too
+    val t1 = s"$tmp/mapped_dv_name"
+    DeltaWrite.append(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("id", "v", "q"), t1)
+    DeltaWrite.enableColumnMapping(spark, t1)
+    DeltaWrite.renameColumn(spark, t1, "v", "label")
+    assert(DeltaWrite.deleteWhereDv(spark, t1,
+      col("label") === "b").rowsDeleted === 1L)
+    assert(DeltaLog.read(spark, t1).select("id").collect()
+      .map(_.getLong(0)).toSet === Set(1L, 3L))
+    // the CDF composition stays a loud refusal (cdc staging under
+    // physical names is not implemented)
+    DeltaWrite.enableChangeDataFeed(spark, t1)
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.deleteWhereDv(spark, t1, col("id") === 1L)
+    }.getMessage.contains("change data feed"))
+  }
+
+  test("mapped tables merge and delete copy-on-write first-class") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    // NAME mode via upgrade, across a rename: the batch and predicates
+    // are authored LOGICALLY; survivors and the batch restage under
+    // physical names like a mapped append
+    val t = s"$tmp/mapped_cow"
+    DeltaWrite.append(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("id", "v", "q").repartition(3), t)
+    DeltaWrite.enableColumnMapping(spark, t)
+    DeltaWrite.renameColumn(spark, t, "v", "label")
+    val filesBefore = DeltaLog.liveFiles(spark, t).toSet
+    val st = DeltaWrite.merge(t,
+      Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("id", "label", "q"),
+      Seq("id"))
+    assert(st.rowsUpdated === 1L && st.rowsInserted === 1L,
+      s"mapped merge wrong shape: $st")
+    // copy-on-write at FILE granularity: untouched files keep identity
+    assert(DeltaLog.liveFiles(spark, t).toSet
+      .intersect(filesBefore).nonEmpty, "mapped merge rewrote everything")
+    def rows() = DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(rows() === Seq((1L, "a", 1.0), (2L, "B", 20.0),
+      (3L, "c", 3.0), (4L, "d", 4.0)))
+    val ds = DeltaWrite.deleteWhere(spark, t, col("label") === "c")
+    assert(ds.rowsDeleted === 1L)
+    assert(rows() === Seq((1L, "a", 1.0), (2L, "B", 20.0),
+      (4L, "d", 4.0)))
+    // rewritten files keep PHYSICAL-keyed stats: the logical range
+    // probe still prunes/answers across the rewrite
+    assert(DeltaLog.readRange(spark, t, "q", Some(10.0), None)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    // ID mode: the rewrite must re-stamp parquet field ids or every
+    // post-merge read NULL-decodes
+    val t2 = s"$tmp/mapped_cow_id"
+    DeltaWrite.createIdMapped(
+      Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "w", "n"), t2)
+    DeltaWrite.renameColumn(spark, t2, "w", "word")
+    assert(DeltaWrite.merge(t2,
+      Seq((2L, "Y", 21L), (3L, "z", 30L)).toDF("id", "word", "n"),
+      Seq("id")).rowsInserted === 1L)
+    assert(DeltaWrite.deleteWhere(spark, t2,
+      col("word") === "x").rowsDeleted === 1L)
+    assert(DeltaLog.read(spark, t2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
+      Seq((2L, "Y", 21L), (3L, "z", 30L)))
+    // schema evolution on a mapped table stays a loud refusal
+    assert(intercept[IllegalArgumentException] {
+      DeltaWrite.merge(t2, Seq((5L, "v", 1L, "extra"))
+        .toDF("id", "word", "n", "note"), Seq("id"), mergeSchema = true)
+    }.getMessage.contains("mapping entries"))
   }
 
   test("partitioned + column-mapped: Delta reads, renames follow, UniForm composes") {

@@ -216,7 +216,10 @@ object Soak {
       "t15b_perplexity_gate_approx" -> 1.84,
       "x40b_delta_mapping_id_rename" -> 0.81,
       "x46b_uniform_partitioned" -> 1.55,
-      "x36b_delta_dv_partitioned" -> 1.51)
+      "x36b_delta_dv_partitioned" -> 1.51,
+      // round-17 additions (PerfProbe warm run2 at sf0.1)
+      "x50b_zorder_mapped" -> 2.81, "x36c_delta_dv_mapped" -> 1.42,
+      "x46c_uniform_partitioned_mapped" -> 0.92)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -301,7 +304,12 @@ object Soak {
       "x46b_uniform_partitioned",
       // partitioned MoR deletes + per-group purge: cost must track
       // touched partitions and deleted rows, never table size
-      "x36b_delta_dv_partitioned")
+      "x36b_delta_dv_partitioned",
+      // round-17: every mutation on COLUMN-MAPPED tables — zorder's
+      // physical-bytes rewrite (ids re-stamped), the GDPR MoR shape
+      // across a rename, and the partitioned+mapped UniForm mirror
+      "x50b_zorder_mapped", "x36c_delta_dv_mapped",
+      "x46c_uniform_partitioned_mapped")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -265,23 +265,36 @@ object DeltaLog {
   private[sources] def scanMappedPaths(spark: SparkSession,
       tablePath: String,
       mode: String, logical: org.apache.spark.sql.types.StructType,
-      paths: Seq[String]): DataFrame = {
+      paths: Seq[String], withChangeType: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    // cdc files carry the physicalized columns PLUS `_change_type`
+    // (never mapped — the protocol reserves it); with field-id reading
+    // enabled, fields lacking id metadata fall back to name matching,
+    // so one request schema serves both resolution rules
+    val ctField = StructField("_change_type", StringType)
+    val ctCols = if (withChangeType) Seq(col("`_change_type`")) else Seq.empty
     mode match {
       case "name" =>
         val physical = physicalize(logical)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        spark.read.schema(physical).parquet(paths: _*)
+          .asInstanceOf[StructType]
+        val request =
+          if (withChangeType) StructType(physical.fields :+ ctField)
+          else physical
+        spark.read.schema(request).parquet(paths: _*)
           .select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
             col(s"`${pf.name}`").cast(logicalType(lf.dataType)).as(lf.name)
-          }.toSeq: _*)
+          }.toSeq ++ ctCols: _*)
       case "id" =>
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.read.schema(fieldIdRequestSchema(logical, tablePath))
-          .parquet(paths: _*)
+        val idSchema = fieldIdRequestSchema(logical, tablePath)
+        val request =
+          if (withChangeType) StructType(idSchema.fields :+ ctField)
+          else idSchema
+        spark.read.schema(request).parquet(paths: _*)
           .select(logical.fields.map { f =>
             col(s"`${f.name}`").cast(logicalType(f.dataType)).as(f.name)
-          }.toSeq: _*)
+          }.toSeq ++ ctCols: _*)
       case other => throw new IllegalArgumentException(
         s"unsupported delta.columnMapping.mode '$other' in $tablePath")
     }
@@ -892,19 +905,18 @@ object DeltaLog {
         val schemaAt =
           if (endMode == "none") metaSchema(spark, tablePath, Some(v))
           else endSchema
-        // cdc files on a mapped table would carry physical names and no
-        // producer here writes them (mutations refuse on mapped tables);
-        // a foreign writer's cdc is refused rather than decoded wrong
-        require(endMode == "none" || cdcPaths.isEmpty,
-          s"cdc actions on column-mapped $tablePath (foreign writer) — " +
-            "physical-name cdc decode is not supported; read snapshots")
+        // cdc files on a mapped table carry PHYSICALIZED columns plus
+        // the reserved `_change_type` (our mutations stage them through
+        // the mapped-append physicalization); decode resolves like the
+        // data files — by physical name or footer field id — and the
+        // change-type column by its reserved name
         def scan(paths: Seq[String], withChangeType: Boolean): DataFrame = {
           val abs = paths.map(resolve)
           abs.foreach(p => require(new File(p).isFile,
             s"change-feed file for version $v was vacuumed: $p"))
           if (endMode != "none")
             return scanMappedPaths(spark, tablePath, endMode,
-              endSchema.get, abs)
+              endSchema.get, abs, withChangeType)
           schemaAt match {
             case Some(st) if !withChangeType =>
               spark.read.schema(st).parquet(abs: _*)

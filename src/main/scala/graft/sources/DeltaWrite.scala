@@ -270,7 +270,9 @@ object DeltaWrite {
     */
   private def physicalizeForStage(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
-      df: DataFrame): (DataFrame, org.apache.spark.sql.types.StructType) = {
+      df: DataFrame,
+      passthrough: Seq[String] = Seq.empty)
+      : (DataFrame, org.apache.spark.sql.types.StructType) = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
     val logDir = new File(tablePath, "_delta_log")
@@ -280,6 +282,9 @@ object DeltaWrite {
     val meta = DeltaLog.tableMetaData(spark, tablePath)
     val mode = DeltaLog.mappingMode(meta)
     if (mode == "none") return (df, df.schema)
+    // `passthrough` columns (e.g. a cdc staging's _change_type) ride
+    // the physicalized frame untouched, after the mapped fields
+    val passCols = passthrough.map(c => col(s"`$c`"))
     val logical = DeltaLog.metaSchema(spark, tablePath).getOrElse(
       throw new IllegalArgumentException(
         s"column-mapped table without a parseable schemaString: $tablePath"))
@@ -291,7 +296,7 @@ object DeltaWrite {
       case "name" =>
         df.select(logical.fields.zip(physical.fields).map { case (lf, pf) =>
           col(s"`${lf.name}`").cast(pf.dataType).as(pf.name)
-        }.toSeq: _*)
+        }.toSeq ++ passCols: _*)
       case "id" =>
         def nested(dt: DataType): Boolean = dt match {
           case _: StructType => true
@@ -315,7 +320,7 @@ object DeltaWrite {
             .putLong(DeltaLog.ParquetFieldIdKey,
               lf.metadata.getLong(DeltaLog.FieldIdKey)).build()
           col(s"`${lf.name}`").cast(pf.dataType).as(pf.name, md)
-        }.toSeq: _*)
+        }.toSeq ++ passCols: _*)
       case other =>
         throw new IllegalArgumentException(
           s"unsupported delta.columnMapping.mode '$other' in $tablePath")
@@ -383,14 +388,11 @@ object DeltaWrite {
     requireNoDv(adds, "merge", tablePath)
     // MAPPED tables merge first-class: the batch and the predicate are
     // LOGICAL (decode through the mapping), touched files resolve via
-    // the identity scan, survivors + the batch restage through the same
-    // physicalization as a mapped append. Refused compositions: CDF
-    // (physical-name cdc staging not implemented) and schema evolution
-    // (new columns would need fresh mapping entries) — both loud.
+    // the identity scan, survivors + the batch + cdc rows restage
+    // through the same physicalization as a mapped append. The one
+    // refused composition is schema evolution (new columns would need
+    // fresh mapping entries) — loud, below.
     val mapMode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
-    require(mapMode == "none" || !cdfEnabled(spark, tablePath),
-      s"merge on a column-mapped table with change data feed enabled " +
-        s"is not supported: $tablePath (disable CDF or use snapshots)")
     val mappedLogical =
       if (mapMode == "none") None
       else Some(DeltaLog.metaSchema(spark, tablePath).getOrElse(
@@ -491,11 +493,16 @@ object DeltaWrite {
         val matchedKeys = pre.select(keys.map(col): _*)
         val post = src.join(broadcast(matchedKeys), keys, "leftsemi")
         val ins = src.join(broadcast(matchedKeys), keys, "leftanti")
-        stageCdc(
+        val change =
           pre.withColumn("_change_type", lit("update_preimage"))
             .unionByName(post.withColumn("_change_type", lit("update_postimage")))
-            .unionByName(ins.withColumn("_change_type", lit("insert"))),
-          root)
+            .unionByName(ins.withColumn("_change_type", lit("insert")))
+        // mapped tables physicalize change rows like any mapped write
+        val staged =
+          if (mapMode == "none") change
+          else physicalizeForStage(spark, tablePath, change,
+            passthrough = Seq("_change_type"))._1
+        stageCdc(staged, root)
       }
     // mapped rewrites stage physical-named (id-stamped) files, exactly
     // like a mapped append; stats key on the physical schema
@@ -560,15 +567,10 @@ object DeltaWrite {
       s"deleteWhere supports unpartitioned tables: $tablePath")
     requireNoDv(adds, "deleteWhere", tablePath)
     // MAPPED tables delete copy-on-write first-class: the predicate is
-    // LOGICAL (match scan decodes through the mapping), survivors
-    // re-encode through the same physicalization as a mapped append.
-    // Only the CDF composition stays refused (physical-name cdc staging
-    // is not implemented — same carve-out as deleteWhereDv).
+    // LOGICAL (match scan decodes through the mapping), survivors and
+    // cdc rows re-encode through the same physicalization as a mapped
+    // append.
     val mapMode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
-    require(mapMode == "none" || !cdfEnabled(spark, tablePath),
-      s"deleteWhere on a column-mapped table with change data feed " +
-        s"enabled is not supported: $tablePath (disable CDF or use " +
-        "snapshots)")
     val mappedLogical =
       if (mapMode == "none") None
       else Some(DeltaLog.metaSchema(spark, tablePath).getOrElse(
@@ -612,11 +614,19 @@ object DeltaWrite {
       else stageDataFiles(survivorsStaged, root)
     // CDF: survivors re-add under new uuids, so add/remove derivation
     // would wrongly report them deleted+inserted — publish the exact
-    // deleted rows instead (O(deleted), not O(touched files))
+    // deleted rows instead (O(deleted), not O(touched files)); mapped
+    // tables physicalize the change rows first
     val cdcActions =
       if (!cdfEnabled(spark, tablePath)) Seq.empty
-      else stageCdc(touchedRows.filter(predicate).withColumn("_change_type",
-        org.apache.spark.sql.functions.lit("delete")), root)
+      else {
+        val change = touchedRows.filter(predicate).withColumn(
+          "_change_type", org.apache.spark.sql.functions.lit("delete"))
+        val staged =
+          if (mapMode == "none") change
+          else physicalizeForStage(spark, tablePath, change,
+            passthrough = Seq("_change_type"))._1
+        stageCdc(staged, root)
+      }
     val version = nextVersion(logDir)
     val names = adds.map(a => new File(a.path).getName)
     val removes = touched.map { uri =>
@@ -1169,11 +1179,6 @@ object DeltaWrite {
         s""""partitionValues":{},"size":${f.length},"dataChange":false}}""")
   }
 
-  /** Mutation ops decode files through the logical metaData schema — on
-    * a column-mapped table the files carry PHYSICAL names and that
-    * decode would silently NULL every column. Refuse; read support
-    * (name mode) lives in [[DeltaLog]].
-    */
   /** Physicalized DATA schema (partition columns excluded) for reading a
     * MAPPED table's live files raw and re-staging them byte-compatible:
     * name mode resolves and rewrites by physical column name; id mode
@@ -1319,16 +1324,12 @@ object DeltaWrite {
     // MAPPED tables MoR-delete first-class: the match scan decodes
     // logically with each row's PHYSICAL identity captured before the
     // projection, and DV descriptors are path+position based — no
-    // column semantics touch the bitmap. Only the CDF composition stays
-    // refused (cdc files would need physical-name staging plus a mapped
-    // cdc decode — the feed reader refuses foreign cdc on mapped tables
-    // for the same reason).
+    // column semantics touch the bitmap. CDF composes too: the change
+    // rows stage through the mapped-append physicalization with the
+    // reserved `_change_type` riding through, and the feed decodes cdc
+    // files like data files (by physical name / footer field id).
     val deleteMapped =
       DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath)) != "none"
-    require(!(deleteMapped && cdfEnabled(spark, tablePath)),
-      s"deleteWhereDv on a column-mapped table with change data feed " +
-        s"enabled is not supported: $tablePath (cdc staging under " +
-        "physical names is not implemented; disable CDF or use snapshots)")
     // match scan: snapshot read (existing DVs applied, partition columns
     // injected from the log so the predicate may reference them), with
     // physical row identity captured BEFORE the pv join
@@ -1498,11 +1499,19 @@ object DeltaWrite {
       }
     // CDF: a DV commit re-adds the same path (add/remove derivation is
     // meaningless) — publish the exact deleted rows from the pre-commit
-    // snapshot, O(matched rows)
+    // snapshot, O(matched rows); mapped tables physicalize the change
+    // rows first (cdc decodes like data files)
     val cdcActions =
       if (!cdfEnabled(spark, tablePath)) Seq.empty
-      else stageCdc(matchedRows.withColumn("_change_type",
-        org.apache.spark.sql.functions.lit("delete")), root)
+      else {
+        val change = matchedRows.withColumn("_change_type",
+          org.apache.spark.sql.functions.lit("delete"))
+        val staged =
+          if (!deleteMapped) change
+          else physicalizeForStage(spark, tablePath, change,
+            passthrough = Seq("_change_type"))._1
+        stageCdc(staged, root)
+      }
     val version = nextVersion(logDir)
     publish(logDir, version,
       protoAction ++ dvActions ++ cdcActions :+

@@ -2128,19 +2128,8 @@ class SourcesSpec extends SparkSpec {
     // changes (real Delta's CDF-under-mapping behavior)
     DeltaWrite.enableChangeDataFeed(spark, tbl)
     assert(DeltaWrite.cdfEnabled(spark, tbl))
-    // mapped + CDF: row-rewriting mutations refuse loudly (cdc staging
-    // under physical names is not implemented); none of these commit,
-    // so the feed assertions below are undisturbed
-    for ((name, op) <- Seq[(String, () => Any)](
-      ("merge", () => DeltaWrite.merge(tbl,
-        Seq((1L, "z", "t")).toDF("id", "v", "tag")
-          .select(col("id"), col("v"), struct(col("tag")).as("info")),
-        Seq("id"))),
-      ("deleteWhere", () => DeltaWrite.deleteWhere(spark, tbl, col("id") === 1L)),
-      ("deleteWhereDv", () => DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 1L)))) {
-      val e = intercept[IllegalArgumentException](op())
-      assert(e.getMessage.contains("change data feed"), s"$name did not refuse")
-    }
+    // mapped + CDF mutations are pinned end-to-end in their own spec
+    // ("mapped mutations publish a decodable change feed")
     assert(DeltaLog.read(spark, tbl).count() === 2L) // still decodes
     DeltaWrite.append(Seq((3L, "z", "t3")).toDF("id", "v", "tag")
       .select(col("id"), col("v"), struct(col("tag")).as("info")), tbl)
@@ -3184,7 +3173,7 @@ class SourcesSpec extends SparkSpec {
     }.getMessage.contains("partition column"))
   }
 
-  test("mapped tables MoR-delete and purge first-class; CDF composition refuses") {
+  test("mapped tables MoR-delete and purge first-class") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark
     import s.implicits._
@@ -3237,12 +3226,16 @@ class SourcesSpec extends SparkSpec {
       col("label") === "b").rowsDeleted === 1L)
     assert(DeltaLog.read(spark, t1).select("id").collect()
       .map(_.getLong(0)).toSet === Set(1L, 3L))
-    // the CDF composition stays a loud refusal (cdc staging under
-    // physical names is not implemented)
+    // the CDF composition works too: a DV delete on a mapped table
+    // publishes physicalized cdc rows the feed decodes under logical
+    // names (full matrix in the "decodable change feed" spec)
     DeltaWrite.enableChangeDataFeed(spark, t1)
-    assert(intercept[IllegalArgumentException] {
-      DeltaWrite.deleteWhereDv(spark, t1, col("id") === 1L)
-    }.getMessage.contains("change data feed"))
+    val vBefore = graft.sources.DeltaLog.latestVersion(t1)
+    assert(DeltaWrite.deleteWhereDv(spark, t1,
+      col("id") === 1L).rowsDeleted === 1L)
+    assert(DeltaLog.tableChanges(spark, t1, vBefore + 1)
+      .filter(col("_change_type") === "delete")
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
   test("mapped tables merge and delete copy-on-write first-class") {
@@ -3298,6 +3291,60 @@ class SourcesSpec extends SparkSpec {
       DeltaWrite.merge(t2, Seq((5L, "v", 1L, "extra"))
         .toDF("id", "word", "n", "note"), Seq("id"), mergeSchema = true)
     }.getMessage.contains("mapping entries"))
+  }
+
+  test("mapped mutations publish a decodable change feed") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    // every row-rewriting mutation on a MAPPED table stages its change
+    // rows through the mapped-append physicalization; the feed decodes
+    // cdc files like data files (physical name / footer field id) and
+    // serves LOGICAL names — here the post-rename ones, exactly
+    val t = s"$tmp/mapped_cdf_mut"
+    DeltaWrite.append(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("id", "v", "q").repartition(1), t) // v0
+    DeltaWrite.enableColumnMapping(spark, t) // v1
+    DeltaWrite.enableChangeDataFeed(spark, t) // v2
+    DeltaWrite.renameColumn(spark, t, "v", "label") // v3
+    assert(DeltaWrite.deleteWhere(spark, t,
+      col("label") === "b").rowsDeleted === 1L) // v4: cdc delete
+    val mg = DeltaWrite.merge(t,
+      Seq((3L, "C", 30.0), (4L, "d", 4.0)).toDF("id", "label", "q"),
+      Seq("id")) // v5: cdc pre/post/insert
+    assert(mg.rowsUpdated === 1L && mg.rowsInserted === 1L)
+    assert(DeltaWrite.deleteWhereDv(spark, t,
+      col("label") === "a").rowsDeleted === 1L) // v6: DV + cdc delete
+    val feed = DeltaLog.tableChanges(spark, t, 4L)
+    assert(feed.columns.contains("label") && !feed.columns.contains("v"),
+      s"mapped cdc feed lost the logical rename: ${feed.columns.toSeq}")
+    val got = feed
+      .select("id", "label", "q", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(got === Set(
+      (2L, "b", 2.0, "delete", 4L),
+      (3L, "c", 3.0, "update_preimage", 5L),
+      (3L, "C", 30.0, "update_postimage", 5L),
+      (4L, "d", 4.0, "insert", 5L),
+      (1L, "a", 1.0, "delete", 6L)), s"mapped cdc feed wrong: $got")
+    assert(DeltaLog.read(spark, t).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((3L, "C", 30.0), (4L, "d", 4.0)))
+    // ID mode: cdc columns resolve by footer field id, _change_type by
+    // its reserved name — one request schema, both rules
+    val t2 = s"$tmp/mapped_cdf_id"
+    DeltaWrite.createIdMapped(
+      Seq((1L, "x", 10L), (2L, "y", 20L)).toDF("id", "w", "n"), t2) // v0
+    DeltaWrite.enableChangeDataFeed(spark, t2) // v1
+    DeltaWrite.renameColumn(spark, t2, "w", "word") // v2
+    assert(DeltaWrite.deleteWhere(spark, t2,
+      col("word") === "x").rowsDeleted === 1L) // v3
+    val feed2 = DeltaLog.tableChanges(spark, t2, 3L)
+    assert(feed2.filter(col("_change_type") === "delete")
+      .select("id", "word").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq === Seq((1L, "x")))
   }
 
   test("partitioned + column-mapped: Delta reads, renames follow, UniForm composes") {

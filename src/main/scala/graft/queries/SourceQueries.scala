@@ -1080,6 +1080,65 @@ object SourceQueries {
         WHERE o_orderstatus = 'F'
       ) ORDER BY _commit_version, _change_type, o_orderkey""")),
 
+    // x38b: CHANGE DATA FEED ON A COLUMN-MAPPED TABLE — CDC must
+    // survive the mapping a 100 TB corpus adopts for cheap renames:
+    // every mutation's change rows stage PHYSICALIZED (id-stamped),
+    // the feed decodes cdc files like data files (footer field ids),
+    // and a mid-history RENAME is transparent — the whole feed serves
+    // the range-end logical names. The oracle replays merge
+    // (pre/post/insert) and delete relationally under the renamed
+    // column; one mis-resolved cdc column breaks the hash.
+    QueryDef("x38b_delta_cdf_mapped", (s, d) => {
+      val tbl = s"$stage/delta_cdf_mapped"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.createIdMapped(
+        o.filter(col("o_orderkey") % 2 === 0), tbl) // v0
+      graft.sources.DeltaWrite.enableChangeDataFeed(s, tbl) // v1
+      graft.sources.DeltaWrite.renameColumn(s, tbl,
+        "o_totalprice", "o_price") // v2: metadata-only, mid-feed
+      val src = o.filter(col("o_orderkey") % 4 === 1 ||
+          col("o_orderkey") % 8 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumnRenamed("o_totalprice", "o_price")
+      graft.sources.DeltaWrite.merge(tbl, src, Seq("o_orderkey")) // v3: cdc
+      graft.sources.DeltaWrite.deleteWhere(s, tbl,
+        col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 6 === 0) // v4: cdc
+      graft.sources.DeltaLog.tableChanges(s, tbl, 3L)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_price").cast("double").as("o_price"),
+          col("_change_type"),
+          col("_commit_version").cast("long").as("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("o_orderkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS o_price,
+          'update_preimage' AS _change_type,
+          CAST(3 AS BIGINT) AS _commit_version
+        FROM orders WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 1 AS DOUBLE), 'update_postimage', 3
+        FROM orders WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 1 AS DOUBLE), 'insert', 3
+        FROM orders WHERE o_orderkey % 4 = 1
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(CASE WHEN o_orderkey % 8 = 0
+               THEN o_totalprice + 1 ELSE o_totalprice END AS DOUBLE),
+          'delete', 4
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
+          AND o_orderkey % 6 = 0
+      ) ORDER BY _commit_version, _change_type, o_orderkey""")),
+
     // x39: CDF INCREMENTAL CONSUMER — the reason the feed exists: a
     // downstream MIRROR table maintained from the change feed alone
     // (bootstrap = snapshot copy at enablement, then per-poll: read ONLY

@@ -388,10 +388,13 @@ class PropertySpec extends SparkSpec {
     // of table contents — and time travel to any still-replayable
     // version equals the model's history under THAT version's column
     // names (renames are per-epoch). Op applicability mirrors the
-    // documented refusal matrix: CoW ops skip under live DVs, mutations
-    // and DV deletes skip under column mapping, restore skips once
-    // mapped (restore reinstates files, not metadata — modeling that
-    // corner is out of scope).
+    // documented refusal matrix: CoW ops skip under live DVs. As of
+    // r17 every mutation runs on MAPPED tables too, so the fuzz
+    // exercises merge/delete/DV-delete/purge/optimize across
+    // enable-mapping + renames; restore still skips once mapped (it
+    // now restores metadata too, which would revert the payload
+    // column name under the model's feet — modeling that corner is
+    // out of scope).
     import graft.sources.{DeltaLog, DeltaWrite}
     import org.apache.spark.sql.functions.col
     val s = spark
@@ -474,17 +477,17 @@ class PropertySpec extends SparkSpec {
               model = batch.toMap
               hasDv = false // every prior file (and its DV) left the live set
               history :+= ((v, model, payloadCol))
-            case Merge if exists && model.nonEmpty && !mapped && !hasDv =>
+            case Merge if exists && model.nonEmpty && !hasDv =>
               val st = DeltaWrite.merge(tbl, df(batch), Seq("id"))
               model = model ++ batch.toMap
               history :+= ((st.version, model, payloadCol))
-            case Delete if exists && model.nonEmpty && !mapped && !hasDv =>
+            case Delete if exists && model.nonEmpty && !hasDv =>
               val st = DeltaWrite.deleteWhere(spark, tbl, col("id") === delKey)
               if (model.contains(delKey)) {
                 model -= delKey
                 history :+= ((st.version, model, payloadCol))
               }
-            case DvDelete if exists && model.nonEmpty && !mapped =>
+            case DvDelete if exists && model.nonEmpty =>
               val st = DeltaWrite.deleteWhereDv(spark, tbl,
                 col("id") === delKey)
               if (model.contains(delKey)) {
@@ -497,7 +500,7 @@ class PropertySpec extends SparkSpec {
               hasDv = false
               if (st.filesPurged > 0 && model.nonEmpty)
                 history :+= ((st.version, model, payloadCol))
-            case Optimize if exists && model.nonEmpty && !mapped && !hasDv =>
+            case Optimize if exists && model.nonEmpty && !hasDv =>
               val st = DeltaWrite.optimize(spark, tbl, 1L << 30)
               if (st.filesCompacted > 0)
                 history :+= ((st.version, model, payloadCol))

@@ -210,7 +210,12 @@ object Soak {
       "x44_convert_delta" -> 1.34, "x45_iceberg_add_files" -> 1.21,
       "x46_uniform_iceberg" -> 1.95, "x47_shallow_clone" -> 1.51,
       "x48_delta_history" -> 1.43, "x49_iceberg_to_delta" -> 1.55,
-      "x50_zorder_optimize" -> 1.80, "x51_iceberg_rollback" -> 1.66,
+      // x50 re-baselined r17 (Bench min-of-4, clean interleaved A/B):
+      // 1.80 was the r15 LINEAR-rank number; range ranks (r16) cost one
+      // extra quantile pass at sf0.1 — the r16 soak's 0.97x ratio was
+      // this stale baseline, not super-linearity (HEAD beat the r16
+      // bytecode on every A/B leg)
+      "x50_zorder_optimize" -> 2.85, "x51_iceberg_rollback" -> 1.66,
       "x52_check_constraints" -> 1.75, "e26_stream_uniform" -> 2.91,
       // round-16 additions (Bench min-of-3 at sf0.1, clean floor)
       "t15b_perplexity_gate_approx" -> 1.84,

@@ -366,6 +366,14 @@ object Bench {
   private def dirtyForeignCores: Double =
     sys.env.getOrElse("SPARK_GRAFT_DIRTY_FCORES", "1.0").toDouble
 
+  /** A reported min whose own run spent more than this many ms inside
+    * the JIT compiler is attributed, not trusted: r17's c03 carried
+    * 2.0 s of C2 compilation inside a 2.8 s "min" on a clean floor —
+    * a +18% phantom regression the fcores gate cannot see.
+    */
+  private def jitThresholdMs: Long =
+    sys.env.getOrElse("SPARK_GRAFT_JIT_MS", "500").toLong
+
   private def concJson(rows: Seq[(String, Seq[BatchStats])], concIters: Int,
       workers: Int): String = {
     val cs = rows.map { case (k, bs) =>
@@ -551,7 +559,18 @@ object Bench {
     // one warm-up to JIT the scan/codegen path before timing
     materialize(headline.head)
     val results = headline.map { n =>
-      val runs = (1 to iters).map(_ => materialize(n))
+      val runs0 = (1 to iters).map(_ => materialize(n))
+      // JIT-contaminated minimum (the r17 c03 class: the C2 ramp on the
+      // largest composed pipelines can land INSIDE every timed
+      // iteration): when the best run still spent > jitThresholdMs
+      // compiling, ONE salvage iteration runs with the compiler warm
+      // and joins the candidate set; if the min stays jit-heavy the
+      // summary attributes it (jit_queries) instead of shipping an
+      // unexplainable regression.
+      val runs =
+        if (runs0.exists(_._1 == -1.0)) runs0
+        else if (runs0.minBy(_._1)._2.jitMs <= jitThresholdMs) runs0
+        else runs0 :+ materialize(n)
       // reclaim this query's broadcasts/shuffles before the next entry
       spark.catalog.clearCache()
       System.gc()
@@ -601,13 +620,21 @@ object Bench {
     val dirtyQueries = results.collect {
       case (k, _, _, fr, _) if fr.fcores > dirtyForeignCores => k
     }
+    // queries whose reported min is STILL jit-heavy after the salvage
+    // iteration — their wall number includes compiler time and must not
+    // be read as an engine regression
+    val jitQueries = results.collect {
+      case (k, _, _, fr, _) if fr.jitMs > jitThresholdMs => k
+    }
+    val jitQueriesJson =
+      jitQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val serialDirty = dirty || dirtyQueries.nonEmpty
     val dirtyQueriesJson =
       dirtyQueries.map("\"" + _ + "\"").mkString("[", ",", "]")
     val concDirty = fragField(concFragment, "concurrent_dirty")
       .contains("true")
     val anyDirty = serialDirty || concDirty
-    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"load_gate_trajectory":${trajJson(gateTraj)},"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$anyDirty,"dirty_gate":$dirty,"dirty_queries":$dirtyQueriesJson"""
+    val env = f""""load_avg_before":$loadBefore%.2f,"load_avg_after":$loadAfter%.2f,"load_gate_trajectory":${trajJson(gateTraj)},"foreign_jvms_before":$jvmsBefore,"foreign_jvms_after":$jvmsAfter,"iters":$iters,"dirty":$anyDirty,"dirty_gate":$dirty,"dirty_queries":$dirtyQueriesJson,"jit_queries":$jitQueriesJson"""
 
     // The VERBOSE record (every per-query median/forensic field, the full
     // concurrent fragment) goes to the log file: r16 proved the driver's
@@ -647,7 +674,7 @@ object Bench {
     val concDirtyEntries =
       fragField(concFragment, "concurrent_dirty_entries").getOrElse("[]")
     def summaryLine(cb: String): String =
-      f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$qs,"concurrent_qps":$concQps,"cb":$cb,"dirty":$anyDirty,"dirty_queries":$dirtyQueriesJson,"dirty_conc":$concDirtyEntries,"sf":"$sfDir"}"""
+      f"""{"metric":"summary","value":$total%.3f,"unit":"sec","queries":$qs,"concurrent_qps":$concQps,"cb":$cb,"dirty":$anyDirty,"dirty_queries":$dirtyQueriesJson,"jit_queries":$jitQueriesJson,"dirty_conc":$concDirtyEntries,"sf":"$sfDir"}"""
     // hard bound: the line must fit the driver's ~2 KB tail WITH the
     // runs line's end and sbt's trailing [success] line; if the batch
     // evidence pushes past it, the evidence lives in the log file and

@@ -193,6 +193,64 @@ object SourceQueries {
               (SELECT o_orderkey FROM src))
       ORDER BY o_orderkey"""), headline = true),
 
+    // x16b: MERGE INTO A PARTITIONED TABLE — the normal shape at 100 TB
+    // (real Delta merges partitioned tables natively). Target is
+    // partitioned by o_orderstatus; the batch updates every %8==0 row
+    // AND MOVES it to a new partition ('X') while inserting every %4==1
+    // key — so the merge must rewrite touched files per-tuple (one
+    // distributed partitionBy stage, fresh adds carrying their tuples),
+    // keep untouched partitions' physical identity (pinned in-query),
+    // and land moved rows where log-only pruning finds them (pinned via
+    // readPartition on the NEW tuple). The oracle recomputes the
+    // post-merge table relationally: batch rows win, unmatched target
+    // rows survive.
+    QueryDef("x16b_delta_merge_partitioned", (s, d) => {
+      val tbl = s"$stage/delta_merged_part"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 0), tbl, Seq("o_orderstatus"))
+      graft.sources.DeltaWrite.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 2), tbl, Seq("o_orderstatus"))
+      val filesBefore = graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+      val src = o.filter(col("o_orderkey") % 8 === 0 ||
+          col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 8 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val ms = graft.sources.DeltaWrite.merge(tbl, src, Seq("o_orderkey"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted > 0,
+        s"partitioned merge degenerated: $ms")
+      require(graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+          .intersect(filesBefore).nonEmpty,
+        "partitioned merge rewrote every file")
+      require(graft.sources.DeltaLog.readPartition(s, tbl,
+          Map("o_orderstatus" -> "X")).count() > 0,
+        "updated rows did not land in their new partition")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+      src AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 8 = 0 THEN 'X'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt WHERE o_orderkey NOT IN
+              (SELECT o_orderkey FROM src))
+      ORDER BY o_orderkey"""), headline = true),
+
     // p04: PARQUET BLOOM FILTER point lookups — the layout lever for
     // high-cardinality keys where clustering can't help (uniform md5
     // strings: every row group's min/max spans the whole hex domain).
@@ -250,6 +308,43 @@ object SourceQueries {
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders WHERE o_orderkey % 8 <> 0
+      ORDER BY o_orderkey""")),
+
+    // x18b: DELETE ON A PARTITIONED + ID-MAPPED TABLE ACROSS A RENAME —
+    // the GDPR shape on the 100 TB norm: partitioned layout, column
+    // mapping for cheap renames, copy-on-write erasure. The predicate's
+    // partition conjunct (o_orderstatus = 'F') is answered from LOG
+    // METADATA before any data file opens (prunePartitionConjuncts), so
+    // only 'F' files are even match-scanned; survivors restage id-
+    // stamped in their hive tuples. Pinned in-query: non-matching
+    // partitions keep physical identity; the oracle recomputes the
+    // post-delete table under the renamed column.
+    QueryDef("x18b_delta_delete_partitioned", (s, d) => {
+      val tbl = s"$stage/delta_deleted_part"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.createIdMapped(o, tbl,
+        partitionCols = Seq("o_orderstatus"))
+      graft.sources.DeltaWrite.renameColumn(s, tbl,
+        "o_totalprice", "o_price")
+      val filesBefore = graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+      val ds = graft.sources.DeltaWrite.deleteWhere(s, tbl,
+        col("o_orderstatus") === "F" && col("o_orderkey") % 4 === 0)
+      require(ds.rowsDeleted > 0, "partitioned mapped delete matched nothing")
+      require(graft.sources.DeltaLog.liveFiles(s, tbl).toSet
+          .intersect(filesBefore).nonEmpty,
+        "partition-conjunct delete rewrote every file")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_price").cast("double").as("o_price"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_price
+      FROM orders
+      WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 4 = 0)
       ORDER BY o_orderkey""")),
 
     // x19: Delta VACUUM — the space-reclaim pass closing the table
@@ -523,6 +618,51 @@ object SourceQueries {
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey"""), headline = true),
+
+    // x28b: OPTIMIZE AS THE MoR PURGE POINT — real OPTIMIZE's behavior:
+    // a file carrying a deletion vector rewrites (live rows
+    // materialized, bitmap applied) whatever its size, and its fresh
+    // add drops the descriptor — so routine compaction retires MoR
+    // debt without a separate purge pass. Pinned in-query: descriptors
+    // gone, file count bin-packed, the commit dataChange:false
+    // throughout (rows unchanged — which is exactly what the oracle
+    // hash proves: MoR deletes applied once, not zero or two times).
+    QueryDef("x28b_optimize_mor", (s, d) => {
+      val tbl = s"$stage/delta_optimize_mor"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 0).repartition(4), tbl)
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 4 === 2).repartition(4), tbl)
+      val st = graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderstatus") === "F")
+      require(st.rowsDeleted > 0, "MoR delete matched nothing")
+      require(graft.sources.DeltaLog.liveAdds(s, tbl).exists(_.dv.nonEmpty),
+        "no live deletion vector to optimize away")
+      val before = graft.sources.DeltaLog.liveFiles(s, tbl).size
+      val os = graft.sources.DeltaWrite.optimize(s, tbl,
+        smallFileBytes = 1L << 30, targetFiles = 2)
+      require(graft.sources.DeltaLog.liveAdds(s, tbl).forall(_.dv.isEmpty),
+        "optimize left a live deletion vector")
+      require(graft.sources.DeltaLog.liveFiles(s, tbl).size < before,
+        "optimize did not bin-pack the live set")
+      val commitText = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(tbl, f"_delta_log/${os.version}%020d.json").toPath))
+      require(!commitText.contains("\"dataChange\":true"),
+        "optimize marked actions as data changes")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders
+      WHERE o_orderkey % 4 IN (0, 2) AND o_orderstatus <> 'F'
+      ORDER BY o_orderkey""")),
 
     // x29: ICEBERG SINK IDEMPOTENCE via snapshot summaries — the second
     // format's exactly-once mechanism (x27's mirror, the way real
@@ -800,6 +940,61 @@ object SourceQueries {
              THEN CAST(o_orderkey % 10 AS BIGINT) ELSE NULL END AS o_band
       FROM orders ORDER BY o_orderkey""")),
 
+    // x34b: MERGE SCHEMA EVOLUTION ON A COLUMN-MAPPED TABLE — the last
+    // refused mapped composition: the evolving merge allocates a FRESH
+    // mapping entry for the new column (maxColumnId+1, its own physical
+    // name / parquet field id) in the same metaData commit the
+    // evolution publishes. Proven the strong way: the NEW column is
+    // immediately RENAMED metadata-only — only possible if its mapping
+    // entry is real — and the feed of reads decodes by footer field id,
+    // so a mis-stamped id would NULL the column and break the hash.
+    // Runs across a prior rename (the r17 x34 flow under mapping).
+    QueryDef("x34b_merge_evolve_mapped", (s, d) => {
+      val tbl = s"$stage/delta_evolved_mapped"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.createIdMapped(
+        o.filter(col("o_orderkey") % 2 === 0), tbl)
+      graft.sources.DeltaWrite.renameColumn(s, tbl,
+        "o_totalprice", "o_price")
+      val src = o.filter(col("o_orderkey") % 4 <= 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumnRenamed("o_totalprice", "o_price")
+        .withColumn("o_flag", (col("o_orderkey") % 3).cast("long"))
+      val st = graft.sources.DeltaWrite.merge(tbl, src,
+        Seq("o_orderkey"), mergeSchema = true)
+      require(st.rowsUpdated > 0 && st.rowsInserted > 0,
+        s"mapped evolving merge must update and insert: $st")
+      // the fresh mapping entry is REAL: the evolved column renames
+      // metadata-only like any mapped column
+      graft.sources.DeltaWrite.renameColumn(s, tbl, "o_flag", "o_mark")
+      // pre-evolution time travel reads the old schema
+      require(!graft.sources.DeltaLog.read(s, tbl, Some(0L))
+        .columns.contains("o_mark"),
+        "pre-evolution snapshot leaked the evolved column")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_price").cast("double").as("o_price"),
+          col("o_mark").cast("long").as("o_mark"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus,
+                     o_totalprice AS o_price
+                   FROM orders WHERE o_orderkey % 2 = 0),
+      src AS (SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_price,
+                CAST(o_orderkey % 3 AS BIGINT) AS o_mark
+              FROM orders WHERE o_orderkey % 4 <= 1)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_price AS DOUBLE) AS o_price, o_mark
+      FROM (SELECT o_orderkey, o_orderstatus, o_price, o_mark FROM src
+            UNION ALL
+            SELECT o_orderkey, o_orderstatus, o_price, NULL
+            FROM tgt WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src))
+      ORDER BY o_orderkey""")),
+
     // x36: DELTA DELETION VECTORS — the Delta protocol's merge-on-read
     // row deletes (x30's first-format twin): deleteWhereDv re-adds each
     // touched file with a serialized RoaringBitmapArray of its dead row
@@ -953,12 +1148,12 @@ object SourceQueries {
       ORDER BY o_orderkey""")),
 
     // x37: DELTA DV PURGE (REORG APPLY PURGE) — x31's first-format twin,
-    // completing x36's lifecycle: while DVs are live every copy-on-write
-    // op (optimize here) REFUSES, and each read pays the bitmap filter.
-    // purgeDeletionVectors materializes ONLY the DV-carrying files' live
-    // rows into clean files (dataChange:false — rows unchanged, pinned
-    // by the same oracle as x36), drops every descriptor, re-enables
-    // optimize, and frees the DV file for vacuum. Pre-purge history
+    // completing x36's lifecycle: while DVs are live every read pays the
+    // bitmap filter. purgeDeletionVectors materializes ONLY the
+    // DV-carrying files' live rows into clean files (dataChange:false —
+    // rows unchanged, pinned by the same oracle as x36), drops every
+    // descriptor, and frees the DV file for vacuum — the compaction-free
+    // alternative to OPTIMIZE's apply-and-drop (x28b). Pre-purge history
     // still time-travels WITH the deletes applied.
     QueryDef("x37_delta_dv_purge", (s, d) => {
       val tbl = s"$stage/delta_dv_purge"
@@ -973,13 +1168,9 @@ object SourceQueries {
         col("o_orderstatus") === "F")
       graft.sources.DeltaWrite.append(
         o.filter(col("o_orderkey") % 4 >= 2), tbl)
-      // copy-on-write ops must refuse while DVs are live
-      val refused =
-        try {
-          graft.sources.DeltaWrite.optimize(s, tbl, smallFileBytes = 1L << 30)
-          false
-        } catch { case _: IllegalArgumentException => true }
-      require(refused, "optimize ran over live deletion vectors")
+      // purge is the compaction-FREE materialization path (optimize
+      // also retires DVs — x28b — but rewrites whole groups; REORG
+      // APPLY PURGE touches only the DV-carrying files)
       val ps = graft.sources.DeltaWrite.purgeDeletionVectors(s, tbl)
       require(ps.filesPurged > 0 && ps.filesAdded > 0,
         s"purge touched nothing: $ps")
@@ -1137,6 +1328,69 @@ object SourceQueries {
         FROM orders
         WHERE o_orderstatus = 'F' AND o_orderkey % 2 = 0
           AND o_orderkey % 6 = 0
+      ) ORDER BY _commit_version, _change_type, o_orderkey""")),
+
+    // x38c: CHANGE DATA FEED ON A PARTITIONED TABLE — the feed must
+    // serve the 100 TB norm. Three decode shapes compose: DERIVED
+    // inserts re-inject each add's partition tuple from the commit's
+    // own pv maps (the data files physically lack the column — a
+    // pv-blind decode would NULL o_orderstatus on every v2 row and
+    // break the hash); merge cdc rows carry the partition column as
+    // typed DATA; the partitioned DELETE's cdc rows replay with the
+    // partition conjunct applied. The oracle recomputes the whole feed
+    // relationally.
+    QueryDef("x38c_delta_cdf_partitioned", (s, d) => {
+      val tbl = s"$stage/delta_cdf_part"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 0), tbl,
+        Seq("o_orderstatus")) // v0, pre-CDF
+      graft.sources.DeltaWrite.enableChangeDataFeed(s, tbl) // v1
+      graft.sources.DeltaWrite.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 2), tbl,
+        Seq("o_orderstatus")) // v2: derived inserts, pv re-injected
+      val src = o.filter(col("o_orderkey") % 8 === 0 ||
+          col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+      graft.sources.DeltaWrite.merge(tbl, src, Seq("o_orderkey")) // v3: cdc
+      graft.sources.DeltaWrite.deleteWhere(s, tbl,
+        col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 6 === 0) // v4: cdc
+      graft.sources.DeltaLog.tableChanges(s, tbl, 2L)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("_change_type"),
+          col("_commit_version").cast("long").as("_commit_version"))
+        .orderBy(col("_commit_version"), col("_change_type"),
+          col("o_orderkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+          'insert' AS _change_type, CAST(2 AS BIGINT) AS _commit_version
+        FROM orders WHERE o_orderkey % 4 = 2
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice AS DOUBLE), 'update_preimage', 3
+        FROM orders WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 1 AS DOUBLE), 'update_postimage', 3
+        FROM orders WHERE o_orderkey % 8 = 0
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 1 AS DOUBLE), 'insert', 3
+        FROM orders WHERE o_orderkey % 2 = 1
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(CASE WHEN o_orderkey % 8 = 0 OR o_orderkey % 2 = 1
+               THEN o_totalprice + 1 ELSE o_totalprice END AS DOUBLE),
+          'delete', 4
+        FROM orders
+        WHERE o_orderstatus = 'F' AND o_orderkey % 6 = 0
       ) ORDER BY _commit_version, _change_type, o_orderkey""")),
 
     // x39: CDF INCREMENTAL CONSUMER — the reason the feed exists: a

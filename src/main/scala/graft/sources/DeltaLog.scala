@@ -87,7 +87,7 @@ object DeltaLog {
   // the request schema, Spark's native field-id matching) — physical
   // names and column order in the files are irrelevant by design.
 
-  private val PhysNameKey = "delta.columnMapping.physicalName"
+  private[sources] val PhysNameKey = "delta.columnMapping.physicalName"
 
   private[sources] val FieldIdKey = "delta.columnMapping.id"
 
@@ -252,6 +252,41 @@ object DeltaLog {
         .join(broadcast(fileToPv), Seq(fileKey))
         .drop(col(fileKey))
     }
+  }
+
+  /** Re-attach EXPLICIT per-path partition tuples to a scan of arbitrary
+    * parquet paths — the change-feed derivation's pv seam (the live-set
+    * injectors key off add actions; a feed replays DEAD epochs whose
+    * files left the live set long ago). Same broadcast
+    * (file -> tuple) join on `input_file_name()` as the snapshot
+    * readers; output columns take the LOGICAL partition field names,
+    * cast to their declared types.
+    */
+  private def injectPvByPath(spark: SparkSession, base: DataFrame,
+      pathPv: Seq[(String, Map[String, String])],
+      partFields: Seq[org.apache.spark.sql.types.StructField],
+      keyOf: String => String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    val fileKey = "__graft_delta_file"
+    val rows = pathPv.map { case (p, pv) =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val qualified = hp.getFileSystem(hadoopConf).makeQualified(hp)
+        .toUri.toString
+      org.apache.spark.sql.Row.fromSeq(qualified +:
+        partFields.map(f => pv.get(keyOf(f.name)).orNull))
+    }
+    val mapSchema = StructType(StructField(fileKey, StringType) +:
+      partFields.map(f => StructField(f.name, StringType)))
+    val fileToPv = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), mapSchema)
+    val joined = base.withColumn(fileKey, input_file_name())
+      .join(broadcast(fileToPv), Seq(fileKey))
+      .drop(col(fileKey))
+    partFields.foldLeft(joined)((d, f) =>
+      d.withColumn(f.name, col(s"`${f.name}`")
+        .cast(logicalType(f.dataType))))
   }
 
   /** Mapped decode of ARBITRARY parquet paths (no DV application, no
@@ -849,14 +884,33 @@ object DeltaLog {
         throw new IllegalArgumentException(
           s"column-mapped table without a parseable schemaString: " +
             tablePath)))
+    // partition values resolve per file: from the action itself (adds
+    // always carry them; our removes carry them as extended metadata),
+    // or — for a foreign writer's bare remove — re-derived from the
+    // hive segments of the recorded relative path. Values are decoded
+    // exactly like the reader's path decode (only %XX unescaped).
+    def pvOfAction(a: Map[String, Any], rel: String): Map[String, String] =
+      a.get("partitionValues") match {
+        case Some(pm: Map[_, _]) =>
+          pm.asInstanceOf[Map[String, Any]].map {
+            case (k, v: String) => k -> v
+            case (k, _) => k -> null
+          }
+        case _ =>
+          URLDecoder.decode(rel, "UTF-8").split("/").dropRight(1)
+            .filter(_.contains("=")).map { seg =>
+              val Array(k, v) = seg.split("=", 2)
+              k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+            }.toMap
+      }
     val perCommit = commits
       .filter(f => versionOf(f) >= fromVersion && versionOf(f) <= maxV)
       .flatMap { f =>
         val v = versionOf(f)
         var cdcPaths = List.empty[String]
-        var addPaths = List.empty[String]
+        var addPaths = List.empty[(String, Map[String, String])]
         var addHasDv = false
-        var removePaths = List.empty[String]
+        var removePaths = List.empty[(String, Map[String, String])]
         Files.readAllLines(f.toPath, StandardCharsets.UTF_8).asScala
           .filter(_.trim.nonEmpty).foreach { line =>
             MiniJson.parseObject(line).foreach { action =>
@@ -875,18 +929,18 @@ object DeltaLog {
               action.get("add").foreach { case m: Map[_, _] =>
                 val a = m.asInstanceOf[Map[String, Any]]
                 if (isDataChange(a)) {
-                  addPaths ::= pathOf(a, f)
+                  val p = pathOf(a, f)
+                  addPaths ::= (p -> pvOfAction(a, p))
                   if (a.get("deletionVector").exists(_.isInstanceOf[Map[_, _]]))
                     addHasDv = true
-                  require(a.get("partitionValues").collect {
-                    case pm: Map[_, _] => pm.nonEmpty }.getOrElse(false) == false,
-                    s"change feed supports unpartitioned tables: $tablePath")
                 }
               case _ => }
               action.get("remove").foreach { case m: Map[_, _] =>
                 val a = m.asInstanceOf[Map[String, Any]]
-                if (isDataChange(a))
-                  removePaths ::= pathOf(a, f)
+                if (isDataChange(a)) {
+                  val p = pathOf(a, f)
+                  removePaths ::= (p -> pvOfAction(a, p))
+                }
               case _ => }
             }
           }
@@ -928,6 +982,48 @@ object DeltaLog {
             case None => spark.read.parquet(abs: _*)
           }
         }
+        // DERIVED changes (pure-insert appends, whole-file removes) on a
+        // PARTITIONED epoch: the data files physically lack the
+        // partition columns (they live in the log), so the derivation
+        // reads the data fields and re-injects each file's tuple —
+        // exactly the snapshot reader's broadcast (file -> pv) join,
+        // keyed on the pv maps the actions carried (or, for a foreign
+        // writer's bare remove, the hive segments of its path)
+        def scanDerived(pathPv: Seq[(String, Map[String, String])])
+            : DataFrame = {
+          import org.apache.spark.sql.functions.col
+          import org.apache.spark.sql.types.StructType
+          if (pathPv.forall(_._2.isEmpty))
+            return scan(pathPv.map(_._1), withChangeType = false)
+          val abs = pathPv.map { case (p, pv) => (resolve(p), pv) }
+          abs.foreach { case (p, _) => require(new File(p).isFile,
+            s"change-feed file for version $v was vacuumed: $p") }
+          val schemaFull = schemaAt.getOrElse(
+            throw new IllegalArgumentException(
+              s"partitioned change feed needs a parseable metaData " +
+                s"schema in $tablePath"))
+          val declaredParts = tableMetaData(spark, tablePath,
+            Some(if (endMode == "none") v else maxV))
+            .flatMap(_.get("partitionColumns"))
+            .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
+            .getOrElse(Seq.empty)
+          val (partFields, dataFields) = schemaFull.fields
+            .partition(f => declaredParts.contains(f.name))
+          def keyOf(logical: String): String = {
+            val f = schemaFull(logical)
+            if (endMode != "none" && f.metadata.contains(PhysNameKey))
+              f.metadata.getString(PhysNameKey)
+            else logical
+          }
+          val base =
+            if (endMode == "none")
+              spark.read.schema(StructType(dataFields))
+                .parquet(abs.map(_._1): _*)
+            else scanMappedPaths(spark, tablePath, endMode,
+              StructType(dataFields), abs.map(_._1))
+          injectPvByPath(spark, base, abs, partFields.toSeq, keyOf)
+            .select(schemaFull.fields.map(f => col(s"`${f.name}`")).toSeq: _*)
+        }
         val changed: Seq[DataFrame] =
           if (cdcPaths.nonEmpty) Seq(scan(cdcPaths, withChangeType = true))
           else {
@@ -937,10 +1033,10 @@ object DeltaLog {
                 "cannot be derived from add/remove (foreign writer " +
                 "without CDF); read the snapshots instead")
             val ins = if (addPaths.isEmpty) Seq.empty else Seq(
-              scan(addPaths, withChangeType = false)
+              scanDerived(addPaths)
                 .withColumn("_change_type", lit("insert")))
             val del = if (removePaths.isEmpty) Seq.empty else Seq(
-              scan(removePaths, withChangeType = false)
+              scanDerived(removePaths)
                 .withColumn("_change_type", lit("delete")))
             ins ++ del
           }
@@ -1090,8 +1186,30 @@ object DeltaLog {
     * guessing.
     */
   def read(spark: SparkSession, tablePath: String,
-      versionAsOf: Option[Long] = None): DataFrame = {
-    val adds = liveAdds(spark, tablePath, versionAsOf)
+      versionAsOf: Option[Long] = None): DataFrame =
+    readAdds(spark, tablePath,
+      liveAdds(spark, tablePath, versionAsOf), versionAsOf)
+
+  /** Snapshot-decode a SUBSET of the current live set (by exact path) —
+    * the copy-on-write writers' rewrite seam: a MERGE/DELETE reads ONLY
+    * its touched files, but must read them exactly like the snapshot
+    * reader would (metaData-schema decode, column-mapping resolution,
+    * deletion vectors applied, partition values injected from the log).
+    * Reading the paths raw instead would resurrect MoR-deleted rows
+    * into the rewrite — the bug class this indirection exists to make
+    * impossible.
+    */
+  private[sources] def readLivePaths(spark: SparkSession, tablePath: String,
+      paths: Seq[String]): DataFrame = {
+    val want = paths.toSet
+    val adds = liveAdds(spark, tablePath).filter(a => want.contains(a.path))
+    require(adds.size == want.size,
+      s"${want.size - adds.size} path(s) not in the live set of $tablePath")
+    readAdds(spark, tablePath, adds, None)
+  }
+
+  private def readAdds(spark: SparkSession, tablePath: String,
+      adds: Seq[LiveFile], versionAsOf: Option[Long]): DataFrame = {
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
     // SCHEMA EVOLUTION: an evolved table's pre-evolution files physically
     // lack the new columns, and footer inference would answer with
@@ -1163,9 +1281,10 @@ object DeltaLog {
     * the callers' concern (they refuse before calling).
     */
   private[sources] def readWithRowIdentity(spark: SparkSession,
-      tablePath: String): DataFrame = {
+      tablePath: String, onlyPaths: Option[Set[String]] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val adds = liveAdds(spark, tablePath)
+    val adds0 = liveAdds(spark, tablePath)
+    val adds = onlyPaths.fold(adds0)(ps => adds0.filter(a => ps(a.path)))
     require(adds.nonEmpty, s"Delta table has no live files: $tablePath")
     val root = new File(tablePath)
     val mode = mappingMode(tableMetaData(spark, tablePath))
@@ -1237,6 +1356,35 @@ object DeltaLog {
       col(s"`${f.name}`").cast(logicalType(f.dataType)).as(f.name)
     } ++ idCols: _*)
   }
+
+  /** `metaData.partitionColumns` as recorded (LOGICAL names, in declared
+    * order); empty when the log carries no metaData or none declared.
+    */
+  private[sources] def recordedPartitionColumns(spark: SparkSession,
+      tablePath: String): Seq[String] =
+    tableMetaData(spark, tablePath)
+      .flatMap(_.get("partitionColumns"))
+      .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
+      .getOrElse(Seq.empty)
+
+  /** Cast log-injected partition columns (strings — [[injectPv]]'s
+    * output type) to their metaData-declared types. The mapped scan
+    * paths already cast in their final projection; this is the UNMAPPED
+    * partitioned frames' equivalent, used by the copy-on-write writers
+    * so restaged rows and cdc files carry the declared types, not the
+    * log's string rendering. No-op without a parseable metaData schema.
+    */
+  private[sources] def castPvToDeclared(spark: SparkSession,
+      tablePath: String, df: DataFrame): DataFrame =
+    metaSchema(spark, tablePath) match {
+      case None => df
+      case Some(ms) =>
+        import org.apache.spark.sql.functions.col
+        recordedPartitionColumns(spark, tablePath)
+          .filter(c => df.columns.contains(c) && ms.fieldNames.contains(c))
+          .foldLeft(df)((d, c) =>
+            d.withColumn(c, col(s"`$c`").cast(logicalType(ms(c).dataType))))
+    }
 
   /** Re-attach the log's partition values to `base` via a broadcast
     * (file -> pv) map — no-op for unpartitioned adds. */

@@ -271,7 +271,8 @@ object DeltaWrite {
   private def physicalizeForStage(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       df: DataFrame,
-      passthrough: Seq[String] = Seq.empty)
+      passthrough: Seq[String] = Seq.empty,
+      logicalOverride: Option[org.apache.spark.sql.types.StructType] = None)
       : (DataFrame, org.apache.spark.sql.types.StructType) = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types._
@@ -283,11 +284,15 @@ object DeltaWrite {
     val mode = DeltaLog.mappingMode(meta)
     if (mode == "none") return (df, df.schema)
     // `passthrough` columns (e.g. a cdc staging's _change_type) ride
-    // the physicalized frame untouched, after the mapped fields
+    // the physicalized frame untouched, after the mapped fields.
+    // `logicalOverride` lets a schema-evolving commit stage under the
+    // schema it is ABOUT to publish (the log still holds the old one).
     val passCols = passthrough.map(c => col(s"`$c`"))
-    val logical = DeltaLog.metaSchema(spark, tablePath).getOrElse(
-      throw new IllegalArgumentException(
-        s"column-mapped table without a parseable schemaString: $tablePath"))
+    val logical = logicalOverride.getOrElse(
+      DeltaLog.metaSchema(spark, tablePath).getOrElse(
+        throw new IllegalArgumentException(
+          s"column-mapped table without a parseable schemaString: " +
+            tablePath)))
     val missing = logical.fieldNames.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"mapped append to $tablePath lacks column(s): ${missing.mkString(",")}")
@@ -326,6 +331,191 @@ object DeltaWrite {
           s"unsupported delta.columnMapping.mode '$other' in $tablePath")
     }
     (staged, physical)
+  }
+
+  /** PHYSICAL partition column names for staging a partitioned write:
+    * identical to the logical names on unmapped tables; translated
+    * through the mapping otherwise (hive dirs and add.partitionValues
+    * are keyed physical per the protocol).
+    */
+  private def physPartitionCols(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, partitionCols: Seq[String]): Seq[String] = {
+    val meta = DeltaLog.tableMetaData(spark, tablePath)
+    if (DeltaLog.mappingMode(meta) == "none") partitionCols
+    else {
+      val logical = DeltaLog.metaSchema(spark, tablePath)
+        .getOrElse(throw new IllegalArgumentException(
+          s"column-mapped table without a parseable schemaString: " +
+            tablePath))
+      val phys = DeltaLog.physicalize(logical)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val byLogical = logical.fieldNames.zip(phys.fieldNames).toMap
+      partitionCols.map(c => byLogical.getOrElse(c, c))
+    }
+  }
+
+  /** Hive/Spark path escaping encodes special characters as %XX but does
+    * NOT encode '+' or space — URLDecoder would corrupt a literal '+'
+    * into a space. Decode only the %XX escapes.
+    */
+  private def hivePathDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
+  /** Stage `stagedDf` PARTITIONED by `physParts` (hive layout) and move
+    * the part files under the table root's `col=value/` directories,
+    * returning each published file with the partition tuple its staging
+    * path encoded. One distributed write job regardless of partition
+    * count — the shared staging seam of every partitioned writer here
+    * (append, create, and the copy-on-write rewrites). Spark writes a
+    * NULL partition value as the __HIVE_DEFAULT_PARTITION__ sentinel
+    * directory — recorded as a true null partitionValue (the protocol
+    * renders it as JSON null), never as the literal string.
+    */
+  private def stagePartitionedFiles(stagedDf: DataFrame, root: File,
+      physParts: Seq[String]): Seq[(File, Map[String, String])] = {
+    val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
+    stagedDf.write.partitionBy(physParts: _*).parquet(staging.getPath)
+    def walk(dir: File, pv: Map[String, String])
+        : Seq[(File, Map[String, String])] =
+      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory && d.getName.contains("=") =>
+          val Array(k, raw) = d.getName.split("=", 2)
+          val value =
+            if (raw == "__HIVE_DEFAULT_PARTITION__") null
+            else hivePathDecode(raw)
+          walk(d, pv + (hivePathDecode(k) -> value))
+        case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> pv)
+        case _ => Seq.empty
+      }
+    val staged = walk(staging, Map.empty)
+    val moved = staged.map { case (f, pv) =>
+      val dir = new File(root, physParts.map { c =>
+        val seg = pv(c) match {
+          case null => "__HIVE_DEFAULT_PARTITION__"
+          case v => java.net.URLEncoder.encode(v, "UTF-8")
+        }
+        s"$c=$seg"
+      }.mkString("/"))
+      dir.mkdirs()
+      val dst = new File(dir, s"part-${java.util.UUID.randomUUID}.parquet")
+      Files.move(f.toPath, dst.toPath)
+      (dst, pv)
+    }
+    def rmTree(f: File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+      Files.deleteIfExists(f.toPath); ()
+    }
+    rmTree(staging)
+    moved
+  }
+
+  /** One partitioned `add` action: root-relative URL-encoded path (each
+    * hive segment encoded so an escaped dir name round-trips), the
+    * partition tuple, and footer stats over the DATA columns (partition
+    * values live in the path/log, never the footers).
+    */
+  private def partitionedAddAction(root: File, f: File,
+      pv: Map[String, String],
+      dataSchema: org.apache.spark.sql.types.StructType,
+      dataChange: Boolean): String = {
+    val rel = relPath(root, f.getPath).split("/")
+      .map(seg => java.net.URLEncoder.encode(seg, "UTF-8")).mkString("/")
+    s"""{"add":{"path":"${jsonEscape(rel)}",""" +
+      s""""partitionValues":${pvJson(pv)},"size":${f.length},""" +
+      s""""modificationTime":${f.lastModified},""" +
+      fileStats(f, dataSchema).fold("")(st =>
+        s""""stats":"${jsonEscape(st)}",""") +
+      s""""dataChange":$dataChange}}"""
+  }
+
+  /** A remove action carrying the file's partition tuple (the protocol's
+    * extended file metadata) — what lets a change-data-feed derivation
+    * re-attach partition values to a removed file without re-resolving
+    * the dead add action.
+    */
+  private def removeAction(a: DeltaLog.LiveFile,
+      dataChange: Boolean = true): String =
+    s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}",""" +
+      (if (a.partitionValues.nonEmpty)
+        s""""partitionValues":${pvJson(a.partitionValues)},""" else "") +
+      s""""dataChange":$dataChange}}"""
+
+  /** The current metaData's configuration map serialized as a JSON
+    * fragment — shared by commits that must RE-EMIT table metadata
+    * (schema evolution) without dropping table properties like
+    * delta.enableChangeDataFeed or the column-mapping configuration.
+    */
+  private def configJsonOf(meta: Option[Map[String, Any]],
+      overrides: Map[String, String] = Map.empty): String =
+    (meta.flatMap(_.get("configuration"))
+      .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+      .getOrElse(Map.empty[String, Any])
+      .collect { case (k, v: String) => k -> v } ++ overrides)
+      .toSeq.sortBy(_._1).map { case (k, v) =>
+        s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
+      }.mkString("{", ",", "}")
+
+  /** Restrict a DELETE/match scan's candidate files by the predicate's
+    * PARTITION conjuncts — the first pruning lever at 100 TB, answered
+    * from log metadata alone. Sound by construction: only top-level AND
+    * conjuncts referencing NOTHING but partition columns are evaluated
+    * (against one local row per live file, partition values cast to
+    * their declared types); a file whose tuple makes such a conjunct
+    * false-or-null can contain no row satisfying the full predicate
+    * (the conjunct is constant across the file), so pruning it never
+    * changes the answer. Predicates with no partition-only conjunct
+    * prune nothing.
+    */
+  private[sources] def prunePartitionConjuncts(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      adds: Seq[DeltaLog.LiveFile],
+      predicate: org.apache.spark.sql.Column): Seq[DeltaLog.LiveFile] = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val partCols = DeltaLog.recordedPartitionColumns(spark, tablePath)
+    if (partCols.isEmpty || adds.isEmpty) return adds
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val partSet = partCols.toSet
+    val partOnly = conjuncts(GraftColumnBridge.expression(predicate))
+      .filter(c => c.deterministic && c.references.nonEmpty &&
+        c.references.forall(a => partSet.contains(a.name)))
+    if (partOnly.isEmpty) return adds
+    // pv keys are PHYSICAL names under column mapping; resolve each
+    // logical partition column to the key its adds record
+    val physOf: Map[String, String] =
+      DeltaLog.metaSchema(spark, tablePath) match {
+        case Some(ms)
+            if DeltaLog.mappingMode(
+              DeltaLog.tableMetaData(spark, tablePath)) != "none" =>
+          val phys = DeltaLog.physicalize(ms)
+            .asInstanceOf[StructType]
+          ms.fieldNames.zip(phys.fieldNames).toMap
+        case _ => Map.empty
+      }
+    val declared: Map[String, org.apache.spark.sql.types.DataType] =
+      DeltaLog.metaSchema(spark, tablePath)
+        .map(ms => ms.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    val schema = StructType(StructField("__graft_path", StringType) +:
+      partCols.map(c => StructField(c, StringType)))
+    val rows = adds.map(a => org.apache.spark.sql.Row.fromSeq(
+      a.path +: partCols.map(c =>
+        a.partitionValues.get(physOf.getOrElse(c, c)).orNull)))
+    val filterCol = partOnly
+      .map(e => GraftColumnBridge.column(e))
+      .reduce(_ && _)
+    val local = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+    val typed = partCols.foldLeft(local)((d, c) =>
+      declared.get(c).fold(d)(dt => d.withColumn(c, col(s"`$c`").cast(dt))))
+    val kept = typed.filter(filterCol)
+      .select(col("__graft_path")).collect().map(_.getString(0)).toSet
+    adds.filter(a => kept.contains(a.path))
   }
 
   /** APPEND `df` as one atomic commit; returns the committed version. */
@@ -378,99 +568,144 @@ object DeltaWrite {
   def merge(tablePath: String, source: DataFrame,
       keys: Seq[String], mergeSchema: Boolean = false): MergeStats = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
     val spark = source.sparkSession
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"merge supports unpartitioned tables: $tablePath")
-    requireNoDv(adds, "merge", tablePath)
-    // MAPPED tables merge first-class: the batch and the predicate are
-    // LOGICAL (decode through the mapping), touched files resolve via
-    // the identity scan, survivors + the batch + cdc rows restage
-    // through the same physicalization as a mapped append. The one
-    // refused composition is schema evolution (new columns would need
-    // fresh mapping entries) — loud, below.
-    val mapMode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
-    val mappedLogical =
-      if (mapMode == "none") None
-      else Some(DeltaLog.metaSchema(spark, tablePath).getOrElse(
-        throw new IllegalArgumentException(
-          s"column-mapped table without a parseable schemaString: " +
-            tablePath)))
+    val meta = DeltaLog.tableMetaData(spark, tablePath)
+    val mapMode = DeltaLog.mappingMode(meta)
+    val partCols = DeltaLog.recordedPartitionColumns(spark, tablePath)
     requireSatisfiesConstraints(spark, tablePath, source, "merge")
-    // decode through the metaData schema when the log carries one: after
-    // a prior evolution the live files are physically mixed and footer
-    // inference would pick whichever file won
-    val target0 = mappedLogical match {
-      case Some(logical) =>
-        DeltaLog.scanMappedPaths(spark, tablePath, mapMode, logical,
-          adds.map(_.path))
-      case None => DeltaLog.metaSchema(spark, tablePath) match {
-        case Some(st) => spark.read.schema(st).parquet(adds.map(_.path): _*)
-        case None => spark.read.parquet(adds.map(_.path): _*)
-      }
-    }
+    // the logical snapshot shape (typed partition columns included):
+    // decoded exactly like the snapshot reader — metaData schema,
+    // mapping resolution, DVs applied — so post-evolution file mixes and
+    // MoR deletes both merge correctly. Schema-only here (no job).
+    val target0 = DeltaLog.castPvToDeclared(spark, tablePath,
+      DeltaLog.readLivePaths(spark, tablePath, adds.map(_.path)))
     val cols = target0.columns.toSeq
     // SCHEMA EVOLUTION (`mergeSchema`, real Delta's autoMerge): source
     // columns beyond the table's schema widen it — the commit carries a
-    // new metaData action with the merged schema, touched files rewrite
-    // in it, and UNTOUCHED files stay physically old (readers NULL-fill
-    // through the metaData schema; no O(table) rewrite for a new column).
-    // Source must still cover every existing column; dropping or
-    // retyping columns is not evolution and stays refused.
+    // new metaData action with the merged schema (partitioning and table
+    // configuration preserved), touched files rewrite in it, and
+    // UNTOUCHED files stay physically old (readers NULL-fill through the
+    // metaData schema; no O(table) rewrite for a new column). On a
+    // MAPPED table each new column also gets a fresh mapping entry
+    // (maxColumnId+1, its own physical name / field id) in the same
+    // metaData commit. Source must still cover every existing column;
+    // dropping or retyping columns is not evolution and stays refused.
     val newCols = source.columns.filterNot(cols.contains).toSeq
     require(newCols.isEmpty || mergeSchema,
       s"source columns ${newCols.mkString(",")} are not in the table " +
         s"schema ${cols.mkString(",")} — pass mergeSchema=true to evolve")
-    require(newCols.isEmpty || mapMode == "none",
-      s"merge schema evolution on a column-mapped table is not " +
-        s"supported: $tablePath (new columns need fresh mapping entries)")
     require(cols.forall(source.columns.contains),
       s"source columns ${source.columns.mkString(",")} must cover table " +
         s"columns ${cols.mkString(",")}")
     val target = newCols.foldLeft(target0)((t, c) =>
       t.withColumn(c, lit(null).cast(source.schema(c).dataType)))
     val allCols = cols ++ newCols
+    // fresh mapping entries for an evolving MAPPED merge: ids continue
+    // past the recorded maxColumnId, physical names follow the col-<id>
+    // convention, and the SAME metaData commit bumps the counter — a
+    // reused id would silently cross-resolve two columns in id mode
+    val evolvedLogical: Option[StructType] =
+      if (newCols.isEmpty || mapMode == "none") None
+      else {
+        val oldLogical = DeltaLog.metaSchema(spark, tablePath).getOrElse(
+          throw new IllegalArgumentException(
+            s"column-mapped table without a parseable schemaString: " +
+              tablePath))
+        val maxId = math.max(
+          meta.flatMap(_.get("configuration"))
+            .collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+            .flatMap(_.get("delta.columnMapping.maxColumnId"))
+            .collect { case s: String => s.toLong }.getOrElse(0L),
+          oldLogical.fields.map(f =>
+            if (f.metadata.contains(DeltaLog.FieldIdKey))
+              f.metadata.getLong(DeltaLog.FieldIdKey) else 0L).max)
+        val fresh = newCols.zipWithIndex.map { case (c, i) =>
+          val id = maxId + i + 1
+          StructField(c, source.schema(c).dataType, nullable = true,
+            new MetadataBuilder()
+              .putString(DeltaLog.PhysNameKey, s"col-$id")
+              .putLong(DeltaLog.FieldIdKey, id).build())
+        }
+        Some(StructType(oldLogical.fields ++ fresh))
+      }
     // cast the batch to the TABLE's exact types (real Delta's implicit
     // whenMatched cast): without it a wider-typed batch would rewrite
     // touched files in a different physical type than the untouched
     // files keep, and the next snapshot read would fail on the mix
     val src = source.select(allCols.map(c =>
-      col(c).cast(target.schema(c).dataType).as(c)): _*)
-    val dup = src.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      col(s"`$c`").cast(target.schema(c).dataType).as(c)): _*)
+    val dup = src.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count()
     require(dup == 0L,
       "merge source has multiple rows for the same key (ambiguous match)")
     val srcCount = src.count()
     if (srcCount == 0L) // empty batch: a no-op, not an empty commit
       return MergeStats(nextVersion(logDir) - 1, 0, 0, 0L, 0L)
-    val srcKeys = src.select(keys.map(col): _*)
+    val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
+    // PARTITION PRUNING of the match scan: when a join key IS a
+    // partition column, only files whose tuple value appears among the
+    // batch's distinct values for it can contain a match (the batch is
+    // the broadcast side — collecting its distinct partition values is
+    // bounded by the batch). Null-valued tuples prune too: an equi-join
+    // key never matches null. Inserts are unaffected (they stage from
+    // the batch, not the match scan).
+    val pvKeyOf: Map[String, String] =
+      if (mapMode == "none") Map.empty
+      else DeltaLog.metaSchema(spark, tablePath).map { ms =>
+        val phys = DeltaLog.physicalize(ms).asInstanceOf[StructType]
+        ms.fieldNames.zip(phys.fieldNames).toMap
+      }.getOrElse(Map.empty)
+    val candidateAdds = keys.filter(partCols.contains)
+      .foldLeft(adds) { (as, k) =>
+        val vals = src.select(col(s"`$k`").cast("string")).distinct()
+          .collect().flatMap(r => Option(r.getString(0))).toSet
+        as.filter(_.partitionValues.get(pvKeyOf.getOrElse(k, k)) match {
+          case Some(null) => false
+          case Some(v) => vals.contains(v)
+          case None => true
+        })
+      }
     // touched files: bounded by live-file count (same driver-state class
-    // as the log listing itself). Mapped tables discover via the
-    // identity scan — the logical projection loses `_metadata`, so the
-    // file column must be captured before it.
-    val identityScan =
-      if (mapMode == "none")
-        target.withColumn("__graft_file", col("_metadata.file_path"))
-      else DeltaLog.readWithRowIdentity(spark, tablePath)
-        .withColumnRenamed("__graft_dv_file", "__graft_file")
-        .drop("__graft_dv_pos")
-    val touched = identityScan
-      .join(broadcast(srcKeys), keys, "leftsemi")
-      .select(col("__graft_file")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    // decode through the (evolved) table schema so pre-evolution
-    // survivors NULL-fill the new columns in their rewrite
+    // as the log listing itself). The identity scan decodes logically
+    // with each row's PHYSICAL file captured before any projection/join,
+    // applies live DVs (a MoR-deleted row must not count as a match),
+    // and injects typed partition columns so keys may include them.
+    val byName = adds.map(a => new File(a.path).getName -> a).toMap
+    val touchedAdds: Seq[DeltaLog.LiveFile] =
+      if (candidateAdds.isEmpty) Seq.empty
+      else {
+        val identityScan = DeltaLog.castPvToDeclared(spark, tablePath,
+          DeltaLog.readWithRowIdentity(spark, tablePath,
+            Some(candidateAdds.map(_.path).toSet)))
+          .withColumnRenamed("__graft_dv_file", "__graft_file")
+          .drop("__graft_dv_pos")
+        identityScan
+          .join(broadcast(srcKeys), keys, "leftsemi")
+          .select(col("__graft_file")).distinct()
+          .collect().map(_.getString(0)).toSeq
+          .map { uri =>
+            // metadata paths are qualified URIs; recorded add paths are
+            // relative — unique by construction, match by uuid name
+            val name = uri.substring(uri.lastIndexOf('/') + 1)
+            byName.getOrElse(name, throw new IllegalStateException(
+              s"touched file not in live set: $uri"))
+          }
+      }
+    // decode touched files through the snapshot reader (DVs applied,
+    // pv injected) and NULL-fill evolving columns so pre-evolution
+    // survivors rewrite under the merged schema
     val touchedRows =
-      if (touched.isEmpty) None
-      else Some(mappedLogical match {
-        case Some(logical) =>
-          DeltaLog.scanMappedPaths(spark, tablePath, mapMode, logical,
-            touched)
-        case None => spark.read.schema(target.schema).parquet(touched: _*)
-      })
+      if (touchedAdds.isEmpty) None
+      else Some(newCols.foldLeft(
+        DeltaLog.castPvToDeclared(spark, tablePath,
+          DeltaLog.readLivePaths(spark, tablePath, touchedAdds.map(_.path))))(
+        (t, c) => t.withColumn(c, lit(null).cast(source.schema(c).dataType))))
     val (survivors, rowsUpdated) = touchedRows match {
       case None => (None, 0L)
       case Some(tr) =>
@@ -484,13 +719,15 @@ object DeltaWrite {
     // delete+insert), so the commit publishes the exact change rows —
     // matched old rows as update_preimage, their replacements as
     // update_postimage, unmatched source rows as insert. All three are
-    // bounded by the batch, one O(batch) write.
+    // bounded by the batch, one O(batch) write. Partition columns ride
+    // as DATA columns in the cdc file (typed by the cast above), so the
+    // feed decode needs no pv re-injection for cdc rows.
     val cdcActions =
       if (!cdfEnabled(spark, tablePath)) Seq.empty
       else {
         val pre = touchedRows.fold(src.limit(0))(
           _.join(broadcast(srcKeys), keys, "leftsemi"))
-        val matchedKeys = pre.select(keys.map(col): _*)
+        val matchedKeys = pre.select(keys.map(c => col(s"`$c`")): _*)
         val post = src.join(broadcast(matchedKeys), keys, "leftsemi")
         val ins = src.join(broadcast(matchedKeys), keys, "leftanti")
         val change =
@@ -501,44 +738,66 @@ object DeltaWrite {
         val staged =
           if (mapMode == "none") change
           else physicalizeForStage(spark, tablePath, change,
-            passthrough = Seq("_change_type"))._1
+            passthrough = Seq("_change_type"),
+            logicalOverride = evolvedLogical)._1
         stageCdc(staged, root)
       }
     // mapped rewrites stage physical-named (id-stamped) files, exactly
-    // like a mapped append; stats key on the physical schema
+    // like a mapped append; stats key on the physical schema.
+    // PARTITIONED rewrites stage hive-laid-out via ONE distributed
+    // partitionBy write for all touched groups; each fresh add carries
+    // its tuple (an update that moves a row between partitions lands in
+    // its new tuple naturally).
     val (outStaged, outStatsSchema) =
       if (mapMode == "none") (out, out.schema)
-      else physicalizeForStage(spark, tablePath, out)
-    val files = stageDataFiles(outStaged, root)
+      else physicalizeForStage(spark, tablePath, out,
+        logicalOverride = evolvedLogical)
+    val (files, addActions) =
+      if (partCols.isEmpty) {
+        val fs = stageDataFiles(outStaged, root)
+        (fs, fs.map(addWithStats(_, outStatsSchema)))
+      } else {
+        val physParts = physPartitionCols(spark, tablePath, partCols)
+        val moved = stagePartitionedFiles(outStaged, root, physParts)
+        val dataSchema = StructType(
+          outStatsSchema.fields.filterNot(f => physParts.contains(f.name)))
+        (moved.map(_._1), moved.map { case (f, pv) =>
+          partitionedAddAction(root, f, pv, dataSchema, dataChange = true)
+        })
+      }
     val version = nextVersion(logDir)
-    val names = adds.map(a => new File(a.path).getName)
-    val removes = touched.map { uri =>
-      // metadata paths are qualified URIs; recorded add paths are
-      // root-relative uuid names — unique by construction, match by name
-      val name = uri.substring(uri.lastIndexOf('/') + 1)
-      require(names.contains(name), s"touched file not in live set: $uri")
-      s"""{"remove":{"path":"${jsonEscape(name)}","dataChange":true}}"""
-    }
+    val removes = touchedAdds.map(removeAction(_))
     // an evolving merge commits a NEW metaData action with the merged
-    // schema (the table id survives the evolution — real Delta keeps it
-    // stable; only the schemaString advances)
+    // schema — table id, partitioning, and configuration all carry
+    // forward (dropping configuration here would silently disable CDF
+    // or the column mapping); only the schemaString (and, mapped, the
+    // maxColumnId counter) advances
     val metaAction =
       if (newCols.isEmpty) Seq.empty
       else {
-        val tableId = DeltaLog.tableMetaData(spark, tablePath)
-          .flatMap(_.get("id")).collect { case s: String => s }
+        val tableId = meta.flatMap(_.get("id"))
+          .collect { case s: String => s }
           .getOrElse(java.util.UUID.randomUUID.toString)
-        Seq(s"""{"metaData":{"id":"${jsonEscape(tableId)}",""" +
-          """"format":{"provider":"parquet","options":{}},""" +
-          s""""schemaString":"${jsonEscape(out.schema.json)}",""" +
-          """"partitionColumns":[],"configuration":{}}}""")
+        val evolvedJson = evolvedLogical.map(_.json).getOrElse(
+          StructType(DeltaLog.metaSchema(spark, tablePath)
+            .getOrElse(StructType(Seq.empty)).fields ++
+            newCols.map(c => StructField(c, source.schema(c).dataType)))
+            .json)
+        val cfgOverrides = evolvedLogical.map { ev =>
+          Map("delta.columnMapping.maxColumnId" ->
+            ev.fields.map(f =>
+              if (f.metadata.contains(DeltaLog.FieldIdKey))
+                f.metadata.getLong(DeltaLog.FieldIdKey) else 0L)
+              .max.toString)
+        }.getOrElse(Map.empty[String, String])
+        Seq(metaDataActionJson(tableId, evolvedJson, partCols,
+          configJsonOf(meta, cfgOverrides)))
       }
     publish(logDir, version,
-      metaAction ++ removes ++
-      files.map(addWithStats(_, outStatsSchema)) ++
-      cdcActions :+
+      metaAction ++ removes ++ addActions ++ cdcActions :+
       """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""")
-    MergeStats(version, touched.size, files.size, rowsUpdated, rowsInserted)
+    MergeStats(version, touchedAdds.size, files.size, rowsUpdated,
+      rowsInserted)
   }
 
   /** Outcome of a [[deleteWhere]] commit. */
@@ -549,51 +808,55 @@ object DeltaWrite {
     * commit, copy-on-write at FILE granularity like [[merge]]: only files
     * containing at least one matching row are rewritten (as their
     * surviving rows); files with no match keep their physical identity.
-    * With data skipping stats on the predicate column ([[fileStats]]),
-    * real deployments prune the candidate set before reading — here the
-    * match scan reads each file once and the rewrite reads only touched
-    * files. A fully-deleted file is removed without a replacement; a
-    * predicate matching nothing is a no-op (no empty commit).
+    * Partitioned tables prune the MATCH SCAN first: top-level AND
+    * conjuncts referencing only partition columns are answered from log
+    * metadata ([[prunePartitionConjuncts]]) before any data file opens —
+    * the partition-predicate DELETE a 100 TB table sees daily touches
+    * exactly its partitions. Live deletion vectors compose: the match
+    * scan and the rewrite both read through the snapshot (DVs applied),
+    * and a rewritten file's fresh add carries no descriptor — the
+    * rewrite is the DV's natural retirement point. A fully-deleted file
+    * is removed without a replacement; a predicate matching nothing is a
+    * no-op (no empty commit).
     */
   def deleteWhere(spark: org.apache.spark.sql.SparkSession,
       tablePath: String,
       predicate: org.apache.spark.sql.Column): DeleteStats = {
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StructType
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
-    require(adds.forall(_.partitionValues.isEmpty),
-      s"deleteWhere supports unpartitioned tables: $tablePath")
-    requireNoDv(adds, "deleteWhere", tablePath)
-    // MAPPED tables delete copy-on-write first-class: the predicate is
-    // LOGICAL (match scan decodes through the mapping), survivors and
-    // cdc rows re-encode through the same physicalization as a mapped
-    // append.
     val mapMode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
-    val mappedLogical =
-      if (mapMode == "none") None
-      else Some(DeltaLog.metaSchema(spark, tablePath).getOrElse(
-        throw new IllegalArgumentException(
-          s"column-mapped table without a parseable schemaString: " +
-            tablePath)))
-    val target =
-      if (mapMode == "none") spark.read.parquet(adds.map(_.path): _*)
-      else DeltaLog.readWithRowIdentity(spark, tablePath)
-    val fileCol = if (mapMode == "none") col("_metadata.file_path")
-      else col("__graft_dv_file")
-    val touched = target
-      .withColumn("__graft_file", fileCol)
-      .filter(predicate)
-      .select(col("__graft_file")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    if (touched.isEmpty)
+    val partCols = DeltaLog.recordedPartitionColumns(spark, tablePath)
+    // partition-only conjuncts shrink the candidate set from the log
+    // alone; the full predicate still applies row-by-row below
+    val candidateAdds = prunePartitionConjuncts(spark, tablePath, adds,
+      predicate)
+    if (candidateAdds.isEmpty)
       return DeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
-    val touchedRows = mappedLogical match {
-      case None => spark.read.parquet(touched: _*)
-      case Some(logical) =>
-        DeltaLog.scanMappedPaths(spark, tablePath, mapMode, logical, touched)
-    }
+    // match scan: snapshot read (existing DVs applied, typed partition
+    // columns injected from the log so the predicate may reference
+    // them), with physical row identity captured BEFORE the pv join
+    val byName = adds.map(a => new File(a.path).getName -> a).toMap
+    val touchedAdds = DeltaLog.castPvToDeclared(spark, tablePath,
+      DeltaLog.readWithRowIdentity(spark, tablePath,
+        Some(candidateAdds.map(_.path).toSet)))
+      .filter(predicate)
+      .select(col("__graft_dv_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+      .map { uri =>
+        val name = uri.substring(uri.lastIndexOf('/') + 1)
+        byName.getOrElse(name, throw new IllegalStateException(
+          s"matched file not in live set: $uri"))
+      }
+    if (touchedAdds.isEmpty)
+      return DeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
+    // decode touched files through the snapshot reader (mapping
+    // resolved, DVs applied, typed pv injected)
+    val touchedRows = DeltaLog.castPvToDeclared(spark, tablePath,
+      DeltaLog.readLivePaths(spark, tablePath, touchedAdds.map(_.path)))
     val rowsDeleted = touchedRows.filter(predicate).count()
     // SQL DELETE semantics: rows where the predicate is NULL are NOT
     // deleted — `!predicate` alone would silently drop them (NULL is
@@ -602,20 +865,30 @@ object DeltaWrite {
       !org.apache.spark.sql.functions.coalesce(predicate,
         org.apache.spark.sql.functions.lit(false)))
     // a touched file may lose ALL its rows; only write files if any
-    // survive; mapped survivors restage physical-named (id-stamped)
+    // survive; mapped survivors restage physical-named (id-stamped),
+    // partitioned survivors restage hive-laid-out with their tuples
     val (survivorsStaged, statsSchema) =
       if (mapMode == "none") (survivors, touchedRows.schema)
-      else {
-        val (st, physSchema) = physicalizeForStage(spark, tablePath, survivors)
-        (st, physSchema)
+      else physicalizeForStage(spark, tablePath, survivors)
+    val (files, addActions) =
+      if (survivors.isEmpty) (Seq.empty[File], Seq.empty[String])
+      else if (partCols.isEmpty) {
+        val fs = stageDataFiles(survivorsStaged, root)
+        (fs, fs.map(addWithStats(_, statsSchema)))
+      } else {
+        val physParts = physPartitionCols(spark, tablePath, partCols)
+        val moved = stagePartitionedFiles(survivorsStaged, root, physParts)
+        val dataSchema = StructType(
+          statsSchema.fields.filterNot(f => physParts.contains(f.name)))
+        (moved.map(_._1), moved.map { case (f, pv) =>
+          partitionedAddAction(root, f, pv, dataSchema, dataChange = true)
+        })
       }
-    val files =
-      if (survivors.isEmpty) Seq.empty[File]
-      else stageDataFiles(survivorsStaged, root)
     // CDF: survivors re-add under new uuids, so add/remove derivation
     // would wrongly report them deleted+inserted — publish the exact
     // deleted rows instead (O(deleted), not O(touched files)); mapped
-    // tables physicalize the change rows first
+    // tables physicalize the change rows first; partition columns ride
+    // as typed DATA columns in the cdc file
     val cdcActions =
       if (!cdfEnabled(spark, tablePath)) Seq.empty
       else {
@@ -628,16 +901,11 @@ object DeltaWrite {
         stageCdc(staged, root)
       }
     val version = nextVersion(logDir)
-    val names = adds.map(a => new File(a.path).getName)
-    val removes = touched.map { uri =>
-      val name = uri.substring(uri.lastIndexOf('/') + 1)
-      require(names.contains(name), s"touched file not in live set: $uri")
-      s"""{"remove":{"path":"${jsonEscape(name)}","dataChange":true}}"""
-    }
+    val removes = touchedAdds.map(removeAction(_))
     publish(logDir, version,
-      removes ++ files.map(addWithStats(_, statsSchema)) ++ cdcActions :+
+      removes ++ addActions ++ cdcActions :+
         """{"commitInfo":{"operation":"DELETE","operationParameters":{}}}""")
-    DeleteStats(version, touched.size, files.size, rowsDeleted)
+    DeleteStats(version, touchedAdds.size, files.size, rowsDeleted)
   }
 
   // ---- CHANGE DATA FEED ----------------------------------------------
@@ -895,60 +1163,15 @@ object DeltaWrite {
       else {
         // PARTITIONED staging: hive dirs named by the PHYSICAL column
         // (the pv keys of every future add), data files carry only the
-        // non-partition physical columns with their footer ids
+        // non-partition physical columns with their footer ids — the
+        // shared staging seam (one distributed write, tuple-walked)
         val physParts = partitionCols.map(physByLogical)
-        val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
-        staged.write.partitionBy(physParts: _*).parquet(staging.getPath)
-        def hiveDecode(s0: String): String =
-          java.net.URLDecoder.decode(s0.replace("+", "%2B"), "UTF-8")
-        def walk(dir: File, pv: Map[String, String])
-            : Seq[(File, Map[String, String])] =
-          Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
-            case d if d.isDirectory && d.getName.contains("=") =>
-              val Array(k, raw) = d.getName.split("=", 2)
-              val value =
-                if (raw == "__HIVE_DEFAULT_PARTITION__") null
-                else hiveDecode(raw)
-              walk(d, pv + (hiveDecode(k) -> value))
-            case f if f.isFile && f.getName.endsWith(".parquet") =>
-              Seq(f -> pv)
-            case _ => Seq.empty
-          }
-        val stagedFiles = walk(staging, Map.empty)
-        require(stagedFiles.nonEmpty, s"no data files produced for $tablePath")
-        val moved = stagedFiles.map { case (f, pv) =>
-          val dir = new File(root, physParts.map { c =>
-            val seg = pv(c) match {
-              case null => "__HIVE_DEFAULT_PARTITION__"
-              case v => java.net.URLEncoder.encode(v, "UTF-8")
-            }
-            s"$c=$seg"
-          }.mkString("/"))
-          dir.mkdirs()
-          val dst = new File(dir, s"part-${java.util.UUID.randomUUID}.parquet")
-          Files.move(f.toPath, dst.toPath)
-          (dst, pv)
-        }
-        def rmTree(f: File): Unit = {
-          Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-          Files.deleteIfExists(f.toPath); ()
-        }
-        rmTree(staging)
+        val moved = stagePartitionedFiles(staged, root, physParts)
+        require(moved.nonEmpty, s"no data files produced for $tablePath")
         val physData = org.apache.spark.sql.types.StructType(
           physical.fields.filterNot(f => physParts.contains(f.name)))
         moved.map { case (f, pv) =>
-          val rel = relPath(root, f.getPath).split("/")
-            .map(seg => java.net.URLEncoder.encode(seg, "UTF-8")).mkString("/")
-          val pvJson = pv.map {
-            case (k, null) => s""""${jsonEscape(k)}":null"""
-            case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
-          }.mkString("{", ",", "}")
-          s"""{"add":{"path":"${jsonEscape(rel)}",""" +
-            s""""partitionValues":$pvJson,"size":${f.length},""" +
-            s""""modificationTime":${f.lastModified},""" +
-            fileStats(f, physData).fold("")(x =>
-              s""""stats":"${jsonEscape(x)}",""") +
-            """"dataChange":true}}"""
+          partitionedAddAction(root, f, pv, physData, dataChange = true)
         }
       }
     val maxId = logical.fields.length
@@ -1761,8 +1984,12 @@ object DeltaWrite {
     * per micro-batch epoch (e19) grows the live set without bound, and
     * scan cost follows file count long before data size. Files at or
     * above the threshold keep their identity; fewer than two small
-    * files is a no-op (nothing to pack). Time travel to pre-optimize
-    * versions still works until vacuum reclaims the tombstones.
+    * files is a no-op (nothing to pack). Files carrying DELETION
+    * VECTORS rewrite regardless of size — their live rows materialize
+    * (bitmap applied) and the fresh adds drop the descriptors, making
+    * OPTIMIZE the MoR table's natural purge point exactly like real
+    * Delta's. Time travel to pre-optimize versions still works until
+    * vacuum reclaims the tombstones.
     */
   def optimize(spark: org.apache.spark.sql.SparkSession, tablePath: String,
       smallFileBytes: Long, targetFiles: Int = 1): OptimizeStats = {
@@ -1771,7 +1998,6 @@ object DeltaWrite {
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
     val adds = DeltaLog.liveAdds(spark, tablePath)
-    requireNoDv(adds, "optimize", tablePath)
     // mapped tables compact first-class: live bytes are already physical
     // (names + ids), so the rewrite reads them back under the
     // physicalized data schema and restages byte-compatible files —
@@ -1785,19 +2011,34 @@ object DeltaWrite {
     // Unpartitioned tables are the single empty-tuple group. The driver
     // loop is bounded by the count of partitions that HAVE ≥2 small
     // files, the same class as real OPTIMIZE's per-partition planning.
-    val smallByPv = adds
-      .filter(a => new File(a.path).length < smallFileBytes)
+    //
+    // DELETION VECTORS: a file carrying a DV rewrites too, whatever its
+    // size — the rewrite reads its LIVE rows (bitmap applied) and the
+    // fresh add carries no descriptor, so OPTIMIZE is the natural purge
+    // point (real OPTIMIZE's behavior; the standalone
+    // [[purgeDeletionVectors]] stays for purge-without-compaction).
+    // Still dataChange:false: the table's ROWS are untouched, only the
+    // encoding of the deletes changes, so streaming consumers skip it.
+    val rewriteByPv = adds
       .groupBy(_.partitionValues)
-      .filter(_._2.size >= 2)
-    if (smallByPv.isEmpty)
+      .map { case (pv, as) =>
+        val small = as.filter(a =>
+          new File(a.path).length < smallFileBytes)
+        val withDv = as.filter(_.dv.isDefined)
+        pv -> ((if (small.size >= 2) small else Seq.empty) ++
+          withDv.filterNot(a => small.size >= 2 && small.contains(a)))
+      }
+      .filter(_._2.nonEmpty)
+    if (rewriteByPv.isEmpty)
       return OptimizeStats(nextVersion(logDir) - 1, 0, 0)
-    val actions = smallByPv.toSeq.map { case (pv, small) =>
-      val packed = rewriteSchema
+    val actions = rewriteByPv.toSeq.map { case (pv, group) =>
+      val raw = rewriteSchema
         .fold(spark.read)(sch => spark.read.schema(sch))
-        .parquet(small.map(_.path): _*)
+        .parquet(group.map(_.path): _*)
+      val packed = DeltaLog.applyDv(spark, raw, group, root)
         .coalesce(targetFiles)
       val files = stageDataFiles(packed, root)
-      val removes = small.map { a =>
+      val removes = group.map { a =>
         // the log's RECORDED path (URL-encoded relative for partitioned
         // layouts) — a re-derived path would not byte-match the add and
         // the replay would keep the file live
@@ -1813,7 +2054,7 @@ object DeltaWrite {
           stats.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
           """"dataChange":false}}"""
       }
-      (small.size, files.size, removes ++ addsJson)
+      (group.size, files.size, removes ++ addsJson)
     }
     val version = nextVersion(logDir)
     publish(logDir, version, actions.flatMap(_._3) :+
@@ -2088,77 +2329,22 @@ object DeltaWrite {
     // against the LOGICAL schema, staged under PHYSICAL column names
     // (id-stamped footers in id mode), and laid out in PHYSICAL hive
     // dirs — the pv keys every mapped add records per the protocol
-    val (stagedDf, _) = physicalizeForStage(df.sparkSession, tablePath, df)
-    val physPartCols = {
-      val meta = DeltaLog.tableMetaData(df.sparkSession, tablePath)
-      if (DeltaLog.mappingMode(meta) == "none") partitionCols
-      else {
-        val logical = DeltaLog.metaSchema(df.sparkSession, tablePath)
-          .getOrElse(throw new IllegalArgumentException(
-            s"column-mapped table without a parseable schemaString: " +
-              tablePath))
-        val phys = DeltaLog.physicalize(logical)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val byLogical = logical.fieldNames.zip(phys.fieldNames).toMap
-        partitionCols.map(c => byLogical.getOrElse(c, c))
-      }
-    }
-    val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
-    stagedDf.write.partitionBy(physPartCols: _*).parquet(staging.getPath)
-    // Hive/Spark path escaping encodes special characters as %XX but does
-    // NOT encode '+' or space — URLDecoder would corrupt a literal '+'
-    // into a space. Decode only the %XX escapes.
-    def hiveDecode(s: String): String =
-      java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
-    // walk the hive tree: each part file's relative dir encodes its pv;
-    // Spark writes a NULL partition value as the __HIVE_DEFAULT_PARTITION__
-    // sentinel directory — record it as a true null partitionValue (the
-    // Delta protocol renders it as JSON null), never as the literal string
-    def walk(dir: File, pv: Map[String, String]): Seq[(File, Map[String, String])] =
-      Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
-        case d if d.isDirectory && d.getName.contains("=") =>
-          val Array(k, v) = d.getName.split("=", 2)
-          val value =
-            if (v == "__HIVE_DEFAULT_PARTITION__") null else hiveDecode(v)
-          walk(d, pv + (hiveDecode(k) -> value))
-        case f if f.isFile && f.getName.endsWith(".parquet") => Seq(f -> pv)
-        case _ => Seq.empty
-      }
-    val staged = walk(staging, Map.empty)
-    require(staged.nonEmpty, s"no data files produced for $tablePath")
-    val moved = staged.map { case (f, pv) =>
-      val dir = new File(root, physPartCols.map { c =>
-        val seg = pv(c) match {
-          case null => "__HIVE_DEFAULT_PARTITION__"
-          case v => java.net.URLEncoder.encode(v, "UTF-8")
-        }
-        s"$c=$seg"
-      }.mkString("/"))
-      dir.mkdirs()
-      val dst = new File(dir, s"part-${java.util.UUID.randomUUID}.parquet")
-      Files.move(f.toPath, dst.toPath)
-      (dst, pv)
-    }
-    def rmTree(f: File): Unit = {
-      Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
-      Files.deleteIfExists(f.toPath); ()
-    }
-    rmTree(staging)
-    def pvJson(pv: Map[String, String]): String =
-      pv.map {
-        case (k, null) => s""""${jsonEscape(k)}":null"""
-        case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
-      }.mkString("{", ",", "}")
+    val (stagedDf, stagedSchema) =
+      physicalizeForStage(df.sparkSession, tablePath, df)
+    val physParts = physPartitionCols(df.sparkSession, tablePath,
+      partitionCols)
+    // shared partitioned staging: ONE distributed partitionBy write,
+    // hive tree walked for each file's tuple (NULL values round-trip
+    // from the __HIVE_DEFAULT_PARTITION__ sentinel as true JSON nulls)
+    val moved = stagePartitionedFiles(stagedDf, root, physParts)
+    require(moved.nonEmpty, s"no data files produced for $tablePath")
+    // the protocol records RELATIVE paths URL-ENCODED (the reader
+    // decodes once); stats cover the DATA columns from the fresh
+    // footers, so partitioned appends data-skip like flat ones
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      stagedSchema.fields.filterNot(f => physParts.contains(f.name)))
     val adds = moved.map { case (f, pv) =>
-      // the protocol records RELATIVE paths URL-ENCODED (the reader
-      // decodes once): encode each physical segment so an escaped dir
-      // name like `cat=c%2Fd` round-trips to itself, not to a bogus
-      // nested path
-      val rel = relPath(root, f.getPath).split("/")
-        .map(seg => java.net.URLEncoder.encode(seg, "UTF-8")).mkString("/")
-      s"""{"add":{"path":"${jsonEscape(rel)}",""" +
-        s""""partitionValues":${pvJson(pv)},"size":${f.length},""" +
-        s""""modificationTime":${f.lastModified},"dataChange":true}}"""
+      partitionedAddAction(root, f, pv, dataSchema, dataChange = true)
     }
     publishWithRetry(logDir, version => {
       val header =
@@ -2214,16 +2400,16 @@ object DeltaWrite {
     // schema BEFORE creating the log dir (an empty _delta_log would be
     // invisible to inference anyway, but keep the read pristine)
     val schema = spark.read.parquet(tablePath).schema
-    def hiveDecode(s: String): String =
-      java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
     // the DRIVER walks only the DIRECTORY tree (one entry per hive
     // partition — metadata small even at 10⁵ partitions); the per-dir
-    // FILE listing and the per-file FOOTER reads — the two O(files)
-    // costs that made the old shape a serial driver loop — run
-    // DISTRIBUTED, one task per directory slice, returning only the
-    // small (path, pv, size, mtime, statsJson) tuples the commit needs.
-    // This is real CONVERT TO DELTA's shape: the file manifest is
-    // collected by a Spark job, never a driver-side recursive stat loop.
+    // FILE listing, the per-file FOOTER reads, AND the add-action
+    // RENDERING all run DISTRIBUTED, one task per directory slice. Each
+    // slice writes its rendered actions to a staging text file and
+    // returns only (count, staging path, layout violations) — at 10⁷
+    // adopted files the driver never materializes the manifest: the
+    // commit is assembled by STREAMING the slice files into the staged
+    // version-0 JSON (bounded driver heap, one buffered line at a
+    // time). This is real CONVERT TO DELTA's shape end to end.
     def walkDirs(dir: File,
         pv: Map[String, String]): Seq[(String, Map[String, String])] =
       (dir.getPath -> pv) +:
@@ -2231,8 +2417,8 @@ object DeltaWrite {
           case d if d.isDirectory && d.getName.contains("=") =>
             val Array(k, v) = d.getName.split("=", 2)
             val value =
-              if (v == "__HIVE_DEFAULT_PARTITION__") null else hiveDecode(v)
-            walkDirs(d, pv + (hiveDecode(k) -> value))
+              if (v == "__HIVE_DEFAULT_PARTITION__") null else hivePathDecode(v)
+            walkDirs(d, pv + (hivePathDecode(k) -> value))
           case _ => Seq.empty
         }
     val dirs = walkDirs(root, Map.empty)
@@ -2242,48 +2428,112 @@ object DeltaWrite {
       schema.fields.filterNot(f => partitionCols.contains(f.name)))
     val slices = math.max(1, math.min(dirs.size,
       spark.sparkContext.defaultParallelism))
+    val manifestDir = new File(logDir, s".graft-manifest-${java.util.UUID.randomUUID}")
+    manifestDir.mkdirs()
+    val manifestPath = manifestDir.getAbsolutePath
+    val rootPath = root.getAbsolutePath
+    val declaredParts = partitionCols.toSet
     spark.sparkContext.setJobDescription("graft convert manifest")
-    val found: Seq[(String, Map[String, String], Long, Long, Option[String])] =
+    // per slice: (adds rendered, staging file, first misplaced samples)
+    val perSlice: Array[(Long, String, Seq[String])] =
       try spark.sparkContext
         .parallelize(dirs.map { case (p, pv) => (p, pv.toSeq) }, slices)
-        .flatMap { case (dirPath, pvSeq) =>
-          val d = new File(dirPath)
-          Option(d.listFiles()).getOrElse(Array.empty).iterator
-            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-            .map(f => (f.getPath, pvSeq.toMap, f.length, f.lastModified,
-              fileStats(f, dataSchema)))
+        .mapPartitionsWithIndex { case (idx, it) =>
+          val rootF = new File(rootPath)
+          val outF = new File(manifestPath, f"slice-$idx%05d")
+          val misplaced = scala.collection.mutable.ArrayBuffer.empty[String]
+          var n = 0L
+          val w = new java.io.BufferedWriter(new java.io.FileWriter(outF,
+            StandardCharsets.UTF_8))
+          try it.foreach { case (dirPath, pvSeq) =>
+            val pv = pvSeq.toMap
+            Option(new File(dirPath).listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+              .sortBy(_.getPath)
+              .foreach { f =>
+                // every file must carry EXACTLY the declared partition
+                // keys: a file at the wrong depth would either lose its
+                // partition values or shadow data columns at read time
+                if (pv.keySet != declaredParts) {
+                  if (misplaced.size < 3)
+                    misplaced += s"${relPath(rootF, f.getPath)} carries " +
+                      s"[${pv.keys.mkString(",")}]"
+                } else {
+                  w.write(partitionedAddAction(rootF, f, pv, dataSchema,
+                    dataChange = true))
+                  w.newLine()
+                  n += 1
+                }
+              }
+          } finally w.close()
+          if (n == 0L && misplaced.isEmpty) { outF.delete(); Iterator.empty }
+          else Iterator((n, outF.getPath, misplaced.toSeq))
         }
-        .collect().toSeq.sortBy(_._1)
+        .collect()
       finally spark.sparkContext.setJobDescription(null)
-    require(found.nonEmpty, s"no parquet files to convert under $tablePath")
-    // every file must carry EXACTLY the declared partition keys: a file
-    // at the wrong depth (extra or missing hive segments) would either
-    // lose its partition values or shadow data columns at read time
-    val misplaced = found.filter(_._2.keySet != partitionCols.toSet)
+    def cleanupManifest(): Unit = {
+      Option(manifestDir.listFiles()).getOrElse(Array.empty)
+        .foreach(f => Files.deleteIfExists(f.toPath))
+      Files.deleteIfExists(manifestDir.toPath); ()
+    }
+    val misplaced = perSlice.flatMap(_._3)
+    if (misplaced.nonEmpty) cleanupManifest()
     require(misplaced.isEmpty,
       s"hive layout disagrees with partitionCols ${partitionCols.mkString(",")}: " +
-        misplaced.take(3).map { case (p, pv, _, _, _) =>
-          s"${relPath(root, p)} carries [${pv.keys.mkString(",")}]"
-        }.mkString("; "))
-    def pvJson(pv: Map[String, String]): String =
-      pv.map {
-        case (k, null) => s""""${jsonEscape(k)}":null"""
-        case (k, v) => s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
-      }.mkString("{", ",", "}")
-    val adds = found.map { case (p, pv, size, mtime, stats) =>
-      val rel = relPath(root, p).split("/")
-        .map(seg => java.net.URLEncoder.encode(seg, "UTF-8")).mkString("/")
-      s"""{"add":{"path":"${jsonEscape(rel)}",""" +
-        s""""partitionValues":${pvJson(pv)},"size":$size,""" +
-        s""""modificationTime":$mtime,""" +
-        stats.fold("")(s => s""""stats":"${jsonEscape(s)}",""") +
-        """"dataChange":true}}"""
-    }
-    logDir.mkdirs()
-    publish(logDir, 0L, headerActions(schema, partitionCols) ++ adds :+
-      s"""{"commitInfo":{"operation":"CONVERT","operationParameters":{""" +
-      s""""numFiles":"${found.size}"}}}""")
+        misplaced.take(3).mkString("; "))
+    val total = perSlice.map(_._1).sum
+    if (total == 0L) cleanupManifest()
+    require(total > 0L, s"no parquet files to convert under $tablePath")
+    val sliceFiles = perSlice.map(_._2).sorted.map(new File(_)).toSeq
+    try publishStreamed(logDir, 0L,
+      headerActions(schema, partitionCols), sliceFiles,
+      Seq(s"""{"commitInfo":{"operation":"CONVERT","operationParameters":{""" +
+        s""""numFiles":"$total"}}}"""))
+    finally cleanupManifest()
     0L
+  }
+
+  /** [[publish]]'s STREAMING sibling for commits whose action list is
+    * too large to hold on the driver (CONVERT at 10⁷ files): header
+    * actions, then the lines of each staged manifest file (copied one
+    * buffered line at a time), then the tail — same atomic link(2)
+    * version claim.
+    */
+  private def publishStreamed(logDir: File, version: Long,
+      header: Seq[String], lineFiles: Seq[File],
+      tail: Seq[String]): Unit = {
+    val tmp = new File(logDir, s".tmp-${java.util.UUID.randomUUID}.json")
+    val w = java.nio.file.Files.newBufferedWriter(tmp.toPath,
+      StandardCharsets.UTF_8)
+    try {
+      var first = true
+      def writeLine(s: String): Unit = {
+        if (!first) w.write("\n")
+        w.write(s); first = false
+      }
+      header.foreach(writeLine)
+      lineFiles.foreach { lf =>
+        val r = java.nio.file.Files.newBufferedReader(lf.toPath,
+          StandardCharsets.UTF_8)
+        try {
+          var line = r.readLine()
+          while (line != null) {
+            if (line.nonEmpty) writeLine(line)
+            line = r.readLine()
+          }
+        } finally r.close()
+      }
+      tail.foreach(writeLine)
+    } finally w.close()
+    val target = new File(logDir, f"$version%020d.json")
+    try Files.createLink(target.toPath, tmp.toPath)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp.toPath)
+        throw new ConcurrentCommitException(
+          s"concurrent Delta commit: version $version already exists in " +
+            s"$logDir — retry at the next version")
+    } finally Files.deleteIfExists(tmp.toPath)
   }
 
   /** SHALLOW CLONE — create a new Delta table whose version 0 references

@@ -1386,12 +1386,34 @@ class SourcesSpec extends SparkSpec {
     val (keptAll, totalAll) = DeltaLog.livePartitionAdds(spark, tbl,
       Map("nope" -> "x"))
     assert(keptAll.size === totalAll)
-    // a second partitioned append composes; merge/delete still refuse
+    // a second partitioned append composes; MERGE is partition-native:
+    // the touched 'a b' files rewrite hive-laid-out with their tuples,
+    // the untouched partitions keep their physical identity, and an
+    // update may MOVE a row between partitions (id 2: c/d -> moved)
     DeltaWrite.appendPartitioned(Seq((4L, "e")).toDF("id", "cat"), tbl, Seq("cat"))
     assert(DeltaLog.read(spark, tbl).count() === 4L)
-    intercept[IllegalArgumentException] {
-      DeltaWrite.merge(tbl, Seq((1L, "z")).toDF("id", "cat"), Seq("id"))
-    }
+    val before = DeltaLog.liveFiles(spark, tbl).toSet
+    val ms = DeltaWrite.merge(tbl,
+      Seq((2L, "moved"), (9L, "c/d")).toDF("id", "cat"), Seq("id"))
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 1L)
+    assert(DeltaLog.read(spark, tbl).select("id", "cat").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap ===
+      Map(1L -> "a b", 2L -> "moved", 3L -> "a b", 4L -> "e",
+        9L -> "c/d"))
+    // only the matched partition's file was rewritten
+    assert(DeltaLog.liveFiles(spark, tbl).toSet.intersect(before).nonEmpty,
+      "partitioned merge rewrote every file")
+    // partition pruning answered from the log: the join key ISN'T a
+    // partition column here, but a DELETE's partition conjunct is —
+    // deleting inside one partition must keep other partitions' files
+    val beforeDel = DeltaLog.liveFiles(spark, tbl).toSet
+    val ds = DeltaWrite.deleteWhere(spark, tbl,
+      col("cat") === "a b" && col("id") === 3L)
+    assert(ds.rowsDeleted === 1L)
+    assert(DeltaLog.liveFiles(spark, tbl).toSet.intersect(beforeDel).nonEmpty,
+      "partition-conjunct delete rewrote every file")
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 4L, 9L))
     // the recorded partitioning is a contract BOTH ways: an unpartitioned
     // append, or a partitioned one with different columns, would commit
     // adds whose pv keys disagree with metaData.partitionColumns —
@@ -1910,15 +1932,10 @@ class SourcesSpec extends SparkSpec {
     assert(st.filesFullyDead === 1 && st.filesTouched === 1 &&
       st.rowsDeleted === 4L)
     assert(DeltaLog.liveAdds(spark, tbl).forall(_.dv.isEmpty))
-    // now a partial DV on file 2, then the CoW refusal set
+    // now a partial DV on file 2 (merge/deleteWhere/optimize COMPOSE
+    // with live DVs — pinned in "Delta CoW over live DVs" below; here
+    // the descriptor stays live to drive checkpoint/purge/vacuum)
     DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 11L)
-    for ((name, op) <- Seq[(String, () => Any)](
-      ("merge", () => DeltaWrite.merge(tbl, Seq((12L, "z")).toDF("id", "v"), Seq("id"))),
-      ("deleteWhere", () => DeltaWrite.deleteWhere(spark, tbl, col("id") === 12L)),
-      ("optimize", () => DeltaWrite.optimize(spark, tbl, 1L << 30)))) {
-      val e = intercept[IllegalArgumentException](op())
-      assert(e.getMessage.contains("deletion vectors"), s"$name did not refuse")
-    }
     // checkpoint carries the DV descriptor + feature protocol; a reader
     // seeded from the checkpoint ALONE still hides the dead row
     DeltaWrite.checkpoint(spark, tbl)
@@ -1942,6 +1959,60 @@ class SourcesSpec extends SparkSpec {
     val reclaimed = DeltaWrite.vacuum(spark, tbl, olderThanMs = 0L)
     assert(dvBin.forall(reclaimed.contains), s"DV bin not reclaimed: $reclaimed")
     assert(DeltaLog.read(spark, tbl).count() === 3L)
+    ()
+  }
+
+  test("Delta CoW over live DVs: merge/deleteWhere/optimize compose, rewrites retire descriptors") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_dv_compose"
+    DeltaWrite.append((1L to 8L).map(i => (i, "a")).toDF("id", "v")
+      .repartition(1), tbl)
+    DeltaWrite.append((11L to 18L).map(i => (i, "b")).toDF("id", "v")
+      .repartition(1), tbl)
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id").isin(1L, 2L, 11L))
+    // merge reads THROUGH the DVs: id 1 is MoR-dead, so its source row
+    // INSERTS (a raw scan would have resurrect-updated it); the touched
+    // file's rewrite drops nothing it shouldn't, the UNTOUCHED file
+    // keeps its descriptor
+    val ms = DeltaWrite.merge(tbl,
+      Seq((3L, "z"), (1L, "n")).toDF("id", "v"), Seq("id"))
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 1L)
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      (Seq(1L) ++ (3L to 8L) ++ (12L to 18L)))
+    assert(DeltaLog.liveAdds(spark, tbl).count(_.dv.nonEmpty) === 1,
+      "untouched file lost (or touched file kept) its descriptor")
+    // deleteWhere on the DV-carrying file: the match scan and the
+    // rewrite both apply the bitmap; the survivor file is clean
+    val ds = DeltaWrite.deleteWhere(spark, tbl, col("id") === 12L)
+    assert(ds.rowsDeleted === 1L)
+    assert(DeltaLog.liveAdds(spark, tbl).forall(_.dv.isEmpty),
+      "copy-on-write rewrite kept a descriptor alive")
+    // OPTIMIZE is the natural purge point: a fresh MoR delete, then a
+    // threshold that bin-packs NOTHING — the DV file rewrites anyway,
+    // dataChange:false, descriptor gone, rows identical
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 13L)
+    assert(DeltaLog.liveAdds(spark, tbl).exists(_.dv.nonEmpty))
+    val os = DeltaWrite.optimize(spark, tbl, smallFileBytes = 1L)
+    assert(os.filesCompacted >= 1)
+    assert(DeltaLog.liveAdds(spark, tbl).forall(_.dv.isEmpty),
+      "optimize left a live descriptor")
+    val commitText = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(tbl, f"_delta_log/${os.version}%020d.json").toPath))
+    assert(!commitText.contains("\"dataChange\":true"),
+      "optimize marked actions as data changes")
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      (Seq(1L) ++ (3L to 8L) ++ (14L to 18L)))
+    // ZORDER still refuses over live DVs (re-clustering goes through
+    // purge/optimize first — documented divergence, loud)
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 14L)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.optimizeZOrder(spark, tbl, Seq("id", "v"))
+    }
+    assert(e.getMessage.contains("deletion vectors"))
     ()
   }
 
@@ -3286,11 +3357,22 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaLog.read(spark, t2).orderBy("id").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ===
       Seq((2L, "Y", 21L), (3L, "z", 30L)))
-    // schema evolution on a mapped table stays a loud refusal
-    assert(intercept[IllegalArgumentException] {
-      DeltaWrite.merge(t2, Seq((5L, "v", 1L, "extra"))
-        .toDF("id", "word", "n", "note"), Seq("id"), mergeSchema = true)
-    }.getMessage.contains("mapping entries"))
+    // schema evolution on a mapped table allocates a FRESH mapping
+    // entry (maxColumnId+1, own physical name / field id) in the same
+    // commit — the entry is real enough to rename metadata-only, and
+    // the feed of footer-id reads decodes the new column on every file
+    DeltaWrite.merge(t2, Seq((5L, "v", 1L, "extra"))
+      .toDF("id", "word", "n", "note"), Seq("id"), mergeSchema = true)
+    val meta2 = DeltaLog.tableMetaData(spark, t2).get
+    val maxId = meta2("configuration").asInstanceOf[Map[String, Any]](
+      "delta.columnMapping.maxColumnId").asInstanceOf[String].toLong
+    assert(maxId === 4L, s"maxColumnId not bumped: $maxId")
+    DeltaWrite.renameColumn(spark, t2, "note", "remark")
+    assert(DeltaLog.read(spark, t2).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)))).toSeq ===
+      Seq((2L, "Y", 21L, None), (3L, "z", 30L, None),
+        (5L, "v", 1L, Some("extra"))))
   }
 
   test("mapped mutations publish a decodable change feed") {

@@ -251,6 +251,55 @@ object SourceQueries {
               (SELECT o_orderkey FROM src))
       ORDER BY o_orderkey"""), headline = true),
 
+    // x16c: MERGE OVER LIVE DELETION VECTORS — the MoR-then-upsert
+    // stack a streaming lakehouse hits daily: a GDPR MoR delete leaves
+    // bitmaps on both files, then an incremental batch merges. The
+    // match scan reads THROUGH the bitmaps (a MoR-dead row must INSERT
+    // again, never resurrect-update), the touched file's rewrite
+    // materializes only live survivors and drops its descriptor, and
+    // the UNTOUCHED file keeps bitmap and identity (both pinned
+    // in-query). One wrongly-resurrected row breaks the oracle hash.
+    QueryDef("x16c_delta_merge_mor", (s, d) => {
+      val tbl = s"$stage/delta_merged_mor"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 4 === 0), tbl)
+      graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 4 === 2), tbl)
+      val dv = graft.sources.DeltaWrite.deleteWhereDv(s, tbl,
+        col("o_orderstatus") === "F")
+      require(dv.rowsDeleted > 0, "MoR delete matched nothing")
+      val src = o.filter(col("o_orderkey") % 8 === 0 ||
+          col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val ms = graft.sources.DeltaWrite.merge(tbl, src, Seq("o_orderkey"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted > 0,
+        s"MoR merge degenerated: $ms")
+      // the %4==2 file was untouched: it must KEEP its deletion vector
+      require(graft.sources.DeltaLog.liveAdds(s, tbl)
+          .count(_.dv.nonEmpty) >= 1,
+        "untouched file lost its deletion vector across the merge")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders
+                   WHERE o_orderkey % 4 IN (0, 2) AND o_orderstatus <> 'F'),
+      src AS (SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt WHERE o_orderkey NOT IN
+              (SELECT o_orderkey FROM src))
+      ORDER BY o_orderkey""")),
+
     // p04: PARQUET BLOOM FILTER point lookups — the layout lever for
     // high-cardinality keys where clustering can't help (uniform md5
     // strings: every row group's min/max spans the whole hex domain).

@@ -464,58 +464,77 @@ object DeltaWrite {
     * false-or-null can contain no row satisfying the full predicate
     * (the conjunct is constant across the file), so pruning it never
     * changes the answer. Predicates with no partition-only conjunct
-    * prune nothing.
+    * prune nothing, and ANY analysis/replay failure falls back to the
+    * full candidate set — pruning may only ever shrink the scan.
+    *
+    * Mechanics: Spark 4 `Column`s wrap lazy ColumnNodes (no inspectable
+    * expression tree until analysis), so the predicate is ANALYZED
+    * against a zero-row frame with the table's logical schema; the
+    * resolved Filter condition splits into conjuncts, and the
+    * partition-only subset replays over the tuple frame via its SQL
+    * rendering — the analyzer's own resolution, no Catalyst internals
+    * reached into.
     */
   private[sources] def prunePartitionConjuncts(
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       adds: Seq[DeltaLog.LiveFile],
       predicate: org.apache.spark.sql.Column): Seq[DeltaLog.LiveFile] = {
-    import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.expressions.{And, Expression}
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val partCols = DeltaLog.recordedPartitionColumns(spark, tablePath)
     if (partCols.isEmpty || adds.isEmpty) return adds
+    val logical = DeltaLog.metaSchema(spark, tablePath) match {
+      case Some(ms) => ms
+      case None => return adds // minimal foreign log: no schema to analyze
+    }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
     val partSet = partCols.toSet
-    val partOnly = conjuncts(GraftColumnBridge.expression(predicate))
-      .filter(c => c.deterministic && c.references.nonEmpty &&
-        c.references.forall(a => partSet.contains(a.name)))
-    if (partOnly.isEmpty) return adds
+    val partOnlySql: Seq[String] =
+      try {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
+        val cond = empty.filter(predicate).queryExecution.analyzed
+          .collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition
+          }
+        cond.toSeq.flatMap(conjuncts)
+          .filter(c => c.deterministic && c.references.nonEmpty &&
+            c.references.forall(a => partSet.contains(a.name)))
+          .map(_.sql)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (partOnlySql.isEmpty) return adds
     // pv keys are PHYSICAL names under column mapping; resolve each
     // logical partition column to the key its adds record
     val physOf: Map[String, String] =
-      DeltaLog.metaSchema(spark, tablePath) match {
-        case Some(ms)
-            if DeltaLog.mappingMode(
-              DeltaLog.tableMetaData(spark, tablePath)) != "none" =>
-          val phys = DeltaLog.physicalize(ms)
-            .asInstanceOf[StructType]
-          ms.fieldNames.zip(phys.fieldNames).toMap
-        case _ => Map.empty
+      if (DeltaLog.mappingMode(
+          DeltaLog.tableMetaData(spark, tablePath)) == "none") Map.empty
+      else {
+        val phys = DeltaLog.physicalize(logical).asInstanceOf[StructType]
+        logical.fieldNames.zip(phys.fieldNames).toMap
       }
     val declared: Map[String, org.apache.spark.sql.types.DataType] =
-      DeltaLog.metaSchema(spark, tablePath)
-        .map(ms => ms.fields.map(f => f.name -> f.dataType).toMap)
-        .getOrElse(Map.empty)
+      logical.fields.map(f => f.name -> f.dataType).toMap
     val schema = StructType(StructField("__graft_path", StringType) +:
       partCols.map(c => StructField(c, StringType)))
     val rows = adds.map(a => org.apache.spark.sql.Row.fromSeq(
       a.path +: partCols.map(c =>
         a.partitionValues.get(physOf.getOrElse(c, c)).orNull)))
-    val filterCol = partOnly
-      .map(e => GraftColumnBridge.column(e))
-      .reduce(_ && _)
-    val local = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), schema)
-    val typed = partCols.foldLeft(local)((d, c) =>
-      declared.get(c).fold(d)(dt => d.withColumn(c, col(s"`$c`").cast(dt))))
-    val kept = typed.filter(filterCol)
-      .select(col("__graft_path")).collect().map(_.getString(0)).toSet
-    adds.filter(a => kept.contains(a.path))
+    try {
+      val filterCol = partOnlySql.map(expr).reduce(_ && _)
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      val typed = partCols.foldLeft(local)((d, c) =>
+        declared.get(c).fold(d)(dt =>
+          d.withColumn(c, col(s"`$c`").cast(dt))))
+      val kept = typed.filter(filterCol)
+        .select(col("__graft_path")).collect().map(_.getString(0)).toSet
+      adds.filter(a => kept.contains(a.path))
+    } catch { case scala.util.control.NonFatal(_) => adds }
   }
 
   /** APPEND `df` as one atomic commit; returns the committed version. */

@@ -224,7 +224,12 @@ object Soak {
       "x36b_delta_dv_partitioned" -> 1.51,
       // round-17 additions (PerfProbe warm run2 at sf0.1)
       "x50b_zorder_mapped" -> 2.81, "x36c_delta_dv_mapped" -> 1.42,
-      "x46c_uniform_partitioned_mapped" -> 0.92)
+      "x46c_uniform_partitioned_mapped" -> 0.92,
+      // round-18 additions (PerfProbe warm run2 at sf0.1)
+      "x16b_delta_merge_partitioned" -> 3.22,
+      "x16c_delta_merge_mor" -> 2.51,
+      "x18b_delta_delete_partitioned" -> 1.54,
+      "x38c_delta_cdf_partitioned" -> 4.67)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -314,7 +319,13 @@ object Soak {
       // physical-bytes rewrite (ids re-stamped), the GDPR MoR shape
       // across a rename, and the partitioned+mapped UniForm mirror
       "x50b_zorder_mapped", "x36c_delta_dv_mapped",
-      "x46c_uniform_partitioned_mapped")
+      "x46c_uniform_partitioned_mapped",
+      // round-18: the partitioned copy-on-write surface — merge cost
+      // must track touched tuples + batch, delete cost the pruned
+      // partition's bytes, the feed O(changed bytes); x16c pins that
+      // reading THROUGH deletion vectors adds no scale term to merge
+      "x16b_delta_merge_partitioned", "x16c_delta_merge_mor",
+      "x18b_delta_delete_partitioned", "x38c_delta_cdf_partitioned")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

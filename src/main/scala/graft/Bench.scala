@@ -366,13 +366,20 @@ object Bench {
   private def dirtyForeignCores: Double =
     sys.env.getOrElse("SPARK_GRAFT_DIRTY_FCORES", "1.0").toDouble
 
-  /** A reported min whose own run spent more than this many ms inside
-    * the JIT compiler is attributed, not trusted: r17's c03 carried
-    * 2.0 s of C2 compilation inside a 2.8 s "min" on a clean floor —
-    * a +18% phantom regression the fcores gate cannot see.
+  /** A reported min is JIT-CONTAMINATED when its own run spent both an
+    * absolute chunk (default 1.5 s) AND more than half its wall time
+    * inside the JIT compiler: r17's c03 carried 2.0 s of C2 compilation
+    * inside a 2.8 s "min" on a clean floor — a +18% phantom regression
+    * the fcores gate cannot see. The relative half matters: every run
+    * recompiles its fresh whole-stage-codegen classes (a few hundred ms
+    * at sf0.1 — steady-state cost, not contamination), so an absolute
+    * bar alone would flag most of the board.
     */
   private def jitThresholdMs: Long =
-    sys.env.getOrElse("SPARK_GRAFT_JIT_MS", "500").toLong
+    sys.env.getOrElse("SPARK_GRAFT_JIT_MS", "1500").toLong
+
+  private def jitContaminated(fr: RunForensics, wallSecs: Double): Boolean =
+    fr.jitMs > jitThresholdMs && fr.jitMs.toDouble > wallSecs * 500.0
 
   private def concJson(rows: Seq[(String, Seq[BatchStats])], concIters: Int,
       workers: Int): String = {
@@ -567,10 +574,12 @@ object Bench {
       // and joins the candidate set; if the min stays jit-heavy the
       // summary attributes it (jit_queries) instead of shipping an
       // unexplainable regression.
-      val runs =
-        if (runs0.exists(_._1 == -1.0)) runs0
-        else if (runs0.minBy(_._1)._2.jitMs <= jitThresholdMs) runs0
+      val runs = {
+        val m = runs0.minBy(_._1)
+        if (runs0.exists(_._1 == -1.0) || !jitContaminated(m._2, m._1))
+          runs0
         else runs0 :+ materialize(n)
+      }
       // reclaim this query's broadcasts/shuffles before the next entry
       spark.catalog.clearCache()
       System.gc()
@@ -624,7 +633,7 @@ object Bench {
     // iteration — their wall number includes compiler time and must not
     // be read as an engine regression
     val jitQueries = results.collect {
-      case (k, _, _, fr, _) if fr.jitMs > jitThresholdMs => k
+      case (k, v, _, fr, _) if v > 0 && jitContaminated(fr, v) => k
     }
     val jitQueriesJson =
       jitQueries.map("\"" + _ + "\"").mkString("[", ",", "]")

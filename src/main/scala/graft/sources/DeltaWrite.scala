@@ -2447,6 +2447,11 @@ object DeltaWrite {
       schema.fields.filterNot(f => partitionCols.contains(f.name)))
     val slices = math.max(1, math.min(dirs.size,
       spark.sparkContext.defaultParallelism))
+    // staging lives under _delta_log, which may not exist yet — if a
+    // refusal below aborts the conversion, an empty _delta_log we
+    // created must not survive (directory presence IS table detection
+    // for the db-dir walk)
+    val logDirExisted = logDir.isDirectory
     val manifestDir = new File(logDir, s".graft-manifest-${java.util.UUID.randomUUID}")
     manifestDir.mkdirs()
     val manifestPath = manifestDir.getAbsolutePath
@@ -2493,7 +2498,11 @@ object DeltaWrite {
     def cleanupManifest(): Unit = {
       Option(manifestDir.listFiles()).getOrElse(Array.empty)
         .foreach(f => Files.deleteIfExists(f.toPath))
-      Files.deleteIfExists(manifestDir.toPath); ()
+      Files.deleteIfExists(manifestDir.toPath)
+      if (!logDirExisted &&
+          Option(logDir.listFiles()).forall(_.isEmpty))
+        Files.deleteIfExists(logDir.toPath)
+      ()
     }
     val misplaced = perSlice.flatMap(_._3)
     if (misplaced.nonEmpty) cleanupManifest()

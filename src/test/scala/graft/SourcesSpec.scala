@@ -2405,6 +2405,50 @@ class SourcesSpec extends SparkSpec {
     } != null)
   }
 
+  test("CONVERT streams a many-file manifest; no driver materialization residue") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    // a deliberately file-heavy fixture: 3 partitions x 32 data files.
+    // The commit must carry one add per file with stats, assembled by
+    // STREAMING the executor-staged slice files (bounded driver heap is
+    // structural: each slice writes rendered actions to a text file and
+    // the driver copies them one buffered line at a time) — what this
+    // pin CAN observe from outside: the version-0 JSON is complete and
+    // ordered, and no `.graft-manifest-*` staging survives under
+    // _delta_log on success OR on the layout-mismatch refusal.
+    val tbl = s"$tmp/convert_stream"
+    spark.range(96).select(col("id"),
+        (col("id") % 3).cast("string").as("cat"))
+      .repartition(32, col("id"))
+      .write.partitionBy("cat").parquet(tbl)
+    DeltaWrite.convertParquet(spark, tbl, Seq("cat"))
+    val logDir = new java.io.File(tbl, "_delta_log")
+    assert(Option(logDir.listFiles()).getOrElse(Array.empty)
+      .forall(!_.getName.startsWith(".graft-manifest")),
+      "manifest staging leaked into _delta_log")
+    import scala.jdk.CollectionConverters._
+    val lines = java.nio.file.Files.readAllLines(
+      new java.io.File(logDir, "0" * 19 + "0.json").toPath)
+    val adds = lines.asScala.count(_.startsWith("{\"add\""))
+    val files = DeltaLog.liveAdds(spark, tbl)
+    assert(adds === files.size && adds >= 32,
+      s"streamed commit carried $adds adds for ${files.size} live files")
+    assert(files.forall(_.statsJson.nonEmpty),
+      "streamed adds lost their footer stats")
+    assert(DeltaLog.read(spark, tbl).count() === 96L)
+    // the layout-mismatch refusal cleans its staging too
+    val bad = s"$tmp/convert_stream_bad"
+    Seq((1L, "a")).toDF("id", "cat").write.partitionBy("cat").parquet(bad)
+    intercept[IllegalArgumentException] {
+      DeltaWrite.convertParquet(spark, bad) // no partitionCols declared
+    }
+    val badLog = new java.io.File(bad, "_delta_log")
+    assert(Option(badLog.listFiles()).getOrElse(Array.empty)
+      .forall(!_.getName.startsWith(".graft-manifest")),
+      "refused convert leaked manifest staging")
+  }
+
   test("Iceberg addFiles adopts into an existing table; CONVERT TO ICEBERG verb") {
     import graft.sources.IcebergLog
     val s = spark

@@ -1477,20 +1477,6 @@ object DeltaWrite {
     Some(StructType(fields))
   }
 
-  /** Copy-on-write ops scan live files RAW — on a table with live
-    * deletion vectors they would resurrect the dead rows. Refuse, naming
-    * the recovery paths (exactly the Iceberg delete-blind posture).
-    */
-  private def requireNoDv(adds: Seq[DeltaLog.LiveFile], op: String,
-      tablePath: String): Unit = {
-    val n = adds.count(_.dv.isDefined)
-    require(n == 0,
-      s"$op would scan raw data files, but $n live file(s) of $tablePath " +
-        "carry deletion vectors (merge-on-read deletes) — run " +
-        "purgeDeletionVectors to materialize them away first, or use " +
-        "deleteWhereDv for further MoR deletes")
-  }
-
   /** Render a partitionValues map as protocol JSON (null values are the
     * null partition, rendered as JSON null).
     */
@@ -2093,7 +2079,9 @@ object DeltaWrite {
     * Unlike bin-packing [[optimize]] (which touches only small files),
     * Z-ordering is a re-CLUSTERING: every live file rewrites, range-
     * partitioned by z-value into `targetFiles` equal-row outputs (0 =
-    * auto-size at 128 MB). Same commit discipline as optimize: ONE commit,
+    * auto-size at 128 MB). Live deletion vectors compose — both scans
+    * filter through the bitmaps and the fresh adds drop the
+    * descriptors, so the re-cluster doubles as a purge. Same commit discipline as optimize: ONE commit,
     * remove/add actions `dataChange:false` (rows untouched — streaming
     * consumers skip it), per-file stats from the new footers, history
     * time-travels until vacuum. Ranking per column is a RANGE rank from
@@ -2114,7 +2102,11 @@ object DeltaWrite {
     val adds = DeltaLog.liveAdds(spark, tablePath)
     require(adds.nonEmpty,
       s"optimize zorder on a table with no live files: $tablePath")
-    requireNoDv(adds, "optimize zorder", tablePath)
+    // live DELETION VECTORS compose: every scan below (boundary
+    // quantiles AND the per-group rewrite) filters through the bitmaps,
+    // and the fresh adds carry no descriptor — a full-table re-cluster
+    // is a purge point exactly like optimize (x28b); linear-rank mode
+    // gets its min/max from the filtered frame too
     // mapped tables re-cluster first-class: the scan reads physical
     // bytes under the physicalized data schema and the rewrite restages
     // byte-compatible files; callers name z columns LOGICALLY and the
@@ -2181,8 +2173,9 @@ object DeltaWrite {
         val sess = spark
         import sess.implicits._
         val keyDf = keyRows.toDF("__fname", "__pvkey")
-        val scan = rewriteSchema.fold(spark.read)(s => spark.read.schema(s))
-          .parquet(adds.map(_.path): _*)
+        val scan = DeltaLog.applyDv(spark,
+          rewriteSchema.fold(spark.read)(s => spark.read.schema(s))
+            .parquet(adds.map(_.path): _*), adds, root)
         zCols.foreach(c => require(scan.columns.contains(physOfZ(c)),
           s"ZORDER column not in table: $c"))
         val aggs = zCols.zipWithIndex.map { case (c, i) =>
@@ -2258,8 +2251,9 @@ object DeltaWrite {
       scala.concurrent.ExecutionContext.fromExecutor(pool)
     val groupFutures = groups.map { case (pv, groupAdds) =>
       scala.concurrent.Future {
-        val df = rewriteSchema.fold(spark.read)(s => spark.read.schema(s))
-          .parquet(groupAdds.map(_.path): _*)
+        val df = DeltaLog.applyDv(spark,
+          rewriteSchema.fold(spark.read)(s => spark.read.schema(s))
+            .parquet(groupAdds.map(_.path): _*), groupAdds, root)
         zCols.foreach(c => require(df.columns.contains(physOfZ(c)),
           s"ZORDER column not in table: $c"))
         val z = graft.operators.Compaction

@@ -2006,13 +2006,20 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaLog.read(spark, tbl).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq ===
       (Seq(1L) ++ (3L to 8L) ++ (14L to 18L)))
-    // ZORDER still refuses over live DVs (re-clustering goes through
-    // purge/optimize first — documented divergence, loud)
-    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 14L)
-    val e = intercept[IllegalArgumentException] {
-      DeltaWrite.optimizeZOrder(spark, tbl, Seq("id", "v"))
-    }
-    assert(e.getMessage.contains("deletion vectors"))
+    // ZORDER composes too: the boundary-quantile pass and the per-group
+    // rewrite both filter through the bitmaps, so the re-cluster is one
+    // more purge point — rows identical, descriptors gone (numeric z
+    // columns: the range-rank pass casts them to double)
+    val ztbl = s"$tmp/delta_dv_zorder"
+    DeltaWrite.append((1L to 100L).map(i => (i, i % 7)).toDF("id", "k")
+      .repartition(2), ztbl)
+    DeltaWrite.deleteWhereDv(spark, ztbl, col("id") % 10 === 0L)
+    DeltaWrite.optimizeZOrder(spark, ztbl, Seq("id", "k"))
+    assert(DeltaLog.liveAdds(spark, ztbl).forall(_.dv.isEmpty),
+      "zorder left a live descriptor")
+    assert(DeltaLog.read(spark, ztbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      (1L to 100L).filterNot(_ % 10 == 0))
     ()
   }
 

@@ -1233,7 +1233,18 @@ object DeltaLog {
             spark.read.schema(st).parquet(adds.map(_.path): _*), adds, root)
         case None => () // no metaData recorded (external minimal log)
       }
-    scanWithPv(spark, adds, root)
+    // injected pv columns are the log's strings; cast them to their
+    // declared types when the metaData (at the read version) knows them
+    // — the mapped scans' contract, now symmetric for unmapped tables
+    metaSchema(spark, tablePath, versionAsOf) match {
+      case Some(ms) =>
+        import org.apache.spark.sql.functions.col
+        val pvKeys = adds.flatMap(_.partitionValues.keys).distinct
+        pvKeys.filter(ms.fieldNames.contains).foldLeft(
+          scanWithPv(spark, adds, root))((d, c) =>
+          d.withColumn(c, col(s"`$c`").cast(logicalType(ms(c).dataType))))
+      case None => scanWithPv(spark, adds, root)
+    }
   }
 
   /** Mapping-mode gate shared by the scan paths: None for an unmapped
@@ -1308,7 +1319,9 @@ object DeltaLog {
     val withId = applyDv(spark, base0, adds, root)
       .withColumn("__graft_dv_file", col("_metadata.file_path"))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-    injectPv(spark, adds, withId)
+    // typed pv, same contract as read(): a MoR/CoW predicate comparing a
+    // partition column compares it at its declared type
+    castPvToDeclared(spark, tablePath, injectPv(spark, adds, withId))
   }
 
   /** Mapped variant of [[readWithRowIdentity]]: the same logical decode

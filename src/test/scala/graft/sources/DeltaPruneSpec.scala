@@ -107,5 +107,10 @@ class DeltaPruneSpec extends SparkSpec {
       col("bucket") >= 10L && col("id") > 0)
     assert(kept.flatMap(_.partitionValues.get("bucket")).toSet ===
       Set("10", "50"))
+    // the READER also serves the declared type (the log stores strings;
+    // a string 'bucket' here would throw on getLong)
+    val got = DeltaLog.read(spark, tbl).select("id", "bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 5L), (2L, 10L), (3L, 50L)))
   }
 }

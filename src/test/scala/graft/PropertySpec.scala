@@ -387,10 +387,11 @@ class PropertySpec extends SparkSpec {
     // sequence, DeltaLog.read equals a trivial in-memory reference model
     // of table contents — and time travel to any still-replayable
     // version equals the model's history under THAT version's column
-    // names (renames are per-epoch). Op applicability mirrors the
-    // documented refusal matrix: CoW ops skip under live DVs. As of
-    // r17 every mutation runs on MAPPED tables too, so the fuzz
-    // exercises merge/delete/DV-delete/purge/optimize across
+    // names (renames are per-epoch). As of r18 the copy-on-write verbs
+    // (merge/delete/optimize/zorder) COMPOSE with live deletion
+    // vectors — the fuzz interleaves them with MoR deletes freely and
+    // re-derives DV liveness from the log after each rewrite. Every
+    // mutation runs on MAPPED tables too (r17), so the sequences cross
     // enable-mapping + renames; restore still skips once mapped (it
     // now restores metadata too, which would revert the payload
     // column name under the model's feet — modeling that corner is
@@ -407,6 +408,7 @@ class PropertySpec extends SparkSpec {
     case object DvDelete extends Op
     case object Purge extends Op
     case object Optimize extends Op
+    case object ZOrder extends Op
     case object CheckpointExpire extends Op
     case object Restore extends Op
     case object EnableMapping extends Op
@@ -415,6 +417,7 @@ class PropertySpec extends SparkSpec {
       1 -> Gen.const(Overwrite), 2 -> Gen.const(Merge),
       2 -> Gen.const(Delete), 2 -> Gen.const(DvDelete),
       1 -> Gen.const(Purge), 1 -> Gen.const(Optimize),
+      1 -> Gen.const(ZOrder),
       1 -> Gen.const(CheckpointExpire), 1 -> Gen.const(Restore),
       1 -> Gen.const(EnableMapping), 1 -> Gen.const(Rename))
     val batchGen: Gen[Seq[(Long, Long)]] = for {
@@ -477,12 +480,16 @@ class PropertySpec extends SparkSpec {
               model = batch.toMap
               hasDv = false // every prior file (and its DV) left the live set
               history :+= ((v, model, payloadCol))
-            case Merge if exists && model.nonEmpty && !hasDv =>
+            case Merge if exists && model.nonEmpty =>
               val st = DeltaWrite.merge(tbl, df(batch), Seq("id"))
               model = model ++ batch.toMap
+              // touched files dropped their DVs in the rewrite;
+              // untouched files keep theirs — re-derive from the log
+              hasDv = DeltaLog.liveAdds(spark, tbl).exists(_.dv.isDefined)
               history :+= ((st.version, model, payloadCol))
-            case Delete if exists && model.nonEmpty && !hasDv =>
+            case Delete if exists && model.nonEmpty =>
               val st = DeltaWrite.deleteWhere(spark, tbl, col("id") === delKey)
+              hasDv = DeltaLog.liveAdds(spark, tbl).exists(_.dv.isDefined)
               if (model.contains(delKey)) {
                 model -= delKey
                 history :+= ((st.version, model, payloadCol))
@@ -500,10 +507,22 @@ class PropertySpec extends SparkSpec {
               hasDv = false
               if (st.filesPurged > 0 && model.nonEmpty)
                 history :+= ((st.version, model, payloadCol))
-            case Optimize if exists && model.nonEmpty && !hasDv =>
+            case Optimize if exists && model.nonEmpty =>
               val st = DeltaWrite.optimize(spark, tbl, 1L << 30)
-              if (st.filesCompacted > 0)
+              if (st.filesCompacted > 0) {
+                // every DV-carrying file rewrites (the purge point)
+                hasDv = DeltaLog.liveAdds(spark, tbl)
+                  .exists(_.dv.isDefined)
                 history :+= ((st.version, model, payloadCol))
+              }
+            case ZOrder if exists && model.nonEmpty =>
+              // full-table re-cluster over the two numeric columns:
+              // rows must be IDENTICAL after (dataChange:false), and
+              // live DVs retire in the rewrite
+              val st = DeltaWrite.optimizeZOrder(spark, tbl,
+                Seq("id", payloadCol))
+              hasDv = false
+              history :+= ((st.version, model, payloadCol))
             case CheckpointExpire if exists && model.nonEmpty =>
               val cp = DeltaWrite.checkpoint(spark, tbl)
               DeltaWrite.expireLog(tbl)

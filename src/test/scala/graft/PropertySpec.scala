@@ -552,4 +552,188 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+  test("Partitioned Delta lifecycle fuzz: random op sequences match an in-memory model; CDF folds to it") {
+    // the r18 surface crossed end to end: a PARTITIONED table under a
+    // random append/merge/delete/partition-delete/MoR-DV-delete/purge/
+    // optimize/zorder/enable-mapping/rename sequence must, after EVERY
+    // step, read back equal to a trivial in-memory model — merges may
+    // MOVE rows between partitions, partition-conjunct deletes prune
+    // from the log, CoW verbs compose with live DVs, and the whole run
+    // happens twice over: once unmapped, then (when the op fires) under
+    // column mapping with renames. The change data feed is enabled
+    // before the first mutation; at the END of each sequence the feed
+    // folds (last commit per key wins, preimages dropped — the x39
+    // mirror rule) to exactly the final model, which pins every
+    // emission path (partitioned merge cdc, partitioned delete cdc, DV
+    // delete cdc, derived partitioned inserts) in one property.
+    import graft.sources.{DeltaLog, DeltaWrite}
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    sealed trait Op
+    case object Append extends Op
+    case object Merge extends Op
+    case object Delete extends Op
+    case object PartitionDelete extends Op
+    case object DvDelete extends Op
+    case object Purge extends Op
+    case object Optimize extends Op
+    case object ZOrder extends Op
+    case object EnableMapping extends Op
+    case object Rename extends Op
+    val opGen: Gen[Op] = Gen.frequency(3 -> Gen.const(Append),
+      3 -> Gen.const(Merge), 2 -> Gen.const(Delete),
+      1 -> Gen.const(PartitionDelete), 2 -> Gen.const(DvDelete),
+      1 -> Gen.const(Purge), 1 -> Gen.const(Optimize),
+      1 -> Gen.const(ZOrder), 1 -> Gen.const(EnableMapping),
+      1 -> Gen.const(Rename))
+    val parts = Seq("pa", "pb", "pc")
+    val batchGen: Gen[Seq[(Long, String, Long)]] = for {
+      n <- Gen.choose(1, 4)
+      keys <- Gen.listOfN(n, Gen.choose(0L, 9L))
+      ps <- Gen.listOfN(n, Gen.oneOf(parts))
+      tag <- Gen.choose(0L, 1000L)
+    } yield keys.distinct.zip(ps).map { case (k, p) =>
+      (k, p, k * 1000 + tag)
+    }
+    forSamples(Gen.zip(Gen.listOfN(8, opGen), Gen.listOfN(8, batchGen),
+        Gen.listOfN(8, Gen.choose(0L, 9L))), n = 5) {
+      case (ops, batches, delKeys) =>
+        val tbl = java.nio.file.Files
+          .createTempDirectory("graft-dpart-fuzz").toString + "/t"
+        var model = Map.empty[Long, (String, Long)] // id -> (part, payload)
+        var history = Vector.empty[(Long, Map[Long, (String, Long)], String)]
+        var mapped = false
+        var payloadCol = "payload"
+        def df(rows: Seq[(Long, String, Long)]) =
+          rows.map { case (k, p, v) => (k, p, v) }
+            .toDF("id", "part", payloadCol).repartition(1)
+        def check(): Unit = {
+          if (model.isEmpty) {
+            intercept[Exception] { DeltaLog.read(spark, tbl).collect() }
+          } else {
+            val rows = DeltaLog.read(spark, tbl)
+              .select(col("id"), col("part"), col(payloadCol)).collect()
+              .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+              .toSeq
+            assert(rows.map(_._1).distinct.size === rows.size,
+              s"DUPLICATE ids after ops $ops: ${rows.sortBy(_._1)}")
+            assert(rows.toMap === model, s"live mismatch after ops $ops")
+          }
+          history.filter(_._2.nonEmpty).foreach { case (v, m, pc) =>
+            val h = DeltaLog.read(spark, tbl, Some(v))
+              .select(col("id"), col("part"), col(s"`$pc`")).collect()
+              .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2))))
+              .toMap
+            assert(h === m, s"history v$v mismatch after ops $ops")
+          }
+        }
+        // seed + enable the feed before any fuzzed mutation, so the
+        // whole mutation range is CDF-covered
+        val seed = batches.head
+        DeltaWrite.appendPartitioned(df(seed), tbl, Seq("part"))
+        model = seed.map { case (k, p, v) => k -> ((p, v)) }.toMap
+        history :+= ((0L, model, payloadCol))
+        val enableV = DeltaWrite.enableChangeDataFeed(spark, tbl)
+        val seedModel = model
+        var changed = false
+        ops.zip(batches.tail :+ batches.head).zip(delKeys)
+          .foreach { case ((op, batch), delKey) =>
+          op match {
+            case Append =>
+              val fresh = batch.filterNot { case (k, _, _) =>
+                model.contains(k) }
+              if (fresh.nonEmpty) {
+                val v = DeltaWrite.appendPartitioned(df(fresh), tbl,
+                  Seq("part"))
+                model = model ++ fresh.map { case (k, p, vv) =>
+                  k -> ((p, vv)) }.toMap
+                history :+= ((v, model, payloadCol))
+                changed = true
+              }
+            case Merge if model.nonEmpty =>
+              val st = DeltaWrite.merge(tbl, df(batch), Seq("id"))
+              model = model ++ batch.map { case (k, p, vv) =>
+                k -> ((p, vv)) }.toMap
+              history :+= ((st.version, model, payloadCol))
+              changed = true
+            case Delete if model.nonEmpty =>
+              val st = DeltaWrite.deleteWhere(spark, tbl,
+                col("id") === delKey)
+              if (model.contains(delKey)) {
+                model -= delKey
+                history :+= ((st.version, model, payloadCol))
+                changed = true
+              }
+            case PartitionDelete if model.nonEmpty =>
+              // a partition conjunct + a data conjunct: the match scan
+              // prunes to the 'pa' files from the log alone
+              val st = DeltaWrite.deleteWhere(spark, tbl,
+                col("part") === "pa" && col("id") % 2 === delKey % 2)
+              val dead = model.filter { case (k, (p, _)) =>
+                p == "pa" && k % 2 == delKey % 2 }.keySet
+              if (dead.nonEmpty) {
+                assert(st.rowsDeleted === dead.size.toLong)
+                model --= dead
+                history :+= ((st.version, model, payloadCol))
+                changed = true
+              }
+            case DvDelete if model.nonEmpty =>
+              val st = DeltaWrite.deleteWhereDv(spark, tbl,
+                col("id") === delKey)
+              if (model.contains(delKey)) {
+                model -= delKey
+                history :+= ((st.version, model, payloadCol))
+                changed = true
+              }
+            case Purge =>
+              if (DeltaLog.liveAdds(spark, tbl).exists(_.dv.isDefined)) {
+                val st = DeltaWrite.purgeDeletionVectors(spark, tbl)
+                if (st.filesPurged > 0 && model.nonEmpty)
+                  history :+= ((st.version, model, payloadCol))
+              }
+            case Optimize if model.nonEmpty =>
+              val st = DeltaWrite.optimize(spark, tbl, 1L << 30)
+              if (st.filesCompacted > 0)
+                history :+= ((st.version, model, payloadCol))
+            case ZOrder if model.nonEmpty =>
+              // z columns are DATA columns (part is the tuple)
+              val st = DeltaWrite.optimizeZOrder(spark, tbl,
+                Seq("id", payloadCol))
+              history :+= ((st.version, model, payloadCol))
+            case EnableMapping if model.nonEmpty && !mapped =>
+              val v = DeltaWrite.enableColumnMapping(spark, tbl)
+              mapped = true
+              history :+= ((v, model, payloadCol))
+            case Rename if mapped && model.nonEmpty =>
+              val next =
+                if (payloadCol == "payload") "payload_r" else "payload"
+              val v = DeltaWrite.renameColumn(spark, tbl, payloadCol, next)
+              payloadCol = next
+              history :+= ((v, model, payloadCol))
+            case _ => () // not applicable yet
+          }
+          check()
+        }
+        // FEED FOLD: replay every change since enablement, last commit
+        // per key wins (preimages dropped); seed rows that never
+        // changed stay from the base — must land exactly on the model
+        if (changed) {
+          val feed = DeltaLog.tableChanges(spark, tbl, enableV)
+            .select(col("id"), col("part"), col(s"`$payloadCol`"),
+              col("_change_type"), col("_commit_version"))
+            .collect()
+            .filter(_.getString(3) != "update_preimage")
+          val folded = feed.groupBy(_.getLong(0))
+            .foldLeft(seedModel) { case (m, (id, rows)) =>
+              val last = rows.maxBy(_.getLong(4))
+              if (last.getString(3) == "delete") m - id
+              else m + (id -> ((last.getString(1), last.getLong(2))))
+            }
+          assert(folded === model,
+            s"CDF fold diverged from the model after ops $ops")
+        }
+    }
+  }
+
 }

@@ -712,4 +712,82 @@ class ScaleSpec extends SparkSpec {
       assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+  test("partitioned merge: job count does not grow with partition count") {
+    // the staging is ONE distributed partitionBy write for ALL touched
+    // tuples — a per-tuple driver loop would submit jobs linear in
+    // partition count and stall a 10^4-partition table at the driver.
+    // Pin: doubling the partition count leaves the merge's Spark job
+    // count unchanged (small slack for AQE stage materialization).
+    import graft.sources.DeltaWrite
+    val s = spark
+    import s.implicits._
+    def run(nParts: Int): Int = {
+      val tbl = java.nio.file.Files
+        .createTempDirectory("graft-mjobs").toString + "/t"
+      val rows = (0L until 400L).map(i => (i, s"p${i % nParts}", i * 3))
+      DeltaWrite.appendPartitioned(
+        rows.toDF("id", "part", "v").repartition(2), tbl, Seq("part"))
+      val batch = (0L until 400L by 5).map(i => (i, s"p${i % nParts}", -i))
+        .toDF("id", "part", "v")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try DeltaWrite.merge(tbl, batch, Seq("id"))
+      finally {
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      jobs.get
+    }
+    val j6 = run(6)
+    val j12 = run(12)
+    assert(math.abs(j12 - j6) <= 2,
+      s"merge job count grew with partition count: $j6 -> $j12")
+  }
+
+  test("partition-conjunct delete reads only the pruned partition's bytes") {
+    // the conjunct is answered from the LOG before any data file opens:
+    // with 8 partitions and a one-partition conjunct, the whole DELETE
+    // (match scan + touched decode + survivor rewrite) must read well
+    // under one full-table pass
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-dprune").toString + "/t"
+    val n = 4000L
+    val rows = (0L until n).map(i => (i, s"p${i % 8}", i * 7))
+    DeltaWrite.appendPartitioned(
+      rows.toDF("id", "part", "v").repartition(4), tbl, Seq("part"))
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val st =
+      try DeltaWrite.deleteWhere(spark, tbl,
+        col("part") === "p3" && col("id") % 2 === 1)
+      finally {
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(st.rowsDeleted === rows.count { case (i, p, _) =>
+      p == "p3" && i % 2 == 1 }.toLong)
+    // pruned pipeline ~= 3 passes over ONE of eight partitions (match
+    // scan, touched decode+count, survivor rewrite) + the tiny tuple
+    // frame; an unpruned match scan ALONE would read all `n` rows
+    assert(read.get < (n * 2) / 3,
+      s"delete read ${read.get} records of $n — the partition conjunct " +
+        "did not prune the match scan")
+    assert(DeltaLog.read(spark, tbl).count() === n - st.rowsDeleted)
+  }
 }

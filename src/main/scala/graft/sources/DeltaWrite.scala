@@ -798,10 +798,14 @@ object DeltaWrite {
           .collect { case s: String => s }
           .getOrElse(java.util.UUID.randomUUID.toString)
         val evolvedJson = evolvedLogical.map(_.json).getOrElse(
-          StructType(DeltaLog.metaSchema(spark, tablePath)
-            .getOrElse(StructType(Seq.empty)).fields ++
-            newCols.map(c => StructField(c, source.schema(c).dataType)))
-            .json)
+          DeltaLog.metaSchema(spark, tablePath) match {
+            case Some(ms) => StructType(ms.fields ++
+              newCols.map(c => StructField(c, source.schema(c).dataType)))
+              .json
+            // foreign minimal log without a metaData action: the staged
+            // output's own schema is the only full-width source of truth
+            case None => out.schema.json
+          })
         val cfgOverrides = evolvedLogical.map { ev =>
           Map("delta.columnMapping.maxColumnId" ->
             ev.fields.map(f =>

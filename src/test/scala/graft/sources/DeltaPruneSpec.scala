@@ -112,5 +112,10 @@ class DeltaPruneSpec extends SparkSpec {
     val got = DeltaLog.read(spark, tbl).select("id", "bucket").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 5L), (2L, 10L), (3L, 50L)))
+    // partitioned adds carry footer stats like flat ones (r18): the
+    // metadata-only count and data skipping work on partitioned tables
+    assert(adds.forall(_.statsJson.nonEmpty),
+      "partitioned adds lost their footer stats")
+    assert(DeltaLog.countFromStats(spark, tbl) === Some(3L))
   }
 }

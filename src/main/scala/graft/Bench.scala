@@ -578,7 +578,12 @@ object Bench {
         val m = runs0.minBy(_._1)
         if (runs0.exists(_._1 == -1.0) || !jitContaminated(m._2, m._1))
           runs0
-        else runs0 :+ materialize(n)
+        else {
+          // a FAILED salvage run must not poison a query whose primary
+          // iterations all succeeded — it only ever improves the min
+          val salvage = materialize(n)
+          if (salvage._1 == -1.0) runs0 else runs0 :+ salvage
+        }
       }
       // reclaim this query's broadcasts/shuffles before the next entry
       spark.catalog.clearCache()

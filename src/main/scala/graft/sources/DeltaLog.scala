@@ -885,10 +885,12 @@ object DeltaLog {
           s"column-mapped table without a parseable schemaString: " +
             tablePath)))
     // partition values resolve per file: from the action itself (adds
-    // always carry them; our removes carry them as extended metadata),
-    // or — for a foreign writer's bare remove — re-derived from the
-    // hive segments of the recorded relative path. Values are decoded
-    // exactly like the reader's path decode (only %XX unescaped).
+    // always carry them; every engine-written dataChange remove carries
+    // them as extended metadata), or — for a FOREIGN writer's bare
+    // remove — best-effort re-derived from the hive segments of the
+    // recorded relative path: split BEFORE decoding (a %2F inside a
+    // value must not become a path separator), decode each segment with
+    // the hive rule (only %XX unescaped — a literal '+' survives).
     def pvOfAction(a: Map[String, Any], rel: String): Map[String, String] =
       a.get("partitionValues") match {
         case Some(pm: Map[_, _]) =>
@@ -897,10 +899,13 @@ object DeltaLog {
             case (k, _) => k -> null
           }
         case _ =>
-          URLDecoder.decode(rel, "UTF-8").split("/").dropRight(1)
+          rel.split("/").dropRight(1)
+            .map(seg =>
+              URLDecoder.decode(seg.replace("+", "%2B"), "UTF-8"))
             .filter(_.contains("=")).map { seg =>
               val Array(k, v) = seg.split("=", 2)
-              k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null else v)
+              k -> (if (v == "__HIVE_DEFAULT_PARTITION__") null
+                else URLDecoder.decode(v.replace("+", "%2B"), "UTF-8"))
             }.toMap
       }
     val perCommit = commits
@@ -1002,19 +1007,21 @@ object DeltaLog {
             throw new IllegalArgumentException(
               s"partitioned change feed needs a parseable metaData " +
                 s"schema in $tablePath"))
-          val declaredParts = tableMetaData(spark, tablePath,
-            Some(if (endMode == "none") v else maxV))
-            .flatMap(_.get("partitionColumns"))
-            .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
-            .getOrElse(Seq.empty)
-          val (partFields, dataFields) = schemaFull.fields
-            .partition(f => declaredParts.contains(f.name))
           def keyOf(logical: String): String = {
             val f = schemaFull(logical)
             if (endMode != "none" && f.metadata.contains(PhysNameKey))
               f.metadata.getString(PhysNameKey)
             else logical
           }
+          // the files' OWN pv keys decide which schema fields inject —
+          // not the metaData's partitionColumns at this version: an
+          // OVERWRITE redeclares partitionColumns=[] in the very commit
+          // whose removes still reference partitioned files, and a
+          // declared-columns split would schema-read the tuple column
+          // (all-NULL) from files that physically lack it
+          val pvKeys = abs.flatMap(_._2.keys).toSet
+          val (partFields, dataFields) = schemaFull.fields
+            .partition(f => pvKeys.contains(keyOf(f.name)))
           val base =
             if (endMode == "none")
               spark.read.schema(StructType(dataFields))
@@ -1233,15 +1240,22 @@ object DeltaLog {
             spark.read.schema(st).parquet(adds.map(_.path): _*), adds, root)
         case None => () // no metaData recorded (external minimal log)
       }
-    // injected pv columns are the log's strings; cast them to their
-    // declared types when the metaData (at the read version) knows them
-    // — the mapped scans' contract, now symmetric for unmapped tables
+    // with a metaData schema in force at the read version the
+    // partitioned scan mirrors the unpartitioned discipline: DATA
+    // columns decode through the declared schema (evolution-safe —
+    // footer inference would let whichever file won decide whether an
+    // evolved column exists), and the injected pv strings cast to
+    // their declared types — the mapped scans' contract, symmetric for
+    // unmapped tables
     metaSchema(spark, tablePath, versionAsOf) match {
       case Some(ms) =>
         import org.apache.spark.sql.functions.col
+        import org.apache.spark.sql.types.StructType
         val pvKeys = adds.flatMap(_.partitionValues.keys).distinct
+        val dataSchema = StructType(
+          ms.fields.filterNot(f => pvKeys.contains(f.name)))
         pvKeys.filter(ms.fieldNames.contains).foldLeft(
-          scanWithPv(spark, adds, root))((d, c) =>
+          scanWithPv(spark, adds, root, Some(dataSchema)))((d, c) =>
           d.withColumn(c, col(s"`$c`").cast(logicalType(ms(c).dataType))))
       case None => scanWithPv(spark, adds, root)
     }
@@ -1277,9 +1291,13 @@ object DeltaLog {
     * parquet).
     */
   private def scanWithPv(spark: SparkSession,
-      adds: Seq[LiveFile], root: File): DataFrame =
+      adds: Seq[LiveFile], root: File,
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame =
     injectPv(spark, adds,
-      applyDv(spark, spark.read.parquet(adds.map(_.path): _*), adds, root))
+      applyDv(spark,
+        dataSchema.fold(spark.read)(st => spark.read.schema(st))
+          .parquet(adds.map(_.path): _*), adds, root))
 
   /** Snapshot read PLUS physical row-identity columns
     * (`__graft_dv_file` = the scan's file path, `__graft_dv_pos` = the
@@ -1306,16 +1324,18 @@ object DeltaLog {
             tablePath))
       return readWithRowIdentityMapped(spark, tablePath, adds, mode, logical)
     }
-    // same schema discipline as read(): unpartitioned tables decode
-    // through the metaData schema (evolution-safe); partitioned keep
-    // inference (their partition columns live in the log)
-    val base0 =
-      if (adds.forall(_.partitionValues.isEmpty))
-        metaSchema(spark, tablePath, None) match {
-          case Some(st) => spark.read.schema(st).parquet(adds.map(_.path): _*)
-          case None => spark.read.parquet(adds.map(_.path): _*)
-        }
-      else spark.read.parquet(adds.map(_.path): _*)
+    // same schema discipline as read(): decode DATA columns through the
+    // metaData schema when one exists (evolution-safe); partitioned
+    // tables exclude their pv keys from it (those columns live in the
+    // log and inject below)
+    val base0 = metaSchema(spark, tablePath, None) match {
+      case Some(st) =>
+        val pvKeys = adds.flatMap(_.partitionValues.keys).distinct.toSet
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          st.fields.filterNot(f => pvKeys.contains(f.name)))
+        spark.read.schema(dataSchema).parquet(adds.map(_.path): _*)
+      case None => spark.read.parquet(adds.map(_.path): _*)
+    }
     val withId = applyDv(spark, base0, adds, root)
       .withColumn("__graft_dv_file", col("_metadata.file_path"))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
@@ -1379,6 +1399,51 @@ object DeltaLog {
       .flatMap(_.get("partitionColumns"))
       .collect { case xs: Seq[_] => xs.collect { case s: String => s } }
       .getOrElse(Seq.empty)
+
+  /** Live files keyed by the QUALIFIED URI a scan's
+    * `_metadata.file_path` reports — the only safe join key between a
+    * match scan's touched-file column and the log. Basenames are NOT
+    * unique on adopted tables: Spark's partitionBy writes the same
+    * part-NNNNN-jobUUID name into every partition directory, so a
+    * basename map would silently collapse entries and a copy-on-write
+    * rewrite would remove/rewrite the WRONG file.
+    */
+  private[sources] def byQualifiedPath(spark: SparkSession,
+      adds: Seq[LiveFile]): Map[String, LiveFile] = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    adds.map { a =>
+      val p = new org.apache.hadoop.fs.Path(a.path)
+      p.getFileSystem(hadoopConf).makeQualified(p).toString -> a
+    }.toMap
+  }
+
+  /** Normalize a scan-reported file URI to the canonical form
+    * [[byQualifiedPath]] keys on (Hadoop Path over the RAW filesystem
+    * path). `_metadata.file_path` renders a percent-ESCAPED URI
+    * (`file:/x`, `%` as `%25`), so the string must round-trip through
+    * java.net.URI to decode the escaping before Path normalizes the
+    * scheme/slash rendering; non-URI strings pass through Path as-is.
+    */
+  private[sources] def canonicalScanPath(uri: String): String =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(uri)).toString
+    catch { case _: java.net.URISyntaxException =>
+      new org.apache.hadoop.fs.Path(uri).toString }
+
+  /** Logical -> physical column-name map from the current metaData
+    * (identity for unmapped tables) — the single source for every
+    * caller that must key partitionValues (recorded PHYSICAL under
+    * column mapping) from logical names.
+    */
+  private[sources] def physByLogical(spark: SparkSession,
+      tablePath: String): Map[String, String] =
+    (mappingMode(tableMetaData(spark, tablePath)),
+      metaSchema(spark, tablePath)) match {
+      case (m, Some(ms)) if m != "none" =>
+        val phys = physicalize(ms)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        ms.fieldNames.zip(phys.fieldNames).toMap
+      case _ => Map.empty
+    }
 
   /** Cast log-injected partition columns (strings — [[injectPv]]'s
     * output type) to their metaData-declared types. The mapped scan

@@ -340,18 +340,8 @@ object DeltaWrite {
     */
   private def physPartitionCols(spark: org.apache.spark.sql.SparkSession,
       tablePath: String, partitionCols: Seq[String]): Seq[String] = {
-    val meta = DeltaLog.tableMetaData(spark, tablePath)
-    if (DeltaLog.mappingMode(meta) == "none") partitionCols
-    else {
-      val logical = DeltaLog.metaSchema(spark, tablePath)
-        .getOrElse(throw new IllegalArgumentException(
-          s"column-mapped table without a parseable schemaString: " +
-            tablePath))
-      val phys = DeltaLog.physicalize(logical)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val byLogical = logical.fieldNames.zip(phys.fieldNames).toMap
-      partitionCols.map(c => byLogical.getOrElse(c, c))
-    }
+    val byLogical = DeltaLog.physByLogical(spark, tablePath)
+    partitionCols.map(c => byLogical.getOrElse(c, c))
   }
 
   /** Hive/Spark path escaping encodes special characters as %XX but does
@@ -429,15 +419,19 @@ object DeltaWrite {
   }
 
   /** A remove action carrying the file's partition tuple (the protocol's
-    * extended file metadata) — what lets a change-data-feed derivation
-    * re-attach partition values to a removed file without re-resolving
-    * the dead add action.
+    * extended file metadata — `extendedFileMetadata:true` with
+    * partitionValues and size, per spec) — what lets a change-data-feed
+    * derivation re-attach partition values to a removed file without
+    * re-resolving the dead add action.
     */
   private def removeAction(a: DeltaLog.LiveFile,
       dataChange: Boolean = true): String =
     s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}",""" +
       (if (a.partitionValues.nonEmpty)
-        s""""partitionValues":${pvJson(a.partitionValues)},""" else "") +
+        s""""extendedFileMetadata":true,""" +
+          s""""partitionValues":${pvJson(a.partitionValues)},""" +
+          s""""size":${new File(a.path).length},"""
+      else "") +
       s""""dataChange":$dataChange}}"""
 
   /** The current metaData's configuration map serialized as a JSON
@@ -510,13 +504,7 @@ object DeltaWrite {
     if (partOnlySql.isEmpty) return adds
     // pv keys are PHYSICAL names under column mapping; resolve each
     // logical partition column to the key its adds record
-    val physOf: Map[String, String] =
-      if (DeltaLog.mappingMode(
-          DeltaLog.tableMetaData(spark, tablePath)) == "none") Map.empty
-      else {
-        val phys = DeltaLog.physicalize(logical).asInstanceOf[StructType]
-        logical.fieldNames.zip(phys.fieldNames).toMap
-      }
+    val physOf = DeltaLog.physByLogical(spark, tablePath)
     val declared: Map[String, org.apache.spark.sql.types.DataType] =
       logical.fields.map(f => f.name -> f.dataType).toMap
     val schema = StructType(StructField("__graft_path", StringType) +:
@@ -601,8 +589,8 @@ object DeltaWrite {
     // decoded exactly like the snapshot reader — metaData schema,
     // mapping resolution, DVs applied — so post-evolution file mixes and
     // MoR deletes both merge correctly. Schema-only here (no job).
-    val target0 = DeltaLog.castPvToDeclared(spark, tablePath,
-      DeltaLog.readLivePaths(spark, tablePath, adds.map(_.path)))
+    val target0 = DeltaLog.readLivePaths(spark, tablePath,
+      adds.map(_.path))
     val cols = target0.columns.toSeq
     // SCHEMA EVOLUTION (`mergeSchema`, real Delta's autoMerge): source
     // columns beyond the table's schema widen it — the commit carries a
@@ -670,60 +658,55 @@ object DeltaWrite {
     // PARTITION PRUNING of the match scan: when a join key IS a
     // partition column, only files whose tuple value appears among the
     // batch's distinct values for it can contain a match (the batch is
-    // the broadcast side — collecting its distinct partition values is
-    // bounded by the batch). Null-valued tuples prune too: an equi-join
-    // key never matches null. Inserts are unaffected (they stage from
-    // the batch, not the match scan).
-    val pvKeyOf: Map[String, String] =
-      if (mapMode == "none") Map.empty
-      else DeltaLog.metaSchema(spark, tablePath).map { ms =>
-        val phys = DeltaLog.physicalize(ms).asInstanceOf[StructType]
-        ms.fieldNames.zip(phys.fieldNames).toMap
-      }.getOrElse(Map.empty)
+    // the broadcast side — collecting its distinct values is bounded by
+    // the batch). The comparison goes through the same TYPED evaluation
+    // as a DELETE's partition conjunct — the log's string rendering of
+    // a tuple ("05", "5.0") must never be string-compared against the
+    // batch's rendering. Null batch values drop (an equi-join key never
+    // matches null), and a key with NO non-null batch values matches no
+    // file at all. Inserts are unaffected (they stage from the batch,
+    // not the match scan).
     val candidateAdds = keys.filter(partCols.contains)
       .foldLeft(adds) { (as, k) =>
-        val vals = src.select(col(s"`$k`").cast("string")).distinct()
-          .collect().flatMap(r => Option(r.getString(0))).toSet
-        as.filter(_.partitionValues.get(pvKeyOf.getOrElse(k, k)) match {
-          case Some(null) => false
-          case Some(v) => vals.contains(v)
-          case None => true
-        })
+        if (as.isEmpty) as
+        else {
+          val vals = src.select(col(s"`$k`")).distinct()
+            .collect().map(_.get(0)).filter(_ != null).toSeq
+          if (vals.isEmpty) Seq.empty
+          else prunePartitionConjuncts(spark, tablePath, as,
+            col(s"`$k`").isin(vals: _*))
+        }
       }
     // touched files: bounded by live-file count (same driver-state class
     // as the log listing itself). The identity scan decodes logically
     // with each row's PHYSICAL file captured before any projection/join,
     // applies live DVs (a MoR-deleted row must not count as a match),
     // and injects typed partition columns so keys may include them.
-    val byName = adds.map(a => new File(a.path).getName -> a).toMap
+    // Resolution back to the log keys on the QUALIFIED URI — basenames
+    // collide across partition dirs on CONVERT-adopted tables.
+    val byPath = DeltaLog.byQualifiedPath(spark, adds)
     val touchedAdds: Seq[DeltaLog.LiveFile] =
       if (candidateAdds.isEmpty) Seq.empty
       else {
-        val identityScan = DeltaLog.castPvToDeclared(spark, tablePath,
-          DeltaLog.readWithRowIdentity(spark, tablePath,
-            Some(candidateAdds.map(_.path).toSet)))
+        val identityScan = DeltaLog.readWithRowIdentity(spark, tablePath,
+            Some(candidateAdds.map(_.path).toSet))
           .withColumnRenamed("__graft_dv_file", "__graft_file")
           .drop("__graft_dv_pos")
         identityScan
           .join(broadcast(srcKeys), keys, "leftsemi")
           .select(col("__graft_file")).distinct()
           .collect().map(_.getString(0)).toSeq
-          .map { uri =>
-            // metadata paths are qualified URIs; recorded add paths are
-            // relative — unique by construction, match by uuid name
-            val name = uri.substring(uri.lastIndexOf('/') + 1)
-            byName.getOrElse(name, throw new IllegalStateException(
-              s"touched file not in live set: $uri"))
-          }
+          .map(uri => byPath.getOrElse(DeltaLog.canonicalScanPath(uri),
+            throw new IllegalStateException(
+              s"touched file not in live set: $uri")))
       }
     // decode touched files through the snapshot reader (DVs applied,
-    // pv injected) and NULL-fill evolving columns so pre-evolution
-    // survivors rewrite under the merged schema
+    // typed pv injected) and NULL-fill evolving columns so
+    // pre-evolution survivors rewrite under the merged schema
     val touchedRows =
       if (touchedAdds.isEmpty) None
       else Some(newCols.foldLeft(
-        DeltaLog.castPvToDeclared(spark, tablePath,
-          DeltaLog.readLivePaths(spark, tablePath, touchedAdds.map(_.path))))(
+        DeltaLog.readLivePaths(spark, tablePath, touchedAdds.map(_.path)))(
         (t, c) => t.withColumn(c, lit(null).cast(source.schema(c).dataType))))
     val (survivors, rowsUpdated) = touchedRows match {
       case None => (None, 0L)
@@ -862,24 +845,23 @@ object DeltaWrite {
     // match scan: snapshot read (existing DVs applied, typed partition
     // columns injected from the log so the predicate may reference
     // them), with physical row identity captured BEFORE the pv join
-    val byName = adds.map(a => new File(a.path).getName -> a).toMap
-    val touchedAdds = DeltaLog.castPvToDeclared(spark, tablePath,
-      DeltaLog.readWithRowIdentity(spark, tablePath,
-        Some(candidateAdds.map(_.path).toSet)))
+    // resolution keys on the QUALIFIED URI — basenames collide across
+    // partition dirs on CONVERT-adopted tables
+    val byPath = DeltaLog.byQualifiedPath(spark, adds)
+    val touchedAdds = DeltaLog.readWithRowIdentity(spark, tablePath,
+        Some(candidateAdds.map(_.path).toSet))
       .filter(predicate)
       .select(col("__graft_dv_file")).distinct()
       .collect().map(_.getString(0)).toSeq
-      .map { uri =>
-        val name = uri.substring(uri.lastIndexOf('/') + 1)
-        byName.getOrElse(name, throw new IllegalStateException(
-          s"matched file not in live set: $uri"))
-      }
+      .map(uri => byPath.getOrElse(DeltaLog.canonicalScanPath(uri),
+        throw new IllegalStateException(
+          s"matched file not in live set: $uri")))
     if (touchedAdds.isEmpty)
       return DeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
     // decode touched files through the snapshot reader (mapping
     // resolved, DVs applied, typed pv injected)
-    val touchedRows = DeltaLog.castPvToDeclared(spark, tablePath,
-      DeltaLog.readLivePaths(spark, tablePath, touchedAdds.map(_.path)))
+    val touchedRows =
+      DeltaLog.readLivePaths(spark, tablePath, touchedAdds.map(_.path))
     val rowsDeleted = touchedRows.filter(predicate).count()
     // SQL DELETE semantics: rows where the predicate is NULL are NOT
     // deleted — `!predicate` alone would silently drop them (NULL is
@@ -1548,7 +1530,7 @@ object DeltaWrite {
       predicate: org.apache.spark.sql.Column,
       maxDvCollectBytes: Long = 256L << 20): DvDeleteStats = {
     import org.apache.spark.sql.functions.{col, collect_list, count, lit,
-      sort_array, substring_index, sum}
+      sort_array, sum}
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     requireTable(logDir, tablePath)
@@ -1581,7 +1563,7 @@ object DeltaWrite {
     // driver bitmap bytes. The pre-pass is a count-only aggregation over
     // two narrow columns, map-side combined.
     val pre = matched
-      .groupBy(substring_index(col("__f"), "/", -1).as("__name"))
+      .groupBy(col("__f"))
       .agg(count(lit(1)).as("__n"))
       .agg(sum(col("__n")), count(lit(1))).head
     val (nPositions, nFiles) =
@@ -1589,11 +1571,15 @@ object DeltaWrite {
     if (nFiles == 0L) // nothing matched: a no-op, not an empty commit
       return DvDeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
     val estBytes = nPositions * 2L + nFiles * 8192L
-    val byName = adds.map(a => new File(a.path).getName -> a).toMap
+    // keyed on the scan's QUALIFIED URI, never the basename — Spark's
+    // partitionBy writes the same part-NNNNN name into every partition
+    // dir, so a CONVERT-adopted table's basenames collide and a
+    // basename-keyed bitmap would fuse two files' positions
+    val byPath = DeltaLog.byQualifiedPath(spark, adds)
     def physicalRows(a: DeltaLog.LiveFile): Option[Long] =
       a.stats.flatMap(_.get("numRecords").collect { case d: Double => d.toLong })
     val grouped = matched
-      .groupBy(substring_index(col("__f"), "/", -1).as("__name"))
+      .groupBy(col("__f"))
       .agg(sort_array(collect_list(col("__i"))).as("__idx"))
     // both paths produce (live file, fresh deletes, merged cardinality,
     // descriptor — None when the file died entirely)
@@ -1601,8 +1587,8 @@ object DeltaWrite {
       if (estBytes <= maxDvCollectBytes) {
         val perFile = grouped.collect()
         perFile.toSeq.map { r =>
-          val name = r.getString(0)
-          val a = byName.getOrElse(name, throw new IllegalStateException(
+          val name = DeltaLog.canonicalScanPath(r.getString(0))
+          val a = byPath.getOrElse(name, throw new IllegalStateException(
             s"matched file not in live set: $name"))
           val idx = r.getSeq[Long](1)
           val fresh = DeltaDv.serializePositions(idx)
@@ -1646,7 +1632,7 @@ object DeltaWrite {
         // skip the write entirely.
         val rootPath = root.getAbsolutePath
         val dvMeta: Map[String, (Option[DeltaDv.Descriptor], Option[Long])] =
-          byName.map { case (n, a) => n -> ((a.dv, physicalRows(a))) }
+          byPath.map { case (n, a) => n -> ((a.dv, physicalRows(a))) }
         val dvMetaB = spark.sparkContext.broadcast(dvMeta)
         val flushBytes = dvPackFlushBytes
         val results = grouped.rdd.mapPartitions { it =>
@@ -1669,7 +1655,7 @@ object DeltaWrite {
             pending.clear(); pendingBytes = 0L
           }
           it.foreach { row =>
-            val name = row.getString(0)
+            val name = DeltaLog.canonicalScanPath(row.getString(0))
             val idx = row.getSeq[Long](1)
             val fresh = DeltaDv.serializePositions(idx)
             val (exist, phys) = dvMetaB.value.getOrElse(name,
@@ -1694,7 +1680,7 @@ object DeltaWrite {
         }.collect()
         dvMetaB.unpersist()
         results.toSeq.map { case (name, n, card, pathOrInline, off, len) =>
-          val a = byName(name)
+          val a = byPath(DeltaLog.canonicalScanPath(name))
           if (pathOrInline == null) (a, n, card, None)
           else (a, n, card,
             Some(DeltaDv.Descriptor("u", pathOrInline, Some(off), len, card)))
@@ -1706,14 +1692,14 @@ object DeltaWrite {
       case (a, _, _, Some(d)) =>
         val f = new File(a.path)
         Seq(
-          s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""",
+          removeAction(a),
           s"""{"add":{"path":"${jsonEscape(a.recordedPath)}",""" +
             s""""partitionValues":${pvJson(a.partitionValues)},""" +
             s""""size":${f.length},"modificationTime":${f.lastModified},""" +
             a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
             s""""deletionVector":${dvJson(d)},"dataChange":true}}""")
       case (a, _, _, None) =>
-        Seq(s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""")
+        Seq(removeAction(a))
     }
     val (minR, _, rFeats, _) = DeltaLog.currentProtocol(tablePath)
     val protoAction =
@@ -1888,7 +1874,7 @@ object DeltaWrite {
     val prior =
       if (commitFiles(logDir).isEmpty &&
         DeltaLog.lastCheckpointVersion(logDir).isEmpty) Seq.empty
-      else DeltaLog.liveAdds(spark, tablePath).map(_.recordedPath)
+      else DeltaLog.liveAdds(spark, tablePath)
     requireSatisfiesConstraints(spark, tablePath, df, "overwrite")
     val (stage, physSchema) = physicalizeForStage(spark, tablePath, df)
     val files = stageDataFiles(stage, root)
@@ -1905,8 +1891,10 @@ object DeltaWrite {
           .collect { case xs: Seq[_] => xs }.exists(_.nonEmpty) =>
         serializeMetaAction(meta, partitionColsOverride = Some(Seq.empty))
     }
-    val removes = prior.map(rel =>
-      s"""{"remove":{"path":"${jsonEscape(rel)}","dataChange":true}}""")
+    // removes carry their partition tuples (extended metadata): a
+    // change-feed derivation over this epoch re-attaches them without
+    // guessing from paths
+    val removes = prior.map(a => removeAction(a))
     publish(logDir, version, header ++ metaUpdate ++ removes ++
       files.map(addWithStats(_, physSchema)) :+
       """{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite"}}}""")
@@ -2455,6 +2443,18 @@ object DeltaWrite {
     val manifestPath = manifestDir.getAbsolutePath
     val rootPath = root.getAbsolutePath
     val declaredParts = partitionCols.toSet
+    // staging cleanup runs on EVERY exit — the refusal paths, the
+    // publish, and a failed manifest job (which would otherwise leak an
+    // empty _delta_log that the db-dir walk misreads as a Delta table)
+    def cleanupManifest(): Unit = {
+      Option(manifestDir.listFiles()).getOrElse(Array.empty)
+        .foreach(f => Files.deleteIfExists(f.toPath))
+      Files.deleteIfExists(manifestDir.toPath)
+      if (!logDirExisted &&
+          Option(logDir.listFiles()).forall(_.isEmpty))
+        Files.deleteIfExists(logDir.toPath)
+      ()
+    }
     spark.sparkContext.setJobDescription("graft convert manifest")
     // per slice: (adds rendered, staging file, first misplaced samples)
     val perSlice: Array[(Long, String, Seq[String])] =
@@ -2492,16 +2492,9 @@ object DeltaWrite {
           else Iterator((n, outF.getPath, misplaced.toSeq))
         }
         .collect()
-      finally spark.sparkContext.setJobDescription(null)
-    def cleanupManifest(): Unit = {
-      Option(manifestDir.listFiles()).getOrElse(Array.empty)
-        .foreach(f => Files.deleteIfExists(f.toPath))
-      Files.deleteIfExists(manifestDir.toPath)
-      if (!logDirExisted &&
-          Option(logDir.listFiles()).forall(_.isEmpty))
-        Files.deleteIfExists(logDir.toPath)
-      ()
-    }
+      catch {
+        case t: Throwable => cleanupManifest(); throw t
+      } finally spark.sparkContext.setJobDescription(null)
     val misplaced = perSlice.flatMap(_._3)
     if (misplaced.nonEmpty) cleanupManifest()
     require(misplaced.isEmpty,
@@ -2883,8 +2876,7 @@ object DeltaWrite {
     val v = nextVersion(logDir)
     publish(logDir, v,
       metaAction ++
-      removes.map(a =>
-        s"""{"remove":{"path":"${jsonEscape(a.recordedPath)}","dataChange":true}}""") ++
+      removes.map(a => removeAction(a)) ++
       readds.map { a =>
         val f = new File(a.path)
         // carry the target snapshot's recorded stats verbatim — a

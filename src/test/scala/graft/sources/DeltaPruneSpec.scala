@@ -93,6 +93,100 @@ class DeltaPruneSpec extends SparkSpec {
     assert(kept.head.partitionValues.values.toSeq === Seq("y"))
   }
 
+  test("CONVERT-adopted colliding basenames: CoW verbs resolve by full path") {
+    val s = spark
+    import s.implicits._
+    // one task writing every partition dir gives IDENTICAL basenames
+    // (part-00000-<jobUUID>) across dirs — the adopted-table shape a
+    // basename-keyed touched-file map silently corrupts
+    val tbl = s"$tmp/collide"
+    Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "a", 30L), (4L, "b", 40L))
+      .toDF("id", "cat", "v").repartition(1)
+      .write.partitionBy("cat").parquet(tbl)
+    def basenames(f: java.io.File): Seq[String] =
+      Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
+        case d if d.isDirectory => basenames(d)
+        case p if p.getName.endsWith(".parquet") => Seq(p.getName)
+        case _ => Seq.empty
+      }
+    val names = basenames(new java.io.File(tbl))
+    assert(names.distinct.size < names.size,
+      s"fixture did not collide: $names")
+    DeltaWrite.convertParquet(spark, tbl, Seq("cat"))
+    // delete a row in cat=b: under basename keying the touched lookup
+    // could resolve cat=a's file — wrong file removed, dead row alive
+    val ds = DeltaWrite.deleteWhere(spark, tbl, col("id") === 2L)
+    assert(ds.rowsDeleted === 1L)
+    assert(DeltaLog.read(spark, tbl).select("id", "cat", "v").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet ===
+      Set((1L, "a", 10L), (3L, "a", 30L), (4L, "b", 40L)))
+    val ms = DeltaWrite.merge(tbl,
+      Seq((3L, "a", 31L), (9L, "b", 90L)).toDF("id", "cat", "v"),
+      Seq("id"))
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 1L)
+    assert(DeltaLog.read(spark, tbl).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 10L, 3L -> 31L, 4L -> 40L, 9L -> 90L))
+  }
+
+  test("schema evolution on a partitioned table: declared decode, no footer race") {
+    val s = spark
+    import s.implicits._
+    // two partitions; the evolving merge touches only 'a', so 'b' stays
+    // physically OLD — a footer-inference read would let whichever file
+    // won decide if the evolved column exists at all
+    val tbl = s"$tmp/evolve_part"
+    DeltaWrite.appendPartitioned(
+      Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "cat", "v"),
+      tbl, Seq("cat"))
+    val st = DeltaWrite.merge(tbl,
+      Seq((1L, "a", 11L, "x")).toDF("id", "cat", "v", "note"),
+      Seq("id"), mergeSchema = true)
+    assert(st.rowsUpdated === 1L)
+    val got = DeltaLog.read(spark, tbl)
+      .select("id", "cat", "v", "note").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.getString(3)))).toSet
+    assert(got === Set((1L, "a", 11L, Some("x")),
+      (2L, "b", 20L, None)),
+      "evolved column did not NULL-fill the untouched partition")
+    // pre-evolution travel reads the old schema
+    assert(!DeltaLog.read(spark, tbl, Some(0L)).columns.contains("note"))
+    // the match scans decode through the evolved schema too: a second
+    // merge keyed into the untouched partition must see `note` as null
+    val st2 = DeltaWrite.merge(tbl,
+      Seq((2L, "b", 21L, "y")).toDF("id", "cat", "v", "note"), Seq("id"))
+    assert(st2.rowsUpdated === 1L)
+    assert(DeltaLog.read(spark, tbl).select("id", "note").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap ===
+      Map(1L -> Some("x"), 2L -> Some("y")))
+  }
+
+  test("merge partition-key pruning compares typed, not string renderings") {
+    val s = spark
+    import s.implicits._
+    // a foreign hive layout records bucket=05; the reader casts it to
+    // int 5 — pruning the match scan by the batch's STRING rendering
+    // ("5" vs "05") would drop the file and turn an update into a
+    // duplicate-key insert
+    val tbl = s"$tmp/foreign_pv"
+    Seq((1L, 10L)).toDF("id", "v")
+      .write.parquet(s"$tbl/bucket=05")
+    Seq((2L, 20L)).toDF("id", "v")
+      .write.parquet(s"$tbl/bucket=10")
+    DeltaWrite.convertParquet(spark, tbl, Seq("bucket"))
+    val adds = DeltaLog.liveAdds(spark, tbl)
+    assert(adds.flatMap(_.partitionValues.values).toSet === Set("05", "10"))
+    val ms = DeltaWrite.merge(tbl,
+      Seq((5, 1L, 11L)).toDF("bucket", "id", "v"),
+      Seq("bucket", "id"))
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 0L,
+      s"typed pruning lost the 05 partition: $ms")
+    assert(DeltaLog.read(spark, tbl).select("id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      Map(1L -> 11L, 2L -> 20L))
+  }
+
   test("typed partition values prune with their declared comparison semantics") {
     val s = spark
     import s.implicits._

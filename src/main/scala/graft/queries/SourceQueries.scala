@@ -627,6 +627,44 @@ object SourceQueries {
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 
+    // x27b: EXACTLY-ONCE SINK INTO A PARTITIONED TABLE — the streaming
+    // norm (a date-partitioned events table fed by micro-batches): each
+    // epoch's rows land in hive tuples via the shared partitioned
+    // staging, the txn action still keys idempotence, and a crashed
+    // worker's RETRY of a committed epoch is a no-op whose staged files
+    // never become visible. The oracle recomputes the two landed
+    // epochs; a double-committed retry or a tuple-misfiled row breaks
+    // the hash.
+    QueryDef("x27b_delta_txn_partitioned", (s, d) => {
+      val tbl = s"$stage/delta_txn_part"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val evens = o.filter(col("o_orderkey") % 2 === 0)
+      val odds = o.filter(col("o_orderkey") % 2 === 1)
+      val v1 = graft.sources.DeltaWrite.appendIdempotent(
+        evens, tbl, "sinkP", 1L, partitionCols = Seq("o_orderstatus"))
+      require(v1.isDefined, "first epoch-1 commit must land")
+      val retry = graft.sources.DeltaWrite.appendIdempotent(
+        odds, tbl, "sinkP", 1L, partitionCols = Seq("o_orderstatus"))
+      require(retry.isEmpty, "retried epoch was double-committed")
+      val v2 = graft.sources.DeltaWrite.appendIdempotent(
+        odds, tbl, "sinkP", 2L, partitionCols = Seq("o_orderstatus"))
+      require(v2.isDefined, "epoch-2 commit must land")
+      // tuples prune from the log alone, exactly like appendPartitioned
+      require(graft.sources.DeltaLog.livePartitionAdds(s, tbl,
+          Map("o_orderstatus" -> "F"))._1.nonEmpty,
+        "partitioned sink recorded no pv tuples")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM orders ORDER BY o_orderkey""")),
+
     // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
     // pass behind a streaming sink: eight per-epoch small commits leave
     // eight small files; one dataChange:false commit rewrites them into

@@ -1911,7 +1911,7 @@ object DeltaWrite {
     * (appId, epoch) was already committed.
     */
   def appendIdempotent(df: DataFrame, tablePath: String, appId: String,
-      epoch: Long): Option[Long] = {
+      epoch: Long, partitionCols: Seq[String] = Seq.empty): Option[Long] = {
     val root = new File(tablePath)
     val logDir = new File(root, "_delta_log")
     logDir.mkdirs()
@@ -1920,12 +1920,27 @@ object DeltaWrite {
     val validatedAt = nextVersion(logDir) - 1
     requireSatisfiesConstraints(df.sparkSession, tablePath, df,
       "idempotent append")
-    requirePartitioningMatches(df.sparkSession, tablePath, Seq.empty)
+    requirePartitioningMatches(df.sparkSession, tablePath, partitionCols)
     val revalidate = revalidateOnMetadataChange(logDir, tablePath, df,
       "idempotent append", validatedAt)
     val (stage, physSchema) = physicalizeForStage(df.sparkSession, tablePath, df)
-    val files = stageDataFiles(stage, root)
-    val adds = files.map(addWithStats(_, physSchema))
+    // PARTITIONED sinks are the streaming norm (a date-partitioned
+    // events table fed by micro-batches): same hive staging as
+    // appendPartitioned, same txn-keyed exactly-once discipline
+    val (files, adds) =
+      if (partitionCols.isEmpty) {
+        val fs = stageDataFiles(stage, root)
+        (fs, fs.map(addWithStats(_, physSchema)))
+      } else {
+        val physParts = physPartitionCols(df.sparkSession, tablePath,
+          partitionCols)
+        val moved = stagePartitionedFiles(stage, root, physParts)
+        val dataSchema = org.apache.spark.sql.types.StructType(
+          physSchema.fields.filterNot(f => physParts.contains(f.name)))
+        (moved.map(_._1), moved.map { case (f, pv) =>
+          partitionedAddAction(root, f, pv, dataSchema, dataChange = true)
+        })
+      }
     // retry the version claim like a blind append, but RE-CHECK the txn
     // table each attempt: the commit we lost the race to may be another
     // worker retrying THIS (appId, epoch) — appending anyway would double
@@ -1951,7 +1966,8 @@ object DeltaWrite {
       // before re-claiming (same conflict class real Delta fails
       // appends on)
       revalidate(version)
-      val header = if (version == 0L) headerActions(df) else Seq.empty
+      val header =
+        if (version == 0L) headerActions(df, partitionCols) else Seq.empty
       try {
         publish(logDir, version,
           header ++

@@ -665,6 +665,60 @@ object SourceQueries {
         CAST(o_totalprice AS DOUBLE) AS o_totalprice
       FROM orders ORDER BY o_orderkey""")),
 
+    // x53: REPLACE WHERE — the atomic backfill verb (real Delta's
+    // selective overwrite): ONE commit deletes every row of the 'F'
+    // partition and lands its recomputed replacement (a SHRUNK slice —
+    // %3==0 keys only, prices +500), with no window where readers see
+    // neither. The match scan prunes to the 'F' files from log metadata
+    // (untouched partitions keep physical identity — pinned via the 'O'
+    // partition's file set), and a batch row OUTSIDE the predicate
+    // refuses loudly (it would smuggle rows into untouched ranges).
+    // The oracle recomputes the post-backfill table relationally.
+    QueryDef("x53_replace_where", (s, d) => {
+      val tbl = s"$stage/delta_replaced"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.appendPartitioned(o, tbl,
+        Seq("o_orderstatus"))
+      val oBefore = graft.sources.DeltaLog.livePartitionAdds(s, tbl,
+        Map("o_orderstatus" -> "O"))._1.map(_.path).toSet
+      // a stray row outside the range refuses
+      val refused =
+        try {
+          graft.sources.DeltaWrite.replaceWhere(s, tbl,
+            col("o_orderstatus") === "F",
+            o.filter(col("o_orderstatus") === "O").limit(1))
+          false
+        } catch { case _: IllegalArgumentException => true }
+      require(refused, "replaceWhere accepted a row outside the range")
+      val batch = o.filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      val st = graft.sources.DeltaWrite.replaceWhere(s, tbl,
+        col("o_orderstatus") === "F", batch)
+      require(st.rowsDeleted > st.rowsInserted && st.rowsInserted > 0,
+        s"backfill did not shrink the partition: $st")
+      val oAfter = graft.sources.DeltaLog.livePartitionAdds(s, tbl,
+        Map("o_orderstatus" -> "O"))._1.map(_.path).toSet
+      require(oBefore.subsetOf(oAfter),
+        "replaceWhere touched a partition outside the predicate")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 500.0 AS DOUBLE)
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+      ) ORDER BY o_orderkey""")),
+
     // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
     // pass behind a streaming sink: eight per-epoch small commits leave
     // eight small files; one dataChange:false commit rewrites them into

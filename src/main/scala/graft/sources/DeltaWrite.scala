@@ -913,6 +913,127 @@ object DeltaWrite {
     DeleteStats(version, touchedAdds.size, files.size, rowsDeleted)
   }
 
+  /** Outcome of a [[replaceWhere]] commit. */
+  final case class ReplaceStats(version: Long, filesRewritten: Int,
+      filesAdded: Int, rowsDeleted: Long, rowsInserted: Long)
+
+  /** REPLACE WHERE — real Delta's selective overwrite
+    * (`.option("replaceWhere", …)`): in ONE atomic commit, delete every
+    * row matching `predicate` and insert `df` — the backfill verb a
+    * partitioned 100 TB corpus lives on (recompute one date/source
+    * partition and swap it without touching the rest, and without the
+    * delete-then-append window where readers see neither). Semantics
+    * match real Delta's:
+    *
+    *  - every batch row must itself satisfy the predicate (otherwise
+    *    the "replace" would smuggle rows into untouched ranges) —
+    *    refused loudly up front;
+    *  - the match scan prunes by the predicate's partition conjuncts
+    *    from log metadata ([[prunePartitionConjuncts]]) — a
+    *    one-partition backfill opens one partition's files;
+    *  - copy-on-write at file granularity: touched files' SURVIVING
+    *    rows (predicate false-or-null — SQL DELETE semantics) restage
+    *    with the batch; untouched files keep their physical identity;
+    *  - live deletion vectors, column mapping, and partitioned layouts
+    *    all compose exactly like [[deleteWhere]]/[[merge]] (the reads
+    *    go through the snapshot; rewritten adds drop descriptors);
+    *  - the change data feed sees the exact delete rows plus the batch
+    *    as inserts — O(changed rows), never derived from add/removes.
+    */
+  def replaceWhere(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, predicate: org.apache.spark.sql.Column,
+      df: DataFrame): ReplaceStats = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    import org.apache.spark.sql.types.StructType
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    val mapMode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
+    val partCols = DeltaLog.recordedPartitionColumns(spark, tablePath)
+    requireSatisfiesConstraints(spark, tablePath, df, "replaceWhere")
+    // the batch must live INSIDE the replaced range — a row outside it
+    // would land in a region the commit claims not to touch
+    val strays = df.filter(!coalesce(predicate, lit(false)))
+      .agg(count(lit(1))).head.getLong(0)
+    require(strays == 0L,
+      s"replaceWhere: $strays batch row(s) do not satisfy the " +
+        "predicate — the batch may only replace rows inside the range")
+    // align the batch to the table's logical schema and exact types
+    val target0 = DeltaLog.readLivePaths(spark, tablePath,
+      adds.map(_.path))
+    val cols = target0.columns.toSeq
+    require(cols.forall(df.columns.contains) &&
+        df.columns.forall(cols.contains),
+      s"replaceWhere batch columns ${df.columns.mkString(",")} must " +
+        s"match table columns ${cols.mkString(",")}")
+    val batch = df.select(cols.map(c =>
+      col(s"`$c`").cast(target0.schema(c).dataType).as(c)): _*)
+    // match scan: partition conjuncts prune from the log, the full
+    // predicate decides row membership through the snapshot (DVs
+    // applied, typed pv injected)
+    val candidateAdds = prunePartitionConjuncts(spark, tablePath, adds,
+      predicate)
+    val byPath = DeltaLog.byQualifiedPath(spark, adds)
+    val touchedAdds: Seq[DeltaLog.LiveFile] =
+      if (candidateAdds.isEmpty) Seq.empty
+      else DeltaLog.readWithRowIdentity(spark, tablePath,
+          Some(candidateAdds.map(_.path).toSet))
+        .filter(predicate)
+        .select(col("__graft_dv_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
+        .map(uri => byPath.getOrElse(DeltaLog.canonicalScanPath(uri),
+          throw new IllegalStateException(
+            s"matched file not in live set: $uri")))
+    val touchedRows =
+      if (touchedAdds.isEmpty) None
+      else Some(DeltaLog.readLivePaths(spark, tablePath,
+        touchedAdds.map(_.path)))
+    val rowsDeleted = touchedRows.fold(0L)(_.filter(predicate).count())
+    val rowsInserted = batch.count()
+    if (touchedAdds.isEmpty && rowsInserted == 0L)
+      return ReplaceStats(nextVersion(logDir) - 1, 0, 0, 0L, 0L)
+    val survivors = touchedRows.map(_.filter(
+      !coalesce(predicate, lit(false))))
+    val out = survivors.fold(batch)(_.unionByName(batch))
+    val cdcActions =
+      if (!cdfEnabled(spark, tablePath)) Seq.empty
+      else {
+        val dels = touchedRows.fold(batch.limit(0))(_.filter(predicate))
+          .withColumn("_change_type", lit("delete"))
+        val ins = batch.withColumn("_change_type", lit("insert"))
+        val change = dels.unionByName(ins)
+        val staged =
+          if (mapMode == "none") change
+          else physicalizeForStage(spark, tablePath, change,
+            passthrough = Seq("_change_type"))._1
+        stageCdc(staged, root)
+      }
+    val (outStaged, outStatsSchema) =
+      if (mapMode == "none") (out, out.schema)
+      else physicalizeForStage(spark, tablePath, out)
+    val (files, addActions) =
+      if (out.isEmpty) (Seq.empty[File], Seq.empty[String])
+      else if (partCols.isEmpty) {
+        val fs = stageDataFiles(outStaged, root)
+        (fs, fs.map(addWithStats(_, outStatsSchema)))
+      } else {
+        val physParts = physPartitionCols(spark, tablePath, partCols)
+        val moved = stagePartitionedFiles(outStaged, root, physParts)
+        val dataSchema = StructType(
+          outStatsSchema.fields.filterNot(f => physParts.contains(f.name)))
+        (moved.map(_._1), moved.map { case (f, pv) =>
+          partitionedAddAction(root, f, pv, dataSchema, dataChange = true)
+        })
+      }
+    val version = nextVersion(logDir)
+    publish(logDir, version,
+      touchedAdds.map(removeAction(_)) ++ addActions ++ cdcActions :+
+        s"""{"commitInfo":{"operation":"WRITE","operationParameters":{"mode":"Overwrite","predicate":"replaceWhere"}}}""")
+    ReplaceStats(version, touchedAdds.size, files.size, rowsDeleted,
+      rowsInserted)
+  }
+
   // ---- CHANGE DATA FEED ----------------------------------------------
   // The Delta protocol's CDC mechanism: with the
   // `delta.enableChangeDataFeed` table property set, commits that change

@@ -1962,6 +1962,41 @@ class SourcesSpec extends SparkSpec {
     ()
   }
 
+  test("replaceWhere: atomic range swap, DV composition, no-op and pure-delete edges") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/replace_dv"
+    DeltaWrite.append((1L to 8L).map(i => (i, "a")).toDF("id", "v")
+      .repartition(1), tbl)
+    DeltaWrite.append((11L to 18L).map(i => (i, "b")).toDF("id", "v")
+      .repartition(1), tbl)
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 11L)
+    // swap the >10 range for a recomputed slice: the MoR-dead 11 is NOT
+    // among the deleted rows (the match scan reads through the bitmap),
+    // the rewritten file drops its descriptor, file 1 keeps identity
+    val before = DeltaLog.liveFiles(spark, tbl).toSet
+    val st = DeltaWrite.replaceWhere(spark, tbl, col("id") > 10L,
+      Seq((15L, "B")).toDF("id", "v"))
+    assert(st.rowsDeleted === 7L && st.rowsInserted === 1L)
+    assert(DeltaLog.liveAdds(spark, tbl).forall(_.dv.isEmpty))
+    assert(DeltaLog.liveFiles(spark, tbl).toSet.intersect(before).nonEmpty,
+      "replaceWhere rewrote the untouched file")
+    assert(DeltaLog.read(spark, tbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === ((1L to 8L) :+ 15L))
+    // nothing matched + empty batch: a no-op, not an empty commit
+    val head = DeltaLog.latestVersion(tbl)
+    val noop = DeltaWrite.replaceWhere(spark, tbl, col("id") > 100L,
+      Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(noop.version === head && noop.filesRewritten === 0)
+    // empty batch over a matching range is a pure atomic delete
+    val st2 = DeltaWrite.replaceWhere(spark, tbl, col("id") === 15L,
+      Seq.empty[(Long, String)].toDF("id", "v"))
+    assert(st2.rowsDeleted === 1L && st2.rowsInserted === 0L)
+    assert(DeltaLog.read(spark, tbl).count() === 8L)
+    ()
+  }
+
   test("Delta CoW over live DVs: merge/deleteWhere/optimize compose, rewrites retire descriptors") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

@@ -183,6 +183,10 @@ class ExecutionContext(val spark: SparkSession,
           val st = graft.sources.DeltaWrite.deleteWhere(spark, loc, pred)
           oneRowResult("rows_deleted", st.rowsDeleted)
         }
+      case DdlTranslate.ReplaceWhereStmt(loc, cond, sel) =>
+        val st = graft.sources.DeltaWrite.replaceWhere(spark, loc,
+          org.apache.spark.sql.functions.expr(cond), spark.sql(sel))
+        oneRowResult("rows_replaced", st.rowsInserted)
       case DdlTranslate.ConvertDeltaStmt(loc, cols) =>
         oneRowResult("version",
           graft.sources.DeltaWrite.convertParquet(spark, loc, cols))
@@ -381,6 +385,21 @@ object DdlTranslate {
     def unapply(statement: String): Option[(String, String)] =
       statement.trim match {
         case P(loc, cond) => Some((loc, cond.trim))
+        case _ => None
+      }
+  }
+
+  /** `REPLACE INTO 'path' WHERE <pred> SELECT ...` — atomic selective
+    * overwrite ([[graft.sources.DeltaWrite.replaceWhere]]): the SELECT
+    * recomputes the range the predicate names, and the commit swaps it
+    * in with no delete-then-insert window.
+    */
+  object ReplaceWhereStmt {
+    private val P =
+      """(?is)REPLACE\s+INTO\s+'([^']+)'\s+WHERE\s+(.+?)\s+(SELECT\s.+)""".r
+    def unapply(statement: String): Option[(String, String, String)] =
+      statement.trim match {
+        case P(loc, cond, sel) => Some((loc, cond.trim, sel.trim))
         case _ => None
       }
   }

@@ -343,13 +343,22 @@ class AppSurfaceSpec extends SparkSpec {
       .last.collect().head.getLong(0) === 3L)
     assert(DeltaLog.read(spark, dtbl).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 3L, 5L))
+    // REPLACE INTO: atomic selective overwrite through the same verb
+    // surface — the odd range swaps for a recomputed (smaller) slice
+    assert(ctx.runScript(
+        s"REPLACE INTO '$dtbl' WHERE id % 2 = 1 SELECT 9 AS id, 'v9' AS v")
+      .last.collect().head.getLong(0) === 1L)
+    assert(DeltaLog.read(spark, dtbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(9L))
+    DeltaWrite.append((1L to 6L).filter(_ % 2 == 1)
+      .map(i => (i, s"v$i")).toDF("id", "v").repartition(1), dtbl)
     DeltaWrite.deleteWhereDv(spark, dtbl, col("id") === 3L)
     assert(DeltaLog.liveAdds(spark, dtbl).exists(_.dv.isDefined))
     assert(ctx.runScript(s"REORG TABLE '$dtbl' APPLY (PURGE)")
       .last.collect().head.getLong(0) === 1L)
     assert(DeltaLog.liveAdds(spark, dtbl).forall(_.dv.isEmpty))
     assert(DeltaLog.read(spark, dtbl).select("id").collect()
-      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L))
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L, 9L))
     // Iceberg: same statements, format-sniffed dispatch
     val itbl = s"$base/ice"
     IcebergLog.append((1L to 6L).map(i => (i, s"v$i")).toDF("id", "v"), itbl)

@@ -184,9 +184,17 @@ class ExecutionContext(val spark: SparkSession,
           oneRowResult("rows_deleted", st.rowsDeleted)
         }
       case DdlTranslate.ReplaceWhereStmt(loc, cond, sel) =>
-        val st = graft.sources.DeltaWrite.replaceWhere(spark, loc,
-          org.apache.spark.sql.functions.expr(cond), spark.sql(sel))
-        oneRowResult("rows_replaced", st.rowsInserted)
+        val pred = org.apache.spark.sql.functions.expr(cond)
+        val batch = spark.sql(sel)
+        if (isIcebergTable(loc)) {
+          val st = graft.sources.IcebergLog.replaceWhere(spark, loc,
+            pred, batch)
+          oneRowResult("rows_replaced", st.rowsInserted)
+        } else {
+          val st = graft.sources.DeltaWrite.replaceWhere(spark, loc,
+            pred, batch)
+          oneRowResult("rows_replaced", st.rowsInserted)
+        }
       case DdlTranslate.ConvertDeltaStmt(loc, cols) =>
         oneRowResult("version",
           graft.sources.DeltaWrite.convertParquet(spark, loc, cols))

@@ -719,6 +719,49 @@ object SourceQueries {
         FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
       ) ORDER BY o_orderkey""")),
 
+    // x53b: REPLACE WHERE, second format — the same atomic backfill on
+    // an ICEBERG table: one `overwrite` snapshot deletes the range and
+    // lands its recomputed (shrunk) replacement; untouched data files
+    // keep physical identity (pinned in-query), the incremental scan
+    // refuses to cross the overwrite (real Iceberg's rule), and prior
+    // snapshots still time-travel. Same oracle shape as x53.
+    QueryDef("x53b_replace_where_iceberg", (s, d) => {
+      val tbl = s"$stage/ice_replaced"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderstatus") =!= "F"), tbl)
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderstatus") === "F"), tbl)
+      val before = graft.sources.IcebergLog.liveEntries(tbl)
+        .map(_.path).toSet
+      val batch = o.filter(col("o_orderstatus") === "F" &&
+          col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      val st = graft.sources.IcebergLog.replaceWhere(s, tbl,
+        col("o_orderstatus") === "F", batch)
+      require(st.rowsDeleted > st.rowsInserted && st.rowsInserted > 0,
+        s"backfill did not shrink the range: $st")
+      require(graft.sources.IcebergLog.liveEntries(tbl).map(_.path).toSet
+          .intersect(before).nonEmpty,
+        "iceberg replaceWhere rewrote the untouched file")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT * FROM (
+        SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+          CAST(o_totalprice AS DOUBLE) AS o_totalprice
+        FROM orders WHERE o_orderstatus <> 'F'
+        UNION ALL
+        SELECT CAST(o_orderkey AS BIGINT), o_orderstatus,
+          CAST(o_totalprice + 500.0 AS DOUBLE)
+        FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
+      ) ORDER BY o_orderkey""")),
+
     // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
     // pass behind a streaming sink: eight per-epoch small commits leave
     // eight small files; one dataChange:false commit rewrites them into

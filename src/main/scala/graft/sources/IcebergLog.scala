@@ -1977,6 +1977,75 @@ object IcebergLog {
     DeleteStats(sid, touchedNames.size, newFiles.size, rowsDeleted)
   }
 
+  /** Outcome of a [[replaceWhere]] snapshot. */
+  final case class ReplaceStats(snapshotId: Long, filesRewritten: Int,
+      filesAdded: Int, rowsDeleted: Long, rowsInserted: Long)
+
+  /** REPLACE WHERE — [[graft.sources.DeltaWrite.replaceWhere]]'s
+    * second-format twin: ONE snapshot deletes every row matching
+    * `predicate` and lands `df` as its replacement — the atomic backfill
+    * verb, copy-on-write at file granularity (untouched files keep their
+    * physical identity; touched files' surviving rows restage with the
+    * batch). Batch rows outside the range refuse loudly; live v2 delete
+    * files refuse like every delete-blind path (compact first); the
+    * snapshot commits as an `overwrite`, so the incremental scan
+    * correctly refuses to cross it.
+    */
+  def replaceWhere(spark: SparkSession, tablePath: String,
+      predicate: org.apache.spark.sql.Column, df: DataFrame,
+      statsFields: Seq[(Int, String)] = Seq.empty): ReplaceStats = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, lit}
+    val root = new File(tablePath)
+    val base = currentVersionOf(tablePath)
+    val entries = liveEntries(tablePath)
+    require(entries.nonEmpty, s"not a live Iceberg table: $tablePath")
+    val strays = df.filter(!coalesce(predicate, lit(false)))
+      .agg(count(lit(1))).head.getLong(0)
+    require(strays == 0L,
+      s"replaceWhere: $strays batch row(s) do not satisfy the " +
+        "predicate — the batch may only replace rows inside the range")
+    val target = spark.read.parquet(entries.map(_.path): _*)
+    val cols = target.columns.toSeq
+    require(cols.forall(df.columns.contains) &&
+        df.columns.forall(cols.contains),
+      s"replaceWhere batch columns ${df.columns.mkString(",")} must " +
+        s"match table columns ${cols.mkString(",")}")
+    val batch = df.select(cols.map(c =>
+      col(s"`$c`").cast(target.schema(c).dataType).as(c)): _*)
+    val touched = target
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .filter(predicate)
+      .select(col("__graft_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val touchedNames = touched.map(u => u.substring(u.lastIndexOf('/') + 1)).toSet
+    val names = entries.map(e => new File(e.path).getName).toSet
+    touchedNames.foreach(n =>
+      require(names.contains(n), s"touched file not in live set: $n"))
+    val rowsInserted = batch.count()
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    if (touchedNames.isEmpty && rowsInserted == 0L)
+      return ReplaceStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
+    val touchedRows =
+      if (touchedNames.isEmpty) None
+      else Some(spark.read.parquet(entries.map(_.path)
+        .filter(p => touchedNames(new File(p).getName)): _*))
+    val rowsDeleted = touchedRows.fold(0L)(_.filter(predicate).count())
+    val survivors = touchedRows.map(_.filter(
+      !coalesce(predicate, lit(false))))
+    val out = survivors.fold(batch)(_.unionByName(batch))
+    val newFiles =
+      if (out.isEmpty) Seq.empty[File] else stageData(out, root)
+    val nextEntries = entries.map { e =>
+      val st = if (touchedNames(new File(e.path).getName)) 2 else 0
+      FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
+        upperBounds = e.upperBounds, seq = e.seq)
+    } ++ newFiles.map(f => addedEntry(f, statsFields))
+    val sid = commitSnapshot(tablePath, nextEntries,
+      operation = "overwrite", expectedBaseVersion = Some(base))
+    ReplaceStats(sid, touchedNames.size, newFiles.size, rowsDeleted,
+      rowsInserted)
+  }
+
   /** Outcome of a [[rewriteDataFiles]] compaction. */
   final case class RewriteStats(snapshotId: Long, filesRewritten: Int,
       deleteFilesRemoved: Int, filesAdded: Int)

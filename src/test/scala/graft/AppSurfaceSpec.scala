@@ -371,6 +371,12 @@ class AppSurfaceSpec extends SparkSpec {
     assert(IcebergLog.liveSplitEntries(itbl)._2.isEmpty)
     assert(IcebergLog.read(spark, itbl).select("id").collect()
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 5L))
+    // REPLACE INTO dispatches to the Iceberg verb by format sniff
+    assert(ctx.runScript(
+        s"REPLACE INTO '$itbl' WHERE id > 2 SELECT 7 AS id, 'v7' AS v")
+      .last.collect().head.getLong(0) === 1L)
+    assert(IcebergLog.read(spark, itbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 7L))
   }
 
   test("lakehouse TVFs: table_changes / iceberg_snapshots / iceberg_refs in SQL") {

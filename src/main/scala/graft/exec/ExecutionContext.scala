@@ -403,13 +403,51 @@ object DdlTranslate {
     * in with no delete-then-insert window.
     */
   object ReplaceWhereStmt {
-    private val P =
-      """(?is)REPLACE\s+INTO\s+'([^']+)'\s+WHERE\s+(.+?)\s+(SELECT\s.+)""".r
+    private val Head =
+      """(?is)REPLACE\s+INTO\s+'([^']+)'\s+WHERE\s+(.+)""".r
     def unapply(statement: String): Option[(String, String, String)] =
       statement.trim match {
-        case P(loc, cond, sel) => Some((loc, cond.trim, sel.trim))
+        case Head(loc, rest) =>
+          splitAtBatchSelect(rest).map { case (cond, sel) =>
+            (loc, cond.trim, sel.trim)
+          }
         case _ => None
       }
+    /** Split `<predicate> SELECT ...` at the batch query's SELECT — the
+      * first SELECT keyword at paren depth 0 outside string literals. A
+      * predicate's own subqueries (`k IN (SELECT ...)`) are necessarily
+      * parenthesized, so a naive non-greedy split at the FIRST textual
+      * SELECT would truncate such a predicate and hand its subquery to
+      * the analyzer as the batch; depth-0 scanning keeps both sides
+      * whole. No depth-0 SELECT (or an empty predicate) means the
+      * statement is not a REPLACE WHERE.
+      */
+    private def splitAtBatchSelect(s: String): Option[(String, String)] = {
+      var depth = 0
+      var inStr = false
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) { if (c == '\'') inStr = false }
+        else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case 's' | 'S' if depth == 0 && i > 0 &&
+              s.regionMatches(true, i, "SELECT", 0, 6) &&
+              !isWordChar(s.charAt(i - 1)) &&
+              (i + 6 >= s.length || !isWordChar(s.charAt(i + 6))) =>
+            val cond = s.substring(0, i).trim
+            if (cond.isEmpty) return None
+            return Some((cond, s.substring(i)))
+          case _ =>
+        }
+        i += 1
+      }
+      None
+    }
+    private def isWordChar(c: Char): Boolean =
+      Character.isLetterOrDigit(c) || c == '_'
   }
 
   /** `CONVERT TO DELTA 'path' [PARTITIONED BY (c1, c2)]` — in-place,

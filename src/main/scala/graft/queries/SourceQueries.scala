@@ -300,6 +300,63 @@ object SourceQueries {
               (SELECT o_orderkey FROM src))
       ORDER BY o_orderkey""")),
 
+    // x16d: MERGE WITH AN EXTRA MATCH CONDITION — real Delta's
+    // `ON keys AND pred` / whenMatched(condition) family, the canonical
+    // incremental shape at 100 TB ("merge today's batch into the last
+    // 7 days' partitions"). The condition (o_orderstatus = 'O') is a
+    // NON-KEY partition predicate: its conjuncts prune the candidate
+    // files from log metadata alone (pinned by bytes-read in
+    // ScaleSpec), a key-matched target row OUTSIDE the condition
+    // survives AS-IS next to its freshly-inserted batch twin (the
+    // duplicate the oracle recomputes relationally), and no file of an
+    // excluded partition is ever rewritten (pinned in-query).
+    QueryDef("x16d_delta_merge_conditional", (s, d) => {
+      val tbl = s"$stage/delta_merged_cond"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 0), tbl, Seq("o_orderstatus"))
+      graft.sources.DeltaWrite.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 2), tbl, Seq("o_orderstatus"))
+      val before = graft.sources.DeltaLog.liveAdds(s, tbl)
+      val src = o.filter(col("o_orderkey") % 8 === 0 ||
+          col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val ms = graft.sources.DeltaWrite.merge(tbl, src, Seq("o_orderkey"),
+        matchCondition = Some(col("o_orderstatus") === "O"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted > 0,
+        s"conditional merge degenerated: $ms")
+      // the condition restricts the match to the 'O' partition: every
+      // pre-merge file of every OTHER partition keeps its identity
+      // (inserts may ADD files there, but never rewrite one)
+      val afterPaths = graft.sources.DeltaLog.liveAdds(s, tbl)
+        .map(_.path).toSet
+      require(before
+          .filterNot(_.partitionValues.get("o_orderstatus").contains("O"))
+          .forall(a => afterPaths.contains(a.path)),
+        "conditional merge rewrote a file the condition excludes")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"), col("o_totalprice"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+      src AS (SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt
+            WHERE NOT (o_orderstatus = 'O' AND o_orderkey IN
+              (SELECT o_orderkey FROM src)))
+      ORDER BY o_orderkey, o_totalprice""")),
+
     // p04: PARQUET BLOOM FILTER point lookups — the layout lever for
     // high-cardinality keys where clustering can't help (uniform md5
     // strings: every row group's min/max spans the whole hex domain).

@@ -571,9 +571,24 @@ object DeltaWrite {
     * Refuses ambiguous sources (two source rows matching one target key),
     * the same error real Delta raises. Source must carry exactly the
     * target's columns (any order).
+    *
+    * `matchCondition` is real Delta's extra ON predicate
+    * (`ON keys AND pred`, the `whenMatched(condition)` family): a
+    * predicate over TARGET columns that NARROWS the match. A target row
+    * failing it is not matched — it survives as-is even when its key
+    * appears in the batch — and a source row whose key reaches only
+    * condition-false target rows is unmatched and inserts. Because the
+    * condition is part of the match itself, its partition conjuncts
+    * prune the candidate-file set from log metadata BEFORE any data
+    * file opens ([[prunePartitionConjuncts]]) — "merge today's batch
+    * into the last 7 days' partitions" opens only those partitions'
+    * files, the canonical incremental-upsert shape at 100 TB. NULL
+    * evaluates as no-match (SQL join semantics).
     */
   def merge(tablePath: String, source: DataFrame,
-      keys: Seq[String], mergeSchema: Boolean = false): MergeStats = {
+      keys: Seq[String], mergeSchema: Boolean = false,
+      matchCondition: Option[org.apache.spark.sql.Column] = None)
+      : MergeStats = {
     import org.apache.spark.sql.functions.{broadcast, col, count, lit}
     import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
     val spark = source.sparkSession
@@ -655,26 +670,46 @@ object DeltaWrite {
     if (srcCount == 0L) // empty batch: a no-op, not an empty commit
       return MergeStats(nextVersion(logDir) - 1, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
+    // the extra match condition with SQL join NULL semantics (a NULL
+    // evaluation is a non-match, never an update)
+    val condT = matchCondition.map(c =>
+      org.apache.spark.sql.functions.coalesce(c, lit(false)))
+    // the match condition's own partition conjuncts prune first — a
+    // file whose tuple fails them can contain no matched row at all
+    // (sound: prunePartitionConjuncts only drops files whose every row
+    // falsifies a partition-only conjunct of the predicate)
+    val condPruned = matchCondition.fold(adds)(c =>
+      prunePartitionConjuncts(spark, tablePath, adds, c))
     // PARTITION PRUNING of the match scan: when a join key IS a
     // partition column, only files whose tuple value appears among the
-    // batch's distinct values for it can contain a match (the batch is
-    // the broadcast side — collecting its distinct values is bounded by
-    // the batch). The comparison goes through the same TYPED evaluation
-    // as a DELETE's partition conjunct — the log's string rendering of
-    // a tuple ("05", "5.0") must never be string-compared against the
-    // batch's rendering. Null batch values drop (an equi-join key never
+    // batch's distinct values for it can contain a match. The
+    // comparison goes through the same TYPED evaluation as a DELETE's
+    // partition conjunct — the log's string rendering of a tuple
+    // ("05", "5.0") must never be string-compared against the batch's
+    // rendering. Null batch values drop (an equi-join key never
     // matches null), and a key with NO non-null batch values matches no
     // file at all. Inserts are unaffected (they stage from the batch,
-    // not the match scan).
+    // not the match scan). The distinct collect is CAPPED: pruning is
+    // strictly best-effort, and an unbounded batch on a
+    // high-cardinality partition key must not blow the driver (or the
+    // analyzer's literal-list limits) for a prune that could only be
+    // marginal — over the cap, that key prunes nothing. A truncated
+    // value list must never prune (it would drop files holding real
+    // matches), so the cap checks the PRE-null-filter row count.
+    val maxKeyPruneValues = 10000
     val candidateAdds = keys.filter(partCols.contains)
-      .foldLeft(adds) { (as, k) =>
+      .foldLeft(condPruned) { (as, k) =>
         if (as.isEmpty) as
         else {
-          val vals = src.select(col(s"`$k`")).distinct()
-            .collect().map(_.get(0)).filter(_ != null).toSeq
-          if (vals.isEmpty) Seq.empty
-          else prunePartitionConjuncts(spark, tablePath, as,
-            col(s"`$k`").isin(vals: _*))
+          val raw = src.select(col(s"`$k`")).distinct()
+            .limit(maxKeyPruneValues + 1).collect()
+          if (raw.length > maxKeyPruneValues) as
+          else {
+            val vals = raw.map(_.get(0)).filter(_ != null).toSeq
+            if (vals.isEmpty) Seq.empty
+            else prunePartitionConjuncts(spark, tablePath, as,
+              col(s"`$k`").isin(vals: _*))
+          }
         }
       }
     // touched files: bounded by live-file count (same driver-state class
@@ -692,7 +727,10 @@ object DeltaWrite {
             Some(candidateAdds.map(_.path).toSet))
           .withColumnRenamed("__graft_dv_file", "__graft_file")
           .drop("__graft_dv_pos")
-        identityScan
+        // only rows satisfying the extra match condition can make a
+        // file touched — a file whose key hits are all condition-false
+        // keeps its physical identity
+        condT.fold(identityScan)(identityScan.filter(_))
           .join(broadcast(srcKeys), keys, "leftsemi")
           .select(col("__graft_file")).distinct()
           .collect().map(_.getString(0)).toSeq
@@ -711,8 +749,16 @@ object DeltaWrite {
     val (survivors, rowsUpdated) = touchedRows match {
       case None => (None, 0L)
       case Some(tr) =>
-        (Some(tr.join(broadcast(srcKeys), keys, "leftanti")),
-          tr.join(broadcast(srcKeys), keys, "leftsemi").count())
+        val surv = condT match {
+          case None => tr.join(broadcast(srcKeys), keys, "leftanti")
+          // condition-false rows survive AS-IS even under a matching
+          // key; only condition-true matches are replaced by the batch
+          case Some(ct) => tr.filter(!ct).unionByName(
+            tr.filter(ct).join(broadcast(srcKeys), keys, "leftanti"))
+        }
+        val matched = condT.fold(tr)(tr.filter(_))
+        (Some(surv),
+          matched.join(broadcast(srcKeys), keys, "leftsemi").count())
     }
     val rowsInserted = srcCount - rowsUpdated
     val out = survivors.fold(src)(_.unionByName(src))
@@ -727,8 +773,9 @@ object DeltaWrite {
     val cdcActions =
       if (!cdfEnabled(spark, tablePath)) Seq.empty
       else {
-        val pre = touchedRows.fold(src.limit(0))(
-          _.join(broadcast(srcKeys), keys, "leftsemi"))
+        val pre = touchedRows.fold(src.limit(0))(tr =>
+          condT.fold(tr)(tr.filter(_))
+            .join(broadcast(srcKeys), keys, "leftsemi"))
         val matchedKeys = pre.select(keys.map(c => col(s"`$c`")): _*)
         val post = src.join(broadcast(matchedKeys), keys, "leftsemi")
         val ins = src.join(broadcast(matchedKeys), keys, "leftanti")
@@ -952,13 +999,6 @@ object DeltaWrite {
     val mapMode = DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath))
     val partCols = DeltaLog.recordedPartitionColumns(spark, tablePath)
     requireSatisfiesConstraints(spark, tablePath, df, "replaceWhere")
-    // the batch must live INSIDE the replaced range — a row outside it
-    // would land in a region the commit claims not to touch
-    val strays = df.filter(!coalesce(predicate, lit(false)))
-      .agg(count(lit(1))).head.getLong(0)
-    require(strays == 0L,
-      s"replaceWhere: $strays batch row(s) do not satisfy the " +
-        "predicate — the batch may only replace rows inside the range")
     // align the batch to the table's logical schema and exact types
     val target0 = DeltaLog.readLivePaths(spark, tablePath,
       adds.map(_.path))
@@ -969,6 +1009,18 @@ object DeltaWrite {
         s"match table columns ${cols.mkString(",")}")
     val batch = df.select(cols.map(c =>
       col(s"`$c`").cast(target0.schema(c).dataType).as(c)): _*)
+    // the batch must live INSIDE the replaced range — a row outside it
+    // would land in a region the commit claims not to touch. Evaluated
+    // on the CASTED batch so the check sees the predicate under the
+    // same column types the match scan and the written rows use (a
+    // string-typed partition key in the raw batch could pass under one
+    // implicit coercion yet land under different semantics after the
+    // cast).
+    val strays = batch.filter(!coalesce(predicate, lit(false)))
+      .agg(count(lit(1))).head.getLong(0)
+    require(strays == 0L,
+      s"replaceWhere: $strays batch row(s) do not satisfy the " +
+        "predicate — the batch may only replace rows inside the range")
     // match scan: partition conjuncts prune from the log, the full
     // predicate decides row membership through the snapshot (DVs
     // applied, typed pv injected)
@@ -2270,10 +2322,12 @@ object DeltaWrite {
     val groups = adds.groupBy(_.partitionValues).toSeq
     // canonical string key for a partition tuple — identical on both
     // sides (the batched quantile job and the per-group rewrite loop)
-    // because both render the SAME log partitionValues maps
+    // because both render the SAME log partitionValues maps; the NUL
+    // sentinel distinguishes SQL NULL from the literal string "null"
+    // (written as escapes so the source file stays pure text)
     def pvKey(pv: Map[String, String]): String = pv.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"$k=${Option(v).getOrElse(" ")}" }
-      .mkString("")
+      .map { case (k, v) => s"$k=${Option(v).getOrElse("\u0000")}" }
+      .mkString("\u0001")
     // Default ranks are RANGE ranks (per-dimension approximate quantiles,
     // what real OPTIMIZE ZORDER's range-partitioned clustering computes):
     // a heavy-tailed dimension still spreads its rows across the full

@@ -1915,6 +1915,37 @@ object IcebergLog {
     None // unreachable
   }
 
+  /** Live entries keyed by the QUALIFIED URI a scan's
+    * `_metadata.file_path` reports — the only safe join key between a
+    * match scan's touched-file column and the manifest. Basenames are
+    * NOT unique on addFiles-adopted hive layouts (Spark's partitionBy
+    * writes the same part-NNNNN-jobUUID name into every directory), so
+    * a basename map can spuriously mark an untouched file deleted and
+    * rewrite it — rows survive, but the untouched-file-identity
+    * invariant the CoW verbs pin is violated and bounds/stats regress.
+    * Mirrors [[DeltaLog.byQualifiedPath]].
+    */
+  private def entriesByQualifiedPath(spark: SparkSession,
+      entries: Seq[LiveEntry]): Map[String, LiveEntry] = {
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    entries.map { e =>
+      val p = new org.apache.hadoop.fs.Path(e.path)
+      p.getFileSystem(hadoopConf).makeQualified(p).toString -> e
+    }.toMap
+  }
+
+  /** Resolve a match scan's touched-file URIs back to live entry PATHS
+    * through [[entriesByQualifiedPath]]; a URI outside the live set is
+    * a planner bug and fails loudly.
+    */
+  private def resolveTouchedPaths(spark: SparkSession,
+      entries: Seq[LiveEntry], touched: Seq[String]): Set[String] = {
+    val byQual = entriesByQualifiedPath(spark, entries)
+    touched.map(u => byQual.getOrElse(DeltaLog.canonicalScanPath(u),
+      throw new IllegalStateException(
+        s"touched file not in live set: $u")).path).toSet
+  }
+
   /** Outcome of a [[deleteWhere]] snapshot. */
   final case class DeleteStats(snapshotId: Long, filesRewritten: Int,
       filesAdded: Int, rowsDeleted: Long)
@@ -1951,14 +1982,11 @@ object IcebergLog {
     val meta = parseMeta(currentMetadataFile(tablePath))
     if (touched.isEmpty)
       return DeleteStats(meta.currentSnapshotId, 0, 0, 0L)
-    // metadata paths are qualified URIs; entries are absolute plain paths
-    // with uuid names unique by construction — match by file name
-    val touchedNames = touched.map(u => u.substring(u.lastIndexOf('/') + 1)).toSet
-    val names = entries.map(e => new File(e.path).getName).toSet
-    touchedNames.foreach(n =>
-      require(names.contains(n), s"touched file not in live set: $n"))
+    // resolve scan URIs on the FULL qualified path — basenames collide
+    // across directories on addFiles-adopted hive layouts
+    val touchedPaths = resolveTouchedPaths(spark, entries, touched)
     val touchedRows = spark.read.parquet(
-      entries.map(_.path).filter(p => touchedNames(new File(p).getName)): _*)
+      entries.map(_.path).filter(touchedPaths): _*)
     val rowsDeleted = touchedRows.filter(predicate).count()
     // SQL DELETE semantics: NULL-predicate rows survive (same guard as
     // the Delta path)
@@ -1968,13 +1996,13 @@ object IcebergLog {
     val newFiles =
       if (survivors.isEmpty) Seq.empty[File] else stageData(survivors, root)
     val nextEntries = entries.map { e =>
-      val st = if (touchedNames(new File(e.path).getName)) 2 else 0
+      val st = if (touchedPaths(e.path)) 2 else 0
       FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
         upperBounds = e.upperBounds, seq = e.seq)
     } ++ newFiles.map(f => addedEntry(f, statsFields))
     val sid = commitSnapshot(tablePath, nextEntries, operation = "delete",
       expectedBaseVersion = Some(base))
-    DeleteStats(sid, touchedNames.size, newFiles.size, rowsDeleted)
+    DeleteStats(sid, touchedPaths.size, newFiles.size, rowsDeleted)
   }
 
   /** Outcome of a [[replaceWhere]] snapshot. */
@@ -1999,11 +2027,6 @@ object IcebergLog {
     val base = currentVersionOf(tablePath)
     val entries = liveEntries(tablePath)
     require(entries.nonEmpty, s"not a live Iceberg table: $tablePath")
-    val strays = df.filter(!coalesce(predicate, lit(false)))
-      .agg(count(lit(1))).head.getLong(0)
-    require(strays == 0L,
-      s"replaceWhere: $strays batch row(s) do not satisfy the " +
-        "predicate — the batch may only replace rows inside the range")
     val target = spark.read.parquet(entries.map(_.path): _*)
     val cols = target.columns.toSeq
     require(cols.forall(df.columns.contains) &&
@@ -2012,23 +2035,29 @@ object IcebergLog {
         s"match table columns ${cols.mkString(",")}")
     val batch = df.select(cols.map(c =>
       col(s"`$c`").cast(target.schema(c).dataType).as(c)): _*)
+    // stray check on the CASTED batch — same column types as the match
+    // scan and the written rows (mirrors [[DeltaWrite.replaceWhere]])
+    val strays = batch.filter(!coalesce(predicate, lit(false)))
+      .agg(count(lit(1))).head.getLong(0)
+    require(strays == 0L,
+      s"replaceWhere: $strays batch row(s) do not satisfy the " +
+        "predicate — the batch may only replace rows inside the range")
     val touched = target
       .withColumn("__graft_file", col("_metadata.file_path"))
       .filter(predicate)
       .select(col("__graft_file")).distinct()
       .collect().map(_.getString(0)).toSeq
-    val touchedNames = touched.map(u => u.substring(u.lastIndexOf('/') + 1)).toSet
-    val names = entries.map(e => new File(e.path).getName).toSet
-    touchedNames.foreach(n =>
-      require(names.contains(n), s"touched file not in live set: $n"))
+    // resolve scan URIs on the FULL qualified path — basenames collide
+    // across directories on addFiles-adopted hive layouts
+    val touchedPaths = resolveTouchedPaths(spark, entries, touched)
     val rowsInserted = batch.count()
     val meta = parseMeta(currentMetadataFile(tablePath))
-    if (touchedNames.isEmpty && rowsInserted == 0L)
+    if (touchedPaths.isEmpty && rowsInserted == 0L)
       return ReplaceStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
     val touchedRows =
-      if (touchedNames.isEmpty) None
-      else Some(spark.read.parquet(entries.map(_.path)
-        .filter(p => touchedNames(new File(p).getName)): _*))
+      if (touchedPaths.isEmpty) None
+      else Some(spark.read.parquet(
+        entries.map(_.path).filter(touchedPaths): _*))
     val rowsDeleted = touchedRows.fold(0L)(_.filter(predicate).count())
     val survivors = touchedRows.map(_.filter(
       !coalesce(predicate, lit(false))))
@@ -2036,13 +2065,13 @@ object IcebergLog {
     val newFiles =
       if (out.isEmpty) Seq.empty[File] else stageData(out, root)
     val nextEntries = entries.map { e =>
-      val st = if (touchedNames(new File(e.path).getName)) 2 else 0
+      val st = if (touchedPaths(e.path)) 2 else 0
       FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
         upperBounds = e.upperBounds, seq = e.seq)
     } ++ newFiles.map(f => addedEntry(f, statsFields))
     val sid = commitSnapshot(tablePath, nextEntries,
       operation = "overwrite", expectedBaseVersion = Some(base))
-    ReplaceStats(sid, touchedNames.size, newFiles.size, rowsDeleted,
+    ReplaceStats(sid, touchedPaths.size, newFiles.size, rowsDeleted,
       rowsInserted)
   }
 

@@ -379,6 +379,48 @@ class AppSurfaceSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq === Seq(1L, 7L))
   }
 
+  test("REPLACE INTO splits predicate and batch at the top-level SELECT") {
+    import graft.exec.DdlTranslate.ReplaceWhereStmt
+    // a SUBQUERY predicate must stay whole — a naive first-SELECT split
+    // would truncate it and hand its inner SELECT to the analyzer
+    val sub = "REPLACE INTO 'p' WHERE k IN (SELECT k FROM t WHERE x = 1) " +
+      "SELECT a, b FROM q"
+    assert(ReplaceWhereStmt.unapply(sub) === Some(("p",
+      "k IN (SELECT k FROM t WHERE x = 1)", "SELECT a, b FROM q")))
+    // the batch query's own nested subselects stay with the batch
+    val nested = "REPLACE INTO 'p' WHERE d = 3 SELECT * FROM (SELECT 3 AS d)"
+    assert(ReplaceWhereStmt.unapply(nested) ===
+      Some(("p", "d = 3", "SELECT * FROM (SELECT 3 AS d)")))
+    // a string literal spelling 'select' is not a split point
+    val lit = "REPLACE INTO 'p' WHERE v = 'select' SELECT 1 AS d"
+    assert(ReplaceWhereStmt.unapply(lit) ===
+      Some(("p", "v = 'select'", "SELECT 1 AS d")))
+    // no top-level SELECT (or an empty predicate): not a REPLACE WHERE
+    assert(ReplaceWhereStmt.unapply(
+      "REPLACE INTO 'p' WHERE k IN (SELECT k FROM t)").isEmpty)
+    assert(ReplaceWhereStmt.unapply(
+      "REPLACE INTO 'p' WHERE SELECT 1 AS d").isEmpty)
+    // end-to-end: a predicate spelling 'select' inside a string literal
+    // reaches the Delta verb whole (subquery PREDICATES parse whole too,
+    // but Spark — like real Delta — refuses IN-subqueries outside a
+    // top-level filter, so the evaluable e2e shape is the literal one)
+    val s = spark
+    import s.implicits._
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val ctx = new graft.exec.ExecutionContext(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-rw-split").toString
+    val dtbl = s"$base/delta"
+    DeltaWrite.append(Seq((1L, "keep"), (2L, "select"), (3L, "select"))
+      .toDF("id", "v").repartition(1), dtbl)
+    assert(ctx.runScript(
+        s"REPLACE INTO '$dtbl' WHERE v = 'select' " +
+          "SELECT 8 AS id, 'select' AS v")
+      .last.collect().head.getLong(0) === 1L)
+    assert(DeltaLog.read(spark, dtbl).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(1L, 8L))
+  }
+
   test("lakehouse TVFs: table_changes / iceberg_snapshots / iceberg_refs in SQL") {
     val s = spark
     import s.implicits._

@@ -790,4 +790,48 @@ class ScaleSpec extends SparkSpec {
         "did not prune the match scan")
     assert(DeltaLog.read(spark, tbl).count() === n - st.rowsDeleted)
   }
+
+  test("conditional merge reads only the condition's partition bytes") {
+    // the extra match condition (`ON keys AND pred`) is part of the
+    // match itself, so its partition conjuncts answer the candidate-file
+    // prune from the LOG before any data file opens — "merge the batch
+    // into one of eight partitions" must read well under one full-table
+    // pass even though the join key is NOT a partition column
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-mprune").toString + "/t"
+    val n = 4000L
+    val rows = (0L until n).map(i => (i, s"p${i % 8}", i * 7))
+    DeltaWrite.appendPartitioned(
+      rows.toDF("id", "part", "v").repartition(4), tbl, Seq("part"))
+    val batch = (0L until n by 5).map(i => (i, s"p${i % 8}", -i))
+      .toDF("id", "part", "v")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ms =
+      try DeltaWrite.merge(tbl, batch, Seq("id"),
+        matchCondition = Some(col("part") === "p3"))
+      finally {
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(l)
+      }
+    // p3 keys ending in 0/5: i % 8 == 3 && i % 5 == 0 — the batch rows
+    // whose key lives in p3 update; every other batch row inserts
+    assert(ms.rowsUpdated === rows.count { case (i, p, _) =>
+      p == "p3" && i % 5 == 0 }.toLong)
+    assert(read.get < (n * 3) / 4,
+      s"conditional merge read ${read.get} records of $n — the match " +
+        "condition's partition conjunct did not prune the match scan")
+    // updates replace 1:1 and every non-p3 batch row inserts
+    assert(DeltaLog.read(spark, tbl).count() === n + ms.rowsInserted)
+  }
 }

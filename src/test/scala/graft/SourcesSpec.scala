@@ -1036,6 +1036,51 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaLog.liveFiles(spark, tbl).toSet.intersect(after.toSet) === after.toSet)
   }
 
+  test("Delta merge extra match condition: ON keys AND pred semantics") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_merge_cond"
+    // file A: a condition-false match (id=1), a condition-true match
+    // (id=2) and a NULL-condition row (id=30); file B: no admitted match
+    DeltaWrite.append(Seq((1L, "old", "a"), (2L, "new", "b"),
+      (30L, null.asInstanceOf[String], "c"))
+      .toDF("id", "flag", "v").repartition(1), tbl)
+    DeltaWrite.append(Seq((10L, "old", "x"), (11L, "new", "y"))
+      .toDF("id", "flag", "v").repartition(1), tbl)
+    DeltaWrite.enableChangeDataFeed(spark, tbl) // v2
+    val before = DeltaLog.liveFiles(spark, tbl)
+    val st = DeltaWrite.merge(tbl, // v3
+      Seq((1L, "new", "V1"), (2L, "new", "V2"), (20L, "new", "V20"),
+        (30L, "new", "V30")).toDF("id", "flag", "v"),
+      Seq("id"), matchCondition = Some(col("flag") === "new"))
+    // only id=2 is matched (key AND condition): id=1 is condition-false
+    // and id=30 evaluates NULL — both their old rows survive AS-IS and
+    // their batch rows INSERT next to them; id=20 is a plain insert
+    assert(st.rowsUpdated === 1L && st.rowsInserted === 3L)
+    val rows = DeltaLog.read(spark, tbl)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(rows === Seq((1L, "new", "V1"), (1L, "old", "a"),
+      (2L, "new", "V2"), (10L, "old", "x"), (11L, "new", "y"),
+      (20L, "new", "V20"), (30L, "new", "V30"), (30L, null, "c")))
+    // file B holds no admitted match (id=11 is condition-true but its
+    // key is not in the batch; id=10 is condition-false): it must keep
+    // its physical identity — only file A was rewritten
+    val after = DeltaLog.liveFiles(spark, tbl)
+    assert(before.count(after.contains) === 1 && st.filesRewritten === 1,
+      s"conditional merge file set wrong:\nbefore=$before\nafter=$after")
+    // the change feed reflects the SAME semantics: one pre/post pair for
+    // id=2, inserts for the rest, NOTHING for the surviving old rows
+    val feed = DeltaLog.tableChanges(spark, tbl, 3L)
+      .select("id", "v", "_change_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(feed === Seq((1L, "V1", "insert"), (2L, "V2", "update_postimage"),
+      (2L, "b", "update_preimage"), (20L, "V20", "insert"),
+      (30L, "V30", "insert")))
+  }
+
   test("Delta merge schema evolution: metaData advances, old files NULL-fill") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark

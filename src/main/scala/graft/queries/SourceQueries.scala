@@ -819,6 +819,186 @@ object SourceQueries {
         FROM orders WHERE o_orderstatus = 'F' AND o_orderkey % 3 = 0
       ) ORDER BY o_orderkey""")),
 
+    // x54: MERGE on the SECOND protocol, stacked over a live MoR
+    // position-delete file — the upsert verb real Iceberg serves via
+    // Spark MERGE INTO. The match scan reads THROUGH the delete file
+    // (a MoR-dead row re-INSERTS with the batch value, never
+    // resurrect-updates), rewritten survivors inherit the new
+    // snapshot's sequence number so the old delete never re-applies to
+    // them, the delete file stays LIVE for the untouched file (pinned
+    // in-query), and the whole thing is ONE overwrite snapshot under
+    // the CAS claim. Same relational oracle as the Delta MoR merge
+    // (x16c): batch rows win, live unmatched target rows survive.
+    QueryDef("x54_iceberg_merge", (s, d) => {
+      val tbl = s"$stage/ice_merged"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 === 0), tbl)
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 === 2), tbl)
+      val dv = graft.sources.IcebergLog.deletePositionsWhere(s, tbl,
+        col("o_orderstatus") === "F")
+      require(dv.rowsDeleted > 0, "MoR delete matched nothing")
+      val before = graft.sources.IcebergLog.liveSplitEntries(tbl)._1
+        .map(_.path).toSet
+      val src = o.filter(col("o_orderkey") % 8 === 0 ||
+          col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val ms = graft.sources.IcebergLog.merge(s, tbl, src, Seq("o_orderkey"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted > 0,
+        s"iceberg MoR merge degenerated: $ms")
+      val (dataAfter, delsAfter) = graft.sources.IcebergLog.liveSplitEntries(tbl)
+      // the untouched file keeps its identity AND its delete file
+      require(dataAfter.map(_.path).toSet.intersect(before).nonEmpty,
+        "iceberg merge rewrote every file")
+      require(delsAfter.nonEmpty,
+        "iceberg merge dropped the live position-delete file")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders
+                   WHERE o_orderkey % 4 IN (0, 2) AND o_orderstatus <> 'F'),
+      src AS (SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt WHERE o_orderkey NOT IN
+              (SELECT o_orderkey FROM src))
+      ORDER BY o_orderkey""")),
+
+    // x54b: MERGE INTO A PARTITIONED ICEBERG TABLE — the x16b shape on
+    // the second protocol: the batch updates every %8==0 row AND MOVES
+    // it to a new partition ('X') while inserting every %4==1 key. The
+    // rewrite restages per partition tuple (fresh manifest entries
+    // carry their tuples, so manifest-level pruning stays exact —
+    // pinned via readPartition on the NEW tuple), and untouched
+    // partitions' files keep physical identity (pinned in-query).
+    QueryDef("x54b_iceberg_merge_partitioned", (s, d) => {
+      val tbl = s"$stage/ice_merged_part"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 0), tbl,
+        partitionBy = Seq(2 -> "o_orderstatus"))
+      graft.sources.IcebergLog.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 2), tbl,
+        partitionBy = Seq(2 -> "o_orderstatus"))
+      val before = graft.sources.IcebergLog.liveEntries(tbl)
+        .map(_.path).toSet
+      val src = o.filter(col("o_orderkey") % 8 === 0 ||
+          col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 8 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      val ms = graft.sources.IcebergLog.merge(s, tbl, src, Seq("o_orderkey"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted > 0,
+        s"partitioned iceberg merge degenerated: $ms")
+      require(graft.sources.IcebergLog.liveEntries(tbl).map(_.path).toSet
+          .intersect(before).nonEmpty,
+        "partitioned iceberg merge rewrote every file")
+      // moved rows land where MANIFEST pruning finds them
+      require(graft.sources.IcebergLog.readPartition(s, tbl,
+          Map("o_orderstatus" -> "X")).count() > 0,
+        "updated rows did not land in their new partition")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+      src AS (SELECT o_orderkey,
+                CASE WHEN o_orderkey % 8 = 0 THEN 'X'
+                     ELSE o_orderstatus END AS o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt WHERE o_orderkey NOT IN
+              (SELECT o_orderkey FROM src))
+      ORDER BY o_orderkey""")),
+
+    // x55: ICEBERG CHANGELOG — the row-level CDC read the second
+    // protocol lacked (Delta's x38 counterpart; real Iceberg's
+    // create_changelog_view): append + append + CoW deleteWhere +
+    // replaceWhere, then changesBetween(0) replays the whole history as
+    // insert/delete records. The CoW verbs rewrite whole files, so the
+    // manifest diff must CANCEL re-staged survivor rows — the oracle
+    // pins that only the NET changes surface (delete of the 'F' rows at
+    // snapshot 3; delete-old + insert-new for the %8 keys at snapshot
+    // 4), and the in-query fold invariant pins
+    // inserts − deletes = final table, multiset-exactly.
+    QueryDef("x55_iceberg_changelog", (s, d) => {
+      val tbl = s"$stage/ice_changelog"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 === 0), tbl) // snap 1
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 === 2), tbl) // snap 2
+      graft.sources.IcebergLog.deleteWhere(s, tbl,
+        col("o_orderstatus") === "F")                                             // snap 3
+      val batch = o.filter(col("o_orderkey") % 8 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      graft.sources.IcebergLog.replaceWhere(s, tbl,
+        col("o_orderkey") % 8 === 0, batch)                                       // snap 4
+      val ch = graft.sources.IcebergLog.changesBetween(s, tbl, 0L)
+      // fold invariant: inserts − deletes = the final live read, exactly
+      val folded = ch.groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(org.apache.spark.sql.functions.sum(
+          when(col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+        .filter(col("n") =!= 0)
+      require(folded.filter(col("n") =!= 1).isEmpty,
+        "changelog fold produced a row multiplicity != 1")
+      val live = graft.sources.IcebergLog.read(s, tbl)
+      require(folded.drop("n").exceptAll(live).isEmpty &&
+          live.exceptAll(folded.drop("n")).isEmpty,
+        "changelog fold does not reproduce the live table")
+      ch.select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("_change_type").as("change_type"),
+          col("_snapshot_id").cast("long").as("snapshot_id"))
+        .orderBy(col("snapshot_id"), col("change_type"), col("o_orderkey"))
+    }, Some("""
+      WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey % 4 = 0),
+      s2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM orders WHERE o_orderkey % 4 = 2)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        change_type, CAST(snapshot_id AS BIGINT) AS snapshot_id
+      FROM (
+        SELECT *, 'insert' AS change_type, 1 AS snapshot_id FROM s1
+        UNION ALL
+        SELECT *, 'insert', 2 FROM s2
+        UNION ALL
+        SELECT *, 'delete', 3 FROM
+          (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+          WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'delete', 4
+        FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        WHERE o_orderstatus <> 'F' AND o_orderkey % 8 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0, 'insert', 4
+        FROM orders WHERE o_orderkey % 8 = 0
+      )
+      ORDER BY snapshot_id, change_type, o_orderkey""")),
+
     // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
     // pass behind a streaming sink: eight per-epoch small commits leave
     // eight small files; one dataChange:false commit rewrites them into

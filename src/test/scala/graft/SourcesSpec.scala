@@ -1737,6 +1737,95 @@ class SourcesSpec extends SparkSpec {
     assert(st3.snapshotId === st2.snapshotId && st3.rowsDeleted === 0L)
   }
 
+  test("Iceberg merge: file-granular CoW upsert over live MoR deletes") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_merge_spec"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(1), tbl, Seq(1 -> "id"))
+    IcebergLog.append(Seq((10L, "x"), (11L, "y")).toDF("id", "v")
+      .repartition(1), tbl, Seq(1 -> "id"))
+    // a MoR position delete kills id=2 (file A) UNDER the merge
+    val del = IcebergLog.deletePositionsWhere(spark, tbl, col("id") === 2L)
+    assert(del.rowsDeleted === 1L)
+    val before = IcebergLog.liveSplitEntries(tbl)._1.map(_.path).toSet
+    // batch: updates id=1 (file A), RE-INSERTS the MoR-dead id=2 (an
+    // insert, never a resurrect-update), plain-inserts id=20
+    val ms = IcebergLog.merge(spark, tbl,
+      Seq((1L, "A2"), (2L, "B2"), (20L, "n")).toDF("id", "v"), Seq("id"),
+      Seq(1 -> "id"))
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 2L &&
+      ms.filesRewritten === 1)
+    val (dataAfter, delsAfter) = IcebergLog.liveSplitEntries(tbl)
+    // the untouched file keeps its physical identity; the delete file
+    // stays LIVE (it still applies to that untouched file)
+    assert(dataAfter.map(_.path).count(before) === 1)
+    assert(delsAfter.nonEmpty)
+    // the re-inserted id=2 is VISIBLE: the rewrite's ADDED entry inherits
+    // the NEW snapshot's sequence number, so the older position delete
+    // (lower sequence) does not re-apply to it — the spec's sequence rule
+    val rows = IcebergLog.read(spark, tbl).as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows === Seq((1L, "A2"), (2L, "B2"), (10L, "x"), (11L, "y"),
+      (20L, "n")))
+    // pre-merge snapshot still time-travels, with ITS deletes applied
+    assert(IcebergLog.read(spark, tbl, Some(ms.snapshotId - 1))
+      .count() === 3L)
+    // two source rows for one key: refused, table unchanged
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.merge(spark, tbl,
+        Seq((1L, "d1"), (1L, "d2")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    assert(IcebergLog.read(spark, tbl).count() === 5L)
+    // empty batch: a no-op, not an empty snapshot
+    val noop = IcebergLog.merge(spark, tbl,
+      Seq.empty[(Long, String)].toDF("id", "v"), Seq("id"))
+    assert(noop.snapshotId === ms.snapshotId && noop.filesAdded === 0)
+  }
+
+  test("Iceberg changelog: manifest diff nets CoW carry-overs; replace skipped; MoR refuses") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_changelog_spec"
+    // snap 1: one file with three rows; snap 2: a second file
+    IcebergLog.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+      .repartition(1), tbl, Seq(1 -> "id"))
+    IcebergLog.append(Seq((10L, "x")).toDF("id", "v")
+      .repartition(1), tbl, Seq(1 -> "id"))
+    // snap 3: CoW delete of id=2 REWRITES file A — survivors 1,3 restage,
+    // and the changelog must NOT emit them (carry-over cancellation)
+    IcebergLog.deleteWhere(spark, tbl, col("id") === 2L, Seq(1 -> "id"))
+    // snap 4: compaction — rows unchanged by contract, skipped entirely
+    val rw = IcebergLog.rewriteDataFiles(spark, tbl,
+      statsFields = Seq(1 -> "id"), targetFiles = 1)
+    assert(rw.filesRewritten > 0) // a real replace snapshot exists to skip
+    val ch = IcebergLog.changesBetween(spark, tbl, 0L)
+      .select($"id", $"v", $"_change_type", $"_snapshot_id")
+      .as[(Long, String, String, Long)].collect().sortBy(r => (r._4, r._1))
+    assert(ch.toSeq === Seq(
+      (1L, "a", "insert", 1L), (2L, "b", "insert", 1L),
+      (3L, "c", "insert", 1L), (10L, "x", "insert", 2L),
+      (2L, "b", "delete", 3L)))
+    // a bounded sub-range sees only its snapshots
+    val sub = IcebergLog.changesBetween(spark, tbl, 1L, Some(3L))
+      .select($"id", $"_change_type").as[(Long, String)].collect().sortBy(_._1)
+    assert(sub.toSeq === Seq((2L, "delete"), (10L, "insert")))
+    // expired/unknown from-id refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.changesBetween(spark, tbl, 99L)
+    }
+    assert(e.getMessage.contains("not in table metadata"))
+    // a live v2 delete file refuses: a manifest diff cannot see MoR rows
+    IcebergLog.deletePositionsWhere(spark, tbl, col("id") === 3L)
+    val e2 = intercept[IllegalArgumentException] {
+      IcebergLog.changesBetween(spark, tbl, 0L)
+    }
+    assert(e2.getMessage.contains("delete file"))
+  }
+
   test("Iceberg sink epochs: summaries survive appends, die with expiry (documented)") {
     import graft.sources.IcebergLog
     val s = spark

@@ -424,13 +424,18 @@ object DdlTranslate {
       */
     private def splitAtBatchSelect(s: String): Option[(String, String)] = {
       var depth = 0
-      var inStr = false
+      // the active quote delimiter (0 = outside): single-quoted strings,
+      // double-quoted literals, AND backticked identifiers can all
+      // contain the word "select" — a split inside any of them would
+      // hand half a literal to the analyzer. Doubled delimiters ('' ""
+      // ``) read as exit+re-enter, which lands outside correctly.
+      var delim: Char = 0
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (inStr) { if (c == '\'') inStr = false }
+        if (delim != 0) { if (c == delim) delim = 0 }
         else c match {
-          case '\'' => inStr = true
+          case '\'' | '"' | '`' => delim = c
           case '(' => depth += 1
           case ')' => depth -= 1
           case 's' | 'S' if depth == 0 && i > 0 &&

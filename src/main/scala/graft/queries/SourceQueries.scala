@@ -930,7 +930,7 @@ object SourceQueries {
             UNION ALL
             SELECT * FROM tgt WHERE o_orderkey NOT IN
               (SELECT o_orderkey FROM src))
-      ORDER BY o_orderkey""")),
+      ORDER BY o_orderkey"""), headline = true),
 
     // x55: ICEBERG CHANGELOG — the row-level CDC read the second
     // protocol lacked (Delta's x38 counterpart; real Iceberg's

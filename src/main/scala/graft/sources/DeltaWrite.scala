@@ -746,8 +746,8 @@ object DeltaWrite {
       else Some(newCols.foldLeft(
         DeltaLog.readLivePaths(spark, tablePath, touchedAdds.map(_.path)))(
         (t, c) => t.withColumn(c, lit(null).cast(source.schema(c).dataType))))
-    val (survivors, rowsUpdated) = touchedRows match {
-      case None => (None, 0L)
+    val (survivors, matchedRows) = touchedRows match {
+      case None => (None, None)
       case Some(tr) =>
         val surv = condT match {
           case None => tr.join(broadcast(srcKeys), keys, "leftanti")
@@ -757,11 +757,46 @@ object DeltaWrite {
             tr.filter(ct).join(broadcast(srcKeys), keys, "leftanti"))
         }
         val matched = condT.fold(tr)(tr.filter(_))
-        (Some(surv),
-          matched.join(broadcast(srcKeys), keys, "leftsemi").count())
+          .join(broadcast(srcKeys), keys, "leftsemi")
+        (Some(surv), Some(matched))
     }
-    val rowsInserted = srcCount - rowsUpdated
-    val out = survivors.fold(src)(_.unionByName(src))
+    // ONE aggregation over the matched rows gives both the target-row
+    // count and the distinct-key count — duplicate-key targets (two
+    // appends of the same key; nothing forbids them) are detected
+    // without a second scan of the touched files
+    val (rowsUpdated, matchedKeyCount) = matchedRows match {
+      case None => (0L, 0L)
+      case Some(m) =>
+        val kc = keys.map(c => col(s"`$c`"))
+        val r = m.agg(count(lit(1)),
+          org.apache.spark.sql.functions.count_distinct(kc.head,
+            kc.tail: _*)).head
+        (r.getLong(0), r.getLong(1))
+    }
+    val dupTargets = rowsUpdated != matchedKeyCount
+    val matchedKeys = matchedRows.map(
+      _.select(keys.map(c => col(s"`$c`")): _*).distinct())
+    // real MERGE updates EVERY matched target row. When every matched
+    // key has exactly one target row (the common case), the batch
+    // itself IS updated-rows ∪ inserts and unions in directly — no
+    // extra pass over the touched files (the conditional-merge
+    // records-read pin holds). A duplicate-key target keeps its
+    // multiplicity on the general path: one output row PER TARGET ROW,
+    // values joined from the (unique-keyed) source, never a collapse to
+    // one row with the rest silently lost.
+    val updatedRows: Option[DataFrame] =
+      if (!dupTargets) None
+      else matchedRows.map(m =>
+        m.select(keys.map(c => col(s"`$c`")): _*)
+          .join(broadcast(src), keys, "inner")
+          .select(allCols.map(c => col(s"`$c`")): _*))
+    val batchLanding = updatedRows match {
+      case None => src
+      case Some(upd) => upd.unionByName(
+        src.join(broadcast(matchedKeys.get), keys, "leftanti"))
+    }
+    val rowsInserted = srcCount - matchedKeyCount
+    val out = survivors.fold(batchLanding)(_.unionByName(batchLanding))
     // CHANGE DATA FEED: a merge's in-place updates are invisible to
     // add/remove derivation (survivors would masquerade as
     // delete+insert), so the commit publishes the exact change rows —
@@ -773,12 +808,14 @@ object DeltaWrite {
     val cdcActions =
       if (!cdfEnabled(spark, tablePath)) Seq.empty
       else {
-        val pre = touchedRows.fold(src.limit(0))(tr =>
-          condT.fold(tr)(tr.filter(_))
-            .join(broadcast(srcKeys), keys, "leftsemi"))
-        val matchedKeys = pre.select(keys.map(c => col(s"`$c`")): _*)
-        val post = src.join(broadcast(matchedKeys), keys, "leftsemi")
-        val ins = src.join(broadcast(matchedKeys), keys, "leftanti")
+        // preimage/postimage pair up PER MATCHED TARGET ROW (real
+        // Delta's CDF shape) — a duplicate-key target emits one pair
+        // per row; inserts are the source rows that matched nothing
+        val pre = matchedRows.getOrElse(src.limit(0))
+        val mk = matchedKeys.getOrElse(srcKeys.limit(0))
+        val post = updatedRows.getOrElse(
+          src.join(broadcast(mk), keys, "leftsemi"))
+        val ins = src.join(broadcast(mk), keys, "leftanti")
         val change =
           pre.withColumn("_change_type", lit("update_preimage"))
             .unionByName(post.withColumn("_change_type", lit("update_postimage")))

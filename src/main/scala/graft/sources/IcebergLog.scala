@@ -59,7 +59,8 @@ object IcebergLog {
     * record (the Flink Iceberg sink stores its checkpoint id there).
     */
   final case class Snapshot(snapshotId: Long, manifestList: String,
-      summary: Map[String, String] = Map.empty)
+      summary: Map[String, String] = Map.empty,
+      parentId: Option[Long] = None)
 
   /** Parsed metadata root: format version + snapshots + the current one.
     * `specFields` is the DEFAULT partition spec's identity fields as
@@ -140,7 +141,8 @@ object IcebergLog {
           case _ => Map.empty[String, String]
         }
         Snapshot(mm("snapshot-id").asInstanceOf[Double].toLong,
-          mm("manifest-list").asInstanceOf[String], summary)
+          mm("manifest-list").asInstanceOf[String], summary,
+          mm.get("parent-snapshot-id").collect { case d: Double => d.toLong })
       }
       case _ => Seq.empty
     }
@@ -241,7 +243,12 @@ object IcebergLog {
       else s.summary.toSeq.sortBy(_._1).map { case (k, v) =>
         s""""${jsonEscape(k)}":"${jsonEscape(v)}""""
       }.mkString(""","summary":{""", ",", "}")
-    s"""{"snapshot-id":${s.snapshotId},"manifest-list":"${s.manifestList}"$summaryJson}"""
+    // parent-snapshot-id (the spec's field) records LINEAGE, not id
+    // order: after a rollback the next commit's parent is the rolled-to
+    // snapshot, and the changelog walks this chain instead of replaying
+    // rolled-back-over orphans
+    val parentJson = s.parentId.fold("")(p => s""","parent-snapshot-id":$p""")
+    s"""{"snapshot-id":${s.snapshotId}$parentJson,"manifest-list":"${s.manifestList}"$summaryJson}"""
   }
 
   private def readAvro(f: File): Seq[GenericRecord] = {
@@ -545,10 +552,13 @@ object IcebergLog {
   }
 
   /** CHANGELOG scan — the row-level CDC read [[appendsBetween]] refuses
-    * to fake (real Iceberg's `create_changelog_view`): every snapshot in
-    * `(from, to]` contributes its NET row changes as `insert`/`delete`
-    * records stamped `_snapshot_id`, derived by DIFFING THE MANIFESTS
-    * into file epochs:
+    * to fake (real Iceberg's `create_changelog_view`): every snapshot on
+    * the ANCESTRY CHAIN from `from` to `to` (parent-snapshot-id lineage
+    * — rolled-back-over orphans still in metadata never replay; id order
+    * only as the fallback for writers that never stamped parents)
+    * contributes its NET row changes as `insert`/`delete` records
+    * stamped `_snapshot_id`, derived by DIFFING THE MANIFESTS into file
+    * epochs:
     *
     *  - `append` snapshots emit their added files' rows as inserts —
     *    the fast path, O(appended bytes), no shuffle;
@@ -582,8 +592,33 @@ object IcebergLog {
       s"toSnapshotId $toId not in table metadata (have ${ids.mkString(",")})")
     require(fromSnapshotId <= toId,
       s"empty range: from $fromSnapshotId > to $toId")
-    val range = meta.snapshots.sortBy(_.snapshotId)
-      .filter(s => s.snapshotId > fromSnapshotId && s.snapshotId <= toId)
+    // ANCESTRY WALK, not id order: rollbackTo leaves rolled-back-over
+    // snapshots in metadata (they still time-travel) but they are NOT
+    // ancestors of the head — replaying them would emit phantom
+    // insert+delete pairs for changes that never happened on the
+    // current branch. Walk parent-snapshot-id from `to` back to `from`;
+    // snapshots without the field (foreign/legacy writers) fall back to
+    // the max-smaller-id predecessor — id order IS lineage on a table
+    // that never rolled back, and our writer stamps the field on every
+    // commit.
+    val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    def parentOf(s: Snapshot): Option[Long] =
+      s.parentId.orElse(ids.filter(_ < s.snapshotId).lastOption)
+    var chain = List.empty[Snapshot]
+    var walk: Option[Snapshot] = Some(toId).filter(_ > 0L).map(byId)
+    while (walk.exists(_.snapshotId > fromSnapshotId)) {
+      val s = walk.get
+      chain = s :: chain
+      walk = parentOf(s).map(id => byId.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"parent snapshot $id of ${s.snapshotId} not in table " +
+            s"metadata (expired?) — cannot walk the changelog ancestry")))
+    }
+    require(fromSnapshotId == 0L ||
+        walk.exists(_.snapshotId == fromSnapshotId),
+      s"snapshot $fromSnapshotId is not an ancestor of $toId in " +
+        s"$tablePath (rolled-back-over history cannot be read as a " +
+        "changelog)")
     def liveDataAt(sid: Long): Seq[LiveEntry] = {
       val (data, dels) = liveSplitEntries(tablePath, Some(sid))
       require(dels.isEmpty,
@@ -592,12 +627,18 @@ object IcebergLog {
           "rewriteDataFiles() first, then read the changelog")
       data
     }
-    val frames = range.flatMap { s =>
+    // one manifest replay per chain snapshot: each iteration's live set
+    // is the next one's parent state (the chain is the lineage), so the
+    // fold carries it instead of re-walking every parent's manifests
+    var prevEntries: Seq[LiveEntry] =
+      walk.map(s => liveDataAt(s.snapshotId)).getOrElse(Seq.empty)
+    val frames = chain.flatMap { s =>
+      val curEntries = liveDataAt(s.snapshotId)
+      val prev = prevEntries.map(_.path).toSet
+      val cur = curEntries.map(_.path)
+      prevEntries = curEntries
       if (s.summary.get("operation").contains("replace")) None // compaction
       else {
-        val parent = ids.filter(_ < s.snapshotId).lastOption
-        val prev = parent.map(liveDataAt).getOrElse(Seq.empty).map(_.path).toSet
-        val cur = liveDataAt(s.snapshotId).map(_.path)
         val added = cur.filterNot(prev)
         val removed = (prev -- cur).toSeq.sorted
         if (added.isEmpty && removed.isEmpty) None
@@ -1755,18 +1796,20 @@ object IcebergLog {
     val hasMeta = Option(metaDir.listFiles()).getOrElse(Array.empty)
       .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
     val (priorSnaps, version, priorSpecs, priorDefault, priorRefs,
-        priorSchema, priorMapping) =
+        priorSchema, priorMapping, priorCurrent) =
       if (hasMeta) {
         val mf = currentMetadataFile(tablePath)
         val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
         val meta = parseMeta(mf)
         (meta.snapshots, v + 1, meta.specs, meta.defaultSpecId, meta.refs,
-          meta.schemaFields, meta.nameMapping)
+          meta.schemaFields, meta.nameMapping,
+          Some(meta.currentSnapshotId).filter(_ > 0L))
       } else (Seq.empty[Snapshot], 1L,
         Seq.empty[(Int, Seq[(Int, String)])], 0,
         Map.empty[String, (Long, String)],
         Seq.empty[(Int, String, String)],
-        Map.empty[Int, String])
+        Map.empty[Int, String],
+        None)
     // OPTIMISTIC-CONCURRENCY BASE CHECK: `entries` was computed from the
     // state at `expectedBaseVersion`; if the table advanced since, the
     // carried EXISTING set is stale and committing it would SILENTLY DROP
@@ -1798,9 +1841,12 @@ object IcebergLog {
     // the spec REQUIRES an `operation` in every snapshot summary; it is
     // also what the incremental scan dispatches on (append scanned,
     // replace skipped, delete/overwrite refused)
+    // the new snapshot's parent is the snapshot that was CURRENT when
+    // this commit formed — after a rollback that is the rolled-to
+    // snapshot, not the max id, so lineage diverges from id order there
     val snapJson = snapshotJson(
       Snapshot(sid, writeSnapshot(metaDir, sid, entries, specs),
-        summary + ("operation" -> operation)))
+        summary + ("operation" -> operation), priorCurrent))
     val priorJsons = priorSnaps.map(snapshotJson)
     // tags/branches ride along; the `main` branch tracks the head (the
     // spec's rule: main is the current snapshot's branch)
@@ -2240,18 +2286,42 @@ object IcebergLog {
     val byName = data.map(e => new File(e.path).getName -> e).toMap
     val touched = touchedNames.toSeq.sorted.map(n => byName.getOrElse(n,
       throw new IllegalStateException(s"touched file not in live set: $n")))
-    val (survivors, rowsUpdated) =
-      if (touched.isEmpty) (None, 0L)
+    val (out, rowsUpdated, rowsInserted) =
+      if (touched.isEmpty) (src, 0L, srcCount)
       else {
         // live rows of touched files only (deletes still applied)
         val tr = scan.filter(
           col("__graft_file").isin(touchedNames.toSeq: _*))
-        (Some(tr.join(broadcast(srcKeys), keys, "leftanti")
-            .drop(metaCols: _*)),
-          tr.join(broadcast(srcKeys), keys, "leftsemi").count())
+        val matched = tr.join(broadcast(srcKeys), keys, "leftsemi")
+        // ONE aggregation gives target-row count AND distinct-key count,
+        // so duplicate-key targets are detected without a second scan
+        val kc = keys.map(c => col(s"`$c`"))
+        val stats = matched.agg(count(lit(1)),
+          org.apache.spark.sql.functions.count_distinct(kc.head,
+            kc.tail: _*)).head
+        val (nUpdated, nKeys) = (stats.getLong(0), stats.getLong(1))
+        val survivors = tr.join(broadcast(srcKeys), keys, "leftanti")
+          .drop(metaCols: _*)
+        // real MERGE updates EVERY matched target row. No duplicates
+        // (the common case): the batch itself is updated-rows ∪ inserts
+        // — no extra pass over the touched files. A duplicate-key
+        // target (two appends of the same key) keeps its multiplicity
+        // on the general path: one output row PER TARGET ROW, values
+        // joined from the (unique-keyed) source, never a collapse to
+        // one row with the rest silently lost.
+        val batchLanding =
+          if (nUpdated == nKeys) src
+          else {
+            val updated = matched.select(keys.map(c => col(s"`$c`")): _*)
+              .join(broadcast(src), keys, "inner")
+              .select(cols.map(c => col(s"`$c`")): _*)
+            val matchedKeys = matched
+              .select(keys.map(c => col(s"`$c`")): _*).distinct()
+            updated.unionByName(
+              src.join(broadcast(matchedKeys), keys, "leftanti"))
+          }
+        (survivors.unionByName(batchLanding), nUpdated, srcCount - nKeys)
       }
-    val rowsInserted = srcCount - rowsUpdated
-    val out = survivors.fold(src)(_.unionByName(src))
     val spec = meta.specFields
     val staged: Seq[(File, Map[String, Any])] =
       if (spec.isEmpty) stageData(out, root).map(_ -> Map.empty[String, Any])

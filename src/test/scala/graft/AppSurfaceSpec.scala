@@ -395,6 +395,19 @@ class AppSurfaceSpec extends SparkSpec {
     val lit = "REPLACE INTO 'p' WHERE v = 'select' SELECT 1 AS d"
     assert(ReplaceWhereStmt.unapply(lit) ===
       Some(("p", "v = 'select'", "SELECT 1 AS d")))
+    // DOUBLE-QUOTED literals and BACKTICKED identifiers hide the word
+    // too — Spark SQL allows both, and a split inside either delimiter
+    // hands half a token to the analyzer
+    val dq = "REPLACE INTO 'p' WHERE v = \"select\" SELECT 1 AS d"
+    assert(ReplaceWhereStmt.unapply(dq) ===
+      Some(("p", "v = \"select\"", "SELECT 1 AS d")))
+    val bt = "REPLACE INTO 'p' WHERE `select` = 1 SELECT 1 AS d"
+    assert(ReplaceWhereStmt.unapply(bt) ===
+      Some(("p", "`select` = 1", "SELECT 1 AS d")))
+    // doubled delimiters read as exit+re-enter and land outside
+    val esc = "REPLACE INTO 'p' WHERE v = 'it''s select' SELECT 1 AS d"
+    assert(ReplaceWhereStmt.unapply(esc) ===
+      Some(("p", "v = 'it''s select'", "SELECT 1 AS d")))
     // no top-level SELECT (or an empty predicate): not a REPLACE WHERE
     assert(ReplaceWhereStmt.unapply(
       "REPLACE INTO 'p' WHERE k IN (SELECT k FROM t)").isEmpty)

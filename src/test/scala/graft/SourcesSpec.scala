@@ -1036,6 +1036,33 @@ class SourcesSpec extends SparkSpec {
     assert(DeltaLog.liveFiles(spark, tbl).toSet.intersect(after.toSet) === after.toSet)
   }
 
+  test("merge updates EVERY duplicate-key target row, both protocols") {
+    import graft.sources.{DeltaLog, DeltaWrite, IcebergLog}
+    val s = spark
+    import s.implicits._
+    // nothing forbids two appends carrying the same key — real MERGE
+    // INTO updates EACH matched target row (multiplicity preserved),
+    // never collapses them to one batch row with the rest silently lost
+    val dtbl = s"$tmp/delta_merge_dupkey"
+    DeltaWrite.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dtbl)
+    DeltaWrite.append(Seq((1L, "a2")).toDF("id", "v"), dtbl)
+    val st = DeltaWrite.merge(dtbl,
+      Seq((1L, "X"), (3L, "n")).toDF("id", "v"), Seq("id"))
+    assert(st.rowsUpdated === 2L && st.rowsInserted === 1L)
+    assert(DeltaLog.read(spark, dtbl).as[(Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq ===
+      Seq((1L, "X"), (1L, "X"), (2L, "b"), (3L, "n")))
+    val itbl = s"$tmp/ice_merge_dupkey"
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), itbl)
+    IcebergLog.append(Seq((1L, "a2")).toDF("id", "v"), itbl)
+    val ist = IcebergLog.merge(spark, itbl,
+      Seq((1L, "X"), (3L, "n")).toDF("id", "v"), Seq("id"))
+    assert(ist.rowsUpdated === 2L && ist.rowsInserted === 1L)
+    assert(IcebergLog.read(spark, itbl).as[(Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq ===
+      Seq((1L, "X"), (1L, "X"), (2L, "b"), (3L, "n")))
+  }
+
   test("Delta merge extra match condition: ON keys AND pred semantics") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark
@@ -1824,6 +1851,30 @@ class SourcesSpec extends SparkSpec {
       IcebergLog.changesBetween(spark, tbl, 0L)
     }
     assert(e2.getMessage.contains("delete file"))
+  }
+
+  test("Iceberg changelog walks lineage: rolled-back-over orphans never replay") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_changelog_rollback"
+    IcebergLog.append(Seq((1L, "a")).toDF("id", "v"), tbl) // snap 1
+    IcebergLog.append(Seq((2L, "b")).toDF("id", "v"), tbl) // snap 2
+    IcebergLog.rollbackTo(tbl, 1L)
+    IcebergLog.append(Seq((3L, "c")).toDF("id", "v"), tbl) // snap 3, parent 1
+    // snap 2 stays in metadata (it still time-travels) but is NOT an
+    // ancestor of the head: replaying it would fabricate an insert@2
+    // and a phantom delete@3 for a row the current branch never held
+    assert(IcebergLog.read(spark, tbl, Some(2L)).count() === 2L)
+    val ch = IcebergLog.changesBetween(spark, tbl, 0L)
+      .select($"id", $"_change_type", $"_snapshot_id")
+      .as[(Long, String, Long)].collect().sortBy(_._3)
+    assert(ch.toSeq === Seq((1L, "insert", 1L), (3L, "insert", 3L)))
+    // a from-id off the lineage refuses loudly instead of replaying
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.changesBetween(spark, tbl, 2L)
+    }
+    assert(e.getMessage.contains("not an ancestor"))
   }
 
   test("Iceberg sink epochs: summaries survive appends, die with expiry (documented)") {

@@ -229,7 +229,14 @@ object Soak {
       "x16b_delta_merge_partitioned" -> 3.22,
       "x16c_delta_merge_mor" -> 2.51,
       "x18b_delta_delete_partitioned" -> 1.54,
-      "x38c_delta_cdf_partitioned" -> 4.67)
+      "x38c_delta_cdf_partitioned" -> 4.67,
+      // round-19 additions (PerfProbe warm run2 at sf0.1)
+      "x16d_delta_merge_conditional" -> 3.36,
+      "x53_replace_where" -> 2.16,
+      "x53b_replace_where_iceberg" -> 1.77,
+      "x54_iceberg_merge" -> 3.51,
+      "x54b_iceberg_merge_partitioned" -> 2.69,
+      "x55_iceberg_changelog" -> 4.47)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -325,7 +332,14 @@ object Soak {
       // partition's bytes, the feed O(changed bytes); x16c pins that
       // reading THROUGH deletion vectors adds no scale term to merge
       "x16b_delta_merge_partitioned", "x16c_delta_merge_mor",
-      "x18b_delta_delete_partitioned", "x38c_delta_cdf_partitioned")
+      "x18b_delta_delete_partitioned", "x38c_delta_cdf_partitioned",
+      // round-19: the conditional merge (prune must hold at 10x), both
+      // protocols' REPLACE WHERE (cost = replaced range + batch), the
+      // Iceberg merge twins, and the changelog read (O(touched bytes)
+      // per snapshot, never table-sized)
+      "x16d_delta_merge_conditional", "x53_replace_where",
+      "x53b_replace_where_iceberg", "x54_iceberg_merge",
+      "x54b_iceberg_merge_partitioned", "x55_iceberg_changelog")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -932,6 +932,62 @@ object SourceQueries {
               (SELECT o_orderkey FROM src))
       ORDER BY o_orderkey"""), headline = true),
 
+    // x54c: CONDITIONAL MERGE ON THE SECOND PROTOCOL — x16d's `ON keys
+    // AND pred` shape for Iceberg: the condition (o_orderstatus = 'O')
+    // restricts the match, its partition conjunct prunes candidate
+    // files from MANIFEST TUPLES alone (no data file of an excluded
+    // partition ever opens — identity pinned in-query), a key-matched
+    // target row outside the condition survives AS-IS next to its
+    // freshly-inserted batch twin, and the whole upsert is one
+    // overwrite snapshot.
+    QueryDef("x54c_iceberg_merge_conditional", (s, d) => {
+      val tbl = s"$stage/ice_merged_cond"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 0), tbl,
+        partitionBy = Seq(2 -> "o_orderstatus"))
+      graft.sources.IcebergLog.appendPartitioned(
+        o.filter(col("o_orderkey") % 4 === 2), tbl,
+        partitionBy = Seq(2 -> "o_orderstatus"))
+      val before = graft.sources.IcebergLog.liveEntries(tbl)
+      val src = o.filter(col("o_orderkey") % 8 === 0 ||
+          col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val ms = graft.sources.IcebergLog.merge(s, tbl, src, Seq("o_orderkey"),
+        matchCondition = Some(col("o_orderstatus") === "O"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted > 0,
+        s"conditional iceberg merge degenerated: $ms")
+      // manifest-conjunct pruning: every pre-merge file of every
+      // partition the condition excludes keeps its physical identity
+      val afterPaths = graft.sources.IcebergLog.liveEntries(tbl)
+        .map(_.path).toSet
+      require(before
+          .filterNot(_.partitionValues.get("o_orderstatus").contains("O"))
+          .forall(e => afterPaths.contains(e.path)),
+        "conditional iceberg merge rewrote a file the condition excludes")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"), col("o_totalprice"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 4 IN (0, 2)),
+      src AS (SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders
+              WHERE o_orderkey % 8 = 0 OR o_orderkey % 4 = 1)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt
+            WHERE NOT (o_orderstatus = 'O' AND o_orderkey IN
+              (SELECT o_orderkey FROM src)))
+      ORDER BY o_orderkey, o_totalprice""")),
+
     // x55: ICEBERG CHANGELOG — the row-level CDC read the second
     // protocol lacked (Delta's x38 counterpart; real Iceberg's
     // create_changelog_view): append + append + CoW deleteWhere +
@@ -996,6 +1052,61 @@ object SourceQueries {
         UNION ALL
         SELECT o_orderkey, o_orderstatus, o_totalprice + 1000.0, 'insert', 4
         FROM orders WHERE o_orderkey % 8 = 0
+      )
+      ORDER BY snapshot_id, change_type, o_orderkey""")),
+
+    // x55b: CHANGELOG OVER A MERGE-ON-READ DELETE — the position-delete
+    // snapshot emits exactly its kills as delete records (the affected
+    // file set is what the delete file NAMES — O(touched bytes), the
+    // table is never scanned), and a later append's rows are inserts
+    // the older delete can never address (sequence-number rule). The
+    // fold invariant is pinned in-query like x55.
+    QueryDef("x55b_iceberg_changelog_mor", (s, d) => {
+      val tbl = s"$stage/ice_changelog_mor"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 === 0), tbl) // snap 1
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 === 2), tbl) // snap 2
+      val dv = graft.sources.IcebergLog.deletePositionsWhere(s, tbl,
+        col("o_orderstatus") === "F")                                             // snap 3 (MoR)
+      require(dv.rowsDeleted > 0, "MoR delete matched nothing")
+      graft.sources.IcebergLog.append(o.filter(col("o_orderkey") % 4 === 1), tbl) // snap 4
+      val ch = graft.sources.IcebergLog.changesBetween(s, tbl, 0L)
+      val folded = ch.groupBy("o_orderkey", "o_orderstatus", "o_totalprice")
+        .agg(org.apache.spark.sql.functions.sum(
+          when(col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+        .filter(col("n") =!= 0)
+      val live = graft.sources.IcebergLog.read(s, tbl)
+      require(folded.drop("n").exceptAll(live).isEmpty &&
+          live.exceptAll(folded.drop("n")).isEmpty,
+        "MoR changelog fold does not reproduce the live table")
+      ch.select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("_change_type").as("change_type"),
+          col("_snapshot_id").cast("long").as("snapshot_id"))
+        .orderBy(col("snapshot_id"), col("change_type"), col("o_orderkey"))
+    }, Some("""
+      WITH s1 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                  FROM orders WHERE o_orderkey % 4 = 0),
+      s2 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM orders WHERE o_orderkey % 4 = 2),
+      s4 AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+             FROM orders WHERE o_orderkey % 4 = 1)
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+        change_type, CAST(snapshot_id AS BIGINT) AS snapshot_id
+      FROM (
+        SELECT *, 'insert' AS change_type, 1 AS snapshot_id FROM s1
+        UNION ALL
+        SELECT *, 'insert', 2 FROM s2
+        UNION ALL
+        SELECT *, 'delete', 3 FROM
+          (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+          WHERE o_orderstatus = 'F'
+        UNION ALL
+        SELECT *, 'insert', 4 FROM s4
       )
       ORDER BY snapshot_id, change_type, o_orderkey""")),
 

@@ -573,10 +573,14 @@ object IcebergLog {
     *    |m−n| records of the surviving sign. Multiset fold invariant:
     *    state(parent) − deletes + inserts = state(snapshot), exactly.
     *
-    * Live v2 delete FILES refuse like every delete-blind planning path
-    * (a position/equality delete mutates rows without moving files, so
-    * a manifest diff cannot see it — `rewriteDataFiles()` first).
-    * Expired history refuses at resolve, like [[appendsBetween]].
+    * MoR POSITION-delete snapshots emit their kills as `delete` records:
+    * a position delete names its target files, so the affected set stays
+    * bounded and the diff runs over VISIBLE rows (deletes applied at
+    * their sequence numbers on both sides) of just those files.
+    * EQUALITY-delete snapshots refuse (their target files are unbounded
+    * — the diff would be O(table)); a snapshot dropping a delete file
+    * outside compaction refuses (rows would resurrect). Expired history
+    * refuses at resolve, like [[appendsBetween]].
     */
   def changesBetween(spark: SparkSession, tablePath: String,
       fromSnapshotId: Long, toSnapshotId: Option[Long] = None): DataFrame = {
@@ -619,42 +623,72 @@ object IcebergLog {
       s"snapshot $fromSnapshotId is not an ancestor of $toId in " +
         s"$tablePath (rolled-back-over history cannot be read as a " +
         "changelog)")
-    def liveDataAt(sid: Long): Seq[LiveEntry] = {
-      val (data, dels) = liveSplitEntries(tablePath, Some(sid))
-      require(dels.isEmpty,
-        s"snapshot $sid of $tablePath carries live v2 delete file(s): a " +
-          "manifest diff cannot represent merge-on-read row removal — " +
-          "rewriteDataFiles() first, then read the changelog")
-      data
-    }
     // one manifest replay per chain snapshot: each iteration's live set
     // is the next one's parent state (the chain is the lineage), so the
-    // fold carries it instead of re-walking every parent's manifests
-    var prevEntries: Seq[LiveEntry] =
-      walk.map(s => liveDataAt(s.snapshotId)).getOrElse(Seq.empty)
+    // fold carries it instead of re-walking every parent's manifests.
+    // VISIBLE rows of a file set = the rows its position/equality
+    // deletes (at their sequence numbers) leave alive — MoR delete
+    // snapshots diff to exactly the newly-dead rows.
+    def visible(entries: Seq[LiveEntry], dels: Seq[LiveEntry]) =
+      liveWithMeta(spark, entries, dels)
+        .drop("__graft_file", "__graft_pos", "__graft_dseq")
+    var (prevData, prevDels) = walk
+      .map(s => liveSplitEntries(tablePath, Some(s.snapshotId)))
+      .getOrElse((Seq.empty[LiveEntry], Seq.empty[LiveEntry]))
     val frames = chain.flatMap { s =>
-      val curEntries = liveDataAt(s.snapshotId)
-      val prev = prevEntries.map(_.path).toSet
-      val cur = curEntries.map(_.path)
-      prevEntries = curEntries
+      val (curData, curDels) = liveSplitEntries(tablePath, Some(s.snapshotId))
+      val (pData, pDels) = (prevData, prevDels)
+      prevData = curData; prevDels = curDels
       if (s.summary.get("operation").contains("replace")) None // compaction
       else {
-        val added = cur.filterNot(prev)
-        val removed = (prev -- cur).toSeq.sorted
-        if (added.isEmpty && removed.isEmpty) None
-        else if (removed.isEmpty) // pure append: no carry-overs possible
-          Some(spark.read.parquet(added: _*)
+        val prevPaths = pData.map(_.path).toSet
+        val curPaths = curData.map(_.path).toSet
+        val prevDelPaths = pDels.map(_.path).toSet
+        val addedDels = curDels.filterNot(e => prevDelPaths.contains(e.path))
+        require(pDels.map(_.path).forall(curDels.map(_.path).toSet),
+          s"snapshot ${s.snapshotId} of $tablePath drops a delete file " +
+            "outside a replace/compaction — rows would RESURRECT, which " +
+            "a changelog cannot represent")
+        require(addedDels.forall(_.content == 1),
+          s"snapshot ${s.snapshotId} of $tablePath adds an " +
+            "EQUALITY-delete file: its target files are unbounded, so " +
+            "the changelog cannot stay O(touched bytes) — " +
+            "rewriteDataFiles() first, then read the changelog")
+        // files whose VISIBLE rows can change: moved data files, plus
+        // the carried files the new position deletes NAME (a position
+        // delete addresses rows by file, so the touched set is bounded)
+        val namedByDels: Set[String] =
+          if (addedDels.isEmpty) Set.empty
+          else spark.read.parquet(addedDels.map(_.path): _*)
+            .select(org.apache.spark.sql.functions.element_at(
+              org.apache.spark.sql.functions.split(col("file_path"), "/"),
+              -1).as("__n"))
+            .distinct().collect().map(_.getString(0)).toSet
+        val addedData = curData.filterNot(e => prevPaths.contains(e.path))
+        val removedData = pData.filterNot(e => curPaths.contains(e.path))
+        val carried = curData.filter(e => prevPaths.contains(e.path) &&
+          namedByDels.contains(new File(e.path).getName))
+        val affectedPrev = removedData ++ carried
+        val affectedCur = addedData ++ carried
+        if (affectedPrev.isEmpty && affectedCur.isEmpty) None
+        else if (affectedPrev.isEmpty && addedDels.isEmpty)
+          // pure append: no carry-overs, and no same-snapshot delete
+          // file can address the fresh rows
+          Some(spark.read.parquet(affectedCur.map(_.path): _*)
             .withColumn("_change_type", lit("insert"))
             .withColumn("_snapshot_id", lit(s.snapshotId)))
         else {
-          // net row changes: +1 per added-file row, −1 per removed-file
-          // row, grouped on the WHOLE row — carry-overs cancel exactly
+          // net VISIBLE-row changes: +1 per row alive after, −1 per row
+          // alive before, grouped on the WHOLE row — CoW carry-overs
+          // cancel exactly, rows MoR-dead before never re-emit as
+          // deletes, and a new position delete nets to its kills
           val sides =
-            (if (added.isEmpty) Seq.empty
-             else Seq(spark.read.parquet(added: _*)
+            (if (affectedCur.isEmpty) Seq.empty
+             else Seq(visible(affectedCur, curDels)
                .withColumn("__graft_w", lit(1)))) ++
-            Seq(spark.read.parquet(removed: _*)
-              .withColumn("__graft_w", lit(-1)))
+            (if (affectedPrev.isEmpty) Seq.empty
+             else Seq(visible(affectedPrev, pDels)
+               .withColumn("__graft_w", lit(-1))))
           val all = sides.reduce(_.unionByName(_))
           val dataCols = all.columns.filterNot(_ == "__graft_w").toSeq
           val net = all.groupBy(dataCols.map(c => col(s"`$c`")): _*)
@@ -2218,6 +2252,79 @@ object IcebergLog {
   final case class MergeStats(snapshotId: Long, filesRewritten: Int,
       filesAdded: Int, rowsUpdated: Long, rowsInserted: Long)
 
+  /** [[DeltaWrite.prunePartitionConjuncts]]'s MANIFEST-side twin:
+    * restrict a match scan's candidate files by the predicate's
+    * partition conjuncts, evaluated against each entry's TYPED manifest
+    * partition tuple. Sound by the same construction: only top-level
+    * AND conjuncts referencing nothing but identity partition columns
+    * replay (an entry whose tuple falsifies such a conjunct can hold no
+    * row satisfying the full predicate); entries missing partition info
+    * always keep; ANY analysis failure keeps the full set — pruning
+    * only ever shrinks the scan. Spark 4 Columns carry no inspectable
+    * tree until analysis, so the predicate analyzes against a zero-row
+    * frame of the table schema and the conjuncts replay via their SQL
+    * rendering (see the Delta twin's scaladoc).
+    */
+  private def pruneEntriesByConjuncts(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      entries: Seq[LiveEntry],
+      predicate: org.apache.spark.sql.Column,
+      partCols: Seq[String]): Seq[LiveEntry] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    if (partCols.isEmpty || entries.isEmpty) return entries
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val partSet = partCols.toSet
+    val partOnlySql: Seq[String] =
+      try {
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[Row], schema)
+        val cond = empty.filter(predicate).queryExecution.analyzed
+          .collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+              f.condition
+          }
+        cond.toSeq.flatMap(conjuncts)
+          .filter(c => c.deterministic && c.references.nonEmpty &&
+            c.references.forall(a => partSet.contains(a.name)))
+          .map(_.sql)
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (partOnlySql.isEmpty) return entries
+    val (evaluable, keptAlways) = entries.partition(e =>
+      partCols.forall(e.partitionValues.contains))
+    if (evaluable.isEmpty) return entries
+    def sparkType(vs: Seq[Any]) = vs.collectFirst {
+      case _: Long => LongType
+      case _: Int => LongType
+    }.getOrElse(StringType)
+    val colTypes = partCols.map(c => c -> sparkType(
+      evaluable.flatMap(_.partitionValues.get(c)).filter(_ != null)))
+    val rows = evaluable.map(e => Row.fromSeq(
+      e.path +: colTypes.map { case (c, t) =>
+        e.partitionValues(c) match {
+          case null => null
+          case v: Long if t == LongType => v
+          case v: Int if t == LongType => v.toLong
+          case v => v.toString
+        }
+      }))
+    try {
+      val pvSchema = StructType(StructField("__graft_path", StringType) +:
+        colTypes.map { case (c, t) => StructField(c, t) })
+      val local = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), pvSchema)
+      val filterCol = partOnlySql.map(expr).reduce(_ && _)
+      val keptPaths = local.filter(filterCol)
+        .select(col("__graft_path")).collect().map(_.getString(0)).toSet
+      keptAlways ++ evaluable.filter(e => keptPaths.contains(e.path))
+    } catch { case scala.util.control.NonFatal(_) => entries }
+  }
+
   /** MERGE (upsert) into an Iceberg table — [[DeltaWrite.merge]]'s
     * second-protocol twin (real Iceberg's Spark `MERGE INTO` in
     * copy-on-write mode): source rows whose `keys` match a live row
@@ -2248,11 +2355,21 @@ object IcebergLog {
     * touched files is by basename, which [[liveWithMeta]] has already
     * REQUIRED to be unique across the live set (adopted layouts with
     * colliding basenames refuse loudly there).
+    *
+    * `matchCondition` is the Delta verb's extra ON predicate on the
+    * SECOND protocol (`ON keys AND pred`): a predicate over TARGET
+    * columns narrowing the match — a condition-false key match survives
+    * as-is (its batch row inserts), and the condition's partition
+    * conjuncts prune candidate files from MANIFEST tuples before any
+    * data file opens ([[pruneEntriesByConjuncts]]). NULL evaluates as
+    * no-match (SQL join semantics).
     */
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String],
-      statsFields: Seq[(Int, String)] = Seq.empty): MergeStats = {
-    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+      statsFields: Seq[(Int, String)] = Seq.empty,
+      matchCondition: Option[org.apache.spark.sql.Column] = None)
+      : MergeStats = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit}
     val root = new File(tablePath)
     val base = currentVersionOf(tablePath)
     val (data, dels) = liveSplitEntries(tablePath)
@@ -2279,10 +2396,23 @@ object IcebergLog {
       return MergeStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
     val metaCols = Seq("__graft_file", "__graft_pos", "__graft_dseq")
-    val scan = liveWithMeta(spark, data, dels)
-    val touchedNames = scan.join(broadcast(srcKeys), keys, "leftsemi")
-      .select(col("__graft_file")).distinct()
-      .collect().map(_.getString(0)).toSet
+    // the extra match condition with SQL join NULL semantics; its
+    // partition conjuncts prune candidate files from the MANIFEST
+    // tuples first — a pruned file can contain no condition-true row
+    val condT = matchCondition.map(c => coalesce(c, lit(false)))
+    val candidates = matchCondition.fold(data)(c =>
+      pruneEntriesByConjuncts(spark, target0.schema, data, c,
+        meta.specFields.map(_._2)))
+    val scan =
+      if (candidates.isEmpty) None
+      else Some(liveWithMeta(spark, candidates, dels))
+    // only condition-true rows make a file touched — a file whose key
+    // hits are all condition-false keeps its physical identity
+    val touchedNames = scan.fold(Set.empty[String])(sc =>
+      condT.fold(sc)(sc.filter(_))
+        .join(broadcast(srcKeys), keys, "leftsemi")
+        .select(col("__graft_file")).distinct()
+        .collect().map(_.getString(0)).toSet)
     val byName = data.map(e => new File(e.path).getName -> e).toMap
     val touched = touchedNames.toSeq.sorted.map(n => byName.getOrElse(n,
       throw new IllegalStateException(s"touched file not in live set: $n")))
@@ -2290,9 +2420,10 @@ object IcebergLog {
       if (touched.isEmpty) (src, 0L, srcCount)
       else {
         // live rows of touched files only (deletes still applied)
-        val tr = scan.filter(
+        val tr = scan.get.filter(
           col("__graft_file").isin(touchedNames.toSeq: _*))
-        val matched = tr.join(broadcast(srcKeys), keys, "leftsemi")
+        val matched = condT.fold(tr)(tr.filter(_))
+          .join(broadcast(srcKeys), keys, "leftsemi")
         // ONE aggregation gives target-row count AND distinct-key count,
         // so duplicate-key targets are detected without a second scan
         val kc = keys.map(c => col(s"`$c`"))
@@ -2300,8 +2431,13 @@ object IcebergLog {
           org.apache.spark.sql.functions.count_distinct(kc.head,
             kc.tail: _*)).head
         val (nUpdated, nKeys) = (stats.getLong(0), stats.getLong(1))
-        val survivors = tr.join(broadcast(srcKeys), keys, "leftanti")
-          .drop(metaCols: _*)
+        // condition-false rows survive AS-IS even under a matching key;
+        // only condition-true matches are replaced by the batch
+        val survivors = (condT match {
+          case None => tr.join(broadcast(srcKeys), keys, "leftanti")
+          case Some(ct) => tr.filter(!ct).unionByName(
+            tr.filter(ct).join(broadcast(srcKeys), keys, "leftanti"))
+        }).drop(metaCols: _*)
         // real MERGE updates EVERY matched target row. No duplicates
         // (the common case): the batch itself is updated-rows ∪ inserts
         // — no extra pass over the touched files. A duplicate-key

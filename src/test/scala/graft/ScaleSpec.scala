@@ -834,4 +834,47 @@ class ScaleSpec extends SparkSpec {
     // updates replace 1:1 and every non-p3 batch row inserts
     assert(DeltaLog.read(spark, tbl).count() === n + ms.rowsInserted)
   }
+
+  test("conditional Iceberg merge reads only the condition's partition bytes") {
+    // the second protocol's twin of the pin above: the match condition's
+    // partition conjunct answers the candidate-file prune from MANIFEST
+    // TUPLES alone — merging a batch whose keys span all eight
+    // partitions but whose condition names one must read well under a
+    // full-table pass
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-imprune").toString + "/t"
+    val n = 4000L
+    val rows = (0L until n).map(i => (i, s"p${i % 8}", i * 7))
+    IcebergLog.appendPartitioned(
+      rows.toDF("id", "part", "v").repartition(4), tbl,
+      partitionBy = Seq(2 -> "part"))
+    val batch = (0L until n by 5).map(i => (i, s"p${i % 8}", -i))
+      .toDF("id", "part", "v")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ms =
+      try IcebergLog.merge(spark, tbl, batch, Seq("id"),
+        matchCondition = Some(col("part") === "p3"))
+      finally {
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(ms.rowsUpdated === rows.count { case (i, p, _) =>
+      p == "p3" && i % 5 == 0 }.toLong)
+    assert(read.get < (n * 3) / 4,
+      s"conditional iceberg merge read ${read.get} records of $n — the " +
+        "condition's partition conjunct did not prune the manifest " +
+        "candidates")
+    assert(IcebergLog.read(spark, tbl).count() === n + ms.rowsInserted)
+  }
 }

@@ -1063,6 +1063,34 @@ class SourcesSpec extends SparkSpec {
       Seq((1L, "X"), (1L, "X"), (2L, "b"), (3L, "n")))
   }
 
+  test("Iceberg merge extra match condition: ON keys AND pred semantics") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_merge_cond_spec"
+    // file A: ids 1 (flag y), 2 (flag n); file B: id 3 (flag NULL)
+    IcebergLog.append(Seq((1L, "y", "a"), (2L, "n", "b"))
+      .toDF("id", "flag", "v").repartition(1), tbl, Seq(1 -> "id"))
+    IcebergLog.append(Seq((3L, null.asInstanceOf[String], "c"))
+      .toDF("id", "flag", "v").repartition(1), tbl, Seq(1 -> "id"))
+    val before = IcebergLog.liveSplitEntries(tbl)._1.map(_.path).toSet
+    // batch hits every key, but only flag='y' rows MATCH: id=1 updates;
+    // id=2 (condition-false) and id=3 (NULL = no-match, SQL semantics)
+    // survive AS-IS while their batch rows INSERT as twins
+    val ms = IcebergLog.merge(spark, tbl,
+      Seq((1L, "y", "A2"), (2L, "y", "B2"), (3L, "y", "C2"))
+        .toDF("id", "flag", "v"), Seq("id"),
+      matchCondition = Some(col("flag") === "y"))
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 2L)
+    // file B held no condition-true match: physical identity kept
+    assert(IcebergLog.liveSplitEntries(tbl)._1.map(_.path)
+      .count(before) === 1)
+    val rows = IcebergLog.read(spark, tbl).as[(Long, String, String)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    assert(rows === Seq((1L, "y", "A2"), (2L, "y", "B2"), (2L, "n", "b"),
+      (3L, "y", "C2"), (3L, null, "c")).sortBy(r => (r._1, r._3)))
+  }
+
   test("Delta merge extra match condition: ON keys AND pred semantics") {
     import graft.sources.{DeltaLog, DeltaWrite}
     val s = spark
@@ -1812,7 +1840,7 @@ class SourcesSpec extends SparkSpec {
     assert(noop.snapshotId === ms.snapshotId && noop.filesAdded === 0)
   }
 
-  test("Iceberg changelog: manifest diff nets CoW carry-overs; replace skipped; MoR refuses") {
+  test("Iceberg changelog: CoW carry-overs net out; replace skipped; MoR kills emit") {
     import graft.sources.IcebergLog
     val s = spark
     import s.implicits._
@@ -1845,12 +1873,25 @@ class SourcesSpec extends SparkSpec {
       IcebergLog.changesBetween(spark, tbl, 99L)
     }
     assert(e.getMessage.contains("not in table metadata"))
-    // a live v2 delete file refuses: a manifest diff cannot see MoR rows
+    // snap 5: a MoR POSITION delete emits exactly its kills as delete
+    // records — the affected set is the files the delete NAMES, and the
+    // visible-row diff never re-emits rows that were already dead
     IcebergLog.deletePositionsWhere(spark, tbl, col("id") === 3L)
+    val ch2 = IcebergLog.changesBetween(spark, tbl, 4L)
+      .select($"id", $"_change_type").as[(Long, String)].collect()
+    assert(ch2.toSeq === Seq((3L, "delete")))
+    // full-range replay still folds to the live table
+    val full = IcebergLog.changesBetween(spark, tbl, 0L)
+      .select($"id", $"v", $"_change_type").as[(Long, String, String)]
+      .collect().toSeq
+    assert(full.count(_._3 == "insert") - full.count(_._3 == "delete")
+      === IcebergLog.read(spark, tbl).count())
+    // an EQUALITY delete refuses: its target files are unbounded
+    IcebergLog.deleteEqualityKeys(tbl, Seq(10L).toDF("id"), Seq(1))
     val e2 = intercept[IllegalArgumentException] {
       IcebergLog.changesBetween(spark, tbl, 0L)
     }
-    assert(e2.getMessage.contains("delete file"))
+    assert(e2.getMessage.contains("EQUALITY"))
   }
 
   test("Iceberg changelog walks lineage: rolled-back-over orphans never replay") {

@@ -236,7 +236,9 @@ object Soak {
       "x53b_replace_where_iceberg" -> 1.77,
       "x54_iceberg_merge" -> 3.51,
       "x54b_iceberg_merge_partitioned" -> 2.69,
-      "x55_iceberg_changelog" -> 4.47)
+      "x55_iceberg_changelog" -> 4.47,
+      "x54c_iceberg_merge_conditional" -> 3.10,
+      "x55b_iceberg_changelog_mor" -> 5.75)
 
     val queries = Seq(
       "d01_dedup_exact", "d02_ngram_jaccard", "d02b_ngram_jaccard_capped",
@@ -339,7 +341,10 @@ object Soak {
       // per snapshot, never table-sized)
       "x16d_delta_merge_conditional", "x53_replace_where",
       "x53b_replace_where_iceberg", "x54_iceberg_merge",
-      "x54b_iceberg_merge_partitioned", "x55_iceberg_changelog")
+      "x54b_iceberg_merge_partitioned", "x55_iceberg_changelog",
+      // the second protocol's conditional merge (manifest-tuple prune at
+      // 10x) and the MoR changelog (cost = named files, never the table)
+      "x54c_iceberg_merge_conditional", "x55b_iceberg_changelog_mor")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -51,6 +51,78 @@ object Analytics {
 
   private def t(s: SparkSession, d: String, n: String): DataFrame = Tables.load(s, d, n)
 
+  /** Shared CDC→lakehouse upsert harness behind e24 (Delta) and e27
+    * (Iceberg): stage the events feed as time-sliced files, stream the
+    * latest-per-key changelog, and sink each micro-batch — append on
+    * the first, MERGE (file-level copy-on-write) after. The fold logic
+    * lives ONCE so the two protocols can never silently diverge; only
+    * the exists-probe and the three verb closures differ. Across
+    * batches the CDC monotone rule makes application order-independent,
+    * so whatever order the file source discovers the slices in, the
+    * FINAL table is the global argmax — exactly what the shared oracle
+    * checks. At scale each merge rewrites only the files containing
+    * touched keys, so sink cost tracks the batch's key spread, not
+    * table size.
+    */
+  private def cdcUpsertSink(name: String, feedName: String, tblName: String,
+      exists: String => Boolean,
+      appendFn: (DataFrame, String) => Unit,
+      mergeFn: (DataFrame, String) => Unit,
+      readFn: (SparkSession, String) => DataFrame): QueryDef =
+    QueryDef(name, (s, d) => {
+      // time-sliced staging (e06b's shape): 3 files = 3 micro-batches
+      val raw = s.read.parquet(s"$d/events.parquet")
+      val rawCols = raw.schema.fieldNames.map(col).toSeq
+      val nSlices = 3
+      val sliced = raw.withColumn("slice",
+          ntile(nSlices).over(Window.orderBy(col("ts"), col("event_id"))))
+        .localCheckpoint(true)
+      val dir = s"${SourceQueries.stage}/$feedName"
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      (1 to nSlices).foreach { k =>
+        sliced.filter(col("slice") === k).select(rawCols: _*)
+          .repartition(1).write.mode("append").parquet(dir)
+      }
+      val tbl = s"${SourceQueries.stage}/$tblName"
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(new java.io.File(tbl))
+      val q = graft.streaming.EventStream
+        .latestPerKey(graft.streaming.EventStream.source(s, dir, Some(1)))
+        .toDF()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            // one winner per key per batch (merge refuses ambiguity)
+            val w = Window.partitionBy(col("user_id"))
+              .orderBy(col("ts").desc, col("event_id").desc)
+            val upserts = batch.withColumn("rn", row_number().over(w))
+              .filter(col("rn") === 1).drop("rn")
+            if (exists(tbl)) mergeFn(upserts, tbl)
+            else appendFn(upserts, tbl)
+            ()
+          }
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      readFn(s, tbl)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    }, Some("""
+      WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
+              event_type, value FROM events)
+      SELECT user_id, ms AS ts, event_id, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+            ORDER BY ms DESC, event_id DESC) AS rn
+        FROM ev)
+      WHERE rn = 1
+      ORDER BY user_id"""))
+
   /** Memory-sink tables are driver-resident for the session's lifetime, so
     * repeated soak/bench iterations would accumulate one full result copy
     * per run (round-7 ADVICE). Evaluate the post-processing over the sink,
@@ -1476,72 +1548,29 @@ object Analytics {
       ORDER BY user_id, valid_from, event_id""")),
 
     // ------------------------------------------------------------------
-    // Streaming CDC → LAKEHOUSE UPSERT, the full pipeline composed: the
-    // e22 latest-per-key changelog streams in time-sliced micro-batches,
-    // and each batch MERGEs (Delta copy-on-write upsert, x16) into a
-    // Delta table keyed by user_id — the standard "materialize a CDC
-    // feed into the lake" architecture. Per batch the changelog is
-    // folded to one winner per key (merge refuses ambiguous sources);
-    // across batches the CDC monotone rule makes application order-
-    // independent, so whatever order the file source discovers the
-    // slices in, the FINAL table is the global argmax — which is exactly
-    // what the oracle checks against the batch relation. At scale each
-    // merge rewrites only the files containing touched keys (file-level
-    // CoW), so the sink cost tracks the batch's key spread, not table
-    // size.
-    QueryDef("e24_stream_delta_upsert", (s, d) => {
-      // time-sliced staging (e06b's shape): 3 files = 3 micro-batches
-      val raw = s.read.parquet(s"$d/events.parquet")
-      val rawCols = raw.schema.fieldNames.map(col).toSeq
-      val nSlices = 3
-      val sliced = raw.withColumn("slice",
-          ntile(nSlices).over(Window.orderBy(col("ts"), col("event_id"))))
-        .localCheckpoint(true)
-      val dir = s"${SourceQueries.stage}/events_cdc_delta"
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      (1 to nSlices).foreach { k =>
-        sliced.filter(col("slice") === k).select(rawCols: _*)
-          .repartition(1).write.mode("append").parquet(dir)
-      }
-      val tbl = s"${SourceQueries.stage}/delta_cdc_sink"
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(); ()
-      }
-      rm(new java.io.File(tbl))
-      val q = graft.streaming.EventStream
-        .latestPerKey(graft.streaming.EventStream.source(s, dir, Some(1)))
-        .toDF()
-        .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val w = Window.partitionBy(col("user_id"))
-              .orderBy(col("ts").desc, col("event_id").desc)
-            val upserts = batch.withColumn("rn", row_number().over(w))
-              .filter(col("rn") === 1).drop("rn")
-            if (new java.io.File(s"$tbl/_delta_log").isDirectory)
-              graft.sources.DeltaWrite.merge(tbl, upserts, Seq("user_id"))
-            else graft.sources.DeltaWrite.append(upserts, tbl)
-            ()
-          }
-        }
-        .start()
-      try q.processAllAvailable() finally q.stop()
-      graft.sources.DeltaLog.read(s, tbl)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type"), col("value"))
-        .orderBy(col("user_id"))
-    }, Some("""
-      WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ms, event_id,
-              event_type, value FROM events)
-      SELECT user_id, ms AS ts, event_id, event_type, value FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-            ORDER BY ms DESC, event_id DESC) AS rn
-        FROM ev)
-      WHERE rn = 1
-      ORDER BY user_id""")),
+    // Streaming CDC → LAKEHOUSE UPSERT on BOTH protocols (the shared
+    // [[cdcUpsertSink]] harness): the e22 latest-per-key changelog
+    // streams in time-sliced micro-batches, each MERGEd (file-level
+    // copy-on-write upsert — x16 / x54) into a table keyed by user_id —
+    // the standard "materialize a CDC feed into the lake" architecture.
+    cdcUpsertSink("e24_stream_delta_upsert",
+      "events_cdc_delta", "delta_cdc_sink",
+      tbl => new java.io.File(s"$tbl/_delta_log").isDirectory,
+      (b, tbl) => { graft.sources.DeltaWrite.append(b, tbl); () },
+      (b, tbl) => {
+        graft.sources.DeltaWrite.merge(tbl, b, Seq("user_id")); ()
+      },
+      (s, tbl) => graft.sources.DeltaLog.read(s, tbl)),
+
+    cdcUpsertSink("e27_stream_iceberg_upsert",
+      "events_cdc_iceberg", "iceberg_cdc_sink",
+      tbl => new java.io.File(s"$tbl/metadata").isDirectory,
+      (b, tbl) => { graft.sources.IcebergLog.append(b, tbl); () },
+      (b, tbl) => {
+        graft.sources.IcebergLog.merge(b.sparkSession, tbl, b,
+          Seq("user_id")); ()
+      },
+      (s, tbl) => graft.sources.IcebergLog.read(s, tbl)),
 
     // ------------------------------------------------------------------
     // Full frame/rank coverage: ntile, first_value, moving frame sum,

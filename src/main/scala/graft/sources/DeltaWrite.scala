@@ -473,7 +473,6 @@ object DeltaWrite {
       spark: org.apache.spark.sql.SparkSession, tablePath: String,
       adds: Seq[DeltaLog.LiveFile],
       predicate: org.apache.spark.sql.Column): Seq[DeltaLog.LiveFile] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{StringType, StructField, StructType}
     val partCols = DeltaLog.recordedPartitionColumns(spark, tablePath)
@@ -482,25 +481,8 @@ object DeltaWrite {
       case Some(ms) => ms
       case None => return adds // minimal foreign log: no schema to analyze
     }
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val partSet = partCols.toSet
-    val partOnlySql: Seq[String] =
-      try {
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], logical)
-        val cond = empty.filter(predicate).queryExecution.analyzed
-          .collectFirst {
-            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-              f.condition
-          }
-        cond.toSeq.flatMap(conjuncts)
-          .filter(c => c.deterministic && c.references.nonEmpty &&
-            c.references.forall(a => partSet.contains(a.name)))
-          .map(_.sql)
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val partOnlySql =
+      PredicateConjuncts.partitionOnlySql(spark, logical, predicate, partCols)
     if (partOnlySql.isEmpty) return adds
     // pv keys are PHYSICAL names under column mapping; resolve each
     // logical partition column to the key its adds record
@@ -752,9 +734,14 @@ object DeltaWrite {
         val surv = condT match {
           case None => tr.join(broadcast(srcKeys), keys, "leftanti")
           // condition-false rows survive AS-IS even under a matching
-          // key; only condition-true matches are replaced by the batch
-          case Some(ct) => tr.filter(!ct).unionByName(
-            tr.filter(ct).join(broadcast(srcKeys), keys, "leftanti"))
+          // key; only condition-true matches are replaced by the batch.
+          // ONE pass over the touched files: a left-outer match marker
+          // plus the (already NULL-coalesced) condition filter, never a
+          // two-branch union that reads each touched parquet twice
+          case Some(ct) => tr.join(
+              broadcast(srcKeys.withColumn("__graft_m", lit(1))),
+              keys, "left_outer")
+            .filter(col("__graft_m").isNull || !ct).drop("__graft_m")
         }
         val matched = condT.fold(tr)(tr.filter(_))
           .join(broadcast(srcKeys), keys, "leftsemi")

@@ -2270,30 +2270,12 @@ object IcebergLog {
       entries: Seq[LiveEntry],
       predicate: org.apache.spark.sql.Column,
       partCols: Seq[String]): Seq[LiveEntry] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, Expression}
     import org.apache.spark.sql.functions.{col, expr}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.Row
     if (partCols.isEmpty || entries.isEmpty) return entries
-    def conjuncts(e: Expression): Seq[Expression] = e match {
-      case And(l, r) => conjuncts(l) ++ conjuncts(r)
-      case other => Seq(other)
-    }
-    val partSet = partCols.toSet
-    val partOnlySql: Seq[String] =
-      try {
-        val empty = spark.createDataFrame(
-          spark.sparkContext.emptyRDD[Row], schema)
-        val cond = empty.filter(predicate).queryExecution.analyzed
-          .collectFirst {
-            case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-              f.condition
-          }
-        cond.toSeq.flatMap(conjuncts)
-          .filter(c => c.deterministic && c.references.nonEmpty &&
-            c.references.forall(a => partSet.contains(a.name)))
-          .map(_.sql)
-      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    val partOnlySql =
+      PredicateConjuncts.partitionOnlySql(spark, schema, predicate, partCols)
     if (partOnlySql.isEmpty) return entries
     val (evaluable, keptAlways) = entries.partition(e =>
       partCols.forall(e.partitionValues.contains))
@@ -2396,6 +2378,16 @@ object IcebergLog {
       return MergeStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
     val metaCols = Seq("__graft_file", "__graft_pos", "__graft_dseq")
+    // touched-file resolution is by basename over the FULL live set, so
+    // uniqueness must hold over the FULL live set — a pruned match scan
+    // would let liveWithMeta's own require see only the candidates, and
+    // a collision with a pruned file would silently tombstone the wrong
+    // one (rows lost). Refuse up front, pruned or not.
+    val allNames = data.map(e => new File(e.path).getName)
+    require(allNames.distinct.size == allNames.size,
+      "duplicate data-file basenames in the live set: touched-file " +
+        "resolution is by file name and would be ambiguous — " +
+        allNames.diff(allNames.distinct).distinct.mkString(","))
     // the extra match condition with SQL join NULL semantics; its
     // partition conjuncts prune candidate files from the MANIFEST
     // tuples first — a pruned file can contain no condition-true row
@@ -2432,11 +2424,16 @@ object IcebergLog {
             kc.tail: _*)).head
         val (nUpdated, nKeys) = (stats.getLong(0), stats.getLong(1))
         // condition-false rows survive AS-IS even under a matching key;
-        // only condition-true matches are replaced by the batch
+        // only condition-true matches are replaced by the batch. ONE
+        // pass over the touched files: a left-outer match marker plus
+        // the (already NULL-coalesced) condition filter, never a
+        // two-branch union that reads each touched parquet twice
         val survivors = (condT match {
           case None => tr.join(broadcast(srcKeys), keys, "leftanti")
-          case Some(ct) => tr.filter(!ct).unionByName(
-            tr.filter(ct).join(broadcast(srcKeys), keys, "leftanti"))
+          case Some(ct) => tr.join(
+              broadcast(srcKeys.withColumn("__graft_m", lit(1))),
+              keys, "left_outer")
+            .filter(col("__graft_m").isNull || !ct).drop("__graft_m")
         }).drop(metaCols: _*)
         // real MERGE updates EVERY matched target row. No duplicates
         // (the common case): the batch itself is updated-rows ∪ inserts

@@ -265,12 +265,14 @@ class PropertySpec extends SparkSpec {
     import s.implicits._
     sealed trait Op
     case object Append extends Op
+    case object Merge extends Op
     case object Delete extends Op
     case object PosDelete extends Op
     case object EqDelete extends Op
     case object Rewrite extends Op
     case object Expire extends Op
     val opGen: Gen[Op] = Gen.frequency(4 -> Gen.const(Append),
+      3 -> Gen.const(Merge),
       2 -> Gen.const(Delete), 2 -> Gen.const(PosDelete),
       2 -> Gen.const(EqDelete), 1 -> Gen.const(Rewrite),
       1 -> Gen.const(Expire))
@@ -287,8 +289,38 @@ class PropertySpec extends SparkSpec {
         var model = Map.empty[Long, Long]
         var history = Vector.empty[(Long, Map[Long, Long])] // sid -> model
         var oldestKept = Long.MinValue
+        var hadEqDelete = false // changelog refuses eq-delete snapshots
         def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "payload").repartition(1)
         def exists = new java.io.File(s"$tbl/metadata").isDirectory
+        // the changelog FOLDS to the model: replaying insert/delete
+        // records from the oldest surviving snapshot's state reproduces
+        // the current model exactly — the x55-family invariant under
+        // every random op interleaving (skipped once an equality delete
+        // lands: the changelog refuses those loudly by contract)
+        def changelogFold(): Unit = if (!hadEqDelete && model.nonEmpty) {
+          val from = if (oldestKept == Long.MinValue) 0L else oldestKept
+          val base: Map[Long, Long] =
+            if (from == 0L) Map.empty
+            else history.find(_._1 == from).map(_._2).getOrElse(Map.empty)
+          val ch = IcebergLog.changesBetween(spark, tbl, from).collect()
+            .map(r => (r.getAs[Long]("_snapshot_id"),
+              r.getAs[String]("_change_type"),
+              r.getAs[Long]("id"), r.getAs[Long]("payload")))
+          var st = base
+          ch.groupBy(_._1).toSeq.sortBy(_._1).foreach { case (_, recs) =>
+            // within a snapshot an overwritten key emits delete(old) +
+            // insert(new): deletes apply first
+            recs.filter(_._2 == "delete").foreach { case (_, _, k, v) =>
+              assert(st.get(k).contains(v),
+                s"changelog deletes ($k,$v) the model never held, ops $ops")
+              st -= k
+            }
+            recs.filter(_._2 == "insert").foreach { case (_, _, k, v) =>
+              st += (k -> v)
+            }
+          }
+          assert(st === model, s"changelog fold mismatch after ops $ops")
+        }
         def check(): Unit = {
           if (model.isEmpty) {
             intercept[Exception] { IcebergLog.read(spark, tbl).collect() }
@@ -315,6 +347,20 @@ class PropertySpec extends SparkSpec {
                 model = model ++ fresh.toMap
                 history :+= ((sid, model))
               }
+            case Merge if exists && model.nonEmpty =>
+              // CoW upsert: matched keys take the batch payload, fresh
+              // keys insert — reads THROUGH live delete files (a
+              // MoR-dead key re-inserts, never resurrect-updates), so
+              // it interleaves freely with PosDelete/EqDelete
+              val st = IcebergLog.merge(spark, tbl, df(batch), Seq("id"),
+                Seq(1 -> "id"))
+              assert(st.rowsUpdated ===
+                  batch.count { case (k, _) => model.contains(k) }.toLong &&
+                st.rowsInserted ===
+                  batch.count { case (k, _) => !model.contains(k) }.toLong,
+                s"merge stats mismatch after ops $ops: $st")
+              model = model ++ batch.toMap
+              history :+= ((st.snapshotId, model))
             case Delete if exists && model.nonEmpty =>
               // CoW delete is a delete-blind planning path: it must
               // REFUSE while v2 delete files are live (resurrection
@@ -352,6 +398,7 @@ class PropertySpec extends SparkSpec {
               // interleaving that matters at CDC scale
               val sid = IcebergLog.deleteEqualityKeys(tbl,
                 Seq(delKey).toDF("id"), equalityFieldIds = Seq(1))
+              hadEqDelete = true
               model -= delKey
               history :+= ((sid, model))
             case Rewrite if exists && model.nonEmpty =>
@@ -375,7 +422,7 @@ class PropertySpec extends SparkSpec {
               }
             case _ =>
           }
-          if (exists) check()
+          if (exists) { check(); changelogFold() }
         }
     }
   }

@@ -2326,7 +2326,10 @@ object IcebergLog {
     *  - a PARTITIONED table restages touched survivors + batch through
     *    the partitioned writer (fresh entries carry their tuples;
     *    updates may move rows between partitions) so
-    *    [[prunePartitions]] stays exact after the merge;
+    *    [[prunePartitions]] stays exact after the merge; a join key
+    *    that IS a partition column prunes candidate files to the
+    *    batch's distinct tuple values (capped, strictly best-effort),
+    *    answered from manifest tuples like the condition's conjuncts;
     *  - the snapshot commits with the fail-fast expectedBaseVersion CAS
     *    (a concurrent commit surfaces loudly, never a lost update), as
     *    an `overwrite` the incremental scan refuses to cross.
@@ -2392,9 +2395,33 @@ object IcebergLog {
     // partition conjuncts prune candidate files from the MANIFEST
     // tuples first — a pruned file can contain no condition-true row
     val condT = matchCondition.map(c => coalesce(c, lit(false)))
-    val candidates = matchCondition.fold(data)(c =>
-      pruneEntriesByConjuncts(spark, target0.schema, data, c,
-        meta.specFields.map(_._2)))
+    val specCols = meta.specFields.map(_._2)
+    val condPruned = matchCondition.fold(data)(c =>
+      pruneEntriesByConjuncts(spark, target0.schema, data, c, specCols))
+    // when a JOIN KEY is a partition column, only files whose tuple
+    // value appears among the batch's distinct values for it can hold a
+    // match (the Delta verb's same lever). The distinct collect is
+    // CAPPED — pruning is strictly best-effort and a truncated value
+    // list must never prune (it would drop files holding real
+    // matches); null batch values drop (an equi-join key never matches
+    // null), and a key with NO non-null values matches no file at all.
+    // Inserts are unaffected — they stage from the batch.
+    val maxKeyPruneValues = 10000
+    val candidates = keys.filter(specCols.contains)
+      .foldLeft(condPruned) { (es, k) =>
+        if (es.isEmpty) es
+        else {
+          val raw = src.select(col(s"`$k`")).distinct()
+            .limit(maxKeyPruneValues + 1).collect()
+          if (raw.length > maxKeyPruneValues) es
+          else {
+            val vals = raw.map(_.get(0)).filter(_ != null).toSeq
+            if (vals.isEmpty) Seq.empty
+            else pruneEntriesByConjuncts(spark, target0.schema, es,
+              col(s"`$k`").isin(vals: _*), specCols)
+          }
+        }
+      }
     val scan =
       if (candidates.isEmpty) None
       else Some(liveWithMeta(spark, candidates, dels))

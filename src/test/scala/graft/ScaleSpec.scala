@@ -877,4 +877,45 @@ class ScaleSpec extends SparkSpec {
         "candidates")
     assert(IcebergLog.read(spark, tbl).count() === n + ms.rowsInserted)
   }
+
+  test("partition-key Iceberg merge reads only the batch tuples' bytes") {
+    // when a JOIN KEY is a partition column, the batch's distinct values
+    // for it answer the candidate prune from manifest tuples — merging a
+    // batch confined to one of eight partitions must read well under a
+    // full-table pass (Delta's x16b-era lever, now on both protocols)
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-ikprune").toString + "/t"
+    val n = 4000L
+    val rows = (0L until n).map(i => (i % 8, i, i * 7))
+    IcebergLog.appendPartitioned(
+      rows.toDF("bucket", "id", "v").repartition(4), tbl,
+      partitionBy = Seq(1 -> "bucket"))
+    // batch keys live ONLY in bucket 3
+    val batch = (0L until n by 5).filter(_ % 8 == 3)
+      .map(i => (3L, i, -i)).toDF("bucket", "id", "v")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ms =
+      try IcebergLog.merge(spark, tbl, batch, Seq("bucket", "id"))
+      finally {
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(ms.rowsUpdated === rows.count { case (b, i, _) =>
+      b == 3L && i % 5 == 0 }.toLong && ms.rowsInserted === 0L)
+    assert(read.get < (n * 3) / 4,
+      s"partition-key iceberg merge read ${read.get} records of $n — " +
+        "the batch's key tuples did not prune the manifest candidates")
+    assert(IcebergLog.read(spark, tbl).count() === n)
+  }
 }

@@ -433,7 +433,16 @@ object DdlTranslate {
       var i = 0
       while (i < s.length) {
         val c = s.charAt(i)
-        if (delim != 0) { if (c == delim) delim = 0 }
+        if (delim != 0) {
+          // Spark SQL string literals allow backslash escapes by default
+          // (escapedStringLiterals=false): \' inside '...' stays inside
+          // the literal, so the escaped character must be skipped or the
+          // literal would terminate early and an in-literal SELECT would
+          // split the statement. Backticked identifiers have no
+          // backslash escapes (doubling is their only escape).
+          if (c == '\\' && delim != '`' && i + 1 < s.length) i += 1
+          else if (c == delim) delim = 0
+        }
         else c match {
           case '\'' | '"' | '`' => delim = c
           case '(' => depth += 1

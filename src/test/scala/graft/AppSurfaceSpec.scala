@@ -408,6 +408,20 @@ class AppSurfaceSpec extends SparkSpec {
     val esc = "REPLACE INTO 'p' WHERE v = 'it''s select' SELECT 1 AS d"
     assert(ReplaceWhereStmt.unapply(esc) ===
       Some(("p", "v = 'it''s select'", "SELECT 1 AS d")))
+    // BACKSLASH escapes (Spark's default literal syntax): \' stays
+    // inside the literal — terminating there would split at the
+    // in-literal SELECT and hand a malformed predicate to the analyzer
+    val bs = "REPLACE INTO 'p' WHERE v = 'it\\'s select' SELECT 1 AS d"
+    assert(ReplaceWhereStmt.unapply(bs) ===
+      Some(("p", "v = 'it\\'s select'", "SELECT 1 AS d")))
+    val bsd = "REPLACE INTO 'p' WHERE v = \"a \\\" select\" SELECT 1 AS d"
+    assert(ReplaceWhereStmt.unapply(bsd) ===
+      Some(("p", "v = \"a \\\" select\"", "SELECT 1 AS d")))
+    // a trailing backslash right before the closing quote still closes
+    // on the DOUBLED form; an escaped backslash then a real close works
+    val bs2 = "REPLACE INTO 'p' WHERE v = 'x\\\\' SELECT 1 AS d"
+    assert(ReplaceWhereStmt.unapply(bs2) ===
+      Some(("p", "v = 'x\\\\'", "SELECT 1 AS d")))
     // no top-level SELECT (or an empty predicate): not a REPLACE WHERE
     assert(ReplaceWhereStmt.unapply(
       "REPLACE INTO 'p' WHERE k IN (SELECT k FROM t)").isEmpty)

@@ -17,6 +17,23 @@ class ScaleSpec extends SparkSpec {
   private def plan(name: String): String =
     Registry.byName(name).run(spark, sf0001).queryExecution.executedPlan.toString
 
+  /** Drain the SparkListener bus before reading a metrics counter: a
+    * fixed sleep undercounts on a slow bus, which for a records-READ pin
+    * can only make the assertion pass spuriously. `listenerBus` is
+    * private[spark] (public in bytecode), so the drain goes through
+    * reflection; if the internal surface moves, fall back to a sleep.
+    */
+  private def drainListenerBus(): Unit =
+    try {
+      val bus = spark.sparkContext.getClass.getMethod("listenerBus")
+        .invoke(spark.sparkContext)
+      try { bus.getClass.getMethod("waitUntilEmpty").invoke(bus); () }
+      catch { case _: NoSuchMethodException =>
+        bus.getClass.getMethod("waitUntilEmpty", classOf[Long])
+          .invoke(bus, Long.box(10000L)); ()
+      }
+    } catch { case _: Throwable => Thread.sleep(300) }
+
   test("q06: filter and projection push down to the parquet scan") {
     val p = plan("q06_revenue_forecast")
     assert(p.contains("PushedFilters: ["), s"no pushed filters in:\n$p")
@@ -739,7 +756,7 @@ class ScaleSpec extends SparkSpec {
       spark.sparkContext.addSparkListener(l)
       try DeltaWrite.merge(tbl, batch, Seq("id"))
       finally {
-        Thread.sleep(300)
+        drainListenerBus()
         spark.sparkContext.removeSparkListener(l)
       }
       jobs.get
@@ -777,7 +794,7 @@ class ScaleSpec extends SparkSpec {
       try DeltaWrite.deleteWhere(spark, tbl,
         col("part") === "p3" && col("id") % 2 === 1)
       finally {
-        Thread.sleep(300)
+        drainListenerBus()
         spark.sparkContext.removeSparkListener(l)
       }
     assert(st.rowsDeleted === rows.count { case (i, p, _) =>
@@ -821,7 +838,7 @@ class ScaleSpec extends SparkSpec {
       try DeltaWrite.merge(tbl, batch, Seq("id"),
         matchCondition = Some(col("part") === "p3"))
       finally {
-        Thread.sleep(300)
+        drainListenerBus()
         spark.sparkContext.removeSparkListener(l)
       }
     // p3 keys ending in 0/5: i % 8 == 3 && i % 5 == 0 — the batch rows
@@ -866,7 +883,7 @@ class ScaleSpec extends SparkSpec {
       try IcebergLog.merge(spark, tbl, batch, Seq("id"),
         matchCondition = Some(col("part") === "p3"))
       finally {
-        Thread.sleep(300)
+        drainListenerBus()
         spark.sparkContext.removeSparkListener(l)
       }
     assert(ms.rowsUpdated === rows.count { case (i, p, _) =>
@@ -908,7 +925,7 @@ class ScaleSpec extends SparkSpec {
     val ms =
       try IcebergLog.merge(spark, tbl, batch, Seq("bucket", "id"))
       finally {
-        Thread.sleep(300)
+        drainListenerBus()
         spark.sparkContext.removeSparkListener(l)
       }
     assert(ms.rowsUpdated === rows.count { case (b, i, _) =>

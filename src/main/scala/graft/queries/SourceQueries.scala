@@ -1110,6 +1110,102 @@ object SourceQueries {
       )
       ORDER BY snapshot_id, change_type, o_orderkey""")),
 
+    // x56: HIDDEN PARTITIONING VIA days(ts) — Iceberg's signature
+    // table-format feature and the canonical 100 TB event-data layout:
+    // the spec records `day(ts) AS ts_day`, the data files keep ONLY
+    // the source columns (no materialized date column, ever), each
+    // manifest entry carries its day ordinal, and a `ts BETWEEN`
+    // predicate prunes FILES through the tuples (in-query require: the
+    // kept set shrinks) before the residual predicate decides rows.
+    // ScaleSpec pins records-read ("a day-range scan opens only that
+    // range's files"); the oracle is the plain relational filter.
+    QueryDef("x56_iceberg_days_transform", (s, d) => {
+      val tbl = s"$stage/ice_days"
+      rmTree(tbl)
+      val e = Tables.load(s, d, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+        .repartitionByRange(4, col("ts"))
+      graft.sources.IcebergLog.appendPartitionedSpec(e, tbl,
+        Seq(graft.sources.IcebergLog.SpecField(2, "ts_day", "day", "ts")))
+      // the spec round-trips with its transform + source column, and
+      // the read exposes no derived column
+      val (specs, _) = graft.sources.IcebergLog.partitionSpecsFull(tbl)
+      require(specs.head._2 ==
+          Seq(graft.sources.IcebergLog.SpecField(2, "ts_day", "day", "ts")),
+        s"day spec not recorded: $specs")
+      require(!graft.sources.IcebergLog.read(s, tbl)
+        .columns.contains("ts_day"), "derived day column leaked into reads")
+      val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-01-14 23:59:59")
+      val (kept, total) = graft.sources.IcebergLog
+        .prunePartitionsBySourceRange(tbl, "ts", Some(lo), Some(hi))
+      require(kept.nonEmpty && kept.size < total,
+        s"day tuples pruned nothing: ${kept.size} of $total files kept")
+      graft.sources.IcebergLog.readSourceRange(s, tbl, "ts",
+          Some(lo), Some(hi))
+        .select(col("event_id").cast("long").as("event_id"),
+          col("ts"),
+          col("user_id").cast("long").as("user_id"),
+          col("value").cast("double").as("value"))
+        .orderBy(col("event_id"))
+    }, Some("""
+      SELECT CAST(event_id AS BIGINT) AS event_id, ts,
+        CAST(user_id AS BIGINT) AS user_id, CAST(value AS DOUBLE) AS value
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        AND ts <= TIMESTAMP '2024-01-14 23:59:59'
+      ORDER BY event_id""")),
+
+    // x56b: BUCKET TRANSFORM — `bucket(8, o_orderkey)` is the classic
+    // upsert layout (even write spread with no natural partition key):
+    // the merge batch's keys map through the spec's murmur3 bucket
+    // contract (Appendix B, seed 0 — vectors pinned in PropertySpec) to
+    // prune candidate files from the manifests, and the restage keeps
+    // every fresh file's bucket tuple. In-query requires pin the spec
+    // round-trip and that files outside the batch's buckets keep
+    // physical identity; ScaleSpec pins records-read.
+    QueryDef("x56b_iceberg_bucket_transform", (s, d) => {
+      val tbl = s"$stage/ice_bucket"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.appendPartitionedSpec(o.repartition(4), tbl,
+        Seq(graft.sources.IcebergLog.SpecField(1, "okey_bucket",
+          "bucket[8]", "o_orderkey")))
+      val (specs, _) = graft.sources.IcebergLog.partitionSpecsFull(tbl)
+      require(specs.head._2 ==
+          Seq(graft.sources.IcebergLog.SpecField(1, "okey_bucket",
+            "bucket[8]", "o_orderkey")),
+        s"bucket spec not recorded: $specs")
+      val before = graft.sources.IcebergLog.liveEntries(tbl)
+        .map(_.path).toSet
+      // a FIXED key set (13 keys at every SF — the generator's orderkeys
+      // are dense from 0): one-ish key per bucket touches a file or two
+      // per bucket, so untouched files demonstrably survive at sf0.001
+      // through sf1
+      val src = o.filter(col("o_orderkey") <= 12)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val ms = graft.sources.IcebergLog.merge(s, tbl, src, Seq("o_orderkey"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted == 0L,
+        s"bucket merge degenerated: $ms")
+      require(graft.sources.IcebergLog.liveEntries(tbl).map(_.path).toSet
+          .intersect(before).nonEmpty,
+        "bucket merge rewrote every file — key pruning dead")
+      require(graft.sources.IcebergLog.liveEntries(tbl)
+          .forall(_.partitionValues.keySet == Set("okey_bucket")),
+        "a restaged file lost its bucket tuple")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice + CASE WHEN o_orderkey <= 12
+          THEN 1000.0 ELSE 0 END AS DOUBLE) AS o_totalprice
+      FROM orders
+      ORDER BY o_orderkey""")),
+
     // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
     // pass behind a streaming sink: eight per-epoch small commits leave
     // eight small files; one dataChange:false commit rewrites them into

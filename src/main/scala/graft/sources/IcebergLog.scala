@@ -62,6 +62,238 @@ object IcebergLog {
       summary: Map[String, String] = Map.empty,
       parentId: Option[Long] = None)
 
+  /** One partition-spec field: `transform(sourceName) AS name`, recorded
+    * with the source column's Iceberg field id. `identity` fields keep
+    * name == sourceName (the pre-transform behavior); `day` /
+    * `bucket[N]` / `truncate[W]` fields derive a HIDDEN partition value
+    * — Iceberg's hidden partitioning, the canonical 100 TB event-table
+    * layout: the data files carry only the SOURCE column, the manifests
+    * carry the derived tuple, and pruning maps predicates through the
+    * transform ([[prunePartitionsBySourceRange]], the merge key lever).
+    *
+    * `sourceName0` is "" when the source column name equals `name` (all
+    * identity fields) so that structural equality is stable across
+    * construct/parse round-trips — spec evolution compares fields
+    * ([[commitSnapshot]]). Real Iceberg resolves source-id through the
+    * table schema; footer-inferred tables record none, so this writer
+    * additionally records the source NAME in the spec JSON
+    * (`source-name`, an extension key external readers ignore).
+    */
+  final case class SpecField(sourceId: Int, name: String,
+      transform: String = "identity", sourceName0: String = "") {
+    def sourceName: String = if (sourceName0.isEmpty) name else sourceName0
+    def isIdentity: Boolean = transform == "identity"
+  }
+
+  /** Iceberg partition transforms (spec "Partition Transforms" +
+    * Appendix B hash contract): ONE value-level evaluation shared by
+    * the partitioned writer (staging), merge key pruning (batch values
+    * → tuple values) and range pruning (predicate bounds → tuple
+    * bounds) — write and prune can never disagree because they are the
+    * same JVM function. Spark-side staging uses built-in expressions
+    * where one exists (identity/day/long-truncate — codegen'd, exact
+    * integer math); `bucket` and string-`truncate` have no Spark
+    * builtin matching the Iceberg contract (murmur3 seed 0 resp.
+    * code-point truncation), so they stage through a scala UDF over
+    * these functions — write-side only, one pass per commit.
+    */
+  private[graft] object Transforms {
+    private val BucketRe = """bucket\[(\d+)\]""".r
+    private val TruncRe = """truncate\[(\d+)\]""".r
+    private val DayMicros = 86400000000L
+
+    /** 32-bit Murmur3 (x86 variant), seed 0 — the hash the Iceberg spec
+      * fixes for `bucket` (Appendix B), implemented from the published
+      * algorithm. Spec test vectors pinned in SourcesSpec
+      * (`hashLong(34) == 2017239379`, `hash("iceberg") == 1210000089`).
+      */
+    def murmur3(bytes: Array[Byte]): Int = {
+      val c1 = 0xcc9e2d51
+      val c2 = 0x1b873593
+      var h = 0 // seed 0 per spec
+      val n = bytes.length - (bytes.length % 4)
+      var i = 0
+      while (i < n) {
+        var k = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+          ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+        k *= c1; k = Integer.rotateLeft(k, 15); k *= c2
+        h ^= k; h = Integer.rotateLeft(h, 13); h = h * 5 + 0xe6546b64
+        i += 4
+      }
+      var k = 0
+      (bytes.length % 4: @annotation.switch) match {
+        case 3 =>
+          k ^= (bytes(n + 2) & 0xff) << 16
+          k ^= (bytes(n + 1) & 0xff) << 8
+          k ^= bytes(n) & 0xff
+        case 2 =>
+          k ^= (bytes(n + 1) & 0xff) << 8
+          k ^= bytes(n) & 0xff
+        case 1 => k ^= bytes(n) & 0xff
+        case _ =>
+      }
+      if (k != 0) { k *= c1; k = Integer.rotateLeft(k, 15); k *= c2; h ^= k }
+      h ^= bytes.length
+      h ^= h >>> 16; h *= 0x85ebca6b; h ^= h >>> 13; h *= 0xc2b2ae35
+      h ^ (h >>> 16)
+    }
+
+    /** Bucket ordinal per spec: `(murmur3(v) & MaxInt) % n`; ints hash
+      * as 8-byte little-endian LONGS (the spec's widening rule, so
+      * evolving int→long never re-buckets), strings as UTF-8 bytes.
+      */
+    def bucketOf(v: Any, n: Int): Int = {
+      val bytes = v match {
+        case l: Long =>
+          java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array()
+        case i: Int =>
+          java.nio.ByteBuffer.allocate(8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(i.toLong).array()
+        case s: String => s.getBytes(StandardCharsets.UTF_8)
+        case other => throw new IllegalArgumentException(
+          s"bucket transform unsupported for ${other.getClass.getName}")
+      }
+      (murmur3(bytes) & Integer.MAX_VALUE) % n
+    }
+
+    /** Day ordinal (days from 1970-01-01, FLOORED — negative epochs
+      * round toward minus infinity, never toward zero).
+      */
+    def dayOf(v: Any): Long = v match {
+      case ts: java.sql.Timestamp => Math.floorDiv(ts.getTime, 86400000L)
+      case i: java.time.Instant => Math.floorDiv(i.toEpochMilli, 86400000L)
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
+      case us: Long => Math.floorDiv(us, DayMicros) // epoch MICROS
+      case other => throw new IllegalArgumentException(
+        s"day transform unsupported for ${other.getClass.getName}")
+    }
+
+    /** Truncate per spec: longs floor to a multiple of W (floored, so
+      * negatives bucket below zero); strings cut to W CODE POINTS (not
+      * UTF-16 chars — an astral-plane character counts once).
+      */
+    def truncateOf(v: Any, w: Int): Any = v match {
+      case l: Long => l - Math.floorMod(l, w.toLong)
+      case i: Int => i.toLong - Math.floorMod(i.toLong, w.toLong)
+      case s: String =>
+        if (s.codePointCount(0, s.length) <= w) s
+        else s.substring(0, s.offsetByCodePoints(0, w))
+      case other => throw new IllegalArgumentException(
+        s"truncate transform unsupported for ${other.getClass.getName}")
+    }
+
+    /** Evaluate a transform on one source VALUE (null → null). */
+    def apply(transform: String, v: Any): Any =
+      if (v == null) null
+      else transform match {
+        case "identity" => v
+        case "day" => dayOf(v)
+        case BucketRe(n) => bucketOf(v, n.toInt).toLong
+        case TruncRe(w) => truncateOf(v, w.toInt)
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg partition transform: $other")
+      }
+
+    /** Order-preserving transforms (v1 ≤ v2 ⇒ t(v1) ≤ t(v2)) — the
+      * property range pruning relies on. `bucket` deliberately is NOT.
+      */
+    def monotonic(transform: String): Boolean = transform match {
+      case "identity" | "day" => true
+      case TruncRe(_) => true
+      case _ => false
+    }
+
+    def isKnown(transform: String): Boolean = transform match {
+      case "identity" | "day" | BucketRe(_) | TruncRe(_) => true
+      case _ => false
+    }
+
+    /** The shadow-column expression the partitioned writer stages with
+      * — MUST equal [[apply]] on every value (prune correctness hangs
+      * on the agreement; the property fuzz cross-checks them).
+      */
+    def columnExpr(f: SpecField,
+        sourceType: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{col, expr, lit, pmod, substring, udf}
+      import org.apache.spark.sql.types._
+      val src = col(s"`${f.sourceName}`")
+      f.transform match {
+        case "identity" => src
+        case "day" => sourceType match {
+          case TimestampType =>
+            // exact integer floor-division (DIV after subtracting the
+            // positive mod): a double floor would lose precision past
+            // 2^53 micros and mis-bucket extreme timestamps
+            expr(s"CAST((unix_micros(`${f.sourceName}`) - pmod(" +
+              s"unix_micros(`${f.sourceName}`), ${DayMicros}L)) DIV " +
+              s"${DayMicros}L AS BIGINT)")
+          case DateType =>
+            org.apache.spark.sql.functions.datediff(src,
+              lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+          case LongType => // epoch-micros column
+            expr(s"CAST((`${f.sourceName}` - pmod(`${f.sourceName}`, " +
+              s"${DayMicros}L)) DIV ${DayMicros}L AS BIGINT)")
+          case other => throw new IllegalArgumentException(
+            s"day transform needs a timestamp/date/epoch-micros column, " +
+              s"got $other for ${f.sourceName}")
+        }
+        case BucketRe(n) =>
+          val nn = n.toInt
+          sourceType match {
+            case LongType | IntegerType =>
+              udf((v: java.lang.Long) =>
+                if (v == null) null
+                else Long.box(bucketOf(v.longValue(), nn).toLong))
+                .apply(src.cast("long"))
+            case StringType =>
+              udf((v: String) =>
+                if (v == null) null else Long.box(bucketOf(v, nn).toLong))
+                .apply(src)
+            case other => throw new IllegalArgumentException(
+              s"bucket transform needs a long/int/string column, got " +
+                s"$other for ${f.sourceName}")
+          }
+        case TruncRe(w) => sourceType match {
+          case LongType | IntegerType =>
+            val lsrc = src.cast("long")
+            lsrc - pmod(lsrc, lit(w.toLong))
+          case StringType =>
+            val ww = w.toInt
+            // code-point semantics: substring() counts UTF-16 chars and
+            // would disagree with apply() on astral-plane strings
+            udf((v: String) =>
+              if (v == null) null else truncateOf(v, ww).asInstanceOf[String])
+              .apply(src)
+          case other => throw new IllegalArgumentException(
+            s"truncate transform needs a long/int/string column, got " +
+              s"$other for ${f.sourceName}")
+        }
+        case other => throw new IllegalArgumentException(
+          s"unsupported Iceberg partition transform: $other")
+      }
+    }
+
+    /** The TUPLE value's type as staged/recorded: long for day/bucket
+      * and numeric truncate, the source type otherwise.
+      */
+    def tupleIsLong(f: SpecField,
+        sourceType: org.apache.spark.sql.types.DataType): Boolean = {
+      import org.apache.spark.sql.types._
+      f.transform match {
+        case "identity" =>
+          sourceType == LongType || sourceType == IntegerType
+        case "day" => true
+        case BucketRe(_) => true
+        case TruncRe(_) =>
+          sourceType == LongType || sourceType == IntegerType
+        case _ => false
+      }
+    }
+  }
+
   /** Parsed metadata root: format version + snapshots + the current one.
     * `specFields` is the DEFAULT partition spec's identity fields as
     * (source field id, column name) — empty for unpartitioned tables.
@@ -70,8 +302,8 @@ object IcebergLog {
     * files written under older specs interpretable forever.
     */
   final case class TableMeta(formatVersion: Long, currentSnapshotId: Long,
-      snapshots: Seq[Snapshot], specFields: Seq[(Int, String)] = Seq.empty,
-      specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
+      snapshots: Seq[Snapshot], specFields: Seq[SpecField] = Seq.empty,
+      specs: Seq[(Int, Seq[SpecField])] = Seq.empty,
       defaultSpecId: Int = 0,
       refs: Map[String, (Long, String)] = Map.empty,
       schemaFields: Seq[(Int, String, String)] = Seq.empty,
@@ -146,9 +378,12 @@ object IcebergLog {
       }
       case _ => Seq.empty
     }
-    // the full partition-spec history (identity transforms only — the
-    // subset this writer produces); absent/empty on unpartitioned tables
-    val specs: Seq[(Int, Seq[(Int, String)])] =
+    // the full partition-spec history (identity/day/bucket/truncate
+    // transforms); absent/empty on unpartitioned tables. `source-name`
+    // is this writer's extension for schema-free tables (real Iceberg
+    // resolves source-id through the schema record); absent → identity
+    // convention (source name == field name).
+    val specs: Seq[(Int, Seq[SpecField])] =
       root.get("partition-specs") match {
         case Some(xs: Seq[_]) => xs.collect { case m: Map[_, _] =>
           val mm = m.asInstanceOf[Map[String, Any]]
@@ -157,10 +392,15 @@ object IcebergLog {
           val fields = mm.get("fields") match {
             case Some(fs: Seq[_]) => fs.collect { case fm0: Map[_, _] =>
               val fm = fm0.asInstanceOf[Map[String, Any]]
-              (fm("source-id").asInstanceOf[Double].toInt,
-                fm("name").asInstanceOf[String])
+              val name = fm("name").asInstanceOf[String]
+              val transform = fm.get("transform")
+                .collect { case s: String => s }.getOrElse("identity")
+              val srcName = fm.get("source-name")
+                .collect { case s: String => s }.getOrElse(name)
+              SpecField(fm("source-id").asInstanceOf[Double].toInt, name,
+                transform, if (srcName == name) "" else srcName)
             }
-            case _ => Seq.empty[(Int, String)]
+            case _ => Seq.empty[SpecField]
           }
           (id, fields)
         }
@@ -397,11 +637,19 @@ object IcebergLog {
   def snapshots(tablePath: String): Seq[Snapshot] =
     parseMeta(currentMetadataFile(tablePath)).snapshots.sortBy(_.snapshotId)
 
-  /** The table's partition-spec history ((spec-id, identity fields)) and
-    * the default spec id — the inspection surface for spec evolution.
+  /** The table's partition-spec history ((spec-id, (source-id, field
+    * name) pairs)) and the default spec id — the inspection surface for
+    * spec evolution. Transform detail lives in [[partitionSpecsFull]].
     */
   def partitionSpecs(tablePath: String)
       : (Seq[(Int, Seq[(Int, String)])], Int) = {
+    val (full, d) = partitionSpecsFull(tablePath)
+    (full.map { case (id, fs) => id -> fs.map(f => (f.sourceId, f.name)) }, d)
+  }
+
+  /** The full spec history including transforms and source columns. */
+  def partitionSpecsFull(tablePath: String)
+      : (Seq[(Int, Seq[SpecField])], Int) = {
     val meta = parseMeta(currentMetadataFile(tablePath))
     (meta.specs, meta.defaultSpecId)
   }
@@ -606,8 +854,27 @@ object IcebergLog {
     // that never rolled back, and our writer stamps the field on every
     // commit.
     val byId = meta.snapshots.map(s => s.snapshotId -> s).toMap
+    // the id-order fallback is only trustworthy on a table that NEVER
+    // rolled back (then id order IS lineage). A head behind the max id
+    // is rollback evidence: a parentless snapshot there may have been
+    // written by a foreign writer whose true parent is NOT the
+    // max-smaller id, and guessing would replay rolled-back-over
+    // orphans as phantom pairs — refuse loudly instead. (A table that
+    // rolled back and then committed again has head == max again; our
+    // own writer stamps parent-snapshot-id on every commit, so only
+    // FOREIGN parentless snapshots on such a table remain undetectable
+    // — the documented limitation.)
     def parentOf(s: Snapshot): Option[Long] =
-      s.parentId.orElse(ids.filter(_ < s.snapshotId).lastOption)
+      s.parentId.orElse {
+        val fallback = ids.filter(_ < s.snapshotId).lastOption
+        require(fallback.isEmpty || meta.currentSnapshotId == ids.max,
+          s"snapshot ${s.snapshotId} of $tablePath records no " +
+            "parent-snapshot-id and the table shows rollback history " +
+            "(current snapshot is not the newest id) — the id-order " +
+            "lineage fallback could replay rolled-back-over orphans, " +
+            "refusing to walk the changelog ancestry")
+        fallback
+      }
     var chain = List.empty[Snapshot]
     var walk: Option[Snapshot] = Some(toId).filter(_ > 0L).map(byId)
     while (walk.exists(_.snapshotId > fromSnapshotId)) {
@@ -654,6 +921,21 @@ object IcebergLog {
             "EQUALITY-delete file: its target files are unbounded, so " +
             "the changelog cannot stay O(touched bytes) — " +
             "rewriteDataFiles() first, then read the changelog")
+        // whenever THIS step applies delete files to a SUBSET of the
+        // live set (visible() below, namedByDels matching), basename
+        // uniqueness must hold over the FULL before∪after data sets —
+        // liveWithMeta's own require would only see the subset, and on
+        // an adopted layout a position delete aimed at an unaffected
+        // same-named file would silently apply to the affected one
+        if ((pDels ++ curDels).nonEmpty) {
+          val allNames = (pData ++ curData.filterNot(e =>
+            prevPaths.contains(e.path))).map(e => new File(e.path).getName)
+          require(allNames.distinct.size == allNames.size,
+            s"duplicate data-file basenames across snapshot " +
+              s"${s.snapshotId} of $tablePath: position-delete matching " +
+              "is by file name and would be ambiguous — " +
+              allNames.diff(allNames.distinct).distinct.mkString(","))
+        }
         // files whose VISIBLE rows can change: moved data files, plus
         // the carried files the new position deletes NAME (a position
         // delete addresses rows by file, so the touched set is bounded)
@@ -802,7 +1084,8 @@ object IcebergLog {
         val meta = Seq("__graft_file", "__graft_pos", "__graft_dseq")
         liveWithMeta(spark, data, dels).drop(meta: _*)
       }
-    val injected = injectIdentityPartitions(spark, data, base)
+    val injected = injectIdentityPartitions(spark, data, base,
+      hiddenFieldNames(tablePath))
     // a recorded schema fixes the output column ORDER too — partition
     // columns join in last, so a mapped+partitioned mirror re-projects
     // to the schema's declared order
@@ -830,8 +1113,11 @@ object IcebergLog {
         // requesting them from parquet would yield NULL columns that
         // block the partition injection. Scan only the data fields; the
         // injector re-attaches the rest (and read() restores order).
+        // HIDDEN (transformed) fields are the opposite: their SOURCE
+        // column stays in the data files, so it must NOT be excluded.
         val partIds = meta0.specs.find(_._1 == meta0.defaultSpecId)
-          .map(_._2.map(_._1).toSet).getOrElse(Set.empty[Int])
+          .map(_._2.filter(_.isIdentity).map(_.sourceId).toSet)
+          .getOrElse(Set.empty[Int])
         val fields = allFields.filterNot(f => partIds.contains(f._1))
         if (mapping.nonEmpty) {
           // NAME MAPPING (`schema.name-mapping.default`): files carry
@@ -938,11 +1224,15 @@ object IcebergLog {
     * staging) pass through untouched.
     */
   private def injectIdentityPartitions(spark: SparkSession,
-      data: Seq[LiveEntry], base: DataFrame): DataFrame = {
+      data: Seq[LiveEntry], base: DataFrame,
+      hiddenFields: Set[String] = Set.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, input_file_name}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.Row
-    val pvCols = data.flatMap(_.partitionValues.keys).distinct.sorted
+    // hidden (transformed) tuple fields are DERIVED values, never table
+    // columns — injecting `ts_day` would add a column no schema declares
+    val pvCols = data.flatMap(_.partitionValues.keys).distinct
+      .filterNot(hiddenFields).sorted
     val missing = pvCols.filterNot(base.columns.contains)
     if (missing.isEmpty) return base
     missing.foreach { c =>
@@ -1255,7 +1545,7 @@ object IcebergLog {
     */
   private def writeSnapshot(metaDir: File, sid: Long,
       entries: Seq[FixtureEntry],
-      specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty): String = {
+      specs: Seq[(Int, Seq[SpecField])] = Seq.empty): String = {
     // manifest/list names carry a per-ATTEMPT unique tag: two concurrent
     // committers may both stage snapshot id N before either claims the
     // metadata version — same-named files would silently clobber the
@@ -1350,9 +1640,9 @@ object IcebergLog {
         r.put("data_file", df)
         r
       })
-      // the manifest's spec id: the recorded spec whose column set
+      // the manifest's spec id: the recorded spec whose FIELD-name set
       // matches this group (0 for unpartitioned/delete-file groups)
-      val specId = specs.find(_._2.map(_._2).toSet == keys)
+      val specId = specs.find(_._2.map(_.name).toSet == keys)
         .map(_._1).getOrElse(0)
       (manifest, specId)
     }
@@ -1371,25 +1661,33 @@ object IcebergLog {
 
   private def writeMetadataVersion(metaDir: File, tablePath: String,
       version: Long, currentSid: Long, snapJsons: Seq[String],
-      specs: Seq[(Int, Seq[(Int, String)])] = Seq.empty,
+      specs: Seq[(Int, Seq[SpecField])] = Seq.empty,
       defaultSpecId: Int = 0,
       refs: Map[String, (Long, String)] = Map.empty,
       schemaFields: Seq[(Int, String, String)] = Seq.empty,
       nameMapping: Map[Int, String] = Map.empty): Unit = {
     val target = new File(metaDir, s"v$version.metadata.json")
-    // the FULL partition-spec history (identity transforms; partition
-    // field-ids from 1000, unique ACROSS specs per the v2 rule) — the
-    // metadata-level record that keeps every epoch's per-entry partition
-    // structs interpretable after an evolution
+    // the FULL partition-spec history (identity/day/bucket/truncate
+    // transforms; partition field-ids from 1000, unique ACROSS specs
+    // per the v2 rule) — the metadata-level record that keeps every
+    // epoch's per-entry partition structs interpretable after an
+    // evolution. `source-name` (only when it differs from the field
+    // name) is this writer's extension for schema-free tables — real
+    // Iceberg resolves source-id through the schema record, which
+    // footer-inferred tables do not carry; external readers ignore
+    // unknown keys.
     val specJson =
       if (specs.isEmpty) ""
       else {
         val arr = specs.map { case (id, fields) =>
           require(fields.size < 100,
             s"partition spec $id has ${fields.size} fields (max 99)")
-          val fs = fields.zipWithIndex.map { case ((sid, n), i) =>
-            s"""{"name":"${jsonEscape(n)}","transform":"identity",""" +
-              s""""source-id":$sid,"field-id":${1000 + id * 100 + i}}"""
+          val fs = fields.zipWithIndex.map { case (f, i) =>
+            val srcName =
+              if (f.sourceName == f.name) ""
+              else s""","source-name":"${jsonEscape(f.sourceName)}""""
+            s"""{"name":"${jsonEscape(f.name)}","transform":"${jsonEscape(f.transform)}",""" +
+              s""""source-id":${f.sourceId},"field-id":${1000 + id * 100 + i}$srcName}"""
           }.mkString(",")
           s"""{"spec-id":$id,"fields":[$fs]}"""
         }.mkString(",")
@@ -1627,12 +1925,31 @@ object IcebergLog {
     */
   def appendPartitioned(df: DataFrame, tablePath: String,
       partitionBy: Seq[(Int, String)],
+      statsFields: Seq[(Int, String)] = Seq.empty): Long =
+    appendPartitionedSpec(df, tablePath,
+      partitionBy.map { case (id, n) => SpecField(id, n) }, statsFields)
+
+  /** PARTITIONED APPEND under a full partition spec — HIDDEN
+    * PARTITIONING when any field carries a non-identity transform
+    * (`day`/`bucket[N]`/`truncate[W]`, Iceberg's signature table-format
+    * feature and the canonical 100 TB event-data layout): the staged
+    * data files keep ONLY the source columns; each file's manifest
+    * entry records the DERIVED tuple (e.g. `ts_day=17486`), and
+    * predicates on the SOURCE column prune through the transform
+    * ([[prunePartitionsBySourceRange]] for ranges over order-preserving
+    * transforms, the merge key lever for equality through any
+    * transform) without the table ever materializing a derived column.
+    */
+  def appendPartitionedSpec(df: DataFrame, tablePath: String,
+      spec: Seq[SpecField],
       statsFields: Seq[(Int, String)] = Seq.empty): Long = {
-    require(partitionBy.nonEmpty, "appendPartitioned needs partition columns")
+    require(spec.nonEmpty, "appendPartitioned needs partition fields")
+    spec.foreach(f => require(Transforms.isKnown(f.transform),
+      s"unsupported partition transform: ${f.transform}"))
     val root = new File(tablePath)
     val metaDir = new File(root, "metadata")
     metaDir.mkdirs()
-    val moved = stagePartitioned(df, root, partitionBy.map(_._2))
+    val moved = stagePartitioned(df, root, spec)
     require(moved.nonEmpty, s"no data files produced for $tablePath")
     val fresh = moved.map { case (f, pv) =>
       addedEntry(f, statsFields).copy(partitionValues = pv)
@@ -1645,7 +1962,7 @@ object IcebergLog {
         if (!hasMetaNow) Seq.empty
         else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
       commitSnapshot(tablePath, priorEntries ++ fresh,
-        partitionSpec = partitionBy, expectedBaseVersion = base)
+        partitionSpec = spec, expectedBaseVersion = base)
     }
   }
 
@@ -1686,7 +2003,8 @@ object IcebergLog {
     val (kept, _) = prunePartitions(tablePath, filter)
     val base =
       if (kept.nonEmpty)
-        injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept))
+        injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept),
+          hiddenFieldNames(tablePath))
       else read(spark, tablePath).limit(0)
     filter.foldLeft(base) { case (d, (c, v)) =>
       if (v == null) d.filter(col(c).isNull)
@@ -1694,22 +2012,100 @@ object IcebergLog {
     }
   }
 
-  /** Stage `df` partitioned by `partCols` (identity): write through
-    * Spark's hive-style partitioned writer on DUPLICATED shadow columns
-    * (so the real columns stay in the files), then move each leaf file
-    * flat into `data/` under a uuid name, decoding its partition tuple
-    * from the directory path. Same crash posture as [[stageData]].
+  /** The non-identity (derived/hidden) partition field names across the
+    * WHOLE spec history — entries written under any old spec may still
+    * carry them.
+    */
+  private def hiddenFieldNames(tablePath: String): Set[String] =
+    parseMeta(currentMetadataFile(tablePath)).specs
+      .flatMap(_._2).filterNot(_.isIdentity).map(_.name).toSet
+
+  /** HIDDEN-PARTITION RANGE PRUNING — the lever `days(ts)` layouts exist
+    * for: prune live data files by a range predicate on a SOURCE column,
+    * answered from manifest tuples through every ORDER-PRESERVING
+    * transform of that column (identity, day, truncate). Sound because
+    * monotonicity gives `v ∈ [lo, hi] ⇒ t(v) ∈ [t(lo), t(hi)]`: a file
+    * whose recorded tuple value falls outside the transformed interval
+    * can hold no matching row. Files without the tuple (older spec) and
+    * null tuples always keep — pruning may only shrink the scan, never
+    * the answer; `bucket` fields never participate (not monotonic).
+    * Zero data files or footers opened. Returns (kept, totalLive).
+    */
+  def prunePartitionsBySourceRange(tablePath: String, sourceCol: String,
+      lo: Option[Any], hi: Option[Any]): (Seq[LiveEntry], Int) = {
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    val entries = liveEntries(tablePath)
+    val fields = meta.specs.flatMap(_._2).distinct.filter(f =>
+      f.sourceName == sourceCol && Transforms.monotonic(f.transform))
+    if (fields.isEmpty || (lo.isEmpty && hi.isEmpty))
+      return (entries, entries.size)
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case other => other
+    }
+    // typed tuple comparison only (the same guarantee as
+    // pruneEntriesByConjuncts): a cross-class compare keeps the file
+    def cmp(a: Any, b: Any): Option[Int] = (norm(a), norm(b)) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: String, y: String) => Some(Integer.signum(x.compareTo(y)))
+      case _ => None
+    }
+    val kept = entries.filter { e =>
+      fields.forall { f =>
+        e.partitionValues.get(f.name) match {
+          case None => true // file predates this spec field: must scan
+          case Some(null) => true // null partition: keep (conservative)
+          case Some(tv) =>
+            val above = lo.map(v => Transforms(f.transform, v))
+              .flatMap(t => cmp(tv, t)).exists(_ < 0)
+            val below = hi.map(v => Transforms(f.transform, v))
+              .flatMap(t => cmp(tv, t)).exists(_ > 0)
+            !(above || below)
+        }
+      }
+    }
+    (kept, entries.size)
+  }
+
+  /** Range scan through hidden partitioning: read ONLY the
+    * transform-admitted files ([[prunePartitionsBySourceRange]]), then
+    * re-apply the range as a residual row predicate — the tuples decide
+    * FILES, the predicate still decides ROWS (a day-partition file
+    * admitted for its day still holds off-range rows at the interval
+    * edges).
+    */
+  def readSourceRange(spark: SparkSession, tablePath: String,
+      sourceCol: String, lo: Option[Any], hi: Option[Any]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = prunePartitionsBySourceRange(tablePath, sourceCol, lo, hi)
+    val base =
+      if (kept.nonEmpty)
+        injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept),
+          hiddenFieldNames(tablePath))
+      else read(spark, tablePath).limit(0)
+    val c = col(s"`$sourceCol`")
+    val lowered = lo.fold(base)(l => base.filter(c >= lit(l)))
+    hi.fold(lowered)(h => lowered.filter(c <= lit(h)))
+  }
+
+  /** Stage `df` partitioned by `spec`: write through Spark's hive-style
+    * partitioned writer on DERIVED shadow columns (identity duplicates
+    * the source column; transforms evaluate it through
+    * [[Transforms.columnExpr]] — so the real columns stay in the files
+    * and the derived value exists ONLY in the directory path → tuple),
+    * then move each leaf file flat into `data/` under a uuid name,
+    * decoding its partition tuple from the directory path. Same crash
+    * posture as [[stageData]].
     */
   private def stagePartitioned(df: DataFrame, root: File,
-      partCols: Seq[String]): Seq[(File, Map[String, Any])] = {
-    import org.apache.spark.sql.functions.col
-    import org.apache.spark.sql.types.{IntegerType, LongType}
+      spec: Seq[SpecField]): Seq[(File, Map[String, Any])] = {
     val dataDir = new File(root, "data")
     dataDir.mkdirs()
     val staging = new File(root, s".graft-stage-${java.util.UUID.randomUUID}")
-    val shadowed = partCols.foldLeft(df)((d, c) =>
-      d.withColumn(s"__gp_$c", col(c)))
-    shadowed.write.partitionBy(partCols.map("__gp_" + _): _*)
+    val shadowed = spec.foldLeft(df)((d, f) =>
+      d.withColumn(s"__gp_${f.name}",
+        Transforms.columnExpr(f, df.schema(f.sourceName).dataType)))
+    shadowed.write.partitionBy(spec.map(f => s"__gp_${f.name}"): _*)
       .parquet(staging.getPath)
     // hive-style %XX escape decoding (the writer escapes every special
     // char as %XX; '+' is a literal plus, never a space)
@@ -1726,9 +2122,12 @@ object IcebergLog {
     }
     def typed(name: String, raw: String): Any =
       if (raw == "__HIVE_DEFAULT_PARTITION__") null
-      else df.schema(name).dataType match {
-        case LongType | IntegerType => raw.toLong
-        case _ => raw
+      else {
+        val f = spec.find(_.name == name).getOrElse(
+          throw new IllegalStateException(s"unexpected partition dir $name"))
+        if (Transforms.tupleIsLong(f, df.schema(f.sourceName).dataType))
+          raw.toLong
+        else raw
       }
     def walk(dir: File, pv: Map[String, Any]): Seq[(File, Map[String, Any])] =
       Option(dir.listFiles()).getOrElse(Array.empty).toSeq.flatMap {
@@ -1821,7 +2220,7 @@ object IcebergLog {
   private[sources] def commitSnapshot(tablePath: String,
       entries: Seq[FixtureEntry],
       summary: Map[String, String] = Map.empty,
-      partitionSpec: Seq[(Int, String)] = Seq.empty,
+      partitionSpec: Seq[SpecField] = Seq.empty,
       operation: String = "append",
       expectedBaseVersion: Option[Long] = None,
       schemaFields: Seq[(Int, String, String)] = Seq.empty,
@@ -1839,7 +2238,7 @@ object IcebergLog {
           meta.schemaFields, meta.nameMapping,
           Some(meta.currentSnapshotId).filter(_ > 0L))
       } else (Seq.empty[Snapshot], 1L,
-        Seq.empty[(Int, Seq[(Int, String)])], 0,
+        Seq.empty[(Int, Seq[SpecField])], 0,
         Map.empty[String, (Long, String)],
         Seq.empty[(Int, String, String)],
         Map.empty[Int, String],
@@ -2280,6 +2679,19 @@ object IcebergLog {
     val (evaluable, keptAlways) = entries.partition(e =>
       partCols.forall(e.partitionValues.contains))
     if (evaluable.isEmpty) return entries
+    // TYPED-EVALUATION GUARANTEE (mirrors the Delta twin's): only
+    // Long/Int tuples replay as longs and Strings as strings. Any other
+    // value class (a foreign writer's date/decimal/boolean encodings)
+    // would have to round-trip through toString, and a rendering that
+    // still analyzes but diverges from the original typed semantics
+    // could silently prune files holding real matches — return the
+    // unpruned set instead (pruning is strictly best-effort).
+    val replayable = evaluable.forall(e => partCols.forall(c =>
+      e.partitionValues(c) match {
+        case null | _: Long | _: Int | _: String => true
+        case _ => false
+      }))
+    if (!replayable) return entries
     def sparkType(vs: Seq[Any]) = vs.collectFirst {
       case _: Long => LongType
       case _: Int => LongType
@@ -2305,6 +2717,66 @@ object IcebergLog {
         .select(col("__graft_path")).collect().map(_.getString(0)).toSet
       keptAlways ++ evaluable.filter(e => keptPaths.contains(e.path))
     } catch { case scala.util.control.NonFatal(_) => entries }
+  }
+
+  /** The merge verbs' JOIN-KEY candidate pruning: when a partition
+    * field's SOURCE column is a join key, only files whose recorded
+    * tuple value appears among the batch's distinct key values MAPPED
+    * THROUGH THE TRANSFORM can hold a match — equality survives every
+    * transform (`k = v ⇒ t(k) = t(v)`), so identity, `day`, `bucket`
+    * and `truncate` fields all prune (the bucket case is the classic
+    * upsert layout: `bucket(N, id)` spreads writes, and a batch of M
+    * keys touches at most M of N buckets). The distinct collect is
+    * CAPPED at 10k values with the cap checked on the PRE-null-filter
+    * count — pruning is strictly best-effort and a truncated list must
+    * never prune. Null batch values drop (an equi-join key never
+    * matches null); a key with NO non-null values matches no file at
+    * all; tuple values compare TYPED (Long/String) and any cross-class
+    * compare keeps the file. Files without the tuple (older spec) keep.
+    * Inserts are unaffected — they stage from the batch.
+    */
+  private def pruneEntriesByBatchKeys(src: DataFrame, keys: Seq[String],
+      specFields: Seq[SpecField],
+      entries: Seq[LiveEntry]): Seq[LiveEntry] = {
+    import org.apache.spark.sql.functions.col
+    val maxKeyPruneValues = 10000
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case other => other
+    }
+    specFields.filter(f => keys.contains(f.sourceName) &&
+        Transforms.isKnown(f.transform)).foldLeft(entries) { (es, f) =>
+      if (es.isEmpty) es
+      else {
+        val raw = src.select(col(s"`${f.sourceName}`")).distinct()
+          .limit(maxKeyPruneValues + 1).collect()
+        if (raw.length > maxKeyPruneValues) es
+        else {
+          val vals = raw.map(_.get(0)).filter(_ != null).toSeq
+          if (vals.isEmpty) Seq.empty
+          else {
+            val tvals: Option[Set[Any]] =
+              try Some(vals.map(v => norm(Transforms(f.transform, v))).toSet)
+              catch { case scala.util.control.NonFatal(_) => None }
+            tvals match {
+              case None => es // untransformable batch type: keep all
+              case Some(tv) => es.filter(e =>
+                e.partitionValues.get(f.name) match {
+                  case None => true // file predates this spec field
+                  case Some(null) => false // all-null source: no equi-match
+                  case Some(pv) => norm(pv) match {
+                    case p: Long if tv.forall(_.isInstanceOf[Long]) =>
+                      tv.contains(p)
+                    case p: String if tv.forall(_.isInstanceOf[String]) =>
+                      tv.contains(p)
+                    case _ => true // cross-class compare: keep
+                  }
+                })
+            }
+          }
+        }
+      }
+    }
   }
 
   /** MERGE (upsert) into an Iceberg table — [[DeltaWrite.merge]]'s
@@ -2394,34 +2866,14 @@ object IcebergLog {
     // the extra match condition with SQL join NULL semantics; its
     // partition conjuncts prune candidate files from the MANIFEST
     // tuples first — a pruned file can contain no condition-true row
+    // (conjunct SQL replay is identity-fields-only; transformed fields
+    // prune through the typed key lever below)
     val condT = matchCondition.map(c => coalesce(c, lit(false)))
-    val specCols = meta.specFields.map(_._2)
+    val specCols = meta.specFields.filter(_.isIdentity).map(_.name)
     val condPruned = matchCondition.fold(data)(c =>
       pruneEntriesByConjuncts(spark, target0.schema, data, c, specCols))
-    // when a JOIN KEY is a partition column, only files whose tuple
-    // value appears among the batch's distinct values for it can hold a
-    // match (the Delta verb's same lever). The distinct collect is
-    // CAPPED — pruning is strictly best-effort and a truncated value
-    // list must never prune (it would drop files holding real
-    // matches); null batch values drop (an equi-join key never matches
-    // null), and a key with NO non-null values matches no file at all.
-    // Inserts are unaffected — they stage from the batch.
-    val maxKeyPruneValues = 10000
-    val candidates = keys.filter(specCols.contains)
-      .foldLeft(condPruned) { (es, k) =>
-        if (es.isEmpty) es
-        else {
-          val raw = src.select(col(s"`$k`")).distinct()
-            .limit(maxKeyPruneValues + 1).collect()
-          if (raw.length > maxKeyPruneValues) es
-          else {
-            val vals = raw.map(_.get(0)).filter(_ != null).toSeq
-            if (vals.isEmpty) Seq.empty
-            else pruneEntriesByConjuncts(spark, target0.schema, es,
-              col(s"`$k`").isin(vals: _*), specCols)
-          }
-        }
-      }
+    val candidates = pruneEntriesByBatchKeys(src, keys, meta.specFields,
+      condPruned)
     val scan =
       if (candidates.isEmpty) None
       else Some(liveWithMeta(spark, candidates, dels))
@@ -2485,7 +2937,7 @@ object IcebergLog {
     val spec = meta.specFields
     val staged: Seq[(File, Map[String, Any])] =
       if (spec.isEmpty) stageData(out, root).map(_ -> Map.empty[String, Any])
-      else stagePartitioned(out, root, spec.map(_._2))
+      else stagePartitioned(out, root, spec)
     val touchedSet = touched.map(_.path).toSet
     val nextEntries =
       data.map(e =>
@@ -2552,7 +3004,7 @@ object IcebergLog {
     val spec = parseMeta(currentMetadataFile(tablePath)).specFields
     val staged: Seq[(File, Map[String, Any])] =
       if (spec.isEmpty) stageData(live, root).map(_ -> Map.empty[String, Any])
-      else stagePartitioned(live, root, spec.map(_._2))
+      else stagePartitioned(live, root, spec)
     // row count from the footers just written (no re-read): an all-rows-
     // deleted table would compact to an unreadable empty snapshot —
     // refuse it (an empty DataFrame still stages a schema-only file)

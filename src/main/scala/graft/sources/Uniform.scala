@@ -149,7 +149,7 @@ object Uniform {
       .collect { case xs: Seq[_] => xs.collect { case s0: String => s0 } }
       .getOrElse(Seq.empty)
     val (spec, typedPv) =
-      if (partCols.isEmpty) (Seq.empty[(Int, String)],
+      if (partCols.isEmpty) (Seq.empty[IcebergLog.SpecField],
         (_: DeltaLog.LiveFile) => Map.empty[String, Any])
       else {
         val st = logical.getOrElse(throw new IllegalArgumentException(
@@ -168,7 +168,7 @@ object Uniform {
           val id =
             if (mode == "none") st.fieldNames.indexOf(c) + 1
             else st(c).metadata.getLong(DeltaLog.FieldIdKey).toInt
-          (id, c)
+          IcebergLog.SpecField(id, c)
         }
         val pvKeyOf: Map[String, String] =
           if (mode == "none") partCols.map(c => c -> c).toMap
@@ -219,9 +219,9 @@ object Uniform {
         val pm = IcebergLog.parseMeta(IcebergLog.currentMetadataFile(tablePath))
         val prior = pm.specs.find(_._1 == pm.defaultSpecId)
           .map(_._2).getOrElse(Seq.empty)
-        val newById = spec.toMap
-        prior.flatMap { case (srcId, oldName) =>
-          newById.get(srcId).filter(_ != oldName).map(oldName -> _)
+        val newById = spec.map(f => f.sourceId -> f.name).toMap
+        prior.flatMap { f =>
+          newById.get(f.sourceId).filter(_ != f.name).map(f.name -> _)
         }.toMap
       }
     def rekeyPv(pv: Map[String, Any]): Map[String, Any] =

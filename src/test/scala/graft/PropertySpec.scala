@@ -255,14 +255,96 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("Iceberg transforms: staging expression equals the value-level evaluation") {
+    // the write side (Transforms.columnExpr, what stagePartitioned
+    // derives the directory/tuple value from) and the prune side
+    // (Transforms.apply, what merge key pruning and range pruning map
+    // batch/bound values through) MUST agree on every value — a
+    // disagreement silently prunes files holding real matches
+    import graft.sources.IcebergLog.{SpecField, Transforms}
+    import org.apache.spark.sql.functions.col
+    val s = spark
+    import s.implicits._
+    val longs: Gen[Long] = Gen.chooseNum(Long.MinValue / 4, Long.MaxValue / 4)
+    forSamples(Gen.listOfN(40, longs), n = 5) { vs =>
+      // day over epoch-micros longs and over timestamps (the cast
+      // reads the long as SECONDS — bounded to ±317 years so ANSI
+      // timestamp casting never overflows; the agreement assert only
+      // needs both sides to see the same instant)
+      val micros = vs.map(v => v % (1L << 48))
+      val df = micros.toDF("ts_us")
+        .withColumn("ts", (col("ts_us") % 10000000000L).cast("timestamp"))
+      def evalCol(f: SpecField, src: String): Seq[Any] = {
+        val dt = df.schema(src).dataType
+        df.select(Transforms.columnExpr(f, dt)).collect().map(_.get(0)).toSeq
+      }
+      assert(evalCol(SpecField(1, "d", "day", "ts_us"), "ts_us") ===
+        micros.map(Transforms("day", _)))
+      val viaTs = evalCol(SpecField(1, "d", "day", "ts"), "ts")
+      val expTs = df.select(col("ts")).collect()
+        .map(r => Transforms("day", r.get(0))).toSeq
+      assert(viaTs === expTs)
+      // bucket + truncate over longs
+      assert(evalCol(SpecField(1, "b", "bucket[16]", "ts_us"), "ts_us") ===
+        micros.map(Transforms("bucket[16]", _)))
+      assert(evalCol(SpecField(1, "t", "truncate[1000]", "ts_us"), "ts_us") ===
+        micros.map(Transforms("truncate[1000]", _)))
+    }
+    // strings, including astral-plane code points (truncate counts code
+    // points, not UTF-16 chars) and multi-byte UTF-8 (bucket hashes the
+    // UTF-8 bytes)
+    val strs: Gen[String] = Gen.listOfN(12, Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString),
+      2 -> Gen.oneOf("é", "中", "ß"),
+      1 -> Gen.oneOf("😀", "🦚"))).map(_.mkString)
+    forSamples(Gen.listOfN(40, strs), n = 5) { vs =>
+      val df = vs.toDF("v")
+      def evalCol(f: SpecField): Seq[Any] =
+        df.select(Transforms.columnExpr(f,
+          org.apache.spark.sql.types.StringType)).collect().map(_.get(0)).toSeq
+      assert(evalCol(SpecField(1, "b", "bucket[8]", "v")) ===
+        vs.map(Transforms("bucket[8]", _)))
+      assert(evalCol(SpecField(1, "t", "truncate[5]", "v")) ===
+        vs.map(Transforms("truncate[5]", _)))
+    }
+    // the Iceberg spec's published hash vectors (Appendix B): the bucket
+    // contract this writer must share with every external reader
+    assert(Transforms.bucketOf(34L, Int.MaxValue) ===
+      (2017239379 & Int.MaxValue) % Int.MaxValue)
+    assert(Transforms.murmur3(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(34L).array()) ===
+      2017239379)
+    assert(Transforms.murmur3(
+      "iceberg".getBytes(java.nio.charset.StandardCharsets.UTF_8)) ===
+      1210000089)
+  }
+
   test("Iceberg lifecycle fuzz: random op sequences match an in-memory model") {
-    // the Delta fuzz's mirror for the second format: append / deleteWhere
-    // / expireSnapshots interleavings, model-checked after every step,
-    // with history replay for snapshots the expiry hasn't dropped
+    icebergLifecycleFuzz(dayPartitioned = false, samples = 6)
+  }
+
+  test("Iceberg lifecycle fuzz over a days(ts)-partitioned table") {
+    // the SAME op mix over HIDDEN partitioning (`day(ts) AS ts_day`):
+    // every restaging verb (merge, rewrite) must keep the derived
+    // tuples, reads must never leak the derived column, and the
+    // changelog still folds to the model after every op
+    icebergLifecycleFuzz(dayPartitioned = true, samples = 4)
+  }
+
+  /** The Delta fuzz's mirror for the second format: append / merge /
+    * deleteWhere / MoR deletes / rewrite / expireSnapshots
+    * interleavings, model-checked after every step, with history replay
+    * for snapshots the expiry hasn't dropped. `dayPartitioned` runs the
+    * whole mix over a days(ts)-partitioned table (ts derived from the
+    * id, so the model stays id → payload).
+    */
+  private def icebergLifecycleFuzz(dayPartitioned: Boolean,
+      samples: Int): Unit = {
     import graft.sources.IcebergLog
     import org.apache.spark.sql.functions.col
     val s = spark
     import s.implicits._
+    val daySpec = Seq(IcebergLog.SpecField(2, "ts_day", "day", "ts"))
     sealed trait Op
     case object Append extends Op
     case object Merge extends Op
@@ -282,7 +364,7 @@ class PropertySpec extends SparkSpec {
       tag <- Gen.choose(0L, 1000L)
     } yield keys.distinct.map(k => k -> (k * 1000 + tag))
     forSamples(Gen.zip(Gen.listOfN(8, opGen), Gen.listOfN(8, batchGen),
-        Gen.listOfN(8, Gen.choose(0L, 9L))), n = 6) {
+        Gen.listOfN(8, Gen.choose(0L, 9L))), n = samples) {
       case (ops, batches, delKeys) =>
         val tbl = java.nio.file.Files
           .createTempDirectory("graft-ice-fuzz").toString + "/t"
@@ -290,7 +372,15 @@ class PropertySpec extends SparkSpec {
         var history = Vector.empty[(Long, Map[Long, Long])] // sid -> model
         var oldestKept = Long.MinValue
         var hadEqDelete = false // changelog refuses eq-delete snapshots
-        def df(rows: Seq[(Long, Long)]) = rows.toDF("id", "payload").repartition(1)
+        // day mode: ts derives from the id (one id per day), so every
+        // payload update keeps its key's partition and the model needs
+        // no ts tracking
+        def df(rows: Seq[(Long, Long)]) = {
+          val base = rows.toDF("id", "payload").repartition(1)
+          if (!dayPartitioned) base
+          else base.withColumn("ts",
+            (col("id") * 86400L + 43200L).cast("timestamp"))
+        }
         def exists = new java.io.File(s"$tbl/metadata").isDirectory
         // the changelog FOLDS to the model: replaying insert/delete
         // records from the oldest surviving snapshot's state reproduces
@@ -325,11 +415,27 @@ class PropertySpec extends SparkSpec {
           if (model.isEmpty) {
             intercept[Exception] { IcebergLog.read(spark, tbl).collect() }
           } else {
-            val rows = IcebergLog.read(spark, tbl).collect()
+            val live = IcebergLog.read(spark, tbl)
+            assert(!live.columns.contains("ts_day"),
+              s"derived day column leaked into reads after ops $ops")
+            val rows = live.collect()
               .map(r => r.getAs[Long]("id") -> r.getAs[Long]("payload")).toSeq
             assert(rows.map(_._1).distinct.size === rows.size,
               s"DUPLICATE ids after ops $ops: ${rows.sorted}")
             assert(rows.toMap === model, s"live mismatch after ops $ops")
+            // hidden-partition range reads stay row-exact through every
+            // restage (tuples decide files, the residual decides rows);
+            // the prune path is delete-blind by contract, so only when
+            // no delete file is live
+            if (dayPartitioned && IcebergLog.liveSplitEntries(tbl)._2.isEmpty) {
+              val ts = (k: Long) => java.sql.Timestamp.from(
+                java.time.Instant.ofEpochSecond(k * 86400 + 43200))
+              val got = IcebergLog.readSourceRange(spark, tbl, "ts",
+                  Some(ts(0L)), Some(ts(4L))).collect()
+                .map(r => r.getAs[Long]("id") -> r.getAs[Long]("payload")).toMap
+              assert(got === model.filter(_._1 <= 4L),
+                s"day-range read mismatch after ops $ops")
+            }
           }
           history.filter(h => h._1 >= oldestKept && h._2.nonEmpty)
             .foreach { case (sid, m) =>
@@ -343,7 +449,11 @@ class PropertySpec extends SparkSpec {
             case Append =>
               val fresh = batch.filterNot { case (k, _) => model.contains(k) }
               if (fresh.nonEmpty) {
-                val sid = IcebergLog.append(df(fresh), tbl, Seq(1 -> "id"))
+                val sid =
+                  if (dayPartitioned)
+                    IcebergLog.appendPartitionedSpec(df(fresh), tbl,
+                      daySpec, Seq(1 -> "id"))
+                  else IcebergLog.append(df(fresh), tbl, Seq(1 -> "id"))
                 model = model ++ fresh.toMap
                 history :+= ((sid, model))
               }

@@ -935,4 +935,93 @@ class ScaleSpec extends SparkSpec {
         "the batch's key tuples did not prune the manifest candidates")
     assert(IcebergLog.read(spark, tbl).count() === n)
   }
+
+  test("hidden-partition day-range scan opens only that range's files") {
+    // days(ts) is the canonical 100 TB event layout: a ts BETWEEN
+    // predicate must answer its file pruning from the manifests' day
+    // tuples — reading two days of a twenty-day table must cost two
+    // days' bytes, not a table scan
+    import graft.sources.IcebergLog
+    import graft.sources.IcebergLog.SpecField
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-dayprune").toString + "/t"
+    val perDay = 200
+    val rows = (0 until 20 * perDay).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 3, 1 + i / perDay, 6, 0)), i * 3L)
+    }
+    IcebergLog.appendPartitionedSpec(
+      rows.toDF("id", "ts", "v").repartitionByRange(4, col("ts")), tbl,
+      Seq(SpecField(2, "ts_day", "day", "ts")))
+    val lo = java.sql.Timestamp.valueOf("2024-03-05 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-03-06 23:59:59")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val got =
+      try IcebergLog.readSourceRange(spark, tbl, "ts", Some(lo), Some(hi))
+        .count()
+      finally {
+        drainListenerBus()
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(got === 2L * perDay)
+    // two of twenty days; generous headroom for edge files still keeps
+    // the pin an order of magnitude under a table scan
+    assert(read.get < rows.size / 4,
+      s"day-range scan read ${read.get} records of ${rows.size} — the " +
+        "day tuples did not prune the file list")
+  }
+
+  test("bucket-partition merge reads only the batch keys' buckets") {
+    // bucket(8, id) is the classic upsert layout: a batch whose keys
+    // all fall in ONE bucket must read ~1/8 of the table, answered from
+    // the manifests by mapping the batch keys through the bucket
+    // transform — never a full match scan
+    import graft.sources.IcebergLog
+    import graft.sources.IcebergLog.{SpecField, Transforms}
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-bktprune").toString + "/t"
+    val n = 4000L
+    val rows = (0L until n).map(i => (i, i * 7))
+    IcebergLog.appendPartitionedSpec(
+      rows.toDF("id", "v").repartition(4), tbl,
+      Seq(SpecField(1, "id_bucket", "bucket[8]", "id")))
+    // batch keys confined to bucket 3
+    val keys = (0L until n).filter(i =>
+      Transforms.bucketOf(i, 8) == 3).take(40)
+    val batch = keys.map(i => (i, -i)).toDF("id", "v")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ms =
+      try IcebergLog.merge(spark, tbl, batch, Seq("id"))
+      finally {
+        drainListenerBus()
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(ms.rowsUpdated === keys.size.toLong && ms.rowsInserted === 0L)
+    // one bucket of eight: match scan + touched decode + restage stay
+    // well under a full-table pass
+    assert(read.get < (n * 3) / 4,
+      s"bucket merge read ${read.get} records of $n — the batch keys' " +
+        "bucket values did not prune the manifest candidates")
+    assert(IcebergLog.read(spark, tbl).count() === n)
+  }
 }

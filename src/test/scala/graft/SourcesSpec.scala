@@ -1918,6 +1918,75 @@ class SourcesSpec extends SparkSpec {
     assert(e.getMessage.contains("not an ancestor"))
   }
 
+  test("Iceberg changelog refuses parentless snapshots on rollback evidence") {
+    import graft.sources.IcebergLog
+    // a FOREIGN writer that never stamped parent-snapshot-id, on a table
+    // whose current pointer sits behind the max id (rollback evidence):
+    // the id-order lineage fallback could replay rolled-back-over
+    // orphans, so the walk must refuse instead of guessing
+    val tbl = s"$tmp/ice_changelog_foreign_rb"
+    val s = spark
+    import s.implicits._
+    val f = java.nio.file.Files.createTempDirectory("graft-foreign")
+      .toString + "/d"
+    Seq((1L, "a")).toDF("id", "v").coalesce(1).write.parquet(f)
+    val part = Option(new java.io.File(f).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    IcebergLog.writeFixture(tbl, Seq(
+      1L -> Seq(IcebergLog.FixtureEntry(1, part, 1L)),
+      3L -> Seq(IcebergLog.FixtureEntry(0, part, 1L)),
+      2L -> Seq(IcebergLog.FixtureEntry(0, part, 1L)))) // current=2, max=3
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.changesBetween(spark, tbl, 0L)
+    }
+    assert(e.getMessage.contains("rollback history"))
+    // the same parentless chain on a rollback-free table (current == max)
+    // still walks by id order — the fallback stays available there
+    val tbl2 = s"$tmp/ice_changelog_foreign_ok"
+    IcebergLog.writeFixture(tbl2, Seq(
+      1L -> Seq(IcebergLog.FixtureEntry(1, part, 1L)),
+      2L -> Seq(IcebergLog.FixtureEntry(0, part, 1L))))
+    assert(IcebergLog.changesBetween(spark, tbl2, 0L).count() === 1L)
+  }
+
+  test("Iceberg changelog refuses duplicate basenames when deletes are in play") {
+    import graft.sources.IcebergLog
+    // an adopted layout can repeat a BASENAME across directories; a
+    // MoR-delete changelog step matches position-delete targets and
+    // carried files by name over SUBSETS of the live set, so the
+    // ambiguity must refuse up front — a delete aimed at one twin would
+    // silently diff the other
+    val s = spark
+    import s.implicits._
+    def stageOne(dir: String, rows: Seq[(Long, String)]): String = {
+      Seq(rows: _*).toDF("id", "v").coalesce(1).write.parquet(dir)
+      val f = Option(new java.io.File(dir).listFiles()).get
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = new java.io.File(dir, "part-twin.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      dst.getPath
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft-twin").toString
+    val fa = stageOne(s"$base/a", Seq(1L -> "a"))
+    val fb = stageOne(s"$base/b", Seq(2L -> "b"))
+    // the position delete names fa's rows by full path
+    Seq((fa, 0L)).toDF("file_path", "pos").coalesce(1)
+      .write.parquet(s"$base/dels")
+    val del = Option(new java.io.File(s"$base/dels").listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val tbl = s"$tmp/ice_changelog_twin"
+    IcebergLog.writeFixture(tbl, Seq(
+      1L -> Seq(IcebergLog.FixtureEntry(1, fa, 1L),
+        IcebergLog.FixtureEntry(1, fb, 1L)),
+      2L -> Seq(IcebergLog.FixtureEntry(0, fa, 1L),
+        IcebergLog.FixtureEntry(0, fb, 1L),
+        IcebergLog.FixtureEntry(1, del, 1L, content = 1))))
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.changesBetween(spark, tbl, 1L).collect()
+    }
+    assert(e.getMessage.contains("duplicate data-file basenames"))
+  }
+
   test("Iceberg sink epochs: summaries survive appends, die with expiry (documented)") {
     import graft.sources.IcebergLog
     val s = spark
@@ -2282,6 +2351,77 @@ class SourcesSpec extends SparkSpec {
       .map(_.getLong(0)).sorted.toSeq ===
       (1L to 100L).filterNot(_ % 10 == 0))
     ()
+  }
+
+  test("Iceberg hidden partitioning: days prunes ranges, bucket prunes merge, spec sticky") {
+    import graft.sources.IcebergLog
+    import graft.sources.IcebergLog.{SpecField, Transforms}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_days_hidden"
+    // 20 days × 5 rows
+    val rows = (0 until 100).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        java.time.LocalDateTime.of(2024, 1, 1 + i / 5, 12, 0)), i * 1.5)
+    }
+    val df = rows.toDF("id", "ts", "v").repartitionByRange(2, col("ts"))
+    IcebergLog.appendPartitionedSpec(df, tbl,
+      Seq(SpecField(2, "ts_day", "day", "ts")))
+    // tuples recorded under the FIELD name as day ordinals; the data
+    // files carry only the SOURCE columns and read() exposes no derived
+    // column
+    val entries = IcebergLog.liveEntries(tbl)
+    assert(entries.nonEmpty &&
+      entries.forall(_.partitionValues.keySet == Set("ts_day")))
+    assert(entries.forall(_.partitionValues("ts_day") match {
+      case d: Long => d >= Transforms.dayOf(rows.head._2) &&
+        d <= Transforms.dayOf(rows.last._2)
+      case _ => false
+    }))
+    val back = IcebergLog.read(spark, tbl)
+    assert(back.columns.sorted === Array("id", "ts", "v"))
+    assert(back.count() === 100L)
+    // a ts range prunes through the day tuples, and the read is
+    // row-exact (tuples decide files, the residual decides rows)
+    val lo = java.sql.Timestamp.valueOf("2024-01-06 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-01-10 23:59:59")
+    val (kept, total) =
+      IcebergLog.prunePartitionsBySourceRange(tbl, "ts", Some(lo), Some(hi))
+    assert(kept.nonEmpty && kept.size < total,
+      s"day-range prune kept ${kept.size} of $total")
+    val got = IcebergLog.readSourceRange(spark, tbl, "ts", Some(lo), Some(hi))
+      .select($"id").as[Long].collect().sorted.toSeq
+    val exp = rows.filter(r => !r._2.before(lo) && !r._2.after(hi))
+      .map(_._1).sorted
+    assert(got === exp)
+    // re-declaring the SAME spec is sticky (no phantom evolution), and
+    // the metadata records the transform + source column
+    IcebergLog.appendPartitionedSpec(
+      Seq((200L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 1.0))
+        .toDF("id", "ts", "v"), tbl, Seq(SpecField(2, "ts_day", "day", "ts")))
+    val (specs, defaultId) = IcebergLog.partitionSpecsFull(tbl)
+    assert(specs === Seq(0 -> Seq(SpecField(2, "ts_day", "day", "ts"))) &&
+      defaultId === 0)
+
+    // bucket layout: merge updates/inserts stay exact and the restage
+    // keeps every file's bucket tuple
+    val btbl = s"$tmp/ice_bucket_merge"
+    val orows = (0L until 200L).map(i => (i, s"v$i"))
+    IcebergLog.appendPartitionedSpec(orows.toDF("id", "v").repartition(2),
+      btbl, Seq(SpecField(1, "id_bucket", "bucket[8]", "id")))
+    val batch = Seq((5L, "UPD5"), (500L, "NEW")).toDF("id", "v")
+    val ms = IcebergLog.merge(spark, btbl, batch, Seq("id"))
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 1L)
+    val after = IcebergLog.read(spark, btbl)
+      .as[(Long, String)].collect().toMap
+    assert(after(5L) === "UPD5" && after(500L) === "NEW" &&
+      after(7L) === "v7" && after.size === 201)
+    assert(IcebergLog.liveEntries(btbl)
+      .forall(_.partitionValues.keySet == Set("id_bucket")))
+    // tuple-level pruning answers a bucket point lookup from manifests
+    val (bkept, btotal) = IcebergLog.prunePartitions(btbl,
+      Map("id_bucket" -> Transforms("bucket[8]", 5L)))
+    assert(bkept.nonEmpty && bkept.size < btotal)
   }
 
   test("Iceberg snapshot refs: tags pin retention, main tracks head, drops reclaim") {

@@ -1206,6 +1206,57 @@ object SourceQueries {
       FROM orders
       ORDER BY o_orderkey""")),
 
+    // x57: ICEBERG MERGE SCHEMA EVOLUTION — x34's parity on the second
+    // protocol: the evolving merge publishes a widened schema record
+    // (fresh field ids past the max) plus an identity name mapping in
+    // the SAME snapshot; touched files rewrite in the merged schema and
+    // UNTOUCHED files stay physically old — readers NULL-fill them
+    // through the record, so evolving a 100 TB table costs one metadata
+    // file plus the touched files, never an O(table) rewrite. The
+    // range-clustered layout + a low-key update set guarantee untouched
+    // files exist, and the in-query require pins their physical
+    // survival; the oracle recomputes the evolved table NULLs included.
+    QueryDef("x57_iceberg_merge_evolve", (s, d) => {
+      val tbl = s"$stage/ice_evolved"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")), tbl)
+      val before = graft.sources.IcebergLog.liveEntries(tbl)
+        .map(_.path).toSet
+      // updates confined to the low key range (touch one clustered
+      // file); the odd keys insert everywhere; o_band is NEW
+      val src = o.filter((col("o_orderkey") % 2 === 0 &&
+            col("o_orderkey") <= 200) || col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("o_band", (col("o_orderkey") % 10).cast("long"))
+      val st = graft.sources.IcebergLog.merge(s, tbl, src,
+        Seq("o_orderkey"), mergeSchema = true)
+      require(st.rowsUpdated > 0 && st.rowsInserted > 0,
+        s"evolving iceberg merge degenerated: $st")
+      require(graft.sources.IcebergLog.liveEntries(tbl).map(_.path).toSet
+          .intersect(before).nonEmpty,
+        "evolution rewrote every file — NULL-fill through the schema " +
+          "record is untested")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_band").cast("long").as("o_band"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(CASE WHEN (o_orderkey % 2 = 0 AND o_orderkey <= 200)
+                    OR o_orderkey % 2 = 1
+             THEN o_totalprice + 1 ELSE o_totalprice END AS DOUBLE)
+          AS o_totalprice,
+        CASE WHEN (o_orderkey % 2 = 0 AND o_orderkey <= 200)
+               OR o_orderkey % 2 = 1
+             THEN CAST(o_orderkey % 10 AS BIGINT) ELSE NULL END AS o_band
+      FROM orders ORDER BY o_orderkey""")),
+
     // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
     // pass behind a streaming sink: eight per-epoch small commits leave
     // eight small files; one dataChange:false commit rewrites them into

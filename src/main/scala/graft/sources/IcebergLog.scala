@@ -971,7 +971,10 @@ object IcebergLog {
             (if (affectedPrev.isEmpty) Seq.empty
              else Seq(visible(affectedPrev, pDels)
                .withColumn("__graft_w", lit(-1))))
-          val all = sides.reduce(_.unionByName(_))
+          // allowMissingColumns: a schema-EVOLVING snapshot's old side
+          // lacks the new column; NULL-filling it is exactly how the
+          // merged-schema read sees those rows
+          val all = sides.reduce(_.unionByName(_, allowMissingColumns = true))
           val dataCols = all.columns.filterNot(_ == "__graft_w").toSeq
           val net = all.groupBy(dataCols.map(c => col(s"`$c`")): _*)
             .agg(sum(col("__graft_w")).as("__graft_n"))
@@ -1288,7 +1291,7 @@ object IcebergLog {
     *    manifest for spec fidelity).
     */
   private def liveWithMeta(spark: SparkSession, data: Seq[LiveEntry],
-      dels: Seq[LiveEntry]): DataFrame = {
+      dels: Seq[LiveEntry], unionSchemas: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, split}
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import org.apache.spark.sql.Row
@@ -1306,7 +1309,13 @@ object IcebergLog {
       spark.sparkContext.parallelize(seqRows, 1),
       StructType(Seq(StructField("__graft_file", StringType),
         StructField("__graft_dseq", LongType))))
-    var cur = spark.read.parquet(data.map(_.path): _*)
+    // unionSchemas: a SCHEMA-EVOLVED table mixes old-schema files with
+    // merged-schema ones; the footer-union read NULL-fills the old
+    // files so the evolved columns survive a subsequent merge's scan
+    val reader =
+      if (unionSchemas) spark.read.option("mergeSchema", "true")
+      else spark.read
+    var cur = reader.parquet(data.map(_.path): _*)
       .withColumn("__graft_file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
@@ -2824,31 +2833,86 @@ object IcebergLog {
   def merge(spark: SparkSession, tablePath: String, source: DataFrame,
       keys: Seq[String],
       statsFields: Seq[(Int, String)] = Seq.empty,
-      matchCondition: Option[org.apache.spark.sql.Column] = None)
+      matchCondition: Option[org.apache.spark.sql.Column] = None,
+      mergeSchema: Boolean = false)
       : MergeStats = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, lit}
     val root = new File(tablePath)
     val base = currentVersionOf(tablePath)
     val (data, dels) = liveSplitEntries(tablePath)
     require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
-    val target0 = spark.read.parquet(data.map(_.path): _*)
-    val cols = target0.columns.toSeq
-    require(cols.forall(source.columns.contains) &&
-        source.columns.forall(cols.contains),
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    // merge on a PHYSICALLY-mapped table (a UniForm mirror of mapped
+    // Delta) refuses: the mirror is derived, read-only state. Our own
+    // evolution records identity mappings (physical == logical), which
+    // pass this guard.
+    require(meta.nameMapping.isEmpty ||
+        meta.schemaFields.forall { case (id, n, _) =>
+          meta.nameMapping.get(id).forall(_ == n) },
+      s"merge on a physically name-mapped Iceberg table: $tablePath is " +
+        "a derived UniForm mirror — write through the Delta side")
+    // an EVOLVED table mixes old-schema files with merged-schema ones:
+    // the footer-union read NULL-fills old files so every recorded
+    // column is present in the match scan
+    val evolved = meta.schemaFields.nonEmpty
+    val target0 = (if (evolved) spark.read.option("mergeSchema", "true")
+      else spark.read).parquet(data.map(_.path): _*)
+    val cols =
+      if (evolved) meta.schemaFields.map(_._2)
+      else target0.columns.toSeq
+    // SCHEMA EVOLUTION (`mergeSchema` — [[DeltaWrite.merge]]'s Delta
+    // parity on the second protocol): source columns beyond the table
+    // widen it in the SAME commit — fresh field ids past the max in the
+    // metadata's schema record, an identity name mapping alongside (our
+    // parquet carries no footer field ids, so readers resolve the
+    // merged schema by NAME and NULL-fill untouched old files through
+    // it — no O(table) rewrite for a new column). Source must still
+    // cover every existing column; dropping/retyping stays refused.
+    val newCols = source.columns.filterNot(cols.contains).toSeq
+    require(newCols.isEmpty || mergeSchema,
+      s"merge source columns ${newCols.mkString(",")} are not in the " +
+        s"table schema ${cols.mkString(",")} — pass mergeSchema=true " +
+        "to evolve")
+    require(cols.forall(source.columns.contains),
       s"merge source columns ${source.columns.mkString(",")} must " +
-        s"match table columns ${cols.mkString(",")}")
+        s"cover table columns ${cols.mkString(",")}")
+    require(newCols.isEmpty || meta.specFields.isEmpty,
+      "mergeSchema cannot evolve a PARTITIONED Iceberg table: the " +
+        "schema record's field ids would have to align with the " +
+        "partition spec's source ids — evolve before partitioning, or " +
+        "keep the batch inside the table schema")
+    val allCols = cols ++ newCols
+    // the merged schema record + identity mapping this commit publishes
+    // (empty = carry the prior forward, commitSnapshot is sticky)
+    val evolvedSchema: Seq[(Int, String, String)] =
+      if (newCols.isEmpty) Seq.empty
+      else {
+        val prior =
+          if (meta.schemaFields.nonEmpty) meta.schemaFields
+          else cols.zipWithIndex.map { case (c, i) =>
+            (i + 1, c, sparkToIcebergType(target0.schema(c).dataType))
+          }
+        val maxId = prior.map(_._1).max
+        prior ++ newCols.zipWithIndex.map { case (c, i) =>
+          (maxId + i + 1, c, sparkToIcebergType(source.schema(c).dataType))
+        }
+      }
+    val evolvedMapping: Map[Int, String] =
+      if (newCols.isEmpty) Map.empty
+      else evolvedSchema.map(t => t._1 -> t._2).toMap
     // cast the batch to the table's exact types — a wider-typed batch
     // must not restage touched files under a different physical type
-    // than the untouched files keep
-    val src = source.select(cols.map(c =>
-      col(s"`$c`").cast(target0.schema(c).dataType).as(c)): _*)
+    // than the untouched files keep (new columns keep the source type)
+    val src = source.select(allCols.map(c =>
+      col(s"`$c`").cast(
+        if (newCols.contains(c)) source.schema(c).dataType
+        else target0.schema(c).dataType).as(c)): _*)
     val dup = src.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).limit(1).count()
     require(dup == 0L,
       "merge source has multiple rows for the same key (ambiguous match)")
     val srcCount = src.count()
-    val meta = parseMeta(currentMetadataFile(tablePath))
     if (srcCount == 0L) // empty batch: a no-op, not an empty snapshot
       return MergeStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
@@ -2876,7 +2940,8 @@ object IcebergLog {
       condPruned)
     val scan =
       if (candidates.isEmpty) None
-      else Some(liveWithMeta(spark, candidates, dels))
+      else Some(liveWithMeta(spark, candidates, dels,
+        unionSchemas = evolved))
     // only condition-true rows make a file touched — a file whose key
     // hits are all condition-false keeps its physical identity
     val touchedNames = scan.fold(Set.empty[String])(sc =>
@@ -2907,13 +2972,18 @@ object IcebergLog {
         // pass over the touched files: a left-outer match marker plus
         // the (already NULL-coalesced) condition filter, never a
         // two-branch union that reads each touched parquet twice
-        val survivors = (condT match {
+        val survivors0 = (condT match {
           case None => tr.join(broadcast(srcKeys), keys, "leftanti")
           case Some(ct) => tr.join(
               broadcast(srcKeys.withColumn("__graft_m", lit(1))),
               keys, "left_outer")
             .filter(col("__graft_m").isNull || !ct).drop("__graft_m")
         }).drop(metaCols: _*)
+        // an evolving merge NULL-fills the new columns on restaged
+        // survivors — untouched files stay physically old and read
+        // through the merged schema record instead
+        val survivors = newCols.foldLeft(survivors0)((d, c) =>
+          d.withColumn(c, lit(null).cast(src.schema(c).dataType)))
         // real MERGE updates EVERY matched target row. No duplicates
         // (the common case): the batch itself is updated-rows ∪ inserts
         // — no extra pass over the touched files. A duplicate-key
@@ -2926,7 +2996,7 @@ object IcebergLog {
           else {
             val updated = matched.select(keys.map(c => col(s"`$c`")): _*)
               .join(broadcast(src), keys, "inner")
-              .select(cols.map(c => col(s"`$c`")): _*)
+              .select(allCols.map(c => col(s"`$c`")): _*)
             val matchedKeys = matched
               .select(keys.map(c => col(s"`$c`")): _*).distinct()
             updated.unionByName(
@@ -2948,7 +3018,8 @@ object IcebergLog {
         addedEntry(f, statsFields).copy(partitionValues = pv)
       }
     val sid = commitSnapshot(tablePath, nextEntries,
-      operation = "overwrite", expectedBaseVersion = Some(base))
+      operation = "overwrite", expectedBaseVersion = Some(base),
+      schemaFields = evolvedSchema, nameMapping = evolvedMapping)
     MergeStats(sid, touched.size, staged.size, rowsUpdated, rowsInserted)
   }
 

@@ -2424,6 +2424,62 @@ class SourcesSpec extends SparkSpec {
     assert(bkept.nonEmpty && bkept.size < btotal)
   }
 
+  test("Iceberg merge schema evolution: NULL-fill, later appends, second merge, changelog") {
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_merge_evolve"
+    // two separate files so one stays untouched through the evolution
+    IcebergLog.append(Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .repartition(1), tbl)
+    IcebergLog.append(Seq((3L, "c"), (4L, "d")).toDF("id", "v")
+      .repartition(1), tbl)
+    val before = IcebergLog.liveEntries(tbl).map(_.path).toSet
+    // without mergeSchema an extra column refuses loudly
+    val src = Seq((1L, "A", 10L), (9L, "I", 90L)).toDF("id", "v", "w")
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.merge(spark, tbl, src, Seq("id"))
+    }
+    assert(e.getMessage.contains("mergeSchema"))
+    // evolving merge: updates id=1, inserts id=9, adds column `w`
+    val st = IcebergLog.merge(spark, tbl, src, Seq("id"), mergeSchema = true)
+    assert(st.rowsUpdated === 1L && st.rowsInserted === 1L)
+    // the untouched file survived physically and NULL-fills through the
+    // merged schema record
+    assert(IcebergLog.liveEntries(tbl).map(_.path).toSet
+      .intersect(before).nonEmpty, "evolution rewrote every file")
+    def snap(): Map[Long, (String, Option[Long])] =
+      IcebergLog.read(spark, tbl).select($"id", $"v", $"w")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+        .toMap
+    assert(snap() === Map(
+      1L -> (("A", Some(10L))), 2L -> (("b", None)),
+      3L -> (("c", None)), 4L -> (("d", None)), 9L -> (("I", Some(90L)))))
+    // a post-evolution append in the merged shape reads back through it
+    IcebergLog.append(Seq((5L, "e", 50L)).toDF("id", "v", "w")
+      .repartition(1), tbl)
+    assert(snap()(5L) === (("e", Some(50L))))
+    // a SECOND merge on the evolved table (schema recorded, files
+    // mixed): the union read NULL-fills old files so the scan sees the
+    // full merged schema
+    val st2 = IcebergLog.merge(spark, tbl,
+      Seq((2L, "B", 20L)).toDF("id", "v", "w"), Seq("id"))
+    assert(st2.rowsUpdated === 1L && st2.rowsInserted === 0L)
+    assert(snap()(2L) === (("B", Some(20L))))
+    // the changelog crosses the evolution snapshot: old-side rows
+    // NULL-fill the new column, and the fold reproduces the live table
+    val ch = IcebergLog.changesBetween(spark, tbl, 0L)
+    val folded = ch.groupBy("id", "v", "w")
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          col("_change_type") === "insert", 1).otherwise(-1)).as("n"))
+      .filter(col("n") =!= 0).drop("n")
+    val live = IcebergLog.read(spark, tbl).select($"id", $"v", $"w")
+    assert(folded.exceptAll(live).isEmpty && live.exceptAll(folded).isEmpty,
+      "changelog fold across the evolution does not reproduce the table")
+  }
+
   test("Iceberg snapshot refs: tags pin retention, main tracks head, drops reclaim") {
     import graft.sources.IcebergLog
     val s = spark

@@ -1257,6 +1257,69 @@ object SourceQueries {
              THEN CAST(o_orderkey % 10 AS BIGINT) ELSE NULL END AS o_band
       FROM orders ORDER BY o_orderkey""")),
 
+    // x58: MERGE-ON-READ MERGE — the production upsert shape for wide
+    // files: matched rows die via ONE position-delete file and the
+    // batch appends, so the commit writes O(batch + delete metadata)
+    // while CoW would rewrite every touched file. In-query requires pin
+    // the shape hard: ZERO files rewritten, EVERY pre-merge data file
+    // keeps its physical identity, a live v2 delete file exists after
+    // the merge — and a stacked rewriteDataFiles folds the debt away
+    // with the rows pinned unchanged. ScaleSpec pins records-written;
+    // the sf1 soak pins bytes-written tracks the batch.
+    QueryDef("x58_iceberg_merge_mor_write", (s, d) => {
+      val tbl = s"$stage/ice_merge_mor"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.append(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")), tbl)
+      val before = graft.sources.IcebergLog.liveSplitEntries(tbl)
+        ._1.map(_.path).toSet
+      val src = o.filter((col("o_orderkey") % 2 === 0 &&
+            col("o_orderkey") <= 400) ||
+          (col("o_orderkey") % 2 === 1 && col("o_orderkey") <= 401))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val ms = graft.sources.IcebergLog.mergeMoR(s, tbl, src,
+        Seq("o_orderkey"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted > 0 &&
+          ms.filesRewritten == 0,
+        s"MoR merge degenerated: $ms")
+      val (dataNow, delsNow) = graft.sources.IcebergLog.liveSplitEntries(tbl)
+      require(before.subsetOf(dataNow.map(_.path).toSet),
+        "MoR merge rewrote a data file — the whole point is O(batch)")
+      require(delsNow.exists(_.content == 1),
+        "MoR merge published no position-delete file")
+      val merged = graft.sources.IcebergLog.read(s, tbl)
+      val nMerged = merged.count()
+      // stacked compaction folds the delete debt away, rows unchanged
+      val rs = graft.sources.IcebergLog.rewriteDataFiles(s, tbl,
+        sortBy = Seq("o_orderkey"), targetFiles = 4)
+      require(rs.deleteFilesRemoved >= 1, s"compaction kept the debt: $rs")
+      require(graft.sources.IcebergLog.liveSplitEntries(tbl)._2.isEmpty &&
+          graft.sources.IcebergLog.read(s, tbl).count() == nMerged,
+        "compaction changed the merged rows")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 2 = 0),
+      src AS (SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders
+              WHERE (o_orderkey % 2 = 0 AND o_orderkey <= 400)
+                 OR (o_orderkey % 2 = 1 AND o_orderkey <= 401))
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt WHERE o_orderkey NOT IN
+              (SELECT o_orderkey FROM src))
+      ORDER BY o_orderkey""")),
+
     // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
     // pass behind a streaming sink: eight per-epoch small commits leave
     // eight small files; one dataChange:false commit rewrites them into

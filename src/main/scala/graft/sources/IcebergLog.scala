@@ -3023,6 +3023,119 @@ object IcebergLog {
     MergeStats(sid, touched.size, staged.size, rowsUpdated, rowsInserted)
   }
 
+  /** MERGE-ON-READ MERGE — the production shape for frequent small
+    * upserts into wide files: matched target rows die via ONE position-
+    * delete file ([[deletePositionsWhere]]'s machinery) and the batch
+    * appends as fresh data files — the commit writes
+    * O(batch + delete metadata), never O(touched files), where the CoW
+    * [[merge]] rewrites every touched file (at 100 TB with wide files
+    * and point updates, that is the difference between a merge and a
+    * rewrite). Untouched AND touched data files keep their physical
+    * identity; reads apply the delete at its sequence number; a later
+    * [[rewriteDataFiles]] folds the debt back into plain files.
+    *
+    * Candidate files for the match scan prune exactly like the CoW
+    * verb (batch key values through any partition transform); the scan
+    * reads THROUGH live v2 delete files so MoR-dead rows re-insert,
+    * never resurrect. The fresh batch files are ADDED at this
+    * snapshot's sequence number and the delete file only NAMES old
+    * files, so the new rows are never self-killed. DUPLICATE-KEY
+    * targets refuse loudly — kill-and-insert would collapse their
+    * multiplicity where the CoW verb preserves it; schema evolution
+    * stays a CoW-merge feature. Commits as one `overwrite` snapshot
+    * under the fail-fast CAS.
+    */
+  def mergeMoR(spark: SparkSession, tablePath: String, source: DataFrame,
+      keys: Seq[String],
+      statsFields: Seq[(Int, String)] = Seq.empty): MergeStats = {
+    import org.apache.spark.sql.functions.{broadcast, col, count, count_distinct, lit}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val root = new File(tablePath)
+    val base = currentVersionOf(tablePath)
+    val (data, dels) = liveSplitEntries(tablePath)
+    require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    require(meta.schemaFields.isEmpty && meta.nameMapping.isEmpty,
+      s"MoR merge on a schema-recorded table: $tablePath — evolved and " +
+        "mirrored tables take the CoW merge path")
+    val target0 = spark.read.parquet(data.map(_.path): _*)
+    val cols = target0.columns.toSeq
+    require(cols.forall(source.columns.contains) &&
+        source.columns.forall(cols.contains),
+      s"merge source columns ${source.columns.mkString(",")} must " +
+        s"match table columns ${cols.mkString(",")}")
+    val src = source.select(cols.map(c =>
+      col(s"`$c`").cast(target0.schema(c).dataType).as(c)): _*)
+    val dup = src.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dup == 0L,
+      "merge source has multiple rows for the same key (ambiguous match)")
+    val srcCount = src.count()
+    if (srcCount == 0L) // empty batch: a no-op, not an empty snapshot
+      return MergeStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
+    val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
+    // position deletes address rows by file NAME on the read side —
+    // uniqueness must hold over the FULL live set (same guard as CoW)
+    val allNames = data.map(e => new File(e.path).getName)
+    require(allNames.distinct.size == allNames.size,
+      "duplicate data-file basenames in the live set: position-delete " +
+        "matching is by file name and would be ambiguous — " +
+        allNames.diff(allNames.distinct).distinct.mkString(","))
+    val candidates = pruneEntriesByBatchKeys(src, keys, meta.specFields, data)
+    // matched rows: (file, pos) pairs + their keys, persisted once —
+    // incremental-batch sized (bounded by the match count)
+    val matched =
+      if (candidates.isEmpty) None
+      else Some(liveWithMeta(spark, candidates, dels)
+        .join(broadcast(srcKeys), keys, "leftsemi")
+        .select((Seq(col("__graft_file"), col("__graft_pos")) ++
+          keys.map(c => col(s"`$c`"))): _*)
+        .persist())
+    try {
+      val (nMatched, nKeys) = matched.map { m =>
+        val st = m.agg(count(lit(1)),
+          count_distinct(col(s"`${keys.head}`"),
+            keys.tail.map(c => col(s"`$c`")): _*)).head
+        (st.getLong(0), st.getLong(1))
+      }.getOrElse((0L, 0L))
+      require(nMatched == nKeys,
+        s"MoR merge matched $nMatched target rows over $nKeys keys — " +
+          "duplicate-key targets would lose multiplicity under " +
+          "kill-and-insert; use the CoW merge (it preserves them)")
+      // the delete file records FULL paths as the manifests name them
+      val staged: Seq[(File, Map[String, Any])] =
+        if (meta.specFields.isEmpty)
+          stageData(src, root).map(_ -> Map.empty[String, Any])
+        else stagePartitioned(src, root, meta.specFields)
+      require(staged.nonEmpty, s"no data files produced for $tablePath")
+      val delFile: Seq[FixtureEntry] =
+        if (nMatched == 0L) Seq.empty
+        else {
+          val pathRows = data.map(e => Row(new File(e.path).getName, e.path))
+          val pathDf = spark.createDataFrame(
+            spark.sparkContext.parallelize(pathRows, 1),
+            StructType(Seq(StructField("__graft_file", StringType),
+              StructField("__graft_full", StringType))))
+          val hits = matched.get
+            .join(broadcast(pathDf), Seq("__graft_file"))
+            .select(col("__graft_full").as("file_path"),
+              col("__graft_pos").as("pos"))
+            .orderBy(col("file_path"), col("pos"))
+          val f = stageData(hits.coalesce(1), root)
+          f.map(x => FixtureEntry(1, x.getPath, nMatched, content = 1))
+        }
+      val sid = commitSnapshot(tablePath,
+        (data ++ dels).map(existingEntry) ++
+          staged.map { case (f, pv) =>
+            addedEntry(f, statsFields).copy(partitionValues = pv)
+          } ++ delFile,
+        operation = "overwrite", expectedBaseVersion = Some(base))
+      MergeStats(sid, 0, staged.size, nMatched, srcCount - nKeys)
+    } finally matched.foreach { m => m.unpersist(); () }
+  }
+
   /** Outcome of a [[rewriteDataFiles]] compaction. */
   final case class RewriteStats(snapshotId: Long, filesRewritten: Int,
       deleteFilesRemoved: Int, filesAdded: Int)

@@ -981,6 +981,49 @@ class ScaleSpec extends SparkSpec {
         "day tuples did not prune the file list")
   }
 
+  test("MoR merge writes the batch, not the touched files") {
+    // kill-and-insert: matched rows die via one position-delete file
+    // and the batch appends — records WRITTEN must track the batch
+    // (+ delete rows), never the touched files' row counts (the CoW
+    // merge would restage every touched file's survivors)
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-morwrite").toString + "/t"
+    val n = 4000L
+    IcebergLog.append(
+      (0L until n).map(i => (i, i * 7)).toDF("id", "v").repartition(4), tbl)
+    // 40 keys spread across every file: CoW would rewrite all 4 files
+    val batch = (0L until n by 100).map(i => (i, -i)).toDF("id", "v")
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          written.addAndGet(te.taskMetrics.outputMetrics.recordsWritten); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ms =
+      try IcebergLog.mergeMoR(spark, tbl, batch, Seq("id"))
+      finally {
+        drainListenerBus()
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(ms.rowsUpdated === 40L && ms.rowsInserted === 0L &&
+      ms.filesRewritten === 0)
+    // batch (40) + position-delete rows (40) + slack; a CoW restage of
+    // the four touched files would write ~4000
+    assert(written.get < n / 10,
+      s"MoR merge wrote ${written.get} records for a 40-row batch — " +
+        "it restaged touched files instead of appending the batch")
+    assert(IcebergLog.read(spark, tbl).count() === n)
+    // and the read applies the kills: updated values visible
+    assert(IcebergLog.read(spark, tbl).filter(col("id") === 100L)
+      .select($"v").as[Long].head() === -100L)
+  }
+
   test("bucket-partition merge reads only the batch keys' buckets") {
     // bucket(8, id) is the classic upsert layout: a batch whose keys
     // all fall in ONE bucket must read ~1/8 of the table, answered from

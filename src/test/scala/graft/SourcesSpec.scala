@@ -2480,6 +2480,54 @@ class SourcesSpec extends SparkSpec {
       "changelog fold across the evolution does not reproduce the table")
   }
 
+  test("Iceberg MoR merge: positional kills, partitioned tuples, dup targets refuse") {
+    import graft.sources.IcebergLog
+    import graft.sources.IcebergLog.SpecField
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_mor_merge"
+    IcebergLog.appendPartitionedSpec(
+      (0L until 100L).map(i => (i, i * 3)).toDF("id", "v").repartition(2),
+      tbl, Seq(SpecField(1, "id_bucket", "bucket[4]", "id")))
+    val before = IcebergLog.liveSplitEntries(tbl)._1.map(_.path).toSet
+    val ms = IcebergLog.mergeMoR(spark, tbl,
+      Seq((5L, -5L), (200L, -200L)).toDF("id", "v"), Seq("id"))
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 1L &&
+      ms.filesRewritten === 0)
+    val (dataNow, delsNow) = IcebergLog.liveSplitEntries(tbl)
+    assert(before.subsetOf(dataNow.map(_.path).toSet))
+    assert(delsNow.count(_.content == 1) === 1)
+    // the appended batch files carry their bucket tuples (manifest
+    // pruning stays exact after a MoR merge)
+    assert(dataNow.forall(_.partitionValues.keySet == Set("id_bucket")))
+    val m = IcebergLog.read(spark, tbl).as[(Long, Long)].collect().toMap
+    assert(m.size === 101 && m(5L) === -5L && m(200L) === -200L &&
+      m(7L) === 21L)
+    // a MoR-DEAD key re-inserts, never resurrect-updates
+    IcebergLog.deletePositionsWhere(spark, tbl, col("id") === 7L)
+    val ms2 = IcebergLog.mergeMoR(spark, tbl,
+      Seq((7L, 777L)).toDF("id", "v"), Seq("id"))
+    assert(ms2.rowsUpdated === 0L && ms2.rowsInserted === 1L)
+    assert(IcebergLog.read(spark, tbl).filter(col("id") === 7L)
+      .as[(Long, Long)].collect().toSeq === Seq((7L, 777L)))
+    // duplicate-key TARGETS refuse loudly (kill-and-insert would
+    // collapse the multiplicity the CoW merge preserves)
+    IcebergLog.appendPartitionedSpec(Seq((300L, 1L)).toDF("id", "v"),
+      tbl, Seq(SpecField(1, "id_bucket", "bucket[4]", "id")))
+    IcebergLog.appendPartitionedSpec(Seq((300L, 2L)).toDF("id", "v"),
+      tbl, Seq(SpecField(1, "id_bucket", "bucket[4]", "id")))
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.mergeMoR(spark, tbl, Seq((300L, 9L)).toDF("id", "v"),
+        Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate-key targets"))
+    // empty batch: a no-op, not an empty snapshot
+    val verBefore = IcebergLog.snapshots(tbl).map(_.snapshotId).max
+    IcebergLog.mergeMoR(spark, tbl,
+      Seq.empty[(Long, Long)].toDF("id", "v"), Seq("id"))
+    assert(IcebergLog.snapshots(tbl).map(_.snapshotId).max === verBefore)
+  }
+
   test("Iceberg snapshot refs: tags pin retention, main tracks head, drops reclaim") {
     import graft.sources.IcebergLog
     val s = spark

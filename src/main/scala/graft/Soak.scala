@@ -344,7 +344,14 @@ object Soak {
       "x54b_iceberg_merge_partitioned", "x55_iceberg_changelog",
       // the second protocol's conditional merge (manifest-tuple prune at
       // 10x) and the MoR changelog (cost = named files, never the table)
-      "x54c_iceberg_merge_conditional", "x55b_iceberg_changelog_mor")
+      "x54c_iceberg_merge_conditional", "x55b_iceberg_changelog_mor",
+      // round-20: hidden partitioning (day-range scans must track the
+      // range's bytes at 10x; bucket merges the batch buckets' bytes),
+      // the evolving merge (one metadata file + touched files), and the
+      // MoR merge (bytes WRITTEN must track the batch, never the
+      // touched files)
+      "x56_iceberg_days_transform", "x56b_iceberg_bucket_transform",
+      "x57_iceberg_merge_evolve", "x58_iceberg_merge_mor_write")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -1154,7 +1154,7 @@ object SourceQueries {
       FROM events
       WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         AND ts <= TIMESTAMP '2024-01-14 23:59:59'
-      ORDER BY event_id""")),
+      ORDER BY event_id"""), headline = true),
 
     // x56b: BUCKET TRANSFORM — `bucket(8, o_orderkey)` is the classic
     // upsert layout (even write spread with no natural partition key):
@@ -1318,7 +1318,7 @@ object SourceQueries {
             UNION ALL
             SELECT * FROM tgt WHERE o_orderkey NOT IN
               (SELECT o_orderkey FROM src))
-      ORDER BY o_orderkey""")),
+      ORDER BY o_orderkey"""), headline = true),
 
     // x28: Delta OPTIMIZE (bin-packing compaction) — the maintenance
     // pass behind a streaming sink: eight per-epoch small commits leave

@@ -897,7 +897,8 @@ object IcebergLog {
     // deletes (at their sequence numbers) leave alive — MoR delete
     // snapshots diff to exactly the newly-dead rows.
     def visible(entries: Seq[LiveEntry], dels: Seq[LiveEntry]) =
-      liveWithMeta(spark, entries, dels)
+      liveWithMeta(spark, entries, dels,
+          unionSchemas = meta.schemaFields.nonEmpty)
         .drop("__graft_file", "__graft_pos", "__graft_dseq")
     var (prevData, prevDels) = walk
       .map(s => liveSplitEntries(tablePath, Some(s.snapshotId)))
@@ -1085,7 +1086,8 @@ object IcebergLog {
       if (dels.isEmpty) scanData(spark, tablePath, data)
       else {
         val meta = Seq("__graft_file", "__graft_pos", "__graft_dseq")
-        liveWithMeta(spark, data, dels).drop(meta: _*)
+        liveWithMeta(spark, data, dels, unionSchemas =
+          currentSchemaFields(tablePath).isDefined).drop(meta: _*)
       }
     val injected = injectIdentityPartitions(spark, data, base,
       hiddenFieldNames(tablePath))
@@ -1341,6 +1343,33 @@ object IcebergLog {
     cur
   }
 
+  /** Stage ONE position-delete parquet for `marked` rows (columns
+    * `__graft_file` basename + `__graft_pos`): resolve the names to the
+    * FULL paths the manifests record (the v2 file_path contract — a
+    * spec-compliant external reader matches on them verbatim), sort by
+    * (file, pos) as the spec asks, write under `data/`. Shared by
+    * [[deletePositionsWhere]] and [[mergeMoR]] so the file_path contract
+    * can never drift between the two delete writers.
+    */
+  private def stagePositionDelete(spark: SparkSession, root: File,
+      data: Seq[LiveEntry],
+      marked: DataFrame): Seq[File] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val pathRows = data.map(e => Row(new File(e.path).getName, e.path))
+    val pathDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pathRows, 1),
+      StructType(Seq(StructField("__graft_file", StringType),
+        StructField("__graft_full", StringType))))
+    val hits = marked
+      .join(broadcast(pathDf), Seq("__graft_file"))
+      .select(col("__graft_full").as("file_path"),
+        col("__graft_pos").as("pos"))
+      .orderBy(col("file_path"), col("pos"))
+    stageData(hits.coalesce(1), root)
+  }
+
   /** Outcome of a MoR delete commit. */
   final case class V2DeleteStats(snapshotId: Long, rowsDeleted: Long)
 
@@ -1358,29 +1387,16 @@ object IcebergLog {
     */
   def deletePositionsWhere(spark: SparkSession, tablePath: String,
       predicate: org.apache.spark.sql.Column): V2DeleteStats = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.col
     val root = new File(tablePath)
     val base = currentVersionOf(tablePath)
     val (data, dels) = liveSplitEntries(tablePath)
     require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
-    // the delete file records the FULL data-file path as the manifest
-    // names it (the v2 spec's file_path contract — a spec-compliant
-    // external reader matches on it verbatim; our own reader additionally
-    // tolerates basename-only files from other writers)
-    val pathRows = data.map(e => Row(new File(e.path).getName, e.path))
-    val pathDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(pathRows, 1),
-      StructType(Seq(StructField("__graft_file", StringType),
-        StructField("__graft_full", StringType))))
-    val hits = liveWithMeta(spark, data, dels)
+    val marked = liveWithMeta(spark, data, dels, unionSchemas =
+        currentSchemaFields(tablePath).isDefined)
       .filter(predicate)
-      .join(broadcast(pathDf), Seq("__graft_file"))
-      .select(col("__graft_full").as("file_path"),
-        col("__graft_pos").as("pos"))
-      .orderBy(col("file_path"), col("pos"))
-    val staged = stageData(hits.coalesce(1), root)
+      .select(col("__graft_file"), col("__graft_pos"))
+    val staged = stagePositionDelete(spark, root, data, marked)
     val n = staged.headOption.map(f =>
       spark.read.parquet(f.getPath).count()).getOrElse(0L)
     if (n == 0L) {
@@ -2010,16 +2026,41 @@ object IcebergLog {
       filter: Map[String, Any]): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = prunePartitions(tablePath, filter)
+    val hidden = hiddenFieldNames(tablePath)
+    // a HIDDEN (transform-derived) filter key has no table column to
+    // re-apply as a residual. Our staged files are tuple-pure (every
+    // row of a file maps to its recorded tuple), so the file-level
+    // prune IS row-exact — but an entry kept only for MISSING info
+    // (older spec / foreign file) cannot be residual-corrected, so it
+    // refuses rather than return rows outside the requested bucket.
+    filter.keys.filter(hidden).foreach { c =>
+      kept.find(!_.partitionValues.contains(c)).foreach(e =>
+        throw new IllegalArgumentException(
+          s"readPartition on hidden field $c: file ${e.path} records no " +
+            "tuple for it — the derived value has no table column, so " +
+            "row exactness cannot be restored by a residual filter"))
+    }
     val base =
       if (kept.nonEmpty)
         injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept),
-          hiddenFieldNames(tablePath))
+          hidden)
       else read(spark, tablePath).limit(0)
-    filter.foldLeft(base) { case (d, (c, v)) =>
-      if (v == null) d.filter(col(c).isNull)
-      else d.filter(col(c) === lit(v))
+    filter.filterNot { case (c, _) => hidden(c) }.foldLeft(base) {
+      case (d, (c, v)) =>
+        if (v == null) d.filter(col(c).isNull)
+        else d.filter(col(c) === lit(v))
     }
   }
+
+  /** Normalize a caller-built spec to the parse round-trip's structural
+    * form (sourceName0 empty when it equals the name) — spec evolution
+    * compares fields by equality, and a caller writing
+    * `SpecField(1, "id", "identity", "id")` must not trigger a phantom
+    * new spec on every commit.
+    */
+  private def normalizeSpec(fields: Seq[SpecField]): Seq[SpecField] =
+    fields.map(f =>
+      if (f.sourceName0 == f.name) f.copy(sourceName0 = "") else f)
 
   /** The non-identity (derived/hidden) partition field names across the
     * WHOLE spec history — entries written under any old spec may still
@@ -2059,16 +2100,18 @@ object IcebergLog {
       case (x: String, y: String) => Some(Integer.signum(x.compareTo(y)))
       case _ => None
     }
+    // transformed bounds once per FIELD, not per entry
+    val fieldBounds = fields.map(f =>
+      (f.name, lo.map(v => Transforms(f.transform, v)),
+        hi.map(v => Transforms(f.transform, v))))
     val kept = entries.filter { e =>
-      fields.forall { f =>
-        e.partitionValues.get(f.name) match {
+      fieldBounds.forall { case (name, tlo, thi) =>
+        e.partitionValues.get(name) match {
           case None => true // file predates this spec field: must scan
           case Some(null) => true // null partition: keep (conservative)
           case Some(tv) =>
-            val above = lo.map(v => Transforms(f.transform, v))
-              .flatMap(t => cmp(tv, t)).exists(_ < 0)
-            val below = hi.map(v => Transforms(f.transform, v))
-              .flatMap(t => cmp(tv, t)).exists(_ > 0)
+            val above = tlo.flatMap(t => cmp(tv, t)).exists(_ < 0)
+            val below = thi.flatMap(t => cmp(tv, t)).exists(_ > 0)
             !(above || below)
         }
       }
@@ -2271,13 +2314,33 @@ object IcebergLog {
     // default; re-declaring a known spec just re-selects it; declaring
     // none carries the history and default forward (sticky). Old specs
     // are never dropped — files written under them stay interpretable.
+    val normSpec = normalizeSpec(partitionSpec)
     val (specs, defaultId) =
-      if (partitionSpec.isEmpty) (priorSpecs, priorDefault)
-      else priorSpecs.find(_._2 == partitionSpec) match {
+      if (normSpec.isEmpty) (priorSpecs, priorDefault)
+      else priorSpecs.find(_._2 == normSpec) match {
         case Some((id, _)) => (priorSpecs, id)
         case None =>
+          // a field NAME is the tuple's interpretation key across the
+          // whole spec history (pruning and the manifest writer match
+          // by it), so re-declaring a name with a DIFFERENT transform
+          // or source would make old tuples replay through the new
+          // semantics — files holding real matches could prune away.
+          // Refuse; evolutions that change a transform rename the field.
+          val priorByName = priorSpecs.flatMap(_._2)
+            .map(f => f.name -> f).toMap
+          normSpec.foreach { f =>
+            priorByName.get(f.name).foreach { old =>
+              require(old.transform == f.transform &&
+                  old.sourceName == f.sourceName,
+                s"partition field ${f.name} re-declared as " +
+                  s"${f.transform}(${f.sourceName}) but the spec history " +
+                  s"records ${old.transform}(${old.sourceName}) under the " +
+                  "same name — tuple interpretation is by field name, so " +
+                  "a transform change must rename the field")
+            }
+          }
           val nid = (priorSpecs.map(_._1) :+ -1).max + 1
-          (priorSpecs :+ (nid -> partitionSpec), nid)
+          (priorSpecs :+ (nid -> normSpec), nid)
       }
     val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
     // the spec REQUIRES an `operation` in every snapshot summary; it is
@@ -2527,6 +2590,19 @@ object IcebergLog {
         s"touched file not in live set: $u")).path).toSet
   }
 
+  /** Footer-union reader for tables that RECORD a schema (an evolving
+    * merge leaves mixed old/new-schema files behind): the plain
+    * single-footer read samples an ARBITRARY file's schema, and a CoW
+    * verb restaging survivors from it could silently drop an evolved
+    * column — permanent value loss on the rewritten rows. Plain tables
+    * keep the plain reader (no extra footer pass).
+    */
+  private def schemaAwareReader(spark: SparkSession, tablePath: String)
+      : org.apache.spark.sql.DataFrameReader =
+    if (parseMeta(currentMetadataFile(tablePath)).schemaFields.nonEmpty)
+      spark.read.option("mergeSchema", "true")
+    else spark.read
+
   /** Outcome of a [[deleteWhere]] snapshot. */
   final case class DeleteStats(snapshotId: Long, filesRewritten: Int,
       filesAdded: Int, rowsDeleted: Long)
@@ -2554,7 +2630,8 @@ object IcebergLog {
     val base = currentVersionOf(tablePath)
     val entries = liveEntries(tablePath)
     require(entries.nonEmpty, s"not a live Iceberg table: $tablePath")
-    val target = spark.read.parquet(entries.map(_.path): _*)
+    val reader = schemaAwareReader(spark, tablePath)
+    val target = reader.parquet(entries.map(_.path): _*)
     val touched = target
       .withColumn("__graft_file", col("_metadata.file_path"))
       .filter(predicate)
@@ -2566,7 +2643,7 @@ object IcebergLog {
     // resolve scan URIs on the FULL qualified path — basenames collide
     // across directories on addFiles-adopted hive layouts
     val touchedPaths = resolveTouchedPaths(spark, entries, touched)
-    val touchedRows = spark.read.parquet(
+    val touchedRows = reader.parquet(
       entries.map(_.path).filter(touchedPaths): _*)
     val rowsDeleted = touchedRows.filter(predicate).count()
     // SQL DELETE semantics: NULL-predicate rows survive (same guard as
@@ -2608,7 +2685,8 @@ object IcebergLog {
     val base = currentVersionOf(tablePath)
     val entries = liveEntries(tablePath)
     require(entries.nonEmpty, s"not a live Iceberg table: $tablePath")
-    val target = spark.read.parquet(entries.map(_.path): _*)
+    val reader = schemaAwareReader(spark, tablePath)
+    val target = reader.parquet(entries.map(_.path): _*)
     val cols = target.columns.toSeq
     require(cols.forall(df.columns.contains) &&
         df.columns.forall(cols.contains),
@@ -2637,7 +2715,7 @@ object IcebergLog {
       return ReplaceStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
     val touchedRows =
       if (touchedPaths.isEmpty) None
-      else Some(spark.read.parquet(
+      else Some(reader.parquet(
         entries.map(_.path).filter(touchedPaths): _*))
     val rowsDeleted = touchedRows.fold(0L)(_.filter(predicate).count())
     val survivors = touchedRows.map(_.filter(
@@ -3049,8 +3127,6 @@ object IcebergLog {
       keys: Seq[String],
       statsFields: Seq[(Int, String)] = Seq.empty): MergeStats = {
     import org.apache.spark.sql.functions.{broadcast, col, count, count_distinct, lit}
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    import org.apache.spark.sql.Row
     val root = new File(tablePath)
     val base = currentVersionOf(tablePath)
     val (data, dels) = liveSplitEntries(tablePath)
@@ -3112,20 +3188,9 @@ object IcebergLog {
       require(staged.nonEmpty, s"no data files produced for $tablePath")
       val delFile: Seq[FixtureEntry] =
         if (nMatched == 0L) Seq.empty
-        else {
-          val pathRows = data.map(e => Row(new File(e.path).getName, e.path))
-          val pathDf = spark.createDataFrame(
-            spark.sparkContext.parallelize(pathRows, 1),
-            StructType(Seq(StructField("__graft_file", StringType),
-              StructField("__graft_full", StringType))))
-          val hits = matched.get
-            .join(broadcast(pathDf), Seq("__graft_file"))
-            .select(col("__graft_full").as("file_path"),
-              col("__graft_pos").as("pos"))
-            .orderBy(col("file_path"), col("pos"))
-          val f = stageData(hits.coalesce(1), root)
-          f.map(x => FixtureEntry(1, x.getPath, nMatched, content = 1))
-        }
+        else stagePositionDelete(spark, root, data,
+            matched.get.select(col("__graft_file"), col("__graft_pos")))
+          .map(x => FixtureEntry(1, x.getPath, nMatched, content = 1))
       val sid = commitSnapshot(tablePath,
         (data ++ dels).map(existingEntry) ++
           staged.map { case (f, pv) =>
@@ -3174,7 +3239,8 @@ object IcebergLog {
       return RewriteStats(
         parseMeta(currentMetadataFile(tablePath)).currentSnapshotId, 0, 0, 0)
     val metaCols = Seq("__graft_file", "__graft_pos", "__graft_dseq")
-    val live0 = liveWithMeta(spark, data, dels).drop(metaCols: _*)
+    val live0 = liveWithMeta(spark, data, dels, unionSchemas =
+      currentSchemaFields(tablePath).isDefined).drop(metaCols: _*)
     val live =
       if (sortBy.nonEmpty) {
         val n = if (targetFiles > 0) targetFiles else data.size

@@ -2402,6 +2402,16 @@ class SourcesSpec extends SparkSpec {
     val (specs, defaultId) = IcebergLog.partitionSpecsFull(tbl)
     assert(specs === Seq(0 -> Seq(SpecField(2, "ts_day", "day", "ts"))) &&
       defaultId === 0)
+    // re-declaring a field NAME with a different transform refuses —
+    // tuple interpretation is by name across the whole spec history
+    val eRedecl = intercept[IllegalArgumentException] {
+      IcebergLog.appendPartitionedSpec(
+        Seq((201L, java.sql.Timestamp.valueOf("2024-02-02 00:00:00"), 1.0))
+          .toDF("id", "ts", "v"), tbl,
+        Seq(SpecField(1, "ts_day", "day", "id"))) // same name, new source
+    }
+    assert(eRedecl.getMessage.contains("re-declared"))
+    assert(IcebergLog.partitionSpecsFull(tbl)._1.size === 1)
 
     // bucket layout: merge updates/inserts stay exact and the restage
     // keeps every file's bucket tuple
@@ -2418,10 +2428,27 @@ class SourcesSpec extends SparkSpec {
       after(7L) === "v7" && after.size === 201)
     assert(IcebergLog.liveEntries(btbl)
       .forall(_.partitionValues.keySet == Set("id_bucket")))
-    // tuple-level pruning answers a bucket point lookup from manifests
+    // tuple-level pruning answers a bucket point lookup from manifests,
+    // and readPartition on the HIDDEN key is row-exact (our staged
+    // files are tuple-pure; the derived value has no residual column)
     val (bkept, btotal) = IcebergLog.prunePartitions(btbl,
       Map("id_bucket" -> Transforms("bucket[8]", 5L)))
     assert(bkept.nonEmpty && bkept.size < btotal)
+    val bucketRows = IcebergLog.readPartition(spark, btbl,
+        Map("id_bucket" -> Transforms("bucket[8]", 5L)))
+      .select($"id").as[Long].collect().toSet
+    val expBucket = ((0L until 200L) ++ Seq(500L))
+      .filter(k => Transforms.bucketOf(k, 8) == Transforms.bucketOf(5L, 8))
+      .toSet
+    assert(bucketRows === expBucket)
+    // a caller-denormalized identity field must not phantom-evolve the
+    // spec history on every commit
+    val dtbl = s"$tmp/ice_denorm_spec"
+    (1 to 2).foreach(i => IcebergLog.appendPartitionedSpec(
+      Seq((i.toLong, s"p$i")).toDF("id", "p"), dtbl,
+      Seq(SpecField(2, "p", "identity", "p"))))
+    assert(IcebergLog.partitionSpecsFull(dtbl)._1.size === 1,
+      "denormalized identity spec phantom-evolved")
   }
 
   test("Iceberg merge schema evolution: NULL-fill, later appends, second merge, changelog") {
@@ -2467,6 +2494,19 @@ class SourcesSpec extends SparkSpec {
       Seq((2L, "B", 20L)).toDF("id", "v", "w"), Seq("id"))
     assert(st2.rowsUpdated === 1L && st2.rowsInserted === 0L)
     assert(snap()(2L) === (("B", Some(20L))))
+    // CoW deleteWhere on the evolved table restages survivors through
+    // the footer-UNION read — the evolved column must survive even when
+    // the touched file predates the evolution (single-footer inference
+    // would silently drop it)
+    val ds = IcebergLog.deleteWhere(spark, tbl, col("id") === 3L)
+    assert(ds.rowsDeleted === 1L)
+    assert(snap() === Map(
+      1L -> (("A", Some(10L))), 2L -> (("B", Some(20L))),
+      4L -> (("d", None)), 5L -> (("e", Some(50L))),
+      9L -> (("I", Some(90L)))))
+    // compaction over the mixed files keeps the evolved values too
+    IcebergLog.rewriteDataFiles(spark, tbl)
+    assert(snap()(2L) === (("B", Some(20L))) && snap()(4L) === (("d", None)))
     // the changelog crosses the evolution snapshot: old-side rows
     // NULL-fill the new column, and the fold reproduces the live table
     val ch = IcebergLog.changesBetween(spark, tbl, 0L)

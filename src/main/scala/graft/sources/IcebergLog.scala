@@ -1050,7 +1050,8 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _, _) = prunePartitionsAndBounds(tablePath, filter, fieldId, lo, hi)
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(_.path): _*)
+      if (kept.nonEmpty)
+        schemaAwareReader(spark, tablePath).parquet(kept.map(_.path): _*)
       else read(spark, tablePath).limit(0)
     val partFiltered = filter.foldLeft(base) { case (d, (c, v)) =>
       if (v == null) d.filter(col(c).isNull) else d.filter(col(c) === lit(v))
@@ -1068,7 +1069,8 @@ object IcebergLog {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = pruneByLongBounds(tablePath, fieldId, lo, hi)
     val base =
-      if (kept.nonEmpty) spark.read.parquet(kept.map(_.path): _*)
+      if (kept.nonEmpty)
+        schemaAwareReader(spark, tablePath).parquet(kept.map(_.path): _*)
       else read(spark, tablePath).limit(0)
     val bounded = lo.fold(base)(l => base.filter(col(column) >= lit(l)))
     hi.fold(bounded)(h => bounded.filter(col(column) <= lit(h)))
@@ -2331,12 +2333,16 @@ object IcebergLog {
           normSpec.foreach { f =>
             priorByName.get(f.name).foreach { old =>
               require(old.transform == f.transform &&
-                  old.sourceName == f.sourceName,
+                  old.sourceName == f.sourceName &&
+                  old.sourceId == f.sourceId,
                 s"partition field ${f.name} re-declared as " +
-                  s"${f.transform}(${f.sourceName}) but the spec history " +
-                  s"records ${old.transform}(${old.sourceName}) under the " +
-                  "same name — tuple interpretation is by field name, so " +
-                  "a transform change must rename the field")
+                  s"${f.transform}(${f.sourceName}, source-id " +
+                  s"${f.sourceId}) but the spec history records " +
+                  s"${old.transform}(${old.sourceName}, source-id " +
+                  s"${old.sourceId}) under the same name — tuple " +
+                  "interpretation is by field name (and external readers " +
+                  "resolve the source by id), so the change must rename " +
+                  "the field")
             }
           }
           val nid = (priorSpecs.map(_._1) :+ -1).max + 1
@@ -2599,7 +2605,7 @@ object IcebergLog {
     */
   private def schemaAwareReader(spark: SparkSession, tablePath: String)
       : org.apache.spark.sql.DataFrameReader =
-    if (parseMeta(currentMetadataFile(tablePath)).schemaFields.nonEmpty)
+    if (currentSchemaFields(tablePath).isDefined)
       spark.read.option("mergeSchema", "true")
     else spark.read
 

@@ -351,7 +351,10 @@ object Soak {
       // MoR merge (bytes WRITTEN must track the batch, never the
       // touched files)
       "x56_iceberg_days_transform", "x56b_iceberg_bucket_transform",
-      "x57_iceberg_merge_evolve", "x58_iceberg_merge_mor_write")
+      "x57_iceberg_merge_evolve", "x58_iceberg_merge_mor_write",
+      // the Delta twin of x58: DV bitmaps instead of position-delete
+      // files, same O(batch + bitmap bytes) write contract
+      "x16e_delta_merge_dv_write")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

@@ -357,6 +357,82 @@ object SourceQueries {
               (SELECT o_orderkey FROM src)))
       ORDER BY o_orderkey, o_totalprice""")),
 
+    // x16e: MERGE-ON-READ MERGE on Delta (deletion-vector write mode) —
+    // the Delta twin of x58: matched rows die via DV bitmaps on their
+    // files (same path, same bytes, remove+re-add) and the batch
+    // appends, so the commit writes O(batch + bitmap bytes) while CoW
+    // would rewrite every touched file. In-query requires pin the shape
+    // hard: ZERO files rewritten, EVERY pre-merge data file keeps its
+    // physical identity, a live DV exists after the merge, the CDF for
+    // the merge version carries the SAME pre/post/insert shape as a CoW
+    // merge (a downstream CDC consumer can't tell the write modes
+    // apart), and a stacked purgeDeletionVectors folds the debt away
+    // with the rows pinned unchanged. ScaleSpec pins records-written;
+    // the sf1 soak pins bytes-written tracks the batch.
+    QueryDef("x16e_delta_merge_dv_write", (s, d) => {
+      val tbl = s"$stage/delta_merge_dv"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.DeltaWrite.append(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(4, col("o_orderkey")), tbl)
+      graft.sources.DeltaWrite.enableChangeDataFeed(s, tbl)
+      val before = graft.sources.DeltaLog.liveAdds(s, tbl)
+        .map(_.path).toSet
+      val src = o.filter((col("o_orderkey") % 2 === 0 &&
+            col("o_orderkey") <= 400) ||
+          (col("o_orderkey") % 2 === 1 && col("o_orderkey") <= 401))
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      val ms = graft.sources.DeltaWrite.mergeDv(s, tbl, src,
+        Seq("o_orderkey"))
+      require(ms.rowsUpdated > 0 && ms.rowsInserted > 0 &&
+          ms.filesRewritten == 0,
+        s"DV merge degenerated: $ms")
+      val after = graft.sources.DeltaLog.liveAdds(s, tbl)
+      require(before.subsetOf(after.map(_.path).toSet),
+        "DV merge rewrote a data file — the whole point is O(batch)")
+      require(after.exists(_.dv.isDefined),
+        "DV merge published no deletion vector")
+      // the feed for the merge version is indistinguishable from a CoW
+      // merge's: one preimage per matched row, one postimage, inserts
+      val feed = graft.sources.DeltaLog.tableChanges(s, tbl,
+        ms.version, Some(ms.version)).groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      require(feed.get("update_preimage").contains(ms.rowsUpdated) &&
+          feed.get("update_postimage").contains(ms.rowsUpdated) &&
+          feed.get("insert").contains(ms.rowsInserted),
+        s"DV merge CDF shape drifted: $feed vs $ms")
+      val nMerged = graft.sources.DeltaLog.read(s, tbl).count()
+      // stacked purge folds the DV debt away, rows unchanged
+      val ps = graft.sources.DeltaWrite.purgeDeletionVectors(s, tbl)
+      require(ps.filesPurged >= 1, s"purge kept the debt: $ps")
+      require(graft.sources.DeltaLog.liveAdds(s, tbl)
+            .forall(_.dv.isEmpty) &&
+          graft.sources.DeltaLog.read(s, tbl).count() == nMerged,
+        "purge changed the merged rows")
+      graft.sources.DeltaLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      WITH tgt AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+                   FROM orders WHERE o_orderkey % 2 = 0),
+      src AS (SELECT o_orderkey, o_orderstatus,
+                o_totalprice + 1000.0 AS o_totalprice
+              FROM orders
+              WHERE (o_orderkey % 2 = 0 AND o_orderkey <= 400)
+                 OR (o_orderkey % 2 = 1 AND o_orderkey <= 401))
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(o_totalprice AS DOUBLE) AS o_totalprice
+      FROM (SELECT * FROM src
+            UNION ALL
+            SELECT * FROM tgt WHERE o_orderkey NOT IN
+              (SELECT o_orderkey FROM src))
+      ORDER BY o_orderkey"""), headline = true),
+
     // p04: PARQUET BLOOM FILTER point lookups — the layout lever for
     // high-cardinality keys where clustering can't help (uniform md5
     // strings: every row group's min/max spans the whole hex domain).

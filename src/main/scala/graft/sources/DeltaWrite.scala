@@ -662,38 +662,11 @@ object DeltaWrite {
     // falsifies a partition-only conjunct of the predicate)
     val condPruned = matchCondition.fold(adds)(c =>
       prunePartitionConjuncts(spark, tablePath, adds, c))
-    // PARTITION PRUNING of the match scan: when a join key IS a
-    // partition column, only files whose tuple value appears among the
-    // batch's distinct values for it can contain a match. The
-    // comparison goes through the same TYPED evaluation as a DELETE's
-    // partition conjunct — the log's string rendering of a tuple
-    // ("05", "5.0") must never be string-compared against the batch's
-    // rendering. Null batch values drop (an equi-join key never
-    // matches null), and a key with NO non-null batch values matches no
-    // file at all. Inserts are unaffected (they stage from the batch,
-    // not the match scan). The distinct collect is CAPPED: pruning is
-    // strictly best-effort, and an unbounded batch on a
-    // high-cardinality partition key must not blow the driver (or the
-    // analyzer's literal-list limits) for a prune that could only be
-    // marginal — over the cap, that key prunes nothing. A truncated
-    // value list must never prune (it would drop files holding real
-    // matches), so the cap checks the PRE-null-filter row count.
-    val maxKeyPruneValues = 10000
-    val candidateAdds = keys.filter(partCols.contains)
-      .foldLeft(condPruned) { (as, k) =>
-        if (as.isEmpty) as
-        else {
-          val raw = src.select(col(s"`$k`")).distinct()
-            .limit(maxKeyPruneValues + 1).collect()
-          if (raw.length > maxKeyPruneValues) as
-          else {
-            val vals = raw.map(_.get(0)).filter(_ != null).toSeq
-            if (vals.isEmpty) Seq.empty
-            else prunePartitionConjuncts(spark, tablePath, as,
-              col(s"`$k`").isin(vals: _*))
-          }
-        }
-      }
+    // PARTITION PRUNING of the match scan by the batch's key values —
+    // typed evaluation, capped collect, truncation never prunes (the
+    // full contract lives on [[pruneAddsByBatchKeys]])
+    val candidateAdds =
+      pruneAddsByBatchKeys(spark, tablePath, condPruned, src, keys, partCols)
     // touched files: bounded by live-file count (same driver-state class
     // as the log listing itself). The identity scan decodes logically
     // with each row's PHYSICAL file captured before any projection/join,
@@ -875,6 +848,194 @@ object DeltaWrite {
       """{"commitInfo":{"operation":"MERGE","operationParameters":{}}}""")
     MergeStats(version, touchedAdds.size, files.size, rowsUpdated,
       rowsInserted)
+  }
+
+  /** MERGE-ON-READ MERGE (deletion-vector write mode) — the Delta twin
+    * of [[IcebergLog.mergeMoR]] and the production shape for frequent
+    * small upserts into wide files: matched target rows die via DV
+    * bitmaps on their files (remove + re-add of the SAME path and bytes,
+    * [[stageDvKills]]) and the batch appends as fresh data files — the
+    * commit writes O(batch + bitmap bytes), never O(touched files),
+    * where the CoW [[merge]] rewrites every touched file. Untouched AND
+    * touched data files keep their physical identity; reads apply the
+    * bitmaps like any MoR delete; [[purgeDeletionVectors]] folds the
+    * debt back into clean files.
+    *
+    * Candidate files for the match scan prune exactly like the CoW verb
+    * (the match condition's partition conjuncts, then the batch's key
+    * values — [[pruneAddsByBatchKeys]]); the scan applies EXISTING DVs
+    * first, so a MoR-dead row re-inserts, never resurrects, and a second
+    * DV merge on the same file UNIONs bitmaps. DUPLICATE-KEY targets
+    * refuse loudly — kill-and-insert would collapse their multiplicity
+    * where the CoW verb preserves it; schema evolution (`mergeSchema`)
+    * stays a CoW-merge feature, matching the Iceberg twin. CDF publishes
+    * the SAME update_preimage/update_postimage/insert rows as the CoW
+    * merge — the feed cannot tell the write modes apart (the shape real
+    * Delta's DV-backed MERGE emits), which is what lets a downstream CDC
+    * consumer survive a sink switching write modes mid-stream.
+    */
+  def mergeDv(spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      source: DataFrame, keys: Seq[String],
+      matchCondition: Option[org.apache.spark.sql.Column] = None,
+      maxDvCollectBytes: Long = 256L << 20): MergeStats = {
+    import org.apache.spark.sql.functions.{broadcast, col, count,
+      count_distinct, lit}
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    val meta = DeltaLog.tableMetaData(spark, tablePath)
+    val mapMode = DeltaLog.mappingMode(meta)
+    val partCols = DeltaLog.recordedPartitionColumns(spark, tablePath)
+    requireSatisfiesConstraints(spark, tablePath, source, "merge")
+    // logical snapshot shape, schema-only (no job) — same discipline as
+    // the CoW merge
+    val target0 = DeltaLog.readLivePaths(spark, tablePath,
+      adds.map(_.path))
+    val cols = target0.columns.toSeq
+    require(cols.forall(source.columns.contains) &&
+        source.columns.forall(cols.contains),
+      s"merge source columns ${source.columns.mkString(",")} must match " +
+        s"table columns ${cols.mkString(",")} — schema evolution " +
+        "(mergeSchema) is a CoW-merge feature")
+    val src = source.select(cols.map(c =>
+      col(s"`$c`").cast(target0.schema(c).dataType).as(c)): _*)
+    val dup = src.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1).limit(1).count()
+    require(dup == 0L,
+      "merge source has multiple rows for the same key (ambiguous match)")
+    val srcCount = src.count()
+    if (srcCount == 0L) // empty batch: a no-op, not an empty commit
+      return MergeStats(nextVersion(logDir) - 1, 0, 0, 0L, 0L)
+    val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
+    val condT = matchCondition.map(c =>
+      org.apache.spark.sql.functions.coalesce(c, lit(false)))
+    val condPruned = matchCondition.fold(adds)(c =>
+      prunePartitionConjuncts(spark, tablePath, adds, c))
+    val candidateAdds =
+      pruneAddsByBatchKeys(spark, tablePath, condPruned, src, keys, partCols)
+    val byPath = DeltaLog.byQualifiedPath(spark, adds)
+    // matched rows, persisted ONCE and reused for the count aggregate,
+    // the position kill stage, and the CDF preimages — incremental-batch
+    // sized (bounded by the match count), never re-reading the candidate
+    // parquet three times
+    val matchedAll =
+      if (candidateAdds.isEmpty) None
+      else {
+        val withId = DeltaLog.readWithRowIdentity(spark, tablePath,
+          Some(candidateAdds.map(_.path).toSet))
+        Some(condT.fold(withId)(withId.filter(_))
+          .join(broadcast(srcKeys), keys, "leftsemi").persist())
+      }
+    try {
+      val (nMatched, nKeys) = matchedAll.map { m =>
+        val st = m.agg(count(lit(1)),
+          count_distinct(col(s"`${keys.head}`"),
+            keys.tail.map(c => col(s"`$c`")): _*)).head
+        (st.getLong(0), st.getLong(1))
+      }.getOrElse((0L, 0L))
+      require(nMatched == nKeys,
+        s"DV merge matched $nMatched target rows over $nKeys keys — " +
+          "duplicate-key targets would lose multiplicity under " +
+          "kill-and-insert; use the CoW merge (it preserves them)")
+      val touched = matchedAll.fold(
+        Seq.empty[(DeltaLog.LiveFile, Long, Long, Option[DeltaDv.Descriptor])])(
+        m => stageDvKills(spark, root,
+          m.select(col("__graft_dv_file").as("__f"),
+            col("__graft_dv_pos").as("__i")),
+          byPath, maxDvCollectBytes))
+      // the WHOLE batch lands as fresh files (updates + inserts — no
+      // duplicate-key targets, so the batch IS updated-rows ∪ inserts)
+      val (outStaged, outStatsSchema) =
+        if (mapMode == "none") (src, src.schema)
+        else physicalizeForStage(spark, tablePath, src)
+      val (files, addActions) =
+        if (partCols.isEmpty) {
+          val fs = stageDataFiles(outStaged, root)
+          (fs, fs.map(addWithStats(_, outStatsSchema)))
+        } else {
+          val physParts = physPartitionCols(spark, tablePath, partCols)
+          val moved = stagePartitionedFiles(outStaged, root, physParts)
+          val dataSchema = org.apache.spark.sql.types.StructType(
+            outStatsSchema.fields.filterNot(f => physParts.contains(f.name)))
+          (moved.map(_._1), moved.map { case (f, pv) =>
+            partitionedAddAction(root, f, pv, dataSchema, dataChange = true)
+          })
+        }
+      // CDF: identical shape to the CoW merge — matched old rows as
+      // update_preimage, their batch replacements as update_postimage,
+      // unmatched source rows as insert; all O(batch)
+      val cdcActions =
+        if (!cdfEnabled(spark, tablePath)) Seq.empty
+        else {
+          val pre = matchedAll.map(
+            _.drop("__graft_dv_file", "__graft_dv_pos"))
+            .getOrElse(src.limit(0))
+          val mk = matchedAll.map(
+            _.select(keys.map(c => col(s"`$c`")): _*).distinct())
+            .getOrElse(srcKeys.limit(0))
+          val post = src.join(broadcast(mk), keys, "leftsemi")
+          val ins = src.join(broadcast(mk), keys, "leftanti")
+          val change =
+            pre.withColumn("_change_type", lit("update_preimage"))
+              .unionByName(post.withColumn("_change_type",
+                lit("update_postimage")))
+              .unionByName(ins.withColumn("_change_type", lit("insert")))
+          val staged =
+            if (mapMode == "none") change
+            else physicalizeForStage(spark, tablePath, change,
+              passthrough = Seq("_change_type"))._1
+          stageCdc(staged, root)
+        }
+      val protoAction =
+        if (touched.isEmpty) Seq.empty
+        else dvProtocolAction(tablePath, mapMode != "none")
+      val version = nextVersion(logDir)
+      publish(logDir, version,
+        protoAction ++ dvKillActions(touched) ++ addActions ++ cdcActions :+
+        """{"commitInfo":{"operation":"MERGE","operationParameters":{"mode":"merge-on-read"}}}""")
+      MergeStats(version, 0, files.size, nMatched, srcCount - nKeys)
+    } finally matchedAll.foreach { m => m.unpersist(); () }
+  }
+
+  /** Partition-key batch-value candidate pruning shared by the CoW
+    * [[merge]] and the DV-writing [[mergeDv]]: when a join key IS a
+    * partition column, only files whose tuple value appears among the
+    * batch's distinct values for it can contain a match. The comparison
+    * goes through the same TYPED evaluation as a DELETE's partition
+    * conjunct — the log's string rendering of a tuple ("05", "5.0")
+    * must never be string-compared against the batch's rendering. Null
+    * batch values drop (an equi-join key never matches null), and a key
+    * with NO non-null batch values matches no file at all. Inserts are
+    * unaffected (they stage from the batch, not the match scan). The
+    * distinct collect is CAPPED: pruning is strictly best-effort, and an
+    * unbounded batch on a high-cardinality partition key must not blow
+    * the driver (or the analyzer's literal-list limits) for a prune that
+    * could only be marginal — over the cap, that key prunes nothing. A
+    * truncated value list must never prune (it would drop files holding
+    * real matches), so the cap checks the PRE-null-filter row count.
+    */
+  private def pruneAddsByBatchKeys(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      start: Seq[DeltaLog.LiveFile], src: DataFrame, keys: Seq[String],
+      partCols: Seq[String]): Seq[DeltaLog.LiveFile] = {
+    import org.apache.spark.sql.functions.col
+    val maxKeyPruneValues = 10000
+    keys.filter(partCols.contains).foldLeft(start) { (as, k) =>
+      if (as.isEmpty) as
+      else {
+        val raw = src.select(col(s"`$k`")).distinct()
+          .limit(maxKeyPruneValues + 1).collect()
+        if (raw.length > maxKeyPruneValues) as
+        else {
+          val vals = raw.map(_.get(0)).filter(_ != null).toSeq
+          if (vals.isEmpty) Seq.empty
+          else prunePartitionConjuncts(spark, tablePath, as,
+            col(s"`$k`").isin(vals: _*))
+        }
+      }
+    }
   }
 
   /** Outcome of a [[deleteWhere]] commit. */
@@ -1675,81 +1836,26 @@ object DeltaWrite {
       d.offset.fold("")(o => s""""offset":$o,""") +
       s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
 
-  /** Outcome of a [[deleteWhereDv]] commit. */
-  final case class DvDeleteStats(version: Long, filesTouched: Int,
-      filesFullyDead: Int, rowsDeleted: Long)
-
-  /** DELETE WHERE, merge-on-read: instead of rewriting touched files
-    * ([[deleteWhere]]'s copy-on-write), each touched file is RE-ADDED
-    * with a `deletionVector` descriptor naming its dead row indexes as a
-    * serialized RoaringBitmapArray ([[DeltaDv]]) — the Delta protocol's
-    * DV mechanism, ONE tiny DV file per commit regardless of table size.
-    * This is the point-delete fast path at 100 TB (GDPR erasure, CDC
-    * retractions): no data file is rewritten, the commit cost is
-    * O(matched rows' bitmap bytes), and reads stay a single scan plus a
-    * broadcast-closure bitmap filter.
-    *
-    * Correct-by-construction details:
-    *  - the match scan applies EXISTING DVs first, so an already-dead row
-    *    is never re-counted and never re-deleted;
-    *  - bitmaps are built EXECUTOR-side (per-file groupBy + serialize);
-    *    only compressed bitmap bytes reach the driver — never an
-    *    enumerated (file, row) list — and past `maxDvCollectBytes` of
-    *    estimated bitmap bytes not even those: the DV files are WRITTEN
-    *    FROM THE EXECUTORS, packed per task partition (many bitmaps per
-    *    shared offset-addressed file, flushed every [[dvPackFlushBytes]])
-    *    and the driver sees only (name, descriptor, cardinality) tuples
-    *    — the 100 TB shape, where a delete touching 10⁵ files never
-    *    concentrates a byte of bitmap on the driver NOR scatters 10⁵
-    *    tiny DV files next to the data;
-    *  - a second delete on an already-DV'd file UNIONs the bitmaps
-    *    (O(bitmap bytes), [[DeltaDv.union]]);
-    *  - a file whose every row is dead (declared stats numRecords ==
-    *    bitmap cardinality) gets a plain `remove` — no descriptor that a
-    *    reader would pay to apply forever;
-    *  - the FIRST DV commit upgrades the protocol to
-    *    minReaderVersion 3 / minWriterVersion 7 with the deletionVectors
-    *    table feature, so pre-DV readers refuse loudly instead of
-    *    resurrecting rows;
-    *  - rows where the predicate is NULL are NOT deleted (SQL DELETE
-    *    semantics, same as [[deleteWhere]]).
+  /** Shared MoR kill stage for the DV-writing commits ([[deleteWhereDv]],
+    * [[mergeDv]]): aggregate matched PHYSICAL row positions (`__f` =
+    * scan URI, `__i` = row index) per live file into deletion-vector
+    * descriptors, UNIONed with any existing bitmap — one code path, so
+    * the two verbs' DV byte format and driver-memory discipline cannot
+    * drift. Under `maxDvCollectBytes` of estimated bitmap bytes the
+    * driver path writes ONE DV file for the whole commit; above it the
+    * executor path packs bitmaps into shared files where the positions
+    * were aggregated (see [[deleteWhereDv]]'s scaladoc for the full
+    * rationale). `byPath` keys live files by QUALIFIED scan URI (never
+    * basename — adopted layouts collide). Returns (live file, fresh
+    * kills, merged cardinality, descriptor — None when the file died
+    * entirely); empty when nothing matched.
     */
-  /** Flush bound for executor-packed DV files: a task partition packs
-    * merged bitmaps into one shared DV file until their bytes reach
-    * this, then starts another — bounding both per-task memory and the
-    * packed file size (the cap real Delta applies when packing many DVs
-    * into shared files).
-    */
-  private[sources] val dvPackFlushBytes: Long = 128L << 20
-
-  def deleteWhereDv(spark: org.apache.spark.sql.SparkSession,
-      tablePath: String,
-      predicate: org.apache.spark.sql.Column,
-      maxDvCollectBytes: Long = 256L << 20): DvDeleteStats = {
+  private def stageDvKills(spark: org.apache.spark.sql.SparkSession,
+      root: File, matched: DataFrame,
+      byPath: Map[String, DeltaLog.LiveFile], maxDvCollectBytes: Long)
+      : Seq[(DeltaLog.LiveFile, Long, Long, Option[DeltaDv.Descriptor])] = {
     import org.apache.spark.sql.functions.{col, collect_list, count, lit,
       sort_array, sum}
-    val root = new File(tablePath)
-    val logDir = new File(root, "_delta_log")
-    requireTable(logDir, tablePath)
-    val adds = DeltaLog.liveAdds(spark, tablePath)
-    // MAPPED tables MoR-delete first-class: the match scan decodes
-    // logically with each row's PHYSICAL identity captured before the
-    // projection, and DV descriptors are path+position based — no
-    // column semantics touch the bitmap. CDF composes too: the change
-    // rows stage through the mapped-append physicalization with the
-    // reserved `_change_type` riding through, and the feed decodes cdc
-    // files like data files (by physical name / footer field id).
-    val deleteMapped =
-      DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath)) != "none"
-    // match scan: snapshot read (existing DVs applied, partition columns
-    // injected from the log so the predicate may reference them), with
-    // physical row identity captured BEFORE the pv join
-    val withId = DeltaLog.readWithRowIdentity(spark, tablePath)
-      .filter(predicate)
-    val matchedRows = withId.drop("__graft_dv_file", "__graft_dv_pos")
-    val matched = withId
-      .select(col("__graft_dv_file").as("__f"),
-        col("__graft_dv_pos").as("__i"))
     // DRIVER-MEMORY GATE, decided BEFORE any bitmap bytes move: roaring's
     // worst case is 2 bytes/position (array containers) plus ≤ 8 KiB per
     // 64Ki-row span (bitmap containers cap there), so positions×2 +
@@ -1765,14 +1871,8 @@ object DeltaWrite {
       .agg(sum(col("__n")), count(lit(1))).head
     val (nPositions, nFiles) =
       if (pre.isNullAt(0)) (0L, 0L) else (pre.getLong(0), pre.getLong(1))
-    if (nFiles == 0L) // nothing matched: a no-op, not an empty commit
-      return DvDeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
+    if (nFiles == 0L) return Seq.empty // nothing matched
     val estBytes = nPositions * 2L + nFiles * 8192L
-    // keyed on the scan's QUALIFIED URI, never the basename — Spark's
-    // partitionBy writes the same part-NNNNN name into every partition
-    // dir, so a CONVERT-adopted table's basenames collide and a
-    // basename-keyed bitmap would fuse two files' positions
-    val byPath = DeltaLog.byQualifiedPath(spark, adds)
     def physicalRows(a: DeltaLog.LiveFile): Option[Long] =
       a.stats.flatMap(_.get("numRecords").collect { case d: Double => d.toLong })
     val grouped = matched
@@ -1780,7 +1880,6 @@ object DeltaWrite {
       .agg(sort_array(collect_list(col("__i"))).as("__idx"))
     // both paths produce (live file, fresh deletes, merged cardinality,
     // descriptor — None when the file died entirely)
-    val touched: Seq[(DeltaLog.LiveFile, Long, Long, Option[DeltaDv.Descriptor])] =
       if (estBytes <= maxDvCollectBytes) {
         val perFile = grouped.collect()
         perFile.toSeq.map { r =>
@@ -1883,35 +1982,136 @@ object DeltaWrite {
             Some(DeltaDv.Descriptor("u", pathOrInline, Some(off), len, card)))
         }
       }
+  }
+
+  /** Log actions for [[stageDvKills]] output: a partially-dead file is
+    * removed and RE-ADDED at the same path/bytes with its descriptor; a
+    * fully-dead file gets a plain remove.
+    */
+  private def dvKillActions(
+      touched: Seq[(DeltaLog.LiveFile, Long, Long, Option[DeltaDv.Descriptor])])
+      : Seq[String] = touched.flatMap {
+    case (a, _, _, Some(d)) =>
+      val f = new File(a.path)
+      Seq(
+        removeAction(a),
+        s"""{"add":{"path":"${jsonEscape(a.recordedPath)}",""" +
+          s""""partitionValues":${pvJson(a.partitionValues)},""" +
+          s""""size":${f.length},"modificationTime":${f.lastModified},""" +
+          a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
+          s""""deletionVector":${dvJson(d)},"dataChange":true}}""")
+    case (a, _, _, None) =>
+      Seq(removeAction(a))
+  }
+
+  /** Protocol upgrade action for a DV-writing commit (no-op when the
+    * table already lists the feature). Reader version 3 lists ALL active
+    * reader features — upgrading a mapped table with only
+    * [deletionVectors] would hide the mapping from feature-gated
+    * readers.
+    */
+  private def dvProtocolAction(tablePath: String,
+      mapped: Boolean): Seq[String] = {
+    val (minR, _, rFeats, _) = DeltaLog.currentProtocol(tablePath)
+    if (minR >= 3 && rFeats.contains(DeltaLog.DvFeature)) Seq.empty
+    else {
+      val feats = (rFeats.toSet + DeltaLog.DvFeature ++
+        (if (mapped) Set(DeltaLog.CmFeature) else Set.empty))
+        .toSeq.sorted
+      val featJson = feats.map("\"" + _ + "\"").mkString("[", ",", "]")
+      Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        s""""readerFeatures":$featJson,"writerFeatures":$featJson}}""")
+    }
+  }
+
+  /** Outcome of a [[deleteWhereDv]] commit. */
+  final case class DvDeleteStats(version: Long, filesTouched: Int,
+      filesFullyDead: Int, rowsDeleted: Long)
+
+  /** DELETE WHERE, merge-on-read: instead of rewriting touched files
+    * ([[deleteWhere]]'s copy-on-write), each touched file is RE-ADDED
+    * with a `deletionVector` descriptor naming its dead row indexes as a
+    * serialized RoaringBitmapArray ([[DeltaDv]]) — the Delta protocol's
+    * DV mechanism, ONE tiny DV file per commit regardless of table size.
+    * This is the point-delete fast path at 100 TB (GDPR erasure, CDC
+    * retractions): no data file is rewritten, the commit cost is
+    * O(matched rows' bitmap bytes), and reads stay a single scan plus a
+    * broadcast-closure bitmap filter.
+    *
+    * Correct-by-construction details:
+    *  - the match scan applies EXISTING DVs first, so an already-dead row
+    *    is never re-counted and never re-deleted;
+    *  - bitmaps are built EXECUTOR-side (per-file groupBy + serialize);
+    *    only compressed bitmap bytes reach the driver — never an
+    *    enumerated (file, row) list — and past `maxDvCollectBytes` of
+    *    estimated bitmap bytes not even those: the DV files are WRITTEN
+    *    FROM THE EXECUTORS, packed per task partition (many bitmaps per
+    *    shared offset-addressed file, flushed every [[dvPackFlushBytes]])
+    *    and the driver sees only (name, descriptor, cardinality) tuples
+    *    — the 100 TB shape, where a delete touching 10⁵ files never
+    *    concentrates a byte of bitmap on the driver NOR scatters 10⁵
+    *    tiny DV files next to the data;
+    *  - a second delete on an already-DV'd file UNIONs the bitmaps
+    *    (O(bitmap bytes), [[DeltaDv.union]]);
+    *  - a file whose every row is dead (declared stats numRecords ==
+    *    bitmap cardinality) gets a plain `remove` — no descriptor that a
+    *    reader would pay to apply forever;
+    *  - the FIRST DV commit upgrades the protocol to
+    *    minReaderVersion 3 / minWriterVersion 7 with the deletionVectors
+    *    table feature, so pre-DV readers refuse loudly instead of
+    *    resurrecting rows;
+    *  - rows where the predicate is NULL are NOT deleted (SQL DELETE
+    *    semantics, same as [[deleteWhere]]).
+    */
+  /** Flush bound for executor-packed DV files: a task partition packs
+    * merged bitmaps into one shared DV file until their bytes reach
+    * this, then starts another — bounding both per-task memory and the
+    * packed file size (the cap real Delta applies when packing many DVs
+    * into shared files).
+    */
+  private[sources] val dvPackFlushBytes: Long = 128L << 20
+
+  def deleteWhereDv(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      predicate: org.apache.spark.sql.Column,
+      maxDvCollectBytes: Long = 256L << 20): DvDeleteStats = {
+    import org.apache.spark.sql.functions.{col, collect_list, count, lit,
+      sort_array, sum}
+    val root = new File(tablePath)
+    val logDir = new File(root, "_delta_log")
+    requireTable(logDir, tablePath)
+    val adds = DeltaLog.liveAdds(spark, tablePath)
+    // MAPPED tables MoR-delete first-class: the match scan decodes
+    // logically with each row's PHYSICAL identity captured before the
+    // projection, and DV descriptors are path+position based — no
+    // column semantics touch the bitmap. CDF composes too: the change
+    // rows stage through the mapped-append physicalization with the
+    // reserved `_change_type` riding through, and the feed decodes cdc
+    // files like data files (by physical name / footer field id).
+    val deleteMapped =
+      DeltaLog.mappingMode(DeltaLog.tableMetaData(spark, tablePath)) != "none"
+    // match scan: snapshot read (existing DVs applied, partition columns
+    // injected from the log so the predicate may reference them), with
+    // physical row identity captured BEFORE the pv join
+    val withId = DeltaLog.readWithRowIdentity(spark, tablePath)
+      .filter(predicate)
+    val matchedRows = withId.drop("__graft_dv_file", "__graft_dv_pos")
+    val matched = withId
+      .select(col("__graft_dv_file").as("__f"),
+        col("__graft_dv_pos").as("__i"))
+    // keyed on the scan's QUALIFIED URI, never the basename — Spark's
+    // partitionBy writes the same part-NNNNN name into every partition
+    // dir, so a CONVERT-adopted table's basenames collide and a
+    // basename-keyed bitmap would fuse two files' positions
+    val byPath = DeltaLog.byQualifiedPath(spark, adds)
+    val touched = stageDvKills(spark, root, matched, byPath,
+      maxDvCollectBytes)
+    if (touched.isEmpty) // nothing matched: a no-op, not an empty commit
+      return DvDeleteStats(nextVersion(logDir) - 1, 0, 0, 0L)
     val rowsDeleted = touched.map(_._2).sum
     val fullyDead = touched.count(_._4.isEmpty)
-    val dvActions: Seq[String] = touched.flatMap {
-      case (a, _, _, Some(d)) =>
-        val f = new File(a.path)
-        Seq(
-          removeAction(a),
-          s"""{"add":{"path":"${jsonEscape(a.recordedPath)}",""" +
-            s""""partitionValues":${pvJson(a.partitionValues)},""" +
-            s""""size":${f.length},"modificationTime":${f.lastModified},""" +
-            a.statsJson.fold("")(st => s""""stats":"${jsonEscape(st)}",""") +
-            s""""deletionVector":${dvJson(d)},"dataChange":true}}""")
-      case (a, _, _, None) =>
-        Seq(removeAction(a))
-    }
-    val (minR, _, rFeats, _) = DeltaLog.currentProtocol(tablePath)
-    val protoAction =
-      if (minR >= 3 && rFeats.contains(DeltaLog.DvFeature)) Seq.empty
-      else {
-        // reader version 3 lists ALL active reader features — upgrading
-        // a mapped table with only [deletionVectors] would hide the
-        // mapping from feature-gated readers
-        val feats = (rFeats.toSet + DeltaLog.DvFeature ++
-          (if (deleteMapped) Set(DeltaLog.CmFeature) else Set.empty))
-          .toSeq.sorted
-        val featJson = feats.map("\"" + _ + "\"").mkString("[", ",", "]")
-        Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
-          s""""readerFeatures":$featJson,"writerFeatures":$featJson}}""")
-      }
+    val dvActions: Seq[String] = dvKillActions(touched)
+    val protoAction = dvProtocolAction(tablePath, deleteMapped)
     // CDF: a DV commit re-adds the same path (add/remove derivation is
     // meaningless) — publish the exact deleted rows from the pre-commit
     // snapshot, O(matched rows); mapped tables physicalize the change

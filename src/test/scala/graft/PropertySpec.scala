@@ -561,6 +561,7 @@ class PropertySpec extends SparkSpec {
     case object Append extends Op
     case object Overwrite extends Op
     case object Merge extends Op
+    case object DvMerge extends Op
     case object Delete extends Op
     case object DvDelete extends Op
     case object Purge extends Op
@@ -572,6 +573,7 @@ class PropertySpec extends SparkSpec {
     case object Rename extends Op
     val opGen: Gen[Op] = Gen.frequency(4 -> Gen.const(Append),
       1 -> Gen.const(Overwrite), 2 -> Gen.const(Merge),
+      2 -> Gen.const(DvMerge),
       2 -> Gen.const(Delete), 2 -> Gen.const(DvDelete),
       1 -> Gen.const(Purge), 1 -> Gen.const(Optimize),
       1 -> Gen.const(ZOrder),
@@ -642,6 +644,15 @@ class PropertySpec extends SparkSpec {
               model = model ++ batch.toMap
               // touched files dropped their DVs in the rewrite;
               // untouched files keep theirs — re-derive from the log
+              hasDv = DeltaLog.liveAdds(spark, tbl).exists(_.dv.isDefined)
+              history :+= ((st.version, model, payloadCol))
+            case DvMerge if exists && model.nonEmpty =>
+              // kill-and-insert upsert: matched rows die via DV, batch
+              // appends — same model semantics as the CoW merge (the
+              // model never holds duplicate ids, so the dup-target
+              // refusal cannot fire)
+              val st = DeltaWrite.mergeDv(spark, tbl, df(batch), Seq("id"))
+              model = model ++ batch.toMap
               hasDv = DeltaLog.liveAdds(spark, tbl).exists(_.dv.isDefined)
               history :+= ((st.version, model, payloadCol))
             case Delete if exists && model.nonEmpty =>
@@ -730,6 +741,7 @@ class PropertySpec extends SparkSpec {
     sealed trait Op
     case object Append extends Op
     case object Merge extends Op
+    case object DvMerge extends Op
     case object Delete extends Op
     case object PartitionDelete extends Op
     case object DvDelete extends Op
@@ -739,7 +751,8 @@ class PropertySpec extends SparkSpec {
     case object EnableMapping extends Op
     case object Rename extends Op
     val opGen: Gen[Op] = Gen.frequency(3 -> Gen.const(Append),
-      3 -> Gen.const(Merge), 2 -> Gen.const(Delete),
+      3 -> Gen.const(Merge), 2 -> Gen.const(DvMerge),
+      2 -> Gen.const(Delete),
       1 -> Gen.const(PartitionDelete), 2 -> Gen.const(DvDelete),
       1 -> Gen.const(Purge), 1 -> Gen.const(Optimize),
       1 -> Gen.const(ZOrder), 1 -> Gen.const(EnableMapping),
@@ -810,6 +823,17 @@ class PropertySpec extends SparkSpec {
               }
             case Merge if model.nonEmpty =>
               val st = DeltaWrite.merge(tbl, df(batch), Seq("id"))
+              model = model ++ batch.map { case (k, p, vv) =>
+                k -> ((p, vv)) }.toMap
+              history :+= ((st.version, model, payloadCol))
+              changed = true
+            case DvMerge if model.nonEmpty =>
+              // DV merge may MOVE a row between partitions too: the old
+              // row dies in place (bitmap), the batch row lands in its
+              // new partition's fresh file; the feed emits the same
+              // pre/post/insert rows as the CoW merge, so the fold
+              // cannot tell the write modes apart — which is the pin
+              val st = DeltaWrite.mergeDv(spark, tbl, df(batch), Seq("id"))
               model = model ++ batch.map { case (k, p, vv) =>
                 k -> ((p, vv)) }.toMap
               history :+= ((st.version, model, payloadCol))

@@ -1024,6 +1024,49 @@ class ScaleSpec extends SparkSpec {
       .select($"v").as[Long].head() === -100L)
   }
 
+  test("Delta DV merge writes the batch, not the touched files") {
+    // the Delta twin of the MoR-merge pin: matched rows die via DV
+    // bitmaps (no data file rewrites) and the batch appends — records
+    // WRITTEN must track the batch, never the touched files' row counts
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-dvmergewrite").toString + "/t"
+    val n = 4000L
+    DeltaWrite.append(
+      (0L until n).map(i => (i, i * 7)).toDF("id", "v").repartition(4), tbl)
+    val before = DeltaLog.liveAdds(spark, tbl).map(_.path).toSet
+    // 40 keys spread across every file: CoW would rewrite all 4 files
+    val batch = (0L until n by 100).map(i => (i, -i)).toDF("id", "v")
+    val written = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          written.addAndGet(te.taskMetrics.outputMetrics.recordsWritten); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ms =
+      try DeltaWrite.mergeDv(spark, tbl, batch, Seq("id"))
+      finally {
+        drainListenerBus()
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(ms.rowsUpdated === 40L && ms.rowsInserted === 0L &&
+      ms.filesRewritten === 0)
+    // batch (40) + slack; the bitmaps are not parquet records and a CoW
+    // restage of the four touched files would write ~4000
+    assert(written.get < n / 10,
+      s"DV merge wrote ${written.get} records for a 40-row batch — " +
+        "it restaged touched files instead of appending the batch")
+    assert(before.subsetOf(DeltaLog.liveAdds(spark, tbl).map(_.path).toSet))
+    assert(DeltaLog.read(spark, tbl).count() === n)
+    assert(DeltaLog.read(spark, tbl).filter(col("id") === 100L)
+      .select($"v").as[Long].head() === -100L)
+  }
+
   test("bucket-partition merge reads only the batch keys' buckets") {
     // bucket(8, id) is the classic upsert layout: a batch whose keys
     // all fall in ONE bucket must read ~1/8 of the table, answered from

@@ -4455,4 +4455,131 @@ class SourcesSpec extends SparkSpec {
     assert(ste3.filesFullyDead === ste3.filesTouched)
     assert(DeltaLog.liveAdds(spark, te).isEmpty)
   }
+
+  test("Delta DV merge: positional kills, bitmap union, condition, dup targets refuse") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/delta_dv_merge"
+    // file A holds ids 0-49, file B ids 50-99
+    DeltaWrite.append((0L until 100L).map(i => (i, i * 3)).toDF("id", "v")
+      .repartitionByRange(2, col("id")), tbl) // v0
+    DeltaWrite.enableChangeDataFeed(spark, tbl) // v1
+    val before = DeltaLog.liveAdds(spark, tbl).map(_.path).toSet
+    assert(before.size === 2)
+    val ms = DeltaWrite.mergeDv(spark, tbl,
+      Seq((5L, -5L), (200L, -200L)).toDF("id", "v"), Seq("id")) // v2
+    assert(ms.rowsUpdated === 1L && ms.rowsInserted === 1L &&
+      ms.filesRewritten === 0)
+    val after = DeltaLog.liveAdds(spark, tbl)
+    assert(before.subsetOf(after.map(_.path).toSet),
+      "DV merge rewrote a data file")
+    assert(after.count(_.dv.isDefined) === 1)
+    def snap(): Map[Long, Long] = DeltaLog.read(spark, tbl)
+      .as[(Long, Long)].collect().toMap
+    val m1 = snap()
+    assert(m1.size === 101 && m1(5L) === -5L && m1(200L) === -200L &&
+      m1(7L) === 21L)
+    // the feed is indistinguishable from a CoW merge's
+    val feed = DeltaLog.tableChanges(spark, tbl, ms.version,
+        Some(ms.version))
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(feed === Seq((5L, -5L, "update_postimage"),
+      (5L, 15L, "update_preimage"), (200L, -200L, "insert")))
+    // a second DV merge touching the SAME file UNIONs its bitmap
+    val ms2 = DeltaWrite.mergeDv(spark, tbl,
+      Seq((7L, 777L)).toDF("id", "v"), Seq("id"))
+    assert(ms2.rowsUpdated === 1L && ms2.rowsInserted === 0L)
+    val unioned = DeltaLog.liveAdds(spark, tbl).flatMap(_.dv)
+    assert(unioned.map(_.cardinality).max === 2L,
+      s"expected a unioned 2-row bitmap, got $unioned")
+    val m2 = snap()
+    assert(m2.size === 101 && m2(7L) === 777L)
+    // a DV-DEAD key re-inserts, never resurrect-updates
+    DeltaWrite.deleteWhereDv(spark, tbl, col("id") === 9L)
+    val ms3 = DeltaWrite.mergeDv(spark, tbl,
+      Seq((9L, 999L)).toDF("id", "v"), Seq("id"))
+    assert(ms3.rowsUpdated === 0L && ms3.rowsInserted === 1L)
+    assert(snap().apply(9L) === 999L)
+    // extra match condition: a condition-false key match survives AS-IS
+    // and its batch row inserts next to it (CoW-merge semantics)
+    val ms4 = DeltaWrite.mergeDv(spark, tbl,
+      Seq((11L, -11L), (13L, -13L)).toDF("id", "v"), Seq("id"),
+      matchCondition = Some(col("v") > 35L))
+    assert(ms4.rowsUpdated === 1L && ms4.rowsInserted === 1L)
+    val dupRows = DeltaLog.read(spark, tbl).filter(col("id") === 11L)
+      .as[(Long, Long)].collect().map(_._2).sorted.toSeq
+    assert(dupRows === Seq(-11L, 33L)) // v(11)=33 fails v>35: both live
+    assert(DeltaLog.read(spark, tbl).filter(col("id") === 13L)
+      .as[(Long, Long)].collect().map(_._2).toSeq === Seq(-13L))
+    // duplicate-key TARGETS refuse loudly (kill-and-insert would
+    // collapse the multiplicity the CoW merge preserves)
+    DeltaWrite.append(Seq((300L, 1L)).toDF("id", "v"), tbl)
+    DeltaWrite.append(Seq((300L, 2L)).toDF("id", "v"), tbl)
+    val e = intercept[IllegalArgumentException] {
+      DeltaWrite.mergeDv(spark, tbl,
+        Seq((300L, 9L)).toDF("id", "v"), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate-key targets"))
+  }
+
+  test("Delta DV merge composes with partitioned and mapped tables") {
+    import graft.sources.{DeltaLog, DeltaWrite}
+    val s = spark
+    import s.implicits._
+    // PARTITIONED: the batch stages hive-laid-out with tuples in its
+    // add actions; matched rows die in place in their partitions
+    val tp = s"$tmp/dv_merge_part"
+    DeltaWrite.appendPartitioned(
+      (0L until 60L).map(i => (i, s"p${i % 3}", i * 3)).toDF("id", "p", "v"),
+      tp, Seq("p"))
+    val beforeP = DeltaLog.liveAdds(spark, tp).map(_.path).toSet
+    val msp = DeltaWrite.mergeDv(spark, tp,
+      Seq((6L, "p0", -6L), (100L, "p1", -100L)).toDF("id", "p", "v"),
+      Seq("id"))
+    assert(msp.rowsUpdated === 1L && msp.rowsInserted === 1L &&
+      msp.filesRewritten === 0)
+    val afterP = DeltaLog.liveAdds(spark, tp)
+    assert(beforeP.subsetOf(afterP.map(_.path).toSet))
+    // fresh batch files carry their partition tuples
+    val freshP = afterP.filterNot(a => beforeP.contains(a.path))
+    assert(freshP.nonEmpty &&
+      freshP.forall(_.partitionValues.keySet == Set("p")))
+    val rowsP = DeltaLog.read(spark, tp)
+      .select("id", "p", "v").as[(Long, String, Long)].collect().toSet
+    assert(rowsP.size === 61 && rowsP.contains((6L, "p0", -6L)) &&
+      rowsP.contains((100L, "p1", -100L)) && rowsP.contains((7L, "p1", 21L)))
+    // MAPPED (name mode, across a rename): batch authored logically,
+    // stages physically; the DV is positional and mapping-blind
+    val tm = s"$tmp/dv_merge_mapped"
+    // one multi-row file: the kill stays PARTIAL (a 1-row file would
+    // legitimately die entirely and leave the live set)
+    DeltaWrite.append(
+      Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+        .toDF("id", "v", "q").repartition(1), tm)
+    DeltaWrite.enableColumnMapping(spark, tm)
+    DeltaWrite.renameColumn(spark, tm, "v", "label")
+    val beforeM = DeltaLog.liveFiles(spark, tm).toSet
+    val msm = DeltaWrite.mergeDv(spark, tm,
+      Seq((2L, "B", 20.0), (4L, "d", 4.0)).toDF("id", "label", "q"),
+      Seq("id"))
+    assert(msm.rowsUpdated === 1L && msm.rowsInserted === 1L &&
+      msm.filesRewritten === 0)
+    assert(beforeM.subsetOf(DeltaLog.liveFiles(spark, tm).toSet),
+      "mapped DV merge rewrote a data file")
+    assert(DeltaLog.liveAdds(spark, tm).exists(_.dv.isDefined))
+    assert(DeltaLog.read(spark, tm).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ===
+      Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0), (4L, "d", 4.0)))
+    // purge folds the debt away on both
+    val pp = DeltaWrite.purgeDeletionVectors(spark, tp)
+    assert(pp.filesPurged >= 1 &&
+      DeltaLog.liveAdds(spark, tp).forall(_.dv.isEmpty))
+    assert(DeltaLog.read(spark, tp).count() === 61)
+    val pm = DeltaWrite.purgeDeletionVectors(spark, tm)
+    assert(pm.filesPurged >= 1 &&
+      DeltaLog.read(spark, tm).count() === 4)
+  }
 }

@@ -1333,6 +1333,72 @@ object SourceQueries {
              THEN CAST(o_orderkey % 10 AS BIGINT) ELSE NULL END AS o_band
       FROM orders ORDER BY o_orderkey""")),
 
+    // x57b: PARTITIONED ICEBERG MERGE SCHEMA EVOLUTION — the r20 edge
+    // closed: a bucket-partitioned table evolves through merge. The
+    // FIRST schema record a partitioned table gains aligns its field
+    // ids with the spec's source ids (external readers resolve
+    // source-id THROUGH the record), the touched partitions' files
+    // rewrite with their tuples intact, untouched files survive
+    // physically and NULL-fill through the record, and a SECOND
+    // (non-evolving) merge on the evolved table still prunes candidates
+    // through the bucket transform and lands its batch per partition.
+    QueryDef("x57b_iceberg_merge_evolve_partitioned", (s, d) => {
+      val tbl = s"$stage/ice_evolved_part"
+      rmTree(tbl)
+      val o = Tables.load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      graft.sources.IcebergLog.appendPartitionedSpec(
+        o.filter(col("o_orderkey") % 2 === 0)
+          .repartitionByRange(2, col("o_orderkey")), tbl,
+        Seq(graft.sources.IcebergLog.SpecField(1, "okey_bucket",
+          "bucket[4]", "o_orderkey")))
+      val before = graft.sources.IcebergLog.liveEntries(tbl)
+        .map(_.path).toSet
+      val src = o.filter((col("o_orderkey") % 2 === 0 &&
+            col("o_orderkey") <= 200) || col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1)
+        .withColumn("o_band", (col("o_orderkey") % 10).cast("long"))
+      val st = graft.sources.IcebergLog.merge(s, tbl, src,
+        Seq("o_orderkey"), mergeSchema = true)
+      require(st.rowsUpdated > 0 && st.rowsInserted > 0,
+        s"partitioned evolving merge degenerated: $st")
+      val entries = graft.sources.IcebergLog.liveEntries(tbl)
+      require(entries.map(_.path).toSet.intersect(before).nonEmpty,
+        "evolution rewrote every file — NULL-fill through the schema " +
+          "record is untested")
+      require(entries.forall(
+          _.partitionValues.keySet == Set("okey_bucket")),
+        "a restaged file lost its bucket tuple under evolution")
+      // the evolved table still merges: candidate files prune through
+      // the bucket transform, the batch restages with tuples
+      val src2 = o.filter(col("o_orderkey").isin(2L, 4L))
+        .withColumn("o_totalprice", col("o_totalprice") + 1001)
+        .withColumn("o_band", lit(-1L))
+      val st2 = graft.sources.IcebergLog.merge(s, tbl, src2,
+        Seq("o_orderkey"))
+      require(st2.rowsUpdated == 2L && st2.rowsInserted == 0L,
+        s"post-evolution merge degenerated: $st2")
+      graft.sources.IcebergLog.read(s, tbl)
+        .select(col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("o_totalprice"),
+          col("o_band").cast("long").as("o_band"))
+        .orderBy(col("o_orderkey"))
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
+        CAST(CASE WHEN o_orderkey IN (2, 4)
+                  THEN o_totalprice + 1001.0
+                  WHEN (o_orderkey % 2 = 0 AND o_orderkey <= 200)
+                    OR o_orderkey % 2 = 1
+                  THEN o_totalprice + 1 ELSE o_totalprice END AS DOUBLE)
+          AS o_totalprice,
+        CASE WHEN o_orderkey IN (2, 4) THEN CAST(-1 AS BIGINT)
+             WHEN (o_orderkey % 2 = 0 AND o_orderkey <= 200)
+               OR o_orderkey % 2 = 1
+             THEN CAST(o_orderkey % 10 AS BIGINT) ELSE NULL END AS o_band
+      FROM orders WHERE o_orderkey % 2 = 0 OR o_orderkey % 2 = 1
+      ORDER BY o_orderkey""")),
+
     // x58: MERGE-ON-READ MERGE — the production upsert shape for wide
     // files: matched rows die via ONE position-delete file and the
     // batch appends, so the commit writes O(batch + delete metadata)

@@ -1116,15 +1116,34 @@ object IcebergLog {
       case Some(allFields) =>
         val meta0 = parseMeta(currentMetadataFile(tablePath))
         val mapping = meta0.nameMapping
-        // IDENTITY-PARTITION fields live in manifests, not data files —
-        // requesting them from parquet would yield NULL columns that
-        // block the partition injection. Scan only the data fields; the
-        // injector re-attaches the rest (and read() restores order).
-        // HIDDEN (transformed) fields are the opposite: their SOURCE
-        // column stays in the data files, so it must NOT be excluded.
-        val partIds = meta0.specs.find(_._1 == meta0.defaultSpecId)
+        // IDENTITY-PARTITION fields: on a Delta-laid-out mirror
+        // (UniForm), they live in manifests, NOT data files — requesting
+        // them from parquet would yield NULL columns that block the
+        // partition injection, so the scan excludes them and the
+        // injector re-attaches them (read() restores order). Tables
+        // THIS writer stages keep the source columns IN the data files
+        // (shadow-column staging), so an evolved partitioned table must
+        // read them directly — excluding would inject manifest-typed
+        // stand-ins over real columns. The mapping cannot discriminate
+        // the layouts (an upgraded Delta table's physical names are
+        // identity too): ONE footer probe of one data file decides —
+        // O(1) driver-side metadata, same class as the log listing.
+        // HIDDEN (transformed) fields' source columns stay in the data
+        // files in both layouts and are never excluded.
+        val identityPartIds = meta0.specs.find(_._1 == meta0.defaultSpecId)
           .map(_._2.filter(_.isIdentity).map(_.sourceId).toSet)
           .getOrElse(Set.empty[Int])
+        val partIds =
+          if (identityPartIds.isEmpty) Set.empty[Int]
+          else {
+            val physNames = allFields
+              .filter(f => identityPartIds.contains(f._1))
+              .map { case (id, n, _) => mapping.getOrElse(id, n) }
+            val footerCols =
+              spark.read.parquet(data.head.path).columns.toSet
+            if (physNames.forall(footerCols.contains)) Set.empty[Int]
+            else identityPartIds
+          }
         val fields = allFields.filterNot(f => partIds.contains(f._1))
         if (mapping.nonEmpty) {
           // NAME MAPPING (`schema.name-mapping.default`): files carry
@@ -2960,21 +2979,66 @@ object IcebergLog {
     require(cols.forall(source.columns.contains),
       s"merge source columns ${source.columns.mkString(",")} must " +
         s"cover table columns ${cols.mkString(",")}")
-    require(newCols.isEmpty || meta.specFields.isEmpty,
-      "mergeSchema cannot evolve a PARTITIONED Iceberg table: the " +
-        "schema record's field ids would have to align with the " +
-        "partition spec's source ids — evolve before partitioning, or " +
-        "keep the batch inside the table schema")
     val allCols = cols ++ newCols
     // the merged schema record + identity mapping this commit publishes
-    // (empty = carry the prior forward, commitSnapshot is sticky)
+    // (empty = carry the prior forward, commitSnapshot is sticky).
+    // PARTITIONED tables evolve too: the FIRST schema record a
+    // partitioned table gains must align its field ids with the
+    // partition spec history's source ids (external readers resolve a
+    // spec's source-id THROUGH the schema record — a misaligned record
+    // would re-bind every tuple to the wrong column), so spec source
+    // columns take their spec source-id and the rest fill around them.
+    // An adopted hive-laid-out table whose data files LACK the
+    // partition source columns cannot evolve (the record would declare
+    // a column the restaged files cannot serve); a prior record that
+    // already disagrees with the spec refuses rather than compounds.
     val evolvedSchema: Seq[(Int, String, String)] =
       if (newCols.isEmpty) Seq.empty
       else {
+        val specFieldsAll = meta.specs.flatMap(_._2)
         val prior =
-          if (meta.schemaFields.nonEmpty) meta.schemaFields
-          else cols.zipWithIndex.map { case (c, i) =>
-            (i + 1, c, sparkToIcebergType(target0.schema(c).dataType))
+          if (meta.schemaFields.nonEmpty) {
+            specFieldsAll.foreach { f =>
+              meta.schemaFields.find(_._2 == f.sourceName).foreach { rec =>
+                require(rec._1 == f.sourceId,
+                  s"schema record id ${rec._1} for column " +
+                    s"${f.sourceName} disagrees with partition spec " +
+                    s"source-id ${f.sourceId} in $tablePath — refusing " +
+                    "to evolve a misaligned record")
+              }
+            }
+            meta.schemaFields
+          } else {
+            val idByName: Map[String, Int] = {
+              val grouped = specFieldsAll.groupBy(_.sourceName)
+                .map { case (n, fs) => n -> fs.map(_.sourceId).distinct }
+              grouped.foreach { case (n, ids) =>
+                require(ids.size == 1,
+                  s"partition spec history assigns column $n multiple " +
+                    s"source ids ${ids.mkString(",")} in $tablePath") }
+              val byId = grouped.map { case (n, ids) => n -> ids.head }
+              byId.groupBy(_._2).foreach { case (id, ns) =>
+                require(ns.size == 1,
+                  s"partition spec history shares source id $id across " +
+                    s"columns ${ns.keys.mkString(",")} in $tablePath") }
+              byId
+            }
+            idByName.keys.foreach(n => require(cols.contains(n),
+              s"partition source column $n is not in the data files of " +
+                s"$tablePath (adopted hive layout?) — cannot evolve: the " +
+                "schema record would declare a column the files cannot " +
+                "serve"))
+            val used = scala.collection.mutable.Set(idByName.values.toSeq: _*)
+            var next = 0
+            cols.map { c =>
+              val id = idByName.getOrElse(c, {
+                next += 1
+                while (used(next)) next += 1
+                used += next
+                next
+              })
+              (id, c, sparkToIcebergType(target0.schema(c).dataType))
+            }
           }
         val maxId = prior.map(_._1).max
         prior ++ newCols.zipWithIndex.map { case (c, i) =>

@@ -2520,6 +2520,64 @@ class SourcesSpec extends SparkSpec {
       "changelog fold across the evolution does not reproduce the table")
   }
 
+  test("Partitioned Iceberg evolution: spec-aligned ids, day tables evolve, misalignment refuses") {
+    import graft.sources.IcebergLog
+    import graft.sources.IcebergLog.SpecField
+    val s = spark
+    import s.implicits._
+    // days-partitioned (the canonical 100 TB event layout): evolution
+    // must keep tuples, NULL-fill old files, and leave day-range reads
+    // row-exact
+    val tbl = s"$tmp/ice_evolve_days"
+    val day = 86400000000L // one day of micros
+    val rows = (0 until 6).map(i => (i * day + 1L, i.toLong))
+    IcebergLog.appendPartitionedSpec(rows.toDF("ts", "v").repartition(2),
+      tbl, Seq(SpecField(1, "ts_day", "day", "ts")))
+    val before = IcebergLog.liveEntries(tbl).map(_.path).toSet
+    val src = Seq((1L * day + 1L, 10L, 100L), (9L * day + 1L, 9L, 900L))
+      .toDF("ts", "v", "w")
+    val st = IcebergLog.merge(spark, tbl, src, Seq("ts"), mergeSchema = true)
+    assert(st.rowsUpdated === 1L && st.rowsInserted === 1L)
+    val entries = IcebergLog.liveEntries(tbl)
+    assert(entries.map(_.path).toSet.intersect(before).nonEmpty,
+      "evolution rewrote every file")
+    assert(entries.forall(_.partitionValues.keySet == Set("ts_day")),
+      "a file lost its day tuple under evolution")
+    // the FIRST schema record aligned its field ids with the spec's
+    // source id: ts (spec source-id 1) must be field id 1 in the record
+    val metaFile = new java.io.File(s"$tbl/metadata").listFiles()
+      .filter(_.getName.matches("v\\d+\\.metadata\\.json"))
+      .maxBy(_.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong)
+    val metaText = new String(
+      java.nio.file.Files.readAllBytes(metaFile.toPath))
+    assert(metaText.contains("""{"id":1,"name":"ts","""),
+      s"schema record did not take the spec's source id: $metaText")
+    // NULL-fill + updated values through the evolved partitioned read
+    val m = IcebergLog.read(spark, tbl).select($"ts", $"v", $"w")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))).toMap
+    assert(m.size === 7 && m(1L * day + 1L) === ((10L, Some(100L))) &&
+      m(0L * day + 1L) === ((0L, None)) &&
+      m(9L * day + 1L) === ((9L, Some(900L))))
+    // day-range reads stay row-exact on the evolved table
+    val got = IcebergLog.readSourceRange(spark, tbl, "ts",
+      Some(1L * day), Some(2L * day - 1L)).count()
+    assert(got === 1L)
+    // a spec history that shares one source id across two columns can
+    // never gain an aligned record — evolution refuses loudly
+    val bad = s"$tmp/ice_evolve_badspec"
+    IcebergLog.appendPartitionedSpec(
+      (0L until 4L).map(i => (i, i % 2, i * 3)).toDF("a", "b", "v")
+        .repartition(1),
+      bad, Seq(SpecField(1, "a"), SpecField(1, "b")))
+    val e = intercept[IllegalArgumentException] {
+      IcebergLog.merge(spark, bad,
+        Seq((1L, 1L, 30L, 7L)).toDF("a", "b", "v", "w"), Seq("a"),
+        mergeSchema = true)
+    }
+    assert(e.getMessage.contains("shares source id"))
+  }
+
   test("Iceberg MoR merge: positional kills, partitioned tuples, dup targets refuse") {
     import graft.sources.IcebergLog
     import graft.sources.IcebergLog.SpecField

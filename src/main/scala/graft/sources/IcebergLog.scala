@@ -60,7 +60,8 @@ object IcebergLog {
     */
   final case class Snapshot(snapshotId: Long, manifestList: String,
       summary: Map[String, String] = Map.empty,
-      parentId: Option[Long] = None)
+      parentId: Option[Long] = None,
+      schemaId: Option[Int] = None)
 
   /** One partition-spec field: `transform(sourceName) AS name`, recorded
     * with the source column's Iceberg field id. `identity` fields keep
@@ -307,7 +308,9 @@ object IcebergLog {
       defaultSpecId: Int = 0,
       refs: Map[String, (Long, String)] = Map.empty,
       schemaFields: Seq[(Int, String, String)] = Seq.empty,
-      nameMapping: Map[Int, String] = Map.empty)
+      nameMapping: Map[Int, String] = Map.empty,
+      schemas: Seq[(Int, Seq[(Int, String, String)])] = Seq.empty,
+      currentSchemaId: Int = 0)
 
   /** Resolve the table's current metadata JSON: `version-hint.text` names
     * the version if present (the Hadoop-catalog convention), else the
@@ -374,7 +377,8 @@ object IcebergLog {
         }
         Snapshot(mm("snapshot-id").asInstanceOf[Double].toLong,
           mm("manifest-list").asInstanceOf[String], summary,
-          mm.get("parent-snapshot-id").collect { case d: Double => d.toLong })
+          mm.get("parent-snapshot-id").collect { case d: Double => d.toLong },
+          mm.get("schema-id").collect { case d: Double => d.toInt })
       }
       case _ => Seq.empty
     }
@@ -426,24 +430,29 @@ object IcebergLog {
     // the current schema's (field id, name, iceberg type) triples —
     // recorded only by tables that need field-id reads (UniForm mirrors
     // of column-mapped Delta); absent on footer-inferred tables
-    val schemaFields: Seq[(Int, String, String)] =
+    val currentSchemaId = root.get("current-schema-id")
+      .collect { case d: Double => d.toInt }.getOrElse(0)
+    val schemas: Seq[(Int, Seq[(Int, String, String)])] =
       root.get("schemas") match {
         case Some(xs: Seq[_]) =>
-          val curId = root.get("current-schema-id")
-            .collect { case d: Double => d.toInt }.getOrElse(0)
           xs.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
-            .find(m => m.get("schema-id")
-              .collect { case d: Double => d.toInt }.getOrElse(0) == curId)
-            .flatMap(_.get("fields")).collect { case fs: Seq[_] =>
-              fs.collect { case fm0: Map[_, _] =>
-                val fm = fm0.asInstanceOf[Map[String, Any]]
-                (fm("id").asInstanceOf[Double].toInt,
-                  fm("name").asInstanceOf[String],
-                  fm("type").asInstanceOf[String])
-              }
-            }.getOrElse(Seq.empty)
+            .map { m =>
+              val id = m.get("schema-id")
+                .collect { case d: Double => d.toInt }.getOrElse(0)
+              val fields = m.get("fields").collect { case fs: Seq[_] =>
+                fs.collect { case fm0: Map[_, _] =>
+                  val fm = fm0.asInstanceOf[Map[String, Any]]
+                  (fm("id").asInstanceOf[Double].toInt,
+                    fm("name").asInstanceOf[String],
+                    fm("type").asInstanceOf[String])
+                }
+              }.getOrElse(Seq.empty)
+              id -> fields
+            }
         case _ => Seq.empty
       }
+    val schemaFields: Seq[(Int, String, String)] =
+      schemas.find(_._1 == currentSchemaId).map(_._2).getOrElse(Seq.empty)
     // the spec's name mapping (`schema.name-mapping.default` table
     // property): field id -> physical column name, for data files that
     // carry NO parquet field ids (UniForm mirrors of NAME-mode mapped
@@ -467,7 +476,7 @@ object IcebergLog {
       case _ => Map.empty
     }
     TableMeta(fv, current, snaps, spec, specs, defaultId, refs, schemaFields,
-      nameMapping)
+      nameMapping, schemas, currentSchemaId)
   }
 
   private def jsonEscape(x: String): String = x.flatMap {
@@ -488,7 +497,10 @@ object IcebergLog {
     // snapshot, and the changelog walks this chain instead of replaying
     // rolled-back-over orphans
     val parentJson = s.parentId.fold("")(p => s""","parent-snapshot-id":$p""")
-    s"""{"snapshot-id":${s.snapshotId}$parentJson,"manifest-list":"${s.manifestList}"$summaryJson}"""
+    // schema-id (the spec's field): which schema epoch this snapshot's
+    // data answers in — time travel reads each epoch through ITS schema
+    val schemaJson = s.schemaId.fold("")(id => s""","schema-id":$id""")
+    s"""{"snapshot-id":${s.snapshotId}$parentJson$schemaJson,"manifest-list":"${s.manifestList}"$summaryJson}"""
   }
 
   private def readAvro(f: File): Seq[GenericRecord] = {
@@ -689,8 +701,8 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     writeMetadataVersion(metaDir, tablePath, version, meta.currentSnapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs + (name -> ((sid, refType))), meta.schemaFields,
-      meta.nameMapping)
+      meta.refs + (name -> ((sid, refType))), meta.schemas,
+      meta.nameMapping, meta.currentSchemaId)
     sid
   }
 
@@ -708,7 +720,8 @@ object IcebergLog {
       .stripSuffix(".metadata.json").toLong + 1
     writeMetadataVersion(metaDir, tablePath, version, meta.currentSnapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs - name, meta.schemaFields, meta.nameMapping)
+      meta.refs - name, meta.schemas, meta.nameMapping,
+      meta.currentSchemaId)
   }
 
   /** Read the snapshot a ref names (`AS OF TAG` / branch read). */
@@ -1084,24 +1097,58 @@ object IcebergLog {
       snapshotAsOf: Option[Long] = None): DataFrame = {
     val (data, dels) = liveSplitEntries(tablePath, snapshotAsOf)
     require(data.nonEmpty, s"Iceberg snapshot has no data files: $tablePath")
+    // EPOCH-FAITHFUL time travel: the snapshot's stamped schema-id
+    // resolves its OWN schema record — a pre-evolution snapshot reads in
+    // its pre-evolution shape (no NULL-filled future columns), exactly
+    // like the Delta log replay (x34)
+    val epochFields = schemaFieldsAt(tablePath, snapshotAsOf)
     val base =
-      if (dels.isEmpty) scanData(spark, tablePath, data)
+      if (dels.isEmpty) scanData(spark, tablePath, data, epochFields)
       else {
         val meta = Seq("__graft_file", "__graft_pos", "__graft_dseq")
         liveWithMeta(spark, data, dels, unionSchemas =
-          currentSchemaFields(tablePath).isDefined).drop(meta: _*)
+          epochFields.isDefined).drop(meta: _*)
       }
     val injected = injectIdentityPartitions(spark, data, base,
       hiddenFieldNames(tablePath))
     // a recorded schema fixes the output column ORDER too — partition
     // columns join in last, so a mapped+partitioned mirror re-projects
     // to the schema's declared order
-    currentSchemaFields(tablePath) match {
+    epochFields match {
       case Some(fields) if fields.map(_._2).forall(injected.columns.contains) =>
         import org.apache.spark.sql.functions.col
         injected.select(fields.map(f => col(s"`${f._2}`")): _*)
       case _ => injected
     }
+  }
+
+  /** The schema record a read of `asOf` must decode through: the
+    * snapshot's stamped schema-id resolved against the metadata's
+    * schema history; the CURRENT schema when reading the head. An
+    * UNSTAMPED snapshot on a table where other snapshots ARE stamped
+    * predates the first schema record (this writer's pre-evolution
+    * epochs were footer-inferred) and reads footer-inferred; on a
+    * wholly-unstamped foreign table the current record is the only
+    * decode key and applies to every snapshot (the pre-epoch behavior,
+    * kept for fixtures/mirror metadata written without stamps).
+    */
+  private[sources] def schemaFieldsAt(tablePath: String,
+      asOf: Option[Long]): Option[Seq[(Int, String, String)]] = asOf match {
+    case None => currentSchemaFields(tablePath)
+    case Some(sid) =>
+      val meta = parseMeta(currentMetadataFile(tablePath))
+      if (meta.schemas.isEmpty) None
+      else meta.snapshots.find(_.snapshotId == sid).flatMap(_.schemaId) match {
+        case Some(id) =>
+          val fields = meta.schemas.find(_._1 == id).getOrElse(
+            throw new IllegalArgumentException(
+              s"snapshot $sid of $tablePath stamps schema-id $id but the " +
+                "metadata's schema history has no such entry"))._2
+          Some(fields).filter(_.nonEmpty)
+        case None =>
+          if (meta.snapshots.exists(_.schemaId.isDefined)) None
+          else Some(meta.schemaFields).filter(_.nonEmpty)
+      }
   }
 
   /** The distributed data-file scan behind [[read]]: plain footer-schema
@@ -1111,8 +1158,9 @@ object IcebergLog {
     * and only the footer field ids are stable.
     */
   private def scanData(spark: SparkSession, tablePath: String,
-      data: Seq[LiveEntry]): DataFrame =
-    currentSchemaFields(tablePath) match {
+      data: Seq[LiveEntry],
+      fieldsOverride: Option[Seq[(Int, String, String)]]): DataFrame =
+    fieldsOverride match {
       case Some(allFields) =>
         val meta0 = parseMeta(currentMetadataFile(tablePath))
         val mapping = meta0.nameMapping
@@ -1710,8 +1758,9 @@ object IcebergLog {
       specs: Seq[(Int, Seq[SpecField])] = Seq.empty,
       defaultSpecId: Int = 0,
       refs: Map[String, (Long, String)] = Map.empty,
-      schemaFields: Seq[(Int, String, String)] = Seq.empty,
-      nameMapping: Map[Int, String] = Map.empty): Unit = {
+      schemas: Seq[(Int, Seq[(Int, String, String)])] = Seq.empty,
+      nameMapping: Map[Int, String] = Map.empty,
+      currentSchemaId: Int = 0): Unit = {
     val target = new File(metaDir, s"v$version.metadata.json")
     // the FULL partition-spec history (identity/day/bucket/truncate
     // transforms; partition field-ids from 1000, unique ACROSS specs
@@ -1747,19 +1796,22 @@ object IcebergLog {
         }.mkString(",")
         s""","refs":{$arr}"""
       }
-    // the spec's schema record: one struct schema with stable field ids
-    // — readers resolve parquet columns by these ids, never by name.
-    // Recorded only by tables that NEED id resolution (UniForm mirrors
-    // of column-mapped Delta); footer-inferred tables omit it
+    // the spec's schema record HISTORY: struct schemas with stable field
+    // ids, one entry per epoch — readers resolve parquet columns by
+    // ids, and TIME TRAVEL resolves each snapshot's stamped schema-id
+    // against this list. Recorded only by tables that need id
+    // resolution or have evolved; footer-inferred tables omit it
     val schemaJson =
-      if (schemaFields.isEmpty) ""
+      if (schemas.isEmpty) ""
       else {
-        val fs = schemaFields.map { case (id, n, t) =>
-          s"""{"id":$id,"name":"${jsonEscape(n)}","required":false,""" +
-            s""""type":"${jsonEscape(t)}"}"""
+        val arr = schemas.map { case (sid0, fields) =>
+          val fs = fields.map { case (id, n, t) =>
+            s"""{"id":$id,"name":"${jsonEscape(n)}","required":false,""" +
+              s""""type":"${jsonEscape(t)}"}"""
+          }.mkString(",")
+          s"""{"schema-id":$sid0,"type":"struct","fields":[$fs]}"""
         }.mkString(",")
-        s""","schemas":[{"schema-id":0,"type":"struct","fields":[$fs]}]""" +
-          ""","current-schema-id":0"""
+        s""","schemas":[$arr],"current-schema-id":$currentSchemaId"""
       }
     // the spec's name mapping, as the standard table property — field id
     // → physical column name, for data files carrying NO parquet field
@@ -2063,7 +2115,8 @@ object IcebergLog {
     }
     val base =
       if (kept.nonEmpty)
-        injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept),
+        injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept,
+            currentSchemaFields(tablePath)),
           hidden)
       else read(spark, tablePath).limit(0)
     filter.filterNot { case (c, _) => hidden(c) }.foldLeft(base) {
@@ -2153,7 +2206,8 @@ object IcebergLog {
     val (kept, _) = prunePartitionsBySourceRange(tablePath, sourceCol, lo, hi)
     val base =
       if (kept.nonEmpty)
-        injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept),
+        injectIdentityPartitions(spark, kept, scanData(spark, tablePath, kept,
+            currentSchemaFields(tablePath)),
           hiddenFieldNames(tablePath))
       else read(spark, tablePath).limit(0)
     val c = col(s"`$sourceCol`")
@@ -2308,12 +2362,12 @@ object IcebergLog {
         val v = mf.getName.stripPrefix("v").stripSuffix(".metadata.json").toLong
         val meta = parseMeta(mf)
         (meta.snapshots, v + 1, meta.specs, meta.defaultSpecId, meta.refs,
-          meta.schemaFields, meta.nameMapping,
+          (meta.schemas, meta.currentSchemaId), meta.nameMapping,
           Some(meta.currentSnapshotId).filter(_ > 0L))
       } else (Seq.empty[Snapshot], 1L,
         Seq.empty[(Int, Seq[SpecField])], 0,
         Map.empty[String, (Long, String)],
-        Seq.empty[(Int, String, String)],
+        (Seq.empty[(Int, Seq[(Int, String, String)])], 0),
         Map.empty[Int, String],
         None)
     // OPTIMISTIC-CONCURRENCY BASE CHECK: `entries` was computed from the
@@ -2368,6 +2422,21 @@ object IcebergLog {
           (priorSpecs :+ (nid -> normSpec), nid)
       }
     val sid = (priorSnaps.map(_.snapshotId) :+ 0L).max + 1
+    // SCHEMA EPOCHS: declaring no schema carries the prior history and
+    // current id forward (sticky); re-declaring the current epoch's
+    // fields re-selects it; declaring NEW fields appends the next
+    // schema-id — old epochs are never dropped, and every snapshot
+    // stamps the schema-id it was written under so time travel reads
+    // each epoch through ITS schema (the spec's snapshot schema-id)
+    val (priorSchemas, priorSchemaId) = priorSchema
+    val (schemasAll, curSchemaId) =
+      if (schemaFields.isEmpty) (priorSchemas, priorSchemaId)
+      else priorSchemas.find(_._2 == schemaFields) match {
+        case Some((id, _)) => (priorSchemas, id)
+        case None =>
+          val nid = (priorSchemas.map(_._1) :+ -1).max + 1
+          (priorSchemas :+ (nid -> schemaFields), nid)
+      }
     // the spec REQUIRES an `operation` in every snapshot summary; it is
     // also what the incremental scan dispatches on (append scanned,
     // replace skipped, delete/overwrite refused)
@@ -2376,17 +2445,17 @@ object IcebergLog {
     // snapshot, not the max id, so lineage diverges from id order there
     val snapJson = snapshotJson(
       Snapshot(sid, writeSnapshot(metaDir, sid, entries, specs),
-        summary + ("operation" -> operation), priorCurrent))
+        summary + ("operation" -> operation), priorCurrent,
+        if (schemasAll.isEmpty) None else Some(curSchemaId)))
     val priorJsons = priorSnaps.map(snapshotJson)
     // tags/branches ride along; the `main` branch tracks the head (the
     // spec's rule: main is the current snapshot's branch)
-    // schema record + name mapping: sticky like the spec history —
-    // declaring none carries the prior forward; declaring sets/replaces
-    val schema = if (schemaFields.isEmpty) priorSchema else schemaFields
+    // name mapping: sticky — declaring none carries the prior forward
     val mapping = if (nameMapping.isEmpty) priorMapping else nameMapping
     writeMetadataVersion(metaDir, tablePath, version, sid,
       priorJsons :+ snapJson, specs, defaultId,
-      priorRefs + ("main" -> ((sid, "branch"))), schema, mapping)
+      priorRefs + ("main" -> ((sid, "branch"))), schemasAll, mapping,
+      curSchemaId)
     sid
   }
 
@@ -2413,8 +2482,8 @@ object IcebergLog {
     val metaDir = new File(tablePath, "metadata")
     writeMetadataVersion(metaDir, tablePath, v + 1, snapshotId,
       meta.snapshots.map(snapshotJson), meta.specs, meta.defaultSpecId,
-      meta.refs + ("main" -> ((snapshotId, "branch"))), meta.schemaFields,
-      meta.nameMapping)
+      meta.refs + ("main" -> ((snapshotId, "branch"))), meta.schemas,
+      meta.nameMapping, meta.currentSchemaId)
     v + 1
   }
 
@@ -2500,8 +2569,8 @@ object IcebergLog {
         // footer-field-id branch against files that carry no field ids)
         writeMetadataVersion(metaDir, tablePath, priorVersion + 1,
           meta.currentSnapshotId, survivorJsons, meta.specs,
-          meta.defaultSpecId, meta.refs, meta.schemaFields,
-          meta.nameMapping)
+          meta.defaultSpecId, meta.refs, meta.schemas,
+          meta.nameMapping, meta.currentSchemaId)
         priorVersion + 1
       }
     val orphanData = Option(new File(root, "data").listFiles())

@@ -2483,6 +2483,15 @@ class SourcesSpec extends SparkSpec {
     assert(snap() === Map(
       1L -> (("A", Some(10L))), 2L -> (("b", None)),
       3L -> (("c", None)), 4L -> (("d", None)), 9L -> (("I", Some(90L)))))
+    // EPOCH-FAITHFUL TIME TRAVEL (Delta x34 parity): the pre-evolution
+    // snapshot (id 2, unstamped — it predates the first schema record)
+    // reads in ITS OWN shape, no `w` column at all; the evolution
+    // snapshot (id 3, stamped) carries it
+    val preEvo = IcebergLog.read(spark, tbl, Some(2L))
+    assert(!preEvo.columns.contains("w"),
+      s"pre-evolution snapshot grew a future column: ${preEvo.columns.toSeq}")
+    assert(preEvo.count() === 4)
+    assert(IcebergLog.read(spark, tbl, Some(3L)).columns.contains("w"))
     // a post-evolution append in the merged shape reads back through it
     IcebergLog.append(Seq((5L, "e", 50L)).toDF("id", "v", "w")
       .repartition(1), tbl)

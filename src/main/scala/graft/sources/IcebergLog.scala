@@ -2726,12 +2726,22 @@ object IcebergLog {
     require(entries.nonEmpty, s"not a live Iceberg table: $tablePath")
     val reader = schemaAwareReader(spark, tablePath)
     val target = reader.parquet(entries.map(_.path): _*)
-    val touched = target
-      .withColumn("__graft_file", col("_metadata.file_path"))
-      .filter(predicate)
-      .select(col("__graft_file")).distinct()
-      .collect().map(_.getString(0)).toSeq
     val meta = parseMeta(currentMetadataFile(tablePath))
+    // the predicate's identity-partition conjuncts prune the MATCH SCAN
+    // from manifest tuples before any data file opens (the conditional
+    // merge's lever) — "delete last month's partition" opens only that
+    // partition's files; a pruned file can contain no matching row
+    val specCols = meta.specFields.filter(_.isIdentity).map(_.name)
+    val candidates =
+      pruneEntriesByConjuncts(spark, target.schema, entries, predicate,
+        specCols)
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else reader.parquet(candidates.map(_.path): _*)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .filter(predicate)
+        .select(col("__graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
     if (touched.isEmpty)
       return DeleteStats(meta.currentSnapshotId, 0, 0, 0L)
     // resolve scan URIs on the FULL qualified path — basenames collide
@@ -2745,16 +2755,23 @@ object IcebergLog {
     val survivors = touchedRows.filter(
       !org.apache.spark.sql.functions.coalesce(predicate,
         org.apache.spark.sql.functions.lit(false)))
-    val newFiles =
-      if (survivors.isEmpty) Seq.empty[File] else stageData(survivors, root)
+    // survivors restage WITH their partition tuples (the merge/compaction
+    // discipline): a delete must not degrade future manifest pruning, and
+    // untouched entries carry their full manifest record forward
+    val staged: Seq[(File, Map[String, Any])] =
+      if (survivors.isEmpty) Seq.empty
+      else if (meta.specFields.isEmpty)
+        stageData(survivors, root).map(_ -> Map.empty[String, Any])
+      else stagePartitioned(survivors, root, meta.specFields)
     val nextEntries = entries.map { e =>
-      val st = if (touchedPaths(e.path)) 2 else 0
-      FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
-        upperBounds = e.upperBounds, seq = e.seq)
-    } ++ newFiles.map(f => addedEntry(f, statsFields))
+      if (touchedPaths(e.path)) existingEntry(e).copy(status = 2)
+      else existingEntry(e)
+    } ++ staged.map { case (f, pv) =>
+      addedEntry(f, statsFields).copy(partitionValues = pv)
+    }
     val sid = commitSnapshot(tablePath, nextEntries, operation = "delete",
       expectedBaseVersion = Some(base))
-    DeleteStats(sid, touchedPaths.size, newFiles.size, rowsDeleted)
+    DeleteStats(sid, touchedPaths.size, staged.size, rowsDeleted)
   }
 
   /** Outcome of a [[replaceWhere]] snapshot. */
@@ -2795,16 +2812,25 @@ object IcebergLog {
     require(strays == 0L,
       s"replaceWhere: $strays batch row(s) do not satisfy the " +
         "predicate — the batch may only replace rows inside the range")
-    val touched = target
-      .withColumn("__graft_file", col("_metadata.file_path"))
-      .filter(predicate)
-      .select(col("__graft_file")).distinct()
-      .collect().map(_.getString(0)).toSeq
+    val meta = parseMeta(currentMetadataFile(tablePath))
+    // identity-conjunct pruning of the match scan from manifest tuples,
+    // same lever as deleteWhere — the backfill's range predicate is the
+    // canonical partition conjunct
+    val specCols = meta.specFields.filter(_.isIdentity).map(_.name)
+    val candidates =
+      pruneEntriesByConjuncts(spark, target.schema, entries, predicate,
+        specCols)
+    val touched =
+      if (candidates.isEmpty) Seq.empty[String]
+      else reader.parquet(candidates.map(_.path): _*)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .filter(predicate)
+        .select(col("__graft_file")).distinct()
+        .collect().map(_.getString(0)).toSeq
     // resolve scan URIs on the FULL qualified path — basenames collide
     // across directories on addFiles-adopted hive layouts
     val touchedPaths = resolveTouchedPaths(spark, entries, touched)
     val rowsInserted = batch.count()
-    val meta = parseMeta(currentMetadataFile(tablePath))
     if (touchedPaths.isEmpty && rowsInserted == 0L)
       return ReplaceStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
     val touchedRows =
@@ -2815,16 +2841,22 @@ object IcebergLog {
     val survivors = touchedRows.map(_.filter(
       !coalesce(predicate, lit(false))))
     val out = survivors.fold(batch)(_.unionByName(batch))
-    val newFiles =
-      if (out.isEmpty) Seq.empty[File] else stageData(out, root)
+    // survivors + batch restage WITH their partition tuples; untouched
+    // entries carry their full manifest record forward
+    val staged: Seq[(File, Map[String, Any])] =
+      if (out.isEmpty) Seq.empty
+      else if (meta.specFields.isEmpty)
+        stageData(out, root).map(_ -> Map.empty[String, Any])
+      else stagePartitioned(out, root, meta.specFields)
     val nextEntries = entries.map { e =>
-      val st = if (touchedPaths(e.path)) 2 else 0
-      FixtureEntry(st, e.path, 0, lowerBounds = e.lowerBounds,
-        upperBounds = e.upperBounds, seq = e.seq)
-    } ++ newFiles.map(f => addedEntry(f, statsFields))
+      if (touchedPaths(e.path)) existingEntry(e).copy(status = 2)
+      else existingEntry(e)
+    } ++ staged.map { case (f, pv) =>
+      addedEntry(f, statsFields).copy(partitionValues = pv)
+    }
     val sid = commitSnapshot(tablePath, nextEntries,
       operation = "overwrite", expectedBaseVersion = Some(base))
-    ReplaceStats(sid, touchedPaths.size, newFiles.size, rowsDeleted,
+    ReplaceStats(sid, touchedPaths.size, staged.size, rowsDeleted,
       rowsInserted)
   }
 

@@ -981,6 +981,55 @@ class ScaleSpec extends SparkSpec {
         "day tuples did not prune the file list")
   }
 
+  test("Iceberg partition-conjunct delete prunes its scan and keeps tuples") {
+    // the deleteWhere twin of the conditional-merge lever: a predicate
+    // whose identity conjunct names one partition must open only that
+    // partition's files (answered from manifest tuples), and the
+    // restaged survivors must carry their tuples so the NEXT delete
+    // prunes just as well
+    import graft.sources.IcebergLog
+    import graft.sources.IcebergLog.SpecField
+    val s = spark
+    import s.implicits._
+    val tbl = java.nio.file.Files
+      .createTempDirectory("graft-icedelprune").toString + "/t"
+    val n = 3000L
+    IcebergLog.appendPartitionedSpec(
+      (0L until n).map(i => (i, s"p${i % 3}", i * 7)).toDF("id", "p", "v")
+        .repartition(2), tbl, Seq(SpecField(2, "p")))
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          read.addAndGet(te.taskMetrics.inputMetrics.recordsRead); ()
+        }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val ds =
+      try IcebergLog.deleteWhere(spark, tbl,
+        col("p") === "p0" && col("id") % 2 === 0L)
+      finally {
+        drainListenerBus()
+        spark.sparkContext.removeSparkListener(l)
+      }
+    assert(ds.rowsDeleted === 500L)
+    // p0 holds 1000 of 3000 rows; the verb makes ~4 passes over the
+    // touched files (match detect, delete count, survivor probe+stage)
+    // = ~4000 records when pruned — but an unpruned match scan alone
+    // adds p1/p2's 2000 on top (>= 6000). The bound splits the two.
+    assert(read.get < 5L * n / 3,
+      s"partition-conjunct delete read ${read.get} records of $n — the " +
+        "manifest tuples did not prune the match scan")
+    // restaged survivors keep their tuples (future prunes stay exact)
+    val entries = IcebergLog.liveEntries(tbl)
+    assert(entries.forall(_.partitionValues.keySet == Set("p")),
+      "a restaged survivor lost its partition tuple")
+    assert(IcebergLog.read(spark, tbl).count() === n - 500L)
+    assert(IcebergLog.read(spark, tbl)
+      .filter(col("p") === "p0").count() === 500L)
+  }
+
   test("MoR merge writes the batch, not the touched files") {
     // kill-and-insert: matched rows die via one position-delete file
     // and the batch appends — records WRITTEN must track the batch

@@ -3303,11 +3303,23 @@ object IcebergLog {
     val (data, dels) = liveSplitEntries(tablePath)
     require(data.nonEmpty, s"not a live Iceberg table: $tablePath")
     val meta = parseMeta(currentMetadataFile(tablePath))
-    require(meta.schemaFields.isEmpty && meta.nameMapping.isEmpty,
-      s"MoR merge on a schema-recorded table: $tablePath — evolved and " +
-        "mirrored tables take the CoW merge path")
-    val target0 = spark.read.parquet(data.map(_.path): _*)
-    val cols = target0.columns.toSeq
+    // physically name-mapped mirrors stay refused (derived, read-only
+    // state — the CoW merge's rule); EVOLVED tables (identity-mapped
+    // schema record) MoR-merge first-class: the match scan reads
+    // footer-union so old files NULL-fill the evolved columns, the
+    // positional kills are schema-blind, and the batch appends in the
+    // CURRENT shape — old files stay physically old
+    require(meta.nameMapping.isEmpty ||
+        meta.schemaFields.forall { case (id, n, _) =>
+          meta.nameMapping.get(id).forall(_ == n) },
+      s"MoR merge on a physically name-mapped Iceberg table: $tablePath " +
+        "is a derived UniForm mirror — write through the Delta side")
+    val evolved = meta.schemaFields.nonEmpty
+    val target0 = (if (evolved) spark.read.option("mergeSchema", "true")
+      else spark.read).parquet(data.map(_.path): _*)
+    val cols =
+      if (evolved) meta.schemaFields.map(_._2)
+      else target0.columns.toSeq
     require(cols.forall(source.columns.contains) &&
         source.columns.forall(cols.contains),
       s"merge source columns ${source.columns.mkString(",")} must " +
@@ -3335,7 +3347,7 @@ object IcebergLog {
     // incremental-batch sized (bounded by the match count)
     val matched =
       if (candidates.isEmpty) None
-      else Some(liveWithMeta(spark, candidates, dels)
+      else Some(liveWithMeta(spark, candidates, dels, unionSchemas = evolved)
         .join(broadcast(srcKeys), keys, "leftsemi")
         .select((Seq(col("__graft_file"), col("__graft_pos")) ++
           keys.map(c => col(s"`$c`"))): _*)

@@ -2516,6 +2516,16 @@ class SourcesSpec extends SparkSpec {
     // compaction over the mixed files keeps the evolved values too
     IcebergLog.rewriteDataFiles(spark, tbl)
     assert(snap()(2L) === (("B", Some(20L))) && snap()(4L) === (("d", None)))
+    // MoR merge on the EVOLVED table: the footer-union match scan finds
+    // the key, the kill is positional (schema-blind), the batch appends
+    // in the merged shape — no data file rewrites
+    val msMor = IcebergLog.mergeMoR(spark, tbl,
+      Seq((4L, "D", 40L)).toDF("id", "v", "w"), Seq("id"))
+    assert(msMor.rowsUpdated === 1L && msMor.rowsInserted === 0L &&
+      msMor.filesRewritten === 0)
+    assert(snap()(4L) === (("D", Some(40L))))
+    IcebergLog.rewriteDataFiles(spark, tbl)
+    assert(snap()(4L) === (("D", Some(40L))))
     // the changelog crosses the evolution snapshot: old-side rows
     // NULL-fill the new column, and the fold reproduces the live table
     val ch = IcebergLog.changesBetween(spark, tbl, 0L)

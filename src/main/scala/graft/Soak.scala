@@ -354,7 +354,10 @@ object Soak {
       "x57_iceberg_merge_evolve", "x58_iceberg_merge_mor_write",
       // the Delta twin of x58: DV bitmaps instead of position-delete
       // files, same O(batch + bitmap bytes) write contract
-      "x16e_delta_merge_dv_write")
+      "x16e_delta_merge_dv_write",
+      // partitioned evolution: one metadata file + the touched
+      // partitions' files, tuples intact at 10x
+      "x57b_iceberg_merge_evolve_partitioned")
 
     if (!new java.io.File(s"$out/events.parquet").exists())
       genEvents(spark, 1000000L, out) // corpora generated before events joined

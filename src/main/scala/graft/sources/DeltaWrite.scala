@@ -776,17 +776,8 @@ object DeltaWrite {
         val post = updatedRows.getOrElse(
           src.join(broadcast(mk), keys, "leftsemi"))
         val ins = src.join(broadcast(mk), keys, "leftanti")
-        val change =
-          pre.withColumn("_change_type", lit("update_preimage"))
-            .unionByName(post.withColumn("_change_type", lit("update_postimage")))
-            .unionByName(ins.withColumn("_change_type", lit("insert")))
-        // mapped tables physicalize change rows like any mapped write
-        val staged =
-          if (mapMode == "none") change
-          else physicalizeForStage(spark, tablePath, change,
-            passthrough = Seq("_change_type"),
-            logicalOverride = evolvedLogical)._1
-        stageCdc(staged, root)
+        stageMergeCdc(spark, tablePath, root, mapMode, pre, post, ins,
+          evolvedLogical)
       }
     // mapped rewrites stage physical-named (id-stamped) files, exactly
     // like a mapped append; stats key on the physical schema.
@@ -977,16 +968,7 @@ object DeltaWrite {
             .getOrElse(srcKeys.limit(0))
           val post = src.join(broadcast(mk), keys, "leftsemi")
           val ins = src.join(broadcast(mk), keys, "leftanti")
-          val change =
-            pre.withColumn("_change_type", lit("update_preimage"))
-              .unionByName(post.withColumn("_change_type",
-                lit("update_postimage")))
-              .unionByName(ins.withColumn("_change_type", lit("insert")))
-          val staged =
-            if (mapMode == "none") change
-            else physicalizeForStage(spark, tablePath, change,
-              passthrough = Seq("_change_type"))._1
-          stageCdc(staged, root)
+          stageMergeCdc(spark, tablePath, root, mapMode, pre, post, ins)
         }
       val protoAction =
         if (touched.isEmpty) Seq.empty
@@ -1745,6 +1727,31 @@ object DeltaWrite {
     * feed costs O(changed rows), written once, in the same atomic commit
     * as the data change itself.
     */
+  /** Shared merge CDF staging for the CoW [[merge]] and the DV-writing
+    * [[mergeDv]]: the update_preimage/update_postimage/insert union,
+    * mapped physicalization, and cdc file stage in ONE code path — the
+    * feed cannot tell the write modes apart BY CONSTRUCTION, not by two
+    * copies kept in sync.
+    */
+  private def stageMergeCdc(spark: org.apache.spark.sql.SparkSession,
+      tablePath: String, root: File, mapMode: String,
+      pre: DataFrame, post: DataFrame, ins: DataFrame,
+      evolvedLogical: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[String] = {
+    import org.apache.spark.sql.functions.lit
+    val change =
+      pre.withColumn("_change_type", lit("update_preimage"))
+        .unionByName(post.withColumn("_change_type",
+          lit("update_postimage")))
+        .unionByName(ins.withColumn("_change_type", lit("insert")))
+    val staged =
+      if (mapMode == "none") change
+      else physicalizeForStage(spark, tablePath, change,
+        passthrough = Seq("_change_type"),
+        logicalOverride = evolvedLogical)._1
+    stageCdc(staged, root)
+  }
+
   private def stageCdc(changes: DataFrame, root: File): Seq[String] = {
     val dir = new File(root, "_change_data")
     dir.mkdirs()

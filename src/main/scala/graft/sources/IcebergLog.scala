@@ -1146,7 +1146,19 @@ object IcebergLog {
                 "metadata's schema history has no such entry"))._2
           Some(fields).filter(_.nonEmpty)
         case None =>
-          if (meta.snapshots.exists(_.schemaId.isDefined)) None
+          // unstamped with stamps elsewhere: this writer's pre-evolution
+          // epochs were footer-inferred — but ONLY identity-mapped
+          // tables (the shape evolution writes) can decode that way. A
+          // MIRROR's record predates every stamp (its pre-upgrade
+          // snapshots were schema-recorded from creation) and its files
+          // need record/mapping decode — physical names or footer field
+          // ids — so anything not identity-mapped keeps the current
+          // record for unstamped snapshots.
+          val identityMapped = meta.nameMapping.nonEmpty &&
+            meta.schemaFields.forall { case (id, n, _) =>
+              meta.nameMapping.get(id).forall(_ == n) }
+          if (meta.snapshots.exists(_.schemaId.isDefined) && identityMapped)
+            None
           else Some(meta.schemaFields).filter(_.nonEmpty)
       }
   }
@@ -1187,10 +1199,20 @@ object IcebergLog {
             val physNames = allFields
               .filter(f => identityPartIds.contains(f._1))
               .map { case (id, n, _) => mapping.getOrElse(id, n) }
-            val footerCols =
-              spark.read.parquet(data.head.path).columns.toSet
-            if (physNames.forall(footerCols.contains)) Set.empty[Int]
-            else identityPartIds
+            // memoized per (probed file, requested names): the layout
+            // answer is a property of how the table's files were staged,
+            // so repeated reads of the same snapshot pay ONE footer open
+            val key = (data.head.path, physNames)
+            val selfContained = Option(layoutProbeCache.get(key))
+              .map(_.booleanValue()).getOrElse {
+                val footerCols =
+                  spark.read.parquet(data.head.path).columns.toSet
+                val r = physNames.forall(footerCols.contains)
+                if (layoutProbeCache.size > 4096) layoutProbeCache.clear()
+                layoutProbeCache.put(key, java.lang.Boolean.valueOf(r))
+                r
+              }
+            if (selfContained) Set.empty[Int] else identityPartIds
           }
         val fields = allFields.filterNot(f => partIds.contains(f._1))
         if (mapping.nonEmpty) {
@@ -2140,6 +2162,13 @@ object IcebergLog {
     * WHOLE spec history — entries written under any old spec may still
     * carry them.
     */
+  /** [[scanData]]'s layout-probe memo: (data file path, identity
+    * partition physical names) -> files carry the columns. Bounded;
+    * cleared wholesale past 4096 entries (probe is cheap to redo).
+    */
+  private val layoutProbeCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Seq[String]), java.lang.Boolean]()
+
   private def hiddenFieldNames(tablePath: String): Set[String] =
     parseMeta(currentMetadataFile(tablePath)).specs
       .flatMap(_._2).filterNot(_.isIdentity).map(_.name).toSet
@@ -2731,17 +2760,9 @@ object IcebergLog {
     // from manifest tuples before any data file opens (the conditional
     // merge's lever) — "delete last month's partition" opens only that
     // partition's files; a pruned file can contain no matching row
-    val specCols = meta.specFields.filter(_.isIdentity).map(_.name)
-    val candidates =
-      pruneEntriesByConjuncts(spark, target.schema, entries, predicate,
-        specCols)
     val touched =
-      if (candidates.isEmpty) Seq.empty[String]
-      else reader.parquet(candidates.map(_.path): _*)
-        .withColumn("__graft_file", col("_metadata.file_path"))
-        .filter(predicate)
-        .select(col("__graft_file")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      prunedTouchedUris(spark, reader, meta, entries, target.schema,
+        predicate)
     if (touched.isEmpty)
       return DeleteStats(meta.currentSnapshotId, 0, 0, 0L)
     // resolve scan URIs on the FULL qualified path — basenames collide
@@ -2772,6 +2793,29 @@ object IcebergLog {
     val sid = commitSnapshot(tablePath, nextEntries, operation = "delete",
       expectedBaseVersion = Some(base))
     DeleteStats(sid, touchedPaths.size, staged.size, rowsDeleted)
+  }
+
+  /** Shared pruned match scan for the CoW verbs ([[deleteWhere]],
+    * [[replaceWhere]]): identity-conjunct manifest pruning, then the
+    * touched-file scan URIs from ONE distributed pass over the
+    * candidates — one code path so a pruning-contract change cannot
+    * reach one verb and miss the other.
+    */
+  private def prunedTouchedUris(spark: SparkSession,
+      reader: org.apache.spark.sql.DataFrameReader, meta: TableMeta,
+      entries: Seq[LiveEntry],
+      schema: org.apache.spark.sql.types.StructType,
+      predicate: org.apache.spark.sql.Column): Seq[String] = {
+    import org.apache.spark.sql.functions.col
+    val specCols = meta.specFields.filter(_.isIdentity).map(_.name)
+    val candidates =
+      pruneEntriesByConjuncts(spark, schema, entries, predicate, specCols)
+    if (candidates.isEmpty) Seq.empty
+    else reader.parquet(candidates.map(_.path): _*)
+      .withColumn("__graft_file", col("_metadata.file_path"))
+      .filter(predicate)
+      .select(col("__graft_file")).distinct()
+      .collect().map(_.getString(0)).toSeq
   }
 
   /** Outcome of a [[replaceWhere]] snapshot. */
@@ -2816,17 +2860,9 @@ object IcebergLog {
     // identity-conjunct pruning of the match scan from manifest tuples,
     // same lever as deleteWhere — the backfill's range predicate is the
     // canonical partition conjunct
-    val specCols = meta.specFields.filter(_.isIdentity).map(_.name)
-    val candidates =
-      pruneEntriesByConjuncts(spark, target.schema, entries, predicate,
-        specCols)
     val touched =
-      if (candidates.isEmpty) Seq.empty[String]
-      else reader.parquet(candidates.map(_.path): _*)
-        .withColumn("__graft_file", col("_metadata.file_path"))
-        .filter(predicate)
-        .select(col("__graft_file")).distinct()
-        .collect().map(_.getString(0)).toSeq
+      prunedTouchedUris(spark, reader, meta, entries, target.schema,
+        predicate)
     // resolve scan URIs on the FULL qualified path — basenames collide
     // across directories on addFiles-adopted hive layouts
     val touchedPaths = resolveTouchedPaths(spark, entries, touched)
@@ -3100,13 +3136,16 @@ object IcebergLog {
         val prior =
           if (meta.schemaFields.nonEmpty) {
             specFieldsAll.foreach { f =>
-              meta.schemaFields.find(_._2 == f.sourceName).foreach { rec =>
-                require(rec._1 == f.sourceId,
-                  s"schema record id ${rec._1} for column " +
-                    s"${f.sourceName} disagrees with partition spec " +
-                    s"source-id ${f.sourceId} in $tablePath — refusing " +
-                    "to evolve a misaligned record")
-              }
+              val rec = meta.schemaFields.find(_._2 == f.sourceName)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"schema record of $tablePath lacks partition spec " +
+                    s"source column ${f.sourceName} — refusing to evolve " +
+                    "a record the spec cannot resolve through"))
+              require(rec._1 == f.sourceId,
+                s"schema record id ${rec._1} for column " +
+                  s"${f.sourceName} disagrees with partition spec " +
+                  s"source-id ${f.sourceId} in $tablePath — refusing " +
+                  "to evolve a misaligned record")
             }
             meta.schemaFields
           } else {

@@ -380,7 +380,11 @@ object SourceQueries {
       graft.sources.DeltaWrite.enableChangeDataFeed(s, tbl)
       val before = graft.sources.DeltaLog.liveAdds(s, tbl)
         .map(_.path).toSet
-      val src = o.filter((col("o_orderkey") % 2 === 0 &&
+      // update every OTHER even (%4==0): unmatched evens interleave in
+      // every contiguous key range, so no range file ever dies entirely
+      // (a fully-dead file takes a legitimate plain remove, which the
+      // physical-identity pin below must not see at tiny scales)
+      val src = o.filter((col("o_orderkey") % 4 === 0 &&
             col("o_orderkey") <= 400) ||
           (col("o_orderkey") % 2 === 1 && col("o_orderkey") <= 401))
         .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
@@ -423,7 +427,7 @@ object SourceQueries {
       src AS (SELECT o_orderkey, o_orderstatus,
                 o_totalprice + 1000.0 AS o_totalprice
               FROM orders
-              WHERE (o_orderkey % 2 = 0 AND o_orderkey <= 400)
+              WHERE (o_orderkey % 4 = 0 AND o_orderkey <= 400)
                  OR (o_orderkey % 2 = 1 AND o_orderkey <= 401))
       SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey, o_orderstatus,
         CAST(o_totalprice AS DOUBLE) AS o_totalprice

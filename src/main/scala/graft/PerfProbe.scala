@@ -23,6 +23,7 @@ object PerfProbe {
     spark.sparkContext.setLogLevel("WARN")
     // per-stage wall/task accounting so a slow run localizes on sight
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Long)]()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -30,6 +31,10 @@ object PerfProbe {
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
         stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60), wall,
           si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime))
+      }
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
       }
     })
     args.foreach { name =>
@@ -42,6 +47,7 @@ object PerfProbe {
         // also drop leaked localCheckpoint blocks (not catalog-tracked)
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         stages.clear()
+        jobs.set(0)
         val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
           .asInstanceOf[com.sun.management.OperatingSystemMXBean]
         val cpu0 = osBean.getProcessCpuTime
@@ -53,10 +59,12 @@ object PerfProbe {
         val cpuSecs = (osBean.getProcessCpuTime - cpu0) / 1e9
         val jitMs = java.lang.management.ManagementFactory.getCompilationMXBean
           .getTotalCompilationTime - jit0
-        println(f"[probe] $name run$i: $secs%.3f s  procCpu=$cpuSecs%.1f s  jit=${jitMs}ms")
+        println(f"[probe] $name run$i: $secs%.3f s  procCpu=$cpuSecs%.1f s  jit=${jitMs}ms  jobs=${jobs.get}  stages=${stages.size}")
         if (sys.env.contains("GRAFT_PROBE_STAGES")) {
           import scala.jdk.CollectionConverters._
-          stages.asScala.toSeq.sortBy(-_._2._2).take(8).foreach {
+          stages.asScala.toSeq.sortBy(-_._2._2)
+            .take(sys.env.getOrElse("GRAFT_PROBE_STAGES", "8").toIntOption
+              .getOrElse(8)).foreach {
             case (id, (nm, wall, run, gc)) =>
               println(f"[probe]   stage $id%4d wall=${wall}%6dms taskRun=${run}%7dms gc=${gc}%5dms  $nm")
           }

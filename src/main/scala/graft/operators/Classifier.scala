@@ -53,7 +53,11 @@ object Classifier {
   def trainLogistic(docs: DataFrame, label: Column, dims: Int = 32,
       iters: Int = 2, lr: Double = 0.5): (Array[Long], Long) = {
     require(dims > 0 && iters >= 1)
-    val feats = docs.select(col("doc_id"),
+    // the feature map (split + one md5 per word) is compute-bound: spread
+    // a one-split local scan across cores before it (no-op at scale —
+    // see [[Spread]]); every GD pass then reads the checkpointed blocks
+    // at that parallelism too
+    val feats = Spread.forCpu(docs).select(col("doc_id"),
         featureBuckets(col("text"), dims).as("__graft_bks"),
         (label.cast("double") * Micro).cast("long").as("__graft_yu"))
       .localCheckpoint(true)
@@ -95,7 +99,7 @@ object Classifier {
   def score(docs: DataFrame, label: Column, w: Array[Long], bias: Long,
       dims: Int): DataFrame = {
     val pu = puExpr(featureBuckets(col("text"), dims), w, bias)
-    docs.select(col("doc_id"),
+    Spread.forCpu(docs).select(col("doc_id"),
       label.cast("long").as("label"),
       (pu.cast("double") / Micro).as("score"),
       (pu >= Micro / 2).as("predicted"))

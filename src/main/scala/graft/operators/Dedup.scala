@@ -51,7 +51,7 @@ object Dedup {
     */
   def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    docs.repartition(col("doc_id"))
+    Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("shingles", col("text"), lit(n))).as("shingle"))
   }
@@ -67,7 +67,7 @@ object Dedup {
         transform(sequence(lit(0), size(toks) - n),
           i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    docs.repartition(col("doc_id"))
+    Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"), explode(array_distinct(shingleArr)).as("shingle"))
   }
 
@@ -113,7 +113,7 @@ object Dedup {
     // picks the cheaper join strategy (broadcast here; co-partitioned
     // shuffle at corpus scale) from runtime sizes.
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val sh = materializeShingles(docs.repartition(col("doc_id"))
+    val sh = materializeShingles(Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("shingle_hashes", col("text"), lit(n))).as("sk")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -156,7 +156,7 @@ object Dedup {
   def containmentPairs(docs: DataFrame, n: Int = 3,
       maxDocFreq: Long = Long.MaxValue): DataFrame = {
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val sh = materializeShingles(docs.repartition(col("doc_id"))
+    val sh = materializeShingles(Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("shingle_hashes", col("text"), lit(n))).as("sk")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
@@ -206,7 +206,7 @@ object Dedup {
     // few splits (one parquet file locally; coalesced scans at scale)
     // would serialize it into few tasks. The shuffled relation is narrow
     // (id + text).
-    docs.repartition(col("doc_id"))
+    Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         call_function("minhash_signature", col("text"), lit(3), lit(numHashes)).as("mh"))
       .filter(col("mh").isNotNull)
@@ -482,7 +482,7 @@ object Dedup {
       minCount: Long = 2): DataFrame = {
     require(minCount >= 2, "minCount < 2 would flag every position")
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val pos = docs.repartition(col("doc_id"))
+    val pos = Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("shingle_hashes_all", col("text"), lit(n))).as("sk"))
     val counts = pos.groupBy(col("sk")).agg(count(lit(1)).as("cnt"))
@@ -528,7 +528,7 @@ object Dedup {
       minCount: Long = 2): DataFrame = {
     require(minCount >= 2, "minCount < 2 would flag every position")
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val pos = docs.repartition(col("doc_id"))
+    val pos = Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         posexplode(call_function("shingle_hashes_all", col("text"), lit(n)))
           .as(Seq("pos", "sk")))
@@ -590,7 +590,7 @@ object Dedup {
     * across engines).
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val tok = docs.repartition(col("doc_id"))
+    val tok = Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
       .withColumn("hw", md5(col("w")))

@@ -254,7 +254,7 @@ object Multimodal {
   def documentsAsTones(spark: SparkSession, docs: DataFrame,
       n: Int = 64): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Spread.forCpu(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val bin = 1 + (id % 31).toInt
         val samples = Array.tabulate[Short](n)(j =>
@@ -331,7 +331,7 @@ object Multimodal {
     */
   def documentsAsWavs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Spread.forCpu(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val sr = 8000L * (1 + id % 3)
         val ch = 1L + id % 2
@@ -377,7 +377,23 @@ object Multimodal {
     img
   }
 
+  /** ImageIO's DEFAULT stream cache backs every created image
+    * input/output stream with ONE TEMP FILE (FileCacheImage*Stream):
+    * `ImageIO.write(img, fmt, outputStream)` silently creates and
+    * deletes a /tmp file per encoded blob. Serial that is a constant
+    * tax; under a 32-way spread the temp-dir churn serializes the whole
+    * stage (measured: the m01 encode+decode stage's summed task time
+    * grew ~15× when parallelized, all of it filesystem contention).
+    * Memory-backed streams remove the disk round-trip entirely; the
+    * blobs here are row-sized by construction. JVM-global and
+    * idempotent — called from every encode seam so executor JVMs flip
+    * it too, not just the driver.
+    */
+  private def imageIoNoDiskCache(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   def encodeImage(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+    imageIoNoDiskCache()
     val baos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, fmt, baos)
     baos.toByteArray
@@ -388,6 +404,7 @@ object Multimodal {
     * frame count, not metadata arithmetic.
     */
   def makeAnimatedGif(nFrames: Int, w: Int = 8, h: Int = 8): Array[Byte] = {
+    imageIoNoDiskCache() // see encodeImage — file-backed stream otherwise
     val baos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -416,7 +433,7 @@ object Multimodal {
     */
   def documentsAsImages(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Spread.forCpu(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val fmt = if (id % 2 == 0) "png" else "bmp"
         (id, encodeImage(makeImage(id), fmt))
@@ -479,7 +496,7 @@ object Multimodal {
   /** Documents-as-animated-GIFs with 1 + id%8 true frames each. */
   def documentsAsGifs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    Spread.forCpu(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         (id, makeAnimatedGif((1 + id % 8).toInt))
       }).toDF("doc_id", "blob")

@@ -337,7 +337,7 @@ object Sampling {
     val spark = corpus.sparkSession
     // distinct eval gram keys, materialized once: sized for the bloom fit,
     // reused as the exact join's build side
-    val bench = benchmark
+    val bench = Spread.forCpu(benchmark)
       .select(explode(call_function("shingle_hashes", col("text"), lit(n)))
         .as("__graft_bench_gk"))
       .distinct()
@@ -346,9 +346,15 @@ object Sampling {
     val bloom = bench.stat.bloomFilter("__graft_bench_gk", nItems, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
-    val withGrams = corpus
+    // the in-row gram hashing is compute-bound and feeds TWO consumers
+    // (the bloom-gated hit count and the per-doc gram totals): spread a
+    // one-split local scan across cores and materialize the grams once
+    // instead of re-shingling the corpus per consumer (the [[Dedup]]
+    // shingle trade)
+    val withGrams = Spread.forCpu(corpus)
       .select(col("doc_id"),
         call_function("shingle_hashes", col("text"), lit(n)).as("__graft_gks"))
+      .localCheckpoint(true)
     // explode → bloom gate → EXACT verify join (hinted shuffle-hash: this
     // operator exists for the eval set that can't broadcast) → per-doc count
     val hits = withGrams
@@ -374,11 +380,11 @@ object Sampling {
   def ngramContaminationScreen(corpus: DataFrame, benchmark: DataFrame,
       n: Int = 3): DataFrame = {
     graft.functions.NativeFunctions.register(corpus.sparkSession)
-    val bench = broadcast(benchmark
+    val bench = broadcast(Spread.forCpu(benchmark)
       .select(explode(call_function("shingle_hashes", col("text"), lit(n)))
         .as("__graft_bench_gk"))
       .distinct())
-    val per = corpus.repartition(col("doc_id"))
+    val per = Spread.byKey(corpus, col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("shingle_hashes", col("text"), lit(n))).as("gk"))
       .join(bench, col("gk") === col("__graft_bench_gk"), "left")

@@ -943,7 +943,10 @@ object Similarity {
       dim: Int): DataFrame = {
     val pls = simhashPlanes(dim, planes)
     val bandBits = planes / bands
-    val sig = emb.select(col("vec_id"),
+    // the signature map is planes × dim multiplies per row — compute-
+    // bound; spread a one-split local scan across cores (no-op on a
+    // source that already plans enough partitions — see [[Spread]])
+    val sig = Spread.forCpu(emb).select(col("vec_id"),
       nativeSignature(emb.sparkSession)(col("embedding"), pls).as("bits"))
     val bucketCols = (0 until bands).map(b =>
       struct(lit(b).as("band"),

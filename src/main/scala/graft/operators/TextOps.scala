@@ -210,7 +210,7 @@ object TextOps {
     val tok = tokens(col("text"))
     val nTok = size(tok).cast("double")
     val stopCount = size(filter(tok, t => t.isInCollection(stopwords))).cast("double")
-    docs.select(
+    Spread.forCpu(docs).select(
       col("doc_id"),
       nTok.cast("long").as("n_tokens"),
       (stopCount / nTok).as("stop_ratio"),
@@ -252,7 +252,7 @@ object TextOps {
       .otherwise(lit(0.0))
     val nStop = size(filter(array_distinct(col("ws")),
       w => w.isInCollection(stopwords))).cast("long")
-    docs
+    Spread.forCpu(docs)
       .withColumn("ws", ws)
       .withColumn("n_words", nWords)
       .withColumn("mean_word_len", meanLen)
@@ -467,7 +467,9 @@ object TextOps {
         md5(array_join(slice(toks, i * step + 1, lit(chunkTokens)), " "))
           .as("chunk_md5"),
         least(lit(chunkTokens), n - i * step).cast("long").as("n_tokens")))
-    docs.filter(trim(col("text")) =!= "")
+    // the tokenizer (BPE merge loop for t11) is compute-bound: spread a
+    // one-split local scan across cores before it (no-op at scale)
+    Spread.forCpu(docs.filter(trim(col("text")) =!= ""))
       .select(col("doc_id"), tokensOf(col("text")).as("__toks"))
       .select(col("doc_id"), posexplode(windows).as(Seq("chunk_id", "c")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
@@ -501,12 +503,21 @@ object TextOps {
     */
   def lmScore(docs: DataFrame, refDocs: DataFrame = null,
       alpha: Double = 0.5): DataFrame = {
-    val ref = Option(refDocs).getOrElse(docs)
     val ws = filter(tokens(col("text")), w => w =!= "")
-    def tokRel(d: DataFrame) = d
-      .withColumn("__ws", ws)
+    // tokenize each side ONCE into a narrow checkpointed (doc_id, tokens)
+    // relation: the scored side feeds the bigram and first-token terms,
+    // and under self-scoring (the common case) the SAME relation also
+    // feeds the unigram counts, the corpus constants, and the bigram
+    // counts — five consumers that each used to re-split every document
+    // from the source scan, serially when the local source is one split
+    // (the [[Dedup]] shingle-materialization trade, applied to the LM).
+    def tokCheckpoint(d: DataFrame): DataFrame =
+      Spread.forCpu(d).withColumn("__ws", ws)
+        .select(col("doc_id"), col("__ws")).localCheckpoint(true)
+    val docsTok = tokCheckpoint(docs)
+    val refTokRel = if (refDocs == null) docsTok else tokCheckpoint(refDocs)
+    val refTok = refTokRel
       .select(col("doc_id"), posexplode(col("__ws")).as(Seq("pos", "w")))
-    val refTok = tokRel(ref)
     val ug = refTok.groupBy(col("w")).agg(count(lit(1)).as("uc"))
     val consts = refTok.agg(count(lit(1)).cast("double").as("t"))
       .crossJoin(ug.agg(count(lit(1)).cast("double").as("v")))
@@ -520,13 +531,13 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), size(col("__ws")) - 1), i =>
         struct(element_at(col("__ws"), i).as("w1"),
           element_at(col("__ws"), i + 1).as("w2"))))
-    val bgc = ref.withColumn("__ws", ws)
+    val bgc = refTokRel
       .select(explode(pairs).as("bg"))
       .groupBy(col("bg.w1").as("bw1"), col("bg.w2").as("bw2"))
       .agg(count(lit(1)).as("bc"))
     def nll6(p: Column): Column =
       round(-log(p), 6).cast("decimal(20,6)")
-    val bigramTerms = docs.withColumn("__ws", ws)
+    val bigramTerms = docsTok
       .select(col("doc_id"), explode(pairs).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       // LEFT joins: a scored doc may use words the reference never saw
@@ -537,7 +548,7 @@ object TextOps {
       .select(col("doc_id"), nll6(
         (coalesce(col("bc"), lit(0L)).cast("double") + alpha) /
           (coalesce(col("uc"), lit(0L)).cast("double") + lit(alpha) * col("v"))).as("nll"))
-    val firstTerms = docs.withColumn("__ws", ws)
+    val firstTerms = docsTok
       .filter(size(col("__ws")) > 0)
       .select(col("doc_id"), element_at(col("__ws"), 1).as("w"))
       .join(ug, Seq("w"), "left")
@@ -547,7 +558,7 @@ object TextOps {
           (col("t") + lit(alpha) * col("v"))).as("nll"))
     val per = bigramTerms.union(firstTerms).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("nll")).as("total"))
-    docs.select(col("doc_id"))
+    docsTok.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_terms"), lit(0L)).as("n_tokens"),
@@ -609,7 +620,7 @@ object TextOps {
     */
   def noveltyScore(docs: DataFrame, n: Int = 3): DataFrame = {
     graft.functions.NativeFunctions.register(docs.sparkSession)
-    val sh = docs.repartition(col("doc_id"))
+    val sh = Spread.byKey(docs, col("doc_id"))
       .select(col("doc_id"),
         explode(call_function("shingle_hashes", col("text"), lit(n))).as("sk"))
       .localCheckpoint(true)

@@ -169,6 +169,7 @@ object SourceQueries {
       rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 4 === 0), tbl)
       graft.sources.DeltaWrite.append(o.filter(col("o_orderkey") % 4 === 2), tbl)
       val src = o.filter(col("o_orderkey") % 4 <= 1)
@@ -209,6 +210,7 @@ object SourceQueries {
       rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       graft.sources.DeltaWrite.appendPartitioned(
         o.filter(col("o_orderkey") % 4 === 0), tbl, Seq("o_orderstatus"))
       graft.sources.DeltaWrite.appendPartitioned(
@@ -374,6 +376,7 @@ object SourceQueries {
       rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       graft.sources.DeltaWrite.append(
         o.filter(col("o_orderkey") % 2 === 0)
           .repartitionByRange(4, col("o_orderkey")), tbl)
@@ -966,6 +969,7 @@ object SourceQueries {
       rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       graft.sources.IcebergLog.appendPartitioned(
         o.filter(col("o_orderkey") % 4 === 0), tbl,
         partitionBy = Seq(2 -> "o_orderstatus"))
@@ -1417,6 +1421,7 @@ object SourceQueries {
       rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       graft.sources.IcebergLog.append(
         o.filter(col("o_orderkey") % 2 === 0)
           .repartitionByRange(4, col("o_orderkey")), tbl)
@@ -1478,6 +1483,7 @@ object SourceQueries {
       rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       (0 to 7).foreach(m =>
         graft.sources.DeltaWrite.append(
           o.filter(col("o_orderkey") % 8 === m).coalesce(1), tbl))
@@ -2664,6 +2670,7 @@ object SourceQueries {
       rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       o.filter(col("o_orderkey") % 3 === 0)
         .repartitionByRange(4, col("o_orderkey"))
         .write.parquet(tbl)
@@ -2713,6 +2720,7 @@ object SourceQueries {
       rmTree(raw); rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       val slice0 = o.filter(col("o_orderkey") % 3 === 0)
       slice0.repartitionByRange(4, col("o_orderkey")).write.parquet(raw)
       val sid1 = graft.sources.IcebergLog.addFiles(tbl, raw,
@@ -2765,6 +2773,7 @@ object SourceQueries {
       rmTree(tbl)
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .localCheckpoint(true) // staged appends + the batch replay this 2-8x
       val sliceA = o.filter(col("o_orderkey") % 3 === 0)
       graft.sources.DeltaWrite.append(sliceA, tbl)
       val s1 = graft.sources.Uniform.deltaToIceberg(s, tbl,

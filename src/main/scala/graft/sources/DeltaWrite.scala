@@ -641,14 +641,25 @@ object DeltaWrite {
     // whenMatched cast): without it a wider-typed batch would rewrite
     // touched files in a different physical type than the untouched
     // files keep, and the next snapshot read would fail on the mix
+    // Materialized ONCE (eager local checkpoint): the batch feeds the
+    // validation aggregate, the key broadcast of the match scan, the
+    // partition-key prune collect, the batch landing, and the CDF
+    // stages — each would otherwise replay the caller's source plan
+    // from scratch (an arbitrary computation at 100 TB, not a cheap
+    // scan). Incremental-batch sized by contract.
     val src = source.select(allCols.map(c =>
       col(s"`$c`").cast(target.schema(c).dataType).as(c)): _*)
-    val dup = src.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .localCheckpoint(true)
+    // ONE validation pass over the batch: total rows and the max
+    // per-key multiplicity from a single aggregate (was: a duplicate-
+    // detection job plus a separate count job — two full passes)
+    val kstats = src.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).count()
-    require(dup == 0L,
+      .agg(org.apache.spark.sql.functions.sum(col("__n")),
+        org.apache.spark.sql.functions.max(col("__n"))).head
+    val srcCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
+    require(srcCount == 0L || kstats.getLong(1) <= 1L,
       "merge source has multiple rows for the same key (ambiguous match)")
-    val srcCount = src.count()
     if (srcCount == 0L) // empty batch: a no-op, not an empty commit
       return MergeStats(nextVersion(logDir) - 1, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
@@ -675,24 +686,35 @@ object DeltaWrite {
     // Resolution back to the log keys on the QUALIFIED URI — basenames
     // collide across partition dirs on CONVERT-adopted tables.
     val byPath = DeltaLog.byQualifiedPath(spark, adds)
-    val touchedAdds: Seq[DeltaLog.LiveFile] =
-      if (candidateAdds.isEmpty) Seq.empty
+    // only rows satisfying the extra match condition can make a file
+    // touched — a file whose key hits are all condition-false keeps its
+    // physical identity. ONE aggregation over the matched identity scan
+    // returns the touched-file set (bounded by live-file count), the
+    // matched-row count, AND the distinct-key count — previously the
+    // touched collect and the duplicate-target stats were two separate
+    // jobs, the second re-reading every touched file end to end.
+    val matchAgg: Option[org.apache.spark.sql.Row] =
+      if (candidateAdds.isEmpty) None
       else {
         val identityScan = DeltaLog.readWithRowIdentity(spark, tablePath,
             Some(candidateAdds.map(_.path).toSet))
           .withColumnRenamed("__graft_dv_file", "__graft_file")
           .drop("__graft_dv_pos")
-        // only rows satisfying the extra match condition can make a
-        // file touched — a file whose key hits are all condition-false
-        // keeps its physical identity
-        condT.fold(identityScan)(identityScan.filter(_))
+        val kc = keys.map(c => col(s"`$c`"))
+        Some(condT.fold(identityScan)(identityScan.filter(_))
           .join(broadcast(srcKeys), keys, "leftsemi")
-          .select(col("__graft_file")).distinct()
-          .collect().map(_.getString(0)).toSeq
+          .agg(org.apache.spark.sql.functions
+              .collect_set(col("__graft_file")),
+            count(lit(1)),
+            org.apache.spark.sql.functions.count_distinct(kc.head,
+              kc.tail: _*)).head)
+      }
+    val touchedAdds: Seq[DeltaLog.LiveFile] =
+      matchAgg.fold(Seq.empty[DeltaLog.LiveFile])(
+        _.getSeq[String](0)
           .map(uri => byPath.getOrElse(DeltaLog.canonicalScanPath(uri),
             throw new IllegalStateException(
-              s"touched file not in live set: $uri")))
-      }
+              s"touched file not in live set: $uri"))))
     // decode touched files through the snapshot reader (DVs applied,
     // typed pv injected) and NULL-fill evolving columns so
     // pre-evolution survivors rewrite under the merged schema
@@ -720,19 +742,12 @@ object DeltaWrite {
           .join(broadcast(srcKeys), keys, "leftsemi")
         (Some(surv), Some(matched))
     }
-    // ONE aggregation over the matched rows gives both the target-row
-    // count and the distinct-key count — duplicate-key targets (two
-    // appends of the same key; nothing forbids them) are detected
-    // without a second scan of the touched files
-    val (rowsUpdated, matchedKeyCount) = matchedRows match {
-      case None => (0L, 0L)
-      case Some(m) =>
-        val kc = keys.map(c => col(s"`$c`"))
-        val r = m.agg(count(lit(1)),
-          org.apache.spark.sql.functions.count_distinct(kc.head,
-            kc.tail: _*)).head
-        (r.getLong(0), r.getLong(1))
-    }
+    // target-row count and distinct-key count rode along in the
+    // touched-file aggregate above — duplicate-key targets (two appends
+    // of the same key; nothing forbids them) are detected without any
+    // further scan of the touched files
+    val (rowsUpdated, matchedKeyCount) = matchAgg
+      .map(r => (r.getLong(1), r.getLong(2))).getOrElse((0L, 0L))
     val dupTargets = rowsUpdated != matchedKeyCount
     val matchedKeys = matchedRows.map(
       _.select(keys.map(c => col(s"`$c`")): _*).distinct())
@@ -889,14 +904,19 @@ object DeltaWrite {
       s"merge source columns ${source.columns.mkString(",")} must match " +
         s"table columns ${cols.mkString(",")} — schema evolution " +
         "(mergeSchema) is a CoW-merge feature")
+    // batch materialized once + ONE validation pass (sum/max over the
+    // per-key counts) — the same two-jobs-to-one and replay-once levers
+    // as the CoW [[merge]]
     val src = source.select(cols.map(c =>
       col(s"`$c`").cast(target0.schema(c).dataType).as(c)): _*)
-    val dup = src.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .localCheckpoint(true)
+    val kstats = src.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).count()
-    require(dup == 0L,
+      .agg(org.apache.spark.sql.functions.sum(col("__n")),
+        org.apache.spark.sql.functions.max(col("__n"))).head
+    val srcCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
+    require(srcCount == 0L || kstats.getLong(1) <= 1L,
       "merge source has multiple rows for the same key (ambiguous match)")
-    val srcCount = src.count()
     if (srcCount == 0L) // empty batch: a no-op, not an empty commit
       return MergeStats(nextVersion(logDir) - 1, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)

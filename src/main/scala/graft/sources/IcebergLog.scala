@@ -3190,17 +3190,28 @@ object IcebergLog {
       else evolvedSchema.map(t => t._1 -> t._2).toMap
     // cast the batch to the table's exact types — a wider-typed batch
     // must not restage touched files under a different physical type
-    // than the untouched files keep (new columns keep the source type)
+    // than the untouched files keep (new columns keep the source type).
+    // Materialized ONCE (eager local checkpoint): the batch feeds the
+    // validation aggregate, the key broadcast of the match scan, the
+    // partition-key prune collect, and the batch-landing union of the
+    // restage — each would otherwise replay the caller's source plan
+    // from scratch (an arbitrary computation at 100 TB, not a cheap
+    // scan). Incremental-batch sized by contract, same executor-storage
+    // trade as [[Dedup]]'s signature materialization.
     val src = source.select(allCols.map(c =>
       col(s"`$c`").cast(
         if (newCols.contains(c)) source.schema(c).dataType
-        else target0.schema(c).dataType).as(c)): _*)
-    val dup = src.groupBy(keys.map(c => col(s"`$c`")): _*)
+        else target0.schema(c).dataType).as(c)): _*).localCheckpoint(true)
+    // ONE validation pass over the batch: total rows and the max per-key
+    // multiplicity from a single aggregate (was: a duplicate-detection
+    // job plus a separate count job — two full passes)
+    val kstats = src.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).count()
-    require(dup == 0L,
+      .agg(org.apache.spark.sql.functions.sum(col("__n")),
+        org.apache.spark.sql.functions.max(col("__n"))).head
+    val srcCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
+    require(srcCount == 0L || kstats.getLong(1) <= 1L,
       "merge source has multiple rows for the same key (ambiguous match)")
-    val srcCount = src.count()
     if (srcCount == 0L) // empty batch: a no-op, not an empty snapshot
       return MergeStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)
@@ -3231,12 +3242,23 @@ object IcebergLog {
       else Some(liveWithMeta(spark, candidates, dels,
         unionSchemas = evolved))
     // only condition-true rows make a file touched — a file whose key
-    // hits are all condition-false keeps its physical identity
-    val touchedNames = scan.fold(Set.empty[String])(sc =>
+    // hits are all condition-false keeps its physical identity. ONE
+    // aggregation over the matched scan returns the touched-file set
+    // (bounded by live-file count, the same driver-state class as the
+    // log listing), the target-row count, AND the distinct-key count —
+    // previously the touched collect and the duplicate-target stats were
+    // two separate jobs, each reading every candidate file end to end.
+    val kc = keys.map(c => col(s"`$c`"))
+    val matchAgg = scan.map(sc =>
       condT.fold(sc)(sc.filter(_))
         .join(broadcast(srcKeys), keys, "leftsemi")
-        .select(col("__graft_file")).distinct()
-        .collect().map(_.getString(0)).toSet)
+        .agg(org.apache.spark.sql.functions
+            .collect_set(col("__graft_file")),
+          count(lit(1)),
+          org.apache.spark.sql.functions.count_distinct(kc.head,
+            kc.tail: _*)).head)
+    val touchedNames = matchAgg.fold(Set.empty[String])(
+      _.getSeq[String](0).toSet)
     val byName = data.map(e => new File(e.path).getName -> e).toMap
     val touched = touchedNames.toSeq.sorted.map(n => byName.getOrElse(n,
       throw new IllegalStateException(s"touched file not in live set: $n")))
@@ -3246,15 +3268,8 @@ object IcebergLog {
         // live rows of touched files only (deletes still applied)
         val tr = scan.get.filter(
           col("__graft_file").isin(touchedNames.toSeq: _*))
-        val matched = condT.fold(tr)(tr.filter(_))
-          .join(broadcast(srcKeys), keys, "leftsemi")
-        // ONE aggregation gives target-row count AND distinct-key count,
-        // so duplicate-key targets are detected without a second scan
-        val kc = keys.map(c => col(s"`$c`"))
-        val stats = matched.agg(count(lit(1)),
-          org.apache.spark.sql.functions.count_distinct(kc.head,
-            kc.tail: _*)).head
-        val (nUpdated, nKeys) = (stats.getLong(0), stats.getLong(1))
+        val (nUpdated, nKeys) =
+          (matchAgg.get.getLong(1), matchAgg.get.getLong(2))
         // condition-false rows survive AS-IS even under a matching key;
         // only condition-true matches are replaced by the batch. ONE
         // pass over the touched files: a left-outer match marker plus
@@ -3282,6 +3297,8 @@ object IcebergLog {
         val batchLanding =
           if (nUpdated == nKeys) src
           else {
+            val matched = condT.fold(tr)(tr.filter(_))
+              .join(broadcast(srcKeys), keys, "leftsemi")
             val updated = matched.select(keys.map(c => col(s"`$c`")): _*)
               .join(broadcast(src), keys, "inner")
               .select(allCols.map(c => col(s"`$c`")): _*)
@@ -3363,14 +3380,19 @@ object IcebergLog {
         source.columns.forall(cols.contains),
       s"merge source columns ${source.columns.mkString(",")} must " +
         s"match table columns ${cols.mkString(",")}")
+    // batch materialized once + ONE validation pass (sum/max over the
+    // per-key counts) — the same two-jobs-to-one and replay-once levers
+    // as the CoW [[merge]]
     val src = source.select(cols.map(c =>
       col(s"`$c`").cast(target0.schema(c).dataType).as(c)): _*)
-    val dup = src.groupBy(keys.map(c => col(s"`$c`")): _*)
+      .localCheckpoint(true)
+    val kstats = src.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1).limit(1).count()
-    require(dup == 0L,
+      .agg(org.apache.spark.sql.functions.sum(col("__n")),
+        org.apache.spark.sql.functions.max(col("__n"))).head
+    val srcCount = if (kstats.isNullAt(0)) 0L else kstats.getLong(0)
+    require(srcCount == 0L || kstats.getLong(1) <= 1L,
       "merge source has multiple rows for the same key (ambiguous match)")
-    val srcCount = src.count()
     if (srcCount == 0L) // empty batch: a no-op, not an empty snapshot
       return MergeStats(meta.currentSnapshotId, 0, 0, 0L, 0L)
     val srcKeys = src.select(keys.map(c => col(s"`$c`")): _*)

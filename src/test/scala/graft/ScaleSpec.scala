@@ -300,19 +300,29 @@ class ScaleSpec extends SparkSpec {
 
   test("multimodal decode is one narrow MapPartitions pass: no exchange") {
     // the scaladoc claim behind m01/m02/m04: blob -> features is a
-    // per-partition codec pass; any Exchange here would shuffle raw
+    // per-partition codec pass; any KEYED Exchange here would shuffle raw
     // media bytes across the cluster — the single most expensive wire
-    // format there is
+    // format there is. The one ALLOWED exchange is Spread.forCpu's
+    // explicit round-robin over the (doc_id-only, pre-encode) scan — a
+    // cores-spread of 8-byte rows that is a no-op at scale and must sit
+    // BELOW the encode seam, so blobs still never cross a wire.
+    def noKeyedExchange(p: String, what: String): Unit = {
+      assert(!p.replace("Exchange RoundRobinPartitioning", "")
+          .contains("Exchange"), s"$what shuffles blobs:\n$p")
+      val ex = p.indexOf("Exchange RoundRobinPartitioning")
+      if (ex >= 0) assert(p.indexOf("MapPartitions", ex) < 0,
+        s"$what spreads ABOVE an encode/decode seam (blobs cross):\n$p")
+    }
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
     val img = graft.operators.Multimodal.decodeImageFeatures(spark,
         graft.operators.Multimodal.documentsAsImages(spark, docs))
       .queryExecution.executedPlan.toString
-    assert(!img.contains("Exchange"), s"image decode shuffles blobs:\n$img")
+    noKeyedExchange(img, "image decode")
     assert(img.contains("MapPartitions"), s"no narrow decode seam in:\n$img")
     val wav = graft.operators.Multimodal.decodeWavStats(spark,
         graft.operators.Multimodal.documentsAsWavs(spark, docs))
       .queryExecution.executedPlan.toString
-    assert(!wav.contains("Exchange"), s"wav decode shuffles blobs:\n$wav")
+    noKeyedExchange(wav, "wav decode")
     assert(wav.contains("MapPartitions"), s"no narrow decode seam in:\n$wav")
   }
 
@@ -399,13 +409,21 @@ class ScaleSpec extends SparkSpec {
       s"window does not consume the pre-cap stage:\n$p")
   }
 
-  test("token chunking is a narrow per-row plan (no exchange)") {
+  test("token chunking is a narrow per-row plan (no keyed exchange)") {
+    // the only allowed exchange is Spread.forCpu's explicit round-robin
+    // cores-spread over the source (a no-op at scale — any real table
+    // plans enough splits; locally it parallelizes the tokenizer). A
+    // KEYED exchange or an aggregate would mean the chunker stopped
+    // being a per-row transform.
+    def narrow(p: String): Unit = {
+      assert(!p.replace("Exchange RoundRobinPartitioning", "")
+        .contains("Exchange"), s"unexpected keyed shuffle in:\n$p")
+      assert(!p.contains("Aggregate"), s"unexpected aggregate in:\n$p")
+    }
     import spark.implicits._
     val docs = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
-    val plan = graft.operators.TextOps.chunk(docs, 4, 1)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
-    assert(!plan.contains("Aggregate"), s"unexpected aggregate in:\n$plan")
+    narrow(graft.operators.TextOps.chunk(docs, 4, 1)
+      .queryExecution.executedPlan.toString)
     // the BPE-token variant (t11's production shape) must stay just as
     // narrow: the merge loop is a per-row expression, not a join/shuffle.
     // Parquet input, not a local Seq — ConvertToLocalRelation folds the
@@ -415,8 +433,7 @@ class ScaleSpec extends SparkSpec {
     val bpePlan = graft.operators.TextOps.chunk(pdocs, 4, 1,
         tokensOf = graft.operators.TextOps.bpeTokens(_))
       .queryExecution.executedPlan.toString
-    assert(!bpePlan.contains("Exchange"), s"unexpected shuffle in:\n$bpePlan")
-    assert(!bpePlan.contains("Aggregate"), s"unexpected aggregate in:\n$bpePlan")
+    narrow(bpePlan)
     assert(bpePlan.contains("bpe_tokens"), s"bpe tokenizer missing in:\n$bpePlan")
   }
 
@@ -823,7 +840,13 @@ class ScaleSpec extends SparkSpec {
     val rows = (0L until n).map(i => (i, s"p${i % 8}", i * 7))
     DeltaWrite.appendPartitioned(
       rows.toDF("id", "part", "v").repartition(4), tbl, Seq("part"))
-    val batch = (0L until n by 5).map(i => (i, s"p${i % 8}", -i))
+    // stride 20 (was 5): recordsRead now also counts the merge's
+    // CHECKPOINTED BATCH block reads (Spark records cache reads as input
+    // — ~5 consumer reads of the batch, batch-bounded at any scale), so
+    // the batch must stay small relative to the table for the pin to
+    // keep discriminating: pruned ≈ 2 reads of the p3 partition + ~5x
+    // batch ≈ 2k records, unpruned ≥ the full 4k-row table on top.
+    val batch = (0L until n by 20).map(i => (i, s"p${i % 8}", -i))
       .toDF("id", "part", "v")
     val read = new java.util.concurrent.atomic.AtomicLong
     val l = new org.apache.spark.scheduler.SparkListener {
@@ -841,10 +864,10 @@ class ScaleSpec extends SparkSpec {
         drainListenerBus()
         spark.sparkContext.removeSparkListener(l)
       }
-    // p3 keys ending in 0/5: i % 8 == 3 && i % 5 == 0 — the batch rows
-    // whose key lives in p3 update; every other batch row inserts
+    // p3 keys landing on the stride: i % 8 == 3 && i % 20 == 0 — the
+    // batch rows whose key lives in p3 update; every other row inserts
     assert(ms.rowsUpdated === rows.count { case (i, p, _) =>
-      p == "p3" && i % 5 == 0 }.toLong)
+      p == "p3" && i % 20 == 0 }.toLong)
     assert(read.get < (n * 3) / 4,
       s"conditional merge read ${read.get} records of $n — the match " +
         "condition's partition conjunct did not prune the match scan")
@@ -868,7 +891,10 @@ class ScaleSpec extends SparkSpec {
     IcebergLog.appendPartitioned(
       rows.toDF("id", "part", "v").repartition(4), tbl,
       partitionBy = Seq(2 -> "part"))
-    val batch = (0L until n by 5).map(i => (i, s"p${i % 8}", -i))
+    // stride 20 (was 5): see the Delta twin above — the checkpointed
+    // batch's block reads count as input records now, so the batch stays
+    // small relative to the table for the pin to keep discriminating
+    val batch = (0L until n by 20).map(i => (i, s"p${i % 8}", -i))
       .toDF("id", "part", "v")
     val read = new java.util.concurrent.atomic.AtomicLong
     val l = new org.apache.spark.scheduler.SparkListener {
@@ -887,7 +913,7 @@ class ScaleSpec extends SparkSpec {
         spark.sparkContext.removeSparkListener(l)
       }
     assert(ms.rowsUpdated === rows.count { case (i, p, _) =>
-      p == "p3" && i % 5 == 0 }.toLong)
+      p == "p3" && i % 20 == 0 }.toLong)
     assert(read.get < (n * 3) / 4,
       s"conditional iceberg merge read ${read.get} records of $n — the " +
         "condition's partition conjunct did not prune the manifest " +

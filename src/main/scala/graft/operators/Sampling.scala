@@ -337,7 +337,7 @@ object Sampling {
     val spark = corpus.sparkSession
     // distinct eval gram keys, materialized once: sized for the bloom fit,
     // reused as the exact join's build side
-    val bench = Spread.forCpu(benchmark)
+    val bench = benchmark
       .select(explode(call_function("shingle_hashes", col("text"), lit(n)))
         .as("__graft_bench_gk"))
       .distinct()
@@ -346,15 +346,9 @@ object Sampling {
     val bloom = bench.stat.bloomFilter("__graft_bench_gk", nItems, fpp)
     val bloomB = spark.sparkContext.broadcast(bloom)
     val mightContain = udf((k: Long) => bloomB.value.mightContainLong(k))
-    // the in-row gram hashing is compute-bound and feeds TWO consumers
-    // (the bloom-gated hit count and the per-doc gram totals): spread a
-    // one-split local scan across cores and materialize the grams once
-    // instead of re-shingling the corpus per consumer (the [[Dedup]]
-    // shingle trade)
-    val withGrams = Spread.forCpu(corpus)
+    val withGrams = corpus
       .select(col("doc_id"),
         call_function("shingle_hashes", col("text"), lit(n)).as("__graft_gks"))
-      .localCheckpoint(true)
     // explode → bloom gate → EXACT verify join (hinted shuffle-hash: this
     // operator exists for the eval set that can't broadcast) → per-doc count
     val hits = withGrams

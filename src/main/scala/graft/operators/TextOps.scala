@@ -503,21 +503,12 @@ object TextOps {
     */
   def lmScore(docs: DataFrame, refDocs: DataFrame = null,
       alpha: Double = 0.5): DataFrame = {
+    val ref = Option(refDocs).getOrElse(docs)
     val ws = filter(tokens(col("text")), w => w =!= "")
-    // tokenize each side ONCE into a narrow checkpointed (doc_id, tokens)
-    // relation: the scored side feeds the bigram and first-token terms,
-    // and under self-scoring (the common case) the SAME relation also
-    // feeds the unigram counts, the corpus constants, and the bigram
-    // counts — five consumers that each used to re-split every document
-    // from the source scan, serially when the local source is one split
-    // (the [[Dedup]] shingle-materialization trade, applied to the LM).
-    def tokCheckpoint(d: DataFrame): DataFrame =
-      Spread.forCpu(d).withColumn("__ws", ws)
-        .select(col("doc_id"), col("__ws")).localCheckpoint(true)
-    val docsTok = tokCheckpoint(docs)
-    val refTokRel = if (refDocs == null) docsTok else tokCheckpoint(refDocs)
-    val refTok = refTokRel
+    def tokRel(d: DataFrame) = d
+      .withColumn("__ws", ws)
       .select(col("doc_id"), posexplode(col("__ws")).as(Seq("pos", "w")))
+    val refTok = tokRel(ref)
     val ug = refTok.groupBy(col("w")).agg(count(lit(1)).as("uc"))
     val consts = refTok.agg(count(lit(1)).cast("double").as("t"))
       .crossJoin(ug.agg(count(lit(1)).cast("double").as("v")))
@@ -531,13 +522,13 @@ object TextOps {
       .otherwise(transform(sequence(lit(1), size(col("__ws")) - 1), i =>
         struct(element_at(col("__ws"), i).as("w1"),
           element_at(col("__ws"), i + 1).as("w2"))))
-    val bgc = refTokRel
+    val bgc = ref.withColumn("__ws", ws)
       .select(explode(pairs).as("bg"))
       .groupBy(col("bg.w1").as("bw1"), col("bg.w2").as("bw2"))
       .agg(count(lit(1)).as("bc"))
     def nll6(p: Column): Column =
       round(-log(p), 6).cast("decimal(20,6)")
-    val bigramTerms = docsTok
+    val bigramTerms = docs.withColumn("__ws", ws)
       .select(col("doc_id"), explode(pairs).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       // LEFT joins: a scored doc may use words the reference never saw
@@ -548,7 +539,7 @@ object TextOps {
       .select(col("doc_id"), nll6(
         (coalesce(col("bc"), lit(0L)).cast("double") + alpha) /
           (coalesce(col("uc"), lit(0L)).cast("double") + lit(alpha) * col("v"))).as("nll"))
-    val firstTerms = docsTok
+    val firstTerms = docs.withColumn("__ws", ws)
       .filter(size(col("__ws")) > 0)
       .select(col("doc_id"), element_at(col("__ws"), 1).as("w"))
       .join(ug, Seq("w"), "left")
@@ -558,7 +549,7 @@ object TextOps {
           (col("t") + lit(alpha) * col("v"))).as("nll"))
     val per = bigramTerms.union(firstTerms).groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_terms"), sum(col("nll")).as("total"))
-    docsTok.select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_terms"), lit(0L)).as("n_tokens"),

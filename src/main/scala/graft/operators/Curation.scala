@@ -106,12 +106,13 @@ object Curation {
     * Returns the training manifest: (doc_id, source, n_tokens, shard,
     * pack_id) for every surviving document.
     *
-    * `checkpoint` runs at the four stage boundaries whose output feeds
+    * `checkpoint` runs at the three stage boundaries whose output feeds
     * multiple downstream consumers (post-dedup, post-near-dup,
-    * post-decontamination, post-τ-mix — e.g. the temperature mix reads
-    * its input three times: per-source counts, the corpus total, and the
-    * final join; the mix output feeds both packByBudget and the source
-    * rider join). Default is `localCheckpoint(eager)` — right for a single
+    * post-decontamination — e.g. the temperature mix reads its input
+    * three times: per-source counts, the corpus total, and the final
+    * join; the mix OUTPUT has exactly one consumer — `source` carries
+    * through the pack window — so it takes no boundary). Default is
+    * `localCheckpoint(eager)` — right for a single
     * job, but executor-pinned blocks are NOT fault-tolerant, so a real
     * 100 TB deployment passes a durable hook
     * (`df => { df.write.parquet(p); spark.read.parquet(p) }`): stage
@@ -147,16 +148,17 @@ object Curation {
       .filter(col("contamination_frac") <= maxContamination)
       .select(col("doc_id"))
     val kept3 = checkpoint(kept2.join(clean, Seq("doc_id"), "left_semi"))
-    // 5. source temperature mix over the cleaned corpus — checkpointed
-    // like the other stage boundaries: packByBudget AND the source rider
-    // join below both read it, and without the boundary a cluster run
-    // recomputes the whole mix (counts + total + final join) twice
-    val mixed = checkpoint(
-      Sampling.temperatureMix(kept3, col("source"), col("doc_id"), tau, budget))
-    // 6. token-budget packing; source rides back via a doc_id equi-join
-    // (both sides are the same post-mix survivor set — AQE broadcasts)
-    Packing.packByBudget(mixed, packBudget, shardSize)
-      .join(mixed.select(col("doc_id"), col("source")), Seq("doc_id"))
+    // 5. source temperature mix over the cleaned corpus. No checkpoint
+    // boundary here anymore: packing is the ONLY consumer now that
+    // `source` carries through the pack window (below) instead of
+    // re-joining — a boundary would materialize+store for a single read
+    val mixed =
+      Sampling.temperatureMix(kept3, col("source"), col("doc_id"), tau, budget)
+    // 6. token-budget packing; source rides THROUGH the shard window as a
+    // carry column (its bytes join the one shard exchange — strictly
+    // cheaper than the old doc_id re-join, which read the mix twice and
+    // paid a whole join stage to recover a column the input already had)
+    Packing.packByBudget(mixed, packBudget, shardSize, carry = Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("shard"),
         col("pack_id"))
   }

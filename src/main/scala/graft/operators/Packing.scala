@@ -22,14 +22,23 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** `carry` names columns of `docs` to ride through the packing window
+    * untouched (e.g. `source` for a training manifest) — they cost their
+    * own bytes in the one shard exchange but save the caller a re-join
+    * against its input to recover them (the join is a second read of the
+    * input plus a whole extra stage; carrying narrow columns through the
+    * exchange is strictly cheaper).
+    */
   def packByBudget(docs: DataFrame, budget: Int = 512,
       shardSize: Int = 100,
-      nTokens: Column => Column = TextOps.bpeTokenCount(_)): DataFrame = {
+      nTokens: Column => Column = TextOps.bpeTokenCount(_),
+      carry: Seq[String] = Seq.empty): DataFrame = {
     graft.functions.NativeFunctions.register(docs.sparkSession)
     val base = docs.select(
-      col("doc_id"),
-      nTokens(col("text")).cast("long").as("n_tokens"),
-      floor(col("doc_id") / shardSize.toDouble).cast("long").as("shard"))
+      col("doc_id") +:
+      nTokens(col("text")).cast("long").as("n_tokens") +:
+      floor(col("doc_id") / shardSize.toDouble).cast("long").as("shard") +:
+      carry.map(c => col(s"`$c`")): _*)
     val prior = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     base

@@ -21,6 +21,27 @@ import graft.exec.ExecutionContext
   */
 object SourceQueries {
 
+  /** Run independent staging actions concurrently (guide-§2.6 shape:
+    * Spark happily runs several jobs at once; staged commits serialize
+    * only on the cheap version claim, which both protocols' appenders
+    * retry with the data files staged exactly once). Only for actions
+    * whose DATA is disjoint and whose commit ORDER is irrelevant to the
+    * caller's pins — every current caller appends modulo-disjoint
+    * slices. Rethrows the first failure.
+    */
+  private[queries] def concurrently(tasks: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(4, tasks.size))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence(
+        tasks.map(t => scala.concurrent.Future(t()))),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    ()
+  }
+
   /** Recursive delete of a staging fixture dir (idempotent per run). */
   private[queries] def rmTree(path: String): Unit = {
     def rm(f: java.io.File): Unit = {
@@ -211,10 +232,11 @@ object SourceQueries {
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .localCheckpoint(true) // staged appends + the batch replay this 2-8x
-      graft.sources.DeltaWrite.appendPartitioned(
-        o.filter(col("o_orderkey") % 4 === 0), tbl, Seq("o_orderstatus"))
-      graft.sources.DeltaWrite.appendPartitioned(
-        o.filter(col("o_orderkey") % 4 === 2), tbl, Seq("o_orderstatus"))
+      // two disjoint staged appends overlap (see [[concurrently]])
+      concurrently(Seq(0L, 2L).map(m => () =>
+        { graft.sources.DeltaWrite.appendPartitioned(
+            o.filter(col("o_orderkey") % 4 === m), tbl,
+            Seq("o_orderstatus")); () }): _*)
       val filesBefore = graft.sources.DeltaLog.liveFiles(s, tbl).toSet
       val src = o.filter(col("o_orderkey") % 8 === 0 ||
           col("o_orderkey") % 4 === 1)
@@ -970,12 +992,11 @@ object SourceQueries {
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .localCheckpoint(true) // staged appends + the batch replay this 2-8x
-      graft.sources.IcebergLog.appendPartitioned(
-        o.filter(col("o_orderkey") % 4 === 0), tbl,
-        partitionBy = Seq(2 -> "o_orderstatus"))
-      graft.sources.IcebergLog.appendPartitioned(
-        o.filter(col("o_orderkey") % 4 === 2), tbl,
-        partitionBy = Seq(2 -> "o_orderstatus"))
+      // two disjoint staged appends overlap (see [[concurrently]])
+      concurrently(Seq(0L, 2L).map(m => () =>
+        { graft.sources.IcebergLog.appendPartitioned(
+            o.filter(col("o_orderkey") % 4 === m), tbl,
+            partitionBy = Seq(2 -> "o_orderstatus")); () }): _*)
       val before = graft.sources.IcebergLog.liveEntries(tbl)
         .map(_.path).toSet
       val src = o.filter(col("o_orderkey") % 8 === 0 ||
@@ -1484,9 +1505,14 @@ object SourceQueries {
       val o = Tables.load(s, d, "orders")
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
         .localCheckpoint(true) // staged appends + the batch replay this 2-8x
-      (0 to 7).foreach(m =>
-        graft.sources.DeltaWrite.append(
-          o.filter(col("o_orderkey") % 8 === m).coalesce(1), tbl))
+      // eight per-epoch commits, staged CONCURRENTLY (see [[concurrently]]
+      // — the stage writes are independent one-task jobs; only the cheap
+      // version-dependent header re-evaluates on a lost claim race).
+      // Epoch data is disjoint (%8), so commit ORDER is irrelevant to
+      // every pin below and to the final rows.
+      concurrently((0 to 7).map(m => () =>
+        { graft.sources.DeltaWrite.append(
+            o.filter(col("o_orderkey") % 8 === m).coalesce(1), tbl); () }): _*)
       val before = graft.sources.DeltaLog.liveFiles(s, tbl)
       require(before.size >= 8, s"expected 8 small files, got ${before.size}")
       val st = graft.sources.DeltaWrite.optimize(s, tbl,

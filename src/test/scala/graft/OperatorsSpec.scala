@@ -729,6 +729,21 @@ class OperatorsSpec extends SparkSpec {
     val sharded = graft.operators.Packing.packByBudget(d, 512, shardSize = 5)
       .collect().map(r => (r.getLong(0), r.getAs[Long]("shard"))).toSet
     assert(sharded.map(_._2) === Set(0L, 1L))
+    // carry columns ride through the pack window untouched, with the
+    // same pack assignment as the carry-free run (the rider-join
+    // replacement in Curation.pretrainPipeline depends on both)
+    val dSrc = d.withColumn("src",
+      concat(lit("s"), (col("doc_id") % 2).cast("string")))
+    val carried = graft.operators.Packing.packByBudget(dSrc, budget = 512,
+        shardSize = 100, carry = Seq("src"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getAs[String]("src"),
+        r.getAs[Long]("pack_id"))).toMap
+    assert(carried.keySet === packed.keySet)
+    carried.foreach { case (id, (src, pack)) =>
+      assert(src === s"s${id % 2}")
+      assert(pack === packed(id))
+    }
   }
 
   test("int8 quantization bounds reconstruction error by half a step per dim") {
@@ -890,9 +905,10 @@ class OperatorsSpec extends SparkSpec {
     assert(out(7L)._4 === (out(2L)._2 + out(6L)._2) / 30L)
     assert(out(2L)._1 === "src_a" && out(7L)._1 === "src_c")
     // the durable-checkpoint seam: a parquet round-trip hook must fire at
-    // the four multi-consumer stage boundaries (post-exact-dedup,
-    // post-near-dup, post-decontamination, post-τ-mix) and leave the
-    // result unchanged
+    // the three multi-consumer stage boundaries (post-exact-dedup,
+    // post-near-dup, post-decontamination — the τ-mix output has exactly
+    // one consumer since `source` carries through the pack window, so it
+    // takes no boundary) and leave the result unchanged
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     var fired = 0
     val durable: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
@@ -907,7 +923,7 @@ class OperatorsSpec extends SparkSpec {
         checkpoint = durable)
       .collect().map(r => r.getLong(0) ->
         (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
-    assert(fired === 4)
+    assert(fired === 3)
     assert(viaParquet === out)
   }
 

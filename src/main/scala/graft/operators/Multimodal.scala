@@ -433,7 +433,7 @@ object Multimodal {
     */
   def documentsAsImages(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Spread.forCpu(docs.select(col("doc_id").cast("long"))).as[Long]
+    Spread.forCodec(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         val fmt = if (id % 2 == 0) "png" else "bmp"
         (id, encodeImage(makeImage(id), fmt))
@@ -496,7 +496,7 @@ object Multimodal {
   /** Documents-as-animated-GIFs with 1 + id%8 true frames each. */
   def documentsAsGifs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Spread.forCpu(docs.select(col("doc_id").cast("long"))).as[Long]
+    Spread.forCodec(docs.select(col("doc_id").cast("long"))).as[Long]
       .mapPartitions(_.map { id =>
         (id, makeAnimatedGif((1 + id % 8).toInt))
       }).toDF("doc_id", "blob")

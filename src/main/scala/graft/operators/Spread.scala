@@ -39,4 +39,19 @@ object Spread {
     val n = target(df)
     if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
   }
+
+  /** [[forCpu]] at HALF the configured parallelism, for CODEC-heavy seams
+    * (ImageIO encode/decode): the codecs allocate large short-lived
+    * buffers per blob, and at full machine width the tasks contend on the
+    * allocator/GC instead of decoding (measured on m01: 32-way spends ~2×
+    * the serial CPU for the wall win; see OPTIMIZATION_r20.md). Half
+    * width keeps the wall win while halving the contention. Same
+    * scale-adaptive story as [[forCpu]]: the width derives from the
+    * session's shuffle-partition conf, and a source that already plans
+    * that many splits passes through untouched.
+    */
+  def forCodec(df: DataFrame): DataFrame = {
+    val n = math.max(2, target(df) / 2)
+    if (df.rdd.getNumPartitions >= n) df else df.repartition(n)
+  }
 }

@@ -298,6 +298,21 @@ class ScaleSpec extends SparkSpec {
       "verification override lost its exact rank filter")
   }
 
+  test("codec spread widens a one-split source to HALF parallelism only") {
+    // Spread.forCodec: ImageIO encode/decode tasks contend on the
+    // allocator at full machine width (OPTIMIZATION_r20.md batch 8), so
+    // the codec seams spread to max(2, shufflePartitions/2) — and, like
+    // forCpu, pass an already-wide source through with NO added exchange
+    import spark.implicits._
+    val narrow1 = (1L to 64L).toDF("doc_id").coalesce(1)
+    val n = spark.sessionState.conf.numShufflePartitions // 4 in this suite
+    assert(graft.operators.Spread.forCodec(narrow1).rdd.getNumPartitions
+      === math.max(2, n / 2))
+    assert(graft.operators.Spread.forCpu(narrow1).rdd.getNumPartitions === n)
+    val wide = (1L to 64L).toDF("doc_id").repartition(n)
+    assert(graft.operators.Spread.forCodec(wide) eq wide) // pass-through
+  }
+
   test("multimodal decode is one narrow MapPartitions pass: no exchange") {
     // the scaladoc claim behind m01/m02/m04: blob -> features is a
     // per-partition codec pass; any KEYED Exchange here would shuffle raw

@@ -22,15 +22,22 @@ object PerfProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // per-stage wall/task accounting so a slow run localizes on sight
-    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Long)]()
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long, Long, Long, Int)]()
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(-1L)
-        stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(60), wall,
-          si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime))
+        // name's first line is the generic action callsite; the first
+        // graft frame in `details` localizes the operator that built it
+        val where = si.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("PerfProbe"))
+          .map(_.trim.takeWhile(_ != ')') + ")").getOrElse("")
+        stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(40) +
+          " " + where.take(70), wall,
+          si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime,
+          si.numTasks))
       }
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
@@ -65,8 +72,8 @@ object PerfProbe {
           stages.asScala.toSeq.sortBy(-_._2._2)
             .take(sys.env.getOrElse("GRAFT_PROBE_STAGES", "8").toIntOption
               .getOrElse(8)).foreach {
-            case (id, (nm, wall, run, gc)) =>
-              println(f"[probe]   stage $id%4d wall=${wall}%6dms taskRun=${run}%7dms gc=${gc}%5dms  $nm")
+            case (id, (nm, wall, run, gc, nt)) =>
+              println(f"[probe]   stage $id%4d wall=${wall}%6dms taskRun=${run}%7dms gc=${gc}%5dms tasks=$nt%3d  $nm")
           }
         }
       }

@@ -13,6 +13,13 @@ Test / fork := true
 run / fork := true
 // wire stdin through to forked runs (interactive CLI REPL)
 run / connectInput := true
+// Forked run output passes through UNPREFIXED: sbt's default LoggedOutput
+// wraps every stdout line of a forked main in "[info] ", which is what has
+// kept the bench driver's JSON extractor from parsing the summary line
+// (BENCH_r18/19/20 all record parsed:null on an intact line). StdoutOutput
+// writes the child's stdout straight through, so the one-line summary JSON
+// reaches the driver bare.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

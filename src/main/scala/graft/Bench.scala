@@ -749,7 +749,20 @@ object Bench {
       // allowed to overflow the tail capture (the dirty:true flag and
       // the full lists in the log still tell the story)
       summaryLine("\"in_log\"", "\"in_log\"", "\"in_log\"", "\"in_log\""))
-    println(candidates.find(_.length <= 1900).getOrElse(candidates.last))
+    val summary = candidates.find(_.length <= 1900).getOrElse(candidates.last)
+    // Mirror the summary to a stable file BEFORE printing: the driver's
+    // stdout parse has failed three rounds running (parsed:null in
+    // BENCH_r18/19/20 — sbt's forked-run logger prefixed the line with
+    // "[info] "). The stdout print stays the primary contract (now bare via
+    // run/outputStrategy := StdoutOutput); the file is the unmissable copy.
+    try {
+      val out = java.nio.file.Paths.get("target", "bench_summary.json")
+      Option(out.getParent).foreach(p => { java.nio.file.Files.createDirectories(p); () })
+      java.nio.file.Files.write(out,
+        (summary + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case e: Throwable => info(s"summary mirror failed: ${e.getMessage}") }
+    println(summary)
     SparkSession.getActiveSession.foreach(_.stop())
   }
 }

@@ -33,7 +33,12 @@ object PerfProbe {
         // graft frame in `details` localizes the operator that built it
         val where = si.details.linesIterator
           .find(l => l.contains("graft.") && !l.contains("PerfProbe"))
-          .map(_.trim.takeWhile(_ != ')') + ")").getOrElse("")
+          .map { l =>
+            val t = l.trim
+            // keep up to the first ')' when present; no spurious ')' otherwise
+            val i = t.indexOf(')')
+            if (i >= 0) t.substring(0, i + 1) else t
+          }.getOrElse("")
         stages.put(si.stageId, (si.name.takeWhile(_ != '\n').take(40) +
           " " + where.take(70), wall,
           si.taskMetrics.executorRunTime, si.taskMetrics.jvmGCTime,
@@ -41,7 +46,20 @@ object PerfProbe {
       }
       override def onJobStart(
           j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        jobs.incrementAndGet()
+        // job-level attribution (GRAFT_PROBE_JOBS): which driver action
+        // spawned each job — the counter alone can't localize a chain
+        if (sys.env.contains("GRAFT_PROBE_JOBS")) {
+          // the result stage's creation site + first graft frame localize
+          // which driver action spawned the job
+          val si = j.stageInfos.lastOption
+          val name = si.map(_.name.takeWhile(_ != '\n').take(44)).getOrElse("?")
+          val where = si.map(_.details).getOrElse("").linesIterator
+            .find(l => l.contains("graft.") && !l.contains("PerfProbe"))
+            .map(_.trim.take(90)).getOrElse("")
+          println(f"[probe]   job ${j.jobId}%3d stages=${j.stageIds.length}  $name  $where")
+        }
+        ()
       }
     })
     args.foreach { name =>

@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  /** Work-density declaration for the generator spreads: their input is a
+    * doc_id-only projection (~20 estimated bytes/row), but each row fans
+    * out into a KB-scale synthetic blob plus a codec pass — per-task cost
+    * is per-ROW, not per input byte. ~512 B of id-column input (~25 ids)
+    * per task keeps the codec work well above task fixed cost while still
+    * shrinking the spread on genuinely tiny inputs.
+    */
+  private val idFanoutBytesPerTask: Long = 512L
+
   /** Typed metadata produced by the REAL image decoder: dimensions,
     * channel count and frame count from the ImageIO reader, per-channel
     * pixel means from the decoded raster.
@@ -254,7 +263,8 @@ object Multimodal {
   def documentsAsTones(spark: SparkSession, docs: DataFrame,
       n: Int = 64): DataFrame = {
     import spark.implicits._
-    Spread.forCpu(docs.select(col("doc_id").cast("long"))).as[Long]
+    Spread.forCpu(docs.select(col("doc_id").cast("long")),
+      bytesPerTask = idFanoutBytesPerTask).as[Long]
       .mapPartitions(_.map { id =>
         val bin = 1 + (id % 31).toInt
         val samples = Array.tabulate[Short](n)(j =>
@@ -331,7 +341,8 @@ object Multimodal {
     */
   def documentsAsWavs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Spread.forCpu(docs.select(col("doc_id").cast("long"))).as[Long]
+    Spread.forCpu(docs.select(col("doc_id").cast("long")),
+      bytesPerTask = idFanoutBytesPerTask).as[Long]
       .mapPartitions(_.map { id =>
         val sr = 8000L * (1 + id % 3)
         val ch = 1L + id % 2
@@ -433,7 +444,8 @@ object Multimodal {
     */
   def documentsAsImages(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Spread.forCodec(docs.select(col("doc_id").cast("long"))).as[Long]
+    Spread.forCodec(docs.select(col("doc_id").cast("long")),
+      bytesPerTask = idFanoutBytesPerTask).as[Long]
       .mapPartitions(_.map { id =>
         val fmt = if (id % 2 == 0) "png" else "bmp"
         (id, encodeImage(makeImage(id), fmt))
@@ -496,7 +508,8 @@ object Multimodal {
   /** Documents-as-animated-GIFs with 1 + id%8 true frames each. */
   def documentsAsGifs(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    Spread.forCodec(docs.select(col("doc_id").cast("long"))).as[Long]
+    Spread.forCodec(docs.select(col("doc_id").cast("long")),
+      bytesPerTask = idFanoutBytesPerTask).as[Long]
       .mapPartitions(_.map { id =>
         (id, makeAnimatedGif((1 + id % 8).toInt))
       }).toDF("doc_id", "blob")

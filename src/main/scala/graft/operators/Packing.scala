@@ -33,6 +33,12 @@ object Packing {
       shardSize: Int = 100,
       nTokens: Column => Column = TextOps.bpeTokenCount(_),
       carry: Seq[String] = Seq.empty): DataFrame = {
+    val reserved = Set("doc_id", "n_tokens", "shard", "prior", "pack_id")
+    require(carry.forall(c => !reserved.contains(c)),
+      s"carry columns ${carry.filter(reserved.contains).mkString(", ")} collide " +
+        s"with packByBudget's generated columns (${reserved.mkString(", ")})")
+    require(carry.distinct.length == carry.length,
+      s"carry columns must be distinct, got ${carry.mkString(", ")}")
     graft.functions.NativeFunctions.register(docs.sparkSession)
     val base = docs.select(
       col("doc_id") +:

@@ -30,15 +30,25 @@ object SourceQueries {
     * slices. Rethrows the first failure.
     */
   private[queries] def concurrently(tasks: (() => Unit)*): Unit = {
+    if (tasks.isEmpty) return // newFixedThreadPool(0) would throw
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(4, tasks.size))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
-    try scala.concurrent.Await.result(
-      scala.concurrent.Future.sequence(
-        tasks.map(t => scala.concurrent.Future(t()))),
-      scala.concurrent.duration.Duration.Inf)
-    finally pool.shutdown()
+    try {
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          tasks.map(t => scala.concurrent.Future(t()))),
+        scala.concurrent.duration.Duration.Inf)
+      pool.shutdown()
+    } catch { case e: Throwable =>
+      // On failure, no staged append may outlive this call: the caller
+      // unwinds (and a harness retry may rmTree the fixture dir), so
+      // in-flight siblings must drain before the rethrow.
+      pool.shutdownNow()
+      pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+      throw e
+    }
     ()
   }
 
@@ -437,11 +447,16 @@ object SourceQueries {
       // stacked purge folds the DV debt away, rows unchanged
       val ps = graft.sources.DeltaWrite.purgeDeletionVectors(s, tbl)
       require(ps.filesPurged >= 1, s"purge kept the debt: $ps")
+      // ONE post-purge snapshot read feeds both the row-count pin and the
+      // declared output: the pin still exercises a fresh snapshot read of
+      // the purged table — it just isn't replayed once per consumer
+      // (guide §1.2 fewer passes; r21 directive 4)
+      val post = graft.sources.DeltaLog.read(s, tbl).localCheckpoint(true)
       require(graft.sources.DeltaLog.liveAdds(s, tbl)
             .forall(_.dv.isEmpty) &&
-          graft.sources.DeltaLog.read(s, tbl).count() == nMerged,
+          post.count() == nMerged,
         "purge changed the merged rows")
-      graft.sources.DeltaLog.read(s, tbl)
+      post
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_orderstatus"),
           col("o_totalprice").cast("double").as("o_totalprice"))
@@ -1462,16 +1477,20 @@ object SourceQueries {
         "MoR merge rewrote a data file — the whole point is O(batch)")
       require(delsNow.exists(_.content == 1),
         "MoR merge published no position-delete file")
-      val merged = graft.sources.IcebergLog.read(s, tbl)
-      val nMerged = merged.count()
+      val nMerged = graft.sources.IcebergLog.read(s, tbl).count()
       // stacked compaction folds the delete debt away, rows unchanged
       val rs = graft.sources.IcebergLog.rewriteDataFiles(s, tbl,
         sortBy = Seq("o_orderkey"), targetFiles = 4)
       require(rs.deleteFilesRemoved >= 1, s"compaction kept the debt: $rs")
+      // ONE post-compaction snapshot read feeds both the row-count pin
+      // and the declared output: the pin still exercises a fresh snapshot
+      // read of the compacted table — it just isn't replayed once per
+      // consumer (guide §1.2 fewer passes; r21 directive 4)
+      val post = graft.sources.IcebergLog.read(s, tbl).localCheckpoint(true)
       require(graft.sources.IcebergLog.liveSplitEntries(tbl)._2.isEmpty &&
-          graft.sources.IcebergLog.read(s, tbl).count() == nMerged,
+          post.count() == nMerged,
         "compaction changed the merged rows")
-      graft.sources.IcebergLog.read(s, tbl)
+      post
         .select(col("o_orderkey").cast("long").as("o_orderkey"),
           col("o_orderstatus"),
           col("o_totalprice").cast("double").as("o_totalprice"))

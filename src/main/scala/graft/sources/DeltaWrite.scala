@@ -2212,10 +2212,16 @@ object DeltaWrite {
         }
       }
       val liveRows = DeltaLog.applyDv(spark, base, groupAdds, root)
-      // an externally-written full-file DV can leave zero survivors
-      val files =
-        if (liveRows.isEmpty) Seq.empty[File]
-        else stageDataFiles(liveRows, root)
+      // stage first, then drop zero-row outputs from the FOOTER count:
+      // the old liveRows.isEmpty probe was its own driver job per group
+      // re-reading real data. (An externally-written full-file DV can
+      // leave zero survivors — that group publishes no add, same as
+      // before.)
+      val files = stageDataFiles(liveRows, root).filter { f =>
+        val rows = graft.plans.FooterStats.readOne(f.getPath, Seq.empty)
+          .map(_._1).getOrElse(-1L)
+        if (rows == 0L) { f.delete(); false } else true
+      }
       files.map { f =>
         val stats = fileStats(f, base.schema)
         s"""{"add":{"path":"${jsonEscape(f.getName)}",""" +

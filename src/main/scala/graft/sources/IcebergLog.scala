@@ -1236,7 +1236,12 @@ object IcebergLog {
           spark.read.schema(fieldIdRequestSchema(fields))
             .parquet(data.map(_.path): _*)
         }
-      case None => spark.read.parquet(data.map(_.path): _*)
+      case None =>
+        // no recorded schema: one footer names it (single-schema table by
+        // this writer's contract) — passing it skips the per-call
+        // schema-inference job a bare read runs
+        spark.read.schema(footerSchema(spark, data.head.path))
+          .parquet(data.map(_.path): _*)
     }
 
   /** The metadata-recorded schema's (id, name, iceberg type) triples,
@@ -1385,9 +1390,7 @@ object IcebergLog {
     */
   private def liveWithMeta(spark: SparkSession, data: Seq[LiveEntry],
       dels: Seq[LiveEntry], unionSchemas: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, split}
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.functions.{broadcast, col, element_at, lit, split, typedLit}
     // file NAME → sequence number. Our writer's names are uuids (unique by
     // construction), but an externally-written table may repeat a basename
     // across directories — basename matching would then silently misapply
@@ -1397,25 +1400,32 @@ object IcebergLog {
       "duplicate data-file basenames in the live set: position-delete " +
         "matching is by file name and would be ambiguous — " +
         allNames.diff(allNames.distinct).distinct.mkString(","))
-    val seqRows = data.map(e => Row(new File(e.path).getName, e.seq))
-    val seqDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(seqRows, 1),
-      StructType(Seq(StructField("__graft_file", StringType),
-        StructField("__graft_dseq", LongType))))
+    // seq attaches via a MAP LITERAL lookup, not a broadcast join: the
+    // map is driver-known (the live-set listing), a literal rides the
+    // stage's existing task-binary broadcast, and every broadcast
+    // exchange under AQE is its own driver job — one per read on the
+    // MoR hot path (r21 directive 4)
+    val seqMap: Map[String, Long] =
+      data.map(e => new File(e.path).getName -> e.seq).toMap
     // unionSchemas: a SCHEMA-EVOLVED table mixes old-schema files with
     // merged-schema ones; the footer-union read NULL-fills the old
-    // files so the evolved columns survive a subsequent merge's scan
+    // files so the evolved columns survive a subsequent merge's scan.
+    // The single-schema path passes ONE footer's schema explicitly —
+    // bare spark.read.parquet runs a one-task schema-inference job per
+    // call, a driver round-trip the MoR chain paid on every read
     val reader =
       if (unionSchemas) spark.read.option("mergeSchema", "true")
-      else spark.read
+      else spark.read.schema(footerSchema(spark, data.head.path))
     var cur = reader.parquet(data.map(_.path): _*)
       .withColumn("__graft_file",
         element_at(split(col("_metadata.file_path"), "/"), -1))
       .withColumn("__graft_pos", col("_metadata.row_index"))
-      .join(broadcast(seqDf), Seq("__graft_file"))
+      .withColumn("__graft_dseq",
+        element_at(typedLit(seqMap), col("__graft_file")))
     val posDels = dels.filter(_.content == 1)
     if (posDels.nonEmpty) {
-      val pd = posDels.map(e => spark.read.parquet(e.path)
+      val pd = posDels.map(e => spark.read.schema(posDeleteSchema)
+          .parquet(e.path)
           .select(element_at(split(col("file_path"), "/"), -1).as("__pfile"),
             col("pos").as("__ppos"), lit(e.seq).as("__pseq")))
         .reduce(_.unionByName(_))
@@ -1445,20 +1455,47 @@ object IcebergLog {
   private def stagePositionDelete(spark: SparkSession, root: File,
       data: Seq[LiveEntry],
       marked: DataFrame): Seq[File] = {
-    import org.apache.spark.sql.functions.{broadcast, col}
-    import org.apache.spark.sql.types.{StringType, StructField, StructType}
-    import org.apache.spark.sql.Row
-    val pathRows = data.map(e => Row(new File(e.path).getName, e.path))
-    val pathDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(pathRows, 1),
-      StructType(Seq(StructField("__graft_file", StringType),
-        StructField("__graft_full", StringType))))
+    import org.apache.spark.sql.functions.{col, element_at, typedLit}
+    // basename → full path as a MAP LITERAL (driver-known live set):
+    // same no-broadcast-job rationale as liveWithMeta's seq attach
+    val pathMap: Map[String, String] =
+      data.map(e => new File(e.path).getName -> e.path).toMap
     val hits = marked
-      .join(broadcast(pathDf), Seq("__graft_file"))
-      .select(col("__graft_full").as("file_path"),
+      .select(element_at(typedLit(pathMap), col("__graft_file"))
+          .as("file_path"),
         col("__graft_pos").as("pos"))
       .orderBy(col("file_path"), col("pos"))
     stageData(hits.coalesce(1), root)
+  }
+
+  /** The position-delete file schema this writer stages (v2 spec shape):
+    * `file_path` string + `pos` long. Passed explicitly on read so the
+    * per-file inference job never runs.
+    */
+  private val posDeleteSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file_path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Spark schema from ONE parquet footer, read driver-side: a bare
+    * `spark.read.parquet(paths)` runs a one-task schema-inference JOB
+    * per call — a driver round-trip the merge/compaction chains paid on
+    * every read (x58 carried seven). Files of a table with no recorded
+    * schema evolution share one physical schema by this writer's
+    * contract, so the first footer names it without a job.
+    */
+  private def footerSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetFooterReader, ParquetToSparkSchemaConverter}
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val footer = ParquetFooterReader.readFooter(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf),
+      org.apache.parquet.format.converter.ParquetMetadataConverter.SKIP_ROW_GROUPS)
+    new ParquetToSparkSchemaConverter(spark.sessionState.conf)
+      .convert(footer.getFileMetaData.getSchema)
   }
 
   /** Outcome of a MoR delete commit. */
@@ -1927,8 +1964,15 @@ object IcebergLog {
       val hasMetaNow = Option(metaDir.listFiles()).getOrElse(Array.empty)
         .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
       // base captured BEFORE the state read: if anything commits after,
-      // the claim of base+1 fails and the retry rebases on fresh state
-      val base = if (!hasMetaNow) None else Some(currentVersionOf(tablePath))
+      // the claim of base+1 fails and the retry rebases on fresh state.
+      // FRESH TABLE is encoded as base 0 (versions start at 1), never
+      // None: with None the base check is skipped, so a racing creator
+      // that commits v1 between this hasMetaNow read and commitSnapshot's
+      // internal re-read would let THIS commit claim v2 carrying only its
+      // own entries — silently dropping the winner's files. Some(0L)
+      // makes that stale-create commit fail the version!=base+1 check and
+      // rebase through the normal retry.
+      val base = Some(if (!hasMetaNow) 0L else currentVersionOf(tablePath))
       val priorEntries =
         if (!hasMetaNow) Seq.empty
         else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
@@ -2015,7 +2059,9 @@ object IcebergLog {
     retryAppendCommit() {
       val hasMetaNow = Option(metaDir.listFiles()).getOrElse(Array.empty)
         .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-      val base = if (!hasMetaNow) None else Some(currentVersionOf(tablePath))
+      // Some(0L) on a fresh table — see append(): None would skip the
+      // lost-update check and a concurrent creator's files could drop
+      val base = Some(if (!hasMetaNow) 0L else currentVersionOf(tablePath))
       val priorEntries =
         if (!hasMetaNow) Seq.empty
         else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
@@ -2077,7 +2123,9 @@ object IcebergLog {
     retryAppendCommit() {
       val hasMetaNow = Option(metaDir.listFiles()).getOrElse(Array.empty)
         .exists(_.getName.matches("v\\d+\\.metadata\\.json"))
-      val base = if (!hasMetaNow) None else Some(currentVersionOf(tablePath))
+      // Some(0L) on a fresh table — see append(): None would skip the
+      // lost-update check and a concurrent creator's files could drop
+      val base = Some(if (!hasMetaNow) 0L else currentVersionOf(tablePath))
       val priorEntries =
         if (!hasMetaNow) Seq.empty
         else { val (d, x) = liveSplitEntries(tablePath); (d ++ x).map(existingEntry) }
@@ -3095,11 +3143,16 @@ object IcebergLog {
     // the footer-union read NULL-fills old files so every recorded
     // column is present in the match scan
     val evolved = meta.schemaFields.nonEmpty
-    val target0 = (if (evolved) spark.read.option("mergeSchema", "true")
-      else spark.read).parquet(data.map(_.path): _*)
-    val cols =
-      if (evolved) meta.schemaFields.map(_._2)
-      else target0.columns.toSeq
+    // the table schema WITHOUT a read: the recorded fields for evolved
+    // tables, one footer (driver-side, no inference job) otherwise --
+    // the old mergeSchema scan here existed only for its schema
+    val tableSchema: org.apache.spark.sql.types.StructType =
+      if (evolved) org.apache.spark.sql.types.StructType(
+        meta.schemaFields.map { case (_, n, t) =>
+          org.apache.spark.sql.types.StructField(n, icebergToSparkType(t))
+        })
+      else footerSchema(spark, data.head.path)
+    val cols = tableSchema.fieldNames.toSeq
     // SCHEMA EVOLUTION (`mergeSchema` — [[DeltaWrite.merge]]'s Delta
     // parity on the second protocol): source columns beyond the table
     // widen it in the SAME commit — fresh field ids past the max in the
@@ -3177,7 +3230,7 @@ object IcebergLog {
                 used += next
                 next
               })
-              (id, c, sparkToIcebergType(target0.schema(c).dataType))
+              (id, c, sparkToIcebergType(tableSchema(c).dataType))
             }
           }
         val maxId = prior.map(_._1).max
@@ -3201,7 +3254,7 @@ object IcebergLog {
     val src = source.select(allCols.map(c =>
       col(s"`$c`").cast(
         if (newCols.contains(c)) source.schema(c).dataType
-        else target0.schema(c).dataType).as(c)): _*).localCheckpoint(true)
+        else tableSchema(c).dataType).as(c)): _*).localCheckpoint(true)
     // ONE validation pass over the batch: total rows and the max per-key
     // multiplicity from a single aggregate (was: a duplicate-detection
     // job plus a separate count job — two full passes)
@@ -3234,7 +3287,7 @@ object IcebergLog {
     val condT = matchCondition.map(c => coalesce(c, lit(false)))
     val specCols = meta.specFields.filter(_.isIdentity).map(_.name)
     val condPruned = matchCondition.fold(data)(c =>
-      pruneEntriesByConjuncts(spark, target0.schema, data, c, specCols))
+      pruneEntriesByConjuncts(spark, tableSchema, data, c, specCols))
     val candidates = pruneEntriesByBatchKeys(src, keys, meta.specFields,
       condPruned)
     val scan =
@@ -3371,11 +3424,15 @@ object IcebergLog {
       s"MoR merge on a physically name-mapped Iceberg table: $tablePath " +
         "is a derived UniForm mirror — write through the Delta side")
     val evolved = meta.schemaFields.nonEmpty
-    val target0 = (if (evolved) spark.read.option("mergeSchema", "true")
-      else spark.read).parquet(data.map(_.path): _*)
-    val cols =
-      if (evolved) meta.schemaFields.map(_._2)
-      else target0.columns.toSeq
+    // table schema without a read -- recorded fields or one footer (see
+    // the CoW merge's tableSchema note)
+    val tableSchema: org.apache.spark.sql.types.StructType =
+      if (evolved) org.apache.spark.sql.types.StructType(
+        meta.schemaFields.map { case (_, n, t) =>
+          org.apache.spark.sql.types.StructField(n, icebergToSparkType(t))
+        })
+      else footerSchema(spark, data.head.path)
+    val cols = tableSchema.fieldNames.toSeq
     require(cols.forall(source.columns.contains) &&
         source.columns.forall(cols.contains),
       s"merge source columns ${source.columns.mkString(",")} must " +
@@ -3384,7 +3441,7 @@ object IcebergLog {
     // per-key counts) — the same two-jobs-to-one and replay-once levers
     // as the CoW [[merge]]
     val src = source.select(cols.map(c =>
-      col(s"`$c`").cast(target0.schema(c).dataType).as(c)): _*)
+      col(s"`$c`").cast(tableSchema(c).dataType).as(c)): _*)
       .localCheckpoint(true)
     val kstats = src.groupBy(keys.map(c => col(s"`$c`")): _*)
       .agg(count(lit(1)).as("__n"))

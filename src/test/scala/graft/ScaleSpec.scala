@@ -298,19 +298,69 @@ class ScaleSpec extends SparkSpec {
       "verification override lost its exact rank filter")
   }
 
-  test("codec spread widens a one-split source to HALF parallelism only") {
-    // Spread.forCodec: ImageIO encode/decode tasks contend on the
-    // allocator at full machine width (OPTIMIZATION_r20.md batch 8), so
-    // the codec seams spread to max(2, shufflePartitions/2) — and, like
-    // forCpu, pass an already-wide source through with NO added exchange
+  test("spread width is size-adaptive: wide data widens, tiny data doesn't") {
+    // Spread widths derive from the input's PLAN statistics (r21): a
+    // relation big enough to amortize per-task fixed cost spreads up to
+    // the conf ceiling (forCodec: half ceiling — ImageIO tasks contend on
+    // the allocator at full machine width, OPTIMIZATION_r20.md batch 8),
+    // while a tiny relation stays narrow — pinning every spread to the
+    // full ceiling was r20's d02b/d06b 2x regression.
     import spark.implicits._
-    val narrow1 = (1L to 64L).toDF("doc_id").coalesce(1)
     val n = spark.sessionState.conf.numShufflePartitions // 4 in this suite
-    assert(graft.operators.Spread.forCodec(narrow1).rdd.getNumPartitions
+    // ~320 KB of plan-estimated bytes: >= n x 80 KB, so full width
+    val big = (1L to 20000L).toDF("doc_id").coalesce(1)
+    assert(graft.operators.Spread.forCpu(big).rdd.getNumPartitions === n)
+    assert(graft.operators.Spread.forCodec(big).rdd.getNumPartitions
       === math.max(2, n / 2))
-    assert(graft.operators.Spread.forCpu(narrow1).rdd.getNumPartitions === n)
-    val wide = (1L to 64L).toDF("doc_id").repartition(n)
-    assert(graft.operators.Spread.forCodec(wide) eq wide) // pass-through
+    // 1 KB of estimated bytes: one 80 KB-floor task — no exchange at all
+    val tiny = (1L to 64L).toDF("doc_id").coalesce(1)
+    assert(graft.operators.Spread.forCpu(tiny) eq tiny)
+    assert(graft.operators.Spread.byKey(tiny, col("doc_id"))
+      .rdd.getNumPartitions === 1)
+    // the id-fanout density (multimodal generators: 8-byte ids that fan
+    // out into KB-scale blobs) widens even small id-only inputs
+    assert(graft.operators.Spread.forCpu(tiny, bytesPerTask = 512L)
+      .rdd.getNumPartitions === 2)
+  }
+
+  test("spread pass-through and composition run no job (AQE-safe)") {
+    // 1) pass-through is decided from SIZE statistics, never df.rdd: a
+    //    source whose planned scan parallelism already covers the spread
+    //    width gets no added exchange. Shrink maxPartitionBytes so the
+    //    ~320 KB relation plans >= width splits.
+    import spark.implicits._
+    val big = (1L to 20000L).toDF("doc_id").coalesce(1)
+    val prior = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "1024")
+      assert(graft.operators.Spread.forCpu(big) eq big)
+      assert(graft.operators.Spread.forCodec(big) eq big)
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prior)
+    // 2) composing a spread over a SHUFFLED input must not materialize
+    //    AQE query stages (i.e. run jobs) at query-construction time —
+    //    the r20 latent footgun: df.rdd.getNumPartitions under AQE
+    //    executes the upstream stages and the real run recomputes them.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val shuffled = (1L to 20000L).toDF("doc_id").repartition(3)
+      val composed = graft.operators.Spread.forCpu(shuffled)
+      val codec = graft.operators.Spread.forCodec(shuffled)
+      val keyed = graft.operators.Spread.byKey(shuffled, col("doc_id"))
+      // force plan construction through to the physical plan
+      composed.queryExecution.executedPlan
+      codec.queryExecution.executedPlan
+      keyed.queryExecution.executedPlan
+      drainListenerBus()
+      assert(jobs.get === 0,
+        s"spread composition ran ${jobs.get} job(s) — AQE stage materialization")
+    } finally spark.sparkContext.removeSparkListener(listener)
   }
 
   test("multimodal decode is one narrow MapPartitions pass: no exchange") {

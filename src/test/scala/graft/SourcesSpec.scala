@@ -674,6 +674,37 @@ class SourcesSpec extends SparkSpec {
       s"no y-dimension skipping: z-order read $zRead of 1-D's $oneD")
   }
 
+  test("Iceberg fresh-table creation race: no concurrent append is dropped") {
+    // The r20-advice lost-update window: two appenders race table
+    // CREATION; the loser captured "no metadata yet" and must not commit
+    // a v2 carrying only its own entries (dropping the winner's files).
+    // Fresh state is encoded as expectedBaseVersion Some(0L), so the
+    // stale-create commit fails the base check and rebases. Four writers
+    // on a fresh path, disjoint rows — every row must survive.
+    import graft.sources.IcebergLog
+    val s = spark
+    import s.implicits._
+    val tbl = s"$tmp/ice_fresh_race"
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try scala.concurrent.Await.result(
+      scala.concurrent.Future.sequence((0 until 4).map(w =>
+        scala.concurrent.Future {
+          IcebergLog.append(
+            Seq((w * 10L, s"w$w"), (w * 10L + 1, s"w$w")).toDF("id", "v"), tbl)
+        })),
+      scala.concurrent.duration.Duration.Inf)
+    finally pool.shutdown()
+    val got = IcebergLog.read(spark, tbl).select("id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === Seq(0L, 1L, 10L, 11L, 20L, 21L, 30L, 31L),
+      s"a concurrent fresh-table append was dropped: $got")
+    // four commits landed: head metadata version is exactly v4
+    assert(new java.io.File(s"$tbl/metadata", "v4.metadata.json").isFile)
+    assert(!new java.io.File(s"$tbl/metadata", "v5.metadata.json").isFile)
+  }
+
   test("Iceberg write path: append snapshots, history preserved, atomic versions") {
     import graft.sources.IcebergLog
     val s = spark
